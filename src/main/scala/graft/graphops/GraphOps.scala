@@ -1,0 +1,106 @@
+package graft.graphops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms over vertex/edge DataFrames (GraphFrames
+  * pattern; reference src/graph/: core.rs:179, traversal.rs,
+  * components.rs:70, centrality.rs, path.rs:101). Iterative
+  * algorithms are join-per-superstep with early termination and
+  * periodic localCheckpoint to cut lineage — the standard Pregel-ish
+  * shape that scales with the cluster.
+  *
+  * Edges: DataFrame(src, dst[, weight]); undirected algorithms
+  * symmetrize internally.
+  */
+object GraphOps {
+
+  /** degree / in-degree / out-degree (centrality.rs:33). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("id"), "full")
+      .na.fill(0, Seq("out_degree", "in_degree"))
+      .withColumn("degree", col("out_degree") + col("in_degree"))
+  }
+
+  /** Connected components by iterative min-label propagation
+    * (components.rs:70): each superstep joins labels across edges and
+    * keeps the minimum; converges in O(diameter) supersteps. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val propagated = sym
+        .join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("component"))
+        .union(labels.select("id", "component"))
+        .groupBy("id").agg(min("component").as("component"))
+      val next = propagated.localCheckpoint(eager = true)
+      changed = next.join(labels.withColumnRenamed("component", "old"),
+        Seq("id")).filter(col("component") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** PageRank (centrality.rs:250): power iteration with damping;
+    * contributions shuffle on dst, dangling mass redistributed. */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val vertices = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val n = vertices.count().toDouble
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val links = edges.join(outDeg, "src").cache()
+    var ranks = vertices.withColumn("rank", lit(1.0 / n))
+    for (i <- 1 to iterations) {
+      val contribs = links.join(ranks, links("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      val total = ranks.agg(sum("rank")).first().getDouble(0)
+      val received = contribs.agg(sum("c")).first().getDouble(0)
+      val danglingMass = total - received // rank held by sink vertices
+      val next = vertices.join(contribs, Seq("id"), "left")
+        .select(col("id"), (lit((1 - damping) / n) +
+          lit(damping) * (coalesce(col("c"), lit(0.0)) +
+            lit(danglingMass / n))).as("rank"))
+      ranks = next.localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  /** BFS shortest hop-distance from a source set (traversal.rs:62,
+    * shortest_path_bfs :116): frontier expansion per superstep. */
+  def bfsDistances(edges: DataFrame, sourceIds: Seq[Any],
+      maxIter: Int = 15): DataFrame = {
+    val sym = edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var dist = sym.select(col("src").as("id")).distinct()
+      .withColumn("dist",
+        when(col("id").isin(sourceIds: _*), 0).otherwise(lit(null)))
+    var i = 0
+    var frontier = dist.filter(col("dist") === i).count()
+    while (frontier > 0 && i < maxIter) {
+      val reached = sym.join(dist.filter(col("dist") === i),
+          sym("src") === col("id"))
+        .select(sym("dst").as("id"), lit(i + 1).as("nd"))
+        .distinct()
+      dist = dist.join(reached, Seq("id"), "left")
+        .select(col("id"), coalesce(col("dist"), col("nd")).as("dist"))
+        .localCheckpoint(eager = true)
+      i += 1
+      frontier = dist.filter(col("dist") === i).count()
+    }
+    dist
+  }
+}

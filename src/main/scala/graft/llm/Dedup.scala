@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extras per BASELINE.json). Every variant is a pure
+  * shuffle-partitioned DataFrame pipeline: no driver-side state, no
+  * O(rows) collect — the shapes that survive a 1000-executor 100 TB
+  * run. The expensive step is always a groupBy/join on a bounded
+  * key (hash, band signature, LSH bucket), never an all-pairs
+  * comparison.
+  */
+object Dedup {
+
+  /** Exact dedup on content hash: one hash-shuffle, keep the
+    * smallest id per identical text. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+  }
+
+  /** Groups of exact duplicates (size > 1). */
+  def exactDupGroups(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_dups") > 1)
+
+  /** MinHash signatures from word shingles. Hashing is md5-based
+    * (ASCII-hex compared lexicographically) so signatures are
+    * engine-portable and deterministic; numHashes independent
+    * permutations are simulated by salting. Signature computation is
+    * per-row (map-side only). */
+  def minhashSignature(text: Column, numHashes: Int,
+      shingleSize: Int = 3): Column = {
+    val sh = TextFunctions.wordNgrams(text, shingleSize)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => md5(concat(s, lit(":" + seed)))))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding: rows sharing any band bucket become
+    * candidate pairs. bands*rowsPerBand = signature length. The
+    * band-bucket groupBy is the only shuffle; candidate verification
+    * joins back only the surviving pairs. */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 12, bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|")))))
+      .toDF("id", "band", "bucket")
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity pairs >= threshold, restricted to a
+    * blocking key (e.g. same source/lang) so the candidate space is
+    * per-block instead of all-pairs. Token-postings join + exact
+    * set algebra: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val toks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+    val sizes = toks.groupBy("blk", "id").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("x").join(toks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.g") === col("y.g") &&
+        col("x.id") < col("y.id"))
+      .groupBy(col("x.blk").as("blk_i"), col("x.id").as("id_a"),
+        col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("blk_i") === col("sa.blk") &&
+        col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("blk_i") === col("sb.blk") &&
+        col("id_b") === col("sb.id"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash-64: per-token xxhash64, majority vote per bit, packed to
+    * one long. Near-dups differ in few bits (hamming distance).
+    * Entirely map-side per row. */
+  def simhash64(text: Column): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, bit) => acc + when(
+        aggregate(hashes, lit(0L),
+          (v, h) => v + when(call_function("shiftright", h, bit)
+            .bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))) > 0,
+        call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L)))
+  }
+
+  /** SimHash near-dup candidate pairs by banding the 64-bit hash into
+    * 4 × 16-bit bands (any equal band → candidate, catches pairs
+    * within hamming distance 3 guaranteed per pigeonhole). */
+  def simhashPairs(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("sim"))
+    val banded = withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("id", "sim", "band", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+  }
+
+  /** Embedding cosine near-dup pairs within LSH buckets (see
+    * Similarity.hyperplaneBucket): bucket join, then exact cosine on
+    * candidates only. */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String,
+      idCol: String, planes: Int, threshold: Double): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos",
+        Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}

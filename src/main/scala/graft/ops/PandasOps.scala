@@ -1,0 +1,292 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The pandas-style relational surface of the reference
+  * (cool-japan/pandrs), re-expressed as thin extension methods over
+  * Spark built-ins so Catalyst owns optimization (pushdown, pruning,
+  * join strategy). Each method cites the reference implementation it
+  * covers (file:line under /root/reference).
+  *
+  * Scale notes: every method stays fully declarative — no collect(),
+  * no driver-side loops — so plans distribute unchanged on a real
+  * cluster. Operations that need pandas' implicit row order take an
+  * explicit order column (SURVEY.md §7.4.1).
+  */
+object PandasOps {
+
+  implicit class RichDataFrame(val df: DataFrame) extends AnyVal {
+
+    /** String-predicate filter; replaces the reference's 2.5k-LoC
+      * query engine (src/dataframe/query/engine.rs:32-57) with the
+      * Spark SQL parser. */
+    def query(predicate: String): DataFrame = df.filter(predicate)
+
+    /** pandas assign — add computed columns
+      * (src/dataframe/pandas_compat/trait_def.rs:14-28). */
+    def assign(cols: (String, Column)*): DataFrame =
+      cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+
+    /** value_counts (trait_def.rs:84-92): frequency table, most
+      * frequent first, deterministic tiebreak on the value. */
+    def valueCounts(colName: String): DataFrame =
+      df.groupBy(colName).agg(count(lit(1)).as("count"))
+        .orderBy(col("count").desc, col(colName))
+
+    /** nunique per column (trait_def.rs:78). */
+    def nunique(cols: String*): DataFrame =
+      df.agg(countDistinct(cols.head) as s"${cols.head}_nunique",
+        cols.tail.map(c => countDistinct(c).as(s"${c}_nunique")): _*)
+
+    /** drop_duplicates(subset, keep=first/last) keyed by an explicit
+      * order column (src/dataframe/apply.rs:199-276). keep=first ⇒
+      * smallest orderCol wins. One shuffle on the subset keys; the
+      * row_number window is the standard scalable dedup. */
+    def dropDuplicatesKeep(subset: Seq[String], orderCol: String,
+        keepLast: Boolean = false): DataFrame = {
+      val ord = if (keepLast) col(orderCol).desc else col(orderCol).asc
+      val w = Window.partitionBy(subset.map(col): _*).orderBy(ord)
+      df.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") === 1).drop("__rn__")
+    }
+
+    /** duplicated flags (apply.rs:199-276): true for every row after
+      * the first occurrence (by orderCol) of its subset key. */
+    def duplicated(subset: Seq[String], orderCol: String): DataFrame = {
+      val w = Window.partitionBy(subset.map(col): _*)
+        .orderBy(col(orderCol).asc)
+      df.withColumn("duplicated", row_number().over(w) > 1)
+    }
+
+    /** melt / wide-to-long (src/optimized/split_dataframe/data_ops.rs:241,
+      * src/dataframe/transform.rs:11) via the codegen'd stack()
+      * expression — no shuffle, row-local. */
+    def melt(idVars: Seq[String], valueVars: Seq[String],
+        varName: String = "variable",
+        valueName: String = "value"): DataFrame = {
+      val stackArgs = valueVars
+        .map(v => s"'$v', cast(`$v` as double)").mkString(", ")
+      df.select(idVars.map(col) :+
+        expr(s"stack(${valueVars.size}, $stackArgs) as ($varName, $valueName)"): _*)
+    }
+
+    /** pivot_table (src/pivot/mod.rs:12-108): index × columns grid.
+      * Spark's pivot collects distinct pivot values (bounded, small)
+      * then runs a single hash aggregate. */
+    def pivotTable(index: Seq[String], pivotCol: String,
+        agg: Column): DataFrame =
+      df.groupBy(index.map(col): _*).pivot(pivotCol).agg(agg)
+
+    /** crosstab contingency counts
+      * (src/dataframe/pandas_compat/functions.rs:2138). */
+    def crosstab2(a: String, b: String): DataFrame =
+      df.groupBy(a).pivot(b).agg(count(lit(1)))
+
+    /** fillna with per-column constants (trait_def.rs:110-121). */
+    def fillna(values: Map[String, Any]): DataFrame = df.na.fill(values)
+
+    /** forward-fill within partitions ordered by orderCol
+      * (trait_def.rs ffill; SURVEY §2.9). last(ignoreNulls) over an
+      * unbounded-preceding frame — one window pass, distributes. */
+    def ffill(cols: Seq[String], orderCol: String,
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cols.foldLeft(df)((d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    }
+
+    /** backward-fill: mirror of ffill. */
+    def bfill(cols: Seq[String], orderCol: String,
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      cols.foldLeft(df)((d, c) =>
+        d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+    }
+
+    /** linear interpolation of nulls between the previous and next
+      * non-null values, pandas interpolate(method='linear')
+      * (trait_def.rs:151-172). Two window passes, no shuffle beyond
+      * the partition-by. */
+    def interpolateLinear(valueCol: String, orderCol: String,
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val wAll = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+      val wPrev = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val v = col(valueCol)
+      val rn = row_number().over(wAll)
+      df.withColumn("__rn__", rn)
+        .withColumn("__pv__", last(v, ignoreNulls = true).over(wPrev))
+        .withColumn("__pn__",
+          last(when(v.isNotNull, col("__rn__")), ignoreNulls = true).over(wPrev))
+        .withColumn("__nv__", first(v, ignoreNulls = true).over(wNext))
+        .withColumn("__nn__",
+          first(when(v.isNotNull, col("__rn__")), ignoreNulls = true).over(wNext))
+        .withColumn(valueCol,
+          when(v.isNotNull, v)
+            .when(col("__pv__").isNull, col("__nv__"))
+            .when(col("__nv__").isNull, col("__pv__"))
+            .otherwise(col("__pv__") +
+              (col("__nv__") - col("__pv__")) *
+                (col("__rn__") - col("__pn__")) /
+                (col("__nn__") - col("__pn__"))))
+        .drop("__rn__", "__pv__", "__pn__", "__nv__", "__nn__")
+    }
+
+    /** pandas rank with method ∈ {average,min,max,first,dense}
+      * (trait_def.rs:51, rankmethod_traits.rs). */
+    def rankBy(valueCol: String, method: String = "average",
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(valueCol))
+      val r = method match {
+        case "min"   => rank().over(w).cast("double")
+        case "dense" => dense_rank().over(w).cast("double")
+        case "first" => row_number().over(w).cast("double")
+        case "max"   =>
+          (rank().over(w) + count(lit(1))
+            .over(w.rangeBetween(0, 0)) - 1).cast("double")
+        case _ => // average = (min_rank + max_rank) / 2
+          (rank().over(w) +
+            (count(lit(1)).over(w.rangeBetween(0, 0)) - 1) / 2.0)
+      }
+      df.withColumn("rank", r)
+    }
+
+    /** shift/lag (trait_def.rs:75). */
+    def shiftCol(valueCol: String, n: Int, orderCol: String,
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+      df.withColumn(s"${valueCol}_shift", lag(col(valueCol), n).over(w))
+    }
+
+    /** diff (trait_def.rs:107). */
+    def diffCol(valueCol: String, orderCol: String,
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+      df.withColumn(s"${valueCol}_diff",
+        col(valueCol) - lag(col(valueCol), 1).over(w))
+    }
+
+    /** pct_change (trait_def.rs:110). */
+    def pctChange(valueCol: String, orderCol: String,
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+      df.withColumn(s"${valueCol}_pct_change",
+        col(valueCol) / lag(col(valueCol), 1).over(w) - 1)
+    }
+
+    /** cumulative sum/min/max/prod (trait_def.rs:63-74). cumprod via
+      * exp∘sum∘log with sign/zero handling (SURVEY §2.4). */
+    def cumsum(valueCol: String, orderCol: String,
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(s"${valueCol}_cumsum", sum(col(valueCol)).over(w))
+    }
+
+    def cummax(valueCol: String, orderCol: String,
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(s"${valueCol}_cummax", max(col(valueCol)).over(w))
+    }
+
+    def cummin(valueCol: String, orderCol: String,
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(s"${valueCol}_cummin", min(col(valueCol)).over(w))
+    }
+
+    def cumprod(valueCol: String, orderCol: String,
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val v = col(valueCol)
+      val zeros = sum(when(v === 0, 1).otherwise(0)).over(w)
+      val negs = sum(when(v < 0, 1).otherwise(0)).over(w)
+      val mag = exp(sum(when(v =!= 0, log(abs(v)))).over(w))
+      df.withColumn(s"${valueCol}_cumprod",
+        when(zeros > 0, lit(0.0))
+          .otherwise(when(negs % 2 === 1, -mag).otherwise(mag)))
+    }
+
+    /** fixed-width binning, pandas cut (functions.rs:2339). Emits the
+      * 0-based bin index; edges follow pandas right-closed intervals. */
+    def cut(valueCol: String, bins: Seq[Double]): DataFrame = {
+      val v = col(valueCol)
+      val idx = bins.sliding(2).zipWithIndex.foldLeft(lit(null)
+          .cast("int")) { case (acc, (Seq(lo, hi), i)) =>
+        when(v > lo && v <= hi, lit(i)).otherwise(acc)
+      }
+      df.withColumn(s"${valueCol}_bin", idx)
+    }
+
+    /** quantile binning, pandas qcut (functions.rs:2370) — ntile over
+      * a deterministic total order (tiebreak column required). */
+    def qcut(valueCol: String, q: Int, tiebreak: String): DataFrame =
+      df.withColumn(s"${valueCol}_qbin",
+        ntile(q).over(Window.orderBy(col(valueCol), col(tiebreak))) - 1)
+
+    /** nlargest/nsmallest (trait_def.rs:39-42): Catalyst plans
+      * TakeOrderedAndProject — no full sort. */
+    def nlargest(n: Int, valueCol: String, tiebreak: String): DataFrame =
+      df.orderBy(col(valueCol).desc, col(tiebreak)).limit(n)
+
+    def nsmallest(n: Int, valueCol: String, tiebreak: String): DataFrame =
+      df.orderBy(col(valueCol).asc, col(tiebreak)).limit(n)
+
+    /** pandas merge with overlap suffixes
+      * (src/dataframe/pandas_compat/merge.rs:34). SQL null-key
+      * semantics (documented divergence, SURVEY §2.3). */
+    def merge(right: DataFrame, on: Seq[String], how: String = "inner",
+        suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+      val overlap = (df.columns.toSet intersect right.columns.toSet) -- on
+      val l = overlap.foldLeft(df)((d, c) =>
+        d.withColumnRenamed(c, c + suffixes._1))
+      val r = overlap.foldLeft(right)((d, c) =>
+        d.withColumnRenamed(c, c + suffixes._2))
+      l.join(r, on, how)
+    }
+
+    /** as-of join helper (exceeds reference; SURVEY §7.3): for each
+      * left row, the most recent right row with rightTime <= leftTime
+      * per key. Union + last(ignoreNulls) window — a single shuffle on
+      * (key), no O(n²) join. */
+    def asofJoin(right: DataFrame, key: String, leftTime: String,
+        rightTime: String, rightVal: String): DataFrame = {
+      val lcols = df.columns.toSeq
+      val l = df.withColumn("__t__", col(leftTime))
+        .withColumn("__side__", lit(1))
+        .withColumn("__rv__",
+          lit(null).cast(right.schema(rightVal).dataType))
+      val r = right.select(col(key), col(rightTime).as("__t__"),
+        lit(0).as("__side__"), col(rightVal).as("__rv__"))
+      // right rows sort before coincident left rows (__side__ 0 < 1),
+      // so an exactly-equal timestamp matches — pandas merge_asof
+      // allow_exact_matches=true semantics.
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("__t__"), col("__side__"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.unionByName(r, allowMissingColumns = true)
+        .withColumn(s"${rightVal}_asof",
+          last(col("__rv__"), ignoreNulls = true).over(w))
+        .filter(col("__side__") === 1)
+        .select((lcols.map(col) :+ col(s"${rightVal}_asof")): _*)
+    }
+  }
+}

@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.PandasOps._
+import Q._
+
+/** Core relational surface: scans, filters, joins, aggregation,
+  * sorting, set ops (SURVEY §2.1-2.4, 2.6, 2.7). Every query pairs
+  * with a DuckDB oracle in `oracle`.
+  */
+object QueriesCore {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // §2.4 group-by aggregation (TPC-H Q1 flavor): full AggregateOp
+    // set over exact-representable outputs.
+    "q01_groupby_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).as("sum_charge_c"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("count_order"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // §2.2 filter + projection (predicate pushdown to parquet scan)
+    "q02_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+          cents(col("l_extendedprice") * col("l_discount"))
+            .as("disc_revenue_c"))),
+
+    // §2.3 multi-way inner join + agg (broadcast dims)
+    "q03_join_revenue_by_nation" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // §2.3 left join with null-producing side
+    "q04_join_left" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem").select("l_orderkey").distinct()
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+            .as("n_childless"))
+    }),
+
+    // §2.3 semi join (EXISTS)
+    "q05_join_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 150000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // §2.3 anti join (NOT EXISTS)
+    "q06_join_anti" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // §2.3 cross join
+    "q07_join_cross" -> ((s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_name", "n_name")),
+
+    // §2.6 top-k (TakeOrderedAndProject, no global sort)
+    "q08_topk" -> ((s, d) =>
+      t(s, d, "orders").nlargest(10, "o_totalprice", "o_orderkey")
+        .select("o_orderkey", "o_totalprice")),
+
+    // §2.6 multi-key sort + limit, nulls handling
+    "q09_sort_multi" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc,
+          col("o_orderkey").asc)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(50)),
+
+    // §2.7 set ops
+    "q10_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
+        .union(t(s, d, "supplier")
+          .select(col("s_nationkey").cast("long").as("nk")))
+        .distinct()),
+
+    "q11_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
+        .intersect(t(s, d, "supplier")
+          .select(col("s_nationkey").cast("long").as("nk")))),
+
+    "q12_except" -> ((s, d) =>
+      t(s, d, "nation").select(col("n_nationkey").cast("long").as("nk"))
+        .except(t(s, d, "supplier")
+          .select(col("s_nationkey").cast("long").as("nk")))),
+
+    "q13_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct()),
+
+    // §2.4 value_counts
+    "q14_value_counts" -> ((s, d) =>
+      t(s, d, "events").valueCounts("event_type")),
+
+    // §2.4 nunique
+    "q15_nunique" -> ((s, d) =>
+      t(s, d, "lineitem").nunique("l_orderkey", "l_partkey", "l_suppkey")),
+
+    // §2.4 pivot table (explicit pivot values → stable schema)
+    "q16_pivot" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))),
+
+    // §2.4 crosstab
+    "q17_crosstab" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))),
+
+    // §2.4 hierarchical groupby → rollup + grouping_id
+    "q18_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          grouping_id().cast("long").as("gid"))),
+
+    // §2.4 cube
+    "q19_cube" -> ((s, d) =>
+      t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))),
+
+    // §2.4 exact median / quartiles (percentile, not approx)
+    "q20_median" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("q1"),
+          percentile(col("l_quantity"), lit(0.5)).as("median"),
+          percentile(col("l_quantity"), lit(0.75)).as("q3"))),
+
+    // §2.4 mode with deterministic tiebreak
+    "q21_mode" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+    }),
+
+    // §2.4 cumulative aggregates (running window)
+    "q22_cumsum" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is not unique in the testdata;
+      // l_quantity in the ordering makes the running sum well-defined
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .withColumn("l_quantity_cumsum", sum("l_quantity").over(w))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+          col("l_quantity_cumsum"))
+    }),
+
+    // §2.4 JIT group aggs: weighted mean from exact sums
+    "q23_weighted_mean" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_suppkey")
+        .agg(sum(cents(col("l_extendedprice")) *
+            col("l_quantity").cast("long")).as("spq"),
+          sum(col("l_quantity").cast("long")).as("sq"))
+        .withColumn("weighted_price_c",
+          round(dbl(col("spq")) / dbl(col("sq")), 6))),
+
+    // §2.4 geometric/harmonic mean, range, coef-of-variation
+    "q24_geo_harmonic" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(exp(sum(log(col("l_quantity"))) / count(lit(1))), 6)
+            .as("geo_mean"),
+          round(dbl(count(lit(1))) / sum(lit(1.0) / col("l_quantity")), 6)
+            .as("harmonic_mean"),
+          (max("l_quantity") - min("l_quantity")).as("range")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(count(*) AS BIGINT) AS count_order,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) AS disc_revenue_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_join_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q04_join_left" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless
+        |FROM orders LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) li
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q05_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin,
+
+    "q06_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q07_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    "q08_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q09_sort_multi" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+        |LIMIT 50""".stripMargin,
+
+    "q10_union" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier""".stripMargin,
+
+    "q11_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier""".stripMargin,
+
+    "q12_except" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation
+        |EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier""".stripMargin,
+
+    "q13_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q14_value_counts" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS count FROM events
+        |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin,
+
+    "q15_nunique" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS l_orderkey_nunique,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS l_partkey_nunique,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS l_suppkey_nunique
+        |FROM lineitem""".stripMargin,
+
+    "q16_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q17_crosstab" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS "1-URGENT",
+        |  CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS "2-HIGH",
+        |  CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS "3-MEDIUM",
+        |  CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS "4-NOT SPECIFIED",
+        |  CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS "5-LOW"
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q19_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q20_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS q3
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q21_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |        FROM lineitem GROUP BY 1, 2)
+        |) WHERE rn = 1""".stripMargin,
+
+    "q22_cumsum" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l_quantity_cumsum
+        |FROM lineitem""".stripMargin,
+
+    "q23_weighted_mean" ->
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS spq,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 6) AS weighted_price_c
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q24_geo_harmonic" ->
+      """SELECT l_returnflag,
+        |  round(exp(sum(ln(l_quantity)) / count(*)), 6) AS geo_mean,
+        |  round(CAST(count(*) AS DOUBLE) / sum(1.0 / l_quantity), 6) AS harmonic_mean,
+        |  max(l_quantity) - min(l_quantity) AS range
+        |FROM lineitem GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.graphops.GraphOps
+import graft.timeseries.TimeSeriesOps
+import Q._
+
+/** Statistics (§2.12), time series (§2.11), graph (§2.14). Test
+  * statistics are computed from exact integer sufficient statistics
+  * with formulas mirrored verbatim in the oracle so doubles are
+  * bit-deterministic.
+  */
+object QueriesStats {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // §2.11 resample events to hourly buckets
+    "q39_resample" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sum_c"),
+          min(cents(col("value"))).as("min_c"),
+          max(cents(col("value"))).as("max_c"))),
+
+    // §2.11 sessionize: 30-min-gap sessions per user
+    "q40_sessionize" -> ((s, d) =>
+      TimeSeriesOps.sessionize(t(s, d, "events"), "ts", "user_id", 1800)
+        .groupBy("user_id")
+        .agg(max(col("session_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))),
+
+    // §2.3 as-of semantics: last signup value at-or-before each event
+    "q41_asof" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("last_signup_c",
+          last(when(col("event_type") === "signup", cents(col("value"))),
+            ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "last_signup_c")
+    }),
+
+    // §2.14 graph degree on the supplier→part bipartite graph
+    "q52_graph_degree" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct()
+      GraphOps.degrees(edges)
+        .filter(col("id").startsWith("s"))
+        .select(col("id"), col("out_degree"), col("degree"))
+    }),
+
+    // §2.14 connected components (iterative label propagation);
+    // oracle: components of the same-region nation graph are regions
+    "q53_components" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val a = n.select(col("n_nationkey").as("src"),
+        col("n_regionkey").as("r"))
+      val b = n.select(col("n_nationkey").as("dst"),
+        col("n_regionkey").as("r"))
+      val edges = a.join(b, Seq("r"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      GraphOps.connectedComponents(edges, maxIter = 10)
+        .select(col("id").cast("long"),
+          col("component").cast("long"))
+    }),
+
+    // §2.14 PageRank (no closed-form oracle — rows-only)
+    "q54_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct()
+      GraphOps.pageRank(edges, iterations = 5)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+    }),
+
+    // §2.10 tumbling window batch-equivalent (window() API path)
+    "q56_tumbling" -> ((s, d) =>
+      graft.streaming.StreamOps.tumblingBatch(
+        t(s, d, "events"), "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c")))
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n"), col("sum_c"))),
+
+    // §2.12 Welch t-test from exact cent sums
+    "q59_ttest" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("vc", cents(col("value")))
+      val g = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("s1"),
+          sum(col("vc") * col("vc")).as("s2"))
+        .select(col("event_type"), col("n"),
+          (dbl(col("s1")) / dbl(col("n"))).as("m"),
+          ((dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1")) / dbl(col("n")))
+            / (dbl(col("n")) - 1)).as("v"))
+      val a = g.filter(col("event_type") === "click")
+        .select(col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+      val b = g.filter(col("event_type") === "purchase")
+        .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+      a.crossJoin(b).select(
+        col("na"), col("nb"),
+        round(col("ma"), 6).as("mean_a_c"),
+        round(col("mb"), 6).as("mean_b_c"),
+        round((col("ma") - col("mb")) /
+          sqrt(col("va") / dbl(col("na")) + col("vb") / dbl(col("nb"))), 6)
+          .as("t_stat"))
+    }),
+
+    // §2.12 chi-square independence from exact counts
+    "q60_chi2" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("ub", pmod(col("user_id"), lit(5)).cast("long"))
+      val obs = e.groupBy("event_type", "ub").agg(count(lit(1)).as("o"))
+      val ra = e.groupBy("event_type").agg(count(lit(1)).as("ra"))
+      val rb = e.groupBy("ub").agg(count(lit(1)).as("rb"))
+      val n = e.groupBy().agg(count(lit(1)).as("nn"))
+      obs.join(ra, Seq("event_type")).join(rb, Seq("ub")).crossJoin(n)
+        .select((dbl(col("o")) - dbl(col("ra")) * dbl(col("rb")) / dbl(col("nn")))
+          .as("dev"),
+          (dbl(col("ra")) * dbl(col("rb")) / dbl(col("nn"))).as("e"))
+        .agg(round(sum(col("dev") * col("dev") / col("e")), 6).as("chi2"),
+          count(lit(1)).as("n_cells"))
+    }),
+
+    // §2.12 OLS regression from exact sums (dollars to avoid overflow)
+    "q61_linreg" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y"))
+      li.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(
+          round((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+            (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))), 6)
+            .as("slope"),
+          round((dbl(col("sy")) - (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+            (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) * dbl(col("sx"))) /
+            dbl(col("n")), 6).as("intercept"),
+          round(
+            ((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) *
+             (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))) /
+            ((dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+             (dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))), 6)
+            .as("r2"))
+    }),
+
+    // §2.12 skewness/kurtosis from exact raw moments
+    "q62_skew_kurt" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .select(col("l_returnflag"),
+          round({
+            val n = dbl(col("n")); val m1 = dbl(col("s1")) / n
+            val m2 = dbl(col("s2")) / n; val m3 = dbl(col("s3")) / n
+            val v = m2 - m1 * m1
+            (m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1) / pow(v, 1.5)
+          }, 6).as("skew"),
+          round({
+            val n = dbl(col("n")); val m1 = dbl(col("s1")) / n
+            val m2 = dbl(col("s2")) / n; val m3 = dbl(col("s3")) / n
+            val m4 = dbl(col("s4")) / n
+            val v = m2 - m1 * m1
+            (m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 -
+              lit(3) * m1 * m1 * m1 * m1) / (v * v) - lit(3)
+          }, 6).as("kurt_excess"))
+    }),
+
+    // §2.12 Mann-Whitney U via average ranks
+    "q63_mannwhitney" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("vc", cents(col("value")))
+      val w = Window.orderBy(col("vc"))
+      val ranked = e.withColumn("r",
+        rank().over(w).cast("double") +
+          (count(lit(1)).over(w.rangeBetween(0, 0)).cast("double") -
+            lit(1.0)) / lit(2.0))
+      ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("rank_sum"))
+        .withColumn("u", col("rank_sum") -
+          dbl(col("n")) * (dbl(col("n")) + 1) / 2)
+    }),
+
+    // §2.12 describe from exact sums + exact percentiles
+    "q66_describe" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"))
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          percentile(col("x"), lit(0.5)).as("median"))
+        .select(col("n"), col("min_x"), col("max_x"), col("median"),
+          round(dbl(col("s1")) / dbl(col("n")), 6).as("mean"),
+          round(sqrt((dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1")) / dbl(col("n")))
+            / (dbl(col("n")) - 1)), 6).as("std")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q39_resample" ->
+      """SELECT date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  min(CAST(round(value * 100) AS BIGINT)) AS min_c,
+        |  max(CAST(round(value * 100) AS BIGINT)) AS max_c
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q40_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |      THEN 1 ELSE 0 END AS start
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, sum(start) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY 1""".stripMargin,
+
+    "q41_asof" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'signup'
+        |      THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_signup_c
+        |FROM events""".stripMargin,
+
+    "q52_graph_degree" ->
+      """SELECT 's' || l_suppkey AS id,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS out_degree,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS degree
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q53_components" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT)
+        |    AS component
+        |FROM nation""".stripMargin,
+
+    "q56_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q59_ttest" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(vc) AS DOUBLE) / count(*) AS m,
+        |    (CAST(sum(vc * vc) AS DOUBLE)
+        |      - CAST(sum(vc) AS DOUBLE) * CAST(sum(vc) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      / (CAST(count(*) AS DOUBLE) - 1) AS v
+        |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |    FROM events WHERE event_type IN ('click', 'purchase'))
+        |  GROUP BY 1)
+        |SELECT a.n AS na, b.n AS nb,
+        |  round(a.m, 6) AS mean_a_c, round(b.m, 6) AS mean_b_c,
+        |  round((a.m - b.m) / sqrt(a.v / CAST(a.n AS DOUBLE)
+        |    + b.v / CAST(b.n AS DOUBLE)), 6) AS t_stat
+        |FROM (SELECT * FROM g WHERE event_type = 'click') a,
+        |     (SELECT * FROM g WHERE event_type = 'purchase') b""".stripMargin,
+
+    "q60_chi2" ->
+      """WITH e AS (SELECT event_type, user_id % 5 AS ub FROM events),
+        |obs AS (SELECT event_type, ub, count(*) AS o FROM e GROUP BY 1, 2),
+        |ra AS (SELECT event_type, count(*) AS ra FROM e GROUP BY 1),
+        |rb AS (SELECT ub, count(*) AS rb FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM e)
+        |SELECT round(sum(dev * dev / ex), 6) AS chi2,
+        |  CAST(count(*) AS BIGINT) AS n_cells
+        |FROM (
+        |  SELECT (CAST(o AS DOUBLE) - CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE)
+        |      / CAST(nn AS DOUBLE)) AS dev,
+        |    (CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) / CAST(nn AS DOUBLE)) AS ex
+        |  FROM obs JOIN ra USING (event_type) JOIN rb USING (ub), n)""".stripMargin,
+
+    "q61_linreg" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |      CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem))
+        |SELECT
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
+
+    "q62_skew_kurt" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x * x) AS DOUBLE) AS s2,
+        |    CAST(sum(x * x * x) AS DOUBLE) AS s3,
+        |    CAST(sum(x * x * x * x) AS DOUBLE) AS s4
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+        |    FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew,
+        |  round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6)
+        |    AS kurt_excess
+        |FROM s""".stripMargin,
+
+    "q63_mannwhitney" ->
+      """WITH ranked AS (
+        |  SELECT event_type,
+        |    CAST(rank() OVER (ORDER BY vc) AS DOUBLE) +
+        |      (CAST(count(*) OVER (PARTITION BY vc) AS DOUBLE) - 1.0) / 2.0 AS r
+        |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |    FROM events WHERE event_type IN ('click', 'view')))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  sum(r) AS rank_sum,
+        |  sum(r) - CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) + 1) / 2 AS u
+        |FROM ranked GROUP BY 1""".stripMargin,
+
+    "q66_describe" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2,
+        |    min(x) AS min_x, max(x) AS max_x,
+        |    quantile_cont(x, 0.5) AS median
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem))
+        |SELECT n, min_x, max_x, median,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS std
+        |FROM s""".stripMargin
+  )
+}

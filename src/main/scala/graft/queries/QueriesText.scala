@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.llm.{Dedup, Multimodal, Similarity}
+import Q._
+
+/** LLM-pipeline extras (BASELINE.json north star): text analysis,
+  * dedup, similarity search, multimodal plumbing. Oracles where the
+  * computation is portable SQL; hash-only/iterative ops are declared
+  * without oracle (driver records rows-only check).
+  */
+object QueriesText {
+
+  private val langs: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "y", "de", "un", "una", "es", "los"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "une", "est", "les"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就"))
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // §2.2 explode + §2.8 string fns: word frequencies
+    "q34_explode_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20)),
+
+    // §2.8 string accessor parity sample
+    "q35_string_ops" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("upper_name"),
+        lower(col("p_brand")).as("lower_brand"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        (instr(col("p_type"), "BRASS") > 0).as("has_brass"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+        (col("p_name").startsWith("a")).as("starts_a"),
+        (col("p_type").endsWith("STEEL")).as("ends_steel"))),
+
+    // §2.8 datetime accessor parity sample
+    "q36_datetime_ops" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("eom"))),
+
+    // §2.8 conditional logic: case/when, isin, between
+    "q37_case_isin" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("size_band"),
+        col("o_orderstatus").isin("O", "F").as("open_or_done"),
+        col("o_orderdate")
+          .between(lit("1995-01-01"), lit("1996-12-31")).as("mid90s"))),
+
+    // §2.7 concat rows of heterogeneous tables
+    "q38_concat_rows" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          lit("customer").as("side"))
+        .unionByName(t(s, d, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+            lit("supplier").as("side")))),
+
+    // exact dedup groups by content hash
+    "q42_dedup_exact" -> ((s, d) =>
+      Dedup.exactDupGroups(t(s, d, "documents"), "text", "doc_id")
+        .select("text_md5", "n_dups", "keep_id")),
+
+    // fingerprint dedup: sorted-word-set md5 groups
+    "q43_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") > 1)),
+
+    // MinHash + LSH candidate pairs (hash-based — rows-only check)
+    "q44_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
+        numHashes = 12, bands = 4, shingleSize = 3)),
+
+    // word-set Jaccard similarity pairs within source blocks
+    "q45_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        "source", n = 1, threshold = 0.9)),
+
+    // SimHash near-dup candidates (hash-based — rows-only check)
+    "q46_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id")
+        .filter(col("hamming") <= 8)),
+
+    // embedding cosine top-k (brute force baseline)
+    "q47_embed_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, 10)
+    }),
+
+    // embedding LSH-bucketed ANN (hash-based — rows-only check)
+    "q48_embed_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, 10, planes = 4)
+    }),
+
+    // language-ID by stopword scoring vs labeled lang
+    "q49_langid" -> ((s, d) => {
+      val ws = TextFunctions.wordSet(col("text"))
+      val sc = langs.map { case (l, sw) =>
+        l -> size(array_intersect(ws, array(sw.map(lit): _*)))
+      }.toMap
+      // argmax with ties resolved to the first lang in (de,en,es,fr,zh)
+      // — the CASE chain mirrors the oracle SQL exactly
+      val pred =
+        when(sc("de") >= sc("en") && sc("de") >= sc("es") &&
+          sc("de") >= sc("fr") && sc("de") >= sc("zh"), "de")
+        .when(sc("en") > sc("de") && sc("en") >= sc("es") &&
+          sc("en") >= sc("fr") && sc("en") >= sc("zh"), "en")
+        .when(sc("es") > sc("de") && sc("es") > sc("en") &&
+          sc("es") >= sc("fr") && sc("es") >= sc("zh"), "es")
+        .when(sc("fr") > sc("de") && sc("fr") > sc("en") &&
+          sc("fr") > sc("es") && sc("fr") >= sc("zh"), "fr")
+        .when(sc("zh") > sc("de") && sc("zh") > sc("en") &&
+          sc("zh") > sc("es") && sc("zh") > sc("fr"), "zh")
+        .otherwise("und")
+      t(s, d, "documents")
+        .withColumn("pred", pred)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_match"))
+    }),
+
+    // quality score heuristics
+    "q50_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    // token statistics per language
+    "q51_token_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_tok", TextFunctions.tokenCount(col("text"))
+          .cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          round(dbl(sum(col("n_tok"))) / dbl(count(lit(1))), 6)
+            .as("avg_tokens"))),
+
+    // multimodal plumbing (stubbed codecs — rows-only check)
+    "q55_multimodal" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(
+        t(s, d, "documents"), "doc_id", "text")
+      media.withColumn("img", Multimodal.decodeImageStub(col("bytes")))
+        .withColumn("resized", Multimodal.resizePlan(col("img"), 512))
+        .select(col("media_id"), col("kind"),
+          col("img.width").as("width"), col("img.height").as("height"),
+          col("img.format").as("format"),
+          col("resized.width").as("rw"), col("resized.height").as("rh"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q34_explode_tokens" ->
+      """SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |WHERE length(w) > 0
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    "q35_string_ops" ->
+      """SELECT p_partkey, upper(p_name) AS upper_name,
+        |  lower(p_brand) AS lower_brand,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substring(p_name, 1, 5) AS prefix5,
+        |  strpos(p_type, 'BRASS') > 0 AS has_brass,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  replace(p_name, ' ', '_') AS snake_name,
+        |  p_name LIKE 'a%' AS starts_a,
+        |  p_type LIKE '%STEEL' AS ends_steel
+        |FROM part""".stripMargin,
+
+    "q36_datetime_ops" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders""".stripMargin,
+
+    "q37_case_isin" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'small'
+        |       WHEN o_totalprice < 150000 THEN 'medium'
+        |       ELSE 'large' END AS size_band,
+        |  o_orderstatus IN ('O', 'F') AS open_or_done,
+        |  o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+        |    AND TIMESTAMP '1996-12-31' AS mid90s
+        |FROM orders""".stripMargin,
+
+    "q38_concat_rows" ->
+      """SELECT c_custkey AS id, c_name AS name, 'customer' AS side
+        |FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, 'supplier' FROM supplier""".stripMargin,
+
+    "q42_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_dups,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q43_fingerprint" ->
+      """SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+        |FROM (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(lower(text), ' '),
+        |        x -> length(x) > 0))), ' ')) AS fp
+        |  FROM documents)
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q45_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT source AS blk, doc_id AS id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split(lower(text), ' '), x -> length(x) > 0))) AS g
+        |  FROM documents),
+        |sizes AS (SELECT blk, id, count(*) AS sz FROM toks GROUP BY 1, 2),
+        |inter AS (
+        |  SELECT x.blk, x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y
+        |    ON x.blk = y.blk AND x.g = y.g AND x.id < y.id
+        |  GROUP BY 1, 2, 3)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON inter.blk = sa.blk AND inter.id_a = sa.id
+        |JOIN sizes sb ON inter.blk = sb.blk AND inter.id_b = sb.id
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.9""".stripMargin,
+
+    "q47_embed_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                             CAST(embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, cosine FROM scored
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q49_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    length(list_intersect(ws, ['der','die','das','und','ein','eine','ist','zu'])) AS s_de,
+        |    length(list_intersect(ws, ['the','and','of','to','a','in','is','it'])) AS s_en,
+        |    length(list_intersect(ws, ['el','la','y','de','un','una','es','los'])) AS s_es,
+        |    length(list_intersect(ws, ['le','la','et','de','un','une','est','les'])) AS s_fr,
+        |    length(list_intersect(ws, ['的','是','了','在','我','有','和','就'])) AS s_zh
+        |  FROM (SELECT lang, list_sort(list_distinct(list_filter(
+        |      string_split(lower(text), ' '), x -> length(x) > 0))) AS ws
+        |    FROM documents)),
+        |pred AS (
+        |  SELECT lang, CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_en > s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es > s_de AND s_es > s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr > s_de AND s_fr > s_en AND s_fr > s_es AND s_fr >= s_zh THEN 'fr'
+        |    WHEN s_zh > s_de AND s_zh > s_en AND s_zh > s_es AND s_zh > s_fr THEN 'zh'
+        |    ELSE 'und' END AS pred
+        |  FROM scored)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |FROM pred GROUP BY 1""".stripMargin,
+
+    "q50_quality" ->
+      """SELECT doc_id, round((
+        |  least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+        |  (CASE WHEN (CASE WHEN n_tok > 0
+        |      THEN CAST(length(text) AS DOUBLE) / n_tok ELSE 0.0 END)
+        |      BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) +
+        |  (CASE WHEN length(text) > 0
+        |    THEN CAST(length(regexp_replace(text, '[^A-Za-z\s]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE 0.0 END)
+        |) / 3.0, 6) AS quality
+        |FROM (SELECT doc_id, text,
+        |    CAST(length(list_filter(string_split(trim(text), ' '),
+        |      x -> length(x) > 0)) AS DOUBLE) AS n_tok
+        |  FROM documents)""".stripMargin,
+
+    "q51_token_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_tokens
+        |FROM (SELECT lang, n_chars,
+        |    CAST(length(list_filter(string_split(trim(text), ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin
+  )
+}

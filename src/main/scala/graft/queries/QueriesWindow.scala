@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.PandasOps._
+import graft.window.RollingOps
+import Q._
+
+/** Window functions (SQL family §2.5b + pandas moving windows §2.5a)
+  * and missing-data / reshape surface (§2.9).
+  */
+object QueriesWindow {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // §2.5b ranking family
+    "q25_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc)
+      val wRn = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("rn", row_number().over(wRn).cast("long"))
+        .withColumn("prnk", round(percent_rank().over(w), 6))
+        .filter(col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice",
+          "rnk", "drnk", "rn", "prnk")
+    }),
+
+    // §2.5b lag/lead + diff/pct_change (§2.9)
+    "q26_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("diff", col("o_totalprice") - col("prev_price"))
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+          "prev_price", "next_price", "diff")
+    }),
+
+    // §2.5a rolling(7) mean via exact scaled ints
+    "q27_window_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-6, 0)
+      t(s, d, "events")
+        .withColumn("roll_sum_c", sum(cents(col("value"))).over(w))
+        .withColumn("roll_n", count(lit(1)).over(w).cast("long"))
+        .withColumn("roll_avg_c",
+          round(dbl(col("roll_sum_c")) / dbl(col("roll_n")), 6))
+        .select("event_id", "user_id", "roll_sum_c", "roll_n",
+          "roll_avg_c")
+    }),
+
+    // §2.5a time-based rolling: trailing 1h range frame
+    "q28_window_range_time" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+      t(s, d, "events")
+        .withColumn("trail_1h_sum_c", sum(cents(col("value"))).over(w))
+        .withColumn("trail_1h_n", count(lit(1)).over(w).cast("long"))
+        .select("event_id", "user_id", "trail_1h_sum_c", "trail_1h_n")
+    }),
+
+    // §2.5b first/last/nth value over full frame
+    "q29_first_last_nth" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("highest", first(col("o_totalprice")).over(full))
+        .withColumn("lowest", last(col("o_totalprice")).over(full))
+        .withColumn("second", nth_value(col("o_totalprice"), 2).over(full))
+        .filter(col("rn") === 1)
+        .select("o_orderpriority", "highest", "lowest", "second")
+    }),
+
+    // §2.9 qcut via ntile over deterministic total order
+    "q30_ntile_qcut" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("bucket", ntile(4).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(cents(col("o_totalprice"))).as("min_c"),
+          max(cents(col("o_totalprice"))).as("max_c"))
+    }),
+
+    // §2.9 ffill: forward-fill nullified values
+    "q31_ffill" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("v", when(col("value") >= 50, cents(col("value"))))
+        .ffill(Seq("v"), "event_id", Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("v").as("filled_c"))),
+
+    // §2.9 drop_duplicates keep=first (by event_id)
+    "q33_dropdup" -> ((s, d) =>
+      t(s, d, "events")
+        .dropDuplicatesKeep(Seq("user_id", "event_type"), "event_id")
+        .select("user_id", "event_type", "event_id")),
+
+    // §2.9 melt / wide-to-long over per-group sums
+    "q32_melt" -> ((s, d) => {
+      val wide = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("qty"),
+          dbl(sum(cents(col("l_extendedprice")))).as("base_c"))
+      wide.melt(Seq("l_returnflag"), Seq("qty", "base_c"))
+    }),
+
+    // §2.5a rolling with min_periods semantics (null until 5 rows)
+    "q58_rolling_minperiods" -> ((s, d) =>
+      RollingOps.rolling(
+        t(s, d, "lineitem"), "l_quantity", 5,
+        c => sum(c), Seq("l_linenumber", "l_quantity"), Seq("l_orderkey"),
+        minPeriods = 5, outName = "roll5_sum")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+          col("roll5_sum"))),
+
+    // §2.9 cut: fixed-width histogram
+    "q64_cut" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bin",
+          least(floor(col("o_totalprice") / 50000), lit(5)).cast("long"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))),
+
+    // §2.5a expanding mean (exact ints)
+    "q65_expanding" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .withColumn("exp_sum", sum("l_quantity").over(w))
+        .withColumn("exp_n", count(lit(1)).over(w).cast("long"))
+        .withColumn("exp_mean",
+          round(dbl(col("exp_sum")) / dbl(col("exp_n")), 6))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+          col("exp_sum"), col("exp_n"), col("exp_mean"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q25_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  rnk, drnk, rn, prnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS BIGINT) AS drnk,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+        |    round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC), 6) AS prnk
+        |  FROM orders) WHERE rn <= 5""".stripMargin,
+
+    "q26_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  o_totalprice - lag(o_totalprice, 1) OVER w AS diff
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q27_window_rolling" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS roll_sum_c,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |    / CAST(count(*) OVER w AS DOUBLE), 6) AS roll_avg_c
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q28_window_range_time" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS trail_1h_sum_c,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_1h_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q29_first_last_nth" ->
+      """SELECT o_orderpriority, highest, lowest, second FROM (
+        |  SELECT o_orderpriority,
+        |    row_number() OVER w AS rn,
+        |    first_value(o_totalprice) OVER wf AS highest,
+        |    last_value(o_totalprice) OVER wf AS lowest,
+        |    nth_value(o_totalprice, 2) OVER wf AS second
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey),
+        |    wf AS (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |) WHERE rn = 1""".stripMargin,
+
+    "q30_ntile_qcut" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_c,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_c
+        |FROM (SELECT o_totalprice,
+        |    CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |  FROM orders)
+        |GROUP BY 1""".stripMargin,
+
+    "q31_ffill" ->
+      """SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_c
+        |FROM (SELECT event_id, user_id,
+        |    CASE WHEN value >= 50 THEN CAST(round(value * 100) AS BIGINT) END AS v
+        |  FROM events)""".stripMargin,
+
+    "q33_dropdup" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q32_melt" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag, sum(l_quantity) AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS base_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty' AS variable, qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'base_c' AS variable, base_c AS value FROM wide""".stripMargin,
+
+    "q58_rolling_minperiods" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CASE WHEN count(l_quantity) OVER w >= 5
+        |    THEN sum(l_quantity) OVER w END AS roll5_sum
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_quantity
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q64_cut" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000), 5) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q65_expanding" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  sum(l_quantity) OVER w AS exp_sum,
+        |  CAST(count(*) OVER w AS BIGINT) AS exp_n,
+        |  round(CAST(sum(l_quantity) OVER w AS DOUBLE)
+        |    / CAST(count(*) OVER w AS DOUBLE), 6) AS exp_mean
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_quantity
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+  )
+}

@@ -1,0 +1,123 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistics layer (reference src/stats/mod.rs:157-533,
+  * src/optimized/split_dataframe/stats.rs): descriptive stats and
+  * test statistics computed as Spark aggregations; only the final
+  * closed-form arithmetic happens on the (tiny) aggregate row.
+  * Nothing here collects row-level data.
+  */
+object StatsOps {
+
+  /** describe (stats.rs:50): count/mean/std/min/q1/median/q3/max per
+    * numeric column, one aggregate pass + exact percentiles. */
+  def describeNum(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      count(col(c)).as("count"),
+      avg(col(c)).as("mean"),
+      stddev_samp(col(c)).as("std"),
+      min(col(c)).as("min"),
+      percentile(col(c), lit(0.25)).as("q1"),
+      percentile(col(c), lit(0.5)).as("median"),
+      percentile(col(c), lit(0.75)).as("q3"),
+      max(col(c)).as("max"))
+
+  /** Pearson correlation + sample covariance (stats/mod.rs corr/cov)
+    * — built-ins. */
+  def corrCov(df: DataFrame, a: String, b: String): DataFrame =
+    df.agg(corr(col(a), col(b)).as("corr"),
+      covar_samp(col(a), col(b)).as("cov"))
+
+  /** Welch two-sample t-test (stats/mod.rs ttest): group stats in one
+    * aggregate, t statistic + Welch df by closed form. */
+  def ttestWelch(df: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.filter(col(groupCol).isin(gA, gB))
+      .groupBy(groupCol)
+      .agg(count(v).as("n"), avg(v).as("m"), var_samp(v).as("s2"))
+    val a = stats.filter(col(groupCol) === gA).as("a")
+    val b = stats.filter(col(groupCol) === gB).as("b")
+    a.crossJoin(b).select(
+      col("a.m").as("mean_a"), col("b.m").as("mean_b"),
+      ((col("a.m") - col("b.m")) /
+        sqrt(col("a.s2") / col("a.n") + col("b.s2") / col("b.n")))
+        .as("t_stat"),
+      (pow(col("a.s2") / col("a.n") + col("b.s2") / col("b.n"), 2) /
+        (pow(col("a.s2") / col("a.n"), 2) / (col("a.n") - 1) +
+         pow(col("b.s2") / col("b.n"), 2) / (col("b.n") - 1)))
+        .as("welch_df"))
+  }
+
+  /** Chi-square independence test (stats/mod.rs chi_square_independence):
+    * observed counts via pivot-free group, expected from margins,
+    * χ² = Σ (O−E)²/E. All shuffles on the two categorical keys. */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
+    val ma = df.groupBy(col(a)).agg(count(lit(1)).as("ra"))
+    val mb = df.groupBy(col(b)).agg(count(lit(1)).as("rb"))
+    val n = df.count()
+    obs.join(broadcast(ma), Seq(a)).join(broadcast(mb), Seq(b))
+      .withColumn("e", col("ra") * col("rb") / lit(n.toDouble))
+      .agg(sum(pow(col("o") - col("e"), 2) / col("e")).as("chi2"),
+        ((countDistinct(a) - 1) * (countDistinct(b) - 1)).as("dof"))
+  }
+
+  /** OLS simple linear regression (stats/regression): slope/intercept
+    * /r² from the five sufficient sums — one aggregate pass. */
+  def linearRegression(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    df.agg(count(lit(1)).cast("double").as("n"), sum(x).as("sx"),
+        sum(y).as("sy"), sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+         (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+        col("sxy"))
+      .select(col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n"))
+          .as("intercept"),
+        (pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+         ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
+  /** Mann-Whitney U (stats/nonparametric.rs): rank-sum via a window
+    * rank over the pooled sample (average ranks for ties), then U
+    * statistics per group. */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pooled = df.filter(col(groupCol).isin(gA, gB))
+    val w = Window.orderBy(col(valueCol))
+    // average rank for ties: rank + (ties-1)/2
+    val ranked = pooled.withColumn("__r__",
+      rank().over(w) +
+        (count(lit(1)).over(w.rangeBetween(0, 0)) - lit(1)) / lit(2.0))
+    ranked.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(col("__r__")).as("rank_sum"))
+      .withColumn("u", col("rank_sum") - col("n") * (col("n") + 1) / 2)
+  }
+
+  /** Skewness / kurtosis (pandas-compat trait_def.rs:98-109) —
+    * built-in aggregate expressions. */
+  def skewKurt(df: DataFrame, c: String): DataFrame =
+    df.agg(skewness(col(c)).as("skew"), kurtosis(col(c)).as("kurt"))
+
+  /** Outlier detection by z-score or IQR (stats/mod.rs:721):
+    * flags rows; thresholds computed as scalar subquery-style
+    * broadcast aggregates. */
+  def outliersIqr(df: DataFrame, c: String, k: Double = 1.5): DataFrame = {
+    val q = df.agg(percentile(col(c), lit(0.25)).as("q1"),
+      percentile(col(c), lit(0.75)).as("q3"))
+    df.crossJoin(broadcast(q))
+      .withColumn("is_outlier",
+        col(c) < col("q1") - (col("q3") - col("q1")) * k ||
+        col(c) > col("q3") + (col("q3") - col("q1")) * k)
+      .drop("q1", "q3")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series layer (reference src/time_series/core.rs,
+  * src/temporal/): date ranges, resampling, sessionization, seasonal
+  * decomposition — all as distributed DataFrame transforms. The
+  * pandas DateTimeIndex becomes an explicit timestamp column
+  * (SURVEY §1.1); frequencies map to date_trunc/window buckets.
+  */
+object TimeSeriesOps {
+
+  /** date_range (reference src/time_series/core.rs:140,
+    * src/temporal/date_range/) as sequence + explode — generated
+    * distributed, not on the driver. */
+  def dateRange(spark: SparkSession, start: String, end: String,
+      intervalExpr: String): DataFrame =
+    spark.range(1).select(explode(sequence(
+      to_timestamp(lit(start)), to_timestamp(lit(end)),
+      expr(s"INTERVAL $intervalExpr"))).as("ts"))
+
+  /** resample/downsample (core.rs:387-513, temporal/resample/mod.rs:21):
+    * truncate to the frequency bucket and aggregate. One shuffle on
+    * the bucket — at 100 TB this is the canonical pre-aggregation. */
+  def resample(df: DataFrame, tsCol: String, freq: String,
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy(date_trunc(freq, col(tsCol)).as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("bucket")
+
+  /** upsample to a regular grid with forward-fill: join the series
+    * onto a generated calendar, then ffill. */
+  def upsample(df: DataFrame, tsCol: String, valueCol: String,
+      calendar: DataFrame): DataFrame = {
+    val joined = calendar.join(
+      df.select(col(tsCol).as("ts"), col(valueCol)), Seq("ts"), "left")
+    val w = Window.orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.withColumn(valueCol,
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** sessionize: new session when the gap to the previous event of
+    * the same key exceeds `gapSeconds`; session id = running count of
+    * session starts. Single shuffle on the key. */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String,
+      gapSeconds: Long): DataFrame = {
+    val wo = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val gap = col(tsCol).cast("double") -
+      lag(col(tsCol), 1).over(wo).cast("double")
+    val isStart = when(gap.isNull || gap > gapSeconds, 1).otherwise(0)
+    df.withColumn("__start__", isStart)
+      .withColumn("session_id", sum(col("__start__"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__start__")
+  }
+
+  /** Classical seasonal decomposition, additive
+    * (reference src/time_series/decomposition.rs:62-552):
+    * trend = centered moving average over one period;
+    * seasonal = per-phase mean of detrended values;
+    * resid = value − trend − seasonal. Two window passes + one
+    * broadcastable per-phase aggregate. */
+  def decomposeAdditive(df: DataFrame, tsCol: String, valueCol: String,
+      period: Int): DataFrame = {
+    val wAll = Window.orderBy(col(tsCol))
+    val half = period / 2
+    val wMa = wAll.rowsBetween(-half, half)
+    val trended = df
+      .withColumn("__rn__", row_number().over(wAll))
+      .withColumn("trend",
+        when(count(col(valueCol)).over(wMa) === (2 * half + 1),
+          avg(col(valueCol)).over(wMa)))
+      .withColumn("__phase__", pmod(col("__rn__") - 1, lit(period)))
+    val seasonal = trended
+      .filter(col("trend").isNotNull)
+      .groupBy("__phase__")
+      .agg(avg(col(valueCol) - col("trend")).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("__phase__"), "left")
+      .withColumn("resid", col(valueCol) - col("trend") - col("seasonal"))
+      .drop("__rn__", "__phase__")
+      .orderBy(col(tsCol))
+  }
+
+  /** Simple-moving-average forecast (forecasting.rs:73): driver-side
+    * finalization over an ALREADY AGGREGATED (small) series — the
+    * only deliberate collect in the library (SURVEY §7.4.7). */
+  def smaForecast(series: DataFrame, valueCol: String, window: Int,
+      steps: Int): Seq[Double] = {
+    val tail = series.orderBy(col("__rn__").desc).limit(window)
+      .collect().map(_.getAs[Double](valueCol))
+    if (tail.isEmpty) Seq.empty
+    else {
+      val buf = scala.collection.mutable.ArrayBuffer(tail.reverse: _*)
+      (0 until steps).map { _ =>
+        val f = buf.takeRight(window).sum / math.min(window, buf.size)
+        buf += f; f
+      }
+    }
+  }
+
+  /** Double (Holt) exponential smoothing forecast
+    * (forecasting.rs:422-469) — driver-side on an aggregated series. */
+  def holtForecast(values: Seq[Double], alpha: Double, beta: Double,
+      steps: Int): Seq[Double] = {
+    if (values.size < 2) return Seq.fill(steps)(values.headOption.getOrElse(0.0))
+    var level = values.head
+    var trend = values(1) - values.head
+    values.tail.foreach { x =>
+      val prevLevel = level
+      level = alpha * x + (1 - alpha) * (level + trend)
+      trend = beta * (level - prevLevel) + (1 - beta) * trend
+    }
+    (1 to steps).map(h => level + h * trend)
+  }
+}

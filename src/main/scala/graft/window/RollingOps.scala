@@ -1,0 +1,119 @@
+package graft.window
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** pandas-style moving windows (reference src/series/window.rs:111-756,
+  * src/dataframe/groupby_window.rs:32-164) as Spark window specs.
+  * All variants run in one window pass per aggregate — a single
+  * shuffle on the partition keys, then sorted streaming within each
+  * partition; scales linearly with data.
+  */
+object RollingOps {
+
+  /** Frame for rolling(n): `center=false` → [-(n-1), 0];
+    * `center=true` → pandas puts the extra element on the right for
+    * even n: [-(n-1)/2 floor from left?] — pandas centers with
+    * lo = -((n-1)/2), hi = n/2 (integer division). */
+  private def frame(w: WindowSpec, n: Int, center: Boolean): WindowSpec =
+    if (center) w.rowsBetween(-((n - 1) / 2), n / 2)
+    else w.rowsBetween(-(n - 1), 0)
+
+  private def base(orderCols: Seq[String],
+      partitionCols: Seq[String]): WindowSpec =
+    Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+
+  /** rolling(n).agg with min_periods (src/series/window.rs:111-140):
+    * result is null until the window holds >= minPeriods non-null
+    * values. Pass enough orderCols to make the order deterministic —
+    * running aggregates over an ambiguous order are undefined in any
+    * engine. */
+  def rolling(df: DataFrame, valueCol: String, n: Int,
+      agg: Column => Column, orderCols: Seq[String],
+      partitionCols: Seq[String] = Nil, minPeriods: Int = -1,
+      center: Boolean = false,
+      outName: String = "rolling"): DataFrame = {
+    val mp = if (minPeriods < 0) n else minPeriods
+    val w = frame(base(orderCols, partitionCols), n, center)
+    val cnt = count(col(valueCol)).over(w)
+    df.withColumn(outName,
+      when(cnt >= mp, agg(col(valueCol)).over(w)))
+  }
+
+  /** expanding(minPeriods) (src/series/window.rs:359). */
+  def expanding(df: DataFrame, valueCol: String, agg: Column => Column,
+      orderCols: Seq[String], partitionCols: Seq[String] = Nil,
+      minPeriods: Int = 1, outName: String = "expanding"): DataFrame = {
+    val w = base(orderCols, partitionCols)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cnt = count(col(valueCol)).over(w)
+    df.withColumn(outName, when(cnt >= minPeriods,
+      agg(col(valueCol)).over(w)))
+  }
+
+  /** time-based rolling (src/dataframe/groupby_window.rs:100-164):
+    * a range frame of `seconds` over the event-time ordering. */
+  def rollingTime(df: DataFrame, valueCol: String, tsCol: String,
+      seconds: Long, agg: Column => Column,
+      partitionCols: Seq[String] = Nil,
+      outName: String = "rolling"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-seconds, 0)
+    df.withColumn(outName, agg(col(valueCol)).over(w))
+  }
+
+  /** Exponentially-weighted moving mean with exact pandas semantics
+    * (reference src/series/window.rs:555-715): the one moving window
+    * Spark lacks as a primitive. Computed per partition-key with a
+    * sorted collect_list + higher-order aggregate fold — the
+    * recurrence is inherently sequential in event order, so the
+    * parallel unit is the group (fine at scale: groups are bounded
+    * series, the fold is codegen'd, no driver involvement).
+    *
+    * adjust=true:  y_t = Σ w_i x_i / Σ w_i, w_i = (1-α)^(t-i)
+    * adjust=false: y_t = (1-α) y_{t-1} + α x_t  (y_0 = x_0)
+    */
+  def ewmMean(df: DataFrame, valueCol: String, orderCol: String,
+      partitionCols: Seq[String], alpha: Double,
+      adjust: Boolean = true, outName: String = "ewm"): DataFrame = {
+    val grouped = df.groupBy(partitionCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__pts__"))
+    // fold over the ordered points, emitting the running EWM per point
+    val fold =
+      if (adjust)
+        // acc = (num, den); num_t = (1-a)*num + x, den_t = (1-a)*den + 1
+        expr(
+          s"""transform(
+             |  aggregate(__pts__,
+             |    struct(cast(array() as array<struct<o: ${df.schema(orderCol).dataType.sql}, e: double>>) as outp,
+             |           cast(0.0 as double) as num, cast(0.0 as double) as den),
+             |    (acc, p) -> struct(
+             |      acc.outp || array(struct(p.o as o,
+             |        ((1.0d - $alpha) * acc.num + p.v) /
+             |        ((1.0d - $alpha) * acc.den + 1.0d) as e)),
+             |      (1.0d - $alpha) * acc.num + p.v,
+             |      (1.0d - $alpha) * acc.den + 1.0d)).outp,
+             |  x -> x)""".stripMargin)
+      else
+        expr(
+          s"""transform(
+             |  aggregate(__pts__,
+             |    struct(cast(array() as array<struct<o: ${df.schema(orderCol).dataType.sql}, e: double>>) as outp,
+             |           cast(null as double) as prev),
+             |    (acc, p) -> struct(
+             |      acc.outp || array(struct(p.o as o,
+             |        coalesce((1.0d - $alpha) * acc.prev + $alpha * p.v,
+             |                 p.v) as e)),
+             |      coalesce((1.0d - $alpha) * acc.prev + $alpha * p.v, p.v))).outp,
+             |  x -> x)""".stripMargin)
+    val exploded = grouped.withColumn("__ewm__", explode(fold))
+      .select(partitionCols.map(col) :+
+        col("__ewm__.o").as(orderCol) :+
+        col("__ewm__.e").as(outName): _*)
+    df.join(exploded, partitionCols :+ orderCol)
+  }
+}
