@@ -59,7 +59,10 @@ object StatsOps {
     val ma = df.groupBy(col(a)).agg(count(lit(1)).as("ra"))
     val mb = df.groupBy(col(b)).agg(count(lit(1)).as("rb"))
     val n = df.count()
-    obs.join(broadcast(ma), Seq(a)).join(broadcast(mb), Seq(b))
+    // full margin grid so empty observed cells still contribute (o−e)²/e
+    ma.crossJoin(mb)
+      .join(obs, Seq(a, b), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
       .withColumn("e", col("ra") * col("rb") / lit(n.toDouble))
       .agg(sum(pow(col("o") - col("e"), 2) / col("e")).as("chi2"),
         ((countDistinct(a) - 1) * (countDistinct(b) - 1)).as("dof"))

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.llm.{Dedup, Similarity}
+
+/** Dedup / similarity / text-analysis operators (north-star extras). */
+class LlmOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup
+    (3L, "the quick brown fox leaps over the lazy dog", "a"), // near dup
+    (4L, "completely different content about spark engines", "a"),
+    (5L, "dog lazy the over jumps fox brown quick the", "b") // reordered
+  ).toDF("id", "text", "src")
+
+  test("exact dedup keeps smallest id per identical text") {
+    val kept = Dedup.exact(docs, "text", "id")
+      .select("id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 3L, 4L, 5L)
+    val groups = Dedup.exactDupGroups(docs, "text", "id")
+    rows(groups) shouldBe Seq(Seq(
+      groups.select("text_md5").head().getString(0), 2L, 1L))
+  }
+
+  test("fingerprint is word-order insensitive") {
+    val fp = docs.select($"id",
+      TextFunctions.fingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    fp(1L) shouldBe fp(5L) // same word multiset, different order
+    fp(1L) should not be fp(4L)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "id",
+      numHashes = 12, bands = 6, shingleSize = 3)
+      .as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L)) // identical → identical signature
+    // near-dup (1,3) differs in one word: likely but not guaranteed per
+    // band; with 6 bands of 2 rows it collides with high probability
+    pairs should contain((1L, 3L))
+    pairs should not contain ((1L, 4L))
+  }
+
+  test("simhash of identical texts has hamming 0; different texts differ") {
+    val sims = docs.select($"id", Dedup.simhash64($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    sims(1L) shouldBe sims(2L)
+    java.lang.Long.bitCount(sims(1L) ^ sims(4L)) should be > 8
+  }
+
+  test("word-set jaccard pairs within blocks") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "id", "src",
+      n = 1, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    pairs((1L, 2L)) shouldBe 1.0
+    // 1 vs 3: words {the,quick,brown,fox,jumps/leaps,over,lazy,dog}
+    // inter=7 union=9 → 0.777778
+    approx(pairs((1L, 3L)), 7.0 / 9.0, 1e-6)
+    pairs.keySet should not contain ((1L, 4L))
+    pairs.keySet should not contain ((1L, 5L)) // different block
+  }
+
+  test("cosine and dot products are exact on known vectors") {
+    val df = Seq((1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)),
+      (3L, Seq(1.0f, 2.0f), Seq(2.0f, 4.0f)))
+      .toDF("id", "a", "b")
+    val out = df.select($"id", Similarity.cosine($"a", $"b").as("c"))
+      .orderBy("id").as[(Long, Double)].collect().map(_._2)
+    approx(out(0), 1.0)
+    approx(out(1), 0.0)
+    approx(out(2), 1.0)
+  }
+
+  test("bruteForceTopK returns k nearest by cosine") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val top = Similarity.bruteForceTopK(df, "vec", "id",
+      Seq(1.0f, 0.0f), 2).select("id").as[Long].collect()
+    top shouldBe Array(1L, 2L)
+  }
+
+  test("hyperplaneBucket is deterministic and stable") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)))
+      .toDF("id", "vec")
+    val b = df.select(Similarity.hyperplaneBucket($"vec", 8).as("b"))
+      .as[Int].collect()
+    b(0) shouldBe b(1)
+    b(0) should (be >= 0 and be < 256)
+  }
+
+  test("language id picks the stopword-heavy language") {
+    val df = Seq(
+      ("the cat and the dog of a house", "en"),
+      ("le chat et le chien est la", "fr"),
+      ("el gato y el perro es los", "es"))
+      .toDF("text", "expected")
+    val out = df.select(TextFunctions.languageId($"text").as("l"),
+      $"expected").as[(String, String)].collect()
+    out.foreach { case (got, exp) => got shouldBe exp }
+  }
+
+  test("tokenCount/shingles/ngrams handle short and empty text") {
+    val df = Seq("", "ab", "one two three").toDF("t")
+    val asize = org.apache.spark.sql.functions.size(_: org.apache.spark.sql.Column)
+    df.select(TextFunctions.tokenCount($"t")).as[Int].collect() shouldBe
+      Array(0, 1, 3)
+    df.select(asize(TextFunctions.shingles($"t", 3))).as[Int]
+      .collect() shouldBe Array(1, 1, 11)
+    df.select(asize(TextFunctions.wordNgrams($"t", 2))).as[Int]
+      .collect() shouldBe Array(0, 0, 2)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.PandasOps._
+
+/** Mirrors the reference's operator unit tests (SURVEY §5,
+  * FIXTURES §B): tiny literal frames, hand-computed expectations. */
+class PandasOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("query string predicate filters like the reference query engine") {
+    val df = Seq(("alice", 30, 50000.0), ("bob", 25, 80000.0),
+      ("carol", 35, 60000.0)).toDF("name", "age", "salary")
+    df.query("age > 25 AND salary < 80000").as[(String, Int, Double)]
+      .collect().map(_._1).sorted shouldBe Array("alice", "carol")
+  }
+
+  test("valueCounts orders by frequency then value") {
+    val df = Seq("A", "B", "A", "C", "A", "B").toDF("k")
+    rows(df.valueCounts("k")) shouldBe
+      Seq(Seq("A", 3L), Seq("B", 2L), Seq("C", 1L))
+  }
+
+  test("dropDuplicatesKeep keep=first and keep=last") {
+    val df = Seq(("A", 1, 10.0), ("A", 2, 20.0), ("B", 3, 30.0))
+      .toDF("k", "ord", "v")
+    df.dropDuplicatesKeep(Seq("k"), "ord")
+      .select("ord").as[Int].collect().sorted shouldBe Array(1, 3)
+    df.dropDuplicatesKeep(Seq("k"), "ord", keepLast = true)
+      .select("ord").as[Int].collect().sorted shouldBe Array(2, 3)
+  }
+
+  test("melt produces long format") {
+    val df = Seq((1, 10.0, 100.0), (2, 20.0, 200.0))
+      .toDF("id", "a", "b")
+    val m = df.melt(Seq("id"), Seq("a", "b"))
+    m.columns shouldBe Array("id", "variable", "value")
+    m.count() shouldBe 4
+    m.filter($"id" === 1 && $"variable" === "b")
+      .select("value").as[Double].head() shouldBe 100.0
+  }
+
+  test("ffill/bfill fill along the order column per partition") {
+    val df = Seq(("u", 1, Some(10.0)), ("u", 2, None), ("u", 3, None),
+      ("u", 4, Some(40.0)), ("v", 1, None)).toDF("k", "ord", "v")
+    val f = df.ffill(Seq("v"), "ord", Seq("k"))
+      .orderBy("k", "ord").select("v").as[Option[Double]].collect()
+    f shouldBe Array(Some(10.0), Some(10.0), Some(10.0), Some(40.0), None)
+    val b = df.bfill(Seq("v"), "ord", Seq("k"))
+      .orderBy("k", "ord").select("v").as[Option[Double]].collect()
+    b shouldBe Array(Some(10.0), Some(40.0), Some(40.0), Some(40.0), None)
+  }
+
+  test("interpolateLinear fills interior gaps linearly") {
+    val df = Seq((1, Some(10.0)), (2, None), (3, None), (4, Some(40.0)),
+      (5, None)).toDF("ord", "v")
+    val out = df.interpolateLinear("v", "ord")
+      .orderBy("ord").select("v").as[Option[Double]].collect()
+    out shouldBe Array(Some(10.0), Some(20.0), Some(30.0), Some(40.0),
+      Some(40.0))
+  }
+
+  test("rankBy implements pandas rank methods") {
+    val df = Seq(10.0, 20.0, 20.0, 30.0).toDF("v")
+    def ranks(m: String) = df.rankBy("v", m).orderBy("v", "rank")
+      .select("rank").as[Double].collect().toSeq
+    ranks("min") shouldBe Seq(1.0, 2.0, 2.0, 4.0)
+    ranks("dense") shouldBe Seq(1.0, 2.0, 2.0, 3.0)
+    ranks("first") shouldBe Seq(1.0, 2.0, 3.0, 4.0)
+    ranks("max") shouldBe Seq(1.0, 3.0, 3.0, 4.0)
+    ranks("average") shouldBe Seq(1.0, 2.5, 2.5, 4.0)
+  }
+
+  test("cumprod handles zeros and negatives") {
+    val df = Seq((1, 2.0), (2, -3.0), (3, 4.0), (4, 0.0), (5, 5.0))
+      .toDF("ord", "v")
+    val out = df.cumprod("v", "ord").orderBy("ord")
+      .select("v_cumprod").as[Double].collect()
+    out(0) shouldBe 2.0 +- 1e-9
+    out(1) shouldBe -6.0 +- 1e-9
+    out(2) shouldBe -24.0 +- 1e-9
+    out(3) shouldBe 0.0
+    out(4) shouldBe 0.0
+  }
+
+  test("cut bins with right-closed pandas intervals") {
+    val df = Seq(0.5, 1.0, 1.5, 2.0, 9.0).toDF("v")
+    val out = df.cut("v", Seq(0.0, 1.0, 2.0, 3.0))
+      .orderBy("v").select("v_bin").collect().map(r =>
+        if (r.isNullAt(0)) -1 else r.getInt(0))
+    out shouldBe Array(0, 0, 1, 1, -1)
+  }
+
+  test("merge applies suffixes to overlapping columns") {
+    val l = Seq((1, "x"), (2, "y")).toDF("id", "name")
+    val r = Seq((1, "xx"), (3, "zz")).toDF("id", "name")
+    val m = l.merge(r, Seq("id"), "outer")
+    m.columns.sorted shouldBe Array("id", "name_x", "name_y")
+    m.count() shouldBe 3
+  }
+
+  test("asofJoin picks most recent right row at-or-before left time") {
+    val trades = Seq(("A", 3L), ("A", 7L), ("B", 2L))
+      .toDF("sym", "t")
+    val quotes = Seq(("A", 1L, 100.0), ("A", 5L, 105.0),
+      ("A", 7L, 107.0), ("B", 4L, 50.0)).toDF("sym", "qt", "px")
+    val out = trades.asofJoin(quotes, "sym", "t", "qt", "px")
+      .orderBy("sym", "t").select("px_asof")
+      .as[Option[Double]].collect()
+    out shouldBe Array(Some(100.0), Some(107.0), None)
+  }
+
+  test("nlargest is deterministic with tiebreak") {
+    val df = Seq((1, 5.0), (2, 5.0), (3, 1.0)).toDF("id", "v")
+    df.nlargest(2, "v", "id").select("id").as[Int].collect() shouldBe
+      Array(1, 2)
+  }
+}

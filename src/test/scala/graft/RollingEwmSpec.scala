@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.window.RollingOps
+
+/** Window semantics pinned against pandas-documented formulas
+  * (reference src/series/window.rs tests; FIXTURES §B.3). */
+class RollingEwmSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def series(vs: Double*) =
+    vs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("ord", "v")
+
+  test("rolling(3) mean with min_periods=3 is null until window fills") {
+    val df = series(1, 2, 3, 4, 5)
+    val out = RollingOps.rolling(df, "v", 3, c => avg(c), Seq("ord"),
+      minPeriods = 3, outName = "m")
+      .orderBy("ord").select("m").as[Option[Double]].collect()
+    out shouldBe Array(None, None, Some(2.0), Some(3.0), Some(4.0))
+  }
+
+  test("rolling(3) with min_periods=1 emits partial windows") {
+    val df = series(1, 2, 3)
+    val out = RollingOps.rolling(df, "v", 3, c => avg(c), Seq("ord"),
+      minPeriods = 1, outName = "m")
+      .orderBy("ord").select("m").as[Double].collect()
+    out shouldBe Array(1.0, 1.5, 2.0)
+  }
+
+  test("rolling(3, center=true) centers the window like pandas") {
+    val df = series(1, 2, 3, 4, 5)
+    // pandas: rolling(3, center=True).sum() = [na,6,9,12,na] w/ mp=3
+    val out = RollingOps.rolling(df, "v", 3, c => sum(c), Seq("ord"),
+      minPeriods = 3, center = true, outName = "s")
+      .orderBy("ord").select("s").as[Option[Double]].collect()
+    out shouldBe Array(None, Some(6.0), Some(9.0), Some(12.0), None)
+  }
+
+  test("expanding mean matches pandas expanding().mean()") {
+    val df = series(2, 4, 6, 8)
+    val out = RollingOps.expanding(df, "v", c => avg(c), Seq("ord"))
+      .orderBy("ord").select("expanding").as[Double].collect()
+    out shouldBe Array(2.0, 3.0, 4.0, 5.0)
+  }
+
+  test("rollingTime uses a trailing time-range frame") {
+    val df = Seq((1L, 1.0), (5L, 2.0), (6L, 4.0), (20L, 8.0))
+      .toDF("t", "v").withColumn("ts", timestamp_seconds($"t"))
+    val out = RollingOps.rollingTime(df, "v", "ts", 5, c => sum(c),
+      outName = "s").orderBy("t").select("s").as[Double].collect()
+    // windows: [t-5, t] → 1; 1+2; 2+4(+1 at t=1? 6-5=1 inclusive → 1+2+4); 8
+    out shouldBe Array(1.0, 3.0, 7.0, 8.0)
+  }
+
+  test("ewm adjust=true matches pandas weights") {
+    // pandas: ewm(alpha=0.5, adjust=True).mean() of [1,2,3]
+    //  y0=1, y1=(2 + 0.5*1)/(1+0.5)=1.666667, y2=(3+0.5*2+0.25*1)/1.75
+    val df = series(1, 2, 3).withColumn("k", lit("g"))
+    val out = RollingOps.ewmMean(df, "v", "ord", Seq("k"), 0.5,
+      adjust = true, outName = "e")
+      .orderBy("ord").select("e").as[Double].collect()
+    approx(out(0), 1.0)
+    approx(out(1), (2 + 0.5 * 1) / 1.5, 1e-9)
+    approx(out(2), (3 + 0.5 * 2 + 0.25 * 1) / 1.75, 1e-9)
+  }
+
+  test("ewm adjust=false is the recursive form") {
+    // y0=1; y1=0.5*1+0.5*2=1.5; y2=0.5*1.5+0.5*3=2.25
+    val df = series(1, 2, 3).withColumn("k", lit("g"))
+    val out = RollingOps.ewmMean(df, "v", "ord", Seq("k"), 0.5,
+      adjust = false, outName = "e")
+      .orderBy("ord").select("e").as[Double].collect()
+    out.map(v => math.round(v * 1e9) / 1e9) shouldBe
+      Array(1.0, 1.5, 2.25)
+  }
+
+  test("ewm runs per group independently") {
+    val df = Seq(("a", 1, 1.0), ("a", 2, 3.0), ("b", 1, 10.0))
+      .toDF("k", "ord", "v")
+    val out = RollingOps.ewmMean(df, "v", "ord", Seq("k"), 0.5)
+      .orderBy("k", "ord").select("ewm").as[Double].collect()
+    approx(out(0), 1.0)
+    approx(out(1), (3 + 0.5) / 1.5)
+    approx(out(2), 10.0)
+  }
+}

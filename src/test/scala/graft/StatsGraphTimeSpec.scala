@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stats.StatsOps
+import graft.graphops.GraphOps
+import graft.timeseries.TimeSeriesOps
+
+/** Stats / graph / time-series layers against closed-form expectations. */
+class StatsGraphTimeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("linearRegression recovers an exact line") {
+    val df = (1 to 20).map(x => (x.toDouble, 3.0 * x + 7.0))
+      .toDF("x", "y")
+    val r = StatsOps.linearRegression(df, "x", "y").head()
+    approx(r.getDouble(0), 3.0, 1e-9)
+    approx(r.getDouble(1), 7.0, 1e-9)
+    approx(r.getDouble(2), 1.0, 1e-9)
+  }
+
+  test("ttestWelch on equal samples gives t≈0") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val r = StatsOps.ttestWelch(df, "v", "g", "a", "b").head()
+    approx(r.getAs[Double]("t_stat"), 0.0, 1e-9)
+  }
+
+  test("chiSquare of independent uniform vars is 0; dependence is large") {
+    val indep = (0 until 400).map(i => (s"a${(i / 4) % 2}", s"b${i % 4}"))
+      .toDF("x", "y")
+    val r = StatsOps.chiSquare(indep, "x", "y").head()
+    approx(r.getAs[Double]("chi2"), 0.0, 1e-9) // perfectly uniform
+    r.getAs[Long]("dof") shouldBe 3L
+    // full dependence incl. empty cells: chi2 = n * (k_min - 1) = 400
+    val dep = (0 until 400).map(i => (s"a${i % 2}", s"b${i % 2}"))
+      .toDF("x", "y")
+    approx(StatsOps.chiSquare(dep, "x", "y").head()
+      .getAs[Double]("chi2"), 400.0, 1e-9)
+  }
+
+  test("describeNum computes the pandas describe block") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val r = StatsOps.describeNum(df, "v").head()
+    r.getAs[Long]("count") shouldBe 100L
+    approx(r.getAs[Double]("mean"), 50.5)
+    approx(r.getAs[Double]("median"), 50.5)
+    approx(r.getAs[Double]("q1"), 25.75)
+  }
+
+  test("mannWhitneyU rank sums are consistent") {
+    val df = (Seq.fill(3)("a") zip Seq(1.0, 2.0, 3.0)) ++
+      (Seq.fill(3)("b") zip Seq(4.0, 5.0, 6.0)) match {
+      case s => s.toDF("g", "v")
+    }
+    val r = StatsOps.mannWhitneyU(df, "v", "g", "a", "b")
+      .orderBy("g").collect()
+    r(0).getAs[Double]("u") shouldBe 0.0 // a strictly below b
+    r(1).getAs[Double]("u") shouldBe 9.0
+  }
+
+  test("degrees on a small directed graph") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val d = GraphOps.degrees(e).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("out_degree"),
+        r.getAs[Long]("in_degree"))).toSeq
+    d shouldBe Seq(("a", 2L, 0L), ("b", 1L, 1L), ("c", 0L, 2L))
+  }
+
+  test("connectedComponents separates two triangles") {
+    val e = Seq((1, 2), (2, 3), (3, 1), (10, 11), (11, 12))
+      .toDF("src", "dst")
+    val comps = GraphOps.connectedComponents(e)
+      .as[(Int, Int)].collect().toMap
+    comps(1) shouldBe comps(3)
+    comps(10) shouldBe comps(12)
+    comps(1) should not be comps(10)
+    comps(1) shouldBe 1
+    comps(10) shouldBe 10
+  }
+
+  test("pageRank mass is conserved and sink handling works") {
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst") // c is a sink
+    val pr = GraphOps.pageRank(e, iterations = 20)
+      .as[(String, Double)].collect().toMap
+    approx(pr.values.sum, 1.0, 1e-6)
+    pr("c") should be > pr("a")
+  }
+
+  test("bfsDistances computes hop counts") {
+    val e = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
+    val d = GraphOps.bfsDistances(e, Seq(1))
+      .collect().map(r => r.getInt(0) -> r.getAs[Int]("dist")).toMap
+    d shouldBe Map(1 -> 0, 2 -> 1, 3 -> 2, 4 -> 3)
+  }
+
+  test("dateRange generates the inclusive calendar") {
+    val cal = TimeSeriesOps.dateRange(spark, "2024-01-01 00:00:00",
+      "2024-01-02 00:00:00", "1 HOUR")
+    cal.count() shouldBe 25
+  }
+
+  test("sessionize splits on the gap") {
+    val df = Seq(("u", 0L), ("u", 100L), ("u", 5000L), ("u", 5100L))
+      .toDF("k", "t").withColumn("ts", timestamp_seconds($"t"))
+    val out = TimeSeriesOps.sessionize(df, "ts", "k", 1800)
+      .orderBy("t").select("session_id").as[Long].collect()
+    out shouldBe Array(1L, 1L, 2L, 2L)
+  }
+
+  test("decomposeAdditive recovers trend+seasonal on synthetic data") {
+    val period = 4
+    val data = (0 until 40).map { i =>
+      val trend = 10.0 + i
+      val seasonal = Seq(2.0, -1.0, -2.0, 1.0)(i % period)
+      (i, trend + seasonal)
+    }.toDF("t", "v").withColumn("ts", timestamp_seconds($"t"))
+    val out = TimeSeriesOps.decomposeAdditive(data, "ts", "v", period)
+    val r = out.filter($"trend".isNotNull)
+      .select(abs($"resid")).as[Double].collect()
+    all(r) should be < 0.2 // residuals vanish for an exact model
+  }
+
+  test("holtForecast extrapolates a linear series") {
+    val fc = TimeSeriesOps.holtForecast(
+      (1 to 10).map(_.toDouble), alpha = 0.8, beta = 0.8, steps = 3)
+    fc.zip(Seq(11.0, 12.0, 13.0)).foreach { case (got, exp) =>
+      approx(got, exp, 0.3)
+    }
+  }
+}

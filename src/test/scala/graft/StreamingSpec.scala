@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+/** Structured Streaming windows + watermark semantics (reference
+  * src/streaming/window.rs; FIXTURES §B.9): events fed through
+  * MemoryStream in ts order with late arrivals. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(m: Int, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+
+  test("tumbling window aggregates with watermark drop of late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.tumbling(
+      input.toDF().toDF("ts", "k", "v"), "ts", "10 minutes",
+      "5 minutes", Seq("k"), Seq(sum($"v").as("s"), count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("tumbling_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(4), "a", 2.0), (ts(11), "a", 4.0))
+      q.processAllAvailable()
+      // advance watermark past 00:10 + 5min so the first window closes
+      input.addData((ts(21), "a", 8.0))
+      q.processAllAvailable()
+      // late event for the closed [00:00,00:10) window must be dropped
+      input.addData((ts(2), "a", 100.0))
+      q.processAllAvailable()
+      input.addData((ts(40), "a", 16.0)) // close remaining windows
+      q.processAllAvailable()
+      val out = spark.table("tumbling_t")
+        .select(col("window.start").as("w"), $"s", $"n")
+        .as[(Timestamp, Double, Long)].collect()
+        .map { case (w, sv, n) => (w.toString, sv, n) }.toSet
+      out should contain(("2024-01-01 00:00:00.0", 3.0, 2L))
+      out should contain(("2024-01-01 00:10:00.0", 4.0, 1L))
+      out should contain(("2024-01-01 00:20:00.0", 8.0, 1L))
+      // the late 100.0 never appears
+      out.map(_._2) should not contain 103.0
+    } finally q.stop()
+  }
+
+  test("session window groups events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.session(
+      input.toDF().toDF("ts", "k", "v"), "ts", "5 minutes",
+      "1 minute", Seq("k"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("session_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(3), "a", 1.0),
+        (ts(20), "a", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(40), "a", 1.0)) // push watermark, close sessions
+      q.processAllAvailable()
+      val ns = spark.table("session_t").select("n").as[Long]
+        .collect().sorted
+      ns.toSeq should contain(2L) // the two close events fused
+    } finally q.stop()
+  }
+
+  test("count-based windows emit every n records per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc = Encoders.product[StreamOps.CountWindowOut]
+    implicit val stEnc = Encoders.product[StreamOps.CountWindowState]
+    val input = MemoryStream[(String, Double)]
+    val out = StreamOps.countWindow(input.toDS(), 2)
+    val q = out.writeStream.format("memory").queryName("count_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0),
+        ("b", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("count_t")
+        .select("key", "sum").as[(String, Double)].collect().toSet
+      rows should contain(("a", 3.0))
+      rows should contain(("b", 12.0))
+      // the dangling third "a" record stays buffered (no emission)
+      spark.table("count_t").count() shouldBe 2
+    } finally q.stop()
+  }
+}
