@@ -25,9 +25,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesWindow.queries ++
-      QueriesText.queries ++ QueriesStats.queries
+      QueriesText.queries ++ QueriesStats.queries ++ QueriesExt.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracle ++ QueriesWindow.oracle ++
-      QueriesText.oracle ++ QueriesStats.oracle
+      QueriesText.oracle ++ QueriesStats.oracle ++ QueriesExt.oracle
 }

@@ -1,0 +1,114 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ML layer (reference src/ml/: preprocessing/mod.rs:14-302,
+  * clustering/mod.rs:46, dimension/mod.rs:17, models/linear.rs:16).
+  * Scalers/encoders are pure DataFrame expressions (exact,
+  * oracle-checkable); model fitting delegates to Spark MLlib — the
+  * distributed implementations the reference's single-node ML layer
+  * approximates. DBSCAN/agglomerative/TSNE/LOF have no MLlib
+  * equivalent and are out of v1 scope (SURVEY §2.13).
+  */
+object MlOps {
+
+  /** StandardScaler (preprocessing/mod.rs:14): per-group or global
+    * z-score from exact sufficient statistics — one aggregate +
+    * broadcast join, no MLlib fit round-trip. */
+  def standardScale(df: DataFrame, valueCol: String,
+      by: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats =
+      (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
+        .agg(count(lit(1)).cast("double").as("__n__"),
+          sum(v).as("__s1__"), sum(v * v).as("__s2__"))
+    val joined = if (by.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), by)
+    joined
+      .withColumn("__m__", col("__s1__") / col("__n__"))
+      .withColumn("__sd__", sqrt((col("__s2__") -
+        col("__s1__") * col("__s1__") / col("__n__")) / (col("__n__") - 1)))
+      .withColumn(s"${valueCol}_scaled",
+        (v - col("__m__")) / col("__sd__"))
+      .drop("__n__", "__s1__", "__s2__", "__m__", "__sd__")
+  }
+
+  /** MinMaxScaler (preprocessing/mod.rs:146). */
+  def minMaxScale(df: DataFrame, valueCol: String,
+      by: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats =
+      (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
+        .agg(min(v).as("__mn__"), max(v).as("__mx__"))
+    val joined = if (by.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), by)
+    joined.withColumn(s"${valueCol}_scaled",
+        when(col("__mx__") === col("__mn__"), 0.5)
+          .otherwise((v - col("__mn__")) / (col("__mx__") - col("__mn__"))))
+      .drop("__mn__", "__mx__")
+  }
+
+  /** OneHotEncoder (preprocessing/mod.rs:302): indicator columns for
+    * an explicit (bounded) category list — schema stays static, which
+    * is what a 100 TB pipeline needs anyway. */
+  def oneHot(df: DataFrame, catCol: String,
+      categories: Seq[String]): DataFrame =
+    categories.foldLeft(df)((d, c) =>
+      d.withColumn(s"${catCol}_$c",
+        when(col(catCol) === c, 1L).otherwise(0L)))
+
+  /** factorize (reference src/series/categorical.rs:197): dense
+    * integer codes by sorted category order — a broadcastable
+    * dictionary join, not a global window. */
+  def factorize(df: DataFrame, catCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = df.select(catCol).distinct()
+      .withColumn(s"${catCol}_code",
+        (dense_rank().over(Window.orderBy(col(catCol))) - 1).cast("long"))
+    df.join(broadcast(codes), Seq(catCol))
+  }
+
+  private def assemble(df: DataFrame, features: Seq[String]): DataFrame =
+    new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("features").transform(df)
+
+  /** KMeans (clustering/mod.rs:46) via MLlib, deterministic seed. */
+  def kmeans(df: DataFrame, features: Seq[String], k: Int,
+      seed: Long = 42L): DataFrame = {
+    val fitted = new KMeans().setK(k).setSeed(seed)
+      .fit(assemble(df, features))
+    fitted.transform(assemble(df, features))
+      .withColumnRenamed("prediction", "cluster").drop("features")
+  }
+
+  /** PCA (dimension/mod.rs:17) via MLlib. */
+  def pca(df: DataFrame, features: Seq[String], k: Int): DataFrame = {
+    val assembled = assemble(df, features)
+    new PCA().setInputCol("features").setOutputCol("pca")
+      .setK(k).fit(assembled).transform(assembled).drop("features")
+  }
+
+  /** LinearRegression (models/linear.rs:16) via MLlib. */
+  def linearRegressionMl(df: DataFrame, features: Seq[String],
+      label: String): DataFrame = {
+    val assembled = assemble(df, features)
+    val m = new LinearRegression().setLabelCol(label)
+      .setFeaturesCol("features").fit(assembled)
+    m.transform(assembled).drop("features")
+  }
+
+  /** LogisticRegression (models/linear.rs:497) via MLlib. */
+  def logisticRegressionMl(df: DataFrame, features: Seq[String],
+      label: String): DataFrame = {
+    val assembled = assemble(df, features)
+    val m = new LogisticRegression().setLabelCol(label)
+      .setFeaturesCol("features").fit(assembled)
+    m.transform(assembled).select(df.columns.map(col) :+
+      col("prediction"): _*)
+  }
+}

@@ -242,6 +242,45 @@ object PandasOps {
       df.withColumn(s"${valueCol}_qbin",
         ntile(q).over(Window.orderBy(col(valueCol), col(tiebreak))) - 1)
 
+    /** clip to [lo, hi] (trait_def.rs:54). */
+    def clip(valueCol: String, lo: Double, hi: Double): DataFrame =
+      df.withColumn(valueCol,
+        least(greatest(col(valueCol), lit(lo)), lit(hi)))
+
+    /** value replacement map on one column (trait_def.rs replace). */
+    def replaceValues(colName: String, mapping: Map[String, String]): DataFrame =
+      df.withColumn(colName, mapping.foldLeft(col(colName)) {
+        case (c, (from, to)) => when(col(colName) === from, lit(to))
+          .otherwise(c)
+      })
+
+    /** transpose (trait_def.rs:60) — small frames only by design:
+      * collects to the driver (pandas-style transpose has no
+      * distributed meaning; guarded by maxRows). */
+    def transposeSmall(keyCol: String, maxRows: Int = 1000): DataFrame = {
+      val rows = df.limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"transposeSmall: more than $maxRows rows")
+      val spark = df.sparkSession
+      val valueCols = df.columns.filter(_ != keyCol)
+      val header = rows.map(_.getAs[Any](keyCol).toString)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(StructField("column", StringType) +:
+        header.map(h => StructField(h, StringType)).toSeq)
+      val data = valueCols.map { c =>
+        Row.fromSeq(c +: rows.map(r => String.valueOf(r.getAs[Any](c))).toSeq)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data.toSeq), schema)
+    }
+
+    /** seeded random sample (trait_def.rs sample;
+      * src/stats/mod.rs:310). */
+    def sampleSeed(fraction: Double, seed: Long,
+        withReplacement: Boolean = false): DataFrame =
+      df.sample(withReplacement, fraction, seed)
+
     /** nlargest/nsmallest (trait_def.rs:39-42): Catalyst plans
       * TakeOrderedAndProject — no full sort. */
     def nlargest(n: Int, valueCol: String, tiebreak: String): DataFrame =

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ml.MlOps
+import graft.ops.PandasOps._
+import graft.window.RollingOps
+import Q._
+
+/** Extended coverage: EWM (the custom moving window), interpolation,
+  * factorize/encoders/scalers (§2.13 preprocessing as exact
+  * expressions), clip/replace. */
+object QueriesExt {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // §2.5a EWM adjust=false — the one window Spark lacks natively;
+    // verified against a recursive-CTE oracle
+    "q57_ewm" -> ((s, d) =>
+      RollingOps.ewmMean(
+        t(s, d, "events").select("event_id", "user_id", "value"),
+        "value", "event_id", Seq("user_id"), alpha = 0.5,
+        adjust = false, outName = "ewm")
+        // no rounding: both engines run the bitwise-identical
+        // recurrence; alpha=0.5 yields exact binary fractions that sit
+        // ON the .5 rounding boundary, where round() semantics differ
+        .select(col("event_id"), col("user_id"), col("ewm"))),
+
+    // §2.13 factorize: dense codes by sorted category order
+    "q67_factorize" -> ((s, d) =>
+      MlOps.factorize(t(s, d, "events"), "event_type")
+        .groupBy("event_type", "event_type_code")
+        .agg(count(lit(1)).as("n"))),
+
+    // §2.13 StandardScaler per group from exact sums
+    "q68_scaler" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("x", col("l_quantity").cast("long"))
+      val stats = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(col("x") * col("x")).as("s2"))
+      li.join(broadcast(stats), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+          col("l_returnflag"), col("x").as("qty"),
+          round((dbl(col("x")) - dbl(col("s1")) / dbl(col("n"))) /
+            sqrt((dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1")) / dbl(col("n")))
+              / (dbl(col("n")) - 1)), 6).as("z"))
+    }),
+
+    // §2.9 linear interpolation of nulls (window-based, no collect)
+    "q69_interpolate" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("v",
+          when(col("value") >= 20, dbl(cents(col("value")))))
+        .interpolateLinear("v", "event_id", Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          round(col("v"), 6).as("interp_c"))),
+
+    // §2.9 clip + replace
+    "q70_clip_replace" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .clip("l_quantity", 5, 45)
+        .replaceValues("l_returnflag",
+          Map("A" -> "ACCEPTED", "R" -> "RETURNED"))
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("clipped_qty"),
+          count(lit(1)).as("n"))),
+
+    // §2.13 one-hot encoding (static category list)
+    "q71_onehot" -> ((s, d) =>
+      MlOps.oneHot(t(s, d, "orders"), "o_orderstatus", Seq("O", "F", "P"))
+        .groupBy("o_orderpriority")
+        .agg(sum("o_orderstatus_O").as("n_open"),
+          sum("o_orderstatus_F").as("n_finished"),
+          sum("o_orderstatus_P").as("n_pending"))),
+
+    // §2.13 KMeans via MLlib (seeded; rows-only — centroid label ids
+    // are implementation-defined)
+    "q72_kmeans" -> ((s, d) =>
+      MlOps.kmeans(
+        t(s, d, "embeddings").select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("f1"),
+          element_at(col("embedding"), 2).cast("double").as("f2"),
+          element_at(col("embedding"), 3).cast("double").as("f3")),
+        Seq("f1", "f2", "f3"), k = 4)
+        .groupBy("cluster").agg(count(lit(1)).as("n"))),
+
+    // §2.2 seeded sample — size check only (rows-only; RNG is
+    // engine-specific)
+    "q73_sample" -> ((s, d) =>
+      t(s, d, "lineitem").sampleSeed(0.1, seed = 42L)
+        .select("l_orderkey", "l_linenumber"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q57_ewm" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rn, x AS y FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    (1.0 - 0.5) * r.y + 0.5 * b.x
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT event_id, user_id, y AS ewm FROM r""".stripMargin,
+
+    "q67_factorize" ->
+      """SELECT event_type,
+        |  CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT)
+        |    AS event_type_code,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q68_scaler" ->
+      """WITH stats AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l.l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |  round((CAST(l_quantity AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1)), 6) AS z
+        |FROM lineitem l JOIN stats USING (l_returnflag)""".stripMargin,
+
+    "q69_interpolate" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN value >= 20
+        |      THEN CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) END AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |marked AS (
+        |  SELECT event_id, user_id, v, rn,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER wp AS pn,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER wn AS nn
+        |  FROM base
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, round(CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * (rn - pn) / (nn - pn) END, 6) AS interp_c
+        |FROM marked""".stripMargin,
+
+    "q70_clip_replace" ->
+      """SELECT CASE WHEN l_returnflag = 'A' THEN 'ACCEPTED'
+        |    WHEN l_returnflag = 'R' THEN 'RETURNED'
+        |    ELSE l_returnflag END AS l_returnflag,
+        |  sum(least(greatest(l_quantity, 5), 45)) AS clipped_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q71_onehot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM orders GROUP BY 1""".stripMargin
+  )
+}
