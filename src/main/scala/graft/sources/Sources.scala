@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (reference §2.1: src/io/csv.rs:11,74,
+  * src/io/json.rs:13,103, src/io/parquet.rs:175,369,
+  * src/io/sql/operations.rs, src/connectors/cloud.rs:198).
+  *
+  * Everything delegates to Spark's DataSource V2 readers — which is
+  * the point: the reference hand-rolls chunked readers, schema
+  * inference and cloud connectors (~5k LoC); Spark gives the same
+  * surface with predicate pushdown, partitioned parallel scans and
+  * s3a/gs/abfss paths for free. These wrappers pin the pandrs-like
+  * defaults (header inference, records orientation).
+  */
+object Sources {
+
+  /** CSV read with pandrs defaults: header row + type inference
+    * (src/io/csv.rs:11; optimized io.rs:82). For production scans
+    * pass an explicit schema — inference reads the data twice. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: Option[StructType] = None,
+      header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema)
+      .csv(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String,
+      header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString)
+      .csv(path)
+
+  /** JSON lines (records orientation, src/io/json.rs JsonOrient). */
+  def readJsonRecords(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def writeJsonRecords(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Parquet with compression option (src/io/parquet.rs:369). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String,
+      compression: String = "snappy"): Unit =
+    df.write.mode("overwrite").option("compression", compression)
+      .parquet(path)
+
+  /** Parquet footer metadata (src/io/parquet.rs:582-666): row count
+    * and per-column min/max/null stats, computed distributed from
+    * the files rather than by footer peeking. */
+  def parquetStats(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(path)
+    df.agg(count(lit(1)).as("row_count"),
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))): _*)
+  }
+
+  /** JDBC passthrough (src/io/sql/operations.rs:118-485): partitioned
+    * parallel reads when a split column is given. Untestable in this
+    * container (no database) — surface parity only. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties,
+      partitionCol: Option[(String, Long, Long, Int)] = None): DataFrame =
+    partitionCol match {
+      case Some((c, lo, hi, n)) =>
+        spark.read.jdbc(url, table, c, lo, hi, n, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.MlOps
+
+/** ML layer (§2.13): exact preprocessing expressions + MLlib fits. */
+class MlOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("standardScale produces zero-mean unit-variance output") {
+    val df = Seq(2.0, 4.0, 6.0, 8.0).toDF("v")
+    val out = MlOps.standardScale(df, "v")
+      .select("v_scaled").as[Double].collect()
+    approx(out.sum, 0.0, 1e-9)
+    // sample std of [2,4,6,8] = sqrt(20/3); check largest z
+    approx(out.max, (8.0 - 5.0) / math.sqrt(20.0 / 3.0), 1e-9)
+  }
+
+  test("standardScale per group centers within each group") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0))
+      .toDF("g", "v")
+    val out = MlOps.standardScale(df, "v", Seq("g"))
+      .groupBy("g").agg(sum("v_scaled").as("s"))
+      .select("s").as[Double].collect()
+    out.foreach(s => approx(s, 0.0, 1e-9))
+  }
+
+  test("minMaxScale maps to [0,1] and handles constant columns") {
+    val df = Seq(10.0, 20.0, 30.0).toDF("v")
+    MlOps.minMaxScale(df, "v").select("v_scaled").as[Double]
+      .collect().sorted shouldBe Array(0.0, 0.5, 1.0)
+    val const = Seq(5.0, 5.0).toDF("v")
+    MlOps.minMaxScale(const, "v").select("v_scaled").as[Double]
+      .collect() shouldBe Array(0.5, 0.5)
+  }
+
+  test("oneHot emits one indicator per category") {
+    val df = Seq("x", "y", "x").toDF("c")
+    val out = MlOps.oneHot(df, "c", Seq("x", "y", "z"))
+    out.agg(sum("c_x"), sum("c_y"), sum("c_z")).head().toSeq shouldBe
+      Seq(2L, 1L, 0L)
+  }
+
+  test("factorize assigns dense codes in sorted order") {
+    val df = Seq("m", "k", "m", "z").toDF("c")
+    val codes = MlOps.factorize(df, "c").select("c", "c_code")
+      .distinct().as[(String, Long)].collect().toMap
+    codes shouldBe Map("k" -> 0L, "m" -> 1L, "z" -> 2L)
+  }
+
+  test("kmeans separates two obvious blobs") {
+    val pts = (Seq.fill(20)((0.0, 0.1)) ++ Seq.fill(20)((10.0, 9.9)))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val out = MlOps.kmeans(pts, Seq("x", "y"), 2)
+    out.select("cluster").distinct().count() shouldBe 2
+    // all points of one blob share a cluster
+    out.filter($"x" < 5).select("cluster").distinct().count() shouldBe 1
+  }
+
+  test("linearRegressionMl fits a clean line") {
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 1.0))
+      .toDF("x", "y")
+    val out = MlOps.linearRegressionMl(df, Seq("x"), "y")
+    val errs = out.select(abs($"prediction" - $"y")).as[Double].collect()
+    all(errs) should be < 1e-6
+  }
+
+  test("logisticRegressionMl separates labeled blobs") {
+    val df = ((1 to 20).map(i => (i / 100.0, 0.0)) ++
+      (1 to 20).map(i => (5.0 + i / 100.0, 1.0))).toDF("x", "label")
+    val out = MlOps.logisticRegressionMl(df, Seq("x"), "label")
+    out.filter($"prediction" === $"label").count() shouldBe 40
+  }
+}
