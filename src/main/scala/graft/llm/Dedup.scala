@@ -71,10 +71,20 @@ object Dedup {
     * per-block instead of all-pairs. Token-postings join + exact
     * set algebra: |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val toks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      blockCol: String, n: Int, threshold: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val allToks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
-    val sizes = toks.groupBy("blk", "id").agg(count(lit(1)).as("sz"))
+    // skew control for the postings join: n-grams appearing in more
+    // than maxDf docs of a block generate O(df²) candidate pairs and
+    // carry almost no Jaccard signal — drop them from the JOIN side
+    // but keep them in the set sizes so Jaccard stays a lower bound.
+    val toks = if (maxDf == Long.MaxValue) allToks else {
+      val hot = allToks.groupBy("blk", "g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("blk", "g")
+      allToks.join(hot, Seq("blk", "g"), "left_anti")
+    }
+    val sizes = allToks.groupBy("blk", "id").agg(count(lit(1)).as("sz"))
     val inter = toks.as("x").join(toks.as("y"),
         col("x.blk") === col("y.blk") && col("x.g") === col("y.g") &&
         col("x.id") < col("y.id"))

@@ -237,10 +237,27 @@ object PandasOps {
     }
 
     /** quantile binning, pandas qcut (functions.rs:2370) — ntile over
-      * a deterministic total order (tiebreak column required). */
+      * a deterministic total order (tiebreak column required).
+      * NOTE: exact ntile needs a global single-partition window; use
+      * qcutApprox for large data. */
     def qcut(valueCol: String, q: Int, tiebreak: String): DataFrame =
       df.withColumn(s"${valueCol}_qbin",
         ntile(q).over(Window.orderBy(col(valueCol), col(tiebreak))) - 1)
+
+    /** Scalable qcut: bucket by approximate quantile bounds
+      * (GK sketch, driver gets q-1 doubles, rows never move) —
+      * the 100 TB path; bin populations are approximately equal
+      * rather than exactly equal. */
+    def qcutApprox(valueCol: String, q: Int,
+        relErr: Double = 0.001): DataFrame = {
+      val bounds = df.stat.approxQuantile(valueCol,
+        (1 until q).map(_.toDouble / q).toArray, relErr)
+      val v = col(valueCol)
+      val bin = bounds.zipWithIndex.foldRight(lit(q - 1)) {
+        case ((b, i), acc) => when(v <= b, lit(i)).otherwise(acc)
+      }
+      df.withColumn(s"${valueCol}_qbin", bin)
+    }
 
     /** clip to [lo, hi] (trait_def.rs:54). */
     def clip(valueCol: String, lo: Double, hi: Double): DataFrame =

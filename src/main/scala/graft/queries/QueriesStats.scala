@@ -179,17 +179,24 @@ object QueriesStats {
           }, 6).as("kurt_excess"))
     }),
 
-    // §2.12 Mann-Whitney U via average ranks
+    // §2.12 Mann-Whitney U via average ranks. Ranks come from the
+    // distinct-value table (cumulative per-value counts) instead of a
+    // single-partition global window — the 100 TB-safe formulation;
+    // results are identical to rank()+(peers−1)/2.
     "q63_mannwhitney" -> ((s, d) => {
       val e = t(s, d, "events")
         .filter(col("event_type").isin("click", "view"))
         .withColumn("vc", cents(col("value")))
-      val w = Window.orderBy(col("vc"))
-      val ranked = e.withColumn("r",
-        rank().over(w).cast("double") +
-          (count(lit(1)).over(w.rangeBetween(0, 0)).cast("double") -
-            lit(1.0)) / lit(2.0))
-      ranked.groupBy("event_type")
+      val counts = e.groupBy("vc").agg(count(lit(1)).as("c"))
+      val wv = Window.orderBy(col("vc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rankMap = counts
+        .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
+        .withColumn("r", (dbl(col("below")) + lit(1.0)) +
+          (dbl(col("c")) - lit(1.0)) / lit(2.0))
+        .select(col("vc"), col("r"))
+      e.join(broadcast(rankMap), Seq("vc"))
+        .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("r")).as("rank_sum"))
         .withColumn("u", col("rank_sum") -
           dbl(col("n")) * (dbl(col("n")) + 1) / 2)

@@ -89,19 +89,29 @@ object StatsOps {
           (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
   }
 
-  /** Mann-Whitney U (stats/nonparametric.rs): rank-sum via a window
-    * rank over the pooled sample (average ranks for ties), then U
-    * statistics per group. */
+  /** Mann-Whitney U (stats/nonparametric.rs): rank-sum with average
+    * ranks for ties.
+    *
+    * Scale design: a naive rank() needs a single-partition global
+    * window — O(rows) on one executor. Instead ranks are computed on
+    * the DISTINCT-VALUE table (bounded by the value domain, not the
+    * row count): avg_rank(v) = #rows<v + 1 + (ties(v)−1)/2, via a
+    * cumulative sum over the per-value counts, broadcast-joined back.
+    * The only full-data operations are a groupBy(value) and a join. */
   def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
       gA: String, gB: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pooled = df.filter(col(groupCol).isin(gA, gB))
-    val w = Window.orderBy(col(valueCol))
-    // average rank for ties: rank + (ties-1)/2
-    val ranked = pooled.withColumn("__r__",
-      rank().over(w) +
-        (count(lit(1)).over(w.rangeBetween(0, 0)) - lit(1)) / lit(2.0))
-    ranked.groupBy(groupCol)
+    val counts = pooled.groupBy(col(valueCol)).agg(count(lit(1)).as("__c__"))
+    val wv = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rankMap = counts.withColumn("__below__",
+        coalesce(sum(col("__c__")).over(wv), lit(0L)))
+      .withColumn("__r__",
+        col("__below__") + 1 + (col("__c__") - 1) / lit(2.0))
+      .select(col(valueCol), col("__r__"))
+    pooled.join(broadcast(rankMap), Seq(valueCol))
+      .groupBy(groupCol)
       .agg(count(lit(1)).as("n"), sum(col("__r__")).as("rank_sum"))
       .withColumn("u", col("rank_sum") - col("n") * (col("n") + 1) / 2)
   }

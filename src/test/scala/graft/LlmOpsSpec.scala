@@ -65,6 +65,18 @@ class LlmOpsSpec extends SparkSpecBase {
     pairs.keySet should not contain ((1L, 5L)) // different block
   }
 
+  test("jaccard maxDf drops ubiquitous tokens from the join only") {
+    // with maxDf=2, tokens in ≥3 docs of block a (the,quick,brown,fox,
+    // over,lazy,dog) leave the postings join; docs 1,2 still share
+    // "jumps" (df=2) → inter=1 while union sizes stay 8+8 → 1/15
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "id", "src",
+      n = 1, threshold = 0.01, maxDf = 2)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    approx(pairs((1L, 2L)), 1.0 / 15.0, 1e-6)
+  }
+
   test("cosine and dot products are exact on known vectors") {
     val df = Seq((1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
       (2L, Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)),

@@ -110,6 +110,15 @@ class PandasOpsSpec extends SparkSpecBase {
     out shouldBe Array(Some(100.0), Some(107.0), None)
   }
 
+  test("qcutApprox buckets into near-equal populations without a global window") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val counts = df.qcutApprox("v", 4, relErr = 0.0001)
+      .groupBy("v_qbin").count().orderBy("v_qbin")
+      .select("count").as[Long].collect()
+    counts.length shouldBe 4
+    counts.foreach(c => c.toDouble shouldBe 250.0 +- 10.0)
+  }
+
   test("nlargest is deterministic with tiebreak") {
     val df = Seq((1, 5.0), (2, 5.0), (3, 1.0)).toDF("id", "v")
     df.nlargest(2, "v", "id").select("id").as[Int].collect() shouldBe
