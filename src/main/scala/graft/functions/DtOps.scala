@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Datetime accessor parity (reference
+  * src/series/datetime_accessor.rs:20-683): calendar fields,
+  * arithmetic, business days, tz conversion — all built-in
+  * compositions, codegen'd.
+  */
+object DtOps {
+
+  def year(c: Column): Column = org.apache.spark.sql.functions.year(c)
+  def month(c: Column): Column = org.apache.spark.sql.functions.month(c)
+  def day(c: Column): Column = dayofmonth(c)
+  def hour(c: Column): Column = org.apache.spark.sql.functions.hour(c)
+  def minute(c: Column): Column = org.apache.spark.sql.functions.minute(c)
+  def second(c: Column): Column = org.apache.spark.sql.functions.second(c)
+
+  /** weekday: Monday=0..Sunday=6 (datetime_accessor.rs weekday,
+    * chrono convention). */
+  def weekday(c: Column): Column = org.apache.spark.sql.functions.weekday(c)
+
+  def dayofyear(c: Column): Column =
+    org.apache.spark.sql.functions.dayofyear(c)
+  def quarter(c: Column): Column =
+    org.apache.spark.sql.functions.quarter(c)
+  def week(c: Column): Column = weekofyear(c)
+
+  /** is_weekend (datetime_accessor.rs is_weekend). */
+  def isWeekend(c: Column): Column = dayofweek(c).isin(1, 7)
+
+  def date(c: Column): Column = to_date(c)
+  def strftime(c: Column, fmt: String): Column = date_format(c, fmt)
+  def epochSeconds(c: Column): Column = unix_timestamp(c)
+
+  def addDays(c: Column, n: Int): Column = date_add(c.cast("date"), n)
+  def addHours(c: Column, n: Int): Column =
+    c + expr(s"INTERVAL $n HOURS")
+  def addMonths(c: Column, n: Int): Column =
+    add_months(c.cast("date"), n)
+  def addYears(c: Column, n: Int): Column =
+    add_months(c.cast("date"), n * 12)
+
+  /** normalize: truncate to midnight. */
+  def normalize(c: Column): Column = date_trunc("day", c)
+
+  /** round to a frequency (datetime_accessor.rs round(freq)):
+    * freq ∈ second/minute/hour/day — truncate + half-unit carry. */
+  def roundTo(c: Column, freq: String): Column = {
+    val unitSecs = freq match {
+      case "second" => 1L
+      case "minute" => 60L
+      case "hour" => 3600L
+      case "day" => 86400L
+    }
+    timestamp_seconds(
+      (round(c.cast("double") / unitSecs) * unitSecs).cast("long"))
+  }
+
+  def daysInMonth(c: Column): Column = dayofmonth(last_day(c))
+
+  def isLeapYear(c: Column): Column = {
+    val y = org.apache.spark.sql.functions.year(c)
+    (y % 4 === 0 && y % 100 =!= 0) || (y % 400 === 0)
+  }
+
+  /** is_business_day: Mon-Fri (holiday calendars join a holiday
+    * table — datetime_accessor.rs is_business_day has no calendar
+    * either). */
+  def isBusinessDay(c: Column): Column = !isWeekend(c)
+
+  /** business_day_count between two dates (inclusive-exclusive),
+    * closed form — no row explosion. */
+  def businessDayCount(start: Column, end: Column): Column = {
+    val d0 = datediff(end.cast("date"), start.cast("date"))
+    val fullWeeks = floor(d0 / 7) * 5
+    // remainder days walked from the start weekday (Mon=0)
+    val startWd = org.apache.spark.sql.functions.weekday(start)
+    val rem = d0 % 7
+    val seq = sequence(lit(0), greatest(rem - 1, lit(0)))
+    val remBiz = when(rem === 0, 0).otherwise(
+      size(filter(seq, i => (startWd + i) % 7 < 5)))
+    (fullWeeks + remBiz).cast("long")
+  }
+
+  /** tz conversion (datetime_accessor.rs:573-608): timestamps are
+    * UTC instants; render/shift via from/to_utc_timestamp. */
+  def tzConvert(c: Column, tz: String): Column = from_utc_timestamp(c, tz)
+  def tzLocalize(c: Column, tz: String): Column = to_utc_timestamp(c, tz)
+
+  /** date_range as a DataFrame — see TimeSeriesOps.dateRange. */
+}

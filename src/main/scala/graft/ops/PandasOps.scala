@@ -259,6 +259,32 @@ object PandasOps {
       df.withColumn(s"${valueCol}_qbin", bin)
     }
 
+    /** group filter (reference group/operations.rs:51,
+      * dataframe/groupby.rs:406): keep rows of groups whose aggregate
+      * predicate holds — aggregate once, semi-join back (no
+      * per-group closure, distributes). */
+    def groupFilter(keys: Seq[String], aggPred: Column): DataFrame = {
+      val keep = df.groupBy(keys.map(col): _*)
+        .agg(aggPred.as("__keep__")).filter(col("__keep__"))
+        .select(keys.map(col): _*)
+      df.join(keep, keys, "left_semi")
+    }
+
+    /** group transform (group/operations.rs:132): broadcast a group
+      * aggregate back onto every row — window over the keys. */
+    def groupTransform(keys: Seq[String], agg: Column,
+        outName: String): DataFrame =
+      df.withColumn(outName,
+        agg.over(Window.partitionBy(keys.map(col): _*)))
+
+    /** named multi-agg (reference NamedAgg / agg_dict,
+      * src/dataframe/groupby.rs:258-397). */
+    def aggNamed(keys: Seq[String],
+        aggs: (String, Column)*): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+
     /** clip to [lo, hi] (trait_def.rs:54). */
     def clip(valueCol: String, lo: Double, hi: Double): DataFrame =
       df.withColumn(valueCol,

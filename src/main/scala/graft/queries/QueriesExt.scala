@@ -88,7 +88,17 @@ object QueriesExt {
     // engine-specific)
     "q73_sample" -> ((s, d) =>
       t(s, d, "lineitem").sampleSeed(0.1, seed = 42L)
-        .select("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber")),
+
+    // §7.3 native codegen expression in a full plan (rows-only —
+    // the hash constant is ours, not DuckDB's)
+    "q74_rolling_hash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          graft.sqlext.RollingHash64.rolling_hash64(col("text")).as("h"))
+        .groupBy("source")
+        .agg(countDistinct(col("h")).as("n_distinct_hashes"),
+          count(lit(1)).as("n_docs")))
   )
 
   val oracle: Map[String, String] = Map(
