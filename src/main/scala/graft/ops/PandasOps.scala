@@ -345,6 +345,43 @@ object PandasOps {
       l.join(r, on, how)
     }
 
+    /** idxmax/idxmin (trait_def.rs:45-48): key of the extremum row
+      * via max_by/min_by — single aggregate, no sort. */
+    def idxmax(valueCol: String, idCol: String): DataFrame =
+      df.agg(max_by(col(idCol), col(valueCol)).as(s"${valueCol}_idxmax"))
+
+    def idxmin(valueCol: String, idCol: String): DataFrame =
+      df.agg(min_by(col(idCol), col(valueCol)).as(s"${valueCol}_idxmin"))
+
+    /** where/mask (src/dataframe/apply.rs:31-36,118-177): keep value
+      * where cond (where) / replace where cond (mask). */
+    def whereCond(valueCol: String, cond: Column, other: Any): DataFrame =
+      df.withColumn(valueCol,
+        when(cond, col(valueCol)).otherwise(lit(other)))
+
+    def maskCond(valueCol: String, cond: Column, other: Any): DataFrame =
+      df.withColumn(valueCol,
+        when(cond, lit(other)).otherwise(col(valueCol)))
+
+    /** equals (trait_def.rs:303): exact content equality, computed
+      * distributed via two anti-joins (no collect). */
+    def dfEquals(other: DataFrame): Boolean =
+      df.columns.sameElements(other.columns) &&
+        df.exceptAll(other).isEmpty && other.exceptAll(df).isEmpty
+
+    /** compare (trait_def.rs compare): row-level diff keyed by
+      * keyCols — returns rows whose non-key values differ, with both
+      * sides suffixed. */
+    def dfCompare(other: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val vals = df.columns.filterNot(keyCols.contains)
+      val l = vals.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "_self"))
+      val r = vals.foldLeft(other)((d, c) =>
+        d.withColumnRenamed(c, c + "_other"))
+      l.join(r, keyCols, "full")
+        .filter(vals.map(c =>
+          !(col(c + "_self") <=> col(c + "_other"))).reduce(_ || _))
+    }
+
     /** as-of join helper (exceeds reference; SURVEY §7.3): for each
       * left row, the most recent right row with rightTime <= leftTime
       * per key. Union + last(ignoreNulls) window — a single shuffle on

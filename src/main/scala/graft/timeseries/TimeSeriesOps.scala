@@ -84,6 +84,51 @@ object TimeSeriesOps {
       .orderBy(col(tsCol))
   }
 
+  /** Durbin-Watson statistic (reference src/time_series/stats.rs
+    * durbin_watson): Σ(e_t − e_{t−1})² / Σe_t² — one lag window +
+    * one aggregate. */
+  def durbinWatson(df: DataFrame, valueCol: String,
+      orderCol: String): Double = {
+    val w = Window.orderBy(col(orderCol))
+    val d = df.withColumn("__lag__", lag(col(valueCol), 1).over(w))
+      .agg(
+        sum(pow(col(valueCol) - col("__lag__"), 2)).as("num"),
+        sum(pow(col(valueCol), 2)).as("den"))
+      .head()
+    d.getDouble(0) / d.getDouble(1)
+  }
+
+  /** Jarque-Bera normality test statistic (stats.rs jarque_bera):
+    * n/6 (S² + K²/4) from one moment aggregate. */
+  def jarqueBera(df: DataFrame, valueCol: String): Double = {
+    val r = df.agg(count(lit(1)).cast("double").as("n"),
+      skewness(col(valueCol)).as("s"),
+      kurtosis(col(valueCol)).as("k")).head()
+    val (n, s, k) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    n / 6.0 * (s * s + k * k / 4.0)
+  }
+
+  /** Ljung-Box Q statistic up to maxLag (stats.rs ljung_box):
+    * autocorrelations via lag windows, finalized on the driver. */
+  def ljungBox(df: DataFrame, valueCol: String, orderCol: String,
+      maxLag: Int): Double = {
+    val w = Window.orderBy(col(orderCol))
+    val mean = df.agg(avg(col(valueCol))).head().getDouble(0)
+    val centered = df.withColumn("__c__", col(valueCol) - mean)
+    val lagged = (1 to maxLag).foldLeft(centered)((d, k) =>
+      d.withColumn(s"__l${k}__", lag(col("__c__"), k).over(w)))
+    val aggs = sum(col("__c__") * col("__c__")).as("c0") +:
+      (1 to maxLag).map(k =>
+        sum(col("__c__") * col(s"__l${k}__")).as(s"c$k"))
+    val r = lagged.agg(aggs.head, aggs.tail: _*).head()
+    val n = df.count().toDouble
+    val c0 = r.getAs[Double]("c0")
+    (1 to maxLag).map { k =>
+      val rho = r.getAs[Double](s"c$k") / c0
+      rho * rho / (n - k)
+    }.sum[Double] * n * (n + 2)
+  }
+
   /** Simple-moving-average forecast (forecasting.rs:73): driver-side
     * finalization over an ALREADY AGGREGATED (small) series — the
     * only deliberate collect in the library (SURVEY §7.4.7). */

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck invariants (our addition beyond the reference's
+  * hand-written cases, SURVEY §5): algebraic laws that must hold for
+  * any input frame regardless of partitioning. */
+object PropertiesSpec extends Properties("graft") {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowGen = for {
+    k <- Gen.oneOf("a", "b", "c", "d")
+    v <- Gen.chooseNum(-1000L, 1000L)
+  } yield (k, v)
+
+  private val frameGen = Gen.listOfN(60, rowGen)
+
+  property("groupBy-sum total equals global sum under any partitioning") =
+    forAll(frameGen, Gen.chooseNum(1, 6)) { (rows, nPart) =>
+      val df = rows.toDF("k", "v").repartition(nPart)
+      val grouped = df.groupBy("k").sum("v")
+        .agg(org.apache.spark.sql.functions.sum("sum(v)"))
+        .head().let(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+      val total = rows.map(_._2).sum
+      grouped == total
+    }
+
+  property("inner+anti join row counts partition the left side") =
+    forAll(frameGen, frameGen) { (l, r) =>
+      val left = l.toDF("k", "v")
+      val right = r.map(_._1).distinct.toDF("k")
+      val semi = left.join(right, Seq("k"), "left_semi").count()
+      val anti = left.join(right, Seq("k"), "left_anti").count()
+      semi + anti == l.size
+    }
+
+  property("union count = sum of counts; distinct ≤ union") =
+    forAll(frameGen, frameGen) { (a, b) =>
+      val da = a.toDF("k", "v"); val db = b.toDF("k", "v")
+      val u = da.union(db)
+      u.count() == a.size + b.size &&
+        u.distinct().count() <= a.size + b.size
+    }
+
+  property("orderBy is a permutation: sorted multiset equals input") =
+    forAll(frameGen) { rows =>
+      val sorted = rows.toDF("k", "v")
+        .orderBy("v", "k").as[(String, Long)].collect().toList
+      sorted == rows.sortBy(t => (t._2, t._1)) ||
+        sorted.sorted == rows.sorted // tie-order free comparison
+    }
+
+  property("dropDuplicatesKeep keeps exactly one row per key") = {
+    import graft.ops.PandasOps._
+    forAll(frameGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.zipWithIndex
+          .map { case ((k, v), i) => (k, v, i.toLong) }
+          .toDF("k", "v", "ord")
+        val out = df.dropDuplicatesKeep(Seq("k"), "ord")
+        out.count() == rows.map(_._1).distinct.size &&
+          // keep=first: the kept ord is the minimum per key
+          out.select("k", "ord").as[(String, Long)].collect().forall {
+            case (k, ord) =>
+              ord == rows.zipWithIndex.filter(_._1._1 == k).map(_._2).min
+          }
+      }
+    }
+  }
+
+  private implicit class Let[A](private val a: A) {
+    def let[B](f: A => B): B = f(a)
+  }
+}

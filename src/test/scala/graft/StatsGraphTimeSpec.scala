@@ -120,6 +120,36 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     all(r) should be < 0.2 // residuals vanish for an exact model
   }
 
+  test("idxmax/idxmin, where/mask, compare") {
+    import graft.ops.PandasOps._
+    val df = Seq((1, 5.0), (2, 9.0), (3, 1.0)).toDF("id", "v")
+    df.idxmax("v", "id").head().getInt(0) shouldBe 2
+    df.idxmin("v", "id").head().getInt(0) shouldBe 3
+    df.whereCond("v", $"v" > 4, -1.0).select("v").as[Double]
+      .collect().sorted shouldBe Array(-1.0, 5.0, 9.0)
+    df.maskCond("v", $"v" > 4, -1.0).select("v").as[Double]
+      .collect().sorted shouldBe Array(-1.0, -1.0, 1.0)
+    val other = Seq((1, 5.0), (2, 8.0), (3, 1.0)).toDF("id", "v")
+    val diff = df.dfCompare(other, Seq("id"))
+    diff.count() shouldBe 1
+    diff.head().getAs[Int]("id") shouldBe 2
+    df.dfEquals(df) shouldBe true
+    df.dfEquals(other) shouldBe false
+  }
+
+  test("time-series diagnostics: Durbin-Watson, Jarque-Bera, Ljung-Box") {
+    // alternating residuals → strong negative autocorrelation → DW ≈ 4
+    val alt = (0 until 100).map(i => (i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("t", "e")
+    TimeSeriesOps.durbinWatson(alt, "e", "t") shouldBe 3.96 +- 0.05
+    // symmetric two-point distribution: skew 0, negative excess kurtosis
+    val jb = TimeSeriesOps.jarqueBera(alt, "e")
+    jb should be > 0.0
+    // white-noise-ish deterministic sequence → small Q; alternating → large
+    val q = TimeSeriesOps.ljungBox(alt, "e", "t", 3)
+    q should be > 50.0 // alternating series is maximally autocorrelated
+  }
+
   test("holtForecast extrapolates a linear series") {
     val fc = TimeSeriesOps.holtForecast(
       (1 to 10).map(_.toDouble), alpha = 0.8, beta = 0.8, steps = 3)
