@@ -69,6 +69,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: k-means centroids define inverted lists; probes
+    * scan only the nProbe nearest lists. Centroids are tiny (k×dim,
+    * driver-held literals); assignment is a map-side expression. At
+    * rest, write the table partitioned by `ivf_list` so a probe is a
+    * partition-pruned scan (SCALE.md). */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nLists: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    import graft.ml.MlOps
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val feats = (0 until dim).map(i =>
+      element_at(col(vecCol), i + 1).cast("double").as(s"f$i"))
+    val flat = df.select((col(idCol) +: col(vecCol).as("__v__") +: feats): _*)
+    val centroids = MlOps.kmeans(flat.drop(idCol, "__v__"),
+      (0 until dim).map(i => s"f$i"), nLists)
+      .groupBy("cluster")
+      .agg(avg(col("f0")).as("c0"),
+        (1 until dim).map(i => avg(col(s"f$i")).as(s"c$i")): _*)
+      .collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        (0 until dim).map(i => r.getAs[Double](s"c$i")))
+    def nearestLists(v: Seq[Double], n: Int): Seq[Int] =
+      centroids.sortBy { case (_, c) =>
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.take(n).map(_._1).toSeq
+    val assignExpr = centroids.map { case (cid, c) =>
+      val dist = c.zipWithIndex.map { case (cv, i) =>
+        (element_at(col("__v__"), i + 1).cast("double") - cv) *
+          (element_at(col("__v__"), i + 1).cast("double") - cv)
+      }.reduce(_ + _)
+      struct(dist.as("d"), lit(cid).as("c"))
+    }
+    val q = query.map(_.toDouble)
+    val probeLists = nearestLists(q, nProbe)
+    val qArr = array(query.map(v => lit(v)): _*)
+    flat.withColumn("ivf_list",
+        array_min(array(assignExpr: _*)).getField("c"))
+      .filter(col("ivf_list").isin(probeLists: _*))
+      .select(col(idCol),
+        round(cosine(col("__v__"), qArr), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per vector within LSH buckets
     * (k-NN graph construction). */
   def knnGraph(df: DataFrame, vecCol: String, idCol: String, k: Int,

@@ -84,6 +84,19 @@ object PandasOps {
     def crosstab2(a: String, b: String): DataFrame =
       df.groupBy(a).pivot(b).agg(count(lit(1)))
 
+    /** hierarchical-groupby navigation parity
+      * (src/dataframe/hierarchical_groupby.rs:232): rollup + a level
+      * label decoded from grouping_id, replacing the reference's tree
+      * object with a flat navigable frame. */
+    def rollupLevels(keys: Seq[String], aggs: Column*): DataFrame = {
+      val gid = grouping_id().cast("long")
+      val level = lit(keys.size) - keys.indices
+        .map(i => (gid / (1L << (keys.size - 1 - i)) % 2).cast("int"))
+        .reduce(_ + _)
+      df.rollup(keys.map(col): _*)
+        .agg(aggs.head, (aggs.tail :+ level.as("level")): _*)
+    }
+
     /** fillna with per-column constants (trait_def.rs:110-121). */
     def fillna(values: Map[String, Any]): DataFrame = df.na.fill(values)
 

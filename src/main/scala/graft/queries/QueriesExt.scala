@@ -90,6 +90,38 @@ object QueriesExt {
       t(s, d, "lineitem").sampleSeed(0.1, seed = 42L)
         .select("l_orderkey", "l_linenumber")),
 
+    // §2.3 non-equi (range/theta) join: fact rows against a
+    // broadcast band dimension — exceeds the reference (equi-only)
+    "q75_band_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 80000.0),
+        ("mid", 80000.0, 160000.0),
+        ("high", 160000.0, 1e9)).toDF("band", "lo", "hi")
+      t(s, d, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") &&
+            col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_c"))
+    }),
+
+    // §2.4 hierarchical groupby navigation: rollup + decoded level
+    "q76_rollup_levels" -> ((s, d) =>
+      t(s, d, "lineitem").rollupLevels(
+        Seq("l_returnflag", "l_linestatus"),
+        count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
+
+    // north star: IVF ANN probe (kmeans lists — rows-only, centroid
+    // assignment is implementation-defined)
+    "q77_embed_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      graft.llm.Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, k = 10, nLists = 8, nProbe = 3)
+    }),
+
     // §7.3 native codegen expression in a full plan (rows-only —
     // the hash constant is ours, not DuckDB's)
     "q74_rolling_hash" -> ((s, d) =>
@@ -102,6 +134,23 @@ object QueriesExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "q75_band_join" ->
+      """SELECT band, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM orders
+        |JOIN (VALUES ('low', 0.0, 80000.0), ('mid', 80000.0, 160000.0),
+        |      ('high', 160000.0, 1e9)) AS bands(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1""".stripMargin,
+
+    "q76_rollup_levels" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(2 - (CASE WHEN GROUPING(l_returnflag) = 1 THEN 1 ELSE 0 END
+        |          + CASE WHEN GROUPING(l_linestatus) = 1 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS level
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
     "q57_ewm" ->
       """WITH RECURSIVE base AS (
         |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,

@@ -84,6 +84,71 @@ object TimeSeriesOps {
       .orderBy(col(tsCol))
   }
 
+  /** Lag/rolling feature extraction (reference
+    * src/time_series/features.rs): adds lag_k and rolling-mean
+    * columns per key in one window pass. */
+  def lagFeatures(df: DataFrame, valueCol: String, orderCol: String,
+      keyCols: Seq[String], lags: Seq[Int],
+      rollWindows: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val withLags = lags.foldLeft(df)((d, k) =>
+      d.withColumn(s"${valueCol}_lag$k", lag(col(valueCol), k).over(w)))
+    rollWindows.foldLeft(withLags)((d, n) =>
+      d.withColumn(s"${valueCol}_rollmean$n",
+        avg(col(valueCol)).over(w.rowsBetween(-(n - 1), 0))))
+  }
+
+  /** Linear detrend (reference src/time_series/preprocessing.rs):
+    * residual of the OLS fit value ~ rownum, computed from sufficient
+    * sums — two passes, no collect of rows. */
+  def detrendLinear(df: DataFrame, valueCol: String,
+      orderCol: String): DataFrame = {
+    val wAll = Window.orderBy(col(orderCol))
+    val withX = df.withColumn("__x__",
+      row_number().over(wAll).cast("double"))
+    val s = withX.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("__x__")).as("sx"),
+      sum(col(valueCol)).as("sy"),
+      sum(col("__x__") * col("__x__")).as("sxx"),
+      sum(col("__x__") * col(valueCol)).as("sxy")).head()
+    val (n, sx, sy, sxx, sxy) = (s.getDouble(0), s.getDouble(1),
+      s.getDouble(2), s.getDouble(3), s.getDouble(4))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    withX.withColumn(s"${valueCol}_detrended",
+      col(valueCol) - (lit(icept) + lit(slope) * col("__x__")))
+      .drop("__x__")
+  }
+
+  /** Augmented Dickey-Fuller test statistic, lag order 0 (reference
+    * src/time_series/stats.rs ADF): Δy_t = α + γ·y_{t−1} + ε; the
+    * statistic is γ̂/se(γ̂). Sufficient sums via one aggregate; the
+    * 2×2 normal-equation solve happens on the driver. */
+  def adfStatistic(df: DataFrame, valueCol: String,
+      orderCol: String): Double = {
+    val w = Window.orderBy(col(orderCol))
+    val d = df
+      .withColumn("__yl__", lag(col(valueCol), 1).over(w))
+      .withColumn("__dy__", col(valueCol) - col("__yl__"))
+      .filter(col("__yl__").isNotNull)
+    val s = d.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("__yl__")).as("sx"), sum(col("__dy__")).as("sy"),
+      sum(col("__yl__") * col("__yl__")).as("sxx"),
+      sum(col("__yl__") * col("__dy__")).as("sxy"),
+      sum(col("__dy__") * col("__dy__")).as("syy")).head()
+    val (n, sx, sy, sxx, sxy, syy) = (s.getDouble(0), s.getDouble(1),
+      s.getDouble(2), s.getDouble(3), s.getDouble(4), s.getDouble(5))
+    val gamma = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val alpha = (sy - gamma * sx) / n
+    // SSE = Σ(dy − α − γ·yl)² expanded in sums
+    val sse = syy - 2 * alpha * sy - 2 * gamma * sxy + n * alpha * alpha +
+      2 * alpha * gamma * sx + gamma * gamma * sxx
+    val s2 = sse / (n - 2)
+    val seGamma = math.sqrt(s2 * n / (n * sxx - sx * sx))
+    gamma / seGamma
+  }
+
   /** Durbin-Watson statistic (reference src/time_series/stats.rs
     * durbin_watson): Σ(e_t − e_{t−1})² / Σe_t² — one lag window +
     * one aggregate. */

@@ -99,6 +99,19 @@ class LlmOpsSpec extends SparkSpecBase {
     top shouldBe Array(1L, 2L)
   }
 
+  test("ivfTopK finds the same neighbors as brute force on separable data") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i < 20) 0.0f else 10.0f
+      (i.toLong, Seq(base + i * 0.01f, base - i * 0.01f, 1.0f))
+    }.toDF("id", "vec")
+    val q = Seq(0.1f, -0.1f, 1.0f)
+    val brute = Similarity.bruteForceTopK(vecs, "vec", "id", q, 5)
+      .select("id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec", "id", q, 5,
+      nLists = 2, nProbe = 1).select("id").as[Long].collect().toSet
+    ivf shouldBe brute // probe hits the near cluster
+  }
+
   test("hyperplaneBucket is deterministic and stable") {
     val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)))
       .toDF("id", "vec")

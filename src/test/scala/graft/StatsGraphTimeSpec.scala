@@ -150,6 +150,52 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     q should be > 50.0 // alternating series is maximally autocorrelated
   }
 
+  test("adfStatistic: stationary noise strongly negative, random walk near zero") {
+    // deterministic pseudo-noise (no RNG): mean-reverting alternation
+    val stationary = (0 until 200)
+      .map(i => (i, math.sin(i * 1.7) + 0.1 * math.sin(i * 13.3)))
+      .toDF("t", "v")
+    TimeSeriesOps.adfStatistic(stationary, "v", "t") should be < -5.0
+    // genuine unit-root series: pseudo-iid increments (shader-hash,
+    // mean-centered); offline ADF of this exact path ≈ -2.67
+    val raw = (1 to 200).map(i =>
+      (math.sin(i.toDouble) * 43758.5453) % 1.0)
+    val mean = raw.sum / raw.size
+    val walk = raw.map(_ - mean).scanLeft(0.0)(_ + _).zipWithIndex
+      .map { case (v, i) => (i, v + 100.0) }.toDF("t", "v")
+    TimeSeriesOps.adfStatistic(walk, "v", "t") should be > -3.0
+  }
+
+  test("detrendLinear removes an exact linear trend") {
+    val df = (1 to 50).map(i => (i, 3.0 * i + 10.0)).toDF("t", "v")
+    val out = TimeSeriesOps.detrendLinear(df, "v", "t")
+      .select(abs($"v_detrended")).as[Double].collect()
+    all(out) should be < 1e-9
+  }
+
+  test("lagFeatures adds lag and rolling-mean columns per key") {
+    val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeriesOps.lagFeatures(df, "v", "t", Seq("k"),
+      lags = Seq(1), rollWindows = Seq(2)).orderBy("t")
+    out.columns should contain allOf ("v_lag1", "v_rollmean2")
+    out.select("v_lag1").as[Option[Double]].collect() shouldBe
+      Array(None, Some(1.0), Some(2.0))
+    out.select("v_rollmean2").as[Double].collect() shouldBe
+      Array(1.0, 1.5, 2.5)
+  }
+
+  test("rollupLevels decodes grouping depth") {
+    import graft.ops.PandasOps._
+    val df = Seq(("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 3.0))
+      .toDF("a", "b", "v")
+    val out = df.rollupLevels(Seq("a", "b"), sum($"v").as("s"))
+    out.filter($"level" === 0).count() shouldBe 1 // grand total
+    out.filter($"level" === 1).count() shouldBe 2 // per-a subtotals
+    out.filter($"level" === 2).count() shouldBe 3 // leaves
+    out.filter($"level" === 0).select("s").as[Double].head() shouldBe 6.0
+  }
+
   test("holtForecast extrapolates a linear series") {
     val fc = TimeSeriesOps.holtForecast(
       (1 to 10).map(_.toDouble), alpha = 0.8, beta = 0.8, steps = 3)

@@ -66,6 +66,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sliding windows emit overlapping aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.sliding(
+      input.toDF().toDF("ts", "k", "v"), "ts", "10 minutes",
+      "5 minutes", "1 minute", Seq("k"),
+      Seq(sum($"v").as("s")))
+    val q = agg.writeStream.format("memory").queryName("sliding_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(7), "a", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(40), "a", 2.0)) // advance watermark, close
+      q.processAllAvailable()
+      val starts = spark.table("sliding_t")
+        .select(col("window.start").cast("string")).as[String]
+        .collect().toSet
+      // an event at 00:07 belongs to windows starting 00:00 and 00:05
+      starts should contain("2024-01-01 00:00:00")
+      starts should contain("2024-01-01 00:05:00")
+    } finally q.stop()
+  }
+
   test("count-based windows emit every n records per key") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.Encoders
