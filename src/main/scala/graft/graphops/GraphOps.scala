@@ -78,6 +78,41 @@ object GraphOps {
     ranks
   }
 
+  /** Dijkstra / weighted single-source shortest paths
+    * (path.rs:101,176) by distributed Bellman-Ford relaxation —
+    * Dijkstra's priority queue doesn't distribute, so each superstep
+    * relaxes every edge (join + min); converges in O(longest path)
+    * rounds with early exit, which is the standard Pregel SSSP. */
+  def shortestPaths(edges: DataFrame, sourceId: Any,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double"))
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    var dist = vertices.withColumn("dist",
+      when(col("id") === lit(sourceId), 0.0))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val relaxed = e.join(dist.filter(col("dist").isNotNull),
+          e("src") === col("id"))
+        .select(e("dst").as("id"), (col("dist") + col("weight")).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+      val next = dist.join(relaxed, Seq("id"), "left")
+        .select(col("id"), least(
+          coalesce(col("dist"), lit(Double.MaxValue)),
+          coalesce(col("nd"), lit(Double.MaxValue))).as("d2"))
+        .select(col("id"),
+          when(col("d2") =!= Double.MaxValue, col("d2")).as("dist"))
+        .localCheckpoint(eager = true)
+      changed = next.join(dist.withColumnRenamed("dist", "old"), Seq("id"))
+        .filter(!(col("dist") <=> col("old"))).count()
+      dist = next
+      i += 1
+    }
+    dist
+  }
+
   /** BFS shortest hop-distance from a source set (traversal.rs:62,
     * shortest_path_bfs :116): frontier expansion per superstep. */
   def bfsDistances(edges: DataFrame, sourceIds: Seq[Any],

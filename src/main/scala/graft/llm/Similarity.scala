@@ -24,7 +24,15 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
+  /** Cosine over float arrays: fused native codegen expression
+    * (graft.sqlext.CosineSimilarity) — one pass, no intermediate
+    * array, same sequential double accumulation as the composed
+    * form (bit-identical results). */
   def cosine(a: Column, b: Column): Column =
+    graft.sqlext.CosineSimilarity.cosine_similarity(a, b)
+
+  /** Composed fallback for non-float arrays. */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Brute-force cosine top-k against one query vector (as a literal

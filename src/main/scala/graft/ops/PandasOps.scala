@@ -358,6 +358,55 @@ object PandasOps {
       l.join(r, on, how)
     }
 
+    /** positional row selection (reference select.rs:53
+      * select_rows_by_indices): order-dependent, takes an explicit
+      * order column per SURVEY §7.4.1. */
+    def selectRowsByPosition(positions: Seq[Long],
+        orderCols: Seq[String]): DataFrame = {
+      val w = Window.orderBy(orderCols.map(col): _*)
+      df.withColumn("__pos__", row_number().over(w).cast("long") - 1)
+        .filter(col("__pos__").isin(positions: _*))
+        .drop("__pos__")
+    }
+
+    /** head/tail/offset over an explicit order
+      * (row_ops.rs:284-301; distributed Offset). */
+    def headN(n: Int, orderCols: Seq[String]): DataFrame =
+      df.orderBy(orderCols.map(col): _*).limit(n)
+
+    def tailN(n: Int, orderCols: Seq[String]): DataFrame =
+      df.orderBy(orderCols.map(c => col(c).desc): _*).limit(n)
+
+    def offsetN(n: Int, orderCols: Seq[String]): DataFrame =
+      df.orderBy(orderCols.map(col): _*).offset(n)
+
+    /** concat axis=1 (pandas_compat/concat.rs:36): align two frames
+      * on a key column. */
+    def concatCols(other: DataFrame, key: String): DataFrame =
+      df.join(other, Seq(key), "full")
+
+    /** DataFrame-wide rolling over every numeric column
+      * (src/dataframe/enhanced_window.rs:25-294). */
+    def rollingAll(n: Int, agg: Column => Column,
+        orderCols: Seq[String],
+        partitionCols: Seq[String] = Nil): DataFrame = {
+      import org.apache.spark.sql.types.NumericType
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(-(n - 1), 0)
+      df.schema.fields
+        .filter(f => f.dataType.isInstanceOf[NumericType] &&
+          !orderCols.contains(f.name) && !partitionCols.contains(f.name))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(s"${f.name}_roll$n", agg(col(f.name)).over(w)))
+    }
+
+    /** apply a column expression to many columns at once
+      * (apply.rs applymap / par_apply — expression-first per
+      * SURVEY §2.15). */
+    def applyNumeric(f: Column => Column, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, f(col(c))))
+
     /** idxmax/idxmin (trait_def.rs:45-48): key of the extremum row
       * via max_by/min_by — single aggregate, no sort. */
     def idxmax(valueCol: String, idCol: String): DataFrame =

@@ -68,6 +68,34 @@ object StatsOps {
         ((countDistinct(a) - 1) * (countDistinct(b) - 1)).as("dof"))
   }
 
+  /** Cramér's V association strength (stats/mod.rs cramers_v):
+    * sqrt(χ²/(n·(k−1))). */
+  def cramersV(df: DataFrame, a: String, b: String): DataFrame = {
+    val n = df.count()
+    chiSquare(df, a, b)
+      .crossJoin(broadcast(df.agg(
+        least(countDistinct(a), countDistinct(b)).as("kmin"))))
+      .select(sqrt(col("chi2") / (lit(n.toDouble) * (col("kmin") - 1)))
+        .as("cramers_v"))
+  }
+
+  /** Normalized mutual information of two categorical columns
+    * (stats/mod.rs normalized_mutual_info): plug-in estimator from
+    * joint/marginal counts, NMI = I(X;Y)/sqrt(H(X)H(Y)). */
+  def normalizedMutualInfo(df: DataFrame, a: String, b: String): DataFrame = {
+    val n = df.count().toDouble
+    val joint = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("nxy"))
+    val ma = df.groupBy(col(a)).agg(count(lit(1)).as("nx"))
+    val mb = df.groupBy(col(b)).agg(count(lit(1)).as("ny"))
+    val mi = joint.join(broadcast(ma), Seq(a)).join(broadcast(mb), Seq(b))
+      .agg(sum((col("nxy") / n) *
+        log((col("nxy") * n) / (col("nx") * col("ny")))).as("mi"))
+    val hx = ma.agg((-sum((col("nx") / n) * log(col("nx") / n))).as("hx"))
+    val hy = mb.agg((-sum((col("ny") / n) * log(col("ny") / n))).as("hy"))
+    mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select((col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
+  }
+
   /** OLS simple linear regression (stats/regression): slope/intercept
     * /r² from the five sufficient sums — one aggregate pass. */
   def linearRegression(df: DataFrame, xCol: String,

@@ -112,6 +112,23 @@ class LlmOpsSpec extends SparkSpecBase {
     ivf shouldBe brute // probe hits the near cluster
   }
 
+  test("native CosineSimilarity matches the composed form bit-for-bit") {
+    val df = (0 until 50).map { i =>
+      (i.toLong, (0 until 16).map(j => (math.sin(i * 17 + j) * 3).toFloat),
+        (0 until 16).map(j => (math.cos(i * 13 + j) * 2).toFloat))
+    }.toDF("id", "a", "b")
+    val out = df.select(
+      Similarity.cosine($"a", $"b").as("native"),
+      Similarity.cosineComposed($"a", $"b").as("composed"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, c) => n shouldBe c } // exact equality
+    // SQL registration path
+    graft.sqlext.CosineSimilarity.register(spark)
+    df.createOrReplaceTempView("cos_t")
+    spark.sql("SELECT cosine_similarity(a, b) FROM cos_t WHERE id = 7")
+      .as[Double].head() shouldBe out(7)._1
+  }
+
   test("hyperplaneBucket is deterministic and stable") {
     val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)))
       .toDF("id", "vec")

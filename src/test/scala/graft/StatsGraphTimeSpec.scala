@@ -86,6 +86,48 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     pr("c") should be > pr("a")
   }
 
+  test("shortestPaths relaxes weighted edges (Dijkstra semantics)") {
+    val e = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0),
+      ("c", "d", 1.0)).toDF("src", "dst", "weight")
+    val d = GraphOps.shortestPaths(e, "a")
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    d("a") shouldBe Some(0.0)
+    d("b") shouldBe Some(1.0)
+    d("c") shouldBe Some(2.0) // via b, not the direct 5.0 edge
+    d("d") shouldBe Some(3.0)
+  }
+
+  test("cramersV and NMI detect association strength") {
+    val dep = (0 until 100).map(i => (s"a${i % 3}", s"b${i % 3}"))
+      .toDF("x", "y") // perfect association
+    approx(StatsOps.cramersV(dep, "x", "y").head().getDouble(0), 1.0, 1e-6)
+    approx(StatsOps.normalizedMutualInfo(dep, "x", "y")
+      .head().getDouble(0), 1.0, 1e-6)
+    val indep = (0 until 90).map(i => (s"a${i % 3}", s"b${(i / 3) % 3}"))
+      .toDF("x", "y")
+    approx(StatsOps.cramersV(indep, "x", "y").head().getDouble(0), 0.0, 1e-6)
+  }
+
+  test("positional selection, head/tail/offset, concatCols, rollingAll") {
+    import graft.ops.PandasOps._
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0))
+      .toDF("ord", "v")
+    df.selectRowsByPosition(Seq(0L, 2L), Seq("ord"))
+      .select("ord").as[Int].collect().sorted shouldBe Array(1, 3)
+    df.headN(2, Seq("ord")).select("ord").as[Int].collect() shouldBe
+      Array(1, 2)
+    df.tailN(1, Seq("ord")).select("ord").as[Int].head() shouldBe 4
+    df.offsetN(3, Seq("ord")).select("ord").as[Int].collect() shouldBe
+      Array(4)
+    val other = Seq((1, "x"), (9, "z")).toDF("ord", "s")
+    df.concatCols(other, "ord").count() shouldBe 5
+    val rolled = df.rollingAll(2, c => avg(c), Seq("ord"))
+    rolled.columns should contain("v_roll2")
+    rolled.orderBy("ord").select("v_roll2").as[Double]
+      .collect() shouldBe Array(10.0, 15.0, 25.0, 35.0)
+  }
+
   test("bfsDistances computes hop counts") {
     val e = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
     val d = GraphOps.bfsDistances(e, Seq(1))
