@@ -100,6 +100,18 @@ object PandasOps {
     /** fillna with per-column constants (trait_def.rs:110-121). */
     def fillna(values: Map[String, Any]): DataFrame = df.na.fill(values)
 
+    /** dropna (trait_def.rs dropna): how ∈ any|all, optional subset. */
+    def dropna(how: String = "any",
+        subset: Seq[String] = Nil): DataFrame =
+      if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset)
+
+    /** unstack = long-to-wide (src/dataframe/transform.rs:141):
+      * inverse of melt. */
+    def unstack(index: Seq[String], pivotCol: String,
+        valueCol: String): DataFrame =
+      df.groupBy(index.map(col): _*).pivot(pivotCol)
+        .agg(first(col(valueCol)))
+
     /** forward-fill within partitions ordered by orderCol
       * (trait_def.rs ffill; SURVEY §2.9). last(ignoreNulls) over an
       * unbounded-preceding frame — one window pass, distributes. */

@@ -90,6 +90,33 @@ object QueriesExt {
       t(s, d, "lineitem").sampleSeed(0.1, seed = 42L)
         .select("l_orderkey", "l_linenumber")),
 
+    // §2.12 one-way ANOVA from exact integer sums
+    "q78_anova" -> ((s, d) => {
+      val e = t(s, d, "events").withColumn("vc", cents(col("value")))
+      val g = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("s1"),
+          sum(col("vc") * col("vc")).as("s2"))
+      // only the F ratio is emitted as a double: the sum-of-group-terms
+      // has engine-dependent FP order, but the ratio's relative error
+      // (~1e-11) is far inside the 6-decimal round
+      g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+          sum(col("s1")).as("ts1"), sum(col("s2")).as("ts2"),
+          sum(dbl(col("s1")) * dbl(col("s1")) / dbl(col("n"))).as("sgm"))
+        .select(col("k"), col("nn"),
+          round(((col("sgm") - dbl(col("ts1")) * dbl(col("ts1")) / dbl(col("nn"))) /
+            (dbl(col("k")) - 1)) /
+            ((dbl(col("ts2")) - col("sgm")) /
+              (dbl(col("nn")) - dbl(col("k")))), 6).as("f_stat"))
+    }),
+
+    // §2.9 unstack (long-to-wide, inverse of melt)
+    "q79_unstack" -> ((s, d) => {
+      val long = t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("qty"))
+      long.unstack(Seq("l_returnflag"), "l_linestatus", "qty")
+    }),
+
     // §2.3 non-equi (range/theta) join: fact rows against a
     // broadcast band dimension — exceeds the reference (equi-only)
     "q75_band_join" -> ((s, d) => {
@@ -134,6 +161,34 @@ object QueriesExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "q78_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(vc) AS BIGINT) AS s1,
+        |    CAST(sum(vc * vc) AS BIGINT) AS s2
+        |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |    FROM events) GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s1) AS BIGINT) AS ts1, CAST(sum(s2) AS BIGINT) AS ts2,
+        |    sum(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS sgm
+        |  FROM g)
+        |SELECT k, nn,
+        |  round(((sgm - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1)) /
+        |    ((CAST(ts2 AS DOUBLE) - sgm) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |    AS f_stat
+        |FROM t""".stripMargin,
+
+    "q79_unstack" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN qty END) AS F,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN qty END) AS O
+        |FROM (SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |GROUP BY 1""".stripMargin,
+
     "q75_band_join" ->
       """SELECT band, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c

@@ -68,6 +68,28 @@ object StatsOps {
         ((countDistinct(a) - 1) * (countDistinct(b) - 1)).as("dof"))
   }
 
+  /** One-way ANOVA F statistic (stats/mod.rs anova,
+    * categorical_anova): between/within sums of squares from per-group
+    * sufficient sums — one aggregate pass. */
+  def anovaOneWay(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = df.groupBy(groupCol)
+      .agg(count(lit(1)).cast("double").as("n"), sum(v).as("s1"),
+        sum(v * v).as("s2"))
+    g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("s1")).as("ts1"), sum(col("s2")).as("ts2"),
+        sum(col("s1") * col("s1") / col("n")).as("sgm"))
+      .select(
+        ((col("sgm") - col("ts1") * col("ts1") / col("nn")) /
+          (col("k") - 1)).as("ms_between"),
+        ((col("ts2") - col("sgm")) / (col("nn") - col("k")))
+          .as("ms_within"),
+        (col("k") - 1).as("df_between"),
+        (col("nn") - col("k")).cast("long").as("df_within"))
+      .withColumn("f_stat", col("ms_between") / col("ms_within"))
+  }
+
   /** Cramér's V association strength (stats/mod.rs cramers_v):
     * sqrt(χ²/(n·(k−1))). */
   def cramersV(df: DataFrame, a: String, b: String): DataFrame = {

@@ -98,6 +98,17 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     d("d") shouldBe Some(3.0)
   }
 
+  test("anovaOneWay: identical groups F≈0, separated groups F large") {
+    val same = (0 until 60).map(i => (s"g${i % 3}", (i / 3 % 5).toDouble))
+      .toDF("g", "v")
+    StatsOps.anovaOneWay(same, "v", "g").head()
+      .getAs[Double]("f_stat") shouldBe 0.0 +- 1e-9
+    val sep = ((1 to 20).map(i => ("a", i / 100.0)) ++
+      (1 to 20).map(i => ("b", 50.0 + i / 100.0))).toDF("g", "v")
+    StatsOps.anovaOneWay(sep, "v", "g").head()
+      .getAs[Double]("f_stat") should be > 1000.0
+  }
+
   test("cramersV and NMI detect association strength") {
     val dep = (0 until 100).map(i => (s"a${i % 3}", s"b${i % 3}"))
       .toDF("x", "y") // perfect association
