@@ -53,7 +53,9 @@ object GraphOps {
   }
 
   /** PageRank (centrality.rs:250): power iteration with damping;
-    * contributions shuffle on dst, dangling mass redistributed. */
+    * contributions shuffle on dst. Dangling (sink) mass is folded in
+    * via a broadcast one-row aggregate — no driver-side collect
+    * inside the loop, so each superstep is a pure distributed plan. */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val vertices = edges.select(col("src").as("id"))
@@ -61,18 +63,20 @@ object GraphOps {
     val n = vertices.count().toDouble
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val links = edges.join(outDeg, "src").cache()
+    val sinks = vertices.join(outDeg.select(col("src").as("id")),
+      Seq("id"), "left_anti").cache()
     var ranks = vertices.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       val contribs = links.join(ranks, links("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("c"))
-      val total = ranks.agg(sum("rank")).first().getDouble(0)
-      val received = contribs.agg(sum("c")).first().getDouble(0)
-      val danglingMass = total - received // rank held by sink vertices
+      val dangling = sinks.join(ranks, Seq("id"))
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
       val next = vertices.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"), (lit((1 - damping) / n) +
           lit(damping) * (coalesce(col("c"), lit(0.0)) +
-            lit(danglingMass / n))).as("rank"))
+            col("dm") / n)).as("rank"))
       ranks = next.localCheckpoint(eager = true)
     }
     ranks

@@ -43,6 +43,17 @@ object Dedup {
     }: _*)
   }
 
+  /** Production-speed MinHash: xxhash64-based (codegen'd, no hex
+    * strings). Same banding downstream; the md5 variant above exists
+    * for engine-portable oracle verification. */
+  def minhashSignatureFast(text: Column, numHashes: Int,
+      shingleSize: Int = 3): Column = {
+    val sh = TextFunctions.wordNgrams(text, shingleSize)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }: _*)
+  }
+
   /** MinHash + LSH banding: rows sharing any band bucket become
     * candidate pairs. bands*rowsPerBand = signature length. The
     * band-bucket groupBy is the only shuffle; candidate verification

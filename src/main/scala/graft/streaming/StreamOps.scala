@@ -42,6 +42,69 @@ object StreamOps {
       .groupBy((session_window(col(tsCol), gap) +: keyCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  case class SessionCapState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionCapOut(key: String, startMs: Long, endMs: Long,
+      n: Long, sum: Double, closedBy: String)
+
+  /** Session windows with BOTH a gap and a max-duration cap
+    * (reference src/streaming/window.rs:115,133 — Spark's
+    * session_window has gap only; SURVEY §7.4.5). Stateful per-key
+    * logic: a session closes when the gap is exceeded, when the
+    * running duration would exceed maxDuration, or on event-time
+    * timeout at the watermark. Input df needs (keyCol: string,
+    * tsCol: timestamp, valueCol: double). */
+  def sessionWithCap(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, watermark: String, gapMs: Long,
+      maxDurationMs: Long)(
+      implicit e: Encoder[SessionCapOut],
+      se: Encoder[SessionCapState]): Dataset[SessionCapOut] =
+    df.withWatermark(tsCol, watermark)
+      .select(col(keyCol), col(tsCol), col(valueCol).cast("double"))
+      .as[(String, java.sql.Timestamp, Double)](
+        Encoders.tuple(Encoders.STRING,
+          Encoders.TIMESTAMP, Encoders.scalaDouble))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[SessionCapState, SessionCapOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String,
+         rows: Iterator[(String, java.sql.Timestamp, Double)],
+         state: GroupState[SessionCapState]) =>
+          val out = scala.collection.mutable.ListBuffer[SessionCapOut]()
+          if (state.hasTimedOut) {
+            state.getOption.foreach { s =>
+              out += SessionCapOut(key, s.start, s.last, s.n, s.sum,
+                "watermark")
+            }
+            state.remove()
+          } else {
+            var cur = state.getOption
+            rows.toSeq.sortBy(_._2.getTime)
+              .foreach { case (_, tsv, v) =>
+                val ts = tsv.getTime
+              cur match {
+                case Some(s) if ts - s.last > gapMs =>
+                  out += SessionCapOut(key, s.start, s.last, s.n, s.sum,
+                    "gap")
+                  cur = Some(SessionCapState(ts, ts, 1, v))
+                case Some(s) if ts - s.start >= maxDurationMs =>
+                  out += SessionCapOut(key, s.start, s.last, s.n, s.sum,
+                    "max_duration")
+                  cur = Some(SessionCapState(ts, ts, 1, v))
+                case Some(s) =>
+                  cur = Some(SessionCapState(s.start, ts, s.n + 1,
+                    s.sum + v))
+                case None =>
+                  cur = Some(SessionCapState(ts, ts, 1, v))
+              }
+              }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+          }
+          out.iterator
+      }
+
   case class CountWindowState(buf: List[Double])
   case class CountWindowOut(key: String, windowEnd: Long, count: Int,
       sum: Double, mean: Double)

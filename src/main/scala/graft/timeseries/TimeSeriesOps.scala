@@ -149,6 +149,34 @@ object TimeSeriesOps {
     gamma / seGamma
   }
 
+  /** KPSS stationarity statistic (reference src/time_series/stats.rs
+    * kpss, level case): η = Σ S_t² / (n²·σ̂²_lr) where S_t are
+    * partial sums of demeaned values and σ̂²_lr uses Bartlett
+    * weights up to `lags`. Window cumsum + lag-covariance aggregates;
+    * scalar finish on the driver. */
+  def kpssStatistic(df: DataFrame, valueCol: String, orderCol: String,
+      lags: Int = 4): Double = {
+    val w = Window.orderBy(col(orderCol))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mean = df.agg(avg(col(valueCol))).head().getDouble(0)
+    val centered = df.withColumn("__e__", col(valueCol) - mean)
+      .withColumn("__s__", sum(col("__e__")).over(wCum))
+    val lagged = (1 to lags).foldLeft(centered)((d, k) =>
+      d.withColumn(s"__el${k}__", lag(col("__e__"), k).over(w)))
+    val aggs = Seq(count(lit(1)).cast("double").as("n"),
+      sum(col("__s__") * col("__s__")).as("ss"),
+      sum(col("__e__") * col("__e__")).as("g0")) ++
+      (1 to lags).map(k =>
+        sum(col("__e__") * col(s"__el${k}__")).as(s"g$k"))
+    val r = lagged.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Double]("n")
+    val g0 = r.getAs[Double]("g0") / n
+    val lrVar = g0 + 2.0 * (1 to lags).map { k =>
+      (1.0 - k / (lags + 1.0)) * (r.getAs[Double](s"g$k") / n)
+    }.sum
+    r.getAs[Double]("ss") / (n * n * lrVar)
+  }
+
   /** Durbin-Watson statistic (reference src/time_series/stats.rs
     * durbin_watson): Σ(e_t − e_{t−1})² / Σe_t² — one lag window +
     * one aggregate. */

@@ -44,6 +44,15 @@ class LlmOpsSpec extends SparkSpecBase {
     pairs should not contain ((1L, 4L))
   }
 
+  test("fast minhash signature: identical texts identical, stable length") {
+    val sig = docs.select($"id",
+      Dedup.minhashSignatureFast($"text", 12).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    sig(1L) shouldBe sig(2L)
+    sig(1L).length shouldBe 12
+    sig(1L) should not be sig(4L)
+  }
+
   test("simhash of identical texts has hamming 0; different texts differ") {
     val sims = docs.select($"id", Dedup.simhash64($"text").as("s"))
       .as[(Long, Long)].collect().toMap

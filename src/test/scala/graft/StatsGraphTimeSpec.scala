@@ -219,6 +219,15 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     TimeSeriesOps.adfStatistic(walk, "v", "t") should be > -3.0
   }
 
+  test("kpssStatistic: stationary small, trending large") {
+    val stationary = (0 until 200)
+      .map(i => (i, math.sin(i * 1.7))).toDF("t", "v")
+    TimeSeriesOps.kpssStatistic(stationary, "v", "t") should be < 0.3
+    val trending = (0 until 200)
+      .map(i => (i, i * 1.0 + math.sin(i * 1.7))).toDF("t", "v")
+    TimeSeriesOps.kpssStatistic(trending, "v", "t") should be > 1.0
+  }
+
   test("detrendLinear removes an exact linear trend") {
     val df = (1 to 50).map(i => (i, 3.0 * i + 10.0)).toDF("t", "v")
     val out = TimeSeriesOps.detrendLinear(df, "v", "t")

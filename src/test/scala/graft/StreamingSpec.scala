@@ -89,6 +89,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionWithCap closes sessions on gap AND on max duration") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc = Encoders.product[StreamOps.SessionCapOut]
+    implicit val stEnc = Encoders.product[StreamOps.SessionCapState]
+    val input = MemoryStream[(String, Timestamp, Double)]
+    def m(mins: Int): Long = mins * 60000L
+    val out = StreamOps.sessionWithCap(
+      input.toDF().toDF("k", "ts", "v"), "k", "ts", "v",
+      watermark = "1 minute", gapMs = m(5), maxDurationMs = m(15))
+    val q = out.writeStream.format("memory").queryName("cap_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one key: events every 4 min — within gap but total > 15 min
+      input.addData((1 to 6).map(i =>
+        ("a", new Timestamp(m(4 * i)), 1.0)): _*)
+      q.processAllAvailable()
+      // second batch far later → gap close of the trailing session
+      input.addData(("a", new Timestamp(m(120)), 9.0))
+      q.processAllAvailable()
+      val res = spark.table("cap_t")
+        .select("key", "n", "closedBy")
+        .as[(String, Long, String)].collect()
+      // capped session emitted with reason max_duration
+      res.map(_._3) should contain("max_duration")
+      res.map(_._3) should contain("gap")
+      res.map(_._2).sum should be <= 6L // all first-batch events
+    } finally q.stop()
+  }
+
   test("count-based windows emit every n records per key") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.Encoders
