@@ -61,6 +61,19 @@ object Sources {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))): _*)
   }
 
+  /** Bucketed write (SCALE.md): pre-shuffles once at write time so
+    * later equi-joins/aggregations on the bucket keys are co-located
+    * — no Exchange in the join plan. The canonical 100 TB pattern for
+    * repeatedly-joined fact tables. Requires a table name (bucketing
+    * metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** JDBC passthrough (src/io/sql/operations.rs:118-485): partitioned
     * parallel reads when a split column is given. Untestable in this
     * container (no database) — surface parity only. */

@@ -65,6 +65,27 @@ class SourcesAndPlanSpec extends SparkSpecBase {
     (plan should not).include("l_extendedprice")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
+    Sources.writeBucketed(a, "graft_bucket_a", Seq("k"), 8)
+    Sources.writeBucketed(b, "graft_bucket_b", Seq("k"), 8)
+    val joined = spark.table("graft_bucket_a")
+      .join(spark.table("graft_bucket_b"), "k")
+    // disable broadcast so the co-located path is what gets planned
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      (plan should not).include("Exchange hashpartitioning")
+      joined.count() shouldBe 1000
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("small dimension joins plan as broadcast") {
     val plan = queries.QueriesCore
       .queries("q03_join_revenue_by_nation")(spark, "/root/testdata/sf0.001")
