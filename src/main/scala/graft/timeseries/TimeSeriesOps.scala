@@ -225,9 +225,9 @@ object TimeSeriesOps {
   /** Simple-moving-average forecast (forecasting.rs:73): driver-side
     * finalization over an ALREADY AGGREGATED (small) series — the
     * only deliberate collect in the library (SURVEY §7.4.7). */
-  def smaForecast(series: DataFrame, valueCol: String, window: Int,
-      steps: Int): Seq[Double] = {
-    val tail = series.orderBy(col("__rn__").desc).limit(window)
+  def smaForecast(series: DataFrame, valueCol: String, orderCol: String,
+      window: Int, steps: Int): Seq[Double] = {
+    val tail = series.orderBy(col(orderCol).desc).limit(window)
       .collect().map(_.getAs[Double](valueCol))
     if (tail.isEmpty) Seq.empty
     else {

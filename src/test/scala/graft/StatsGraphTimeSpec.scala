@@ -258,6 +258,13 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     out.filter($"level" === 0).select("s").as[Double].head() shouldBe 6.0
   }
 
+  test("smaForecast averages the trailing window") {
+    val df = (1 to 6).map(i => (i, i * 10.0)).toDF("t", "v")
+    val fc = TimeSeriesOps.smaForecast(df, "v", "t", window = 3, steps = 2)
+    fc.head shouldBe 50.0 +- 1e-9 // mean of 40,50,60
+    fc(1) shouldBe (50.0 + 50 + 60) / 3 +- 1e-9
+  }
+
   test("holtForecast extrapolates a linear series") {
     val fc = TimeSeriesOps.holtForecast(
       (1 to 10).map(_.toDouble), alpha = 0.8, beta = 0.8, steps = 3)
