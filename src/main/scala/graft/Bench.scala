@@ -53,7 +53,7 @@ object Bench {
       StructField("l_shipdate", TimestampType)))
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // two runs, keep the best: steady-state query time with plan/codegen
+    // three runs, keep the best: steady-state query time with plan/codegen
     // caches warm (session startup + first-run JIT excluded, BASELINE.md)
     def bench(name: String)(action: => Unit): Unit = {
       val times = (1 to 3).map { _ =>

@@ -69,16 +69,21 @@ object StrOps {
     (c === org.apache.spark.sql.functions.upper(c)) && c.rlike("[A-Z]")
 
   /** str.pad with side ∈ {left,right,both}; pandas center puts the
-    * extra fill character on the right. */
+    * extra fill character on the right. Strings already longer than
+    * width pass through unchanged (Spark's lpad/rpad would truncate —
+    * pandas never does). */
   def pad(c: Column, width: Int, side: String = "left",
-      fill: String = " "): Column = side match {
-    case "right" => rpad(c, width, fill)
-    case "both" =>
-      val target1 = length(c) +
-        floor((lit(width) - length(c)) / 2).cast("int")
-      call_function("rpad",
-        call_function("lpad", c, greatest(target1, length(c)), lit(fill)),
-        lit(width), lit(fill))
-    case _ => lpad(c, width, fill)
+      fill: String = " "): Column = {
+    val padded = side match {
+      case "right" => rpad(c, width, fill)
+      case "both" =>
+        val target1 = length(c) +
+          floor((lit(width) - length(c)) / 2).cast("int")
+        call_function("rpad",
+          call_function("lpad", c, greatest(target1, length(c)), lit(fill)),
+          lit(width), lit(fill))
+      case _ => lpad(c, width, fill)
+    }
+    when(length(c) >= width, c).otherwise(padded)
   }
 }

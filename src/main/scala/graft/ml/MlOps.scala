@@ -25,7 +25,7 @@ object MlOps {
     val v = col(valueCol).cast("double")
     val stats =
       (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
-        .agg(count(lit(1)).cast("double").as("__n__"),
+        .agg(count(v).cast("double").as("__n__"), // count NON-NULL rows
           sum(v).as("__s1__"), sum(v * v).as("__s2__"))
     val joined = if (by.isEmpty) df.crossJoin(broadcast(stats))
       else df.join(broadcast(stats), by)

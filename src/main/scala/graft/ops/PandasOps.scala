@@ -155,7 +155,9 @@ object PandasOps {
           first(when(v.isNotNull, col("__rn__")), ignoreNulls = true).over(wNext))
         .withColumn(valueCol,
           when(v.isNotNull, v)
-            .when(col("__pv__").isNull, col("__nv__"))
+            // pandas interpolate: leading NaNs stay NaN (no backfill);
+            // trailing NaNs hold the last valid value
+            .when(col("__pv__").isNull, lit(null))
             .when(col("__nv__").isNull, col("__pv__"))
             .otherwise(col("__pv__") +
               (col("__nv__") - col("__pv__")) *
@@ -168,20 +170,28 @@ object PandasOps {
       * (trait_def.rs:51, rankmethod_traits.rs). */
     def rankBy(valueCol: String, method: String = "average",
         partitionCols: Seq[String] = Nil): DataFrame = {
+      val v = col(valueCol)
+      // pandas: NaN/null stays unranked and does not shift other
+      // ranks. Nulls sort first in Spark, so subtract the partition's
+      // null count from the raw rank and null out the null rows.
       val w = Window.partitionBy(partitionCols.map(col): _*)
-        .orderBy(col(valueCol))
-      val r = method match {
-        case "min"   => rank().over(w).cast("double")
-        case "dense" => dense_rank().over(w).cast("double")
-        case "first" => row_number().over(w).cast("double")
+        .orderBy(v.asc_nulls_first)
+      val wp = Window.partitionBy(partitionCols.map(col): _*)
+      val nullCnt = sum(when(v.isNull, 1L).otherwise(0L)).over(wp)
+      val raw = method match {
+        case "min"   => rank().over(w).cast("double") - nullCnt
+        case "dense" => dense_rank().over(w).cast("double") -
+          when(nullCnt > 0, 1.0).otherwise(0.0)
+        case "first" => row_number().over(w).cast("double") - nullCnt
         case "max"   =>
           (rank().over(w) + count(lit(1))
-            .over(w.rangeBetween(0, 0)) - 1).cast("double")
+            .over(w.rangeBetween(0, 0)) - 1).cast("double") - nullCnt
         case _ => // average = (min_rank + max_rank) / 2
           (rank().over(w) +
-            (count(lit(1)).over(w.rangeBetween(0, 0)) - 1) / 2.0)
+            (count(lit(1)).over(w.rangeBetween(0, 0)) - 1) / 2.0) -
+            nullCnt
       }
-      df.withColumn("rank", r)
+      df.withColumn("rank", when(v.isNull, lit(null)).otherwise(raw))
     }
 
     /** shift/lag (trait_def.rs:75). */
@@ -278,10 +288,13 @@ object PandasOps {
       val bounds = df.stat.approxQuantile(valueCol,
         (1 until q).map(_.toDouble / q).toArray, relErr)
       val v = col(valueCol)
-      val bin = bounds.zipWithIndex.foldRight(lit(q - 1)) {
+      val bin = bounds.zipWithIndex.foldRight(lit(q - 1): Column) {
         case ((b, i), acc) => when(v <= b, lit(i)).otherwise(acc)
       }
-      df.withColumn(s"${valueCol}_qbin", bin)
+      // null/NaN stays null (pandas qcut), not the top bucket
+      df.withColumn(s"${valueCol}_qbin",
+        when(v.isNull || isnan(v.cast("double")), lit(null))
+          .otherwise(bin))
     }
 
     /** group filter (reference group/operations.rs:51,

@@ -261,7 +261,7 @@ object QueriesExt {
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT event_id, user_id, round(CASE
         |    WHEN v IS NOT NULL THEN v
-        |    WHEN pv IS NULL THEN nv
+        |    WHEN pv IS NULL THEN NULL
         |    WHEN nv IS NULL THEN pv
         |    ELSE pv + (nv - pv) * (rn - pn) / (nn - pn) END, 6) AS interp_c
         |FROM marked""".stripMargin,

@@ -54,16 +54,23 @@ object StatsOps {
   /** Chi-square independence test (stats/mod.rs chi_square_independence):
     * observed counts via pivot-free group, expected from margins,
     * χ² = Σ (O−E)²/E. All shuffles on the two categorical keys. */
-  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+  def chiSquare(df0: DataFrame, a: String, b: String): DataFrame = {
+    // null categories are dropped (pandas crosstab semantics): a null
+    // key can never join its own margin cell (SQL null ≠ null), which
+    // would inflate the statistic
+    val df = df0.filter(col(a).isNotNull && col(b).isNotNull)
     val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
     val ma = df.groupBy(col(a)).agg(count(lit(1)).as("ra"))
     val mb = df.groupBy(col(b)).agg(count(lit(1)).as("rb"))
     val n = df.count()
-    // full margin grid so empty observed cells still contribute (o−e)²/e
+    // full margin grid so empty observed cells still contribute (o−e)²/e;
+    // margins multiplied in double (long*long would overflow at scale)
     ma.crossJoin(mb)
       .join(obs, Seq(a, b), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
-      .withColumn("e", col("ra") * col("rb") / lit(n.toDouble))
+      .withColumn("e",
+        col("ra").cast("double") * col("rb").cast("double") /
+          lit(n.toDouble))
       .agg(sum(pow(col("o") - col("e"), 2) / col("e")).as("chi2"),
         ((countDistinct(a) - 1) * (countDistinct(b) - 1)).as("dof"))
   }
@@ -71,9 +78,10 @@ object StatsOps {
   /** One-way ANOVA F statistic (stats/mod.rs anova,
     * categorical_anova): between/within sums of squares from per-group
     * sufficient sums — one aggregate pass. */
-  def anovaOneWay(df: DataFrame, valueCol: String,
+  def anovaOneWay(df0: DataFrame, valueCol: String,
       groupCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
+    val df = df0.filter(v.isNotNull) // n must match the summed rows
     val g = df.groupBy(groupCol)
       .agg(count(lit(1)).cast("double").as("n"), sum(v).as("s1"),
         sum(v * v).as("s2"))
@@ -120,9 +128,12 @@ object StatsOps {
 
   /** OLS simple linear regression (stats/regression): slope/intercept
     * /r² from the five sufficient sums — one aggregate pass. */
-  def linearRegression(df: DataFrame, xCol: String,
+  def linearRegression(df0: DataFrame, xCol: String,
       yCol: String): DataFrame = {
     val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    // pairwise-complete observations: n must count exactly the rows
+    // the sums cover, or the normal equations mix inconsistent sums
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     df.agg(count(lit(1)).cast("double").as("n"), sum(x).as("sx"),
         sum(y).as("sy"), sum(x * x).as("sxx"), sum(y * y).as("syy"),
         sum(x * y).as("sxy"))

@@ -105,13 +105,15 @@ object StreamOps {
           out.iterator
       }
 
-  case class CountWindowState(buf: List[Double])
-  case class CountWindowOut(key: String, windowEnd: Long, count: Int,
+  case class CountWindowState(buf: List[Double], emitted: Long)
+  case class CountWindowOut(key: String, windowSeq: Long, count: Int,
       sum: Double, mean: Double)
 
   /** count-based windows (WindowType::Count): emit an aggregate every
     * `n` records per key — no Spark primitive, implemented with
-    * flatMapGroupsWithState keyed state. State is O(n) per key. */
+    * flatMapGroupsWithState keyed state. State is O(n) per key;
+    * windowSeq is a monotone per-key window index persisted in state
+    * (survives micro-batch boundaries). */
   def countWindow(ds: Dataset[(String, Double)], n: Int)(
       implicit e: Encoder[CountWindowOut],
       se: Encoder[CountWindowState]): Dataset[CountWindowOut] =
@@ -120,9 +122,10 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[(String, Double)],
          state: GroupState[CountWindowState]) =>
-          var buf = state.getOption.map(_.buf).getOrElse(Nil)
+          val st = state.getOption.getOrElse(CountWindowState(Nil, 0L))
+          var buf = st.buf
+          var emitted = st.emitted
           val out = scala.collection.mutable.ListBuffer[CountWindowOut]()
-          var emitted = 0L
           rows.foreach { case (_, v) =>
             buf = v :: buf
             if (buf.size >= n) {
@@ -132,7 +135,7 @@ object StreamOps {
               buf = Nil
             }
           }
-          state.update(CountWindowState(buf))
+          state.update(CountWindowState(buf, emitted))
           out.iterator
       }
 

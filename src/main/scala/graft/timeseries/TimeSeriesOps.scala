@@ -67,18 +67,36 @@ object TimeSeriesOps {
       period: Int): DataFrame = {
     val wAll = Window.orderBy(col(tsCol))
     val half = period / 2
-    val wMa = wAll.rowsBetween(-half, half)
+    // classical trend filter: odd period → centered m-point MA;
+    // even period → 2×m MA (mean of the two half-shifted m-point
+    // averages ⇒ half-weight endpoints), as in statsmodels
+    val trendCol =
+      if (period % 2 == 1) {
+        val wMa = wAll.rowsBetween(-half, half)
+        when(count(col(valueCol)).over(wMa) === period,
+          avg(col(valueCol)).over(wMa))
+      } else {
+        val wA = wAll.rowsBetween(-half, half - 1)
+        val wB = wAll.rowsBetween(-(half - 1), half)
+        when(count(col(valueCol)).over(wA) === period &&
+          count(col(valueCol)).over(wB) === period,
+          (avg(col(valueCol)).over(wA) + avg(col(valueCol)).over(wB)) / 2)
+      }
     val trended = df
       .withColumn("__rn__", row_number().over(wAll))
-      .withColumn("trend",
-        when(count(col(valueCol)).over(wMa) === (2 * half + 1),
-          avg(col(valueCol)).over(wMa)))
+      .withColumn("trend", trendCol)
       .withColumn("__phase__", pmod(col("__rn__") - 1, lit(period)))
+    // per-phase means of detrended values, re-centered to sum to zero
+    // so the level stays in the trend component
     val seasonal = trended
       .filter(col("trend").isNotNull)
       .groupBy("__phase__")
-      .agg(avg(col(valueCol) - col("trend")).as("seasonal"))
-    trended.join(broadcast(seasonal), Seq("__phase__"), "left")
+      .agg(avg(col(valueCol) - col("trend")).as("__raw_seasonal__"))
+    val centered = seasonal.crossJoin(broadcast(
+        seasonal.agg(avg("__raw_seasonal__").as("__mean_s__"))))
+      .select(col("__phase__"),
+        (col("__raw_seasonal__") - col("__mean_s__")).as("seasonal"))
+    trended.join(broadcast(centered), Seq("__phase__"), "left")
       .withColumn("resid", col(valueCol) - col("trend") - col("seasonal"))
       .drop("__rn__", "__phase__")
       .orderBy(col(tsCol))
@@ -154,8 +172,9 @@ object TimeSeriesOps {
     * partial sums of demeaned values and σ̂²_lr uses Bartlett
     * weights up to `lags`. Window cumsum + lag-covariance aggregates;
     * scalar finish on the driver. */
-  def kpssStatistic(df: DataFrame, valueCol: String, orderCol: String,
+  def kpssStatistic(df0: DataFrame, valueCol: String, orderCol: String,
       lags: Int = 4): Double = {
+    val df = df0.filter(col(valueCol).isNotNull)
     val w = Window.orderBy(col(orderCol))
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mean = df.agg(avg(col(valueCol))).head().getDouble(0)

@@ -79,7 +79,13 @@ object RollingOps {
   def ewmMean(df: DataFrame, valueCol: String, orderCol: String,
       partitionCols: Seq[String], alpha: Double,
       adjust: Boolean = true, outName: String = "ewm"): DataFrame = {
-    val grouped = df.groupBy(partitionCols.map(col): _*)
+    // nulls are skipped entirely (pandas ignore_na=true semantics —
+    // documented divergence from the position-weighted default), so a
+    // missing value neither poisons nor resets the recurrence.
+    // (partitionCols, orderCol) must uniquely identify rows: the
+    // result is joined back on that key.
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(partitionCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
         col(valueCol).cast("double").as("v")))).as("__pts__"))
     // fold over the ordered points, emitting the running EWM per point
@@ -114,6 +120,6 @@ object RollingOps {
       .select(partitionCols.map(col) :+
         col("__ewm__.o").as(orderCol) :+
         col("__ewm__.e").as(outName): _*)
-    df.join(exploded, partitionCols :+ orderCol)
+    df.join(exploded, partitionCols :+ orderCol, "left")
   }
 }

@@ -24,11 +24,15 @@ class FunctionsSpec extends SparkSpecBase {
       2, "a1b2")
   }
 
-  test("pad left/right/both") {
+  test("pad left/right/both; longer strings pass through untruncated") {
     val df = Seq("ab").toDF("s")
     df.select(StrOps.pad($"s", 5), StrOps.pad($"s", 5, "right"),
       StrOps.pad($"s", 5, "both", "*")).head().toSeq shouldBe
       Seq("   ab", "ab   ", "*ab**")
+    val long = Seq("abcdef").toDF("s")
+    long.select(StrOps.pad($"s", 3), StrOps.pad($"s", 3, "right"),
+      StrOps.pad($"s", 3, "both")).head().toSeq shouldBe
+      Seq("abcdef", "abcdef", "abcdef")
   }
 
   test("findall extracts all regex matches") {

@@ -131,6 +131,11 @@ class LlmOpsSpec extends SparkSpecBase {
       Similarity.cosineComposed($"a", $"b").as("composed"))
       .as[(Double, Double)].collect()
     out.foreach { case (n, c) => n shouldBe c } // exact equality
+    // length mismatch → null, same as the composed form
+    val bad = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    bad.select(Similarity.cosine($"a", $"b")).head().isNullAt(0) shouldBe true
+    bad.select(Similarity.cosineComposed($"a", $"b")).head()
+      .isNullAt(0) shouldBe true
     // SQL registration path
     graft.sqlext.CosineSimilarity.register(spark)
     df.createOrReplaceTempView("cos_t")

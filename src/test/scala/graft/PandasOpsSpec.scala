@@ -51,13 +51,13 @@ class PandasOpsSpec extends SparkSpecBase {
     b shouldBe Array(Some(10.0), Some(40.0), Some(40.0), Some(40.0), None)
   }
 
-  test("interpolateLinear fills interior gaps linearly") {
-    val df = Seq((1, Some(10.0)), (2, None), (3, None), (4, Some(40.0)),
-      (5, None)).toDF("ord", "v")
+  test("interpolateLinear: interior linear, trailing held, leading stays null") {
+    val df = Seq((0, None), (1, Some(10.0)), (2, None), (3, None),
+      (4, Some(40.0)), (5, None)).toDF("ord", "v")
     val out = df.interpolateLinear("v", "ord")
       .orderBy("ord").select("v").as[Option[Double]].collect()
-    out shouldBe Array(Some(10.0), Some(20.0), Some(30.0), Some(40.0),
-      Some(40.0))
+    out shouldBe Array(None, Some(10.0), Some(20.0), Some(30.0),
+      Some(40.0), Some(40.0))
   }
 
   test("rankBy implements pandas rank methods") {
@@ -69,6 +69,14 @@ class PandasOpsSpec extends SparkSpecBase {
     ranks("first") shouldBe Seq(1.0, 2.0, 3.0, 4.0)
     ranks("max") shouldBe Seq(1.0, 3.0, 3.0, 4.0)
     ranks("average") shouldBe Seq(1.0, 2.5, 2.5, 4.0)
+  }
+
+  test("rankBy leaves nulls unranked without shifting real ranks") {
+    val df = Seq(Some(30.0), None, Some(10.0), None, Some(20.0))
+      .toDF("v")
+    val out = df.rankBy("v", "min").orderBy($"v".asc_nulls_last)
+      .select("rank").as[Option[Double]].collect()
+    out shouldBe Array(Some(1.0), Some(2.0), Some(3.0), None, None)
   }
 
   test("cumprod handles zeros and negatives") {

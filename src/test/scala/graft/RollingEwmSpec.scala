@@ -74,6 +74,17 @@ class RollingEwmSpec extends SparkSpecBase {
       Array(1.0, 1.5, 2.25)
   }
 
+  test("ewm skips nulls without poisoning or resetting the recurrence") {
+    val df = Seq(("g", 1, Some(1.0)), ("g", 2, None), ("g", 3, Some(3.0)))
+      .toDF("k", "ord", "v")
+    val out = RollingOps.ewmMean(df, "v", "ord", Seq("k"), 0.5,
+      adjust = false).orderBy("ord").select("ewm")
+      .as[Option[Double]].collect()
+    out(0) shouldBe Some(1.0)
+    out(1) shouldBe None // null row carries no EWM value
+    out(2).get shouldBe 2.0 +- 1e-9 // 0.5*1 + 0.5*3 — history kept
+  }
+
   test("ewm runs per group independently") {
     val df = Seq(("a", 1, 1.0), ("a", 2, 3.0), ("b", 1, 10.0))
       .toDF("k", "ord", "v")

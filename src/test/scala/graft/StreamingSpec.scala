@@ -138,6 +138,13 @@ class StreamingSpec extends SparkSpecBase {
       rows should contain(("b", 12.0))
       // the dangling third "a" record stays buffered (no emission)
       spark.table("count_t").count() shouldBe 2
+      // next micro-batch: buffered 3.0 pairs with 9.0, windowSeq
+      // continues from persisted state (2, not restarting at 1)
+      input.addData(("a", 9.0))
+      q.processAllAvailable()
+      spark.table("count_t")
+        .filter($"key" === "a" && $"windowSeq" === 2)
+        .select("sum").as[Double].collect() shouldBe Array(12.0)
     } finally q.stop()
   }
 }
