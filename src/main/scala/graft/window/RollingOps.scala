@@ -65,6 +65,33 @@ object RollingOps {
     df.withColumn(outName, agg(col(valueCol)).over(w))
   }
 
+  /** Scale-path EWM (adjust=true): weights below `tol` are truncated,
+    * turning the sequential recurrence into a fixed-depth window of
+    * K = ⌈ln(tol)/ln(1−α)⌉ lagged terms — an ordinary partitioned
+    * window plan (one shuffle, streaming sort), no per-group
+    * collect_list. Error is bounded by tol·max|x|; with the default
+    * 1e-12 the result is indistinguishable from the exact form at
+    * double precision. Use when series are long (the exact ewmMean
+    * materializes each group in memory). */
+  def ewmMeanTruncated(df: DataFrame, valueCol: String,
+      orderCols: Seq[String], partitionCols: Seq[String], alpha: Double,
+      tol: Double = 1e-12, outName: String = "ewm"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val k = math.ceil(math.log(tol) / math.log1p(-alpha)).toInt.max(1)
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val v = col(valueCol).cast("double")
+    val terms = (0 until k).map { j =>
+      val wj = math.pow(1.0 - alpha, j)
+      val x = if (j == 0) v else lag(v, j).over(w)
+      (when(x.isNotNull, lit(wj)).otherwise(lit(0.0)),
+        when(x.isNotNull, x * wj).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._2).reduce(_ + _)
+    val den = terms.map(_._1).reduce(_ + _)
+    df.withColumn(outName, when(v.isNotNull, num / den))
+  }
+
   /** Exponentially-weighted moving mean with exact pandas semantics
     * (reference src/series/window.rs:555-715): the one moving window
     * Spark lacks as a primitive. Computed per partition-key with a

@@ -85,6 +85,20 @@ class RollingEwmSpec extends SparkSpecBase {
     out(2).get shouldBe 2.0 +- 1e-9 // 0.5*1 + 0.5*3 — history kept
   }
 
+  test("ewmMeanTruncated matches exact adjust=true EWM within tolerance") {
+    val df = (1 to 60).map(i => ("g", i, math.sin(i * 0.7) * 10 + i))
+      .toDF("k", "ord", "v")
+    val exact = RollingOps.ewmMean(df, "v", "ord", Seq("k"), 0.3,
+      adjust = true, outName = "e")
+      .orderBy("ord").select("e").as[Double].collect()
+    val approxed = RollingOps.ewmMeanTruncated(df, "v", Seq("ord"),
+      Seq("k"), 0.3, outName = "e")
+      .orderBy("ord").select("e").as[Double].collect()
+    exact.zip(approxed).foreach { case (a, b) =>
+      math.abs(a - b) should be < 1e-9
+    }
+  }
+
   test("ewm runs per group independently") {
     val df = Seq(("a", 1, 1.0), ("a", 2, 3.0), ("b", 1, 10.0))
       .toDF("k", "ord", "v")
