@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, DedupPipeline, Similarity}
 
 /** Dedup / similarity / text-analysis operators (north-star extras). */
 class LlmOpsSpec extends SparkSpecBase {
@@ -84,6 +84,24 @@ class LlmOpsSpec extends SparkSpecBase {
       .as[(Long, Long, Double)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
     approx(pairs((1L, 2L)), 1.0 / 15.0, 1e-6)
+  }
+
+  test("dedupCorpus collapses exact and transitive near-duplicates") {
+    val out = DedupPipeline.dedupCorpus(docs, "text", "id",
+      bands = 6, jaccardThreshold = 0.7)
+    val rows = out.select("id", "keep", "dup_group")
+      .as[(Long, Boolean, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    rows(1L) shouldBe ((true, 1L)) // group representative
+    rows(2L)._1 shouldBe false // exact dup of 1
+    rows(2L)._2 shouldBe 1L
+    rows(3L)._1 shouldBe false // near dup of 1 (jaccard 7/9 ≥ 0.7)
+    rows(3L)._2 shouldBe 1L
+    rows(4L) shouldBe ((true, 4L)) // unique survives
+    // 5 is a word-REORDER of 1: 3-gram shingles all differ, so the
+    // order-sensitive minhash pipeline keeps it (by design — the
+    // order-insensitive fingerprint dedup is the tool for reorders)
+    rows(5L) shouldBe ((true, 5L))
   }
 
   test("cosine and dot products are exact on known vectors") {
