@@ -149,6 +149,47 @@ object QueriesExt {
         "embedding", "vec_id", q, k = 10, nLists = 8, nProbe = 3)
     }),
 
+    // §2.3 pandas merge with overlap suffixes
+    "q80_merge_suffixes" -> ((s, d) => {
+      val ca = t(s, d, "customer")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      val sa = t(s, d, "supplier")
+        .groupBy(col("s_nationkey").as("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      ca.merge(sa, Seq("c_nationkey"), "outer")
+        .select(col("c_nationkey").cast("long"), col("n_x"), col("n_y"))
+    }),
+
+    // §2.5a pandas rank methods (average + dense) over grouped data
+    "q81_rank_methods" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .groupBy("l_suppkey").agg(sum("l_quantity").as("q"))
+      li.rankBy("q", "average").withColumnRenamed("rank", "avg_rank")
+        .rankBy("q", "dense").withColumnRenamed("rank", "dense_rank")
+        .select(col("l_suppkey"), col("q"), col("avg_rank"),
+          col("dense_rank"))
+    }),
+
+    // §2.8 calendar functions: weekday convention, weekend flag,
+    // days-in-month, leap year
+    "q82_calendar" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        weekday(col("o_orderdate")).cast("long").as("wd"),
+        dayofweek(col("o_orderdate")).isin(1, 7).as("is_weekend"),
+        dayofmonth(last_day(col("o_orderdate"))).cast("long")
+          .as("days_in_month"),
+        ((year(col("o_orderdate")) % 4 === 0 &&
+          year(col("o_orderdate")) % 100 =!= 0) ||
+          year(col("o_orderdate")) % 400 === 0).as("is_leap"))),
+
+    // north star: full staged dedup pipeline (hash/LSH — rows-only)
+    "q83_dedup_pipeline" -> ((s, d) =>
+      graft.llm.DedupPipeline.dedupCorpus(
+        t(s, d, "documents"), "text", "doc_id", jaccardThreshold = 0.8)
+        .groupBy("keep").agg(count(lit(1)).as("n"),
+          countDistinct(col("dup_group")).as("n_groups"))),
+
     // §7.3 native codegen expression in a full plan (rows-only —
     // the hash constant is ours, not DuckDB's)
     "q74_rolling_hash" -> ((s, d) =>
@@ -161,6 +202,35 @@ object QueriesExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "q80_merge_suffixes" ->
+      """SELECT CAST(coalesce(ca.c_nationkey, sa.s_nationkey) AS BIGINT)
+        |    AS c_nationkey,
+        |  ca.n AS n_x, sa.n AS n_y
+        |FROM (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n
+        |      FROM customer GROUP BY 1) ca
+        |FULL JOIN (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n
+        |      FROM supplier GROUP BY 1) sa
+        |  ON ca.c_nationkey = sa.s_nationkey""".stripMargin,
+
+    "q81_rank_methods" ->
+      """SELECT l_suppkey, q,
+        |  CAST(rank() OVER (ORDER BY q) AS DOUBLE) +
+        |    (CAST(count(*) OVER (PARTITION BY q) AS DOUBLE) - 1) / 2.0
+        |    AS avg_rank,
+        |  CAST(dense_rank() OVER (ORDER BY q) AS DOUBLE) AS dense_rank
+        |FROM (SELECT l_suppkey, sum(l_quantity) AS q
+        |      FROM lineitem GROUP BY 1)""".stripMargin,
+
+    "q82_calendar" ->
+      """SELECT o_orderkey,
+        |  CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd,
+        |  isodow(o_orderdate) IN (6, 7) AS is_weekend,
+        |  CAST(dayofmonth(last_day(CAST(o_orderdate AS DATE))) AS BIGINT)
+        |    AS days_in_month,
+        |  (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+        |    OR year(o_orderdate) % 400 = 0 AS is_leap
+        |FROM orders""".stripMargin,
+
     "q78_anova" ->
       """WITH g AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
