@@ -182,6 +182,19 @@ object StatsOps {
   def skewKurt(df: DataFrame, c: String): DataFrame =
     df.agg(skewness(col(c)).as("skew"), kurtosis(col(c)).as("kurt"))
 
+  /** Bootstrap distribution of a statistic (stats/mod.rs:310-328):
+    * nResamples seeded with-replacement samples, each reduced by the
+    * caller's aggregate — returns one row per resample. Resamples run
+    * as independent distributed jobs over the same cached input. */
+  def bootstrap(df: DataFrame, nResamples: Int, stat: Column,
+      seed: Long = 42L): DataFrame = {
+    val cached = df.cache()
+    (0 until nResamples).map { i =>
+      cached.sample(withReplacement = true, 1.0, seed + i)
+        .agg(stat.as("stat")).withColumn("resample", lit(i))
+    }.reduce(_ unionByName _)
+  }
+
   /** Outlier detection by z-score or IQR (stats/mod.rs:721):
     * flags rows; thresholds computed as scalar subquery-style
     * broadcast aggregates. */

@@ -98,6 +98,16 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     d("d") shouldBe Some(3.0)
   }
 
+  test("bootstrap yields one stat per resample, centered near the estimate") {
+    val df = (1 to 200).map(_.toDouble).toDF("v")
+    val bs = StatsOps.bootstrap(df, 20, avg($"v"))
+      .select("stat").as[Double].collect()
+    bs.length shouldBe 20
+    val m = bs.sum / bs.length
+    m shouldBe 100.5 +- 10.0 // resample means cluster near the mean
+    bs.distinct.length should be > 1 // different seeds → different draws
+  }
+
   test("anovaOneWay: identical groups F≈0, separated groups F large") {
     val same = (0 until 60).map(i => (s"g${i % 3}", (i / 3 % 5).toDouble))
       .toDF("g", "v")
