@@ -36,14 +36,23 @@ object Bench {
     // in-memory frame (README.md:178-186), so the operator benchmarks
     // run against cached inputs; the flagship queries below scan
     // parquet like production plans would.
-    // no repartition before caching: at this scale (600K rows, one
-    // parquet split) single-partition in-memory scans beat the task
-    // scheduling cost of fanning out; at cluster scale the input
-    // arrives already split.
-    val liC = li.cache(); liC.count()
-    val ordC = Tables.load(spark, sfDir, "orders").cache(); ordC.count()
+    // Repartition before caching so the in-memory scans use every
+    // core (the reference parallelizes via rayon): a single parquet
+    // split at this sf would otherwise leave the cached frame on one
+    // partition and the whole aggregate on one thread.
+    // The micro-op input is padded to EXACTLY 1M rows — every
+    // BASELINE.md number is published at 1M rows, so this removes any
+    // row-count discount from the comparison (sf0.1 lineitem is ~600K).
+    val cores = cpus.toInt
+    val targetRows = 1000000
+    val nLi = li.count()
+    val reps = math.max(1L, (targetRows + nLi - 1) / nLi).toInt
+    val liC = Seq.fill(reps)(li).reduce(_ union _).limit(targetRows)
+      .repartition(cores).cache(); liC.count()
+    val ordC = Tables.load(spark, sfDir, "orders")
+      .repartition(cores).cache(); ordC.count()
     val csvDir = s"/tmp/graft_bench_csv_${System.nanoTime()}"
-    li.write.mode("overwrite").option("header", "true").csv(csvDir)
+    liC.write.mode("overwrite").option("header", "true").csv(csvDir)
     val csvSchema = StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
       StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
@@ -53,28 +62,39 @@ object Bench {
       StructField("l_shipdate", TimestampType)))
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ListBuffer[String]()
     // three runs, keep the best: steady-state query time with plan/codegen
-    // caches warm (session startup + first-run JIT excluded, BASELINE.md)
+    // caches warm (session startup + first-run JIT excluded, BASELINE.md).
+    // Failed attempts are NOT timed — a query that throws is recorded in
+    // `failed` (and omitted from `queries`) so a broken query can't
+    // contribute a bogus near-zero timing.
     def bench(name: String)(action: => Unit): Unit = {
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try action catch {
+        try { action; Some((System.nanoTime() - t0) / 1e9) } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      timings(name) = times.min
+      if (times.nonEmpty) timings(name) = times.min else failed += name
     }
 
-    // ---- BASELINE.md comparable ops
+    // ---- BASELINE.md comparable ops.
+    // AQE off for the micro-ops: its per-stage materialization +
+    // re-planning adds a fixed latency that dominates sub-second ops
+    // at this scale (the flagship queries below keep AQE on — that is
+    // the production setting that matters at real scale).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     bench("csv_read") {
       spark.read.option("header", "true").schema(csvSchema)
         .csv(csvDir).count()
     }
     bench("groupby_sum") {
+      // materialize via collect() (6 result rows): count() would add a
+      // second two-stage aggregation on top — pure harness overhead.
       liC.groupBy("l_returnflag", "l_linestatus")
-        .agg(sum("l_quantity"), sum("l_extendedprice")).count()
+        .agg(sum("l_quantity"), sum("l_extendedprice")).collect()
     }
     bench("join") {
       liC.join(ordC, liC("l_orderkey") === col("o_orderkey")).count()
@@ -91,6 +111,8 @@ object Bench {
       liC.select(avg("l_quantity").over(w).as("m")).count()
     }
 
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
     // ---- flagship engine queries over the driver contract
     val headline = Seq("q01_groupby_agg", "q03_join_revenue_by_nation",
       "q08_topk", "q20_median", "q25_window_rank", "q39_resample",
@@ -102,7 +124,19 @@ object Bench {
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"micro_op_rows":$targetRows,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces: also write the line to a file so the result
+    // survives any stdout wrapping by the build tool.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_result.json")
+    try {
+      val w = new java.io.PrintWriter(outPath)
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
 
     // cleanup the temp CSV copy
     try {
