@@ -28,13 +28,23 @@ object GraphOps {
 
   /** Connected components by iterative min-label propagation
     * (components.rs:70): each superstep joins labels across edges and
-    * keeps the minimum; converges in O(diameter) supersteps. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * keeps the minimum; converges in O(diameter) supersteps.
+    *
+    * The vertex set is derived from the edges, so an isolated vertex
+    * (no incident edge) does not appear in the output — pass
+    * `vertices` (one `id` column) to include isolated vertices as
+    * their own singleton components. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      vertices: Option[DataFrame] = None): DataFrame = {
     val sym = edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    val ids = vertices match {
+      case Some(v) => sym.select(col("src").as("id"))
+        .union(v.select(col("id"))).distinct()
+      case None => sym.select(col("src").as("id")).distinct()
+    }
+    var labels = ids.withColumn("component", col("id"))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {

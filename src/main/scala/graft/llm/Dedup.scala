@@ -30,6 +30,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
       .filter(col("n_dups") > 1)
 
+  /** Word shingles with a short-document guard: texts with fewer than
+    * shingleSize words would yield an EMPTY shingle set, making every
+    * signature slot null — all short docs would then share identical
+    * band buckets (one giant spurious O(m²) bucket). Fall back to the
+    * whole tokenized text as a single shingle instead, so short docs
+    * only pair with identically-worded short docs. */
+  private def guardedShingles(text: Column, shingleSize: Int): Column = {
+    val sh = TextFunctions.wordNgrams(text, shingleSize)
+    when(size(sh) > 0, sh)
+      .otherwise(array(array_join(TextFunctions.tokens(lower(text)), " ")))
+  }
+
   /** MinHash signatures from word shingles. Hashing is md5-based
     * (ASCII-hex compared lexicographically) so signatures are
     * engine-portable and deterministic; numHashes independent
@@ -37,7 +49,7 @@ object Dedup {
     * per-row (map-side only). */
   def minhashSignature(text: Column, numHashes: Int,
       shingleSize: Int = 3): Column = {
-    val sh = TextFunctions.wordNgrams(text, shingleSize)
+    val sh = guardedShingles(text, shingleSize)
     array((0 until numHashes).map { seed =>
       array_min(transform(sh, s => md5(concat(s, lit(":" + seed)))))
     }: _*)
@@ -48,27 +60,40 @@ object Dedup {
     * for engine-portable oracle verification. */
   def minhashSignatureFast(text: Column, numHashes: Int,
       shingleSize: Int = 3): Column = {
-    val sh = TextFunctions.wordNgrams(text, shingleSize)
+    val sh = guardedShingles(text, shingleSize)
     array((0 until numHashes).map { seed =>
       array_min(transform(sh, s => xxhash64(lit(seed), s)))
     }: _*)
   }
+
+  /** Drop LSH buckets with more than maxBucket members before the
+    * self-join. A hot bucket (boilerplate-heavy corpora, near-identical
+    * band signatures) otherwise emits O(m²) candidate pairs and one
+    * skewed key can dominate a 100 TB run — same skew rationale as the
+    * maxDf postings guard in [[ngramJaccardPairs]]. Docs in dropped
+    * buckets can still pair through their other bands. */
+  private def capBuckets(banded: DataFrame, maxBucket: Long,
+      keys: String*): DataFrame =
+    if (maxBucket == Long.MaxValue) banded
+    else banded.withColumn("__bc__", count(lit(1))
+        .over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bc__") <= maxBucket).drop("__bc__")
 
   /** MinHash + LSH banding: rows sharing any band bucket become
     * candidate pairs. bands*rowsPerBand = signature length. The
     * band-bucket groupBy is the only shuffle; candidate verification
     * joins back only the surviving pairs. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 12, bands: Int = 4,
-      shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 12, bands: Int = 4, shingleSize: Int = 3,
+      maxBucket: Long = 1000L): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-    val banded = sig.select(col("id"), posexplode(
+    val banded = capBuckets(sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => md5(array_join(
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|")))))
-      .toDF("id", "band", "bucket")
+      .toDF("id", "band", "bucket"), maxBucket, "band", "bucket")
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -132,14 +157,14 @@ object Dedup {
   /** SimHash near-dup candidate pairs by banding the 64-bit hash into
     * 4 × 16-bit bands (any equal band → candidate, catches pairs
     * within hamming distance 3 guaranteed per pigeonhole). */
-  def simhashPairs(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxBucket: Long = 1000L): DataFrame = {
     val withSim = df.select(col(idCol).as("id"),
       simhash64(col(textCol)).as("sim"))
-    val banded = withSim.select(col("id"), col("sim"),
+    val banded = capBuckets(withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL)): _*)))
-      .toDF("id", "sim", "band", "bucket")
+      .toDF("id", "sim", "band", "bucket"), maxBucket, "band", "bucket")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -153,9 +178,11 @@ object Dedup {
     * Similarity.hyperplaneBucket): bucket join, then exact cosine on
     * candidates only. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String,
-      idCol: String, planes: Int, threshold: Double): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      idCol: String, planes: Int, threshold: Double,
+      maxBucket: Long = 1000L): DataFrame = {
+    val b = capBuckets(df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket")),
+      maxBucket, "bucket")
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos",

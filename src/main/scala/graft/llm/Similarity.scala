@@ -48,14 +48,18 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim i weight
     * derived from a hash — stable across runs/engines, no RNG state.
-    * Returns the sign-pattern bucket id (int, < 2^planes). */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    * Returns the sign-pattern bucket id (int, < 2^planes).
+    * `seedOffset` selects an independent plane set (used for
+    * multi-table LSH: table t uses offset t*planes). */
+  def hyperplaneBucket(vec: Column, planes: Int,
+      seedOffset: Int = 0): Column = {
     val terms = (0 until planes).map { p =>
-      // w_{p,i} in [-1, 1): derived from xxhash64(p, i)
+      // w_{p,i} in [-1, 1): derived from xxhash64(p + seedOffset, i)
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
           v.cast("double") *
-            (pmod(xxhash64(lit(p), i), lit(1000L)).cast("double") / 500.0 - 1.0)),
+            (pmod(xxhash64(lit(p + seedOffset), i), lit(1000L))
+              .cast("double") / 500.0 - 1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }
@@ -63,15 +67,20 @@ object Similarity {
   }
 
   /** LSH-bucketed top-k: probe only rows whose bucket matches the
-    * query's bucket in any of the `tables` independent hash tables.
-    * At 100 TB the bucketed table is written partitioned by bucket so
-    * the probe is a partition-pruned scan. */
+    * query's bucket in ANY of the `tables` independent hash tables
+    * (each table = its own hash-derived plane set, OR-probe) — recall
+    * rises with `tables` at proportionally more rows scanned. At
+    * 100 TB the bucketed table is written partitioned by the table-0
+    * bucket so the dominant probe is a partition-pruned scan. */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, planes: Int = 8): DataFrame = {
+      query: Seq[Float], k: Int, planes: Int = 8,
+      tables: Int = 1): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    val qBucket = hyperplaneBucket(q, planes)
-    df.withColumn("__bucket__", hyperplaneBucket(col(vecCol), planes))
-      .filter(col("__bucket__") === qBucket)
+    val matchAny = (0 until tables).map { t =>
+      hyperplaneBucket(col(vecCol), planes, t * planes) ===
+        hyperplaneBucket(q, planes, t * planes)
+    }.reduce(_ || _)
+    df.filter(matchAny)
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -84,13 +93,20 @@ object Similarity {
     * partition-pruned scan (SCALE.md). */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int, nLists: Int = 16,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2, fitFraction: Double = 1.0): DataFrame = {
     import graft.ml.MlOps
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // dim comes from the query vector (must match the embedding dim) —
+    // no extra head() scan of the table.
+    val dim = query.length
     val feats = (0 until dim).map(i =>
       element_at(col(vecCol), i + 1).cast("double").as(s"f$i"))
     val flat = df.select((col(idCol) +: col(vecCol).as("__v__") +: feats): _*)
-    val centroids = MlOps.kmeans(flat.drop(idCol, "__v__"),
+    // At 100 TB fit the centroids on a sample (fitFraction < 1) and
+    // assign the full data — k-means quality needs only a sketch of
+    // the distribution, not every row.
+    val fitDf = if (fitFraction >= 1.0) flat
+      else flat.sample(withReplacement = false, fitFraction, seed = 42L)
+    val centroids = MlOps.kmeans(fitDf.drop(idCol, "__v__"),
       (0 until dim).map(i => s"f$i"), nLists)
       .groupBy("cluster")
       .agg(avg(col("f0")).as("c0"),

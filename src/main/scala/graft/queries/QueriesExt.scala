@@ -202,6 +202,41 @@ object QueriesExt {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // the full staged pipeline reproduced in SQL: exact-md5 dedup,
+    // the shared MinHash-LSH CTEs over the survivors, word-set
+    // Jaccard verification, transitive closure via a recursive
+    // min-label-propagation CTE.
+    "q83_dedup_pipeline" ->
+      s"""WITH RECURSIVE
+         |doc AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+         |rep AS (SELECT h, min(doc_id) AS exact_rep FROM doc GROUP BY h),
+         |exact AS (SELECT d.doc_id, d.text, d.h, r.exact_rep
+         |  FROM doc d JOIN rep r USING (h)),
+         |surv AS (SELECT doc_id, text FROM exact WHERE doc_id = exact_rep),
+         |${QueriesText.minhashCtes("surv")},
+         |ws AS (SELECT doc_id, list_sort(list_distinct(tk)) AS w FROM toks),
+         |conf AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  JOIN ws wa ON wa.doc_id = id_a
+         |  JOIN ws wb ON wb.doc_id = id_b
+         |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(wa.w, wb.w))) >= 0.8),
+         |und AS (SELECT src AS a, dst AS b FROM conf
+         |  UNION SELECT dst, src FROM conf),
+         |comp(id, c) AS (
+         |  SELECT DISTINCT a, a FROM und
+         |  UNION
+         |  SELECT u.b, comp.c FROM comp JOIN und u ON u.a = comp.id
+         |  WHERE comp.c < u.b),
+         |cc AS (SELECT id, min(c) AS near_rep FROM comp GROUP BY id),
+         |final AS (
+         |  SELECT e.doc_id, coalesce(cc.near_rep, e.exact_rep) AS dup_group
+         |  FROM exact e LEFT JOIN cc ON cc.id = e.exact_rep)
+         |SELECT doc_id = dup_group AS keep, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT dup_group) AS BIGINT) AS n_groups
+         |FROM final GROUP BY 1""".stripMargin,
+
     "q80_merge_suffixes" ->
       """SELECT CAST(coalesce(ca.c_nationkey, sa.s_nationkey) AS BIGINT)
         |    AS c_nationkey,

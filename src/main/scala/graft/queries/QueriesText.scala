@@ -181,7 +181,50 @@ object QueriesText {
     })
   )
 
+  /** DuckDB CTE fragments reproducing the md5-portable MinHash-LSH of
+    * Dedup.minhashSignature/minhashLshPairs (numHashes=12, bands=4,
+    * shingleSize=3, maxBucket=1000) over a (doc_id, text) source:
+    * tokenize, shingle with the short-doc fallback, 12 salted md5
+    * min-hashes, 4 band buckets with the hot-bucket cap. */
+  private[queries] def minhashCtes(src: String): String = {
+    val sigCols = (0 until 12).map(i =>
+      s"list_min(list_transform(sh, s -> md5(s || ':$i'))) AS h$i")
+      .mkString(",\n    ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(h${3 * b} || '|' || " +
+        s"h${3 * b + 1} || '|' || h${3 * b + 2}) AS bucket FROM sig")
+      .mkString("\n    UNION ALL ")
+    raw"""toks AS (
+       |  SELECT doc_id, list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\s+'),
+       |      x -> length(x) > 0) AS tk
+       |  FROM $src),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(tk) - 1),
+       |        i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+       |    ELSE [array_to_string(tk, ' ')] END AS sh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh),
+       |banded AS (
+       |  SELECT * FROM (
+       |    $bands)
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q44_minhash_lsh" ->
+      s"""WITH ${minhashCtes("documents")}
+         |SELECT id_a, id_b FROM cand""".stripMargin,
     "q34_explode_tokens" ->
       """SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
@@ -239,7 +282,7 @@ object QueriesText {
       """SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
         |FROM (SELECT doc_id,
         |    md5(array_to_string(list_sort(list_distinct(
-        |      list_filter(string_split(lower(text), ' '),
+        |      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
         |        x -> length(x) > 0))), ' ')) AS fp
         |  FROM documents)
         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
@@ -248,7 +291,7 @@ object QueriesText {
       """WITH toks AS (
         |  SELECT source AS blk, doc_id AS id,
         |    unnest(list_distinct(list_filter(
-        |      string_split(lower(text), ' '), x -> length(x) > 0))) AS g
+        |      regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0))) AS g
         |  FROM documents),
         |sizes AS (SELECT blk, id, count(*) AS sz FROM toks GROUP BY 1, 2),
         |inter AS (
@@ -285,7 +328,7 @@ object QueriesText {
         |    length(list_intersect(ws, ['le','la','et','de','un','une','est','les'])) AS s_fr,
         |    length(list_intersect(ws, ['的','是','了','在','我','有','和','就'])) AS s_zh
         |  FROM (SELECT lang, list_sort(list_distinct(list_filter(
-        |      string_split(lower(text), ' '), x -> length(x) > 0))) AS ws
+        |      regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0))) AS ws
         |    FROM documents)),
         |pred AS (
         |  SELECT lang, CASE
@@ -311,7 +354,7 @@ object QueriesText {
         |      / length(text) ELSE 0.0 END)
         |) / 3.0, 6) AS quality
         |FROM (SELECT doc_id, text,
-        |    CAST(length(list_filter(string_split(trim(text), ' '),
+        |    CAST(length(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |      x -> length(x) > 0)) AS DOUBLE) AS n_tok
         |  FROM documents)""".stripMargin,
 
@@ -322,7 +365,7 @@ object QueriesText {
         |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS avg_tokens
         |FROM (SELECT lang, n_chars,
-        |    CAST(length(list_filter(string_split(trim(text), ' '),
+        |    CAST(length(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |      x -> length(x) > 0)) AS BIGINT) AS n_tok
         |  FROM documents)
         |GROUP BY 1""".stripMargin

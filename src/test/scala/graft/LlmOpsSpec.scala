@@ -44,6 +44,33 @@ class LlmOpsSpec extends SparkSpecBase {
     pairs should not contain ((1L, 4L))
   }
 
+  test("short docs (fewer words than shingle size) do not cross-pair") {
+    // pre-guard behavior: empty shingle set → all-null signature → all
+    // short docs shared one band bucket and cross-paired spuriously
+    val short = Seq(
+      (1L, "hi"), (2L, "yo"), (3L, "ok then"),
+      (4L, "hi"), // identical short doc → legitimate pair with 1
+      (5L, "the quick brown fox jumps high")
+    ).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(short, "text", "id")
+      .as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 4L))
+  }
+
+  test("hot LSH buckets are capped: pathological corpus stays bounded") {
+    // 1000 identical docs → one band bucket of 1000 members per band;
+    // uncapped that is O(m²) = 499500 join pairs, the skew shape that
+    // dominates a 100 TB run. maxBucket drops the bucket entirely.
+    val boiler = (1L to 1000L).map(i => (i, "boilerplate header text " +
+      "repeated across the whole crawl corpus")).toDF("id", "text")
+    Dedup.minhashLshPairs(boiler, "text", "id", maxBucket = 100)
+      .count() shouldBe 0L
+    Dedup.minhashLshPairs(boiler, "text", "id",
+      maxBucket = Long.MaxValue).count() shouldBe 499500L
+    Dedup.simhashPairs(boiler, "text", "id", maxBucket = 100)
+      .count() shouldBe 0L
+  }
+
   test("fast minhash signature: identical texts identical, stable length") {
     val sig = docs.select($"id",
       Dedup.minhashSignatureFast($"text", 12).as("sig"))
@@ -168,6 +195,21 @@ class LlmOpsSpec extends SparkSpecBase {
       .as[Int].collect()
     b(0) shouldBe b(1)
     b(0) should (be >= 0 and be < 256)
+  }
+
+  test("multi-table LSH OR-probe candidates are a superset of one table") {
+    val vecs = (1L to 40L).map { i =>
+      (i, Seq.tabulate(8)(d =>
+        (((i * 31 + d * 17) % 19).toFloat - 9f) / 9f))
+    }.toDF("id", "vec")
+    val query = Seq.tabulate(8)(d => ((d % 5).toFloat - 2f) / 2f)
+    def ids(tables: Int): Set[Long] =
+      Similarity.lshTopK(vecs, "vec", "id", query, k = 40,
+        planes = 4, tables = tables)
+        .select("id").as[Long].collect().toSet
+    val one = ids(1); val three = ids(3)
+    three should contain allElementsOf one
+    three.size should be >= one.size
   }
 
   test("language id picks the stopword-heavy language") {

@@ -78,6 +78,14 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("connectedComponents includes isolated vertices when given") {
+    val e = Seq((1, 2)).toDF("src", "dst")
+    val v = Seq(1, 2, 7).toDF("id") // 7 has no incident edge
+    val comps = GraphOps.connectedComponents(e, vertices = Some(v))
+      .as[(Int, Int)].collect().toMap
+    comps shouldBe Map(1 -> 1, 2 -> 1, 7 -> 7)
+  }
+
   test("pageRank mass is conserved and sink handling works") {
     val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst") // c is a sink
     val pr = GraphOps.pageRank(e, iterations = 20)
