@@ -180,27 +180,22 @@ object QueriesStats {
     }),
 
     // §2.12 Mann-Whitney U via average ranks. Ranks come from the
-    // distinct-value table (cumulative per-value counts) instead of a
-    // single-partition global window — the 100 TB-safe formulation;
-    // results are identical to rank()+(peers−1)/2.
-    "q63_mannwhitney" -> ((s, d) => {
-      val e = t(s, d, "events")
-        .filter(col("event_type").isin("click", "view"))
-        .withColumn("vc", cents(col("value")))
-      val counts = e.groupBy("vc").agg(count(lit(1)).as("c"))
-      val wv = Window.orderBy(col("vc"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val rankMap = counts
-        .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
-        .withColumn("r", (dbl(col("below")) + lit(1.0)) +
-          (dbl(col("c")) - lit(1.0)) / lit(2.0))
-        .select(col("vc"), col("r"))
-      e.join(broadcast(rankMap), Seq("vc"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("r")).as("rank_sum"))
-        .withColumn("u", col("rank_sum") -
-          dbl(col("n")) * (dbl(col("n")) + 1) / 2)
-    }),
+    // distinct-value table through StatsOps.distinctValueRanks
+    // (range-partitioned cumulative counts — NO single-partition
+    // window even for continuous domains); results are identical to
+    // rank()+(peers−1)/2.
+    "q63_mannwhitney" -> ((s, d) =>
+      graft.stats.StatsOps.mannWhitneyU(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type", "click", "view")),
+
+    // §2.12 Mann-Whitney z-test with a REAL p-value: the normal-CDF
+    // finalization (A&S 7.1.26 Φ) is plain column arithmetic mirrored
+    // operation-for-operation in the oracle SQL.
+    "q84_mwu_ztest" -> ((s, d) =>
+      graft.stats.StatsOps.mannWhitneyUTest(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type", "click", "view")),
 
     // §2.12 describe from exact sums + exact percentiles
     "q66_describe" -> ((s, d) =>
@@ -332,6 +327,43 @@ object QueriesStats {
         |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6)
         |    AS kurt_excess
         |FROM s""".stripMargin,
+
+    "q84_mwu_ztest" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(z)")
+      s"""WITH pooled AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |ranked AS (
+         |  SELECT event_type, vc,
+         |    CAST(rank() OVER (ORDER BY vc) AS DOUBLE) +
+         |      (CAST(count(*) OVER (PARTITION BY vc) AS DOUBLE) - 1.0)
+         |      / 2.0 AS r
+         |  FROM pooled),
+         |ties AS (
+         |  SELECT CAST(sum(CAST(c * c * c - c AS BIGINT)) AS DOUBLE)
+         |    AS tie_t
+         |  FROM (SELECT count(*) AS c FROM pooled GROUP BY vc)),
+         |g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |    sum(r) AS rs
+         |  FROM ranked GROUP BY 1),
+         |wide AS (
+         |  SELECT a.n AS na, a.rs AS rsa, b.n AS nb, ties.tie_t
+         |  FROM (SELECT * FROM g WHERE event_type = 'click') a,
+         |       (SELECT * FROM g WHERE event_type = 'view') b, ties),
+         |f AS (
+         |  SELECT rsa - na * (na + 1) / 2 AS u, na, nb, tie_t,
+         |    na + nb AS nn
+         |  FROM wide),
+         |zt AS (
+         |  SELECT u,
+         |    (u - na * nb / 2) /
+         |      sqrt(na * nb / 12.0 *
+         |        ((nn + 1) - tie_t / (nn * (nn - 1)))) AS z
+         |  FROM f)
+         |SELECT round(u, 6) AS u, round(z, 6) AS z,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM zt""".stripMargin
+    },
 
     "q63_mannwhitney" ->
       """WITH ranked AS (

@@ -1,0 +1,202 @@
+package graft.stats
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distribution functions (reference src/stats/distributions.rs:
+  * normal/t/chi²/F pdf+cdf, 787 LoC) — the closed-form approximations
+  * every test statistic needs to become a p-value.
+  *
+  * Scalar forms are driver-side pure math used to finalize the (tiny)
+  * aggregate row of a test; `normalCdfCol` additionally exists as a
+  * Column expression (Abramowitz-Stegun 7.1.26 polynomial, plain
+  * arithmetic) so normal-approximation p-values can be reproduced
+  * verbatim in oracle SQL.
+  *
+  * Accuracy: erf poly |ε| ≤ 1.5e-7 (A&S 7.1.26); incomplete
+  * gamma/beta iterate series / Lentz continued fractions to 1e-14
+  * relative — standard numerical-methods formulations from the open
+  * literature.
+  */
+object Distributions {
+
+  // ---- error function / normal ------------------------------------
+
+  private val ErfP = 0.3275911
+  private val ErfA = Array(0.254829592, -0.284496736, 1.421413741,
+    -1.453152027, 1.061405429)
+
+  /** A&S 7.1.26 polynomial erf, |ε| ≤ 1.5e-7. Branches exactly like
+    * [[normalCdfCol]] (negative → mirrored), so scalar and Column
+    * forms agree bit-for-bit, including at x = 0. */
+  def erf(x: Double): Double = {
+    val ax = math.abs(x)
+    val t = 1.0 / (1.0 + ErfP * ax)
+    val poly = ((((ErfA(4) * t + ErfA(3)) * t + ErfA(2)) * t +
+      ErfA(1)) * t + ErfA(0)) * t
+    val e = 1.0 - poly * math.exp(-ax * ax)
+    if (x < 0) -e else e
+  }
+
+  def normalCdf(x: Double): Double = 0.5 * (1.0 + erf(x / math.sqrt(2.0)))
+
+  def normalPdf(x: Double): Double =
+    math.exp(-0.5 * x * x) / math.sqrt(2.0 * math.Pi)
+
+  /** Column form of [[normalCdf]] — IDENTICAL operation order to the
+    * scalar form so Spark and an oracle engine running the same
+    * arithmetic produce the same doubles. */
+  def normalCdfCol(x: Column): Column = {
+    val z = x / math.sqrt(2.0)
+    val ax = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(ErfP) * ax)
+    val poly = ((((lit(ErfA(4)) * t + lit(ErfA(3))) * t + lit(ErfA(2))) * t +
+      lit(ErfA(1))) * t + lit(ErfA(0))) * t
+    val erfAbs = lit(1.0) - poly * exp(-ax * ax)
+    val erfSigned = when(z < 0, -erfAbs).otherwise(erfAbs)
+    lit(0.5) * (lit(1.0) + erfSigned)
+  }
+
+  /** The same A&S erf/Φ pipeline as DuckDB SQL text over an input
+    * expression, for oracle queries that emit normal-approximation
+    * p-values. */
+  def normalCdfSql(x: String): String = {
+    val z = s"(($x) / sqrt(2.0))"
+    val ax = s"abs($z)"
+    val t = s"(1.0 / (1.0 + $ErfP * $ax))"
+    val poly = s"((((${ErfA(4)} * $t + ${ErfA(3)}) * $t + ${ErfA(2)}) " +
+      s"* $t + ${ErfA(1)}) * $t + ${ErfA(0)}) * $t"
+    val erfAbs = s"(1.0 - ($poly) * exp(-($ax) * ($ax)))"
+    val erfSigned = s"(CASE WHEN $z < 0 THEN -$erfAbs ELSE $erfAbs END)"
+    s"(0.5 * (1.0 + $erfSigned))"
+  }
+
+  // ---- log-gamma / incomplete gamma --------------------------------
+
+  private val LanczosG = 7.0
+  private val LanczosC = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  /** Lanczos log-gamma for x > 0. */
+  def lnGamma(x: Double): Double = {
+    val xm = x - 1.0
+    var a = LanczosC(0)
+    val t = xm + LanczosG + 0.5
+    var i = 1
+    while (i < 9) { a += LanczosC(i) / (xm + i); i += 1 }
+    0.5 * math.log(2.0 * math.Pi) + (xm + 0.5) * math.log(t) - t +
+      math.log(a)
+  }
+
+  /** Regularized lower incomplete gamma P(a, x): series for x < a+1,
+    * continued fraction (modified Lentz) otherwise. */
+  def regGammaP(a: Double, x: Double): Double = {
+    require(a > 0 && x >= 0, s"regGammaP domain: a=$a x=$x")
+    if (x == 0.0) 0.0
+    else if (x < a + 1.0) {
+      // series: P = x^a e^-x / Γ(a) * Σ x^n / (a(a+1)...(a+n))
+      var ap = a; var sum = 1.0 / a; var del = sum
+      var n = 0
+      while (n < 500 && math.abs(del) >= math.abs(sum) * 1e-15) {
+        ap += 1.0; del *= x / ap; sum += del; n += 1
+      }
+      sum * math.exp(-x + a * math.log(x) - lnGamma(a))
+    } else {
+      // continued fraction for Q(a, x), P = 1 - Q
+      val tiny = 1e-300
+      var b = x + 1.0 - a; var c = 1.0 / tiny; var d = 1.0 / b
+      var h = d
+      var i = 1
+      var done = false
+      while (i <= 500 && !done) {
+        val an = -i * (i - a)
+        b += 2.0
+        d = an * d + b; if (math.abs(d) < tiny) d = tiny
+        c = b + an / c; if (math.abs(c) < tiny) c = tiny
+        d = 1.0 / d
+        val del = d * c
+        h *= del
+        if (math.abs(del - 1.0) < 1e-15) done = true
+        i += 1
+      }
+      1.0 - math.exp(-x + a * math.log(x) - lnGamma(a)) * h
+    }
+  }
+
+  // ---- incomplete beta ---------------------------------------------
+
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val tiny = 1e-300
+    val qab = a + b; val qap = a + 1.0; val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < tiny) d = tiny
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    var done = false
+    while (m <= 500 && !done) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < tiny) d = tiny
+      c = 1.0 + aa / c; if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < tiny) d = tiny
+      c = 1.0 + aa / c; if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < 1e-15) done = true
+      m += 1
+    }
+    h
+  }
+
+  /** Regularized incomplete beta I_x(a, b) (continued fraction with
+    * the symmetry transform for convergence). */
+  def regBeta(a: Double, b: Double, x: Double): Double = {
+    require(x >= 0 && x <= 1, s"regBeta domain: x=$x")
+    if (x == 0.0) 0.0
+    else if (x == 1.0) 1.0
+    else {
+      val front = math.exp(lnGamma(a + b) - lnGamma(a) - lnGamma(b) +
+        a * math.log(x) + b * math.log(1.0 - x))
+      if (x < (a + 1.0) / (a + b + 2.0)) front * betacf(a, b, x) / a
+      else 1.0 - front * betacf(b, a, 1.0 - x) / b
+    }
+  }
+
+  // ---- distribution CDFs -------------------------------------------
+
+  /** Student-t CDF (df may be fractional — Welch). */
+  def tCdf(t: Double, df: Double): Double = {
+    val ib = regBeta(df / 2.0, 0.5, df / (df + t * t))
+    if (t >= 0) 1.0 - ib / 2.0 else ib / 2.0
+  }
+
+  def chi2Cdf(x: Double, df: Double): Double =
+    if (x <= 0) 0.0 else regGammaP(df / 2.0, x / 2.0)
+
+  def fCdf(f: Double, d1: Double, d2: Double): Double =
+    if (f <= 0) 0.0 else regBeta(d1 / 2.0, d2 / 2.0, d1 * f / (d1 * f + d2))
+
+  // ---- p-value helpers ---------------------------------------------
+
+  /** two-sided p for a t statistic. */
+  def tTwoSidedP(t: Double, df: Double): Double =
+    2.0 * (1.0 - tCdf(math.abs(t), df))
+
+  /** upper-tail p for a χ² statistic. */
+  def chi2UpperP(x: Double, df: Double): Double = 1.0 - chi2Cdf(x, df)
+
+  /** upper-tail p for an F statistic. */
+  def fUpperP(f: Double, d1: Double, d2: Double): Double =
+    1.0 - fCdf(f, d1, d2)
+
+  /** two-sided p for a z statistic. */
+  def zTwoSidedP(z: Double): Double = 2.0 * (1.0 - normalCdf(math.abs(z)))
+}

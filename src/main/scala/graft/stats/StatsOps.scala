@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object StatsOps {
 
+  // one-row finalizations: closed-form distribution CDFs applied to
+  // the single aggregate row (never the row-level data), so a scalar
+  // UDF here is a deliberate, cold-path choice
+  private val tPUdf = udf((t: Double, df: Double) =>
+    Distributions.tTwoSidedP(t, df))
+  private val chi2PUdf = udf((x: Double, df: Double) =>
+    Distributions.chi2UpperP(x, df))
+  private val fPUdf = udf((f: Double, d1: Double, d2: Double) =>
+    Distributions.fUpperP(f, d1, d2))
+
   /** describe (stats.rs:50): count/mean/std/min/q1/median/q3/max per
     * numeric column, one aggregate pass + exact percentiles. */
   def describeNum(df: DataFrame, c: String): DataFrame =
@@ -49,6 +59,7 @@ object StatsOps {
         (pow(col("a.s2") / col("a.n"), 2) / (col("a.n") - 1) +
          pow(col("b.s2") / col("b.n"), 2) / (col("b.n") - 1)))
         .as("welch_df"))
+      .withColumn("p_value", tPUdf(col("t_stat"), col("welch_df")))
   }
 
   /** Chi-square independence test (stats/mod.rs chi_square_independence):
@@ -73,6 +84,8 @@ object StatsOps {
           lit(n.toDouble))
       .agg(sum(pow(col("o") - col("e"), 2) / col("e")).as("chi2"),
         ((countDistinct(a) - 1) * (countDistinct(b) - 1)).as("dof"))
+      .withColumn("p_value",
+        chi2PUdf(col("chi2"), col("dof").cast("double")))
   }
 
   /** One-way ANOVA F statistic (stats/mod.rs anova,
@@ -96,6 +109,8 @@ object StatsOps {
         (col("k") - 1).as("df_between"),
         (col("nn") - col("k")).cast("long").as("df_within"))
       .withColumn("f_stat", col("ms_between") / col("ms_within"))
+      .withColumn("p_value", fPUdf(col("f_stat"),
+        col("df_between").cast("double"), col("df_within").cast("double")))
   }
 
   /** Cramér's V association strength (stats/mod.rs cramers_v):
@@ -147,34 +162,115 @@ object StatsOps {
           .as("intercept"),
         (pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-          (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+          (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"),
+        col("n"))
+      // slope t statistic via the simple-OLS identity
+      // t² = r²(n−2)/(1−r²), sign(t) = sign(slope); df = n−2.
+      // A perfect fit (r² = 1) has zero residual variance → t = ±∞,
+      // p = 0 (guarded: ANSI mode treats the 0-divide as an error).
+      .withColumn("slope_t",
+        when(col("r2") < 1.0, signum(col("slope")) *
+          sqrt(col("r2") * (col("n") - 2) / (lit(1.0) - col("r2"))))
+        .otherwise(signum(col("slope")) * lit(Double.PositiveInfinity)))
+      .withColumn("p_value", tPUdf(col("slope_t"), col("n") - 2))
+      .drop("n")
+  }
+
+  /** Average ranks of the distinct-value table, scale-safe.
+    *
+    * avg_rank(v) = #rows<v + 1 + (ties(v)−1)/2 needs a cumulative sum
+    * over per-value counts in value order — naively a GLOBAL window
+    * (single partition, O(distinct) on one executor; fine for bounded
+    * domains, a scale-killer for continuous doubles where distinct ≈
+    * rows). Two-pass range-partitioned form instead: bucket values by
+    * approximate quantiles, compute per-bucket totals (≤ nBuckets
+    * rows, finalized driver-side into literal offsets), then cumsum
+    * WITHIN each bucket via a partitioned window. Ranks are exact
+    * regardless of where the approximate boundaries fall — buckets
+    * only set the parallelism.
+    *
+    * Input: counts(valueCol numeric, cntCol). Output: valueCol, rank.
+    */
+  def distinctValueRanks(counts: DataFrame, valueCol: String,
+      cntCol: String, nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = counts.na.drop(Seq(valueCol))
+      .select(col(valueCol).cast("double").as("__v__"))
+      .stat.approxQuantile("__v__", probs, 0.001).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(valueCol).cast("double") > lit(b), 1).otherwise(0)
+    }
+    val withB = counts.withColumn("__bkt__", bucket)
+    // per-bucket totals: ≤ nBuckets rows — driver-side prefix sums
+    // become literal offsets (documented cold-path finalization)
+    val totals = withB.groupBy("__bkt__")
+      .agg(sum(col(cntCol)).as("__tot__"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) =>
+      (b, acc + t)
+    }.init.map { case (_, off) => off }
+    val offExpr = totals.map(_._1).zip(offsets)
+      .foldLeft(lit(0L)) { case (acc, (b, off)) =>
+        when(col("__bkt__") === b, off).otherwise(acc)
+      }
+    val ww = Window.partitionBy("__bkt__").orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.withColumn("__below__",
+        offExpr + coalesce(sum(col(cntCol)).over(ww), lit(0L)))
+      .withColumn("__r__",
+        col("__below__") + 1 + (col(cntCol) - 1) / lit(2.0))
+      .select(col(valueCol), col("__r__"))
   }
 
   /** Mann-Whitney U (stats/nonparametric.rs): rank-sum with average
     * ranks for ties.
     *
-    * Scale design: a naive rank() needs a single-partition global
-    * window — O(rows) on one executor. Instead ranks are computed on
-    * the DISTINCT-VALUE table (bounded by the value domain, not the
-    * row count): avg_rank(v) = #rows<v + 1 + (ties(v)−1)/2, via a
-    * cumulative sum over the per-value counts, broadcast-joined back.
-    * The only full-data operations are a groupBy(value) and a join. */
+    * Scale design: ranks come from the DISTINCT-VALUE table via
+    * [[distinctValueRanks]] (range-partitioned cumulative counts — no
+    * global window), broadcast-joined back. The only full-data
+    * operations are a groupBy(value) and a join. */
   def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
       gA: String, gB: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pooled = df.filter(col(groupCol).isin(gA, gB))
     val counts = pooled.groupBy(col(valueCol)).agg(count(lit(1)).as("__c__"))
-    val wv = Window.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val rankMap = counts.withColumn("__below__",
-        coalesce(sum(col("__c__")).over(wv), lit(0L)))
-      .withColumn("__r__",
-        col("__below__") + 1 + (col("__c__") - 1) / lit(2.0))
-      .select(col(valueCol), col("__r__"))
+    val rankMap = distinctValueRanks(counts, valueCol, "__c__")
     pooled.join(broadcast(rankMap), Seq(valueCol))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"), sum(col("__r__")).as("rank_sum"))
-      .withColumn("u", col("rank_sum") - col("n") * (col("n") + 1) / 2)
+      .withColumn("u", col("rank_sum") -
+        col("n").cast("double") * (col("n").cast("double") + 1) / 2)
+  }
+
+  /** Mann-Whitney U z-test (normal approximation, tie-corrected, no
+    * continuity correction): one row with U (for group A), z and the
+    * two-sided p-value. The p-value is pure Column arithmetic
+    * (A&S 7.1.26 Φ) so an oracle engine can reproduce it verbatim. */
+  def mannWhitneyUTest(df: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String): DataFrame = {
+    val pooled = df.filter(col(groupCol).isin(gA, gB))
+    val counts = pooled.groupBy(col(valueCol)).agg(count(lit(1)).as("__c__"))
+    val rankMap = distinctValueRanks(counts, valueCol, "__c__")
+    // tie term T = Σ(c³−c) over distinct values
+    val ties = counts.agg(sum(col("__c__") * col("__c__") * col("__c__") -
+      col("__c__")).cast("double").as("tie_t"))
+    val g = pooled.join(broadcast(rankMap), Seq(valueCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(col("__r__")).as("rs"))
+    val a = g.filter(col(groupCol) === gA)
+      .select(col("n").cast("double").as("na"), col("rs").as("rsa"))
+    val b = g.filter(col(groupCol) === gB)
+      .select(col("n").cast("double").as("nb"))
+    val wide = a.crossJoin(b).crossJoin(broadcast(ties))
+    val u = col("rsa") - col("na") * (col("na") + 1) / 2
+    val nn = col("na") + col("nb")
+    val mu = col("na") * col("nb") / 2
+    val sigma = sqrt(col("na") * col("nb") / 12.0 *
+      ((nn + 1) - col("tie_t") / (nn * (nn - 1))))
+    val z = (u - mu) / sigma
+    val p = lit(2.0) * (lit(1.0) - Distributions.normalCdfCol(abs(z)))
+    wide.select(round(u, 6).as("u"), round(z, 6).as("z"),
+      round(p, 6).as("p_value"))
   }
 
   /** Skewness / kurtosis (pandas-compat trait_def.rs:98-109) —
