@@ -25,6 +25,16 @@ object QueriesExt {
         // ON the .5 rounding boundary, where round() semantics differ
         .select(col("event_id"), col("user_id"), col("ewm"))),
 
+    // §2.5a EWM variance (adjust=true, bias=false) — same fold as
+    // q57, four accumulators; verified against a recursive-CTE oracle
+    // carrying (num, den, num2, den2). No rounding (see q57 note).
+    "q85_ewm_var" -> ((s, d) =>
+      RollingOps.ewmVar(
+        t(s, d, "events").select("event_id", "user_id", "value"),
+        "value", "event_id", Seq("user_id"), alpha = 0.5,
+        outName = "ewm_var")
+        .select(col("event_id"), col("user_id"), col("ewm_var"))),
+
     // §2.13 factorize: dense codes by sorted category order
     "q67_factorize" -> ((s, d) =>
       MlOps.factorize(t(s, d, "events"), "event_type")
@@ -323,6 +333,32 @@ object QueriesExt {
         |    (1.0 - 0.5) * r.y + 0.5 * b.x
         |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         |SELECT event_id, user_id, y AS ewm FROM r""".stripMargin,
+
+    "q85_ewm_var" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  -- the recursive CTE's column types come from the base case:
+        |  -- bare 1.0 would be DECIMAL and quantize the recursion
+        |  SELECT user_id, event_id, rn,
+        |    x AS num, CAST(1.0 AS DOUBLE) AS den,
+        |    x * x AS num2, CAST(1.0 AS DOUBLE) AS den2
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    (1.0 - 0.5) * r.num + b.x,
+        |    (1.0 - 0.5) * r.den + 1.0,
+        |    (1.0 - 0.5) * r.num2 + b.x * b.x,
+        |    (1.0 - 0.5) * (1.0 - 0.5) * r.den2 + 1.0
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT event_id, user_id,
+        |  CASE WHEN den * den - den2 > 0.0
+        |    THEN (num2 / den - (num / den) * (num / den)) *
+        |      (den * den) / (den * den - den2)
+        |    ELSE NULL END AS ewm_var
+        |FROM r""".stripMargin,
 
     "q67_factorize" ->
       """SELECT event_type,

@@ -149,4 +149,93 @@ object RollingOps {
         col("__ewm__.e").as(outName): _*)
     df.join(exploded, partitionCols :+ orderCol, "left")
   }
+
+  /** Exponentially-weighted moving variance (reference
+    * src/series/window.rs:640-715 implements mean+std+var; we mirror
+    * pandas adjust=true semantics). Same sorted-fold shape as
+    * [[ewmMean]] with four accumulators:
+    *
+    *   den  = Σ w_i,  num  = Σ w_i x_i,
+    *   num2 = Σ w_i x_i², den2 = Σ w_i²,   w_i = (1−α)^(t−i)
+    *
+    * biased var = num2/den − (num/den)²; bias=false applies the
+    * reliability debias den²/(den²−den2) (null while den² = den2,
+    * i.e. a single effective observation — pandas NaN). */
+  def ewmVar(df: DataFrame, valueCol: String, orderCol: String,
+      partitionCols: Seq[String], alpha: Double, bias: Boolean = false,
+      outName: String = "ewm_var"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__pts__"))
+    val a = alpha
+    // updated accumulators, written inline so the emitted element uses
+    // the POST-update values
+    val nD = s"((1.0d - $a) * acc.den + 1.0d)"
+    val nN = s"((1.0d - $a) * acc.num + p.v)"
+    val nN2 = s"((1.0d - $a) * acc.num2 + p.v * p.v)"
+    val nD2 = s"((1.0d - $a) * (1.0d - $a) * acc.den2 + 1.0d)"
+    val biased = s"($nN2 / $nD - ($nN / $nD) * ($nN / $nD))"
+    val eExpr =
+      if (bias) biased
+      else s"""CASE WHEN $nD * $nD - $nD2 > 0.0d
+              |  THEN $biased * ($nD * $nD) / ($nD * $nD - $nD2)
+              |  ELSE CAST(null AS DOUBLE) END""".stripMargin
+    val fold = expr(
+      s"""transform(
+         |  aggregate(__pts__,
+         |    struct(cast(array() as array<struct<o: ${df.schema(orderCol).dataType.sql}, e: double>>) as outp,
+         |           cast(0.0 as double) as num, cast(0.0 as double) as den,
+         |           cast(0.0 as double) as num2, cast(0.0 as double) as den2),
+         |    (acc, p) -> struct(
+         |      acc.outp || array(struct(p.o as o, $eExpr as e)),
+         |      $nN, $nD, $nN2, $nD2)).outp,
+         |  x -> x)""".stripMargin)
+    val exploded = grouped.withColumn("__ewm__", explode(fold))
+      .select(partitionCols.map(col) :+
+        col("__ewm__.o").as(orderCol) :+
+        col("__ewm__.e").as(outName): _*)
+    df.join(exploded, partitionCols :+ orderCol, "left")
+  }
+
+  /** EWM standard deviation: sqrt of [[ewmVar]] (clamped at 0 so a
+    * −1 ulp variance cannot produce NaN). */
+  def ewmStd(df: DataFrame, valueCol: String, orderCol: String,
+      partitionCols: Seq[String], alpha: Double, bias: Boolean = false,
+      outName: String = "ewm_std"): DataFrame =
+    ewmVar(df, valueCol, orderCol, partitionCols, alpha, bias, outName)
+      .withColumn(outName, sqrt(greatest(col(outName), lit(0.0))))
+
+  /** Scale-path EWM variance: truncated weights like
+    * [[ewmMeanTruncated]] — a fixed-depth lag window instead of the
+    * sequential fold, bounded error tol·max|x|². */
+  def ewmVarTruncated(df: DataFrame, valueCol: String,
+      orderCols: Seq[String], partitionCols: Seq[String], alpha: Double,
+      bias: Boolean = false, tol: Double = 1e-12,
+      outName: String = "ewm_var"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val k = math.ceil(math.log(tol) / math.log1p(-alpha)).toInt.max(1)
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val v = col(valueCol).cast("double")
+    val terms = (0 until k).map { j =>
+      val wj = math.pow(1.0 - alpha, j)
+      val x = if (j == 0) v else lag(v, j).over(w)
+      (when(x.isNotNull, lit(wj)).otherwise(lit(0.0)),
+        when(x.isNotNull, x * wj).otherwise(lit(0.0)),
+        when(x.isNotNull, x * x * wj).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(wj * wj)).otherwise(lit(0.0)))
+    }
+    val den = terms.map(_._1).reduce(_ + _)
+    val num = terms.map(_._2).reduce(_ + _)
+    val num2 = terms.map(_._3).reduce(_ + _)
+    val den2 = terms.map(_._4).reduce(_ + _)
+    val biased = num2 / den - (num / den) * (num / den)
+    val out =
+      if (bias) biased
+      else when(den * den - den2 > 0.0,
+        biased * (den * den) / (den * den - den2))
+    df.withColumn(outName, when(v.isNotNull, out))
+  }
 }

@@ -108,4 +108,64 @@ class RollingEwmSpec extends SparkSpecBase {
     approx(out(1), (3 + 0.5) / 1.5)
     approx(out(2), 10.0)
   }
+
+  /** brute-force pandas-semantics EWM var (adjust=true): weighted
+    * moments over the full prefix with w_i = (1-a)^(t-i). */
+  private def refEwmVar(xs: Seq[Double], a: Double,
+      bias: Boolean): Seq[Option[Double]] =
+    xs.indices.map { t =>
+      val w = (0 to t).map(i => math.pow(1 - a, t - i))
+      val den = w.sum
+      val num = w.zip(xs.take(t + 1)).map { case (wi, x) => wi * x }.sum
+      val num2 = w.zip(xs.take(t + 1)).map { case (wi, x) => wi * x * x }.sum
+      val den2 = w.map(wi => wi * wi).sum
+      val biased = num2 / den - (num / den) * (num / den)
+      if (bias) Some(biased)
+      else if (den * den - den2 > 0)
+        Some(biased * (den * den) / (den * den - den2))
+      else None
+    }
+
+  test("ewmVar matches the weighted-moments reference; [1,3] -> [null,2]") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 4.0, 7.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("k", "ord", "v")
+    val got = RollingOps.ewmVar(df, "v", "ord", Seq("k"), 0.3)
+      .orderBy("ord").select("ewm_var").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val want = refEwmVar(xs, 0.3, bias = false)
+    got.head shouldBe None // single observation: debias undefined
+    got.zip(want).foreach {
+      case (Some(g), Some(w)) => g shouldBe w +- 1e-9
+      case (g, w) => g shouldBe w
+    }
+    // ewm var of the first two points is the ordinary sample variance
+    val two = RollingOps.ewmVar(Seq(("g", 0, 1.0), ("g", 1, 3.0))
+      .toDF("k", "ord", "v"), "v", "ord", Seq("k"), 0.5)
+      .orderBy("ord").select("ewm_var").collect()
+    two(1).getDouble(0) shouldBe 2.0 +- 1e-12
+  }
+
+  test("ewmStd is sqrt of ewmVar; constant series has zero variance") {
+    val df = Seq(("g", 0, 4.0), ("g", 1, 4.0), ("g", 2, 4.0))
+      .toDF("k", "ord", "v")
+    val stds = RollingOps.ewmStd(df, "v", "ord", Seq("k"), 0.4)
+      .orderBy("ord").select("ewm_std").collect()
+    stds(1).getDouble(0) shouldBe 0.0 +- 1e-12
+    stds(2).getDouble(0) shouldBe 0.0 +- 1e-12
+  }
+
+  test("ewmVarTruncated matches exact ewmVar within tolerance") {
+    val xs = (1 to 60).map(i => math.sin(i * 0.7) * 5 + (i % 7))
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+      .toDF("k", "ord", "v")
+    val exact = RollingOps.ewmVar(df, "v", "ord", Seq("k"), 0.25,
+      outName = "e").orderBy("ord").select("e").collect()
+    val trunc = RollingOps.ewmVarTruncated(df, "v", Seq("ord"),
+      Seq("k"), 0.25, outName = "e").orderBy("ord").select("e").collect()
+    exact.zip(trunc).foreach { case (a, b) =>
+      if (a.isNullAt(0)) b.isNullAt(0) shouldBe true
+      else math.abs(a.getDouble(0) - b.getDouble(0)) should be < 1e-8
+    }
+  }
 }
