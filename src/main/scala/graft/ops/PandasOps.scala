@@ -62,12 +62,28 @@ object PandasOps {
 
     /** melt / wide-to-long (src/optimized/split_dataframe/data_ops.rs:241,
       * src/dataframe/transform.rs:11) via the codegen'd stack()
-      * expression — no shuffle, row-local. */
+      * expression — no shuffle, row-local. Value columns keep their
+      * type when they share one; mixed numerics widen to double and
+      * anything else falls back to string (pandas object semantics) —
+      * never a silent numeric cast of strings. */
     def melt(idVars: Seq[String], valueVars: Seq[String],
         varName: String = "variable",
         valueName: String = "value"): DataFrame = {
+      import org.apache.spark.sql.types._
+      val types = valueVars.map(v => df.schema(v).dataType).distinct
+      val target: Option[DataType] = types match {
+        case Seq(single) => Some(single) // already uniform: no cast
+        case ts if ts.forall(_.isInstanceOf[NumericType]) =>
+          Some(DoubleType)
+        case _ => Some(StringType)
+      }
+      val castSql = target match {
+        case Some(t) if types != Seq(t) => (v: String) =>
+          s"cast(`$v` as ${t.sql})"
+        case _ => (v: String) => s"`$v`"
+      }
       val stackArgs = valueVars
-        .map(v => s"'$v', cast(`$v` as double)").mkString(", ")
+        .map(v => s"'$v', ${castSql(v)}").mkString(", ")
       df.select(idVars.map(col) :+
         expr(s"stack(${valueVars.size}, $stackArgs) as ($varName, $valueName)"): _*)
     }

@@ -31,12 +31,20 @@ object TimeSeriesOps {
       .orderBy("bucket")
 
   /** upsample to a regular grid with forward-fill: join the series
-    * onto a generated calendar, then ffill. */
+    * onto a generated calendar (one `ts` column), then ffill.
+    * `keyCols` upsamples each key's series against the calendar with
+    * a PARTITIONED fill window — pass them for multi-series data or
+    * the single-series fill degenerates to one partition (fine only
+    * for one bounded series; noted in SCALE.md). */
   def upsample(df: DataFrame, tsCol: String, valueCol: String,
-      calendar: DataFrame): DataFrame = {
-    val joined = calendar.join(
-      df.select(col(tsCol).as("ts"), col(valueCol)), Seq("ts"), "left")
-    val w = Window.orderBy("ts")
+      calendar: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val series = df.select((keyCols.map(col) :+
+      col(tsCol).as("ts") :+ col(valueCol)): _*)
+    val grid =
+      if (keyCols.isEmpty) calendar
+      else df.select(keyCols.map(col): _*).distinct().crossJoin(calendar)
+    val joined = grid.join(series, keyCols :+ "ts", "left")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("ts")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined.withColumn(valueCol,
       last(col(valueCol), ignoreNulls = true).over(w))
@@ -64,8 +72,8 @@ object TimeSeriesOps {
     * resid = value − trend − seasonal. Two window passes + one
     * broadcastable per-phase aggregate. */
   def decomposeAdditive(df: DataFrame, tsCol: String, valueCol: String,
-      period: Int): DataFrame = {
-    val wAll = Window.orderBy(col(tsCol))
+      period: Int, keyCols: Seq[String] = Nil): DataFrame = {
+    val wAll = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
     val half = period / 2
     // classical trend filter: odd period → centered m-point MA;
     // even period → 2×m MA (mean of the two half-shifted m-point
@@ -87,19 +95,26 @@ object TimeSeriesOps {
       .withColumn("trend", trendCol)
       .withColumn("__phase__", pmod(col("__rn__") - 1, lit(period)))
     // per-phase means of detrended values, re-centered to sum to zero
-    // so the level stays in the trend component
+    // so the level stays in the trend component (per key when keyed)
+    val phaseKeys = keyCols :+ "__phase__"
     val seasonal = trended
       .filter(col("trend").isNotNull)
-      .groupBy("__phase__")
+      .groupBy(phaseKeys.map(col): _*)
       .agg(avg(col(valueCol) - col("trend")).as("__raw_seasonal__"))
-    val centered = seasonal.crossJoin(broadcast(
-        seasonal.agg(avg("__raw_seasonal__").as("__mean_s__"))))
-      .select(col("__phase__"),
-        (col("__raw_seasonal__") - col("__mean_s__")).as("seasonal"))
-    trended.join(broadcast(centered), Seq("__phase__"), "left")
+    val meanS =
+      if (keyCols.isEmpty)
+        seasonal.agg(avg("__raw_seasonal__").as("__mean_s__"))
+      else seasonal.groupBy(keyCols.map(col): _*)
+        .agg(avg("__raw_seasonal__").as("__mean_s__"))
+    val centered = (if (keyCols.isEmpty)
+        seasonal.crossJoin(broadcast(meanS))
+      else seasonal.join(broadcast(meanS), keyCols))
+      .select((phaseKeys.map(col) :+
+        (col("__raw_seasonal__") - col("__mean_s__")).as("seasonal")): _*)
+    trended.join(broadcast(centered), phaseKeys, "left")
       .withColumn("resid", col(valueCol) - col("trend") - col("seasonal"))
       .drop("__rn__", "__phase__")
-      .orderBy(col(tsCol))
+      .orderBy((keyCols :+ tsCol).map(col): _*)
   }
 
   /** Lag/rolling feature extraction (reference
@@ -118,25 +133,32 @@ object TimeSeriesOps {
   }
 
   /** Linear detrend (reference src/time_series/preprocessing.rs):
-    * residual of the OLS fit value ~ rownum, computed from sufficient
-    * sums — two passes, no collect of rows. */
-  def detrendLinear(df: DataFrame, valueCol: String,
-      orderCol: String): DataFrame = {
-    val wAll = Window.orderBy(col(orderCol))
+    * residual of the per-key OLS fit value ~ rownum, computed from
+    * sufficient sums — two distributed passes, no driver collect.
+    * `keyCols` detrends each series under a partitioned window; empty
+    * keyCols is a single global series (one-partition row_number —
+    * fine only for one bounded series; noted in SCALE.md). */
+  def detrendLinear(df: DataFrame, valueCol: String, orderCol: String,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
     val withX = df.withColumn("__x__",
       row_number().over(wAll).cast("double"))
-    val s = withX.agg(count(lit(1)).cast("double").as("n"),
-      sum(col("__x__")).as("sx"),
-      sum(col(valueCol)).as("sy"),
-      sum(col("__x__") * col("__x__")).as("sxx"),
-      sum(col("__x__") * col(valueCol)).as("sxy")).head()
-    val (n, sx, sy, sxx, sxy) = (s.getDouble(0), s.getDouble(1),
-      s.getDouble(2), s.getDouble(3), s.getDouble(4))
-    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    val icept = (sy - slope * sx) / n
-    withX.withColumn(s"${valueCol}_detrended",
-      col(valueCol) - (lit(icept) + lit(slope) * col("__x__")))
-      .drop("__x__")
+    val sums = withX.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__n__"),
+        sum(col("__x__")).as("__sx__"),
+        sum(col(valueCol)).as("__sy__"),
+        sum(col("__x__") * col("__x__")).as("__sxx__"),
+        sum(col("__x__") * col(valueCol)).as("__sxy__"))
+    val joined =
+      if (keyCols.isEmpty) withX.crossJoin(broadcast(sums))
+      else withX.join(broadcast(sums), keyCols)
+    val slope = (col("__n__") * col("__sxy__") - col("__sx__") * col("__sy__")) /
+      (col("__n__") * col("__sxx__") - col("__sx__") * col("__sx__"))
+    val icept = (col("__sy__") - slope * col("__sx__")) / col("__n__")
+    joined.withColumn(s"${valueCol}_detrended",
+      col(valueCol) - (icept + slope * col("__x__")))
+      .drop("__x__", "__n__", "__sx__", "__sy__", "__sxx__", "__sxy__")
   }
 
   /** Augmented Dickey-Fuller test statistic, lag order 0 (reference
@@ -241,6 +263,277 @@ object TimeSeriesOps {
     }.sum[Double] * n * (n + 2)
   }
 
+  /** Phillips-Perron Z_tau statistic (reference
+    * src/time_series/stats.rs phillips_perron): the ADF(0) regression
+    * y_t = α + ρ·y_{t−1} + u, with the serial-correlation correction
+    * applied nonparametrically via the Bartlett long-run variance of
+    * the residuals instead of lagged-difference terms:
+    *
+    *   Z_tau = sqrt(γ0/λ²)·t_ρ − n·se(ρ̂)·(λ² − γ0) / (2·λ·s²)·s
+    *
+    * (Hamilton 17.6.8 form; for serially uncorrelated residuals
+    * λ² = γ0 and Z_tau = t_ρ.) Same aggregate-then-finalize shape as
+    * [[adfStatistic]]: one lag window + one aggregate + driver math. */
+  def phillipsPerronStatistic(df: DataFrame, valueCol: String,
+      orderCol: String, lags: Int = 4): Double = {
+    val w = Window.orderBy(col(orderCol))
+    val d = df
+      .withColumn("__yl__", lag(col(valueCol), 1).over(w))
+      .filter(col("__yl__").isNotNull)
+    val s = d.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("__yl__")).as("sx"), sum(col(valueCol)).as("sy"),
+      sum(col("__yl__") * col("__yl__")).as("sxx"),
+      sum(col("__yl__") * col(valueCol)).as("sxy")).head()
+    val (n, sx, sy, sxx, sxy) = (s.getDouble(0), s.getDouble(1),
+      s.getDouble(2), s.getDouble(3), s.getDouble(4))
+    val rho = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val alpha = (sy - rho * sx) / n
+    // residuals u_t = y_t − α − ρ·y_{t−1}: second distributed pass for
+    // the autocovariances of u (cannot be expanded in the sums above)
+    val withU = d.withColumn("__u__",
+      col(valueCol) - lit(alpha) - lit(rho) * col("__yl__"))
+    val lagged = (1 to lags).foldLeft(withU)((acc, k) =>
+      acc.withColumn(s"__ul${k}__", lag(col("__u__"), k).over(w)))
+    val aggs = Seq(sum(col("__u__") * col("__u__")).as("g0")) ++
+      (1 to lags).map(k =>
+        sum(col("__u__") * col(s"__ul${k}__")).as(s"g$k"))
+    val r = lagged.agg(aggs.head, aggs.tail: _*).head()
+    val g0 = r.getAs[Double]("g0") / n
+    val lambda2 = g0 + 2.0 * (1 to lags).map { k =>
+      (1.0 - k / (lags + 1.0)) * (r.getAs[Double](s"g$k") / n)
+    }.sum
+    val sxxC = sxx - sx * sx / n
+    val s2 = g0 * n / (n - 2) // regression variance
+    val seRho = math.sqrt(s2 / sxxC)
+    val tRho = (rho - 1.0) / seRho
+    math.sqrt(g0 / lambda2) * tRho -
+      n * seRho * (lambda2 - g0) / (2.0 * math.sqrt(lambda2) * s2) *
+        math.sqrt(s2)
+  }
+
+  /** Box-Pierce Q statistic (stats.rs box_pierce): n·Σρ_k² — the
+    * un-finite-sample-corrected Ljung-Box. Returns (Q, p) with
+    * p from χ²(maxLag). */
+  def boxPierce(df: DataFrame, valueCol: String, orderCol: String,
+      maxLag: Int): (Double, Double) = {
+    val w = Window.orderBy(col(orderCol))
+    val mean = df.agg(avg(col(valueCol))).head().getDouble(0)
+    val centered = df.withColumn("__c__", col(valueCol) - mean)
+    val lagged = (1 to maxLag).foldLeft(centered)((d, k) =>
+      d.withColumn(s"__l${k}__", lag(col("__c__"), k).over(w)))
+    val aggs = Seq(count(col("__c__")).cast("double").as("n"),
+      sum(col("__c__") * col("__c__")).as("c0")) ++
+      (1 to maxLag).map(k =>
+        sum(col("__c__") * col(s"__l${k}__")).as(s"c$k"))
+    val r = lagged.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Double]("n"); val c0 = r.getAs[Double]("c0")
+    val q = n * (1 to maxLag).map { k =>
+      val rho = r.getAs[Double](s"c$k") / c0
+      rho * rho
+    }.sum
+    (q, graft.stats.Distributions.chi2UpperP(q, maxLag.toDouble))
+  }
+
+  /** Ljung-Box with p-value: the existing statistic + χ²(maxLag). */
+  def ljungBoxTest(df: DataFrame, valueCol: String, orderCol: String,
+      maxLag: Int): (Double, Double) = {
+    val q = ljungBox(df, valueCol, orderCol, maxLag)
+    (q, graft.stats.Distributions.chi2UpperP(q, maxLag.toDouble))
+  }
+
+  /** Inverse normal CDF (Acklam's rational approximation, |ε|<1.15e-9)
+    * — needed by Shapiro-Wilk's expected normal order statistics. */
+  private def normSInv(p: Double): Double = {
+    require(p > 0 && p < 1, s"normSInv domain: $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    }
+  }
+
+  /** Shapiro-Wilk W and approximate p-value (stats.rs shapiro_wilk;
+    * Royston's AS R94 algorithm, 7 ≤ n ≤ 5000). The series is
+    * collected: W needs every order statistic against tabulated
+    * normal scores, which is inherently single-node — acceptable here
+    * because normality tests apply to (small) aggregated series, and
+    * the reference is single-node throughout. */
+  def shapiroWilk(values: Seq[Double]): (Double, Double) = {
+    val n = values.size
+    require(n >= 7 && n <= 5000, s"shapiroWilk needs 7 <= n <= 5000, got $n")
+    val x = values.sorted.toArray
+    // expected normal order statistics (Blom) and base coefficients
+    val m = (1 to n).map(i => normSInv((i - 0.375) / (n + 0.25))).toArray
+    val ssm = m.map(v => v * v).sum
+    val rsn = 1.0 / math.sqrt(n)
+    // Royston polynomial corrections for the two largest coefficients
+    val c1 = Array(0.0, 0.221157, -0.147981, -2.071190, 4.434685, -2.706056)
+    val c2 = Array(0.0, 0.042981, -0.293762, -1.752461, 5.682633, -3.582633)
+    def poly(cs: Array[Double], u: Double): Double =
+      cs.zipWithIndex.map { case (cc, i) => cc * math.pow(u, i) }.sum
+    val a = new Array[Double](n)
+    val an = m(n - 1) / math.sqrt(ssm) + poly(c1, rsn)
+    val an1 = if (n > 5) m(n - 2) / math.sqrt(ssm) + poly(c2, rsn) else 0.0
+    val (phi, lastTwo) =
+      if (n > 5) ((ssm - 2 * m(n - 1) * m(n - 1) - 2 * m(n - 2) * m(n - 2)) /
+        (1 - 2 * an * an - 2 * an1 * an1), 2)
+      else ((ssm - 2 * m(n - 1) * m(n - 1)) / (1 - 2 * an * an), 1)
+    (0 until n).foreach { i =>
+      a(i) =
+        if (i == n - 1) an
+        else if (i == 0) -an
+        else if (lastTwo == 2 && i == n - 2) an1
+        else if (lastTwo == 2 && i == 1) -an1
+        else m(i) / math.sqrt(phi)
+    }
+    val mean = x.sum / n
+    val ssx = x.map(v => (v - mean) * (v - mean)).sum
+    val wNum = x.zip(a).map { case (xi, ai) => ai * xi }.sum
+    val wStat = wNum * wNum / ssx
+    // Royston normalizing transform for the p-value (n >= 12 branch;
+    // for 7 <= n < 12 the small-sample gamma transform)
+    val p =
+      if (n >= 12) {
+        val lnN = math.log(n.toDouble)
+        val mu = 0.0038915 * math.pow(lnN, 3) - 0.083751 * lnN * lnN -
+          0.31082 * lnN - 1.5861
+        val sigma = math.exp(0.0030302 * lnN * lnN - 0.082676 * lnN -
+          0.4803)
+        val z = (math.log(1 - wStat) - mu) / sigma
+        1.0 - graft.stats.Distributions.normalCdf(z)
+      } else {
+        val g = -2.273 + 0.459 * n
+        val mu = 0.5440 - 0.39978 * n + 0.025054 * n * n -
+          0.0006714 * n * n * n
+        val sigma = math.exp(1.3822 - 0.77857 * n + 0.062767 * n * n -
+          0.0020322 * n * n * n)
+        val z = (-math.log(g - math.log(1 - wStat)) - mu) / sigma
+        1.0 - graft.stats.Distributions.normalCdf(z)
+      }
+    (wStat, math.min(1.0, math.max(0.0, p)))
+  }
+
+  /** Anderson-Darling normality statistic with the parameters-
+    * estimated correction A*² = A²(1 + 0.75/n + 2.25/n²)
+    * (stats.rs anderson_darling), in the single-pass form
+    *
+    *   A² = −n − (1/n)Σ[(2i−1)·lnΦ(zᵢ) + (2n−2i+1)·ln(1−Φ(zᵢ))]
+    *
+    * over the SORTED standardized values. Distributed: the global
+    * row_number is a range-partitioned sort (acceptable: one numeric
+    * column, and rank i must be global by definition); Φ is column
+    * arithmetic; one final aggregate. Reject normality at 5% when
+    * A*² > 0.752 (both-parameters-estimated case). */
+  def andersonDarling(df0: DataFrame, valueCol: String): Double = {
+    val df = df0.filter(col(valueCol).isNotNull)
+    val stats = df.agg(count(col(valueCol)).cast("double").as("n"),
+      avg(col(valueCol)).as("m"),
+      stddev_samp(col(valueCol)).as("s")).head()
+    val (n, m, s) = (stats.getDouble(0), stats.getDouble(1),
+      stats.getDouble(2))
+    val w = Window.orderBy(col(valueCol))
+    val z = (col(valueCol) - lit(m)) / lit(s)
+    val phi = graft.stats.Distributions.normalCdfCol(z)
+    // clamp: the A&S polynomial can reach exactly 0/1 in the extreme
+    // tails, where ln() diverges
+    val phiC = least(greatest(phi, lit(1e-300)), lit(1.0 - 1e-16))
+    val a2 = df.withColumn("__i__", row_number().over(w).cast("double"))
+      .withColumn("__phi__", phiC)
+      .agg(sum((lit(2.0) * col("__i__") - 1) * log(col("__phi__")) +
+        (lit(2.0 * n) - lit(2.0) * col("__i__") + 1) *
+          log(lit(1.0) - col("__phi__"))).as("sum"))
+      .head().getDouble(0)
+    val aSq = -n - a2 / n
+    aSq * (1.0 + 0.75 / n + 2.25 / (n * n))
+  }
+
+  /** Grubbs outlier test (stats.rs grubbs): G = max|x−x̄|/s with the
+    * t-based p-value p = min(1, 2n·P(T_{n−2} ≥ t_G)),
+    * t_G² = G²·n·(n−2) / ((n−1)² − n·G²). One aggregate + driver
+    * finalization. Returns (G, p, offending value). */
+  def grubbs(df: DataFrame, valueCol: String): (Double, Double, Double) = {
+    val r = df.agg(count(col(valueCol)).cast("double").as("n"),
+      avg(col(valueCol)).as("m"), stddev_samp(col(valueCol)).as("s"))
+      .head()
+    val (n, m, s) = (r.getAs[Double]("n"), r.getAs[Double]("m"),
+      r.getAs[Double]("s"))
+    val worst = df.agg(max_by(col(valueCol),
+      abs(col(valueCol) - lit(m))).as("worst")).head().getDouble(0)
+    val g = math.abs(worst - m) / s
+    val t2 = g * g * n * (n - 2) / ((n - 1) * (n - 1) - n * g * g)
+    val p =
+      if (t2 <= 0) 1.0
+      else math.min(1.0, 2 * n *
+        (1.0 - graft.stats.Distributions.tCdf(math.sqrt(t2), n - 2)))
+    (g, p, worst)
+  }
+
+  /** Wald-Wolfowitz runs test around the median (stats.rs runs_test):
+    * sign per row, run starts via one lag window, normal z with
+    * μ = 2·n1·n2/n + 1 and the standard σ². Returns (runs, z, p). */
+  def runsTest(df: DataFrame, valueCol: String,
+      orderCol: String): (Long, Double, Double) = {
+    val med = df.agg(percentile(col(valueCol), lit(0.5))).head().getDouble(0)
+    val signed = df.filter(col(valueCol) =!= med)
+      .withColumn("__sgn__", when(col(valueCol) > med, 1).otherwise(0))
+    val w = Window.orderBy(col(orderCol))
+    val r = signed.withColumn("__prev__", lag(col("__sgn__"), 1).over(w))
+      .agg(
+        sum(when(col("__prev__").isNull ||
+          col("__prev__") =!= col("__sgn__"), 1L).otherwise(0L)).as("runs"),
+        sum(col("__sgn__")).cast("double").as("n1"),
+        sum(lit(1) - col("__sgn__")).cast("double").as("n2")).head()
+    val (runs, n1, n2) = (r.getAs[Long]("runs"), r.getAs[Double]("n1"),
+      r.getAs[Double]("n2"))
+    val n = n1 + n2
+    val mu = 2 * n1 * n2 / n + 1
+    val sigma = math.sqrt(2 * n1 * n2 * (2 * n1 * n2 - n) /
+      (n * n * (n - 1)))
+    val z = (runs - mu) / sigma
+    (runs, z, graft.stats.Distributions.zTwoSidedP(z))
+  }
+
+  /** Lo-MacKinlay variance-ratio test, homoskedastic form
+    * (stats.rs variance_ratio): VR(q) = Var(q-period diff)/(q·Var(1)),
+    * z = (VR−1)·sqrt(n·q / (2(q−1))). Lag windows + one aggregate.
+    * Returns (VR, z, p). */
+  def varianceRatio(df: DataFrame, valueCol: String, orderCol: String,
+      q: Int): (Double, Double, Double) = {
+    require(q >= 2, "q >= 2")
+    val w = Window.orderBy(col(orderCol))
+    val d1 = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val dq = col(valueCol) - lag(col(valueCol), q).over(w)
+    val r = df.withColumn("__d1__", d1).withColumn("__dq__", dq)
+      .agg(count(col("__d1__")).cast("double").as("n"),
+        avg(col("__d1__")).as("mu"),
+        var_pop(col("__d1__")).as("v1"),
+        var_pop(col("__dq__")).as("vq")).head()
+    val n = r.getAs[Double]("n")
+    val vr = r.getAs[Double]("vq") / (q * r.getAs[Double]("v1"))
+    val z = (vr - 1.0) * math.sqrt(n * q / (2.0 * (q - 1.0)))
+    (vr, z, graft.stats.Distributions.zTwoSidedP(z))
+  }
+
   /** Simple-moving-average forecast (forecasting.rs:73): driver-side
     * finalization over an ALREADY AGGREGATED (small) series — the
     * only deliberate collect in the library (SURVEY §7.4.7). */
@@ -272,4 +565,199 @@ object TimeSeriesOps {
     }
     (1 to steps).map(h => level + h * trend)
   }
+
+  /** Triple (Holt-Winters) exponential smoothing, additive seasonality
+    * (reference src/time_series/forecasting.rs:468-469) — driver-side
+    * on an aggregated series like [[holtForecast]].
+    *
+    * Initialization: level = mean of season 1; trend = per-step
+    * difference of the first two seasonal means; seasonal[i] =
+    * x_i − mean(season 1). */
+  def holtWintersForecast(values: Seq[Double], period: Int,
+      alpha: Double, beta: Double, gamma: Double,
+      steps: Int): Seq[Double] = {
+    require(period >= 2, "period >= 2")
+    if (values.size < 2 * period)
+      return holtForecast(values, alpha, beta, steps)
+    val m1 = values.take(period).sum / period
+    val m2 = values.slice(period, 2 * period).sum / period
+    var level = m1
+    var trend = (m2 - m1) / period
+    val seasonal = scala.collection.mutable.ArrayBuffer(
+      values.take(period).map(_ - m1): _*)
+    values.zipWithIndex.drop(period).foreach { case (x, i) =>
+      val sOld = seasonal(i - period)
+      val prevLevel = level
+      level = alpha * (x - sOld) + (1 - alpha) * (level + trend)
+      trend = beta * (level - prevLevel) + (1 - beta) * trend
+      seasonal += gamma * (x - level) + (1 - gamma) * sOld
+    }
+    (1 to steps).map { h =>
+      // last updated seasonal index for this phase
+      val phase = seasonal.size - period + ((h - 1) % period)
+      level + h * trend + seasonal(phase)
+    }
+  }
+
+  // ---- ARIMA ---------------------------------------------------------
+
+  /** Solve A·x = b by Gaussian elimination with partial pivoting
+    * (tiny normal-equation systems, driver-side). */
+  private def solve(a0: Array[Array[Double]],
+      b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = a0.map(_.clone); val b = b0.clone
+    var i = 0
+    while (i < n) {
+      var p = i
+      var j = i + 1
+      while (j < n) { if (math.abs(a(j)(i)) > math.abs(a(p)(i))) p = j; j += 1 }
+      val tmp = a(i); a(i) = a(p); a(p) = tmp
+      val tb = b(i); b(i) = b(p); b(p) = tb
+      require(math.abs(a(i)(i)) > 1e-12, "singular normal equations")
+      j = i + 1
+      while (j < n) {
+        val f = a(j)(i) / a(i)(i)
+        var k = i
+        while (k < n) { a(j)(k) -= f * a(i)(k); k += 1 }
+        b(j) -= f * b(i)
+        j += 1
+      }
+      i += 1
+    }
+    val x = new Array[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var k = i + 1
+      while (k < n) { s -= a(i)(k) * x(k); k += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  /** OLS of y on the given regressor rows plus an intercept, with a
+    * tiny ridge term (1e-8 of the mean diagonal) so near-degenerate
+    * designs (e.g. differencing a perfect line leaves a constant)
+    * stay solvable. Returns (intercept, coefs). */
+  private def olsFit(xs: Array[Array[Double]],
+      y: Array[Double]): (Double, Array[Double]) = {
+    val k = xs.headOption.map(_.length).getOrElse(0)
+    val d = k + 1
+    val a = Array.fill(d, d)(0.0); val b = Array.fill(d)(0.0)
+    xs.indices.foreach { r =>
+      val row = Array(1.0) ++ xs(r)
+      var i = 0
+      while (i < d) {
+        b(i) += row(i) * y(r)
+        var j = 0
+        while (j < d) { a(i)(j) += row(i) * row(j); j += 1 }
+        i += 1
+      }
+    }
+    val lam = 1e-8 * (0 until d).map(i => a(i)(i)).sum / d
+    (0 until d).foreach(i => a(i)(i) += lam)
+    val sol = solve(a, b)
+    (sol(0), sol.drop(1))
+  }
+
+  /** Fitted ARIMA(p, d, q) model. */
+  final case class ArimaModel(p: Int, d: Int, q: Int, intercept: Double,
+      ar: Array[Double], ma: Array[Double], residuals: Array[Double],
+      diffTail: Array[Double], lastValues: Array[Double])
+
+  /** Fit ARIMA(p, d, q) on an aggregated series (reference
+    * src/time_series/forecasting.rs:773 ArimaForecaster) — driver-side
+    * like every forecaster here; the series is the OUTPUT of a
+    * distributed aggregation, not row-level data.
+    *
+    * Estimation is Hannan-Rissanen: difference d times; fit a long
+    * AR by OLS to estimate innovations; then OLS of the series on p
+    * AR lags and q innovation lags. Deterministic (two linear solves,
+    * no iterative optimizer). */
+  def arimaFit(values: Seq[Double], p: Int, d: Int, q: Int): ArimaModel = {
+    require(p >= 0 && d >= 0 && q >= 0 && p + q > 0, "need p+q > 0")
+    var w = values.toArray
+    (1 to d).foreach { _ =>
+      w = w.sliding(2).map(s => s(1) - s(0)).toArray
+    }
+    val n = w.length
+    require(n > 3 * (p + q) + 10,
+      s"series too short after differencing: $n")
+    // stage 1: long-AR residuals as innovation estimates
+    val m = math.min(n / 4, math.max(2 * (p + q), 8))
+    val xs1 = (m until n).map(t =>
+      (1 to m).map(j => w(t - j)).toArray).toArray
+    val y1 = (m until n).map(w).toArray
+    val (c1, phi1) = olsFit(xs1, y1)
+    val eps = new Array[Double](n)
+    (m until n).foreach { t =>
+      val pred = c1 + (1 to m).map(j => phi1(j - 1) * w(t - j)).sum
+      eps(t) = w(t) - pred
+    }
+    // stage 2: OLS on p AR lags + q innovation lags
+    val start = m + q
+    val xs2 = (start until n).map { t =>
+      ((1 to p).map(j => w(t - j)) ++
+        (1 to q).map(j => eps(t - j))).toArray
+    }.toArray
+    val y2 = (start until n).map(w).toArray
+    val (icept, coefs) = olsFit(xs2, y2)
+    val ar = coefs.take(p); val ma = coefs.drop(p)
+    // in-sample residuals of the final model (for forecast seeding)
+    val resid = new Array[Double](n)
+    (start until n).foreach { t =>
+      val pred = icept + (1 to p).map(j => ar(j - 1) * w(t - j)).sum +
+        (1 to q).map(j => ma(j - 1) * resid(t - j)).sum
+      resid(t) = w(t) - pred
+    }
+    ArimaModel(p, d, q, icept, ar, ma, resid,
+      w.takeRight(math.max(p, 1)),
+      // d+1 tail values: anchor at difference level k needs the last
+      // k+1 originals
+      values.toArray.takeRight(math.max(d + 1, 1)))
+  }
+
+  /** Forecast `steps` ahead from a fitted model, integrating the d
+    * differences back. */
+  def arimaForecast(model: ArimaModel, steps: Int): Seq[Double] = {
+    val histW = model.diffTail.toBuffer
+    val histE = model.residuals.takeRight(math.max(model.q, 1)).toBuffer
+    val fw = (1 to steps).map { _ =>
+      val f = model.intercept +
+        (1 to model.p).map(j =>
+          model.ar(j - 1) * histW(histW.size - j)).sum +
+        (1 to model.q).map(j =>
+          model.ma(j - 1) * histE(histE.size - j)).sum
+      histW += f
+      histE += 0.0 // future innovations have expectation 0
+      f
+    }
+    // integrate d times: each integration is a cumulative sum anchored
+    // on the last observed value at that differencing level
+    var out = fw.toArray
+    if (model.d > 0) {
+      // anchors: the last value at each differencing level (that is
+      // all integration needs)
+      var cur = model.lastValues
+      var anchors = List.empty[Double]
+      (1 to model.d).foreach { _ =>
+        anchors = cur.last :: anchors
+        cur =
+          if (cur.length >= 2) cur.sliding(2).map(s => s(1) - s(0)).toArray
+          else Array.empty[Double]
+      }
+      anchors.foreach { a =>
+        var acc = a
+        out = out.map { v => acc += v; acc }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Convenience: fit + forecast. */
+  def arimaForecast(values: Seq[Double], p: Int, d: Int, q: Int,
+      steps: Int): Seq[Double] =
+    arimaForecast(arimaFit(values, p, d, q), steps)
 }

@@ -40,6 +40,28 @@ class PandasOpsSpec extends SparkSpecBase {
       .select("value").as[Double].head() shouldBe 100.0
   }
 
+  test("melt preserves value types: uniform, mixed-numeric, strings") {
+    import org.apache.spark.sql.types._
+    // uniform longs stay long (previously force-cast to double)
+    val longs = Seq((1, 10L, 100L)).toDF("id", "a", "b")
+      .melt(Seq("id"), Seq("a", "b"))
+    longs.schema("value").dataType shouldBe LongType
+    // mixed numerics widen to double
+    val mixed = Seq((1, 10L, 2.5)).toDF("id", "a", "b")
+      .melt(Seq("id"), Seq("a", "b"))
+    mixed.schema("value").dataType shouldBe DoubleType
+    // strings melt as strings, not NaN
+    val strs = Seq((1, "x", "y")).toDF("id", "a", "b")
+      .melt(Seq("id"), Seq("a", "b"))
+    strs.schema("value").dataType shouldBe StringType
+    strs.select("value").as[String].collect().sorted shouldBe
+      Array("x", "y")
+    // string + numeric falls back to string
+    val both = Seq((1, "x", 2.5)).toDF("id", "a", "b")
+      .melt(Seq("id"), Seq("a", "b"))
+    both.schema("value").dataType shouldBe StringType
+  }
+
   test("ffill/bfill fill along the order column per partition") {
     val df = Seq(("u", 1, Some(10.0)), ("u", 2, None), ("u", 3, None),
       ("u", 4, Some(40.0)), ("v", 1, None)).toDF("k", "ord", "v")

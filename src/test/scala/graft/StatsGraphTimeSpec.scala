@@ -290,4 +290,191 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       approx(got, exp, 0.3)
     }
   }
+
+  test("holtWintersForecast recovers a seasonal + trend process") {
+    val period = 4
+    val season = Seq(3.0, -1.0, -4.0, 2.0) // sums to zero
+    val series = (0 until 40).map(t => 10 + 0.5 * t + season(t % period))
+    val fc = TimeSeriesOps.holtWintersForecast(series, period,
+      alpha = 0.3, beta = 0.1, gamma = 0.2, steps = 8)
+    fc.zipWithIndex.foreach { case (got, i) =>
+      val t = 40 + i
+      approx(got, 10 + 0.5 * t + season(t % period), 0.35)
+    }
+  }
+
+  test("arima recovers an AR(1) process and forecasts toward its mean") {
+    // deterministic pseudo-noise AR(1): x_t = 2 + 0.6 x_{t-1} + e_t
+    var x = 5.0
+    val rng = new scala.util.Random(7)
+    val series = (0 until 400).map { _ =>
+      x = 2.0 + 0.6 * x + (rng.nextDouble() - 0.5)
+      x
+    }
+    val m = TimeSeriesOps.arimaFit(series, p = 1, d = 0, q = 0)
+    m.ar(0) shouldBe 0.6 +- 0.08
+    m.intercept shouldBe 2.0 +- 0.45
+    // long-horizon forecast approaches the process mean 2/(1-0.6) = 5
+    val fc = TimeSeriesOps.arimaForecast(m, 40)
+    fc.last shouldBe 5.0 +- 0.5
+  }
+
+  test("arima d=1 integrates back: linear trend is extrapolated") {
+    val series = (1 to 80).map(t => 3.0 * t + 1 +
+      0.001 * math.sin(t.toDouble)) // near-perfect line
+    val fc = TimeSeriesOps.arimaForecast(series, p = 1, d = 1, q = 0,
+      steps = 3)
+    fc.zipWithIndex.foreach { case (got, i) =>
+      approx(got, 3.0 * (81 + i) + 1, 0.2)
+    }
+  }
+
+  test("arima with q>0 fits an MA component without diverging") {
+    val rng = new scala.util.Random(11)
+    val eps = (0 until 300).map(_ => rng.nextDouble() - 0.5)
+    val series = (1 until 300).map(t => 1.0 + eps(t) + 0.5 * eps(t - 1))
+    val m = TimeSeriesOps.arimaFit(series, p = 0, d = 0, q = 1)
+    m.ma(0) shouldBe 0.5 +- 0.25
+    val fc = TimeSeriesOps.arimaForecast(m, 5)
+    fc.foreach(v => approx(v, 1.0, 0.5)) // MA(1) mean
+  }
+
+  test("phillips-perron: near ADF on iid residuals, discriminates unit root") {
+    val rng = new scala.util.Random(3)
+    val stat = (0 until 300).map(_ => rng.nextDouble() - 0.5)
+    val sdf = stat.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
+    val pp = TimeSeriesOps.phillipsPerronStatistic(sdf, "v", "t")
+    val adf = TimeSeriesOps.adfStatistic(sdf, "v", "t")
+    math.abs(pp - adf) should be < 1.5 // iid: correction ~vanishes
+    pp should be < -6.0 // stationary: strong rejection
+    var acc = 0.0
+    val walk = (0 until 300).map { _ =>
+      acc += rng.nextDouble() - 0.5; acc
+    }
+    val wdf = walk.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
+    TimeSeriesOps.phillipsPerronStatistic(wdf, "v", "t") should be > -2.5
+  }
+
+  test("box-pierce is the uncorrected ljung-box; both emit p-values") {
+    val rng = new scala.util.Random(5)
+    val df = (0 until 200).map(i => (i, rng.nextDouble() - 0.5))
+      .toDF("t", "v")
+    val (q, p) = TimeSeriesOps.boxPierce(df, "v", "t", 5)
+    val (lb, lbp) = TimeSeriesOps.ljungBoxTest(df, "v", "t", 5)
+    q should be < lb // finite-sample factor (n+2)/(n-k) > 1
+    p should be > 0.05 // white noise: no autocorrelation
+    lbp should be > 0.05
+    // strongly autocorrelated series rejects
+    val ar = { var x = 0.0; (0 until 200).map { _ =>
+      x = 0.9 * x + rng.nextDouble() - 0.5; x } }
+    val (q2, p2) = TimeSeriesOps.boxPierce(
+      ar.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v"),
+      "v", "t", 5)
+    p2 should be < 1e-6
+  }
+
+  test("shapiro-wilk: normal-ish high W, skewed low W, affine invariant") {
+    val rng = new scala.util.Random(9)
+    // approx normal via sum of uniforms (Irwin-Hall)
+    val normal = (0 until 80).map(_ =>
+      (0 until 12).map(_ => rng.nextDouble()).sum - 6.0)
+    val (wN, pN) = TimeSeriesOps.shapiroWilk(normal)
+    wN should be > 0.97
+    pN should be > 0.05
+    val skewed = (0 until 80).map(_ => math.pow(rng.nextDouble(), 4))
+    val (wS, pS) = TimeSeriesOps.shapiroWilk(skewed)
+    wS should be < 0.8
+    pS should be < 0.01
+    val (wA, _) = TimeSeriesOps.shapiroWilk(normal.map(v => 3 * v + 17))
+    wA shouldBe wN +- 1e-9
+  }
+
+  test("anderson-darling: normal small, uniform large") {
+    val rng = new scala.util.Random(13)
+    val normal = (0 until 300).map(_ =>
+      (0 until 12).map(_ => rng.nextDouble()).sum - 6.0)
+    val ad = TimeSeriesOps.andersonDarling(normal.toDF("v"), "v")
+    ad should be < 0.752 // 5% critical value, params estimated
+    val uniform = (0 until 300).map(_ => rng.nextDouble())
+    TimeSeriesOps.andersonDarling(uniform.toDF("v"), "v") should
+      be > 0.752
+  }
+
+  test("grubbs flags a planted outlier and passes clean data") {
+    val clean = (1 to 40).map(i => (i, 50.0 + (i % 7) - 3)).toDF("t", "v")
+    val (_, pClean, _) = TimeSeriesOps.grubbs(clean, "v")
+    pClean should be > 0.1
+    val dirty = ((1 to 40).map(i => (i, 50.0 + (i % 7) - 3)) :+
+      (41, 250.0)).toDF("t", "v")
+    val (g, pDirty, worst) = TimeSeriesOps.grubbs(dirty, "v")
+    worst shouldBe 250.0
+    pDirty should be < 0.001
+    g should be > 5.0
+  }
+
+  test("runs test: alternating series too many runs, blocked too few") {
+    val alternating = (0 until 100).map(i =>
+      (i, if (i % 2 == 0) 1.0 else 9.0)).toDF("t", "v")
+    val (_, zAlt, pAlt) = TimeSeriesOps.runsTest(alternating, "v", "t")
+    zAlt should be > 5.0 // far more runs than random
+    pAlt should be < 1e-6
+    val blocked = (0 until 100).map(i =>
+      (i, if (i < 50) 1.0 else 9.0)).toDF("t", "v")
+    val (runs, zBlk, pBlk) = TimeSeriesOps.runsTest(blocked, "v", "t")
+    runs shouldBe 2L
+    zBlk should be < -5.0
+    pBlk should be < 1e-6
+  }
+
+  test("variance ratio: ~1 for a random walk, small for mean reversion") {
+    val rng = new scala.util.Random(17)
+    var acc = 0.0
+    val walk = (0 until 400).map { i =>
+      acc += rng.nextDouble() - 0.5; (i, acc)
+    }.toDF("t", "v")
+    val (vrW, _, pW) = TimeSeriesOps.varianceRatio(walk, "v", "t", 4)
+    vrW shouldBe 1.0 +- 0.35
+    pW should be > 0.01
+    // strongly mean-reverting: q-period variance collapses
+    val rev = (0 until 400).map(i =>
+      (i, if (i % 2 == 0) 1.0 else -1.0 + 0.001 * (i % 5))).toDF("t", "v")
+    val (vrR, zR, _) = TimeSeriesOps.varianceRatio(rev, "v", "t", 4)
+    vrR should be < 0.5
+    zR should be < -2.0
+  }
+
+  test("decompose/detrend/upsample run per key with partitioned windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val period = 4
+    val season = Seq(2.0, -1.0, -3.0, 2.0)
+    val df = (for (k <- Seq("a", "b"); t <- 0 until 24) yield
+      (k, t, (if (k == "a") 10 else 100) + 0.5 * t + season(t % period) *
+        (if (k == "a") 1 else 2))).toDF("k", "t", "v")
+    val dec = TimeSeriesOps.decomposeAdditive(df, "t", "v", period,
+      keyCols = Seq("k"))
+    dec.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      .foreach(_.partitionSpec should not be empty)
+    // seasonal amplitude differs per key → per-key seasonal estimates
+    val sA = dec.filter($"k" === "a" && $"trend".isNotNull)
+      .agg(max(abs($"seasonal"))).head().getDouble(0)
+    val sB = dec.filter($"k" === "b" && $"trend".isNotNull)
+      .agg(max(abs($"seasonal"))).head().getDouble(0)
+    (sB / sA) shouldBe 2.0 +- 0.2
+
+    val det = TimeSeriesOps.detrendLinear(df, "v", "t", keyCols = Seq("k"))
+    det.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      .foreach(_.partitionSpec should not be empty)
+    // per-key residuals are the pure seasonal pattern: mean ~ 0 per key
+    det.groupBy("k").agg(abs(avg($"v_detrended")).as("m"))
+      .select("m").as[Double].collect().foreach(_ should be < 0.3)
+
+    val cal = (0 until 48).map(t => t.toLong).toDF("ts")
+    val sparse = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("b", 0L, 9.0))
+      .toDF("k", "ts", "x")
+    val up = TimeSeriesOps.upsample(sparse, "ts", "x", cal,
+      keyCols = Seq("k"))
+    up.count() shouldBe 96
+    up.filter($"k" === "a" && $"ts" === 5).head().getAs[Double]("x") shouldBe 1.0
+    up.filter($"k" === "b" && $"ts" === 40).head().getAs[Double]("x") shouldBe 9.0
+  }
 }
