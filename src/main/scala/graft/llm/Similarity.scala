@@ -138,12 +138,16 @@ object Similarity {
   }
 
   /** All-pairs top-k neighbors per vector within LSH buckets
-    * (k-NN graph construction). */
+    * (k-NN graph construction). `planes = 0` disables bucketing and
+    * builds the EXACT graph (all-pairs — only for small or sampled
+    * data; the LSH default is the scale path). */
   def knnGraph(df: DataFrame, vecCol: String, idCol: String, k: Int,
       planes: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bucketCol =
+      if (planes > 0) hyperplaneBucket(col(vecCol), planes) else lit(0)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      bucketCol.as("bucket"))
     val pairs = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") &&
         col("a.id") =!= col("b.id"))
@@ -153,5 +157,38 @@ object Similarity {
       .orderBy(col("cosine").desc, col("nbr"))
     pairs.withColumn("__rn__", row_number().over(w))
       .filter(col("__rn__") <= k).drop("__rn__")
+  }
+
+  /** Local Outlier Factor (reference src/ml/anomaly/mod.rs:204)
+    * composed on [[knnGraph]] with cosine distance d = 1 − cos:
+    *
+    *   k-dist(p)      = max distance to p's k neighbors
+    *   reach(p, o)    = max(k-dist(o), d(p, o))
+    *   lrd(p)         = k / Σ reach(p, ·)
+    *   LOF(p)         = avg(lrd(o)) / lrd(p)
+    *
+    * Every step is a groupBy/join keyed on the vector id — bounded
+    * shuffles that scale with the graph, no driver state. LOF ≈ 1 for
+    * inliers, ≫ 1 for outliers. */
+  def lof(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      planes: Int = 6): DataFrame = {
+    val g = knnGraph(df, vecCol, idCol, k, planes)
+      .withColumn("dist", lit(1.0) - col("cosine"))
+    val kdist = g.groupBy("id").agg(max(col("dist")).as("k_dist"))
+    val reach = g.join(kdist.select(col("id").as("nbr"),
+        col("k_dist").as("nbr_kdist")), "nbr")
+      .select(col("id"), col("nbr"),
+        greatest(col("nbr_kdist"), col("dist")).as("reach"))
+    // duplicate-heavy neighborhoods can have Σreach = 0 → lrd = ∞
+    val lrd = reach.groupBy("id")
+      .agg(count(lit(1)).cast("double").as("deg"),
+        sum(col("reach")).as("rsum"))
+      .select(col("id"), when(col("rsum") > 0, col("deg") / col("rsum"))
+        .otherwise(lit(Double.PositiveInfinity)).as("lrd"))
+    reach.join(lrd.select(col("id").as("nbr"), col("lrd").as("nbr_lrd")),
+        "nbr")
+      .groupBy("id").agg(avg(col("nbr_lrd")).as("avg_nbr_lrd"))
+      .join(lrd, "id")
+      .select(col("id"), (col("avg_nbr_lrd") / col("lrd")).as("lof"))
   }
 }

@@ -123,6 +123,15 @@ object QueriesText {
         "embedding", "vec_id", q, 10, planes = 4)
     }),
 
+    // LOF anomaly scores on the EXACT kNN graph (planes=0: embeddings
+    // are small enough to oracle all-pairs; the LSH default is the
+    // scale path). round(lof, 6): both engines derive from cosines
+    // already rounded to 6, so the chain is deterministic.
+    "q86_lof" -> ((s, d) =>
+      Similarity.lof(t(s, d, "embeddings"), "embedding", "vec_id",
+        k = 5, planes = 0)
+        .select(col("id").as("vec_id"), round(col("lof"), 6).as("lof"))),
+
     // language-ID by stopword scoring vs labeled lang
     "q49_langid" -> ((s, d) => {
       val ws = TextFunctions.wordSet(col("text"))
@@ -225,6 +234,37 @@ object QueriesText {
     "q44_minhash_lsh" ->
       s"""WITH ${minhashCtes("documents")}
          |SELECT id_a, id_b FROM cand""".stripMargin,
+
+    "q86_lof" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nbr,
+        |    round(list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) *
+        |       sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT id, nbr, 1.0 - cosine AS dist FROM (
+        |    SELECT id, nbr, cosine, row_number() OVER (
+        |      PARTITION BY id ORDER BY cosine DESC, nbr) AS rn
+        |    FROM pairs)
+        |  WHERE rn <= 5),
+        |kdist AS (SELECT id, max(dist) AS k_dist FROM knn GROUP BY 1),
+        |reach AS (
+        |  SELECT g.id, g.nbr, greatest(kd.k_dist, g.dist) AS reach
+        |  FROM knn g JOIN kdist kd ON kd.id = g.nbr),
+        |lrd AS (
+        |  SELECT id, CASE WHEN sum(reach) > 0
+        |      THEN CAST(count(*) AS DOUBLE) / sum(reach)
+        |      ELSE CAST('inf' AS DOUBLE) END AS lrd
+        |  FROM reach GROUP BY 1),
+        |nbrl AS (
+        |  SELECT r.id, avg(ln.lrd) AS avg_nbr_lrd
+        |  FROM reach r JOIN lrd ln ON ln.id = r.nbr GROUP BY 1)
+        |SELECT nbrl.id AS vec_id, round(nbrl.avg_nbr_lrd / l.lrd, 6) AS lof
+        |FROM nbrl JOIN lrd l ON l.id = nbrl.id""".stripMargin,
     "q34_explode_tokens" ->
       """SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)

@@ -212,6 +212,22 @@ class LlmOpsSpec extends SparkSpecBase {
     three.size should be >= one.size
   }
 
+  test("lof flags a planted outlier, inliers stay near 1") {
+    // tight cluster around (1, 0, ...) plus one far-off outlier
+    val cluster = (1L to 30L).map { i =>
+      val eps = i.toFloat / 100f // distinct per point: LOF's duplicate
+      (i, Seq(1.0f, eps, 0.1f + eps, 0.0f)) // degeneracy (lrd=inf) is
+    } // a documented caveat, not under test here
+    val outlier = (99L, Seq(-1.0f, 0.9f, -0.7f, 0.5f))
+    val df = (cluster :+ outlier).toDF("id", "vec")
+    val scores = Similarity.lof(df, "vec", "id", k = 5, planes = 0)
+      .as[(Long, Double)].collect().toMap
+    scores(99L) should be > 2.0
+    cluster.map(_._1).foreach { id =>
+      scores(id) should be < 1.6
+    }
+  }
+
   test("language id picks the stopword-heavy language") {
     val df = Seq(
       ("the cat and the dog of a house", "en"),
