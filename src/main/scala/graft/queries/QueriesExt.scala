@@ -35,6 +35,16 @@ object QueriesExt {
         outName = "ewm_var")
         .select(col("event_id"), col("user_id"), col("ewm_var"))),
 
+    // §2.13 DBSCAN on 1-D supplier balances (cents): the grid-cell
+    // candidate join degenerates to exact pairs, so the whole chain
+    // (degrees → cores → CC clusters → border attach) is oracle-able
+    "q87_dbscan" -> ((s, d) =>
+      graft.ml.Clustering.dbscan(
+        t(s, d, "supplier").withColumn("bal_c", dbl(cents(col("s_acctbal")))),
+        Seq("bal_c"), "s_suppkey", eps = 20000.0, minPts = 3)
+        .select(col("id").as("s_suppkey"), col("cluster"),
+          col("is_core"))),
+
     // §2.13 factorize: dense codes by sorted category order
     "q67_factorize" -> ((s, d) =>
       MlOps.factorize(t(s, d, "events"), "event_type")
@@ -333,6 +343,39 @@ object QueriesExt {
         |    (1.0 - 0.5) * r.y + 0.5 * b.x
         |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         |SELECT event_id, user_id, y AS ewm FROM r""".stripMargin,
+
+    "q87_dbscan" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT s_suppkey AS id,
+        |    CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS DOUBLE) AS f
+        |  FROM supplier),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b FROM p a JOIN p b
+        |  ON a.id <> b.id
+        |  AND (a.f - b.f) * (a.f - b.f) <= 20000.0 * 20000.0),
+        |deg AS (SELECT id_a AS id, count(*) AS deg FROM pairs GROUP BY 1),
+        |core AS (SELECT id FROM deg WHERE deg >= 2),
+        |ce AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |  WHERE id_a IN (SELECT id FROM core)
+        |    AND id_b IN (SELECT id FROM core)),
+        |comp(id, c) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT u.b, comp.c FROM comp JOIN ce u ON u.a = comp.id
+        |  WHERE comp.c < u.b),
+        |cc AS (SELECT id, min(c) AS cluster FROM comp GROUP BY 1),
+        |border AS (
+        |  SELECT pr.id_a AS id, min(cc.cluster) AS cluster
+        |  FROM pairs pr JOIN cc ON cc.id = pr.id_b
+        |  WHERE pr.id_a NOT IN (SELECT id FROM core)
+        |  GROUP BY 1),
+        |lab AS (
+        |  SELECT cc.id, cc.cluster, TRUE AS is_core FROM cc
+        |  UNION ALL
+        |  SELECT border.id, border.cluster, FALSE FROM border)
+        |SELECT p.id AS s_suppkey, lab.cluster AS cluster,
+        |  coalesce(lab.is_core, FALSE) AS is_core
+        |FROM p LEFT JOIN lab ON lab.id = p.id""".stripMargin,
 
     "q85_ewm_var" ->
       """WITH RECURSIVE base AS (

@@ -39,6 +39,39 @@ object Sources {
   def writeJsonRecords(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Column-orientation JSON (src/io/json.rs:13,103 JsonOrient::
+    * Columns; pandas orient="columns"): ONE document of
+    * `{col: {rowIdx: value}}`. The format is a single JSON object, so
+    * it is inherently non-splittable — fine for the small config-like
+    * frames it is used for; large data belongs in records/parquet.
+    * Returns rows keyed by `__idx__` (the original row index). */
+  def readJsonColumns(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val perCol = raw.schema.fields.map { f =>
+      val valueType = f.dataType.asInstanceOf[StructType].fields
+        .head.dataType
+      raw.select(explode(from_json(to_json(col(f.name)),
+        MapType(StringType, valueType))).as(Seq("__idx__", f.name)))
+    }
+    perCol.reduce((a, b) => a.join(b, Seq("__idx__"), "full"))
+      .withColumn("__idx__", col("__idx__").cast("long"))
+  }
+
+  /** Write the columns orientation: `idxCol` supplies the row index
+    * (cast to string keys, pandas-style). */
+  def writeJsonColumns(df: DataFrame, path: String, idxCol: String,
+      valueCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val aggs = valueCols.map(c => map_from_entries(sort_array(
+      collect_list(struct(col(idxCol).cast("string").as("k"),
+        col(c).as("v"))))).as(c))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(to_json(struct(valueCols.map(col): _*)).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   /** Parquet with compression option (src/io/parquet.rs:369). */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

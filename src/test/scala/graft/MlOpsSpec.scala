@@ -1,5 +1,7 @@
 package graft
 
+import graft.ml.Clustering
+
 import org.apache.spark.sql.functions._
 import graft.ml.MlOps
 
@@ -71,5 +73,39 @@ class MlOpsSpec extends SparkSpecBase {
       (1 to 20).map(i => (5.0 + i / 100.0, 1.0))).toDF("x", "label")
     val out = MlOps.logisticRegressionMl(df, Seq("x"), "label")
     out.filter($"prediction" === $"label").count() shouldBe 40
+  }
+
+  test("dbscan clusters blobs, attaches borders, marks noise") {
+    // blob A: 6 points around (0,0); blob B: 5 points around (10,10);
+    // one border point near A; one far noise point
+    val a = (1L to 6L).map(i => (i, i * 0.1, i * 0.05))
+    val b = (11L to 15L).map(i => (i, 10.0 + (i - 11) * 0.1, 10.0))
+    val border = Seq((7L, 1.3, 0.35)) // within eps of A's edge only
+    val noise = Seq((99L, 50.0, -50.0))
+    val df = (a ++ b ++ border ++ noise).toDF("id", "x", "y")
+    val out = Clustering.dbscan(df, Seq("x", "y"), "id",
+      eps = 0.8, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getBoolean(2))).toMap
+    // blob A all one cluster (id 1, the smallest core)
+    val clusterA = out(1L)._1.get
+    (1L to 6L).foreach(i => out(i)._1 shouldBe Some(clusterA))
+    // blob B a different cluster
+    val clusterB = out(11L)._1.get
+    clusterB should not be clusterA
+    (11L to 15L).foreach(i => out(i)._1 shouldBe Some(clusterB))
+    // border point: in A's cluster but not core
+    out(7L) shouldBe (Some(clusterA), false)
+    // noise: no cluster
+    out(99L)._1 shouldBe None
+    out(99L)._2 shouldBe false
+  }
+
+  test("dbscan with separated singletons yields all noise") {
+    val df = Seq((1L, 0.0), (2L, 100.0), (3L, 200.0)).toDF("id", "x")
+    val out = Clustering.dbscan(df, Seq("x"), "id", eps = 1.0,
+      minPts = 2)
+    out.filter($"cluster".isNotNull).count() shouldBe 0
   }
 }

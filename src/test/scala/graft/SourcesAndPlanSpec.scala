@@ -35,6 +35,19 @@ class SourcesAndPlanSpec extends SparkSpecBase {
     back.filter($"id" === 3).select("s").as[String].head() shouldBe "c"
   }
 
+  test("json-columns orientation round-trip") {
+    val dir = tmp("graft_json_cols")
+    val df = Seq((0L, 1.5, "a"), (1L, 2.5, "b"), (2L, 3.5, "c"))
+      .toDF("idx", "x", "s")
+    Sources.writeJsonColumns(df, dir, "idx", Seq("x", "s"))
+    val back = Sources.readJsonColumns(spark, dir)
+      .orderBy("__idx__")
+    back.columns.sorted shouldBe Array("__idx__", "s", "x")
+    back.count() shouldBe 3
+    back.filter($"__idx__" === 1).select("x").as[Double].head() shouldBe 2.5
+    back.filter($"__idx__" === 2).select("s").as[String].head() shouldBe "c"
+  }
+
   test("parquet round-trip with compression codecs") {
     for (codec <- Seq("snappy", "gzip", "zstd")) {
       val dir = tmp(s"graft_pq_$codec")
