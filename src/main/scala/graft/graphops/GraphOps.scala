@@ -127,6 +127,113 @@ object GraphOps {
     dist
   }
 
+  /** Batched multi-source BFS with shortest-path counts (σ): one
+    * frontier DataFrame carries EVERY source simultaneously, so S
+    * sources cost the same number of supersteps as one. Returns
+    * (source, id, dist, sigma) for every reached vertex. State is
+    * O(S·V) rows — bounded by the source sample size. */
+  def multiSourceBfs(edges: DataFrame, sources: Seq[Any],
+      maxIter: Int = 15): DataFrame = {
+    val sym = edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    // derive the source rows from the vertex set itself so the id
+    // type is preserved (no stringification)
+    val srcDf = sym.select(col("src").as("source")).distinct()
+      .filter(col("source").isin(sources: _*))
+    var state = srcDf.select(col("source"), col("source").as("id"),
+      lit(0).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var frontier = state
+    var i = 0
+    while (i < maxIter && frontier.limit(1).count() > 0) {
+      val expanded = frontier.join(sym, frontier("id") === sym("src"))
+        .select(col("source"), sym("dst").as("id"),
+          (col("dist") + 1).as("dist"), col("sigma"))
+        .groupBy("source", "id")
+        .agg(min("dist").as("dist"), sum("sigma").as("sigma"))
+      val next = expanded.join(state.select("source", "id")
+          .withColumnRenamed("id", "id"),
+          Seq("source", "id"), "left_anti")
+        .localCheckpoint(true)
+      state = state.union(next).localCheckpoint(true)
+      frontier = next
+      i += 1
+    }
+    state
+  }
+
+  /** Closeness centrality, exact or sampled (reference
+    * src/graph/centrality.rs:109). Exact closeness needs all-pairs
+    * distances; the scalable estimator (Eppstein-Wang) runs the
+    * batched BFS from a vertex SAMPLE and scales:
+    *
+    *   ĉ(v) = |S|·(n−1) / (n·Σ_{s∈S} d(s, v))
+    *
+    * With S = all vertices this is exactly (n−1)/Σd. Undirected. */
+  def closenessCentrality(edges: DataFrame,
+      sources: Seq[Any], nVertices: Long,
+      maxIter: Int = 15): DataFrame = {
+    val bfs = multiSourceBfs(edges, sources, maxIter)
+    val s = sources.size.toDouble
+    val n = nVertices.toDouble
+    bfs.filter(col("dist") > 0)
+      .groupBy("id")
+      .agg(sum(col("dist")).cast("double").as("dsum"),
+        count(lit(1)).as("n_reached"))
+      .select(col("id"),
+        (lit(s * (n - 1)) / (lit(n) * col("dsum"))).as("closeness"),
+        col("n_reached"))
+  }
+
+  /** Betweenness centrality by Brandes' dependency accumulation,
+    * batched over a source sample (reference
+    * src/graph/centrality.rs:152). Forward pass: [[multiSourceBfs]]
+    * (dist + σ per source). Backward pass: walk BFS levels deepest-
+    * first; a vertex v at level L−1 accumulates
+    * δ(v) += σ_v/σ_w · (1 + δ(w)) over its level-L neighbors w.
+    * Unnormalized pair counts (undirected: each pair halved); for a
+    * sample multiply by n/|S| for the standard estimate. */
+  def betweennessCentrality(edges: DataFrame, sources: Seq[Any],
+      maxIter: Int = 15): DataFrame = {
+    val sym = edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val state = multiSourceBfs(edges, sources, maxIter)
+      .localCheckpoint(true)
+    val maxL = state.agg(max("dist")).head().getInt(0)
+    // delta rows exist for levels already processed (deepest first)
+    var delta = state.filter(col("dist") === maxL)
+      .select(col("source"), col("id"), lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    var l = maxL
+    while (l >= 1) {
+      val wLevel = state.filter(col("dist") === l).as("w")
+        .join(delta.as("dw"), Seq("source", "id"), "left")
+        .select(col("source"), col("id").as("w_id"),
+          col("w.sigma").as("sigma_w"),
+          coalesce(col("dw.delta"), lit(0.0)).as("delta_w"))
+      val prev = state.filter(col("dist") === l - 1)
+        .select(col("source"), col("id").as("v_id"),
+          col("sigma").as("sigma_v"))
+      val contrib = wLevel
+        .join(sym, col("w_id") === sym("dst"))
+        .select(col("source"), sym("src").as("v_id"),
+          col("sigma_w"), col("delta_w"))
+        .join(prev, Seq("source", "v_id"))
+        .groupBy(col("source"), col("v_id").as("id"))
+        .agg(sum(col("sigma_v").cast("double") / col("sigma_w") *
+          (lit(1.0) + col("delta_w"))).as("delta"))
+      delta = delta.union(contrib).localCheckpoint(true)
+      l -= 1
+    }
+    // exclude the source's own row; halve for undirected pair double-count
+    delta.join(state.select("source", "id", "dist"), Seq("source", "id"))
+      .filter(col("dist") > 0)
+      .groupBy("id")
+      .agg((sum(col("delta")) / 2.0).as("betweenness"))
+  }
+
   /** BFS shortest hop-distance from a source set (traversal.rs:62,
     * shortest_path_bfs :116): frontier expansion per superstep. */
   def bfsDistances(edges: DataFrame, sourceIds: Seq[Any],

@@ -70,6 +70,41 @@ object QueriesStats {
           col("component").cast("long"))
     }),
 
+    // §2.14 closeness centrality on the same-region nation cliques:
+    // with all 25 vertices as sources the estimator is EXACT, and a
+    // clique member's closeness has the closed form 24/(m−1)
+    "q88_closeness" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val a = n.select(col("n_nationkey").as("src"),
+        col("n_regionkey").as("r"))
+      val b = n.select(col("n_nationkey").as("dst"),
+        col("n_regionkey").as("r"))
+      val edges = a.join(b, Seq("r"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      GraphOps.closenessCentrality(edges, (0L to 24L), 25L)
+        .select(col("id").cast("long").as("n_nationkey"),
+          round(col("closeness"), 6).as("closeness"),
+          col("n_reached"))
+    }),
+
+    // §2.14 betweenness centrality, exact all-sources run on the
+    // same cliques: inside a clique every pair is adjacent, so no
+    // shortest path passes through a third vertex — betweenness 0
+    "q89_betweenness" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val a = n.select(col("n_nationkey").as("src"),
+        col("n_regionkey").as("r"))
+      val b = n.select(col("n_nationkey").as("dst"),
+        col("n_regionkey").as("r"))
+      val edges = a.join(b, Seq("r"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      GraphOps.betweennessCentrality(edges, (0L to 24L))
+        .select(col("id").cast("long").as("n_nationkey"),
+          round(col("betweenness"), 6).as("betweenness"))
+    }),
+
     // §2.14 PageRank (no closed-form oracle — rows-only)
     "q54_pagerank" -> ((s, d) => {
       val edges = t(s, d, "lineitem")
@@ -255,6 +290,21 @@ object QueriesStats {
         |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT)
         |    AS component
         |FROM nation""".stripMargin,
+
+    "q88_closeness" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  round(24.0 / (CAST(count(*) OVER (PARTITION BY n_regionkey)
+        |    AS DOUBLE) - 1), 6) AS closeness,
+        |  CAST(count(*) OVER (PARTITION BY n_regionkey) - 1 AS BIGINT)
+        |    AS n_reached
+        |FROM nation""".stripMargin,
+
+    "q89_betweenness" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  0.0 AS betweenness
+        |FROM nation
+        |WHERE (SELECT count(*) FROM nation n2
+        |       WHERE n2.n_regionkey = nation.n_regionkey) > 1""".stripMargin,
 
     "q56_tumbling" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,

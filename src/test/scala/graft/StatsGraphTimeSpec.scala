@@ -86,6 +86,39 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps shouldBe Map(1 -> 1, 2 -> 1, 7 -> 7)
   }
 
+  test("closeness centrality: exact on a path graph, sampled scales") {
+    val e = Seq((1, 2), (2, 3), (3, 4), (4, 5)).toDF("src", "dst")
+    val all = GraphOps.closenessCentrality(e, Seq(1, 2, 3, 4, 5), 5)
+      .as[(Int, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // path a-b-c-d-e: c(center) = 4/(2+1+1+2) = 2/3; ends = 4/10
+    approx(all(3), 4.0 / 6.0, 1e-9)
+    approx(all(1), 4.0 / 10.0, 1e-9)
+    approx(all(5), 4.0 / 10.0, 1e-9)
+    // sampled from 3 sources: estimator stays in the right order
+    val sampled = GraphOps.closenessCentrality(e, Seq(1, 3, 5), 5)
+      .as[(Int, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    sampled(3) should be > sampled(1)
+  }
+
+  test("betweenness centrality: exact pair counts on path and star") {
+    val path = Seq((1, 2), (2, 3), (3, 4), (4, 5)).toDF("src", "dst")
+    val b = GraphOps.betweennessCentrality(path, Seq(1, 2, 3, 4, 5))
+      .as[(Int, Double)].collect().toMap
+    // pairs through each interior vertex: b2 = |{1}x{3,4,5}| = 3,
+    // b3 = |{1,2}x{4,5}| = 4, b4 = 3; endpoints 0 (absent or 0)
+    approx(b(3), 4.0, 1e-9)
+    approx(b(2), 3.0, 1e-9)
+    approx(b(4), 3.0, 1e-9)
+    b.getOrElse(1, 0.0) shouldBe 0.0 +- 1e-9
+    // star: center carries every pair = (n-1)(n-2)/2 = 6 for n = 5
+    val star = Seq((0, 1), (0, 2), (0, 3), (0, 4)).toDF("src", "dst")
+    val bs = GraphOps.betweennessCentrality(star, Seq(0, 1, 2, 3, 4))
+      .as[(Int, Double)].collect().toMap
+    approx(bs(0), 6.0, 1e-9)
+    bs.getOrElse(1, 0.0) shouldBe 0.0 +- 1e-9
+  }
+
   test("pageRank mass is conserved and sink handling works") {
     val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst") // c is a sink
     val pr = GraphOps.pageRank(e, iterations = 20)
