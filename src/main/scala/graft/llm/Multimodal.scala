@@ -81,12 +81,16 @@ object Multimodal {
         .cast("float"))
 
   /** Repartition guidance for large binary columns: target ~128 MB
-    * per partition given an average payload size. */
+    * per partition given an average payload size. Pass `rowCount`
+    * when known (e.g. from catalog stats or an earlier action) —
+    * otherwise this runs one counting scan of the table. */
   def partitionForPayload(df: DataFrame, avgBytesPerRow: Long,
-      targetPartitionBytes: Long = 128L << 20): DataFrame = {
+      targetPartitionBytes: Long = 128L << 20,
+      rowCount: Option[Long] = None): DataFrame = {
     val rowsPerPartition =
       math.max(1L, targetPartitionBytes / math.max(1L, avgBytesPerRow))
-    val n = math.max(1, (df.count() / rowsPerPartition).toInt + 1)
+    val rows = rowCount.getOrElse(df.count())
+    val n = math.max(1, (rows / rowsPerPartition).toInt + 1)
     df.repartition(n)
   }
 }

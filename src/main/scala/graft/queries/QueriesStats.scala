@@ -105,7 +105,8 @@ object QueriesStats {
           round(col("betweenness"), 6).as("betweenness"))
     }),
 
-    // §2.14 PageRank (no closed-form oracle — rows-only)
+    // §2.14 PageRank — oracle unrolls the 5 power iterations as plain
+    // CTE aggregations (dangling mass folded back each step)
     "q54_pagerank" -> ((s, d) => {
       val edges = t(s, d, "lineitem")
         .select(concat(lit("s"), col("l_suppkey")).as("src"),
@@ -162,6 +163,31 @@ object QueriesStats {
           (dbl(col("ra")) * dbl(col("rb")) / dbl(col("nn"))).as("e"))
         .agg(round(sum(col("dev") * col("dev") / col("e")), 6).as("chi2"),
           count(lit(1)).as("n_cells"))
+    }),
+
+    // §2.12 chi-square WITH its p-value: df is 8 by construction
+    // (3 fixed event types × 5 buckets), and the even-df upper tail
+    // has the closed form exp(−x/2)·Σ_{k<4}(x/2)^k/k! — plain column
+    // arithmetic mirrored in the oracle
+    "q90_chi2_pvalue" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .withColumn("ub", pmod(col("user_id"), lit(5)).cast("long"))
+      val obs = e.groupBy("event_type", "ub").agg(count(lit(1)).as("o"))
+      val ra = e.groupBy("event_type").agg(count(lit(1)).as("ra"))
+      val rb = e.groupBy("ub").agg(count(lit(1)).as("rb"))
+      val n = e.groupBy().agg(count(lit(1)).as("nn"))
+      val s1 = obs.join(ra, Seq("event_type")).join(rb, Seq("ub"))
+        .crossJoin(n)
+        .select((dbl(col("o")) - dbl(col("ra")) * dbl(col("rb")) / dbl(col("nn")))
+          .as("dev"),
+          (dbl(col("ra")) * dbl(col("rb")) / dbl(col("nn"))).as("e"))
+        .agg(sum(col("dev") * col("dev") / col("e")).as("chi2raw"))
+      val x = col("chi2raw") / 2
+      s1.select(round(col("chi2raw"), 6).as("chi2"),
+        lit(8L).as("dof"),
+        round(exp(-x) * (lit(1.0) + x + x * x / 2 + x * x * x / 6), 6)
+          .as("p_value"))
     }),
 
     // §2.12 OLS regression from exact sums (dollars to avoid overflow)
@@ -291,6 +317,31 @@ object QueriesStats {
         |    AS component
         |FROM nation""".stripMargin,
 
+    "q90_chi2_pvalue" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(user_id % 5 AS BIGINT) AS ub
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |obs AS (SELECT event_type, ub, CAST(count(*) AS DOUBLE) AS o
+        |  FROM e GROUP BY 1, 2),
+        |ra AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS ra
+        |  FROM e GROUP BY 1),
+        |rb AS (SELECT ub, CAST(count(*) AS DOUBLE) AS rb
+        |  FROM e GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM e),
+        |cells AS (
+        |  SELECT o - ra.ra * rb.rb / nt.nn AS dev,
+        |    ra.ra * rb.rb / nt.nn AS ex
+        |  FROM obs JOIN ra USING (event_type) JOIN rb USING (ub)
+        |  CROSS JOIN nt),
+        |s AS (SELECT sum(dev * dev / ex) AS chi2raw FROM cells)
+        |SELECT round(chi2raw, 6) AS chi2, CAST(8 AS BIGINT) AS dof,
+        |  round(exp(-(chi2raw / 2)) * (1.0 + chi2raw / 2 +
+        |    (chi2raw / 2) * (chi2raw / 2) / 2 +
+        |    (chi2raw / 2) * (chi2raw / 2) * (chi2raw / 2) / 6), 6)
+        |    AS p_value
+        |FROM s""".stripMargin,
+
     "q88_closeness" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |  round(24.0 / (CAST(count(*) OVER (PARTITION BY n_regionkey)
@@ -305,6 +356,38 @@ object QueriesStats {
         |FROM nation
         |WHERE (SELECT count(*) FROM nation n2
         |       WHERE n2.n_regionkey = nation.n_regionkey) > 1""".stripMargin,
+
+    // 5 power iterations unrolled as plain CTEs (standard SQL cannot
+    // aggregate over a recursive reference); arithmetic mirrors
+    // GraphOps.pageRank op-for-op, dangling mass included
+    "q54_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        val p = s"pr${i - 1}"
+        s"""c$i AS (
+           |  SELECT e.dst AS id, sum(p.rank / d.deg) AS c
+           |  FROM edges e JOIN $p p ON p.id = e.src
+           |  JOIN deg d ON d.src = e.src GROUP BY 1),
+           |dm$i AS (
+           |  SELECT coalesce(sum(rank), 0.0) AS dm FROM $p
+           |  WHERE id NOT IN (SELECT src FROM deg)),
+           |pr$i AS (
+           |  SELECT v.id,
+           |    (1 - 0.85) / n.nn + 0.85 * (coalesce(c.c, 0.0) + dm.dm / n.nn)
+           |      AS rank
+           |  FROM verts v CROSS JOIN n CROSS JOIN dm$i dm
+           |  LEFT JOIN c$i c ON c.id = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         |    'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         |verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+         |  FROM edges GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM verts),
+         |pr0 AS (SELECT id, 1.0 / n.nn AS rank FROM verts CROSS JOIN n),
+         |$iters
+         |SELECT id, round(rank, 9) AS rank FROM pr5""".stripMargin
+    },
 
     "q56_tumbling" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -36,6 +36,15 @@ class DistributionsSpec extends SparkSpecBase {
     D.chi2UpperP(18.307, 10.0) shouldBe 0.05 +- 2e-4
   }
 
+  test("chi2 even-df closed form matches the incomplete gamma") {
+    // df = 8: P(X > x) = exp(-x/2) * sum_{k<4} (x/2)^k / k!
+    Seq(2.0, 7.5, 15.51, 26.12).foreach { x =>
+      val h = x / 2
+      val closed = math.exp(-h) * (1 + h + h * h / 2 + h * h * h / 6)
+      D.chi2UpperP(x, 8.0) shouldBe closed +- 1e-12
+    }
+  }
+
   test("F cdf: reflection symmetry and published value") {
     val f = 2.5
     D.fCdf(f, 3.0, 7.0) shouldBe (1.0 - D.fCdf(1 / f, 7.0, 3.0)) +- 1e-10
