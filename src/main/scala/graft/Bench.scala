@@ -63,13 +63,14 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
-    // three runs, keep the best: steady-state query time with plan/codegen
-    // caches warm (session startup + first-run JIT excluded, BASELINE.md).
+    // five runs, keep the best: steady-state query time with plan/codegen
+    // caches warm (session startup + first-run JIT excluded, BASELINE.md);
+    // min-of-5 rides out transient noise from co-tenant VMs.
     // Failed attempts are NOT timed — a query that throws is recorded in
     // `failed` (and omitted from `queries`) so a broken query can't
     // contribute a bogus near-zero timing.
     def bench(name: String)(action: => Unit): Unit = {
-      val times = (1 to 3).flatMap { _ =>
+      val times = (1 to 5).flatMap { _ =>
         val t0 = System.nanoTime()
         try { action; Some((System.nanoTime() - t0) / 1e9) } catch {
           case e: Throwable =>
