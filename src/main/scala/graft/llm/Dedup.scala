@@ -154,6 +154,26 @@ object Dedup {
         call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L)))
   }
 
+  /** Engine-portable 48-bit SimHash: per-token hash = first 12 hex
+    * chars of md5 (48 bits — exactly representable in a double, so an
+    * oracle engine can parse it with plain arithmetic), majority vote
+    * per bit. The xxhash64 variant above is the production fast path;
+    * this one exists for cross-engine verification, mirroring the
+    * minhash md5/fast split. */
+  def simhash48Portable(text: Column): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val hashes = transform(toks, t =>
+      conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
+    aggregate(
+      sequence(lit(0), lit(47)),
+      lit(0L),
+      (acc, bit) => acc + when(
+        aggregate(hashes, lit(0L),
+          (v, h) => v + when(call_function("shiftright", h, bit)
+            .bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))) > 0,
+        call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L)))
+  }
+
   /** SimHash near-dup candidate pairs by banding the 64-bit hash into
     * 4 × 16-bit bands (any equal band → candidate, catches pairs
     * within hamming distance 3 guaranteed per pigeonhole). */

@@ -100,10 +100,15 @@ object QueriesText {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         "source", n = 1, threshold = 0.9)),
 
-    // SimHash near-dup candidates (hash-based — rows-only check)
+    // SimHash near-dup candidates (xxhash64 fast path — rows-only)
     "q46_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id")
         .filter(col("hamming") <= 8)),
+
+    // portable 48-bit SimHash — hash-checked cross-engine
+    "q91_simhash_portable" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Dedup.simhash48Portable(col("text")).as("simhash"))),
 
     // embedding cosine top-k (brute force baseline)
     "q47_embed_topk" -> ((s, d) => {
@@ -234,6 +239,30 @@ object QueriesText {
     "q44_minhash_lsh" ->
       s"""WITH ${minhashCtes("documents")}
          |SELECT id_a, id_b FROM cand""".stripMargin,
+
+    "q91_simhash_portable" ->
+      raw"""WITH tokd AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |tokrows AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
+        |hashes AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 13),
+        |    i -> (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+        |      * power(16, 12 - i))) AS BIGINT) AS h
+        |  FROM tokrows),
+        |votes AS (
+        |  SELECT doc_id, r.b,
+        |    sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashes CROSS JOIN range(0, 48) r(b) GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN v > 0
+        |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+        |    AS simhash
+        |  FROM votes GROUP BY 1)
+        |SELECT d.doc_id, coalesce(s.simhash, CAST(0 AS BIGINT)) AS simhash
+        |FROM documents d LEFT JOIN sims s USING (doc_id)""".stripMargin,
 
     "q86_lof" ->
       """WITH v AS (

@@ -80,6 +80,19 @@ class LlmOpsSpec extends SparkSpecBase {
     sig(1L) should not be sig(4L)
   }
 
+  test("portable 48-bit simhash: identical equal, near-dups close") {
+    val sims = docs.select($"id",
+      Dedup.simhash48Portable($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    sims(1L) shouldBe sims(2L)
+    sims.values.foreach { s =>
+      s should be >= 0L
+      s should be < (1L << 48)
+    }
+    java.lang.Long.bitCount(sims(1L) ^ sims(3L)) should be <= 12
+    java.lang.Long.bitCount(sims(1L) ^ sims(4L)) should be > 12
+  }
+
   test("simhash of identical texts has hamming 0; different texts differ") {
     val sims = docs.select($"id", Dedup.simhash64($"text").as("s"))
       .as[(Long, Long)].collect().toMap
