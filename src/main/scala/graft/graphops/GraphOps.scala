@@ -133,10 +133,16 @@ object GraphOps {
     * (source, id, dist, sigma) for every reached vertex. State is
     * O(S·V) rows — bounded by the source sample size. */
   def multiSourceBfs(edges: DataFrame, sources: Seq[Any],
-      maxIter: Int = 15): DataFrame = {
-    val sym = edges.select("src", "dst")
+      maxIter: Int = 15): DataFrame =
+    multiSourceBfsOn(symmetrize(edges), sources, maxIter)
+
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
+
+  private def multiSourceBfsOn(sym: DataFrame, sources: Seq[Any],
+      maxIter: Int): DataFrame = {
     // derive the source rows from the vertex set itself so the id
     // type is preserved (no stringification)
     val srcDf = sym.select(col("src").as("source")).distinct()
@@ -152,8 +158,7 @@ object GraphOps {
           (col("dist") + 1).as("dist"), col("sigma"))
         .groupBy("source", "id")
         .agg(min("dist").as("dist"), sum("sigma").as("sigma"))
-      val next = expanded.join(state.select("source", "id")
-          .withColumnRenamed("id", "id"),
+      val next = expanded.join(state.select("source", "id"),
           Seq("source", "id"), "left_anti")
         .localCheckpoint(true)
       state = state.union(next).localCheckpoint(true)
@@ -196,10 +201,10 @@ object GraphOps {
     * sample multiply by n/|S| for the standard estimate. */
   def betweennessCentrality(edges: DataFrame, sources: Seq[Any],
       maxIter: Int = 15): DataFrame = {
-    val sym = edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
-    val state = multiSourceBfs(edges, sources, maxIter)
+    // one symmetrized edge set shared by the forward BFS and the
+    // backward accumulation (no second union+distinct shuffle)
+    val sym = symmetrize(edges)
+    val state = multiSourceBfsOn(sym, sources, maxIter)
       .localCheckpoint(true)
     val maxL = state.agg(max("dist")).head().getInt(0)
     // delta rows exist for levels already processed (deepest first)

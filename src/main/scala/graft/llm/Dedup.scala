@@ -87,8 +87,12 @@ object Dedup {
       numHashes: Int = 12, bands: Int = 4, shingleSize: Int = 3,
       maxBucket: Long = 1000L): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    // NULL texts produce an all-null signature whose band bucket would
+    // collapse to md5("") (array_join skips nulls) — cross-pairing
+    // every null-text doc. They carry no content to match on: drop.
+    val sig = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
     val banded = capBuckets(sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => md5(array_join(

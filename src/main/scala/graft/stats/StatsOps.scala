@@ -13,13 +13,18 @@ object StatsOps {
 
   // one-row finalizations: closed-form distribution CDFs applied to
   // the single aggregate row (never the row-level data), so a scalar
-  // UDF here is a deliberate, cold-path choice
+  // UDF here is a deliberate, cold-path choice. Degenerate inputs
+  // (zero dof, NaN statistic from a 0/0) yield a NaN p-value instead
+  // of aborting the job on the CDFs' domain checks.
   private val tPUdf = udf((t: Double, df: Double) =>
-    Distributions.tTwoSidedP(t, df))
+    if (df <= 0 || t.isNaN || df.isNaN) Double.NaN
+    else Distributions.tTwoSidedP(t, df))
   private val chi2PUdf = udf((x: Double, df: Double) =>
-    Distributions.chi2UpperP(x, df))
+    if (df <= 0 || x.isNaN || df.isNaN) Double.NaN
+    else Distributions.chi2UpperP(x, df))
   private val fPUdf = udf((f: Double, d1: Double, d2: Double) =>
-    Distributions.fUpperP(f, d1, d2))
+    if (d1 <= 0 || d2 <= 0 || f.isNaN || d1.isNaN || d2.isNaN) Double.NaN
+    else Distributions.fUpperP(f, d1, d2))
 
   /** describe (stats.rs:50): count/mean/std/min/q1/median/q3/max per
     * numeric column, one aggregate pass + exact percentiles. */
@@ -153,16 +158,22 @@ object StatsOps {
         sum(y).as("sy"), sum(x * x).as("sxx"), sum(y * y).as("syy"),
         sum(x * y).as("sxy"))
       .select(
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-         (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
-        col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
-        col("sxy"))
+        // degenerate designs (constant x and/or y) have zero centered
+        // variance: emit null rather than an ANSI divide-by-zero
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("covxy"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary"),
+        col("n"), col("sx"), col("sy"))
+      .select(
+        when(col("varx") =!= 0, col("covxy") / col("varx")).as("slope"),
+        col("n"), col("sx"), col("sy"), col("varx"), col("vary"),
+        col("covxy"))
       .select(col("slope"),
         ((col("sy") - col("slope") * col("sx")) / col("n"))
           .as("intercept"),
-        (pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
-         ((col("n") * col("sxx") - col("sx") * col("sx")) *
-          (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"),
+        when(col("varx") =!= 0 && col("vary") =!= 0,
+          col("covxy") * col("covxy") / (col("varx") * col("vary")))
+          .as("r2"),
         col("n"))
       // slope t statistic via the simple-OLS identity
       // t² = r²(n−2)/(1−r²), sign(t) = sign(slope); df = n−2.
@@ -191,9 +202,16 @@ object StatsOps {
     *
     * Input: counts(valueCol numeric, cntCol). Output: valueCol, rank.
     */
-  def distinctValueRanks(counts: DataFrame, valueCol: String,
+  /** Strictly-below cumulative counts per distinct value — the shared
+    * range-bucketed core of [[distinctValueRanks]] and the order-
+    * statistic sums in Anderson-Darling. Output: valueCol, cntCol,
+    * __below__. */
+  def distinctValueCumCounts(counts0: DataFrame, valueCol: String,
       cntCol: String, nBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // three consumers (quantile action, totals collect, final plan):
+    // cache so the upstream full-data aggregation runs once
+    val counts = counts0.cache()
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds = counts.na.drop(Seq(valueCol))
       .select(col(valueCol).cast("double").as("__v__"))
@@ -218,10 +236,15 @@ object StatsOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     withB.withColumn("__below__",
         offExpr + coalesce(sum(col(cntCol)).over(ww), lit(0L)))
+      .select(col(valueCol), col(cntCol), col("__below__"))
+  }
+
+  def distinctValueRanks(counts0: DataFrame, valueCol: String,
+      cntCol: String, nBuckets: Int = 32): DataFrame =
+    distinctValueCumCounts(counts0, valueCol, cntCol, nBuckets)
       .withColumn("__r__",
         col("__below__") + 1 + (col(cntCol) - 1) / lit(2.0))
       .select(col(valueCol), col("__r__"))
-  }
 
   /** Mann-Whitney U (stats/nonparametric.rs): rank-sum with average
     * ranks for ties.
@@ -250,6 +273,7 @@ object StatsOps {
       gA: String, gB: String): DataFrame = {
     val pooled = df.filter(col(groupCol).isin(gA, gB))
     val counts = pooled.groupBy(col(valueCol)).agg(count(lit(1)).as("__c__"))
+      .cache() // shared by the tie aggregate and the rank map
     val rankMap = distinctValueRanks(counts, valueCol, "__c__")
     // tie term T = Σ(c³−c) over distinct values
     val ties = counts.agg(sum(col("__c__") * col("__c__") * col("__c__") -

@@ -341,36 +341,8 @@ object TimeSeriesOps {
     (q, graft.stats.Distributions.chi2UpperP(q, maxLag.toDouble))
   }
 
-  /** Inverse normal CDF (Acklam's rational approximation, |ε|<1.15e-9)
-    * — needed by Shapiro-Wilk's expected normal order statistics. */
-  private def normSInv(p: Double): Double = {
-    require(p > 0 && p < 1, s"normSInv domain: $p")
-    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
-      -2.759285104469687e+02, 1.383577518672690e+02,
-      -3.066479806614716e+01, 2.506628277459239e+00)
-    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
-      -1.556989798598866e+02, 6.680131188771972e+01,
-      -1.328068155288572e+01)
-    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
-      -2.400758277161838e+00, -2.549732539343734e+00,
-      4.374664141464968e+00, 2.938163982698783e+00)
-    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
-      2.445134137142996e+00, 3.754408661907416e+00)
-    val pl = 0.02425
-    if (p < pl) {
-      val q = math.sqrt(-2 * math.log(p))
-      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
-        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
-    } else if (p <= 1 - pl) {
-      val q = p - 0.5; val r = q * q
-      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
-        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
-    } else {
-      val q = math.sqrt(-2 * math.log(1 - p))
-      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
-        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
-    }
-  }
+  private def normSInv(p: Double): Double =
+    graft.stats.Distributions.normSInv(p)
 
   /** Shapiro-Wilk W and approximate p-value (stats.rs shapiro_wilk;
     * Royston's AS R94 algorithm, 7 ≤ n ≤ 5000). The series is
@@ -437,12 +409,13 @@ object TimeSeriesOps {
     * estimated correction A*² = A²(1 + 0.75/n + 2.25/n²)
     * (stats.rs anderson_darling), in the single-pass form
     *
-    *   A² = −n − (1/n)Σ[(2i−1)·lnΦ(zᵢ) + (2n−2i+1)·ln(1−Φ(zᵢ))]
+    *   A² = −n − (1/n)Σᵢ[(2i−1)·lnΦ(zᵢ) + (2n−2i+1)·ln(1−Φ(zᵢ))]
     *
-    * over the SORTED standardized values. Distributed: the global
-    * row_number is a range-partitioned sort (acceptable: one numeric
-    * column, and rank i must be global by definition); Φ is column
-    * arithmetic; one final aggregate. Reject normality at 5% when
+    * over the sorted standardized values. NO global sort: tied values
+    * share Φ(z), so the rank sums collapse per DISTINCT value —
+    * Σ_{i=a..b}(2i−1) = c·(2·below+c) — and `below` comes from the
+    * range-bucketed cumulative counts (StatsOps.distinctValueCumCounts,
+    * no single-partition window). Reject normality at 5% when
     * A*² > 0.752 (both-parameters-estimated case). */
   def andersonDarling(df0: DataFrame, valueCol: String): Double = {
     val df = df0.filter(col(valueCol).isNotNull)
@@ -451,17 +424,21 @@ object TimeSeriesOps {
       stddev_samp(col(valueCol)).as("s")).head()
     val (n, m, s) = (stats.getDouble(0), stats.getDouble(1),
       stats.getDouble(2))
-    val w = Window.orderBy(col(valueCol))
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c__"))
+    val cum = graft.stats.StatsOps.distinctValueCumCounts(
+      counts, valueCol, "__c__")
     val z = (col(valueCol) - lit(m)) / lit(s)
     val phi = graft.stats.Distributions.normalCdfCol(z)
     // clamp: the A&S polynomial can reach exactly 0/1 in the extreme
     // tails, where ln() diverges
     val phiC = least(greatest(phi, lit(1e-300)), lit(1.0 - 1e-16))
-    val a2 = df.withColumn("__i__", row_number().over(w).cast("double"))
-      .withColumn("__phi__", phiC)
-      .agg(sum((lit(2.0) * col("__i__") - 1) * log(col("__phi__")) +
-        (lit(2.0 * n) - lit(2.0) * col("__i__") + 1) *
-          log(lit(1.0) - col("__phi__"))).as("sum"))
+    val c = col("__c__").cast("double")
+    val below = col("__below__").cast("double")
+    val coefA = c * (lit(2.0) * below + c)
+    val coefB = c * lit(2.0 * n + 1) - coefA - c
+    val a2 = cum.withColumn("__phi__", phiC)
+      .agg(sum(coefA * log(col("__phi__")) +
+        coefB * log(lit(1.0) - col("__phi__"))).as("sum"))
       .head().getDouble(0)
     val aSq = -n - a2 / n
     aSq * (1.0 + 0.75 / n + 2.25 / (n * n))
@@ -514,9 +491,12 @@ object TimeSeriesOps {
   }
 
   /** Lo-MacKinlay variance-ratio test, homoskedastic form
-    * (stats.rs variance_ratio): VR(q) = Var(q-period diff)/(q·Var(1)),
-    * z = (VR−1)·sqrt(n·q / (2(q−1))). Lag windows + one aggregate.
-    * Returns (VR, z, p). */
+    * (stats.rs variance_ratio): VR(q) = Var(q-period diff)/(q·Var(1))
+    * with OVERLAPPING q-differences, whose asymptotic variance is
+    * φ(q) = 2(2q−1)(q−1)/(3q·n), so z = (VR−1)/sqrt(φ(q)). (The
+    * simpler 2(q−1)/(nq) form applies only to non-overlapping
+    * q-differences; the two coincide at q = 2.) Lag windows + one
+    * aggregate. Returns (VR, z, p). */
   def varianceRatio(df: DataFrame, valueCol: String, orderCol: String,
       q: Int): (Double, Double, Double) = {
     require(q >= 2, "q >= 2")
@@ -525,12 +505,12 @@ object TimeSeriesOps {
     val dq = col(valueCol) - lag(col(valueCol), q).over(w)
     val r = df.withColumn("__d1__", d1).withColumn("__dq__", dq)
       .agg(count(col("__d1__")).cast("double").as("n"),
-        avg(col("__d1__")).as("mu"),
         var_pop(col("__d1__")).as("v1"),
         var_pop(col("__dq__")).as("vq")).head()
     val n = r.getAs[Double]("n")
     val vr = r.getAs[Double]("vq") / (q * r.getAs[Double]("v1"))
-    val z = (vr - 1.0) * math.sqrt(n * q / (2.0 * (q - 1.0)))
+    val phi = 2.0 * (2.0 * q - 1) * (q - 1) / (3.0 * q * n)
+    val z = (vr - 1.0) / math.sqrt(phi)
     (vr, z, graft.stats.Distributions.zTwoSidedP(z))
   }
 

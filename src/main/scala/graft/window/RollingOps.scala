@@ -200,12 +200,14 @@ object RollingOps {
   }
 
   /** EWM standard deviation: sqrt of [[ewmVar]] (clamped at 0 so a
-    * −1 ulp variance cannot produce NaN). */
+    * −1 ulp variance cannot produce NaN; nulls stay null — greatest()
+    * alone would silently turn them into 0). */
   def ewmStd(df: DataFrame, valueCol: String, orderCol: String,
       partitionCols: Seq[String], alpha: Double, bias: Boolean = false,
       outName: String = "ewm_std"): DataFrame =
     ewmVar(df, valueCol, orderCol, partitionCols, alpha, bias, outName)
-      .withColumn(outName, sqrt(greatest(col(outName), lit(0.0))))
+      .withColumn(outName, when(col(outName).isNotNull,
+        sqrt(greatest(col(outName), lit(0.0)))))
 
   /** Scale-path EWM variance: truncated weights like
     * [[ewmMeanTruncated]] — a fixed-depth lag window instead of the

@@ -93,6 +93,21 @@ class DistributionsSpec extends SparkSpecBase {
     a.getAs[Double]("p_value") shouldBe 0.0213122 +- 1e-5
   }
 
+  test("degenerate inputs yield NaN p-values instead of failing the job") {
+    // one distinct category on each axis: dof = 0
+    val c = StatsOps.chiSquare(Seq(("x", "u"), ("x", "u")).toDF("a", "b"),
+      "a", "b").head()
+    c.getAs[Long]("dof") shouldBe 0L
+    c.getAs[Double]("p_value").isNaN shouldBe true
+    // constant x: zero centered variance → null slope/r2/p, not a crash
+    val r = StatsOps.linearRegression(
+      Seq((1.0, 2.0), (1.0, 3.0), (1.0, 4.0)).toDF("x", "y"), "x", "y")
+      .head()
+    r.isNullAt(r.fieldIndex("slope")) shouldBe true
+    r.isNullAt(r.fieldIndex("r2")) shouldBe true
+    r.isNullAt(r.fieldIndex("p_value")) shouldBe true
+  }
+
   test("linear regression emits slope t and p (df = n-2)") {
     // y = 2x + noise-free → r2 = 1 edge avoided; use a known set:
     // x = 1..5, y = (2, 4, 5, 4, 5): slope = 0.6, r = 0.7..

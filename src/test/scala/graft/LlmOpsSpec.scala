@@ -57,6 +57,15 @@ class LlmOpsSpec extends SparkSpecBase {
     pairs shouldBe Set((1L, 4L))
   }
 
+  test("null texts never pair: no signature, no shared empty bucket") {
+    val withNulls = Seq((1L, "the quick brown fox jumps"),
+      (2L, null), (3L, null), (4L, "the quick brown fox jumps"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(withNulls, "text", "id")
+      .as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 4L)) // null-text docs (2,3) pair with nothing
+  }
+
   test("hot LSH buckets are capped: pathological corpus stays bounded") {
     // 1000 identical docs → one band bucket of 1000 members per band;
     // uncapped that is O(m²) = 499500 join pairs, the skew shape that

@@ -151,6 +151,7 @@ class RollingEwmSpec extends SparkSpecBase {
       .toDF("k", "ord", "v")
     val stds = RollingOps.ewmStd(df, "v", "ord", Seq("k"), 0.4)
       .orderBy("ord").select("ewm_std").collect()
+    stds(0).isNullAt(0) shouldBe true // debias undefined, NOT 0.0
     stds(1).getDouble(0) shouldBe 0.0 +- 1e-12
     stds(2).getDouble(0) shouldBe 0.0 +- 1e-12
   }
