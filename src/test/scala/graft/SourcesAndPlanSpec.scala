@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.sources.Sources
+import graft.sources.{Excel, Sources}
 
 /** IO round-trips (§2.1) and physical-plan properties that carry the
   * 100 TB story: predicate pushdown, column pruning, broadcast joins.
@@ -46,6 +46,51 @@ class SourcesAndPlanSpec extends SparkSpecBase {
     back.count() shouldBe 3
     back.filter($"__idx__" === 1).select("x").as[Double].head() shouldBe 2.5
     back.filter($"__idx__" === 2).select("s").as[String].head() shouldBe "c"
+  }
+
+  test("xlsx round-trip: types, nulls, escaping, shared-string read") {
+    val path = tmp("graft_xlsx") + ".xlsx"
+    val df = Seq(
+      (1L, Some(1.5), "plain"),
+      (2L, None, "needs <escaping> & \"quotes\""),
+      (3L, Some(-2.25), "third")
+    ).toDF("id", "x", "s")
+    Excel.writeXlsx(df, path)
+    val back = Excel.readXlsx(spark, path).orderBy("id")
+    back.columns shouldBe Array("id", "x", "s")
+    back.count() shouldBe 3
+    back.schema("id").dataType shouldBe
+      org.apache.spark.sql.types.DoubleType // xlsx numbers are doubles
+    val r2 = back.filter($"id" === 2.0).head()
+    r2.isNullAt(1) shouldBe true
+    r2.getString(2) shouldBe "needs <escaping> & \"quotes\""
+    back.filter($"id" === 3.0).select("x").as[Double].head() shouldBe -2.25
+
+    // shared-strings variant (what real Excel emits): craft one by hand
+    val ssPath = tmp("graft_xlsx_ss") + ".xlsx"
+    writeSharedStringXlsx(ssPath)
+    val ss = Excel.readXlsx(spark, ssPath).orderBy("v")
+    ss.columns shouldBe Array("name", "v")
+    ss.select("name").as[String].collect() shouldBe Array("alpha", "beta")
+  }
+
+  private def writeSharedStringXlsx(path: String): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="S" sheetId="1"/></sheets></workbook>""")
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4"><si><t>name</t></si><si><t>v</t></si><si><t>alpha</t></si><si><t>beta</t></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row><row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1</v></c></row><row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>2</v></c></row></sheetData></worksheet>""")
+    zos.close()
   }
 
   test("parquet round-trip with compression codecs") {
