@@ -75,4 +75,119 @@ object Clustering {
       .select(col("id"), col("__cluster__").as("cluster"),
         coalesce(col("is_core"), lit(false)).as("is_core"))
   }
+
+  /** Agglomerative hierarchical clustering (reference
+    * src/ml/clustering agglomerative): nearest-neighbor-chain with
+    * Lance-Williams updates — O(n²) time and memory, inherently
+    * sequential merging, so DRIVER-SIDE on collected points with a
+    * hard `maxN` guard (mirrors the guarded transpose pattern; the
+    * reference is single-node here too). Cut at `k` clusters by
+    * replaying the dendrogram merges in height order. Linkage:
+    * "single" | "complete" | "average". Returns (id, cluster) with
+    * cluster = smallest member id. */
+  def agglomerative(df: DataFrame, featureCols: Seq[String],
+      idCol: String, k: Int, linkage: String = "average",
+      maxN: Int = 2000): DataFrame = {
+    require(Seq("single", "complete", "average").contains(linkage),
+      s"unknown linkage $linkage")
+    val rows = df.select(col(idCol).cast("long") +:
+        featureCols.map(c => col(c).cast("double")): _*)
+      .collect()
+    val n = rows.length
+    require(n <= maxN, s"agglomerative is O(n²) single-node; " +
+      s"n=$n > maxN=$maxN — cluster a sample or use dbscan/kmeans")
+    require(k >= 1 && k <= n, s"k=$k out of range")
+    val ids = rows.map(_.getLong(0))
+    val pts = rows.map(r => Array.tabulate(featureCols.size)(i =>
+      r.getDouble(i + 1)))
+    // full distance matrix
+    val d = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var s = 0.0; var f = 0
+        while (f < pts(i).length) {
+          val df0 = pts(i)(f) - pts(j)(f); s += df0 * df0; f += 1
+        }
+        val dist = math.sqrt(s); d(i)(j) = dist; d(j)(i) = dist
+        j += 1
+      }
+      i += 1
+    }
+    val size = Array.fill(n)(1)
+    val active = Array.fill(n)(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Double)]
+    // NN-chain: grow a chain of nearest neighbors until two clusters
+    // are mutual NNs, then merge via Lance-Williams
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var remaining = n
+    def nearest(x: Int): Int = {
+      var best = -1; var bd = Double.MaxValue
+      var y = 0
+      while (y < n) {
+        if (y != x && active(y) &&
+            (d(x)(y) < bd || (d(x)(y) == bd && y < best))) {
+          bd = d(x)(y); best = y
+        }
+        y += 1
+      }
+      best
+    }
+    while (remaining > 1) {
+      if (chain.isEmpty) {
+        var s0 = 0; while (!active(s0)) s0 += 1
+        chain += s0
+      }
+      val top = chain.last
+      val nn = nearest(top)
+      if (chain.size >= 2 && nn == chain(chain.size - 2)) {
+        // mutual nearest neighbors: merge nn into top's slot (keep
+        // the smaller index as the surviving cluster slot)
+        val (a, b) = (math.min(top, nn), math.max(top, nn))
+        merges += ((a, b, d(a)(b)))
+        val (na, nb) = (size(a).toDouble, size(b).toDouble)
+        var y = 0
+        while (y < n) {
+          if (active(y) && y != a && y != b) {
+            val upd = linkage match {
+              case "single" => math.min(d(a)(y), d(b)(y))
+              case "complete" => math.max(d(a)(y), d(b)(y))
+              case _ => (na * d(a)(y) + nb * d(b)(y)) / (na + nb)
+            }
+            d(a)(y) = upd; d(y)(a) = upd
+          }
+          y += 1
+        }
+        size(a) += size(b); active(b) = false
+        chain.remove(chain.size - 1); chain.remove(chain.size - 1)
+        remaining -= 1
+      } else {
+        chain += nn
+      }
+    }
+    // cut: replay merges in height order until k clusters remain
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    merges.sortBy { case (a, b, h) => (h, a, b) }
+      .take(n - k)
+      .foreach { case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val label = (0 until n).map { x =>
+      val root = find(x)
+      // cluster id = smallest member's external id
+      (0 until n).filter(y => find(y) == root).map(ids).min
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    ids.zip(label).toSeq.toDF("id", "cluster")
+  }
 }

@@ -102,6 +102,38 @@ class MlOpsSpec extends SparkSpecBase {
     out(99L)._2 shouldBe false
   }
 
+  test("agglomerative recovers separated blobs under every linkage") {
+    val a = (1L to 8L).map(i => (i, i * 0.1, 0.0))
+    val b = (11L to 18L).map(i => (i, 20.0 + (i - 11) * 0.1, 5.0))
+    val df = (a ++ b).toDF("id", "x", "y")
+    Seq("single", "complete", "average").foreach { lk =>
+      val out = Clustering.agglomerative(df, Seq("x", "y"), "id",
+        k = 2, linkage = lk)
+        .as[(Long, Long)].collect().toMap
+      (1L to 8L).foreach(i => out(i) shouldBe 1L) // min member id
+      (11L to 18L).foreach(i => out(i) shouldBe 11L)
+    }
+    // k = n: every point its own cluster
+    val singletons = Clustering.agglomerative(df, Seq("x", "y"), "id",
+      k = 16).as[(Long, Long)].collect().toMap
+    singletons.foreach { case (id, c) => c shouldBe id }
+  }
+
+  test("single vs complete linkage differ on a chain") {
+    // a chain of close points bridging two groups: single linkage
+    // follows the chain into ONE cluster + the far singleton;
+    // complete linkage breaks the chain in the middle
+    val pts = (0 to 9).map(i => (i.toLong, i * 1.0)) :+ (99L, 100.0)
+    val df = pts.toDF("id", "x")
+    val single = Clustering.agglomerative(df, Seq("x"), "id", k = 2,
+      linkage = "single").as[(Long, Long)].collect().toMap
+    (0L to 9L).foreach(i => single(i) shouldBe 0L)
+    single(99L) shouldBe 99L
+    val complete = Clustering.agglomerative(df, Seq("x"), "id", k = 3,
+      linkage = "complete").as[(Long, Long)].collect().toMap
+    complete.values.toSet.size shouldBe 3
+  }
+
   test("dbscan with separated singletons yields all noise") {
     val df = Seq((1L, 0.0), (2L, 100.0), (3L, 200.0)).toDF("id", "x")
     val out = Clustering.dbscan(df, Seq("x"), "id", eps = 1.0,
