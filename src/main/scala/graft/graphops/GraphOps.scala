@@ -239,6 +239,42 @@ object GraphOps {
       .agg((sum(col("delta")) / 2.0).as("betweenness"))
   }
 
+  /** DFS preorder from a source (traversal.rs dfs): the stack
+    * discipline is inherently sequential, so this runs driver-side on
+    * the collected edge list with a hard guard — same honest pattern
+    * as the guarded transpose. Neighbors are visited in ascending
+    * order (deterministic). Returns (id, dfs_order). */
+  def dfsOrder(edges: DataFrame, source: Any,
+      maxEdges: Long = 5000000L): DataFrame = {
+    val cnt = edges.count()
+    require(cnt <= maxEdges, s"dfs is sequential by definition; " +
+      s"$cnt edges > maxEdges=$maxEdges — use bfsDistances for " +
+      "distributed traversal")
+    val sym = edges.select(col("src").cast("string"),
+        col("dst").cast("string"))
+      .union(edges.select(col("dst").cast("string").as("src"),
+        col("src").cast("string").as("dst")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val adj: Map[String, Seq[String]] = sym.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSeq.sorted }
+    val visited = scala.collection.mutable.LinkedHashSet.empty[String]
+    val stack = scala.collection.mutable.Stack(source.toString)
+    while (stack.nonEmpty) {
+      val x = stack.pop()
+      if (!visited.contains(x)) {
+        visited += x
+        // push in reverse so the SMALLEST neighbor pops first
+        adj.getOrElse(x, Seq.empty).reverseIterator
+          .filterNot(visited.contains(_)).foreach(stack.push)
+      }
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    visited.toSeq.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }
+      .toDF("id", "dfs_order")
+  }
+
   /** BFS shortest hop-distance from a source set (traversal.rs:62,
     * shortest_path_bfs :116): frontier expansion per superstep. */
   def bfsDistances(edges: DataFrame, sourceIds: Seq[Any],

@@ -86,6 +86,19 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps shouldBe Map(1 -> 1, 2 -> 1, 7 -> 7)
   }
 
+  test("dfsOrder visits depth-first with ascending tie-break") {
+    //   1 - 2 - 4
+    //    \  |
+    //     3-+        (3 connects to 1 and 2)
+    val e = Seq(("1", "2"), ("1", "3"), ("2", "3"), ("2", "4"))
+      .toDF("src", "dst")
+    val order = GraphOps.dfsOrder(e, "1")
+      .as[(String, Long)].collect().sortBy(_._2).map(_._1)
+    // from 1: smallest neighbor 2 first, then its smallest unvisited 3,
+    // 3's neighbors visited, backtrack to 2 -> 4
+    order shouldBe Array("1", "2", "3", "4")
+  }
+
   test("closeness centrality: exact on a path graph, sampled scales") {
     val e = Seq((1, 2), (2, 3), (3, 4), (4, 5)).toDF("src", "dst")
     val all = GraphOps.closenessCentrality(e, Seq(1, 2, 3, 4, 5), 5)
