@@ -1,0 +1,96 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Anomaly detection (reference src/ml/anomaly/mod.rs:19
+  * IsolationForest; LOF lives in graft.llm.Similarity).
+  *
+  * Isolation forest splits: trees are FIT on a driver-side sample
+  * (the standard formulation subsamples ~256 rows per tree — fitting
+  * is small-data by design), then SCORING is fully distributed: the
+  * fitted trees are a broadcast closure and each row's average path
+  * length is a per-row map — no shuffle at all.
+  */
+object Anomaly {
+
+  private final case class Node(feature: Int, split: Double,
+      left: Node, right: Node, size: Int)
+
+  /** average unsuccessful-search path length in a BST of n nodes. */
+  private def cFactor(n: Int): Double =
+    if (n <= 1) 0.0
+    else 2.0 * (math.log(n - 1.0) + 0.5772156649015329) -
+      2.0 * (n - 1.0) / n
+
+  private def buildTree(data: Array[Array[Double]], depth: Int,
+      maxDepth: Int, rng: Random): Node = {
+    if (depth >= maxDepth || data.length <= 1)
+      Node(-1, 0.0, null, null, data.length)
+    else {
+      val nf = data.head.length
+      // try a few features in case some are constant in this node
+      var attempt = 0
+      var f = -1; var mn = 0.0; var mx = 0.0
+      while (attempt < nf && f < 0) {
+        val cand = rng.nextInt(nf)
+        val vals = data.map(_(cand))
+        val lo = vals.min; val hi = vals.max
+        if (hi > lo) { f = cand; mn = lo; mx = hi }
+        attempt += 1
+      }
+      if (f < 0) Node(-1, 0.0, null, null, data.length)
+      else {
+        val sp = mn + rng.nextDouble() * (mx - mn)
+        val (l, r) = data.partition(_(f) < sp)
+        Node(f, sp, buildTree(l, depth + 1, maxDepth, rng),
+          buildTree(r, depth + 1, maxDepth, rng), data.length)
+      }
+    }
+  }
+
+  private def pathLength(root: Node, x: Seq[Double]): Double = {
+    var node = root; var depth = 0.0
+    while (node.feature >= 0) {
+      node = if (x(node.feature) < node.split) node.left else node.right
+      depth += 1.0
+    }
+    depth + cFactor(node.size)
+  }
+
+  /** Fit on (up to) nTrees·sampleSize collected rows, score every row
+    * distributed. Scores are in (0, 1): ≳0.6 anomalous, ≲0.5 normal
+    * (the standard 2^(−E[h]/c(ψ)) normalization). For very large
+    * inputs pre-sample the FIT data yourself (`fitOn`) — scoring is
+    * unaffected. */
+  def isolationForest(df: DataFrame, featureCols: Seq[String],
+      nTrees: Int = 100, sampleSize: Int = 256, seed: Long = 42L,
+      outName: String = "anomaly_score",
+      fitOn: Option[DataFrame] = None): DataFrame = {
+    val fitDf = fitOn.getOrElse(df)
+    val rows = fitDf
+      .select(featureCols.map(c => col(c).cast("double")): _*)
+      .limit(nTrees * sampleSize).collect()
+      .map(r => Array.tabulate(featureCols.size)(r.getDouble))
+    require(rows.nonEmpty, "isolationForest: empty fit data")
+    val rng = new Random(seed)
+    val shuffled = rng.shuffle(rows.toVector).toArray
+    val psi = math.min(sampleSize, shuffled.length)
+    val maxDepth = math.ceil(
+      math.log(psi.toDouble) / math.log(2.0)).toInt.max(1)
+    val trees = (0 until nTrees).map { t =>
+      val sub = Array.tabulate(psi)(i =>
+        shuffled((t * psi + i) % shuffled.length))
+      buildTree(sub, 0, maxDepth, rng)
+    }
+    val cPsi = cFactor(psi)
+    val scoreUdf = udf((xs: Seq[Double]) => {
+      val avg = trees.map(pathLength(_, xs)).sum / trees.length
+      math.pow(2.0, -avg / cPsi)
+    })
+    df.withColumn(outName,
+      scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
+  }
+}

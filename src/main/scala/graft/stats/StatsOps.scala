@@ -93,6 +93,29 @@ object StatsOps {
         chi2PUdf(col("chi2"), col("dof").cast("double")))
   }
 
+  /** Chi-square goodness-of-fit (stats/mod.rs chi_square_test):
+    * observed category counts vs expected probabilities (uniform over
+    * the observed categories when `expected` is empty). One groupBy +
+    * a tiny broadcast; df = k − 1. */
+  def chiSquareGof(df0: DataFrame, c: String,
+      expected: Map[String, Double] = Map.empty): DataFrame = {
+    val df = df0.filter(col(c).isNotNull)
+    val counts = df.groupBy(col(c)).agg(count(lit(1)).as("o"))
+    val tot = counts.agg(sum(col("o")).cast("double").as("n"),
+      count(lit(1)).as("k"))
+    val pExpr =
+      if (expected.isEmpty) lit(1.0) / col("k")
+      else element_at(
+        map(expected.toSeq.flatMap { case (cat, p) =>
+          Seq(lit(cat), lit(p)) }: _*), col(c).cast("string"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("e", pExpr * col("n"))
+      .agg(sum(pow(col("o") - col("e"), 2) / col("e")).as("chi2"),
+        (first(col("k")) - 1).as("dof"))
+      .withColumn("p_value",
+        chi2PUdf(col("chi2"), col("dof").cast("double")))
+  }
+
   /** One-way ANOVA F statistic (stats/mod.rs anova,
     * categorical_anova): between/within sums of squares from per-group
     * sufficient sums — one aggregate pass. */

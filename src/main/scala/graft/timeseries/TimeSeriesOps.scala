@@ -117,6 +117,102 @@ object TimeSeriesOps {
       .orderBy((keyCols :+ tsCol).map(col): _*)
   }
 
+  /** Classical multiplicative decomposition (decomposition.rs
+    * multiplicative model): value = trend · seasonal · resid. Same
+    * window structure as [[decomposeAdditive]] with ratios instead of
+    * differences; seasonal indices are normalized to mean 1. */
+  def decomposeMultiplicative(df: DataFrame, tsCol: String,
+      valueCol: String, period: Int,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val wAll = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val half = period / 2
+    val trendCol =
+      if (period % 2 == 1) {
+        val wMa = wAll.rowsBetween(-half, half)
+        when(count(col(valueCol)).over(wMa) === period,
+          avg(col(valueCol)).over(wMa))
+      } else {
+        val wA = wAll.rowsBetween(-half, half - 1)
+        val wB = wAll.rowsBetween(-(half - 1), half)
+        when(count(col(valueCol)).over(wA) === period &&
+          count(col(valueCol)).over(wB) === period,
+          (avg(col(valueCol)).over(wA) + avg(col(valueCol)).over(wB)) / 2)
+      }
+    val trended = df
+      .withColumn("__rn__", row_number().over(wAll))
+      .withColumn("trend", trendCol)
+      .withColumn("__phase__", pmod(col("__rn__") - 1, lit(period)))
+    val phaseKeys = keyCols :+ "__phase__"
+    val seasonal = trended
+      .filter(col("trend").isNotNull && col("trend") =!= 0)
+      .groupBy(phaseKeys.map(col): _*)
+      .agg(avg(col(valueCol) / col("trend")).as("__raw_seasonal__"))
+    val meanS =
+      if (keyCols.isEmpty)
+        seasonal.agg(avg("__raw_seasonal__").as("__mean_s__"))
+      else seasonal.groupBy(keyCols.map(col): _*)
+        .agg(avg("__raw_seasonal__").as("__mean_s__"))
+    val centered = (if (keyCols.isEmpty)
+        seasonal.crossJoin(broadcast(meanS))
+      else seasonal.join(broadcast(meanS), keyCols))
+      .select((phaseKeys.map(col) :+
+        (col("__raw_seasonal__") / col("__mean_s__")).as("seasonal")): _*)
+    trended.join(broadcast(centered), phaseKeys, "left")
+      .withColumn("resid",
+        col(valueCol) / (col("trend") * col("seasonal")))
+      .drop("__rn__", "__phase__")
+      .orderBy((keyCols :+ tsCol).map(col): _*)
+  }
+
+  /** Breusch-Godfrey LM test for serial correlation up to `lags`
+    * (stats.rs breusch_godfrey): auxiliary OLS of the series on its
+    * own `lags` lagged values (treat the input as a residual series),
+    * LM = n·R², p from χ²(lags). Cross-product sums are one
+    * distributed aggregate; the (lags+1)-dim solve is driver math. */
+  def breuschGodfrey(df: DataFrame, valueCol: String, orderCol: String,
+      lags: Int): (Double, Double) = {
+    require(lags >= 1, "lags >= 1")
+    val w = Window.orderBy(col(orderCol))
+    val lagged = (1 to lags).foldLeft(
+        df.select(col(valueCol).cast("double").as("__y__"),
+          col(orderCol)))((d, k) =>
+      d.withColumn(s"__l${k}__", lag(col("__y__"), k).over(w)))
+      .filter((1 to lags).map(k => col(s"__l${k}__").isNotNull)
+        .reduce(_ && _))
+    val names = "__y__" +: (1 to lags).map(k => s"__l${k}__")
+    // all pairwise product sums in one aggregate
+    val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      names.map(a => sum(col(a)).as(s"s_$a")) ++
+      (for (a <- names; b <- names if a <= b)
+        yield sum(col(a) * col(b)).as(s"s_${a}_$b"))
+    val r = lagged.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Double]("n")
+    def s1(a: String) = r.getAs[Double](s"s_$a")
+    def s2(a: String, b: String) =
+      if (a <= b) r.getAs[Double](s"s_${a}_$b")
+      else r.getAs[Double](s"s_${b}_$a")
+    // normal equations for y ~ const + lags
+    val d = lags + 1
+    val xtx = Array.tabulate(d, d) { (i, j) =>
+      (i, j) match {
+        case (0, 0) => n
+        case (0, jj) => s1(names(jj))
+        case (ii, 0) => s1(names(ii))
+        case (ii, jj) => s2(names(ii), names(jj))
+      }
+    }
+    val xty = Array.tabulate(d)(i =>
+      if (i == 0) s1("__y__") else s2(names(i), "__y__"))
+    val beta = solve(xtx, xty)
+    // SSE = y'y − β'X'y ; SST = y'y − n·ȳ²
+    val yy = s2("__y__", "__y__")
+    val sse = yy - beta.zipWithIndex.map { case (b, i) => b * xty(i) }.sum
+    val sst = yy - s1("__y__") * s1("__y__") / n
+    val r2 = if (sst > 0) 1.0 - sse / sst else 0.0
+    val lm = n * r2
+    (lm, graft.stats.Distributions.chi2UpperP(lm, lags.toDouble))
+  }
+
   /** Lag/rolling feature extraction (reference
     * src/time_series/features.rs): adds lag_k and rolling-mean
     * columns per key in one window pass. */
@@ -544,6 +640,31 @@ object TimeSeriesOps {
       trend = beta * (level - prevLevel) + (1 - beta) * trend
     }
     (1 to steps).map(h => level + h * trend)
+  }
+
+  /** Simple exponential smoothing forecast (forecasting.rs:231):
+    * level-only recurrence; the h-step forecast is flat. */
+  def sesForecast(values: Seq[Double], alpha: Double,
+      steps: Int): Seq[Double] = {
+    if (values.isEmpty) return Seq.fill(steps)(0.0)
+    var level = values.head
+    values.tail.foreach(x => level = alpha * x + (1 - alpha) * level)
+    Seq.fill(steps)(level)
+  }
+
+  /** Linear-trend forecast (forecasting.rs linear trend): OLS of the
+    * series on its index, extrapolated. Driver-side on an aggregated
+    * series like the other forecasters. */
+  def linearTrendForecast(values: Seq[Double], steps: Int): Seq[Double] = {
+    val n = values.size.toDouble
+    if (values.size < 2) return Seq.fill(steps)(values.headOption.getOrElse(0.0))
+    val xs = values.indices.map(_.toDouble)
+    val sx = xs.sum; val sy = values.sum
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(values).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    (0 until steps).map(h => icept + slope * (n + h))
   }
 
   /** Triple (Holt-Winters) exponential smoothing, additive seasonality

@@ -134,6 +134,19 @@ class MlOpsSpec extends SparkSpecBase {
     complete.values.toSet.size shouldBe 3
   }
 
+  test("isolation forest scores a planted outlier above the cluster") {
+    val inliers = (1 to 200).map(i =>
+      (i.toLong, (i % 20) * 0.05, ((i * 7) % 20) * 0.05))
+    val outlier = (999L, 8.0, -8.0)
+    val df = (inliers :+ outlier).toDF("id", "x", "y")
+    val scored = graft.ml.Anomaly.isolationForest(df, Seq("x", "y"))
+      .select("id", "anomaly_score").as[(Long, Double)].collect().toMap
+    scored(999L) should be > 0.6
+    val inlierMax = inliers.map(t => scored(t._1)).max
+    scored(999L) should be > inlierMax
+    inliers.map(t => scored(t._1)).sum / 200 should be < 0.55
+  }
+
   test("dbscan with separated singletons yields all noise") {
     val df = Seq((1L, 0.0), (2L, 100.0), (3L, 200.0)).toDF("id", "x")
     val out = Clustering.dbscan(df, Seq("x"), "id", eps = 1.0,

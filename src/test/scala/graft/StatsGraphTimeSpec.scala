@@ -337,6 +337,67 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     }
   }
 
+  test("ses and linear-trend forecasters") {
+    // SES on a constant series is the constant, flat over horizon
+    TimeSeriesOps.sesForecast(Seq(5.0, 5.0, 5.0), 0.3, 3) shouldBe
+      Seq(5.0, 5.0, 5.0)
+    // linear trend extrapolates exactly on a perfect line
+    val fc = TimeSeriesOps.linearTrendForecast(
+      (0 until 20).map(t => 2.0 * t + 3), 3)
+    fc.zipWithIndex.foreach { case (v, h) =>
+      approx(v, 2.0 * (20 + h) + 3, 1e-9)
+    }
+  }
+
+  test("multiplicative decomposition recovers ratio seasonality") {
+    val period = 4
+    val season = Seq(1.2, 0.8, 0.9, 1.1) // mean 1
+    val df = (0 until 32).map(t =>
+      (t, (10.0 + 0.5 * t) * season(t % period))).toDF("t", "v")
+    val dec = TimeSeriesOps.decomposeMultiplicative(df, "t", "v", period)
+      .filter($"trend".isNotNull)
+    val byPhase = dec.withColumn("ph", pmod($"t", lit(period)))
+      .groupBy("ph").agg(avg($"seasonal").as("s"))
+      .as[(Int, Double)].collect().toMap
+    (0 until period).foreach { p =>
+      byPhase(p) shouldBe season(p) +- 0.05
+    }
+    // residuals multiply back to ~1
+    dec.agg(avg(abs($"resid" - 1.0))).head().getDouble(0) should be < 0.05
+  }
+
+  test("breusch-godfrey: white noise passes, AR(1) rejects") {
+    val rng = new scala.util.Random(21)
+    val wn = (0 until 300).map(i => (i, rng.nextDouble() - 0.5))
+      .toDF("t", "v")
+    val (_, pWn) = TimeSeriesOps.breuschGodfrey(wn, "v", "t", 3)
+    pWn should be > 0.05
+    var x = 0.0
+    val ar = (0 until 300).map { i =>
+      x = 0.8 * x + rng.nextDouble() - 0.5; (i, x)
+    }.toDF("t", "v")
+    val (lm, pAr) = TimeSeriesOps.breuschGodfrey(ar, "v", "t", 3)
+    lm should be > 50.0
+    pAr should be < 1e-9
+  }
+
+  test("chi-square goodness-of-fit: uniform passes, skewed rejects") {
+    import graft.stats.StatsOps
+    val uniform = (0 until 300).map(i => ("c" + (i % 3))).toDF("cat")
+    val u = StatsOps.chiSquareGof(uniform, "cat").head()
+    u.getAs[Double]("chi2") shouldBe 0.0 +- 1e-9
+    u.getAs[Double]("p_value") shouldBe 1.0 +- 1e-9
+    val skewed = (Seq.fill(250)("a") ++ Seq.fill(30)("b") ++
+      Seq.fill(20)("c")).toDF("cat")
+    val s = StatsOps.chiSquareGof(skewed, "cat").head()
+    s.getAs[Double]("p_value") should be < 1e-9
+    // explicit expected probabilities matching the data: passes
+    val e = StatsOps.chiSquareGof(skewed, "cat",
+      Map("a" -> 250.0 / 300, "b" -> 30.0 / 300, "c" -> 20.0 / 300))
+      .head()
+    e.getAs[Double]("chi2") shouldBe 0.0 +- 1e-9
+  }
+
   test("holtWintersForecast recovers a seasonal + trend process") {
     val period = 4
     val season = Seq(3.0, -1.0, -4.0, 2.0) // sums to zero
