@@ -190,6 +190,15 @@ object QueriesStats {
           .as("p_value"))
     }),
 
+    // §2.12 one-sample chi-square goodness-of-fit vs uniform over the
+    // 3 order statuses: df = 2, so the p-value closed form is exactly
+    // exp(−χ²/2), mirrored in the oracle
+    "q92_chi2_gof" -> ((s, d) =>
+      graft.stats.StatsOps.chiSquareGof(t(s, d, "orders"),
+        "o_orderstatus")
+        .select(round(col("chi2"), 6).as("chi2"), col("dof"),
+          round(col("p_value"), 6).as("p_value"))),
+
     // §2.12 OLS regression from exact sums (dollars to avoid overflow)
     "q61_linreg" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -316,6 +325,21 @@ object QueriesStats {
         |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT)
         |    AS component
         |FROM nation""".stripMargin,
+
+    "q92_chi2_gof" ->
+      """WITH counts AS (
+        |  SELECT o_orderstatus AS c, CAST(count(*) AS DOUBLE) AS o
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n, CAST(count(*) AS BIGINT) AS k
+        |  FROM counts),
+        |s AS (
+        |  SELECT sum(power(o - (1.0 / k) * n, 2) / ((1.0 / k) * n))
+        |      AS chi2,
+        |    max(k) AS k
+        |  FROM counts CROSS JOIN tot)
+        |SELECT round(chi2, 6) AS chi2, k - 1 AS dof,
+        |  round(exp(-(chi2 / 2)), 6) AS p_value
+        |FROM s""".stripMargin,
 
     "q90_chi2_pvalue" ->
       """WITH e AS (
