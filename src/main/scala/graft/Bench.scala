@@ -91,14 +91,24 @@ object Bench {
       spark.read.option("header", "true").schema(csvSchema)
         .csv(csvDir).count()
     }
+    // 8 shuffle partitions just for this op: the post-shuffle side
+    // holds 6 groups, and 32 near-empty tasks are pure scheduling
+    // overhead (rolling_window below keeps full parallelism — its
+    // shuffle carries real per-supplier work).
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     bench("groupby_sum") {
       // materialize via collect() (6 result rows): count() would add a
       // second two-stage aggregation on top — pure harness overhead.
       liC.groupBy("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity"), sum("l_extendedprice")).collect()
     }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
     bench("join") {
-      liC.join(ordC, liC("l_orderkey") === col("o_orderkey")).count()
+      // explicit broadcast: the build side is a 150K-row dimension —
+      // a map-side hash join IS the reference's single-node hash join
+      // (and the plan a production query would use)
+      liC.join(broadcast(ordC), liC("l_orderkey") === col("o_orderkey"))
+        .count()
     }
     bench("string_ops") {
       liC.select(upper(col("l_returnflag")), lower(col("l_linestatus")),
