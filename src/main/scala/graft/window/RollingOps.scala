@@ -209,6 +209,83 @@ object RollingOps {
       .withColumn(outName, when(col(outName).isNotNull,
         sqrt(greatest(col(outName), lit(0.0)))))
 
+  /** EXACT streaming EWM at scale: repartition by key, secondary-sort
+    * within partitions, one O(n) stateful pass per partition
+    * (`mapPartitions` with group-change detection — constant memory,
+    * no per-group array materialization, no O(n²) fold copying).
+    * Arithmetic is the identical recurrence to [[ewmMean]]/[[ewmVar]],
+    * so results are bit-equal to the fold forms. `stat`: "mean" |
+    * "var" | "std"; var/std use adjust=true weights like [[ewmVar]].
+    * Rows with null values emit null and do not advance the state.
+    *
+    * This is the long-series exact path (the truncated variants trade
+    * a ≤tol error for an ordinary window plan; this one keeps exact
+    * semantics at O(n) streaming cost). */
+  def ewmScalable(df: DataFrame, valueCol: String, orderCol: String,
+      partitionCols: Seq[String], alpha: Double, stat: String = "mean",
+      adjust: Boolean = true, bias: Boolean = false,
+      outName: String = "ewm"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(Seq("mean", "var", "std").contains(stat), s"stat=$stat")
+    require(partitionCols.nonEmpty, "partitionCols required")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val base = df.select(partitionCols.map(col) :+ col(orderCol) :+
+      col(valueCol).cast("double").as("__v__"): _*)
+    val sorted = base.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols :+ orderCol).map(col): _*)
+    val schema = StructType(sorted.schema.fields.dropRight(1) :+
+      StructField(outName, DoubleType, nullable = true))
+    val nKeys = partitionCols.size
+    val vIdx = nKeys + 1
+    val a = alpha
+    val out = sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var num = 0.0; var den = 0.0; var num2 = 0.0; var den2 = 0.0
+      var prev = Double.NaN // adjust=false mean state
+      it.map { r =>
+        val key = (0 until nKeys).map(r.get)
+        if (key != curKey) {
+          curKey = key
+          num = 0.0; den = 0.0; num2 = 0.0; den2 = 0.0
+          prev = Double.NaN
+        }
+        val e: Any =
+          if (r.isNullAt(vIdx)) null
+          else {
+            val x = r.getDouble(vIdx)
+            stat match {
+              case "mean" if adjust =>
+                num = (1.0 - a) * num + x
+                den = (1.0 - a) * den + 1.0
+                num / den
+              case "mean" =>
+                prev = if (prev.isNaN) x else (1.0 - a) * prev + a * x
+                prev
+              case _ =>
+                num = (1.0 - a) * num + x
+                den = (1.0 - a) * den + 1.0
+                num2 = (1.0 - a) * num2 + x * x
+                den2 = (1.0 - a) * (1.0 - a) * den2 + 1.0
+                val biased = num2 / den - (num / den) * (num / den)
+                val v: Any =
+                  if (bias) biased
+                  else if (den * den - den2 > 0.0)
+                    biased * (den * den) / (den * den - den2)
+                  else null
+                if (stat == "std" && v != null)
+                  math.sqrt(math.max(v.asInstanceOf[Double], 0.0))
+                else v
+            }
+          }
+        Row.fromSeq((0 until vIdx).map(r.get) :+ e)
+      }
+    }(Encoders.row(schema))
+    // output is (partitionCols…, orderCol, outName): join back on the
+    // key + order columns if the remaining input columns are needed
+    out
+  }
+
   /** Scale-path EWM variance: truncated weights like
     * [[ewmMeanTruncated]] — a fixed-depth lag window instead of the
     * sequential fold, bounded error tol·max|x|². */

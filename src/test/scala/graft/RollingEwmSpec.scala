@@ -156,6 +156,36 @@ class RollingEwmSpec extends SparkSpecBase {
     stds(2).getDouble(0) shouldBe 0.0 +- 1e-12
   }
 
+  test("ewmScalable streaming pass is bit-equal to the fold forms") {
+    val xs = (1 to 50).map(i => math.sin(i * 0.9) * 7 + (i % 5))
+    val df = (xs.zipWithIndex.map { case (x, i) => ("a", i, x) } ++
+      xs.zipWithIndex.take(20).map { case (x, i) => ("b", i, x * 2) })
+      .toDF("k", "ord", "v")
+    def col2(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.orderBy("k", "ord").select(c).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // mean adjust=true and false
+    for (adj <- Seq(true, false)) {
+      val fold = col2(RollingOps.ewmMean(df, "v", "ord", Seq("k"), 0.35,
+        adjust = adj, outName = "e"), "e")
+      val stream = col2(RollingOps.ewmScalable(df, "v", "ord", Seq("k"),
+        0.35, stat = "mean", adjust = adj, outName = "e"), "e")
+      stream shouldBe fold // bit-equal: identical recurrence order
+    }
+    // var and std
+    val foldVar = col2(RollingOps.ewmVar(df, "v", "ord", Seq("k"), 0.35,
+      outName = "e"), "e")
+    val streamVar = col2(RollingOps.ewmScalable(df, "v", "ord", Seq("k"),
+      0.35, stat = "var", outName = "e"), "e")
+    streamVar shouldBe foldVar
+    val streamStd = col2(RollingOps.ewmScalable(df, "v", "ord", Seq("k"),
+      0.35, stat = "std", outName = "e"), "e")
+    streamStd.zip(foldVar).foreach {
+      case (Some(s), Some(v)) => s shouldBe math.sqrt(math.max(v, 0))
+      case (s, v) => s.isEmpty shouldBe v.isEmpty
+    }
+  }
+
   test("ewmVarTruncated matches exact ewmVar within tolerance") {
     val xs = (1 to 60).map(i => math.sin(i * 0.7) * 5 + (i % 7))
     val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
