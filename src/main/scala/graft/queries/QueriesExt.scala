@@ -45,6 +45,16 @@ object QueriesExt {
         .select(col("id").as("s_suppkey"), col("cluster"),
           col("is_core"))),
 
+    // §2.5a the O(n) streaming EWM path (secondary sort +
+    // mapPartitions) — bit-equal to the fold, so it shares q57's
+    // recursive-CTE oracle semantics
+    "q93_ewm_scalable" -> ((s, d) =>
+      RollingOps.ewmScalable(
+        t(s, d, "events").select("event_id", "user_id", "value"),
+        "value", "event_id", Seq("user_id"), alpha = 0.5,
+        stat = "mean", adjust = false, outName = "ewm")
+        .select(col("event_id"), col("user_id"), col("ewm"))),
+
     // §2.13 factorize: dense codes by sorted category order
     "q67_factorize" -> ((s, d) =>
       MlOps.factorize(t(s, d, "events"), "event_type")
@@ -330,6 +340,19 @@ object QueriesExt {
         |          + CASE WHEN GROUPING(l_linestatus) = 1 THEN 1 ELSE 0 END)
         |    AS INTEGER) AS level
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q93_ewm_scalable" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rn, x AS y FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    (1.0 - 0.5) * r.y + 0.5 * b.x
+        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT event_id, user_id, y AS ewm FROM r""".stripMargin,
 
     "q57_ewm" ->
       """WITH RECURSIVE base AS (
