@@ -231,6 +231,19 @@ object QueriesExt {
           count(lit(1)).as("n_docs")))
   )
 
+  private val ewmRecursiveOracle: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, rn, x AS y FROM base WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.user_id, b.event_id, b.rn,
+      |    (1.0 - 0.5) * r.y + 0.5 * b.x
+      |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+      |SELECT event_id, user_id, y AS ewm FROM r""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     // the full staged pipeline reproduced in SQL: exact-md5 dedup,
@@ -341,31 +354,12 @@ object QueriesExt {
         |    AS INTEGER) AS level
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
-    "q93_ewm_scalable" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, event_id, rn, x AS y FROM base WHERE rn = 1
-        |  UNION ALL
-        |  SELECT b.user_id, b.event_id, b.rn,
-        |    (1.0 - 0.5) * r.y + 0.5 * b.x
-        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
-        |SELECT event_id, user_id, y AS ewm FROM r""".stripMargin,
+    // ONE oracle string for both EWM gates: q57 (fold form) and q93
+    // (streaming form) are bit-equal by construction, and sharing the
+    // constant keeps them from drifting apart
+    "q93_ewm_scalable" -> ewmRecursiveOracle,
 
-    "q57_ewm" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, event_id, rn, x AS y FROM base WHERE rn = 1
-        |  UNION ALL
-        |  SELECT b.user_id, b.event_id, b.rn,
-        |    (1.0 - 0.5) * r.y + 0.5 * b.x
-        |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
-        |SELECT event_id, user_id, y AS ewm FROM r""".stripMargin,
+    "q57_ewm" -> ewmRecursiveOracle,
 
     "q87_dbscan" ->
       """WITH RECURSIVE p AS (

@@ -192,12 +192,14 @@ object QueriesStats {
 
     // §2.12 one-sample chi-square goodness-of-fit vs uniform over the
     // 3 order statuses: df = 2, so the p-value closed form is exactly
-    // exp(−χ²/2), mirrored in the oracle
+    // exp(−χ²/2) — computed as COLUMN arithmetic here so the oracle
+    // mirrors it op-for-op (the UDF's incomplete gamma agrees only
+    // analytically)
     "q92_chi2_gof" -> ((s, d) =>
       graft.stats.StatsOps.chiSquareGof(t(s, d, "orders"),
         "o_orderstatus")
         .select(round(col("chi2"), 6).as("chi2"), col("dof"),
-          round(col("p_value"), 6).as("p_value"))),
+          round(exp(-(col("chi2") / 2)), 6).as("p_value"))),
 
     // §2.12 OLS regression from exact sums (dollars to avoid overflow)
     "q61_linreg" -> ((s, d) => {
@@ -329,7 +331,7 @@ object QueriesStats {
     "q92_chi2_gof" ->
       """WITH counts AS (
         |  SELECT o_orderstatus AS c, CAST(count(*) AS DOUBLE) AS o
-        |  FROM orders GROUP BY 1),
+        |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1),
         |tot AS (SELECT sum(o) AS n, CAST(count(*) AS BIGINT) AS k
         |  FROM counts),
         |s AS (

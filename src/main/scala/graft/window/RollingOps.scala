@@ -239,46 +239,66 @@ object RollingOps {
     val nKeys = partitionCols.size
     val vIdx = nKeys + 1
     val a = alpha
+    val statMean = stat == "mean"
+    val statStd = stat == "std"
     val out = sorted.mapPartitions { it =>
-      var curKey: Seq[Any] = null
+      var curKey: Array[Any] = null
       var num = 0.0; var den = 0.0; var num2 = 0.0; var den2 = 0.0
-      var prev = Double.NaN // adjust=false mean state
+      var prev = 0.0; var hasPrev = false // adjust=false mean state
+      // deep element compare: BinaryType keys are Array[Byte], where
+      // Seq equality would degrade to reference equality and reset
+      // the state on every row
+      def sameKey(r: Row): Boolean = {
+        if (curKey == null) return false
+        var i = 0
+        while (i < nKeys) {
+          if (!java.util.Objects.deepEquals(curKey(i), r.get(i)))
+            return false
+          i += 1
+        }
+        true
+      }
       it.map { r =>
-        val key = (0 until nKeys).map(r.get)
-        if (key != curKey) {
-          curKey = key
+        if (!sameKey(r)) {
+          curKey = Array.tabulate(nKeys)(r.get)
           num = 0.0; den = 0.0; num2 = 0.0; den2 = 0.0
-          prev = Double.NaN
+          prev = 0.0; hasPrev = false
         }
         val e: Any =
           if (r.isNullAt(vIdx)) null
           else {
             val x = r.getDouble(vIdx)
-            stat match {
-              case "mean" if adjust =>
-                num = (1.0 - a) * num + x
-                den = (1.0 - a) * den + 1.0
-                num / den
-              case "mean" =>
-                prev = if (prev.isNaN) x else (1.0 - a) * prev + a * x
-                prev
-              case _ =>
-                num = (1.0 - a) * num + x
-                den = (1.0 - a) * den + 1.0
-                num2 = (1.0 - a) * num2 + x * x
-                den2 = (1.0 - a) * (1.0 - a) * den2 + 1.0
-                val biased = num2 / den - (num / den) * (num / den)
-                val v: Any =
-                  if (bias) biased
-                  else if (den * den - den2 > 0.0)
-                    biased * (den * den) / (den * den - den2)
-                  else null
-                if (stat == "std" && v != null)
-                  math.sqrt(math.max(v.asInstanceOf[Double], 0.0))
-                else v
+            if (statMean && adjust) {
+              num = (1.0 - a) * num + x
+              den = (1.0 - a) * den + 1.0
+              num / den
+            } else if (statMean) {
+              // boolean init flag, NOT a NaN sentinel: a NaN data value
+              // must poison the recurrence exactly like the fold form
+              prev = if (!hasPrev) x else (1.0 - a) * prev + a * x
+              hasPrev = true
+              prev
+            } else {
+              num = (1.0 - a) * num + x
+              den = (1.0 - a) * den + 1.0
+              num2 = (1.0 - a) * num2 + x * x
+              den2 = (1.0 - a) * (1.0 - a) * den2 + 1.0
+              val biased = num2 / den - (num / den) * (num / den)
+              val v: Any =
+                if (bias) biased
+                else if (den * den - den2 > 0.0)
+                  biased * (den * den) / (den * den - den2)
+                else null
+              if (statStd && v != null)
+                math.sqrt(math.max(v.asInstanceOf[Double], 0.0))
+              else v
             }
           }
-        Row.fromSeq((0 until vIdx).map(r.get) :+ e)
+        val outVals = new Array[Any](vIdx + 1)
+        var i = 0
+        while (i < vIdx) { outVals(i) = r.get(i); i += 1 }
+        outVals(vIdx) = e
+        Row.fromSeq(outVals.toIndexedSeq)
       }
     }(Encoders.row(schema))
     // output is (partitionCols…, orderCol, outName): join back on the

@@ -158,8 +158,12 @@ class RollingEwmSpec extends SparkSpecBase {
 
   test("ewmScalable streaming pass is bit-equal to the fold forms") {
     val xs = (1 to 50).map(i => math.sin(i * 0.9) * 7 + (i % 5))
-    val df = (xs.zipWithIndex.map { case (x, i) => ("a", i, x) } ++
-      xs.zipWithIndex.take(20).map { case (x, i) => ("b", i, x * 2) })
+    // null values interleaved: must emit null and NOT advance state,
+    // exactly like the fold's null-skipping join-back
+    val df = (xs.zipWithIndex.map { case (x, i) =>
+        ("a", i, if (i % 7 == 3) None else Some(x)) } ++
+      xs.zipWithIndex.take(20).map { case (x, i) =>
+        ("b", i, Some(x * 2)) })
       .toDF("k", "ord", "v")
     def col2(d: org.apache.spark.sql.DataFrame, c: String) =
       d.orderBy("k", "ord").select(c).collect()
