@@ -76,6 +76,52 @@ object Clustering {
         coalesce(col("is_core"), lit(false)).as("is_core"))
   }
 
+  /** Deterministic Lloyd k-means: initial centroids are the k rows
+    * with the smallest ids; `iters` fixed assign/update rounds. Each
+    * assignment is a map-side argmin over k broadcast centroid
+    * literals (ties → smallest cluster index); each update is one
+    * groupBy whose k×dim result is collected (centroids are tiny by
+    * definition). With integer features every centroid is an exact
+    * integer-sum / count — fully reproducible across engines, which
+    * is the point: MLlib's kmeans|| stays the production path, this
+    * variant is the declarative, oracle-verifiable formulation.
+    * Empty clusters keep their previous centroid. Returns
+    * (id, cluster). */
+  def kmeansLloyd(df: DataFrame, featureCols: Seq[String],
+      idCol: String, k: Int, iters: Int): DataFrame = {
+    val pts = df.select(col(idCol).as("id") +:
+      featureCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"__f$i") }: _*).cache()
+    val d = featureCols.size
+    var centroids: IndexedSeq[IndexedSeq[Double]] = pts
+      .orderBy("id").limit(k).collect()
+      .map(r => (0 until d).map(i => r.getDouble(i + 1)): IndexedSeq[Double])
+      .toIndexedSeq
+    def assignExpr: org.apache.spark.sql.Column = {
+      val scored = centroids.zipWithIndex.map { case (c, ci) =>
+        val dist = (0 until d).map(i =>
+          (col(s"__f$i") - c(i)) * (col(s"__f$i") - c(i))).reduce(_ + _)
+        struct(dist.as("d"), lit(ci).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    }
+    var assigned = pts.withColumn("cluster", assignExpr)
+    (1 to iters).foreach { _ =>
+      val sums = assigned.groupBy("cluster")
+        .agg(count(lit(1)).cast("double").as("n"),
+          (0 until d).map(i => sum(col(s"__f$i")).as(s"s$i")): _*)
+        .collect()
+        .map(r => r.getAs[Int]("cluster") ->
+          (0 until d).map(i => r.getAs[Double](s"s$i") /
+            r.getAs[Double]("n")))
+        .toMap
+      centroids = centroids.indices.map(ci =>
+        sums.getOrElse(ci, centroids(ci)).toIndexedSeq)
+      assigned = pts.withColumn("cluster", assignExpr)
+    }
+    assigned.select(col("id"), col("cluster").cast("long").as("cluster"))
+  }
+
   /** Agglomerative hierarchical clustering (reference
     * src/ml/clustering agglomerative): nearest-neighbor-chain with
     * Lance-Williams updates — O(n²) time and memory, inherently

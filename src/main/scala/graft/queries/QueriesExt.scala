@@ -55,6 +55,18 @@ object QueriesExt {
         stat = "mean", adjust = false, outName = "ewm")
         .select(col("event_id"), col("user_id"), col("ewm"))),
 
+    // §2.13 deterministic Lloyd k-means on integer-cents features:
+    // every centroid is an exact integer-sum / count, so the oracle
+    // replays the 3 unrolled assign/update rounds exactly
+    "q94_kmeans_lloyd" -> ((s, d) =>
+      graft.ml.Clustering.kmeansLloyd(
+        t(s, d, "events").select(col("event_id"),
+          dbl(cents(col("value"))).as("f0"),
+          dbl(pmod(col("user_id"), lit(7))).as("f1")),
+        Seq("f0", "f1"), "event_id", k = 3, iters = 3)
+        .groupBy("cluster").agg(count(lit(1)).as("n"),
+          min(col("id")).as("min_id"))),
+
     // §2.13 factorize: dense codes by sorted category order
     "q67_factorize" -> ((s, d) =>
       MlOps.factorize(t(s, d, "events"), "event_type")
@@ -244,7 +256,45 @@ object QueriesExt {
       |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
       |SELECT event_id, user_id, y AS ewm FROM r""".stripMargin
 
+  private val kmeansLloydOracle: String = {
+    def assign(i: Int): String =
+      s"""a$i AS (
+         |  SELECT id, f0, f1, c AS cluster FROM (
+         |    SELECT p.id, p.f0, p.f1, cx.c,
+         |      row_number() OVER (PARTITION BY p.id ORDER BY
+         |        (p.f0 - cx.f0) * (p.f0 - cx.f0) +
+         |        (p.f1 - cx.f1) * (p.f1 - cx.f1), cx.c) AS rn
+         |    FROM pts p CROSS JOIN c$i cx)
+         |  WHERE rn = 1)""".stripMargin
+    def update(i: Int): String =
+      s"""c${i + 1} AS (
+         |  SELECT prev.c,
+         |    coalesce(s.s0 / s.n, prev.f0) AS f0,
+         |    coalesce(s.s1 / s.n, prev.f1) AS f1
+         |  FROM c$i prev LEFT JOIN (
+         |    SELECT cluster AS c, CAST(count(*) AS DOUBLE) AS n,
+         |      sum(f0) AS s0, sum(f1) AS s1 FROM a$i GROUP BY 1) s
+         |    ON s.c = prev.c)""".stripMargin
+    val rounds = (0 until 3).map(i =>
+      assign(i) + ",\n" + update(i)).mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT event_id AS id,
+       |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS f0,
+       |    CAST(user_id % 7 AS DOUBLE) AS f1
+       |  FROM events),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, f0, f1
+       |  FROM (SELECT id, f0, f1 FROM pts ORDER BY id LIMIT 3)),
+       |$rounds,
+       |${assign(3)}
+       |SELECT CAST(cluster AS BIGINT) AS cluster,
+       |  CAST(count(*) AS BIGINT) AS n, min(id) AS min_id
+       |FROM a3 GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q94_kmeans_lloyd" -> kmeansLloydOracle,
 
     // the full staged pipeline reproduced in SQL: exact-md5 dedup,
     // the shared MinHash-LSH CTEs over the survivors, word-set

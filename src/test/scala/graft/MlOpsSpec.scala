@@ -102,6 +102,22 @@ class MlOpsSpec extends SparkSpecBase {
     out(99L)._2 shouldBe false
   }
 
+  test("kmeansLloyd separates blobs and is run-to-run deterministic") {
+    val df = ((1L to 20L).map(i => (i, i * 1.0, 0.0)) ++
+      (21L to 40L).map(i => (i, 100.0 + i, 50.0))).toDF("id", "x", "y")
+    val run1 = Clustering.kmeansLloyd(df, Seq("x", "y"), "id",
+      k = 2, iters = 5).as[(Long, Long)].collect().toMap
+    // the two blobs land in different clusters
+    val blobA = (1L to 20L).map(run1).toSet
+    val blobB = (21L to 40L).map(run1).toSet
+    blobA.size shouldBe 1
+    blobB.size shouldBe 1
+    blobA should not be blobB
+    val run2 = Clustering.kmeansLloyd(df, Seq("x", "y"), "id",
+      k = 2, iters = 5).as[(Long, Long)].collect().toMap
+    run2 shouldBe run1
+  }
+
   test("agglomerative recovers separated blobs under every linkage") {
     val a = (1L to 8L).map(i => (i, i * 0.1, 0.0))
     val b = (11L to 18L).map(i => (i, 20.0 + (i - 11) * 0.1, 5.0))
