@@ -144,6 +144,25 @@ class SourcesAndPlanSpec extends SparkSpecBase {
     }
   }
 
+  test("dbscan / knn-lof candidate joins are equi-joins, never cross") {
+    import org.apache.spark.sql.catalyst.plans.Cross
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def crossJoins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == Cross => j
+      }
+    val pts = (1L to 60L).map(i =>
+      (i, (i % 10) * 1.0, (i % 7) * 1.0)).toDF("id", "x", "y")
+    crossJoins(graft.ml.Clustering.dbscan(pts, Seq("x", "y"), "id",
+      eps = 0.5, minPts = 3)) shouldBe empty
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq.tabulate(4)(d => ((i + d) % 5).toFloat))).toDF("id", "v")
+    // LSH-bucketed kNN graph: the pair join carries the bucket
+    // equi-condition, so no cross product even before filtering
+    crossJoins(graft.llm.Similarity.lof(vecs, "v", "id", k = 3,
+      planes = 4)) shouldBe empty
+  }
+
   test("small dimension joins plan as broadcast") {
     val plan = queries.QueriesCore
       .queries("q03_join_revenue_by_nation")(spark, "/root/testdata/sf0.001")
