@@ -74,6 +74,27 @@ class SourcesAndPlanSpec extends SparkSpecBase {
     ss.select("name").as[String].collect() shouldBe Array("alpha", "beta")
   }
 
+  test("xlsx edge cases: empty frame and >26 columns") {
+    import org.apache.spark.sql.types._
+    // header-only round trip
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a", LongType), StructField("b", StringType))))
+    val p1 = tmp("graft_xlsx_empty") + ".xlsx"
+    Excel.writeXlsx(empty, p1)
+    val backEmpty = Excel.readXlsx(spark, p1)
+    backEmpty.columns shouldBe Array("a", "b")
+    backEmpty.count() shouldBe 0
+    // 30 columns crosses the Z -> AA boundary
+    val wide = spark.range(1).select(
+      (0 until 30).map(i => lit(i.toDouble).as(s"c$i")): _*)
+    val p2 = tmp("graft_xlsx_wide") + ".xlsx"
+    Excel.writeXlsx(wide, p2)
+    val backWide = Excel.readXlsx(spark, p2)
+    backWide.columns.length shouldBe 30
+    backWide.head().getDouble(29) shouldBe 29.0
+  }
+
   private def writeSharedStringXlsx(path: String): Unit = {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
