@@ -101,6 +101,7 @@ object StatsOps {
       expected: Map[String, Double] = Map.empty): DataFrame = {
     val df = df0.filter(col(c).isNotNull)
     val counts = df.groupBy(col(c)).agg(count(lit(1)).as("o"))
+      .cache() // consumed by both the margin total and the cell scan
     val tot = counts.agg(sum(col("o")).cast("double").as("n"),
       count(lit(1)).as("k"))
     val pExpr =

@@ -71,6 +71,38 @@ object PropertiesSpec extends Properties("graft") {
     }
   }
 
+  property("streaming EWM is bit-equal to the fold for any series") =
+    forAll(Gen.listOfN(40, Gen.chooseNum(-500, 500)),
+      Gen.chooseNum(1, 9)) { (vals, a10) =>
+      val alpha = a10 / 10.0
+      val df = vals.zipWithIndex.map { case (v, i) => ("g", i, v.toDouble) }
+        .toDF("k", "ord", "v")
+      val fold = graft.window.RollingOps
+        .ewmMean(df, "v", "ord", Seq("k"), alpha, adjust = true, "e")
+        .orderBy("ord").select("e").as[Double].collect().toSeq
+      val stream = graft.window.RollingOps
+        .ewmScalable(df, "v", "ord", Seq("k"), alpha, "mean", true,
+          outName = "e")
+        .orderBy("ord").select("e").as[Double].collect().toSeq
+      vals.isEmpty || fold == stream // bitwise: identical recurrence
+    }
+
+  property("distinct-value rank sums always total n(n+1)/2") =
+    forAll(Gen.listOfN(80, Gen.chooseNum(-20L, 20L))) { vals =>
+      vals.isEmpty || {
+        val df = vals.map(v => (v, "x")).toDF("v", "g")
+        val counts = df.groupBy($"v")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("c"))
+        val ranks = graft.stats.StatsOps
+          .distinctValueRanks(counts, "v", "c")
+        val total = ranks.join(counts, "v")
+          .select(($"__r__" * $"c").as("t")).as[Double].collect().sum
+        val n = vals.size.toDouble
+        math.abs(total - n * (n + 1) / 2) < 1e-6
+      }
+    }
+
   private implicit class Let[A](private val a: A) {
     def let[B](f: A => B): B = f(a)
   }
