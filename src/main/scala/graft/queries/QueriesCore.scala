@@ -47,13 +47,21 @@ object QueriesCore {
     "q03_join_revenue_by_nation" -> ((s, d) => {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       val c = t(s, d, "customer"); val n = t(s, d, "nation")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      // manual partial-aggregation pushdown: collapse lineitem to one
+      // exact-cents revenue row per order BEFORE the join chain — the
+      // fact table shrinks ~4× ahead of three joins, and the final
+      // countDistinct degenerates to a plain count (one row per
+      // order). Legal because orders→customer→nation is 1:1 per
+      // orderkey and the cent sums are associative integers.
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("__rev_c__"))
+      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
-        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue_c"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+        .agg(sum(col("__rev_c__")).as("revenue_c"),
+          count(lit(1)).as("n_orders"))
     }),
 
     // §2.3 left join with null-producing side
