@@ -26,15 +26,25 @@ object GraphOps {
       .withColumn("degree", col("out_degree") + col("in_degree"))
   }
 
-  /** Connected components by iterative min-label propagation
-    * (components.rs:70): each superstep joins labels across edges and
-    * keeps the minimum; converges in O(diameter) supersteps.
+  /** Connected components by min-label propagation with pointer
+    * jumping (components.rs:70): each superstep (a) takes the min
+    * label over every vertex's neighborhood, then (b) shortcuts each
+    * label to its label's label. The jump halves the label-tree height
+    * every round, so convergence is O(log diameter) supersteps — a
+    * 100 TB path graph converges in ~40 rounds where plain
+    * propagation would need one round per hop.
+    *
+    * Runs until a fixpoint (changed == 0). `maxIter` is a safety cap
+    * only: hitting it before the fixpoint throws IllegalStateException
+    * rather than silently returning partial labels — composed
+    * consumers (dbscan, dedup group collapse) must never see an
+    * unconverged labeling.
     *
     * The vertex set is derived from the edges, so an isolated vertex
     * (no incident edge) does not appear in the output — pass
     * `vertices` (one `id` column) to include isolated vertices as
     * their own singleton components. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+  def connectedComponents(edges: DataFrame, maxIter: Int = 60,
       vertices: Option[DataFrame] = None): DataFrame = {
     val sym = edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -48,17 +58,41 @@ object GraphOps {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val propagated = sym
+      // neighborhood min as groupBy + left join with least() — the
+      // equivalent union-then-min shape trips a Catalyst Union
+      // constraint-rewrite bug when iterated. Checkpointing here cuts
+      // lineage and flattens the plan so the pointer-jump self-join
+      // below runs over a plain LogicalRDD.
+      val nbrMin = sym
         .join(labels, sym("dst") === labels("id"))
-        .select(sym("src").as("id"), col("component"))
-        .union(labels.select("id", "component"))
-        .groupBy("id").agg(min("component").as("component"))
-      val next = propagated.localCheckpoint(eager = true)
+        .groupBy(sym("src").as("id")).agg(min("component").as("nc"))
+      val propagated = labels
+        .join(nbrMin.withColumnRenamed("id", "nid"),
+          labels("id") === col("nid"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nc"), col("component")))
+            .as("component"))
+        .localCheckpoint(eager = true)
+      // pointer jump: component <- label(component). A label is always
+      // the id of a vertex in the same component (it is a min over
+      // same-component ids), so the self-join resolves every label.
+      val next = propagated.as("l")
+        .join(propagated.select(col("id").as("cid"),
+            col("component").as("cc")).as("m"),
+          col("l.component") === col("m.cid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.component"),
+            coalesce(col("m.cc"), col("l.component"))).as("component"))
+        .localCheckpoint(eager = true)
       changed = next.join(labels.withColumnRenamed("component", "old"),
         Seq("id")).filter(col("component") =!= col("old")).count()
       labels = next
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter supersteps " +
+          s"($changed labels still changing) — raise maxIter")
     labels
   }
 

@@ -64,14 +64,22 @@ object Anomaly {
     * distributed. Scores are in (0, 1): ≳0.6 anomalous, ≲0.5 normal
     * (the standard 2^(−E[h]/c(ψ)) normalization). For very large
     * inputs pre-sample the FIT data yourself (`fitOn`) — scoring is
-    * unaffected. */
+    * unaffected.
+    *
+    * Rows with a null feature are excluded from the fit, and score
+    * null (they carry no isolation-depth information). The fit sample
+    * is drawn deterministically (sorted top-k, a TakeOrdered — no
+    * full sort) so the same seed reproduces the same forest across
+    * runs regardless of partitioning. */
   def isolationForest(df: DataFrame, featureCols: Seq[String],
       nTrees: Int = 100, sampleSize: Int = 256, seed: Long = 42L,
       outName: String = "anomaly_score",
       fitOn: Option[DataFrame] = None): DataFrame = {
     val fitDf = fitOn.getOrElse(df)
+    val feats = featureCols.map(c => col(c).cast("double").as(c))
     val rows = fitDf
-      .select(featureCols.map(c => col(c).cast("double")): _*)
+      .select(feats: _*).na.drop()
+      .sort(featureCols.map(col): _*)
       .limit(nTrees * sampleSize).collect()
       .map(r => Array.tabulate(featureCols.size)(r.getDouble))
     require(rows.nonEmpty, "isolationForest: empty fit data")
@@ -90,7 +98,11 @@ object Anomaly {
       val avg = trees.map(pathLength(_, xs)).sum / trees.length
       math.pow(2.0, -avg / cPsi)
     })
+    val anyNull = featureCols
+      .map(c => col(c).cast("double").isNull).reduce(_ || _)
     df.withColumn(outName,
-      scoreUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
+      when(anyNull, lit(null).cast("double"))
+        .otherwise(scoreUdf(
+          array(featureCols.map(c => col(c).cast("double")): _*))))
   }
 }

@@ -65,7 +65,7 @@ object QueriesStats {
       val edges = a.join(b, Seq("r"))
         .filter(col("src") =!= col("dst"))
         .select("src", "dst")
-      GraphOps.connectedComponents(edges, maxIter = 10)
+      GraphOps.connectedComponents(edges)
         .select(col("id").cast("long"),
           col("component").cast("long"))
     }),

@@ -54,6 +54,10 @@ object Excel {
       case null => ""
       case b: Boolean =>
         s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      // a NaN/Infinity toString inside a numeric <v> makes the file
+      // unreadable to Excel — emit an empty (absent) cell instead
+      case d: Double if !java.lang.Double.isFinite(d) => ""
+      case f: Float if !java.lang.Float.isFinite(f) => ""
       case n @ (_: Int | _: Long | _: Double | _: Float | _: Short |
           _: Byte | _: java.math.BigDecimal) =>
         s"""<c r="$ref"><v>$n</v></c>"""
@@ -180,21 +184,36 @@ object Excel {
     val data = cellsByRow.tail
     def numeric(s: String): Boolean =
       s.nonEmpty && scala.util.Try(s.toDouble).isSuccess
+    // t="b" cells are booleans, not numbers: an all-boolean column
+    // round-trips as BooleanType; a boolean mixed into anything else
+    // degrades the column to string ("true"/"false"), never to 1.0
+    val isBool = (0 until nCols).map { c =>
+      val vals = data.flatMap(_.get(c)).filter(_._2.nonEmpty)
+      vals.nonEmpty && vals.forall(_._1 == "b")
+    }
     val isNum = (0 until nCols).map { c =>
       val vals = data.flatMap(_.get(c)).filter(_._2.nonEmpty)
       vals.nonEmpty && vals.forall { case (t, v) =>
-        t != "inlineStr" && t != "s" && numeric(v)
+        t != "inlineStr" && t != "s" && t != "b" && numeric(v)
       }
     }
     val schema = StructType(names.zipWithIndex.map { case (n, i) =>
-      StructField(n, if (isNum(i)) DoubleType else StringType)
+      StructField(n,
+        if (isBool(i)) BooleanType
+        else if (isNum(i)) DoubleType
+        else StringType)
     })
+    def boolOf(v: String): Boolean = v == "1" || v == "true"
     val rows = data.map { m =>
       Row.fromSeq((0 until nCols).map { c =>
         m.get(c) match {
           case None => null
           case Some((_, v)) if v.isEmpty => null
-          case Some((_, v)) => if (isNum(c)) v.toDouble else v
+          case Some((t, v)) =>
+            if (isBool(c)) boolOf(v)
+            else if (isNum(c)) v.toDouble
+            else if (t == "b") String.valueOf(boolOf(v))
+            else v
         }
       })
     }

@@ -96,12 +96,31 @@ object StatsOps {
   /** Chi-square goodness-of-fit (stats/mod.rs chi_square_test):
     * observed category counts vs expected probabilities (uniform over
     * the observed categories when `expected` is empty). One groupBy +
-    * a tiny broadcast; df = k − 1. */
+    * a tiny broadcast; df = k − 1.
+    *
+    * A non-empty `expected` map must cover every observed category and
+    * sum to 1 — both are validated (against the already-aggregated,
+    * tiny category counts) rather than letting a null expected
+    * probability silently drop cells from the chi² sum. */
   def chiSquareGof(df0: DataFrame, c: String,
       expected: Map[String, Double] = Map.empty): DataFrame = {
     val df = df0.filter(col(c).isNotNull)
     val counts = df.groupBy(col(c)).agg(count(lit(1)).as("o"))
       .cache() // consumed by both the margin total and the cell scan
+    if (expected.nonEmpty) {
+      val s = expected.values.sum
+      require(math.abs(s - 1.0) < 1e-9,
+        s"chiSquareGof: expected probabilities must sum to 1, got $s")
+      require(expected.values.forall(_ > 0.0),
+        "chiSquareGof: expected probabilities must be positive")
+      val missing = counts
+        .filter(!col(c).cast("string").isin(expected.keys.toSeq: _*))
+        .select(col(c).cast("string")).limit(5)
+        .collect().map(_.getString(0))
+      require(missing.isEmpty,
+        "chiSquareGof: expected map is missing observed categories: " +
+          missing.mkString(", "))
+    }
     val tot = counts.agg(sum(col("o")).cast("double").as("n"),
       count(lit(1)).as("k"))
     val pExpr =
