@@ -25,9 +25,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesWindow.queries ++
-      QueriesText.queries ++ QueriesStats.queries ++ QueriesExt.queries
+      QueriesText.queries ++ QueriesStats.queries ++
+      QueriesExt.queries ++ QueriesPipeline.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracle ++ QueriesWindow.oracle ++
-      QueriesText.oracle ++ QueriesStats.oracle ++ QueriesExt.oracle
+      QueriesText.oracle ++ QueriesStats.oracle ++
+      QueriesExt.oracle ++ QueriesPipeline.oracle
 }

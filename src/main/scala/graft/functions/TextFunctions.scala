@@ -91,4 +91,19 @@ object TextFunctions {
   /** 64-bit rolling (polynomial) hash of the text — cheap content
     * fingerprint; xxhash64 is Spark-native and codegen'd. */
   def contentHash(text: Column): Column = xxhash64(text)
+
+  /** PII redaction for training corpora: replace emails, IPv4
+    * addresses and phone-shaped numbers with typed placeholders.
+    * Patterns stay within the regex subset shared by Java and RE2
+    * (no backrefs/lookaround) so the transform is engine-portable;
+    * email runs first because its local part can contain digits that
+    * the other patterns would otherwise split. Pure codegen'd
+    * regexp_replace chain — scales as a map-side scan. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>")
+  }
 }

@@ -1,0 +1,144 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-data pipeline operators beyond dedup/similarity: exact
+  * reproducible sampling, cardinality sketching, TF-IDF keywording,
+  * boilerplate detection, and bloom-prefiltered joins (north-star
+  * extras per BASELINE.json; no reference counterpart — the reference
+  * stops at the dataframe surface).
+  *
+  * Everything here is engine-portable where feasible: the hash
+  * primitive is the first 48 bits of md5 (exact in a double), so the
+  * DuckDB oracle can replay sampling and sketch decisions bit-for-bit
+  * — the same property the minhash/simhash portable variants use.
+  */
+object PipelineOps {
+
+  private val Two48 = 281474976710656.0 // 2^48
+
+  /** Engine-portable uniform hash in [0, 1): first 12 hex chars of
+    * md5 as a 48-bit integer over 2^48. Exact in a double (48 < 53
+    * mantissa bits), so the division is exact and any comparison
+    * against it is reproducible across engines. */
+  def hash48Unit(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(Two48)
+
+  /** Deterministic hash sampling: keep a row iff
+    * hash(key || salt) < rate. The sample is a pure map-side filter
+    * (no shuffle, no RNG state), stable across runs/cluster sizes,
+    * and re-derivable by any engine — the correct way to sample a
+    * 100 TB corpus reproducibly. Vary `salt` to draw independent
+    * samples. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0,1]")
+    df.filter(
+      hash48Unit(concat(col(keyCol).cast("string"), lit(salt))) < rate)
+  }
+
+  /** KMV (k minimum values) distinct-count sketch: hash every value,
+    * keep the k smallest distinct hashes; if fewer than k distinct
+    * hashes exist the count is exact, otherwise the estimator is
+    * (k−1)/h_k with h_k the k-th smallest hash in [0,1). The k-min
+    * set is a TakeOrdered (per-partition top-k, no global sort) and
+    * the result is one row — scales to any input. Standard error is
+    * ~1/sqrt(k−2). Unlike HLL, the estimate is a deterministic pure
+    * function of the value set, so it is oracle-checkable. */
+  def kmvDistinct(df: DataFrame, valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "kmvDistinct needs k >= 2")
+    val h = df.filter(col(valueCol).isNotNull)
+      .select(hash48Unit(col(valueCol)).as("h"))
+      .distinct()
+    h.orderBy("h").limit(k)
+      .agg(count(lit(1)).as("k_seen"), max(col("h")).as("hk"))
+      .select(
+        col("k_seen").cast("long").as("k_seen"),
+        round(when(col("k_seen") < k, col("k_seen").cast("double"))
+          .otherwise(lit(k - 1.0) / col("hk")), 6)
+          .as("distinct_estimate"))
+  }
+
+  /** TF-IDF top terms per document: tf from one grouped count, df
+    * from one more, idf = ln((N+1)/(df+1)) + 1 (smooth), top `topN`
+    * terms per doc by tfidf (ranked on the 6-dp rounded score with a
+    * term-name tiebreak, so ordering is reproducible across engines'
+    * last-ulp ln differences). Two hash aggregations + one window
+    * partitioned by doc — no global sort, no driver state. */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      topN: Int = 5): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(
+      countDistinct(col(idCol)).cast("double").as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(col("doc_id"), col("term"), col("tf").cast("long"),
+        col("df").cast("long"), col("tfidf"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** Per-document boilerplate fraction: a word n-gram is boilerplate
+    * when it occurs in ≥ `minDocs` distinct documents; each doc
+    * reports what share of its distinct n-grams are boilerplate.
+    * One explode + two grouped aggregations; the n-gram df shuffle is
+    * bounded by vocabulary, not corpus size. Docs shorter than n
+    * words have no n-grams and report fraction 0 over 0 shingles. */
+  def boilerplateFraction(docs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, minDocs: Long = 2L): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+    val dfreq = sh.groupBy("g")
+      .agg(countDistinct("doc_id").as("ndocs"))
+    val perDoc = sh.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L))
+          .as("n_boiler"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).cast("long")
+          .as("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).cast("long").as("n_boiler"),
+        round(when(col("n_shingles").isNull || col("n_shingles") === 0,
+            0.0)
+          .otherwise(col("n_boiler").cast("double") /
+            col("n_shingles").cast("double")), 6).as("boiler_frac"))
+  }
+
+  /** Bloom-prefiltered join for long keys: build a bloom filter over
+    * the dimension side's join keys, broadcast it, and filter the
+    * fact side BEFORE its shuffle. At 100 TB this is the standard
+    * semi-join reduction — a selective dimension too big to broadcast
+    * outright still compresses to a few MB of bloom bits, and the
+    * fact side sheds non-matching rows at scan time instead of
+    * shuffling them. False positives are eliminated by the real join
+    * that follows, so the result is exactly the plain join's. */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    fact.filter(might(col(factKey)))
+      .join(dim, col(factKey) === dim(dimKey))
+  }
+}

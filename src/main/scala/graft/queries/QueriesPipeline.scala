@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.llm.PipelineOps
+import Q._
+
+/** Training-data pipeline operators round 2 (north-star extras):
+  * PII redaction, reproducible hash sampling, KMV cardinality
+  * sketch, TF-IDF keywording, bloom-prefiltered join, boilerplate
+  * detection. All six are DuckDB-oracled — the hash-driven ones via
+  * the portable 48-bit md5 primitive. */
+object QueriesPipeline {
+
+  /** DuckDB rendition of PipelineOps.hash48Unit over expression `e`
+    * (must already be VARCHAR): first 12 md5 hex chars as a 48-bit
+    * integer over 2^48 — double-exact arithmetic in both engines. */
+  private def h48(e: String): String =
+    s"""list_sum(list_transform(range(1, 13),
+       |    i -> (strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1)
+       |      * power(16, 12 - i))) / 281474976710656.0""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // PII redaction: emails / IPv4 / phone numbers synthesized from
+    // row fields (the corpus itself is clean word soup), then redacted
+    "q95_pii_redact" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 200).cast("string"),
+          lit(".7 call 555-123-4567"))).as("redacted"))),
+
+    // deterministic hash sampling — reproducible map-side filter
+    "q96_hash_sample" -> ((s, d) =>
+      PipelineOps.hashSample(t(s, d, "documents"), "doc_id", 0.25, "s1")
+        .select("doc_id", "lang", "source")),
+
+    // KMV distinct-count sketch of lineitem part keys
+    "q97_kmv_distinct" -> ((s, d) =>
+      PipelineOps.kmvDistinct(t(s, d, "lineitem"), "l_partkey", 128)),
+
+    // TF-IDF top-3 terms per document
+    "q98_tfidf" -> ((s, d) =>
+      PipelineOps.tfidfTopTerms(t(s, d, "documents"), "text", "doc_id",
+        topN = 3)),
+
+    // bloom-prefiltered fact-dim join; bloom is transparent to the
+    // result, so the oracle is the plain join
+    "q99_bloom_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+      PipelineOps.bloomPrefilterJoin(li, sup, "l_suppkey", "s_suppkey")
+        .groupBy(col("s_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+    }),
+
+    // boilerplate word-3-gram detection + per-doc fraction
+    "q100_boilerplate" -> ((s, d) =>
+      PipelineOps.boilerplateFraction(t(s, d, "documents"), "text",
+        "doc_id", n = 3, minDocs = 5L)))
+
+  val oracle: Map[String, String] = Map(
+
+    "q95_pii_redact" ->
+      raw"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+        |    '.7 call 555-123-4567',
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    "q96_hash_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${h48("CAST(doc_id AS VARCHAR) || 's1'")} < 0.25"""
+        .stripMargin,
+
+    "q97_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT ${h48("CAST(l_partkey AS VARCHAR)")} AS h
+         |  FROM lineitem WHERE l_partkey IS NOT NULL),
+         |km AS (SELECT h FROM h ORDER BY h LIMIT 128)
+         |SELECT CAST(count(*) AS BIGINT) AS k_seen,
+         |  round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+         |    ELSE 127.0 / max(h) END, 6) AS distinct_estimate
+         |FROM km""".stripMargin,
+
+    "q98_tfidf" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |n AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3""".stripMargin,
+
+    "q99_bloom_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_price_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 5000
+        |GROUP BY 1""".stripMargin,
+
+    "q100_boilerplate" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+        |    ELSE [] END AS gs
+        |  FROM toks),
+        |sh AS (SELECT doc_id, unnest(gs) AS g FROM sh0),
+        |dfreq AS (
+        |  SELECT g, count(DISTINCT doc_id) AS ndocs
+        |  FROM sh GROUP BY 1),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN ndocs >= 5 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_boiler
+        |  FROM sh JOIN dfreq USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_shingles, 0) AS n_shingles,
+        |  coalesce(p.n_boiler, 0) AS n_boiler,
+        |  round(CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 0.0
+        |    ELSE CAST(p.n_boiler AS DOUBLE) / p.n_shingles END, 6)
+        |    AS boiler_frac
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+        .stripMargin)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.PipelineOps
+import graft.functions.TextFunctions
+
+class PipelineOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("hashSample is deterministic, salt-independent, and near-rate") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = PipelineOps.hashSample(df, "id", 0.2, "a")
+      .select("id").as[Long].collect().toSet
+    val s1b = PipelineOps.hashSample(df, "id", 0.2, "a")
+      .select("id").as[Long].collect().toSet
+    s1 shouldBe s1b
+    // rate within 3 sigma of binomial(10000, 0.2)
+    s1.size.toDouble shouldBe 2000.0 +- 3 * math.sqrt(10000 * 0.2 * 0.8)
+    // a different salt draws a (near) independent sample
+    val s2 = PipelineOps.hashSample(df, "id", 0.2, "b")
+      .select("id").as[Long].collect().toSet
+    s2 should not be s1
+    // nested property: rate 0.1 with same salt is a subset of rate 0.2
+    val s3 = PipelineOps.hashSample(df, "id", 0.1, "a")
+      .select("id").as[Long].collect().toSet
+    s3.subsetOf(s1) shouldBe true
+  }
+
+  test("kmvDistinct: exact below k, within error bounds above k") {
+    val small = spark.range(100).toDF("v")
+    val r1 = PipelineOps.kmvDistinct(small, "v", k = 256).head()
+    r1.getAs[Long]("k_seen") shouldBe 100L
+    r1.getAs[Double]("distinct_estimate") shouldBe 100.0 +- 1e-9
+    // 20k distinct values, k=256 -> se ~ 1/sqrt(254) ~ 6.3%; allow 5 se
+    val big = spark.range(20000).toDF("v")
+    val r2 = PipelineOps.kmvDistinct(big, "v", k = 256).head()
+    r2.getAs[Long]("k_seen") shouldBe 256L
+    val est = r2.getAs[Double]("distinct_estimate")
+    math.abs(est - 20000.0) / 20000.0 should be < 0.32
+    // duplicates don't change the estimate (it's a set function)
+    val dup = big.union(big).union(big)
+    PipelineOps.kmvDistinct(dup, "v", k = 256).head()
+      .getAs[Double]("distinct_estimate") shouldBe est +- 1e-9
+  }
+
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
+    // unique terms at tf=2 outrank "common" (smoothed idf = 1) at tf=1
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "cherry cherry common"),
+      (3L, "durian durian common")).toDF("doc_id", "text")
+    val out = PipelineOps.tfidfTopTerms(docs, "text", "doc_id", topN = 1)
+    // every doc's top term is its repeated unique word, never "common"
+    out.count() shouldBe 3
+    out.filter($"term" === "common").count() shouldBe 0
+    out.filter($"doc_id" === 1L).select("term").as[String]
+      .head() shouldBe "apple"
+    // df of the unique words is 1, of common is 3
+    out.filter($"doc_id" === 2L).head().getAs[Long]("df") shouldBe 1L
+  }
+
+  test("boilerplateFraction flags shared n-grams only") {
+    val boiler = "all rights reserved"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler"),
+      (2L, s"delta epsilon zeta $boiler"),
+      (3L, s"eta theta iota $boiler"),
+      (4L, "unique words only here"),
+      (5L, "ab")).toDF("doc_id", "text") // too short for 3-grams
+    val out = PipelineOps.boilerplateFraction(docs, "text", "doc_id",
+      n = 3, minDocs = 3L)
+    val byId = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    // docs 1-3 share exactly the one 3-gram "all rights reserved"
+    (1L to 3L).foreach { id =>
+      byId(id).getAs[Long]("n_boiler") shouldBe 1L
+      byId(id).getAs[Double]("boiler_frac") should be > 0.0
+    }
+    byId(4L).getAs[Long]("n_boiler") shouldBe 0L
+    byId(4L).getAs[Double]("boiler_frac") shouldBe 0.0
+    byId(5L).getAs[Long]("n_shingles") shouldBe 0L
+    byId(5L).getAs[Double]("boiler_frac") shouldBe 0.0
+  }
+
+  test("bloomPrefilterJoin equals the plain join") {
+    val fact = spark.range(5000)
+      .select(($"id" % 500).as("k"), $"id".as("v"))
+    val dim = spark.range(100).select(($"id" * 3).as("dk"))
+    val bloomed = PipelineOps.bloomPrefilterJoin(fact, dim, "k", "dk",
+        expectedItems = 1000L)
+      .select("k", "v", "dk")
+    val plain = fact.join(dim, $"k" === $"dk").select("k", "v", "dk")
+    bloomed.count() shouldBe plain.count()
+    bloomed.exceptAll(plain).count() shouldBe 0
+    plain.exceptAll(bloomed).count() shouldBe 0
+  }
+
+  test("redactPii replaces emails, IPs and phone numbers") {
+    val df = Seq(
+      "mail bob.smith+x@sub.example.org end",
+      "server at 192.168.0.1 port",
+      "call 555-123-4567 now",
+      "clean text stays").toDF("t")
+    val out = df.select(TextFunctions.redactPii($"t").as("r"))
+      .as[String].collect()
+    out(0) shouldBe "mail <EMAIL> end"
+    out(1) shouldBe "server at <IP> port"
+    out(2) shouldBe "call <PHONE> now"
+    out(3) shouldBe "clean text stays"
+  }
+}
