@@ -5,14 +5,28 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata structs. The Spark side — schema,
-  * partition sizing, batch shape, metadata propagation — is real and
-  * tested; the actual codec calls are STUBBED with deterministic
-  * fakes (this container has no image/audio libraries), clearly
-  * marked below. On a real cluster the stub body is replaced by the
-  * codec; nothing else changes.
+  * columns with typed metadata structs.
+  *
+  * The IMAGE and WAV paths are REAL codecs — the JDK ships them
+  * (javax.imageio: PNG/JPEG/BMP/GIF; javax.sound.sampled: WAV/PCM),
+  * so decode, resize and header inspection below run genuine byte
+  * parsing with zero external dependencies. VIDEO stays a
+  * deterministic stub (no container-format codec in the JDK) with
+  * the real plumbing contract — schema, null-safety, partitioning —
+  * so only the stub body changes on a cluster with ffmpeg.
+  *
+  * Scale shape: codecs run as per-row UDFs inside the scan stage —
+  * map-side only, no shuffle; pair with `partitionForPayload` so a
+  * partition of payloads fits executor memory.
   */
 object Multimodal {
+
+  /** Decoded image header: codec name + dimensions. */
+  case class ImageMeta(format: String, width: Int, height: Int)
+
+  /** Decoded WAV header: PCM parameters + duration. */
+  case class WavMeta(sample_rate: Int, channels: Int, bits: Int,
+      frames: Long, duration_s: Double)
 
   /** Canonical media schema: raw bytes + source metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -40,11 +54,132 @@ object Multimodal {
         concat(lit("synthetic://"), col(idCol)).as("source_url"))
         .as("meta"))
 
-  /** "Decode" image metadata. STUB: width/height/format are derived
-    * deterministically from the byte content instead of a real codec
-    * (e.g. javax.imageio / ffmpeg on a real cluster). The plumbing —
-    * null-safe binary input, struct output, codegen-able expression —
-    * is the real contract. */
+  /** REAL image header decode via javax.imageio: identifies the
+    * codec and reads dimensions from the header WITHOUT decoding
+    * pixels (ImageReader.getWidth/getHeight are metadata reads).
+    * Returns null for null/unparseable bytes. */
+  def decodeImage(bytes: Column): Column = {
+    val f = udf((b: Array[Byte]) => {
+      if (b == null) None
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some(ImageMeta(r.getFormatName.toLowerCase,
+                r.getWidth(0), r.getHeight(0)))
+            } finally r.dispose()
+          }
+        } catch { case _: Exception => None } finally iis.close()
+      }
+    })
+    f(bytes)
+  }
+
+  /** REAL image resize: decode, scale into a `maxSide` bounding box
+    * preserving aspect ratio (never upscale), re-encode as PNG.
+    * Null in / undecodable in → null out. Per-row map work — no
+    * shuffle; runs headless (BufferedImage needs no display). */
+  def resizeImage(bytes: Column, maxSide: Int): Column = {
+    val f = udf((b: Array[Byte]) => {
+      if (b == null) None
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val scale = math.min(maxSide.toDouble / math.max(w, h), 1.0)
+          val nw = math.max(1, math.round(w * scale).toInt)
+          val nh = math.max(1, math.round(h * scale).toInt)
+          val out = new java.awt.image.BufferedImage(nw, nh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          Some(baos.toByteArray)
+        }
+      } catch { case _: Exception => None }
+    })
+    f(bytes)
+  }
+
+  /** REAL WAV header decode via javax.sound.sampled: PCM format
+    * parameters and exact duration. Null/unparseable → null. */
+  def decodeWav(bytes: Column): Column = {
+    val f = udf((b: Array[Byte]) => {
+      if (b == null) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          Some(WavMeta(fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getSampleSizeInBits, frames,
+            frames.toDouble / fmt.getSampleRate))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    })
+    f(bytes)
+  }
+
+  /** Deterministic PNG payload generator (REAL encoder): a w×h RGB
+    * image whose pixels are a fixed function of position — used to
+    * materialize genuine media bytes from tabular test data. */
+  def encodePng(width: Column, height: Column): Column = {
+    val f = udf((w: Int, h: Int) => {
+      val img = new java.awt.image.BufferedImage(math.max(1, w),
+        math.max(1, h), java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          img.setRGB(x, y, ((x * 31 + y * 17) & 0xffffff))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    })
+    f(width, height)
+  }
+
+  /** Deterministic WAV payload generator (REAL encoder): mono 16-bit
+    * PCM of `frames` samples of a position-derived waveform. */
+  def encodeWav(sampleRate: Column, frames: Column): Column = {
+    val f = udf((rate: Int, n: Int) => {
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, false)
+      val pcm = new Array[Byte](math.max(0, n) * 2)
+      var i = 0
+      while (i < n) {
+        val v = ((i * 2731) % 65536 - 32768).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    })
+    f(sampleRate, frames)
+  }
+
+  /** Image metadata stub kept for the synthetic (non-decodable)
+    * payload path: width/height/format derived deterministically from
+    * the byte content. Use `decodeImage` for real image bytes. */
   def decodeImageStub(bytes: Column): Column = {
     val h = xxhash64(bytes)
     when(bytes.isNotNull, struct(

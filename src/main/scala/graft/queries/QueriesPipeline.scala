@@ -60,7 +60,41 @@ object QueriesPipeline {
     // boilerplate word-3-gram detection + per-doc fraction
     "q100_boilerplate" -> ((s, d) =>
       PipelineOps.boilerplateFraction(t(s, d, "documents"), "text",
-        "doc_id", n = 3, minDocs = 5L)))
+        "doc_id", n = 3, minDocs = 5L)),
+
+    // REAL media codec round-trip (JDK ImageIO + javax.sound): encode
+    // a PNG and a WAV per row from closed-form parameters, decode them
+    // back with the production decoders, emit the recovered headers —
+    // the oracle states the closed form, so a hash match proves the
+    // encode→decode path bit-exactly recovers every parameter
+    "q101_media_roundtrip" -> ((s, d) => {
+      val ps = t(s, d, "documents").select(col("doc_id"),
+        (lit(8) + pmod(col("doc_id"), lit(32))).cast("int").as("w"),
+        (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("h"),
+        (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000).cast("int")
+          .as("rate"),
+        (lit(1000) + pmod(col("doc_id"), lit(500))).cast("int")
+          .as("frames"))
+      ps.withColumn("png",
+          graft.llm.Multimodal.encodePng(col("w"), col("h")))
+        .withColumn("wav",
+          graft.llm.Multimodal.encodeWav(col("rate"), col("frames")))
+        .select(col("doc_id"),
+          graft.llm.Multimodal.decodeImage(col("png")).as("img"),
+          graft.llm.Multimodal.decodeWav(col("wav")).as("aud"))
+        .select(col("doc_id"),
+          col("img.format").as("img_format"),
+          col("img.width").cast("long").as("img_w"),
+          col("img.height").cast("long").as("img_h"),
+          col("aud.sample_rate").cast("long").as("wav_rate"),
+          col("aud.channels").cast("long").as("wav_channels"),
+          col("aud.frames").cast("long").as("wav_frames"),
+          // raw double: frames/rate often lands exactly on a .5
+          // round-6 boundary (e.g. 1005/16000), where Spark and
+          // DuckDB round opposite ways — both engines compute the
+          // identical division, so emit it unrounded
+          col("aud.duration_s").as("wav_duration"))
+    }))
 
   val oracle: Map[String, String] = Map(
 
@@ -153,5 +187,16 @@ object QueriesPipeline {
         |    ELSE CAST(p.n_boiler AS DOUBLE) / p.n_shingles END, 6)
         |    AS boiler_frac
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
-        .stripMargin)
+        .stripMargin,
+
+    "q101_media_roundtrip" ->
+      """SELECT doc_id, 'png' AS img_format,
+        |  CAST(8 + doc_id % 32 AS BIGINT) AS img_w,
+        |  CAST(8 + doc_id % 24 AS BIGINT) AS img_h,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS wav_rate,
+        |  CAST(1 AS BIGINT) AS wav_channels,
+        |  CAST(1000 + doc_id % 500 AS BIGINT) AS wav_frames,
+        |  CAST(1000 + doc_id % 500 AS DOUBLE) /
+        |    (8000 + (doc_id % 3) * 4000) AS wav_duration
+        |FROM documents""".stripMargin)
 }
