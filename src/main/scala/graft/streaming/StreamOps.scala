@@ -145,4 +145,46 @@ object StreamOps {
       keyCols: Seq[String], aggs: Seq[Column]): DataFrame =
     df.groupBy((window(col(tsCol), size) +: keyCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Stream-stream interval join: equi-key plus an event-time band
+    * `leftTs ≤ rightTs ≤ leftTs + within`. Both sides carry
+    * watermarks, so the state store evicts rows once they can no
+    * longer match — bounded state, the production shape for
+    * impression↔click style correlation. `joinType` may be "inner"
+    * or "leftOuter" (outer emits unmatched left rows only after the
+    * watermark proves no match can arrive). Column names must be
+    * disjoint across the two inputs. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      leftWatermark: String, rightWatermark: String, within: String,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      joinType)
+  }
+
+  /** Streaming exact deduplication on `keyCols`: state is kept
+    * forever for keys without the event-time column, so the variant
+    * including `tsCol` plus a watermark is the scale-safe default —
+    * a key's state is dropped once its event time passes the
+    * watermark (the LLM-ingest dedup shape: doc fingerprint + arrival
+    * time, bounded state). */
+  def dedupeStream(df: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Streaming dedup where duplicates may carry DIFFERENT event
+    * times: keeps the first row per key and suppresses any duplicate
+    * arriving within the watermark delay of it, with state evicted
+    * afterwards (Spark's dropDuplicatesWithinWatermark). The right
+    * tool when re-crawled documents get fresh timestamps. */
+  def dedupeStreamWithinWatermark(df: DataFrame, tsCol: String,
+      watermark: String, keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 }

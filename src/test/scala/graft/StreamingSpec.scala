@@ -147,4 +147,59 @@ class StreamingSpec extends SparkSpecBase {
         .select("sum").as[Double].collect() shouldBe Array(12.0)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches clicks within the band") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = StreamOps.intervalJoin(
+      imps.toDF().toDF("imp_ts", "imp_id"),
+      clicks.toDF().toDF("clk_ts", "clk_id"),
+      "imp_id", "clk_id", "imp_ts", "clk_ts",
+      "10 minutes", "10 minutes", within = "5 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((ts(1), 1L), (ts(2), 2L), (ts(3), 3L))
+      clicks.addData((ts(4), 1L), (ts(9), 2L), (ts(2), 3L))
+      q.processAllAvailable()
+      // id 1: click 3min after imp -> match; id 2: 7min -> out of band;
+      // id 3: click BEFORE imp -> out of band
+      val out = spark.table("ssj_t").select("imp_id").as[Long]
+        .collect().toSet
+      out shouldBe Set(1L)
+    } finally q.stop()
+  }
+
+  test("dedupeStream drops exact duplicates, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = StreamOps.dedupeStream(
+      input.toDF().toDF("ts", "fp"), "ts", "5 minutes", Seq("fp"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), "docA"), (ts(1), "docA"), (ts(2), "docB"))
+      q.processAllAvailable()
+      input.addData((ts(1), "docA")) // same (fp, ts) again
+      q.processAllAvailable()
+      spark.table("dedup_t").count() shouldBe 2
+    } finally q.stop()
+  }
+
+  test("dedupeStreamWithinWatermark collapses re-stamped duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = StreamOps.dedupeStreamWithinWatermark(
+      input.toDF().toDF("ts", "fp"), "ts", "10 minutes", Seq("fp"))
+    val q = deduped.writeStream.format("memory").queryName("dedupw_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same fingerprint, three DIFFERENT event times within the delay
+      input.addData((ts(1), "docA"), (ts(3), "docA"), (ts(5), "docA"),
+        (ts(2), "docB"))
+      q.processAllAvailable()
+      spark.table("dedupw_t").count() shouldBe 2
+    } finally q.stop()
+  }
 }
