@@ -123,6 +123,35 @@ object PipelineOps {
             col("n_shingles").cast("double")), 6).as("boiler_frac"))
   }
 
+  /** Exact heavy hitters: values with support > n/k (the classic
+    * frequent-items threshold). One partial-aggregated shuffle on the
+    * value column plus a broadcast of the single-row total — at
+    * 100 TB the map-side combine collapses each partition to its
+    * distinct values before the exchange, so the shuffle is bounded
+    * by cardinality, not row count. */
+  def heavyHitters(df: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "heavyHitters needs k >= 2")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n") / k)
+      .select(col(valueCol), col("cnt").cast("long").as("cnt"))
+  }
+
+  /** One-pass approximate frequent items (Spark's stat.freqItems,
+    * a Karp-Papadimitriou-Shenker sketch): returns a SUPERSET of the
+    * values with support > 1/k in a single scan with O(k) state per
+    * partition — the streaming/huge-cardinality fallback when the
+    * exact shuffle above is too wide. Verify candidates exactly with
+    * a second targeted count if needed. */
+  def frequentItemsSketch(df: DataFrame, valueCol: String,
+      support: Double): Seq[Any] =
+    df.stat.freqItems(Seq(valueCol), support)
+      .head().getSeq[Any](0)
+
   /** Bloom-prefiltered join for long keys: build a bloom filter over
     * the dimension side's join keys, broadcast it, and filter the
     * fact side BEFORE its shuffle. At 100 TB this is the standard

@@ -62,6 +62,10 @@ object QueriesPipeline {
       PipelineOps.boilerplateFraction(t(s, d, "documents"), "text",
         "doc_id", n = 3, minDocs = 5L)),
 
+    // exact heavy hitters: part keys with support > n/5000
+    "q102_heavy_hitters" -> ((s, d) =>
+      PipelineOps.heavyHitters(t(s, d, "lineitem"), "l_partkey", 5000)),
+
     // REAL media codec round-trip (JDK ImageIO + javax.sound): encode
     // a PNG and a WAV per row from closed-form parameters, decode them
     // back with the production decoders, emit the recovered headers —
@@ -187,6 +191,14 @@ object QueriesPipeline {
         |    ELSE CAST(p.n_boiler AS DOUBLE) / p.n_shingles END, 6)
         |    AS boiler_frac
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+        .stripMargin,
+
+    "q102_heavy_hitters" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem WHERE l_partkey IS NOT NULL
+        |GROUP BY 1
+        |HAVING count(*) > (SELECT CAST(count(*) AS DOUBLE) / 5000
+        |  FROM lineitem WHERE l_partkey IS NOT NULL)"""
         .stripMargin,
 
     "q101_media_roundtrip" ->

@@ -95,6 +95,20 @@ class PipelineOpsSpec extends SparkSpecBase {
     plain.exceptAll(bloomed).count() shouldBe 0
   }
 
+  test("heavyHitters is exact; freqItems sketch is a superset of it") {
+    // 1000 rows: value 0 appears 500x, 1 appears 300x, others 1x each
+    val vals = Seq.fill(500)(0L) ++ Seq.fill(300)(1L) ++
+      (2L until 202L)
+    val df = vals.toDF("v")
+    // support > 1000/5 = 200 -> exactly {0, 1}
+    val hh = PipelineOps.heavyHitters(df, "v", 5)
+      .select("v").as[Long].collect().toSet
+    hh shouldBe Set(0L, 1L)
+    val sketch = PipelineOps.frequentItemsSketch(df, "v", 0.2)
+      .map(_.asInstanceOf[Long]).toSet
+    hh.subsetOf(sketch) shouldBe true
+  }
+
   test("redactPii replaces emails, IPs and phone numbers") {
     val df = Seq(
       "mail bob.smith+x@sub.example.org end",
