@@ -109,6 +109,34 @@ class PipelineOpsSpec extends SparkSpecBase {
     hh.subsetOf(sketch) shouldBe true
   }
 
+  test("pipeline op plans: no shuffle in sampling, partial agg in heavy hitters, bloom filter below the join") {
+    val df = spark.range(10000).toDF("id")
+    // hashSample is a pure map-side filter: zero exchanges
+    val sampled = PipelineOps.hashSample(df, "id", 0.5)
+    (sampled.queryExecution.executedPlan.toString should not)
+      .include("Exchange")
+    // heavyHitters: partial + final HashAggregate around one exchange
+    val hh = PipelineOps.heavyHitters(
+      df.select(($"id" % 10).as("v")), "v", 5)
+    val hhPlan = hh.queryExecution.executedPlan.toString
+    hhPlan should include("partial_count")
+    // bloom prefilter: the mightContain filter sits on the fact side
+    // BELOW the join, so filtered rows never reach the join exchange
+    val fact = spark.range(5000).select(($"id" % 100).as("k"))
+    val dim = spark.range(50).select(($"id" * 2).as("dk"))
+    val joined = PipelineOps.bloomPrefilterJoin(fact, dim, "k", "dk",
+      expectedItems = 100L)
+    val opt = joined.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    // find the Filter with a ScalaUDF condition; it must be a
+    // descendant of the Join's left (fact) side, not above the join
+    val join = opt.collectFirst { case j: Join => j }.get
+    val udfFilterUnderFact = join.left.collect {
+      case f: Filter if f.condition.toString.contains("UDF") => f
+    }
+    udfFilterUnderFact should not be empty
+  }
+
   test("redactPii replaces emails, IPs and phone numbers") {
     val df = Seq(
       "mail bob.smith+x@sub.example.org end",
