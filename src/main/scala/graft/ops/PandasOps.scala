@@ -472,6 +472,29 @@ object PandasOps {
       df.columns.sameElements(other.columns) &&
         df.exceptAll(other).isEmpty && other.exceptAll(df).isEmpty
 
+    /** pipe (trait_def.rs:28): function chaining — in Scala this is
+      * plain application, provided for surface parity. */
+    def pipe(f: DataFrame => DataFrame): DataFrame = f(df)
+
+    /** memory_usage (trait_def.rs misc surface): estimated bytes per
+      * column = Catalyst default width × row count, plus the
+      * optimizer's total-size estimate. One count; no data movement.
+      * (An estimate by design — pandas' is too, for object dtypes.) */
+    def memoryUsage(): DataFrame = {
+      val n = df.count()
+      val spark = df.sparkSession
+      val rows = df.schema.fields.toSeq.map(f =>
+        org.apache.spark.sql.Row(f.name,
+          f.dataType.defaultSize.toLong * n))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("column",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("est_bytes",
+            org.apache.spark.sql.types.LongType))))
+    }
+
     /** compare (trait_def.rs compare): row-level diff keyed by
       * keyCols — returns rows whose non-key values differ, with both
       * sides suffixed. */

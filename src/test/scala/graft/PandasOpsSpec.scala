@@ -154,4 +154,13 @@ class PandasOpsSpec extends SparkSpecBase {
     df.nlargest(2, "v", "id").select("id").as[Int].collect() shouldBe
       Array(1, 2)
   }
+
+  test("pipe chains and memoryUsage estimates per column") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    df.pipe(_.filter($"id" > 1)).count() shouldBe 1
+    val mu = df.memoryUsage().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mu("id") shouldBe 16L // 8 bytes x 2 rows
+    mu("s") should be > 0L
+  }
 }
