@@ -103,6 +103,48 @@ object PropertiesSpec extends Properties("graft") {
       }
     }
 
+  property("connectedComponents equals a union-find on random graphs") =
+    forAll(Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))) { es =>
+      val edges = es.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v)).toMap
+        val got = graft.graphops.GraphOps
+          .connectedComponents(edges.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        // same partition AND the label is the component min (find
+        // roots are mins because union keeps the smaller id as root)
+        got == expected
+      }
+    }
+
+  property("redactPii is idempotent and leaves clean text unchanged") =
+    forAll(Gen.listOfN(10, Gen.oneOf(
+      "plain words only", "x@y.com mail", "ip 1.2.3.4 here",
+      "tel 555-123-4567", "mixed a@b.co 9.9.9.9 555-987-6543"))) {
+      texts =>
+        val df = texts.toDF("t")
+        val once = df.select(graft.functions.TextFunctions
+          .redactPii($"t").as("r"))
+        val twice = once.select(graft.functions.TextFunctions
+          .redactPii($"r").as("r"))
+        once.as[String].collect().toSeq ==
+          twice.as[String].collect().toSeq &&
+          once.filter($"r".contains("@") ||
+            $"r".rlike("\\d{3}-\\d{3}-\\d{4}")).count() == 0
+    }
+
   private implicit class Let[A](private val a: A) {
     def let[B](f: A => B): B = f(a)
   }
