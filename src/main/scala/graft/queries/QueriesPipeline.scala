@@ -66,6 +66,16 @@ object QueriesPipeline {
     "q102_heavy_hitters" -> ((s, d) =>
       PipelineOps.heavyHitters(t(s, d, "lineitem"), "l_partkey", 5000)),
 
+    // salted skew-safe join: salting is transparent to the result,
+    // so the oracle is the plain join + aggregate
+    "q103_salted_join" -> ((s, d) =>
+      graft.ops.SkewOps.saltedJoin(t(s, d, "lineitem"),
+          t(s, d, "supplier"), "l_suppkey", "s_suppkey",
+          saltFrom = "l_orderkey", salts = 4)
+        .groupBy(col("s_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"))),
+
     // REAL media codec round-trip (JDK ImageIO + javax.sound): encode
     // a PNG and a WAV per row from closed-form parameters, decode them
     // back with the production decoders, emit the recovered headers —
@@ -192,6 +202,14 @@ object QueriesPipeline {
         |    AS boiler_frac
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
         .stripMargin,
+
+    "q103_salted_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_price_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
 
     "q102_heavy_hitters" ->
       """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt

@@ -137,6 +137,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     udfFilterUnderFact should not be empty
   }
 
+  test("saltedJoin equals the plain join for inner and left joins") {
+    import graft.ops.SkewOps
+    // a pathologically hot key: 90% of fact rows share k=7
+    val fact = spark.range(2000).select(
+      when($"id" % 10 === 0, $"id" % 5).otherwise(7L).as("k"),
+      $"id".as("rid"))
+    val dim = spark.range(10).select($"id".as("dk"),
+      concat(lit("n"), $"id").as("name"))
+    val salted = SkewOps.saltedJoin(fact, dim, "k", "dk", "rid", 8)
+      .select("rid", "dk", "name")
+    val plain = fact.join(dim, $"k" === $"dk").select("rid", "dk", "name")
+    salted.exceptAll(plain).count() shouldBe 0
+    plain.exceptAll(salted).count() shouldBe 0
+    // left join keeps unmatched fact rows exactly once
+    val factMiss = fact.withColumn("k",
+      when($"rid" === 0, 99L).otherwise($"k"))
+    val saltedL = SkewOps.saltedJoin(factMiss, dim, "k", "dk", "rid", 8,
+      "left").select("rid", "dk")
+    val plainL = factMiss.join(dim, $"k" === $"dk", "left")
+      .select("rid", "dk")
+    saltedL.exceptAll(plainL).count() shouldBe 0
+    plainL.exceptAll(saltedL).count() shouldBe 0
+  }
+
   test("redactPii replaces emails, IPs and phone numbers") {
     val df = Seq(
       "mail bob.smith+x@sub.example.org end",
