@@ -76,6 +76,16 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n_items"),
           sum(cents(col("l_extendedprice"))).as("sum_price_cents"))),
 
+    // correlation matrix over cents-scaled lineitem measures: one
+    // aggregate pass, exact integer sums, portable double formula
+    "q104_corr_matrix" -> ((s, d) =>
+      graft.stats.StatsOps.corrMatrix(
+        t(s, d, "lineitem").select(
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"),
+          cents(col("l_discount")).as("disc_c")),
+        Seq("qty_c", "price_c", "disc_c"))),
+
     // REAL media codec round-trip (JDK ImageIO + javax.sound): encode
     // a PNG and a WAV per row from closed-form parameters, decode them
     // back with the production decoders, emit the recovered headers —
@@ -202,6 +212,38 @@ object QueriesPipeline {
         |    AS boiler_frac
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
         .stripMargin,
+
+    "q104_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dd
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+        |    CAST(sum(dd) AS DOUBLE) AS sd,
+        |    CAST(sum(q * q) AS DOUBLE) AS sqq,
+        |    CAST(sum(p * p) AS DOUBLE) AS spp,
+        |    CAST(sum(dd * dd) AS DOUBLE) AS sdd,
+        |    CAST(sum(q * p) AS DOUBLE) AS sqp,
+        |    CAST(sum(q * dd) AS DOUBLE) AS sqd,
+        |    CAST(sum(p * dd) AS DOUBLE) AS spd
+        |  FROM c)
+        |SELECT 'qty_c' AS col_a, 'price_c' AS col_b,
+        |  round((n * sqp - sq * sp) /
+        |    (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+        |    AS corr FROM s
+        |UNION ALL
+        |SELECT 'qty_c', 'disc_c',
+        |  round((n * sqd - sq * sd) /
+        |    (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+        |  FROM s
+        |UNION ALL
+        |SELECT 'price_c', 'disc_c',
+        |  round((n * spd - sp * sd) /
+        |    (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
+        |  FROM s""".stripMargin,
 
     "q103_salted_join" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nation,

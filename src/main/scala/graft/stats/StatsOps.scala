@@ -45,6 +45,57 @@ object StatsOps {
     df.agg(corr(col(a), col(b)).as("corr"),
       covar_samp(col(a), col(b)).as("cov"))
 
+  /** Pairwise Pearson correlation matrix in long form (stats/mod.rs
+    * correlation_matrix): ONE aggregate pass collects n, Σx, Σx² and
+    * every Σxy into a single row, then an explode reshapes to
+    * (col_a, col_b, corr) — no per-pair jobs, no driver state. Sums
+    * accumulate in DECIMAL(38,0) so integer-valued inputs (e.g.
+    * cents-scaled money) stay exact and the result is reproducible
+    * across engines; the final formula runs in double on the
+    * double-cast sums. Columns must be integer-typed — scale
+    * fractional data first (cents pattern); for raw doubles use the
+    * per-pair `corrCov` built-in instead. Rows with a null in ANY
+    * column are excluded (listwise deletion, matching the
+    * reference's matrix semantics). */
+  def corrMatrix(df0: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df0.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0
+        case _ => false
+      }
+      require(ok, s"corrMatrix needs integer-typed columns; '$c' is " +
+        s"${df0.schema(c).dataType.simpleString} — scale it to an " +
+        "integer representation (e.g. cents) first")
+    }
+    val df = df0.na.drop(cols)
+    val dec = (c: String) => col(c).cast("decimal(38,0)")
+    val sumExprs =
+      Seq(count(lit(1)).as("__n__")) ++
+        cols.map(c => sum(dec(c)).as(s"__s_$c")) ++
+        cols.map(c => sum(dec(c) * dec(c)).as(s"__ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum(dec(a) * dec(b)).as(s"__sp_${a}_$b") }.toSeq
+    val one = df.agg(sumExprs.head, sumExprs.tail: _*)
+    val nD = col("__n__").cast("double")
+    def corrExpr(a: String, b: String) = {
+      val sx = col(s"__s_$a").cast("double")
+      val sy = col(s"__s_$b").cast("double")
+      val sxx = col(s"__ss_$a").cast("double")
+      val syy = col(s"__ss_$b").cast("double")
+      val sxy = col(s"__sp_${a}_$b").cast("double")
+      round((nD * sxy - sx * sy) /
+        (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 6)
+    }
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        corrExpr(a, b).as("corr"))
+    }
+    one.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Welch two-sample t-test (stats/mod.rs ttest): group stats in one
     * aggregate, t statistic + Welch df by closed form. */
   def ttestWelch(df: DataFrame, valueCol: String, groupCol: String,

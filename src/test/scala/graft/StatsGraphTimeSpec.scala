@@ -47,6 +47,30 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(r.getAs[Double]("q1"), 25.75)
   }
 
+  test("corrMatrix matches built-in corr per pair and guards types") {
+    val df = (0 until 200).map { i =>
+      (i.toLong, (3 * i + (i % 7)).toLong, (200 - i).toLong)
+    }.toDF("a", "b", "c")
+    val m = StatsOps.corrMatrix(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    m.size shouldBe 3
+    def builtin(x: String, y: String) = df
+      .agg(org.apache.spark.sql.functions.corr(
+        org.apache.spark.sql.functions.col(x),
+        org.apache.spark.sql.functions.col(y))).head().getDouble(0)
+    approx(m(("a", "b")), builtin("a", "b"), 1e-6)
+    approx(m(("a", "c")), builtin("a", "c"), 1e-6)
+    approx(m(("b", "c")), builtin("b", "c"), 1e-6)
+    m(("a", "c")) shouldBe -1.0 +- 1e-9 // perfectly anti-correlated
+    val bad = (0 until 10).map(i => (i.toDouble, i.toDouble))
+      .toDF("x", "y")
+    val ex = intercept[IllegalArgumentException] {
+      StatsOps.corrMatrix(bad, Seq("x", "y"))
+    }
+    ex.getMessage should include("integer-typed")
+  }
+
   test("mannWhitneyU rank sums are consistent") {
     val df = (Seq.fill(3)("a") zip Seq(1.0, 2.0, 3.0)) ++
       (Seq.fill(3)("b") zip Seq(4.0, 5.0, 6.0)) match {
