@@ -86,6 +86,23 @@ object QueriesPipeline {
           cents(col("l_discount")).as("disc_c")),
         Seq("qty_c", "price_c", "disc_c"))),
 
+    // regression metrics vs a naive flat-price predictor, from exact
+    // cents sums
+    "q105_regression_metrics" -> ((s, d) =>
+      graft.ml.MlMetrics.regressionMetrics(
+        t(s, d, "lineitem").select(
+          cents(col("l_extendedprice")).as("y"),
+          (cents(col("l_quantity")) * 1000).as("yhat")),
+        "y", "yhat")),
+
+    // classification metrics for a deterministic predicate predictor
+    "q106_classification_metrics" -> ((s, d) =>
+      graft.ml.MlMetrics.classificationMetrics(
+        t(s, d, "lineitem").select(
+          (col("l_returnflag") === "R").as("label"),
+          (col("l_discount") >= 0.05).as("pred")),
+        "label", "pred")),
+
     // REAL media codec round-trip (JDK ImageIO + javax.sound): encode
     // a PNG and a WAV per row from closed-form parameters, decode them
     // back with the production decoders, emit the recovered headers —
@@ -212,6 +229,49 @@ object QueriesPipeline {
         |    AS boiler_frac
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
         .stripMargin,
+
+    "q105_regression_metrics" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(round(l_quantity * 100) AS BIGINT) * 1000 AS yhat
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(y - yhat) AS DOUBLE) AS sd,
+        |    CAST(sum((y - yhat) * (y - yhat)) AS DOUBLE) AS sdd,
+        |    CAST(sum(abs(y - yhat)) AS DOUBLE) AS sad,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM c)
+        |SELECT n,
+        |  round(sdd / nd, 6) AS mse,
+        |  round(sad / nd, 6) AS mae,
+        |  round(sqrt(sdd / nd), 6) AS rmse,
+        |  round(1.0 - sdd / (syy - sy * sy / nd), 6) AS r2,
+        |  round(1.0 - (sdd - sd * sd / nd) / (syy - sy * sy / nd), 6)
+        |    AS explained_variance
+        |FROM a""".stripMargin,
+
+    "q106_classification_metrics" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN l_returnflag <> 'R'
+        |      AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN l_returnflag <> 'R'
+        |      AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM lineitem)
+        |SELECT tp, fp, fn, tn,
+        |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+        |    AS accuracy,
+        |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+        |  round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+        |FROM a""".stripMargin,
 
     "q104_corr_matrix" ->
       """WITH c AS (

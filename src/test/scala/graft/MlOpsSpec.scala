@@ -163,6 +163,33 @@ class MlOpsSpec extends SparkSpecBase {
     inliers.map(t => scored(t._1)).sum / 200 should be < 0.55
   }
 
+  test("classification and regression metrics match hand computation") {
+    import graft.ml.MlMetrics
+    // truth:  T T T F F ; pred: T F T T F  -> tp=2 fp=1 fn=1 tn=1
+    val cls = Seq((true, true), (true, false), (true, true),
+      (false, true), (false, false)).toDF("label", "pred")
+    val c = MlMetrics.classificationMetrics(cls, "label", "pred").head()
+    c.getAs[Long]("tp") shouldBe 2L
+    c.getAs[Long]("fp") shouldBe 1L
+    c.getAs[Long]("fn") shouldBe 1L
+    c.getAs[Long]("tn") shouldBe 1L
+    c.getAs[Double]("accuracy") shouldBe 0.6 +- 1e-9
+    c.getAs[Double]("precision") shouldBe 2.0 / 3 +- 1e-6
+    c.getAs[Double]("recall") shouldBe 2.0 / 3 +- 1e-6
+    c.getAs[Double]("f1") shouldBe 2.0 / 3 +- 1e-6
+    // y = 1..4, yhat = y+1 -> mse=1, mae=1, rmse=1; ss_tot=5, r2=1-4/5
+    val reg = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("y", "yhat")
+    val r = MlMetrics.regressionMetrics(reg, "y", "yhat").head()
+    r.getAs[Long]("n") shouldBe 4L
+    r.getAs[Double]("mse") shouldBe 1.0 +- 1e-9
+    r.getAs[Double]("mae") shouldBe 1.0 +- 1e-9
+    r.getAs[Double]("rmse") shouldBe 1.0 +- 1e-9
+    r.getAs[Double]("r2") shouldBe 0.2 +- 1e-9
+    // constant offset is fully "explained" by variance matching
+    r.getAs[Double]("explained_variance") shouldBe 1.0 +- 1e-9
+  }
+
   test("dbscan with separated singletons yields all noise") {
     val df = Seq((1L, 0.0), (2L, 100.0), (3L, 200.0)).toDF("id", "x")
     val out = Clustering.dbscan(df, Seq("x"), "id", eps = 1.0,
