@@ -111,4 +111,49 @@ object MlOps {
     m.transform(assembled).select(df.columns.map(col) :+
       col("prediction"): _*)
   }
+
+  /** PolynomialFeatures (preprocessing/mod.rs:348): every monomial of
+    * the given columns up to `degree` as new columns (x1, x2, x1^2,
+    * x1*x2, …), or only cross-terms with `interactionOnly`. Pure
+    * map-side codegen'd expressions — no fitting, no shuffle. Column
+    * naming: factors joined by '*', powers flattened (x1*x1). */
+  def polynomialFeatures(df: DataFrame, cols: Seq[String],
+      degree: Int, interactionOnly: Boolean = false): DataFrame = {
+    require(degree >= 2 && degree <= 4,
+      "polynomialFeatures supports degree 2-4")
+    def combos(d: Int): Seq[Seq[String]] =
+      if (d == 1) cols.map(Seq(_))
+      else combos(d - 1).flatMap(c =>
+        cols.filter(_ >= c.last).map(c :+ _))
+    val terms = (2 to degree).flatMap(combos)
+      .filter(t => !interactionOnly || t.distinct.size == t.size)
+    terms.foldLeft(df)((d, t) =>
+      d.withColumn(t.mkString("*"),
+        t.map(c => col(c).cast("double")).reduce(_ * _)))
+  }
+
+  /** Deterministic train/test split (model_selection.rs train_test_
+    * split): membership is a pure function of the id — reproducible
+    * across runs, partitionings and cluster sizes, unlike
+    * `randomSplit` (which is partition-order sensitive). Returns
+    * (train, test). */
+  def trainTestSplit(df: DataFrame, idCol: String, testFrac: Double,
+      salt: String = ""): (DataFrame, DataFrame) = {
+    require(testFrac > 0 && testFrac < 1, "testFrac in (0,1)")
+    val h = graft.llm.PipelineOps.hash48Unit(
+      concat(col(idCol).cast("string"), lit(salt)))
+    (df.filter(h >= testFrac), df.filter(h < testFrac))
+  }
+
+  /** Deterministic k-fold assignment (model_selection.rs
+    * CrossValidationStrategy::KFold): adds a `fold` column in [0, k)
+    * as a pure hash of the id — every engine and run derives the same
+    * folds, and fold i's train set is `fold =!= i`. */
+  def kFoldAssign(df: DataFrame, idCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 2, "kFoldAssign needs k >= 2")
+    val h = graft.llm.PipelineOps.hash48Unit(
+      concat(col(idCol).cast("string"), lit(salt)))
+    df.withColumn("fold", floor(h * k).cast("int"))
+  }
 }

@@ -190,6 +190,34 @@ class MlOpsSpec extends SparkSpecBase {
     r.getAs[Double]("explained_variance") shouldBe 1.0 +- 1e-9
   }
 
+  test("polynomialFeatures emits monomials; splits are deterministic partitions") {
+    import graft.ml.MlOps
+    val df = Seq((1L, 2.0, 3.0), (2L, 4.0, 5.0)).toDF("id", "x", "y")
+    val poly = MlOps.polynomialFeatures(df, Seq("x", "y"), 2)
+    poly.columns.toSet shouldBe Set("id", "x", "y", "x*x", "x*y", "y*y")
+    val r = poly.filter($"id" === 1L).head()
+    r.getAs[Double]("x*x") shouldBe 4.0
+    r.getAs[Double]("x*y") shouldBe 6.0
+    r.getAs[Double]("y*y") shouldBe 9.0
+    val inter = MlOps.polynomialFeatures(df, Seq("x", "y"), 2,
+      interactionOnly = true)
+    inter.columns.toSet shouldBe Set("id", "x", "y", "x*y")
+
+    val big = spark.range(2000).toDF("id")
+    val (train, test) = MlOps.trainTestSplit(big, "id", 0.25)
+    // exact partition: disjoint, exhaustive, reproducible
+    (train.count() + test.count()) shouldBe 2000
+    train.intersect(test).count() shouldBe 0
+    val (_, test2) = MlOps.trainTestSplit(big, "id", 0.25)
+    test2.exceptAll(test).count() shouldBe 0
+    test.count().toDouble shouldBe 500.0 +- 3 * math.sqrt(2000 * .25 * .75)
+
+    val folds = MlOps.kFoldAssign(big, "id", 4)
+    folds.select("fold").distinct().count() shouldBe 4
+    folds.groupBy("fold").count().select("count").as[Long].collect()
+      .foreach(c => c.toDouble shouldBe 500.0 +- 3 * math.sqrt(2000 * .25 * .75))
+  }
+
   test("dbscan with separated singletons yields all noise") {
     val df = Seq((1L, 0.0), (2L, 100.0), (3L, 200.0)).toDF("id", "x")
     val out = Clustering.dbscan(df, Seq("x"), "id", eps = 1.0,
