@@ -145,6 +145,21 @@ object PropertiesSpec extends Properties("graft") {
             $"r".rlike("\\d{3}-\\d{3}-\\d{4}")).count() == 0
     }
 
+  property("saltedJoin equals the plain join for any data and salt count") =
+    forAll(Gen.listOfN(50, Gen.zip(Gen.chooseNum(0L, 8L),
+        Gen.chooseNum(0L, 999L))),
+      Gen.listOfN(8, Gen.chooseNum(0L, 12L)),
+      Gen.chooseNum(1, 6)) { (factRows, dimKeys, salts) =>
+      val fact = factRows.toDF("k", "rid")
+      val dim = dimKeys.distinct.toDF("dk")
+      val salted = graft.ops.SkewOps
+        .saltedJoin(fact, dim, "k", "dk", "rid", salts)
+        .select("k", "rid", "dk")
+      val plain = fact.join(dim, fact("k") === dim("dk"))
+        .select("k", "rid", "dk")
+      salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty
+    }
+
   private implicit class Let[A](private val a: A) {
     def let[B](f: A => B): B = f(a)
   }
