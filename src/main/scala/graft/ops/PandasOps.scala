@@ -509,11 +509,19 @@ object PandasOps {
     }
 
     /** as-of join helper (exceeds reference; SURVEY §7.3): for each
-      * left row, the most recent right row with rightTime <= leftTime
-      * per key. Union + last(ignoreNulls) window — a single shuffle on
-      * (key), no O(n²) join. */
+      * left row, the matching right row per key in the requested
+      * `direction` — "backward" (most recent rightTime ≤ leftTime,
+      * pandas default), "forward" (earliest rightTime ≥ leftTime) or
+      * "nearest" (closer of the two; backward wins ties). Union +
+      * ordered window — a single shuffle on (key), no O(n²) join.
+      * Exactly-equal timestamps match in every direction
+      * (allow_exact_matches=true semantics). */
     def asofJoin(right: DataFrame, key: String, leftTime: String,
-        rightTime: String, rightVal: String): DataFrame = {
+        rightTime: String, rightVal: String,
+        direction: String = "backward"): DataFrame = {
+      require(Seq("backward", "forward", "nearest").contains(direction),
+        s"asofJoin direction must be backward/forward/nearest, got " +
+          direction)
       val lcols = df.columns.toSeq
       val l = df.withColumn("__t__", col(leftTime))
         .withColumn("__side__", lit(1))
@@ -521,16 +529,39 @@ object PandasOps {
           lit(null).cast(right.schema(rightVal).dataType))
       val r = right.select(col(key), col(rightTime).as("__t__"),
         lit(0).as("__side__"), col(rightVal).as("__rv__"))
-      // right rows sort before coincident left rows (__side__ 0 < 1),
-      // so an exactly-equal timestamp matches — pandas merge_asof
-      // allow_exact_matches=true semantics.
-      val w = Window.partitionBy(col(key))
+      val u = l.unionByName(r, allowMissingColumns = true)
+      // backward scan: right rows sort BEFORE coincident left rows
+      // (__side__ 0 < 1), so an equal timestamp is visible to
+      // last(...) over [unboundedPreceding, currentRow].
+      val wb = Window.partitionBy(col(key))
         .orderBy(col("__t__"), col("__side__"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      l.unionByName(r, allowMissingColumns = true)
-        .withColumn(s"${rightVal}_asof",
-          last(col("__rv__"), ignoreNulls = true).over(w))
-        .filter(col("__side__") === 1)
+      // forward scan: flip the tiebreak so coincident right rows sort
+      // AFTER the left row and are visible to first(...) over
+      // [currentRow, unboundedFollowing].
+      val wf = Window.partitionBy(col(key))
+        .orderBy(col("__t__"), -col("__side__"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val out = direction match {
+        case "backward" =>
+          u.withColumn(s"${rightVal}_asof",
+            last(col("__rv__"), ignoreNulls = true).over(wb))
+        case "forward" =>
+          u.withColumn(s"${rightVal}_asof",
+            first(col("__rv__"), ignoreNulls = true).over(wf))
+        case "nearest" =>
+          val rt = when(col("__side__") === 0, col("__t__"))
+          val bv = last(col("__rv__"), ignoreNulls = true).over(wb)
+          val bt = last(rt, ignoreNulls = true).over(wb)
+          val fv = first(col("__rv__"), ignoreNulls = true).over(wf)
+          val ft = first(rt, ignoreNulls = true).over(wf)
+          val db = abs(col("__t__").cast("double") - bt.cast("double"))
+          val dfw = abs(ft.cast("double") - col("__t__").cast("double"))
+          u.withColumn(s"${rightVal}_asof",
+            when(bt.isNull, fv).when(ft.isNull, bv)
+              .when(dfw < db, fv).otherwise(bv)) // ties -> backward
+      }
+      out.filter(col("__side__") === 1)
         .select((lcols.map(col) :+ col(s"${rightVal}_asof")): _*)
     }
   }

@@ -86,6 +86,21 @@ object QueriesPipeline {
           cents(col("l_discount")).as("disc_c")),
         Seq("qty_c", "price_c", "disc_c"))),
 
+    // forward as-of semantics: next signup value at-or-after each
+    // event (the forward twin of q41's backward as-of)
+    "q107_asof_forward" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, d, "events")
+        .withColumn("next_signup_c",
+          first(when(col("event_type") === "signup",
+            cents(col("value"))), ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "next_signup_c")
+    }),
+
     // regression metrics vs a naive flat-price predictor, from exact
     // cents sums
     "q105_regression_metrics" -> ((s, d) =>
@@ -229,6 +244,15 @@ object QueriesPipeline {
         |    AS boiler_frac
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
         .stripMargin,
+
+    "q107_asof_forward" ->
+      """SELECT event_id, user_id,
+        |  first_value(CASE WHEN event_type = 'signup'
+        |      THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS next_signup_c
+        |FROM events""".stripMargin,
 
     "q105_regression_metrics" ->
       """WITH c AS (

@@ -140,6 +140,27 @@ class PandasOpsSpec extends SparkSpecBase {
     out shouldBe Array(Some(100.0), Some(107.0), None)
   }
 
+  test("asofJoin forward and nearest directions") {
+    val trades = Seq(("A", 3L), ("A", 7L), ("A", 20L), ("B", 2L))
+      .toDF("sym", "t")
+    val quotes = Seq(("A", 1L, 100.0), ("A", 5L, 105.0),
+      ("A", 7L, 107.0), ("B", 4L, 50.0)).toDF("sym", "qt", "px")
+    // forward: earliest quote at-or-after the trade
+    val fwd = trades.asofJoin(quotes, "sym", "t", "qt", "px", "forward")
+      .orderBy("sym", "t").select("px_asof")
+      .as[Option[Double]].collect()
+    // A@3 -> 5 (105); A@7 -> exact 7 (107); A@20 -> none; B@2 -> 4 (50)
+    fwd shouldBe Array(Some(105.0), Some(107.0), None, Some(50.0))
+    // nearest: closer of backward/forward, ties -> backward
+    val near = trades.asofJoin(quotes, "sym", "t", "qt", "px", "nearest")
+      .orderBy("sym", "t").select("px_asof")
+      .as[Option[Double]].collect()
+    // A@3: back=1 (d2) vs fwd=5 (d2) tie -> backward 100;
+    // A@7 exact 107; A@20 back 107; B@2 only fwd 50
+    near shouldBe Array(Some(100.0), Some(107.0), Some(107.0),
+      Some(50.0))
+  }
+
   test("qcutApprox buckets into near-equal populations without a global window") {
     val df = (1 to 1000).map(_.toDouble).toDF("v")
     val counts = df.qcutApprox("v", 4, relErr = 0.0001)
