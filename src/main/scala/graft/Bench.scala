@@ -106,9 +106,12 @@ object Bench {
         liC.select(avg("l_quantity").over(w).as("m")).count()
       }))
     // ---- flagship engine queries over the driver contract
+    // (round-3 adds the pipeline headliners: bloom-prefiltered join,
+    // one-pass correlation matrix, TF-IDF)
     val headline = Seq("q01_groupby_agg", "q03_join_revenue_by_nation",
       "q08_topk", "q20_median", "q25_window_rank", "q39_resample",
-      "q43_fingerprint", "q47_embed_topk")
+      "q43_fingerprint", "q47_embed_topk", "q99_bloom_join",
+      "q104_corr_matrix", "q98_tfidf")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))
