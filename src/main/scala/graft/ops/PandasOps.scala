@@ -515,7 +515,10 @@ object PandasOps {
       * "nearest" (closer of the two; backward wins ties). Union +
       * ordered window — a single shuffle on (key), no O(n²) join.
       * Exactly-equal timestamps match in every direction
-      * (allow_exact_matches=true semantics). */
+      * (allow_exact_matches=true semantics). If SEVERAL right rows
+      * share one timestamp for a key, which is picked is unspecified
+      * — disambiguate rightTime (add a sequence number) when that
+      * matters. */
     def asofJoin(right: DataFrame, key: String, leftTime: String,
         rightTime: String, rightVal: String,
         direction: String = "backward"): DataFrame = {

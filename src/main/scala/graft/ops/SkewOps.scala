@@ -27,6 +27,13 @@ object SkewOps {
       dimKey: String, saltFrom: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    // only fact-preserving types: a right/full join would emit each
+    // unmatched dim row `salts` times (one per replica)
+    require(Seq("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti")
+        .contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports fact-preserving join types only, got " +
+        joinType)
     val sf = fact.withColumn("__salt__",
       pmod(xxhash64(col(saltFrom)), lit(salts.toLong)).cast("int"))
     val sd = dim.withColumn("__salt__",
