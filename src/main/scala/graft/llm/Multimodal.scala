@@ -156,10 +156,11 @@ object Multimodal {
   /** Deterministic WAV payload generator (REAL encoder): mono 16-bit
     * PCM of `frames` samples of a position-derived waveform. */
   def encodeWav(sampleRate: Column, frames: Column): Column = {
-    val f = udf((rate: Int, n: Int) => {
+    val f = udf((rate: Int, n0: Int) => {
+      val n = math.max(0, n0)
       val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
         true, false)
-      val pcm = new Array[Byte](math.max(0, n) * 2)
+      val pcm = new Array[Byte](n * 2)
       var i = 0
       while (i < n) {
         val v = ((i * 2731) % 65536 - 32768).toShort
@@ -168,7 +169,7 @@ object Multimodal {
         i += 1
       }
       val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, n)
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
       val baos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)

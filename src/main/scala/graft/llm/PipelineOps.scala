@@ -134,8 +134,8 @@ object PipelineOps {
     require(k >= 2, "heavyHitters needs k >= 2")
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
-    val total = df.filter(col(valueCol).isNotNull)
-      .agg(count(lit(1)).cast("double").as("n"))
+      .cache() // one input scan: the total re-aggregates the counts
+    val total = counts.agg(sum(col("cnt")).cast("double").as("n"))
     counts.crossJoin(broadcast(total))
       .filter(col("cnt") > col("n") / k)
       .select(col(valueCol), col("cnt").cast("long").as("cnt"))
