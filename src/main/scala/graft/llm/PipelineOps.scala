@@ -34,7 +34,8 @@ object PipelineOps {
     * (no shuffle, no RNG state), stable across runs/cluster sizes,
     * and re-derivable by any engine — the correct way to sample a
     * 100 TB corpus reproducibly. Vary `salt` to draw independent
-    * samples. */
+    * samples. Rows whose key is null are excluded (their hash is
+    * undefined) — filter or coalesce the key first to keep them. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double,
       salt: String = ""): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, "rate must be in [0,1]")

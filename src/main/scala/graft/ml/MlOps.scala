@@ -140,8 +140,10 @@ object MlOps {
   def trainTestSplit(df: DataFrame, idCol: String, testFrac: Double,
       salt: String = ""): (DataFrame, DataFrame) = {
     require(testFrac > 0 && testFrac < 1, "testFrac in (0,1)")
-    val h = graft.llm.PipelineOps.hash48Unit(
-      concat(col(idCol).cast("string"), lit(salt)))
+    // null ids hash to null; coalesce to 1.0 so they land in TRAIN
+    // rather than silently vanishing from both sides
+    val h = coalesce(graft.llm.PipelineOps.hash48Unit(
+      concat(col(idCol).cast("string"), lit(salt))), lit(1.0))
     (df.filter(h >= testFrac), df.filter(h < testFrac))
   }
 
@@ -152,8 +154,9 @@ object MlOps {
   def kFoldAssign(df: DataFrame, idCol: String, k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 2, "kFoldAssign needs k >= 2")
-    val h = graft.llm.PipelineOps.hash48Unit(
-      concat(col(idCol).cast("string"), lit(salt)))
+    // null ids get fold 0 instead of a null fold
+    val h = coalesce(graft.llm.PipelineOps.hash48Unit(
+      concat(col(idCol).cast("string"), lit(salt))), lit(0.0))
     df.withColumn("fold", floor(h * k).cast("int"))
   }
 }
