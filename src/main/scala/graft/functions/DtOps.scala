@@ -65,10 +65,19 @@ object DtOps {
     (y % 4 === 0 && y % 100 =!= 0) || (y % 400 === 0)
   }
 
-  /** is_business_day: Mon-Fri (holiday calendars join a holiday
-    * table — datetime_accessor.rs is_business_day has no calendar
-    * either). */
+  /** is_business_day: Mon-Fri (datetime_accessor.rs is_business_day
+    * has no calendar either). */
   def isBusinessDay(c: Column): Column = !isWeekend(c)
+
+  /** is_business_day with an explicit holiday calendar: Mon-Fri and
+    * not one of `holidays` ("yyyy-MM-dd"). Calendars are small by
+    * nature, so the list compiles into a literal array predicate —
+    * map-side, no join. For multi-thousand-entry calendars prefer a
+    * broadcast join against a holiday table. */
+  def isBusinessDay(c: Column, holidays: Seq[String]): Column =
+    !isWeekend(c) && (if (holidays.isEmpty) lit(true)
+      else !c.cast("date").isin(holidays.map(h =>
+        java.sql.Date.valueOf(h)): _*))
 
   /** business_day_count between two dates (inclusive-exclusive),
     * closed form — no row explosion. */

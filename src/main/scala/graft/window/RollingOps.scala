@@ -54,15 +54,41 @@ object RollingOps {
   }
 
   /** time-based rolling (src/dataframe/groupby_window.rs:100-164):
-    * a range frame of `seconds` over the event-time ordering. */
+    * a range frame of `seconds` over the event-time ordering.
+    * `closed` picks the window-edge semantics on the second-granular
+    * range (reference WindowClosed, src/series/window.rs:140):
+    * "both" = [t−w, t] (default), "right" = (t−w, t],
+    * "left" = [t−w, t), "neither" = (t−w, t). */
   def rollingTime(df: DataFrame, valueCol: String, tsCol: String,
       seconds: Long, agg: Column => Column,
       partitionCols: Seq[String] = Nil,
-      outName: String = "rolling"): DataFrame = {
+      outName: String = "rolling", closed: String = "both"): DataFrame = {
+    val (lo, hi) = closed match {
+      case "both" => (-seconds, 0L)
+      case "right" => (-seconds + 1, 0L)
+      case "left" => (-seconds, -1L)
+      case "neither" => (-seconds + 1, -1L)
+      case other => throw new IllegalArgumentException(
+        s"closed must be both/right/left/neither, got $other")
+    }
     val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(col(tsCol).cast("long"))
-      .rangeBetween(-seconds, 0)
+      .rangeBetween(lo, hi)
     df.withColumn(outName, agg(col(valueCol)).over(w))
+  }
+
+  /** pandas/reference EWM decay parameterizations → alpha
+    * (src/series/window.rs:567-596): span s → 2/(s+1), center of
+    * mass c → 1/(1+c), half-life h → 1 − exp(ln(1/2)/h). */
+  def alphaFromSpan(span: Double): Double = {
+    require(span >= 1, "span >= 1"); 2.0 / (span + 1.0)
+  }
+  def alphaFromCom(com: Double): Double = {
+    require(com >= 0, "com >= 0"); 1.0 / (1.0 + com)
+  }
+  def alphaFromHalflife(halflife: Double): Double = {
+    require(halflife > 0, "halflife > 0")
+    1.0 - math.exp(math.log(0.5) / halflife)
   }
 
   /** Scale-path EWM (adjust=true): weights below `tol` are truncated,

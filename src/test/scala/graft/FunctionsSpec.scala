@@ -60,6 +60,19 @@ class FunctionsSpec extends SparkSpecBase {
       .head() shouldBe 10L
   }
 
+  test("isBusinessDay honors an explicit holiday calendar") {
+    // 2024-01-01 is a Monday; 2024-01-06 a Saturday
+    val df = Seq("2024-01-01", "2024-01-02", "2024-01-06")
+      .toDF("d").select(to_timestamp($"d").as("d"))
+    val out = df.select(
+      DtOps.isBusinessDay($"d", Seq("2024-01-01")).as("b"))
+      .as[Boolean].collect()
+    out shouldBe Array(false, true, false)
+    // empty calendar = weekday rule only
+    df.select(DtOps.isBusinessDay($"d", Nil).as("b"))
+      .as[Boolean].collect() shouldBe Array(true, true, false)
+  }
+
   test("custom Aggregators distribute and match closed forms") {
     val df = Seq(("a", 2.0), ("a", 8.0), ("b", 3.0), ("b", 27.0))
       .toDF("k", "v").repartition(4)

@@ -52,6 +52,34 @@ class RollingEwmSpec extends SparkSpecBase {
     out shouldBe Array(1.0, 3.0, 7.0, 8.0)
   }
 
+  test("rollingTime closed edge semantics") {
+    val df = Seq((1L, 1.0), (5L, 2.0), (6L, 4.0), (20L, 8.0))
+      .toDF("t", "v").withColumn("ts", timestamp_seconds($"t"))
+    def run(closed: String) = RollingOps.rollingTime(df, "v", "ts", 5,
+        c => sum(c), outName = "s", closed = closed)
+      .orderBy("t").select("s").as[Double].collect()
+    run("both") shouldBe Array(1.0, 3.0, 7.0, 8.0)
+    // right = (t-5, t]: at t=6 the t=1 row (6-5=1) falls out
+    run("right") shouldBe Array(1.0, 3.0, 6.0, 8.0)
+    // left = [t-5, t): current row excluded; empty frames -> null->0?
+    val left = RollingOps.rollingTime(df, "v", "ts", 5,
+        c => sum(c), outName = "s", closed = "left")
+      .orderBy("t").select("s").as[Option[Double]].collect()
+    left shouldBe Array(None, Some(1.0), Some(3.0), None)
+    intercept[IllegalArgumentException] {
+      RollingOps.rollingTime(df, "v", "ts", 5, c => sum(c),
+        closed = "sideways")
+    }
+  }
+
+  test("EWM alpha parameterizations match pandas formulas") {
+    RollingOps.alphaFromSpan(9.0) shouldBe 0.2 +- 1e-12
+    RollingOps.alphaFromCom(4.0) shouldBe 0.2 +- 1e-12
+    // halflife h: (1-alpha)^h = 0.5
+    val a = RollingOps.alphaFromHalflife(3.0)
+    math.pow(1.0 - a, 3.0) shouldBe 0.5 +- 1e-12
+  }
+
   test("ewm adjust=true matches pandas weights") {
     // pandas: ewm(alpha=0.5, adjust=True).mean() of [1,2,3]
     //  y0=1, y1=(2 + 0.5*1)/(1+0.5)=1.666667, y2=(3+0.5*2+0.25*1)/1.75
