@@ -31,9 +31,18 @@ object PandasOps {
 
     /** value_counts (trait_def.rs:84-92): frequency table, most
       * frequent first, deterministic tiebreak on the value. */
-    def valueCounts(colName: String): DataFrame =
-      df.groupBy(colName).agg(count(lit(1)).as("count"))
-        .orderBy(col("count").desc, col(colName))
+    def valueCounts(colName: String, normalize: Boolean = false,
+        dropna: Boolean = true): DataFrame = {
+      val base = if (dropna) df.filter(col(colName).isNotNull) else df
+      val counts = base.groupBy(colName).agg(count(lit(1)).as("count"))
+      val out = if (!normalize) counts
+        else counts
+          .crossJoin(broadcast(counts.agg(
+            sum(col("count")).cast("double").as("__tot__"))))
+          .withColumn("proportion", col("count") / col("__tot__"))
+          .drop("__tot__")
+      out.orderBy(col("count").desc, col(colName))
+    }
 
     /** nunique per column (trait_def.rs:78). */
     def nunique(cols: String*): DataFrame =

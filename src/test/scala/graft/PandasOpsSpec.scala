@@ -176,6 +176,15 @@ class PandasOpsSpec extends SparkSpecBase {
       Array(1, 2)
   }
 
+  test("valueCounts normalize emits proportions summing to 1") {
+    val df = Seq("a", "a", "a", "b", null).toDF("v")
+    val out = df.valueCounts("v", normalize = true).collect()
+    out.map(_.getString(0)) shouldBe Array("a", "b") // null dropped
+    out.map(_.getAs[Double]("proportion")).sum shouldBe 1.0 +- 1e-9
+    out.head.getAs[Double]("proportion") shouldBe 0.75 +- 1e-9
+    df.valueCounts("v", dropna = false).count() shouldBe 3
+  }
+
   test("pipe chains and memoryUsage estimates per column") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     df.pipe(_.filter($"id" > 1)).count() shouldBe 1
