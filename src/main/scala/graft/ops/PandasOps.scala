@@ -99,10 +99,15 @@ object PandasOps {
 
     /** pivot_table (src/pivot/mod.rs:12-108): index × columns grid.
       * Spark's pivot collects distinct pivot values (bounded, small)
-      * then runs a single hash aggregate. */
+      * then runs a single hash aggregate. Pass `values` explicitly
+      * when known to skip that distinct-scan job — on a 100 TB input
+      * the values list is usually a known small domain. */
     def pivotTable(index: Seq[String], pivotCol: String,
-        agg: Column): DataFrame =
-      df.groupBy(index.map(col): _*).pivot(pivotCol).agg(agg)
+        agg: Column, values: Seq[Any] = Nil): DataFrame = {
+      val g = df.groupBy(index.map(col): _*)
+      (if (values.isEmpty) g.pivot(pivotCol)
+       else g.pivot(pivotCol, values)).agg(agg)
+    }
 
     /** crosstab contingency counts
       * (src/dataframe/pandas_compat/functions.rs:2138). */
