@@ -44,13 +44,17 @@ object Bench {
     // BASELINE.md number is published at 1M rows, so this removes any
     // row-count discount from the comparison (sf0.1 lineitem is ~600K).
     val cores = cpus.toInt
+    // 1M cached rows split ~62k/task at 16 partitions: measured best
+    // on this box (vs 32: per-task scheduling overhead and co-tenant
+    // straggler exposure outweigh the extra parallelism at this size)
+    val microParts = math.min(cores, 16)
     val targetRows = 1000000
     val nLi = li.count()
     val reps = math.max(1L, (targetRows + nLi - 1) / nLi).toInt
     val liC = Seq.fill(reps)(li).reduce(_ union _).limit(targetRows)
-      .repartition(cores).cache(); liC.count()
+      .repartition(microParts).cache(); liC.count()
     val ordC = Tables.load(spark, sfDir, "orders")
-      .repartition(cores).cache(); ordC.count()
+      .repartition(microParts).cache(); ordC.count()
     val csvDir = s"/tmp/graft_bench_csv_${System.nanoTime()}"
     liC.write.mode("overwrite").option("header", "true").csv(csvDir)
     val csvSchema = StructType(Seq(
