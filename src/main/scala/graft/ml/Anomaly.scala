@@ -68,9 +68,11 @@ object Anomaly {
     *
     * Rows with a null feature are excluded from the fit, and score
     * null (they carry no isolation-depth information). The fit sample
-    * is drawn deterministically (sorted top-k, a TakeOrdered — no
-    * full sort) so the same seed reproduces the same forest across
-    * runs regardless of partitioning. */
+    * is drawn deterministically BUT unbiased: rows are ordered by a
+    * hash of their feature vector (TakeOrdered, no full sort), so the
+    * same data reproduces the same forest across runs and
+    * partitionings without the value-skew a feature-sorted bottom-k
+    * would introduce. */
   def isolationForest(df: DataFrame, featureCols: Seq[String],
       nTrees: Int = 100, sampleSize: Int = 256, seed: Long = 42L,
       outName: String = "anomaly_score",
@@ -79,7 +81,11 @@ object Anomaly {
     val feats = featureCols.map(c => col(c).cast("double").as(c))
     val rows = fitDf
       .select(feats: _*).na.drop()
-      .sort(featureCols.map(col): _*)
+      // hash-ordered top-k: deterministic yet spread uniformly over
+      // the feature space (a plain feature sort would fit the forest
+      // on the bottom-k values only — maximally biased)
+      .sort((xxhash64(featureCols.map(col): _*) +:
+        featureCols.map(col)): _*)
       .limit(nTrees * sampleSize).collect()
       .map(r => Array.tabulate(featureCols.size)(r.getDouble))
     require(rows.nonEmpty, "isolationForest: empty fit data")
