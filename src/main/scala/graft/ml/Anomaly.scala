@@ -111,4 +111,96 @@ object Anomaly {
         .otherwise(scoreUdf(
           array(featureCols.map(c => col(c).cast("double")): _*))))
   }
+
+  /** ν-one-class SVM (reference src/ml/svm one-class), fit in the
+    * SVDD formulation (Tax & Duin minimal enclosing soft sphere):
+    *
+    *   min_{c,u}  u + 1/(νn) Σ max(0, ‖xᵢ−c‖² − u)
+    *
+    * which is the known equivalent of Schölkopf's kernel OC-SVM for
+    * stationary kernels — and, unlike the raw LINEAR hyperplane
+    * variant (separate the data from the origin), gives a meaningful
+    * boundary for standardized data, where the origin sits INSIDE the
+    * cloud and no hyperplane through feature space can enclose it.
+    *
+    * Same split as [[isolationForest]]: the FIT is small-data by
+    * design — deterministic hash-ordered sample of ≤ `fitSample`
+    * rows, full-batch subgradient descent (no shuffling order, so
+    * bit-reproducible) on the convex objective — and SCORING is fully
+    * distributed: the learned center, radius and standardization
+    * moments are literals folded into a map-side column expression —
+    * no shuffle, no UDF.
+    *
+    * Output adds `score` = u − ‖x̃−c‖² (negative ⇒ anomalous; at the
+    * solution ≈ ν of the fit data lies outside) and `is_inlier`.
+    * Rows with a null feature score null. */
+  def oneClassSvm(df: DataFrame, featureCols: Seq[String],
+      nu: Double = 0.1, epochs: Int = 300, fitSample: Int = 4096,
+      outName: String = "score",
+      fitOn: Option[DataFrame] = None): DataFrame = {
+    require(nu > 0.0 && nu <= 1.0, s"nu=$nu must be in (0, 1]")
+    val fitDf = fitOn.getOrElse(df)
+    val d = featureCols.size
+    val xs = fitDf
+      .select(featureCols.map(c => col(c).cast("double").as(c)): _*)
+      .na.drop()
+      .sort((xxhash64(featureCols.map(col): _*) +:
+        featureCols.map(col)): _*)
+      .limit(fitSample).collect()
+      .map(r => Array.tabulate(d)(r.getDouble))
+    val n = xs.length
+    require(n >= 2, s"oneClassSvm: need >= 2 complete fit rows, got $n")
+    // standardize (isotropic sphere needs comparable scales; moments
+    // come from the fit sample and are reused verbatim at scoring)
+    val mean = Array.tabulate(d)(j => xs.map(_(j)).sum / n)
+    val std = Array.tabulate(d) { j =>
+      val v = xs.map(r => (r(j) - mean(j)) * (r(j) - mean(j))).sum / n
+      val s = math.sqrt(v); if (s > 0) s else 1.0
+    }
+    val z = xs.map(r => Array.tabulate(d)(j => (r(j) - mean(j)) / std(j)))
+    val invNuN = 1.0 / (nu * n)
+    // init: center at the standardized mean (0), radius² = max dist²
+    val c = Array.fill(d)(0.0)
+    def dist2(i: Int): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) {
+        val dd = z(i)(j) - c(j); s += dd * dd; j += 1
+      }
+      s
+    }
+    var u = (0 until n).map(dist2).max
+    var t = 1
+    while (t <= epochs) {
+      val eta = 1.0 / math.sqrt(t.toDouble)
+      var gU = 1.0
+      val gC = Array.fill(d)(0.0)
+      var i = 0
+      while (i < n) {
+        if (dist2(i) > u) { // outside the sphere: hinge active
+          gU -= invNuN
+          var j = 0
+          while (j < d) { gC(j) += invNuN * 2.0 * (c(j) - z(i)(j)); j += 1 }
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < d) { c(j) -= eta * gC(j); j += 1 }
+      u = math.max(0.0, u - eta * gU)
+      t += 1
+    }
+    // distributed scoring: pure column expression over the literals
+    val d2Expr = featureCols.zipWithIndex.map { case (cn, j) =>
+      val zc = (col(cn).cast("double") - lit(mean(j))) / lit(std(j)) -
+        lit(c(j))
+      zc * zc
+    }.reduce(_ + _)
+    val anyNull = featureCols
+      .map(cn => col(cn).cast("double").isNull).reduce(_ || _)
+    df.withColumn(outName,
+        when(anyNull, lit(null).cast("double"))
+          .otherwise(lit(u) - d2Expr))
+      .withColumn("is_inlier",
+        when(col(outName).isNull, lit(null).cast("boolean"))
+          .otherwise(col(outName) >= 0.0))
+  }
 }

@@ -67,6 +67,31 @@ object QueriesExt {
         .groupBy("cluster").agg(count(lit(1)).as("n"),
           min(col("id")).as("min_id"))),
 
+    // §2.13 t-SNE embedding (driver-side guarded, deterministic PCA
+    // init — no RNG). Iterative float optimization has no SQL oracle;
+    // rows-only gate + the blob-separation/reproducibility specs.
+    "q108_tsne" -> ((s, d) =>
+      graft.ml.Manifold.tsne(
+        t(s, d, "supplier").select(col("s_suppkey"),
+          dbl(cents(col("s_acctbal"))).as("f0"),
+          dbl(col("s_nationkey")).as("f1"),
+          dbl(pmod(col("s_suppkey"), lit(10))).as("f2")),
+        Seq("f0", "f1", "f2"), "s_suppkey",
+        perplexity = 12.0, iters = 250)
+        .select(col("id").as("s_suppkey"), col("tsne_0"),
+          col("tsne_1"))),
+
+    // §2.13 linear one-class SVM: deterministic full-batch fit,
+    // distributed expression scoring. Iterative fit ⇒ rows-only gate
+    // + planted-outlier spec.
+    "q109_ocsvm" -> ((s, d) =>
+      graft.ml.Anomaly.oneClassSvm(
+        t(s, d, "events").select(col("event_id"),
+          dbl(cents(col("value"))).as("f0"),
+          dbl(pmod(col("user_id"), lit(7))).as("f1")),
+        Seq("f0", "f1"), nu = 0.1)
+        .groupBy("is_inlier").agg(count(lit(1)).as("n"))),
+
     // §2.13 factorize: dense codes by sorted category order
     "q67_factorize" -> ((s, d) =>
       MlOps.factorize(t(s, d, "events"), "event_type")

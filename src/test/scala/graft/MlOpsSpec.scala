@@ -224,4 +224,74 @@ class MlOpsSpec extends SparkSpecBase {
       minPts = 2)
     out.filter($"cluster".isNotNull).count() shouldBe 0
   }
+
+  test("tsne keeps well-separated blobs separated, deterministically") {
+    import graft.ml.Manifold
+    // two 3-D blobs, deterministic lattice jitter (no RNG anywhere)
+    val pts = (0 until 20).map { i =>
+      (i.toLong, (i % 5) * 0.1, (i / 5 % 4) * 0.1, (i % 3) * 0.1)
+    } ++ (20 until 40).map { i =>
+      (i.toLong, 10.0 + (i % 5) * 0.1, 10.0 + (i / 5 % 4) * 0.1,
+        10.0 + (i % 3) * 0.1)
+    }
+    val df = pts.toDF("id", "x", "y", "z")
+    val emb = Manifold.tsne(df, Seq("x", "y", "z"), "id",
+        perplexity = 5.0, iters = 300)
+      .select("id", "tsne_0", "tsne_1")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    emb.length shouldBe 40
+    val (a, b) = emb.partition(_._1 < 20)
+    def centroid(g: Array[(Long, Double, Double)]) =
+      (g.map(_._2).sum / g.length, g.map(_._3).sum / g.length)
+    val (cax, cay) = centroid(a); val (cbx, cby) = centroid(b)
+    // perfect separation: every point sits closer to its own blob's
+    // centroid than to the other blob's
+    emb.foreach { case (id, px, py) =>
+      val dOwn = if (id < 20) math.hypot(px - cax, py - cay)
+        else math.hypot(px - cbx, py - cby)
+      val dOther = if (id < 20) math.hypot(px - cbx, py - cby)
+        else math.hypot(px - cax, py - cay)
+      dOwn should be < dOther
+    }
+    // bit-reproducible across runs
+    val emb2 = Manifold.tsne(df, Seq("x", "y", "z"), "id",
+        perplexity = 5.0, iters = 300)
+      .select("id", "tsne_0", "tsne_1")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    emb2 shouldBe emb
+  }
+
+  test("tsne rejects oversized and null inputs") {
+    val df = spark.range(30).toDF("id")
+      .withColumn("x", $"id".cast("double"))
+    an[IllegalArgumentException] should be thrownBy
+      graft.ml.Manifold.tsne(df, Seq("x"), "id", maxN = 10)
+  }
+
+  test("oneClassSvm scores planted outliers negative, inliers positive") {
+    import graft.ml.Anomaly
+    // ring of inliers around the origin + two far outliers
+    val inliers = (0 until 200).map { i =>
+      val t = 2 * math.Pi * i / 200
+      (i.toLong, math.cos(t) + 0.01 * (i % 7),
+        math.sin(t) + 0.01 * (i % 5))
+    }
+    val outliers = Seq((900L, 9.0, 9.0), (901L, -8.0, 7.0))
+    val df = (inliers ++ outliers).toDF("id", "x", "y")
+    val scored = Anomaly.oneClassSvm(df, Seq("x", "y"), nu = 0.05)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    val inScores = inliers.map(p => scored(p._1))
+    scored(900L) should be < inScores.min
+    scored(901L) should be < inScores.min
+    // roughly (1 - nu) of the fit data should be inliers
+    val posFrac = inScores.count(_ >= 0).toDouble / inScores.size
+    posFrac should be > 0.8
+    // null features score null
+    val withNull = df.unionByName(
+      Seq((950L, Option.empty[Double], Option(1.0)))
+        .toDF("id", "x", "y"))
+    val nullRow = Anomaly.oneClassSvm(withNull, Seq("x", "y"),
+        nu = 0.05).filter($"id" === 950L).head()
+    nullRow.isNullAt(nullRow.fieldIndex("score")) shouldBe true
+  }
 }
