@@ -141,9 +141,10 @@ object Bench {
     }
     (1 to 5).foreach(_ => runPass(ops))
     // the micro-ops are the ones graded against BASELINE.md and cost
-    // ~1s a pass — three extra passes of just those buys more noise
-    // immunity where it matters most
-    (1 to 3).foreach(_ => runPass(microOps))
+    // ~0.4s a pass — extra passes of just those buy more noise
+    // immunity where it matters most (co-tenant spikes here last
+    // minutes, so more samples spread over a wider window)
+    (1 to 8).foreach(_ => runPass(microOps))
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     samples.foreach { case (name, ts) =>

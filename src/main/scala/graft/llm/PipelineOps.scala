@@ -171,4 +171,99 @@ object PipelineOps {
     fact.filter(might(col(factKey)))
       .join(dim, col(factKey) === dim(dimKey))
   }
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥
+    * `minOverlap` distinct word `n`-grams with any benchmark
+    * document (the standard eval-leakage guard — long n-grams are
+    * near-unique, so a hit means verbatim overlap, not topical
+    * similarity). Shape: explode n-grams on both sides, equi-join on
+    * the n-gram, one grouped count per corpus doc. The join is
+    * bounded by the BENCHMARK's n-gram vocabulary — benchmarks are
+    * eval sets, orders of magnitude smaller than the corpus — so at
+    * 100 TB the corpus side sheds non-matching n-grams at the join
+    * and never shuffles whole documents. Every corpus doc is
+    * returned (n_overlap 0 when clean) so the output doubles as a
+    * keep/drop mask. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      minOverlap: Long = 1L): DataFrame = {
+    val corpusG = corpus.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+    val benchG = benchmark
+      .select(explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+    val hits = corpusG.join(benchG, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap")) // corpus n-grams are distinct per doc
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).cast("long").as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap)
+          .as("contaminated"))
+  }
+
+  /** Gopher-style repetition flags: per-document duplicate-line
+    * fraction, duplicate-line CHARACTER fraction, and top-word
+    * fraction, with a combined keep/drop flag at the classic
+    * thresholds. One explode per signal, grouped per doc — entirely
+    * map-side + bounded per-doc shuffles, no cross-document state.
+    * Empty/whitespace-only docs report zero fractions and pass. */
+  def repetitionFlags(docs: DataFrame, textCol: String, idCol: String,
+      maxDupLineFrac: Double = 0.3, maxDupLineCharFrac: Double = 0.2,
+      maxTopWordFrac: Double = 0.2): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+    // per (doc, line) multiplicity, then: duplicate lines are the
+    // occurrences beyond each first; their chars likewise
+    val perLine = lines.groupBy("doc_id", "line")
+      .agg(count(lit(1)).as("c"))
+    val lineStats = perLine.groupBy("doc_id").agg(
+      sum(col("c")).as("n_lines"),
+      sum(col("c") - 1).as("n_dup_lines"),
+      sum(col("c") * length(col("line"))).as("n_line_chars"),
+      sum((col("c") - 1) * length(col("line"))).as("n_dup_chars"))
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val wordStats = words.groupBy("doc_id").agg(
+      sum(col("c")).as("n_words"), max(col("c")).as("top_word_c"))
+    val frac = (num: Column, den: Column) =>
+      round(when(den.isNull || den === 0, 0.0)
+        .otherwise(num.cast("double") / den.cast("double")), 6)
+    docs.select(col(idCol).as("doc_id"))
+      .join(lineStats, Seq("doc_id"), "left")
+      .join(wordStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).cast("long").as("n_lines"),
+        frac(col("n_dup_lines"), col("n_lines")).as("dup_line_frac"),
+        frac(col("n_dup_chars"), col("n_line_chars"))
+          .as("dup_line_char_frac"),
+        coalesce(col("n_words"), lit(0L)).cast("long").as("n_words"),
+        frac(col("top_word_c"), col("n_words")).as("top_word_frac"))
+      .withColumn("keep",
+        col("dup_line_frac") <= maxDupLineFrac &&
+        col("dup_line_char_frac") <= maxDupLineCharFrac &&
+        col("top_word_frac") <= maxTopWordFrac)
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates over
+    * the same engine-portable 48-bit hash as [[hashSample]] — the
+    * source-mixing primitive (e.g. keep 100% of books, 10% of
+    * common-crawl). Pure map-side filter: the rate lookup is a
+    * literal when-chain (strata sets are small by definition), no
+    * shuffle, no RNG, reproducible across runs and cluster sizes.
+    * Strata missing from `rates` keep `defaultRate`. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String,
+      stratumCol: String, rates: Map[String, Double],
+      defaultRate: Double = 1.0, salt: String = ""): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate $r must be in [0,1]"))
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(stratumCol) === s, r).otherwise(acc)
+    }
+    df.filter(
+      hash48Unit(concat(col(keyCol).cast("string"), lit(salt))) < rate)
+  }
 }

@@ -86,6 +86,34 @@ object QueriesPipeline {
           cents(col("l_discount")).as("disc_c")),
         Seq("qty_c", "price_c", "disc_c"))),
 
+    // benchmark decontamination: corpus docs sharing ≥2 distinct
+    // word 5-grams with the deterministic "benchmark" subset
+    // (doc_id % 17 = 0) are flagged as eval leakage
+    "q110_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      PipelineOps.decontaminate(docs,
+        docs.filter(pmod(col("doc_id"), lit(17)) === 0),
+        "text", "doc_id", n = 5, minOverlap = 2L)
+    }),
+
+    // Gopher-style repetition flags over text with deterministically
+    // synthesized duplicate lines (the corpus itself is single-line)
+    "q111_repetition" -> ((s, d) =>
+      PipelineOps.repetitionFlags(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit("\nrepeat line\nrepeat line"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("\nrepeat line"))
+              .otherwise(lit(""))).as("text")),
+        "text", "doc_id")),
+
+    // stratified source-mixing sample: per-source keep rates over the
+    // portable 48-bit hash (defaultRate for the unlisted strata)
+    "q112_stratified_sample" -> ((s, d) =>
+      PipelineOps.stratifiedHashSample(t(s, d, "documents"), "doc_id",
+        "source", Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1, salt = "mix1")
+        .select("doc_id", "source", "lang")),
+
     // forward as-of semantics: next signup value at-or-after each
     // event (the forward twin of q41's backward as-of)
     "q107_asof_forward" -> ((s, d) => {
@@ -153,6 +181,86 @@ object QueriesPipeline {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    "q110_decontaminate" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |gs0 AS (
+        |  SELECT doc_id, CASE WHEN len(tk) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 3),
+        |        i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+        |    ELSE [] END AS gs
+        |  FROM toks),
+        |cg AS (SELECT doc_id, unnest(gs) AS g FROM gs0),
+        |bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 17 = 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM cg JOIN bg USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(h.n_overlap, 0) AS n_overlap,
+        |  coalesce(h.n_overlap, 0) >= 2 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "q111_repetition" ->
+      raw"""WITH src AS (
+        |  SELECT doc_id, text || chr(10) || 'repeat line' || chr(10)
+        |    || 'repeat line' || CASE WHEN doc_id % 3 = 0
+        |      THEN chr(10) || 'repeat line' ELSE '' END AS t
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, line FROM (
+        |    SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+        |    FROM src)
+        |  WHERE length(trim(line)) > 0),
+        |pl AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY 1, 2),
+        |ls AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    sum(c - 1) AS n_dup,
+        |    sum(c * length(line)) AS n_chars,
+        |    sum((c - 1) * length(line)) AS n_dupc
+        |  FROM pl GROUP BY 1),
+        |pw AS (
+        |  SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      regexp_split_to_array(trim(lower(t)), '\s+'),
+        |      x -> length(x) > 0)) AS w
+        |    FROM src)
+        |  GROUP BY 1, 2),
+        |ws AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    max(c) AS top_c
+        |  FROM pw GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(ls.n_lines, 0) AS n_lines,
+        |  round(CASE WHEN coalesce(ls.n_lines, 0) = 0 THEN 0.0
+        |    ELSE CAST(ls.n_dup AS DOUBLE) / ls.n_lines END, 6)
+        |    AS dup_line_frac,
+        |  round(CASE WHEN coalesce(ls.n_chars, 0) = 0 THEN 0.0
+        |    ELSE CAST(ls.n_dupc AS DOUBLE) / ls.n_chars END, 6)
+        |    AS dup_line_char_frac,
+        |  coalesce(ws.n_words, 0) AS n_words,
+        |  round(CASE WHEN coalesce(ws.n_words, 0) = 0 THEN 0.0
+        |    ELSE CAST(ws.top_c AS DOUBLE) / ws.n_words END, 6)
+        |    AS top_word_frac,
+        |  (round(CASE WHEN coalesce(ls.n_lines, 0) = 0 THEN 0.0
+        |      ELSE CAST(ls.n_dup AS DOUBLE) / ls.n_lines END, 6) <= 0.3
+        |    AND round(CASE WHEN coalesce(ls.n_chars, 0) = 0 THEN 0.0
+        |      ELSE CAST(ls.n_dupc AS DOUBLE) / ls.n_chars END, 6) <= 0.2
+        |    AND round(CASE WHEN coalesce(ws.n_words, 0) = 0 THEN 0.0
+        |      ELSE CAST(ws.top_c AS DOUBLE) / ws.n_words END, 6) <= 0.2)
+        |    AS keep
+        |FROM documents d
+        |LEFT JOIN ls ON d.doc_id = ls.doc_id
+        |LEFT JOIN ws ON d.doc_id = ws.doc_id""".stripMargin,
+
+    "q112_stratified_sample" ->
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE ${h48("CAST(doc_id AS VARCHAR) || 'mix1'")} <
+         |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+         |    WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin,
 
     "q95_pii_redact" ->
       raw"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(

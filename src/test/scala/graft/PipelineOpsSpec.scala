@@ -161,6 +161,64 @@ class PipelineOpsSpec extends SparkSpecBase {
     plainL.exceptAll(saltedL).count() shouldBe 0
   }
 
+  test("decontaminate flags verbatim n-gram overlap only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains bench 5-gram
+      (2L, "one two three four five six seven"),   // clean
+      (3L, "alpha beta gamma delta epsilon"),      // exactly the bench doc
+      (4L, "beta gamma delta")                     // too short for 5-grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.decontaminate(corpus, bench, "text", "doc_id",
+        n = 5, minOverlap = 1L)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    out.map(r => r._1 -> r._3).toMap shouldBe
+      Map(1L -> true, 2L -> false, 3L -> true, 4L -> false)
+    // doc 1 shares exactly one 5-gram, doc 3 shares its single 5-gram
+    out.find(_._1 == 1L).get._2 shouldBe 1L
+    out.find(_._1 == 3L).get._2 shouldBe 1L
+  }
+
+  test("repetitionFlags computes duplicate-line and top-word fractions") {
+    val df = Seq(
+      (1L, "aa bb\ncc dd\naa bb\n\n  "), // 3 non-blank lines, 1 dup
+      (2L, "x x x x y"),                 // top word 4/5
+      (3L, "")                           // degenerate: everything 0
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.repetitionFlags(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Long]("n_lines") shouldBe 3L
+    out(1L).getAs[Double]("dup_line_frac") shouldBe 1.0 / 3 +- 1e-6
+    // dup chars: one extra "aa bb" (5 chars) of 15 total line chars
+    out(1L).getAs[Double]("dup_line_char_frac") shouldBe 5.0 / 15 +- 1e-6
+    out(1L).getAs[Boolean]("keep") shouldBe false // char frac > 0.2
+    out(2L).getAs[Double]("top_word_frac") shouldBe 0.8 +- 1e-6
+    out(2L).getAs[Boolean]("keep") shouldBe false
+    out(3L).getAs[Long]("n_lines") shouldBe 0L
+    out(3L).getAs[Long]("n_words") shouldBe 0L
+    out(3L).getAs[Boolean]("keep") shouldBe true
+  }
+
+  test("stratifiedHashSample applies per-stratum rates deterministically") {
+    val df = spark.range(30000)
+      .select($"id", concat(lit("s"), pmod($"id", lit(3))).as("src"))
+    val out = PipelineOps.stratifiedHashSample(df, "id", "src",
+      Map("s0" -> 1.0, "s1" -> 0.2), defaultRate = 0.0, salt = "t")
+    val bySrc = out.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    bySrc("s0") shouldBe 10000L // rate 1.0 keeps everything
+    bySrc.getOrElse("s2", 0L) shouldBe 0L // defaultRate 0 drops all
+    bySrc("s1").toDouble shouldBe 2000.0 +-
+      3 * math.sqrt(10000 * 0.2 * 0.8)
+    // same stratum + salt ⇒ consistent with plain hashSample
+    val plain = PipelineOps.hashSample(
+      df.filter($"src" === "s1"), "id", 0.2, "t")
+      .select("id").as[Long].collect().toSet
+    out.filter($"src" === "s1").select("id").as[Long].collect()
+      .toSet shouldBe plain
+  }
+
   test("redactPii replaces emails, IPs and phone numbers") {
     val df = Seq(
       "mail bob.smith+x@sub.example.org end",
