@@ -1,0 +1,40 @@
+package graft.sqlext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extensions injector — the deployment path for SQL-only
+  * surfaces (thrift server, `spark-sql`, notebooks with no Scala
+  * classpath access at session-build time):
+  *
+  * {{{
+  *   spark.sql.extensions=graft.sqlext.GraftExtensions
+  * }}}
+  *
+  * injects the native codegen expressions into EVERY session built by
+  * that config, with proper ExpressionInfo (usage text shows up in
+  * `DESCRIBE FUNCTION`). The imperative `register(spark)` companions
+  * remain for ad-hoc sessions; this class is the declarative,
+  * cluster-config route (SparkSessionExtensions.injectFunction — the
+  * same hook rule/strategy injection would use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName,
+        "rolling_hash64",
+        "rolling_hash64(str) - 64-bit polynomial rolling hash " +
+          "(base-31, seed 1125899906842597) of the UTF-8 bytes."),
+      (exprs: Seq[Expression]) => RollingHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        "cosine_similarity",
+        "cosine_similarity(a, b) - fused dot/norm cosine similarity " +
+          "of two float arrays; null on null/zero-norm/length-mismatch."),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}

@@ -12,4 +12,15 @@ object GraftSqlBridge {
     classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Apply a SparkSessionExtensions' injected functions to an
+    * EXISTING session's registry (`registerFunctions` is
+    * private[sql]) — lets specs exercise the
+    * `spark.sql.extensions=graft.sqlext.GraftExtensions` config path
+    * without tearing down the shared test session. */
+  def applyInjectedFunctions(ext: SparkSessionExtensions,
+      spark: SparkSession): Unit =
+    ext.registerFunctions(
+      spark.sessionState.functionRegistry.asInstanceOf[
+        org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
 }

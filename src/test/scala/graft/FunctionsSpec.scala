@@ -107,6 +107,28 @@ class FunctionsSpec extends SparkSpecBase {
       .as[Long].head() shouldBe RollingHash64.hashOf("abc")
   }
 
+  test("GraftExtensions injects native functions via the config path") {
+    import org.apache.spark.sql.{GraftSqlBridge, SparkSessionExtensions}
+    // simulate spark.sql.extensions=graft.sqlext.GraftExtensions: the
+    // injector populates an extensions object, whose functions land in
+    // a fresh session's registry
+    val ext = new SparkSessionExtensions
+    new graft.sqlext.GraftExtensions().apply(ext)
+    val s2 = spark.newSession()
+    GraftSqlBridge.applyInjectedFunctions(ext, s2)
+    s2.sql("SELECT rolling_hash64('abc') AS h")
+      .collect().head.getLong(0) shouldBe RollingHash64.hashOf("abc")
+    s2.sql("""SELECT cosine_similarity(
+        |  array(CAST(3.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c"""
+        .stripMargin)
+      .collect().head.getDouble(0) shouldBe 1.0 +- 1e-9
+    // DESCRIBE FUNCTION sees the injected ExpressionInfo
+    val desc = s2.sql("DESCRIBE FUNCTION rolling_hash64")
+      .collect().map(_.getString(0)).mkString("\n")
+    desc should include("rolling_hash64")
+  }
+
   test("groupFilter keeps whole groups by aggregate predicate") {
     val df = Seq(("a", 1), ("a", 9), ("b", 2), ("b", 3)).toDF("k", "v")
     df.groupFilter(Seq("k"), sum($"v") > 5)

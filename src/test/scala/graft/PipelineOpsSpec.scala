@@ -115,6 +115,21 @@ class PipelineOpsSpec extends SparkSpecBase {
     val sampled = PipelineOps.hashSample(df, "id", 0.5)
     (sampled.queryExecution.executedPlan.toString should not)
       .include("Exchange")
+    // ...and so is its stratified variant (rates fold into literals)
+    val strat = PipelineOps.stratifiedHashSample(
+      df.select($"id", concat(lit("s"), pmod($"id", lit(3))).as("src")),
+      "id", "src", Map("s0" -> 0.5), defaultRate = 0.1)
+    (strat.queryExecution.executedPlan.toString should not)
+      .include("Exchange")
+    // one-class SVM scoring is a pure column expression: after the
+    // driver-side fit, scoring the full table plans with no exchange
+    // and no ScalaUDF
+    val pts = df.select($"id", ($"id" % 17).cast("double").as("x"),
+      ($"id" % 23).cast("double").as("y"))
+    val scoredPlan = graft.ml.Anomaly.oneClassSvm(pts, Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    (scoredPlan should not).include("Exchange")
+    (scoredPlan should not).include("ScalaUDF")
     // heavyHitters: partial + final HashAggregate around one exchange
     val hh = PipelineOps.heavyHitters(
       df.select(($"id" % 10).as("v")), "v", 5)

@@ -160,6 +160,38 @@ object PropertiesSpec extends Properties("graft") {
       salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty
     }
 
+  property("stratifiedHashSample with a uniform rate equals hashSample") =
+    forAll(Gen.listOfN(80, Gen.zip(Gen.chooseNum(0L, 5000L),
+        Gen.oneOf("s0", "s1", "s2"))),
+      Gen.oneOf(0.0, 0.3, 0.7, 1.0)) { (rows, rate) =>
+      val df = rows.distinct.toDF("id", "src")
+      val strat = graft.llm.PipelineOps.stratifiedHashSample(df, "id",
+          "src", Map("s0" -> rate, "s1" -> rate, "s2" -> rate),
+          defaultRate = rate, salt = "p")
+        .select("id").as[Long].collect().toSet
+      val plain = graft.llm.PipelineOps.hashSample(df, "id", rate, "p")
+        .select("id").as[Long].collect().toSet
+      strat == plain
+    }
+
+  property("decontaminate against itself flags every doc with an n-gram") = {
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.chooseNum(0, 7).flatMap(k =>
+      Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    forAll(Gen.listOfN(12, docGen), Gen.chooseNum(2, 4)) { (texts, n) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.llm.PipelineOps
+        .decontaminate(docs, docs, "text", "doc_id", n, minOverlap = 1L)
+        .as[(Long, Long, Boolean)].collect()
+      // a doc is contaminated by itself iff it has ≥ n words
+      out.forall { case (id, _, flagged) =>
+        flagged == (texts(id.toInt).split("\\s+")
+          .count(_.nonEmpty) >= n)
+      }
+    }
+  }
+
   private implicit class Let[A](private val a: A) {
     def let[B](f: A => B): B = f(a)
   }
