@@ -72,7 +72,10 @@ object QueriesExt {
     // rows-only gate + the blob-separation/reproducibility specs.
     "q108_tsne" -> ((s, d) =>
       graft.ml.Manifold.tsne(
-        t(s, d, "supplier").select(col("s_suppkey"),
+        // cap the embedded set: t-SNE is the guarded driver-side op,
+        // so the gate query bounds its own input at any scale factor
+        t(s, d, "supplier").filter(col("s_suppkey") <= 400)
+          .select(col("s_suppkey"),
           dbl(cents(col("s_acctbal"))).as("f0"),
           dbl(col("s_nationkey")).as("f1"),
           dbl(pmod(col("s_suppkey"), lit(10))).as("f2")),

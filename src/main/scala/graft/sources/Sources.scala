@@ -81,6 +81,17 @@ object Sources {
     df.write.mode("overwrite").option("compression", compression)
       .parquet(path)
 
+  /** ORC read/write (beyond the reference's formats — free via
+    * Spark's built-in DataSource V2, with the same pushdown/pruning
+    * properties as parquet). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression)
+      .orc(path)
+
   /** Parquet footer metadata (src/io/parquet.rs:582-666): row count
     * and per-column min/max/null stats, computed distributed from
     * the files rather than by footer peeking. */

@@ -122,6 +122,17 @@ class SourcesAndPlanSpec extends SparkSpecBase {
     }
   }
 
+  test("orc round-trip with pushdown reaching the scan") {
+    val dir = tmp("graft_orc")
+    Sources.writeOrc(df3, dir)
+    val back = Sources.readOrc(spark, dir)
+    back.count() shouldBe 3
+    val plan = back.filter($"id" > 1).select("id")
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("ReadSchema: struct<id:")
+  }
+
   test("parquetStats computes row count and column min/max/nulls") {
     val dir = tmp("graft_pqstats")
     Sources.writeParquet(df3, dir)
