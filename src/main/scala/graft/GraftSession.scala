@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the session settings the library depends on, so
+  * user code, the mains, and the specs cannot drift:
+  *
+  *  - `spark.sql.legacy.parquet.nanosAsLong` — required to read
+  *    TIMESTAMP(NANOS) parquet (`Tables.load` rebuilds micros);
+  *  - UTC session timezone — all datetime semantics and the DuckDB
+  *    oracle comparisons assume it;
+  *  - shuffle partitions sized to the core count, not the 200
+  *    default — on a real cluster size to ~2-3× total cores and let
+  *    AQE coalesce (see SCALE.md);
+  *  - AQE on — runtime re-planning (skew splits, broadcast demotion)
+  *    is part of the 100 TB design.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int,
+      extensions: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    if (extensions)
+      b.config("spark.sql.extensions",
+        classOf[graft.sqlext.GraftExtensions].getName)
+    else b
+  }
+
+  /** local[cores] session for the mains and ad-hoc use. */
+  def local(cores: Int, extensions: Boolean = false): SparkSession = {
+    val s = builder(s"local[$cores]", cores, extensions).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
