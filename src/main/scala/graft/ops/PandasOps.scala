@@ -392,6 +392,21 @@ object PandasOps {
         withReplacement: Boolean = false): DataFrame =
       df.sample(withReplacement, fraction, seed)
 
+    /** pandas groupby().sample(n): a fixed-size per-group sample,
+      * deterministic and engine-portable — rows draw an md5 lottery
+      * ticket on (id, salt) and the n smallest per group win. One
+      * shuffle on the group keys; groups smaller than n keep all
+      * their rows. Vary `salt` for an independent redraw. */
+    def sampleNPerGroup(keyCols: Seq[String], idCol: String, n: Int,
+        salt: String = ""): DataFrame = {
+      require(n >= 1, s"n=$n must be >= 1")
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))),
+          col(idCol))
+      df.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") <= n).drop("__rn__")
+    }
+
     /** nlargest/nsmallest (trait_def.rs:39-42): Catalyst plans
       * TakeOrderedAndProject — no full sort. */
     def nlargest(n: Int, valueCol: String, tiebreak: String): DataFrame =

@@ -114,6 +114,15 @@ object QueriesPipeline {
         defaultRate = 0.1, salt = "mix1")
         .select("doc_id", "source", "lang")),
 
+    // pandas groupby().sample(n) as a deterministic md5 lottery:
+    // 7 events per type, portable across engines
+    "q113_group_sample" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      t(s, d, "events").sampleNPerGroup(Seq("event_type"), "event_id",
+          n = 7, salt = "s")
+        .select("event_id", "event_type", "user_id")
+    }),
+
     // forward as-of semantics: next signup value at-or-after each
     // event (the forward twin of q41's backward as-of)
     "q107_asof_forward" -> ((s, d) => {
@@ -261,6 +270,15 @@ object QueriesPipeline {
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 'mix1'")} <
          |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
          |    WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    "q113_group_sample" ->
+      """SELECT event_id, event_type, user_id FROM (
+        |  SELECT event_id, event_type, user_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR) || 's'), event_id)
+        |      AS rn
+        |  FROM events)
+        |WHERE rn <= 7""".stripMargin,
 
     "q95_pii_redact" ->
       raw"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(

@@ -185,6 +185,21 @@ class PandasOpsSpec extends SparkSpecBase {
     df.valueCounts("v", dropna = false).count() shouldBe 3
   }
 
+  test("sampleNPerGroup keeps exactly min(n, group size) rows per group") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+      .unionByName(Seq((1000L, "tiny")).toDF("id", "g"))
+    val out = df.sampleNPerGroup(Seq("g"), "id", 5, "x")
+    out.groupBy("g").count().as[(String, Long)].collect().toMap shouldBe
+      Map("g0" -> 5L, "g1" -> 5L, "g2" -> 5L, "tiny" -> 1L)
+    // deterministic across runs; different salt redraws
+    val again = df.sampleNPerGroup(Seq("g"), "id", 5, "x")
+      .select("id").as[Long].collect().sorted
+    again shouldBe out.select("id").as[Long].collect().sorted
+    val redraw = df.sampleNPerGroup(Seq("g"), "id", 5, "y")
+      .select("id").as[Long].collect().sorted
+    redraw should not be again
+  }
+
   test("pipe chains and memoryUsage estimates per column") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     df.pipe(_.filter($"id" > 1)).count() shouldBe 1

@@ -148,6 +148,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static dimension join enriches each micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "name")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    // static side broadcast: the standard enrichment shape — no
+    // stream state, dimension re-read per micro-batch
+    val joined = input.toDF().toDF("ts", "k", "v")
+      .join(broadcast(dim), Seq("k"), "left")
+    val q = joined.writeStream.format("memory").queryName("ss_join_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(2), "b", 2.0),
+        (ts(3), "zz", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("ss_join_t")
+        .select("k", "name", "v")
+        .as[(String, Option[String], Double)].collect().toSet
+      out shouldBe Set(("a", Some("alpha"), 1.0),
+        ("b", Some("beta"), 2.0), ("zz", None, 3.0))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks within the band") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, Long)]
