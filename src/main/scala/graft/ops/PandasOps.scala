@@ -392,6 +392,22 @@ object PandasOps {
         withReplacement: Boolean = false): DataFrame =
       df.sample(withReplacement, fraction, seed)
 
+    /** pandas combine_first (keyed): union of rows by key; shared
+      * columns take this frame's value and fall back to `other`'s,
+      * columns unique to either side pass through. One full-outer
+      * join on the keys — the standard patch/backfill operation. */
+    def combineFirst(other: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val dfCols = df.columns.toSeq.filterNot(keyCols.contains)
+      val otherCols = other.columns.toSeq.filterNot(keyCols.contains)
+      val common = dfCols.intersect(otherCols)
+      val joined = df.as("l").join(other.as("r"), keyCols, "full_outer")
+      joined.select(
+        keyCols.map(col) ++
+          common.map(c => coalesce(col(s"l.$c"), col(s"r.$c")).as(c)) ++
+          dfCols.diff(common).map(c => col(s"l.$c").as(c)) ++
+          otherCols.diff(common).map(c => col(s"r.$c").as(c)): _*)
+    }
+
     /** pandas groupby().sample(n): a fixed-size per-group sample,
       * deterministic and engine-portable — rows draw an md5 lottery
       * ticket on (id, salt) and the n smallest per group win. One

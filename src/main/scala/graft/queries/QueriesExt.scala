@@ -322,6 +322,27 @@ object QueriesExt {
 
   val oracle: Map[String, String] = Map(
 
+    // the native codegen expression replayed in SQL: the base-31
+    // UTF-8 byte fold mod 2^64, stepped in HUGEINT (DuckDB integer
+    // overflow errors rather than wraps, so the mod is explicit per
+    // step). ord == byte because the corpus is ASCII at every sf
+    // (verified); distinct-count over the unsigned fold equals
+    // distinct-count over Java's signed wrap (bijection).
+    "q74_rolling_hash" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1))
+        |            AS HUGEINT))),
+        |      (acc, b) -> (31 * acc + b) % 18446744073709551616) AS hv
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(DISTINCT hv) AS BIGINT) AS n_distinct_hashes,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM h GROUP BY 1""".stripMargin,
+
     "q94_kmeans_lloyd" -> kmeansLloydOracle,
 
     // the full staged pipeline reproduced in SQL: exact-md5 dedup,

@@ -114,6 +114,18 @@ object QueriesPipeline {
         defaultRate = 0.1, salt = "mix1")
         .select("doc_id", "source", "lang")),
 
+    // pandas combine_first: patch the even-id slice with the doubled
+    // full table — shared column coalesces, extra column passes through
+    "q114_combine_first" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      val ev = t(s, d, "events")
+      val a = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("value").as("v"))
+      val b = ev.select(col("event_id"), (col("value") * 2).as("v"),
+        col("user_id"))
+      a.combineFirst(b, Seq("event_id"))
+    }),
+
     // pandas groupby().sample(n) as a deterministic md5 lottery:
     // 7 events per type, portable across engines
     "q113_group_sample" -> ((s, d) => {
@@ -270,6 +282,13 @@ object QueriesPipeline {
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 'mix1'")} <
          |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
          |    WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    "q114_combine_first" ->
+      """WITH a AS (
+        |  SELECT event_id, value AS v FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT event_id, value * 2 AS v, user_id FROM events)
+        |SELECT event_id, COALESCE(a.v, b.v) AS v, user_id
+        |FROM a FULL OUTER JOIN b USING (event_id)""".stripMargin,
 
     "q113_group_sample" ->
       """SELECT event_id, event_type, user_id FROM (

@@ -185,6 +185,24 @@ class PandasOpsSpec extends SparkSpecBase {
     df.valueCounts("v", dropna = false).count() shouldBe 3
   }
 
+  test("combineFirst patches nulls and missing rows from the other frame") {
+    val a = Seq((1L, Some(10.0), "x1"), (2L, None, "x2"))
+      .toDF("id", "v", "only_a")
+    val b = Seq((2L, Some(200.0), true), (3L, Some(300.0), false))
+      .toDF("id", "v", "only_b")
+    val out = a.combineFirst(b, Seq("id")).orderBy("id").collect()
+    out.map(_.getLong(0)) shouldBe Array(1L, 2L, 3L)
+    // shared column: a wins where present, b patches the null and the
+    // missing row
+    out.map(r => Option(r.get(r.fieldIndex("v")))) shouldBe
+      Array(Some(10.0), Some(200.0), Some(300.0))
+    // one-sided columns pass through with nulls elsewhere
+    out.map(r => Option(r.get(r.fieldIndex("only_a")))) shouldBe
+      Array(Some("x1"), Some("x2"), None)
+    out.map(r => Option(r.get(r.fieldIndex("only_b")))) shouldBe
+      Array(None, Some(true), Some(false))
+  }
+
   test("sampleNPerGroup keeps exactly min(n, group size) rows per group") {
     val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
       .unionByName(Seq((1000L, "tiny")).toDF("id", "g"))
