@@ -107,7 +107,8 @@ object Bench {
     val headline = Seq("q01_groupby_agg", "q03_join_revenue_by_nation",
       "q08_topk", "q20_median", "q25_window_rank", "q39_resample",
       "q43_fingerprint", "q47_embed_topk", "q99_bloom_join",
-      "q104_corr_matrix", "q98_tfidf")
+      "q104_corr_matrix", "q98_tfidf", "q110_decontaminate",
+      "q113_group_sample")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

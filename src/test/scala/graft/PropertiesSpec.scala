@@ -192,6 +192,21 @@ object PropertiesSpec extends Properties("graft") {
     }
   }
 
+  property("combineFirst is idempotent: df.combineFirst(df) == df") = {
+    import graft.ops.PandasOps._
+    val rowGen2 = for {
+      id <- Gen.chooseNum(0L, 40L)
+      v <- Gen.option(Gen.chooseNum(-100L, 100L))
+      s <- Gen.option(Gen.oneOf("x", "y"))
+    } yield (id, v, s)
+    forAll(Gen.listOfN(30, rowGen2)) { rows0 =>
+      val rows = rows0.distinctBy(_._1) // unique key
+      val df = rows.toDF("id", "v", "s")
+      val out = df.combineFirst(df, Seq("id"))
+      out.exceptAll(df).isEmpty && df.exceptAll(out).isEmpty
+    }
+  }
+
   private implicit class Let[A](private val a: A) {
     def let[B](f: A => B): B = f(a)
   }
