@@ -66,6 +66,35 @@ object Similarity {
     terms.reduce(_ + _)
   }
 
+  /** Engine-portable variant of [[hyperplaneBucket]]: plane weights
+    * from the 48-bit md5 primitive ([[PipelineOps.hash48Unit]] of
+    * "p&lt;plane&gt;d&lt;dim&gt;") instead of xxhash64, so an external
+    * engine can replay bucket assignment — the ANN twin of the
+    * portable simhash (q91). Weights are w ∈ [-1, 1). */
+  def hyperplaneBucketPortable(vec: Column, planes: Int): Column = {
+    val terms = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
+          v.cast("double") *
+            (PipelineOps.hash48Unit(concat(lit(s"p${p}d"),
+              i.cast("string"))) * 2.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** [[lshTopK]] over the portable plane set (single table). */
+  def lshTopKPortable(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, planes: Int = 8): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.filter(hyperplaneBucketPortable(col(vecCol), planes) ===
+        hyperplaneBucketPortable(q, planes))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed top-k: probe only rows whose bucket matches the
     * query's bucket in ANY of the `tables` independent hash tables
     * (each table = its own hash-derived plane set, OR-probe) — recall

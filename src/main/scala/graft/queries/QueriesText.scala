@@ -128,6 +128,17 @@ object QueriesText {
         "embedding", "vec_id", q, 10, planes = 4)
     }),
 
+    // the PORTABLE hyperplane-LSH twin (md5-derived planes): DuckDB
+    // replays bucket assignment AND the probe — the ANN analogue of
+    // q91's portable simhash
+    "q115_embed_lsh_portable" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.lshTopKPortable(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, 10, planes = 4)
+    }),
+
     // LOF anomaly scores on the EXACT kNN graph (planes=0: embeddings
     // are small enough to oracle all-pairs; the LSH default is the
     // scale path). round(lof, 6): both engines derive from cosines
@@ -374,6 +385,37 @@ object QueriesText {
         |JOIN sizes sa ON inter.blk = sa.blk AND inter.id_a = sa.id
         |JOIN sizes sb ON inter.blk = sb.blk AND inter.id_b = sb.id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.9""".stripMargin,
+
+    "q115_embed_lsh_portable" -> {
+      // proj of plane p over a DOUBLE[] expression: w(p,i) =
+      // h48('p<p>d<i-1>')*2-1, folded in index order like Spark's
+      // aggregate HOF (48-bit md5 arithmetic exact in doubles)
+      def proj(p: Int, v: String): String =
+        s"""list_sum(list_transform(range(1, len($v) + 1),
+           |  i -> $v[i] * (list_sum(list_transform(range(1, 13),
+           |    j -> (strpos('0123456789abcdef',
+           |        substr(md5('p${p}d' || CAST(i - 1 AS VARCHAR)), j, 1))
+           |      - 1) * power(16, 12 - j))) / 281474976710656.0
+           |    * 2 - 1)))""".stripMargin
+      def bucket(v: String): String =
+        (0 until 4).map(p =>
+          s"(CASE WHEN ${proj(p, v)} >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, qv
+         |  FROM embeddings, q
+         |  WHERE vec_id <> 0
+         |    AND ${bucket("CAST(embedding AS DOUBLE[])")} =
+         |        ${bucket("qv")})
+         |SELECT vec_id,
+         |  round(list_dot_product(v, qv) /
+         |    (sqrt(list_dot_product(v, v)) *
+         |     sqrt(list_dot_product(qv, qv))), 6) AS cosine
+         |FROM cand
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "q47_embed_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -219,6 +219,30 @@ class LlmOpsSpec extends SparkSpecBase {
     b(0) should (be >= 0 and be < 256)
   }
 
+  test("portable LSH buckets agree between any query and its clone") {
+    val vecs = (1L to 30L).map { i =>
+      (i, Seq.tabulate(8)(d =>
+        (((i * 29 + d * 13) % 17).toFloat - 8f) / 8f))
+    }
+    val query = vecs(4)._2 // an existing vector IS the query
+    val df = vecs.toDF("id", "vec")
+    val out = Similarity.lshTopKPortable(df, "vec", "id", query, 5,
+        planes = 4)
+      .as[(Long, Double)].collect()
+    // the clone always shares the query's bucket: identical projections
+    // give identical signs — so it is returned, at cosine 1, rank 1
+    out.head shouldBe ((5L, 1.0))
+    // bucket fn deterministic across evaluations
+    val b1 = df.select(
+      Similarity.hyperplaneBucketPortable($"vec", 6).as("b"))
+      .as[Int].collect()
+    val b2 = df.select(
+      Similarity.hyperplaneBucketPortable($"vec", 6).as("b"))
+      .as[Int].collect()
+    b1 shouldBe b2
+    b1.foreach(b => b should (be >= 0 and be < 64))
+  }
+
   test("multi-table LSH OR-probe candidates are a superset of one table") {
     val vecs = (1L to 40L).map { i =>
       (i, Seq.tabulate(8)(d =>
