@@ -115,6 +115,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with a FIXED coarse quantizer: the `nLists` lowest-id
+    * vectors serve as list centroids — no iterative training, so an
+    * external engine can replay the index end-to-end (the oracle-able
+    * twin of [[ivfTopK]], whose MLlib kmeans|| centroids are internal
+    * float state). Assignment = argmax round(cosine, 6) over the
+    * centroids (ties → lowest centroid index); probe = the `nProbe`
+    * lists nearest the query by the same rule. Same probe mechanics
+    * and partition-pruning story as ivfTopK; list balance depends on
+    * the data rather than on Lloyd refinement. */
+  def ivfTopKPortable(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nLists: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    val cents = df.orderBy(col(idCol)).limit(nLists)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0)).zipWithIndex
+    require(cents.nonEmpty, "ivfTopKPortable: empty input")
+    def centArr(c: Seq[Float]): Column = array(c.map(lit): _*)
+    // argmax over (rounded cosine, -index): struct max picks the
+    // highest similarity, then the lowest centroid index
+    val assign = array_max(array(cents.map { case (c, ci) =>
+      struct(round(cosine(col(vecCol), centArr(c)), 6).as("s"),
+        lit(-ci).as("negc"))
+    }: _*)).getField("negc") * -1
+    val q = array(query.map(lit): _*)
+    val probe = cents.map { case (c, ci) =>
+      val cos = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        c.zip(query).foreach { case (a, b) =>
+          dot += a.toDouble * b.toDouble
+          na += a.toDouble * a.toDouble; nb += b.toDouble * b.toDouble
+        }
+        BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      (cos, ci)
+    }.sortBy { case (cos, ci) => (-cos, ci) }.take(nProbe).map(_._2)
+    df.withColumn("ivf_list", assign)
+      .filter(col("ivf_list").isin(probe: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-style ANN: k-means centroids define inverted lists; probes
     * scan only the nProbe nearest lists. Centroids are tiny (k×dim,
     * driver-held literals); assignment is a map-side expression. At

@@ -128,6 +128,17 @@ object QueriesText {
         "embedding", "vec_id", q, 10, planes = 4)
     }),
 
+    // the PORTABLE IVF twin (fixed coarse quantizer = the 8 lowest-id
+    // vectors): DuckDB replays assignment, probe selection and the
+    // candidate ranking — q77's oracle-able counterpart
+    "q116_ivf_portable" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.ivfTopKPortable(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, 10, nLists = 8, nProbe = 2)
+    }),
+
     // the PORTABLE hyperplane-LSH twin (md5-derived planes): DuckDB
     // replays bucket assignment AND the probe — the ANN analogue of
     // q91's portable simhash
@@ -385,6 +396,39 @@ object QueriesText {
         |JOIN sizes sa ON inter.blk = sa.blk AND inter.id_a = sa.id
         |JOIN sizes sb ON inter.blk = sb.blk AND inter.id_b = sb.id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.9""".stripMargin,
+
+    "q116_ivf_portable" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+        |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+        |assign AS (
+        |  SELECT vec_id, v, ci FROM (
+        |    SELECT vec_id, v, ci, row_number() OVER (
+        |      PARTITION BY vec_id
+        |      ORDER BY round(list_dot_product(v, cv) /
+        |        (sqrt(list_dot_product(v, v)) *
+        |         sqrt(list_dot_product(cv, cv))), 6) DESC, ci) AS rn
+        |    FROM v CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT ci FROM (
+        |    SELECT ci, row_number() OVER (
+        |      ORDER BY round(list_dot_product(qv, cv) /
+        |        (sqrt(list_dot_product(qv, qv)) *
+        |         sqrt(list_dot_product(cv, cv))), 6) DESC, ci) AS rn
+        |    FROM c, q)
+        |  WHERE rn <= 2)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv) /
+        |    (sqrt(list_dot_product(v, v)) *
+        |     sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        |FROM assign JOIN probe USING (ci), q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "q115_embed_lsh_portable" -> {
       // proj of plane p over a DOUBLE[] expression: w(p,i) =

@@ -219,6 +219,29 @@ class LlmOpsSpec extends SparkSpecBase {
     b(0) should (be >= 0 and be < 256)
   }
 
+  test("portable IVF probing every list equals brute force") {
+    val vecs = (1L to 40L).map { i =>
+      (i, Seq.tabulate(6)(d =>
+        (((i * 23 + d * 11) % 13).toFloat - 6f) / 6f))
+    }.toDF("id", "vec")
+    val q = Seq.tabulate(6)(d => ((d % 4).toFloat - 1.5f) / 1.5f)
+    val brute = Similarity.bruteForceTopK(vecs, "vec", "id", q, 7)
+      .as[(Long, Double)].collect()
+    // nProbe = nLists probes everything: list assignment must be a
+    // true partition of the rows (nothing silently dropped)
+    val full = Similarity.ivfTopKPortable(vecs, "vec", "id", q, 7,
+        nLists = 4, nProbe = 4)
+      .as[(Long, Double)].collect()
+    full shouldBe brute
+    // a narrower probe returns a subset of the full candidate set
+    val narrow = Similarity.ivfTopKPortable(vecs, "vec", "id", q, 40,
+        nLists = 4, nProbe = 1).select("id").as[Long].collect().toSet
+    val all = Similarity.ivfTopKPortable(vecs, "vec", "id", q, 40,
+        nLists = 4, nProbe = 4).select("id").as[Long].collect().toSet
+    narrow.subsetOf(all) shouldBe true
+    narrow.size should be < all.size
+  }
+
   test("portable LSH buckets agree between any query and its clone") {
     val vecs = (1L to 30L).map { i =>
       (i, Seq.tabulate(8)(d =>
