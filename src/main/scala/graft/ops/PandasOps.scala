@@ -392,6 +392,20 @@ object PandasOps {
         withReplacement: Boolean = false): DataFrame =
       df.sample(withReplacement, fraction, seed)
 
+    /** Grouped string concatenation (pandas groupby + str.cat / SQL
+      * LISTAGG): values sorted before joining so the result is
+      * deterministic under any partitioning. `distinct` collapses
+      * duplicates first. One grouped aggregate — collect_set/list is
+      * per-group bounded; keep value domains per group modest. */
+    def stringAgg(keyCols: Seq[String], valueCol: String,
+        sep: String = ",", distinct: Boolean = true): DataFrame = {
+      val v = col(valueCol).cast("string")
+      val collected = if (distinct) collect_set(v) else collect_list(v)
+      df.filter(v.isNotNull)
+        .groupBy(keyCols.map(col): _*)
+        .agg(array_join(array_sort(collected), sep).as(s"${valueCol}_agg"))
+    }
+
     /** pandas combine_first (keyed): union of rows by key; shared
       * columns take this frame's value and fall back to `other`'s,
       * columns unique to either side pass through. One full-outer

@@ -114,6 +114,14 @@ object QueriesPipeline {
         defaultRate = 0.1, salt = "mix1")
         .select("doc_id", "source", "lang")),
 
+    // grouped string concatenation, sorted for determinism
+    "q117_string_agg" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      t(s, d, "events")
+        .withColumn("bucket", pmod(col("user_id"), lit(17)))
+        .stringAgg(Seq("event_type"), "bucket")
+    }),
+
     // pandas combine_first: patch the even-id slice with the doubled
     // full table — shared column coalesces, extra column passes through
     "q114_combine_first" -> ((s, d) => {
@@ -282,6 +290,13 @@ object QueriesPipeline {
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 'mix1'")} <
          |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
          |    WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    "q117_string_agg" ->
+      """SELECT event_type, string_agg(v, ',' ORDER BY v) AS bucket_agg
+        |FROM (SELECT DISTINCT event_type,
+        |        CAST(user_id % 17 AS VARCHAR) AS v
+        |      FROM events WHERE user_id IS NOT NULL)
+        |GROUP BY 1""".stripMargin,
 
     "q114_combine_first" ->
       """WITH a AS (

@@ -185,6 +185,18 @@ class PandasOpsSpec extends SparkSpecBase {
     df.valueCounts("v", dropna = false).count() shouldBe 3
   }
 
+  test("stringAgg joins sorted distinct values, skipping nulls") {
+    val df = Seq(("a", Some("z")), ("a", Some("m")), ("a", Some("z")),
+      ("a", None), ("b", Some("q"))).toDF("k", "v")
+    val out = df.stringAgg(Seq("k"), "v", sep = "|")
+      .as[(String, String)].collect().toMap
+    out shouldBe Map("a" -> "m|z", "b" -> "q")
+    // keep duplicates when distinct = false
+    df.stringAgg(Seq("k"), "v", sep = "|", distinct = false)
+      .as[(String, String)].collect().toMap
+      .apply("a") shouldBe "m|z|z"
+  }
+
   test("combineFirst patches nulls and missing rows from the other frame") {
     val a = Seq((1L, Some(10.0), "x1"), (2L, None, "x2"))
       .toDF("id", "v", "only_a")
