@@ -109,6 +109,40 @@ object PandasOps {
        else g.pivot(pivotCol, values)).agg(agg)
     }
 
+    /** pivot_table margins=True: the body plus an `All` column (agg
+      * across pivot values per index row) and an `All` row (agg
+      * across index values per pivot value, with the grand total in
+      * the corner). Margins re-aggregate the UNDERLYING rows — the
+      * pandas semantics, which differs from summing pivot cells for
+      * non-additive aggs like mean. Index columns come back as
+      * strings to carry the margin label. Three grouped aggregates
+      * over the same scan; no driver state. */
+    def pivotTableMargins(index: Seq[String], pivotCol: String,
+        agg: Column, values: Seq[Any] = Nil,
+        marginsName: String = "All"): DataFrame = {
+      val strIdx = df.select(
+        index.map(c => col(c).cast("string").as(c)) ++
+          df.columns.filterNot(index.contains).map(col): _*)
+      val g = strIdx.groupBy(index.map(col): _*)
+      val body = (if (values.isEmpty) g.pivot(pivotCol)
+        else g.pivot(pivotCol, values)).agg(agg)
+      val colMargin = strIdx.groupBy(index.map(col): _*)
+        .agg(agg.as(marginsName))
+      val gAll = strIdx.groupBy()
+      val rowMargin = (if (values.isEmpty) gAll.pivot(pivotCol)
+        else gAll.pivot(pivotCol, values)).agg(agg)
+        .crossJoin(strIdx.agg(agg.as(marginsName)))
+        .select(index.map(_ => lit(marginsName)).zip(index)
+          .map { case (l, c) => l.as(c) } ++
+          body.columns.filterNot(index.contains).map(col) :+
+          col(marginsName).as(marginsName): _*)
+      body.join(colMargin, index)
+        .select(index.map(col) ++
+          body.columns.filterNot(index.contains).map(col) :+
+          col(marginsName): _*)
+        .unionByName(rowMargin)
+    }
+
     /** crosstab contingency counts
       * (src/dataframe/pandas_compat/functions.rs:2138). */
     def crosstab2(a: String, b: String): DataFrame =

@@ -114,6 +114,16 @@ object QueriesPipeline {
         defaultRate = 0.1, salt = "mix1")
         .select("doc_id", "source", "lang")),
 
+    // pivot_table margins=True: All row/column re-aggregate the
+    // underlying rows (exact integer cents)
+    "q118_pivot_margins" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      t(s, d, "lineitem")
+        .withColumn("qc", cents(col("l_quantity")))
+        .pivotTableMargins(Seq("l_returnflag"), "l_linestatus",
+          sum(col("qc")), values = Seq("F", "O"))
+    }),
+
     // grouped string concatenation, sorted for determinism
     "q117_string_agg" -> ((s, d) => {
       import graft.ops.PandasOps._
@@ -290,6 +300,23 @@ object QueriesPipeline {
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 'mix1'")} <
          |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
          |    WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    "q118_pivot_margins" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem)
+        |SELECT rf AS l_returnflag,
+        |  CAST(sum(CASE WHEN ls = 'F' THEN qc END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN ls = 'O' THEN qc END) AS BIGINT) AS O,
+        |  CAST(sum(qc) AS BIGINT) AS "All"
+        |FROM src GROUP BY 1
+        |UNION ALL
+        |SELECT 'All',
+        |  CAST(sum(CASE WHEN ls = 'F' THEN qc END) AS BIGINT),
+        |  CAST(sum(CASE WHEN ls = 'O' THEN qc END) AS BIGINT),
+        |  CAST(sum(qc) AS BIGINT)
+        |FROM src""".stripMargin,
 
     "q117_string_agg" ->
       """SELECT event_type, string_agg(v, ',' ORDER BY v) AS bucket_agg

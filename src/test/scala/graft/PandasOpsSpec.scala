@@ -185,6 +185,24 @@ class PandasOpsSpec extends SparkSpecBase {
     df.valueCounts("v", dropna = false).count() shouldBe 3
   }
 
+  test("pivotTableMargins re-aggregates underlying rows, not cells") {
+    val df = Seq(("a", "x", 1.0), ("a", "x", 3.0), ("b", "x", 5.0),
+      ("a", "y", 4.0)).toDF("k", "p", "v")
+    val out = df.pivotTableMargins(Seq("k"), "p", avg($"v"),
+        values = Seq("x", "y"))
+      .orderBy("k").collect()
+    out.map(_.getString(0)) shouldBe Array("All", "a", "b")
+    val all = out(0); val a = out(1); val b = out(2)
+    a.getDouble(a.fieldIndex("x")) shouldBe 2.0
+    a.getDouble(a.fieldIndex("y")) shouldBe 4.0
+    a.getDouble(a.fieldIndex("All")) shouldBe 8.0 / 3 +- 1e-9
+    b.isNullAt(b.fieldIndex("y")) shouldBe true
+    b.getDouble(b.fieldIndex("All")) shouldBe 5.0
+    // margin of x is avg(1,3,5)=3 — NOT the cell average (2+5)/2=3.5
+    all.getDouble(all.fieldIndex("x")) shouldBe 3.0
+    all.getDouble(all.fieldIndex("All")) shouldBe 3.25
+  }
+
   test("stringAgg joins sorted distinct values, skipping nulls") {
     val df = Seq(("a", Some("z")), ("a", Some("m")), ("a", Some("z")),
       ("a", None), ("b", Some("q"))).toDF("k", "v")
