@@ -114,6 +114,30 @@ object QueriesPipeline {
         defaultRate = 0.1, salt = "mix1")
         .select("doc_id", "source", "lang")),
 
+    // group filter (pandas groupby().filter): whole ROWS of groups
+    // passing an aggregate predicate survive — verified through
+    // row-level aggregates of the filtered frame
+    "q119_group_filter" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      t(s, d, "lineitem")
+        .withColumn("qc", cents(col("l_quantity")))
+        .groupFilter(Seq("l_suppkey"), sum(col("qc")) > 800000)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          sum(col("qc")).as("sum_qc"))
+    }),
+
+    // idxmax/idxmin per group over a collision-free ranking metric
+    // (cents * 2^40 + id keeps the argmax unique, so max_by is
+    // deterministic and cross-engine comparable)
+    "q120_idxmax" -> ((s, d) => {
+      val m = cents(col("value")) * lit(1099511627776L) + col("event_id")
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(max_by(col("event_id"), m).as("idx_of_max"),
+          min_by(col("event_id"), m).as("idx_of_min"))
+    }),
+
     // pivot_table margins=True: All row/column re-aggregate the
     // underlying rows (exact integer cents)
     "q118_pivot_margins" -> ((s, d) => {
@@ -300,6 +324,30 @@ object QueriesPipeline {
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 'mix1'")} <
          |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
          |    WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    "q119_group_filter" ->
+      """WITH keep AS (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_suppkey,
+        |      sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s
+        |    FROM lineitem GROUP BY 1)
+        |  WHERE s > 800000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qc
+        |FROM lineitem l JOIN keep k ON l.l_suppkey = k.l_suppkey""".stripMargin,
+
+    "q120_idxmax" ->
+      """WITH m AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) * 1099511627776
+        |      + event_id AS mv
+        |  FROM events)
+        |SELECT event_type,
+        |  arg_max(event_id, mv) AS idx_of_max,
+        |  arg_min(event_id, mv) AS idx_of_min
+        |FROM m GROUP BY 1""".stripMargin,
 
     "q118_pivot_margins" ->
       """WITH src AS (
