@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.graphops.GraphOps
 import graft.timeseries.TimeSeriesOps
+import graft.stats.StatsOps
 import Q._
 
 /** Statistics (§2.12), time series (§2.11), graph (§2.14). Test
@@ -41,6 +42,43 @@ object QueriesStats {
           last(when(col("event_type") === "signup", cents(col("value"))),
             ignoreNulls = true).over(w))
         .select("event_id", "user_id", "last_signup_c")
+    }),
+
+    // §2.11 date_range generator vs generate_series
+    "q121_date_range" -> ((s, d) =>
+      TimeSeriesOps.dateRange(s,
+        "2024-01-01", "2024-03-31", "6 hours")),
+
+    // §2.12 Cramér's V from the q60 contingency arithmetic
+    "q122_cramers_v" -> ((s, d) =>
+      StatsOps.cramersV(
+        t(s, d, "events")
+          .withColumn("ub", pmod(col("user_id"), lit(5)).cast("long")),
+        "event_type", "ub")
+        .select(round(col("cramers_v"), 6).as("cramers_v"))),
+
+    // §2.12 IQR outliers: both engines use the (n-1)p linear
+    // interpolation quantile over exact integer cents
+    "q123_outliers_iqr" -> ((s, d) =>
+      StatsOps.outliersIqr(
+        t(s, d, "lineitem").select(cents(col("l_quantity")).as("qc")),
+        "qc", k = 1.0)
+        .agg(sum(when(col("is_outlier"), 1L).otherwise(0L))
+          .as("n_outliers"),
+          count(lit(1)).as("n_rows"))),
+
+    // §2.14 BFS distances from nation 0 over the same-region clique
+    // graph (bounded recursive-CTE oracle; unreachable stay null)
+    "q124_bfs" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val a = n.select(col("n_nationkey").as("src"),
+        col("n_regionkey").as("r"))
+      val b = n.select(col("n_nationkey").as("dst"),
+        col("n_regionkey").as("r"))
+      val edges = a.join(b, Seq("r"))
+        .filter(col("src") =!= col("dst")).select("src", "dst")
+      GraphOps.bfsDistances(edges, Seq(0))
+        .select(col("id").cast("long"), col("dist").cast("long"))
     }),
 
     // §2.14 graph degree on the supplier→part bipartite graph
@@ -284,6 +322,58 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q121_date_range" ->
+      """SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |  TIMESTAMP '2024-03-31', INTERVAL 6 HOUR)) AS ts""".stripMargin,
+
+    "q122_cramers_v" ->
+      """WITH e AS (SELECT event_type, user_id % 5 AS ub FROM events),
+        |obs AS (SELECT event_type, ub, count(*) AS o FROM e GROUP BY 1, 2),
+        |ra AS (SELECT event_type, count(*) AS ra FROM e GROUP BY 1),
+        |rb AS (SELECT ub, count(*) AS rb FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM e),
+        |k AS (SELECT least(count(DISTINCT event_type),
+        |    count(DISTINCT ub)) AS kmin FROM e),
+        |chi AS (
+        |  SELECT sum(dev * dev / ex) AS chi2 FROM (
+        |    SELECT (CAST(o AS DOUBLE) - CAST(ra.ra AS DOUBLE)
+        |        * CAST(rb.rb AS DOUBLE) / CAST(nn AS DOUBLE)) AS dev,
+        |      (CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE)
+        |        / CAST(nn AS DOUBLE)) AS ex
+        |    FROM obs JOIN ra USING (event_type) JOIN rb USING (ub), n))
+        |SELECT round(sqrt(chi2 / (CAST(nn AS DOUBLE) * (kmin - 1))), 6)
+        |  AS cramers_v
+        |FROM chi, n, k""".stripMargin,
+
+    "q123_outliers_iqr" ->
+      """WITH src AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem),
+        |q AS (SELECT quantile_cont(qc, 0.25) AS q1,
+        |    quantile_cont(qc, 0.75) AS q3 FROM src)
+        |SELECT CAST(sum(CASE WHEN qc < q1 - (q3 - q1) * 1.0
+        |    OR qc > q3 + (q3 - q1) * 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM src, q""".stripMargin,
+
+    "q124_bfs" ->
+      """WITH RECURSIVE nn AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_regionkey AS r
+        |  FROM nation),
+        |e AS (
+        |  SELECT a.id AS src, b.id AS dst
+        |  FROM nn a JOIN nn b ON a.r = b.r AND a.id <> b.id),
+        |walk(id, dist) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM walk w JOIN e ON e.src = w.id WHERE w.dist < 15),
+        |md AS (SELECT id, min(dist) AS dist FROM walk GROUP BY 1)
+        |SELECT v.id, md.dist
+        |FROM (SELECT DISTINCT src AS id FROM e) v
+        |LEFT JOIN md USING (id)""".stripMargin,
     "q39_resample" ->
       """SELECT date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
