@@ -81,6 +81,31 @@ object QueriesStats {
         .select(col("id").cast("long"), col("dist").cast("long"))
     }),
 
+    // §2.14 weighted shortest paths (distributed Bellman-Ford) from
+    // nation 0 over same-region cliques with deterministic weights
+    "q125_sssp" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val a = n.select(col("n_nationkey").cast("long").as("src"),
+        col("n_regionkey").as("r"))
+      val b = n.select(col("n_nationkey").cast("long").as("dst"),
+        col("n_regionkey").as("r"))
+      val edges = a.join(b, Seq("r"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          (lit(1) + pmod(col("src") + col("dst"), lit(3)))
+            .cast("double").as("weight"))
+      GraphOps.shortestPaths(edges, 0L)
+        .select(col("id").cast("long"), col("dist"))
+    }),
+
+    // §2.12 normalized mutual information over the q60 contingency
+    "q126_nmi" -> ((s, d) =>
+      StatsOps.normalizedMutualInfo(
+        t(s, d, "events")
+          .withColumn("ub", pmod(col("user_id"), lit(5)).cast("long")),
+        "event_type", "ub")
+        .select(round(col("nmi"), 6).as("nmi"))),
+
     // §2.14 graph degree on the supplier→part bipartite graph
     "q52_graph_degree" -> ((s, d) => {
       val edges = t(s, d, "lineitem")
@@ -322,6 +347,39 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q125_sssp" ->
+      """WITH RECURSIVE nn AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_regionkey AS r
+        |  FROM nation),
+        |e AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    CAST(1 + (a.id + b.id) % 3 AS DOUBLE) AS w
+        |  FROM nn a JOIN nn b ON a.r = b.r AND a.id <> b.id),
+        |walk(id, dist, hops) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS DOUBLE) AS dist,
+        |    0 AS hops
+        |  UNION
+        |  SELECT e.dst, w.dist + e.w, w.hops + 1
+        |  FROM walk w JOIN e ON e.src = w.id WHERE w.hops < 5),
+        |md AS (SELECT id, min(dist) AS dist FROM walk GROUP BY 1)
+        |SELECT v.id, md.dist
+        |FROM nn v LEFT JOIN md USING (id)""".stripMargin,
+
+    "q126_nmi" ->
+      """WITH e AS (SELECT event_type, user_id % 5 AS ub FROM events),
+        |obs AS (SELECT event_type, ub, count(*) AS nxy FROM e GROUP BY 1, 2),
+        |ma AS (SELECT event_type, count(*) AS nx FROM e GROUP BY 1),
+        |mb AS (SELECT ub, count(*) AS ny FROM e GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM e),
+        |mi AS (
+        |  SELECT sum((nxy / nn) * ln((nxy * nn) / (CAST(nx AS DOUBLE)
+        |    * CAST(ny AS DOUBLE)))) AS mi
+        |  FROM obs JOIN ma USING (event_type) JOIN mb USING (ub), n),
+        |hx AS (SELECT -sum((nx / nn) * ln(nx / nn)) AS hx FROM ma, n),
+        |hy AS (SELECT -sum((ny / nn) * ln(ny / nn)) AS hy FROM mb, n)
+        |SELECT round(mi / sqrt(hx * hy), 6) AS nmi
+        |FROM mi, hx, hy""".stripMargin,
 
     "q121_date_range" ->
       """SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
