@@ -98,6 +98,22 @@ object QueriesStats {
         .select(col("id").cast("long"), col("dist"))
     }),
 
+    // §2.11 classical additive decomposition (statsmodels 2×m MA
+    // trend, re-centered per-phase seasonality) of the hourly
+    // resampled per-type series — the resample→decompose pipeline
+    "q127_decompose" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+      TimeSeriesOps.decomposeAdditive(hourly, "bucket", "v", 24,
+          Seq("event_type"))
+        .select(col("event_type"), col("bucket"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("resid"), 6).as("resid"))
+    }),
+
     // §2.12 normalized mutual information over the q60 contingency
     "q126_nmi" -> ((s, d) =>
       StatsOps.normalizedMutualInfo(
@@ -365,6 +381,38 @@ object QueriesStats {
         |md AS (SELECT id, min(dist) AS dist FROM walk GROUP BY 1)
         |SELECT v.id, md.dist
         |FROM nn v LEFT JOIN md USING (id)""".stripMargin,
+
+    "q127_decompose" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bucket, v,
+        |    row_number() OVER pk - 1 AS rn,
+        |    CASE WHEN count(v) OVER wa = 24 AND count(v) OVER wb = 24
+        |      THEN (avg(v) OVER wa + avg(v) OVER wb) / 2 END AS trend
+        |  FROM hourly
+        |  WINDOW
+        |    pk AS (PARTITION BY event_type ORDER BY bucket),
+        |    wa AS (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+        |    wb AS (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |ph AS (SELECT *, rn % 24 AS phase FROM w),
+        |raws AS (
+        |  SELECT event_type, phase, avg(v - trend) AS rs
+        |  FROM ph WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |ms AS (SELECT event_type, avg(rs) AS m FROM raws GROUP BY 1),
+        |seas AS (
+        |  SELECT r.event_type, r.phase, r.rs - ms.m AS seasonal
+        |  FROM raws r JOIN ms USING (event_type))
+        |SELECT p.event_type, p.bucket,
+        |  round(p.trend, 6) AS trend,
+        |  round(s.seasonal, 6) AS seasonal,
+        |  round(p.v - p.trend - s.seasonal, 6) AS resid
+        |FROM ph p LEFT JOIN seas s
+        |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
 
     "q126_nmi" ->
       """WITH e AS (SELECT event_type, user_id % 5 AS ub FROM events),
