@@ -266,4 +266,107 @@ object PipelineOps {
     df.filter(
       hash48Unit(concat(col(keyCol).cast("string"), lit(salt))) < rate)
   }
+
+  /** C4-style corpus-level paragraph dedup with reassembly: split
+    * each document on `sep`, keep only the globally FIRST occurrence
+    * of every distinct non-blank paragraph (first = smallest
+    * (id, position)), and rebuild each document from its surviving
+    * paragraphs in original order.
+    *
+    * Scale shape: first-occurrence is a groupBy(paragraph) min-struct
+    * aggregate (map-side combinable — a paragraph duplicated a
+    * million times still reduces to one row before the shuffle), then
+    * one join back and one groupBy(id) to reassemble. No windows over
+    * the paragraph domain, no driver state.
+    *
+    * Returns (idCol, n_lines, n_kept, text_clean) where text_clean is
+    * null when every paragraph of the document was seen earlier. */
+  def paragraphDedup(docs: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("__id__"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__pos__", "__l__")))
+      .filter(length(trim(col("__l__"))) > 0)
+    val first = lines
+      .groupBy(col("__l__"))
+      .agg(min(struct(col("__id__"), col("__pos__"))).as("__first__"))
+    lines.join(first, "__l__")
+      .withColumn("__keep__",
+        col("__id__") === col("__first__.__id__") &&
+          col("__pos__") === col("__first__.__pos__"))
+      .groupBy(col("__id__").as(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep__"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("__keep__"),
+          struct(col("__pos__"), col("__l__"))))).as("__ls__"))
+      .withColumn("text_clean",
+        when(size(col("__ls__")) > 0,
+          concat_ws(sep, transform(col("__ls__"), x => x("__l__")))))
+      .drop("__ls__")
+  }
+
+  /** Corpus-fit word-bigram language-model score: the CCNet/KenLM
+    * quality signal re-expressed self-contained — fit the MLE bigram
+    * model P(w₂|w₁) = c(w₁w₂)/c(w₁·) on the corpus itself (c(w₁·)
+    * counts bigram STARTS, so the conditional sums to 1 exactly),
+    * then score every document by its mean log-probability. Unusually
+    * low scores ⇒ gibberish; unusually high ⇒ boilerplate — the
+    * standard two-sided filter.
+    *
+    * Two count aggregates (map-side combinable), two equi-joins on
+    * bounded vocab keys, one per-doc aggregate — every stage scales.
+    * Returns (idCol, n_bigrams, avg_logprob round 6); documents with
+    * fewer than two tokens score null. */
+  def bigramLmScore(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val bg = docs
+      .select(col(idCol).as("__id__"), explode(
+        when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            concat_ws(" ", element_at(toks, i),
+              element_at(toks, i + 1)).as("big"))))
+          .otherwise(array())).as("g"))
+      .select(col("__id__"), col("g.w1"), col("g.big"))
+    val bigC = bg.groupBy("big").agg(count(lit(1)).as("cb"))
+    val uniC = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val scored = bg.join(bigC, "big").join(uniC, "w1")
+      .groupBy(col("__id__"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(col("cb").cast("double") / col("cu")))
+          .as("__lp__"))
+    docs.select(col(idCol).as("__id__")).distinct()
+      .join(scored, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__lp__"), 6).as("avg_logprob"))
+  }
+
+  /** Pretraining sequence packing (concat-and-chunk): documents are
+    * hash-bucketed (the distributed analog of a global shuffle),
+    * deterministically ordered within each bucket by the portable
+    * hash, virtually concatenated, and chunked into fixed
+    * `capacity`-token context windows; a document's pack is the
+    * window its first token lands in. One window cumsum per bucket —
+    * buckets bound partition size, so the plan has no global sort and
+    * scales with the bucket count. Returns
+    * (idCol, bucket, pack, start_tok, n_tokens). */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+      capacity: Int, buckets: Int, salt: String = ""): DataFrame = {
+    require(capacity > 0 && buckets > 0, "capacity and buckets must be > 0")
+    val h = hash48Unit(concat(col(idCol).cast("string"), lit(salt)))
+    val d = docs.select(col(idCol).as("__id__"), h.as("__h__"),
+      size(TextFunctions.tokens(col(textCol))).cast("long")
+        .as("n_tokens"))
+      .withColumn("bucket", floor(col("__h__") * buckets).cast("long"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("__h__"), col("__id__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack", floor(col("start_tok").cast("double") / capacity)
+        .cast("long"))
+      .select(col("__id__").as(idCol), col("bucket"), col("pack"),
+        col("start_tok"), col("n_tokens"))
+  }
 }

@@ -20,7 +20,33 @@ object QueriesPipeline {
        |    i -> (strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1)
        |      * power(16, 12 - i))) / 281474976710656.0""".stripMargin
 
+  /** Spark-side derived multi-line corpus: the synthetic documents
+    * are single-line, so chunk each doc's words into 4-word lines —
+    * the oracle builds the identical corpus with list slicing. */
+  private def chunkedDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val words = TextFunctions.tokens(col("text"))
+    t(s, d, "documents").select(col("doc_id"),
+      concat_ws("\n", transform(
+        sequence(lit(0), ceil(size(words) / lit(4.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(words, i * 4 + 1, lit(4))))).as("text"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+
+    // C4-style paragraph-level dedup with document reassembly over
+    // the chunked corpus (~450 duplicate lines at sf0.001)
+    "q128_paragraph_dedup" -> ((s, d) =>
+      PipelineOps.paragraphDedup(chunkedDocs(s, d), "text", "doc_id")),
+
+    // corpus-fit bigram LM quality score (the CCNet/KenLM signal)
+    "q129_bigram_lm" -> ((s, d) =>
+      PipelineOps.bigramLmScore(t(s, d, "documents"), "text", "doc_id")),
+
+    // pretraining sequence packing: 256-token windows, 8 hash buckets
+    "q130_pack_sequences" -> ((s, d) =>
+      PipelineOps.packSequences(t(s, d, "documents"), "text", "doc_id",
+        capacity = 256, buckets = 8, salt = "pk")),
 
     // PII redaction: emails / IPv4 / phone numbers synthesized from
     // row fields (the corpus itself is clean word soup), then redacted
@@ -244,6 +270,76 @@ object QueriesPipeline {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    "q128_paragraph_dedup" ->
+      raw"""WITH words AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'),
+        |    x -> length(x) > 0) AS w
+        |  FROM documents),
+        |chunked AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(w[i*4+1 : i*4+4], ' ') AS line
+        |  FROM words,
+        |    unnest(range(0, CAST(ceil(len(w) / 4.0) AS INT))) AS t(i)),
+        |nz AS (SELECT * FROM chunked WHERE length(trim(line)) > 0),
+        |k AS (
+        |  SELECT doc_id, pos, line, row_number() OVER (
+        |    PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM nz)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+        |    ORDER BY pos) AS text_clean
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "q129_bigram_lm" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS big
+        |  FROM toks, unnest(range(1, CAST(len(tk) AS INT))) AS t(i)),
+        |bc AS (SELECT big, count(*) AS cb FROM bg GROUP BY 1),
+        |uc AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, ln(CAST(cb AS DOUBLE) / cu) AS lp
+        |  FROM bg JOIN bc USING (big) JOIN uc USING (w1)),
+        |ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(avg(lp), 6) AS avg_logprob
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ag.n_bigrams, 0) AS n_bigrams,
+        |  ag.avg_logprob
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN ag USING (doc_id)""".stripMargin,
+
+    "q130_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ${h48("CAST(doc_id AS VARCHAR) || 'pk'")} AS h,
+         |    CAST(len(list_filter(
+         |      regexp_split_to_array(trim(text), '\\s+'),
+         |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(floor(h * 8) AS BIGINT) AS bucket,
+         |    h, n_tokens
+         |  FROM d),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+         |      AS BIGINT) AS start_tok
+         |  FROM b)
+         |SELECT doc_id, bucket,
+         |  CAST(floor(CAST(start_tok AS DOUBLE) / 256) AS BIGINT)
+         |    AS pack,
+         |  start_tok, n_tokens
+         |FROM c""".stripMargin,
 
     "q110_decontaminate" ->
       raw"""WITH toks AS (

@@ -234,6 +234,62 @@ class PipelineOpsSpec extends SparkSpecBase {
       .toSet shouldBe plain
   }
 
+  test("paragraphDedup keeps first occurrence and reassembles in order") {
+    val docs = Seq(
+      (1L, "a b\nc d\na b"), // "a b" repeats within the doc
+      (2L, "c d\ne f"),      // "c d" already seen in doc 1
+      (3L, "c d"),           // every line seen -> null text_clean
+      (4L, "  \nx y")        // blank line is not a paragraph
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.paragraphDedup(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    out(1L) shouldBe ((3L, 2L, Some("a b\nc d")))
+    out(2L) shouldBe ((2L, 1L, Some("e f")))
+    out(3L) shouldBe ((1L, 0L, None))
+    out(4L) shouldBe ((1L, 1L, Some("x y")))
+  }
+
+  test("bigramLmScore is the corpus-fit conditional MLE") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z")
+    ).toDF("doc_id", "text")
+    // c(a b)=2, c(a c)=1, c(a .)=3
+    val out = PipelineOps.bigramLmScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.toString.toDouble))).toMap
+    out(1L)._1 shouldBe 1L
+    out(1L)._2.get shouldBe math.log(2.0 / 3.0) +- 1e-5
+    out(3L)._2.get shouldBe math.log(1.0 / 3.0) +- 1e-5
+    out(4L) shouldBe ((0L, None)) // single token: no bigram
+  }
+
+  test("packSequences: contiguous offsets, correct pack ids, stable") {
+    val docs = (0L until 200L)
+      .map(i => (i, ("w " * (1 + (i % 7).toInt)).trim))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.packSequences(docs, "text", "doc_id",
+      capacity = 10, buckets = 4, salt = "t")
+    out.count() shouldBe 200
+    val rows = out.collect().map(r => (r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(0)))
+    // within a bucket, sorted by start_tok: offsets are contiguous
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._3)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        b._3 shouldBe a._3 + a._4 // next start = prev start + n_tokens
+      }
+      sorted.foreach { r =>
+        r._2 shouldBe math.floor(r._3.toDouble / 10).toLong
+      }
+    }
+    // deterministic across runs
+    val again = PipelineOps.packSequences(docs, "text", "doc_id",
+      capacity = 10, buckets = 4, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    rows.map(r => r._5 -> r._2).toMap shouldBe again
+  }
+
   test("redactPii replaces emails, IPs and phone numbers") {
     val df = Seq(
       "mail bob.smith+x@sub.example.org end",
