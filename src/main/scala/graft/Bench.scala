@@ -108,7 +108,8 @@ object Bench {
       "q08_topk", "q20_median", "q25_window_rank", "q39_resample",
       "q43_fingerprint", "q47_embed_topk", "q99_bloom_join",
       "q104_corr_matrix", "q98_tfidf", "q110_decontaminate",
-      "q113_group_sample")
+      "q113_group_sample", "q128_paragraph_dedup", "q129_bigram_lm",
+      "q130_pack_sequences")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

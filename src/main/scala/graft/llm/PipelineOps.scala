@@ -273,11 +273,13 @@ object PipelineOps {
     * (id, position)), and rebuild each document from its surviving
     * paragraphs in original order.
     *
-    * Scale shape: first-occurrence is a groupBy(paragraph) min-struct
-    * aggregate (map-side combinable — a paragraph duplicated a
-    * million times still reduces to one row before the shuffle), then
-    * one join back and one groupBy(id) to reassemble. No windows over
-    * the paragraph domain, no driver state.
+    * Scale shape: two shuffles total. First-occurrence is an
+    * unordered-frame min-struct WINDOW over `partition by paragraph`
+    * — every copy of a paragraph must move once no matter what (a
+    * groupBy+join-back formulation shuffles the same rows a second
+    * time for the join), and a paragraph duplicated a million times
+    * is a single linear streaming min in one task, not a hot join
+    * key. Then one groupBy(id) reassembles. No driver state.
     *
     * Returns (idCol, n_lines, n_kept, text_clean) where text_clean is
     * null when every paragraph of the document was seen earlier. */
@@ -288,10 +290,10 @@ object PipelineOps {
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("__pos__", "__l__")))
       .filter(length(trim(col("__l__"))) > 0)
-    val first = lines
-      .groupBy(col("__l__"))
-      .agg(min(struct(col("__id__"), col("__pos__"))).as("__first__"))
-    lines.join(first, "__l__")
+    val wLine = Window.partitionBy(col("__l__"))
+    lines
+      .withColumn("__first__",
+        min(struct(col("__id__"), col("__pos__"))).over(wLine))
       .withColumn("__keep__",
         col("__id__") === col("__first__.__id__") &&
           col("__pos__") === col("__first__.__pos__"))

@@ -290,6 +290,40 @@ class PipelineOpsSpec extends SparkSpecBase {
     rows.map(r => r._5 -> r._2).toMap shouldBe again
   }
 
+  test("paragraphDedup is idempotent and preserves the distinct-line set") {
+    val docs = (0L until 120L).map { i =>
+      // deliberately collide lines across docs
+      (i, s"line ${i % 10}\nline ${i % 25}\nuniq $i tail")
+    }.toDF("doc_id", "text")
+    val once = PipelineOps.paragraphDedup(docs, "text", "doc_id")
+    val survivors = once.filter($"text_clean".isNotNull)
+      .select($"doc_id", $"text_clean".as("text"))
+    // the surviving corpus has zero cross-document duplicate lines,
+    // so deduping it again removes nothing
+    val twice = PipelineOps.paragraphDedup(survivors, "text", "doc_id")
+    twice.filter($"n_kept" =!= $"n_lines").count() shouldBe 0
+    // the distinct-line set is exactly preserved
+    def lineSet(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(explode(split(col(c), "\n")).as("l"))
+        .filter($"l" =!= "").distinct()
+        .as[String].collect().toSet
+    lineSet(docs, "text") shouldBe lineSet(survivors, "text")
+    // line budget: kept lines across the corpus = distinct lines
+    assert(once.agg(sum("n_kept")).head().getLong(0) ==
+      lineSet(docs, "text").size.toLong)
+  }
+
+  test("packSequences plan: one shuffle on bucket, no global sort") {
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val out = PipelineOps.packSequences(docs, "text", "doc_id",
+      capacity = 4, buckets = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // window runs per-bucket: hash-partitioned exchange, never a
+    // single-partition global window
+    plan should include("hashpartitioning(bucket")
+    (plan should not).include("SinglePartition")
+  }
+
   test("redactPii replaces emails, IPs and phone numbers") {
     val df = Seq(
       "mail bob.smith+x@sub.example.org end",
