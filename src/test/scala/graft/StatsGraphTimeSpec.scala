@@ -69,6 +69,22 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       StatsOps.corrMatrix(bad, Seq("x", "y"))
     }
     ex.getMessage should include("integer-typed")
+    // the 21-bit limb sums must stay exact for NEGATIVE values
+    // (arithmetic shift floors toward -inf; limbs stay in [0, 2^21))
+    // and for large magnitudes near the Long-product boundary
+    val neg = (0 until 300).map { i =>
+      ((i - 150).toLong * 1000003L, (((i * 37) % 300) - 150).toLong *
+        999983L)
+    }.toDF("a", "b")
+    val nm = StatsOps.corrMatrix(neg, Seq("a", "b")).head().getDouble(2)
+    val nb = neg.agg(org.apache.spark.sql.functions.corr(
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"))).head().getDouble(0)
+    approx(nm, nb, 1e-6)
+    // the fast double path agrees with the exact path
+    val fast = StatsOps.corrMatrix(neg, Seq("a", "b"), exact = false)
+      .head().getDouble(2)
+    approx(fast, nm, 1e-6)
   }
 
   test("mannWhitneyU rank sums are consistent") {
