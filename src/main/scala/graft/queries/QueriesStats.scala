@@ -114,6 +114,12 @@ object QueriesStats {
           round(col("resid"), 6).as("resid"))
     }),
 
+    // data-mixing drift: KL/JS divergence + entropies of the language
+    // distribution, source src0 vs src1
+    "q131_divergence" -> ((s, d) =>
+      StatsOps.distributionDivergence(t(s, d, "documents"),
+        "lang", "source", "src0", "src1")),
+
     // §2.12 normalized mutual information over the q60 contingency
     "q126_nmi" -> ((s, d) =>
       StatsOps.normalizedMutualInfo(
@@ -413,6 +419,38 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q131_divergence" ->
+      """WITH f AS (
+        |  SELECT lang, source FROM documents
+        |  WHERE source IN ('src0', 'src1') AND lang IS NOT NULL),
+        |c AS (
+        |  SELECT lang,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM f GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(ca) AS DOUBLE) AS na,
+        |    CAST(sum(cb) AS DOUBLE) AS nb
+        |  FROM c),
+        |p AS (
+        |  SELECT ca, cb, ca / na AS pa, cb / nb AS pb,
+        |    (ca / na + cb / nb) / 2.0 AS pm
+        |  FROM c CROSS JOIN t)
+        |SELECT
+        |  round(sum(CASE WHEN ca > 0
+        |    THEN pa * ln(pa / pb) ELSE 0 END), 6) AS kl_ab,
+        |  round(sum(CASE WHEN cb > 0
+        |    THEN pb * ln(pb / pa) ELSE 0 END), 6) AS kl_ba,
+        |  round(sum(
+        |    CASE WHEN ca > 0 THEN pa * ln(pa / pm) ELSE 0 END * 0.5 +
+        |    CASE WHEN cb > 0 THEN pb * ln(pb / pm) ELSE 0 END * 0.5),
+        |    6) AS js,
+        |  round(-sum(CASE WHEN ca > 0
+        |    THEN pa * ln(pa) ELSE 0 END), 6) AS entropy_a,
+        |  round(-sum(CASE WHEN cb > 0
+        |    THEN pb * ln(pb) ELSE 0 END), 6) AS entropy_b
+        |FROM p""".stripMargin,
 
     "q126_nmi" ->
       """WITH e AS (SELECT event_type, user_id % 5 AS ub FROM events),

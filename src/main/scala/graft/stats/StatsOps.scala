@@ -270,6 +270,49 @@ object StatsOps {
       .select((col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
   }
 
+  /** Categorical distribution divergence between two groups — the
+    * data-mixing drift diagnostic (no reference counterpart; standard
+    * information-theoretic definitions). Compares the MLE distribution
+    * of `catCol` within group `gA` vs `gB` of `groupCol`:
+    * KL(A‖B), KL(B‖A), Jensen–Shannon divergence (natural log; always
+    * finite — zero-probability terms contribute 0 to JS), and each
+    * side's Shannon entropy. One |categories|-row count aggregate +
+    * O(1)-row finalization: scales to any corpus. A category absent
+    * from the opposite side makes that direction's KL +∞ by
+    * definition (the double arithmetic yields Infinity naturally). */
+  def distributionDivergence(df: DataFrame, catCol: String,
+      groupCol: String, gA: String, gB: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isin(gA, gB) && col(catCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(sum(when(col(groupCol) === gA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum("ca").cast("double").as("na"),
+      sum("cb").cast("double").as("nb"))
+    // ANSI-safe probabilities: divide by NULL (not 0) when a side is
+    // empty so the division yields NULL instead of throwing; every
+    // consumer below guards on the corresponding count being > 0
+    val pa = col("ca") / when(col("na") > 0, col("na"))
+    val pb = col("cb") / when(col("nb") > 0, col("nb"))
+    val pm = (coalesce(pa, lit(0.0)) + coalesce(pb, lit(0.0))) / 2.0
+    val inf = lit(Double.PositiveInfinity)
+    counts.crossJoin(broadcast(tot)).agg(
+        round(sum(when(col("ca") > 0,
+          when(col("cb") > 0, pa * log(pa / pb)).otherwise(inf))
+          .otherwise(0.0)), 6).as("kl_ab"),
+        round(sum(when(col("cb") > 0,
+          when(col("ca") > 0, pb * log(pb / pa)).otherwise(inf))
+          .otherwise(0.0)), 6).as("kl_ba"),
+        round(sum(
+          when(col("ca") > 0, pa * log(pa / pm)).otherwise(0.0) * 0.5 +
+          when(col("cb") > 0, pb * log(pb / pm)).otherwise(0.0) * 0.5),
+          6).as("js"),
+        round(-sum(when(col("ca") > 0,
+          pa * log(pa)).otherwise(0.0)), 6).as("entropy_a"),
+        round(-sum(when(col("cb") > 0,
+          pb * log(pb)).otherwise(0.0)), 6).as("entropy_b"))
+  }
+
   /** OLS simple linear regression (stats/regression): slope/intercept
     * /r² from the five sufficient sums — one aggregate pass. */
   def linearRegression(df0: DataFrame, xCol: String,

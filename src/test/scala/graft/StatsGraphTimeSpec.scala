@@ -87,6 +87,32 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(fast, nm, 1e-6)
   }
 
+  test("distributionDivergence: zero for identical, known KL, JS finite") {
+    import spark.implicits._
+    // identical distributions -> all divergences 0
+    val same = Seq(("x", "A"), ("y", "A"), ("x", "B"), ("y", "B"))
+      .toDF("cat", "g")
+    val r0 = StatsOps.distributionDivergence(same, "cat", "g", "A", "B")
+      .head()
+    r0.getDouble(0) shouldBe 0.0 +- 1e-9 // kl_ab
+    r0.getDouble(2) shouldBe 0.0 +- 1e-9 // js
+    r0.getDouble(3) shouldBe math.log(2.0) +- 1e-6 // uniform over 2
+    // A = {x:3/4, y:1/4}, B = {x:1/4, y:3/4}: KL = (1/2)ln 3 both ways
+    val skew = (Seq.fill(3)("x") :+ "y").map((_, "A")) ++
+      (Seq.fill(3)("y") :+ "x").map((_, "B"))
+    val r1 = StatsOps.distributionDivergence(skew.toDF("cat", "g"),
+      "cat", "g", "A", "B").head()
+    r1.getDouble(0) shouldBe 0.5 * math.log(3.0) +- 1e-6
+    r1.getDouble(1) shouldBe 0.5 * math.log(3.0) +- 1e-6
+    // category only in A: KL(A||B) infinite, JS still finite
+    val disj = Seq(("x", "A"), ("z", "A"), ("x", "B"), ("x", "B"))
+      .toDF("cat", "g")
+    val r2 = StatsOps.distributionDivergence(disj, "cat", "g", "A", "B")
+      .head()
+    r2.getDouble(0).isPosInfinity shouldBe true
+    r2.getDouble(2).isPosInfinity shouldBe false
+  }
+
   test("mannWhitneyU rank sums are consistent") {
     val df = (Seq.fill(3)("a") zip Seq(1.0, 2.0, 3.0)) ++
       (Seq.fill(3)("b") zip Seq(4.0, 5.0, 6.0)) match {
