@@ -267,6 +267,77 @@ object PipelineOps {
       hash48Unit(concat(col(keyCol).cast("string"), lit(salt))) < rate)
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis),
+    * deterministic: each row's sample key is u^(1/w) with
+    * u = hash48Unit(key‖salt), and the k largest keys win — rows with
+    * weight w are selected with the exact ES inclusion law, but the
+    * draw is a pure function of (key, salt), reproducible across
+    * runs, cluster sizes, and engines. The k-max set is a TakeOrdered
+    * (per-partition top-k, no global sort). The sample key is rounded
+    * to 9 dp before ordering (ties broken by key column): Math.pow is
+    * not correctly rounded and differs from other engines' libm by an
+    * ulp — rounding makes the selection engine-portable. Rows with
+    * weight ≤ 0 or null are excluded. */
+  def weightedHashSample(df: DataFrame, keyCol: String,
+      weightCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val u = hash48Unit(concat(col(keyCol).cast("string"), lit(salt)))
+    df.filter(col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0.0)
+      .withColumn("__esk__",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
+      .orderBy(col("__esk__").desc, col(keyCol))
+      .limit(k)
+      .drop("__esk__")
+  }
+
+  /** Exact global budget cut WITHOUT a global window: order the
+    * corpus by (score desc, tiebreak id), take documents until the
+    * running token total reaches `budget` (a document is kept iff its
+    * first token starts inside the budget — the concat-and-chunk
+    * boundary rule). The global cumulative sum is computed by the
+    * range-bucket two-pass: approx-quantile score boundaries split
+    * the corpus into `nBuckets` ranges (equal scores always share a
+    * bucket, so the global order is preserved), per-bucket token
+    * totals (≤ nBuckets rows) collect to literal prefix offsets, and
+    * each bucket then runs an independent partitioned window — the
+    * documented scale pattern behind Mann-Whitney ranks. Returns the
+    * kept rows + (start_tok, n_tokens). */
+  def takeByBudget(docs: DataFrame, scoreCol: String, tokenCol: String,
+      idCol: String, budget: Long, nBuckets: Int = 32): DataFrame = {
+    val base = docs
+      .filter(col(scoreCol).isNotNull && col(tokenCol).isNotNull)
+      .withColumn("__tok__", col(tokenCol).cast("long")).cache()
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = base.select(col(scoreCol).cast("double").as("__s__"))
+      .stat.approxQuantile("__s__", probs, 0.001).distinct.sorted
+    // bucket 0 = highest scores (no boundary ≥ score); equal scores
+    // always share a bucket, so bucket-ascending = score-descending
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(scoreCol).cast("double") <= lit(b), 1).otherwise(0)
+    }
+    val withB = base.withColumn("__bkt__", bucket)
+    val totals = withB.groupBy("__bkt__")
+      .agg(sum(col("__tok__")).as("__tot__"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) =>
+      (b, acc + t)
+    }.init.map { case (_, off) => off }
+    val offExpr = totals.map(_._1).zip(offsets)
+      .foldLeft(lit(0L)) { case (acc, (b, off)) =>
+        when(col("__bkt__") === b, off).otherwise(acc)
+      }
+    val w = Window.partitionBy("__bkt__")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn("start_tok",
+        offExpr + sum(col("__tok__")).over(w) - col("__tok__"))
+      .filter(col("start_tok") < budget)
+      .drop("__bkt__")
+      .withColumnRenamed("__tok__", "n_tokens")
+  }
+
   /** C4-style corpus-level paragraph dedup with reassembly: split
     * each document on `sep`, keep only the globally FIRST occurrence
     * of every distinct non-blank paragraph (first = smallest

@@ -48,6 +48,21 @@ object QueriesPipeline {
       PipelineOps.packSequences(t(s, d, "documents"), "text", "doc_id",
         capacity = 256, buckets = 8, salt = "pk")),
 
+    // Efraimidis–Spirakis weighted sample: 100 docs, weight = n_chars
+    "q132_weighted_sample" -> ((s, d) =>
+      PipelineOps.weightedHashSample(t(s, d, "documents"), "doc_id",
+          "n_chars", k = 100, salt = "ws")
+        .select("doc_id", "lang", "source")),
+
+    // exact global token-budget cut ordered by (n_chars desc, id) —
+    // range-bucketed two-pass cumsum, no global window
+    "q133_budget_take" -> ((s, d) =>
+      PipelineOps.takeByBudget(
+        t(s, d, "documents").withColumn("tokcnt",
+          TextFunctions.tokenCount(col("text"))),
+        "n_chars", "tokcnt", "doc_id", budget = 10000L)
+        .select("doc_id", "start_tok", "n_tokens")),
+
     // PII redaction: emails / IPv4 / phone numbers synthesized from
     // row fields (the corpus itself is clean word soup), then redacted
     "q95_pii_redact" -> ((s, d) =>
@@ -293,6 +308,30 @@ object QueriesPipeline {
         |  string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
         |    ORDER BY pos) AS text_clean
         |FROM k GROUP BY 1""".stripMargin,
+
+    "q132_weighted_sample" ->
+      s"""SELECT doc_id, lang, source FROM (
+         |  SELECT doc_id, lang, source, row_number() OVER (
+         |    ORDER BY round(power(
+         |      ${h48("CAST(doc_id AS VARCHAR) || 'ws'")},
+         |      1.0 / n_chars), 9) DESC, doc_id) AS rn
+         |  FROM documents WHERE n_chars > 0)
+         |WHERE rn <= 100""".stripMargin,
+
+    "q133_budget_take" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(
+        |      regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_tok
+        |  FROM d)
+        |SELECT doc_id, start_tok, n_tok AS n_tokens
+        |FROM c WHERE start_tok < 10000""".stripMargin,
 
     "q129_bigram_lm" ->
       raw"""WITH toks AS (

@@ -324,6 +324,59 @@ class PipelineOpsSpec extends SparkSpecBase {
     (plan should not).include("SinglePartition")
   }
 
+  test("weightedHashSample: deterministic, k-sized, weight-biased") {
+    val df = spark.range(2000).toDF("id")
+      .withColumn("w", when($"id" < 100, 1000.0).otherwise(1.0))
+    val s1 = PipelineOps.weightedHashSample(df, "id", "w", 200, "a")
+      .select("id").as[Long].collect().toSet
+    s1.size shouldBe 200
+    // deterministic
+    PipelineOps.weightedHashSample(df, "id", "w", 200, "a")
+      .select("id").as[Long].collect().toSet shouldBe s1
+    // the 100 weight-1000 rows are (essentially) always selected:
+    // P(skip) per heavy row is astronomically small at this ratio
+    (0L until 100L).toSet.subsetOf(s1) shouldBe true
+    // zero/negative/null weights are excluded
+    val wz = df.withColumn("w",
+      when($"id" === 0, lit(null).cast("double"))
+        .when($"id" === 1, -5.0).when($"id" === 2, 0.0)
+        .otherwise(1.0))
+    val sz = PipelineOps.weightedHashSample(wz, "id", "w", 2000)
+      .select("id").as[Long].collect().toSet
+    sz.intersect(Set(0L, 1L, 2L)) shouldBe Set.empty
+    sz.size shouldBe 1997
+  }
+
+  test("takeByBudget equals the global-window cut, no global window") {
+    val df = (0L until 500L).map { i =>
+      (i, (i * 37 % 97).toDouble, 1 + (i % 13))
+    }.toDF("id", "score", "tok")
+    val got = PipelineOps.takeByBudget(df, "score", "tok", "id", 800L)
+    // reference: plain global window on small data
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val ref = df.withColumn("start",
+        sum($"tok".cast("long")).over(w) - $"tok")
+      .filter($"start" < 800L)
+      .select($"id", $"start").as[(Long, Long)].collect().toMap
+    val gotMap = got.select($"id", $"start_tok").as[(Long, Long)]
+      .collect().toMap
+    gotMap shouldBe ref
+    // budget boundary: total kept tokens covers the budget exactly
+    // (the last kept doc STARTS inside the budget)
+    val kept = got.agg(sum("n_tokens")).head().getLong(0)
+    assert(kept >= 800L)
+    assert(kept - got.orderBy($"start_tok".desc).limit(1)
+      .select("n_tokens").head().getLong(0) < 800L)
+    // scale shape: the window is per-bucket, never single-partition
+    val plan = got.queryExecution.executedPlan.toString
+    plan should include("hashpartitioning(__bkt__")
+    (plan should not).include("SinglePartition")
+  }
+
   test("redactPii replaces emails, IPs and phone numbers") {
     val df = Seq(
       "mail bob.smith+x@sub.example.org end",
