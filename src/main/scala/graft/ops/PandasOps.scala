@@ -258,6 +258,27 @@ object PandasOps {
       df.withColumn("rank", when(v.isNull, lit(null)).otherwise(raw))
     }
 
+    /** SQL percent_rank ((min_rank − 1)/(n − 1)) over the WHOLE frame
+      * without the global single-partition window: ranks come from the
+      * distinct-value table via the range-bucketed cumulative counts
+      * (StatsOps.distinctValueCumCounts — the Mann-Whitney machinery)
+      * and broadcast-join back, so the only full-data operations are
+      * one groupBy(value) and one join. Null values get a null rank
+      * and don't shift others. Value domain must be well below row
+      * count (cents, ids, categories) — the rank map is broadcast. */
+    def percentRankScalable(valueCol: String,
+        outName: String = "pct_rank"): DataFrame = {
+      val nonNull = df.filter(col(valueCol).isNotNull)
+      val counts = nonNull.groupBy(col(valueCol))
+        .agg(count(lit(1)).as("__c__"))
+      val n = nonNull.count().toDouble
+      val rankMap = graft.stats.StatsOps
+        .distinctValueCumCounts(counts, valueCol, "__c__")
+        .select(col(valueCol),
+          (col("__below__") / lit(math.max(n - 1.0, 1.0))).as(outName))
+      df.join(broadcast(rankMap), Seq(valueCol), "left")
+    }
+
     /** shift/lag (trait_def.rs:75). */
     def shiftCol(valueCol: String, n: Int, orderCol: String,
         partitionCols: Seq[String] = Nil): DataFrame = {

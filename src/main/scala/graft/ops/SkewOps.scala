@@ -43,4 +43,39 @@ object SkewOps {
         joinType)
       .drop(sf("__salt__")).drop(sd("__salt__"))
   }
+
+  /** Interval-overlap join without a theta join: both sides explode
+    * their [start, end] span (closed intervals, integer domain — cast
+    * timestamps to epoch days/seconds first) into coarse buckets of
+    * `bucketWidth`, candidates meet by bucket EQUI-join, and a pair is
+    * emitted only in the canonical bucket containing max(startA,
+    * startB) — so the output carries no duplicates and needs no
+    * dedup shuffle. The final overlap predicate discards same-bucket
+    * non-overlaps. A plain theta join degenerates to
+    * broadcast-nested-loop (every-row-×-every-row) — this plan is an
+    * ordinary shuffled equi-join that scales with overlap density;
+    * fan-out per row is interval_length/bucketWidth + 1, so pick
+    * `bucketWidth` near the typical interval length. Rows with
+    * end < start are dropped. Both inputs must have disjoint column
+    * names. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      startA: String, endA: String, startB: String, endB: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be > 0")
+    def bucketize(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) >= col(s))
+        .withColumn("__bkt__", explode(sequence(
+          floor(col(s).cast("long") / lit(bucketWidth)).cast("long"),
+          floor(col(e).cast("long") / lit(bucketWidth)).cast("long"))))
+    val l = bucketize(left, startA, endA)
+    val r = bucketize(right, startB, endB)
+      .withColumnRenamed("__bkt__", "__bktr__")
+    val canon = floor(greatest(col(startA), col(startB)).cast("long") /
+      lit(bucketWidth)).cast("long")
+    l.join(r,
+        col("__bkt__") === col("__bktr__") &&
+        col(startA) <= col(endB) && col(startB) <= col(endA) &&
+        col("__bkt__") === canon)
+      .drop("__bkt__", "__bktr__")
+  }
 }

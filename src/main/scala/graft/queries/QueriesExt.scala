@@ -179,6 +179,35 @@ object QueriesExt {
               (dbl(col("nn")) - dbl(col("k")))), 6).as("f_stat"))
     }),
 
+    // bucketized interval-overlap join (no theta/BNL join): order
+    // subsets as [date, date+30d] vs [date, date+15d] epoch-day spans
+    "q134_interval_join" -> ((s, d) => {
+      val days = (c: org.apache.spark.sql.Column) =>
+        datediff(c.cast("date"), to_date(lit("1970-01-01")))
+      val a = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey").as("a_key"),
+          days(col("o_orderdate")).cast("long").as("sa"))
+        .withColumn("ea", col("sa") + 30)
+      val b = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(89)) === 0)
+        .select(col("o_orderkey").as("b_key"),
+          days(col("o_orderdate")).cast("long").as("sb"))
+        .withColumn("eb", col("sb") + 15)
+      graft.ops.SkewOps.intervalJoin(a, b, "sa", "ea", "sb", "eb",
+          bucketWidth = 32L)
+        .select("a_key", "b_key", "sa", "sb")
+    }),
+
+    // scalable global percent_rank via range-bucketed distinct-value
+    // cumulative counts — no single-partition window
+    "q135_pct_rank" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("vc", cents(col("value")))
+        .percentRankScalable("vc")
+        .select(col("event_id"), col("vc"),
+          round(col("pct_rank"), 9).as("pct_rank"))),
+
     // §2.9 unstack (long-to-wide, inverse of melt)
     "q79_unstack" -> ((s, d) => {
       val long = t(s, d, "lineitem")
@@ -427,6 +456,32 @@ object QueriesExt {
         |    ((CAST(ts2 AS DOUBLE) - sgm) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 6)
         |    AS f_stat
         |FROM t""".stripMargin,
+
+    "q134_interval_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |      AS BIGINT) AS sa
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_key,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |      AS BIGINT) AS sb
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT a_key, b_key, sa, sb
+        |FROM a JOIN b ON sa <= sb + 15 AND sb <= sa + 30""".stripMargin,
+
+    "q135_pct_rank" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id,
+        |    round(CAST(percent_rank() OVER (ORDER BY vc) AS DOUBLE), 9)
+        |      AS pct_rank
+        |  FROM e WHERE vc IS NOT NULL)
+        |SELECT e.event_id, e.vc, r.pct_rank
+        |FROM e LEFT JOIN r USING (event_id)""".stripMargin,
 
     "q79_unstack" ->
       """SELECT l_returnflag,

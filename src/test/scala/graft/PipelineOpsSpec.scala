@@ -152,6 +152,52 @@ class PipelineOpsSpec extends SparkSpecBase {
     udfFilterUnderFact should not be empty
   }
 
+  test("intervalJoin equals the theta join, emits no duplicates") {
+    import graft.ops.SkewOps
+    // adversarial widths: intervals much longer and much shorter than
+    // the bucket, negative coordinates, touching endpoints
+    val a = (0L until 80L).map { i =>
+      val s = (i * 13 % 101) - 50; (i, s, s + (i % 3) * 40 + 1)
+    }.toDF("a_id", "sa", "ea")
+    val b = (0L until 90L).map { i =>
+      val s = (i * 29 % 97) - 40; (i, s, s + (i % 5) * 11)
+    }.toDF("b_id", "sb", "eb")
+    for (w <- Seq(7L, 32L, 1000L)) {
+      val got = SkewOps.intervalJoin(a, b, "sa", "ea", "sb", "eb", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      val want = a.join(b, $"sa" <= $"eb" && $"sb" <= $"ea")
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      got.length shouldBe got.toSet.size // no duplicate pairs
+      got.toSet shouldBe want.toSet
+    }
+    // touching endpoints overlap (closed intervals)
+    val ta = Seq((1L, 0L, 10L)).toDF("a_id", "sa", "ea")
+    val tb = Seq((2L, 10L, 20L)).toDF("b_id", "sb", "eb")
+    SkewOps.intervalJoin(ta, tb, "sa", "ea", "sb", "eb", 8L)
+      .count() shouldBe 1
+  }
+
+  test("percentRankScalable equals the SQL percent_rank window") {
+    import graft.ops.PandasOps._
+    val df = (0L until 400L)
+      .map(i => (i, if (i % 37 == 0) null else (i * 7 % 23).toString))
+      .toDF("id", "vs")
+      .withColumn("v", $"vs".cast("long")).drop("vs")
+    val got = df.percentRankScalable("v")
+      .select($"id", $"pct_rank").as[(Long, Option[Double])]
+      .collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
+    val want = df.filter($"v".isNotNull)
+      .withColumn("pr", percent_rank().over(w))
+      .select($"id", $"pr").as[(Long, Double)].collect().toMap
+    df.count() shouldBe got.size
+    want.foreach { case (id, pr) =>
+      got(id).get shouldBe pr +- 1e-12
+    }
+    got.filter(_._2.isEmpty).keys.toSet shouldBe
+      (0L until 400L).filter(_ % 37 == 0).toSet
+  }
+
   test("saltedJoin equals the plain join for inner and left joins") {
     import graft.ops.SkewOps
     // a pathologically hot key: 90% of fact rows share k=7
