@@ -54,6 +54,22 @@ object QueriesWindow {
           "roll_avg_c")
     }),
 
+    // §2.5a pandas rolling(20).corr + .cov between value cents and
+    // user id, per event type (pairwise window statistics)
+    "q136_rolling_corr" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .withColumn("vc", cents(col("value")))
+      val c1 = graft.window.RollingOps.rollingCorr(base, "vc", "user_id",
+        n = 20, orderCols = Seq("ts", "event_id"),
+        partitionCols = Seq("event_type"))
+      graft.window.RollingOps.rollingCov(c1, "vc", "user_id",
+          n = 20, orderCols = Seq("ts", "event_id"),
+          partitionCols = Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(col("rolling_corr"), 6).as("rolling_corr"),
+          round(col("rolling_cov"), 6).as("rolling_cov"))
+    }),
+
     // §2.5a time-based rolling: trailing 1h range frame
     "q28_window_range_time" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -161,6 +177,38 @@ object QueriesWindow {
         |  o_totalprice - lag(o_totalprice, 1) OVER w AS diff
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q136_rolling_corr" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, event_type,
+        |    CAST(count(CASE WHEN vc IS NOT NULL AND user_id IS NOT NULL
+        |      THEN 1 END) OVER w AS DOUBLE) AS n,
+        |    sum(CASE WHEN user_id IS NOT NULL
+        |      THEN CAST(vc AS DOUBLE) END) OVER w AS sx,
+        |    sum(CASE WHEN vc IS NOT NULL
+        |      THEN CAST(user_id AS DOUBLE) END) OVER w AS sy,
+        |    sum(CASE WHEN user_id IS NOT NULL
+        |      THEN CAST(vc AS DOUBLE) * vc END) OVER w AS sxx,
+        |    sum(CASE WHEN vc IS NOT NULL
+        |      THEN CAST(user_id AS DOUBLE) * user_id END) OVER w AS syy,
+        |    sum(CAST(vc AS DOUBLE) * user_id) OVER w AS sxy
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type,
+        |  CASE WHEN n >= 20 AND
+        |      sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+        |    THEN round((n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |  END AS rolling_corr,
+        |  CASE WHEN n >= 20 AND n > 1
+        |    THEN round((sxy - sx * sy / n) / (n - 1), 6)
+        |  END AS rolling_cov
+        |FROM s""".stripMargin,
 
     "q27_window_rolling" ->
       """SELECT event_id, user_id,

@@ -42,6 +42,45 @@ object RollingOps {
       when(cnt >= mp, agg(col(valueCol)).over(w)))
   }
 
+  /** pandas rolling(n).corr(other) / .cov(other) between two columns
+    * (pairwise window statistics; reference rolling aggregates at
+    * src/series/window.rs:111 stop at single-column aggs — this is
+    * the pandas-parity extension). Pairwise-complete semantics: a row
+    * contributes only when BOTH columns are non-null; result is null
+    * until the window holds >= minPeriods complete pairs, and null
+    * for zero-variance windows (corr) — matching pandas/SQL. One
+    * partitioned window, five running sums, no extra shuffle. */
+  def rollingCorr(df: DataFrame, xCol: String, yCol: String, n: Int,
+      orderCols: Seq[String], partitionCols: Seq[String] = Nil,
+      minPeriods: Int = -1, outName: String = "rolling_corr",
+      sampleCov: Boolean = false, asCov: Boolean = false): DataFrame = {
+    val mp = if (minPeriods < 0) n else minPeriods
+    val w = frame(base(orderCols, partitionCols), n, center = false)
+    val bothOk = col(xCol).isNotNull && col(yCol).isNotNull
+    val xm = when(bothOk, col(xCol).cast("double"))
+    val ym = when(bothOk, col(yCol).cast("double"))
+    val cnt = count(xm).over(w).cast("double")
+    val sx = sum(xm).over(w); val sy = sum(ym).over(w)
+    val sxx = sum(xm * xm).over(w); val syy = sum(ym * ym).over(w)
+    val sxy = sum(xm * ym).over(w)
+    val out =
+      if (asCov) {
+        // covariance: sample (n−1, pandas default) or population
+        val denom = if (sampleCov) cnt - 1.0 else cnt
+        when(denom > 0, (sxy - sx * sy / cnt) / denom)
+      } else {
+        val den = sqrt(cnt * sxx - sx * sx) * sqrt(cnt * syy - sy * sy)
+        when(den > 0, (cnt * sxy - sx * sy) / den)
+      }
+    df.withColumn(outName, when(cnt >= mp, out))
+  }
+
+  def rollingCov(df: DataFrame, xCol: String, yCol: String, n: Int,
+      orderCols: Seq[String], partitionCols: Seq[String] = Nil,
+      minPeriods: Int = -1, outName: String = "rolling_cov"): DataFrame =
+    rollingCorr(df, xCol, yCol, n, orderCols, partitionCols, minPeriods,
+      outName, sampleCov = true, asCov = true)
+
   /** expanding(minPeriods) (src/series/window.rs:359). */
   def expanding(df: DataFrame, valueCol: String, agg: Column => Column,
       orderCols: Seq[String], partitionCols: Seq[String] = Nil,

@@ -218,6 +218,37 @@ class RollingEwmSpec extends SparkSpecBase {
     }
   }
 
+  test("rollingCorr/Cov: pandas pairwise semantics") {
+    // y = 2x + noise-free within each window of 3 -> corr exactly 1
+    val lin = (0 until 10).map(i => (i, i.toDouble, 2.0 * i + 5))
+      .toDF("ord", "x", "y")
+    val rc = RollingOps.rollingCorr(lin, "x", "y", n = 3,
+      orderCols = Seq("ord")).orderBy("ord")
+      .select("rolling_corr").collect()
+    rc.take(2).foreach(_.isNullAt(0) shouldBe true) // min_periods = n
+    rc.drop(2).foreach(_.getDouble(0) shouldBe 1.0 +- 1e-9)
+    // cov of window {(x,2x+5)}: sample cov = 2 * var(x); x=i -> var=1
+    val cv = RollingOps.rollingCov(lin, "x", "y", n = 3,
+      orderCols = Seq("ord")).orderBy("ord")
+      .select("rolling_cov").collect()
+    cv.drop(2).foreach(_.getDouble(0) shouldBe 2.0 +- 1e-9)
+    // a null in either column excludes the PAIR; count respects pairs
+    val withNull = Seq((0, Some(1.0), Some(2.0)),
+      (1, None, Some(9.0)), (2, Some(2.0), Some(4.0)),
+      (3, Some(3.0), Some(6.0))).toDF("ord", "x", "y")
+    val rn = RollingOps.rollingCorr(withNull, "x", "y", n = 3,
+      orderCols = Seq("ord"), minPeriods = 2).orderBy("ord")
+      .select("rolling_corr").collect()
+    rn(1).isNullAt(0) shouldBe true  // only 1 complete pair in window
+    rn(2).getDouble(0) shouldBe 1.0 +- 1e-9 // pairs (0,2): collinear
+    // zero variance -> null, not an error
+    val const = (0 until 5).map(i => (i, 1.0, i.toDouble))
+      .toDF("ord", "x", "y")
+    RollingOps.rollingCorr(const, "x", "y", n = 3,
+        orderCols = Seq("ord")).orderBy("ord")
+      .select("rolling_corr").collect().foreach(_.isNullAt(0) shouldBe true)
+  }
+
   test("ewmVarTruncated matches exact ewmVar within tolerance") {
     val xs = (1 to 60).map(i => math.sin(i * 0.7) * 5 + (i % 7))
     val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
