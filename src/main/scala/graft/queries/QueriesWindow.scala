@@ -70,6 +70,22 @@ object QueriesWindow {
           round(col("rolling_cov"), 6).as("rolling_cov"))
     }),
 
+    // §2.5a pandas rolling(15).median + .quantile(0.25) over cents,
+    // per event type
+    "q137_rolling_quantile" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .withColumn("vc", cents(col("value")))
+      val m = graft.window.RollingOps.rollingMedian(base, "vc", n = 15,
+        orderCols = Seq("ts", "event_id"),
+        partitionCols = Seq("event_type"))
+      graft.window.RollingOps.rollingQuantile(m, "vc", n = 15, q = 0.25,
+          orderCols = Seq("ts", "event_id"),
+          partitionCols = Seq("event_type"), outName = "rolling_q25")
+        .select(col("event_id"), col("event_type"),
+          round(col("rolling_median"), 6).as("rolling_median"),
+          round(col("rolling_q25"), 6).as("rolling_q25"))
+    }),
+
     // §2.5a time-based rolling: trailing 1h range frame
     "q28_window_range_time" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -177,6 +193,22 @@ object QueriesWindow {
         |  o_totalprice - lag(o_totalprice, 1) OVER w AS diff
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q137_rolling_quantile" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS vc
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |  CASE WHEN count(vc) OVER w >= 15
+        |    THEN round(quantile_cont(vc, 0.5) OVER w, 6)
+        |  END AS rolling_median,
+        |  CASE WHEN count(vc) OVER w >= 15
+        |    THEN round(quantile_cont(vc, 0.25) OVER w, 6)
+        |  END AS rolling_q25
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |  ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q136_rolling_corr" ->
       """WITH e AS (

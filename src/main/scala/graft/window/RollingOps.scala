@@ -81,6 +81,37 @@ object RollingOps {
     rollingCorr(df, xCol, yCol, n, orderCols, partitionCols, minPeriods,
       outName, sampleCov = true, asCov = true)
 
+  /** pandas rolling(n).quantile(q, interpolation='linear') /
+    * .median(): the window's non-null values are materialized as a
+    * sorted array per row (collect_list over the rows frame — O(n)
+    * state per row, so for the window sizes rolling stats are used at;
+    * this is exactly the buffer any exact rolling quantile needs),
+    * then linearly interpolated at rank h = (cnt−1)·q. Null until
+    * minPeriods non-null values. */
+  def rollingQuantile(df: DataFrame, valueCol: String, n: Int,
+      q: Double, orderCols: Seq[String],
+      partitionCols: Seq[String] = Nil, minPeriods: Int = -1,
+      outName: String = "rolling_q"): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q=$q must be in [0,1]")
+    val mp = if (minPeriods < 0) n else minPeriods
+    val w = frame(base(orderCols, partitionCols), n, center = false)
+    val arr = array_sort(collect_list(col(valueCol).cast("double")).over(w))
+    val cnt = size(arr)
+    val h = (cnt - 1).cast("double") * lit(q)
+    val lo = floor(h).cast("int")
+    val vLo = element_at(arr, lo + 1)
+    val vHi = element_at(arr, least(lo + 2, cnt))
+    df.withColumn(outName,
+      when(cnt >= mp, vLo + (h - lo.cast("double")) * (vHi - vLo)))
+  }
+
+  def rollingMedian(df: DataFrame, valueCol: String, n: Int,
+      orderCols: Seq[String], partitionCols: Seq[String] = Nil,
+      minPeriods: Int = -1,
+      outName: String = "rolling_median"): DataFrame =
+    rollingQuantile(df, valueCol, n, 0.5, orderCols, partitionCols,
+      minPeriods, outName)
+
   /** expanding(minPeriods) (src/series/window.rs:359). */
   def expanding(df: DataFrame, valueCol: String, agg: Column => Column,
       orderCols: Seq[String], partitionCols: Seq[String] = Nil,

@@ -249,6 +249,30 @@ class RollingEwmSpec extends SparkSpecBase {
       .select("rolling_corr").collect().foreach(_.isNullAt(0) shouldBe true)
   }
 
+  test("rollingQuantile: pandas linear interpolation semantics") {
+    // window {10, 20, 31}: median = 20, q0.25 = (10+20)/2 = 15
+    val df = Seq((1, 10.0), (2, 20.0), (3, 31.0), (4, 2.0))
+      .toDF("ord", "v")
+    val med = RollingOps.rollingMedian(df, "v", n = 3,
+      orderCols = Seq("ord"), minPeriods = 1).orderBy("ord")
+      .select("rolling_median").as[Double].collect()
+    med shouldBe Array(10.0, 15.0, 20.0, 20.0)
+    val q25 = RollingOps.rollingQuantile(df, "v", n = 3, q = 0.25,
+      orderCols = Seq("ord"), minPeriods = 1).orderBy("ord")
+      .select("rolling_q").as[Double].collect()
+    q25(2) shouldBe 15.0 +- 1e-9 // h = 2*0.25 = 0.5 between 10 and 20
+    // q = 1.0 is the max (index boundary must not overflow)
+    val qmax = RollingOps.rollingQuantile(df, "v", n = 3, q = 1.0,
+      orderCols = Seq("ord"), minPeriods = 1).orderBy("ord")
+      .select("rolling_q").as[Double].collect()
+    qmax shouldBe Array(10.0, 20.0, 31.0, 31.0)
+    // min_periods defaults to n: first n-1 rows are null
+    val strict = RollingOps.rollingMedian(df, "v", n = 3,
+      orderCols = Seq("ord")).orderBy("ord")
+      .select("rolling_median").collect()
+    strict.take(2).foreach(_.isNullAt(0) shouldBe true)
+  }
+
   test("ewmVarTruncated matches exact ewmVar within tolerance") {
     val xs = (1 to 60).map(i => math.sin(i * 0.7) * 5 + (i % 7))
     val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
