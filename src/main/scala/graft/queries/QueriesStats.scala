@@ -25,6 +25,13 @@ object QueriesStats {
           min(cents(col("value"))).as("min_c"),
           max(cents(col("value"))).as("max_c"))),
 
+    // §2.11 pandas resample().ohlc(): hourly open/high/low/close of
+    // value cents per event type
+    "q138_resample_ohlc" -> ((s, d) =>
+      TimeSeriesOps.resampleOhlc(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "ts", "vc", "hour", "event_id", Seq("event_type"))),
+
     // §2.11 sessionize: 30-min-gap sessions per user
     "q40_sessionize" -> ((s, d) =>
       TimeSeriesOps.sessionize(t(s, d, "events"), "ts", "user_id", 1800)
@@ -524,6 +531,18 @@ object QueriesStats {
         |  min(CAST(round(value * 100) AS BIGINT)) AS min_c,
         |  max(CAST(round(value * 100) AS BIGINT)) AS max_c
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q138_resample_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(round(value * 100) AS BIGINT) AS vc,
+        |    (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+        |      * 8388608 + event_id AS ord
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, bucket,
+        |  arg_min(vc, ord) AS open, max(vc) AS high, min(vc) AS low,
+        |  arg_max(vc, ord) AS close, CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     "q40_sessionize" ->
       """WITH flagged AS (

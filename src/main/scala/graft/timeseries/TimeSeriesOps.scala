@@ -30,6 +30,29 @@ object TimeSeriesOps {
       .agg(aggs.head, aggs.tail: _*)
       .orderBy("bucket")
 
+  /** pandas resample(freq).ohlc(): open/high/low/close per time
+    * bucket (+ count), per optional key. Open/close are
+    * min_by/max_by over a unique within-bucket ordering key
+    * (micros-offset ⊕ tiebreak id — unique, so the result is
+    * deterministic and engine-replayable), high/low plain min/max.
+    * One hash aggregate — map-side combinable, scales like any
+    * groupBy. */
+  def resampleOhlc(df: DataFrame, tsCol: String, valueCol: String,
+      freq: String, tiebreakCol: String,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val bucket = date_trunc(freq, col(tsCol))
+    // unique scalar order key INSIDE a bucket: micros since bucket
+    // start (≤ ~8.6e10 for a day bucket) * 2^23 + tiebreak id
+    val ord = (unix_micros(col(tsCol)) - unix_micros(bucket)) *
+      lit(8388608L) + col(tiebreakCol)
+    val v = col(valueCol)
+    df.filter(v.isNotNull)
+      .groupBy((keyCols.map(col) :+ bucket.as("bucket")): _*)
+      .agg(min_by(v, ord).as("open"), max(v).as("high"),
+        min(v).as("low"), max_by(v, ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** upsample to a regular grid with forward-fill: join the series
     * onto a generated calendar (one `ts` column), then ffill.
     * `keyCols` upsamples each key's series against the calendar with

@@ -113,6 +113,23 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     r2.getDouble(2).isPosInfinity shouldBe false
   }
 
+  test("resampleOhlc picks first/last by time with max/min between") {
+    import graft.timeseries.TimeSeriesOps
+    val df = Seq(
+      (1L, "2024-01-01 10:05:00", 30L), // open of the 10:00 bucket
+      (2L, "2024-01-01 10:20:00", 80L), // high
+      (3L, "2024-01-01 10:40:00", 10L), // low
+      (4L, "2024-01-01 10:55:00", 45L), // close
+      (5L, "2024-01-01 11:10:00", 7L)   // next bucket
+    ).toDF("id", "tss", "v").withColumn("ts", $"tss".cast("timestamp"))
+    val r = TimeSeriesOps.resampleOhlc(df, "ts", "v", "hour", "id")
+      .orderBy("bucket").collect()
+    r.length shouldBe 2
+    (r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4), r(0).getLong(5)) shouldBe ((30L, 80L, 10L, 45L, 4L))
+    (r(1).getLong(1), r(1).getLong(4)) shouldBe ((7L, 7L))
+  }
+
   test("mannWhitneyU rank sums are consistent") {
     val df = (Seq.fill(3)("a") zip Seq(1.0, 2.0, 3.0)) ++
       (Seq.fill(3)("b") zip Seq(4.0, 5.0, 6.0)) match {
