@@ -109,7 +109,7 @@ object Bench {
       "q43_fingerprint", "q47_embed_topk", "q99_bloom_join",
       "q104_corr_matrix", "q98_tfidf", "q110_decontaminate",
       "q113_group_sample", "q128_paragraph_dedup", "q129_bigram_lm",
-      "q130_pack_sequences")
+      "q130_pack_sequences", "q139_preprocess_pipeline")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

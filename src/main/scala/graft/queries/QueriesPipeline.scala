@@ -48,6 +48,26 @@ object QueriesPipeline {
       PipelineOps.packSequences(t(s, d, "documents"), "text", "doc_id",
         capacity = 256, buckets = 8, salt = "pk")),
 
+    // FLAGSHIP composition: the full preprocessing pipeline in one
+    // plan — quality filter → corpus paragraph dedup (reassembled)
+    // → stratified source-mix sample → sequence packing. Every stage
+    // is engine-portable, so the WHOLE pipeline has one exact oracle.
+    "q139_preprocess_pipeline" -> ((s, d) => {
+      val keep = t(s, d, "documents")
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+        .select("doc_id", "source")
+      val deduped = PipelineOps.paragraphDedup(
+          chunkedDocs(s, d).join(keep.select("doc_id"), "doc_id"),
+          "text", "doc_id")
+        .filter(col("text_clean").isNotNull)
+      val sampled = PipelineOps.stratifiedHashSample(
+        deduped.join(keep, "doc_id"), "doc_id", "source",
+        Map("src0" -> 1.0), defaultRate = 0.5, salt = "pp")
+      PipelineOps.packSequences(
+        sampled.select(col("doc_id"), col("text_clean").as("text")),
+        "text", "doc_id", capacity = 128, buckets = 4, salt = "pp2")
+    }),
+
     // Efraimidis–Spirakis weighted sample: 100 docs, weight = n_chars
     "q132_weighted_sample" -> ((s, d) =>
       PipelineOps.weightedHashSample(t(s, d, "documents"), "doc_id",
@@ -308,6 +328,75 @@ object QueriesPipeline {
         |  string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
         |    ORDER BY pos) AS text_clean
         |FROM k GROUP BY 1""".stripMargin,
+
+    "q139_preprocess_pipeline" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source FROM (
+         |    SELECT doc_id, source, round((
+         |      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) +
+         |      (CASE WHEN (CASE WHEN n_tok > 0
+         |          THEN CAST(length(text) AS DOUBLE) / n_tok
+         |          ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+         |        THEN 1.0 ELSE 0.5 END) +
+         |      (CASE WHEN length(text) > 0
+         |        THEN CAST(length(regexp_replace(text,
+         |          '[^A-Za-z\\s]', '', 'g')) AS DOUBLE) / length(text)
+         |        ELSE 0.0 END)) / 3.0, 6) AS quality
+         |    FROM (SELECT doc_id, source, text,
+         |        CAST(length(list_filter(
+         |          regexp_split_to_array(trim(text), '\\s+'),
+         |          x -> length(x) > 0)) AS DOUBLE) AS n_tok
+         |      FROM documents))
+         |  WHERE quality >= 0.5),
+         |words AS (
+         |  SELECT d.doc_id, list_filter(
+         |    regexp_split_to_array(trim(d.text), '\\s+'),
+         |    x -> length(x) > 0) AS w
+         |  FROM documents d JOIN q USING (doc_id)),
+         |chunked AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(w[i*4+1 : i*4+4], ' ') AS line
+         |  FROM words,
+         |    unnest(range(0, CAST(ceil(len(w) / 4.0) AS INT))) AS t(i)),
+         |nz AS (SELECT * FROM chunked WHERE length(trim(line)) > 0),
+         |k AS (
+         |  SELECT doc_id, pos, line, row_number() OVER (
+         |    PARTITION BY line ORDER BY doc_id, pos) AS rn
+         |  FROM nz),
+         |surv AS (
+         |  SELECT doc_id, string_agg(CASE WHEN rn = 1 THEN line END,
+         |    chr(10) ORDER BY pos) AS text_clean
+         |  FROM k GROUP BY 1),
+         |survt AS (
+         |  SELECT doc_id, CAST(length(list_filter(
+         |    regexp_split_to_array(trim(text_clean), '\\s+'),
+         |    x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM surv WHERE text_clean IS NOT NULL),
+         |samp AS (
+         |  SELECT s.doc_id, s.n_tokens
+         |  FROM survt s JOIN q USING (doc_id)
+         |  WHERE ${h48("CAST(doc_id AS VARCHAR) || 'pp'")} <
+         |    CASE source WHEN 'src0' THEN 1.0 ELSE 0.5 END),
+         |d2 AS (
+         |  SELECT doc_id,
+         |    ${h48("CAST(doc_id AS VARCHAR) || 'pp2'")} AS h,
+         |    n_tokens
+         |  FROM samp),
+         |b2 AS (
+         |  SELECT doc_id, CAST(floor(h * 4) AS BIGINT) AS bucket, h,
+         |    n_tokens
+         |  FROM d2),
+         |c2 AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+         |      AS BIGINT) AS start_tok
+         |  FROM b2)
+         |SELECT doc_id, bucket,
+         |  CAST(floor(CAST(start_tok AS DOUBLE) / 128) AS BIGINT)
+         |    AS pack,
+         |  start_tok, n_tokens
+         |FROM c2""".stripMargin,
 
     "q132_weighted_sample" ->
       s"""SELECT doc_id, lang, source FROM (
