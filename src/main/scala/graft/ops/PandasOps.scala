@@ -635,10 +635,13 @@ object PandasOps {
       * matters. */
     def asofJoin(right: DataFrame, key: String, leftTime: String,
         rightTime: String, rightVal: String,
-        direction: String = "backward"): DataFrame = {
+        direction: String = "backward",
+        tolerance: Option[Double] = None): DataFrame = {
       require(Seq("backward", "forward", "nearest").contains(direction),
         s"asofJoin direction must be backward/forward/nearest, got " +
           direction)
+      tolerance.foreach(t0 => require(t0 >= 0,
+        s"asofJoin tolerance must be >= 0, got $t0"))
       val lcols = df.columns.toSeq
       val l = df.withColumn("__t__", col(leftTime))
         .withColumn("__side__", lit(1))
@@ -659,25 +662,31 @@ object PandasOps {
       val wf = Window.partitionBy(col(key))
         .orderBy(col("__t__"), -col("__side__"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val out = direction match {
-        case "backward" =>
-          u.withColumn(s"${rightVal}_asof",
-            last(col("__rv__"), ignoreNulls = true).over(wb))
-        case "forward" =>
-          u.withColumn(s"${rightVal}_asof",
-            first(col("__rv__"), ignoreNulls = true).over(wf))
-        case "nearest" =>
-          val rt = when(col("__side__") === 0, col("__t__"))
-          val bv = last(col("__rv__"), ignoreNulls = true).over(wb)
-          val bt = last(rt, ignoreNulls = true).over(wb)
-          val fv = first(col("__rv__"), ignoreNulls = true).over(wf)
-          val ft = first(rt, ignoreNulls = true).over(wf)
-          val db = abs(col("__t__").cast("double") - bt.cast("double"))
-          val dfw = abs(ft.cast("double") - col("__t__").cast("double"))
-          u.withColumn(s"${rightVal}_asof",
-            when(bt.isNull, fv).when(ft.isNull, bv)
-              .when(dfw < db, fv).otherwise(bv)) // ties -> backward
+      // matched value AND matched time in both directions — the time
+      // is needed for "nearest" and for pandas-style `tolerance`
+      // (match dropped when |leftTime − rightTime| > tolerance, in
+      // the time column's units — epoch seconds for timestamps)
+      val rt = when(col("__side__") === 0, col("__t__"))
+      val bv = last(col("__rv__"), ignoreNulls = true).over(wb)
+      val bt = last(rt, ignoreNulls = true).over(wb)
+      val fv = first(col("__rv__"), ignoreNulls = true).over(wf)
+      val ft = first(rt, ignoreNulls = true).over(wf)
+      val db = abs(col("__t__").cast("double") - bt.cast("double"))
+      val dfw = abs(ft.cast("double") - col("__t__").cast("double"))
+      val (v, dist) = direction match {
+        case "backward" => (bv, db)
+        case "forward"  => (fv, dfw)
+        case "nearest"  =>
+          (when(bt.isNull, fv).when(ft.isNull, bv)
+            .when(dfw < db, fv).otherwise(bv), // ties -> backward
+           when(bt.isNull, dfw).when(ft.isNull, db)
+             .otherwise(least(db, dfw)))
       }
+      val matched = tolerance match {
+        case Some(t0) => when(dist <= t0, v)
+        case None => v
+      }
+      val out = u.withColumn(s"${rightVal}_asof", matched)
       out.filter(col("__side__") === 1)
         .select((lcols.map(col) :+ col(s"${rightVal}_asof")): _*)
     }

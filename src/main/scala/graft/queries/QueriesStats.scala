@@ -51,6 +51,20 @@ object QueriesStats {
         .select("event_id", "user_id", "last_signup_c")
     }),
 
+    // pandas merge_asof with tolerance: last signup value per user
+    // at most 1h old (right side pre-aggregated per (user, ts) so the
+    // pick at duplicate timestamps is well-defined in every engine)
+    "q140_asof_tolerance" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      val ev = t(s, d, "events")
+      val sign = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("sts"))
+        .agg(max(cents(col("value"))).as("sv"))
+      ev.asofJoin(sign, "user_id", "ts", "sts", "sv",
+          direction = "backward", tolerance = Some(3600.0))
+        .select("event_id", "user_id", "sv_asof")
+    }),
+
     // §2.11 date_range generator vs generate_series
     "q121_date_range" -> ((s, d) =>
       TimeSeriesOps.dateRange(s,
@@ -559,6 +573,18 @@ object QueriesStats {
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY 1""".stripMargin,
+
+    "q140_asof_tolerance" ->
+      """WITH r AS (
+        |  SELECT user_id, ts AS sts,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS sv
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN r.sts IS NOT NULL
+        |      AND epoch(e.ts) - epoch(r.sts) <= 3600.0
+        |    THEN r.sv END AS sv_asof
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.sts""".stripMargin,
 
     "q41_asof" ->
       """SELECT event_id, user_id,

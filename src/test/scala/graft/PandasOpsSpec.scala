@@ -159,6 +159,20 @@ class PandasOpsSpec extends SparkSpecBase {
     // A@7 exact 107; A@20 back 107; B@2 only fwd 50
     near shouldBe Array(Some(100.0), Some(107.0), Some(107.0),
       Some(50.0))
+    // tolerance drops matches farther than the bound (pandas
+    // merge_asof tolerance), in every direction
+    val tolB = trades.asofJoin(quotes, "sym", "t", "qt", "px",
+        "backward", tolerance = Some(2.0))
+      .orderBy("sym", "t").select("px_asof")
+      .as[Option[Double]].collect()
+    // A@3 back=1 d2 ok; A@7 exact d0; A@20 back=7 d13 DROPPED; B@2 none
+    tolB shouldBe Array(Some(100.0), Some(107.0), None, None)
+    val tolN = trades.asofJoin(quotes, "sym", "t", "qt", "px",
+        "nearest", tolerance = Some(1.0))
+      .orderBy("sym", "t").select("px_asof")
+      .as[Option[Double]].collect()
+    // A@3 nearest d2 > 1 dropped; A@7 d0; A@20 d13 dropped; B@2 d2 dropped
+    tolN shouldBe Array(None, Some(107.0), None, None)
   }
 
   test("qcutApprox buckets into near-equal populations without a global window") {
