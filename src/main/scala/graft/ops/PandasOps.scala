@@ -258,6 +258,29 @@ object PandasOps {
       df.withColumn("rank", when(v.isNull, lit(null)).otherwise(raw))
     }
 
+    /** pandas groupby().cumcount(): 0-based position of each row
+      * within its group under `orderCols` (pass a full tiebreak for a
+      * deterministic result). One partitioned window. */
+    def cumcount(groupCols: Seq[String], orderCols: Seq[String],
+        outName: String = "cumcount"): DataFrame = {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+      df.withColumn(outName, (row_number().over(w) - 1).cast("long"))
+    }
+
+    /** pandas groupby().ngroup(): dense 0-based index of each row's
+      * group in group-key sort order. The index is computed on the
+      * DISTINCT group table (bounded by the group-key domain, so the
+      * single-partition ordering window is over group COUNT rows, not
+      * data rows) and broadcast-joined back — data rows never move. */
+    def ngroup(groupCols: Seq[String],
+        outName: String = "ngroup"): DataFrame = {
+      val w = Window.orderBy(groupCols.map(col): _*)
+      val groups = df.select(groupCols.map(col): _*).distinct()
+        .withColumn(outName, (row_number().over(w) - 1).cast("long"))
+      df.join(broadcast(groups), groupCols)
+    }
+
     /** SQL percent_rank ((min_rank − 1)/(n − 1)) over the WHOLE frame
       * without the global single-partition window: ranks come from the
       * distinct-value table via the range-bucketed cumulative counts

@@ -175,6 +175,16 @@ object QueriesPipeline {
         defaultRate = 0.1, salt = "mix1")
         .select("doc_id", "source", "lang")),
 
+    // pandas groupby().cumcount() + ngroup(): position within group
+    // and dense group index
+    "q141_cumcount" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      t(s, d, "events")
+        .cumcount(Seq("event_type"), Seq("ts", "event_id"))
+        .ngroup(Seq("event_type"))
+        .select("event_id", "event_type", "cumcount", "ngroup")
+    }),
+
     // group filter (pandas groupby().filter): whole ROWS of groups
     // passing an aggregate predicate survive — verified through
     // row-level aggregates of the filtered frame
@@ -548,6 +558,14 @@ object QueriesPipeline {
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 'mix1'")} <
          |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
          |    WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    "q141_cumcount" ->
+      """SELECT event_id, event_type,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY ts, event_id) - 1 AS BIGINT) AS cumcount,
+        |  CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT)
+        |    AS ngroup
+        |FROM events""".stripMargin,
 
     "q119_group_filter" ->
       """WITH keep AS (
