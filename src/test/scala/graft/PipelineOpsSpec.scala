@@ -423,6 +423,37 @@ class PipelineOpsSpec extends SparkSpecBase {
     (plan should not).include("SinglePartition")
   }
 
+  test("new ops tolerate empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    PipelineOps.paragraphDedup(emptyDocs, "text", "doc_id")
+      .count() shouldBe 0
+    PipelineOps.bigramLmScore(emptyDocs, "text", "doc_id")
+      .count() shouldBe 0
+    PipelineOps.packSequences(emptyDocs, "text", "doc_id", 10, 2)
+      .count() shouldBe 0
+    PipelineOps.weightedHashSample(
+      Seq.empty[(Long, Double)].toDF("id", "w"), "id", "w", 5)
+      .count() shouldBe 0
+    PipelineOps.takeByBudget(
+      Seq.empty[(Long, Double, Long)].toDF("id", "s", "tok"),
+      "s", "tok", "id", 100L).count() shouldBe 0
+    graft.ops.SkewOps.intervalJoin(
+      Seq.empty[(Long, Long, Long)].toDF("a", "sa", "ea"),
+      Seq((1L, 0L, 5L)).toDF("b", "sb", "eb"),
+      "sa", "ea", "sb", "eb", 10L).count() shouldBe 0
+    // degenerate: single row, zero-variance, single group
+    import graft.ops.PandasOps._
+    val one = Seq((1L, 5L)).toDF("id", "v")
+    one.percentRankScalable("v").select("pct_rank")
+      .head().getDouble(0) shouldBe 0.0 // n=1: below/(max(n-1,1)) = 0
+    graft.stats.StatsOps.distributionDivergence(
+        Seq(("x", "A")).toDF("cat", "g"), "cat", "g", "A", "B")
+      .head().getDouble(2).isNaN shouldBe false // js finite-ish, no throw
+    graft.timeseries.TimeSeriesOps.resampleOhlc(
+      Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("id", "ts", "v"),
+      "ts", "v", "hour", "id").count() shouldBe 0
+  }
+
   test("redactPii replaces emails, IPs and phone numbers") {
     val df = Seq(
       "mail bob.smith+x@sub.example.org end",
