@@ -148,6 +148,32 @@ object PandasOps {
     def crosstab2(a: String, b: String): DataFrame =
       df.groupBy(a).pivot(b).agg(count(lit(1)))
 
+    /** pandas crosstab(normalize=): cell shares instead of counts.
+      * normalize ∈ {"index" (rows sum to 1), "columns", "all"}.
+      * Computed in LONG form (a, b, share) — one count aggregate +
+      * one margin aggregate broadcast back; rounded to 6 dp. */
+    def crosstabNormalized(a: String, b: String,
+        normalize: String = "all"): DataFrame = {
+      require(Seq("index", "columns", "all").contains(normalize),
+        s"normalize must be index/columns/all, got $normalize")
+      val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a), col(b)).agg(count(lit(1)).as("__n__"))
+      val denom = normalize match {
+        case "index" =>
+          cells.groupBy(col(a)).agg(sum("__n__").as("__d__"))
+        case "columns" =>
+          cells.groupBy(col(b)).agg(sum("__n__").as("__d__"))
+        case _ => cells.agg(sum("__n__").as("__d__"))
+      }
+      val joined = normalize match {
+        case "index"   => cells.join(broadcast(denom), Seq(a))
+        case "columns" => cells.join(broadcast(denom), Seq(b))
+        case _         => cells.crossJoin(broadcast(denom))
+      }
+      joined.select(col(a), col(b),
+        round(col("__n__").cast("double") / col("__d__"), 6).as("share"))
+    }
+
     /** hierarchical-groupby navigation parity
       * (src/dataframe/hierarchical_groupby.rs:232): rollup + a level
       * label decoded from grouping_id, replacing the reference's tree

@@ -175,6 +175,30 @@ object QueriesPipeline {
         defaultRate = 0.1, salt = "mix1")
         .select("doc_id", "source", "lang")),
 
+    // pandas crosstab(normalize='index'): row-share contingency
+    "q142_crosstab_norm" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      t(s, d, "lineitem")
+        .crosstabNormalized("l_returnflag", "l_linestatus", "index")
+    }),
+
+    // pandas expanding().corr + .cov per event type
+    "q143_expanding_corr" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .withColumn("vc", cents(col("value")))
+      val c1 = graft.window.RollingOps.rollingCorr(base, "vc", "user_id",
+        n = 0, orderCols = Seq("ts", "event_id"),
+        partitionCols = Seq("event_type"), minPeriods = 5,
+        outName = "exp_corr")
+      graft.window.RollingOps.rollingCorr(c1, "vc", "user_id",
+          n = 0, orderCols = Seq("ts", "event_id"),
+          partitionCols = Seq("event_type"), minPeriods = 5,
+          outName = "exp_cov", sampleCov = true, asCov = true)
+        .select(col("event_id"), col("event_type"),
+          round(col("exp_corr"), 6).as("exp_corr"),
+          round(col("exp_cov"), 6).as("exp_cov"))
+    }),
+
     // pandas groupby().cumcount() + ngroup(): position within group
     // and dense group index
     "q141_cumcount" -> ((s, d) => {
@@ -558,6 +582,49 @@ object QueriesPipeline {
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 'mix1'")} <
          |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
          |    WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    "q142_crosstab_norm" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, sum(n) AS d FROM c GROUP BY 1)
+        |SELECT c.l_returnflag, c.l_linestatus,
+        |  round(CAST(c.n AS DOUBLE) / m.d, 6) AS share
+        |FROM c JOIN m USING (l_returnflag)""".stripMargin,
+
+    "q143_expanding_corr" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, event_type,
+        |    CAST(count(CASE WHEN vc IS NOT NULL AND user_id IS NOT NULL
+        |      THEN 1 END) OVER w AS DOUBLE) AS n,
+        |    sum(CASE WHEN user_id IS NOT NULL
+        |      THEN CAST(vc AS DOUBLE) END) OVER w AS sx,
+        |    sum(CASE WHEN vc IS NOT NULL
+        |      THEN CAST(user_id AS DOUBLE) END) OVER w AS sy,
+        |    sum(CASE WHEN user_id IS NOT NULL
+        |      THEN CAST(vc AS DOUBLE) * vc END) OVER w AS sxx,
+        |    sum(CASE WHEN vc IS NOT NULL
+        |      THEN CAST(user_id AS DOUBLE) * user_id END) OVER w AS syy,
+        |    sum(CAST(vc AS DOUBLE) * user_id) OVER w AS sxy
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type,
+        |  CASE WHEN n >= 5 AND
+        |      sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+        |    THEN round((n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |  END AS exp_corr,
+        |  CASE WHEN n >= 5 AND n > 1
+        |    THEN round((sxy - sx * sy / n) / (n - 1), 6)
+        |  END AS exp_cov
+        |FROM s""".stripMargin,
 
     "q141_cumcount" ->
       """SELECT event_id, event_type,

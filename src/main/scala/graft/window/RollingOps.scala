@@ -54,8 +54,12 @@ object RollingOps {
       orderCols: Seq[String], partitionCols: Seq[String] = Nil,
       minPeriods: Int = -1, outName: String = "rolling_corr",
       sampleCov: Boolean = false, asCov: Boolean = false): DataFrame = {
-    val mp = if (minPeriods < 0) n else minPeriods
-    val w = frame(base(orderCols, partitionCols), n, center = false)
+    // n <= 0 = EXPANDING pairwise corr/cov (pandas expanding().corr)
+    val mp = if (minPeriods >= 0) minPeriods else if (n > 0) n else 2
+    val w =
+      if (n > 0) frame(base(orderCols, partitionCols), n, center = false)
+      else base(orderCols, partitionCols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bothOk = col(xCol).isNotNull && col(yCol).isNotNull
     val xm = when(bothOk, col(xCol).cast("double"))
     val ym = when(bothOk, col(yCol).cast("double"))
