@@ -175,6 +175,13 @@ object QueriesPipeline {
         defaultRate = 0.1, salt = "mix1")
         .select("doc_id", "source", "lang")),
 
+    // Morton Z-value for layout clustering (bit-exact across engines)
+    "q144_zorder" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .withColumn("z", graft.sources.Sources.zValue2(
+          col("l_partkey"), col("l_suppkey")))),
+
     // pandas crosstab(normalize='index'): row-share contingency
     "q142_crosstab_norm" -> ((s, d) => {
       import graft.ops.PandasOps._
@@ -582,6 +589,30 @@ object QueriesPipeline {
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 'mix1'")} <
          |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
          |    WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    "q144_zorder" ->
+      """WITH s AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |c0 AS (SELECT l_partkey, l_suppkey,
+        |  l_partkey & 4294967295 AS va,
+        |  l_suppkey & 4294967295 AS vb FROM s),
+        |c1 AS (SELECT l_partkey, l_suppkey,
+        |  (va | (va << 16)) & 281470681808895 AS va,
+        |  (vb | (vb << 16)) & 281470681808895 AS vb FROM c0),
+        |c2 AS (SELECT l_partkey, l_suppkey,
+        |  (va | (va << 8)) & 71777214294589695 AS va,
+        |  (vb | (vb << 8)) & 71777214294589695 AS vb FROM c1),
+        |c3 AS (SELECT l_partkey, l_suppkey,
+        |  (va | (va << 4)) & 1085102592571150095 AS va,
+        |  (vb | (vb << 4)) & 1085102592571150095 AS vb FROM c2),
+        |c4 AS (SELECT l_partkey, l_suppkey,
+        |  (va | (va << 2)) & 3689348814741910323 AS va,
+        |  (vb | (vb << 2)) & 3689348814741910323 AS vb FROM c3),
+        |c5 AS (SELECT l_partkey, l_suppkey,
+        |  (va | (va << 1)) & 6148914691236517205 AS va,
+        |  (vb | (vb << 1)) & 6148914691236517205 AS vb FROM c4)
+        |SELECT l_partkey, l_suppkey, va | (vb << 1) AS z
+        |FROM c5""".stripMargin,
 
     "q142_crosstab_norm" ->
       """WITH c AS (

@@ -118,6 +118,43 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** 64-bit Morton (Z-order) value: interleaves the low 32 bits of
+    * two non-negative integer columns (a gets even bits, b odd) via
+    * the classic mask-and-shift bit spread — a pure codegen'd
+    * expression, no UDF. Rows close in Z are close in BOTH
+    * dimensions, so sorting/range-partitioning by Z before a write
+    * clusters multi-dimensional ranges into few files. */
+  def zValue2(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def spread(x0: org.apache.spark.sql.Column) = {
+      val m = Seq(0x0000FFFF0000FFFFL, 0x00FF00FF00FF00FFL,
+        0x0F0F0F0F0F0F0F0FL, 0x3333333333333333L, 0x5555555555555555L)
+      val sh = Seq(16, 8, 4, 2, 1)
+      m.zip(sh).foldLeft(x0.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+        case (v, (mask, s)) =>
+          (v.bitwiseOR(shiftleft(v, s))).bitwiseAND(lit(mask))
+      }
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-order clustered parquet write (the 100 TB layout play for
+    * two-dimensional range scans): range-partition by the Morton
+    * value into `numFiles` and sort within partitions, so every file
+    * covers a compact rectangle of (a, b) space and min/max footer
+    * stats prune most files for any 2-D range predicate — where a
+    * single-column sort prunes only its own dimension. */
+  def writeZOrdered(df: DataFrame, aCol: String, bCol: String,
+      path: String, numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__z__", zValue2(col(aCol), col(bCol)))
+      .repartitionByRange(numFiles, col("__z__"))
+      .sortWithinPartitions("__z__")
+      .drop("__z__")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** JDBC passthrough (src/io/sql/operations.rs:118-485): partitioned
     * parallel reads when a split column is given. Untestable in this
     * container (no database) — surface parity only. */

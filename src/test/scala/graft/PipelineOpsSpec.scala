@@ -423,6 +423,35 @@ class PipelineOpsSpec extends SparkSpecBase {
     (plan should not).include("SinglePartition")
   }
 
+  test("zValue2 interleaves bits; z-ordered write clusters BOTH dims") {
+    import graft.sources.Sources
+    // hand-checked interleavings
+    val z = Seq((3L, 0L), (0L, 3L), (5L, 6L)).toDF("a", "b")
+      .select(Sources.zValue2($"a", $"b")).as[Long].collect()
+    z(0) shouldBe 0x5L  // a=0b11 -> even bits 0101
+    z(1) shouldBe 0xAL  // b=0b11 -> odd bits 1010
+    // a=101 even bits, b=110 odd bits -> 0b101_1_0_0_1 = interleave
+    z(2) shouldBe ((1L << 0) | (0L << 2) | (1L << 4) |
+      (0L << 1) | (1L << 3) | (1L << 5))
+    // a 64x64 grid written z-ordered into 16 files: every file's
+    // bounding rectangle covers a SMALL fraction of the domain in
+    // BOTH dimensions (a 1-D sort leaves the other dim full-span)
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y)))
+      .toDF("x", "y")
+    val dir = s"/tmp/graft_zorder_${System.nanoTime()}"
+    Sources.writeZOrdered(grid, "x", "y", dir, numFiles = 16)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max($"x") - min($"x")).as("dx"), (max($"y") - min($"y")).as("dy"))
+      .select("dx", "dy").as[(Int, Int)].collect()
+    spans.length shouldBe 16
+    // each file's rectangle: at most a quarter-span in each dimension
+    spans.foreach { case (dx, dy) =>
+      dx should be <= 16
+      dy should be <= 16
+    }
+  }
+
   test("new ops tolerate empty and degenerate inputs") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     PipelineOps.paragraphDedup(emptyDocs, "text", "doc_id")
