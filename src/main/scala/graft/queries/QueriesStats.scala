@@ -135,6 +135,13 @@ object QueriesStats {
           round(col("resid"), 6).as("resid"))
     }),
 
+    // §2.12 two-sample Kolmogorov–Smirnov: purchase vs click value
+    // distributions (range-bucketed ECDFs, series p-value)
+    "q145_ks_test" -> ((s, d) =>
+      StatsOps.ksTest(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type", "purchase", "click")),
+
     // data-mixing drift: KL/JS divergence + entropies of the language
     // distribution, source src0 vs src1
     "q131_divergence" -> ((s, d) =>
@@ -440,6 +447,47 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q145_ks_test" ->
+      """WITH p AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click')
+        |    AND value IS NOT NULL),
+        |c AS (
+        |  SELECT v,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS ca,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+        |  FROM p GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(ca) AS DOUBLE) AS na,
+        |    CAST(sum(cb) AS DOUBLE) AS nb
+        |  FROM c),
+        |e AS (
+        |  SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+        |    sum(cb) OVER (ORDER BY v) AS cumb
+        |  FROM c),
+        |d AS (
+        |  SELECT max(abs(cuma / na - cumb / nb)) AS d_stat,
+        |    any_value(na) AS na, any_value(nb) AS nb
+        |  FROM e CROSS JOIN t),
+        |s AS (
+        |  SELECT d_stat, na, nb,
+        |    (sqrt(na * nb / (na + nb)) + 0.12 +
+        |      0.11 / sqrt(na * nb / (na + nb))) * d_stat AS lam
+        |  FROM d),
+        |ser AS (
+        |  SELECT d_stat, na, nb, any_value(lam) AS lam,
+        |    sum(2 * power(-1.0, k - 1) * exp(-2 * k * k * lam * lam))
+        |      AS p
+        |  FROM s, unnest(range(1, 101)) AS u(k)
+        |  GROUP BY d_stat, na, nb)
+        |SELECT round(d_stat, 9) AS d_stat,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(CASE WHEN lam < 0.03 THEN 1.0
+        |    ELSE least(greatest(p, 0), 1) END, 6) AS p_value
+        |FROM ser""".stripMargin,
 
     "q131_divergence" ->
       """WITH f AS (

@@ -270,6 +270,57 @@ object StatsOps {
       .select((col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test (stats family extension):
+    * D = sup over the pooled distinct values of |F_A − F_B| (ECDFs),
+    * with the asymptotic p-value 2Σ(−1)^{k−1}e^{−2k²λ²},
+    * λ = (√n_e + 0.12 + 0.11/√n_e)·D, n_e = n_A·n_B/(n_A+n_B)
+    * (the standard Numerical-Recipes form), series truncated at
+    * k = 100 — an expression, not a driver loop, so the oracle can
+    * replay it term-for-term.
+    *
+    * Scale shape: ECDFs come from per-side cumulative counts over the
+    * DISTINCT-value table via the range-bucketed two-pass
+    * ([[distinctValueCumCounts]]) — no global window, same machinery
+    * as Mann-Whitney. */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String): DataFrame = {
+    val pooled = df.filter(col(groupCol).isin(gA, gB) &&
+      col(valueCol).isNotNull)
+    val counts = pooled.groupBy(col(valueCol))
+      .agg(sum(when(col(groupCol) === gA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gB, 1L).otherwise(0L)).as("cb"))
+      .cache()
+    val belowA = distinctValueCumCounts(counts.select(col(valueCol),
+      col("ca")), valueCol, "ca").withColumnRenamed("__below__", "ba")
+    val belowB = distinctValueCumCounts(counts.select(col(valueCol),
+      col("cb")), valueCol, "cb").withColumnRenamed("__below__", "bb")
+    val d0 = counts.join(belowA.select(col(valueCol), col("ba")), Seq(valueCol))
+      .join(belowB.select(col(valueCol), col("bb")), Seq(valueCol))
+      .crossJoin(broadcast(counts.agg(
+        sum("ca").cast("double").as("na"),
+        sum("cb").cast("double").as("nb"))))
+      .agg(max(abs((col("ba") + col("ca")) / col("na") -
+          (col("bb") + col("cb")) / col("nb"))).as("d_stat"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+    // asymptotic p-value as a 100-term series expression
+    val ne = col("na") * col("nb") / (col("na") + col("nb"))
+    val lam = (sqrt(ne) + 0.12 + lit(0.11) / sqrt(ne)) * col("d_stat")
+    val term = lit(2.0) * pow(lit(-1.0), col("k") - 1) *
+      exp(lit(-2.0) * col("k") * col("k") * lam * lam)
+    d0.withColumn("k", explode(sequence(lit(1), lit(100))))
+      .groupBy("d_stat", "na", "nb")
+      .agg(least(greatest(sum(term), lit(0.0)), lit(1.0)).as("p"))
+      // the truncated alternating series is only valid for λ ≳ 0.03;
+      // below that Q_KS is 1 to hundreds of digits (and the 100-term
+      // sum would alternate to garbage) — clamp, same rule as the
+      // oracle
+      .withColumn("p", when(lam < 0.03, 1.0).otherwise(col("p")))
+      .select(round(col("d_stat"), 9).as("d_stat"),
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        round(col("p"), 6).as("p_value"))
+  }
+
   /** Categorical distribution divergence between two groups — the
     * data-mixing drift diagnostic (no reference counterpart; standard
     * information-theoretic definitions). Compares the MLE distribution

@@ -87,6 +87,26 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(fast, nm, 1e-6)
   }
 
+  test("ksTest: zero D for identical samples, D=1 for disjoint") {
+    import spark.implicits._
+    val same = (1 to 50).flatMap(i =>
+      Seq((i.toLong, "A"), (i.toLong, "B"))).toDF("v", "g")
+    val r0 = StatsOps.ksTest(same, "v", "g", "A", "B").head()
+    r0.getDouble(0) shouldBe 0.0 +- 1e-12       // d_stat
+    r0.getDouble(3) shouldBe 1.0 +- 1e-6        // p_value
+    // disjoint supports: D = 1, p ~ 0
+    val disj = ((1 to 40).map(i => (i.toLong, "A")) ++
+      (100 to 140).map(i => (i.toLong, "B"))).toDF("v", "g")
+    val r1 = StatsOps.ksTest(disj, "v", "g", "A", "B").head()
+    r1.getDouble(0) shouldBe 1.0 +- 1e-12
+    r1.getDouble(3) should be < 1e-6
+    // a known half-shift: A = 1..40, B = 21..60 -> D = 0.5
+    val shift = ((1 to 40).map(i => (i.toLong, "A")) ++
+      (21 to 60).map(i => (i.toLong, "B"))).toDF("v", "g")
+    StatsOps.ksTest(shift, "v", "g", "A", "B").head()
+      .getDouble(0) shouldBe 0.5 +- 1e-12
+  }
+
   test("distributionDivergence: zero for identical, known KL, JS finite") {
     import spark.implicits._
     // identical distributions -> all divergences 0
