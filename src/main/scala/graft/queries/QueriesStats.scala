@@ -135,6 +135,18 @@ object QueriesStats {
           round(col("resid"), 6).as("resid"))
     }),
 
+    // §2.12 Wilcoxon signed-rank: per-user paired purchase-vs-click
+    // spend totals (users present in both)
+    "q146_wilcoxon" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def side(et: String, out: String) =
+        ev.filter(col("event_type") === et)
+          .groupBy("user_id").agg(sum(cents(col("value"))).as(out))
+      StatsOps.wilcoxonSignedRank(
+        side("purchase", "sx").join(side("click", "sy"), "user_id"),
+        "sx", "sy")
+    }),
+
     // §2.12 two-sample Kolmogorov–Smirnov: purchase vs click value
     // distributions (range-bucketed ECDFs, series p-value)
     "q145_ks_test" -> ((s, d) =>
@@ -447,6 +459,41 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q146_wilcoxon" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(z)")
+      s"""WITH ux AS (
+         |  SELECT user_id,
+         |    sum(CAST(round(value * 100) AS BIGINT)) AS sx
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |uy AS (
+         |  SELECT user_id,
+         |    sum(CAST(round(value * 100) AS BIGINT)) AS sy
+         |  FROM events WHERE event_type = 'click' GROUP BY 1),
+         |p AS (
+         |  SELECT CAST(sx - sy AS DOUBLE) AS dd
+         |  FROM ux JOIN uy USING (user_id) WHERE sx <> sy),
+         |r AS (
+         |  SELECT dd, CAST(rank() OVER (ORDER BY abs(dd)) AS DOUBLE) +
+         |    (CAST(count(*) OVER (PARTITION BY abs(dd)) AS DOUBLE)
+         |      - 1.0) / 2.0 AS r
+         |  FROM p),
+         |t AS (
+         |  SELECT CAST(sum(c * c * c - c) AS DOUBLE) AS tie_t
+         |  FROM (SELECT count(*) AS c FROM p GROUP BY abs(dd))),
+         |a AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(CASE WHEN dd > 0 THEN r ELSE 0 END) AS w_plus
+         |  FROM r),
+         |zt AS (
+         |  SELECT n, w_plus,
+         |    (w_plus - n * (n + 1) / 4) /
+         |      sqrt(n * (n + 1) * (2 * n + 1) / 24 - tie_t / 48) AS z
+         |  FROM a, t)
+         |SELECT CAST(n AS BIGINT) AS n, round(w_plus, 6) AS w_plus,
+         |  round(z, 6) AS z, round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM zt""".stripMargin
+    },
 
     "q145_ks_test" ->
       """WITH p AS (

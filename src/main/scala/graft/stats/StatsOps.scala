@@ -270,6 +270,43 @@ object StatsOps {
       .select((col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
   }
 
+  /** Wilcoxon signed-rank test for PAIRED samples (the paired
+    * counterpart of Mann-Whitney; stats family extension): zero
+    * differences dropped, |d| ranked with average ranks, W⁺ = rank
+    * sum of positive differences, normal approximation with the
+    * standard tie correction (no continuity correction — mirrored
+    * exactly by the oracle):
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    * Ranks come from the range-bucketed distinct-|d| table
+    * ([[distinctValueRanks]]) broadcast back — no global window. */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val nz = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__d__",
+        col(xCol).cast("double") - col(yCol).cast("double"))
+      .filter(col("__d__") =!= 0.0)
+    val counts = nz.groupBy(abs(col("__d__")).as("__ad__"))
+      .agg(count(lit(1)).as("__c__")).cache()
+    val ranks = distinctValueRanks(counts, "__ad__", "__c__")
+    val ties = counts.agg(
+      sum(col("__c__") * col("__c__") * col("__c__") - col("__c__"))
+        .cast("double").as("tie_t"))
+    val base = nz.withColumn("__ad__", abs(col("__d__")))
+      .join(broadcast(ranks), Seq("__ad__"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(when(col("__d__") > 0, col("__r__")).otherwise(0.0))
+          .as("w_plus"))
+      .crossJoin(broadcast(ties))
+    val n = col("n")
+    val z = (col("w_plus") - n * (n + 1) / 4) /
+      sqrt(n * (n + 1) * (n * 2 + 1) / 24 - col("tie_t") / 48)
+    base.select(n.cast("long").as("n"),
+        round(col("w_plus"), 6).as("w_plus"), round(z, 6).as("z"),
+        round(lit(2.0) * (lit(1.0) -
+          Distributions.normalCdfCol(abs(z))), 6).as("p_value"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test (stats family extension):
     * D = sup over the pooled distinct values of |F_A − F_B| (ECDFs),
     * with the asymptotic p-value 2Σ(−1)^{k−1}e^{−2k²λ²},

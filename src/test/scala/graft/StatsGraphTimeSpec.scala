@@ -87,6 +87,24 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(fast, nm, 1e-6)
   }
 
+  test("wilcoxonSignedRank: closed-form W+, tie correction, zeros drop") {
+    import spark.implicits._
+    // all differences positive and distinct: W+ = n(n+1)/2 = 15
+    val pos = Seq((6.0, 5.0), (7.0, 5.0), (8.0, 5.0), (9.0, 5.0),
+      (10.0, 5.0)).toDF("x", "y")
+    val r = StatsOps.wilcoxonSignedRank(pos, "x", "y").head()
+    r.getLong(0) shouldBe 5L
+    r.getDouble(1) shouldBe 15.0 +- 1e-9
+    r.getDouble(2) shouldBe (15.0 - 7.5) / math.sqrt(5 * 6 * 11 / 24.0) +- 1e-6
+    // zero differences are dropped; perfect symmetry -> z = 0, p = 1
+    val sym = Seq((1.0, 3.0), (3.0, 1.0), (2.0, 5.0), (5.0, 2.0),
+      (4.0, 4.0)).toDF("x", "y")
+    val rs = StatsOps.wilcoxonSignedRank(sym, "x", "y").head()
+    rs.getLong(0) shouldBe 4L // the (4,4) pair dropped
+    rs.getDouble(2) shouldBe 0.0 +- 1e-9
+    rs.getDouble(3) shouldBe 1.0 +- 1e-6
+  }
+
   test("ksTest: zero D for identical samples, D=1 for disjoint") {
     import spark.implicits._
     val same = (1 to 50).flatMap(i =>
