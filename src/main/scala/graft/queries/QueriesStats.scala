@@ -135,6 +135,26 @@ object QueriesStats {
           round(col("resid"), 6).as("resid"))
     }),
 
+    // §2.12 Bartlett variance homogeneity across event types (dof 4:
+    // closed-form χ² tail in the oracle)
+    "q148_bartlett" -> ((s, d) =>
+      StatsOps.bartlett(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type")),
+
+    // §2.12 Levene (Brown–Forsythe) robust variance test
+    "q149_levene" -> ((s, d) =>
+      StatsOps.leveneBrownForsythe(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type")),
+
+    // §2.12 Kruskal–Wallis H across all five event types (dof = 4,
+    // so the oracle's χ² tail has the even-dof closed form)
+    "q147_kruskal" -> ((s, d) =>
+      StatsOps.kruskalWallis(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type")),
+
     // §2.12 Wilcoxon signed-rank: per-user paired purchase-vs-click
     // spend totals (users present in both)
     "q146_wilcoxon" -> ((s, d) => {
@@ -459,6 +479,92 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q148_bartlett" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS gn,
+        |    CAST(sum(vc) AS DOUBLE) AS s1,
+        |    CAST(sum(vc * vc) AS DOUBLE) AS s2
+        |  FROM (SELECT event_type,
+        |      CAST(round(value * 100) AS BIGINT) AS vc
+        |    FROM events
+        |    WHERE value IS NOT NULL AND event_type IS NOT NULL)
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT gn, (s2 - s1 * s1 / gn) / (gn - 1) AS vr FROM g),
+        |a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k, sum(gn) AS nn,
+        |    sum((gn - 1) * vr) AS ssw,
+        |    sum((gn - 1) * ln(vr)) AS slv,
+        |    sum(1.0 / (gn - 1)) AS sinv
+        |  FROM v),
+        |x AS (
+        |  SELECT k,
+        |    ((nn - k) * ln(ssw / (nn - k)) - slv) /
+        |      (1.0 + (sinv - 1.0 / (nn - k)) / (3.0 * (k - 1))) AS chi2
+        |  FROM a)
+        |SELECT round(chi2, 6) AS chi2, CAST(k - 1 AS BIGINT) AS dof,
+        |  round(exp(-chi2 / 2) * (1 + chi2 / 2), 6) AS p_value
+        |FROM x""".stripMargin,
+
+    "q149_levene" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS vc
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, quantile_cont(vc, 0.5) AS med
+        |  FROM p GROUP BY 1),
+        |z AS (
+        |  SELECT p.event_type, abs(p.vc - m.med) AS z
+        |  FROM p JOIN m USING (event_type)),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS gn,
+        |    sum(z) AS s1, sum(z * z) AS s2
+        |  FROM z GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k, sum(gn) AS nn,
+        |    sum(s1) AS ts1, sum(s2) AS ts2,
+        |    sum(s1 * s1 / gn) AS sgm
+        |  FROM g)
+        |SELECT
+        |  round(((sgm - ts1 * ts1 / nn) / (k - 1)) /
+        |    ((ts2 - sgm) / (nn - k)), 6) AS w_stat,
+        |  CAST(k - 1 AS BIGINT) AS df_between,
+        |  CAST(nn - k AS BIGINT) AS df_within
+        |FROM a""".stripMargin,
+
+    "q147_kruskal" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(rank() OVER (ORDER BY vc) AS DOUBLE) +
+        |      (CAST(count(*) OVER (PARTITION BY vc) AS DOUBLE) - 1.0)
+        |      / 2.0 AS r
+        |  FROM p),
+        |t AS (
+        |  SELECT CAST(sum(c * c * c - c) AS DOUBLE) AS tie_t
+        |  FROM (SELECT count(*) AS c FROM p GROUP BY vc)),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS gn,
+        |    sum(r) AS rs
+        |  FROM r GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k, sum(gn) AS nn,
+        |    sum(rs * rs / gn) AS s
+        |  FROM g),
+        |hh AS (
+        |  SELECT k, nn,
+        |    (12.0 / (nn * (nn + 1)) * s - 3.0 * (nn + 1)) /
+        |      (1.0 - tie_t / (nn * nn * nn - nn)) AS h
+        |  FROM a, t)
+        |SELECT round(h, 6) AS h_stat, CAST(k - 1 AS BIGINT) AS dof,
+        |  round(exp(-h / 2) * (1 + h / 2), 6) AS p_value
+        |FROM hh""".stripMargin,
 
     "q146_wilcoxon" -> {
       val phi = graft.stats.Distributions.normalCdfSql("abs(z)")

@@ -270,6 +270,98 @@ object StatsOps {
       .select((col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
   }
 
+  /** Bartlett's test of variance homogeneity (the ANOVA companion;
+    * stats family extension): from per-group sufficient sums,
+    * χ² = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C with the standard
+    * correction C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1));
+    * p from χ²(k−1). One aggregate pass + O(k) finalization. */
+  def bartlett(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = df.filter(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("gn"), sum(v).as("s1"),
+        sum(v * v).as("s2"))
+      .withColumn("var",
+        (col("s2") - col("s1") * col("s1") / col("gn")) /
+          (col("gn") - 1))
+    val a = g.agg(count(lit(1)).cast("double").as("k"),
+      sum("gn").as("nn"),
+      sum((col("gn") - 1) * col("var")).as("ssw"),
+      sum((col("gn") - 1) * log(col("var"))).as("slv"),
+      sum(lit(1.0) / (col("gn") - 1)).as("sinv"))
+    val sp2 = col("ssw") / (col("nn") - col("k"))
+    val c = lit(1.0) + (col("sinv") - lit(1.0) / (col("nn") - col("k"))) /
+      (lit(3.0) * (col("k") - 1))
+    val chi2 = ((col("nn") - col("k")) * log(sp2) - col("slv")) / c
+    a.select(round(chi2, 6).as("chi2"),
+      (col("k") - 1).cast("long").as("dof"),
+      round(chi2PUdf(chi2, col("k") - 1), 6).as("p_value"))
+  }
+
+  /** Levene's test in the Brown–Forsythe (median-centered) form —
+    * robust variance-homogeneity: z = |x − group median| (exact
+    * per-group percentile), then the one-way ANOVA F on z. Returns
+    * (w_stat, df_between, df_within). */
+  def leveneBrownForsythe(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && col(groupCol).isNotNull)
+    val meds = base.groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.5)).as("__med__"))
+    val z = base.join(broadcast(meds), Seq(groupCol))
+      .withColumn("__z__", abs(v - col("__med__")))
+    val g = z.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("gn"),
+        sum(col("__z__")).as("s1"),
+        sum(col("__z__") * col("__z__")).as("s2"))
+    g.agg(count(lit(1)).as("k"), sum(col("gn")).as("nn"),
+        sum(col("s1")).as("ts1"), sum(col("s2")).as("ts2"),
+        sum(col("s1") * col("s1") / col("gn")).as("sgm"))
+      .select(
+        // zero within-group spread ⇒ W undefined: null, not an ANSI
+        // divide-by-zero (divide by NULL to null-propagate)
+        round(((col("sgm") - col("ts1") * col("ts1") / col("nn")) /
+            (col("k") - 1)) /
+          when((col("ts2") - col("sgm")) > 0,
+            (col("ts2") - col("sgm")) / (col("nn") - col("k"))), 6)
+          .as("w_stat"),
+        (col("k") - 1).cast("long").as("df_between"),
+        (col("nn") - col("k")).cast("long").as("df_within"))
+  }
+
+  /** Kruskal–Wallis H test — the k-group generalization of
+    * Mann-Whitney (stats family extension): pooled average ranks from
+    * the range-bucketed distinct-value table, H = 12/(N(N+1))·ΣR²/n −
+    * 3(N+1), divided by the standard tie correction
+    * 1 − Σ(t³−t)/(N³−N); p-value from the χ²(k−1) upper tail. One
+    * groupBy(value), one broadcast join, one groupBy(group). */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val pooled = df.filter(col(valueCol).isNotNull &&
+      col(groupCol).isNotNull)
+    val counts = pooled.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__c__")).cache()
+    val ranks = distinctValueRanks(counts, valueCol, "__c__")
+    val ties = counts.agg(
+      sum(col("__c__") * col("__c__") * col("__c__") - col("__c__"))
+        .cast("double").as("tie_t"))
+    val g = pooled.join(broadcast(ranks), Seq(valueCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("gn"),
+        sum(col("__r__")).as("rs"))
+    val nn = col("nn")
+    val h = lit(12.0) / (nn * (nn + 1)) * col("s") - lit(3.0) * (nn + 1)
+    val hc = h / (lit(1.0) - col("tie_t") / (nn * nn * nn - nn))
+    g.agg(count(lit(1)).cast("double").as("k"),
+        sum("gn").as("nn"),
+        sum(col("rs") * col("rs") / col("gn")).as("s"))
+      .crossJoin(broadcast(ties))
+      .select(round(hc, 6).as("h_stat"),
+        (col("k") - 1).cast("long").as("dof"),
+        round(chi2PUdf(hc, col("k") - 1), 6).as("p_value"))
+  }
+
   /** Wilcoxon signed-rank test for PAIRED samples (the paired
     * counterpart of Mann-Whitney; stats family extension): zero
     * differences dropped, |d| ranked with average ranks, W⁺ = rank

@@ -87,6 +87,34 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(fast, nm, 1e-6)
   }
 
+  test("kruskalWallis, bartlett, levene: closed-form small cases") {
+    import spark.implicits._
+    // KW on {1,2,3},{4,5,6},{7,8,9}: H = 7.2, p = e^-3.6 (dof 2)
+    val kw = (Seq(1, 2, 3).map((_, "a")) ++ Seq(4, 5, 6).map((_, "b")) ++
+      Seq(7, 8, 9).map((_, "c"))).toDF("v", "g")
+    val rk = StatsOps.kruskalWallis(kw, "v", "g").head()
+    rk.getDouble(0) shouldBe 7.2 +- 1e-9
+    rk.getLong(1) shouldBe 2L
+    rk.getDouble(2) shouldBe math.exp(-3.6) +- 1e-5
+    // Bartlett: identical variances -> chi2 = 0, p = 1
+    val bt = (Seq(1, 2, 3, 4).map((_, "a")) ++
+      Seq(11, 12, 13, 14).map((_, "b"))).toDF("v", "g")
+    val rb = StatsOps.bartlett(bt, "v", "g").head()
+    rb.getDouble(0) shouldBe 0.0 +- 1e-9
+    rb.getDouble(2) shouldBe 1.0 +- 1e-6
+    // Levene/BF hand case: a={0,2,2} (z=2,0,0), b={0,4,4,8}
+    // (z=4,0,0,4) -> W = 3.047619/3.733333 = 0.816327
+    val lv = (Seq(0.0, 2.0, 2.0).map((_, "a")) ++
+      Seq(0.0, 4.0, 4.0, 8.0).map((_, "b"))).toDF("v", "g")
+    StatsOps.leveneBrownForsythe(lv, "v", "g").head()
+      .getDouble(0) shouldBe 0.816327 +- 1e-5
+    // zero within-spread -> null W, no ANSI throw
+    val dz = (Seq(1.0, 3.0).map((_, "a")) ++
+      Seq(11.0, 13.0).map((_, "b"))).toDF("v", "g")
+    StatsOps.leveneBrownForsythe(dz, "v", "g").head()
+      .isNullAt(0) shouldBe true
+  }
+
   test("wilcoxonSignedRank: closed-form W+, tie correction, zeros drop") {
     import spark.implicits._
     // all differences positive and distinct: W+ = n(n+1)/2 = 15
