@@ -53,6 +53,27 @@ object MlOps {
       .drop("__mn__", "__mx__")
   }
 
+  /** RobustScaler (sklearn parity; reference preprocessing family):
+    * (x − median) / IQR — outlier-insensitive where standard scaling
+    * is dominated by extremes. Exact percentiles per (optional)
+    * group; zero IQR scales to 0.0 (constant-ish column). */
+  def robustScale(df: DataFrame, valueCol: String,
+      by: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats =
+      (if (by.isEmpty) df.groupBy() else df.groupBy(by.map(col): _*))
+        .agg(percentile(v, lit(0.5)).as("__med__"),
+          percentile(v, lit(0.25)).as("__q1__"),
+          percentile(v, lit(0.75)).as("__q3__"))
+    val joined = if (by.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), by)
+    joined.withColumn(s"${valueCol}_scaled",
+        when(col("__q3__") === col("__q1__"), 0.0)
+          .otherwise((v - col("__med__")) /
+            (col("__q3__") - col("__q1__"))))
+      .drop("__med__", "__q1__", "__q3__")
+  }
+
   /** OneHotEncoder (preprocessing/mod.rs:302): indicator columns for
     * an explicit (bounded) category list — schema stays static, which
     * is what a 100 TB pipeline needs anyway. */

@@ -116,6 +116,16 @@ object QueriesExt {
               / (dbl(col("n")) - 1)), 6).as("z"))
     }),
 
+    // §2.13 RobustScaler: (x − median)/IQR per return flag
+    "q150_robust_scale" -> ((s, d) =>
+      MlOps.robustScale(
+        t(s, d, "lineitem")
+          .withColumn("qty", col("l_quantity").cast("long")),
+        "qty", by = Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+            .as("l_linenumber"), col("l_returnflag"), col("qty"),
+          round(col("qty_scaled"), 6).as("scaled"))),
+
     // §2.9 linear interpolation of nulls (window-based, no collect)
     "q69_interpolate" -> ((s, d) =>
       t(s, d, "events")
@@ -593,6 +603,21 @@ object QueriesExt {
         |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |      / (CAST(n AS DOUBLE) - 1)), 6) AS z
         |FROM lineitem l JOIN stats USING (l_returnflag)""".stripMargin,
+
+    "q150_robust_scale" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l.l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |  round(CASE WHEN q3 = q1 THEN 0.0
+        |    ELSE (CAST(l_quantity AS DOUBLE) - med) / (q3 - q1) END, 6)
+        |    AS scaled
+        |FROM lineitem l JOIN s USING (l_returnflag)""".stripMargin,
 
     "q69_interpolate" ->
       """WITH base AS (
