@@ -135,6 +135,19 @@ object QueriesStats {
           round(col("resid"), 6).as("resid"))
     }),
 
+    // §2.12 two-proportion z-test: high-value-event rate, click vs
+    // view (the A/B-test primitive)
+    "q151_prop_ztest" -> ((s, d) =>
+      StatsOps.twoProportionZTest(
+        t(s, d, "events").withColumn("hi", col("value") >= 50.0),
+        "hi", "event_type", "click", "view")),
+
+    // §2.12 Cohen's d effect size, purchase vs click value cents
+    "q152_cohens_d" -> ((s, d) =>
+      StatsOps.cohensD(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type", "purchase", "click")),
+
     // §2.12 Bartlett variance homogeneity across event types (dof 4:
     // closed-form χ² tail in the oracle)
     "q148_bartlett" -> ((s, d) =>
@@ -479,6 +492,54 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q151_prop_ztest" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(z)")
+      s"""WITH a AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS DOUBLE) AS na,
+         |    CAST(sum(CASE WHEN event_type = 'click' AND value >= 50.0
+         |      THEN 1 ELSE 0 END) AS DOUBLE) AS xa,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS DOUBLE) AS nb,
+         |    CAST(sum(CASE WHEN event_type = 'view' AND value >= 50.0
+         |      THEN 1 ELSE 0 END) AS DOUBLE) AS xb
+         |  FROM events
+         |  WHERE event_type IN ('click', 'view')
+         |    AND value IS NOT NULL),
+         |zt AS (
+         |  SELECT xa / na AS pa, xb / nb AS pb, na, nb,
+         |    (xa / na - xb / nb) /
+         |      sqrt((xa + xb) / (na + nb) * (1 - (xa + xb) / (na + nb))
+         |        * (1 / na + 1 / nb)) AS z
+         |  FROM a)
+         |SELECT round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  round(z, 6) AS z,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM zt""".stripMargin
+    },
+
+    "q152_cohens_d" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    avg(CAST(round(value * 100) AS BIGINT)) AS m,
+        |    var_samp(CAST(round(value * 100) AS BIGINT)) AS s2
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click')
+        |    AND value IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT a.n AS na, a.m AS ma, a.s2 AS sa,
+        |    b.n AS nb, b.m AS mb, b.s2 AS sb
+        |  FROM (SELECT * FROM g WHERE event_type = 'purchase') a,
+        |       (SELECT * FROM g WHERE event_type = 'click') b)
+        |SELECT
+        |  round((ma - mb) / sqrt(((na - 1) * sa + (nb - 1) * sb) /
+        |    (na + nb - 2)), 6) AS d,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM w""".stripMargin,
 
     "q148_bartlett" ->
       """WITH g AS (

@@ -270,6 +270,55 @@ object StatsOps {
       .select((col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
   }
 
+  /** Two-proportion z-test (pooled) — the A/B-test workhorse (stats
+    * family extension): success = `successCol` true, groups gA/gB of
+    * `groupCol`; z = (p̂_A − p̂_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)) with p̂
+    * the pooled proportion; two-sided normal p. One aggregate. */
+  def twoProportionZTest(df: DataFrame, successCol: String,
+      groupCol: String, gA: String, gB: String): DataFrame = {
+    val s = col(successCol).cast("boolean")
+    val a = df.filter(col(groupCol).isin(gA, gB) && s.isNotNull)
+      .agg(
+        sum(when(col(groupCol) === gA, 1L).otherwise(0L))
+          .cast("double").as("na"),
+        sum(when(col(groupCol) === gA && s, 1L).otherwise(0L))
+          .cast("double").as("xa"),
+        sum(when(col(groupCol) === gB, 1L).otherwise(0L))
+          .cast("double").as("nb"),
+        sum(when(col(groupCol) === gB && s, 1L).otherwise(0L))
+          .cast("double").as("xb"))
+    val pa = col("xa") / col("na"); val pb = col("xb") / col("nb")
+    val pp = (col("xa") + col("xb")) / (col("na") + col("nb"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    val z = (pa - pb) / when(se > 0, se) // null (not throw) if degenerate
+    a.select(round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      round(z, 6).as("z"),
+      round(lit(2.0) * (lit(1.0) -
+        Distributions.normalCdfCol(abs(z))), 6).as("p_value"))
+  }
+
+  /** Cohen's d effect size (pooled-SD form) between two groups —
+    * companion to [[ttestWelch]]: d = (m_A − m_B)/s_p,
+    * s_p = √(((n_A−1)s²_A + (n_B−1)s²_B)/(n_A+n_B−2)). */
+  def cohensD(df: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.filter(col(groupCol).isin(gA, gB) && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"), avg(v).as("m"),
+        var_samp(v).as("s2"))
+    val a = stats.filter(col(groupCol) === gA).as("a")
+    val b = stats.filter(col(groupCol) === gB).as("b")
+    val sp = sqrt(((col("a.n") - 1) * col("a.s2") +
+      (col("b.n") - 1) * col("b.s2")) / (col("a.n") + col("b.n") - 2))
+    a.crossJoin(b).select(
+      round((col("a.m") - col("b.m")) / when(sp > 0, sp), 6).as("d"),
+      col("a.n").cast("long").as("n_a"),
+      col("b.n").cast("long").as("n_b"))
+  }
+
   /** Bartlett's test of variance homogeneity (the ANOVA companion;
     * stats family extension): from per-group sufficient sums,
     * χ² = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C with the standard

@@ -87,6 +87,29 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(fast, nm, 1e-6)
   }
 
+  test("twoProportionZTest and cohensD closed forms") {
+    import spark.implicits._
+    // A: 30/100 success, B: 20/100 -> pooled p=0.25,
+    // z = 0.1/sqrt(0.25*0.75*0.02)
+    val ab = ((1 to 100).map(i => (i <= 30, "A")) ++
+      (1 to 100).map(i => (i <= 20, "B"))).toDF("s", "g")
+    val r = StatsOps.twoProportionZTest(ab, "s", "g", "A", "B").head()
+    r.getDouble(0) shouldBe 0.3 +- 1e-9
+    r.getDouble(1) shouldBe 0.2 +- 1e-9
+    r.getDouble(4) shouldBe 0.1 / math.sqrt(0.25 * 0.75 * 0.02) +- 1e-5
+    // identical proportions -> z = 0, p = 1
+    val eq = ((1 to 50).map(i => (i <= 10, "A")) ++
+      (1 to 50).map(i => (i <= 10, "B"))).toDF("s", "g")
+    val re = StatsOps.twoProportionZTest(eq, "s", "g", "A", "B").head()
+    re.getDouble(4) shouldBe 0.0 +- 1e-9
+    re.getDouble(5) shouldBe 1.0 +- 1e-6
+    // Cohen's d: means 10 vs 8, both sd=1 (samples {9,10,11},{7,8,9})
+    val cd = (Seq(9.0, 10.0, 11.0).map((_, "A")) ++
+      Seq(7.0, 8.0, 9.0).map((_, "B"))).toDF("v", "g")
+    StatsOps.cohensD(cd, "v", "g", "A", "B").head()
+      .getDouble(0) shouldBe 2.0 +- 1e-9
+  }
+
   test("kruskalWallis, bartlett, levene: closed-form small cases") {
     import spark.implicits._
     // KW on {1,2,3},{4,5,6},{7,8,9}: H = 7.2, p = e^-3.6 (dof 2)
