@@ -135,6 +135,20 @@ object QueriesStats {
           round(col("resid"), 6).as("resid"))
     }),
 
+    // §2.12 paired t-test on the same user-level pairs as q146
+    // (p_value omitted from the gate: the oracle mirrors the
+    // statistic; the op's exact t-CDF p is spec-verified)
+    "q153_paired_ttest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def side(et: String, out: String) =
+        ev.filter(col("event_type") === et)
+          .groupBy("user_id").agg(sum(cents(col("value"))).as(out))
+      StatsOps.pairedTTest(
+          side("purchase", "sx").join(side("click", "sy"), "user_id"),
+          "sx", "sy")
+        .select("n", "mean_diff", "t_stat", "dof")
+    }),
+
     // §2.12 two-proportion z-test: high-value-event rate, click vs
     // view (the A/B-test primitive)
     "q151_prop_ztest" -> ((s, d) =>
@@ -492,6 +506,29 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q153_paired_ttest" ->
+      """WITH ux AS (
+        |  SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS sx
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |uy AS (
+        |  SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS sy
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(sx - sy AS DOUBLE) AS dd
+        |  FROM ux JOIN uy USING (user_id)),
+        |a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dd) AS s1,
+        |    sum(dd * dd) AS s2
+        |  FROM p)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(s1 / n, 6) AS mean_diff,
+        |  round((s1 / n) / sqrt(((s2 - s1 * s1 / n) / (n - 1)) / n), 6)
+        |    AS t_stat,
+        |  CAST(n - 1 AS BIGINT) AS dof
+        |FROM a""".stripMargin,
 
     "q151_prop_ztest" -> {
       val phi = graft.stats.Distributions.normalCdfSql("abs(z)")

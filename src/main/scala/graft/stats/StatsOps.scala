@@ -270,6 +270,25 @@ object StatsOps {
       .select((col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
   }
 
+  /** Paired t-test — one-sample t on the differences d = x − y:
+    * t = d̄/(s_d/√n), dof = n−1, exact t-distribution p-value.
+    * Companion to [[wilcoxonSignedRank]] for paired designs. */
+  def pairedTTest(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val d = col(xCol).cast("double") - col(yCol).cast("double")
+    val a = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(d).as("s1"), sum(d * d).as("s2"))
+    val m = col("s1") / col("n")
+    val s2 = (col("s2") - col("s1") * col("s1") / col("n")) /
+      (col("n") - 1)
+    val tt = m / sqrt(s2 / col("n"))
+    a.select(col("n").cast("long").as("n"),
+      round(m, 6).as("mean_diff"), round(tt, 6).as("t_stat"),
+      (col("n") - 1).cast("long").as("dof"),
+      round(tPUdf(tt, col("n") - 1), 6).as("p_value"))
+  }
+
   /** Two-proportion z-test (pooled) — the A/B-test workhorse (stats
     * family extension): success = `successCol` true, groups gA/gB of
     * `groupCol`; z = (p̂_A − p̂_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)) with p̂

@@ -87,6 +87,23 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(fast, nm, 1e-6)
   }
 
+  test("pairedTTest: closed form and symmetric null") {
+    import spark.implicits._
+    // d = {1,2,3}: mean 2, sd 1, t = 2/(1/sqrt(3)) = 2*sqrt(3)
+    val p = Seq((2.0, 1.0), (4.0, 2.0), (6.0, 3.0)).toDF("x", "y")
+    val r = StatsOps.pairedTTest(p, "x", "y").head()
+    r.getLong(0) shouldBe 3L
+    r.getDouble(1) shouldBe 2.0 +- 1e-9
+    r.getDouble(2) shouldBe 2.0 * math.sqrt(3.0) +- 1e-5
+    r.getLong(3) shouldBe 2L
+    // symmetric differences -> t = 0, p = 1
+    val s = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (5.0, 3.0))
+      .toDF("x", "y")
+    val rs = StatsOps.pairedTTest(s, "x", "y").head()
+    rs.getDouble(2) shouldBe 0.0 +- 1e-9
+    rs.getDouble(4) shouldBe 1.0 +- 1e-6
+  }
+
   test("twoProportionZTest and cohensD closed forms") {
     import spark.implicits._
     // A: 30/100 success, B: 20/100 -> pooled p=0.25,
