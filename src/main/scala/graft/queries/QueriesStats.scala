@@ -25,6 +25,17 @@ object QueriesStats {
           min(cents(col("value"))).as("min_c"),
           max(cents(col("value"))).as("max_c"))),
 
+    // §2.11 Mann–Kendall trend per event type over the hourly
+    // resampled cents series
+    "q154_mann_kendall" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(cents(col("value"))).as("v"))
+      TimeSeriesOps.mannKendall(hourly, "bucket", "v",
+        Seq("event_type"))
+    }),
+
     // §2.11 pandas resample().ohlc(): hourly open/high/low/close of
     // value cents per event type
     "q138_resample_ohlc" -> ((s, d) =>
@@ -844,6 +855,45 @@ object QueriesStats {
         |  min(CAST(round(value * 100) AS BIGINT)) AS min_c,
         |  max(CAST(round(value * 100) AS BIGINT)) AS max_c
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q154_mann_kendall" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(z)")
+      s"""WITH h AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS b,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         |      AS v
+         |  FROM events GROUP BY 1, 2),
+         |st AS (
+         |  SELECT l.event_type,
+         |    sum(CASE WHEN r.v > l.v THEN 1
+         |      WHEN r.v < l.v THEN -1 ELSE 0 END) AS s
+         |  FROM h l JOIN h r
+         |    ON l.event_type = r.event_type AND l.b < r.b
+         |  GROUP BY 1),
+         |nt AS (
+         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n
+         |  FROM h GROUP BY 1),
+         |tt AS (
+         |  SELECT event_type,
+         |    sum(t * (t - 1) * (t * 2 + 5)) AS tsum
+         |  FROM (SELECT event_type, v, CAST(count(*) AS DOUBLE) AS t
+         |    FROM h GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |j AS (
+         |  SELECT st.event_type, CAST(s AS DOUBLE) AS s, n, tsum,
+         |    sqrt((n * (n - 1) * (n * 2 + 5) - tsum) / 18.0) AS sd
+         |  FROM st JOIN nt USING (event_type)
+         |    JOIN tt USING (event_type)),
+         |zz AS (
+         |  SELECT event_type, s, n,
+         |    CASE WHEN s > 0 THEN (s - 1) / sd
+         |      WHEN s < 0 THEN (s + 1) / sd ELSE 0.0 END AS z
+         |  FROM j)
+         |SELECT event_type, CAST(s AS BIGINT) AS s_stat,
+         |  CAST(n AS BIGINT) AS n, round(z, 6) AS z,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM zz""".stripMargin
+    },
 
     "q138_resample_ohlc" ->
       """WITH e AS (

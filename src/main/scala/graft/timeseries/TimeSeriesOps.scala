@@ -30,6 +30,49 @@ object TimeSeriesOps {
       .agg(aggs.head, aggs.tail: _*)
       .orderBy("bucket")
 
+  /** Mann–Kendall monotone-trend test per key (time-series family
+    * extension): S = Σ_{i<j} sgn(x_j − x_i) over the time-ordered
+    * series, tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18, continuity-corrected
+    * z and two-sided normal p. Pairwise by construction — run it on
+    * AGGREGATED series (resample first), like every single-series
+    * diagnostic here; the self-join is per-key so many series still
+    * parallelize across the cluster. */
+  def mannKendall(df: DataFrame, tsCol: String, valueCol: String,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select((keyCols.map(col) :+ col(tsCol).as("__t__") :+
+        col(valueCol).cast("double").as("__v__")): _*)
+    val l = base.as("l"); val r = base.as("r")
+    val keyEq = if (keyCols.isEmpty) lit(true)
+      else keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val sTab = l.join(r, keyEq && col("l.__t__") < col("r.__t__"))
+      .groupBy(keyCols.map(k => col(s"l.$k").as(k)): _*)
+      .agg(sum(signum(col("r.__v__") - col("l.__v__"))).as("s"))
+    val nTab = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("n"))
+    val tieTab = base.groupBy((keyCols.map(col) :+ col("__v__")): _*)
+      .agg(count(lit(1)).cast("double").as("t"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .as("tsum"))
+    val joined =
+      if (keyCols.isEmpty) sTab.crossJoin(nTab).crossJoin(tieTab)
+      else sTab.join(nTab, keyCols).join(tieTab, keyCols)
+    val n = col("n")
+    val varS = (n * (n - 1) * (n * 2 + 5) - col("tsum")) / 18.0
+    val z = when(col("s") > 0, (col("s") - 1) / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1) / sqrt(varS))
+      .otherwise(0.0)
+    joined.select((keyCols.map(col) :+
+      col("s").cast("long").as("s_stat") :+
+      n.cast("long").as("n") :+
+      round(z, 6).as("z") :+
+      round(lit(2.0) * (lit(1.0) -
+        graft.stats.Distributions.normalCdfCol(abs(z))), 6)
+        .as("p_value")): _*)
+  }
+
   /** pandas resample(freq).ohlc(): open/high/low/close per time
     * bucket (+ count), per optional key. Open/close are
     * min_by/max_by over a unique within-bucket ordering key

@@ -87,6 +87,22 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(fast, nm, 1e-6)
   }
 
+  test("mannKendall: monotone, flat, and keyed series") {
+    import graft.timeseries.TimeSeriesOps
+    import spark.implicits._
+    val up = (1 to 10).map(i => ("k", i, i.toDouble))
+    val flat = (1 to 10).map(i => ("f", i, 7.0))
+    val df = (up ++ flat).toDF("g", "t", "v")
+    val r = TimeSeriesOps.mannKendall(df, "t", "v", Seq("g"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(3), x.getDouble(4))).toMap
+    r("k")._1 shouldBe 45L // strictly increasing: n(n-1)/2 pairs
+    r("k")._3 should be < 0.01 // strong trend -> tiny p
+    r("f")._1 shouldBe 0L
+    r("f")._2 shouldBe 0.0 +- 1e-9
+    r("f")._3 shouldBe 1.0 +- 1e-9
+  }
+
   test("pairedTTest: closed form and symmetric null") {
     import spark.implicits._
     // d = {1,2,3}: mean 2, sd 1, t = 2/(1/sqrt(3)) = 2*sqrt(3)
