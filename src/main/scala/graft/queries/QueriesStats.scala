@@ -25,6 +25,17 @@ object QueriesStats {
           min(cents(col("value"))).as("min_c"),
           max(cents(col("value"))).as("max_c"))),
 
+    // §2.11 Theil–Sen robust slope per event type over the hourly
+    // resampled cents series (epoch-hour time axis)
+    "q155_theil_sen" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("hr"))
+        .agg(sum(cents(col("value"))).as("v"))
+      TimeSeriesOps.theilSen(hourly, "hr", "v", Seq("event_type"))
+    }),
+
     // §2.11 Mann–Kendall trend per event type over the hourly
     // resampled cents series
     "q154_mann_kendall" -> ((s, d) => {
@@ -855,6 +866,27 @@ object QueriesStats {
         |  min(CAST(round(value * 100) AS BIGINT)) AS min_c,
         |  max(CAST(round(value * 100) AS BIGINT)) AS max_c
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q155_theil_sen" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS DOUBLE) AS hr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT l.event_type,
+        |    quantile_cont((r.v - l.v) / (r.hr - l.hr), 0.5) AS slope
+        |  FROM h l JOIN h r
+        |    ON l.event_type = r.event_type AND l.hr < r.hr
+        |  GROUP BY 1),
+        |res AS (
+        |  SELECT h.event_type,
+        |    quantile_cont(v - slope * hr, 0.5) AS ic
+        |  FROM h JOIN sl USING (event_type) GROUP BY 1)
+        |SELECT sl.event_type, round(slope, 9) AS slope,
+        |  round(ic, 6) AS intercept
+        |FROM sl JOIN res USING (event_type)""".stripMargin,
 
     "q154_mann_kendall" -> {
       val phi = graft.stats.Distributions.normalCdfSql("abs(z)")

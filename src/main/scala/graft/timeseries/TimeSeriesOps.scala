@@ -73,6 +73,37 @@ object TimeSeriesOps {
         .as("p_value")): _*)
   }
 
+  /** Theil–Sen robust slope per key — the estimator that pairs with
+    * [[mannKendall]]: median of all pairwise slopes
+    * (x_j − x_i)/(t_j − t_i); intercept in the Conover form
+    * median(x_i − slope·t_i), which stays robust when outliers shift
+    * the plain value median. Same aggregated-series regime and
+    * per-key self-join as MK. The time axis is cast to double (epoch
+    * seconds for timestamps). */
+  def theilSen(df: DataFrame, tsCol: String, valueCol: String,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select((keyCols.map(col) :+
+        col(tsCol).cast("double").as("__t__") :+
+        col(valueCol).cast("double").as("__v__")): _*)
+    val l = base.as("l"); val r = base.as("r")
+    val keyEq = if (keyCols.isEmpty) lit(true)
+      else keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val slopes = l.join(r, keyEq && col("l.__t__") < col("r.__t__"))
+      .groupBy(keyCols.map(k => col(s"l.$k").as(k)): _*)
+      .agg(percentile((col("r.__v__") - col("l.__v__")) /
+        (col("r.__t__") - col("l.__t__")), lit(0.5)).as("slope"))
+    val withSlope = if (keyCols.isEmpty) base.crossJoin(broadcast(slopes))
+      else base.join(broadcast(slopes), keyCols)
+    withSlope.groupBy(keyCols.map(col): _*)
+      .agg(first(col("slope")).as("slope"),
+        percentile(col("__v__") - col("slope") * col("__t__"), lit(0.5))
+          .as("__ic__"))
+      .select((keyCols.map(col) :+
+        round(col("slope"), 9).as("slope") :+
+        round(col("__ic__"), 6).as("intercept")): _*)
+  }
+
   /** pandas resample(freq).ohlc(): open/high/low/close per time
     * bucket (+ count), per optional key. Open/close are
     * min_by/max_by over a unique within-bucket ordering key

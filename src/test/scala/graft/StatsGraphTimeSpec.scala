@@ -87,6 +87,19 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(fast, nm, 1e-6)
   }
 
+  test("theilSen recovers a clean slope through outliers") {
+    import graft.timeseries.TimeSeriesOps
+    import spark.implicits._
+    // y = 3t + 2 with two gross outliers: the median slope holds
+    val pts = (1 to 20).map { t =>
+      val y = if (t == 5 || t == 15) 1000.0 else 3.0 * t + 2.0
+      ("k", t, y)
+    }.toDF("g", "t", "v")
+    val r = TimeSeriesOps.theilSen(pts, "t", "v", Seq("g")).head()
+    r.getDouble(1) shouldBe 3.0 +- 1e-6
+    r.getDouble(2) shouldBe 2.0 +- 1e-6
+  }
+
   test("mannKendall: monotone, flat, and keyed series") {
     import graft.timeseries.TimeSeriesOps
     import spark.implicits._
