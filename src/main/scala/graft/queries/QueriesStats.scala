@@ -25,6 +25,17 @@ object QueriesStats {
           min(cents(col("value"))).as("min_c"),
           max(cents(col("value"))).as("max_c"))),
 
+    // §2.11 autocorrelation function, lags 1-24, per event type over
+    // the hourly resampled cents series
+    "q156_acf" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+      TimeSeriesOps.acf(hourly, "v", "bucket", maxLag = 24,
+        Seq("event_type"))
+    }),
+
     // §2.11 Theil–Sen robust slope per event type over the hourly
     // resampled cents series (epoch-hour time axis)
     "q155_theil_sen" -> ((s, d) => {
@@ -866,6 +877,32 @@ object QueriesStats {
         |  min(CAST(round(value * 100) AS BIGINT)) AS min_c,
         |  max(CAST(round(value * 100) AS BIGINT)) AS max_c
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q156_acf" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, avg(v) AS mv FROM h GROUP BY 1),
+        |c AS (
+        |  SELECT h.event_type, v - mv AS c,
+        |    row_number() OVER (PARTITION BY h.event_type
+        |      ORDER BY bucket) AS rn
+        |  FROM h JOIN m USING (event_type)),
+        |c0 AS (
+        |  SELECT event_type, sum(c * c) AS c0 FROM c GROUP BY 1),
+        |ks AS (SELECT unnest(range(1, 25)) AS lag),
+        |num AS (
+        |  SELECT a.event_type, ks.lag, sum(a.c * b.c) AS num
+        |  FROM c a CROSS JOIN ks
+        |  JOIN c b ON b.event_type = a.event_type
+        |    AND b.rn = a.rn + ks.lag
+        |  GROUP BY 1, 2)
+        |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag,
+        |  round(n.num / c0.c0, 6) AS acf
+        |FROM num n JOIN c0 USING (event_type)""".stripMargin,
 
     "q155_theil_sen" ->
       """WITH h AS (

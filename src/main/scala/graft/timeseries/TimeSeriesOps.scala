@@ -435,6 +435,44 @@ object TimeSeriesOps {
     n / 6.0 * (s * s + k * k / 4.0)
   }
 
+  /** Autocorrelation function per key, lags 1..maxLag (the exposed
+    * DataFrame form of the machinery inside [[ljungBox]]):
+    * r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with the per-key mean.
+    * Positional lags (row_number within key, orderCol-sorted) joined
+    * by index offset — one shuffle per key domain, maxLag× fan-out on
+    * the lag join. Returns (keyCols…, lag, acf). */
+  def acf(df: DataFrame, valueCol: String, orderCol: String,
+      maxLag: Int, keyCols: Seq[String] = Nil): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val meanTab = (if (keyCols.isEmpty) df.groupBy()
+      else df.groupBy(keyCols.map(col): _*))
+      .agg(avg(col(valueCol)).as("__m__"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val centered = (if (keyCols.isEmpty)
+        df.crossJoin(broadcast(meanTab))
+      else df.join(broadcast(meanTab), keyCols))
+      .withColumn("__c__", col(valueCol) - col("__m__"))
+      .withColumn("__rn__", row_number().over(w))
+      .select((keyCols.map(col) :+ col("__c__") :+ col("__rn__")): _*)
+    val c0 = centered.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__c__") * col("__c__")).as("__c0__"))
+    val probes = centered
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("__rn2__", col("__rn__") + col("lag"))
+    val b = centered.select((keyCols.map(col) :+
+      col("__c__").as("__cb__") :+ col("__rn__").as("__rnb__")): _*)
+    val joinKeys = keyCols :+ "__join_rn__"
+    val pairs = probes.withColumnRenamed("__rn2__", "__join_rn__")
+      .join(b.withColumnRenamed("__rnb__", "__join_rn__"), joinKeys)
+    val num = pairs.groupBy((keyCols.map(col) :+ col("lag")): _*)
+      .agg(sum(col("__c__") * col("__cb__")).as("__num__"))
+    (if (keyCols.isEmpty) num.crossJoin(broadcast(c0))
+     else num.join(broadcast(c0), keyCols))
+      .select((keyCols.map(col) :+ col("lag").cast("long").as("lag") :+
+        round(col("__num__") / col("__c0__"), 6).as("acf")): _*)
+  }
+
   /** Ljung-Box Q statistic up to maxLag (stats.rs ljung_box):
     * autocorrelations via lag windows, finalized on the driver. */
   def ljungBox(df: DataFrame, valueCol: String, orderCol: String,

@@ -87,6 +87,17 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(fast, nm, 1e-6)
   }
 
+  test("acf: alternating series has acf(1) ~ -1, acf(2) ~ +1") {
+    import graft.timeseries.TimeSeriesOps
+    import spark.implicits._
+    val alt = (1 to 40).map(i => ("k", i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("g", "t", "v")
+    val r = TimeSeriesOps.acf(alt, "v", "t", maxLag = 2, Seq("g"))
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    r(1L) shouldBe -0.975 +- 1e-3 // (n-1)/n edge effect at n=40
+    r(2L) shouldBe 0.95 +- 1e-3
+  }
+
   test("theilSen recovers a clean slope through outliers") {
     import graft.timeseries.TimeSeriesOps
     import spark.implicits._
