@@ -207,6 +207,40 @@ object PropertiesSpec extends Properties("graft") {
     }
   }
 
+  property("paragraphDedup keeps each distinct line exactly once") = {
+    val lineGen = Gen.listOfN(3,
+      Gen.oneOf("aa bb", "cc dd", "ee ff", "gg hh", "ii jj"))
+      .map(_.mkString("\n"))
+    forAll(Gen.listOfN(12, lineGen)) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.llm.PipelineOps
+        .paragraphDedup(docs, "text", "doc_id")
+      val kept = out.agg(org.apache.spark.sql.functions.sum("n_kept"))
+        .head().getLong(0)
+      val distinctLines = texts.flatMap(_.split("\n")).distinct.size
+      kept == distinctLines.toLong
+    }
+  }
+
+  property("packSequences conserves tokens and bounds pack starts") = {
+    val docGen = for {
+      id <- Gen.chooseNum(0L, 10000L)
+      words <- Gen.chooseNum(1, 12)
+    } yield (id, Seq.fill(words)("w").mkString(" "))
+    forAll(Gen.listOfN(25, docGen)) { docs0 =>
+      val docs = docs0.distinctBy(_._1)
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.llm.PipelineOps
+        .packSequences(df, "text", "doc_id", capacity = 8, buckets = 3)
+        .collect()
+      val totalTokens = docs.map(_._2.split(" ").length.toLong).sum
+      out.map(_.getLong(4)).sum == totalTokens &&
+        out.forall(r => r.getLong(2) == r.getLong(3) / 8) &&
+        out.length == docs.size
+    }
+  }
+
   private implicit class Let[A](private val a: A) {
     def let[B](f: A => B): B = f(a)
   }
