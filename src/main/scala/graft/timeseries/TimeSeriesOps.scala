@@ -473,6 +473,54 @@ object TimeSeriesOps {
         round(col("__num__") / col("__c0__"), 6).as("acf")): _*)
   }
 
+  /** Partial autocorrelation function per key via Durbin–Levinson on
+    * the [[acf]] output — the ARIMA-order diagnostic companion.
+    * The recursion is O(maxLag²) per key on the collected ACF table
+    * (keys × maxLag rows — aggregation output, small by
+    * construction), the same driver-side finalization pattern as the
+    * forecasters. Returns (keyCols…, lag, pacf). */
+  def pacf(df: DataFrame, valueCol: String, orderCol: String,
+      maxLag: Int, keyCols: Seq[String] = Nil): DataFrame = {
+    val acfRows = acf(df, valueCol, orderCol, maxLag, keyCols)
+      .collect()
+    val byKey = acfRows.groupBy(r => keyCols.indices.map(r.get).toSeq)
+    val out = byKey.toSeq.flatMap { case (key, rows) =>
+      val rho = Array.fill(maxLag + 1)(0.0)
+      rho(0) = 1.0
+      rows.foreach { r =>
+        val k = r.getLong(keyCols.size).toInt
+        rho(k) = r.getDouble(keyCols.size + 1)
+      }
+      // Durbin–Levinson: phi(k)(k) is the lag-k PACF
+      val phi = Array.ofDim[Double](maxLag + 1, maxLag + 1)
+      val pacfs = (1 to maxLag).map { k =>
+        if (k == 1) { phi(1)(1) = rho(1); phi(1)(1) }
+        else {
+          val num = rho(k) -
+            (1 until k).map(j => phi(k - 1)(j) * rho(k - j)).sum
+          val den = 1.0 -
+            (1 until k).map(j => phi(k - 1)(j) * rho(j)).sum
+          phi(k)(k) = if (math.abs(den) < 1e-12) 0.0 else num / den
+          (1 until k).foreach(j =>
+            phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j))
+          phi(k)(k)
+        }
+      }
+      (1 to maxLag).map(k => (key, k.toLong, pacfs(k - 1)))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flat = out.map { case (key, k, p) =>
+      (key.map(v => if (v == null) null else v.toString), k, p)
+    }
+    val asDf = flat.toDF("__key__", "lag", "pacf")
+    if (keyCols.isEmpty) asDf.select(col("lag"), round(col("pacf"), 6).as("pacf"))
+    else keyCols.zipWithIndex.foldLeft(asDf) { case (d, (k, i)) =>
+        d.withColumn(k, element_at(col("__key__"), i + 1))
+      }.select((keyCols.map(col) :+ col("lag") :+
+        round(col("pacf"), 6).as("pacf")): _*)
+  }
+
   /** Ljung-Box Q statistic up to maxLag (stats.rs ljung_box):
     * autocorrelations via lag windows, finalized on the driver. */
   def ljungBox(df: DataFrame, valueCol: String, orderCol: String,

@@ -87,6 +87,26 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     approx(fast, nm, 1e-6)
   }
 
+  test("pacf: AR(1) has pacf(1) ~ phi and pacf(k>1) ~ 0") {
+    import graft.timeseries.TimeSeriesOps
+    import spark.implicits._
+    // deterministic AR(1) with phi = 0.7 driven by splitmix-style
+    // hash noise (white by construction, no RNG state)
+    val n = 400
+    val eps = (1 to n).map { i =>
+      val h = i.toLong * 0x9E3779B97F4A7C15L
+      val m = (h ^ (h >>> 31)) * 0xBF58476D1CE4E5B9L
+      ((m >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    val xs = eps.scanLeft(0.0)((prev, e) => 0.7 * prev + e).tail
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i, x) }
+      .toDF("g", "t", "v")
+    val p = TimeSeriesOps.pacf(df, "v", "t", maxLag = 5, Seq("g"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    p(1L) shouldBe 0.7 +- 0.1
+    (2L to 5L).foreach(k => math.abs(p(k)) should be < 0.15)
+  }
+
   test("acf: alternating series has acf(1) ~ -1, acf(2) ~ +1") {
     import graft.timeseries.TimeSeriesOps
     import spark.implicits._
