@@ -74,6 +74,30 @@ object MlOps {
       .drop("__med__", "__q1__", "__q3__")
   }
 
+  /** Rank-gauss (inverse-normal / van-der-Waerden) transform — the
+    * tabular-ML normalizer that maps any distribution onto N(0,1):
+    * average rank r per value, p = r/(n+1), z = Φ⁻¹(p) (Acklam,
+    * [[graft.stats.Distributions.normSInvCol]] — pure Column
+    * arithmetic, oracle-replayable).
+    *
+    * Scale shape: ranks come from the DISTINCT-value table via
+    * [[graft.stats.StatsOps.distinctValueRanks]] (range-bucketed
+    * cumulative counts — no global window), broadcast back; the
+    * transform itself is map-side. Nulls pass through as null. */
+  def rankGauss(df: DataFrame, valueCol: String,
+      outName: String = "gauss_rank"): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("__c__")).cache()
+    val ranks = graft.stats.StatsOps.distinctValueRanks(
+      counts, valueCol, "__c__")
+    val tot = counts.agg(sum("__c__").cast("double").as("__n__"))
+    df.join(broadcast(ranks), Seq(valueCol), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn(outName, graft.stats.Distributions.normSInvCol(
+        col("__r__") / (col("__n__") + 1)))
+      .drop("__r__", "__n__")
+  }
+
   /** OneHotEncoder (preprocessing/mod.rs:302): indicator columns for
     * an explicit (bounded) category list — schema stays static, which
     * is what a 100 TB pipeline needs anyway. */

@@ -740,4 +740,15 @@ object PandasOps {
         .select((lcols.map(col) :+ col(s"${rightVal}_asof")): _*)
     }
   }
+
+  /** pandas json_normalize for flat paths: extract typed columns from
+    * a JSON-string column — map-side `get_json_object` (codegen'd
+    * path evaluation, no UDF), cast per the caller's schema. Paths
+    * are JSONPath ("$.k", "$.a.b"); missing paths yield null like
+    * json_normalize's NaN. */
+  def jsonExtract(df: DataFrame, jsonCol: String,
+      fields: Seq[(String, String, String)]): DataFrame =
+    fields.foldLeft(df) { case (d, (path, castTo, out)) =>
+      d.withColumn(out, get_json_object(col(jsonCol), path).cast(castTo))
+    }
 }

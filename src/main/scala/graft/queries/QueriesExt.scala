@@ -117,6 +117,17 @@ object QueriesExt {
     }),
 
     // §2.13 RobustScaler: (x − median)/IQR per return flag
+    // §2.13 rank-gauss (inverse-normal) transform of quantity cents:
+    // distinct-value average ranks → Φ⁻¹(r/(n+1)), Acklam in both
+    // engines
+    "q159_rank_gauss" -> ((s, d) =>
+      graft.ml.MlOps.rankGauss(
+        t(s, d, "lineitem").withColumn("qc", cents(col("l_quantity"))),
+        "qc")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("qc"), round(col("gauss_rank"), 6).as("gr"))),
+
     "q150_robust_scale" -> ((s, d) =>
       MlOps.robustScale(
         t(s, d, "lineitem")
@@ -603,6 +614,24 @@ object QueriesExt {
         |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |      / (CAST(n AS DOUBLE) - 1)), 6) AS z
         |FROM lineitem l JOIN stats USING (l_returnflag)""".stripMargin,
+
+    "q159_rank_gauss" -> {
+      val inv = graft.stats.Distributions.normSInvSql("(r / (n + 1))")
+      s"""WITH p AS (
+         |  SELECT l_orderkey,
+         |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_orderkey, l_linenumber, qc,
+         |    CAST(rank() OVER (ORDER BY qc) AS DOUBLE) +
+         |      (CAST(count(*) OVER (PARTITION BY qc) AS DOUBLE) - 1.0)
+         |      / 2.0 AS r,
+         |    CAST(count(*) OVER () AS DOUBLE) AS n
+         |  FROM p)
+         |SELECT l_orderkey, l_linenumber, qc, round($inv, 6) AS gr
+         |FROM r""".stripMargin
+    },
 
     "q150_robust_scale" ->
       """WITH s AS (

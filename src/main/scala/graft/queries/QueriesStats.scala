@@ -25,6 +25,54 @@ object QueriesStats {
           min(cents(col("value"))).as("min_c"),
           max(cents(col("value"))).as("max_c"))),
 
+    // §2.12 Spearman rank correlation of quantity vs extended price
+    // (pandas corr(method='spearman')) — exact doubled-rank sums
+    "q162_spearman" -> ((s, d) =>
+      StatsOps.spearmanCorr(
+        t(s, d, "lineitem")
+          .select(cents(col("l_quantity")).as("qc"),
+            cents(col("l_extendedprice")).as("pc")),
+        "qc", "pc")),
+
+    // §2.12 Kendall τ-b of quantity vs discount cents (bounded
+    // domains — distinct-cell self-join)
+    "q163_kendall" -> ((s, d) =>
+      StatsOps.kendallTauB(
+        t(s, d, "lineitem")
+          .select(cents(col("l_quantity")).as("qc"),
+            cents(col("l_discount")).as("dc")),
+        "qc", "dc")),
+
+    // §2.12 Friedman repeated-measures test: blocks = hour-of-day,
+    // treatments = event type, one summed-cents cell per pair
+    "q157_friedman" -> ((s, d) =>
+      StatsOps.friedman(
+        t(s, d, "events")
+          .groupBy(hour(col("ts")).as("blk"), col("event_type"))
+          .agg(sum(cents(col("value"))).as("v")),
+        "blk", "event_type", "v")),
+
+    // §2.12 Page's L trend test on the same block design, treatments
+    // hypothesized in alphabetical order
+    "q158_page_trend" -> ((s, d) =>
+      StatsOps.pageTrend(
+        t(s, d, "events")
+          .groupBy(hour(col("ts")).as("blk"), col("event_type"))
+          .agg(sum(cents(col("value"))).as("v")),
+        "blk", "event_type", "v",
+        when(col("event_type") === "click", 1)
+          .when(col("event_type") === "error", 2)
+          .when(col("event_type") === "purchase", 3)
+          .when(col("event_type") === "signup", 4)
+          .otherwise(5))),
+
+    // §2.12 Benford first-digit audit over extended-price cents
+    "q161_benford" -> ((s, d) =>
+      StatsOps.benford(
+        t(s, d, "lineitem")
+          .select(cents(col("l_extendedprice")).as("pc")),
+        "pc")),
+
     // §2.11 autocorrelation function, lags 1-24, per event type over
     // the hourly resampled cents series
     "q156_acf" -> ((s, d) => {
@@ -489,6 +537,172 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q162_spearman" ->
+      """WITH p AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (
+        |  SELECT
+        |    2 * (rank() OVER (ORDER BY qc)) +
+        |      (count(*) OVER (PARTITION BY qc)) - 1 AS ra,
+        |    2 * (rank() OVER (ORDER BY pc)) +
+        |      (count(*) OVER (PARTITION BY pc)) - 1 AS rb
+        |  FROM p),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+        |    CAST(sum(ra * ra) AS BIGINT) AS saa,
+        |    CAST(sum(rb * rb) AS BIGINT) AS sbb,
+        |    CAST(sum(ra * rb) AS BIGINT) AS sab
+        |  FROM r)
+        |SELECT
+        |  round((CAST(n AS DOUBLE) * sab -
+        |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * saa -
+        |      CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * sbb -
+        |      CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS rho_s,
+        |  n
+        |FROM a""".stripMargin,
+
+    "q163_kendall" ->
+      """WITH p AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dc
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |cells AS (
+        |  SELECT qc AS va, dc AS vb, count(*) AS c
+        |  FROM p GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN l.vb < r.vb
+        |      THEN l.c * r.c END), 0) AS BIGINT) AS cc,
+        |    CAST(coalesce(sum(CASE WHEN l.vb > r.vb
+        |      THEN l.c * r.c END), 0) AS BIGINT) AS dd
+        |  FROM cells l JOIN cells r ON l.va < r.va),
+        |mx AS (
+        |  SELECT CAST(coalesce(sum(tx * (tx - 1)), 0) AS BIGINT) AS t1x
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS tx
+        |    FROM cells GROUP BY va)),
+        |my AS (
+        |  SELECT CAST(coalesce(sum(ty * (ty - 1)), 0) AS BIGINT) AS t1y
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS ty
+        |    FROM cells GROUP BY vb)),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells)
+        |SELECT
+        |  round(CAST(cc - dd AS DOUBLE) * 2 /
+        |    (sqrt(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) - t1x) *
+        |     sqrt(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) - t1y)),
+        |    6) AS tau_b,
+        |  cc, dd, nn AS n
+        |FROM pairs, mx, my, tt""".stripMargin,
+
+    "q157_friedman" ->
+      """WITH cells0 AS (
+        |  SELECT hour(ts) AS blk, event_type,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT * FROM cells0
+        |  WHERE blk IS NOT NULL AND event_type IS NOT NULL
+        |    AND v IS NOT NULL),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(rank() OVER (PARTITION BY blk ORDER BY v) AS DOUBLE) +
+        |      (CAST(count(*) OVER (PARTITION BY blk, v) AS DOUBLE)
+        |        - 1.0) / 2.0 AS r
+        |  FROM cells),
+        |tt AS (
+        |  SELECT CAST(coalesce(sum(c * c * c - c), 0) AS DOUBLE)
+        |    AS tie_t
+        |  FROM (SELECT count(*) AS c FROM cells GROUP BY blk, v)),
+        |g AS (SELECT event_type, sum(r) AS rs FROM r GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k, sum(rs * rs) AS s2
+        |  FROM g),
+        |nn AS (
+        |  SELECT CAST(count(DISTINCT blk) AS DOUBLE) AS n FROM cells),
+        |f AS (
+        |  SELECT (12.0 / (n * k * (k + 1)) * s2 - 3.0 * n * (k + 1)) /
+        |    (1.0 - tie_t / (n * k * (k * k - 1))) AS chi2, k
+        |  FROM a, nn, tt)
+        |SELECT round(chi2, 6) AS chi2_stat,
+        |  CAST(k - 1 AS BIGINT) AS dof,
+        |  round(exp(-chi2 / 2) * (1 + chi2 / 2), 6) AS p_value
+        |FROM f""".stripMargin,
+
+    "q158_page_trend" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("z")
+      s"""WITH cells0 AS (
+         |  SELECT hour(ts) AS blk, event_type,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS v
+         |  FROM events GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT * FROM cells0
+         |  WHERE blk IS NOT NULL AND event_type IS NOT NULL
+         |    AND v IS NOT NULL),
+         |r AS (
+         |  SELECT event_type,
+         |    CAST(rank() OVER (PARTITION BY blk ORDER BY v) AS DOUBLE) +
+         |      (CAST(count(*) OVER (PARTITION BY blk, v) AS DOUBLE)
+         |        - 1.0) / 2.0 AS r
+         |  FROM cells),
+         |g AS (SELECT event_type, sum(r) AS rs FROM r GROUP BY 1),
+         |a AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS k,
+         |    sum(CAST(CASE event_type WHEN 'click' THEN 1
+         |      WHEN 'error' THEN 2 WHEN 'purchase' THEN 3
+         |      WHEN 'signup' THEN 4 ELSE 5 END AS DOUBLE) * rs)
+         |      AS l_stat
+         |  FROM g),
+         |nn AS (
+         |  SELECT CAST(count(DISTINCT blk) AS DOUBLE) AS n FROM cells),
+         |zz AS (
+         |  SELECT l_stat,
+         |    (l_stat - n * k * (k + 1) * (k + 1) / 4) /
+         |      sqrt(n * k * k * (k + 1) * (k * k - 1) / 144) AS z
+         |  FROM a, nn)
+         |SELECT round(l_stat, 6) AS l_stat, round(z, 6) AS z,
+         |  round(1.0 - $phi, 6) AS p_value
+         |FROM zz""".stripMargin
+    },
+
+    "q161_benford" -> {
+      val expCase = (1 to 9).map(dd =>
+        s"WHEN $dd THEN ${math.log10(1.0 + 1.0 / dd)}").mkString(" ")
+      s"""WITH v AS (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL
+         |    AND CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+         |d AS (
+         |  SELECT CAST(substr(CAST(pc AS VARCHAR), 1, 1) AS INTEGER)
+         |    AS digit, count(*) AS n
+         |  FROM v GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM d),
+         |sp AS (
+         |  SELECT CAST(gs.g AS INTEGER) AS digit,
+         |    coalesce(d.n, 0) AS n, total,
+         |    coalesce(d.n, 0) / total AS obs_p,
+         |    CASE CAST(gs.g AS INTEGER) $expCase END AS exp_p
+         |  FROM range(1, 10) gs(g) CROSS JOIN tt
+         |  LEFT JOIN d ON d.digit = CAST(gs.g AS INTEGER)),
+         |s AS (
+         |  SELECT
+         |    sum(total * (obs_p - exp_p) * (obs_p - exp_p) / exp_p)
+         |      AS chi2,
+         |    sum(abs(obs_p - exp_p)) / 9.0 AS mad
+         |  FROM sp)
+         |SELECT digit, n, round(obs_p, 6) AS obs_p,
+         |  round(exp_p, 6) AS exp_p, round(chi2, 6) AS chi2_stat,
+         |  round(mad, 6) AS mad
+         |FROM sp CROSS JOIN s""".stripMargin
+    },
 
     "q125_sssp" ->
       """WITH RECURSIVE nn AS (

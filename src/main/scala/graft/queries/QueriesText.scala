@@ -21,6 +21,18 @@ object QueriesText {
 
   val queries: Map[String, QueryFn] = Map(
 
+    // §2.8/§2.9 pandas json_normalize: typed field extraction from
+    // the JSON props column (map-side get_json_object, no UDF)
+    "q164_json_extract" -> ((s, d) =>
+      graft.ops.PandasOps.jsonExtract(
+        t(s, d, "events"), "props",
+        Seq(("$.k", "long", "k_val")))
+        .groupBy(col("event_type"))
+        .agg(count(col("k_val")).as("n_k"),
+          sum(col("k_val")).as("sum_k"),
+          min(col("k_val")).as("min_k"),
+          max(col("k_val")).as("max_k"))),
+
     // §2.2 explode + §2.8 string fns: word frequencies
     "q34_explode_tokens" -> ((s, d) =>
       t(s, d, "documents")
@@ -257,6 +269,16 @@ object QueriesText {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "q164_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |  FROM events)
+        |SELECT event_type, count(k_val) AS n_k,
+        |  CAST(sum(k_val) AS BIGINT) AS sum_k,
+        |  min(k_val) AS min_k, max(k_val) AS max_k
+        |FROM e GROUP BY 1""".stripMargin,
 
     "q44_minhash_lsh" ->
       s"""WITH ${minhashCtes("documents")}

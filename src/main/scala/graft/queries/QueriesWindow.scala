@@ -86,6 +86,15 @@ object QueriesWindow {
           round(col("rolling_q25"), 6).as("rolling_q25"))
     }),
 
+    // §2.5a pandas expanding().quantile(0.25) over cents, per event
+    // type (exact linear interpolation, same machinery as q137)
+    "q160_expanding_quantile" -> ((s, d) =>
+      graft.window.RollingOps.expandingQuantile(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", 0.25, Seq("ts", "event_id"), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(col("expanding_q"), 6).as("eq"))),
+
     // §2.5a time-based rolling: trailing 1h range frame
     "q28_window_range_time" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -193,6 +202,19 @@ object QueriesWindow {
         |  o_totalprice - lag(o_totalprice, 1) OVER w AS diff
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q160_expanding_quantile" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS vc
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |  CASE WHEN count(vc) OVER w >= 1
+        |    THEN round(quantile_cont(vc, 0.25) OVER w, 6)
+        |  END AS eq
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q137_rolling_quantile" ->
       """WITH e AS (

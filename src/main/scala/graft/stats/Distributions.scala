@@ -76,18 +76,8 @@ object Distributions {
     * z-scores. */
   def normSInv(p: Double): Double = {
     require(p > 0 && p < 1, s"normSInv domain: $p")
-    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
-      -2.759285104469687e+02, 1.383577518672690e+02,
-      -3.066479806614716e+01, 2.506628277459239e+00)
-    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
-      -1.556989798598866e+02, 6.680131188771972e+01,
-      -1.328068155288572e+01)
-    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
-      -2.400758277161838e+00, -2.549732539343734e+00,
-      4.374664141464968e+00, 2.938163982698783e+00)
-    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
-      2.445134137142996e+00, 3.754408661907416e+00)
-    val pl = 0.02425
+    val a = AckA; val b = AckB; val c = AckC; val dd = AckD
+    val pl = AckPl
     if (p < pl) {
       val q = math.sqrt(-2 * math.log(p))
       (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
@@ -101,6 +91,68 @@ object Distributions {
       -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
         ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
     }
+  }
+
+  private val AckA = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+    -2.759285104469687e+02, 1.383577518672690e+02,
+    -3.066479806614716e+01, 2.506628277459239e+00)
+  private val AckB = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+    -1.556989798598866e+02, 6.680131188771972e+01,
+    -1.328068155288572e+01)
+  private val AckC = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+    -2.400758277161838e+00, -2.549732539343734e+00,
+    4.374664141464968e+00, 2.938163982698783e+00)
+  private val AckD = Array(7.784695709041462e-03, 3.224671290700398e-01,
+    2.445134137142996e+00, 3.754408661907416e+00)
+  private val AckPl = 0.02425
+
+  /** Column form of [[normSInv]] (Acklam) — IDENTICAL operation order
+    * to the scalar form, branch for branch, so Spark, the scalar
+    * finalizers and an oracle engine running the same arithmetic
+    * produce the same doubles. Caller guarantees 0 < p < 1 (CaseWhen
+    * is lazy per-row, so the untaken branches' log/sqrt never see an
+    * out-of-domain value). */
+  def normSInvCol(p: Column): Column = {
+    val ql = sqrt(lit(-2.0) * log(p))
+    val lo = (((((lit(AckC(0)) * ql + AckC(1)) * ql + AckC(2)) * ql +
+      AckC(3)) * ql + AckC(4)) * ql + AckC(5)) /
+      ((((lit(AckD(0)) * ql + AckD(1)) * ql + AckD(2)) * ql +
+        AckD(3)) * ql + 1)
+    val qc = p - 0.5
+    val r = qc * qc
+    val mid = (((((lit(AckA(0)) * r + AckA(1)) * r + AckA(2)) * r +
+      AckA(3)) * r + AckA(4)) * r + AckA(5)) * qc /
+      (((((lit(AckB(0)) * r + AckB(1)) * r + AckB(2)) * r +
+        AckB(3)) * r + AckB(4)) * r + 1)
+    val qh = sqrt(lit(-2.0) * log(lit(1.0) - p))
+    val hi = -(((((lit(AckC(0)) * qh + AckC(1)) * qh + AckC(2)) * qh +
+      AckC(3)) * qh + AckC(4)) * qh + AckC(5)) /
+      ((((lit(AckD(0)) * qh + AckD(1)) * qh + AckD(2)) * qh +
+        AckD(3)) * qh + 1)
+    when(p < AckPl, lo).when(p <= 1 - AckPl, mid).otherwise(hi)
+  }
+
+  /** The same Acklam pipeline as DuckDB SQL text over an input
+    * expression (evaluated once per branch via CASE), for oracle
+    * queries that replay the inverse-normal transform. */
+  def normSInvSql(p: String): String = {
+    def cPoly(q: String) =
+      s"(((((${AckC(0)} * $q + ${AckC(1)}) * $q + ${AckC(2)}) * $q + " +
+        s"${AckC(3)}) * $q + ${AckC(4)}) * $q + ${AckC(5)})"
+    def dPoly(q: String) =
+      s"((((${AckD(0)} * $q + ${AckD(1)}) * $q + ${AckD(2)}) * $q + " +
+        s"${AckD(3)}) * $q + 1)"
+    val ql = s"sqrt(-2 * ln($p))"
+    val lo = s"(${cPoly(ql)} / ${dPoly(ql)})"
+    val r = s"(($p - 0.5) * ($p - 0.5))"
+    val mid = s"((((((${AckA(0)} * $r + ${AckA(1)}) * $r + ${AckA(2)}) " +
+      s"* $r + ${AckA(3)}) * $r + ${AckA(4)}) * $r + ${AckA(5)}) * " +
+      s"($p - 0.5) / (((((${AckB(0)} * $r + ${AckB(1)}) * $r + " +
+      s"${AckB(2)}) * $r + ${AckB(3)}) * $r + ${AckB(4)}) * $r + 1))"
+    val qh = s"sqrt(-2 * ln(1.0 - ($p)))"
+    val hi = s"(-${cPoly(qh)} / ${dPoly(qh)})"
+    s"(CASE WHEN $p < $AckPl THEN $lo WHEN $p <= ${1 - AckPl} " +
+      s"THEN $mid ELSE $hi END)"
   }
 
   // ---- log-gamma / incomplete gamma --------------------------------

@@ -742,4 +742,202 @@ object StatsOps {
         col(c) > col("q3") + (col("q3") - col("q1")) * k)
       .drop("q1", "q3")
   }
+
+  /** Spearman rank correlation (pandas corr(method='spearman')):
+    * average ranks per column from the DISTINCT-value tables
+    * ([[distinctValueRanks]] — range-bucketed, no global window),
+    * broadcast back, then Pearson on the ranks from EXACT integer
+    * sufficient statistics: doubled ranks 2r are integers even at
+    * ties, so every sum is a Long and the only floating arithmetic is
+    * the final closed form (mirrored in the oracle). Exact while
+    * 4n³ < 2⁶³, i.e. n ≲ 1.3×10⁶ rows — beyond that, switch the sums
+    * to the corrMatrix limb machinery. Emits rho_s and n; the
+    * t-approximation p-value lives in [[spearmanP]] (spec-anchored —
+    * no portable t CDF to mirror). */
+  def spearmanCorr(df0: DataFrame, a: String, b: String): DataFrame = {
+    val df = df0.filter(col(a).isNotNull && col(b).isNotNull)
+    def doubledRanks(c: String, out: String) = {
+      val counts = df.groupBy(col(c)).agg(count(lit(1)).as("__c__"))
+      distinctValueRanks(counts, c, "__c__")
+        .select(col(c), (col("__r__") * 2).cast("long").as(out))
+    }
+    val sums = df
+      .join(broadcast(doubledRanks(a, "__ra__")), Seq(a))
+      .join(broadcast(doubledRanks(b, "__rb__")), Seq(b))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__ra__")).as("sa"), sum(col("__rb__")).as("sb"),
+        sum(col("__ra__") * col("__ra__")).as("saa"),
+        sum(col("__rb__") * col("__rb__")).as("sbb"),
+        sum(col("__ra__") * col("__rb__")).as("sab"))
+    // the sums themselves stay exact Longs; the closed form runs in
+    // doubles (sa·sb ≈ n⁴ would overflow a Long) — identical op
+    // order in the oracle, so the doubles match bit-for-bit
+    val n = col("n").cast("double")
+    val sa = col("sa").cast("double"); val sb = col("sb").cast("double")
+    val rho = (n * col("sab") - sa * sb) /
+      (sqrt(n * col("saa") - sa * sa) *
+        sqrt(n * col("sbb") - sb * sb))
+    sums.select(round(rho, 6).as("rho_s"), col("n"))
+  }
+
+  /** Two-sided t-approximation p-value for a Spearman rho:
+    * t = ρ√((n−2)/(1−ρ²)), df = n−2. */
+  def spearmanP(rho: Double, n: Long): Double = {
+    val t = rho * math.sqrt((n - 2) / (1.0 - rho * rho))
+    Distributions.tTwoSidedP(t, (n - 2).toDouble)
+  }
+
+  /** Kendall τ-b (pandas corr(method='kendall')): computed from the
+    * DISTINCT joint-value table — concordant/discordant pair counts
+    * are a d² self-join over the observed (a,b) cells, tie terms from
+    * the marginals, all exact Long arithmetic:
+    *   τ_b = (C − D) / √((n₀−n₁)(n₀−n₂)).
+    * Scale regime: bounded-domain inputs (integer cents, codes —
+    * same contract as Mann-Whitney); d distinct cells cost d² join
+    * rows, so pre-bin continuous data first. */
+  def kendallTauB(df0: DataFrame, a: String, b: String): DataFrame = {
+    val df = df0.filter(col(a).isNotNull && col(b).isNotNull)
+    val cells = df.groupBy(col(a).as("va"), col(b).as("vb"))
+      .agg(count(lit(1)).as("c")).cache()
+    val l = cells.select(col("va").as("xa"), col("vb").as("ya"),
+      col("c").as("c1"))
+    val r = cells.select(col("va").as("xb"), col("vb").as("yb"),
+      col("c").as("c2"))
+    // every unordered cell pair once: xa < xb (equal-x pairs are
+    // x-ties and contribute to neither C nor D)
+    val pairs = l.join(r, col("xa") < col("xb"))
+      .agg(
+        coalesce(sum(when(col("ya") < col("yb"),
+          col("c1") * col("c2"))), lit(0L)).as("cc"),
+        coalesce(sum(when(col("ya") > col("yb"),
+          col("c1") * col("c2"))), lit(0L)).as("dd"))
+    val margX = cells.groupBy("va").agg(sum("c").as("tx"))
+      .agg(coalesce(sum(col("tx") * (col("tx") - 1)), lit(0L)).as("t1x"))
+    val margY = cells.groupBy("vb").agg(sum("c").as("ty"))
+      .agg(coalesce(sum(col("ty") * (col("ty") - 1)), lit(0L)).as("t1y"))
+    val tot = cells.agg(sum("c").as("nn"))
+    val wide = pairs.crossJoin(broadcast(margX))
+      .crossJoin(broadcast(margY)).crossJoin(broadcast(tot))
+    val n = col("nn").cast("double")
+    val n0x2 = n * (n - 1) // 2·n₀ — keep everything doubled, exact
+    val tau = (col("cc") - col("dd")).cast("double") * 2 /
+      (sqrt(n0x2 - col("t1x")) * sqrt(n0x2 - col("t1y")))
+    wide.select(round(tau, 6).as("tau_b"),
+      col("cc"), col("dd"), col("nn").as("n"))
+  }
+
+  /** Friedman test (repeated-measures nonparametric ANOVA — stats
+    * family extension of the Kruskal-Wallis machinery): input has one
+    * measurement per (block, treatment); values are ranked WITHIN each
+    * block with average ranks for ties, then
+    *   Q = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1)
+    * with the standard tie correction
+    *   C = 1 − Σ_blocks Σ_ties (t³−t) / (n·k·(k²−1)),
+    * χ² = Q/C, df = k−1 (χ² upper-tail p).
+    *
+    * Scale shape: ranks come from per-BLOCK windows, whose width is
+    * bounded by the treatment count k — no global window anywhere;
+    * everything after the rank is a two-level aggregation. */
+  def friedman(df0: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(blockCol).isNotNull &&
+      col(treatCol).isNotNull && col(valueCol).isNotNull)
+    val wOrd = Window.partitionBy(blockCol).orderBy(col(valueCol))
+    val wTie = Window.partitionBy(col(blockCol), col(valueCol))
+    val ranked = df.withColumn("__r__",
+      rank().over(wOrd).cast("double") +
+        (count(lit(1)).over(wTie).cast("double") - 1) / 2.0)
+    // Σ(t³−t) over within-block tied values
+    val ties = df.groupBy(col(blockCol), col(valueCol))
+      .agg(count(lit(1)).as("__c__"))
+      .agg(coalesce(sum(col("__c__") * col("__c__") * col("__c__") -
+        col("__c__")), lit(0L)).cast("double").as("tie_t"))
+    val perTreat = ranked.groupBy(col(treatCol))
+      .agg(sum(col("__r__")).as("rs"))
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(col("rs") * col("rs")).as("s2"))
+    val sizes = df.agg(
+      countDistinct(col(blockCol)).cast("double").as("n"))
+    val wide = perTreat.crossJoin(broadcast(sizes))
+      .crossJoin(broadcast(ties))
+    val n = col("n"); val k = col("k")
+    val q = lit(12.0) / (n * k * (k + 1)) * col("s2") -
+      lit(3.0) * n * (k + 1)
+    val c = lit(1.0) - col("tie_t") / (n * k * (k * k - 1))
+    val chi2 = q / c
+    wide.select(round(chi2, 6).as("chi2_stat"),
+      (k - 1).cast("long").as("dof"),
+      round(chi2PUdf(chi2, k - 1), 6).as("p_value"))
+  }
+
+  /** Page's L trend test for ORDERED alternatives in a complete block
+    * design (companion to [[friedman]], same per-block rank matrix):
+    * treatments carry a hypothesized order 1..k via `orderOf`;
+    * L = Σ_j order_j · R_j, and under H₀
+    *   z = (L − n·k·(k+1)²/4) / √(n·k²·(k+1)·(k²−1)/144)
+    * (one-sided upper-tail normal p — increasing trend). */
+  def pageTrend(df0: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String, orderOf: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(blockCol).isNotNull &&
+      col(treatCol).isNotNull && col(valueCol).isNotNull)
+    val wOrd = Window.partitionBy(blockCol).orderBy(col(valueCol))
+    val wTie = Window.partitionBy(col(blockCol), col(valueCol))
+    val ranked = df.withColumn("__r__",
+      rank().over(wOrd).cast("double") +
+        (count(lit(1)).over(wTie).cast("double") - 1) / 2.0)
+    val perTreat = ranked.groupBy(col(treatCol))
+      .agg(sum(col("__r__")).as("rs"))
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(orderOf.cast("double") * col("rs")).as("l_stat"))
+    val sizes = df.agg(
+      countDistinct(col(blockCol)).cast("double").as("n"))
+    val wide = perTreat.crossJoin(broadcast(sizes))
+    val n = col("n"); val k = col("k")
+    val z = (col("l_stat") - n * k * (k + 1) * (k + 1) / 4) /
+      sqrt(n * k * k * (k + 1) * (k * k - 1) / 144)
+    wide.select(round(col("l_stat"), 6).as("l_stat"), round(z, 6).as("z"),
+      round(lit(1.0) - Distributions.normalCdfCol(z), 6).as("p_value"))
+  }
+
+  /** Benford first-digit audit (fraud/data-quality screen over any
+    * positive integer-scaled measure): observed first-significant-
+    * digit shares vs Benford's log₁₀(1+1/d), per-digit rows plus the
+    * overall χ² (df=8) and mean-absolute-deviation repeated on each
+    * row. The first digit comes from the decimal string of the BIGINT
+    * value — exact, no log10-of-double boundary hazard; expected
+    * shares are baked-in literals so every engine sees identical
+    * doubles. One groupBy(digit) ≤ 9 rows — trivially scalable. */
+  def benford(df0: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val digits = df0.filter(col(valueCol).isNotNull && v > 0)
+      .withColumn("digit",
+        substring(v.cast("string"), 1, 1).cast("int"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expP: Map[Int, Double] =
+      (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+    val expCol = (1 to 9).foldLeft(lit(Double.NaN)) { (acc, d) =>
+      when(col("digit") === d, lit(expP(d))).otherwise(acc)
+    }
+    val tot = digits.agg(sum("n").cast("double").as("total"))
+    // full 1..9 spine so absent digits contribute obs_p = 0 to χ²/MAD
+    val spine = tot.select(
+      explode(sequence(lit(1), lit(9))).as("digit"), col("total"))
+    val perDigit = spine
+      .join(digits, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("obs_p", col("n").cast("double") / col("total"))
+      .withColumn("exp_p", expCol)
+    val summary = perDigit.agg(
+      sum(col("total") * (col("obs_p") - col("exp_p")) *
+        (col("obs_p") - col("exp_p")) / col("exp_p")).as("chi2"),
+      (sum(abs(col("obs_p") - col("exp_p"))) / 9.0).as("mad"))
+    perDigit.crossJoin(broadcast(summary))
+      .select(col("digit"), col("n"),
+        round(col("obs_p"), 6).as("obs_p"),
+        round(col("exp_p"), 6).as("exp_p"),
+        round(col("chi2"), 6).as("chi2_stat"),
+        round(col("mad"), 6).as("mad"))
+  }
 }

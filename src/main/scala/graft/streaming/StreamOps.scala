@@ -187,4 +187,27 @@ object StreamOps {
       watermark: String, keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Streaming twin of the batch C4 paragraph dedup
+    * ([[graft.llm.PipelineOps.paragraphDedup]]): documents arrive as
+    * a stream, each is split into non-blank paragraphs, and only the
+    * FIRST arrival of each distinct paragraph (by md5, within the
+    * watermark-bounded state window) survives. Emits the kept
+    * paragraphs as (doc id, pos, paragraph, ts) — reassembly is a
+    * per-doc batch concern (foreachBatch + groupBy id), not stream
+    * state. State is bounded: a paragraph hash is evicted once the
+    * watermark passes its first arrival. */
+  def streamingParagraphDedup(docs: DataFrame, textCol: String,
+      idCol: String, tsCol: String, watermark: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "paragraph")))
+      .filter(length(trim(col("paragraph"))) > 0)
+      .withColumn("phash", md5(col("paragraph")))
+    paras.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("phash")
+      .drop("phash")
+  }
 }

@@ -127,6 +127,37 @@ object RollingOps {
       agg(col(valueCol)).over(w)))
   }
 
+  /** expanding(minPeriods).quantile(q) / .median(): the
+    * [[rollingQuantile]] sorted-buffer machinery with an unbounded-
+    * preceding frame — exact linear interpolation at h = (cnt−1)·q.
+    * NOTE the state is inherently O(rows-per-partition) per row (an
+    * exact expanding quantile needs every prior value); for long
+    * unbounded series at scale, pre-bin the values (cents-style) or
+    * resample first — same regime as the reference's single-node
+    * expanding windows. */
+  def expandingQuantile(df: DataFrame, valueCol: String, q: Double,
+      orderCols: Seq[String], partitionCols: Seq[String] = Nil,
+      minPeriods: Int = 1, outName: String = "expanding_q"): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q=$q must be in [0,1]")
+    val w = base(orderCols, partitionCols)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val arr = array_sort(collect_list(col(valueCol).cast("double")).over(w))
+    val cnt = size(arr)
+    val h = (cnt - 1).cast("double") * lit(q)
+    val lo = floor(h).cast("int")
+    val vLo = element_at(arr, lo + 1)
+    val vHi = element_at(arr, least(lo + 2, cnt))
+    df.withColumn(outName,
+      when(cnt >= minPeriods, vLo + (h - lo.cast("double")) * (vHi - vLo)))
+  }
+
+  def expandingMedian(df: DataFrame, valueCol: String,
+      orderCols: Seq[String], partitionCols: Seq[String] = Nil,
+      minPeriods: Int = 1,
+      outName: String = "expanding_median"): DataFrame =
+    expandingQuantile(df, valueCol, 0.5, orderCols, partitionCols,
+      minPeriods, outName)
+
   /** time-based rolling (src/dataframe/groupby_window.rs:100-164):
     * a range frame of `seconds` over the event-time ordering.
     * `closed` picks the window-edge semantics on the second-granular

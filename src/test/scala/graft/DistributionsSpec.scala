@@ -149,4 +149,20 @@ class DistributionsSpec extends SparkSpecBase {
     val sums = out.agg(sum($"rank_sum")).head().getDouble(0)
     sums shouldBe (200.0 * 201.0 / 2) +- 1e-9
   }
+
+  test("normSInvCol matches the scalar Acklam form bit-for-bit") {
+    // grid spanning all three branches, including the split points
+    val ps = Seq(1e-6, 0.001, 0.02, 0.02425, 0.0243, 0.1, 0.25, 0.5,
+      0.75, 0.9, 0.97575, 0.9758, 0.999, 1.0 - 1e-6)
+    val out = ps.toDF("p")
+      .withColumn("z", D.normSInvCol($"p"))
+      .orderBy("p").select("p", "z").collect()
+    out.foreach { r =>
+      r.getDouble(1) shouldBe D.normSInv(r.getDouble(0))
+    }
+    // round trip through the normal CDF (both approximations ~1e-7)
+    ps.foreach { p =>
+      D.normalCdf(D.normSInv(p)) shouldBe p +- 1e-6
+    }
+  }
 }

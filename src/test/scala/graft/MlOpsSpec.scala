@@ -294,4 +294,30 @@ class MlOpsSpec extends SparkSpecBase {
         nu = 0.05).filter($"id" === 950L).head()
     nullRow.isNullAt(nullRow.fieldIndex("score")) shouldBe true
   }
+
+  test("rankGauss maps ranks onto N(0,1) quantiles") {
+    // 99 distinct values: value i has rank i, p = i/100, z = Phi^-1(p)
+    val df = (1 to 99).map(i => (i.toLong, i * 10.0)).toDF("id", "v")
+    val out = MlOps.rankGauss(df, "v").orderBy("id")
+      .select("v", "gauss_rank").collect()
+    // median maps to exactly 0 (Acklam central branch at p = 0.5)
+    out(49).getDouble(1) shouldBe 0.0
+    // matches the scalar inverse CDF everywhere
+    out.zipWithIndex.foreach { case (r, i) =>
+      r.getDouble(1) shouldBe
+        graft.stats.Distributions.normSInv((i + 1) / 100.0) +- 1e-12
+    }
+    // monotone in the input
+    out.map(_.getDouble(1)).sliding(2).foreach(p => p(0) should be < p(1))
+    // ties share one gauss value; nulls pass through
+    val tied = Seq(Some(1.0), Some(1.0), Some(2.0), None).toDF("v")
+    val tOut = MlOps.rankGauss(tied, "v").select("v", "gauss_rank")
+      .collect()
+    val g1 = tOut.filter(r => !r.isNullAt(0) && r.getDouble(0) == 1.0)
+      .map(_.getDouble(1)).distinct
+    g1.length shouldBe 1
+    // avg rank of the pair = 1.5 -> p = 1.5/4
+    g1.head shouldBe graft.stats.Distributions.normSInv(1.5 / 4.0) +- 1e-12
+    tOut.filter(_.isNullAt(0)).head.isNullAt(1) shouldBe true
+  }
 }

@@ -270,4 +270,23 @@ class PandasOpsSpec extends SparkSpecBase {
     mu("id") shouldBe 16L // 8 bytes x 2 rows
     mu("s") should be > 0L
   }
+
+  test("jsonExtract pulls typed fields, missing paths become null") {
+    val df = Seq(
+      (1L, """{"k": 7, "tag": "x", "nested": {"v": 1.5}}"""),
+      (2L, """{"tag": "y"}"""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "props")
+    val out = graft.ops.PandasOps.jsonExtract(df, "props", Seq(
+        ("$.k", "long", "k"),
+        ("$.tag", "string", "tag"),
+        ("$.nested.v", "double", "nv")))
+      .orderBy("id").collect()
+    out(0).getAs[Long]("k") shouldBe 7L
+    out(0).getAs[String]("tag") shouldBe "x"
+    out(0).getAs[Double]("nv") shouldBe 1.5
+    out(1).isNullAt(out(1).fieldIndex("k")) shouldBe true
+    out(1).getAs[String]("tag") shouldBe "y"
+    out(2).isNullAt(out(2).fieldIndex("k")) shouldBe true
+  }
 }

@@ -286,4 +286,39 @@ class RollingEwmSpec extends SparkSpecBase {
       else math.abs(a.getDouble(0) - b.getDouble(0)) should be < 1e-8
     }
   }
+
+  test("expandingQuantile matches brute-force prefixes") {
+    val vals = Seq(5.0, 1.0, 4.0, 2.0, 3.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("ord", "v")
+    def brute(prefix: Seq[Double], q: Double): Double = {
+      val s = prefix.sorted
+      val h = (s.length - 1) * q
+      val lo = h.toInt
+      val hi = math.min(lo + 1, s.length - 1)
+      s(lo) + (h - lo) * (s(hi) - s(lo))
+    }
+    for (q <- Seq(0.0, 0.25, 0.5, 0.75, 1.0)) {
+      val got = RollingOps.expandingQuantile(df, "v", q, Seq("ord"),
+        outName = "eq").orderBy("ord").select("eq").collect()
+      got.zipWithIndex.foreach { case (r, i) =>
+        r.getDouble(0) shouldBe brute(vals.take(i + 1), q) +- 1e-12
+      }
+    }
+    // minPeriods gates the first rows; median helper = q 0.5
+    val mp = RollingOps.expandingMedian(df, "v", Seq("ord"),
+      minPeriods = 3).orderBy("ord").select("expanding_median").collect()
+    mp(0).isNullAt(0) shouldBe true
+    mp(1).isNullAt(0) shouldBe true
+    mp(2).getDouble(0) shouldBe 4.0 +- 1e-12
+    // per-partition independence
+    val two = (vals.map(("a", _)) ++ vals.map(("b", _))).zipWithIndex
+      .map { case ((k, v), i) => (k, i, v) }.toDF("k", "ord", "v")
+    val per = RollingOps.expandingQuantile(two, "v", 0.5, Seq("ord"),
+      Seq("k"), outName = "eq")
+      .filter(col("k") === "b").orderBy("ord").select("eq").collect()
+    per.zipWithIndex.foreach { case (r, i) =>
+      r.getDouble(0) shouldBe brute(vals.take(i + 1), 0.5) +- 1e-12
+    }
+  }
 }

@@ -833,4 +833,111 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     up.filter($"k" === "a" && $"ts" === 5).head().getAs[Double]("x") shouldBe 1.0
     up.filter($"k" === "b" && $"ts" === 40).head().getAs[Double]("x") shouldBe 9.0
   }
+
+  test("friedman recovers the hand-computed statistic, no ties") {
+    // blocks 1-3 rank A<B<C; block 4 reverses: R_A=6 R_B=8 R_C=10
+    // Q = 12/(4*3*4)*(36+64+100) - 3*4*4 = 50 - 48 = 2, df = 2,
+    // p = exp(-1)
+    val df = Seq(
+      (1, "A", 10.0), (1, "B", 20.0), (1, "C", 30.0),
+      (2, "A", 15.0), (2, "B", 25.0), (2, "C", 35.0),
+      (3, "A", 12.0), (3, "B", 22.0), (3, "C", 32.0),
+      (4, "A", 30.0), (4, "B", 20.0), (4, "C", 10.0))
+      .toDF("blk", "treat", "v")
+    val out = StatsOps.friedman(df, "blk", "treat", "v").head()
+    out.getAs[Double]("chi2_stat") shouldBe 2.0 +- 1e-9
+    out.getAs[Long]("dof") shouldBe 2L
+    out.getAs[Double]("p_value") shouldBe math.exp(-1.0) +- 1e-5
+  }
+
+  test("friedman applies the tie correction") {
+    // block 1 ties A=B at rank 1.5: R_A=6.5 R_B=7.5 R_C=10
+    // Q = 12/48*198.5 - 48 = 1.625; C = 1 - 6/96 = 0.9375
+    val df = Seq(
+      (1, "A", 10.0), (1, "B", 10.0), (1, "C", 30.0),
+      (2, "A", 15.0), (2, "B", 25.0), (2, "C", 35.0),
+      (3, "A", 12.0), (3, "B", 22.0), (3, "C", 32.0),
+      (4, "A", 30.0), (4, "B", 20.0), (4, "C", 10.0))
+      .toDF("blk", "treat", "v")
+    val out = StatsOps.friedman(df, "blk", "treat", "v").head()
+    // output rounds at 6 dp
+    out.getAs[Double]("chi2_stat") shouldBe (1.625 / 0.9375) +- 1e-6
+  }
+
+  test("page trend detects a monotone treatment ordering") {
+    // three blocks, perfectly increasing A<B<C with order A=1,B=2,C=3:
+    // L = 1*3 + 2*6 + 3*9 = 42, mean = 36, sd = sqrt(6)
+    val df = (1 to 3).flatMap(b => Seq(
+      (b, "A", b * 10.0), (b, "B", b * 10.0 + 1), (b, "C", b * 10.0 + 2)))
+      .toDF("blk", "treat", "v")
+    val out = StatsOps.pageTrend(df, "blk", "treat", "v",
+      when($"treat" === "A", 1).when($"treat" === "B", 2).otherwise(3))
+      .head()
+    out.getAs[Double]("l_stat") shouldBe 42.0 +- 1e-9
+    out.getAs[Double]("z") shouldBe (6.0 / math.sqrt(6.0)) +- 1e-6
+    out.getAs[Double]("p_value") should be < 0.01
+  }
+
+  test("spearmanCorr: monotone = 1, inverse = -1, ties hand case") {
+    val mono = (1 to 20).map(i => (i.toDouble, i * i.toDouble))
+      .toDF("x", "y")
+    StatsOps.spearmanCorr(mono, "x", "y").head()
+      .getAs[Double]("rho_s") shouldBe 1.0 +- 1e-9
+    val inv = (1 to 20).map(i => (i.toDouble, -i * i.toDouble))
+      .toDF("x", "y")
+    StatsOps.spearmanCorr(inv, "x", "y").head()
+      .getAs[Double]("rho_s") shouldBe -1.0 +- 1e-9
+    // closed form: x=(1,2,3,4,5), y=(2,1,4,3,5) -> Σd²=4,
+    // rho = 1 - 6*4/(5*24) = 0.8
+    val hand = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0),
+      (5.0, 5.0)).toDF("x", "y")
+    StatsOps.spearmanCorr(hand, "x", "y").head()
+      .getAs[Double]("rho_s") shouldBe 0.8 +- 1e-9
+    // spearmanP: strong monotone on n=20 is significant
+    StatsOps.spearmanP(1.0 - 1e-12, 20) should be < 1e-6
+  }
+
+  test("kendallTauB hand cases with and without ties") {
+    // x=1..4, y=(1,3,2,4): C=5, D=1, no ties -> tau = 4/6
+    val noTies = Seq((1, 1), (2, 3), (3, 2), (4, 4)).toDF("x", "y")
+    val r1 = StatsOps.kendallTauB(noTies, "x", "y").head()
+    r1.getAs[Long]("cc") shouldBe 5L
+    r1.getAs[Long]("dd") shouldBe 1L
+    r1.getAs[Double]("tau_b") shouldBe (4.0 / 6.0) +- 1e-6
+    // x=(1,1,2,3), y=(1,2,2,3): C=4, D=0, n1=n2=1 -> tau_b = 0.8
+    val ties = Seq((1, 1), (1, 2), (2, 2), (3, 3)).toDF("x", "y")
+    val r2 = StatsOps.kendallTauB(ties, "x", "y").head()
+    r2.getAs[Long]("cc") shouldBe 4L
+    r2.getAs[Long]("dd") shouldBe 0L
+    r2.getAs[Double]("tau_b") shouldBe 0.8 +- 1e-9
+    // perfect inverse order -> -1
+    val rev = (1 to 10).map(i => (i, -i)).toDF("x", "y")
+    StatsOps.kendallTauB(rev, "x", "y").head()
+      .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
+  }
+
+  test("benford per-digit shares, chi2 and absent-digit handling") {
+    // uniform single occurrence of each digit 1..9 (multi-digit
+    // values exercise the first-char extraction)
+    val uni = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L).map(_ * 111)
+      .toDF("v")
+    val outU = StatsOps.benford(uni, "v").collect()
+    outU.length shouldBe 9
+    val expChi = (1 to 9).map { d =>
+      val e = math.log10(1.0 + 1.0 / d)
+      9.0 * (1.0 / 9 - e) * (1.0 / 9 - e) / e
+    }.sum
+    outU.head.getAs[Double]("chi2_stat") shouldBe expChi +- 1e-4
+    // all values share digit 1 -> other digits appear with n=0 and
+    // still contribute to chi2/MAD
+    val ones = (10L to 19L).toDF("v")
+    val outO = StatsOps.benford(ones, "v").collect()
+    outO.length shouldBe 9
+    outO.filter(_.getAs[Int]("digit") == 1).head.getAs[Long]("n") shouldBe 10L
+    outO.filter(_.getAs[Int]("digit") == 2).head.getAs[Long]("n") shouldBe 0L
+    val p1 = math.log10(2.0)
+    val expChiOnes = 10.0 * ((1.0 - p1) * (1.0 - p1) / p1 +
+      (2 to 9).map(d => math.log10(1.0 + 1.0 / d)).sum)
+    outO.head.getAs[Double]("chi2_stat") shouldBe expChiOnes +- 1e-4
+  }
 }

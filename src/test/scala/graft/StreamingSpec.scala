@@ -224,4 +224,27 @@ class StreamingSpec extends SparkSpecBase {
       spark.table("dedupw_t").count() shouldBe 2
     } finally q.stop()
   }
+
+  test("streaming paragraph dedup keeps first arrival per paragraph") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.streamingParagraphDedup(
+      input.toDF().toDF("id", "ts", "text"), "text", "id", "ts",
+      "10 minutes")
+    val q = out.writeStream.format("memory").queryName("paradedup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts(1), "alpha\nbeta\n\n"))
+      q.processAllAvailable()
+      // beta is a duplicate across documents/batches; gamma is new;
+      // blank paragraphs never surface
+      input.addData((2L, ts(2), "beta\ngamma"))
+      q.processAllAvailable()
+      val kept = spark.table("paradedup_t")
+        .select("doc_id", "pos", "paragraph")
+        .as[(Long, Int, String)].collect().toSet
+      kept shouldBe Set((1L, 0, "alpha"), (1L, 1, "beta"),
+        (2L, 1, "gamma"))
+    } finally q.stop()
+  }
 }
