@@ -25,6 +25,42 @@ object QueriesStats {
           min(cents(col("value"))).as("min_c"),
           max(cents(col("value"))).as("max_c"))),
 
+    // §2.12 McNemar paired-binary test: per-user purchase-vs-click
+    // high-value flags
+    "q165_mcnemar" -> ((s, d) =>
+      StatsOps.mcnemar(
+        t(s, d, "events").groupBy("user_id").agg(
+          max(when(col("event_type") === "purchase" &&
+            col("value") >= 50.0, 1L).otherwise(0L)).as("x"),
+          max(when(col("event_type") === "click" &&
+            col("value") >= 50.0, 1L).otherwise(0L)).as("y")),
+        "x", "y")),
+
+    // §2.12 Cochran's Q over three binary treatments per user
+    // (complete grid, absent cells = 0)
+    "q166_cochran_q" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+      val cells = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(max(when(col("value") >= 60.0, 1L).otherwise(0L)).as("x"))
+      val grid = ev.select("user_id").distinct()
+        .withColumn("event_type", explode(array(
+          lit("click"), lit("view"), lit("purchase"))))
+      val full = grid.join(cells, Seq("user_id", "event_type"), "left")
+        .na.fill(0L, Seq("x"))
+      StatsOps.cochranQ(full, "user_id", "event_type", "x")
+    }),
+
+    // §2.12 Fisher's exact test: purchase-high vs error-high per user
+    "q167_fisher" -> ((s, d) =>
+      StatsOps.fisherExact(
+        t(s, d, "events").groupBy("user_id").agg(
+          max(when(col("event_type") === "purchase" &&
+            col("value") >= 80.0, 1L).otherwise(0L)).as("x"),
+          max(when(col("event_type") === "error" &&
+            col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
+        "x", "y")),
+
     // §2.12 Spearman rank correlation of quantity vs extended price
     // (pandas corr(method='spearman')) — exact doubled-rank sums
     "q162_spearman" -> ((s, d) =>
@@ -537,6 +573,118 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q165_mcnemar" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("sqrt(chi2)")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' AND value >= 50.0
+         |      THEN 1 ELSE 0 END) AS x,
+         |    max(CASE WHEN event_type = 'click' AND value >= 50.0
+         |      THEN 1 ELSE 0 END) AS y
+         |  FROM events GROUP BY 1),
+         |t AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN x <> 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN x = 0 AND y <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c
+         |  FROM u),
+         |s AS (
+         |  SELECT b, c,
+         |    (CAST(b AS DOUBLE) - c) * (CAST(b AS DOUBLE) - c) /
+         |      (CASE WHEN CAST(b AS DOUBLE) + c > 0
+         |        THEN CAST(b AS DOUBLE) + c END) AS chi2
+         |  FROM t)
+         |SELECT b, c, round(chi2, 6) AS chi2_stat,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM s""".stripMargin
+    },
+
+    "q166_cochran_q" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |cells AS (
+        |  SELECT user_id, event_type,
+        |    max(CASE WHEN value >= 60.0 THEN 1 ELSE 0 END) AS x
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, t.event_type
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  CROSS JOIN (VALUES ('click'), ('view'), ('purchase'))
+        |    t(event_type)),
+        |f AS (
+        |  SELECT g.user_id, g.event_type, coalesce(c.x, 0) AS x
+        |  FROM grid g LEFT JOIN cells c
+        |    ON g.user_id = c.user_id AND g.event_type = c.event_type),
+        |ct AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k,
+        |    CAST(sum(cj) AS BIGINT) AS n_tot,
+        |    CAST(sum(cj * cj) AS BIGINT) AS sc2
+        |  FROM (SELECT CAST(sum(x) AS BIGINT) AS cj
+        |    FROM f GROUP BY event_type)),
+        |rt AS (
+        |  SELECT CAST(sum(ri * ri) AS BIGINT) AS sr2
+        |  FROM (SELECT CAST(sum(x) AS BIGINT) AS ri
+        |    FROM f GROUP BY user_id)),
+        |qq AS (
+        |  SELECT k,
+        |    (k - 1) * (k * sc2 - n_tot * n_tot) /
+        |      (CASE WHEN k * n_tot - sr2 > 0
+        |        THEN k * n_tot - sr2 END) AS q
+        |  FROM ct, rt)
+        |SELECT round(q, 6) AS q_stat, CAST(k - 1 AS BIGINT) AS dof,
+        |  round(exp(-q / 2), 6) AS p_value
+        |FROM qq""".stripMargin,
+
+    "q167_fisher" -> {
+      import graft.stats.{Distributions => D}
+      def lg(e: String) = D.lnGammaSql(e)
+      def logP(i: String) =
+        s"(${lg("r1 + 1")} - ${lg(s"$i + 1")} - ${lg(s"r1 - $i + 1")} + " +
+          s"${lg("r2 + 1")} - ${lg(s"c1 - $i + 1")} - " +
+          s"${lg(s"r2 - c1 + $i + 1")} - " +
+          s"(${lg("nn + 1")} - ${lg("c1 + 1")} - ${lg("nn - c1 + 1")}))"
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' AND value >= 80.0
+         |      THEN 1 ELSE 0 END) AS x,
+         |    max(CASE WHEN event_type = 'error' AND value >= 80.0
+         |      THEN 1 ELSE 0 END) AS y
+         |  FROM events GROUP BY 1),
+         |t AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN x <> 0 AND y <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN x <> 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN x = 0 AND y <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d
+         |  FROM u),
+         |m AS (
+         |  SELECT a, b, c, d,
+         |    CAST(a + b AS DOUBLE) AS r1, CAST(c + d AS DOUBLE) AS r2,
+         |    CAST(a + c AS DOUBLE) AS c1,
+         |    CAST(a + b + c + d AS DOUBLE) AS nn
+         |  FROM t),
+         |g AS (
+         |  SELECT *, CAST(unnest(range(
+         |    CAST(greatest(0.0, c1 - r2) AS BIGINT),
+         |    CAST(least(r1, c1) AS BIGINT) + 1)) AS DOUBLE) AS i
+         |  FROM m),
+         |lp AS (
+         |  SELECT a, b, c, d,
+         |    ${logP("i")} AS lp,
+         |    ${logP("CAST(a AS DOUBLE)")} AS lpo
+         |  FROM g)
+         |SELECT a, b, c, d,
+         |  round(least(1.0, sum(CASE WHEN lp <= lpo +
+         |    ${math.log1p(1e-7)} THEN exp(lp) END)), 6) AS p_value
+         |FROM lp GROUP BY 1, 2, 3, 4""".stripMargin
+    },
 
     "q162_spearman" ->
       """WITH p AS (

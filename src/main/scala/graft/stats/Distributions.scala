@@ -163,6 +163,31 @@ object Distributions {
     771.32342877765313, -176.61502916214059, 12.507343278686905,
     -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
 
+  /** Column form of [[lnGamma]] — the same Lanczos series as pure
+    * Column arithmetic (for x ≥ 1 integer-ish arguments in exact-test
+    * tail sums), so an oracle engine can replay it term-for-term
+    * instead of relying on its libm lgamma. */
+  def lnGammaCol(x: Column): Column = {
+    val xm = x - 1.0
+    val t = xm + (LanczosG + 0.5)
+    val a = (1 until 9).foldLeft(lit(LanczosC(0))) { (acc, i) =>
+      acc + lit(LanczosC(i)) / (xm + i)
+    }
+    lit(0.5 * math.log(2.0 * math.Pi)) + (xm + 0.5) * log(t) - t + log(a)
+  }
+
+  /** The same Lanczos log-gamma as DuckDB SQL text over an input
+    * expression. */
+  def lnGammaSql(x: String): String = {
+    val xm = s"(($x) - 1.0)"
+    val t = s"($xm + ${LanczosG + 0.5})"
+    val a = (1 until 9).foldLeft(s"${LanczosC(0)}") { (acc, i) =>
+      s"($acc + ${LanczosC(i)} / ($xm + $i))"
+    }
+    s"(${0.5 * math.log(2.0 * math.Pi)} + ($xm + 0.5) * ln($t) - $t + " +
+      s"ln($a))"
+  }
+
   /** Lanczos log-gamma for x > 0. */
   def lnGamma(x: Double): Double = {
     val xm = x - 1.0

@@ -743,6 +743,97 @@ object StatsOps {
       .drop("q1", "q3")
   }
 
+  /** McNemar test for PAIRED binary outcomes (2×2 within-subject):
+    * with b = #(1→0) and c = #(0→1) discordant pairs,
+    * χ² = (b−c)²/(b+c) (no continuity correction — mirrored by the
+    * oracle), df = 1, so p = 2(1−Φ(√χ²)) — pure Column arithmetic an
+    * oracle engine replays verbatim. One aggregate row. */
+  def mcnemar(df0: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val agg = df.agg(
+      sum(when(col(xCol) =!= 0 && col(yCol) === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col(xCol) === 0 && col(yCol) =!= 0, 1L).otherwise(0L))
+        .as("c"))
+    val b = col("b").cast("double"); val c = col("c").cast("double")
+    // no discordant pairs -> no evidence either way (null, not 0/0)
+    val chi2 = (b - c) * (b - c) / when(b + c > 0, b + c)
+    agg.select(col("b"), col("c"), round(chi2, 6).as("chi2_stat"),
+      round(lit(2.0) * (lit(1.0) -
+        Distributions.normalCdfCol(sqrt(chi2))), 6).as("p_value"))
+  }
+
+  /** Cochran's Q test for k REPEATED binary treatments over complete
+    * blocks (the binary Friedman): with column totals C_j, row totals
+    * R_i, grand total N,
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²),
+    * df = k−1, χ² upper-tail p. Caller supplies one 0/1 measurement
+    * per (block, treatment) — complete the grid with zeros first.
+    * All sufficient statistics are exact Long sums. */
+  def cochranQ(df0: DataFrame, blockCol: String, treatCol: String,
+      xCol: String): DataFrame = {
+    val df = df0.filter(col(blockCol).isNotNull &&
+      col(treatCol).isNotNull && col(xCol).isNotNull)
+      .withColumn("__x__", when(col(xCol) =!= 0, 1L).otherwise(0L))
+    val colTot = df.groupBy(col(treatCol))
+      .agg(sum(col("__x__")).as("cj"))
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(col("cj")).as("n_tot"),
+        sum(col("cj") * col("cj")).as("sc2"))
+    val rowTot = df.groupBy(col(blockCol))
+      .agg(sum(col("__x__")).as("ri"))
+      .agg(sum(col("ri") * col("ri")).as("sr2"))
+    val wide = colTot.crossJoin(broadcast(rowTot))
+    val k = col("k")
+    val den = k * col("n_tot") - col("sr2")
+    // every block constant (all-0/all-1 rows) -> undefined, null
+    val q = (k - 1) * (k * col("sc2") - col("n_tot") * col("n_tot")) /
+      when(den > 0, den)
+    wide.select(round(q, 6).as("q_stat"),
+      (k - 1).cast("long").as("dof"),
+      round(chi2PUdf(q, k - 1), 6).as("p_value"))
+  }
+
+  /** Fisher's exact test on a 2×2 table of two 0/1 columns
+    * (two-sided, scipy convention: sum P(table) over all tables with
+    * the observed margins whose probability ≤ P(observed)·(1+1e-7)).
+    * The hypergeometric tail runs as an EXPLODED expression over the
+    * one aggregate row — each candidate table's log-probability is
+    * Lanczos [[Distributions.lnGammaCol]] arithmetic, so the oracle
+    * replays the identical doubles (no libm lgamma dependency). */
+  def fisherExact(df0: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val x1 = col(xCol) =!= 0; val y1 = col(yCol) =!= 0
+    val agg = df.agg(
+      sum(when(x1 && y1, 1L).otherwise(0L)).as("a"),
+      sum(when(x1 && !y1, 1L).otherwise(0L)).as("b"),
+      sum(when(!x1 && y1, 1L).otherwise(0L)).as("c"),
+      sum(when(!x1 && !y1, 1L).otherwise(0L)).as("d"))
+    val r1 = (col("a") + col("b")).cast("double")
+    val r2 = (col("c") + col("d")).cast("double")
+    val c1 = (col("a") + col("c")).cast("double")
+    val nn = r1 + r2
+    def lg(e: Column) = Distributions.lnGammaCol(e)
+    // log C(n, c1) is constant across candidate tables
+    val logDen = lg(nn + 1) - lg(c1 + 1) - lg(nn - c1 + 1)
+    def logP(i: Column) =
+      lg(r1 + 1) - lg(i + 1) - lg(r1 - i + 1) +
+        lg(r2 + 1) - lg(c1 - i + 1) - lg(r2 - c1 + i + 1) - logDen
+    val iMin = greatest(lit(0.0), c1 - r2)
+    val iMax = least(r1, c1)
+    val obs = logP(col("a").cast("double"))
+    val expanded = agg
+      .withColumn("__i__",
+        explode(sequence(iMin.cast("long"), iMax.cast("long"))))
+      .withColumn("__lp__", logP(col("__i__").cast("double")))
+    expanded
+      .groupBy("a", "b", "c", "d")
+      .agg(least(lit(1.0), sum(when(col("__lp__") <= obs +
+          math.log1p(1e-7), exp(col("__lp__"))))).as("p"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        round(col("p"), 6).as("p_value"))
+  }
+
   /** Spearman rank correlation (pandas corr(method='spearman')):
     * average ranks per column from the DISTINCT-value tables
     * ([[distinctValueRanks]] — range-bucketed, no global window),

@@ -916,6 +916,56 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("mcnemar: discordant-pair chi2, degenerate null") {
+    // b=6 (1,0), c=2 (0,1): chi2 = 16/8 = 2
+    val pairs = Seq.fill(6)((1, 0)) ++ Seq.fill(2)((0, 1)) ++
+      Seq.fill(5)((1, 1)) ++ Seq.fill(3)((0, 0))
+    val out = StatsOps.mcnemar(pairs.toDF("x", "y"), "x", "y").head()
+    out.getAs[Long]("b") shouldBe 6L
+    out.getAs[Long]("c") shouldBe 2L
+    out.getAs[Double]("chi2_stat") shouldBe 2.0 +- 1e-9
+    // p = 2(1 - Phi(sqrt(2))) ~ 0.1573
+    out.getAs[Double]("p_value") shouldBe 0.157299 +- 1e-4
+    // all concordant -> null statistic, not 0/0
+    val conc = Seq((1, 1), (0, 0)).toDF("x", "y")
+    val r = StatsOps.mcnemar(conc, "x", "y").head()
+    r.isNullAt(r.fieldIndex("chi2_stat")) shouldBe true
+  }
+
+  test("cochranQ recovers the textbook statistic") {
+    // Conover-style: 4 blocks x 3 treatments
+    // rows (1,1,0),(1,0,0),(1,1,1),(0,1,0):
+    // Cj = (3,3,1), N = 7, sumCj2 = 19, Ri = (2,1,3,1), sumRi2 = 15
+    // Q = 2*(3*19 - 49)/(3*7 - 15) = 16/6
+    val df = Seq(
+      (1, "t1", 1), (1, "t2", 1), (1, "t3", 0),
+      (2, "t1", 1), (2, "t2", 0), (2, "t3", 0),
+      (3, "t1", 1), (3, "t2", 1), (3, "t3", 1),
+      (4, "t1", 0), (4, "t2", 1), (4, "t3", 0))
+      .toDF("blk", "treat", "x")
+    val out = StatsOps.cochranQ(df, "blk", "treat", "x").head()
+    out.getAs[Double]("q_stat") shouldBe (16.0 / 6.0) +- 1e-6
+    out.getAs[Long]("dof") shouldBe 2L
+    out.getAs[Double]("p_value") shouldBe
+      math.exp(-16.0 / 12.0) +- 1e-4
+  }
+
+  test("fisherExact matches scipy two-sided p-values") {
+    // scipy.stats.fisher_exact([[1,9],[11,3]]) -> p = 0.002759...
+    def table(a: Int, b: Int, c: Int, d: Int) =
+      (Seq.fill(a)((1, 1)) ++ Seq.fill(b)((1, 0)) ++
+        Seq.fill(c)((0, 1)) ++ Seq.fill(d)((0, 0))).toDF("x", "y")
+    val p1 = StatsOps.fisherExact(table(1, 9, 11, 3), "x", "y").head()
+    p1.getAs[Long]("a") shouldBe 1L
+    p1.getAs[Double]("p_value") shouldBe 0.002759 +- 1e-5
+    // scipy.stats.fisher_exact([[8,2],[1,5]]) -> p = 0.034965...
+    StatsOps.fisherExact(table(8, 2, 1, 5), "x", "y").head()
+      .getAs[Double]("p_value") shouldBe 0.034965 +- 1e-5
+    // independent-ish table -> p = 1
+    StatsOps.fisherExact(table(5, 5, 5, 5), "x", "y").head()
+      .getAs[Double]("p_value") shouldBe 1.0 +- 1e-9
+  }
+
   test("benford per-digit shares, chi2 and absent-digit handling") {
     // uniform single occurrence of each digit 1..9 (multi-digit
     // values exercise the first-char extraction)
