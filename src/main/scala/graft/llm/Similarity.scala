@@ -263,4 +263,48 @@ object Similarity {
       .join(lrd, "id")
       .select(col("id"), (col("avg_nbr_lrd") / col("lrd")).as("lof"))
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the embeddings
+    * with a coarse quantizer, compare pairs only WITHIN a cluster,
+    * and drop every vector that has a near-duplicate (rounded cosine
+    * ≥ simThreshold) with a smaller id — the deterministic
+    * keep-first-occurrence policy shared with paragraph dedup.
+    * Returns every row as (idCol, cluster, keep).
+    *
+    * Quantizer = the nLists lowest-id vectors — deterministic and
+    * engine-replayable (the q116 portable-IVF convention); at scale
+    * swap in sample-fit k-means centroids, the plumbing is identical.
+    * Scale shape: assignment is map-side against broadcast centroid
+    * literals; the pair join is cluster-bounded (never all-pairs);
+    * the published SemDeDup recipe caps cluster sizes the same way —
+    * skewed clusters inherit the hot-bucket guidance in SCALE.md. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      nLists: Int = 8, simThreshold: Double = 0.9): DataFrame = {
+    val cents = df.orderBy(col(idCol)).limit(nLists)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0)).zipWithIndex
+    require(cents.nonEmpty, "semanticDedup: empty input")
+    def centArr(c: Seq[Float]): Column = array(c.map(lit): _*)
+    // argmax over (rounded cosine, -index): highest similarity, then
+    // lowest centroid index — same convention as ivfTopKPortable
+    val assign = array_max(array(cents.map { case (c, ci) =>
+      struct(round(cosine(col(vecCol), centArr(c)), 6).as("s"),
+        lit(-ci).as("negc"))
+    }: _*)).getField("negc") * -1
+    val assigned = df
+      .select(col(idCol), col(vecCol))
+      .withColumn("cluster", assign.cast("long")).cache()
+    val l = assigned.select(col("cluster"), col(idCol).as("__ida__"),
+      col(vecCol).as("__va__"))
+    val r = assigned.select(col("cluster"), col(idCol).as("__idb__"),
+      col(vecCol).as("__vb__"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("__ida__") < col("__idb__") &&
+        round(cosine(col("__va__"), col("__vb__")), 6) >= simThreshold)
+      .select(col("__idb__").as("__dup__")).distinct()
+    assigned
+      .join(dropped, assigned(idCol) === dropped("__dup__"), "left")
+      .select(col(idCol), col("cluster"),
+        col("__dup__").isNull.as("keep"))
+  }
 }

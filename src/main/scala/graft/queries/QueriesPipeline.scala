@@ -98,6 +98,18 @@ object QueriesPipeline {
       PipelineOps.hashSample(t(s, d, "documents"), "doc_id", 0.25, "s1")
         .select("doc_id", "lang", "source")),
 
+    // Benjamini-Hochberg FDR adjustment over a per-supplier p-value
+    // table (portable-hash pseudo p-values — the CORRECTION is the
+    // operator under test; any hypothesis table plugs in)
+    "q169_bh_fdr" -> ((s, d) =>
+      graft.stats.StatsOps.benjaminiHochberg(
+        t(s, d, "supplier").select(col("s_suppkey"),
+          PipelineOps.hash48Unit(col("s_suppkey").cast("string"))
+            .as("p")),
+        "p")
+        .select(col("s_suppkey"), round(col("p"), 9).as("p"),
+          round(col("p_adj"), 9).as("p_adj"))),
+
     // KMV distinct-count sketch of lineitem part keys
     "q97_kmv_distinct" -> ((s, d) =>
       PipelineOps.kmvDistinct(t(s, d, "lineitem"), "l_partkey", 128)),
@@ -743,6 +755,26 @@ object QueriesPipeline {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 's1'")} < 0.25"""
         .stripMargin,
+
+    "q169_bh_fdr" ->
+      s"""WITH p AS (
+         |  SELECT s_suppkey,
+         |    ${h48("CAST(s_suppkey AS VARCHAR)")} AS p
+         |  FROM supplier),
+         |r AS (
+         |  SELECT s_suppkey, p,
+         |    row_number() OVER (ORDER BY p) AS i,
+         |    count(*) OVER () AS n
+         |  FROM p),
+         |a AS (
+         |  SELECT s_suppkey, p,
+         |    min(p * n / i) OVER (ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |      AS padj
+         |  FROM r)
+         |SELECT s_suppkey, round(p, 9) AS p,
+         |  round(least(1.0, padj), 9) AS p_adj
+         |FROM a""".stripMargin,
 
     "q97_kmv_distinct" ->
       s"""WITH h AS (

@@ -61,6 +61,17 @@ object QueriesStats {
             col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
         "x", "y")),
 
+    // §2.12 odds ratio + Wald CI on the purchase/error 2×2 (A/B
+    // effect-size companion to q167)
+    "q170_odds_ratio" -> ((s, d) =>
+      StatsOps.oddsRatio(
+        t(s, d, "events").groupBy("user_id").agg(
+          max(when(col("event_type") === "purchase" &&
+            col("value") >= 80.0, 1L).otherwise(0L)).as("x"),
+          max(when(col("event_type") === "error" &&
+            col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
+        "x", "y")),
+
     // §2.12 Spearman rank correlation of quantity vs extended price
     // (pandas corr(method='spearman')) — exact doubled-rank sums
     "q162_spearman" -> ((s, d) =>
@@ -573,6 +584,45 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q170_odds_ratio" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 80.0
+        |      THEN 1 ELSE 0 END) AS x,
+        |    max(CASE WHEN event_type = 'error' AND value >= 80.0
+        |      THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN x <> 0 AND y <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN x <> 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN x = 0 AND y <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM u),
+        |m AS (
+        |  SELECT a, b, c, d,
+        |    CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+        |    CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd,
+        |    least(CAST(a AS DOUBLE), CAST(b AS DOUBLE),
+        |      CAST(c AS DOUBLE), CAST(d AS DOUBLE)) > 0 AS ok
+        |  FROM t),
+        |s AS (
+        |  SELECT a, b, c, d,
+        |    CASE WHEN ok THEN ad * dd / (bd * cd) END AS orr,
+        |    CASE WHEN ok THEN ln(ad * dd / (bd * cd)) END AS log_or,
+        |    CASE WHEN ok THEN sqrt(1.0 / ad + 1.0 / bd + 1.0 / cd +
+        |      1.0 / dd) END AS se
+        |  FROM m)
+        |SELECT a, b, c, d,
+        |  round(orr, 6) AS odds_ratio, round(log_or, 6) AS log_or,
+        |  round(exp(log_or - 1.959963984540054 * se), 6) AS ci_lo,
+        |  round(exp(log_or + 1.959963984540054 * se), 6) AS ci_hi
+        |FROM s""".stripMargin,
 
     "q165_mcnemar" -> {
       val phi = graft.stats.Distributions.normalCdfSql("sqrt(chi2)")

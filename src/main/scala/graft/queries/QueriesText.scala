@@ -140,6 +140,13 @@ object QueriesText {
         "embedding", "vec_id", q, 10, planes = 4)
     }),
 
+    // SemDeDup-style semantic dedup: coarse-quantizer clusters,
+    // within-cluster near-dup pairs, keep-first policy — DuckDB
+    // replays assignment, the pair scan and the keep mask
+    "q168_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(t(s, d, "embeddings"), "embedding",
+        "vec_id", nLists = 8, simThreshold = 0.35)),
+
     // the PORTABLE IVF twin (fixed coarse quantizer = the 8 lowest-id
     // vectors): DuckDB replays assignment, probe selection and the
     // candidate ranking — q77's oracle-able counterpart
@@ -418,6 +425,32 @@ object QueriesText {
         |JOIN sizes sa ON inter.blk = sa.blk AND inter.id_a = sa.id
         |JOIN sizes sb ON inter.blk = sb.blk AND inter.id_b = sb.id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.9""".stripMargin,
+
+    "q168_semantic_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+        |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+        |assign AS (
+        |  SELECT vec_id, v, ci AS cluster FROM (
+        |    SELECT vec_id, v, ci, row_number() OVER (
+        |      PARTITION BY vec_id
+        |      ORDER BY round(list_dot_product(v, cv) /
+        |        (sqrt(list_dot_product(v, v)) *
+        |         sqrt(list_dot_product(cv, cv))), 6) DESC, ci) AS rn
+        |    FROM v CROSS JOIN c)
+        |  WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id AS dup
+        |  FROM assign a JOIN assign b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35)
+        |SELECT a.vec_id, a.cluster, d.dup IS NULL AS keep
+        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.dup""".stripMargin,
 
     "q116_ivf_portable" ->
       """WITH v AS (

@@ -743,6 +743,58 @@ object StatsOps {
       .drop("q1", "q3")
   }
 
+  /** Benjamini-Hochberg FDR adjustment over a p-value table:
+    * p_adj(i) = min_{j ≥ i} min(1, n·p_(j)/j) for ascending ranks i.
+    * Ties in p get identical adjusted values (the suffix-min absorbs
+    * the rank ambiguity), so the result is deterministic.
+    *
+    * Scale note: a p-value table has one row per HYPOTHESIS —
+    * metadata scale by construction — so the positional sort runs as
+    * a plain global window by design (same documented regime as
+    * transpose/DFS). */
+  def benjaminiHochberg(df0: DataFrame, pCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(pCol).isNotNull)
+    val ranked = df
+      .withColumn("__i__", row_number().over(Window.orderBy(col(pCol))))
+      .withColumn("__n__", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val wSuffix = Window.orderBy(col("__i__"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("__padj__",
+        min(col(pCol) * col("__n__") / col("__i__")).over(wSuffix))
+      .withColumn(s"${pCol}_adj", least(lit(1.0), col("__padj__")))
+      .drop("__i__", "__n__", "__padj__")
+  }
+
+  /** Odds ratio of a 2×2 table of two 0/1 columns, with the Wald
+    * 95% CI: OR = ad/bc, CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d)).
+    * Any empty cell → null estimates (no Haldane fudge — callers who
+    * want the +0.5 correction can add it to the inputs). */
+  def oddsRatio(df0: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val x1 = col(xCol) =!= 0; val y1 = col(yCol) =!= 0
+    val agg = df.agg(
+      sum(when(x1 && y1, 1L).otherwise(0L)).as("a"),
+      sum(when(x1 && !y1, 1L).otherwise(0L)).as("b"),
+      sum(when(!x1 && y1, 1L).otherwise(0L)).as("c"),
+      sum(when(!x1 && !y1, 1L).otherwise(0L)).as("d"))
+    val a = col("a").cast("double"); val b = col("b").cast("double")
+    val c = col("c").cast("double"); val dd = col("d").cast("double")
+    val ok = least(a, b, c, dd) > 0
+    val z975 = 1.959963984540054 // Φ⁻¹(0.975)
+    val orr = when(ok, a * dd / (b * c))
+    val logOr = when(ok, log(a * dd / (b * c)))
+    val se = when(ok, sqrt(lit(1.0) / a + lit(1.0) / b +
+      lit(1.0) / c + lit(1.0) / dd))
+    agg.select(col("a"), col("b"), col("c"), col("d"),
+      round(orr, 6).as("odds_ratio"),
+      round(logOr, 6).as("log_or"),
+      round(exp(logOr - lit(z975) * se), 6).as("ci_lo"),
+      round(exp(logOr + lit(z975) * se), 6).as("ci_hi"))
+  }
+
   /** McNemar test for PAIRED binary outcomes (2×2 within-subject):
     * with b = #(1→0) and c = #(0→1) discordant pairs,
     * χ² = (b−c)²/(b+c) (no continuity correction — mirrored by the

@@ -318,4 +318,33 @@ class LlmOpsSpec extends SparkSpecBase {
     df.select(asize(TextFunctions.wordNgrams($"t", 2))).as[Int]
       .collect() shouldBe Array(0, 0, 2)
   }
+
+  test("semanticDedup drops planted near-duplicates, keeps first") {
+    // two tight groups along different axes + one isolated vector;
+    // ids chosen so the quantizer (2 lowest ids) spans both groups
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val rows = Seq(
+      (1L, vec(1.0, 0.01, 0.0)),   // group A rep (kept, lowest id)
+      (2L, vec(0.0, 1.0, 0.02)),   // group B rep (kept)
+      (3L, vec(1.0, 0.02, 0.0)),   // ~dup of 1 -> dropped
+      (4L, vec(0.99, 0.0, 0.01)),  // ~dup of 1 -> dropped
+      (5L, vec(0.0, 0.98, 0.0)),   // ~dup of 2 -> dropped
+      (6L, vec(0.0, 0.0, 1.0)))    // isolated -> kept
+      .toDF("id", "v")
+    val out = Similarity.semanticDedup(rows, "v", "id", nLists = 2,
+        simThreshold = 0.95)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    out(1L) shouldBe true
+    out(2L) shouldBe true
+    out(3L) shouldBe false
+    out(4L) shouldBe false
+    out(5L) shouldBe false
+    out(6L) shouldBe true
+    // idempotent: running on the kept set drops nothing further
+    val kept = Similarity.semanticDedup(rows, "v", "id", 2, 0.95)
+      .filter($"keep")
+    val again = Similarity.semanticDedup(
+      rows.join(kept.select("id"), "id"), "v", "id", 2, 0.95)
+    again.filter(!$"keep").count() shouldBe 0L
+  }
 }

@@ -916,6 +916,48 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("benjaminiHochberg enforces suffix-min monotonicity") {
+    // raw n*p/i = (0.03, 0.0165, 0.2): rank-1 absorbs rank-2's
+    // smaller value
+    val df = Seq((1L, 0.01), (2L, 0.011), (3L, 0.2)).toDF("id", "p")
+    val out = StatsOps.benjaminiHochberg(df, "p")
+      .orderBy("id").select("p_adj").collect().map(_.getDouble(0))
+    out(0) shouldBe 0.0165 +- 1e-12
+    out(1) shouldBe 0.0165 +- 1e-12
+    out(2) shouldBe 0.2 +- 1e-12
+    // classic 4-test case + cap at 1
+    val df2 = Seq(0.005, 0.01, 0.03, 0.9).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+    val out2 = StatsOps.benjaminiHochberg(df2, "p")
+      .orderBy("id").select("p_adj").collect().map(_.getDouble(0))
+    out2(0) shouldBe 0.02 +- 1e-12
+    out2(1) shouldBe 0.02 +- 1e-12
+    out2(2) shouldBe 0.04 +- 1e-12
+    out2(3) shouldBe 0.9 +- 1e-12
+    // ties get identical adjusted values
+    val tied = Seq(0.05, 0.05, 0.5).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+    StatsOps.benjaminiHochberg(tied, "p")
+      .filter($"p" === 0.05).select("p_adj").collect()
+      .map(_.getDouble(0)).distinct.length shouldBe 1
+  }
+
+  test("oddsRatio Wald CI and empty-cell null") {
+    val pairs = Seq.fill(8)((1, 1)) ++ Seq.fill(2)((1, 0)) ++
+      Seq.fill(1)((0, 1)) ++ Seq.fill(5)((0, 0))
+    val out = StatsOps.oddsRatio(pairs.toDF("x", "y"), "x", "y").head()
+    out.getAs[Double]("odds_ratio") shouldBe 20.0 +- 1e-6
+    val se = math.sqrt(1.0 / 8 + 1.0 / 2 + 1.0 / 1 + 1.0 / 5)
+    out.getAs[Double]("ci_lo") shouldBe
+      math.exp(math.log(20.0) - 1.959963984540054 * se) +- 1e-5
+    out.getAs[Double]("ci_hi") shouldBe
+      math.exp(math.log(20.0) + 1.959963984540054 * se) +- 1e-4
+    val degenerate = Seq((1, 1), (0, 0)).toDF("x", "y")
+    val r = StatsOps.oddsRatio(degenerate, "x", "y").head()
+    r.isNullAt(r.fieldIndex("odds_ratio")) shouldBe true
+    r.isNullAt(r.fieldIndex("ci_lo")) shouldBe true
+  }
+
   test("mcnemar: discordant-pair chi2, degenerate null") {
     // b=6 (1,0), c=2 (0,1): chi2 = 16/8 = 2
     val pairs = Seq.fill(6)((1, 0)) ++ Seq.fill(2)((0, 1)) ++
