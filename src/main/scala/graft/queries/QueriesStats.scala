@@ -61,6 +61,27 @@ object QueriesStats {
             col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
         "x", "y")),
 
+    // §2.12 partial correlation of quantity and price controlling
+    // for discount (q61's integer-sum regime)
+    "q171_partial_corr" -> ((s, d) =>
+      StatsOps.partialCorr(
+        t(s, d, "lineitem").select(
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y"),
+          cents(col("l_discount")).as("z")),
+        "x", "y", "z")),
+
+    // §2.12 winsorize extended-price cents at the exact 5th/95th
+    // percentiles
+    "q172_winsorize" -> ((s, d) =>
+      StatsOps.winsorize(
+        t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          cents(col("l_extendedprice")).as("pc")),
+        "pc")
+        .select(col("l_orderkey"), col("l_linenumber"), col("pc"),
+          round(col("pc_wins"), 6).as("wins"))),
+
     // §2.12 odds ratio + Wald CI on the purchase/error 2×2 (A/B
     // effect-size companion to q167)
     "q170_odds_ratio" -> ((s, d) =>
@@ -584,6 +605,62 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q171_partial_corr" ->
+      """WITH p AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS z
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(z * z) AS BIGINT) AS szz,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * z) AS BIGINT) AS sxz,
+        |    CAST(sum(y * z) AS BIGINT) AS syz
+        |  FROM p),
+        |r AS (
+        |  SELECT
+        |    (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (sqrt(n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |       sqrt(n * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |      AS rxy,
+        |    (n * sxz - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)) /
+        |      (sqrt(n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |       sqrt(n * szz - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+        |      AS rxz,
+        |    (n * syz - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) /
+        |      (sqrt(n * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) *
+        |       sqrt(n * szz - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+        |      AS ryz
+        |  FROM s)
+        |SELECT round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        |  round(ryz, 6) AS r_yz,
+        |  round((rxy - rxz * ryz) /
+        |    sqrt(CASE WHEN (1 - rxz * rxz) * (1 - ryz * ryz) > 0
+        |      THEN (1 - rxz * rxz) * (1 - ryz * ryz) END), 6) AS r_xy_z
+        |FROM r""".stripMargin,
+
+    "q172_winsorize" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+        |      AS l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |q AS (
+        |  SELECT quantile_cont(pc, 0.05) AS qlo,
+        |    quantile_cont(pc, 0.95) AS qhi
+        |  FROM p)
+        |SELECT l_orderkey, l_linenumber, pc,
+        |  round(least(greatest(CAST(pc AS DOUBLE), qlo), qhi), 6)
+        |    AS wins
+        |FROM p, q""".stripMargin,
 
     "q170_odds_ratio" ->
       """WITH u AS (

@@ -743,6 +743,53 @@ object StatsOps {
       .drop("q1", "q3")
   }
 
+  /** First-order partial correlation r_xy·z — the correlation of x
+    * and y with z controlled for:
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)).
+    * ONE aggregate collects all exact Long sufficient sums (inputs
+    * must be integer-typed — cents pattern, same contract as
+    * corrMatrix); the pairwise r's and the closed form run in doubles
+    * mirrored op-for-op by the oracle. */
+  def partialCorr(df0: DataFrame, x: String, y: String,
+      z: String): DataFrame = {
+    val df = df0.filter(col(x).isNotNull && col(y).isNotNull &&
+      col(z).isNotNull)
+    val s = df.agg(count(lit(1)).as("n"),
+      sum(col(x)).as("sx"), sum(col(y)).as("sy"), sum(col(z)).as("sz"),
+      sum(col(x) * col(x)).as("sxx"), sum(col(y) * col(y)).as("syy"),
+      sum(col(z) * col(z)).as("szz"), sum(col(x) * col(y)).as("sxy"),
+      sum(col(x) * col(z)).as("sxz"), sum(col(y) * col(z)).as("syz"))
+    val n = col("n").cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String) = {
+      val da = col(sa).cast("double"); val db = col(sb).cast("double")
+      (n * col(sab) - da * db) /
+        (sqrt(n * col(saa) - da * da) * sqrt(n * col(sbb) - db * db))
+    }
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    val pc = (rxy - rxz * ryz) / sqrt(when(den > 0, den))
+    s.select(round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"), round(pc, 6).as("r_xy_z"))
+  }
+
+  /** Winsorize: clip a column to its [lo, hi] exact percentiles
+    * (scipy.stats.mstats.winsorize semantics on the value scale) —
+    * one percentile aggregate broadcast back, map-side clip. */
+  def winsorize(df: DataFrame, c: String, lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"winsorize: [$lo,$hi]")
+    val q = df.agg(percentile(col(c), lit(lo)).as("__qlo__"),
+      percentile(col(c), lit(hi)).as("__qhi__"))
+    df.crossJoin(broadcast(q))
+      .withColumn(s"${c}_wins",
+        least(greatest(col(c).cast("double"), col("__qlo__")),
+          col("__qhi__")))
+      .drop("__qlo__", "__qhi__")
+  }
+
   /** Benjamini-Hochberg FDR adjustment over a p-value table:
     * p_adj(i) = min_{j ≥ i} min(1, n·p_(j)/j) for ascending ranks i.
     * Ties in p get identical adjusted values (the suffix-min absorbs

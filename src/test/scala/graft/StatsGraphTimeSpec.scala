@@ -916,6 +916,45 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("partialCorr closed form: perfect xy survives, z=x nulls out") {
+    // y = 2x -> r_xy = 1 and r_xz = r_yz, so r_xy.z = 1 for any
+    // non-degenerate z
+    val df = Seq((1L, 2L, 1L), (2L, 4L, 1L), (3L, 6L, 2L),
+      (4L, 8L, 3L)).toDF("x", "y", "z")
+    val out = StatsOps.partialCorr(df, "x", "y", "z").head()
+    out.getAs[Double]("r_xy") shouldBe 1.0 +- 1e-6
+    out.getAs[Double]("r_xy_z") shouldBe 1.0 +- 1e-6
+    // controlling for z = x exactly -> denominator 0 -> null
+    val degen = Seq((1L, 2L, 1L), (2L, 4L, 2L), (3L, 7L, 3L))
+      .toDF("x", "y", "z")
+    val r = StatsOps.partialCorr(degen, "x", "y", "z").head()
+    r.isNullAt(r.fieldIndex("r_xy_z")) shouldBe true
+    // x,y both driven by z: partial correlation collapses toward 0
+    val driven = (0 until 60).map { i =>
+      val z = i % 10
+      (z.toLong * 10 + (i % 3), z.toLong * 10 + ((i + 1) % 3),
+        z.toLong)
+    }.toDF("x", "y", "z")
+    val d = StatsOps.partialCorr(driven, "x", "y", "z").head()
+    d.getAs[Double]("r_xy") should be > 0.9
+    // the deterministic i%3 noise leaves exactly 0.5 residual here;
+    // the point is the collapse from ~0.99 once z is controlled
+    math.abs(d.getAs[Double]("r_xy_z")) should be <= 0.5
+  }
+
+  test("winsorize clips at exact interpolated percentiles") {
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val out = StatsOps.winsorize(df, "v").orderBy("v")
+      .select("v", "v_wins").collect()
+    // q05 = 1 + 0.05*99 = 5.95, q95 = 1 + 0.95*99 = 95.05
+    out.filter(_.getLong(0) <= 5).foreach(
+      _.getDouble(1) shouldBe 5.95 +- 1e-9)
+    out.filter(_.getLong(0) >= 96).foreach(
+      _.getDouble(1) shouldBe 95.05 +- 1e-9)
+    out.filter(r => r.getLong(0) > 5 && r.getLong(0) < 96).foreach(r =>
+      r.getDouble(1) shouldBe r.getLong(0).toDouble +- 1e-9)
+  }
+
   test("benjaminiHochberg enforces suffix-min monotonicity") {
     // raw n*p/i = (0.03, 0.0165, 0.2): rank-1 absorbs rank-2's
     // smaller value
