@@ -61,6 +61,31 @@ object QueriesStats {
             col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
         "x", "y")),
 
+    // §2.12 Mantel-Haenszel pooled odds ratio across user strata
+    "q173_mantel_haenszel" -> ((s, d) =>
+      StatsOps.mantelHaenszel(
+        t(s, d, "events").groupBy("user_id").agg(
+          max(when(col("event_type") === "purchase" &&
+            col("value") >= 80.0, 1L).otherwise(0L)).as("x"),
+          max(when(col("event_type") === "error" &&
+            col("value") >= 80.0, 1L).otherwise(0L)).as("y"))
+          .withColumn("stratum",
+            pmod(col("user_id"), lit(5)).cast("long")),
+        "stratum", "x", "y")),
+
+    // §2.12 CUPED adjusted metric: per-user purchase cents adjusted
+    // by the click-cents covariate
+    "q174_cuped" -> ((s, d) =>
+      StatsOps.cuped(
+        t(s, d, "events").groupBy("user_id").agg(
+          coalesce(sum(when(col("event_type") === "click",
+            cents(col("value")))), lit(0L)).as("x"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            cents(col("value")))), lit(0L)).as("y")),
+        "y", "x")
+        .select(col("user_id"), col("x"), col("y"),
+          round(col("y_cuped"), 6).as("y_cuped"))),
+
     // §2.12 partial correlation of quantity and price controlling
     // for discount (q61's integer-sum regime)
     "q171_partial_corr" -> ((s, d) =>
@@ -605,6 +630,77 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q173_mantel_haenszel" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("sqrt(chi2)")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' AND value >= 80.0
+         |      THEN 1 ELSE 0 END) AS x,
+         |    max(CASE WHEN event_type = 'error' AND value >= 80.0
+         |      THEN 1 ELSE 0 END) AS y
+         |  FROM events GROUP BY 1),
+         |cells AS (
+         |  SELECT user_id % 5 AS st,
+         |    CAST(sum(CASE WHEN x <> 0 AND y <> 0 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) AS a,
+         |    CAST(sum(CASE WHEN x <> 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) AS b,
+         |    CAST(sum(CASE WHEN x = 0 AND y <> 0 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) AS c,
+         |    CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) AS d
+         |  FROM u GROUP BY 1),
+         |f AS (SELECT * FROM cells WHERE a + b + c + d >= 2),
+         |agg AS (
+         |  SELECT
+         |    sum(a * d / (a + b + c + d)) AS s_ad,
+         |    sum(b * c / (a + b + c + d)) AS s_bc,
+         |    sum(a) AS s_a,
+         |    sum((a + b) * (a + c) / (a + b + c + d)) AS s_e,
+         |    sum((a + b) * (c + d) * (a + c) * (b + d) /
+         |      ((a + b + c + d) * (a + b + c + d) *
+         |        (a + b + c + d - 1))) AS s_v
+         |  FROM f),
+         |r AS (
+         |  SELECT
+         |    CASE WHEN s_bc > 0 THEN s_ad / s_bc END AS or_mh,
+         |    (s_a - s_e) * (s_a - s_e) /
+         |      (CASE WHEN s_v > 0 THEN s_v END) AS chi2
+         |  FROM agg)
+         |SELECT round(or_mh, 6) AS or_mh, round(chi2, 6) AS chi2_mh,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM r""".stripMargin
+    },
+
+    "q174_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT),
+        |      0) AS x,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT),
+        |      0) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM u),
+        |t AS (
+        |  SELECT
+        |    CASE WHEN n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |        > 0
+        |      THEN (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    END AS theta,
+        |    CAST(sx AS DOUBLE) / n AS xbar
+        |  FROM s)
+        |SELECT user_id, x, y,
+        |  round(y - theta * (x - xbar), 6) AS y_cuped
+        |FROM u, t""".stripMargin,
 
     "q171_partial_corr" ->
       """WITH p AS (

@@ -743,6 +743,70 @@ object StatsOps {
       .drop("q1", "q3")
   }
 
+  /** Mantel-Haenszel pooled odds ratio across strata (the stratified
+    * A/B effect estimate): per-stratum 2×2 cells from one groupBy,
+    *   OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i),
+    * plus the MH χ²(1) statistic (no continuity correction) from
+    * E_i = r1_i·c1_i/n_i and V_i = r1_i·r2_i·c1_i·c2_i/(n_i²(n_i−1)),
+    * p = 2(1−Φ(√χ²)) — all Column arithmetic the oracle replays.
+    * Strata with n < 2 are excluded (V undefined). */
+  def mantelHaenszel(df0: DataFrame, stratumCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val df = df0.filter(col(stratumCol).isNotNull &&
+      col(xCol).isNotNull && col(yCol).isNotNull)
+    val x1 = col(xCol) =!= 0; val y1 = col(yCol) =!= 0
+    val cells = df.groupBy(col(stratumCol))
+      .agg(sum(when(x1 && y1, 1L).otherwise(0L)).as("a"),
+        sum(when(x1 && !y1, 1L).otherwise(0L)).as("b"),
+        sum(when(!x1 && y1, 1L).otherwise(0L)).as("c"),
+        sum(when(!x1 && !y1, 1L).otherwise(0L)).as("d"))
+      .filter(col("a") + col("b") + col("c") + col("d") >= 2)
+    val a = col("a").cast("double"); val b = col("b").cast("double")
+    val c = col("c").cast("double"); val dd = col("d").cast("double")
+    val n = a + b + c + dd
+    val agg = cells.agg(
+      sum(a * dd / n).as("s_ad"), sum(b * c / n).as("s_bc"),
+      sum(a).as("s_a"),
+      sum((a + b) * (a + c) / n).as("s_e"),
+      sum((a + b) * (c + dd) * (a + c) * (b + dd) /
+        (n * n * (n - 1))).as("s_v"))
+    val orMh = when(col("s_bc") > 0, col("s_ad") / col("s_bc"))
+    val chi2 = (col("s_a") - col("s_e")) * (col("s_a") - col("s_e")) /
+      when(col("s_v") > 0, col("s_v"))
+    agg.select(round(orMh, 6).as("or_mh"),
+      round(chi2, 6).as("chi2_mh"),
+      round(lit(2.0) * (lit(1.0) -
+        Distributions.normalCdfCol(sqrt(chi2))), 6).as("p_value"))
+  }
+
+  /** CUPED variance reduction (the standard pre-experiment covariate
+    * adjustment): θ = Cov(x,y)/Var(x) from exact Long sufficient
+    * sums, then the map-side adjusted metric
+    *   y_cuped = y − θ·(x − x̄).
+    * Inputs integer-typed (cents pattern). Returns the input plus
+    * y_cuped — mean(y_cuped) = mean(y) by construction and variance
+    * shrinks by the squared correlation. */
+  def cuped(df0: DataFrame, yCol: String, xCol: String,
+      outName: String = "y_cuped"): DataFrame = {
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val s = df.agg(count(lit(1)).as("nn"),
+      sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+      sum(col(xCol) * col(xCol)).as("sxx"),
+      sum(col(xCol) * col(yCol)).as("sxy"))
+    val n = col("nn").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val varX = n * col("sxx") - sx * sx
+    val theta = when(varX > 0,
+      (n * col("sxy") - sx * sy) / varX)
+    val stats = s.select(theta.as("__theta__"),
+      (sx / n).as("__xbar__"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(outName,
+        col(yCol) - col("__theta__") *
+          (col(xCol) - col("__xbar__")))
+      .drop("__theta__", "__xbar__")
+  }
+
   /** First-order partial correlation r_xy·z — the correlation of x
     * and y with z controlled for:
     *   r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)).

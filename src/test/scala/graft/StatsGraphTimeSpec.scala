@@ -916,6 +916,44 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("mantelHaenszel: one stratum = plain OR, pooling is stable") {
+    val pairs = Seq.fill(8)((1, 1)) ++ Seq.fill(2)((1, 0)) ++
+      Seq.fill(1)((0, 1)) ++ Seq.fill(5)((0, 0))
+    val one = pairs.map { case (x, y) => (0L, x, y) }
+      .toDF("st", "x", "y")
+    val r1 = StatsOps.mantelHaenszel(one, "st", "x", "y").head()
+    // ad/bc = 8*5/(2*1) = 20 — matches the unstratified odds ratio
+    r1.getAs[Double]("or_mh") shouldBe 20.0 +- 1e-6
+    // duplicating the same table into two strata leaves OR_MH fixed
+    val two = (pairs.map { case (x, y) => (0L, x, y) } ++
+      pairs.map { case (x, y) => (1L, x, y) }).toDF("st", "x", "y")
+    StatsOps.mantelHaenszel(two, "st", "x", "y").head()
+      .getAs[Double]("or_mh") shouldBe 20.0 +- 1e-6
+    // chi2 grows with the doubled evidence
+    val c1 = r1.getAs[Double]("chi2_mh")
+    StatsOps.mantelHaenszel(two, "st", "x", "y").head()
+      .getAs[Double]("chi2_mh") should be > c1
+  }
+
+  test("cuped recovers theta and reduces variance, mean preserved") {
+    // y = 2x + deterministic noise
+    val df = (0 until 200).map { i =>
+      val x = (i % 20).toLong
+      (i.toLong, x, 2 * x + (i % 3).toLong)
+    }.toDF("id", "x", "y")
+    val out = StatsOps.cuped(df, "y", "x").cache()
+    val stats = out.agg(avg($"y").as("my"), avg($"y_cuped").as("ma"),
+      var_samp($"y".cast("double")).as("vy"),
+      var_samp($"y_cuped").as("va")).head()
+    stats.getAs[Double]("ma") shouldBe
+      stats.getAs[Double]("my") +- 1e-9
+    stats.getAs[Double]("va") should be < stats.getAs[Double]("vy") / 10
+    // adjusted metric is y minus ~2*(x - xbar)
+    val row = out.filter($"id" === 0).head()
+    row.getAs[Double]("y_cuped") shouldBe
+      (row.getAs[Long]("y") - 2.0 * (row.getAs[Long]("x") - 9.5)) +- 0.1
+  }
+
   test("partialCorr closed form: perfect xy survives, z=x nulls out") {
     // y = 2x -> r_xy = 1 and r_xz = r_yz, so r_xy.z = 1 for any
     // non-degenerate z
