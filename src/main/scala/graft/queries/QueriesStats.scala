@@ -61,6 +61,21 @@ object QueriesStats {
             col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
         "x", "y")),
 
+    // §2.12 PSI drift between purchase and click value distributions
+    // over fixed cent breaks
+    "q175_psi" -> ((s, d) =>
+      StatsOps.psi(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type", "purchase", "click",
+        breaks = Seq(1000.0, 2500.0, 4000.0, 5500.0, 7000.0, 8500.0))),
+
+    // §2.12 exact tie-correct Gini over extended-price cents
+    "q176_gini" -> ((s, d) =>
+      StatsOps.gini(
+        t(s, d, "lineitem")
+          .select(cents(col("l_extendedprice")).as("pc")),
+        "pc")),
+
     // §2.12 Mantel-Haenszel pooled odds ratio across user strata
     "q173_mantel_haenszel" -> ((s, d) =>
       StatsOps.mantelHaenszel(
@@ -630,6 +645,67 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q175_psi" -> {
+      val breaks = Seq(1000.0, 2500.0, 4000.0, 5500.0, 7000.0, 8500.0)
+      val binExpr = breaks.map(b =>
+        s"(CASE WHEN CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)" +
+          s" > $b THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT ($binExpr) AS bin, event_type
+         |  FROM events
+         |  WHERE event_type IN ('purchase', 'click')
+         |    AND value IS NOT NULL),
+         |c AS (
+         |  SELECT bin,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+         |      ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1
+         |      ELSE 0 END) AS BIGINT) AS nb
+         |  FROM p GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(sum(na) AS DOUBLE) AS ta,
+         |    CAST(sum(nb) AS DOUBLE) AS tb
+         |  FROM c),
+         |w AS (
+         |  SELECT bin, na, nb,
+         |    greatest(na / ta, 1e-6) AS pa,
+         |    greatest(nb / tb, 1e-6) AS pb
+         |  FROM c, t),
+         |x AS (
+         |  SELECT bin, na, nb, pa, pb,
+         |    (pa - pb) * ln(pa / pb) AS contrib
+         |  FROM w),
+         |s AS (SELECT sum(contrib) AS psi FROM x)
+         |SELECT bin, na, nb, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+         |  round(contrib, 6) AS contrib, round(psi, 6) AS psi
+         |FROM x, s""".stripMargin
+    },
+
+    "q176_gini" ->
+      """WITH p AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(round(l_extendedprice * 100) AS BIGINT) >= 0),
+        |c AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM p
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT v, c,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS b
+        |  FROM c),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(v * (c * b + (c * (c + 1)) // 2)) AS BIGINT) AS s,
+        |    CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(v * c) AS BIGINT) AS sx
+        |  FROM cum)
+        |SELECT n,
+        |  round(2.0 * s / (CAST(n AS DOUBLE) * sx) -
+        |    (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
 
     "q173_mantel_haenszel" -> {
       val phi = graft.stats.Distributions.normalCdfSql("sqrt(chi2)")

@@ -743,6 +743,68 @@ object StatsOps {
       .drop("q1", "q3")
   }
 
+  /** Population Stability Index between two cohorts over EXPLICIT
+    * bin breaks (the model-monitoring drift metric):
+    *   PSI = Σ_bins (p_A − p_B)·ln(p_A/p_B),
+    * shares clamped at `eps` so empty bins contribute finitely (the
+    * standard convention, mirrored by the oracle). Caller supplies
+    * breaks — deterministic and portable, no quantile drift between
+    * runs. Returns per-bin rows with the total repeated. */
+  def psi(df0: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String, breaks: Seq[Double],
+      eps: Double = 1e-6): DataFrame = {
+    require(breaks.nonEmpty, "psi: need at least one break")
+    val df = df0.filter(col(groupCol).isin(gA, gB) &&
+      col(valueCol).isNotNull)
+    val v = col(valueCol).cast("double")
+    val bin = breaks.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(v > b, 1).otherwise(0)
+    }
+    val counts = df.withColumn("__bin__", bin)
+      .groupBy("__bin__")
+      .agg(sum(when(col(groupCol) === gA, 1L).otherwise(0L)).as("na"),
+        sum(when(col(groupCol) === gB, 1L).otherwise(0L)).as("nb"))
+    val tot = counts.agg(sum("na").cast("double").as("ta"),
+      sum("nb").cast("double").as("tb"))
+    val withP = counts.crossJoin(broadcast(tot))
+      .withColumn("pa", greatest(col("na") / col("ta"), lit(eps)))
+      .withColumn("pb", greatest(col("nb") / col("tb"), lit(eps)))
+      .withColumn("contrib",
+        (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+    val total = withP.agg(sum("contrib").as("psi"))
+    withP.crossJoin(broadcast(total))
+      .select(col("__bin__").as("bin"), col("na"), col("nb"),
+        round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("psi"), 6).as("psi"))
+  }
+
+  /** Gini coefficient over non-negative values — exact, tie-correct:
+    * with the distinct-value table (value v, count c, strictly-below
+    * cumulative count b from [[distinctValueCumCounts]] — range-
+    * bucketed, no global window), the positional sum
+    *   Σᵢ i·x₍ᵢ₎ = Σ_v v·(c·b + c(c+1)/2)
+    * is an exact integer, and G = 2S/(n·Σx) − (n+1)/n.
+    * Exact while max(v)·n² < 2⁶³ — rescale coarser units (dollars,
+    * not cents) past ~10⁶ rows of large values. */
+  def gini(df0: DataFrame, valueCol: String): DataFrame = {
+    val df = df0.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+    val counts = df.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__c__"))
+    val cum = distinctValueCumCounts(counts, valueCol, "__c__")
+    // c(c+1)/2 kept integral (Spark `/` is double division; the cast
+    // back is exact for c < 2²⁶) so the whole sum stays a Long
+    val half = (col("__c__") * (col("__c__") + 1) / 2).cast("long")
+    val agg = cum.agg(
+      sum(col(valueCol) * (col("__c__") * col("__below__") + half))
+        .as("s"),
+      sum(col("__c__")).as("n"),
+      sum(col(valueCol) * col("__c__")).as("sx"))
+    val n = col("n").cast("double")
+    val g = lit(2.0) * col("s") / (n * col("sx")) - (n + 1) / n
+    agg.select(col("n"), round(g, 6).as("gini"))
+  }
+
   /** Mantel-Haenszel pooled odds ratio across strata (the stratified
     * A/B effect estimate): per-stratum 2×2 cells from one groupBy,
     *   OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i),

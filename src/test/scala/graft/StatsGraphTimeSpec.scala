@@ -916,6 +916,41 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("psi: zero for identical cohorts, positive under shift") {
+    val same = (1 to 100).flatMap(i =>
+      Seq(("a", i.toLong * 100), ("b", i.toLong * 100)))
+      .toDF("g", "v")
+    val br = Seq(2000.0, 5000.0, 8000.0)
+    val out0 = StatsOps.psi(same, "v", "g", "a", "b", br)
+    out0.select("psi").head().getDouble(0) shouldBe 0.0 +- 1e-9
+    // cohort b shifted up two bins -> clear drift signal
+    val shifted = ((1 to 100).map(i => ("a", i.toLong * 100)) ++
+      (1 to 100).map(i => ("b", i.toLong * 100 + 5000)))
+      .toDF("g", "v")
+    val psi = StatsOps.psi(shifted, "v", "g", "a", "b", br)
+      .select("psi").head().getDouble(0)
+    psi should be > 0.25
+    // empty bins stay finite via the eps clamp
+    psi.isNaN shouldBe false; psi.isInfinite shouldBe false
+  }
+
+  test("gini: equality 0, max concentration (n-1)/n, hand case") {
+    val eq = Seq.fill(50)(7L).toDF("v")
+    StatsOps.gini(eq, "v").head().getAs[Double]("gini") shouldBe
+      0.0 +- 1e-9
+    val conc = (Seq.fill(9)(0L) :+ 100L).toDF("v")
+    StatsOps.gini(conc, "v").head().getAs[Double]("gini") shouldBe
+      0.9 +- 1e-9
+    // x = (1,2,3,4): G = 2*30/(4*10) - 5/4 = 0.25
+    StatsOps.gini(Seq(1L, 2L, 3L, 4L).toDF("v"), "v").head()
+      .getAs[Double]("gini") shouldBe 0.25 +- 1e-9
+    // ties handled: (1,1,3,3) -> S = 1*(1+2) + 3*(3+4)... positional
+    // sum with average positions = 1*1+1*2+3*3+3*4 = 24,
+    // G = 48/(4*8) - 5/4 = 0.25
+    StatsOps.gini(Seq(1L, 1L, 3L, 3L).toDF("v"), "v").head()
+      .getAs[Double]("gini") shouldBe 0.25 +- 1e-9
+  }
+
   test("mantelHaenszel: one stratum = plain OR, pooling is stable") {
     val pairs = Seq.fill(8)((1, 1)) ++ Seq.fill(2)((1, 0)) ++
       Seq.fill(1)((0, 1)) ++ Seq.fill(5)((0, 0))
