@@ -61,6 +61,13 @@ object QueriesStats {
             col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
         "x", "y")),
 
+    // §2.12 Jonckheere-Terpstra ordered-alternative trend across
+    // click < error < purchase value distributions
+    "q177_jonckheere" -> ((s, d) =>
+      StatsOps.jonckheereTerpstra(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type", Seq("click", "error", "purchase"))),
+
     // §2.12 PSI drift between purchase and click value distributions
     // over fixed cent breaks
     "q175_psi" -> ((s, d) =>
@@ -645,6 +652,54 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q177_jonckheere" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(z)")
+      s"""WITH p AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type
+         |  FROM events
+         |  WHERE event_type IN ('click', 'error', 'purchase')
+         |    AND value IS NOT NULL),
+         |c AS (
+         |  SELECT v,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS c2
+         |  FROM p GROUP BY 1),
+         |cum AS (
+         |  SELECT v, c0, c1, c2,
+         |    CAST(coalesce(sum(c0) OVER w, 0) AS BIGINT) AS b0,
+         |    CAST(coalesce(sum(c1) OVER w, 0) AS BIGINT) AS b1
+         |  FROM c
+         |  WINDOW w AS (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |a AS (
+         |  SELECT
+         |    sum((c1 * b0 + c1 * c0 / 2.0) + (c2 * b0 + c2 * c0 / 2.0)
+         |      + (c2 * b1 + c2 * c1 / 2.0)) AS j_raw,
+         |    CAST(sum(c0) AS DOUBLE) AS n0,
+         |    CAST(sum(c1) AS DOUBLE) AS n1,
+         |    CAST(sum(c2) AS DOUBLE) AS n2
+         |  FROM cum),
+         |m AS (
+         |  SELECT j_raw, n0 + n1 + n2 AS n,
+         |    n0 * n0 + n1 * n1 + n2 * n2 AS sn2,
+         |    n0 * n0 * (n0 * 2 + 3) + n1 * n1 * (n1 * 2 + 3) +
+         |      n2 * n2 * (n2 * 2 + 3) AS sn23
+         |  FROM a),
+         |zz AS (
+         |  SELECT j_raw,
+         |    (j_raw - (n * n - sn2) / 4) /
+         |      sqrt(CASE WHEN (n * n * (n * 2 + 3) - sn23) / 72 > 0
+         |        THEN (n * n * (n * 2 + 3) - sn23) / 72 END) AS z
+         |  FROM m)
+         |SELECT round(j_raw, 6) AS j_stat, round(z, 6) AS z,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM zz""".stripMargin
+    },
 
     "q175_psi" -> {
       val breaks = Seq(1000.0, 2500.0, 4000.0, 5500.0, 7000.0, 8500.0)

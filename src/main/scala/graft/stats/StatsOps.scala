@@ -743,6 +743,58 @@ object StatsOps {
       .drop("q1", "q3")
   }
 
+  /** Jonckheere-Terpstra test for an ORDERED alternative across k
+    * independent groups (the independent-samples sibling of Page's
+    * trend test): J = Σ_{i<j in the hypothesized order} U_ij with
+    * U_ij = #{x_i < y_j} + ½·#{x_i = y_j}, computed from per-group
+    * cumulative counts over the POOLED distinct-value table
+    * ([[distinctValueCumCounts]] per group — range-bucketed, no
+    * global window; the U's are exact up to the ½-tie halves).
+    * z uses the standard no-tie moments
+    *   E = (n² − Σn_j²)/4,  V = (n²(2n+3) − Σn_j²(2n_j+3))/72
+    * (documented approximation under heavy ties), two-sided p. */
+  def jonckheereTerpstra(df0: DataFrame, valueCol: String,
+      groupCol: String, order: Seq[String]): DataFrame = {
+    require(order.size >= 2, "jonckheereTerpstra: need ≥ 2 groups")
+    val df = df0.filter(col(groupCol).isin(order: _*) &&
+      col(valueCol).isNotNull)
+    val counts = df.groupBy(col(valueCol))
+      .agg(sum(when(col(groupCol) === order.head, 1L).otherwise(0L))
+          .as("c0"),
+        order.indices.tail.map(i =>
+          sum(when(col(groupCol) === order(i), 1L).otherwise(0L))
+            .as(s"c$i")): _*)
+      .cache()
+    val aligned = order.indices.foldLeft(counts) { (acc, i) =>
+      val bi = distinctValueCumCounts(
+        counts.select(col(valueCol), col(s"c$i")), valueCol, s"c$i")
+        .select(col(valueCol), col("__below__").as(s"b$i"))
+      acc.join(bi, Seq(valueCol))
+    }
+    val pairTerms = for {
+      i <- order.indices; j <- order.indices if i < j
+    } yield col(s"c$j") * col(s"b$i") +
+      col(s"c$j") * col(s"c$i") / lit(2.0)
+    val groupSizes = order.indices.map(i => sum(col(s"c$i")).as(s"n$i"))
+    val agg = aligned.agg(
+      sum(pairTerms.reduce(_ + _)).as("j_stat"), groupSizes: _*)
+    val n = order.indices.map(i => col(s"n$i").cast("double"))
+      .reduce(_ + _)
+    val sumN2 = order.indices.map { i =>
+      val d = col(s"n$i").cast("double"); d * d
+    }.reduce(_ + _)
+    val sumN23 = order.indices.map { i =>
+      val d = col(s"n$i").cast("double"); d * d * (d * 2 + 3)
+    }.reduce(_ + _)
+    val e = (n * n - sumN2) / 4
+    val v = (n * n * (n * 2 + 3) - sumN23) / 72
+    val z = (col("j_stat") - e) / sqrt(when(v > 0, v))
+    agg.select(round(col("j_stat"), 6).as("j_stat"),
+      round(z, 6).as("z"),
+      round(lit(2.0) * (lit(1.0) -
+        Distributions.normalCdfCol(abs(z))), 6).as("p_value"))
+  }
+
   /** Population Stability Index between two cohorts over EXPLICIT
     * bin breaks (the model-monitoring drift metric):
     *   PSI = Σ_bins (p_A − p_B)·ln(p_A/p_B),

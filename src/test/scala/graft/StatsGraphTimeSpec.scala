@@ -916,6 +916,28 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("jonckheereTerpstra: perfect ordering, reversal, tie halves") {
+    // A=(1,2) < B=(3,4) < C=(5,6): every cross pair concordant,
+    // J = 3 pairs * 4 = 12; E = 6, V = (36*15 - 84)/72
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
+      ("C", 5L), ("C", 6L)).toDF("g", "v")
+    val up = StatsOps.jonckheereTerpstra(df, "v", "g",
+      Seq("A", "B", "C")).head()
+    up.getAs[Double]("j_stat") shouldBe 12.0 +- 1e-9
+    up.getAs[Double]("z") shouldBe
+      (6.0 / math.sqrt((36 * 15 - 84) / 72.0)) +- 1e-6
+    // reversed hypothesis -> J = 0, z symmetric negative
+    val down = StatsOps.jonckheereTerpstra(df, "v", "g",
+      Seq("C", "B", "A")).head()
+    down.getAs[Double]("j_stat") shouldBe 0.0 +- 1e-9
+    down.getAs[Double]("z") shouldBe -up.getAs[Double]("z") +- 1e-6
+    // ties count half: A=(1,1), B=(1,2) -> U = 0.5+1+0.5+1 = 3
+    val tied = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 2L))
+      .toDF("g", "v")
+    StatsOps.jonckheereTerpstra(tied, "v", "g", Seq("A", "B"))
+      .head().getAs[Double]("j_stat") shouldBe 3.0 +- 1e-9
+  }
+
   test("psi: zero for identical cohorts, positive under shift") {
     val same = (1 to 100).flatMap(i =>
       Seq(("a", i.toLong * 100), ("b", i.toLong * 100)))
