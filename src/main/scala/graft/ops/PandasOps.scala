@@ -741,6 +741,34 @@ object PandasOps {
     }
   }
 
+  /** Data-profiling report (pandas-profiling's overview table /
+    * `df.info()+nunique()` in one result): one row per requested
+    * column with total/null/exact-distinct counts and, for numeric
+    * columns, min/max/mean as doubles (null for non-numeric). One
+    * aggregate branch per column unioned — each branch is a plain
+    * scan+agg the optimizer can share; swap `countDistinct` for
+    * `approx_count_distinct` at petabyte scale if exactness isn't
+    * needed for the audit. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    cols.map { c =>
+      val isNum = df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      // non-numeric columns: aggregate a typed null so the branch
+      // stays a valid aggregate with a stable schema
+      val numC =
+        if (isNum) col(c).cast("double") else lit(null).cast("double")
+      df.agg(count(lit(1)).as("n_total"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(numC).as("min_v"),
+          max(numC).as("max_v"),
+          avg(numC).as("mean_v"))
+        .select(lit(c).as("column"), col("n_total"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"), col("mean_v"))
+    }.reduce(_ unionByName _)
+  }
+
   /** pandas json_normalize for flat paths: extract typed columns from
     * a JSON-string column — map-side `get_json_object` (codegen'd
     * path evaluation, no UDF), cast per the caller's schema. Paths

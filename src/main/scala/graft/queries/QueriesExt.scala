@@ -117,6 +117,19 @@ object QueriesExt {
     }),
 
     // §2.13 RobustScaler: (x − median)/IQR per return flag
+    // data-profiling report: per-column totals/nulls/exact distinct
+    // + numeric min/max/mean
+    "q178_profile" -> ((s, d) =>
+      graft.ops.PandasOps.profile(
+        t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus"))
+        .select(col("column"), col("n_total"), col("n_null"),
+          col("n_distinct"),
+          round(col("min_v"), 6).as("min_v"),
+          round(col("max_v"), 6).as("max_v"),
+          round(col("mean_v"), 6).as("mean_v"))),
+
     // §2.13 rank-gauss (inverse-normal) transform of quantity cents:
     // distinct-value average ranks → Φ⁻¹(r/(n+1)), Acklam in both
     // engines
@@ -614,6 +627,28 @@ object QueriesExt {
         |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |      / (CAST(n AS DOUBLE) - 1)), 6) AS z
         |FROM lineitem l JOIN stats USING (l_returnflag)""".stripMargin,
+
+    "q178_profile" -> {
+      def branch(c: String, isNum: Boolean) = {
+        val (mn, mx, av) =
+          if (isNum) (s"round(min(CAST($c AS DOUBLE)), 6)",
+            s"round(max(CAST($c AS DOUBLE)), 6)",
+            s"round(avg(CAST($c AS DOUBLE)), 6)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            "CAST(NULL AS DOUBLE)")
+        s"""SELECT '$c' AS "column", count(*) AS n_total,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $mn AS min_v, $mx AS max_v, $av AS mean_v
+           |FROM lineitem""".stripMargin
+      }
+      (Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .map(branch(_, isNum = true)) ++
+        Seq("l_returnflag", "l_linestatus")
+          .map(branch(_, isNum = false)))
+        .mkString("\nUNION ALL\n")
+    },
 
     "q159_rank_gauss" -> {
       val inv = graft.stats.Distributions.normSInvSql("(r / (n + 1))")

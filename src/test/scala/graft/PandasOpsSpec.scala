@@ -271,6 +271,30 @@ class PandasOpsSpec extends SparkSpecBase {
     mu("s") should be > 0L
   }
 
+  test("profile reports nulls, exact distinct, numeric stats") {
+    val df = Seq(
+      (Some(1L), Some(2.0), Some("a")),
+      (Some(2L), None, Some("b")),
+      (Some(2L), Some(6.0), None),
+      (None, Some(4.0), Some("a")))
+      .toDF("i", "d", "s")
+    val out = graft.ops.PandasOps.profile(df, Seq("i", "d", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val i = out("i")
+    i.getAs[Long]("n_total") shouldBe 4L
+    i.getAs[Long]("n_null") shouldBe 1L
+    i.getAs[Long]("n_distinct") shouldBe 2L
+    i.getAs[Double]("min_v") shouldBe 1.0
+    i.getAs[Double]("max_v") shouldBe 2.0
+    val d = out("d")
+    d.getAs[Long]("n_null") shouldBe 1L
+    d.getAs[Double]("mean_v") shouldBe 4.0 +- 1e-9
+    val s = out("s")
+    s.getAs[Long]("n_distinct") shouldBe 2L
+    s.isNullAt(s.fieldIndex("min_v")) shouldBe true
+    s.isNullAt(s.fieldIndex("mean_v")) shouldBe true
+  }
+
   test("jsonExtract pulls typed fields, missing paths become null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "x", "nested": {"v": 1.5}}"""),
