@@ -159,6 +159,16 @@ object QueriesPipeline {
           cents(col("l_discount")).as("disc_c")),
         Seq("qty_c", "price_c", "disc_c"))),
 
+    // the Spearman twin of q104: rank maps feed the limb-exact
+    // corrMatrix
+    "q179_spearman_matrix" -> ((s, d) =>
+      graft.stats.StatsOps.corrMatrixSpearman(
+        t(s, d, "lineitem").select(
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"),
+          cents(col("l_discount")).as("disc_c")),
+        Seq("qty_c", "price_c", "disc_c"))),
+
     // benchmark decontamination: corpus docs sharing ≥2 distinct
     // word 5-grams with the deterministic "benchmark" subset
     // (doc_id % 17 = 0) are flagged as eval leakage
@@ -903,6 +913,48 @@ object QueriesPipeline {
         |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
         |  round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
         |FROM a""".stripMargin,
+
+    "q179_spearman_matrix" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dd
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT
+        |    CAST(2 * (rank() OVER (ORDER BY q)) +
+        |      (count(*) OVER (PARTITION BY q)) - 1 AS BIGINT) AS rq,
+        |    CAST(2 * (rank() OVER (ORDER BY p)) +
+        |      (count(*) OVER (PARTITION BY p)) - 1 AS BIGINT) AS rp,
+        |    CAST(2 * (rank() OVER (ORDER BY dd)) +
+        |      (count(*) OVER (PARTITION BY dd)) - 1 AS BIGINT) AS rd
+        |  FROM c),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(rq) AS DOUBLE) AS sq,
+        |    CAST(sum(rp) AS DOUBLE) AS sp,
+        |    CAST(sum(rd) AS DOUBLE) AS sd,
+        |    CAST(sum(rq * rq) AS DOUBLE) AS sqq,
+        |    CAST(sum(rp * rp) AS DOUBLE) AS spp,
+        |    CAST(sum(rd * rd) AS DOUBLE) AS sdd,
+        |    CAST(sum(rq * rp) AS DOUBLE) AS sqp,
+        |    CAST(sum(rq * rd) AS DOUBLE) AS sqd,
+        |    CAST(sum(rp * rd) AS DOUBLE) AS spd
+        |  FROM r)
+        |SELECT 'qty_c' AS col_a, 'price_c' AS col_b,
+        |  round((n * sqp - sq * sp) /
+        |    (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+        |    AS corr FROM s
+        |UNION ALL
+        |SELECT 'qty_c', 'disc_c',
+        |  round((n * sqd - sq * sd) /
+        |    (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+        |  FROM s
+        |UNION ALL
+        |SELECT 'price_c', 'disc_c',
+        |  round((n * spd - sp * sd) /
+        |    (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
+        |  FROM s""".stripMargin,
 
     "q104_corr_matrix" ->
       """WITH c AS (

@@ -743,6 +743,27 @@ object StatsOps {
       .drop("q1", "q3")
   }
 
+  /** Spearman correlation MATRIX (pandas corr(method='spearman') in
+    * long form): each column is replaced by its DOUBLED average rank
+    * (an exact Long even at ties, from the range-bucketed distinct-
+    * value rank maps) and fed to the limb-exact [[corrMatrix]] — the
+    * linear scaling 2r leaves Pearson-on-ranks unchanged, so every
+    * sufficient sum is bit-reproducible. Listwise deletion first,
+    * matching corrMatrix's documented semantics (ranks computed on
+    * the retained rows). */
+  def corrMatrixSpearman(df0: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrixSpearman needs ≥ 2 columns")
+    val df = df0.na.drop(cols).cache()
+    val ranked = cols.foldLeft(df) { (acc, c) =>
+      val counts = df.groupBy(col(c)).agg(count(lit(1)).as("__c__"))
+      val ranks = distinctValueRanks(counts, c, "__c__")
+        .select(col(c), (col("__r__") * 2).cast("long").as(s"__rk_$c"))
+      acc.join(broadcast(ranks), Seq(c))
+    }
+    corrMatrix(
+      ranked.select(cols.map(c => col(s"__rk_$c").as(c)): _*), cols)
+  }
+
   /** Jonckheere-Terpstra test for an ORDERED alternative across k
     * independent groups (the independent-samples sibling of Page's
     * trend test): J = Σ_{i<j in the hypothesized order} U_ij with

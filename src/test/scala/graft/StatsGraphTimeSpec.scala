@@ -916,6 +916,22 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("corrMatrixSpearman agrees with pairwise spearmanCorr") {
+    val df = (1 to 80).map { i =>
+      (i.toLong, (i * i % 37).toLong, (80 - i + (i % 5)).toLong)
+    }.toDF("a", "b", "c")
+    val m = StatsOps.corrMatrixSpearman(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    for (Seq(x, y) <- Seq("a", "b", "c").combinations(2)) {
+      val pw = StatsOps.spearmanCorr(df, x, y).head()
+        .getAs[Double]("rho_s")
+      m((x, y)) shouldBe pw +- 1e-6
+    }
+    // monotone pair pins the sign convention
+    m(("a", "c")) should be < 0.0
+  }
+
   test("jonckheereTerpstra: perfect ordering, reversal, tie halves") {
     // A=(1,2) < B=(3,4) < C=(5,6): every cross pair concordant,
     // J = 3 pairs * 4 = 12; E = 6, V = (36*15 - 84)/72
