@@ -86,12 +86,15 @@ object QueriesWindow {
           round(col("rolling_q25"), 6).as("rolling_q25"))
     }),
 
-    // §2.5a pandas expanding().quantile(0.25) over cents, per event
-    // type (exact linear interpolation, same machinery as q137)
+    // §2.5a pandas expanding().quantile(0.25) over cents per
+    // (event type, day) — the day key bounds the O(prefix) buffer the
+    // exact expanding quantile inherently carries (see RollingOps
+    // scaladoc), so the gate stays quadratic-in-hundreds at any sf
     "q160_expanding_quantile" -> ((s, d) =>
       graft.window.RollingOps.expandingQuantile(
-        t(s, d, "events").withColumn("vc", cents(col("value"))),
-        "vc", 0.25, Seq("ts", "event_id"), Seq("event_type"))
+        t(s, d, "events").withColumn("vc", cents(col("value")))
+          .withColumn("day", date_trunc("day", col("ts"))),
+        "vc", 0.25, Seq("ts", "event_id"), Seq("event_type", "day"))
         .select(col("event_id"), col("event_type"),
           round(col("expanding_q"), 6).as("eq"))),
 
@@ -206,6 +209,7 @@ object QueriesWindow {
     "q160_expanding_quantile" ->
       """WITH e AS (
         |  SELECT event_id, event_type, ts,
+        |    date_trunc('day', ts) AS day,
         |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS vc
         |  FROM events)
         |SELECT event_id, event_type,
@@ -213,7 +217,8 @@ object QueriesWindow {
         |    THEN round(quantile_cont(vc, 0.25) OVER w, 6)
         |  END AS eq
         |FROM e
-        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |WINDOW w AS (PARTITION BY event_type, day
+        |  ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q137_rolling_quantile" ->
