@@ -106,4 +106,30 @@ object TextFunctions {
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
     regexp_replace(ip, "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>")
   }
+
+  /** Sentence count: runs of terminal punctuation, floored at 1 so
+    * fragments still divide cleanly. */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+
+  /** Syllable estimate: vowel-group runs per word (min 1/word) — the
+    * standard dictionary-free heuristic, a pure expression both
+    * engines replay identically. */
+  def syllableCount(text: Column): Column =
+    aggregate(transform(tokens(text), w =>
+        greatest(regexp_count(lower(w), lit("[aeiouy]+")), lit(1))),
+      lit(0), (acc, v) => acc + v)
+
+  /** Flesch Reading Ease (the classic readability quality signal):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Word/sentence/syllable counts are whitespace + regexp
+    * heuristics — map-side, deterministic, oracle-replayable. Null
+    * for wordless texts. */
+  def fleschReadingEase(text: Column): Column = {
+    val nw = tokenCount(text).cast("double")
+    val ns = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    when(nw > 0, lit(206.835) - lit(1.015) * (nw / ns) -
+      lit(84.6) * (sy / nw))
+  }
 }

@@ -61,6 +61,17 @@ object QueriesStats {
             col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
         "x", "y")),
 
+    // §2.12 Theil T inequality index over extended-price cents
+    "q180_theil" -> ((s, d) =>
+      StatsOps.theilIndex(
+        t(s, d, "lineitem")
+          .select(cents(col("l_extendedprice")).as("pc")),
+        "pc")),
+
+    // §2.12 Herfindahl concentration of documents across sources
+    "q181_hhi" -> ((s, d) =>
+      StatsOps.herfindahl(t(s, d, "documents"), "source")),
+
     // §2.12 Jonckheere-Terpstra ordered-alternative trend across
     // click < error < purchase value distributions
     "q177_jonckheere" -> ((s, d) =>
@@ -652,6 +663,30 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q180_theil" ->
+      """WITH p AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+        |t AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(v) AS DOUBLE) AS x
+        |  FROM p)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(sum(CAST(v AS DOUBLE) / x *
+        |    ln(n * CAST(v AS DOUBLE) / x)), 6) AS theil_t
+        |FROM p, t GROUP BY 1""".stripMargin,
+
+    "q181_hhi" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |  round(sum(c / t * (c / t)), 6) AS hhi
+        |FROM c, t""".stripMargin,
 
     "q177_jonckheere" -> {
       val phi = graft.stats.Distributions.normalCdfSql("abs(z)")

@@ -21,6 +21,19 @@ object QueriesText {
 
   val queries: Map[String, QueryFn] = Map(
 
+    // Flesch Reading Ease readability over documents (word/sentence/
+    // vowel-group-syllable heuristics as pure expressions)
+    "q182_readability" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_words"),
+        TextFunctions.sentenceCount(col("text")).cast("long")
+          .as("n_sent"),
+        TextFunctions.syllableCount(col("text")).cast("long")
+          .as("n_syll"),
+        round(TextFunctions.fleschReadingEase(col("text")), 6)
+          .as("flesch"))),
+
     // §2.8/§2.9 pandas json_normalize: typed field extraction from
     // the JSON props column (map-side get_json_object, no UDF)
     "q164_json_extract" -> ((s, d) =>
@@ -276,6 +289,29 @@ object QueriesText {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "q182_readability" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sent,
+        |    CAST(coalesce(list_sum(list_transform(toks, w ->
+        |      greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')),
+        |        1))), 0) AS BIGINT) AS n_syll
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sent, n_syll,
+        |  CASE WHEN n_words > 0
+        |    THEN round(206.835 -
+        |      1.015 * (CAST(n_words AS DOUBLE) / n_sent) -
+        |      84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)
+        |  END AS flesch
+        |FROM m""".stripMargin,
 
     "q164_json_extract" ->
       """WITH e AS (

@@ -743,6 +743,38 @@ object StatsOps {
       .drop("q1", "q3")
   }
 
+  /** Theil T inequality index over positive values:
+    *   T = Σᵢ (xᵢ/X)·ln(n·xᵢ/X),  X = Σx
+    * — 0 at perfect equality, ln(n) at full concentration. One
+    * aggregate for (n, X) broadcast back, one map-side term, one sum:
+    * nothing rank-based, so it scales as a plain double aggregate
+    * (companion to the exact [[gini]]). */
+  def theilIndex(df0: DataFrame, valueCol: String): DataFrame = {
+    val df = df0.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+    val tot = df.agg(count(lit(1)).cast("double").as("__n__"),
+      sum(col(valueCol)).cast("double").as("__x__"))
+    val x = col(valueCol).cast("double")
+    df.crossJoin(broadcast(tot))
+      .select((x / col("__x__") *
+        log(col("__n__") * x / col("__x__"))).as("__t__"),
+        col("__n__"))
+      .groupBy(col("__n__").cast("long").as("n"))
+      .agg(round(sum(col("__t__")), 6).as("theil_t"))
+  }
+
+  /** Herfindahl-Hirschman concentration index over group shares:
+    * HHI = Σ_g (n_g/N)² — 1/k at uniform, 1 at monopoly. One
+    * groupBy + one aggregate. */
+  def herfindahl(df0: DataFrame, groupCol: String): DataFrame = {
+    val counts = df0.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__c__"))
+    val tot = counts.agg(sum("__c__").cast("double").as("__t__"))
+    counts.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("k"),
+        round(sum(col("__c__") / col("__t__") *
+          (col("__c__") / col("__t__"))), 6).as("hhi"))
+  }
+
   /** Spearman correlation MATRIX (pandas corr(method='spearman') in
     * long form): each column is replaced by its DOUBLED average rank
     * (an exact Long even at ties, from the range-bucketed distinct-

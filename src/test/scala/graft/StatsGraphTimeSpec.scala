@@ -916,6 +916,49 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("theilIndex: equality 0, concentration ln(n), hhi bounds") {
+    val eq = Seq.fill(40)(5L).toDF("v")
+    StatsOps.theilIndex(eq, "v").head()
+      .getAs[Double]("theil_t") shouldBe 0.0 +- 1e-9
+    // one holder owns everything except epsilon crumbs: T -> ln(n)
+    val conc = (Seq.fill(9)(1L) :+ 1000000L).toDF("v")
+    val t = StatsOps.theilIndex(conc, "v").head()
+      .getAs[Double]("theil_t")
+    t should be > 0.95 * math.log(10.0)
+    t should be <= math.log(10.0) + 1e-6
+    // HHI: uniform k=4 -> 0.25; monopoly -> 1
+    val uni = (0 until 40).map(i => ("g" + (i % 4))).toDF("g")
+    StatsOps.herfindahl(uni, "g").head()
+      .getAs[Double]("hhi") shouldBe 0.25 +- 1e-9
+    val mono = Seq.fill(17)("only").toDF("g")
+    val m = StatsOps.herfindahl(mono, "g").head()
+    m.getAs[Long]("k") shouldBe 1L
+    m.getAs[Double]("hhi") shouldBe 1.0 +- 1e-9
+  }
+
+  test("flesch readability from hand-counted text") {
+    import graft.functions.TextFunctions
+    // 6 words, 2 sentences, 6 vowel-group syllables:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    val df = Seq("The dog runs. The cat sleeps!").toDF("t")
+    val r = df.select(
+      TextFunctions.tokenCount($"t").as("w"),
+      TextFunctions.sentenceCount($"t").as("s"),
+      TextFunctions.syllableCount($"t").as("y"),
+      TextFunctions.fleschReadingEase($"t").as("f")).head()
+    r.getAs[Int]("w") shouldBe 6
+    r.getAs[Int]("s") shouldBe 2
+    r.getAs[Int]("y") shouldBe 6
+    r.getAs[Double]("f") shouldBe 119.19 +- 1e-9
+    // fragment floors at one sentence; empty text -> null score
+    val frag = Seq("no terminal punctuation here").toDF("t")
+    frag.select(TextFunctions.sentenceCount($"t")).head()
+      .getInt(0) shouldBe 1
+    val empty = Seq("   ").toDF("t")
+    empty.select(TextFunctions.fleschReadingEase($"t")).head()
+      .isNullAt(0) shouldBe true
+  }
+
   test("corrMatrixSpearman agrees with pairwise spearmanCorr") {
     val df = (1 to 80).map { i =>
       (i.toLong, (i * i % 37).toLong, (80 - i + (i % 5)).toLong)
