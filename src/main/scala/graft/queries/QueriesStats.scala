@@ -61,6 +61,29 @@ object QueriesStats {
             col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
         "x", "y")),
 
+    // §2.12 Kaplan-Meier survival: per-user activity span in days,
+    // event = made a purchase (else censored)
+    "q183_kaplan_meier" -> ((s, d) =>
+      StatsOps.kaplanMeier(
+        t(s, d, "events").groupBy("user_id").agg(
+          datediff(max(col("ts")), min(col("ts"))).cast("long").as("dur"),
+          max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("ev")),
+        "dur", "ev")),
+
+    // §2.12 log-rank test between even and odd user cohorts on the
+    // same survival data
+    "q184_logrank" -> ((s, d) =>
+      StatsOps.logRank(
+        t(s, d, "events").groupBy("user_id").agg(
+          datediff(max(col("ts")), min(col("ts"))).cast("long").as("dur"),
+          max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("ev"))
+          .withColumn("grp",
+            when(pmod(col("user_id"), lit(2)) === 0, "even")
+              .otherwise("odd")),
+        "dur", "ev", "grp", "even", "odd")),
+
     // §2.12 Theil T inequality index over extended-price cents
     "q180_theil" -> ((s, d) =>
       StatsOps.theilIndex(
@@ -663,6 +686,99 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q183_kaplan_meier" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(max(ts) AS DATE)) AS dur,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS ev
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT dur,
+        |    CAST(sum(CASE WHEN ev <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT dur, d, c,
+        |    CAST(coalesce(sum(d + c) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below,
+        |    CAST(sum(d + c) OVER () AS BIGINT) AS nn
+        |  FROM t),
+        |s AS (
+        |  SELECT dur, d, c, nn - below AS n_risk,
+        |    exp(sum(ln(greatest(1.0 - CAST(d AS DOUBLE) /
+        |      (CASE WHEN nn - below > 0 THEN nn - below END), 1e-300)))
+        |      OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS surv
+        |  FROM w)
+        |SELECT dur, d, c, n_risk, round(surv, 6) AS survival
+        |FROM s""".stripMargin,
+
+    "q184_logrank" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("sqrt(chi2)")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    date_diff('day', CAST(min(ts) AS DATE),
+         |      CAST(max(ts) AS DATE)) AS dur,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS ev
+         |  FROM events GROUP BY 1),
+         |g AS (
+         |  SELECT dur, ev,
+         |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+         |      AS grp
+         |  FROM u),
+         |t AS (
+         |  SELECT dur,
+         |    CAST(sum(CASE WHEN grp = 'even' AND ev <> 0 THEN 1
+         |      ELSE 0 END) AS BIGINT) AS da,
+         |    CAST(sum(CASE WHEN grp = 'even' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS alla,
+         |    CAST(sum(CASE WHEN grp = 'odd' AND ev <> 0 THEN 1
+         |      ELSE 0 END) AS BIGINT) AS db,
+         |    CAST(sum(CASE WHEN grp = 'odd' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS allb
+         |  FROM g GROUP BY 1),
+         |w AS (
+         |  SELECT dur, da, db,
+         |    CAST(sum(alla) OVER () AS BIGINT) -
+         |      CAST(coalesce(sum(alla) OVER (ORDER BY dur
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS nai,
+         |    CAST(sum(allb) OVER () AS BIGINT) -
+         |      CAST(coalesce(sum(allb) OVER (ORDER BY dur
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS nbi
+         |  FROM t),
+         |m AS (
+         |  SELECT CAST(da AS DOUBLE) AS dad,
+         |    CAST(nai AS DOUBLE) AS na, CAST(nbi AS DOUBLE) AS nb,
+         |    CAST(da + db AS DOUBLE) AS dd,
+         |    CAST(nai AS DOUBLE) + CAST(nbi AS DOUBLE) AS nn
+         |  FROM w WHERE da + db > 0),
+         |a AS (
+         |  SELECT sum(dad) AS oa,
+         |    sum(na * dd / nn) AS ea,
+         |    sum(CASE WHEN nn > 1
+         |      THEN na * nb * dd * (nn - dd) / (nn * nn * (nn - 1))
+         |      ELSE 0.0 END) AS v
+         |  FROM m),
+         |r AS (
+         |  SELECT oa, ea,
+         |    (oa - ea) * (oa - ea) /
+         |      (CASE WHEN v > 0 THEN v END) AS chi2
+         |  FROM a)
+         |SELECT round(oa, 6) AS observed_a, round(ea, 6) AS expected_a,
+         |  round(chi2, 6) AS chi2_stat,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM r""".stripMargin
+    },
 
     "q180_theil" ->
       """WITH p AS (

@@ -743,6 +743,90 @@ object StatsOps {
       .drop("q1", "q3")
   }
 
+  /** Kaplan-Meier survival estimator (lifelines KaplanMeierFitter
+    * semantics): input is one row per subject with an integer
+    * duration and a 0/1 event flag (0 = censored). Per distinct
+    * duration t: d = events, c = censored, n = at-risk
+    * (N − strictly-before exits, via [[distinctValueCumCounts]] — no
+    * full-data window), and
+    *   S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) = exp(Σ ln(1 − dᵢ/nᵢ))
+    * as an ordered cumulative sum over the DISTINCT-duration table
+    * (the documented Mann-Whitney distinct-domain regime — both
+    * engines sum in the same order, so the doubles match). */
+  def kaplanMeier(df0: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(durationCol).isNotNull &&
+      col(eventCol).isNotNull)
+    val t = df.groupBy(col(durationCol))
+      .agg(sum(when(col(eventCol) =!= 0, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 0, 1L).otherwise(0L)).as("c"))
+      .withColumn("__all__", col("d") + col("c"))
+    val below = distinctValueCumCounts(
+      t.select(col(durationCol), col("__all__")), durationCol, "__all__")
+      .select(col(durationCol), col("__below__"))
+    val tot = t.agg(sum("__all__").as("__n__"))
+    val w = Window.orderBy(col(durationCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(below, Seq(durationCol)).crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("__n__") - col("__below__"))
+      // the final event time can have d = n (factor 0); ln(0) is an
+      // error in oracle engines, so clamp at 1e-300 — exp of the
+      // running sum still rounds to exactly 0 from there on
+      .withColumn("survival", exp(sum(
+        log(greatest(lit(1.0) - col("d").cast("double") /
+          when(col("n_risk") > 0, col("n_risk")), lit(1e-300))))
+        .over(w)))
+      .select(col(durationCol), col("d"), col("c"), col("n_risk"),
+        round(col("survival"), 6).as("survival"))
+  }
+
+  /** Two-group log-rank test (lifelines logrank_test): per distinct
+    * event time, observed vs hypergeometric-expected events in group
+    * A with the standard variance; χ²(1) = (O_A−E_A)²/V and
+    * p = 2(1−Φ(√χ²)) as mirrored Column arithmetic. Same
+    * distinct-duration machinery as [[kaplanMeier]]. */
+  def logRank(df0: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String, gA: String, gB: String): DataFrame = {
+    val df = df0.filter(col(durationCol).isNotNull &&
+      col(eventCol).isNotNull && col(groupCol).isin(gA, gB))
+    val t = df.groupBy(col(durationCol))
+      .agg(
+        sum(when(col(groupCol) === gA && col(eventCol) =!= 0, 1L)
+          .otherwise(0L)).as("da"),
+        sum(when(col(groupCol) === gA, 1L).otherwise(0L)).as("alla"),
+        sum(when(col(groupCol) === gB && col(eventCol) =!= 0, 1L)
+          .otherwise(0L)).as("db"),
+        sum(when(col(groupCol) === gB, 1L).otherwise(0L)).as("allb"))
+    val belowA = distinctValueCumCounts(
+      t.select(col(durationCol), col("alla")), durationCol, "alla")
+      .select(col(durationCol), col("__below__").as("ba"))
+    val belowB = distinctValueCumCounts(
+      t.select(col(durationCol), col("allb")), durationCol, "allb")
+      .select(col(durationCol), col("__below__").as("bb"))
+    val tot = t.agg(sum("alla").as("ta"), sum("allb").as("tb"))
+    val terms = t.join(belowA, Seq(durationCol))
+      .join(belowB, Seq(durationCol)).crossJoin(broadcast(tot))
+      .withColumn("na", (col("ta") - col("ba")).cast("double"))
+      .withColumn("nb", (col("tb") - col("bb")).cast("double"))
+      .withColumn("dd", (col("da") + col("db")).cast("double"))
+      .withColumn("nn", col("na") + col("nb"))
+    val agg = terms.filter(col("dd") > 0)
+      .agg(sum(col("da").cast("double")).as("oa"),
+        sum(col("na") * col("dd") / col("nn")).as("ea"),
+        sum(when(col("nn") > 1,
+          col("na") * col("nb") * col("dd") * (col("nn") - col("dd")) /
+            (col("nn") * col("nn") * (col("nn") - 1)))
+          .otherwise(0.0)).as("v"))
+    val chi2 = (col("oa") - col("ea")) * (col("oa") - col("ea")) /
+      when(col("v") > 0, col("v"))
+    agg.select(round(col("oa"), 6).as("observed_a"),
+      round(col("ea"), 6).as("expected_a"),
+      round(chi2, 6).as("chi2_stat"),
+      round(lit(2.0) * (lit(1.0) -
+        Distributions.normalCdfCol(sqrt(chi2))), 6).as("p_value"))
+  }
+
   /** Theil T inequality index over positive values:
     *   T = Σᵢ (xᵢ/X)·ln(n·xᵢ/X),  X = Σx
     * — 0 at perfect equality, ln(n) at full concentration. One

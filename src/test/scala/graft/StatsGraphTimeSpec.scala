@@ -916,6 +916,41 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("kaplanMeier steps match hand computation, censoring included") {
+    // all events at t=1,2,3: S = 2/3, 1/3, 0
+    val all = Seq((1L, 1), (2L, 1), (3L, 1)).toDF("dur", "ev")
+    val s1 = StatsOps.kaplanMeier(all, "dur", "ev").orderBy("dur")
+      .select("n_risk", "survival").collect()
+    s1.map(_.getLong(0)).toSeq shouldBe Seq(3L, 2L, 1L)
+    s1(0).getDouble(1) shouldBe (2.0 / 3) +- 1e-6
+    s1(1).getDouble(1) shouldBe (1.0 / 3) +- 1e-6
+    s1(2).getDouble(1) shouldBe 0.0 +- 1e-9
+    // censored at 1, event at 2: S(1)=1 (no event), S(2)=0
+    val cen = Seq((1L, 0), (2L, 1)).toDF("dur", "ev")
+    val s2 = StatsOps.kaplanMeier(cen, "dur", "ev").orderBy("dur")
+      .select("d", "c", "survival").collect()
+    s2(0).getLong(0) shouldBe 0L
+    s2(0).getLong(1) shouldBe 1L
+    s2(0).getDouble(2) shouldBe 1.0 +- 1e-9
+    s2(1).getDouble(2) shouldBe 0.0 +- 1e-9
+  }
+
+  test("logRank: identical cohorts null, separated cohorts reject") {
+    val same = (1 to 30).flatMap(i =>
+      Seq(("a", i.toLong, 1), ("b", i.toLong, 1)))
+      .toDF("g", "dur", "ev")
+    val r0 = StatsOps.logRank(same, "dur", "ev", "g", "a", "b").head()
+    r0.getAs[Double]("chi2_stat") shouldBe 0.0 +- 1e-6
+    r0.getAs[Double]("p_value") shouldBe 1.0 +- 1e-4
+    // group a all fails early, group b much later -> strong signal
+    val sep = ((1 to 20).map(i => ("a", i.toLong, 1)) ++
+      (1 to 20).map(i => ("b", i.toLong + 100, 1)))
+      .toDF("g", "dur", "ev")
+    val r1 = StatsOps.logRank(sep, "dur", "ev", "g", "a", "b").head()
+    r1.getAs[Double]("chi2_stat") should be > 10.0
+    r1.getAs[Double]("p_value") should be < 0.01
+  }
+
   test("theilIndex: equality 0, concentration ln(n), hhi bounds") {
     val eq = Seq.fill(40)(5L).toDF("v")
     StatsOps.theilIndex(eq, "v").head()
