@@ -442,4 +442,19 @@ object PipelineOps {
       .select(col("__id__").as(idCol), col("bucket"), col("pack"),
         col("start_tok"), col("n_tokens"))
   }
+
+  /** Fuzzy string matching by edit distance (entity-resolution /
+    * vocab-alignment primitive): pairs within `maxDist` Levenshtein
+    * edits, with a length-difference prefilter that cuts the O(len²)
+    * distance computation before it runs (|len a − len b| > k ⇒
+    * dist > k). Broadcast the smaller side; for two LARGE sides,
+    * block first (length band via the interval join, or a
+    * first-n-gram key) — edit distance is inherently pairwise. */
+  def fuzzyMatch(left: DataFrame, right: DataFrame, lCol: String,
+      rCol: String, maxDist: Int): DataFrame =
+    left.join(broadcast(right),
+        abs(length(col(lCol)) - length(col(rCol))) <= maxDist &&
+          levenshtein(col(lCol), col(rCol)) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col(lCol), col(rCol)).cast("long"))
 }

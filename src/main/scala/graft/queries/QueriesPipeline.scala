@@ -98,6 +98,20 @@ object QueriesPipeline {
       PipelineOps.hashSample(t(s, d, "documents"), "doc_id", 0.25, "s1")
         .select("doc_id", "lang", "source")),
 
+    // fuzzy vocabulary alignment: src0 vs src1 distinct tokens
+    // within 2 edits (entity-resolution primitive)
+    "q186_fuzzy_match" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(
+          lower(col("text")))).as("w"))
+      val a = toks.filter(col("source") === "src0")
+        .select(col("w").as("wa")).distinct()
+      val b = toks.filter(col("source") === "src1")
+        .select(col("w").as("wb")).distinct()
+      PipelineOps.fuzzyMatch(a, b, "wa", "wb", 2)
+        .select(col("wa"), col("wb"), col("edit_dist"))
+    }),
+
     // Benjamini-Hochberg FDR adjustment over a per-supplier p-value
     // table (portable-hash pseudo p-values — the CORRECTION is the
     // operator under test; any hypothesis table plugs in)
@@ -765,6 +779,23 @@ object QueriesPipeline {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 's1'")} < 0.25"""
         .stripMargin,
+
+    "q186_fuzzy_match" ->
+      raw"""WITH ta AS (
+        |  SELECT DISTINCT unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0)) AS wa
+        |  FROM documents WHERE source = 'src0'),
+        |tb AS (
+        |  SELECT DISTINCT unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0)) AS wb
+        |  FROM documents WHERE source = 'src1')
+        |SELECT wa, wb, CAST(levenshtein(wa, wb) AS BIGINT)
+        |  AS edit_dist
+        |FROM ta, tb
+        |WHERE abs(length(wa) - length(wb)) <= 2
+        |  AND levenshtein(wa, wb) <= 2""".stripMargin,
 
     "q169_bh_fdr" ->
       s"""WITH p AS (

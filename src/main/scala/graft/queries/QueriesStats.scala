@@ -61,6 +61,18 @@ object QueriesStats {
             col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
         "x", "y")),
 
+    // §2.11 CUSUM changepoint scan per event type over the hourly
+    // resampled cents series
+    "q185_cusum" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("hr"))
+        .agg(sum(cents(col("value"))).as("v"))
+      TimeSeriesOps.cusumChangepoint(hourly, "v", "hr",
+        Seq("event_type"))
+    }),
+
     // §2.12 Kaplan-Meier survival: per-user activity span in days,
     // event = made a purchase (else censored)
     "q183_kaplan_meier" -> ((s, d) =>
@@ -686,6 +698,52 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q185_cusum" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT)
+        |      AS hr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sx,
+        |    CAST(sum(v * v) AS BIGINT) AS sxx
+        |  FROM hourly GROUP BY 1),
+        |cum AS (
+        |  SELECT h.event_type, h.hr, st.n, st.sx, st.sxx,
+        |    CAST(sum(v) OVER (PARTITION BY h.event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cx,
+        |    CAST(row_number() OVER (PARTITION BY h.event_type
+        |      ORDER BY hr) AS BIGINT) AS i
+        |  FROM hourly h JOIN st USING (event_type)),
+        |s AS (
+        |  SELECT event_type, hr, n, sx, sxx,
+        |    abs(CAST(cx AS DOUBLE) - CAST(i AS DOUBLE) *
+        |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS a
+        |  FROM cum),
+        |mx AS (
+        |  SELECT event_type, hr, n, sx, sxx, a,
+        |    max(a) OVER (PARTITION BY event_type) AS m
+        |  FROM s),
+        |agg AS (
+        |  SELECT event_type, n, sx, sxx, max(a) AS max_abs_s,
+        |    min(CASE WHEN a = m THEN hr END) AS t_at_max
+        |  FROM mx GROUP BY 1, 2, 3, 4),
+        |f AS (
+        |  SELECT event_type, n, max_abs_s, t_at_max,
+        |    sqrt((sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+        |      CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) *
+        |      sqrt(CAST(n AS DOUBLE)) AS den
+        |  FROM agg)
+        |SELECT event_type, n, round(max_abs_s, 6) AS max_abs_s,
+        |  t_at_max,
+        |  round(max_abs_s / (CASE WHEN den > 0 THEN den END), 6)
+        |    AS cusum_stat
+        |FROM f""".stripMargin,
 
     "q183_kaplan_meier" ->
       """WITH u AS (

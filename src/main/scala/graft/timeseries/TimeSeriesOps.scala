@@ -38,6 +38,57 @@ object TimeSeriesOps {
     * AGGREGATED series (resample first), like every single-series
     * diagnostic here; the self-join is per-key so many series still
     * parallelize across the cluster. */
+  /** CUSUM changepoint scan per key: S_i = (Σ_{j≤i} x_j) − i·x̄ over
+    * the orderCol-ordered integer series, reporting max|S|, the
+    * FIRST order position attaining it, and the normalized statistic
+    * max|S|/(σ̂_pop·√n) (≳1.36 rejects "no change" at ~5% by the
+    * Brownian-bridge bound). Every ingredient is exact-or-mirrored:
+    * the cumulative x is a Long window sum, i is row_number, and
+    * x̄/σ̂ come from exact Long sufficient sums — so S_i is the same
+    * double in any engine regardless of aggregation order. Windows
+    * are per-key partitioned; valueCol must be integer-typed (cents
+    * pattern). */
+  def cusumChangepoint(df: DataFrame, valueCol: String,
+      orderCol: String, keyCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valueCol).isNotNull)
+    val stats = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n__"), sum(col(valueCol)).as("__sx__"),
+        sum(col(valueCol) * col(valueCol)).as("__sxx__"))
+    val joined = if (keyCols.isEmpty) base.crossJoin(broadcast(stats))
+      else base.join(broadcast(stats), keyCols)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val wcum = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val nD = col("__n__").cast("double")
+    val m = col("__sx__").cast("double") / nD
+    val withS = joined
+      .withColumn("__i__", row_number().over(w))
+      .withColumn("__s__",
+        sum(col(valueCol)).over(wcum).cast("double") -
+          col("__i__").cast("double") * m)
+      .withColumn("__abs__", abs(col("__s__")))
+      .withColumn("__mx__", max(abs(col("__s__"))).over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+    val sx = col("__sx__").cast("double")
+    val sigma = sqrt((col("__sxx__") - sx * sx / nD) / nD)
+    withS
+      .groupBy((keyCols.map(col) :+ col("__n__") :+ col("__sx__") :+
+        col("__sxx__")): _*)
+      .agg(max(col("__abs__")).as("max_abs_s"),
+        min(when(col("__abs__") === col("__mx__"), col(orderCol)))
+          .as("t_at_max"))
+      .select((keyCols.map(col) :+ col("__n__").as("n") :+
+        round(col("max_abs_s"), 6).as("max_abs_s") :+
+        col("t_at_max") :+
+        round(col("max_abs_s") /
+          when(sigma * sqrt(nD) > 0, sigma * sqrt(nD)), 6)
+          .as("cusum_stat")): _*)
+  }
+
   def mannKendall(df: DataFrame, tsCol: String, valueCol: String,
       keyCols: Seq[String] = Nil): DataFrame = {
     val base = df.filter(col(valueCol).isNotNull)

@@ -496,4 +496,20 @@ class PipelineOpsSpec extends SparkSpecBase {
     out(2) shouldBe "call <PHONE> now"
     out(3) shouldBe "clean text stays"
   }
+
+  test("fuzzyMatch pairs words within the edit budget only") {
+    val a = Seq("cat", "dog", "zebra").toDF("wa")
+    val b = Seq("cats", "dig", "elephant", "cat").toDF("wb")
+    val m1 = PipelineOps.fuzzyMatch(a, b, "wa", "wb", 1)
+      .select("wa", "wb", "edit_dist")
+      .as[(String, String, Long)].collect().toSet
+    m1 shouldBe Set(("cat", "cats", 1L), ("cat", "cat", 0L),
+      ("dog", "dig", 1L))
+    // widening the budget admits 2-edit pairs ("cats"/"dog" stays out)
+    val m2 = PipelineOps.fuzzyMatch(a, b, "wa", "wb", 2)
+    m2.count() should be >= 3L
+    m2.filter($"wa" === "zebra").count() shouldBe 0L
+    // length prefilter alone cannot admit a long mismatch
+    m2.filter($"wb" === "elephant").count() shouldBe 0L
+  }
 }

@@ -916,6 +916,31 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("cusumChangepoint locates a planted level shift") {
+    // 10,10,...(x10) then 20,20,...(x10): mean 15, S_i = -5i down to
+    // -50 at the shift point, then back up; sigma_pop = 5
+    val df = ((0 until 10).map(i => (i.toLong, 10L)) ++
+      (10 until 20).map(i => (i.toLong, 20L))).toDF("ord", "v")
+    val out = TimeSeriesOps.cusumChangepoint(df, "v", "ord").head()
+    out.getAs[Double]("max_abs_s") shouldBe 50.0 +- 1e-9
+    out.getAs[Long]("t_at_max") shouldBe 9L
+    out.getAs[Double]("cusum_stat") shouldBe
+      (50.0 / (5.0 * math.sqrt(20.0))) +- 1e-6
+    // flat series -> zero statistic
+    val flat = (0 until 10).map(i => (i.toLong, 7L)).toDF("ord", "v")
+    val f = TimeSeriesOps.cusumChangepoint(flat, "v", "ord").head()
+    f.getAs[Double]("max_abs_s") shouldBe 0.0 +- 1e-9
+    f.isNullAt(f.fieldIndex("cusum_stat")) shouldBe true
+    // per-key independence
+    val two = ((0 until 10).map(i => ("a", i.toLong, 10L)) ++
+      (0 until 10).map(i => ("a", (i + 10).toLong, 20L)) ++
+      (0 until 10).map(i => ("b", i.toLong, 3L))).toDF("k", "ord", "v")
+    val byKey = TimeSeriesOps.cusumChangepoint(two, "v", "ord",
+      Seq("k")).collect().map(r => r.getString(0) -> r).toMap
+    byKey("a").getAs[Double]("max_abs_s") shouldBe 50.0 +- 1e-9
+    byKey("b").getAs[Double]("max_abs_s") shouldBe 0.0 +- 1e-9
+  }
+
   test("kaplanMeier steps match hand computation, censoring included") {
     // all events at t=1,2,3: S = 2/3, 1/3, 0
     val all = Seq((1L, 1), (2L, 1), (3L, 1)).toDF("dur", "ev")
