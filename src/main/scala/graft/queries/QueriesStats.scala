@@ -61,6 +61,25 @@ object QueriesStats {
             col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
         "x", "y")),
 
+    // §2.12 Dunn's post-hoc after KW: pairwise mean-rank z across
+    // event types, BH-adjusted
+    "q187_dunn" -> ((s, d) =>
+      StatsOps.dunnTest(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type")),
+
+    // §2.12 Chow structural-break test of price~quantity split at
+    // ship-year 1997 (statistic + dfs mirrored; F p is driver-side,
+    // spec-anchored — not part of the hash gate)
+    "q188_chow" -> ((s, d) =>
+      StatsOps.chowTest(
+        t(s, d, "lineitem").select(
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y"),
+          col("l_shipdate")),
+        "x", "y", year(col("l_shipdate")) < 1997)
+        .select("f_stat", "df1", "df2")),
+
     // §2.11 CUSUM changepoint scan per event type over the hourly
     // resampled cents series
     "q185_cusum" -> ((s, d) => {
@@ -698,6 +717,118 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q187_dunn" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(z)")
+      s"""WITH p AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+         |  FROM events
+         |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (
+         |  SELECT event_type,
+         |    CAST(rank() OVER (ORDER BY vc) AS DOUBLE) +
+         |      (CAST(count(*) OVER (PARTITION BY vc) AS DOUBLE) - 1.0)
+         |      / 2.0 AS r
+         |  FROM p),
+         |t AS (
+         |  SELECT CAST(sum(c * c * c - c) AS DOUBLE) AS tie_t
+         |  FROM (SELECT count(*) AS c FROM p GROUP BY vc)),
+         |g AS (
+         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS gn,
+         |    sum(r) AS rs
+         |  FROM r GROUP BY 1),
+         |tot AS (SELECT sum(gn) AS nn FROM g),
+         |pr AS (
+         |  SELECT a.event_type AS ga, b.event_type AS gb,
+         |    a.gn AS na, a.rs AS ra, b.gn AS nb, b.rs AS rb, nn, tie_t
+         |  FROM g a JOIN g b ON a.event_type < b.event_type, tot, t),
+         |zz AS (
+         |  SELECT ga, gb,
+         |    (ra / na - rb / nb) /
+         |      sqrt((nn * (nn + 1) / 12 - tie_t / (12.0 * (nn - 1))) *
+         |        (1.0 / na + 1.0 / nb)) AS z
+         |  FROM pr),
+         |pp AS (
+         |  SELECT ga AS group_a, gb AS group_b, round(z, 6) AS z,
+         |    2.0 * (1.0 - $phi) AS p_raw
+         |  FROM zz),
+         |rk AS (
+         |  SELECT group_a, group_b, z, p_raw,
+         |    row_number() OVER (ORDER BY p_raw) AS i,
+         |    count(*) OVER () AS m
+         |  FROM pp),
+         |adj AS (
+         |  SELECT group_a, group_b, z, p_raw,
+         |    min(p_raw * m / i) OVER (ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |      AS padj
+         |  FROM rk)
+         |SELECT group_a, group_b, z, round(p_raw, 6) AS p_value,
+         |  round(least(1.0, padj), 6) AS p_adj
+         |FROM adj""".stripMargin
+    },
+
+    "q188_chow" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |    l_shipdate
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |sp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM d),
+        |s1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM d WHERE year(l_shipdate) < 1997),
+        |s2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM d WHERE NOT (year(l_shipdate) < 1997)),
+        |f AS (
+        |  SELECT
+        |    (sp.syy - CAST(sp.sy AS DOUBLE) * CAST(sp.sy AS DOUBLE) /
+        |        CAST(sp.n AS DOUBLE) -
+        |      (sp.sxy - CAST(sp.sx AS DOUBLE) * CAST(sp.sy AS DOUBLE) /
+        |        CAST(sp.n AS DOUBLE)) *
+        |      (sp.sxy - CAST(sp.sx AS DOUBLE) * CAST(sp.sy AS DOUBLE) /
+        |        CAST(sp.n AS DOUBLE)) /
+        |      (sp.sxx - CAST(sp.sx AS DOUBLE) * CAST(sp.sx AS DOUBLE) /
+        |        CAST(sp.n AS DOUBLE))) AS ssrp,
+        |    (s1.syy - CAST(s1.sy AS DOUBLE) * CAST(s1.sy AS DOUBLE) /
+        |        CAST(s1.n AS DOUBLE) -
+        |      (s1.sxy - CAST(s1.sx AS DOUBLE) * CAST(s1.sy AS DOUBLE) /
+        |        CAST(s1.n AS DOUBLE)) *
+        |      (s1.sxy - CAST(s1.sx AS DOUBLE) * CAST(s1.sy AS DOUBLE) /
+        |        CAST(s1.n AS DOUBLE)) /
+        |      (s1.sxx - CAST(s1.sx AS DOUBLE) * CAST(s1.sx AS DOUBLE) /
+        |        CAST(s1.n AS DOUBLE))) AS ssr1,
+        |    (s2.syy - CAST(s2.sy AS DOUBLE) * CAST(s2.sy AS DOUBLE) /
+        |        CAST(s2.n AS DOUBLE) -
+        |      (s2.sxy - CAST(s2.sx AS DOUBLE) * CAST(s2.sy AS DOUBLE) /
+        |        CAST(s2.n AS DOUBLE)) *
+        |      (s2.sxy - CAST(s2.sx AS DOUBLE) * CAST(s2.sy AS DOUBLE) /
+        |        CAST(s2.n AS DOUBLE)) /
+        |      (s2.sxx - CAST(s2.sx AS DOUBLE) * CAST(s2.sx AS DOUBLE) /
+        |        CAST(s2.n AS DOUBLE))) AS ssr2,
+        |    CAST(sp.n AS DOUBLE) AS nd, sp.n AS np
+        |  FROM sp, s1, s2)
+        |SELECT
+        |  round(((ssrp - ssr1 - ssr2) / 2) /
+        |    ((ssr1 + ssr2) / (nd - 4)), 6) AS f_stat,
+        |  CAST(2 AS BIGINT) AS df1, np - 4 AS df2
+        |FROM f""".stripMargin,
 
     "q185_cusum" ->
       """WITH hourly AS (

@@ -743,6 +743,90 @@ object StatsOps {
       .drop("q1", "q3")
   }
 
+  /** Dunn's post-hoc test after Kruskal-Wallis: pairwise mean-rank
+    * comparisons on the POOLED ranks (one distinct-value rank map),
+    *   z_ij = (r̄_i − r̄_j) / √(V·(1/n_i + 1/n_j)),
+    *   V = n(n+1)/12 − Σ(t³−t)/(12(n−1)),
+    * two-sided normal p per pair, Benjamini-Hochberg adjusted across
+    * the k(k−1)/2 pairs (via [[benjaminiHochberg]] — pair table is
+    * metadata scale). Group pair order is lexicographic for
+    * determinism. Rank sums are sums of halves — exact dyadic, so
+    * they match across engines bit-for-bit. */
+  def dunnTest(df0: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val pooled = df0.filter(col(valueCol).isNotNull &&
+      col(groupCol).isNotNull)
+    val counts = pooled.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__c__")).cache()
+    val ranks = distinctValueRanks(counts, valueCol, "__c__")
+    val ties = counts.agg(
+      sum(col("__c__") * col("__c__") * col("__c__") - col("__c__"))
+        .cast("double").as("tie_t"))
+    val g = pooled.join(broadcast(ranks), Seq(valueCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("gn"),
+        sum(col("__r__")).as("rs"))
+    val tot = g.agg(sum("gn").as("nn"))
+    val l = g.select(col(groupCol).as("group_a"),
+      col("gn").as("na"), col("rs").as("ra"))
+    val r = g.select(col(groupCol).as("group_b"),
+      col("gn").as("nb"), col("rs").as("rb"))
+    val pairs = l.join(r, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+    val nn = col("nn")
+    val v = nn * (nn + 1) / 12 - col("tie_t") / (lit(12.0) * (nn - 1))
+    val z = (col("ra") / col("na") - col("rb") / col("nb")) /
+      sqrt(v * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    val withP = pairs.select(col("group_a"), col("group_b"),
+      round(z, 6).as("z"),
+      (lit(2.0) * (lit(1.0) -
+        Distributions.normalCdfCol(abs(z)))).as("p_raw"))
+    benjaminiHochberg(withP, "p_raw")
+      .select(col("group_a"), col("group_b"), col("z"),
+        round(col("p_raw"), 6).as("p_value"),
+        round(col("p_raw_adj"), 6).as("p_adj"))
+  }
+
+  /** Chow test for a structural break: OLS y~x fit on the pooled
+    * data and on the two segments given by `splitCond`; with
+    * SSR = Syy − Sxy²/Sxx from exact Long sufficient sums,
+    *   F = ((SSR_p − SSR_1 − SSR_2)/2) / ((SSR_1 + SSR_2)/(n − 4)),
+    * df = (2, n−4). The statistic and dfs are mirrored Column
+    * arithmetic; the F p-value is a driver-side CDF
+    * ([[Distributions.fUpperP]], spec-anchored). Inputs
+    * integer-typed (cents pattern). */
+  def chowTest(df0: DataFrame, xCol: String, yCol: String,
+      splitCond: Column): DataFrame = {
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    def sums(d: DataFrame, tag: String) =
+      d.agg(count(lit(1)).as(s"n$tag"),
+        sum(col(xCol)).as(s"sx$tag"), sum(col(yCol)).as(s"sy$tag"),
+        sum(col(xCol) * col(xCol)).as(s"sxx$tag"),
+        sum(col(yCol) * col(yCol)).as(s"syy$tag"),
+        sum(col(xCol) * col(yCol)).as(s"sxy$tag"))
+    def ssr(tag: String) = {
+      val n = col(s"n$tag").cast("double")
+      val sx = col(s"sx$tag").cast("double")
+      val sy = col(s"sy$tag").cast("double")
+      val cxx = col(s"sxx$tag") - sx * sx / n
+      val cyy = col(s"syy$tag") - sy * sy / n
+      val cxy = col(s"sxy$tag") - sx * sy / n
+      cyy - cxy * cxy / cxx
+    }
+    val wide = sums(df, "p")
+      .crossJoin(broadcast(sums(df.filter(splitCond), "1")))
+      .crossJoin(broadcast(sums(df.filter(!splitCond), "2")))
+    val nD = col("np").cast("double")
+    // perfect within-segment fits leave zero residual variance — the
+    // statistic is undefined (null), not an ANSI 0-division
+    val den = (ssr("1") + ssr("2")) / (nD - 4)
+    val f = ((ssr("p") - ssr("1") - ssr("2")) / 2) /
+      when(den > 0, den)
+    wide.select(round(f, 6).as("f_stat"),
+      lit(2L).as("df1"), (col("np") - 4).as("df2"),
+      round(fPUdf(f, lit(2.0), nD - 4), 6).as("p_value"))
+  }
+
   /** Kaplan-Meier survival estimator (lifelines KaplanMeierFitter
     * semantics): input is one row per subject with an integer
     * duration and a 0/1 event flag (0 = censored). Per distinct

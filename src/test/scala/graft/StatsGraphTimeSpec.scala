@@ -916,6 +916,52 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("dunnTest separates shifted groups and adjusts p-values") {
+    // a << b << c with no overlap: every pairwise comparison extreme
+    val df = ((1 to 30).map(i => ("a", i.toLong)) ++
+      (1 to 30).map(i => ("b", i.toLong + 100)) ++
+      (1 to 30).map(i => ("c", i.toLong + 200))).toDF("g", "v")
+    val out = StatsOps.dunnTest(df, "v", "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    out.keySet shouldBe Set(("a", "b"), ("a", "c"), ("b", "c"))
+    out(("a", "c")).getAs[Double]("z") should be < out(("a", "b"))
+      .getAs[Double]("z") // more negative = larger rank gap
+    out.values.foreach { r =>
+      r.getAs[Double]("p_value") should be < 0.01
+      r.getAs[Double]("p_adj") should be >=
+        r.getAs[Double]("p_value") - 1e-9
+    }
+    // identical groups: z = 0, p = 1
+    val same = (1 to 20).flatMap(i =>
+      Seq(("a", i.toLong), ("b", i.toLong))).toDF("g", "v")
+    val r0 = StatsOps.dunnTest(same, "v", "g").head()
+    r0.getAs[Double]("z") shouldBe 0.0 +- 1e-9
+    r0.getAs[Double]("p_value") shouldBe 1.0 +- 1e-6
+  }
+
+  test("chowTest flags a slope break and stays null without one") {
+    // segment 1: y ~ 2x; segment 2: y ~ 10x (deterministic noise so
+    // the within-segment residual variance is nonzero)
+    val break_ = ((1 to 40).map(i => (i.toLong, 2L * i + (i % 3), 0)) ++
+      (1 to 40).map(i => (i.toLong, 10L * i + (i % 5), 1)))
+      .toDF("x", "y", "seg")
+    val r1 = StatsOps.chowTest(break_, "x", "y", $"seg" === 0).head()
+    r1.getAs[Double]("f_stat") should be > 50.0
+    r1.getAs[Double]("p_value") should be < 0.001
+    r1.getAs[Long]("df1") shouldBe 2L
+    r1.getAs[Long]("df2") shouldBe 76L
+    // one (noisy) line throughout: no break signal
+    val line = (1 to 80).map(i => (i.toLong, 3L * i + (i % 3), i % 2))
+      .toDF("x", "y", "seg")
+    val r2 = StatsOps.chowTest(line, "x", "y", $"seg" === 0).head()
+    r2.getAs[Double]("f_stat") should be < 3.0
+    // perfect fits on both segments -> undefined (null), no 0-division
+    val perfect = (1 to 40).map(i => (i.toLong, 3L * i, i % 2))
+      .toDF("x", "y", "seg")
+    val r3 = StatsOps.chowTest(perfect, "x", "y", $"seg" === 0).head()
+    r3.isNullAt(r3.fieldIndex("f_stat")) shouldBe true
+  }
+
   test("cusumChangepoint locates a planted level shift") {
     // 10,10,...(x10) then 20,20,...(x10): mean 15, S_i = -5i down to
     // -50 at the shift point, then back up; sigma_pop = 5
