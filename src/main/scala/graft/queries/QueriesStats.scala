@@ -61,6 +61,35 @@ object QueriesStats {
             col("value") >= 80.0, 1L).otherwise(0L)).as("y")),
         "x", "y")),
 
+    // §2.11 cross-correlation of hourly click vs purchase cents at
+    // lags -6..6
+    "q189_ccf" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("hr"))
+        .agg(sum(when(col("event_type") === "click",
+            cents(col("value")))).as("x"),
+          sum(when(col("event_type") === "purchase",
+            cents(col("value")))).as("y"))
+      TimeSeriesOps.ccf(hourly, "x", "y", "hr", maxLag = 6)
+    }),
+
+    // §2.11 order-1 Granger F: do click cents help predict purchase
+    // cents next hour? (statistic + dfs mirrored; F p spec-anchored)
+    "q190_granger" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("hr"))
+        .agg(sum(when(col("event_type") === "click",
+            cents(col("value")))).as("x"),
+          sum(when(col("event_type") === "purchase",
+            cents(col("value")))).as("y"))
+      TimeSeriesOps.grangerF(hourly, "x", "y", "hr")
+        .select("f_stat", "df1", "df2")
+    }),
+
     // §2.12 Dunn's post-hoc after KW: pairwise mean-rank z across
     // event types, BH-adjusted
     "q187_dunn" -> ((s, d) =>
@@ -717,6 +746,109 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q189_ccf" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT)
+        |      AS hr,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT hr, x, y FROM hourly
+        |  WHERE x IS NOT NULL AND y IS NOT NULL),
+        |m AS (SELECT avg(x) AS mx, avg(y) AS my FROM p),
+        |c AS (
+        |  SELECT x - mx AS cx, y - my AS cy,
+        |    row_number() OVER (ORDER BY hr) AS rn
+        |  FROM p, m),
+        |dn AS (
+        |  SELECT sqrt(sum(cx * cx) * sum(cy * cy)) AS den FROM c),
+        |pr AS (
+        |  SELECT a.cx, gs.l AS lag, a.rn + gs.l AS jrn
+        |  FROM c a CROSS JOIN (SELECT unnest(range(-6, 7)) AS l) gs),
+        |nm AS (
+        |  SELECT pr.lag, sum(pr.cx * b.cy) AS num
+        |  FROM pr JOIN c b ON pr.jrn = b.rn
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag,
+        |  round(num / den, 6) AS ccf
+        |FROM nm, dn""".stripMargin,
+
+    "q190_granger" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT)
+        |      AS hr,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT hr, x, y FROM hourly
+        |  WHERE x IS NOT NULL AND y IS NOT NULL),
+        |lg AS (
+        |  SELECT y, lag(y, 1) OVER (ORDER BY hr) AS y1,
+        |    lag(x, 1) OVER (ORDER BY hr) AS x1
+        |  FROM p),
+        |d AS (SELECT y, y1, x1 FROM lg
+        |  WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(y1) AS BIGINT) AS sy1,
+        |    CAST(sum(x1) AS BIGINT) AS sx1,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(y1 * y1) AS BIGINT) AS sy1y1,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+        |    CAST(sum(y * y1) AS BIGINT) AS syy1,
+        |    CAST(sum(y * x1) AS BIGINT) AS syx1,
+        |    CAST(sum(y1 * x1) AS BIGINT) AS sy1x1
+        |  FROM d),
+        |cc AS (
+        |  SELECT n,
+        |    syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) /
+        |      CAST(n AS DOUBLE) AS cyy,
+        |    sy1y1 - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) /
+        |      CAST(n AS DOUBLE) AS cy1y1,
+        |    sx1x1 - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) /
+        |      CAST(n AS DOUBLE) AS cx1x1,
+        |    syy1 - CAST(sy AS DOUBLE) * CAST(sy1 AS DOUBLE) /
+        |      CAST(n AS DOUBLE) AS cyy1,
+        |    syx1 - CAST(sy AS DOUBLE) * CAST(sx1 AS DOUBLE) /
+        |      CAST(n AS DOUBLE) AS cyx1,
+        |    sy1x1 - CAST(sy1 AS DOUBLE) * CAST(sx1 AS DOUBLE) /
+        |      CAST(n AS DOUBLE) AS cy1x1
+        |  FROM s),
+        |bb AS (
+        |  SELECT n, cyy, cyy1, cyx1,
+        |    (cyy1 * cx1x1 - cyx1 * cy1x1) /
+        |      (CASE WHEN cy1y1 * cx1x1 - cy1x1 * cy1x1 <> 0
+        |        THEN cy1y1 * cx1x1 - cy1x1 * cy1x1 END) AS b1,
+        |    (cyx1 * cy1y1 - cyy1 * cy1x1) /
+        |      (CASE WHEN cy1y1 * cx1x1 - cy1x1 * cy1x1 <> 0
+        |        THEN cy1y1 * cx1x1 - cy1x1 * cy1x1 END) AS b2,
+        |    cyy - cyy1 * cyy1 /
+        |      (CASE WHEN cy1y1 > 0 THEN cy1y1 END) AS ssrr
+        |  FROM cc),
+        |ff AS (
+        |  SELECT n, ssrr,
+        |    cyy - b1 * cyy1 - b2 * cyx1 AS ssru
+        |  FROM bb)
+        |SELECT
+        |  round((ssrr - ssru) /
+        |    (CASE WHEN ssru / (CAST(n AS DOUBLE) - 3) > 0
+        |      THEN ssru / (CAST(n AS DOUBLE) - 3) END), 6) AS f_stat,
+        |  CAST(1 AS BIGINT) AS df1, n - 3 AS df2
+        |FROM ff""".stripMargin,
 
     "q187_dunn" -> {
       val phi = graft.stats.Distributions.normalCdfSql("abs(z)")

@@ -524,6 +524,97 @@ object TimeSeriesOps {
         round(col("__num__") / col("__c0__"), 6).as("acf")): _*)
   }
 
+  /** Cross-correlation function between two aligned series at lags
+    * −maxLag..maxLag (positive lag = y leads):
+    *   r(l) = Σ (x_t−x̄)(y_{t+l}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²),
+    * same positional-join machinery as [[acf]]; per-key windows.
+    * Rows where either side is null are dropped first so the two
+    * series stay aligned. */
+  def ccf(df0: DataFrame, xCol: String, yCol: String, orderCol: String,
+      maxLag: Int, keyCols: Seq[String] = Nil): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val meanTab = (if (keyCols.isEmpty) df.groupBy()
+      else df.groupBy(keyCols.map(col): _*))
+      .agg(avg(col(xCol)).as("__mx__"), avg(col(yCol)).as("__my__"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val centered = (if (keyCols.isEmpty)
+        df.crossJoin(broadcast(meanTab))
+      else df.join(broadcast(meanTab), keyCols))
+      .withColumn("__cx__", col(xCol) - col("__mx__"))
+      .withColumn("__cy__", col(yCol) - col("__my__"))
+      .withColumn("__rn__", row_number().over(w))
+      .select((keyCols.map(col) :+ col("__cx__") :+ col("__cy__") :+
+        col("__rn__")): _*)
+    val den = centered.groupBy(keyCols.map(col): _*)
+      .agg(sqrt(sum(col("__cx__") * col("__cx__")) *
+        sum(col("__cy__") * col("__cy__"))).as("__den__"))
+    val probes = centered
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("__join_rn__", col("__rn__") + col("lag"))
+    val b = centered.select((keyCols.map(col) :+
+      col("__cy__").as("__cyb__") :+
+      col("__rn__").as("__join_rn__")): _*)
+    val joinKeys = keyCols :+ "__join_rn__"
+    val num = probes.join(b, joinKeys)
+      .groupBy((keyCols.map(col) :+ col("lag")): _*)
+      .agg(sum(col("__cx__") * col("__cyb__")).as("__num__"))
+    (if (keyCols.isEmpty) num.crossJoin(broadcast(den))
+     else num.join(broadcast(den), keyCols))
+      .select((keyCols.map(col) :+ col("lag").cast("long").as("lag") :+
+        round(col("__num__") / col("__den__"), 6).as("ccf")): _*)
+  }
+
+  /** Order-1 Granger causality (does x help predict y?): restricted
+    * y_t ~ y_{t−1} vs unrestricted y_t ~ y_{t−1} + x_{t−1}, SSRs by
+    * the 2-regressor closed form from EXACT Long sufficient sums of
+    * the lagged triples, F = (SSR_r − SSR_u)/(SSR_u/(n−3)),
+    * df = (1, n−3) — statistic and dfs mirrored Column arithmetic
+    * (F p is driver-side, spec-anchored). Inputs integer-typed. */
+  def grangerF(df0: DataFrame, xCol: String, yCol: String,
+      orderCol: String): DataFrame = {
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val w = Window.orderBy(col(orderCol))
+    val lagged = df
+      .withColumn("__y1__", lag(col(yCol), 1).over(w))
+      .withColumn("__x1__", lag(col(xCol), 1).over(w))
+      .filter(col("__y1__").isNotNull && col("__x1__").isNotNull)
+    val s = lagged.agg(count(lit(1)).as("n"),
+      sum(col(yCol)).as("sy"), sum(col("__y1__")).as("sy1"),
+      sum(col("__x1__")).as("sx1"),
+      sum(col(yCol) * col(yCol)).as("syy"),
+      sum(col("__y1__") * col("__y1__")).as("sy1y1"),
+      sum(col("__x1__") * col("__x1__")).as("sx1x1"),
+      sum(col(yCol) * col("__y1__")).as("syy1"),
+      sum(col(yCol) * col("__x1__")).as("syx1"),
+      sum(col("__y1__") * col("__x1__")).as("sy1x1"))
+    val n = col("n").cast("double")
+    def c(sab: String, sa: String, sb: String) =
+      col(sab) - col(sa).cast("double") * col(sb).cast("double") / n
+    val cyy = c("syy", "sy", "sy")
+    val cy1y1 = c("sy1y1", "sy1", "sy1")
+    val cx1x1 = c("sx1x1", "sx1", "sx1")
+    val cyy1 = c("syy1", "sy", "sy1")
+    val cyx1 = c("syx1", "sy", "sx1")
+    val cy1x1 = c("sy1x1", "sy1", "sx1")
+    val det = cy1y1 * cx1x1 - cy1x1 * cy1x1
+    val b1 = (cyy1 * cx1x1 - cyx1 * cy1x1) / when(det =!= 0, det)
+    val b2 = (cyx1 * cy1y1 - cyy1 * cy1x1) / when(det =!= 0, det)
+    val ssrU = cyy - b1 * cyy1 - b2 * cyx1
+    val ssrR = cyy - cyy1 * cyy1 / when(cy1y1 > 0, cy1y1)
+    val den = ssrU / (n - 3)
+    val f = (ssrR - ssrU) / when(den > 0, den)
+    // driver-side F CDF finalization on the one aggregate row (the
+    // cold-path udf pattern shared with the stats layer)
+    val fP = udf((fv: Double, d2: Double) =>
+      if (d2 <= 0 || fv.isNaN || d2.isNaN) Double.NaN
+      else graft.stats.Distributions.fUpperP(fv, 1.0, d2))
+    s.select(round(f, 6).as("f_stat"), lit(1L).as("df1"),
+      (col("n") - 3).as("df2"),
+      round(fP(f, n - 3), 6).as("p_value"))
+  }
+
   /** Partial autocorrelation function per key via Durbin–Levinson on
     * the [[acf]] output — the ARIMA-order diagnostic companion.
     * The recursion is O(maxLag²) per key on the collected ACF table

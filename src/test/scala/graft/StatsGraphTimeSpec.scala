@@ -916,6 +916,40 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       .getAs[Double]("tau_b") shouldBe -1.0 +- 1e-9
   }
 
+  test("ccf peaks at the planted shift; lag-0 self-ccf is 1") {
+    // pseudo-random-ish x; y is x delayed by 2 -> ccf max at lag +2
+    val xs = (0 until 120).map(i => ((i * 37 + 11) % 101).toLong)
+    val rows = (2 until 120).map(i => (i.toLong, xs(i), xs(i - 2)))
+      .toDF("ord", "x", "y")
+    val out = TimeSeriesOps.ccf(rows, "x", "y", "ord", maxLag = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = out.maxBy(_._2)
+    best._1 shouldBe 2L
+    best._2 should be > 0.9
+    // self-correlation at lag 0 is exactly 1
+    val self = rows.select($"ord", $"x", $"x".as("y2"))
+    TimeSeriesOps.ccf(self, "x", "y2", "ord", maxLag = 1)
+      .filter($"lag" === 0).head().getDouble(1) shouldBe 1.0 +- 1e-6
+  }
+
+  test("grangerF detects a lagged driver and not an unrelated one") {
+    val xs = (0 until 200).map(i => ((i * 53 + 7) % 97).toLong)
+    // y is driven by x lagged once (plus small deterministic noise)
+    val driven = (1 until 200).map(i =>
+      (i.toLong, xs(i), 3 * xs(i - 1) + (i % 2)))
+      .toDF("ord", "x", "y")
+    val r1 = TimeSeriesOps.grangerF(driven, "x", "y", "ord").head()
+    r1.getAs[Double]("f_stat") should be > 100.0
+    r1.getAs[Double]("p_value") should be < 1e-6
+    r1.getAs[Long]("df1") shouldBe 1L
+    // y unrelated to x: weak statistic
+    val unrel = (1 until 200).map(i =>
+      (i.toLong, xs(i), ((i * 89 + 3) % 83).toLong))
+      .toDF("ord", "x", "y")
+    TimeSeriesOps.grangerF(unrel, "x", "y", "ord").head()
+      .getAs[Double]("f_stat") should be < 5.0
+  }
+
   test("dunnTest separates shifted groups and adjusts p-values") {
     // a << b << c with no overlap: every pairwise comparison extreme
     val df = ((1 to 30).map(i => ("a", i.toLong)) ++
