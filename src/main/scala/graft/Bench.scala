@@ -109,7 +109,9 @@ object Bench {
       "q43_fingerprint", "q47_embed_topk", "q99_bloom_join",
       "q104_corr_matrix", "q98_tfidf", "q110_decontaminate",
       "q113_group_sample", "q128_paragraph_dedup", "q129_bigram_lm",
-      "q130_pack_sequences", "q139_preprocess_pipeline")
+      "q130_pack_sequences", "q139_preprocess_pipeline",
+      // round-4 additions: semantic dedup + rank-based corr matrix
+      "q168_semantic_dedup", "q179_spearman_matrix")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

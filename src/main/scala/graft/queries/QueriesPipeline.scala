@@ -174,14 +174,17 @@ object QueriesPipeline {
         Seq("qty_c", "price_c", "disc_c"))),
 
     // the Spearman twin of q104: rank maps feed the limb-exact
-    // corrMatrix
+    // corrMatrix. Price is binned to DOLLARS — the op's documented
+    // practice for continuous domains (rank maps stay compact; rank
+    // correlation is invariant to the monotone re-binning up to
+    // within-dollar ties)
     "q179_spearman_matrix" -> ((s, d) =>
       graft.stats.StatsOps.corrMatrixSpearman(
         t(s, d, "lineitem").select(
           cents(col("l_quantity")).as("qty_c"),
-          cents(col("l_extendedprice")).as("price_c"),
+          round(col("l_extendedprice")).cast("long").as("price_d"),
           cents(col("l_discount")).as("disc_c")),
-        Seq("qty_c", "price_c", "disc_c"))),
+        Seq("qty_c", "price_d", "disc_c"))),
 
     // benchmark decontamination: corpus docs sharing ≥2 distinct
     // word 5-grams with the deterministic "benchmark" subset
@@ -948,7 +951,7 @@ object QueriesPipeline {
     "q179_spearman_matrix" ->
       """WITH c AS (
         |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS p,
         |    CAST(round(l_discount * 100) AS BIGINT) AS dd
         |  FROM lineitem),
         |r AS (
@@ -972,7 +975,7 @@ object QueriesPipeline {
         |    CAST(sum(rq * rd) AS DOUBLE) AS sqd,
         |    CAST(sum(rp * rd) AS DOUBLE) AS spd
         |  FROM r)
-        |SELECT 'qty_c' AS col_a, 'price_c' AS col_b,
+        |SELECT 'qty_c' AS col_a, 'price_d' AS col_b,
         |  round((n * sqp - sq * sp) /
         |    (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
         |    AS corr FROM s
@@ -982,7 +985,7 @@ object QueriesPipeline {
         |    (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
         |  FROM s
         |UNION ALL
-        |SELECT 'price_c', 'disc_c',
+        |SELECT 'price_d', 'disc_c',
         |  round((n * spd - sp * sd) /
         |    (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
         |  FROM s""".stripMargin,
