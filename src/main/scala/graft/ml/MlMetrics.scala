@@ -75,4 +75,147 @@ object MlMetrics {
       round(lit(1.0) - (sdd - sd * sd / n) / ssTot, 6)
         .as("explained_variance"))
   }
+
+  /** ROC-AUC, tie-aware, via the rank-sum identity
+    * AUC = (R₊ − n₊(n₊+1)/2) / (n₊ n₋) where R₊ is the sum of
+    * AVERAGE ranks of the positives (the Mann-Whitney U scaled to
+    * [0,1] — reference sklearn_compat / metrics family).
+    *
+    * Scale design: ranks come from the DISTINCT-SCORE table through
+    * [[graft.stats.StatsOps.distinctValueCumCounts]] (range-bucketed
+    * cumulative counts — no global window); the doubled rank sum
+    * 2R₊ = Σ_v np_v·(2·below_v + c_v + 1) stays integral in
+    * DECIMAL(38,0) so the final AUC is bit-deterministic across
+    * engines and partitionings. The only full-data operation is one
+    * groupBy(score). */
+  def aucRoc(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val pts = df.filter(col(scoreCol).isNotNull && y.isNotNull)
+      .select(col(scoreCol).as("__s__"),
+        when(y, 1L).otherwise(0L).as("__y__"))
+    val counts = pts.groupBy(col("__s__"))
+      .agg(count(lit(1)).as("__c__"), sum(col("__y__")).as("__np__"))
+    val cum = graft.stats.StatsOps
+      .distinctValueCumCounts(counts, "__s__", "__c__")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val a = cum.join(counts.select(col("__s__"), col("__np__")), "__s__")
+      .agg(
+        sum(dec(col("__np__")) *
+          (dec(col("__below__")) * 2 + dec(col("__c__")) + 1))
+          .as("two_r"),
+        sum(col("__np__")).as("n1"), sum(col("__c__")).as("n"))
+    a.select(col("n1").cast("long").as("n_pos"),
+        (col("n") - col("n1")).cast("long").as("n_neg"),
+        round(
+          (col("two_r") - dec(col("n1")) * (dec(col("n1")) + 1))
+            .cast("double") /
+          (dec(col("n1")) * (dec(col("n")) - dec(col("n1"))) * 2)
+            .cast("double"), 6).as("auc"))
+  }
+
+  /** Log-loss and Brier score of a probability column against a
+    * boolean label: −mean(y·ln p + (1−y)·ln(1−p)) and mean((p−y)²).
+    * One aggregate pass, map-side partial sums — scales like a sum.
+    * Probabilities are clamped to [1e-15, 1−1e-15] (sklearn's
+    * convention) so a hard 0/1 never produces −∞. */
+  def logLossBrier(df: DataFrame, pCol: String,
+      labelCol: String): DataFrame = {
+    val yb = col(labelCol).cast("boolean")
+    val p0 = col(pCol).cast("double")
+    val p = least(greatest(p0, lit(1e-15)), lit(1.0 - 1e-15))
+    val y = when(yb, 1.0).otherwise(0.0)
+    df.filter(p0.isNotNull && yb.isNotNull)
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(-avg(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)), 6)
+          .as("log_loss"),
+        round(avg((p - y) * (p - y)), 6).as("brier"))
+  }
+
+  /** Cohen's kappa and the Matthews correlation coefficient from the
+    * same confusion counts as [[classificationMetrics]]. Counts are
+    * exact longs; both statistics are closed forms evaluated in
+    * double with products taken AFTER the double cast (the count
+    * products exceed 2⁶³ long before 100 TB). */
+  def kappaMcc(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val p = col(predCol).cast("boolean")
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val base = df.filter(y.isNotNull && p.isNotNull)
+      .agg(cnt(y && p).as("tp"), cnt(!y && p).as("fp"),
+        cnt(y && !p).as("fn"), cnt(!y && !p).as("tn"))
+    val tp = col("tp").cast("double"); val fp = col("fp").cast("double")
+    val fn = col("fn").cast("double"); val tn = col("tn").cast("double")
+    val n = tp + fp + fn + tn
+    val po = (tp + tn) / n
+    val pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    val mccDen =
+      sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    base.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"),
+      round((tp * tn - fp * fn) / mccDen, 6).as("mcc"))
+  }
+
+  /** Reliability (calibration) table: fixed-width bins of the
+    * predicted probability vs the observed positive rate. The
+    * positive fraction derives from exact integer counts; mean_p is
+    * a round-6 double average (the theil-gate pattern). Pure
+    * groupBy — scales like any aggregation. */
+  def calibrationBins(df: DataFrame, pCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    val yb = col(labelCol).cast("boolean")
+    val p = col(pCol).cast("double")
+    val bin = least(floor(p * nBins), lit(nBins - 1)).cast("long")
+    df.filter(p.isNotNull && yb.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(avg(p), 6).as("mean_p"),
+        round(avg(when(yb, 1.0).otherwise(0.0)), 6).as("frac_pos"))
+  }
+
+  /** Lift / gain table over `nBuckets` score-descending buckets.
+    * Bucket assignment is a pure function of the count of rows
+    * strictly ABOVE each distinct score (floor(nB·above/N), capped) —
+    * deterministic under ties and reproducible in any engine, unlike
+    * ntile over a global window. Ranks come from the range-bucketed
+    * distinct-score cumulative counts; per-bucket stats are one
+    * groupBy; the cumulative-gain window runs over ≤ nBuckets rows. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val y = col(labelCol).cast("boolean")
+    val pts = df.filter(col(scoreCol).isNotNull && y.isNotNull)
+      .select(col(scoreCol).as("__s__"),
+        when(y, 1L).otherwise(0L).as("__y__"))
+    val counts = pts.groupBy(col("__s__"))
+      .agg(count(lit(1)).as("__c__"), sum(col("__y__")).as("__np__"))
+    val cum = graft.stats.StatsOps
+      .distinctValueCumCounts(counts, "__s__", "__c__")
+      .join(counts.select(col("__s__"), col("__np__")), "__s__")
+    val tot = cum.agg(sum(col("__c__")).as("__n__"),
+      sum(col("__np__")).as("__npos__"))
+    val withTot = cum.crossJoin(broadcast(tot))
+    val above = col("__n__") - col("__below__") - col("__c__")
+    val bucket = least(
+      floor(above.cast("double") * nBuckets / col("__n__")),
+      lit(nBuckets - 1)).cast("long")
+    val perBucket = withTot
+      .groupBy(bucket.as("bucket"))
+      .agg(sum(col("__c__")).cast("long").as("n"),
+        sum(col("__np__")).cast("long").as("pos"),
+        first(col("__n__")).as("__n__"),
+        first(col("__npos__")).as("__npos__"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .select(col("bucket"), col("n"), col("pos"),
+        round(col("pos").cast("double") / col("n"), 6).as("rate"),
+        round((col("pos").cast("double") * col("__n__")) /
+          (col("n").cast("double") * col("__npos__")), 6).as("lift"),
+        round(col("cum_pos").cast("double") / col("__npos__"), 6)
+          .as("cum_gain"))
+  }
 }

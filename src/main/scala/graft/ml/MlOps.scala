@@ -204,4 +204,126 @@ object MlOps {
       concat(col(idCol).cast("string"), lit(salt))), lit(0.0))
     df.withColumn("fold", floor(h * k).cast("int"))
   }
+
+  /** Smoothed mean target encoding (the feature-engineering
+    * mean-encoder family, reference ml/feature_engineering.rs
+    * AutoFeatureEngineer aggregations): for each category,
+    * enc = (Σ_cat y + m·ȳ) / (n_cat + m) with smoothing weight `m`
+    * pulling rare categories toward the global mean. The target is
+    * accumulated as an exact integer (pass an integral column — the
+    * cents pattern) so the encoding is bit-deterministic. One
+    * groupBy + one broadcast of the (1-row) global mean. */
+  def targetEncode(df0: DataFrame, catCol: String, targetCol: String,
+      smoothing: Double = 10.0): DataFrame = {
+    val df = df0.filter(col(catCol).isNotNull &&
+      col(targetCol).isNotNull)
+    val per = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(col(targetCol)).as("sy"))
+    val tot = per.agg(sum(col("n")).as("__n__"),
+      sum(col("sy")).as("__sy__"))
+    per.crossJoin(broadcast(tot))
+      .select(col(catCol), col("n").cast("long").as("n"),
+        round((col("sy").cast("double") + lit(smoothing) *
+            (col("__sy__").cast("double") / col("__n__"))) /
+          (col("n").cast("double") + lit(smoothing)), 6)
+          .as("encoded"))
+  }
+
+  /** Weight of evidence + information value per category of a
+    * binary target: WOE = ln((g/G)/(b/B)) computed as one ln of an
+    * exact integer ratio (g·B)/(b·G); IV contribution
+    * (g/G − b/B)·WOE. Zero cells get the standard ±0.5 continuity
+    * adjustment so WOE stays finite. Counts shuffle once. */
+  def woeIv(df0: DataFrame, catCol: String,
+      labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val df = df0.filter(col(catCol).isNotNull && y.isNotNull)
+    val per = df.groupBy(col(catCol))
+      .agg(sum(when(y, 1L).otherwise(0L)).as("g"),
+        sum(when(y, 0L).otherwise(1L)).as("b"))
+    val tot = per.agg(sum(col("g")).as("__g__"),
+      sum(col("b")).as("__b__"))
+    val gAdj = col("g").cast("double") +
+      when(col("g") === 0 || col("b") === 0, 0.5).otherwise(0.0)
+    val bAdj = col("b").cast("double") +
+      when(col("g") === 0 || col("b") === 0, 0.5).otherwise(0.0)
+    val woe = log((gAdj * col("__b__")) / (bAdj * col("__g__")))
+    per.crossJoin(broadcast(tot))
+      .select(col(catCol), col("g").cast("long").as("g"),
+        col("b").cast("long").as("b"),
+        round(woe, 6).as("woe"),
+        round((gAdj / col("__g__") - bAdj / col("__b__")) * woe, 6)
+          .as("iv_contrib"))
+  }
+
+  /** SelectKBest-style univariate feature scoring
+    * (model_selection.rs:702 SelectKBest): squared (point-biserial)
+    * Pearson correlation of each integral feature column with a
+    * binary target, r² = (n·Σxy − Σx·Σy)² / ((n·Σxx − (Σx)²)
+    * (n·Σyy − (Σy)²)), from one aggregate of exact DECIMAL(38,0)
+    * sufficient sums — bit-deterministic, one pass for ALL features.
+    * Returns (feature, score) sorted by score descending. */
+  def featureScores(df0: DataFrame, features: Seq[String],
+      labelCol: String): DataFrame = {
+    require(features.nonEmpty, "featureScores needs >= 1 feature")
+    val y = col(labelCol).cast("boolean")
+    val df = df0.filter(y.isNotNull &&
+      features.map(col(_).isNotNull).reduce(_ && _))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val yv = dec(when(y, 1L).otherwise(0L))
+    val aggs = Seq(count(lit(1)).as("__n__"), sum(yv).as("__sy__")) ++
+      features.zipWithIndex.flatMap { case (f, i) =>
+        val x = dec(col(f))
+        Seq(sum(x).as(s"__sx$i"), sum(x * x).as(s"__sxx$i"),
+          sum(x * yv).as(s"__sxy$i"))
+      }
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n__").cast("double")
+    val sy = col("__sy__").cast("double")
+    // y is 0/1 so Σy² = Σy
+    val syy = sy
+    val scored = features.zipWithIndex.map { case (f, i) =>
+      val sx = col(s"__sx$i").cast("double")
+      val sxx = col(s"__sxx$i").cast("double")
+      val sxy = col(s"__sxy$i").cast("double")
+      val num = n * sxy - sx * sy
+      struct(lit(f).as("feature"),
+        round((num * num) / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+          6).as("score"))
+    }
+    a.select(explode(array(scored: _*)).as("fs"))
+      .select(col("fs.feature").as("feature"), col("fs.score").as("score"))
+      .orderBy(col("score").desc, col("feature"))
+  }
+
+  /** Quantile normalization across aligned value columns (the
+    * genomics / feature-preprocessing standard): each column is
+    * ranked independently (ties broken by id — fully deterministic),
+    * the reference distribution is the cross-column mean at each
+    * rank, and every value is replaced by the reference value at its
+    * rank. Positional ranks require a per-column global order, so
+    * this is for AGGREGATED / bounded series (the ccf/granger gate
+    * pattern); for full-scale per-row normalization use the
+    * distribution-free rankGauss transform instead. */
+  def quantileNormalize(df: DataFrame, idCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(valueCols.size >= 2, "quantileNormalize needs >= 2 columns")
+    val long = valueCols.map { c =>
+      df.filter(valueCols.map(col(_).isNotNull).reduce(_ && _))
+        .select(col(idCol).as("__id__"),
+          col(c).cast("double").as("__v__"), lit(c).as("__col__"))
+        .withColumn("__rk__", row_number().over(
+          Window.partitionBy(lit(1))
+            .orderBy(col("__v__"), col("__id__"))))
+    }.reduce(_ unionByName _)
+    val ref = long.groupBy("__rk__")
+      .agg(round(avg(col("__v__")), 6).as("__m__"))
+    val firsts = valueCols.map(c =>
+      first(when(col("__col__") === c, col("__m__")), ignoreNulls = true)
+        .as(s"${c}_qn"))
+    long.join(broadcast(ref), "__rk__")
+      .groupBy(col("__id__").as(idCol))
+      .agg(firsts.head, firsts.tail: _*)
+  }
 }

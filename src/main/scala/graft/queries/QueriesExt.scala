@@ -11,7 +11,7 @@ import Q._
   * expressions), clip/replace. */
 object QueriesExt {
 
-  val queries: Map[String, QueryFn] = Map(
+  val queries: Map[String, QueryFn] = Map[String, QueryFn](
 
     // §2.5a EWM adjust=false — the one window Spark lacks natively;
     // verified against a recursive-CTE oracle
@@ -332,6 +332,103 @@ object QueriesExt {
         .groupBy("source")
         .agg(countDistinct(col("h")).as("n_distinct_hashes"),
           count(lit(1)).as("n_docs")))
+  ) ++ mlMetricQueries
+
+  // §2.13 model-evaluation + feature-engineering gates (round-3
+  // additions: reference ml/metrics, ml/model_selection, ml/
+  // feature_engineering)
+  private def mlMetricQueries: Map[String, QueryFn] = Map(
+
+    // tie-aware ROC-AUC of value-cents as a purchase score —
+    // rank-sum identity over the distinct-score table
+    "q191_roc_auc" -> ((s, d) =>
+      graft.ml.MlMetrics.aucRoc(
+        t(s, d, "events").select(cents(col("value")).as("score"),
+          (col("event_type") === "purchase").as("y")),
+        "score", "y")),
+
+    // log-loss + Brier of a deterministic rational probability
+    // p = (user_id mod 97 + .5)/97 against the purchase label
+    "q192_log_loss" -> ((s, d) =>
+      graft.ml.MlMetrics.logLossBrier(
+        t(s, d, "events").select(
+          ((pmod(col("user_id"), lit(97)) + 0.5) / 97.0).as("p"),
+          (col("event_type") === "purchase").as("y")),
+        "p", "y")),
+
+    // Cohen's kappa + MCC of the high-value rule as a purchase
+    // classifier
+    "q193_kappa_mcc" -> ((s, d) =>
+      graft.ml.MlMetrics.kappaMcc(
+        t(s, d, "events").select(
+          (col("event_type") === "purchase").as("y"),
+          (col("value") >= 50.0).as("pred")),
+        "y", "pred")),
+
+    // smoothed mean target encoding of event_type on value cents
+    "q194_target_encode" -> ((s, d) =>
+      graft.ml.MlOps.targetEncode(
+        t(s, d, "events").select(col("event_type"),
+          cents(col("value")).as("tc")),
+        "event_type", "tc", smoothing = 10.0)),
+
+    // decile lift/gain table of value-cents scoring purchases
+    "q195_lift_table" -> ((s, d) =>
+      graft.ml.MlMetrics.liftTable(
+        t(s, d, "events").select(cents(col("value")).as("score"),
+          (col("event_type") === "purchase").as("y")),
+        "score", "y")),
+
+    // Lorenz curve deciles over lineitem price cents (companion of
+    // the q176 exact Gini)
+    "q196_lorenz" -> ((s, d) =>
+      graft.stats.StatsOps.lorenzDeciles(
+        t(s, d, "lineitem").select(
+          cents(col("l_extendedprice")).as("vc")),
+        "vc")),
+
+    // quantile normalization across hourly click/view/purchase cents
+    // series (aggregated-series op, ccf-gate pattern)
+    "q197_quantile_norm" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("hr"))
+        .agg(sum(when(col("event_type") === "click",
+            cents(col("value")))).as("c"),
+          sum(when(col("event_type") === "view",
+            cents(col("value")))).as("v"),
+          sum(when(col("event_type") === "purchase",
+            cents(col("value")))).as("p"))
+      graft.ml.MlOps.quantileNormalize(hourly, "hr", Seq("c", "v", "p"))
+    }),
+
+    // reliability/calibration table of the q192 probability
+    "q198_calibration" -> ((s, d) =>
+      graft.ml.MlMetrics.calibrationBins(
+        t(s, d, "events").select(
+          ((pmod(col("user_id"), lit(97)) + 0.5) / 97.0).as("p"),
+          (col("event_type") === "purchase").as("y")),
+        "p", "y")),
+
+    // SelectKBest-style univariate scores: point-biserial r² of four
+    // integral lineitem features vs the returned flag
+    "q199_select_k_best" -> ((s, d) =>
+      graft.ml.MlOps.featureScores(
+        t(s, d, "lineitem").select(
+          cents(col("l_extendedprice")).as("ep"),
+          col("l_quantity").cast("long").as("qty"),
+          cents(col("l_discount")).as("disc"),
+          cents(col("l_tax")).as("tax"),
+          (col("l_returnflag") === "R").as("y")),
+        Seq("disc", "ep", "qty", "tax"), "y")),
+
+    // weight of evidence + IV of event_type for the high-value flag
+    "q200_woe_iv" -> ((s, d) =>
+      graft.ml.MlOps.woeIv(
+        t(s, d, "events").select(col("event_type"),
+          (col("value") >= 50.0).as("y")),
+        "event_type", "y"))
   )
 
   private val ewmRecursiveOracle: String =
@@ -723,6 +820,246 @@ object QueriesExt {
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // rank-sum AUC: doubled positive rank sum stays integral
+    // (2R = Σ np(2·below + c + 1)), formulas mirrored term-for-term
+    "q191_roc_auc" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT s, count(*) AS c, sum(y) AS np FROM pts GROUP BY 1),
+        |o AS (SELECT c, np,
+        |  coalesce(sum(c) OVER (ORDER BY s ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM g),
+        |a AS (SELECT sum(np * (below * 2 + c + 1)) AS two_r,
+        |  sum(np) AS n1, sum(c) AS n FROM o)
+        |SELECT CAST(n1 AS BIGINT) AS n_pos,
+        |  CAST(n - n1 AS BIGINT) AS n_neg,
+        |  round(CAST(two_r - n1 * (n1 + 1) AS DOUBLE) /
+        |    CAST(n1 * (n - n1) * 2 AS DOUBLE), 6) AS auc
+        |FROM a""".stripMargin,
+
+    "q192_log_loss" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(-avg(y * ln(p) + (1 - y) * ln(1 - p)), 6) AS log_loss,
+        |  round(avg((p - y) * (p - y)), 6) AS brier
+        |FROM (SELECT ((user_id % 97) + 0.5) / 97.0 AS p,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL) q""".stripMargin,
+
+    "q193_kappa_mcc" ->
+      """WITH c0 AS (
+        |  SELECT event_type = 'purchase' AS y, value >= 50.0 AS pr
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN y AND pr THEN 1 ELSE 0 END) AS BIGINT) AS tpl,
+        |    CAST(sum(CASE WHEN NOT y AND pr THEN 1 ELSE 0 END) AS BIGINT) AS fpl,
+        |    CAST(sum(CASE WHEN y AND NOT pr THEN 1 ELSE 0 END) AS BIGINT) AS fnl,
+        |    CAST(sum(CASE WHEN NOT y AND NOT pr THEN 1 ELSE 0 END) AS BIGINT) AS tnl
+        |  FROM c0),
+        |d AS (SELECT tpl, fpl, fnl, tnl,
+        |  CAST(tpl AS DOUBLE) AS tp, CAST(fpl AS DOUBLE) AS fp,
+        |  CAST(fnl AS DOUBLE) AS fn, CAST(tnl AS DOUBLE) AS tn
+        |  FROM c)
+        |SELECT tpl AS tp, fpl AS fp, fnl AS fn, tnl AS tn,
+        |  round(((tp + tn) / (tp + fp + fn + tn) -
+        |    ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) /
+        |      ((tp + fp + fn + tn) * (tp + fp + fn + tn))) /
+        |    (1.0 - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) /
+        |      ((tp + fp + fn + tn) * (tp + fp + fn + tn))), 6) AS kappa,
+        |  round((tp * tn - fp * fn) /
+        |    sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)), 6) AS mcc
+        |FROM d""".stripMargin,
+
+    "q194_target_encode" ->
+      """WITH per AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(sum(sy) AS BIGINT) AS ssy FROM per)
+        |SELECT event_type, n,
+        |  round((CAST(sy AS DOUBLE) + 10.0 * (CAST(ssy AS DOUBLE) / nn)) /
+        |    (CAST(n AS DOUBLE) + 10.0), 6) AS encoded
+        |FROM per, tot""".stripMargin,
+
+    // descending-score deciles as a pure function of the
+    // strictly-above count — deterministic under ties, no ntile
+    "q195_lift_table" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT s, count(*) AS c, sum(y) AS np FROM pts GROUP BY 1),
+        |o AS (SELECT c, np,
+        |  coalesce(sum(c) OVER (ORDER BY s ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM g),
+        |t AS (SELECT sum(c) AS tn, sum(np) AS tpos FROM o),
+        |b AS (SELECT CAST(least(floor(
+        |    CAST(tn - below - c AS DOUBLE) * 10 / tn), 9) AS BIGINT)
+        |    AS bucket, c, np
+        |  FROM o, t),
+        |pb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS nb,
+        |  CAST(sum(np) AS BIGINT) AS pos FROM b GROUP BY 1),
+        |cg AS (SELECT bucket, nb, pos,
+        |  sum(pos) OVER (ORDER BY bucket ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos FROM pb)
+        |SELECT bucket, nb AS n, pos,
+        |  round(CAST(pos AS DOUBLE) / nb, 6) AS rate,
+        |  round((CAST(pos AS DOUBLE) * tn) /
+        |    (CAST(nb AS DOUBLE) * tpos), 6) AS lift,
+        |  round(CAST(cum_pos AS DOUBLE) / tpos, 6) AS cum_gain
+        |FROM cg, t""".stripMargin,
+
+    "q196_lorenz" ->
+      """WITH p AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(round(l_extendedprice * 100) AS BIGINT) >= 0),
+        |g AS (SELECT v, count(*) AS c FROM p GROUP BY 1),
+        |o AS (SELECT v, c,
+        |  coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM g),
+        |t AS (SELECT sum(c) AS tn,
+        |  sum(CAST(v AS HUGEINT) * c) AS sv FROM o),
+        |b AS (SELECT CAST(least(floor(
+        |    CAST(below AS DOUBLE) * 10 / tn), 9) AS BIGINT) AS decile,
+        |  c, v FROM o, t),
+        |pb AS (SELECT decile, CAST(sum(c) AS BIGINT) AS n,
+        |  sum(CAST(v AS HUGEINT) * c) AS vv FROM b GROUP BY 1),
+        |cw AS (SELECT decile, n,
+        |  sum(n) OVER (ORDER BY decile ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |  sum(vv) OVER (ORDER BY decile ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cv FROM pb)
+        |SELECT decile, n,
+        |  round(CAST(cn AS DOUBLE) / tn, 6) AS cum_pop_share,
+        |  round(CAST(cv AS DOUBLE) / CAST(sv AS DOUBLE), 6)
+        |    AS cum_value_share
+        |FROM cw, t""".stripMargin,
+
+    // per-column row_number ranks (hr tiebreak), cross-column mean at
+    // each rank as the reference distribution
+    "q197_quantile_norm" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT)
+        |      AS hr,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS p
+        |  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY 1),
+        |f AS (SELECT hr, c, v, p FROM hourly
+        |  WHERE c IS NOT NULL AND v IS NOT NULL AND p IS NOT NULL),
+        |lg AS (
+        |  SELECT hr, CAST(c AS DOUBLE) AS vv, 'c' AS cn,
+        |    row_number() OVER (ORDER BY CAST(c AS DOUBLE), hr) AS rk
+        |  FROM f
+        |  UNION ALL
+        |  SELECT hr, CAST(v AS DOUBLE), 'v',
+        |    row_number() OVER (ORDER BY CAST(v AS DOUBLE), hr) FROM f
+        |  UNION ALL
+        |  SELECT hr, CAST(p AS DOUBLE), 'p',
+        |    row_number() OVER (ORDER BY CAST(p AS DOUBLE), hr) FROM f),
+        |ref AS (SELECT rk, round(avg(vv), 6) AS m FROM lg GROUP BY rk)
+        |SELECT hr,
+        |  max(CASE WHEN cn = 'c' THEN m END) AS c_qn,
+        |  max(CASE WHEN cn = 'v' THEN m END) AS v_qn,
+        |  max(CASE WHEN cn = 'p' THEN m END) AS p_qn
+        |FROM lg JOIN ref USING (rk)
+        |GROUP BY hr""".stripMargin,
+
+    "q198_calibration" ->
+      """SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(p), 6) AS mean_p,
+        |  round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+        |FROM (SELECT ((user_id % 97) + 0.5) / 97.0 AS p,
+        |    event_type = 'purchase' AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL) q
+        |GROUP BY 1""".stripMargin,
+
+    // point-biserial r² per feature from exact integer sufficient
+    // sums; y is 0/1 so Σy² = Σy
+    "q199_select_k_best" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS ep,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_tax IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(ep) AS DOUBLE) AS sx_ep,
+        |    CAST(sum(ep * ep) AS DOUBLE) AS sxx_ep,
+        |    CAST(sum(ep * y) AS DOUBLE) AS sxy_ep,
+        |    CAST(sum(qty) AS DOUBLE) AS sx_qty,
+        |    CAST(sum(qty * qty) AS DOUBLE) AS sxx_qty,
+        |    CAST(sum(qty * y) AS DOUBLE) AS sxy_qty,
+        |    CAST(sum(disc) AS DOUBLE) AS sx_disc,
+        |    CAST(sum(disc * disc) AS DOUBLE) AS sxx_disc,
+        |    CAST(sum(disc * y) AS DOUBLE) AS sxy_disc,
+        |    CAST(sum(tax) AS DOUBLE) AS sx_tax,
+        |    CAST(sum(tax * tax) AS DOUBLE) AS sxx_tax,
+        |    CAST(sum(tax * y) AS DOUBLE) AS sxy_tax
+        |  FROM b)
+        |SELECT 'ep' AS feature,
+        |  round(((n * sxy_ep - sx_ep * sy) * (n * sxy_ep - sx_ep * sy)) /
+        |    ((n * sxx_ep - sx_ep * sx_ep) * (n * sy - sy * sy)), 6)
+        |    AS score FROM a
+        |UNION ALL SELECT 'qty',
+        |  round(((n * sxy_qty - sx_qty * sy) * (n * sxy_qty - sx_qty * sy)) /
+        |    ((n * sxx_qty - sx_qty * sx_qty) * (n * sy - sy * sy)), 6)
+        |  FROM a
+        |UNION ALL SELECT 'disc',
+        |  round(((n * sxy_disc - sx_disc * sy) * (n * sxy_disc - sx_disc * sy)) /
+        |    ((n * sxx_disc - sx_disc * sx_disc) * (n * sy - sy * sy)), 6)
+        |  FROM a
+        |UNION ALL SELECT 'tax',
+        |  round(((n * sxy_tax - sx_tax * sy) * (n * sxy_tax - sx_tax * sy)) /
+        |    ((n * sxx_tax - sx_tax * sx_tax) * (n * sy - sy * sy)), 6)
+        |  FROM a""".stripMargin,
+
+    "q200_woe_iv" ->
+      """WITH per AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS g,
+        |    CAST(sum(CASE WHEN value >= 50.0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS b
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(g) AS BIGINT) AS gg,
+        |  CAST(sum(b) AS BIGINT) AS bb FROM per),
+        |d AS (SELECT event_type, g, b,
+        |  CAST(g AS DOUBLE) +
+        |    CASE WHEN g = 0 OR b = 0 THEN 0.5 ELSE 0.0 END AS ga,
+        |  CAST(b AS DOUBLE) +
+        |    CASE WHEN g = 0 OR b = 0 THEN 0.5 ELSE 0.0 END AS ba
+        |  FROM per)
+        |SELECT event_type, g, b,
+        |  round(ln((ga * bb) / (ba * gg)), 6) AS woe,
+        |  round((ga / gg - ba / bb) * ln((ga * bb) / (ba * gg)), 6)
+        |    AS iv_contrib
+        |FROM d, t""".stripMargin
   )
 }

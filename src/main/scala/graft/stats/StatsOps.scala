@@ -1078,6 +1078,45 @@ object StatsOps {
     agg.select(col("n"), round(g, 6).as("gini"))
   }
 
+  /** Lorenz curve at `nBuckets` population deciles — the graphical
+    * companion of [[gini]]: cumulative population share vs cumulative
+    * value share, ascending by value. Bucket assignment is a pure
+    * function of the strictly-below cumulative count
+    * (floor(nB·b/n), capped) — deterministic under ties, no global
+    * window; value sums stay integral in DECIMAL(38,0); the
+    * cumulative window runs over ≤ nBuckets rows. */
+  def lorenzDeciles(df0: DataFrame, valueCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+    val counts = df.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("__c__"))
+    val cum = distinctValueCumCounts(counts, valueCol, "__c__")
+    val tot = cum.agg(sum(col("__c__")).as("__n__"),
+      sum(col(valueCol).cast("decimal(38,0)") * col("__c__"))
+        .as("__sv__"))
+    val withTot = cum.crossJoin(broadcast(tot))
+    val bucket = least(
+      floor(col("__below__").cast("double") * nBuckets / col("__n__")),
+      lit(nBuckets - 1)).cast("long")
+    val perBucket = withTot.groupBy(bucket.as("decile"))
+      .agg(sum(col("__c__")).cast("long").as("n"),
+        sum(col(valueCol).cast("decimal(38,0)") * col("__c__"))
+          .as("__v__"),
+        first(col("__n__")).as("__n__"),
+        first(col("__sv__")).as("__sv__"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("__cn__", sum(col("n")).over(w))
+      .withColumn("__cv__", sum(col("__v__")).over(w))
+      .select(col("decile"), col("n"),
+        round(col("__cn__").cast("double") / col("__n__"), 6)
+          .as("cum_pop_share"),
+        round(col("__cv__").cast("double") /
+          col("__sv__").cast("double"), 6).as("cum_value_share"))
+  }
+
   /** Mantel-Haenszel pooled odds ratio across strata (the stratified
     * A/B effect estimate): per-stratum 2×2 cells from one groupBy,
     *   OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i),
