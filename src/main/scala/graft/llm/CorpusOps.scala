@@ -1,0 +1,159 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level analytics for training-data curation: importance
+  * weighting toward a target distribution (the hashed-n-gram DSIR
+  * scheme, Xie et al. 2023), cross-source n-gram overlap, Zipf
+  * power-law fit, and lexical-diversity statistics. Like the rest of
+  * the llm package these are engine-portable (48-bit md5 hashing) so
+  * every decision replays exactly in the DuckDB oracle, and every
+  * operator is groupBy/join-shaped — no driver state, no global
+  * windows over full data. */
+object CorpusOps {
+
+  /** Multiplicity-preserving word bigrams (unlike
+    * [[TextFunctions.wordNgrams]], which distincts per doc) — DSIR
+    * counts features with repetition. */
+  private def rawBigrams(text: Column): Column = {
+    val ts = TextFunctions.tokens(lower(text))
+    when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => array_join(slice(ts, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DSIR-style importance weights: hash every word bigram into
+    * `nBuckets` buckets (power of two, so floor(h48·B) is exact in a
+    * double and replays in any engine), estimate add-one-smoothed
+    * bucket distributions for the target (isTargetCol true) and
+    * source (rest) slices, and score each document by the
+    * log-likelihood ratio Σ_b c_db·(ln p̂_t[b] − ln p̂_s[b]).
+    * High weight = looks like the target distribution — sample
+    * source docs proportionally to shift the mixture.
+    *
+    * Scale: one explode + two bounded-key groupBys; the ≤ nBuckets
+    * log-ratio table broadcasts; per-doc weights are one more
+    * groupBy. Docs with no bigram get weight 0 and n_grams 0. */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+      isTargetCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (exact floor(h48*B) replay)")
+    val g = docs
+      .filter(col(idCol).isNotNull && col(isTargetCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        col(isTargetCol).cast("boolean").as("__t__"),
+        explode(rawBigrams(col(textCol))).as("g"))
+    val b = g.withColumn("__b__",
+      floor(PipelineOps.hash48Unit(col("g")) * nBuckets).cast("long"))
+    val bucketCounts = b.groupBy("__b__").agg(
+      sum(when(col("__t__"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("__t__"), 0L).otherwise(1L)).as("cs"))
+    val tot = bucketCounts.agg(sum("ct").as("__tt__"),
+      sum("cs").as("__ts__"))
+    val lr = bucketCounts.crossJoin(broadcast(tot))
+      .select(col("__b__"),
+        (log((col("ct") + 1).cast("double") /
+            (col("__tt__") + nBuckets)) -
+          log((col("cs") + 1).cast("double") /
+            (col("__ts__") + nBuckets))).as("__lr__"))
+    val perDoc = b.groupBy(col("doc_id"), col("__b__"))
+      .agg(count(lit(1)).as("__c__"))
+      .join(broadcast(lr), "__b__")
+      .groupBy("doc_id")
+      .agg(sum(col("__c__")).as("n_grams"),
+        sum(col("__c__") * col("__lr__")).as("__w__"))
+    docs.filter(col(idCol).isNotNull && col(isTargetCol).isNotNull)
+      .select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
+        round(coalesce(col("__w__"), lit(0.0)), 6).as("weight"))
+  }
+
+  /** Pairwise n-gram Jaccard between sources: |A∩B| from a self-join
+    * of the DISTINCT (source, gram) table on gram (a gram in k
+    * sources emits C(k,2) ≤ C(|sources|,2) pairs — bounded by the
+    * source count, not the corpus), |A∪B| by inclusion-exclusion
+    * from per-source distinct counts. */
+  def sourceNgramOverlap(docs: DataFrame, textCol: String,
+      sourceCol: String, n: Int = 3): DataFrame = {
+    val pairs = docs.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("src"),
+        explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+    val sizes = pairs.groupBy("src").agg(count(lit(1)).as("nd"))
+    val inter = pairs.as("a")
+      .join(pairs.as("b"),
+        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("nd").as("__na__"))), "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("nd").as("__nb__"))), "src_b")
+      .select(col("src_a"), col("src_b"),
+        col("n_common").cast("long").as("n_common"),
+        round(col("n_common").cast("double") /
+          (col("__na__") + col("__nb__") - col("n_common")), 6)
+          .as("jaccard"))
+  }
+
+  /** Zipf power-law fit over the top-`topK` terms: OLS of
+    * ln(count) ~ ln(rank) (rank by count desc, term asc — fully
+    * tie-broken), alpha = −slope, with the fit r². The top-K is a
+    * TakeOrdered (per-partition top-k, no global sort); the rank
+    * window and OLS run over K rows. */
+  def zipfFit(docs: DataFrame, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val terms = docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol))))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val top = terms.orderBy(col("c").desc, col("w")).limit(topK)
+    val ranked = top.withColumn("__r__",
+      row_number().over(Window.orderBy(col("c").desc, col("w"))))
+    val lx = log(col("__r__").cast("double"))
+    val ly = log(col("c").cast("double"))
+    val a = ranked.agg(count(lit(1)).cast("double").as("n"),
+      sum(lx).as("sx"), sum(ly).as("sy"),
+      sum(lx * lx).as("sxx"), sum(lx * ly).as("sxy"),
+      sum(ly * ly).as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val r2 = (num * num) /
+      ((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy")))
+    a.select(col("n").cast("long").as("n_terms"),
+      round(-slope, 6).as("alpha"), round(r2, 6).as("r2"))
+  }
+
+  /** Per-source lexical diversity: token count N, vocabulary V,
+    * type-token ratio V/N, hapax fraction (share of the vocabulary
+    * seen exactly once), and the Heaps'-law exponent ln V / ln N.
+    * Exact integer aggregates; two bounded groupBys. */
+  def lexicalStats(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val w = docs.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("src"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+    val tc = w.groupBy("src", "w").agg(count(lit(1)).as("c"))
+    tc.groupBy("src").agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("__h__"))
+      .select(col("src"), col("n_tokens"), col("vocab"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6)
+          .as("ttr"),
+        round(col("__h__").cast("double") / col("vocab"), 6)
+          .as("hapax_frac"),
+        round(log(col("vocab").cast("double")) /
+          log(col("n_tokens").cast("double")), 6).as("heaps_beta"))
+  }
+}

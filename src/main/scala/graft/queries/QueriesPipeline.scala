@@ -382,7 +382,31 @@ object QueriesPipeline {
           // DuckDB round opposite ways — both engines compute the
           // identical division, so emit it unrounded
           col("aud.duration_s").as("wav_duration"))
-    }))
+    }),
+
+    // corpus analytics (round-3 additions, graft.llm.CorpusOps)
+
+    // DSIR importance weights toward src0 as the target slice
+    "q201_dsir_weights" -> ((s, d) =>
+      graft.llm.CorpusOps.dsirWeights(
+        t(s, d, "documents")
+          .withColumn("is_t", col("source") === "src0"),
+        "text", "doc_id", "is_t", nBuckets = 1024)),
+
+    // pairwise 3-gram Jaccard between sources
+    "q202_source_overlap" -> ((s, d) =>
+      graft.llm.CorpusOps.sourceNgramOverlap(
+        t(s, d, "documents"), "text", "source", n = 3)),
+
+    // Zipf power-law fit over the top-100 terms
+    "q203_zipf" -> ((s, d) =>
+      graft.llm.CorpusOps.zipfFit(t(s, d, "documents"), "text",
+        topK = 100)),
+
+    // per-source lexical diversity (TTR, hapax share, Heaps beta)
+    "q204_lexical_stats" -> ((s, d) =>
+      graft.llm.CorpusOps.lexicalStats(t(s, d, "documents"), "text",
+        "source")))
 
   val oracle: Map[String, String] = Map(
 
@@ -1047,5 +1071,106 @@ object QueriesPipeline {
         |  CAST(1000 + doc_id % 500 AS BIGINT) AS wav_frames,
         |  CAST(1000 + doc_id % 500 AS DOUBLE) /
         |    (8000 + (doc_id % 3) * 4000) AS wav_duration
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // DSIR replayed: raw (multiplicity-kept) bigrams, portable
+    // 48-bit bucket hash (exact floor(h48*1024)), add-one-smoothed
+    // log-ratio per bucket, per-doc dot product
+    "q201_dsir_weights" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id, source = 'src0' AS t,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |g0 AS (SELECT doc_id, t, CASE WHEN len(tk) >= 2 THEN
+        |    list_transform(range(1, len(tk)),
+        |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+        |  ELSE [] END AS gs FROM d),
+        |g AS (SELECT doc_id, t, unnest(gs) AS g FROM g0),
+        |b AS (SELECT doc_id, t,
+        |  CAST(floor((${h48("g")}) * 1024) AS BIGINT) AS bk FROM g),
+        |bc AS (SELECT bk,
+        |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |  CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cs
+        |  FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS stt,
+        |  CAST(sum(cs) AS BIGINT) AS sts FROM bc),
+        |lr AS (SELECT bk,
+        |  ln(CAST(ct + 1 AS DOUBLE) / (stt + 1024)) -
+        |    ln(CAST(cs + 1 AS DOUBLE) / (sts + 1024)) AS lr
+        |  FROM bc, tt),
+        |pd AS (SELECT doc_id, bk, count(*) AS c FROM b GROUP BY 1, 2),
+        |wz AS (SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    sum(c * lr.lr) AS w
+        |  FROM pd JOIN lr USING (bk) GROUP BY 1)
+        |SELECT d0.doc_id,
+        |  CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+        |  round(coalesce(w.w, 0.0), 6) AS weight
+        |FROM (SELECT doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL) d0
+        |LEFT JOIN wz w USING (doc_id)""".stripMargin,
+
+    "q202_source_overlap" ->
+      raw"""WITH p AS (
+        |  SELECT DISTINCT src, g FROM (
+        |    SELECT source AS src, unnest(CASE WHEN len(tk) >= 3 THEN
+        |        list_distinct(list_transform(range(1, len(tk) - 1),
+        |          i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+        |      ELSE [] END) AS g
+        |    FROM (SELECT source, list_filter(
+        |        regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> length(x) > 0) AS tk
+        |      FROM documents WHERE source IS NOT NULL) t0) t1),
+        |s AS (SELECT src, CAST(count(*) AS BIGINT) AS nd
+        |  FROM p GROUP BY 1),
+        |i AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM p a JOIN p b ON a.g = b.g AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    (sa.nd + sb.nd - n_common), 6) AS jaccard
+        |FROM i JOIN s sa ON i.src_a = sa.src
+        |JOIN s sb ON i.src_b = sb.src""".stripMargin,
+
+    "q203_zipf" ->
+      raw"""WITH w AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0)) AS w
+        |  FROM documents),
+        |tc AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+        |top AS (SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, w) AS r
+        |  FROM tc ORDER BY c DESC, w LIMIT 100),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(ln(CAST(r AS DOUBLE))) AS sx,
+        |    sum(ln(CAST(c AS DOUBLE))) AS sy,
+        |    sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+        |    sum(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+        |    sum(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS syy
+        |  FROM top)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
+        |    AS alpha,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM a""".stripMargin,
+
+    "q204_lexical_stats" ->
+      raw"""WITH w AS (
+        |  SELECT source AS src, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0)) AS w
+        |  FROM documents WHERE source IS NOT NULL),
+        |tc AS (SELECT src, w, count(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT src, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS hapax_frac,
+        |  round(ln(CAST(count(*) AS DOUBLE)) /
+        |    ln(CAST(sum(c) AS DOUBLE)), 6) AS heaps_beta
+        |FROM tc GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.CorpusOps
+
+/** Corpus analytics (round-3 additions): DSIR importance weights,
+  * source overlap, Zipf fit, lexical diversity. */
+class CorpusOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dsirWeights scores target-like docs above source-like docs") {
+    // target slice speaks "alpha beta", source slice "gamma delta";
+    // doc 5 (source) echoes the target phrase, doc 6 the source one
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", true),
+      (2L, "alpha beta alpha beta", true),
+      (3L, "gamma delta gamma delta gamma delta", false),
+      (4L, "gamma delta gamma delta", false),
+      (5L, "alpha beta alpha beta", false),
+      (6L, "gamma delta gamma delta", false)
+    ).toDF("id", "text", "is_t")
+    val w = CorpusOps.dsirWeights(docs, "text", "id", "is_t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    w(5L) should be > w(6L)
+  }
+
+  test("dsirWeights gives empty docs zero weight and zero grams") {
+    val docs = Seq((1L, "one token", true), (2L, "solo", false))
+      .toDF("id", "text", "is_t")
+    val r = CorpusOps.dsirWeights(docs, "text", "id", "is_t")
+      .filter(col("doc_id") === 2L).collect().head
+    r.getLong(1) shouldBe 0L
+    r.getDouble(2) shouldBe 0.0
+  }
+
+  test("sourceNgramOverlap computes exact pairwise Jaccard") {
+    // a: {x y z, y z w}; b: {y z w, z w v} -> inter 1, union 3
+    val docs = Seq(("a", "x y z w"), ("b", "y z w v"))
+      .toDF("source", "text")
+    val r = CorpusOps.sourceNgramOverlap(docs, "text", "source", n = 3)
+      .collect().head
+    r.getAs[Long]("n_common") shouldBe 1L
+    approx(r.getAs[Double]("jaccard"), 1.0 / 3, 1e-6)
+  }
+
+  test("zipfFit recovers alpha=1 from an exact 1/r law") {
+    // counts 12, 6, 4, 3 = 12/r for r=1..4 -> slope -1, r2 = 1
+    val text = (Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++
+      Seq.fill(4)("w3") ++ Seq.fill(3)("w4")).mkString(" ")
+    val r = CorpusOps.zipfFit(Seq(text).toDF("text"), "text",
+      topK = 4).collect().head
+    r.getAs[Long]("n_terms") shouldBe 4L
+    approx(r.getAs[Double]("alpha"), 1.0, 1e-6)
+    approx(r.getAs[Double]("r2"), 1.0, 1e-6)
+  }
+
+  test("lexicalStats computes TTR, hapax fraction and Heaps beta") {
+    val r = CorpusOps.lexicalStats(
+      Seq(("s", "a a b c")).toDF("src0", "text"), "text", "src0")
+      .collect().head
+    r.getAs[Long]("n_tokens") shouldBe 4L
+    r.getAs[Long]("vocab") shouldBe 3L
+    approx(r.getAs[Double]("ttr"), 0.75, 1e-6)
+    approx(r.getAs[Double]("hapax_frac"), 2.0 / 3, 1e-6)
+    approx(r.getAs[Double]("heaps_beta"),
+      math.log(3.0) / math.log(4.0), 1e-6)
+  }
+}
