@@ -111,7 +111,9 @@ object Bench {
       "q113_group_sample", "q128_paragraph_dedup", "q129_bigram_lm",
       "q130_pack_sequences", "q139_preprocess_pipeline",
       // round-4 additions: semantic dedup + rank-based corr matrix
-      "q168_semantic_dedup", "q179_spearman_matrix")
+      "q168_semantic_dedup", "q179_spearman_matrix",
+      // round-3 continuation: rank-sum AUC + DSIR importance weights
+      "q191_roc_auc", "q201_dsir_weights")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))
