@@ -158,6 +158,30 @@ object MlMetrics {
       round((tp * tn - fp * fn) / mccDen, 6).as("mcc"))
   }
 
+  /** Lin's concordance correlation coefficient — agreement between
+    * two paired measurements: CCC = 2σ_xy / (σ_x² + σ_y² +
+    * (μ_x − μ_y)²) with population moments from one aggregate of
+    * exact integer sufficient sums (integral inputs — the cents
+    * pattern). */
+  def concordanceCcc(df0: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val x = dec(col(xCol)); val y = dec(col(yCol))
+    val a = df.agg(count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val n = col("n").cast("double")
+    val mx = col("sx").cast("double") / n
+    val my = col("sy").cast("double") / n
+    val covP = col("sxy").cast("double") / n - mx * my
+    val vxP = col("sxx").cast("double") / n - mx * mx
+    val vyP = col("syy").cast("double") / n - my * my
+    a.select(col("n").cast("long").as("n"),
+      round(lit(2.0) * covP /
+        (vxP + vyP + (mx - my) * (mx - my)), 6).as("ccc"))
+  }
+
   /** Reliability (calibration) table: fixed-width bins of the
     * predicted probability vs the observed positive rate. The
     * positive fraction derives from exact integer counts; mean_p is

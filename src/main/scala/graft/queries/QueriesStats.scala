@@ -16,6 +16,56 @@ object QueriesStats {
 
   val queries: Map[String, QueryFn] = Map(
 
+    // §2.12 Tukey HSD post-hoc over event-type value cents
+    "q205_tukey_hsd" -> ((s, d) =>
+      StatsOps.tukeyHsd(
+        t(s, d, "events").select(col("event_type"),
+          cents(col("value")).as("vc")),
+        "vc", "event_type")),
+
+    // §2.12 Cronbach's alpha over per-user click/view/purchase cents
+    "q206_cronbach" -> ((s, d) =>
+      StatsOps.cronbachAlpha(
+        t(s, d, "events").filter(col("user_id").isNotNull)
+          .groupBy("user_id").agg(
+            coalesce(sum(when(col("event_type") === "click",
+              cents(col("value")))), lit(0L)).as("c"),
+            coalesce(sum(when(col("event_type") === "view",
+              cents(col("value")))), lit(0L)).as("v"),
+            coalesce(sum(when(col("event_type") === "purchase",
+              cents(col("value")))), lit(0L)).as("p")),
+        Seq("c", "v", "p"))),
+
+    // §2.12 Lin's CCC between hourly click and purchase cents
+    "q207_ccc" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("hr"))
+        .agg(sum(when(col("event_type") === "click",
+            cents(col("value")))).as("x"),
+          sum(when(col("event_type") === "purchase",
+            cents(col("value")))).as("y"))
+      graft.ml.MlMetrics.concordanceCcc(hourly, "x", "y")
+    }),
+
+    // §2.12 Hellinger distance between the event-type mixes of even
+    // and odd user cohorts
+    "q208_hellinger" -> ((s, d) =>
+      StatsOps.hellinger(
+        t(s, d, "events").select(col("event_type"),
+          (pmod(col("user_id"), lit(2)) === 0).as("side")),
+        "event_type", "side")),
+
+    // §2.12 1-D EMD between purchase and click value distributions
+    // (dollar bins)
+    "q209_emd" -> ((s, d) =>
+      StatsOps.emd1d(
+        t(s, d, "events").select(
+          floor(col("value")).cast("long").as("vd"),
+          col("event_type")),
+        "vd", "event_type", "purchase", "click")),
+
     // §2.11 resample events to hourly buckets
     "q39_resample" -> ((s, d) =>
       t(s, d, "events")
@@ -746,6 +796,127 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q205_tukey_hsd" ->
+      """WITH d AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |gp AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  sum(v) AS s1, sum(v * v) AS s2 FROM d GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS nn, sum(s2) AS ts2,
+        |  sum(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) AS sgm
+        |  FROM gp)
+        |SELECT a.g AS group_a, b.g AS group_b,
+        |  round(CAST(a.s1 AS DOUBLE) / a.n -
+        |    CAST(b.s1 AS DOUBLE) / b.n, 6) AS mean_diff,
+        |  round(abs(CAST(a.s1 AS DOUBLE) / a.n -
+        |      CAST(b.s1 AS DOUBLE) / b.n) /
+        |    sqrt((CAST(ts2 AS DOUBLE) - sgm) / (nn - k) / 2 *
+        |      (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
+        |FROM gp a JOIN gp b ON a.g < b.g, tt""".stripMargin,
+
+    "q206_cronbach" ->
+      """WITH it AS (
+        |  SELECT user_id,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT),
+        |      0) AS c,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT),
+        |      0) AS v,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT),
+        |      0) AS p
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(c + v + p) AS st, sum((c + v + p) * (c + v + p)) AS stt,
+        |  sum(c) AS sx0, sum(c * c) AS sxx0,
+        |  sum(v) AS sx1, sum(v * v) AS sxx1,
+        |  sum(p) AS sx2, sum(p * p) AS sxx2 FROM it)
+        |SELECT n, CAST(3 AS BIGINT) AS k,
+        |  round(1.5 * (1.0 - (
+        |    (CAST(sxx0 AS DOUBLE) -
+        |      CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) / n) / (n - 1) +
+        |    (CAST(sxx1 AS DOUBLE) -
+        |      CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n) / (n - 1) +
+        |    (CAST(sxx2 AS DOUBLE) -
+        |      CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n) / (n - 1)) /
+        |    ((CAST(stt AS DOUBLE) -
+        |      CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n) / (n - 1))),
+        |    6) AS alpha
+        |FROM a""".stripMargin,
+
+    "q207_ccc" ->
+      """WITH hourly AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT)
+        |      AS hr,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |f AS (SELECT x, y FROM hourly
+        |  WHERE x IS NOT NULL AND y IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy FROM f)
+        |SELECT n,
+        |  round(2.0 * (CAST(sxy AS DOUBLE) / n -
+        |      (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) /
+        |    ((CAST(sxx AS DOUBLE) / n -
+        |        (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) +
+        |      (CAST(syy AS DOUBLE) / n -
+        |        (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) +
+        |      (CAST(sx AS DOUBLE) / n - CAST(sy AS DOUBLE) / n) *
+        |        (CAST(sx AS DOUBLE) / n - CAST(sy AS DOUBLE) / n)), 6)
+        |    AS ccc
+        |FROM a""".stripMargin,
+
+    "q208_hellinger" ->
+      """WITH d AS (
+        |  SELECT event_type, user_id % 2 = 0 AS s FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_cats,
+        |  sum(sqrt((CAST(ca AS DOUBLE) / na) *
+        |    (CAST(cb AS DOUBLE) / nb))) AS bc FROM c, t)
+        |SELECT n_cats, round(bc, 6) AS bc,
+        |  round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
+        |FROM a""".stripMargin,
+
+    "q209_emd" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS v, event_type AS g
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND event_type IN ('purchase', 'click')),
+        |c AS (SELECT v,
+        |  CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cb
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |w AS (SELECT v,
+        |  CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / na AS fa,
+        |  CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / nb AS fb,
+        |  lead(v, 1) OVER (ORDER BY v) - v AS gap FROM c, t)
+        |SELECT round(sum(abs(fa - fb) * CAST(gap AS DOUBLE)), 6) AS emd
+        |FROM w WHERE gap IS NOT NULL""".stripMargin,
 
     "q189_ccf" ->
       """WITH hourly AS (

@@ -242,6 +242,128 @@ object StatsOps {
         col("df_between").cast("double"), col("df_within").cast("double")))
   }
 
+  /** Tukey HSD post-hoc after one-way ANOVA: for every group pair
+    * the mean difference and the studentized-range statistic
+    * q = |mᵢ − mⱼ| / √(MSW/2 · (1/nᵢ + 1/nⱼ)), with MSW from the same
+    * within-group sums as [[anovaOneWay]]. Integral inputs (cents
+    * pattern) keep the sufficient sums exact; the pair join runs over
+    * the k-row group table. The studentized-range p-value has no
+    * closed form — the statistic is the gated output (the chow-test
+    * convention). */
+  def tukeyHsd(df0: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val df = df0.filter(col(valueCol).isNotNull &&
+      col(groupCol).isNotNull)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col(valueCol))).as("s1"),
+        sum(dec(col(valueCol)) * dec(col(valueCol))).as("s2"))
+      .cache() // reused by the total aggregate and both pair sides
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s2")).as("ts2"),
+      sum(col("s1").cast("double") * col("s1").cast("double") /
+        col("n")).as("sgm"))
+    val l = g.select(col(groupCol).cast("string").as("group_a"),
+      col("n").as("na"), col("s1").as("sa"))
+    val r = g.select(col(groupCol).cast("string").as("group_b"),
+      col("n").as("nb"), col("s1").as("sb"))
+    val pairs = l.join(r, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(tot))
+    val msw = (col("ts2").cast("double") - col("sgm")) /
+      (col("nn") - col("k"))
+    val ma = col("sa").cast("double") / col("na")
+    val mb = col("sb").cast("double") / col("nb")
+    val se = sqrt(msw / 2 * (lit(1.0) / col("na") +
+      lit(1.0) / col("nb")))
+    pairs.select(col("group_a"), col("group_b"),
+      round(ma - mb, 6).as("mean_diff"),
+      round(abs(ma - mb) / se, 6).as("q_stat"))
+  }
+
+  /** Cronbach's alpha internal-consistency reliability over item
+    * columns: α = k/(k−1) · (1 − Σᵢ varᵢ / var_total), sample
+    * variances from one aggregate of exact integer sufficient sums
+    * (integral items — the cents pattern). Rows with any null item
+    * are excluded (complete-case, the standard convention). */
+  def cronbachAlpha(df0: DataFrame,
+      itemCols: Seq[String]): DataFrame = {
+    val k = itemCols.size
+    require(k >= 2, "cronbachAlpha needs >= 2 items")
+    val df = df0.filter(itemCols.map(col(_).isNotNull).reduce(_ && _))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val t = itemCols.map(c => dec(col(c))).reduce(_ + _)
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(t).as("st"), sum(t * t).as("stt")) ++
+      itemCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(dec(col(c))).as(s"sx$i"),
+          sum(dec(col(c)) * dec(col(c))).as(s"sxx$i"))
+      }
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    def sVar(sx: Column, sxx: Column): Column =
+      (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n) /
+        (n - 1)
+    val sumVar = itemCols.indices
+      .map(i => sVar(col(s"sx$i"), col(s"sxx$i"))).reduce(_ + _)
+    val varTot = sVar(col("st"), col("stt"))
+    a.select(col("n").cast("long").as("n"),
+      lit(k.toLong).as("k"),
+      round(lit(k.toDouble / (k - 1)) * (lit(1.0) - sumVar / varTot), 6)
+        .as("alpha"))
+  }
+
+  /** Hellinger distance (and the Bhattacharyya coefficient) between
+    * the categorical distributions of the two sides of a boolean
+    * split: BC = Σ_c √(p_c·q_c), H = √(max(0, 1 − BC)). One bounded
+    * groupBy; categories absent on one side contribute zero. */
+  def hellinger(df0: DataFrame, catCol: String,
+      sideCol: String): DataFrame = {
+    val s = col(sideCol).cast("boolean")
+    val df = df0.filter(col(catCol).isNotNull && s.isNotNull)
+    val cells = df.groupBy(col(catCol))
+      .agg(sum(when(s, 1L).otherwise(0L)).as("ca"),
+        sum(when(s, 0L).otherwise(1L)).as("cb"))
+    val tot = cells.agg(sum("ca").as("__na__"), sum("cb").as("__nb__"))
+    cells.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_cats"),
+        sum(sqrt((col("ca").cast("double") / col("__na__")) *
+          (col("cb").cast("double") / col("__nb__")))).as("__bc__"))
+      .select(col("n_cats"),
+        round(col("__bc__"), 6).as("bc"),
+        round(sqrt(greatest(lit(0.0), lit(1.0) - col("__bc__"))), 6)
+          .as("hellinger"))
+  }
+
+  /** 1-D earth mover's (Wasserstein-1) distance between two groups'
+    * distributions over an INTEGRAL (pre-binned) value column:
+    * W₁ = Σᵢ |F_A(vᵢ) − F_B(vᵢ)|·(vᵢ₊₁ − vᵢ) over the sorted
+    * distinct-bin table. The windows run over the bounded bin domain
+    * (the PSI-class contract: bin continuous values first). */
+  def emd1d(df0: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pooled = df0.filter(col(valueCol).isNotNull &&
+      col(groupCol).isin(gA, gB))
+    val cells = pooled.groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === gA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gB, 1L).otherwise(0L)).as("cb"))
+    val tot = cells.agg(sum("ca").as("__na__"), sum("cb").as("__nb__"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.orderBy(col("v"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("__fa__",
+        sum(col("ca")).over(w).cast("double") / col("__na__"))
+      .withColumn("__fb__",
+        sum(col("cb")).over(w).cast("double") / col("__nb__"))
+      .withColumn("__gap__",
+        (lead(col("v"), 1).over(wl) - col("v")).cast("double"))
+      .filter(col("__gap__").isNotNull)
+      .agg(round(sum(abs(col("__fa__") - col("__fb__")) *
+        col("__gap__")), 6).as("emd"))
+  }
+
   /** Cramér's V association strength (stats/mod.rs cramers_v):
     * sqrt(χ²/(n·(k−1))). */
   def cramersV(df: DataFrame, a: String, b: String): DataFrame = {

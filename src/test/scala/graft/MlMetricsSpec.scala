@@ -118,6 +118,50 @@ class MlMetricsSpec extends SparkSpecBase {
       (1.0 / 3) * math.log(2.0), 1e-6)
   }
 
+  test("tukeyHsd matches the hand-computed studentized range stat") {
+    // a=[1,2,3] b=[4,5,6]: MSW = 1, q = 3/sqrt((1/2)(2/3)) = 3*sqrt(3)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val r = StatsOps.tukeyHsd(df, "v", "g").collect().head
+    approx(r.getAs[Double]("mean_diff"), -3.0, 1e-9)
+    approx(r.getAs[Double]("q_stat"), 3.0 * math.sqrt(3.0), 1e-6)
+  }
+
+  test("cronbachAlpha on perfectly correlated items") {
+    // x1=[1,2,3] x2=[2,4,6]: var 1 and 4, total var 9 -> 2(1-5/9)
+    val df = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x1", "x2")
+    val r = StatsOps.cronbachAlpha(df, Seq("x1", "x2")).collect().head
+    r.getAs[Long]("k") shouldBe 2L
+    approx(r.getAs[Double]("alpha"), 2.0 * (1 - 5.0 / 9), 1e-6)
+  }
+
+  test("concordanceCcc is 1 on identity and penalizes location shift") {
+    val same = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    approx(MlMetrics.concordanceCcc(same, "x", "y")
+      .collect().head.getAs[Double]("ccc"), 1.0, 1e-9)
+    // y = x + 1: ccc = 2*(2/3) / (4/3 + 1) = 4/7
+    val shift = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    approx(MlMetrics.concordanceCcc(shift, "x", "y")
+      .collect().head.getAs[Double]("ccc"), 4.0 / 7, 1e-6)
+  }
+
+  test("hellinger is 0 for identical and 1 for disjoint mixes") {
+    val same = Seq(("a", true), ("a", false), ("b", true),
+      ("b", false)).toDF("c", "s")
+    val r0 = StatsOps.hellinger(same, "c", "s").collect().head
+    approx(r0.getAs[Double]("hellinger"), 0.0, 1e-9)
+    val disjoint = Seq(("a", true), ("b", false)).toDF("c", "s")
+    val r1 = StatsOps.hellinger(disjoint, "c", "s").collect().head
+    approx(r1.getAs[Double]("hellinger"), 1.0, 1e-9)
+  }
+
+  test("emd1d equals the point-mass transport distance") {
+    val df = Seq((0L, "a"), (0L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("v", "g")
+    approx(StatsOps.emd1d(df, "v", "g", "a", "b")
+      .collect().head.getAs[Double]("emd"), 2.0, 1e-9)
+  }
+
   test("woeIv continuity-adjusts zero cells to stay finite") {
     val df = Seq(("a", true), ("a", true), ("b", false))
       .toDF("c", "y")
