@@ -1,9 +1,12 @@
 package graft.ml
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{DecisionTreeClassifier,
+  GBTClassifier, LogisticRegression, MultilayerPerceptronClassifier,
+  RandomForestClassifier}
 import org.apache.spark.ml.feature.{PCA, VectorAssembler}
-import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.ml.regression.{DecisionTreeRegressor,
+  GBTRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -155,6 +158,80 @@ object MlOps {
       .setFeaturesCol("features").fit(assembled)
     m.transform(assembled).select(df.columns.map(col) :+
       col("prediction"): _*)
+  }
+
+  /** DecisionTree classifier/regressor (models/tree.rs:185,669) via
+    * MLlib — distributed histogram-based splits, deterministic given
+    * the seed. Returns the input plus a `prediction` column. */
+  def decisionTreeMl(df: DataFrame, features: Seq[String],
+      label: String, regression: Boolean = false, maxDepth: Int = 5,
+      seed: Long = 42L): DataFrame = {
+    val assembled = assemble(df, features)
+    val out =
+      if (regression)
+        new DecisionTreeRegressor().setLabelCol(label)
+          .setFeaturesCol("features").setMaxDepth(maxDepth)
+          .setSeed(seed).fit(assembled).transform(assembled)
+      else
+        new DecisionTreeClassifier().setLabelCol(label)
+          .setFeaturesCol("features").setMaxDepth(maxDepth)
+          .setSeed(seed).fit(assembled).transform(assembled)
+    out.select(df.columns.map(col) :+ col("prediction"): _*)
+  }
+
+  /** RandomForest classifier/regressor (models/ensemble.rs:131,367)
+    * via MLlib. */
+  def randomForestMl(df: DataFrame, features: Seq[String],
+      label: String, regression: Boolean = false, numTrees: Int = 20,
+      maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
+    val assembled = assemble(df, features)
+    val out =
+      if (regression)
+        new RandomForestRegressor().setLabelCol(label)
+          .setFeaturesCol("features").setNumTrees(numTrees)
+          .setMaxDepth(maxDepth).setSeed(seed)
+          .fit(assembled).transform(assembled)
+      else
+        new RandomForestClassifier().setLabelCol(label)
+          .setFeaturesCol("features").setNumTrees(numTrees)
+          .setMaxDepth(maxDepth).setSeed(seed)
+          .fit(assembled).transform(assembled)
+    out.select(df.columns.map(col) :+ col("prediction"): _*)
+  }
+
+  /** Gradient-boosted trees (models/ensemble.rs:639,875) via MLlib. */
+  def gbtMl(df: DataFrame, features: Seq[String], label: String,
+      regression: Boolean = false, maxIter: Int = 20,
+      maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
+    val assembled = assemble(df, features)
+    val out =
+      if (regression)
+        new GBTRegressor().setLabelCol(label)
+          .setFeaturesCol("features").setMaxIter(maxIter)
+          .setMaxDepth(maxDepth).setSeed(seed)
+          .fit(assembled).transform(assembled)
+      else
+        new GBTClassifier().setLabelCol(label)
+          .setFeaturesCol("features").setMaxIter(maxIter)
+          .setMaxDepth(maxDepth).setSeed(seed)
+          .fit(assembled).transform(assembled)
+    out.select(df.columns.map(col) :+ col("prediction"): _*)
+  }
+
+  /** MLP classifier (models/neural.rs:582) via MLlib — `layers` is
+    * the full topology including input and output sizes. */
+  def mlpClassifierMl(df: DataFrame, features: Seq[String],
+      label: String, layers: Seq[Int], maxIter: Int = 100,
+      seed: Long = 42L): DataFrame = {
+    require(layers.size >= 2 && layers.head == features.size,
+      "mlpClassifierMl: layers must start at the feature count")
+    val assembled = assemble(df, features)
+    val m = new MultilayerPerceptronClassifier().setLabelCol(label)
+      .setFeaturesCol("features")
+      .setLayers(layers.map(Integer.valueOf).toArray.map(_.intValue))
+      .setMaxIter(maxIter).setSeed(seed).fit(assembled)
+    m.transform(assembled)
+      .select(df.columns.map(col) :+ col("prediction"): _*)
   }
 
   /** PolynomialFeatures (preprocessing/mod.rs:348): every monomial of

@@ -179,6 +179,18 @@ object QueriesExt {
 
     // §2.13 KMeans via MLlib (seeded; rows-only — centroid label ids
     // are implementation-defined)
+    // §2.13 tree-ensemble models via MLlib (rows-only: no DuckDB
+    // counterpart; the spec verifies exact recovery on separable data)
+    "q210_forest" -> ((s, d) =>
+      MlOps.randomForestMl(
+        t(s, d, "events").select(
+          (col("value") >= 50.0).cast("double").as("label"),
+          dbl(pmod(col("user_id"), lit(7))).as("f0"),
+          dbl(hour(col("ts"))).as("f1"),
+          dbl(col("value")).as("f2")),
+        Seq("f0", "f1", "f2"), "label", numTrees = 10)
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))),
+
     "q72_kmeans" -> ((s, d) =>
       MlOps.kmeans(
         t(s, d, "embeddings").select(col("vec_id"),

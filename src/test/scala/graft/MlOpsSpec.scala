@@ -9,6 +9,37 @@ import graft.ml.MlOps
 class MlOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("tree, forest, and gbt models separate a clean boundary") {
+    val df = (1 to 40).map(i =>
+      (i.toDouble, if (i <= 20) 0.0 else 1.0)).toDF("x", "label")
+    Seq(
+      MlOps.decisionTreeMl(df, Seq("x"), "label"),
+      MlOps.randomForestMl(df, Seq("x"), "label", numTrees = 5),
+      MlOps.gbtMl(df, Seq("x"), "label", maxIter = 5)
+    ).foreach { out =>
+      out.filter(col("prediction") =!= col("label")).count() shouldBe 0L
+    }
+  }
+
+  test("tree regression recovers a step function") {
+    val df = (1 to 40).map(i =>
+      (i.toDouble, if (i <= 20) 10.0 else 20.0)).toDF("x", "y")
+    val out = MlOps.decisionTreeMl(df, Seq("x"), "y",
+      regression = true)
+    out.filter(abs(col("prediction") - col("y")) > 1e-9)
+      .count() shouldBe 0L
+  }
+
+  test("mlpClassifierMl learns a separable boundary") {
+    val df = (1 to 40).map(i =>
+      (i.toDouble / 40, if (i <= 20) 0.0 else 1.0))
+      .toDF("x", "label")
+    val out = MlOps.mlpClassifierMl(df, Seq("x"), "label",
+      layers = Seq(1, 4, 2))
+    val err = out.filter(col("prediction") =!= col("label")).count()
+    assert(err <= 2, s"mlp misclassified $err of 40")
+  }
+
   test("standardScale produces zero-mean unit-variance output") {
     val df = Seq(2.0, 4.0, 6.0, 8.0).toDF("v")
     val out = MlOps.standardScale(df, "v")
