@@ -562,6 +562,34 @@ object PandasOps {
       l.join(r, on, how)
     }
 
+    /** pandas reindex (src/index_impl + pandas_compat reindex): the
+      * result has EXACTLY the keys of `newIndex` (one `keyCol`
+      * column), in their row set — existing rows carry their values,
+      * absent keys appear with nulls (or `fill` for numeric columns).
+      * A left join from the new key table — broadcastable when the
+      * index is small, shuffle-join otherwise; never a collect. */
+    def reindex(newIndex: DataFrame, keyCol: String,
+        fill: Option[Double] = None): DataFrame = {
+      val joined = newIndex.select(keyCol).join(df, Seq(keyCol), "left")
+      fill match {
+        case Some(v) => joined.na.fill(v)
+        case None => joined
+      }
+    }
+
+    /** pandas align(join="outer") on a key column: both frames keyed
+      * on `keyCol`, full-outer joined, non-key columns suffixed — the
+      * aligned pair as ONE frame (Spark has no tuple-of-frames
+      * return; select the suffixed halves to split). */
+    def alignOuter(right: DataFrame, keyCol: String,
+        suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+      val l = df.columns.filter(_ != keyCol).foldLeft(df)((d, c) =>
+        d.withColumnRenamed(c, c + suffixes._1))
+      val r = right.columns.filter(_ != keyCol).foldLeft(right)((d, c) =>
+        d.withColumnRenamed(c, c + suffixes._2))
+      l.join(r, Seq(keyCol), "outer")
+    }
+
     /** positional row selection (reference select.rs:53
       * select_rows_by_indices): order-dependent, takes an explicit
       * order column per SURVEY §7.4.1. */

@@ -179,6 +179,30 @@ object QueriesExt {
 
     // §2.13 KMeans via MLlib (seeded; rows-only — centroid label ids
     // are implementation-defined)
+    // §2.9 pandas reindex: daily purchase revenue onto the complete
+    // day range with fill
+    "q211_reindex" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      val daily = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("rev"))
+      val idx = daily.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      daily.reindex(idx, "day", fill = Some(0.0))
+    }),
+
+    // §2.3 pandas align(outer) of hourly click vs purchase series
+    "q212_align" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      def hourly(tpe: String) = t(s, d, "events")
+        .filter(col("event_type") === tpe)
+        .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("hr"))
+        .agg(sum(cents(col("value"))).as("v"))
+      hourly("click").alignOuter(hourly("purchase"), "hr")
+    }),
+
     // §2.13 tree-ensemble models via MLlib (rows-only: no DuckDB
     // counterpart; the spec verifies exact recovery on separable data)
     "q210_forest" -> ((s, d) =>
@@ -493,6 +517,34 @@ object QueriesExt {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "q211_reindex" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |idx AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |  INTERVAL 1 DAY)) AS DATE) AS day FROM span)
+        |SELECT idx.day, CAST(coalesce(rev, 0) AS BIGINT) AS rev
+        |FROM idx LEFT JOIN daily ON idx.day = daily.day""".stripMargin,
+
+    "q212_align" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT)
+        |      AS hr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS v_x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT)
+        |      AS hr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS v_y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(c.hr, p.hr) AS hr, c.v_x, p.v_y
+        |FROM c FULL OUTER JOIN p ON c.hr = p.hr""".stripMargin,
 
     // the native codegen expression replayed in SQL: the base-31
     // UTF-8 byte fold mod 2^64, stepped in HUGEINT (DuckDB integer

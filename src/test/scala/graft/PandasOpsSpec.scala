@@ -8,6 +8,24 @@ import graft.ops.PandasOps._
 class PandasOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("reindex completes the key set, fills gaps, drops extras") {
+    val df = Seq((1L, 10.0), (3L, 30.0), (9L, 90.0)).toDF("k", "v")
+    val idx = Seq(1L, 2L, 3L).toDF("k")
+    val out = df.reindex(idx, "k", fill = Some(0.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out shouldBe Map(1L -> 10.0, 2L -> 0.0, 3L -> 30.0)
+  }
+
+  test("alignOuter keeps both key sets with suffixed columns") {
+    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val b = Seq((2L, 200.0), (3L, 300.0)).toDF("k", "v")
+    val out = a.alignOuter(b, "k")
+    out.columns.toSeq shouldBe Seq("k", "v_x", "v_y")
+    out.count() shouldBe 3L
+    out.filter(col("k") === 2L).select("v_x", "v_y")
+      .collect().head.toSeq shouldBe Seq(20.0, 200.0)
+  }
+
   test("query string predicate filters like the reference query engine") {
     val df = Seq(("alice", 30, 50000.0), ("bob", 25, 80000.0),
       ("carol", 35, 60000.0)).toDF("name", "age", "salary")
