@@ -181,6 +181,15 @@ object QueriesStats {
             .otherwise(0L)).as("ev")),
         "dur", "ev")),
 
+    // §2.12 Nelson-Aalen cumulative hazard over the same survival data
+    "q213_nelson_aalen" -> ((s, d) =>
+      StatsOps.nelsonAalen(
+        t(s, d, "events").groupBy("user_id").agg(
+          datediff(max(col("ts")), min(col("ts"))).cast("long").as("dur"),
+          max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("ev")),
+        "dur", "ev")),
+
     // §2.12 log-rank test between even and odd user cohorts on the
     // same survival data
     "q184_logrank" -> ((s, d) =>
@@ -1211,6 +1220,40 @@ object QueriesStats {
         |  FROM w)
         |SELECT dur, d, c, n_risk, round(surv, 6) AS survival
         |FROM s""".stripMargin,
+
+    "q213_nelson_aalen" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(max(ts) AS DATE)) AS dur,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS ev
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT dur,
+        |    CAST(sum(CASE WHEN ev <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT dur, d, c,
+        |    CAST(coalesce(sum(d + c) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below,
+        |    CAST(sum(d + c) OVER () AS BIGINT) AS nn
+        |  FROM t)
+        |SELECT dur, d, c, nn - below AS n_risk,
+        |  round(sum(CAST(d AS DOUBLE) / (nn - below))
+        |    OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS hazard,
+        |  round(sum(CAST(d AS DOUBLE) /
+        |      (CAST(nn - below AS DOUBLE) * (nn - below)))
+        |    OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS hazard_var
+        |FROM w""".stripMargin,
 
     "q184_logrank" -> {
       val phi = graft.stats.Distributions.normalCdfSql("sqrt(chi2)")

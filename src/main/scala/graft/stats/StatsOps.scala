@@ -987,6 +987,37 @@ object StatsOps {
         round(col("survival"), 6).as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard estimator (lifelines
+    * NelsonAalenFitter semantics): H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over the
+    * same distinct-duration machinery as [[kaplanMeier]], with the
+    * variance estimate Σ dᵢ/nᵢ². */
+  def nelsonAalen(df0: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(durationCol).isNotNull &&
+      col(eventCol).isNotNull)
+    val t = df.groupBy(col(durationCol))
+      .agg(sum(when(col(eventCol) =!= 0, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 0, 1L).otherwise(0L)).as("c"))
+      .withColumn("__all__", col("d") + col("c"))
+    val below = distinctValueCumCounts(
+      t.select(col(durationCol), col("__all__")), durationCol, "__all__")
+      .select(col(durationCol), col("__below__"))
+    val tot = t.agg(sum("__all__").as("__n__"))
+    val w = Window.orderBy(col(durationCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(below, Seq(durationCol)).crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("__n__") - col("__below__"))
+      .withColumn("hazard", sum(
+        col("d").cast("double") / col("n_risk")).over(w))
+      .withColumn("hazard_var", sum(
+        col("d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk"))).over(w))
+      .select(col(durationCol), col("d"), col("c"), col("n_risk"),
+        round(col("hazard"), 6).as("hazard"),
+        round(col("hazard_var"), 6).as("hazard_var"))
+  }
+
   /** Two-group log-rank test (lifelines logrank_test): per distinct
     * event time, observed vs hypergeometric-expected events in group
     * A with the standard variance; χ²(1) = (O_A−E_A)²/V and

@@ -162,6 +162,17 @@ class MlMetricsSpec extends SparkSpecBase {
       .collect().head.getAs[Double]("emd"), 2.0, 1e-9)
   }
 
+  test("nelsonAalen accumulates d/n hazard increments") {
+    // durs [1,2], both events: H(1) = 1/2, H(2) = 1/2 + 1 = 3/2;
+    // var(2) = 1/4 + 1 = 5/4
+    val df = Seq((1L, 1L), (2L, 1L)).toDF("dur", "ev")
+    val rs = StatsOps.nelsonAalen(df, "dur", "ev").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    approx(rs(1L).getAs[Double]("hazard"), 0.5, 1e-9)
+    approx(rs(2L).getAs[Double]("hazard"), 1.5, 1e-9)
+    approx(rs(2L).getAs[Double]("hazard_var"), 1.25, 1e-9)
+  }
+
   test("woeIv continuity-adjusts zero cells to stay finite") {
     val df = Seq(("a", true), ("a", true), ("b", false))
       .toDF("c", "y")
