@@ -209,4 +209,34 @@ class SourcesAndPlanSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     plan should include("TakeOrderedAndProject")
   }
+
+  test("aucRoc windows run per range bucket, never globally") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = (1L to 200L).map(i => (i % 37, i % 3 == 0))
+      .toDF("score", "y")
+    val plan = graft.ml.MlMetrics.aucRoc(df, "score", "y")
+      .queryExecution.executedPlan
+    // every window operator must be partitioned (the range-bucket
+    // key) — an empty partitionSpec would be a global single-
+    // partition sort over the distinct-score table
+    plan.collect { case w: WindowExec => w }
+      .foreach(w => w.partitionSpec should not be empty)
+  }
+
+  test("dsirWeights broadcasts the bucket log-ratio table") {
+    val docs = (1L to 50L).map(i =>
+      (i, s"alpha beta gamma doc$i word${i % 7}", i % 5 == 0))
+      .toDF("id", "text", "is_t")
+    val plan = graft.llm.CorpusOps
+      .dsirWeights(docs, "text", "id", "is_t")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("zipfFit top-K plans as TakeOrderedAndProject") {
+    val docs = Seq("a b c a b a", "c d e a b").toDF("text")
+    val plan = graft.llm.CorpusOps.zipfFit(docs, "text", topK = 3)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
 }
