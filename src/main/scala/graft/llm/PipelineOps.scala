@@ -267,6 +267,37 @@ object PipelineOps {
       hash48Unit(concat(col(keyCol).cast("string"), lit(salt))) < rate)
   }
 
+  /** Temperature-weighted (α-)sampling across sources — the standard
+    * multilingual/multi-source mixing law: source s gets mixture
+    * weight w_s = n_s^α / Σ n_t^α (α < 1 upsamples small sources),
+    * and a deterministic per-source keep rate
+    * r_s = min(1, targetFrac·N·w_s / n_s) applied through the
+    * engine-portable 48-bit hash. Rates are rounded to 9 dp before
+    * the comparison (the [[weightedHashSample]] pow-ulp convention)
+    * so the selection replays bit-for-bit in any engine. One
+    * source-count aggregate broadcasts; the filter is map-side. */
+  def alphaSampleMix(df: DataFrame, sourceCol: String, keyCol: String,
+      alpha: Double, targetFrac: Double,
+      salt: String = ""): DataFrame = {
+    require(alpha > 0, "alpha must be > 0")
+    require(targetFrac > 0 && targetFrac <= 1.0,
+      "targetFrac must be in (0,1]")
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n__"))
+    val tot = counts.agg(sum(col("__n__")).as("__nn__"),
+      sum(pow(col("__n__").cast("double"), alpha)).as("__sp__"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("__nn__") *
+            pow(col("__n__").cast("double"), alpha) /
+            col("__sp__") / col("__n__")), 9).as("__rate__"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hash48Unit(concat(col(keyCol).cast("string"),
+        lit(salt))) < col("__rate__"))
+      .drop("__rate__")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis),
     * deterministic: each row's sample key is u^(1/w) with
     * u = hash48Unit(key‖salt), and the k largest keys win — rows with

@@ -406,7 +406,15 @@ object QueriesPipeline {
     // per-source lexical diversity (TTR, hapax share, Heaps beta)
     "q204_lexical_stats" -> ((s, d) =>
       graft.llm.CorpusOps.lexicalStats(t(s, d, "documents"), "text",
-        "source")))
+        "source")),
+
+    // temperature-weighted source mixing (alpha-sampling): kept
+    // counts per event type at alpha=0.5, target 40%
+    "q214_alpha_mix" -> ((s, d) =>
+      graft.llm.PipelineOps.alphaSampleMix(
+        t(s, d, "events").select(col("event_type"), col("event_id")),
+        "event_type", "event_id", alpha = 0.5, targetFrac = 0.4)
+        .groupBy("event_type").agg(count(lit(1)).as("n_kept"))))
 
   val oracle: Map[String, String] = Map(
 
@@ -1110,6 +1118,20 @@ object QueriesPipeline {
         |FROM (SELECT doc_id FROM documents
         |  WHERE doc_id IS NOT NULL AND source IS NOT NULL) d0
         |LEFT JOIN wz w USING (doc_id)""".stripMargin,
+
+    "q214_alpha_mix" ->
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |  sum(power(CAST(n AS DOUBLE), 0.5)) AS sp FROM c),
+         |r AS (SELECT event_type,
+         |  round(least(1.0, 0.4 * nn * power(CAST(n AS DOUBLE), 0.5)
+         |    / sp / n), 9) AS rate FROM c, t)
+         |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM events e JOIN r USING (event_type)
+         |WHERE ${h48("CAST(event_id AS VARCHAR)")} < rate
+         |GROUP BY 1""".stripMargin,
 
     "q202_source_overlap" ->
       raw"""WITH p AS (
