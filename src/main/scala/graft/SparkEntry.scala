@@ -26,10 +26,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesWindow.queries ++
       QueriesText.queries ++ QueriesStats.queries ++
-      QueriesExt.queries ++ QueriesPipeline.queries
+      QueriesExt.queries ++ QueriesPipeline.queries ++
+      QueriesAnalytics.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracle ++ QueriesWindow.oracle ++
       QueriesText.oracle ++ QueriesStats.oracle ++
-      QueriesExt.oracle ++ QueriesPipeline.oracle
+      QueriesExt.oracle ++ QueriesPipeline.oracle ++
+      QueriesAnalytics.oracle
 }

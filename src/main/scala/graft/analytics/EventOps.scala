@@ -1,0 +1,145 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream / behavioral analytics: funnel conversion, cohort
+  * retention, Markov transition matrices, RFM segmentation.
+  *
+  * Reference analogue: pandrs groupby + window compositions
+  * (`src/dataframe/group_by.rs`, `src/series/window.rs`) — the
+  * reference has no dedicated funnel/cohort module, so these are the
+  * standard analytical formulations expressed Spark-first.
+  *
+  * Scale notes: every op here is a bounded number of key-partitioned
+  * shuffles (per-user aggregates or lag windows partitioned by user);
+  * nothing is a global window or a driver-side loop. Funnel iterates
+  * once per STEP (k joins for a k-step funnel), not per row.
+  */
+object EventOps {
+
+  /** Ordered-funnel conversion: for the step sequence `steps`, a user
+    * reaches step k at the EARLIEST event of type `steps(k)` that is
+    * strictly after their step-(k−1) time (classic "ordered funnel",
+    * window unlimited). Emits one row per step with the number of
+    * users reaching it and the conversion vs step 1 in exact integer
+    * parts-per-million (floor), so the ratio is engine-independent.
+    *
+    * Plan: one hash-agg per step on `userCol` (min-timestamp), each
+    * followed by a user-keyed join — k bounded shuffles total; the
+    * events scan is filtered to the funnel's types first so only
+    * relevant rows ever shuffle. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(col(userCol).as("u"), col(tsCol).as("ts"),
+        col(typeCol).as("et"))
+      .filter(col("u").isNotNull && col("ts").isNotNull &&
+        col("et").isin(steps: _*))
+    // reached(k): DataFrame[u, t_k] — earliest qualifying time
+    var reached = ev.filter(col("et") === steps.head)
+      .groupBy("u").agg(min(col("ts")).as("t"))
+    var counts = Vector(reached.count())
+    steps.tail.foreach { st =>
+      reached = ev.filter(col("et") === st).join(reached, "u")
+        .filter(col("ts") > col("t"))
+        .groupBy("u").agg(min(col("ts")).as("t"))
+      counts = counts :+ reached.count()
+    }
+    val base = counts.head
+    steps.zipWithIndex.map { case (st, i) =>
+      (i + 1L, st, counts(i),
+        if (base == 0L) 0L else counts(i) * 1000000L / base)
+    }.toDF("step", "event_type", "n_users", "conversion_ppm")
+  }
+
+  /** Cohort retention: cohort = the `period`-truncated timestamp of a
+    * user's FIRST event; for every (cohort, offset) the number of
+    * distinct users from that cohort active `offset` periods later.
+    * `period` is a Spark/DuckDB `date_trunc` unit ("month", "week",
+    * "day"). Offset is measured in truncated-unit steps.
+    *
+    * Two shuffles: first-seen per user, then the distinct-count — both
+    * keyed, both partial-aggregated map-side. */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
+      period: String = "month"): DataFrame = {
+    val ev = df.select(col(userCol).as("u"),
+        date_trunc(period, col(tsCol)).as("p"))
+      .filter(col("u").isNotNull && col("p").isNotNull)
+    val firstSeen = ev.groupBy("u").agg(min(col("p")).as("cohort"))
+    val offsetExpr = period match {
+      case "month" => months_between(col("p"), col("cohort")).cast("long")
+      case "day"   => datediff(col("p"), col("cohort")).cast("long")
+      case "week"  => (datediff(col("p"), col("cohort")) / 7).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"unsupported period: $other")
+    }
+    ev.join(firstSeen, "u")
+      .select(col("cohort"), offsetExpr.as("offset"), col("u"))
+      .distinct()
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next=to | cur=from), estimated from adjacent pairs
+    * in each user's timeline. Ordering ties broken by `tieCol` so the
+    * sequence is deterministic. Probabilities round 6.
+    *
+    * One lag window partitioned by user (no global window), then a
+    * keyed count — scales with users × events/user. */
+  def markovTransitions(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val cnt = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("from_type").agg(sum(col("n")).as("__tot__"))
+    cnt.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__tot__"), 6).as("p"))
+  }
+
+  /** RFM (recency / frequency / monetary) per entity, with fixed
+    * threshold segmentation: recency = days from the entity's last
+    * event to the dataset's max date (one tiny scalar broadcast),
+    * frequency = event count, monetary = exact cents sum.
+    * `segment` uses caller-supplied fixed cutoffs — a pure map-side
+    * CASE after the single per-entity aggregate (the scalable
+    * alternative to global ntile scoring).
+    *
+    * Returns (entity, recency_days, frequency, monetary_cents,
+    * segment). */
+  def rfm(df: DataFrame, entityCol: String, tsCol: String,
+      amountCol: String, recencyCut: Int, freqCut: Long,
+      monetaryCutCents: Long): DataFrame = {
+    val agg = df.filter(col(entityCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(max(col(tsCol)).as("__last__"),
+        count(lit(1)).as("frequency"),
+        sum(round(col(amountCol) * 100).cast("long"))
+          .as("monetary_cents"))
+    val maxDate = agg.agg(max(col("__last__")).as("__maxd__"))
+    agg.crossJoin(broadcast(maxDate))
+      .select(col(entityCol),
+        datediff(col("__maxd__"), col("__last__")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+      .withColumn("segment",
+        when(col("recency_days") <= recencyCut &&
+            col("frequency") >= freqCut &&
+            col("monetary_cents") >= monetaryCutCents, "champion")
+          .when(col("recency_days") <= recencyCut, "recent")
+          .when(col("frequency") >= freqCut ||
+            col("monetary_cents") >= monetaryCutCents, "loyal_lapsed")
+          .otherwise("hibernating"))
+  }
+}

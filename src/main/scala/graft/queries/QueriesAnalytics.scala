@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.analytics.EventOps
+import Q._
+
+/** Behavioral / event-stream analytics coverage: funnel conversion,
+  * cohort retention, Markov transitions, RFM segmentation — the
+  * groupby+window compositions an analytics user of the reference
+  * builds by hand (pandrs `src/dataframe/group_by.rs`,
+  * `src/series/window.rs`), shipped as first-class operators. */
+object QueriesAnalytics {
+
+  val queries: Map[String, QueryFn] = Map[String, QueryFn](
+
+    // ordered funnel view -> click -> purchase over the events table;
+    // conversion in exact integer ppm (engine-independent)
+    "q215_funnel" -> ((s, d) =>
+      EventOps.funnel(t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // monthly cohort retention on orders (cohort = month of first
+    // order per customer, offset in months)
+    "q216_retention" -> ((s, d) =>
+      EventOps.retentionCohorts(t(s, d, "orders"), "o_custkey",
+        "o_orderdate", "month")
+        .select(col("cohort").cast("date").as("cohort"), col("offset"),
+          col("n_users"))),
+
+    // first-order Markov transition matrix over per-user event
+    // sequences (ties broken by event_id)
+    "q217_markov" -> ((s, d) =>
+      EventOps.markovTransitions(t(s, d, "events"), "user_id", "ts",
+        "event_type", "event_id")),
+
+    // RFM per customer on orders with fixed threshold segments
+    "q218_rfm" -> ((s, d) =>
+      EventOps.rfm(t(s, d, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice", recencyCut = 365, freqCut = 10,
+        monetaryCutCents = 100000L * 100)))
+
+  val oracle: Map[String, String] = Map(
+
+    "q215_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, ts, event_type AS et FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('view','click','purchase')),
+        |s1 AS (SELECT u, min(ts) AS t FROM e WHERE et='view' GROUP BY u),
+        |s2 AS (SELECT e.u, min(e.ts) AS t FROM e JOIN s1 ON e.u=s1.u
+        |       WHERE e.et='click' AND e.ts > s1.t GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.ts) AS t FROM e JOIN s2 ON e.u=s2.u
+        |       WHERE e.et='purchase' AND e.ts > s2.t GROUP BY e.u),
+        |c AS (SELECT 1 AS step, 'view' AS event_type,
+        |        (SELECT count(*) FROM s1) AS n_users
+        |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, event_type,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0
+        |    ELSE n_users * 1000000 // (SELECT count(*) FROM s1) END
+        |    AS BIGINT) AS conversion_ppm
+        |FROM c""".stripMargin,
+
+    "q216_retention" ->
+      """WITH ev AS (
+        |  SELECT o_custkey AS u, date_trunc('month', o_orderdate) AS p
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |fs AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u)
+        |SELECT CAST(cohort AS DATE) AS cohort,
+        |  CAST(date_diff('month', cohort, p) AS BIGINT) AS offset,
+        |  CAST(count(DISTINCT ev.u) AS BIGINT) AS n_users
+        |FROM ev JOIN fs ON ev.u = fs.u
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q217_markov" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cnt AS (SELECT from_type, to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+        |  FROM cnt GROUP BY 1)
+        |SELECT cnt.from_type, cnt.to_type, cnt.n,
+        |  round(CAST(cnt.n AS DOUBLE) / t, 6) AS p
+        |FROM cnt JOIN tot ON cnt.from_type = tot.from_type""".stripMargin,
+
+    "q218_rfm" ->
+      """WITH agg AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS monetary_cents
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS maxd FROM agg)
+        |SELECT o_custkey,
+        |  CAST(date_diff('day', CAST(last_d AS DATE),
+        |    CAST(maxd AS DATE)) AS BIGINT) AS recency_days,
+        |  frequency, monetary_cents,
+        |  CASE
+        |    WHEN date_diff('day', CAST(last_d AS DATE),
+        |        CAST(maxd AS DATE)) <= 365
+        |      AND frequency >= 10
+        |      AND monetary_cents >= 10000000 THEN 'champion'
+        |    WHEN date_diff('day', CAST(last_d AS DATE),
+        |        CAST(maxd AS DATE)) <= 365 THEN 'recent'
+        |    WHEN frequency >= 10
+        |      OR monetary_cents >= 10000000 THEN 'loyal_lapsed'
+        |    ELSE 'hibernating' END AS segment
+        |FROM agg, mx""".stripMargin)
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.analytics.EventOps
+
+/** Specs for the event-analytics operators: funnel ordering
+  * semantics, cohort offsets, Markov row-stochasticity, RFM
+  * segmentation thresholds. */
+class EventOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(m * 60000L)
+
+  test("funnel requires strictly ordered steps per user") {
+    // u1 completes view->click->purchase in order; u2 clicks BEFORE
+    // viewing (so never reaches click); u3 only views
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"),
+      (3L, ts(5), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+    out.map(_.getLong(2)).toSeq shouldBe Seq(3L, 1L, 1L)
+    out.map(_.getLong(3)).toSeq shouldBe Seq(1000000L, 333333L, 333333L)
+  }
+
+  test("funnel re-entry: a later qualifying event still counts") {
+    // click at t2 is before view? no: view t1, click t0 ignored,
+    // click t3 counts
+    val ev = Seq(
+      (1L, ts(0), "click"), (1L, ts(1), "view"), (1L, ts(3), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click")).orderBy("step").collect()
+    out.map(_.getLong(2)).toSeq shouldBe Seq(1L, 1L)
+  }
+
+  test("retentionCohorts offsets are whole periods from first activity") {
+    val jan = Timestamp.valueOf("2024-01-05 00:00:00")
+    val feb = Timestamp.valueOf("2024-02-20 00:00:00")
+    val mar = Timestamp.valueOf("2024-03-01 00:00:00")
+    val ev = Seq((1L, jan), (1L, feb), (1L, feb), (2L, feb), (2L, mar))
+      .toDF("user_id", "ts")
+    val out = EventOps.retentionCohorts(ev, "user_id", "ts", "month")
+      .orderBy("cohort", "offset")
+      .select(date_format(col("cohort"), "yyyy-MM").as("c"),
+        col("offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSeq
+    out shouldBe Seq(("2024-01", 0L, 1L), ("2024-01", 1L, 1L),
+      ("2024-02", 0L, 1L), ("2024-02", 1L, 1L))
+  }
+
+  test("markovTransitions rows are per-from-type probabilities summing to 1") {
+    val ev = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "a"),
+      (1L, ts(4), 4L, "c"), (2L, ts(1), 5L, "a"), (2L, ts(2), 6L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventOps.markovTransitions(ev, "user_id", "ts",
+      "event_type", "event_id")
+    val sums = out.groupBy("from_type").agg(sum("p").as("s"))
+      .as[(String, Double)].collect().toMap
+    sums("a") shouldBe 1.0 +- 1e-6
+    sums("b") shouldBe 1.0 +- 1e-6
+    // a -> b twice of 3 a-transitions
+    out.filter(col("from_type") === "a" && col("to_type") === "b")
+      .select("n").as[Long].head() shouldBe 2L
+  }
+
+  test("rfm segments by the fixed thresholds") {
+    val d0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val dOld = Timestamp.valueOf("2022-01-01 00:00:00")
+    val rows = Seq.tabulate(12)(i => (1L, d0, 50000.0)) ++ // champion
+      Seq((2L, d0, 10.0)) ++                               // recent
+      Seq.tabulate(11)(i => (3L, dOld, 1.0)) ++            // loyal_lapsed
+      Seq((4L, dOld, 5.0))                                 // hibernating
+    val out = EventOps.rfm(rows.toDF("cust", "ts", "amt"), "cust", "ts",
+      "amt", recencyCut = 365, freqCut = 10,
+      monetaryCutCents = 100000L * 100)
+      .select("cust", "segment").as[(Long, String)].collect().toMap
+    out shouldBe Map(1L -> "champion", 2L -> "recent",
+      3L -> "loyal_lapsed", 4L -> "hibernating")
+  }
+}
