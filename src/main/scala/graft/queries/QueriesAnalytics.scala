@@ -57,7 +57,39 @@ object QueriesAnalytics {
             col("a.p_name"), col("b.p_name")).as("jw"))
         .filter(col("jw") >= 0.85)
         .select(col("k1"), col("k2"), round(col("jw"), 6).as("jw"))
-    }))
+    }),
+
+    // weighted quartiles of price (cents) weighted by quantity, per
+    // return flag — key-partitioned window cumsum, no global window
+    "q220_weighted_quantile" -> ((s, d) =>
+      graft.stats.StatsOps.weightedQuantiles(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("price_c"),
+          col("l_quantity").cast("long").as("w"), col("l_orderkey")),
+        "price_c", "w", Seq(0.25, 0.5, 0.75), Seq("l_returnflag"),
+        "l_orderkey")),
+
+    // pairwise sample covariance matrix (exact limb sums, one pass)
+    "q221_cov_matrix" -> ((s, d) =>
+      graft.stats.StatsOps.covMatrix(
+        t(s, d, "lineitem").select(
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"),
+          cents(col("l_discount")).as("disc_c")),
+        Seq("qty_c", "price_c", "disc_c"))),
+
+    // Mahalanobis distance² outliers on (quantity, price cents) —
+    // moment pass + map-side closed-form distance (d=2 path)
+    "q222_mahalanobis" -> ((s, d) =>
+      graft.stats.StatsOps.mahalanobis(
+        t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("price_c")),
+        Seq("qty", "price_c"))
+        .filter(col("dist2") > 9.0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("dist2"), 6).as("dist2"))))
 
   val oracle: Map[String, String] = Map(
 
@@ -139,5 +171,79 @@ object QueriesAnalytics {
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
-        |""".stripMargin)
+        |""".stripMargin,
+
+    "q220_weighted_quantile" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |cum AS (
+        |  SELECT l_returnflag, price_c,
+        |    sum(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY price_c, l_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM c)
+        |SELECT l_returnflag, q, CAST(min(price_c) AS BIGINT) AS wq
+        |FROM cum CROSS JOIN
+        |  (SELECT unnest([0.25, 0.5, 0.75]) AS q) qs
+        |WHERE CAST(cw AS DOUBLE) >= q * CAST(tw AS DOUBLE)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q221_cov_matrix" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dd
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+        |    CAST(sum(dd) AS DOUBLE) AS sd,
+        |    CAST(sum(q * p) AS DOUBLE) AS sqp,
+        |    CAST(sum(q * dd) AS DOUBLE) AS sqd,
+        |    CAST(sum(p * dd) AS DOUBLE) AS spd
+        |  FROM c)
+        |SELECT 'qty_c' AS col_a, 'price_c' AS col_b,
+        |  round((n * sqp - sq * sp) / (n * (n - 1.0)), 6) AS cov FROM s
+        |UNION ALL
+        |SELECT 'qty_c', 'disc_c',
+        |  round((n * sqd - sq * sd) / (n * (n - 1.0)), 6) FROM s
+        |UNION ALL
+        |SELECT 'price_c', 'disc_c',
+        |  round((n * spd - sp * sd) / (n * (n - 1.0)), 6) FROM s
+        |""".stripMargin,
+
+    "q222_mahalanobis" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(CAST(l_quantity AS BIGINT) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+        |    CAST(sum(q * q) AS DOUBLE) AS sqq,
+        |    CAST(sum(p * p) AS DOUBLE) AS spp,
+        |    CAST(sum(q * p) AS DOUBLE) AS sqp
+        |  FROM c WHERE q IS NOT NULL AND p IS NOT NULL),
+        |k AS (
+        |  SELECT n, sq, sp,
+        |    (n * sqq - sq * sq) / (n * (n - 1.0)) AS aa,
+        |    (n * sqp - sq * sp) / (n * (n - 1.0)) AS bb,
+        |    (n * spp - sp * sp) / (n * (n - 1.0)) AS cc
+        |  FROM s)
+        |SELECT l_orderkey, l_linenumber,
+        |  round((cc * (q - sq / n) * (q - sq / n)
+        |    - 2.0 * bb * (q - sq / n) * (p - sp / n)
+        |    + aa * (p - sp / n) * (p - sp / n))
+        |    / (aa * cc - bb * bb), 6) AS dist2
+        |FROM c, k
+        |WHERE (cc * (q - sq / n) * (q - sq / n)
+        |    - 2.0 * bb * (q - sq / n) * (p - sp / n)
+        |    + aa * (p - sp / n) * (p - sp / n))
+        |    / (aa * cc - bb * bb) > 9.0""".stripMargin)
 }

@@ -60,7 +60,51 @@ object StatsOps {
     * deletion, matching the reference's matrix semantics). */
   def corrMatrix(df0: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
-    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val (one, recombine, nD) = pairMoments(df0, cols, exact, "corrMatrix")
+    def corrExpr(a: String, b: String) = {
+      val sx = recombine(s"s_$a")
+      val sy = recombine(s"s_$b")
+      val sxx = recombine(s"ss_$a")
+      val syy = recombine(s"ss_$b")
+      val sxy = recombine(s"sp_${a}_$b")
+      round((nD * sxy - sx * sy) /
+        (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 6)
+    }
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        corrExpr(a, b).as("corr"))
+    }
+    one.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Pairwise sample-covariance matrix in long form — the same
+    * one-pass exact-limb machinery as [[corrMatrix]], finalized as
+    * cov = (n·Σxy − Σx·Σy) / (n·(n−1)) (round 6). Integer-typed
+    * (cents-scaled) columns; listwise null deletion. */
+  def covMatrix(df0: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    val (one, recombine, nD) = pairMoments(df0, cols, exact, "covMatrix")
+    def covExpr(a: String, b: String) = {
+      val sx = recombine(s"s_$a")
+      val sy = recombine(s"s_$b")
+      val sxy = recombine(s"sp_${a}_$b")
+      round((nD * sxy - sx * sy) / (nD * (nD - lit(1.0))), 6)
+    }
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        covExpr(a, b).as("cov"))
+    }
+    one.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Shared one-pass moment machinery: a single aggregate row with n,
+    * every Σx, Σx², Σxy (exact 21-bit-limb Long sums when `exact`),
+    * plus the recombiner and n-as-double. See [[corrMatrix]] doc for
+    * the exactness analysis. */
+  private def pairMoments(df0: DataFrame, cols: Seq[String],
+      exact: Boolean, caller: String):
+      (DataFrame, String => Column, Column) = {
+    require(cols.size >= 2, s"$caller needs at least two columns")
     cols.foreach { c =>
       import org.apache.spark.sql.types._
       val ok = df0.schema(c).dataType match {
@@ -68,7 +112,7 @@ object StatsOps {
         case d: DecimalType => d.scale == 0
         case _ => false
       }
-      require(ok, s"corrMatrix needs integer-typed columns; '$c' is " +
+      require(ok, s"$caller needs integer-typed columns; '$c' is " +
         s"${df0.schema(c).dataType.simpleString} — scale it to an " +
         "integer representation (e.g. cents) first")
     }
@@ -110,20 +154,7 @@ object StatsOps {
          sum(col(s"__p_$tag")).as(s"__d_$tag") })
     val one = projected.agg(sumExprs.head, sumExprs.tail: _*)
     val nD = col("__n__").cast("double")
-    def corrExpr(a: String, b: String) = {
-      val sx = recombine(s"s_$a")
-      val sy = recombine(s"s_$b")
-      val sxx = recombine(s"ss_$a")
-      val syy = recombine(s"ss_$b")
-      val sxy = recombine(s"sp_${a}_$b")
-      round((nD * sxy - sx * sy) /
-        (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)), 6)
-    }
-    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        corrExpr(a, b).as("corr"))
-    }
-    one.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+    (one, recombine, nD)
   }
 
   /** Welch two-sample t-test (stats/mod.rs ttest): group stats in one
@@ -1720,5 +1751,114 @@ object StatsOps {
         round(col("exp_p"), 6).as("exp_p"),
         round(col("chi2"), 6).as("chi2_stat"),
         round(col("mad"), 6).as("mad"))
+  }
+
+  /** Weighted lower quantiles per key: the smallest value whose
+    * cumulative weight reaches q·W (inverted-CDF definition, the
+    * reference's weighted percentile semantics). One key-partitioned
+    * window cumsum + one keyed aggregate — no global window, no
+    * driver state; |qs| multiplies rows only through a bounded
+    * explode. Use integer weights (cast upstream) for cross-engine
+    * exact cumulative sums; `tieCol` makes the cumsum order total so
+    * equal values accumulate identically everywhere. */
+  def weightedQuantiles(df: DataFrame, valueCol: String,
+      weightCol: String, qs: Seq[Double], keyCols: Seq[String],
+      tieCol: String): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(valueCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(keyCols.map(col): _*)
+    val cum = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(keyCols.map(col) ++ Seq(col(valueCol), col(tieCol),
+        sum(col(weightCol)).over(w).as("__cw__"),
+        sum(col(weightCol)).over(wTot).as("__tw__")): _*)
+    cum.select(keyCols.map(col) ++ Seq(col(valueCol), col("__cw__"),
+        col("__tw__"), explode(array(qs.map(lit): _*)).as("q")): _*)
+      .filter(col("__cw__").cast("double") >=
+        col("q") * col("__tw__").cast("double"))
+      .groupBy(keyCols.map(col) :+ col("q"): _*)
+      .agg(min(col(valueCol)).as("wq"))
+  }
+
+  /** Mahalanobis distance² per row against the dataset's own mean /
+    * sample covariance (reference outlier detection semantics). One
+    * exact-limb moment pass ([[pairMoments]]) finalized driver-side
+    * (a d² scalar collect, the established test-statistic pattern),
+    * then a pure map-side distance expression — nothing else
+    * shuffles. d = 2 uses the closed-form inverse (oracle-mirrorable
+    * arithmetic); d > 2 inverts via Gauss-Jordan on the driver.
+    * Integer-typed (cents-scaled) columns. */
+  def mahalanobis(df: DataFrame, cols: Seq[String],
+      outName: String = "dist2"): DataFrame = {
+    val d = cols.size
+    val (one, recombine, nD) = pairMoments(df, cols, exact = true,
+      "mahalanobis")
+    val meanCov = one.select(
+      (Seq(nD.as("n")) ++
+        cols.map(c => recombine(s"s_$c").as(s"s_$c")) ++
+        cols.map(c => recombine(s"ss_$c").as(s"ss_$c")) ++
+        cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          recombine(s"sp_${a}_$b").as(s"sp_${a}_$b") }): _*)
+      .head()
+    val n = meanCov.getAs[Double]("n")
+    require(n > d, s"mahalanobis needs more rows than dimensions")
+    val s = cols.map(c => meanCov.getAs[Double](s"s_$c"))
+    val mu = s.map(_ / n)
+    def covOf(i: Int, j: Int): Double =
+      if (i == j) {
+        val ss = meanCov.getAs[Double](s"ss_${cols(i)}")
+        (n * ss - s(i) * s(i)) / (n * (n - 1.0))
+      } else {
+        val (a, b) = if (i < j) (i, j) else (j, i)
+        val sp = meanCov.getAs[Double](s"sp_${cols(a)}_${cols(b)}")
+        (n * sp - s(a) * s(b)) / (n * (n - 1.0))
+      }
+    val dx = cols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("double") - lit(mu(i)) }
+    val dist2 =
+      if (d == 2) {
+        val (a, b, c) = (covOf(0, 0), covOf(0, 1), covOf(1, 1))
+        val det = a * c - b * b
+        require(det != 0.0, "mahalanobis: singular covariance")
+        (lit(c) * dx(0) * dx(0) - lit(2.0) * lit(b) * dx(0) * dx(1) +
+          lit(a) * dx(1) * dx(1)) / lit(det)
+      } else {
+        val m = Array.tabulate(d, d)(covOf)
+        val inv = invertGaussJordan(m)
+        (for (i <- 0 until d; j <- 0 until d)
+          yield lit(inv(i)(j)) * dx(i) * dx(j)).reduce(_ + _)
+      }
+    df.withColumn(outName, dist2)
+  }
+
+  /** Gauss-Jordan inverse with partial pivoting (driver-side, d×d
+    * for small d). */
+  private def invertGaussJordan(m0: Array[Array[Double]]):
+      Array[Array[Double]] = {
+    val d = m0.length
+    val a = m0.map(_.clone())
+    val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (col0 <- 0 until d) {
+      val piv = (col0 until d).maxBy(r => math.abs(a(r)(col0)))
+      require(math.abs(a(piv)(col0)) > 1e-12,
+        "mahalanobis: singular covariance")
+      val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+      val tmpI = inv(col0); inv(col0) = inv(piv); inv(piv) = tmpI
+      val p = a(col0)(col0)
+      for (j <- 0 until d) { a(col0)(j) /= p; inv(col0)(j) /= p }
+      for (r <- 0 until d if r != col0) {
+        val f = a(r)(col0)
+        if (f != 0.0)
+          for (j <- 0 until d) {
+            a(r)(j) -= f * a(col0)(j)
+            inv(r)(j) -= f * inv(col0)(j)
+          }
+      }
+    }
+    inv
   }
 }
