@@ -89,7 +89,30 @@ object QueriesAnalytics {
         Seq("qty", "price_c"))
         .filter(col("dist2") > 9.0)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("dist2"), 6).as("dist2"))))
+          round(col("dist2"), 6).as("dist2"))),
+
+    // nearest same-nation supplier by haversine distance on
+    // deterministic derived coordinates — nation-blocked join (never
+    // all-pairs), map-side trig, per-customer min
+    "q223_haversine" -> ((s, d) => {
+      def lat(c: org.apache.spark.sql.Column) =
+        ((cents(c) % 18000 + 18000) % 18000).cast("double") / 100.0 - 90.0
+      def lon(c: org.apache.spark.sql.Column) =
+        ((cents(c) % 36000 + 36000) % 36000).cast("double") / 100.0 - 180.0
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey"), lat(col("c_acctbal")).as("clat"),
+        lon(col("c_acctbal")).as("clon"))
+      val supp = t(s, d, "supplier").select(col("s_nationkey"),
+        lat(col("s_acctbal")).as("slat"),
+        lon(col("s_acctbal")).as("slon"))
+      cust.join(broadcast(supp),
+          col("c_nationkey") === col("s_nationkey"))
+        .select(col("c_custkey"),
+          graft.functions.GeoOps.haversineKm(col("clat"), col("clon"),
+            col("slat"), col("slon")).as("km"))
+        .groupBy("c_custkey")
+        .agg(round(min(col("km")), 6).as("nearest_km"))
+    }))
 
   val oracle: Map[String, String] = Map(
 
@@ -245,5 +268,30 @@ object QueriesAnalytics {
         |WHERE (cc * (q - sq / n) * (q - sq / n)
         |    - 2.0 * bb * (q - sq / n) * (p - sp / n)
         |    + aa * (p - sp / n) * (p - sp / n))
-        |    / (aa * cc - bb * bb) > 9.0""".stripMargin)
+        |    / (aa * cc - bb * bb) > 9.0""".stripMargin,
+
+    "q223_haversine" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST((CAST(round(c_acctbal * 100) AS BIGINT) % 18000
+        |      + 18000) % 18000 AS DOUBLE) / 100.0 - 90.0 AS clat,
+        |    CAST((CAST(round(c_acctbal * 100) AS BIGINT) % 36000
+        |      + 36000) % 36000 AS DOUBLE) / 100.0 - 180.0 AS clon
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_nationkey,
+        |    CAST((CAST(round(s_acctbal * 100) AS BIGINT) % 18000
+        |      + 18000) % 18000 AS DOUBLE) / 100.0 - 90.0 AS slat,
+        |    CAST((CAST(round(s_acctbal * 100) AS BIGINT) % 36000
+        |      + 36000) % 36000 AS DOUBLE) / 100.0 - 180.0 AS slon
+        |  FROM supplier)
+        |SELECT c_custkey, round(min(
+        |  2.0 * 6371.0088 * asin(sqrt(
+        |    sin(radians(slat - clat) / 2.0) *
+        |      sin(radians(slat - clat) / 2.0) +
+        |    cos(radians(clat)) * cos(radians(slat)) *
+        |      sin(radians(slon - clon) / 2.0) *
+        |      sin(radians(slon - clon) / 2.0)))), 6) AS nearest_km
+        |FROM cust JOIN supp ON c_nationkey = s_nationkey
+        |GROUP BY 1""".stripMargin)
 }
