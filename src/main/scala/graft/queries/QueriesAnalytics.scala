@@ -112,6 +112,20 @@ object QueriesAnalytics {
             col("slat"), col("slon")).as("km"))
         .groupBy("c_custkey")
         .agg(round(min(col("km")), 6).as("nearest_km"))
+    }),
+
+    // pandas rolling(10).skew()/.kurt() per user over event values
+    // (integer dollars -> exact window sums)
+    "q224_rolling_skew_kurt" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        round(col("value")).cast("long").as("v"))
+      val sk = graft.window.RollingOps.rollingSkew(ev, "v", 10,
+        Seq("event_id"), Seq("user_id"))
+      graft.window.RollingOps.rollingKurt(sk, "v", 10,
+        Seq("event_id"), Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          round(col("rolling_skew"), 6).as("skew"),
+          round(col("rolling_kurt"), 6).as("kurt"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -293,5 +307,36 @@ object QueriesAnalytics {
         |      sin(radians(slon - clon) / 2.0) *
         |      sin(radians(slon - clon) / 2.0)))), 6) AS nearest_km
         |FROM cust JOIN supp ON c_nationkey = s_nationkey
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    "q224_rolling_skew_kurt" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(round(value) AS BIGINT) AS v
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, user_id,
+        |    CAST(count(v) OVER w AS DOUBLE) AS m,
+        |    CAST(sum(v) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(v * v) OVER w AS DOUBLE) AS s2,
+        |    CAST(sum(v * v * v) OVER w AS DOUBLE) AS s3,
+        |    CAST(sum(v * v * v * v) OVER w AS DOUBLE) AS s4
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN m >= 10 AND (s2 - (s1 / m) * s1) > 0 AND m > 2
+        |    THEN round((m * sqrt(m - 1.0) / (m - 2.0)) *
+        |      ((s3 - 3.0 * (s1 / m) * s2
+        |        + 2.0 * (s1 / m) * (s1 / m) * s1)
+        |       / power(s2 - (s1 / m) * s1, 1.5)), 6) END AS skew,
+        |  CASE WHEN m >= 10 AND (s2 - (s1 / m) * s1) > 0 AND m > 3
+        |    THEN round(m * (m + 1.0) * (m - 1.0) *
+        |      (s4 - 4.0 * (s1 / m) * s3
+        |        + 6.0 * (s1 / m) * (s1 / m) * s2
+        |        - 3.0 * (s1 / m) * (s1 / m) * (s1 / m) * s1)
+        |      / ((m - 2.0) * (m - 3.0) * (s2 - (s1 / m) * s1)
+        |        * (s2 - (s1 / m) * s1))
+        |      - 3.0 * (m - 1.0) * (m - 1.0)
+        |        / ((m - 2.0) * (m - 3.0)), 6) END AS kurt
+        |FROM s""".stripMargin)
 }

@@ -85,6 +85,64 @@ object RollingOps {
     rollingCorr(df, xCol, yCol, n, orderCols, partitionCols, minPeriods,
       outName, sampleCov = true, asCov = true)
 
+  /** pandas rolling(n).skew(): unbiased sample skewness
+    * G1 = n·√(n−1)/(n−2) · Σ(x−μ)³ / (Σ(x−μ)²)^1.5 over each rows
+    * window (pandas nanskew formula). `valueCol` must be
+    * integer-valued (cents-scale upstream): the four running sums are
+    * then exact Longs, so the finalized double replays identically in
+    * any engine. Null until minPeriods non-null values, null on
+    * zero-variance windows (pandas NaN semantics). One partitioned
+    * window, no extra shuffle. */
+  def rollingSkew(df: DataFrame, valueCol: String, n: Int,
+      orderCols: Seq[String], partitionCols: Seq[String] = Nil,
+      minPeriods: Int = -1, outName: String = "rolling_skew"):
+      DataFrame = {
+    val mp = if (minPeriods < 0) n else minPeriods
+    val w = frame(base(orderCols, partitionCols), n, center = false)
+    val v = col(valueCol).cast("long")
+    val m = count(v).over(w).cast("double")
+    val s1 = sum(v).over(w).cast("double")
+    val s2 = sum(v * v).over(w).cast("double")
+    val s3 = sum(v * v * v).over(w).cast("double")
+    val mu = s1 / m
+    val c2 = s2 - mu * s1                      // Σ(x−μ)² expanded
+    val c3 = s3 - lit(3.0) * mu * s2 + lit(2.0) * mu * mu * s1
+    df.withColumn(outName,
+      when(count(v).over(w) >= mp && c2 > 0 && m > 2,
+        (m * sqrt(m - lit(1.0)) / (m - lit(2.0))) *
+          (c3 / pow(c2, 1.5))))
+  }
+
+  /** pandas rolling(n).kurt(): unbiased excess kurtosis
+    * G2 = n(n+1)(n−1)·Σ(x−μ)⁴ / ((n−2)(n−3)·(Σ(x−μ)²)²)
+    *      − 3(n−1)² / ((n−2)(n−3))
+    * (pandas nankurt formula). Same exact-integer-sum contract as
+    * [[rollingSkew]]; beware 4th-power magnitude — keep |x| ≤ ~50k so
+    * x⁴·n fits a Long. */
+  def rollingKurt(df: DataFrame, valueCol: String, n: Int,
+      orderCols: Seq[String], partitionCols: Seq[String] = Nil,
+      minPeriods: Int = -1, outName: String = "rolling_kurt"):
+      DataFrame = {
+    val mp = if (minPeriods < 0) n else minPeriods
+    val w = frame(base(orderCols, partitionCols), n, center = false)
+    val v = col(valueCol).cast("long")
+    val m = count(v).over(w).cast("double")
+    val s1 = sum(v).over(w).cast("double")
+    val s2 = sum(v * v).over(w).cast("double")
+    val s3 = sum(v * v * v).over(w).cast("double")
+    val s4 = sum(v * v * v * v).over(w).cast("double")
+    val mu = s1 / m
+    val c2 = s2 - mu * s1
+    val c4 = s4 - lit(4.0) * mu * s3 + lit(6.0) * mu * mu * s2 -
+      lit(3.0) * mu * mu * mu * s1
+    df.withColumn(outName,
+      when(count(v).over(w) >= mp && c2 > 0 && m > 3,
+        m * (m + lit(1.0)) * (m - lit(1.0)) * c4 /
+          ((m - lit(2.0)) * (m - lit(3.0)) * c2 * c2) -
+          lit(3.0) * (m - lit(1.0)) * (m - lit(1.0)) /
+            ((m - lit(2.0)) * (m - lit(3.0)))))
+  }
+
   /** pandas rolling(n).quantile(q, interpolation='linear') /
     * .median(): the window's non-null values are materialized as a
     * sorted array per row (collect_list over the rows frame — O(n)
