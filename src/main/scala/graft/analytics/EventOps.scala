@@ -108,6 +108,34 @@ object EventOps {
         round(col("n").cast("double") / col("__tot__"), 6).as("p"))
   }
 
+  /** SCD-2 style change intervals: collapse a keyed, timestamped
+    * value stream into validity ranges [valid_from, valid_to) — one
+    * row per run of consecutive equal values per key, `valid_to` null
+    * for the current run (slowly-changing-dimension history build).
+    * Null-safe value comparison; `tieCol` totalizes the order.
+    *
+    * Two key-partitioned windows (change flag + next-run lookahead)
+    * and one keyed aggregate — no global state, scales with keys. */
+  def changeIntervals(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val flagged = df.select(keyCols.map(col) ++
+      Seq(col(valueCol), col(tsCol), col(tieCol),
+        when(lag(col(valueCol), 1).over(w) <=> col(valueCol), 0)
+          .otherwise(1).as("__chg__")): _*)
+    val grouped = flagged.withColumn("__grp__",
+      sum(col("__chg__")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = grouped.groupBy(keyCols.map(col) :+ col("__grp__"): _*)
+      .agg(min(col(valueCol)).as(valueCol),
+        min(col(tsCol)).as("valid_from"))
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__grp__"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+      .drop("__grp__")
+  }
+
   /** RFM (recency / frequency / monetary) per entity, with fixed
     * threshold segmentation: recency = days from the entity's last
     * event to the dataset's max date (one tiny scalar broadcast),

@@ -242,4 +242,23 @@ object MlMetrics {
         round(col("cum_pos").cast("double") / col("__npos__"), 6)
           .as("cum_gain"))
   }
+
+  /** Pinball (quantile) loss at each q: mean of
+    * max(q·(y−ŷ), (q−1)·(y−ŷ)) — the quantile-forecast evaluation
+    * metric. One aggregate per call over a bounded q-explode. With
+    * integer-valued y/ŷ and dyadic q (k/2^m, e.g. 0.25/0.5/0.75)
+    * every per-row term is an exact binary fraction, so the sum — and
+    * the hash gate — is order-independent across engines. */
+  def pinballLoss(df: DataFrame, yCol: String, yhatCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      "quantiles must be in (0, 1)")
+    val d = col(yCol).cast("double") - col(yhatCol).cast("double")
+    df.filter(col(yCol).isNotNull && col(yhatCol).isNotNull)
+      .select(explode(array(qs.map(lit): _*)).as("q"), d.as("__d__"))
+      .groupBy("q")
+      .agg(round(sum(greatest(col("q") * col("__d__"),
+        (col("q") - lit(1.0)) * col("__d__"))) / count(lit(1)), 6)
+        .as("pinball"))
+  }
 }

@@ -126,7 +126,25 @@ object QueriesAnalytics {
         .select(col("event_id"), col("user_id"),
           round(col("rolling_skew"), 6).as("skew"),
           round(col("rolling_kurt"), 6).as("kurt"))
-    }))
+    }),
+
+    // SCD-2 history build: runs of equal order priority per customer
+    // collapsed to [valid_from, valid_to) validity intervals
+    "q225_scd2" -> ((s, d) =>
+      EventOps.changeIntervals(t(s, d, "orders"), Seq("o_custkey"),
+        "o_orderpriority", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("valid_from").cast("date").as("valid_from"),
+          col("valid_to").cast("date").as("valid_to"))),
+
+    // pinball (quantile) loss of a crude linear price predictor at
+    // dyadic quantiles — exact binary fractions, order-independent
+    "q226_pinball" -> ((s, d) =>
+      graft.ml.MlMetrics.pinballLoss(
+        t(s, d, "lineitem").select(
+          cents(col("l_extendedprice")).as("y"),
+          (col("l_quantity").cast("long") * 3000L).as("yhat")),
+        "y", "yhat", Seq(0.25, 0.5, 0.75))))
 
   val oracle: Map[String, String] = Map(
 
@@ -338,5 +356,43 @@ object QueriesAnalytics {
         |        * (s2 - (s1 / m) * s1))
         |      - 3.0 * (m - 1.0) * (m - 1.0)
         |        / ((m - 2.0) * (m - 3.0)), 6) END AS kurt
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+
+    "q225_scd2" ->
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    CASE WHEN lag(o_orderpriority) OVER w
+        |      IS NOT DISTINCT FROM o_orderpriority THEN 0 ELSE 1 END
+        |      AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)),
+        |g AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate,
+        |    sum(chg) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f),
+        |runs AS (
+        |  SELECT o_custkey, grp, min(o_orderpriority) AS o_orderpriority,
+        |    min(o_orderdate) AS valid_from
+        |  FROM g GROUP BY 1, 2)
+        |SELECT o_custkey, o_orderpriority,
+        |  CAST(valid_from AS DATE) AS valid_from,
+        |  CAST(lead(valid_from) OVER (PARTITION BY o_custkey
+        |    ORDER BY grp) AS DATE) AS valid_to
+        |FROM runs""".stripMargin,
+
+    "q226_pinball" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) * 3000 AS yhat
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+        |SELECT q, round(sum(greatest(
+        |    q * (CAST(y AS DOUBLE) - CAST(yhat AS DOUBLE)),
+        |    (q - 1.0) * (CAST(y AS DOUBLE) - CAST(yhat AS DOUBLE))))
+        |  / count(*), 6) AS pinball
+        |FROM c CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS q) qs
+        |GROUP BY 1""".stripMargin)
 }

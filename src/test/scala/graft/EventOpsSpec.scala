@@ -69,6 +69,39 @@ class EventOpsSpec extends SparkSpecBase {
       .select("n").as[Long].head() shouldBe 2L
   }
 
+  test("changeIntervals collapses runs and chains validity ranges") {
+    val ev = Seq(
+      (1L, ts(1), 1L, "gold"), (1L, ts(2), 2L, "gold"),
+      (1L, ts(3), 3L, "silver"), (1L, ts(4), 4L, "gold"),
+      (2L, ts(1), 5L, "bronze")
+    ).toDF("k", "t", "id", "tier")
+    val out = EventOps.changeIntervals(ev, Seq("k"), "tier", "t", "id")
+      .orderBy("k", "valid_from")
+      .select("k", "tier", "valid_from", "valid_to").collect()
+    out.length shouldBe 4
+    out(0).getString(1) shouldBe "gold"
+    out(0).getTimestamp(3) shouldBe ts(3) // closed by the silver run
+    out(1).getString(1) shouldBe "silver"
+    out(1).getTimestamp(3) shouldBe ts(4)
+    out(2).getString(1) shouldBe "gold"
+    out(2).isNullAt(3) shouldBe true // current run open-ended
+    out(3).getString(1) shouldBe "bronze"
+    out(3).isNullAt(3) shouldBe true
+  }
+
+  test("pinballLoss known values at q=0.5 equal half the MAE") {
+    val df = Seq((10L, 12L), (20L, 15L), (30L, 30L)).toDF("y", "yhat")
+    val out = graft.ml.MlMetrics.pinballLoss(df, "y", "yhat",
+      Seq(0.25, 0.5, 0.75))
+      .select("q", "pinball").as[(Double, Double)].collect().toMap
+    // diffs: -2, +5, 0 -> MAE/2 = 7/3/2 ≈ 1.166667
+    out(0.5) shouldBe (7.0 / 3 / 2 +- 1e-6)
+    // q=0.25: 0.25*max over (d,0)... loss = max(.25*d, -.75*d):
+    // (1.5, 1.25, 0)/3
+    out(0.25) shouldBe ((1.5 + 1.25 + 0.0) / 3 +- 1e-6)
+    out(0.75) shouldBe ((0.5 + 3.75 + 0.0) / 3 +- 1e-6)
+  }
+
   test("rfm segments by the fixed thresholds") {
     val d0 = Timestamp.valueOf("2024-06-01 00:00:00")
     val dOld = Timestamp.valueOf("2022-01-01 00:00:00")
