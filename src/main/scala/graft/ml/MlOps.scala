@@ -141,6 +141,21 @@ object MlOps {
       .setK(k).fit(assembled).transform(assembled).drop("features")
   }
 
+  /** Isotonic regression (monotone least-squares via MLlib's
+    * distributed pool-adjacent-violators): fits ŷ monotone
+    * non-decreasing in `xCol`, appends `isotonic` predictions.
+    * MLlib runs PAV per partition then merges on the driver over the
+    * partition boundaries — the standard parallel PAV. */
+  def isotonicRegression(df: DataFrame, xCol: String, yCol: String,
+      outName: String = "isotonic"): DataFrame = {
+    val assembled = df.withColumn("__feat__",
+      col(xCol).cast("double"))
+    val m = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("__feat__").setLabelCol(yCol).setIsotonic(true)
+      .fit(assembled)
+    m.setPredictionCol(outName).transform(assembled).drop("__feat__")
+  }
+
   /** LinearRegression (models/linear.rs:16) via MLlib. */
   def linearRegressionMl(df: DataFrame, features: Seq[String],
       label: String): DataFrame = {

@@ -144,7 +144,33 @@ object QueriesAnalytics {
         t(s, d, "lineitem").select(
           cents(col("l_extendedprice")).as("y"),
           (col("l_quantity").cast("long") * 3000L).as("yhat")),
-        "y", "yhat", Seq(0.25, 0.5, 0.75))))
+        "y", "yhat", Seq(0.25, 0.5, 0.75))),
+
+    // FP-Growth frequent event-type itemsets per user basket,
+    // oracled by exhaustive bitmask enumeration over the small vocab
+    "q227_freq_itemsets" -> ((s, d) =>
+      graft.analytics.BasketOps.frequentItemsets(
+        t(s, d, "events"), "user_id", "event_type",
+        minSupport = 0.4)),
+
+    // single-item association rules (confidence + lift) from the
+    // same baskets
+    "q228_assoc_rules" -> ((s, d) =>
+      graft.analytics.BasketOps.pairRules(
+        t(s, d, "events"), "user_id", "event_type",
+        minSupport = 0.4)),
+
+    // isotonic regression of price on quantity; oracled via the
+    // minimax characterization fit(i) = max_{j<=i} min_{k>=i}
+    // mean(y over levels j..k) over the ~50 distinct quantity levels
+    "q229_isotonic" -> ((s, d) =>
+      graft.ml.MlOps.isotonicRegression(
+        t(s, d, "lineitem").select(
+          col("l_quantity").cast("long").as("x"),
+          cents(col("l_extendedprice")).cast("double").as("y")),
+        "x", "y")
+        .groupBy(col("x"))
+        .agg(round(first(col("isotonic")) / 100.0, 2).as("fit"))))
 
   val oracle: Map[String, String] = Map(
 
@@ -394,5 +420,77 @@ object QueriesAnalytics {
         |    (q - 1.0) * (CAST(y AS DOUBLE) - CAST(yhat AS DOUBLE))))
         |  / count(*), 6) AS pinball
         |FROM c CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS q) qs
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    "q227_freq_itemsets" ->
+      """WITH types AS (
+        |  SELECT it, row_number() OVER (ORDER BY it) - 1 AS b
+        |  FROM (SELECT DISTINCT event_type AS it FROM events
+        |        WHERE event_type IS NOT NULL)),
+        |ut AS (SELECT DISTINCT user_id AS u, event_type AS it
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |um AS (SELECT u, CAST(sum(1 << b) AS BIGINT) AS m
+        |  FROM ut JOIN types USING (it) GROUP BY u),
+        |masks AS (SELECT range AS mk FROM range(1, 1024)
+        |  WHERE range < CAST(power(2,
+        |    (SELECT count(*) FROM types)) AS BIGINT)),
+        |scored AS (
+        |  SELECT
+        |    (SELECT string_agg(it, ',' ORDER BY it) FROM types
+        |     WHERE (mk >> b) & 1 = 1) AS itemset,
+        |    CAST((SELECT count(*) FROM um WHERE (m & mk) = mk)
+        |      AS BIGINT) AS freq
+        |  FROM masks)
+        |SELECT itemset, freq FROM scored
+        |WHERE freq >= CAST(ceil(0.4 * (SELECT count(*) FROM um))
+        |  AS BIGINT)""".stripMargin,
+
+    "q228_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS it
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |nb AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM ut),
+        |mc AS (SELECT CAST(ceil(0.4 * n) AS BIGINT) AS t FROM nb),
+        |singles AS (SELECT it, CAST(count(*) AS BIGINT) AS f
+        |  FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.it AS i1, b.it AS i2,
+        |    CAST(count(*) AS BIGINT) AS fab
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.it < b.it
+        |  GROUP BY 1, 2),
+        |dirs AS (
+        |  SELECT i1 AS antecedent, i2 AS consequent, fab FROM pairs
+        |  UNION ALL
+        |  SELECT i2, i1, fab FROM pairs)
+        |SELECT antecedent, consequent, fab,
+        |  round(CAST(fab AS DOUBLE) / fa, 6) AS confidence,
+        |  round(CAST(fab AS DOUBLE) / fa /
+        |    (CAST(fb AS DOUBLE) / n), 6) AS lift
+        |FROM (
+        |  SELECT b2.antecedent, b2.consequent, b2.fab,
+        |    sa.f AS fa, sc.f AS fb
+        |  FROM dirs b2
+        |  JOIN singles sa ON sa.it = b2.antecedent
+        |  JOIN singles sc ON sc.it = b2.consequent), nb, mc
+        |WHERE fab >= t AND fa >= t AND fb >= t""".stripMargin,
+
+    "q229_isotonic" ->
+      """WITH lv AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    sum(CAST(l_extendedprice * 100 AS BIGINT)) AS s,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (
+        |  SELECT j.x AS jx, k.x AS kx,
+        |    sum(m.s) * 1.0 / sum(m.w) AS a
+        |  FROM lv j JOIN lv k ON j.x <= k.x
+        |  JOIN lv m ON m.x BETWEEN j.x AND k.x
+        |  GROUP BY 1, 2),
+        |mn AS (
+        |  SELECT iv.jx, i.x AS ix, min(iv.a) AS m
+        |  FROM iv JOIN lv i ON iv.jx <= i.x AND i.x <= iv.kx
+        |  GROUP BY 1, 2)
+        |SELECT ix AS x, round(max(m) / 100.0, 2) AS fit
+        |FROM mn GROUP BY 1""".stripMargin)
 }
