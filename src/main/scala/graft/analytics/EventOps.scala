@@ -170,4 +170,60 @@ object EventOps {
             col("monetary_cents") >= monetaryCutCents, "loyal_lapsed")
           .otherwise("hibernating"))
   }
+
+  /** Multi-touch attribution: for every conversion event (type ==
+    * `convType`, carrying `valueCol`), credit the user's PRIOR
+    * non-conversion touches under three standard models —
+    * last-touch (full value to the latest prior touch channel),
+    * first-touch (full value to the earliest), and linear (value
+    * split equally over all prior touches, so channel c receives
+    * value·n_c/k). Conversions with no prior touch are dropped (no
+    * channel to credit). Returns one row per channel with the three
+    * credited totals in cents (exact integer cents for last/first;
+    * linear is rounded per-conversion before summing so the split is
+    * engine-independent).
+    *
+    * Plan: a single user-partitioned time-ordered window computes
+    * running per-channel touch counts and running first/last touch
+    * labels; one hash-aggregate by channel finalizes. No self-joins,
+    * no per-conversion scans — 100 TB-safe (one shuffle on user, one
+    * on channel). Ordering ties break on `idCol`. */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, convType: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol) =!= convType
+    val touchTypes = df.filter(col(typeCol).isNotNull && isTouch)
+      .select(col(typeCol)).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val withState = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__last__",
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("__first__",
+        first(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumns(touchTypes.map(t => s"__n_$t" ->
+        sum(when(isTouch && col(typeCol) === t, 1L)
+          .otherwise(0L)).over(w)).toMap)
+    val conv = withState
+      .filter(col(typeCol) === convType && col("__last__").isNotNull)
+      .withColumn("__cents__", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__k__",
+        touchTypes.map(t => col(s"__n_$t")).reduce(_ + _))
+    val perModel = touchTypes.map { t =>
+      conv.select(lit(t).as("channel"),
+        when(col("__last__") === t, col("__cents__")).otherwise(0L)
+          .as("__lt__"),
+        when(col("__first__") === t, col("__cents__")).otherwise(0L)
+          .as("__ft__"),
+        round(col("__cents__") * col(s"__n_$t") / col("__k__"))
+          .cast("long").as("__ln__"))
+    }.reduce(_ unionByName _)
+    perModel.groupBy("channel")
+      .agg(sum(col("__lt__")).as("last_touch_cents"),
+        sum(col("__ft__")).as("first_touch_cents"),
+        sum(col("__ln__")).as("linear_cents"))
+  }
 }

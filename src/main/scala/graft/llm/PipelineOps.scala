@@ -95,6 +95,93 @@ object PipelineOps {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Adjacent-bigram PMI collocations over the corpus:
+    *   pmi(a,b) = ln( (c_ab / N_bi) / ((c_a / N_uni)·(c_b / N_uni)) )
+    * with c_ab the count of the adjacent pair, c_* unigram counts,
+    * N_bi / N_uni the total bigram / token counts. Emits pairs with
+    * c_ab ≥ `minCount`. Two hash aggregations over exploded tokens /
+    * bigrams — shuffle keys are vocabulary-bounded, scales to any
+    * corpus; no window, no driver state. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val arr = docs.select(
+      TextFunctions.tokens(lower(col(textCol))).as("__a__"))
+    val uni = arr.select(explode(col("__a__")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+    val bi = arr.filter(size(col("__a__")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__a__")) - 1),
+        i => struct(element_at(col("__a__"), i).as("w1"),
+          element_at(col("__a__"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val nBi = bi.agg(sum(col("c_ab")).cast("double").as("n_bi"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "c_a")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "c_b")), "w2")
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab").cast("long").as("c_ab"),
+        round(log((col("c_ab") / col("n_bi")) /
+          ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))),
+          6).as("pmi"))
+  }
+
+  /** BM25 document ranking for a bag of query terms (Okapi BM25,
+    * k1/b defaults 1.2/0.75):
+    *   score(d) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    *   idf(q) = ln(1 + (N−df+0.5)/(df+0.5)).
+    * Top `topN` docs ranked on the 6-dp rounded score with a doc-id
+    * tiebreak (reproducible across engines). Two hash aggregations +
+    * a TakeOrdered top-k — no global sort. */
+  def bm25Rank(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], topN: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one term")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val dl = toks.groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val qt = toks.filter(col("term").isin(queryTerms: _*))
+    val tf = qt.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = qt.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("__idf__",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)))
+      .withColumn("__s__", col("__idf__") *
+        (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("__s__")), 6).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws u = hash48(key‖salt)
+    * ∈ (0,1) and keeps key u^(1/w); the `n` largest keys are the
+    * weighted sample. Pure map-side scoring + one TakeOrdered top-k —
+    * no RNG state, stable across runs and cluster sizes, and
+    * re-derivable by any engine (same md5-derived u as
+    * [[hashSample]]). Rows with null key or non-positive weight are
+    * excluded. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int, salt: String = ""): DataFrame = {
+    val u = hash48Unit(concat(col(keyCol).cast("string"), lit(salt)))
+    df.filter(col(keyCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__k__", pow(u, lit(1.0) / col(weightCol)))
+      .orderBy(col("__k__").desc, col(keyCol))
+      .limit(n).drop("__k__")
+  }
+
   /** Per-document boilerplate fraction: a word n-gram is boilerplate
     * when it occurs in ≥ `minDocs` distinct documents; each doc
     * reports what share of its distinct n-grams are boilerplate.

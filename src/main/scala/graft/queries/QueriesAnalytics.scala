@@ -170,7 +170,21 @@ object QueriesAnalytics {
           cents(col("l_extendedprice")).cast("double").as("y")),
         "x", "y")
         .groupBy(col("x"))
-        .agg(round(first(col("isotonic")) / 100.0, 2).as("fit"))))
+        .agg(round(first(col("isotonic")) / 100.0, 2).as("fit"))),
+
+    // Schuster periodogram of the daily order-count series: variance
+    // fraction at the first 8 Fourier frequencies
+    "q230_periodogram" -> ((s, d) =>
+      graft.timeseries.TimeSeriesOps.periodogram(
+        t(s, d, "orders").groupBy(col("o_orderdate").as("dd"))
+          .agg(count(lit(1)).cast("double").as("y")),
+        "y", "dd", maxK = 8)),
+
+    // last-touch / first-touch / linear attribution of purchase value
+    // to prior touch channels, per user event stream
+    "q231_attribution" -> ((s, d) =>
+      EventOps.attribution(t(s, d, "events"), "user_id", "ts",
+        "event_type", "value", "purchase", "event_id")))
 
   val oracle: Map[String, String] = Map(
 
@@ -492,5 +506,77 @@ object QueriesAnalytics {
         |  FROM iv JOIN lv i ON iv.jx <= i.x AND i.x <= iv.kx
         |  GROUP BY 1, 2)
         |SELECT ix AS x, round(max(m) / 100.0, 2) AS fit
-        |FROM mn GROUP BY 1""".stripMargin)
+        |FROM mn GROUP BY 1""".stripMargin,
+
+    "q230_periodogram" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS dd, CAST(count(*) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT avg(y) AS m, CAST(count(*) AS DOUBLE) AS n
+        |  FROM daily),
+        |c AS (SELECT y - m AS cv,
+        |    CAST(row_number() OVER (ORDER BY dd) - 1 AS DOUBLE) AS tt,
+        |    n
+        |  FROM daily, st),
+        |e AS (SELECT k.range AS k, cv,
+        |    2.0 * pi() * k.range * tt / n AS ang
+        |  FROM c, range(1, 9) k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  round((sum(cv * cos(ang)) * sum(cv * cos(ang)) +
+        |         sum(cv * sin(ang)) * sum(cv * sin(ang)))
+        |    / sum(cv * cv), 6) AS power
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q231_attribution" ->
+      """WITH st AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER w AS lt,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER w AS ft,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER w AS n_click,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER w AS n_error,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      OVER w AS n_signup,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS n_view
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |conv AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    lt, ft, n_click, n_error, n_signup, n_view,
+        |    n_click + n_error + n_signup + n_view AS k
+        |  FROM st WHERE event_type = 'purchase' AND lt IS NOT NULL),
+        |per AS (
+        |  SELECT 'click' AS channel,
+        |    CASE WHEN lt = 'click' THEN cents ELSE 0 END AS l,
+        |    CASE WHEN ft = 'click' THEN cents ELSE 0 END AS f,
+        |    CAST(round(cents * n_click / k) AS BIGINT) AS lc
+        |  FROM conv
+        |  UNION ALL
+        |  SELECT 'error',
+        |    CASE WHEN lt = 'error' THEN cents ELSE 0 END,
+        |    CASE WHEN ft = 'error' THEN cents ELSE 0 END,
+        |    CAST(round(cents * n_error / k) AS BIGINT)
+        |  FROM conv
+        |  UNION ALL
+        |  SELECT 'signup',
+        |    CASE WHEN lt = 'signup' THEN cents ELSE 0 END,
+        |    CASE WHEN ft = 'signup' THEN cents ELSE 0 END,
+        |    CAST(round(cents * n_signup / k) AS BIGINT)
+        |  FROM conv
+        |  UNION ALL
+        |  SELECT 'view',
+        |    CASE WHEN lt = 'view' THEN cents ELSE 0 END,
+        |    CASE WHEN ft = 'view' THEN cents ELSE 0 END,
+        |    CAST(round(cents * n_view / k) AS BIGINT)
+        |  FROM conv)
+        |SELECT channel,
+        |  CAST(sum(l) AS BIGINT) AS last_touch_cents,
+        |  CAST(sum(f) AS BIGINT) AS first_touch_cents,
+        |  CAST(sum(lc) AS BIGINT) AS linear_cents
+        |FROM per GROUP BY 1""".stripMargin)
 }

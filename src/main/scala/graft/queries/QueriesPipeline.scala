@@ -414,7 +414,23 @@ object QueriesPipeline {
       graft.llm.PipelineOps.alphaSampleMix(
         t(s, d, "events").select(col("event_type"), col("event_id")),
         "event_type", "event_id", alpha = 0.5, targetFrac = 0.4)
-        .groupBy("event_type").agg(count(lit(1)).as("n_kept"))))
+        .groupBy("event_type").agg(count(lit(1)).as("n_kept"))),
+
+    // adjacent-bigram PMI collocations over the corpus
+    "q232_pmi" -> ((s, d) =>
+      graft.llm.PipelineOps.pmiCollocations(t(s, d, "documents"),
+        "text", minCount = 50L)),
+
+    // Okapi BM25 top-10 docs for a 3-term query
+    "q233_bm25" -> ((s, d) =>
+      graft.llm.PipelineOps.bm25Rank(t(s, d, "documents"), "text",
+        "doc_id", Seq("join", "window", "scan"), topN = 10)),
+
+    // deterministic weighted sample (A-ES, weight = doc length)
+    "q234_weighted_sample" -> ((s, d) =>
+      graft.llm.PipelineOps.weightedSample(t(s, d, "documents"),
+        "doc_id", "n_chars", n = 100, salt = "w1")
+        .select(col("doc_id"), col("source"), col("n_chars"))))
 
   val oracle: Map[String, String] = Map(
 
@@ -1194,5 +1210,62 @@ object QueriesPipeline {
         |    / count(*), 6) AS hapax_frac,
         |  round(ln(CAST(count(*) AS DOUBLE)) /
         |    ln(CAST(sum(c) AS DOUBLE)), 6) AS heaps_beta
-        |FROM tc GROUP BY 1""".stripMargin)
+        |FROM tc GROUP BY 1""".stripMargin,
+
+    "q232_pmi" ->
+      raw"""WITH arr AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS a
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(a) AS w FROM arr) GROUP BY 1),
+        |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+        |bic AS (SELECT w1, w2, count(*) AS c_ab FROM (
+        |    SELECT unnest(a[1:len(a) - 1]) AS w1,
+        |      unnest(a[2:len(a)]) AS w2
+        |    FROM arr) GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bi FROM bic)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+        |  round(ln((c_ab / n_bi) /
+        |    ((ca.c / n_uni) * (cb.c / n_uni))), 6) AS pmi
+        |FROM bic
+        |JOIN uni ca ON ca.w = bic.w1
+        |JOIN uni cb ON cb.w = bic.w2, nu, nb
+        |WHERE c_ab >= 50""".stripMargin,
+
+    "q233_bm25" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |  FROM toks GROUP BY 1),
+        |st AS (SELECT avg(dl) AS avgdl,
+        |    CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+        |qt AS (SELECT * FROM toks
+        |  WHERE term IN ('join', 'window', 'scan')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM qt GROUP BY 1, 2),
+        |dfreq AS (SELECT term,
+        |    CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM qt GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS s
+        |  FROM tf JOIN dfreq USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id, st)
+        |SELECT doc_id, round(sum(s), 6) AS score
+        |FROM scored GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q234_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id IS NOT NULL AND n_chars > 0
+         |ORDER BY pow(${h48("CAST(doc_id AS VARCHAR) || 'w1'")},
+         |  1.0 / n_chars) DESC, doc_id
+         |LIMIT 100""".stripMargin)
 }

@@ -524,6 +524,46 @@ object TimeSeriesOps {
         round(col("__num__") / col("__c0__"), 6).as("acf")): _*)
   }
 
+  /** Normalized periodogram at the first `maxK` Fourier frequencies
+    * (reference: `src/time_series/stats.rs` spectral diagnostics; the
+    * standard Schuster periodogram): for the mean-centered series c_t
+    * (t = 0..n−1 in `orderCol` order),
+    *   p(k) = [ (Σ c_t cos(2πkt/n))² + (Σ c_t sin(2πkt/n))² ] / Σ c_t²
+    * — the fraction of variance at frequency k/n. A dominant seasonal
+    * cycle of period P shows as a peak at k ≈ n/P.
+    *
+    * Plan: one broadcast mean, one row_number window (per-key at
+    * scale via `keyCols`), then ONE hash-aggregate over the
+    * (row × k) expansion — k is bounded (`maxK` ≤ 32), so the
+    * expansion is a constant factor, not a join; no collect. */
+  def periodogram(df: DataFrame, valueCol: String, orderCol: String,
+      maxK: Int, keyCols: Seq[String] = Nil): DataFrame = {
+    require(maxK >= 1 && maxK <= 32, "maxK must be in [1,32]")
+    val meanTab = (if (keyCols.isEmpty) df.groupBy()
+      else df.groupBy(keyCols.map(col): _*))
+      .agg(avg(col(valueCol)).as("__m__"),
+        count(lit(1)).cast("double").as("__n__"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val centered = (if (keyCols.isEmpty)
+        df.crossJoin(broadcast(meanTab))
+      else df.join(broadcast(meanTab), keyCols))
+      .withColumn("__c__", col(valueCol) - col("__m__"))
+      .withColumn("__t__", (row_number().over(w) - 1).cast("double"))
+    val expanded = centered
+      .withColumn("k", explode(sequence(lit(1), lit(maxK))))
+      .withColumn("__ang__",
+        lit(2.0) * lit(math.Pi) * col("k") * col("__t__") / col("__n__"))
+    expanded.groupBy((keyCols.map(col) :+ col("k")): _*)
+      .agg(sum(col("__c__") * cos(col("__ang__"))).as("__cs__"),
+        sum(col("__c__") * sin(col("__ang__"))).as("__sn__"),
+        sum(col("__c__") * col("__c__")).as("__ss__"))
+      .select((keyCols.map(col) :+ col("k").cast("long").as("k") :+
+        round((col("__cs__") * col("__cs__") +
+          col("__sn__") * col("__sn__")) / col("__ss__"), 6)
+          .as("power")): _*)
+  }
+
   /** Cross-correlation function between two aligned series at lags
     * −maxLag..maxLag (positive lag = y leads):
     *   r(l) = Σ (x_t−x̄)(y_{t+l}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²),
