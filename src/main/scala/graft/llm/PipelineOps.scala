@@ -182,6 +182,22 @@ object PipelineOps {
       .limit(n).drop("__k__")
   }
 
+  /** Deterministic stratified sampling: the `nPerStratum` rows of
+    * each stratum with the smallest md5-derived hash of key‖salt.
+    * One window partitioned by stratum ordered by the EXACT 48-bit
+    * hash (ties broken by key) — per-stratum streaming top-k after a
+    * stratum shuffle, no RNG state, identical selection on any engine
+    * or cluster size. Null keys are excluded. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      keyCol: String, nPerStratum: Int, salt: String = ""): DataFrame = {
+    val u = hash48Unit(concat(col(keyCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(u.asc, col(keyCol).asc)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= nPerStratum).drop("__rn__")
+  }
+
   /** Per-document boilerplate fraction: a word n-gram is boilerplate
     * when it occurs in ≥ `minDocs` distinct documents; each doc
     * reports what share of its distinct n-grams are boilerplate.

@@ -430,7 +430,36 @@ object QueriesPipeline {
     "q234_weighted_sample" -> ((s, d) =>
       graft.llm.PipelineOps.weightedSample(t(s, d, "documents"),
         "doc_id", "n_chars", n = 100, salt = "w1")
-        .select(col("doc_id"), col("source"), col("n_chars"))))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // deterministic stratified sample: 6 docs per language by the
+    // portable 48-bit md5 lottery
+    "q235_stratified_sample" -> ((s, d) =>
+      graft.llm.PipelineOps.stratifiedSample(t(s, d, "documents"),
+        "lang", "doc_id", nPerStratum = 6, salt = "z")
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // expectation-suite row checks over lineitem in ONE scan:
+    // three named predicates -> (check, n_rows, n_violations, ppm)
+    "q236_row_checks" -> ((s, d) =>
+      graft.ops.DataChecks.rowChecks(t(s, d, "lineitem"), Seq(
+        "qty_le_45" -> (col("l_quantity") <= 45),
+        "disc_lt_tax" -> (col("l_discount") < col("l_tax")),
+        "price_pos" -> (col("l_extendedprice") > 0)))),
+
+    // key-uniqueness check: every repeat of an o_custkey beyond the
+    // first is a violation
+    "q237_unique_check" -> ((s, d) =>
+      graft.ops.DataChecks.uniqueCheck(t(s, d, "orders"),
+        Seq("o_custkey"), "cust_unique")),
+
+    // referential integrity: lineitem suppliers vs a deliberately
+    // holed parent (every 3rd supplier dropped) -> ~1/3 orphans
+    "q238_ref_integrity" -> ((s, d) =>
+      graft.ops.DataChecks.refIntegrityCheck(
+        t(s, d, "lineitem"), "l_suppkey",
+        t(s, d, "supplier").filter(pmod(col("s_suppkey"), lit(3)) =!= 0),
+        "s_suppkey", "supp_fk")))
 
   val oracle: Map[String, String] = Map(
 
@@ -1267,5 +1296,48 @@ object QueriesPipeline {
          |WHERE doc_id IS NOT NULL AND n_chars > 0
          |ORDER BY pow(${h48("CAST(doc_id AS VARCHAR) || 'w1'")},
          |  1.0 / n_chars) DESC, doc_id
-         |LIMIT 100""".stripMargin)
+         |LIMIT 100""".stripMargin,
+
+    "q235_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h48("CAST(doc_id AS VARCHAR) || 'z'")},
+         |        doc_id) AS rn
+         |  FROM documents WHERE doc_id IS NOT NULL)
+         |WHERE rn <= 6""".stripMargin,
+
+    "q236_row_checks" ->
+      """WITH t AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN coalesce(l_quantity <= 45, false)
+        |      THEN 0 ELSE 1 END) AS v1,
+        |  sum(CASE WHEN coalesce(l_discount < l_tax, false)
+        |      THEN 0 ELSE 1 END) AS v2,
+        |  sum(CASE WHEN coalesce(l_extendedprice > 0, false)
+        |      THEN 0 ELSE 1 END) AS v3
+        |  FROM lineitem)
+        |SELECT 'qty_le_45' AS "check", n AS n_rows,
+        |  v1 AS n_violations, v1 * 1000000 // n AS violation_ppm FROM t
+        |UNION ALL
+        |SELECT 'disc_lt_tax', n, v2, v2 * 1000000 // n FROM t
+        |UNION ALL
+        |SELECT 'price_pos', n, v3, v3 * 1000000 // n FROM t""".stripMargin,
+
+    "q237_unique_check" ->
+      """SELECT 'cust_unique' AS "check", count(*) AS n_rows,
+        |  count(*) - count(DISTINCT o_custkey) AS n_violations,
+        |  (count(*) - count(DISTINCT o_custkey)) * 1000000 // count(*)
+        |    AS violation_ppm
+        |FROM orders""".stripMargin,
+
+    "q238_ref_integrity" ->
+      """WITH p AS (SELECT DISTINCT s_suppkey FROM supplier
+        |           WHERE s_suppkey % 3 <> 0),
+        |  c AS (SELECT count(*) AS n FROM lineitem),
+        |  o AS (SELECT count(*) AS v FROM lineitem l
+        |        LEFT JOIN p ON l.l_suppkey = p.s_suppkey
+        |        WHERE p.s_suppkey IS NULL)
+        |SELECT 'supp_fk' AS "check", n AS n_rows, v AS n_violations,
+        |  v * 1000000 // n AS violation_ppm
+        |FROM c, o""".stripMargin)
 }

@@ -261,6 +261,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     out(3L).getAs[Boolean]("keep") shouldBe true
   }
 
+  test("stratifiedSample draws exactly n per stratum, deterministically") {
+    val df = spark.range(1000)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"))
+    val out = PipelineOps.stratifiedSample(df, "g", "id", 10, "s")
+    val sizes = out.groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes shouldBe Map("0" -> 10L, "1" -> 10L, "2" -> 10L)
+    // deterministic: same call selects the identical ids
+    val a = out.select("id").as[Long].collect().toSet
+    val b = PipelineOps.stratifiedSample(df, "g", "id", 10, "s")
+      .select("id").as[Long].collect().toSet
+    a shouldBe b
+    // a stratum smaller than n is kept whole
+    val tiny = spark.range(4)
+      .select(col("id"), lit("x").as("g"))
+    PipelineOps.stratifiedSample(tiny, "g", "id", 10, "s")
+      .count() shouldBe 4L
+  }
+
   test("stratifiedHashSample applies per-stratum rates deterministically") {
     val df = spark.range(30000)
       .select($"id", concat(lit("s"), pmod($"id", lit(3))).as("src"))
