@@ -16,6 +16,47 @@ object QueriesStats {
 
   val queries: Map[String, QueryFn] = Map(
 
+    // §2.12 two-sample Kolmogorov-Smirnov: click vs view value-cents
+    // distributions, asymptotic p from Kolmogorov's series
+    "q239_ks_test" -> ((s, d) =>
+      graft.stats.TwoSampleOps.ksTwoSample(
+        t(s, d, "events").select(col("event_type"),
+          cents(col("value")).as("vc")),
+        "vc", "event_type", "click", "view")),
+
+    // Jensen-Shannon divergence between the event-type mixes of the
+    // even- and odd-user cohorts (drift detection primitive)
+    "q240_jensen_shannon" -> ((s, d) =>
+      graft.stats.TwoSampleOps.jensenShannon(
+        t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("event_type"),
+            when(pmod(col("user_id"), lit(2)) === 0, "even")
+              .otherwise("odd").as("cohort")),
+        "event_type", "cohort", "even", "odd")),
+
+    // Pettitt changepoint over the daily event-revenue series
+    "q241_pettitt" -> ((s, d) =>
+      graft.timeseries.TimeSeriesOps.pettitt(
+        t(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(cents(col("value"))).as("vc")),
+        "vc", "day")),
+
+    // Cliff's delta ordinal effect size, click vs view value cents
+    "q242_cliffs_delta" -> ((s, d) =>
+      graft.stats.TwoSampleOps.cliffsDelta(
+        t(s, d, "events").select(col("event_type"),
+          cents(col("value")).as("vc")),
+        "vc", "event_type", "click", "view")),
+
+    // Hodges-Lehmann median pairwise account-balance shift between
+    // two customer nations (weighted distinct-value pair table)
+    "q243_hodges_lehmann" -> ((s, d) =>
+      graft.stats.TwoSampleOps.hodgesLehmannShift(
+        t(s, d, "customer").select(
+          col("c_nationkey").cast("string").as("nk"),
+          cents(col("c_acctbal")).as("ac")),
+        "ac", "nk", "2", "7")),
+
     // §2.12 Tukey HSD post-hoc over event-type value cents
     "q205_tukey_hsd" -> ((s, d) =>
       StatsOps.tukeyHsd(
@@ -805,6 +846,113 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q239_ks_test" ->
+      """WITH pooled AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |counts AS (SELECT v,
+        |  CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM pooled GROUP BY 1),
+        |tot AS (SELECT CAST(CAST(sum(ca) AS BIGINT) AS DOUBLE) AS na,
+        |  CAST(CAST(sum(cb) AS BIGINT) AS DOUBLE) AS nb FROM counts),
+        |cums AS (SELECT
+        |  CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) AS cuma,
+        |  CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) AS cumb FROM counts),
+        |dd AS (SELECT max(abs(cuma / na - cumb / nb)) AS d
+        |  FROM cums, tot)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(d, 6) AS d,
+        |  round(CASE WHEN d = 0 THEN 1.0 ELSE
+        |    least(1.0, greatest(0.0,
+        |      list_sum(list_transform(range(1, 101), k ->
+        |        (CASE WHEN k % 2 = 1 THEN 2.0 ELSE -2.0 END) *
+        |          exp(-2.0 * k * k * (na * nb / (na + nb)) * d * d)))))
+        |    END, 6) AS p_value
+        |FROM dd, tot""".stripMargin,
+
+    "q240_jensen_shannon" ->
+      """WITH pooled AS (
+        |  SELECT event_type AS c,
+        |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |counts AS (SELECT c,
+        |  CAST(sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM pooled GROUP BY 1),
+        |tot AS (SELECT CAST(CAST(sum(ca) AS BIGINT) AS DOUBLE) AS na,
+        |  CAST(CAST(sum(cb) AS BIGINT) AS DOUBLE) AS nb FROM counts),
+        |j AS (SELECT sum(
+        |  (CASE WHEN ca > 0 THEN (ca / na) *
+        |     ln((ca / na) / ((ca / na + cb / nb) / 2)) / 2 ELSE 0 END) +
+        |  (CASE WHEN cb > 0 THEN (cb / nb) *
+        |     ln((cb / nb) / ((ca / na + cb / nb) / 2)) / 2 ELSE 0 END))
+        |  AS jsd FROM counts, tot)
+        |SELECT round(jsd, 6) AS jsd,
+        |  round(sqrt(greatest(jsd, 0.0)), 6) AS jsd_distance FROM j""".stripMargin,
+
+    "q241_pettitt" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+        |  FROM events GROUP BY 1
+        |  HAVING sum(CAST(round(value * 100) AS BIGINT)) IS NOT NULL),
+        |r AS (SELECT day,
+        |    CAST(rank() OVER (ORDER BY vc) AS DOUBLE) +
+        |      (CAST(count(*) OVER (PARTITION BY vc) AS DOUBLE) - 1.0) / 2.0
+        |      AS rk,
+        |    row_number() OVER (ORDER BY day) AS t,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM s),
+        |u AS (SELECT day, n,
+        |    2.0 * sum(rk) OVER (ORDER BY day) -
+        |      CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) + 1) AS uu
+        |  FROM r),
+        |m AS (SELECT n, max(abs(uu)) AS k FROM u GROUP BY 1),
+        |c AS (SELECT min(day) AS change_at FROM u, m WHERE abs(uu) = k)
+        |SELECT n, round(k, 6) AS k_stat, change_at,
+        |  round(least(1.0, 2.0 * exp(-6.0 * k * k /
+        |    (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))), 6)
+        |    AS p_value
+        |FROM m, c""".stripMargin,
+
+    "q242_cliffs_delta" ->
+      """WITH ranked AS (
+        |  SELECT event_type,
+        |    CAST(rank() OVER (ORDER BY vc) AS DOUBLE) +
+        |      (CAST(count(*) OVER (PARTITION BY vc) AS DOUBLE) - 1.0) / 2.0
+        |      AS r
+        |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |    FROM events WHERE event_type IN ('click', 'view'))),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(r) AS rs FROM ranked GROUP BY 1),
+        |ab AS (SELECT
+        |  (SELECT n FROM g WHERE event_type = 'click') AS n_a,
+        |  (SELECT n FROM g WHERE event_type = 'view') AS n_b,
+        |  (SELECT rs - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 2
+        |     FROM g WHERE event_type = 'click') AS u_a),
+        |dd AS (SELECT n_a, n_b, u_a,
+        |  round(2.0 * u_a / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    - 1.0, 6) AS delta FROM ab)
+        |SELECT n_a, n_b, u_a, delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33 THEN 'small'
+        |       WHEN abs(delta) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM dd""".stripMargin,
+
+    "q243_hodges_lehmann" ->
+      """WITH a AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer WHERE c_nationkey = 2 AND c_acctbal IS NOT NULL),
+        |b AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer WHERE c_nationkey = 7 AND c_acctbal IS NOT NULL)
+        |SELECT CAST((SELECT count(*) FROM a) * (SELECT count(*) FROM b)
+        |    AS BIGINT) AS n_pairs,
+        |  quantile_cont(CAST(a.v - b.v AS DOUBLE), 0.5) AS median_diff
+        |FROM a, b""".stripMargin,
 
     "q205_tukey_hsd" ->
       """WITH d AS (

@@ -89,6 +89,46 @@ object TimeSeriesOps {
           .as("cusum_stat")): _*)
   }
 
+  /** Pettitt changepoint test on an orderCol-ordered series via the
+    * rank identity U_t = 2·Σ_{i≤t} r_i − t(n+1) (midranks for ties),
+    * K = max|U_t|, first order position attaining it, and the
+    * standard approximation p = 2·exp(−6K²/(n³+n²)). Runs on a
+    * pre-aggregated bounded series (the timeseries-op precondition):
+    * ranks and cumulative sums are plain windows there. */
+  def pettitt(df: DataFrame, valueCol: String,
+      orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valueCol).isNotNull)
+    val r = rank().over(Window.orderBy(col(valueCol))).cast("double") +
+      (count(lit(1)).over(Window.partitionBy(col(valueCol)))
+        .cast("double") - 1.0) / 2.0
+    val wo = Window.orderBy(col(orderCol))
+    val wcum = wo.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val withU = base.withColumn("__r__", r)
+      .withColumn("__t__", row_number().over(wo))
+      .withColumn("__n__", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__u__", lit(2.0) * sum(col("__r__")).over(wcum) -
+        col("__t__").cast("double") * (col("__n__").cast("double") + 1))
+      .withColumn("__abs__", abs(col("__u__")))
+      .withColumn("__mx__", max(abs(col("__u__"))).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val nD = col("n").cast("double")
+    val p = lit(2.0) * exp(lit(-6.0) * col("k_stat") * col("k_stat") /
+      (nD * nD * nD + nD * nD))
+    withU
+      .groupBy(col("__n__").as("n"))
+      .agg(max(col("__abs__")).as("k_stat"),
+        min(when(col("__abs__") === col("__mx__"), col(orderCol)))
+          .as("change_at"))
+      .select(col("n"), round(col("k_stat"), 6).as("k_stat"),
+        col("change_at"),
+        round(least(lit(1.0), p), 6).as("p_value"))
+  }
+
   def mannKendall(df: DataFrame, tsCol: String, valueCol: String,
       keyCols: Seq[String] = Nil): DataFrame = {
     val base = df.filter(col(valueCol).isNotNull)
