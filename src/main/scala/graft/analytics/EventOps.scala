@@ -108,6 +108,33 @@ object EventOps {
         round(col("n").cast("double") / col("__tot__"), 6).as("p"))
   }
 
+  /** Frequent sequential patterns: the n-grams of consecutive
+    * `typeCol` values along each key's (tsCol, tieCol)-ordered
+    * timeline, counted across all keys and filtered to
+    * `minCount` support — PrefixSpan-style contiguous-sequence
+    * mining for session/behavior analysis.
+    *
+    * One key-partitioned lead window producing every n-gram in place
+    * (no per-key collect_list, so a key with millions of events never
+    * materializes its whole timeline) and one hash aggregate. */
+  def sequenceNgrams(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, n: Int = 3,
+      minCount: Long = 1L): DataFrame = {
+    require(n >= 2, "sequenceNgrams needs n >= 2")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val base = df.filter(col(userCol).isNotNull && col(typeCol).isNotNull)
+    val steps = (0 until n).map {
+      case 0 => col(typeCol)
+      case i => lead(col(typeCol), i).over(w)
+    }
+    base.select(concat_ws(">", steps: _*).as("ngram"),
+        steps.map(_.isNotNull).reduce(_ && _).as("__full__"))
+      .filter(col("__full__"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** SCD-2 style change intervals: collapse a keyed, timestamped
     * value stream into validity ranges [valid_from, valid_to) — one
     * row per run of consecutive equal values per key, `valid_to` null

@@ -33,6 +33,12 @@ object QueriesAnalytics {
       EventOps.markovTransitions(t(s, d, "events"), "user_id", "ts",
         "event_type", "event_id")),
 
+    // frequent contiguous event-type trigrams across user timelines
+    // (sequential pattern mining; support >= 5)
+    "q244_seq_trigrams" -> ((s, d) =>
+      EventOps.sequenceNgrams(t(s, d, "events"), "user_id", "ts",
+        "event_type", "event_id", n = 3, minCount = 5L)),
+
     // RFM per customer on orders with fixed threshold segments
     "q218_rfm" -> ((s, d) =>
       EventOps.rfm(t(s, d, "orders"), "o_custkey", "o_orderdate",
@@ -235,6 +241,20 @@ object QueriesAnalytics {
         |SELECT cnt.from_type, cnt.to_type, cnt.n,
         |  round(CAST(cnt.n AS DOUBLE) / t, 6) AS p
         |FROM cnt JOIN tot ON cnt.from_type = tot.from_type""".stripMargin,
+
+    "q244_seq_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS g1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS g2
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT event_type || '>' || g1 || '>' || g2 AS ngram,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM e WHERE g1 IS NOT NULL AND g2 IS NOT NULL
+        |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
 
     "q218_rfm" ->
       """WITH agg AS (

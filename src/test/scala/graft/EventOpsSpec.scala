@@ -102,6 +102,22 @@ class EventOpsSpec extends SparkSpecBase {
     out(0.75) shouldBe ((0.5 + 3.75 + 0.0) / 3 +- 1e-6)
   }
 
+  test("sequenceNgrams counts contiguous per-user trigrams") {
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    // user 1: a b c a b c -> abc x2, bca, cab; user 2: a b c -> abc
+    val rows = Seq("a", "b", "c", "a", "b", "c").zipWithIndex
+      .map { case (t, i) => (1L, t0, i, t) } ++
+      Seq("a", "b", "c").zipWithIndex.map { case (t, i) => (2L, t0, i, t) }
+    val out = EventOps.sequenceNgrams(rows.toDF("u", "ts", "id", "et"),
+        "u", "ts", "et", "id", n = 3, minCount = 1L)
+      .as[(String, Long)].collect().toMap
+    out shouldBe Map("a>b>c" -> 3L, "b>c>a" -> 1L, "c>a>b" -> 1L)
+    // minCount prunes the singletons
+    EventOps.sequenceNgrams(rows.toDF("u", "ts", "id", "et"),
+        "u", "ts", "et", "id", n = 3, minCount = 2L)
+      .as[(String, Long)].collect().toMap shouldBe Map("a>b>c" -> 3L)
+  }
+
   test("rfm segments by the fixed thresholds") {
     val d0 = Timestamp.valueOf("2024-06-01 00:00:00")
     val dOld = Timestamp.valueOf("2022-01-01 00:00:00")
