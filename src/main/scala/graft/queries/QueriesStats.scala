@@ -57,6 +57,15 @@ object QueriesStats {
           cents(col("c_acctbal")).as("ac")),
         "ac", "nk", "2", "7")),
 
+    // per-group OLS: price-dollars ~ quantity slope per return flag,
+    // one hash aggregate for every group (groupby().apply(ols) parity)
+    "q245_grouped_ols" -> ((s, d) =>
+      graft.stats.StatsOps.groupedLinearRegression(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y")),
+        "x", "y", Seq("l_returnflag"))),
+
     // §2.12 Tukey HSD post-hoc over event-type value cents
     "q205_tukey_hsd" -> ((s, d) =>
       StatsOps.tukeyHsd(
@@ -846,6 +855,37 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q245_grouped_ols" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy
+        |  FROM (SELECT l_returnflag,
+        |      CAST(l_quantity AS BIGINT) AS x,
+        |      CAST(round(l_extendedprice) AS BIGINT) AS y
+        |    FROM lineitem
+        |    WHERE l_quantity IS NOT NULL
+        |      AND l_extendedprice IS NOT NULL)
+        |  GROUP BY 1),
+        |d AS (SELECT l_returnflag, n, sx, sy,
+        |    n * sxy - sx * sy AS covxy,
+        |    n * sxx - sx * sx AS varx,
+        |    n * syy - sy * sy AS vary
+        |  FROM s),
+        |sl AS (SELECT l_returnflag, n, sx, sy, varx, vary, covxy,
+        |    CASE WHEN varx <> 0 THEN covxy / varx END AS slope
+        |  FROM d)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / n, 6) AS intercept,
+        |  round(CASE WHEN varx <> 0 AND vary <> 0
+        |    THEN covxy * covxy / (varx * vary) END, 6) AS r2
+        |FROM sl""".stripMargin,
 
     "q239_ks_test" ->
       """WITH pooled AS (

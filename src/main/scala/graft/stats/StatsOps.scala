@@ -755,6 +755,41 @@ object StatsOps {
       .drop("n")
   }
 
+  /** Per-group OLS simple regression (pandas groupby().apply(ols)
+    * parity): slope/intercept/r² per key from the five sufficient
+    * sums — ONE hash aggregate regardless of group count, no
+    * per-group iteration. Feed integer-valued x/y (cents pattern)
+    * and the sums are exact doubles, so every derived ratio is the
+    * same IEEE double in any engine. Degenerate groups (constant x
+    * or y) emit null slope/r². */
+  def groupedLinearRegression(df0: DataFrame, xCol: String,
+      yCol: String, keyCols: Seq[String]): DataFrame = {
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("n"), sum(x).as("sx"),
+        sum(y).as("sy"), sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select((keyCols.map(col) :+
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("covxy") :+
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx") :+
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary") :+
+        col("n") :+ col("sx") :+ col("sy")): _*)
+      .select((keyCols.map(col) :+
+        when(col("varx") =!= 0, col("covxy") / col("varx"))
+          .as("slope") :+
+        col("n") :+ col("sx") :+ col("sy") :+ col("varx") :+
+        col("vary") :+ col("covxy")): _*)
+      .select((keyCols.map(col) :+
+        col("n").cast("long").as("n") :+
+        round(col("slope"), 6).as("slope") :+
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 6)
+          .as("intercept") :+
+        round(when(col("varx") =!= 0 && col("vary") =!= 0,
+          col("covxy") * col("covxy") /
+            (col("varx") * col("vary"))), 6).as("r2")): _*)
+  }
+
   /** Average ranks of the distinct-value table, scale-safe.
     *
     * avg_rank(v) = #rows<v + 1 + (ties(v)−1)/2 needs a cumulative sum

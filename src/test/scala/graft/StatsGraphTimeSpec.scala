@@ -1365,4 +1365,20 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       (2 to 9).map(d => math.log10(1.0 + 1.0 / d)).sum)
     outO.head.getAs[Double]("chi2_stat") shouldBe expChiOnes +- 1e-4
   }
+
+  test("groupedLinearRegression recovers per-group exact lines") {
+    import spark.implicits._
+    // group a: y = 3x + 2 exactly; group b: constant x (degenerate)
+    val rows = (1 to 10).map(x => ("a", x.toLong, 3L * x + 2)) ++
+      Seq(("b", 5L, 1L), ("b", 5L, 9L))
+    val out = graft.stats.StatsOps.groupedLinearRegression(
+        rows.toDF("g", "x", "y"), "x", "y", Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("a").getAs[Double]("slope") shouldBe 3.0
+    out("a").getAs[Double]("intercept") shouldBe 2.0
+    out("a").getAs[Double]("r2") shouldBe 1.0
+    out("a").getAs[Long]("n") shouldBe 10L
+    out("b").isNullAt(out("b").fieldIndex("slope")) shouldBe true
+    out("b").isNullAt(out("b").fieldIndex("r2")) shouldBe true
+  }
 }
