@@ -66,6 +66,14 @@ object QueriesStats {
           round(col("l_extendedprice")).cast("long").as("y")),
         "x", "y", Seq("l_returnflag"))),
 
+    // §2.12 two-sample Cramér-von Mises criterion, click vs view
+    // value-cents (exact scaled-integer rank-run sums)
+    "q246_cramer_von_mises" -> ((s, d) =>
+      graft.stats.TwoSampleOps.cramerVonMises(
+        t(s, d, "events").select(col("event_type"),
+          cents(col("value")).as("vc")),
+        "vc", "event_type", "click", "view")),
+
     // §2.12 Tukey HSD post-hoc over event-type value cents
     "q205_tukey_hsd" -> ((s, d) =>
       StatsOps.tukeyHsd(
@@ -855,6 +863,50 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q246_cramer_von_mises" ->
+      """WITH pooled AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |counts AS (SELECT v,
+        |  CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM pooled GROUP BY 1),
+        |cum AS (SELECT v, ca, cb,
+        |  CAST(coalesce(sum(ca) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS ba,
+        |  CAST(coalesce(sum(cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS bb
+        |  FROM counts),
+        |terms AS (SELECT ca, cb,
+        |    2 * (ba + bb) + ca + cb + 1 - 2 * ba AS a2,
+        |    2 * (ba + bb) + ca + cb + 1 - 2 * bb AS b2
+        |  FROM cum),
+        |sums AS (SELECT
+        |  CAST(CAST(sum(ca) AS BIGINT) AS DOUBLE) AS na,
+        |  CAST(CAST(sum(cb) AS BIGINT) AS DOUBLE) AS nb,
+        |  CAST(CAST(sum(ca * a2 * a2 - 2 * a2 * ca * (ca + 1) +
+        |    (2 * ca * (ca + 1) * (2 * ca + 1)) // 3) AS BIGINT)
+        |    AS DOUBLE) AS sa4,
+        |  CAST(CAST(sum(cb * b2 * b2 - 2 * b2 * cb * (cb + 1) +
+        |    (2 * cb * (cb + 1) * (2 * cb + 1)) // 3) AS BIGINT)
+        |    AS DOUBLE) AS sb4
+        |  FROM terms),
+        |fin AS (SELECT na, nb, na + nb AS nn,
+        |    (na * sa4 + nb * sb4) / 4.0 AS u FROM sums),
+        |tt AS (SELECT na, nb, nn,
+        |    u / (na * nb * nn) - (4.0 * na * nb - 1) / (6.0 * nn) AS t
+        |  FROM fin)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(t, 6) AS t_stat,
+        |  round((t - (1.0 + 1.0 / nn) / 6.0) /
+        |    sqrt((nn + 1) / (45.0 * nn * nn) *
+        |      (4.0 * na * nb * nn - 3.0 * (na * na + nb * nb) -
+        |        2.0 * na * nb) / (4.0 * na * nb)), 6) AS z
+        |FROM tt""".stripMargin,
 
     "q245_grouped_ols" ->
       """WITH s AS (

@@ -87,6 +87,65 @@ object TwoSampleOps {
           .as("jsd_distance"))
   }
 
+  /** Two-sample Cramér-von Mises criterion (Anderson 1962):
+    *   U = n_a Σ_i (r_i − i)² + n_b Σ_j (s_j − j)²,
+    *   T = U/(n_a n_b N) − (4 n_a n_b − 1)/(6N)
+    * with midranks, plus the standardized z from the exact mean
+    * (1 + 1/N)/6 and Anderson's variance.
+    *
+    * Exactness at scale: each group's Σ(r−i)² is accumulated ×4 in
+    * LONG (doubled ranks make midranks integral; the per-distinct-
+    * value run sums collapse to a closed form in integer arithmetic),
+    * so the reduction is order-independent — no double accumulation
+    * over raw rows. */
+  def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String): DataFrame = {
+    val pooled = df.filter(col(groupCol).isin(gA, gB) &&
+      col(valueCol).isNotNull)
+    val counts = pooled.groupBy(col(valueCol)).agg(
+      sum(when(col(groupCol) === gA, 1L).otherwise(0L)).as("__ca__"),
+      sum(when(col(groupCol) === gB, 1L).otherwise(0L)).as("__cb__"))
+      .cache()
+    val belowA = StatsOps.distinctValueCumCounts(counts, valueCol, "__ca__")
+      .select(col(valueCol), col("__ca__"), col("__below__").as("__ba__"))
+    val belowB = StatsOps.distinctValueCumCounts(counts, valueCol, "__cb__")
+      .select(col(valueCol), col("__cb__"), col("__below__").as("__bb__"))
+    // doubled overall midrank R = 2·below_tot + c_tot + 1 (integral);
+    // Σ_{k=1..c}(R − 2·below_g − 2k)² = 4·Σ(r − i)² for the group —
+    // closed form c·A² − 2A·c(c+1) + 2c(c+1)(2c+1)/3, all LONG ops
+    def runSum(a2: Column, c: Column): Column =
+      c * a2 * a2 - lit(2L) * a2 * c * (c + 1L) +
+        ((lit(2L) * c * (c + 1L) * (lit(2L) * c + 1L)) / 3L)
+          .cast("long")
+    val joined = belowA.join(belowB, Seq(valueCol))
+    val r2 = lit(2L) * (col("__ba__") + col("__bb__")) +
+      col("__ca__") + col("__cb__") + 1L
+    val sums = joined.agg(
+      sum(col("__ca__")).cast("double").as("na"),
+      sum(col("__cb__")).cast("double").as("nb"),
+      sum(when(col("__ca__") > 0,
+        runSum(r2 - lit(2L) * col("__ba__"), col("__ca__")))
+        .otherwise(0L)).as("sa4"),
+      sum(when(col("__cb__") > 0,
+        runSum(r2 - lit(2L) * col("__bb__"), col("__cb__")))
+        .otherwise(0L)).as("sb4"))
+    val nn = col("na") + col("nb")
+    val u = (col("na") * col("sa4").cast("double") +
+      col("nb") * col("sb4").cast("double")) / 4.0
+    val tStat = u / (col("na") * col("nb") * nn) -
+      (lit(4.0) * col("na") * col("nb") - 1) / (lit(6.0) * nn)
+    val meanT = (lit(1.0) + lit(1.0) / nn) / 6.0
+    val varT = (nn + 1) / (lit(45.0) * nn * nn) *
+      (lit(4.0) * col("na") * col("nb") * nn -
+        lit(3.0) * (col("na") * col("na") + col("nb") * col("nb")) -
+        lit(2.0) * col("na") * col("nb")) /
+      (lit(4.0) * col("na") * col("nb"))
+    sums.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"),
+      round(tStat, 6).as("t_stat"),
+      round((tStat - meanT) / sqrt(varT), 6).as("z"))
+  }
+
   /** Cliff's delta ordinal effect size between two groups:
     * δ = (#(a>b) − #(a<b)) / (n_a n_b) = 2U_a/(n_a n_b) − 1 with the
     * tie-midrank U from [[StatsOps.mannWhitneyU]], plus the Romano

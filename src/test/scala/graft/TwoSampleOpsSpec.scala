@@ -49,6 +49,37 @@ class TwoSampleOpsSpec extends SparkSpecBase {
     r.getAs[Double]("k_stat") shouldBe 400.0
   }
 
+  test("cramerVonMises matches the direct rank-sum computation") {
+    val a = Seq(1, 3, 3, 7, 20)
+    val b = Seq(2, 3, 8, 8, 15, 30)
+    val r = TwoSampleOps.cramerVonMises(two(a, b), "v", "g", "a", "b")
+      .head()
+    // direct Anderson form with midranks on the pooled sample
+    val pooled = (a.map((_, 'a')) ++ b.map((_, 'b')))
+    val mid = pooled.map(_._1).distinct.map { v =>
+      val below = pooled.count(_._1 < v)
+      val c = pooled.count(_._1 == v)
+      v -> (below + (c + 1) / 2.0)
+    }.toMap
+    def s2(xs: Seq[Int]) = xs.sorted.zipWithIndex.map { case (v, i) =>
+      math.pow(mid(v) - (i + 1), 2)
+    }.sum
+    val (n, m) = (a.size.toDouble, b.size.toDouble)
+    val u = n * s2(a) + m * s2(b)
+    val t = u / (n * m * (n + m)) - (4 * n * m - 1) / (6 * (n + m))
+    r.getAs[Long]("n_a") shouldBe 5L
+    r.getAs[Long]("n_b") shouldBe 6L
+    r.getAs[Double]("t_stat") shouldBe t +- 1e-6
+    // identical samples: T near its minimum, z negative-ish small
+    val same = TwoSampleOps.cramerVonMises(
+      two(1 to 20, 1 to 20), "v", "g", "a", "b").head()
+    same.getAs[Double]("t_stat") should be < 0.1
+    // disjoint samples: large T, large z
+    val far = TwoSampleOps.cramerVonMises(
+      two(1 to 20, 101 to 120), "v", "g", "a", "b").head()
+    far.getAs[Double]("z") should be > 3.0
+  }
+
   test("cliffsDelta: complete separation gives |delta| = 1") {
     val apart = two(11 to 20, 1 to 10)
     val r = TwoSampleOps.cliffsDelta(apart, "v", "g", "a", "b").head()
