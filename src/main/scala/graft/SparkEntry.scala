@@ -27,11 +27,11 @@ object SparkEntry {
     QueriesCore.queries ++ QueriesWindow.queries ++
       QueriesText.queries ++ QueriesStats.queries ++
       QueriesExt.queries ++ QueriesPipeline.queries ++
-      QueriesAnalytics.queries
+      QueriesAnalytics.queries ++ QueriesTa.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracle ++ QueriesWindow.oracle ++
       QueriesText.oracle ++ QueriesStats.oracle ++
       QueriesExt.oracle ++ QueriesPipeline.oracle ++
-      QueriesAnalytics.oracle
+      QueriesAnalytics.oracle ++ QueriesTa.oracle
 }
