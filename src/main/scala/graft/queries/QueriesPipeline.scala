@@ -1309,19 +1309,19 @@ object QueriesPipeline {
 
     "q236_row_checks" ->
       """WITH t AS (SELECT count(*) AS n,
-        |  sum(CASE WHEN coalesce(l_quantity <= 45, false)
-        |      THEN 0 ELSE 1 END) AS v1,
-        |  sum(CASE WHEN coalesce(l_discount < l_tax, false)
-        |      THEN 0 ELSE 1 END) AS v2,
-        |  sum(CASE WHEN coalesce(l_extendedprice > 0, false)
-        |      THEN 0 ELSE 1 END) AS v3
+        |  CAST(sum(CASE WHEN coalesce(l_quantity <= 45, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN coalesce(l_discount < l_tax, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN coalesce(l_extendedprice > 0, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v3
         |  FROM lineitem)
-        |SELECT 'qty_le_45' AS "check", n AS n_rows,
-        |  v1 AS n_violations, v1 * 1000000 // n AS violation_ppm FROM t
+        |SELECT 'qty_le_45' AS "check", n AS n_rows, v1 AS n_violations,
+        |  CAST(v1 * 1000000 // n AS BIGINT) AS violation_ppm FROM t
         |UNION ALL
-        |SELECT 'disc_lt_tax', n, v2, v2 * 1000000 // n FROM t
+        |SELECT 'disc_lt_tax', n, v2, CAST(v2 * 1000000 // n AS BIGINT) FROM t
         |UNION ALL
-        |SELECT 'price_pos', n, v3, v3 * 1000000 // n FROM t""".stripMargin,
+        |SELECT 'price_pos', n, v3, CAST(v3 * 1000000 // n AS BIGINT) FROM t""".stripMargin,
 
     "q237_unique_check" ->
       """SELECT 'cust_unique' AS "check", count(*) AS n_rows,
