@@ -1,0 +1,133 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.llm.PipelineOps
+
+/** Model selection: k-fold cross-validation and grid search, Spark-first.
+  *
+  * Reference surface: `src/ml/model_selection.rs` (CrossValidationStrategy,
+  * GridSearchCV, RandomizedSearchCV). The reference materializes fold
+  * index vectors and refits per fold; at 100 TB that is k full training
+  * passes. For linear models the refit collapses algebraically: simple
+  * OLS/ridge coefficients are pure arithmetic on the sufficient
+  * statistics (n, Σx, Σy, Σxx, Σyy, Σxy), and the train-split stats for
+  * fold i are just (totals − fold i stats). So the ENTIRE k-fold CV — and
+  * an entire hyperparameter grid — costs ONE hash-aggregate scan of the
+  * data producing k tiny rows; everything downstream operates on k (or
+  * k × |grid|) rows. Held-out error needs no second scan either:
+  *   SSE_test = Σ(y−a−bx)² = syy − 2a·sy − 2b·sxy + 2ab·sx + a²n + b²sxx.
+  *
+  * Fold assignment is the repo's portable deterministic 48-bit md5 hash
+  * (PipelineOps.hash48Unit): stable across runs, cluster sizes, and
+  * engines — any engine can re-derive the exact folds, which is what
+  * makes these operators oracle-checkable.
+  *
+  * Determinism rules (SURVEY §7.5): x and y must be integer-valued
+  * (caller casts/scales); sufficient sums are then exact in doubles and
+  * the derived coefficients follow the identical association order as
+  * the oracle SQL.
+  */
+object ModelSelection {
+
+  /** fold id in [0, k) from a deterministic portable hash of keyCol. */
+  def foldOf(keyCol: Column, k: Int, salt: String): Column =
+    floor(PipelineOps.hash48Unit(
+      concat(keyCol.cast("string"), lit(salt))) * k).cast("int")
+
+  /** Per-fold sufficient statistics for y ~ x. One partial+final hash
+    * aggregate; output is k rows however large the input. */
+  private def foldStats(df0: DataFrame, keyCol: String, xCol: String,
+      yCol: String, k: Int, salt: String): DataFrame = {
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    df0.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(keyCol).isNotNull)
+      .select(foldOf(col(keyCol), k, salt).as("fold"), x.as("x"),
+        y.as("y"))
+      .groupBy("fold")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+  }
+
+  /** Fold stats joined with the complement (train = totals − fold).
+    * The totals frame is one row; Spark broadcasts the nested-loop
+    * join, so this is k rows of arithmetic. */
+  private def withTrainStats(fs: DataFrame): DataFrame = {
+    val tot = fs.agg(sum("n").as("tn0"), sum("sx").as("tsx0"),
+      sum("sy").as("tsy0"), sum("sxx").as("tsxx0"),
+      sum("syy").as("tsyy0"), sum("sxy").as("tsxy0"))
+    fs.crossJoin(broadcast(tot))
+      .withColumn("tn", col("tn0") - col("n"))
+      .withColumn("tsx", col("tsx0") - col("sx"))
+      .withColumn("tsy", col("tsy0") - col("sy"))
+      .withColumn("tsxx", col("tsxx0") - col("sxx"))
+      .withColumn("tsyy", col("tsyy0") - col("syy"))
+      .withColumn("tsxy", col("tsxy0") - col("sxy"))
+  }
+
+  /** Held-out SSE of y = a + b·x against this fold's own stats. */
+  private def testSse(a: Column, b: Column): Column =
+    col("syy") - lit(2.0) * a * col("sy") -
+      lit(2.0) * b * col("sxy") + lit(2.0) * a * b * col("sx") +
+      a * a * col("n") + b * b * col("sxx")
+
+  /** K-fold CV of simple OLS y ~ x: per fold, coefficients fit on the
+    * other k−1 folds and RMSE/R² evaluated on the held-out fold.
+    * Output: fold, n_train, n_test, slope, intercept, test_rmse,
+    * test_r2 (rounded to 6, engine-portable). */
+  def kFoldOlsCv(df0: DataFrame, keyCol: String, xCol: String,
+      yCol: String, k: Int = 5, salt: String = "cv"): DataFrame = {
+    require(k >= 2, "kFoldOlsCv needs k >= 2")
+    val ts = withTrainStats(foldStats(df0, keyCol, xCol, yCol, k, salt))
+    val varx = col("tn") * col("tsxx") - col("tsx") * col("tsx")
+    val covxy = col("tn") * col("tsxy") - col("tsx") * col("tsy")
+    val withAb = ts
+      .withColumn("slope", covxy / varx)
+      .withColumn("intercept",
+        (col("tsy") - col("slope") * col("tsx")) / col("tn"))
+    val sse = testSse(col("intercept"), col("slope"))
+    val sstot = col("syy") - col("sy") * col("sy") / col("n")
+    withAb
+      .select(col("fold"),
+        col("tn").cast("long").as("n_train"),
+        col("n").cast("long").as("n_test"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(sqrt(sse / col("n")), 6).as("test_rmse"),
+        round(lit(1.0) - sse / sstot, 6).as("test_r2"))
+  }
+
+  /** GridSearchCV parity for ridge y ~ x (intercept unpenalized,
+    * slope = Sxy_c / (Sxx_c + λ) on centered train stats). Every λ
+    * reuses the same k fold-stat rows, so the whole grid still costs
+    * one scan of the data. Score = pooled held-out RMSE over all
+    * folds. Output: lambda, cv_rmse, rank (1 = best). */
+  def ridgeGridCv(df0: DataFrame, keyCol: String, xCol: String,
+      yCol: String, lambdas: Seq[Double], k: Int = 5,
+      salt: String = "cv"): DataFrame = {
+    require(k >= 2 && lambdas.nonEmpty)
+    val ts = withTrainStats(foldStats(df0, keyCol, xCol, yCol, k, salt))
+    val grid = ts.crossJoin(
+      broadcast(ts.sparkSession.createDataFrame(
+        lambdas.map(Tuple1(_))).toDF("lambda")))
+    val sxxC = col("tsxx") - col("tsx") * col("tsx") / col("tn")
+    val sxyC = col("tsxy") - col("tsx") * col("tsy") / col("tn")
+    val scored = grid
+      .withColumn("slope", sxyC / (sxxC + col("lambda")))
+      .withColumn("intercept",
+        (col("tsy") - col("slope") * col("tsx")) / col("tn"))
+      .withColumn("sse", testSse(col("intercept"), col("slope")))
+    val pooled = scored.groupBy("lambda")
+      .agg(sum("sse").as("sse"), sum("n").as("nn"))
+      .select(col("lambda"),
+        round(sqrt(col("sse") / col("nn")), 6).as("cv_rmse"))
+    // |grid| rows: the global rank window is a few rows, not a scale
+    // hazard.
+    pooled.withColumn("rank",
+      rank().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cv_rmse"), col("lambda"))).cast("int"))
+  }
+}

@@ -859,10 +859,123 @@ object QueriesStats {
         .select(col("n"), col("min_x"), col("max_x"), col("median"),
           round(dbl(col("s1")) / dbl(col("n")), 6).as("mean"),
           round(sqrt((dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1")) / dbl(col("n")))
-            / (dbl(col("n")) - 1)), 6).as("std")))
+            / (dbl(col("n")) - 1)), 6).as("std"))),
+
+    // §2.13 model selection: 5-fold CV of OLS price-dollars ~ quantity
+    // with deterministic hash folds; the whole CV is one aggregate
+    // scan (train stats = totals − fold stats, held-out RMSE from the
+    // fold's own sufficient statistics)
+    "q251_kfold_cv" -> ((s, d) =>
+      graft.ml.ModelSelection.kFoldOlsCv(
+        t(s, d, "lineitem").select(
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("rk"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y")),
+        "rk", "x", "y", k = 5, salt = "cv")),
+
+    // §2.13 GridSearchCV parity: ridge lambda grid scored by pooled
+    // 5-fold held-out RMSE — the entire grid reuses the same k
+    // fold-stat rows, still one scan of lineitem
+    "q252_ridge_cv" -> ((s, d) =>
+      graft.ml.ModelSelection.ridgeGridCv(
+        t(s, d, "lineitem").select(
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("rk"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y")),
+        "rk", "x", "y",
+        lambdas = Seq(0.0, 1e5, 1e6, 1e7, 1e8), k = 5, salt = "cv"))
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q251_kfold_cv" ->
+      """WITH r AS (
+        |  SELECT CAST(floor(list_sum(list_transform(range(1, 13),
+        |      i -> (strpos('0123456789abcdef', substr(md5(
+        |          CAST(l_orderkey AS VARCHAR) || '-' ||
+        |          CAST(l_linenumber AS VARCHAR) || 'cv'), i, 1)) - 1)
+        |        * power(16, 12 - i))) / 281474976710656.0 * 5)
+        |      AS INT) AS fold,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |f AS (SELECT fold,
+        |    CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy
+        |  FROM r GROUP BY 1),
+        |tt AS (SELECT sum(n) AS tn0, sum(sx) AS tsx0, sum(sy) AS tsy0,
+        |    sum(sxx) AS tsxx0, sum(syy) AS tsyy0, sum(sxy) AS tsxy0
+        |  FROM f),
+        |c AS (SELECT f.*, tt.tn0 - f.n AS tn, tt.tsx0 - f.sx AS tsx,
+        |    tt.tsy0 - f.sy AS tsy, tt.tsxx0 - f.sxx AS tsxx,
+        |    tt.tsyy0 - f.syy AS tsyy, tt.tsxy0 - f.sxy AS tsxy
+        |  FROM f, tt),
+        |ab AS (SELECT *, (tn * tsxy - tsx * tsy) /
+        |    (tn * tsxx - tsx * tsx) AS slope FROM c),
+        |ab2 AS (SELECT *, (tsy - slope * tsx) / tn AS intercept FROM ab),
+        |e AS (SELECT *,
+        |    syy - 2.0 * intercept * sy - 2.0 * slope * sxy
+        |      + 2.0 * intercept * slope * sx + intercept * intercept * n
+        |      + slope * slope * sxx AS sse
+        |  FROM ab2)
+        |SELECT fold, CAST(tn AS BIGINT) AS n_train,
+        |  CAST(n AS BIGINT) AS n_test,
+        |  round(slope, 6) AS slope, round(intercept, 6) AS intercept,
+        |  round(sqrt(sse / n), 6) AS test_rmse,
+        |  round(1.0 - sse / (syy - sy * sy / n), 6) AS test_r2
+        |FROM e""".stripMargin,
+
+    "q252_ridge_cv" ->
+      """WITH r AS (
+        |  SELECT CAST(floor(list_sum(list_transform(range(1, 13),
+        |      i -> (strpos('0123456789abcdef', substr(md5(
+        |          CAST(l_orderkey AS VARCHAR) || '-' ||
+        |          CAST(l_linenumber AS VARCHAR) || 'cv'), i, 1)) - 1)
+        |        * power(16, 12 - i))) / 281474976710656.0 * 5)
+        |      AS INT) AS fold,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |f AS (SELECT fold,
+        |    CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy
+        |  FROM r GROUP BY 1),
+        |tt AS (SELECT sum(n) AS tn0, sum(sx) AS tsx0, sum(sy) AS tsy0,
+        |    sum(sxx) AS tsxx0, sum(syy) AS tsyy0, sum(sxy) AS tsxy0
+        |  FROM f),
+        |c AS (SELECT f.*, tt.tn0 - f.n AS tn, tt.tsx0 - f.sx AS tsx,
+        |    tt.tsy0 - f.sy AS tsy, tt.tsxx0 - f.sxx AS tsxx,
+        |    tt.tsyy0 - f.syy AS tsyy, tt.tsxy0 - f.sxy AS tsxy
+        |  FROM f, tt),
+        |g AS (SELECT c.*, l.lambda FROM c, (SELECT CAST(x AS DOUBLE)
+        |    AS lambda FROM (VALUES (0.0), (100000.0), (1000000.0),
+        |      (10000000.0), (100000000.0)) v(x)) l),
+        |ab AS (SELECT *, (tsxy - tsx * tsy / tn) /
+        |    ((tsxx - tsx * tsx / tn) + lambda) AS slope FROM g),
+        |ab2 AS (SELECT *, (tsy - slope * tsx) / tn AS intercept FROM ab),
+        |e AS (SELECT *,
+        |    syy - 2.0 * intercept * sy - 2.0 * slope * sxy
+        |      + 2.0 * intercept * slope * sx + intercept * intercept * n
+        |      + slope * slope * sxx AS sse
+        |  FROM ab2),
+        |p AS (SELECT lambda, round(sqrt(sum(sse) / sum(n)), 6)
+        |    AS cv_rmse
+        |  FROM e GROUP BY 1)
+        |SELECT lambda, cv_rmse,
+        |  CAST(rank() OVER (ORDER BY cv_rmse, lambda) AS INT) AS "rank"
+        |FROM p""".stripMargin,
 
     "q246_cramer_von_mises" ->
       """WITH pooled AS (
