@@ -190,9 +190,70 @@ object QueriesAnalytics {
     // to prior touch channels, per user event stream
     "q231_attribution" -> ((s, d) =>
       EventOps.attribution(t(s, d, "events"), "user_id", "ts",
-        "event_type", "value", "purchase", "event_id")))
+        "event_type", "value", "purchase", "event_id")),
+
+    // text-vis parity: ASCII histogram of quantity, integer-exact bar
+    // scaling (reference vis/ascii)
+    "q253_histogram" -> ((s, d) =>
+      graft.vis.VisOps.histogram(t(s, d, "lineitem"), "l_quantity",
+        lo = 0.0, hi = 50.0, nBins = 10, barWidth = 40)),
+
+    // text-vis parity: per-event-type Unicode sparkline of daily mean
+    // value-cents compressed to 20 time buckets (reference
+    // vis/direct sparkline)
+    "q254_sparkline" -> ((s, d) =>
+      graft.vis.VisOps.sparkline(
+        t(s, d, "events").select(col("event_type"), col("ts"),
+          cents(col("value")).as("vc")),
+        "event_type", "ts", "vc", width = 20)))
 
   val oracle: Map[String, String] = Map(
+
+    "q253_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0)
+        |      AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_quantity >= 0
+        |    AND l_quantity < 50
+        |  GROUP BY 1),
+        |m AS (SELECT max(c) AS mx FROM b)
+        |SELECT bin,
+        |  round(CAST(bin * 5 AS DOUBLE), 6) AS lo_edge,
+        |  round(CAST((bin + 1) * 5 AS DOUBLE), 6) AS hi_edge,
+        |  c AS cnt,
+        |  repeat('#', CAST(c * 40 // mx AS INT)) AS bar
+        |FROM b, m""".stripMargin,
+
+    "q254_sparkline" ->
+      """WITH base AS (
+        |  SELECT event_type AS k,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |span AS (SELECT min(d) AS mind, max(d) AS maxd FROM base),
+        |bk AS (
+        |  SELECT k,
+        |    CAST((d - mind) * 20 // (maxd - mind + 1) AS INT) AS bucket,
+        |    CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) /
+        |      CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS m
+        |  FROM base, span GROUP BY 1, 2),
+        |lv AS (SELECT k, bucket, m,
+        |    min(m) OVER (PARTITION BY k) AS mn,
+        |    max(m) OVER (PARTITION BY k) AS mx
+        |  FROM bk),
+        |ch AS (SELECT k, bucket,
+        |    CASE WHEN mx = mn THEN 0
+        |      ELSE least(7, CAST(floor((m - mn) / (mx - mn) * 8)
+        |        AS INT)) END AS lvl
+        |  FROM lv)
+        |SELECT k AS event_type,
+        |  string_agg(substring('▁▂▃▄▅▆▇█', lvl + 1, 1), ''
+        |    ORDER BY bucket) AS spark
+        |FROM ch GROUP BY 1""".stripMargin,
 
     "q215_funnel" ->
       """WITH e AS (

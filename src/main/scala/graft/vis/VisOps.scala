@@ -1,0 +1,88 @@
+package graft.vis
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text visualization parity (reference `src/vis/ascii`, `src/vis/text`,
+  * `src/vis/direct/sparkline.rs`): ASCII histograms and Unicode
+  * sparklines as DataFrame results rather than terminal side effects —
+  * the Spark-native shape is "compute the tiny plot table distributed,
+  * render strings in the result set".
+  *
+  * Scale: the histogram is one hash aggregate over the fact table into
+  * nBins rows; the sparkline is one aggregate into (keys × width)
+  * bucket rows then a per-key fold. Windows only ever run over ≤nBins /
+  * ≤width rows per partition. All rendering arithmetic is exact
+  * integer math (bar lengths via integer division, bucket ids via
+  * integer day math) so results are engine-reproducible.
+  */
+object VisOps {
+
+  /** Fixed-width histogram of valueCol over [lo, hi) with an ASCII bar
+    * per bin (longest bar = barWidth chars, integer-scaled). Output:
+    * bin, lo_edge, hi_edge, cnt, bar. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBins: Int, barWidth: Int = 40): DataFrame = {
+    require(nBins > 0 && hi > lo)
+    val width = (hi - lo) / nBins
+    val v = col(valueCol).cast("double")
+    val binned = df
+      .filter(v.isNotNull && v >= lo && v < hi)
+      .select(floor((v - lit(lo)) / lit(width)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    // nBins rows from here on: the 1-row max broadcast is a
+    // constant-size plot table, not a data-scale shuffle.
+    binned
+      .crossJoin(broadcast(binned.agg(max("cnt").as("mx"))))
+      .select(col("bin"),
+        round(lit(lo) + col("bin") * lit(width), 6).as("lo_edge"),
+        round(lit(lo) + (col("bin") + 1) * lit(width), 6).as("hi_edge"),
+        col("cnt").cast("long").as("cnt"),
+        expr(s"repeat('#', CAST(cnt * $barWidth DIV mx AS INT))")
+          .as("bar"))
+  }
+
+  private val Blocks = "▁▂▃▄▅▆▇█"
+
+  /** Per-key Unicode sparkline of a daily value series compressed to
+    * `width` time buckets. Bucketing is exact integer day math over
+    * the global [min_day, max_day] span; each bucket's mean (exact
+    * integer sums, one double division) is mapped to one of 8 block
+    * glyphs by its position inside the key's own [min, max] mean
+    * range. Output: keyCol, spark (string of ≤width glyphs). */
+  def sparkline(df: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String, width: Int = 20): DataFrame = {
+    require(width > 0)
+    val day = datediff(col(dateCol).cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val base = df
+      .filter(col(keyCol).isNotNull && col(dateCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), day.as("d"),
+        col(valueCol).cast("long").as("v"))
+    val span = base.agg(min("d").as("mind"), max("d").as("maxd"))
+    val buckets = base.crossJoin(broadcast(span))
+      .select(col("k"),
+        expr(s"CAST((d - mind) * $width DIV (maxd - mind + 1) AS INT)")
+          .as("bucket"),
+        col("v"))
+      .groupBy("k", "bucket")
+      .agg(sum("v").as("sv"), count(lit(1)).as("cv"))
+      .select(col("k"), col("bucket"),
+        (col("sv").cast("double") / col("cv").cast("double")).as("m"))
+    // per-key fold over <= width bucket rows
+    val levelled = buckets
+      .withColumn("mn", min("m").over(Window.partitionBy("k")))
+      .withColumn("mx", max("m").over(Window.partitionBy("k")))
+      .withColumn("lvl",
+        when(col("mx") === col("mn"), lit(0)).otherwise(
+          least(lit(7), floor((col("m") - col("mn")) /
+            (col("mx") - col("mn")) * 8).cast("int"))))
+      .withColumn("ch", expr(s"substring('$Blocks', lvl + 1, 1)"))
+    levelled.groupBy(col("k").as(keyCol))
+      .agg(array_join(transform(array_sort(
+        collect_list(struct(col("bucket"), col("ch")))),
+        x => x.getField("ch")), "").as("spark"))
+  }
+}

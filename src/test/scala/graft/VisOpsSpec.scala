@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vis.VisOps
+
+/** Text-vis parity (reference src/vis/ascii, src/vis/direct
+  * sparkline): plot tables with exact integer rendering math. */
+class VisOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("histogram bins, edges, and integer-scaled bars") {
+    // 10 values in [0,10): 6 in bin 0 ([0,5)), 4 in bin 1 ([5,10))
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 4.9, 5.0, 6.0, 7.0, 9.9)
+      .toDF("v")
+    val h = VisOps.histogram(df, "v", 0.0, 10.0, 2, barWidth = 6)
+      .orderBy("bin").collect()
+    h.map(_.getAs[Long]("cnt")).toSeq shouldBe Seq(6L, 4L)
+    h.map(_.getAs[Double]("lo_edge")).toSeq shouldBe Seq(0.0, 5.0)
+    h.map(_.getAs[Double]("hi_edge")).toSeq shouldBe Seq(5.0, 10.0)
+    // bars: 6*6/6=6 hashes, 4*6/6=4 hashes (integer division)
+    h.map(_.getAs[String]("bar")).toSeq shouldBe Seq("######", "####")
+  }
+
+  test("histogram drops out-of-range and null values") {
+    val df = Seq(Some(-1.0), Some(0.0), Some(9.0), Some(10.0), None)
+      .toDF("v")
+    val h = VisOps.histogram(df, "v", 0.0, 10.0, 2)
+    h.agg(sum("cnt")).collect()(0).getLong(0) shouldBe 2L // 0.0 and 9.0
+  }
+
+  test("sparkline maps a monotone series to rising glyphs") {
+    // one key, 8 days, strictly increasing values, width 8 ->
+    // one bucket per day, levels 0..7
+    val df = (0 until 8).map(i =>
+      ("a", java.sql.Date.valueOf(s"2024-01-0${i + 1}"), (i + 1) * 10L))
+      .toDF("k", "dt", "v")
+    val out = VisOps.sparkline(df, "k", "dt", "v", width = 8).collect()
+    out.length shouldBe 1
+    out(0).getAs[String]("spark") shouldBe "▁▂▃▄▅▆▇█"
+  }
+
+  test("sparkline is flat-bottom glyph for a constant series") {
+    val df = (0 until 5).map(i =>
+      ("c", java.sql.Date.valueOf(s"2024-02-0${i + 1}"), 42L))
+      .toDF("k", "dt", "v")
+    val out = VisOps.sparkline(df, "k", "dt", "v", width = 5).collect()
+    out(0).getAs[String]("spark") shouldBe "▁▁▁▁▁"
+  }
+}
