@@ -1164,23 +1164,77 @@ object StatsOps {
 
   /** Spearman correlation MATRIX (pandas corr(method='spearman') in
     * long form): each column is replaced by its DOUBLED average rank
-    * (an exact Long even at ties, from the range-bucketed distinct-
-    * value rank maps) and fed to the limb-exact [[corrMatrix]] — the
-    * linear scaling 2r leaves Pearson-on-ranks unchanged, so every
-    * sufficient sum is bit-reproducible. Listwise deletion first,
-    * matching corrMatrix's documented semantics (ranks computed on
-    * the retained rows). */
-  def corrMatrixSpearman(df0: DataFrame, cols: Seq[String]): DataFrame = {
+    * (2r = 2·below + ties + 1 — an exact Long even at ties, pure
+    * integer math end to end) and fed to the limb-exact [[corrMatrix]]
+    * — the linear scaling 2r leaves Pearson-on-ranks unchanged, so
+    * every sufficient sum is bit-reproducible. Listwise deletion
+    * first, matching corrMatrix's documented semantics.
+    *
+    * Scale/latency design: ALL columns' distinct-value tables are
+    * built in ONE stacked shuffle (explode to (cid, v) then
+    * groupBy) instead of one groupBy per column, and the rank
+    * cumsums are range-parallelized with uniform integer buckets
+    * from a single tiny (cid → min, max) collect instead of one
+    * approxQuantile action per column — 2 small driver round-trips
+    * total, independent of column count. Inputs are expected on the
+    * op's documented integer domains (scaled cents / binned dollars;
+    * span · 64 must fit a Long), which both keeps the rank maps
+    * compact and makes every rank arithmetic exact. Ranks are exact
+    * wherever the bucket boundaries fall — value skew can only
+    * unbalance parallelism, never results. */
+  def corrMatrixSpearman(df0: DataFrame, cols: Seq[String],
+      nBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(cols.size >= 2, "corrMatrixSpearman needs ≥ 2 columns")
     val df = df0.na.drop(cols).cache()
-    val ranked = cols.foldLeft(df) { (acc, c) =>
-      val counts = df.groupBy(col(c)).agg(count(lit(1)).as("__c__"))
-      val ranks = distinctValueRanks(counts, c, "__c__")
-        .select(col(c), (col("__r__") * 2).cast("long").as(s"__rk_$c"))
-      acc.join(broadcast(ranks), Seq(c))
+    val stacked = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("cid"), col(c).cast("long").as("v"))): _*))
+        .as("s"))
+      .select(col("s.cid").as("cid"), col("s.v").as("v"))
+      .groupBy("cid", "v").agg(count(lit(1)).as("c"))
+      .cache()
+    val mm = stacked.groupBy("cid")
+      .agg(min("v").as("mn"), max("v").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bkt = cols.foldLeft(lit(0)) { (acc, cName) =>
+      val (mn, mx) = mm(cName)
+      val width = mx - mn + 1
+      when(col("cid") === cName,
+        expr(s"CAST(((v - ${mn}L) * $nBuckets) DIV ${width}L AS INT)"))
+        .otherwise(acc)
+    }
+    val withB = stacked.withColumn("__bkt__", bkt)
+    // per-(column, bucket) totals: ≤ cols·nBuckets rows — prefix sums
+    // finalize driver-side into a broadcast offset table
+    val totals = withB.groupBy("cid", "__bkt__")
+      .agg(sum("c").as("t")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val offRows = totals.toSeq.flatMap { case (cid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map {
+        case ((_, b, _), off) => (cid, b, off)
+      }
+    }
+    val offDf = df.sparkSession.createDataFrame(offRows)
+      .toDF("cid", "__bkt__", "__off__")
+    val w = Window.partitionBy("cid", "__bkt__").orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = withB.join(broadcast(offDf), Seq("cid", "__bkt__"))
+      .withColumn("__below__",
+        col("__off__") + coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("__rk2__",
+        col("__below__") * 2 + col("c") + 1)
+    val joined = cols.foldLeft(df) { (acc, cName) =>
+      acc.join(broadcast(ranked.filter(col("cid") === cName)
+          .select(col("v").as(s"__v_$cName"),
+            col("__rk2__").as(s"__rk_$cName"))),
+        acc(cName).cast("long") === col(s"__v_$cName"))
+        .drop(s"__v_$cName")
     }
     corrMatrix(
-      ranked.select(cols.map(c => col(s"__rk_$c").as(c)): _*), cols)
+      joined.select(cols.map(c => col(s"__rk_$c").as(c)): _*), cols)
   }
 
   /** Jonckheere-Terpstra test for an ORDERED alternative across k
