@@ -885,10 +885,71 @@ object QueriesStats {
           col("l_quantity").cast("long").as("x"),
           round(col("l_extendedprice")).cast("long").as("y")),
         "rk", "x", "y",
-        lambdas = Seq(0.0, 1e5, 1e6, 1e7, 1e8), k = 5, salt = "cv"))
+        lambdas = Seq(0.0, 1e5, 1e6, 1e7, 1e8), k = 5, salt = "cv")),
+
+    // §2.12 multiple regression with inference: price-dollars ~
+    // quantity + discount-cents, coefficient/SE/t/p per term from one
+    // ten-sum aggregate (closed-form 2-predictor normal equations)
+    "q255_multi_ols" -> ((s, d) =>
+      StatsOps.multipleRegression2(
+        t(s, d, "lineitem").select(
+          round(col("l_extendedprice")).cast("long").as("y"),
+          col("l_quantity").cast("long").as("x1"),
+          cents(col("l_discount")).as("x2")),
+        "y", "x1", "x2"))
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q255_multi_ols" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(t)")
+      s"""WITH raw AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         |    CAST(round(l_extendedprice) AS BIGINT) AS y
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |s AS (SELECT
+         |    CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
+         |    CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+         |    CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+         |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+         |    CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+         |    CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+         |    CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+         |    CAST(CAST(sum(x1 * y) AS BIGINT) AS DOUBLE) AS s1y,
+         |    CAST(CAST(sum(x2 * y) AS BIGINT) AS DOUBLE) AS s2y,
+         |    CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
+         |  FROM raw),
+         |c AS (SELECT n, s1, s2, sy,
+         |    s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+         |    s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+         |    s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy
+         |  FROM s),
+         |d AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+         |bb AS (SELECT *, (c1y * c22 - c2y * c12) / det AS b1,
+         |    (c2y * c11 - c1y * c12) / det AS b2 FROM d),
+         |b0t AS (SELECT *, (sy - b1 * s1 - b2 * s2) / n AS b0,
+         |    cyy - b1 * c1y - b2 * c2y AS sse FROM bb),
+         |v AS (SELECT *, sse / (n - 3) AS sig2 FROM b0t),
+         |sev AS (SELECT *, sqrt(sig2 * c22 / det) AS se1,
+         |    sqrt(sig2 * c11 / det) AS se2,
+         |    sqrt(sig2 * (1.0 / n +
+         |      (s1 / n * (s1 / n) * c22
+         |        - 2.0 * (s1 / n) * (s2 / n) * c12
+         |        + s2 / n * (s2 / n) * c11) / det)) AS se0
+         |  FROM v),
+         |terms AS (
+         |  SELECT 'intercept' AS term, b0 AS coef, se0 AS sev FROM sev
+         |  UNION ALL SELECT 'x1', b1, se1 FROM sev
+         |  UNION ALL SELECT 'x2', b2, se2 FROM sev),
+         |tt AS (SELECT term, coef, sev, coef / sev AS t FROM terms)
+         |SELECT term, round(coef, 6) AS coef, round(sev, 6) AS std_err,
+         |  round(t, 6) AS t_stat,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM tt""".stripMargin
+    },
 
     "q251_kfold_cv" ->
       """WITH r AS (

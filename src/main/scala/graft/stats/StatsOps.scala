@@ -755,6 +755,73 @@ object StatsOps {
       .drop("n")
   }
 
+  /** Two-predictor multiple linear regression y ~ x1 + x2 with full
+    * inference (reference src/stats/regression/mod.rs:16
+    * linear_regression over multiple x_columns). The normal equations
+    * for two centered predictors solve in closed form (Cramer), so —
+    * unlike the reference's driver-side matrix inverse — coefficient
+    * estimates, standard errors, t statistics, and p-values are all
+    * straight-line Column arithmetic on ONE aggregate of ten
+    * sufficient sums: fully distributed, engine-reproducible (feed
+    * integer-valued columns), no collect. p-values use the large-n
+    * normal approximation of the t distribution (A&S Φ — documented;
+    * exact t needs an iterative continued fraction). Generic p > 2
+    * designs go through MlOps.linearRegressionMl. Output: one row per
+    * term (intercept, x1, x2): coef, std_err, t_stat, p_value. */
+  def multipleRegression2(df0: DataFrame, yCol: String, x1Col: String,
+      x2Col: String): DataFrame = {
+    val df = df0.filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+      col(x2Col).isNotNull)
+    val (y, x1, x2) = (col(yCol).cast("double"),
+      col(x1Col).cast("double"), col(x2Col).cast("double"))
+    val s = df.agg(count(lit(1)).cast("double").as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+      sum(x1 * x1).as("s11"), sum(x2 * x2).as("s22"),
+      sum(x1 * x2).as("s12"), sum(x1 * y).as("s1y"),
+      sum(x2 * y).as("s2y"), sum(y * y).as("syy"))
+    val n = col("n")
+    def cc(sab: Column, sa: Column, sb: Column) = sab - sa * sb / n
+    val d = s
+      .withColumn("c11", cc(col("s11"), col("s1"), col("s1")))
+      .withColumn("c22", cc(col("s22"), col("s2"), col("s2")))
+      .withColumn("c12", cc(col("s12"), col("s1"), col("s2")))
+      .withColumn("c1y", cc(col("s1y"), col("s1"), col("sy")))
+      .withColumn("c2y", cc(col("s2y"), col("s2"), col("sy")))
+      .withColumn("cyy", cc(col("syy"), col("sy"), col("sy")))
+      .withColumn("det",
+        col("c11") * col("c22") - col("c12") * col("c12"))
+      .withColumn("b1", (col("c1y") * col("c22") -
+        col("c2y") * col("c12")) / col("det"))
+      .withColumn("b2", (col("c2y") * col("c11") -
+        col("c1y") * col("c12")) / col("det"))
+      .withColumn("b0", (col("sy") - col("b1") * col("s1") -
+        col("b2") * col("s2")) / n)
+      .withColumn("sse", col("cyy") - col("b1") * col("c1y") -
+        col("b2") * col("c2y"))
+      .withColumn("sig2", col("sse") / (n - 3))
+      .withColumn("se1", sqrt(col("sig2") * col("c22") / col("det")))
+      .withColumn("se2", sqrt(col("sig2") * col("c11") / col("det")))
+      .withColumn("se0", sqrt(col("sig2") * (lit(1.0) / n +
+        (col("s1") / n * (col("s1") / n) * col("c22") -
+          lit(2.0) * (col("s1") / n) * (col("s2") / n) * col("c12") +
+          col("s2") / n * (col("s2") / n) * col("c11")) / col("det"))))
+    def term(name: String, b: Column, se: Column) = {
+      // a perfect fit (sse = 0) has se = 0: t/p are undefined → null
+      // (ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+      val t = when(se =!= 0, b / se)
+      struct(lit(name).as("term"), round(b, 6).as("coef"),
+        round(se, 6).as("std_err"), round(t, 6).as("t_stat"),
+        round(lit(2.0) * (lit(1.0) -
+          Distributions.normalCdfCol(abs(t))), 6).as("p_value"))
+    }
+    d.select(explode(array(
+        term("intercept", col("b0"), col("se0")),
+        term("x1", col("b1"), col("se1")),
+        term("x2", col("b2"), col("se2")))).as("r"))
+      .select(col("r.term"), col("r.coef"), col("r.std_err"),
+        col("r.t_stat"), col("r.p_value"))
+  }
+
   /** Per-group OLS simple regression (pandas groupby().apply(ols)
     * parity): slope/intercept/r² per key from the five sufficient
     * sums — ONE hash aggregate regardless of group count, no
