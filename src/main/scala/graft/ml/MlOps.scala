@@ -269,6 +269,47 @@ object MlOps {
         t.map(c => col(c).cast("double")).reduce(_ * _)))
   }
 
+  /** Imputer (preprocessing/mod.rs:447): fill nulls per column with a
+    * fitted statistic. Strategies: "mean" (exact Σ/n), "median"
+    * (exact percentile), "most_frequent" (mode, ties broken by
+    * smallest value), "constant". The fit is one aggregate (mean) or
+    * one TakeOrdered per column (mode) broadcast back — no driver
+    * state beyond the tiny stat row, scales to any input. mean/median
+    * cast the column to double (the statistic is fractional); mode
+    * and constant preserve the column type. */
+  def impute(df: DataFrame, cols: Seq[String],
+      strategy: String = "mean", fillValue: Double = 0.0): DataFrame =
+    strategy match {
+      case "constant" =>
+        cols.foldLeft(df)((d, c) =>
+          d.withColumn(c, coalesce(col(c), lit(fillValue))))
+      case "mean" | "median" =>
+        val aggs = cols.map { c =>
+          if (strategy == "mean")
+            (sum(col(c)).cast("double") / count(col(c)).cast("double"))
+              .as(s"__st_$c")
+          else percentile(col(c), lit(0.5)).as(s"__st_$c")
+        }
+        val stats = df.agg(aggs.head, aggs.tail: _*)
+        cols.foldLeft(df.crossJoin(broadcast(stats)))((d, c) =>
+            d.withColumn(c, coalesce(col(c).cast("double"),
+              col(s"__st_$c"))))
+          .drop(cols.map(c => s"__st_$c"): _*)
+      case "most_frequent" =>
+        cols.foldLeft(df) { (d, c) =>
+          val m = df.filter(col(c).isNotNull)
+            .groupBy(col(c).as(s"__st_$c"))
+            .agg(count(lit(1)).as("__c__"))
+            .orderBy(col("__c__").desc, col(s"__st_$c").asc)
+            .limit(1).drop("__c__")
+          d.crossJoin(broadcast(m))
+            .withColumn(c, coalesce(col(c), col(s"__st_$c")))
+            .drop(s"__st_$c")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"impute: $other")
+    }
+
   /** Deterministic train/test split (model_selection.rs train_test_
     * split): membership is a pure function of the id — reproducible
     * across runs, partitionings and cluster sizes, unlike

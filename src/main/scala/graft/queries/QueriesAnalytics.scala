@@ -205,9 +205,32 @@ object QueriesAnalytics {
       graft.vis.VisOps.sparkline(
         t(s, d, "events").select(col("event_type"), col("ts"),
           cents(col("value")).as("vc")),
-        "event_type", "ts", "vc", width = 20)))
+        "event_type", "ts", "vc", width = 20)),
+
+    // §2.13 Imputer: mean-fill of deterministically synthesized nulls
+    // (testdata is complete, so nulls are planted where id % 7 = 0)
+    "q256_impute" -> ((s, d) =>
+      graft.ml.MlOps.impute(
+        t(s, d, "events").select(col("event_id"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+            .otherwise(cents(col("value"))).as("vc")),
+        Seq("vc"), "mean")
+        .select(col("event_id"), round(col("vc"), 6).as("vc"))))
 
   val oracle: Map[String, String] = Map(
+
+    "q256_impute" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |      ELSE CAST(round(value * 100) AS BIGINT) END AS vc
+        |  FROM events),
+        |m AS (SELECT CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(count(vc) AS BIGINT) AS DOUBLE) AS mv
+        |  FROM base)
+        |SELECT event_id,
+        |  round(coalesce(CAST(vc AS DOUBLE), mv), 6) AS vc
+        |FROM base, m""".stripMargin,
 
     "q253_histogram" ->
       """WITH b AS (
