@@ -156,4 +156,34 @@ object CorpusOps {
         round(log(col("vocab").cast("double")) /
           log(col("n_tokens").cast("double")), 6).as("heaps_beta"))
   }
+
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * step that SPLITS long documents (the packing dual of
+    * [[PipelineOps.packSequences]], which concatenates short ones).
+    * Chunk starts step every (chunkTokens − overlap); the final chunk
+    * keeps the tail (may be short). Number of chunks, starts, and
+    * slices are all exact integer arithmetic, so any engine replays
+    * the same chunking. Pure map-side explode — no shuffle, scales
+    * linearly. Output: idCol, chunk_id, start_tok, n_tokens, chunk. */
+  def chunkDocs(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "chunkDocs: need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t__"))
+      .withColumn("__n__", size(col("__t__")))
+      .filter(col("__n__") > 0)
+      .withColumn("__k__", lit(1) + greatest(lit(0),
+        expr(s"(__n__ - $chunkTokens + ${step - 1}) DIV $step")))
+      .select(col(idCol), col("__t__"), col("__n__"),
+        explode(sequence(lit(0), col("__k__") - 1)).as("__i__"))
+      .select(col(idCol),
+        col("__i__").cast("int").as("chunk_id"),
+        (col("__i__") * step).cast("long").as("start_tok"),
+        least(lit(chunkTokens), col("__n__") - col("__i__") * step)
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__t__"), col("__i__") * step + 1,
+          lit(chunkTokens)), " ").as("chunk"))
+  }
 }

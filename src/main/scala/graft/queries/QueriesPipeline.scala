@@ -48,6 +48,13 @@ object QueriesPipeline {
       PipelineOps.packSequences(t(s, d, "documents"), "text", "doc_id",
         capacity = 256, buckets = 8, salt = "pk")),
 
+    // context-window chunking: 64-token chunks, 16-token overlap —
+    // the splitting dual of q130's packing (map-side explode, exact
+    // integer chunk arithmetic)
+    "q257_chunk_docs" -> ((s, d) =>
+      graft.llm.CorpusOps.chunkDocs(t(s, d, "documents"), "text",
+        "doc_id", chunkTokens = 64, overlap = 16)),
+
     // FLAGSHIP composition: the full preprocessing pipeline in one
     // plan — quality filter → corpus paragraph dedup (reassembled)
     // → stratified source-mix sample → sequence packing. Every stage
@@ -601,6 +608,26 @@ object QueriesPipeline {
         |  ag.avg_logprob
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN ag USING (doc_id)""".stripMargin,
+
+    "q257_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |      regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+        |  FROM t WHERE len(tk) > 0),
+        |k AS (SELECT doc_id, tk, n,
+        |    1 + greatest(0, (n - 64 + 47) // 48) AS nchunks
+        |  FROM n),
+        |g AS (SELECT doc_id, tk, n,
+        |    unnest(range(0, CAST(nchunks AS BIGINT))) AS i
+        |  FROM k)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(i * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens,
+        |  array_to_string(tk[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+        |FROM g""".stripMargin,
 
     "q130_pack_sequences" ->
       s"""WITH d AS (
