@@ -130,4 +130,44 @@ object ModelSelection {
       rank().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("cv_rmse"), col("lambda"))).cast("int"))
   }
+
+  /** AutoML-lite regression leaderboard (reference src/ml/automl.rs:
+    * 341 AutoML::fit over a ModelSearchSpace): fit a fixed seeded
+    * search space of MLlib regressors on a deterministic hash
+    * train split, score each on the holdout, rank by RMSE. The
+    * driver loop is over MODELS (4 iterations), never over data —
+    * each fit/score is a distributed MLlib job. Output: model,
+    * rmse, mae, r2, rank (1 = best). Not oracle-expressible (MLlib
+    * internals), so gated rows-only + by recovery specs. */
+  def autoMlRegression(df: DataFrame, idCol: String,
+      features: Seq[String], label: String, testFrac: Double = 0.25,
+      salt: String = "aml", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.{DecisionTreeRegressor,
+      GBTRegressor, LinearRegression, RandomForestRegressor}
+    val (train0, test0) = MlOps.trainTestSplit(df, idCol, testFrac, salt)
+    val asm = new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("features")
+    val (train, test) = (asm.transform(train0), asm.transform(test0))
+    val candidates = Seq(
+      "linear_regression" -> new LinearRegression()
+        .setLabelCol(label).setFeaturesCol("features"),
+      "decision_tree" -> new DecisionTreeRegressor()
+        .setLabelCol(label).setFeaturesCol("features").setSeed(seed),
+      "random_forest" -> new RandomForestRegressor()
+        .setLabelCol(label).setFeaturesCol("features")
+        .setNumTrees(20).setSeed(seed),
+      "gbt" -> new GBTRegressor()
+        .setLabelCol(label).setFeaturesCol("features")
+        .setMaxIter(20).setSeed(seed))
+    val scored = candidates.map { case (name, est) =>
+      val pred = est.fit(train).transform(test)
+      MlMetrics.regressionMetrics(pred, label, "prediction")
+        .select(lit(name).as("model"), col("rmse"), col("mae"),
+          col("r2"))
+    }.reduce(_ union _)
+    scored.withColumn("rank",
+      rank().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rmse"), col("model"))).cast("int"))
+  }
 }

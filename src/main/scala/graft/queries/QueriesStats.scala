@@ -896,7 +896,20 @@ object QueriesStats {
           round(col("l_extendedprice")).cast("long").as("y"),
           col("l_quantity").cast("long").as("x1"),
           cents(col("l_discount")).as("x2")),
-        "y", "x1", "x2"))
+        "y", "x1", "x2")),
+
+    // §2.13 AutoML-lite: seeded MLlib regressor search space ranked
+    // by holdout RMSE (rows-only gate — MLlib fit internals are not
+    // SQL-expressible; leaderboard shape + recovery behavior spec'd)
+    "q258_automl" -> ((s, d) =>
+      graft.ml.ModelSelection.autoMlRegression(
+        t(s, d, "lineitem").select(
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("rk"),
+          dbl(col("l_quantity")).as("x1"),
+          dbl(col("l_discount")).as("x2"),
+          round(col("l_extendedprice")).cast("double").as("y")),
+        "rk", Seq("x1", "x2"), "y"))
   )
 
   val oracle: Map[String, String] = Map(

@@ -59,6 +59,20 @@ class ModelSelectionSpec extends SparkSpecBase {
     out(1e12)._1 should be > out(0.0)._1 * 10 // shrinkage is much worse
   }
 
+  test("autoMlRegression ranks the right model family first") {
+    // pure linear signal -> linear_regression must win the leaderboard
+    val lin = (1 to 300).map(i =>
+      (i.toString, i.toDouble, (i % 7).toDouble, 3.0 * i + 11.0))
+      .toDF("rk", "x1", "x2", "y")
+    val lb = ModelSelection.autoMlRegression(lin, "rk",
+      Seq("x1", "x2"), "y").collect()
+    lb.length shouldBe 4
+    val best = lb.find(_.getAs[Int]("rank") == 1).get
+    best.getAs[String]("model") shouldBe "linear_regression"
+    approx(best.getAs[Double]("rmse"), 0.0, 1e-6)
+    approx(best.getAs[Double]("r2"), 1.0, 1e-6)
+  }
+
   test("ridge slope shrinks monotonically in lambda") {
     val df = (1 to 300).map(i => (i.toString, i.toLong, 2L * i))
       .toDF("rk", "x", "y")
