@@ -113,7 +113,9 @@ object Bench {
       // round-4 additions: semantic dedup + rank-based corr matrix
       "q168_semantic_dedup", "q179_spearman_matrix",
       // round-3 continuation: rank-sum AUC + DSIR importance weights
-      "q191_roc_auc", "q201_dsir_weights")
+      "q191_roc_auc", "q201_dsir_weights",
+      // round-4: one-scan 5-fold CV + map-side context chunking
+      "q251_kfold_cv", "q257_chunk_docs")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))
