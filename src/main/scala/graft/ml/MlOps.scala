@@ -310,6 +310,28 @@ object MlOps {
         throw new IllegalArgumentException(s"impute: $other")
     }
 
+  /** Group-wise mean imputation — the pandas
+    * `fillna(groupby(keys)[col].transform("mean"))` idiom as one
+    * operator: each null takes ITS GROUP's mean (falling back to the
+    * global mean for all-null groups). One hash aggregate per fit +
+    * an equi-join on the group keys — no windows over data, scales
+    * with group count. mean is exact Σ/n of the non-nulls; the column
+    * comes back double. */
+  def imputeByGroup(df: DataFrame, valueCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "imputeByGroup needs group keys")
+    val means = df.groupBy(keyCols.map(col): _*)
+      .agg((sum(col(valueCol)).cast("double") /
+        count(col(valueCol)).cast("double")).as("__gm__"))
+    val glob = df.agg((sum(col(valueCol)).cast("double") /
+      count(col(valueCol)).cast("double")).as("__m__"))
+    df.join(means, keyCols, "left")
+      .crossJoin(broadcast(glob))
+      .withColumn(valueCol, coalesce(col(valueCol).cast("double"),
+        col("__gm__"), col("__m__")))
+      .drop("__gm__", "__m__")
+  }
+
   /** Deterministic train/test split (model_selection.rs train_test_
     * split): membership is a pure function of the id — reproducible
     * across runs, partitionings and cluster sizes, unlike

@@ -215,9 +215,37 @@ object QueriesAnalytics {
           when(pmod(col("event_id"), lit(7)) === 0, lit(null))
             .otherwise(cents(col("value"))).as("vc")),
         Seq("vc"), "mean")
-        .select(col("event_id"), round(col("vc"), 6).as("vc"))))
+        .select(col("event_id"), round(col("vc"), 6).as("vc"))),
+
+    // group-wise mean imputation: nulls take their event_type's mean
+    // (pandas fillna(groupby.transform('mean')) parity)
+    "q259_impute_group" -> ((s, d) =>
+      graft.ml.MlOps.imputeByGroup(
+        t(s, d, "events").select(col("event_id"), col("event_type"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+            .otherwise(cents(col("value"))).as("vc")),
+        "vc", Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(col("vc"), 6).as("vc"))))
 
   val oracle: Map[String, String] = Map(
+
+    "q259_impute_group" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |      ELSE CAST(round(value * 100) AS BIGINT) END AS vc
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE) /
+        |      CAST(CAST(count(vc) AS BIGINT) AS DOUBLE) AS gm
+        |  FROM base GROUP BY 1),
+        |m AS (SELECT CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(count(vc) AS BIGINT) AS DOUBLE) AS mv
+        |  FROM base)
+        |SELECT b.event_id, b.event_type,
+        |  round(coalesce(CAST(b.vc AS DOUBLE), g.gm, m.mv), 6) AS vc
+        |FROM base b LEFT JOIN g USING (event_type), m""".stripMargin,
 
     "q256_impute" ->
       """WITH base AS (

@@ -37,6 +37,20 @@ class ImputerSpec extends SparkSpecBase {
     out.count(_ == -1.0) shouldBe 2
   }
 
+  test("imputeByGroup fills with the group mean, global for all-null") {
+    val d = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", None),
+      ("b", Some(100L)), ("b", None), ("c", None))
+      .toDF("k", "v")
+    val out = MlOps.imputeByGroup(d, "v", Seq("k")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    out.filter(_._1 == "a").map(_._2).sorted shouldBe
+      Array(10.0, 15.0, 20.0) // group-a mean 15
+    out.filter(_._1 == "b").map(_._2).sorted shouldBe
+      Array(100.0, 100.0)
+    // group c has no observed values -> global mean (130/3)
+    approx(out.filter(_._1 == "c").head._2, 130.0 / 3, 1e-9)
+  }
+
   test("multi-column mean imputation fits each column independently") {
     val d = Seq((Some(2L), None: Option[Long]),
       (None, Some(10L)), (Some(4L), Some(30L))).toDF("a", "b")
