@@ -72,6 +72,18 @@ object Sources {
       .write.mode("overwrite").text(path)
   }
 
+  /** Hive-style partitioned parquet layout: one directory per
+    * partition value. THE mechanism for scan elimination at 100 TB —
+    * a reader filtering on the partition column touches only its
+    * directories (PartitionFilters in the scan node; asserted in
+    * SourcesAndPlanSpec), so a by-source/by-date query reads 1/N of
+    * the lake instead of filtering 100 TB row by row. Partition by
+    * low-cardinality columns only (each value is a directory). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode("overwrite")
+      .parquet(path)
+
   /** Parquet with compression option (src/io/parquet.rs:369). */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -155,6 +155,26 @@ class SourcesAndPlanSpec extends SparkSpecBase {
     (plan should not).include("l_extendedprice")
   }
 
+  test("partitioned writes prune to the matching directories on read") {
+    val dir = s"/tmp/graft_part_${System.nanoTime()}"
+    val df = queries.Q.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    Sources.writePartitioned(df, dir, Seq("source"))
+    val back = spark.read.parquet(dir).filter($"source" === "src0")
+    // partition pruning happens at the scan: the predicate moves into
+    // PartitionFilters (directory elimination), not PushedFilters
+    val scan = back.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters")
+    scan should include("(source")
+    // and the pruned read is still correct
+    back.count() shouldBe df.filter($"source" === "src0").count()
+    val expected = df.filter($"source" === "src0")
+      .agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .collect()(0).getLong(0)
+    back.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .collect()(0).getLong(0) shouldBe expected
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
