@@ -97,6 +97,34 @@ object PandasOps {
         expr(s"stack(${valueVars.size}, $stackArgs) as ($varName, $valueName)"): _*)
     }
 
+    /** pandas wide_to_long: columns named `<stub><sep><suffix>` for
+      * each stub in `stubs` unpivot into one row per suffix carrying
+      * every stub's value (A_1970, B_1970 → j=1970 with columns A, B).
+      * Suffixes are discovered from the schema (driver-side — column
+      * metadata, not data) and must be shared by all stubs; the
+      * unpivot itself is a row-local explode, no shuffle. */
+    def wideToLong(stubs: Seq[String], idVars: Seq[String], j: String,
+        sep: String = "_"): DataFrame = {
+      require(stubs.nonEmpty, "wideToLong needs stub names")
+      val suffixes = df.columns.toSeq
+        .filter(c => stubs.exists(st => c.startsWith(st + sep)))
+        .map { c =>
+          val st = stubs.filter(s2 => c.startsWith(s2 + sep))
+            .maxBy(_.length)
+          c.drop(st.length + sep.length)
+        }.distinct.sorted
+      require(suffixes.nonEmpty, "wideToLong: no stub columns found")
+      stubs.foreach(st => suffixes.foreach(sf =>
+        require(df.columns.contains(st + sep + sf),
+          s"wideToLong: missing column $st$sep$sf")))
+      val rows = array(suffixes.map(sf =>
+        struct((lit(sf).as(j) +:
+          stubs.map(st => col(st + sep + sf).as(st))): _*)): _*)
+      df.select((idVars.map(col) :+ explode(rows).as("__w__")): _*)
+        .select((idVars.map(col) :+ col(s"__w__.$j").as(j)) ++
+          stubs.map(st => col(s"__w__.$st").as(st)): _*)
+    }
+
     /** pivot_table (src/pivot/mod.rs:12-108): index × columns grid.
       * Spark's pivot collects distinct pivot values (bounded, small)
       * then runs a single hash aggregate. Pass `values` explicitly

@@ -898,6 +898,14 @@ object QueriesStats {
           cents(col("l_discount")).as("x2")),
         "y", "x1", "x2")),
 
+    // §2.12 exact 5% trimmed mean of price-dollars (robust center;
+    // partial tie inclusion at the cuts, range-bucketed ranks)
+    "q260_trimmed_mean" -> ((s, d) =>
+      StatsOps.trimmedMean(
+        t(s, d, "lineitem").select(
+          round(col("l_extendedprice")).cast("long").as("y")),
+        "y", frac = 0.05)),
+
     // §2.13 AutoML-lite: seeded MLlib regressor search space ranked
     // by holdout RMSE (rows-only gate — MLlib fit internals are not
     // SQL-expressible; leaderboard shape + recovery behavior spec'd)
@@ -913,6 +921,29 @@ object QueriesStats {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q260_trimmed_mean" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT v, c,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below
+        |  FROM c),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |kk AS (SELECT n, CAST(floor(CAST(0.05 AS DOUBLE) * n)
+        |    AS BIGINT) AS k FROM t),
+        |kept AS (SELECT v,
+        |    greatest(least(below + c, n - k) - greatest(below, k), 0)
+        |      AS kc
+        |  FROM w, kk)
+        |SELECT n, k AS k_each,
+        |  round(CAST(CAST(sum(kc * v) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(sum(kc) AS BIGINT) AS DOUBLE), 6) AS trimmed_mean
+        |FROM kept, kk GROUP BY n, k""".stripMargin,
 
     "q255_multi_ols" -> {
       val phi = graft.stats.Distributions.normalCdfSql("abs(t)")

@@ -1216,6 +1216,35 @@ object StatsOps {
       .agg(round(sum(col("__t__")), 6).as("theil_t"))
   }
 
+  /** Exact trimmed mean (robust center, companion to the q172
+    * winsorized mean): drop the k = floor(frac·n) smallest and
+    * largest OBSERVATIONS (not distinct values — ties straddling the
+    * cut contribute partially) and average the rest. Works on the
+    * distinct-value table with range-bucketed strictly-below counts
+    * ([[distinctValueCumCounts]] — no global window): each value
+    * keeps clamp(min(below+c, n−k) − max(below, k), 0, c) copies.
+    * Exact integer arithmetic until the final division. Output: n,
+    * k_each, trimmed_mean. */
+  def trimmedMean(df0: DataFrame, valueCol: String,
+      frac: Double): DataFrame = {
+    require(frac >= 0 && frac < 0.5, "trimmedMean: frac in [0, 0.5)")
+    val counts = df0.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("__c__"))
+    val below = distinctValueCumCounts(counts, valueCol, "__c__")
+    val tot = counts.agg(sum("__c__").cast("long").as("__n__"))
+    below.crossJoin(broadcast(tot))
+      .withColumn("__k__", floor(lit(frac) * col("__n__")).cast("long"))
+      .withColumn("__kc__", greatest(
+        least(col("__below__") + col("__c__"), col("__n__") - col("__k__"))
+          - greatest(col("__below__"), col("__k__")), lit(0L)))
+      .groupBy(col("__n__"), col("__k__"))
+      .agg(sum(col("__kc__") * col(valueCol)).as("__s__"),
+        sum(col("__kc__")).as("__m__"))
+      .select(col("__n__").as("n"), col("__k__").as("k_each"),
+        round(col("__s__").cast("double") /
+          col("__m__").cast("double"), 6).as("trimmed_mean"))
+  }
+
   /** Herfindahl-Hirschman concentration index over group shares:
     * HHI = Σ_g (n_g/N)² — 1/k at uniform, 1 at monopoly. One
     * groupBy + one aggregate. */
