@@ -27,10 +27,13 @@ object VisOps {
     require(nBins > 0 && hi > lo)
     val width = (hi - lo) / nBins
     val v = col(valueCol).cast("double")
+    // cached: the max branch below must reuse these nBins rows, not
+    // re-aggregate the base (Catalyst does not share uncached subplans)
     val binned = df
       .filter(v.isNotNull && v >= lo && v < hi)
       .select(floor((v - lit(lo)) / lit(width)).cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .cache()
     // nBins rows from here on: the 1-row max broadcast is a
     // constant-size plot table, not a data-scale shuffle.
     binned
@@ -56,19 +59,26 @@ object VisOps {
     require(width > 0)
     val day = datediff(col(dateCol).cast("date"),
       lit("1970-01-01").cast("date")).cast("long")
-    val base = df
+    // ONE full-data pass: aggregate straight to the (key, day) table
+    // (bounded by keys × days), cache it, and derive both the global
+    // span and the bucket means from those rows — the span branch
+    // must not trigger a second scan of the base data.
+    val daily = df
       .filter(col(keyCol).isNotNull && col(dateCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(keyCol).as("k"), day.as("d"),
         col(valueCol).cast("long").as("v"))
-    val span = base.agg(min("d").as("mind"), max("d").as("maxd"))
-    val buckets = base.crossJoin(broadcast(span))
+      .groupBy("k", "d")
+      .agg(sum("v").as("sv"), count(lit(1)).as("cv"))
+      .cache()
+    val span = daily.agg(min("d").as("mind"), max("d").as("maxd"))
+    val buckets = daily.crossJoin(broadcast(span))
       .select(col("k"),
         expr(s"CAST((d - mind) * $width DIV (maxd - mind + 1) AS INT)")
           .as("bucket"),
-        col("v"))
+        col("sv"), col("cv"))
       .groupBy("k", "bucket")
-      .agg(sum("v").as("sv"), count(lit(1)).as("cv"))
+      .agg(sum("sv").as("sv"), sum("cv").as("cv"))
       .select(col("k"), col("bucket"),
         (col("sv").cast("double") / col("cv").cast("double")).as("m"))
     // per-key fold over <= width bucket rows
