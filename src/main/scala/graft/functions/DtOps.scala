@@ -98,5 +98,25 @@ object DtOps {
   def tzConvert(c: Column, tz: String): Column = from_utc_timestamp(c, tz)
   def tzLocalize(c: Column, tz: String): Column = to_utc_timestamp(c, tz)
 
+  /** pandas between_time predicate: true where the TIME-OF-DAY of `c`
+    * lies in [start, end] (inclusive both ends, matching pandas
+    * defaults). Wrapping ranges (start > end, e.g. 22:00–02:00) select
+    * across midnight. Times are "HH:mm" or "HH:mm:ss". Seconds-of-day
+    * comparison — a pure map-side expression. */
+  def betweenTime(c: Column, start: String, end: String): Column = {
+    def secs(t: String): Int = {
+      val p = t.split(":").map(_.toInt)
+      p(0) * 3600 + p(1) * 60 + (if (p.length > 2) p(2) else 0)
+    }
+    val sod = hour(c) * 3600 + minute(c) * 60 + second(c)
+    val (s, e) = (secs(start), secs(end))
+    if (s <= e) sod >= s && sod <= e
+    else sod >= s || sod <= e
+  }
+
+  /** pandas at_time predicate: exact time-of-day match. */
+  def atTime(c: Column, time: String): Column =
+    betweenTime(c, time, time)
+
   /** date_range as a DataFrame — see TimeSeriesOps.dateRange. */
 }

@@ -217,6 +217,16 @@ object QueriesAnalytics {
         Seq("vc"), "mean")
         .select(col("event_id"), round(col("vc"), 6).as("vc"))),
 
+    // §2.8 pandas between_time: trading-hours slice of the event
+    // stream (time-of-day predicate, pure map-side)
+    "q261_between_time" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(graft.functions.DtOps.betweenTime(col("ts"),
+          "09:30", "16:00"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_cents"))),
+
     // group-wise mean imputation: nulls take their event_type's mean
     // (pandas fillna(groupby.transform('mean')) parity)
     "q259_impute_group" -> ((s, d) =>
@@ -229,6 +239,16 @@ object QueriesAnalytics {
           round(col("vc"), 6).as("vc"))))
 
   val oracle: Map[String, String] = Map(
+
+    "q261_between_time" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events
+        |WHERE (hour(ts) * 3600 + minute(ts) * 60 +
+        |    CAST(date_part('second', ts) AS INT))
+        |  BETWEEN 34200 AND 57600
+        |GROUP BY 1""".stripMargin,
 
     "q259_impute_group" ->
       """WITH base AS (

@@ -151,4 +151,19 @@ class FunctionsSpec extends SparkSpecBase {
     out.columns shouldBe Array("k", "total", "n", "avg_v")
     out.filter($"k" === "a").head().toSeq shouldBe Seq("a", 4.0, 2L, 2.0)
   }
+
+  test("betweenTime selects inclusive time-of-day, wraps midnight") {
+    val df = Seq("2024-03-01 09:29:59", "2024-03-01 09:30:00",
+      "2024-03-01 12:00:00", "2024-03-01 16:00:00",
+      "2024-03-01 16:00:01", "2024-03-01 23:30:00",
+      "2024-03-02 01:00:00")
+      .map(java.sql.Timestamp.valueOf).toDF("ts")
+    df.filter(graft.functions.DtOps.betweenTime($"ts", "09:30",
+      "16:00")).count() shouldBe 3 // both endpoints inclusive
+    // wrapping range selects across midnight
+    df.filter(graft.functions.DtOps.betweenTime($"ts", "22:00",
+      "02:00")).count() shouldBe 2
+    df.filter(graft.functions.DtOps.atTime($"ts", "12:00"))
+      .count() shouldBe 1
+  }
 }
