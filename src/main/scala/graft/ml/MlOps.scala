@@ -269,6 +269,33 @@ object MlOps {
         t.map(c => col(c).cast("double")).reduce(_ * _)))
   }
 
+  /** Fitted preprocessing + model pipeline (reference
+    * src/ml/pipeline/mod.rs:181 Pipeline): assemble → standard-scale →
+    * estimator as ONE MLlib Pipeline, so the whole chain fits once and
+    * applies as a single transform (Spark's Pipeline is the native
+    * analogue of the reference's stage list — stages execute as
+    * DataFrame transforms, distributed end to end). Returns the
+    * prediction frame; classification when `classify`, else linear
+    * regression. */
+  def fitPredictPipeline(df: DataFrame, features: Seq[String],
+      label: String, classify: Boolean = false,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+    import org.apache.spark.ml.classification.LogisticRegression
+    val asm = new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("__raw__")
+    val scaler = new StandardScaler().setInputCol("__raw__")
+      .setOutputCol("features").setWithMean(true).setWithStd(true)
+    val est =
+      if (classify) new LogisticRegression().setLabelCol(label)
+        .setFeaturesCol("features")
+      else new LinearRegression().setLabelCol(label)
+        .setFeaturesCol("features")
+    new Pipeline().setStages(Array(asm, scaler, est)).fit(df)
+      .transform(df).drop("__raw__", "features")
+  }
+
   /** Imputer (preprocessing/mod.rs:447): fill nulls per column with a
     * fitted statistic. Strategies: "mean" (exact Σ/n), "median"
     * (exact percentile), "most_frequent" (mode, ties broken by

@@ -21,6 +21,20 @@ class MlOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("fitPredictPipeline chains scale + model as one fitted pipeline") {
+    val reg = (1 to 50).map(i => (i.toDouble, (i % 3).toDouble,
+      4.0 * i + 1.0)).toDF("x1", "x2", "y")
+    val out = MlOps.fitPredictPipeline(reg, Seq("x1", "x2"), "y")
+    out.filter(abs(col("prediction") - col("y")) > 1e-6)
+      .count() shouldBe 0L
+    val cls = (1 to 40).map(i =>
+      (i.toDouble, if (i <= 20) 0.0 else 1.0)).toDF("x", "label")
+    val outC = MlOps.fitPredictPipeline(cls, Seq("x"), "label",
+      classify = true)
+    outC.filter(col("prediction") =!= col("label"))
+      .count() shouldBe 0L
+  }
+
   test("tree regression recovers a step function") {
     val df = (1 to 40).map(i =>
       (i.toDouble, if (i <= 20) 10.0 else 20.0)).toDF("x", "y")
