@@ -577,6 +577,25 @@ object PandasOps {
     def nsmallest(n: Int, valueCol: String, tiebreak: String): DataFrame =
       df.orderBy(col(valueCol).asc, col(tiebreak)).limit(n)
 
+    /** pandas groupby().nlargest(n): top n rows per group by value
+      * (deterministic tiebreak). Partitioned window — per-group sorted
+      * streams, no global sort; scales with group cardinality. */
+    def nlargestPerGroup(n: Int, valueCol: String, keyCols: Seq[String],
+        tiebreak: String): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(valueCol).desc, col(tiebreak).asc)
+      df.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") <= n).drop("__rn__")
+    }
+
+    def nsmallestPerGroup(n: Int, valueCol: String, keyCols: Seq[String],
+        tiebreak: String): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(valueCol).asc, col(tiebreak).asc)
+      df.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") <= n).drop("__rn__")
+    }
+
     /** pandas merge with overlap suffixes
       * (src/dataframe/pandas_compat/merge.rs:34). SQL null-key
       * semantics (documented divergence, SURVEY §2.3). */

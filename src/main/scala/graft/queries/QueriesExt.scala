@@ -279,6 +279,15 @@ object QueriesExt {
           round(col("pct_rank"), 9).as("pct_rank"))),
 
     // §2.9 unstack (long-to-wide, inverse of melt)
+    // §2.6 pandas groupby().nlargest: top-3 orders by price per
+    // priority (partitioned window, no global sort)
+    "q262_group_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_c"))
+        .nlargestPerGroup(3, "price_c", Seq("o_orderpriority"),
+          "o_orderkey")),
+
     "q79_unstack" -> ((s, d) => {
       val long = t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -517,6 +526,16 @@ object QueriesExt {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "q262_group_topk" ->
+      """SELECT o_orderpriority, o_orderkey, price_c FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |        o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
 
     "q211_reindex" ->
       """WITH daily AS (

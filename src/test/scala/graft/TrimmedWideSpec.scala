@@ -45,6 +45,19 @@ class TrimmedWideSpec extends SparkSpecBase {
     out(1).getAs[Double]("B") shouldBe 2.5
   }
 
+  test("nlargestPerGroup keeps top-n per key with deterministic ties") {
+    val df = Seq(("a", 5L, 1L), ("a", 5L, 2L), ("a", 3L, 3L),
+      ("b", 9L, 4L), ("b", 1L, 5L)).toDF("k", "v", "id")
+    val out = df.nlargestPerGroup(2, "v", Seq("k"), "id")
+      .orderBy("k", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(("a", 5L, 1L), ("a", 5L, 2L),
+      ("b", 9L, 4L), ("b", 1L, 5L))
+    val small = df.nsmallestPerGroup(1, "v", Seq("k"), "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    small shouldBe Set(("a", 3L), ("b", 1L))
+  }
+
   test("wideToLong rejects a missing stub-suffix combination") {
     val df = Seq((1L, 10.0, 1.5)).toDF("id", "A_1970", "B_1980")
     an[IllegalArgumentException] should be thrownBy
