@@ -46,6 +46,24 @@ object QueriesText {
           min(col("k_val")).as("min_k"),
           max(col("k_val")).as("max_k"))),
 
+    // pandas json_normalize: synthesize a nested JSON column from
+    // orders, parse against an explicit schema, flatten to dotted
+    // columns (map-side from_json, no shuffle)
+    "q263_json_normalize" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val js = t(s, d, "orders").select(col("o_orderkey"),
+        to_json(struct(
+          col("o_orderpriority").as("priority"),
+          struct(cents(col("o_totalprice")).as("price_c"),
+            col("o_orderstatus").as("status")).as("meta"))).as("payload"))
+      val schema = StructType(Seq(
+        StructField("priority", StringType),
+        StructField("meta", StructType(Seq(
+          StructField("price_c", LongType),
+          StructField("status", StringType))))))
+      graft.sources.Sources.jsonNormalize(js, "payload", schema)
+    }),
+
     // §2.2 explode + §2.8 string fns: word frequencies
     "q34_explode_tokens" -> ((s, d) =>
       t(s, d, "documents")
@@ -289,6 +307,14 @@ object QueriesText {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // the JSON is synthesized from orders fields, so the oracle
+    // derives the flattened frame directly from the same fields
+    "q263_json_normalize" ->
+      """SELECT o_orderkey, o_orderpriority AS priority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS "meta.price_c",
+        |  o_orderstatus AS "meta.status"
+        |FROM orders""".stripMargin,
 
     "q182_readability" ->
       raw"""WITH d AS (

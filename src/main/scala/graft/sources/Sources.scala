@@ -72,6 +72,31 @@ object Sources {
       .write.mode("overwrite").text(path)
   }
 
+  /** pandas json_normalize: parse a JSON-string column against an
+    * EXPLICIT schema and flatten nested structs into dotted top-level
+    * columns (meta.priority, meta.geo.lat, …). Schema-explicit by
+    * design — at 100 TB, schema inference is an extra full scan;
+    * callers that need inference can sample first. Pure map-side
+    * from_json + projections, codegen'd, no shuffle. */
+  def jsonNormalize(df: DataFrame, jsonCol: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sep: String = "."): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types.StructType
+    def paths(st: StructType, prefix: Seq[String]): Seq[Seq[String]] =
+      st.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case nested: StructType => paths(nested, prefix :+ f.name)
+          case _ => Seq(prefix :+ f.name)
+        }
+      }
+    val parsed = df.withColumn("__j__", from_json(col(jsonCol), schema))
+    val flat = paths(schema, Nil).map(p =>
+      col(("__j__" +: p).mkString(".")).as(p.mkString(sep)))
+    val keep = df.columns.filter(_ != jsonCol).map(col).toSeq
+    parsed.select(keep ++ flat: _*)
+  }
+
   /** Hive-style partitioned parquet layout: one directory per
     * partition value. THE mechanism for scan elimination at 100 TB —
     * a reader filtering on the partition column touches only its

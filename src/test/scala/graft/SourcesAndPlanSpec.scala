@@ -155,6 +155,26 @@ class SourcesAndPlanSpec extends SparkSpecBase {
     (plan should not).include("l_extendedprice")
   }
 
+  test("jsonNormalize flattens nested structs to dotted columns") {
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, """{"a": 7, "b": {"c": "x", "d": {"e": 2.5}}}"""),
+      (2L, """{"a": 9, "b": {"c": "y", "d": {"e": -1.0}}}"""),
+      (3L, """not json""")).toDF("id", "payload")
+    val schema = StructType(Seq(
+      StructField("a", LongType),
+      StructField("b", StructType(Seq(
+        StructField("c", StringType),
+        StructField("d", StructType(Seq(StructField("e", DoubleType)))))))))
+    val out = Sources.jsonNormalize(df, "payload", schema)
+    out.columns.toSeq shouldBe Seq("id", "a", "b.c", "b.d.e")
+    val r = out.orderBy("id").collect()
+    r(0).toSeq shouldBe Seq(1L, 7L, "x", 2.5)
+    r(1).toSeq shouldBe Seq(2L, 9L, "y", -1.0)
+    // malformed JSON yields nulls, not a failure
+    r(2).isNullAt(1) shouldBe true
+  }
+
   test("partitioned writes prune to the matching directories on read") {
     val dir = s"/tmp/graft_part_${System.nanoTime()}"
     val df = queries.Q.t(spark, "/root/testdata/sf0.001", "documents")
