@@ -56,6 +56,51 @@ object PropertiesR4Spec extends Properties("graft-r4") {
         tm >= vs.min.toDouble && tm <= vs.max.toDouble
     }
 
+  property("jsonNormalize inverts to_json(struct) exactly") =
+    forAll(Gen.listOfN(15, for {
+      a <- Gen.chooseNum(-1000L, 1000L)
+      c <- Gen.alphaNumStr.map(_.take(8))
+      e <- Gen.chooseNum(-100, 100).map(_ / 4.0)
+    } yield (a, c, e))) { rows =>
+      import org.apache.spark.sql.types._
+      val df = rows.toDF("a", "c", "e")
+      val js = df.select(to_json(struct(col("a"),
+        struct(col("c"), col("e")).as("b"))).as("payload"))
+      val schema = StructType(Seq(
+        StructField("a", LongType),
+        StructField("b", StructType(Seq(
+          StructField("c", StringType),
+          StructField("e", DoubleType))))))
+      val back = graft.sources.Sources.jsonNormalize(js, "payload",
+          schema)
+        .select(col("a"), col("`b.c`").as("c"), col("`b.e`").as("e"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDouble(2))).sorted
+      back.toSeq == rows.sorted
+    }
+
+  property("betweenTime range and its complement partition the rows") =
+    forAll(Gen.listOfN(25, Gen.chooseNum(0, 86399)),
+      Gen.chooseNum(0, 86398), Gen.chooseNum(0, 86398)) {
+      (secsOfDay, s0, e0) =>
+      val fmt = (s: Int) => f"${s / 3600}%02d:${s % 3600 / 60}%02d:${s % 60}%02d"
+      val df = secsOfDay.map(s =>
+        java.sql.Timestamp.valueOf(s"2024-05-05 ${fmt(s)}")).toDF("ts")
+      val (s, e) = (s0, e0)
+      // degenerate: when e = s-1 (mod day) the range is the whole day
+      // and the "complement" is too — skip that single configuration
+      if ((e + 1) % 86400 == s) true
+      else {
+        // complement of [s, e] in seconds-of-day is [e+1, s-1] (wrap)
+        val inRange = df.filter(graft.functions.DtOps.betweenTime(
+          col("ts"), fmt(s), fmt(e))).count()
+        val comp = df.filter(graft.functions.DtOps.betweenTime(
+          col("ts"), fmt((e + 1) % 86400), fmt((s + 86399) % 86400)))
+          .count()
+        inRange + comp == secsOfDay.size
+      }
+    }
+
   property("imputeByGroup preserves rows and leaves no nulls behind") =
     forAll(Gen.listOfN(30, for {
       k <- Gen.oneOf("a", "b", "c")
