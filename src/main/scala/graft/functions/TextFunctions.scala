@@ -42,6 +42,18 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(wordSet(text), " "))
 
+  /** fuzzywuzzy-style token_sort_ratio: normalized Levenshtein
+    * similarity of the token-SORTED strings (duplicates kept), making
+    * the measure word-order-insensitive — the standard entity-
+    * resolution score for reordered names. 1 = identical multisets,
+    * 0 = maximally distant. Pure codegen'd expressions. */
+  def tokenSortRatio(a: Column, b: Column): Column = {
+    def sorted(c: Column) = array_join(array_sort(tokens(lower(c))), " ")
+    val (sa, sb) = (sorted(a), sorted(b))
+    lit(1.0) - levenshtein(sa, sb).cast("double") /
+      greatest(length(sa), length(sb)).cast("double")
+  }
+
   /** n-gram Jaccard-ready word n-grams. */
   def wordNgrams(text: Column, n: Int): Column = {
     val ts = tokens(lower(text))

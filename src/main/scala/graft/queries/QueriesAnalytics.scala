@@ -217,6 +217,22 @@ object QueriesAnalytics {
         Seq("vc"), "mean")
         .select(col("event_id"), round(col("vc"), 6).as("vc"))),
 
+    // fuzzywuzzy token_sort_ratio over within-brand blocked part-name
+    // pairs (word-order-insensitive entity resolution; bounded block
+    // join like q219, never all-pairs)
+    "q264_token_sort" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("k1"),
+          col("b.p_partkey").as("k2"),
+          round(graft.functions.TextFunctions.tokenSortRatio(
+            col("a.p_name"), col("b.p_name")), 6).as("ratio"))
+        .filter(col("ratio") >= 0.6)
+    }),
+
     // §2.8 pandas between_time: trading-hours slice of the event
     // stream (time-of-day predicate, pure map-side)
     "q261_between_time" -> ((s, d) =>
@@ -239,6 +255,22 @@ object QueriesAnalytics {
           round(col("vc"), 6).as("vc"))))
 
   val oracle: Map[String, String] = Map(
+
+    "q264_token_sort" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(lower(p_name), ' '),
+        |      w -> length(w) > 0)), ' ') AS s
+        |  FROM part)
+        |SELECT k1, k2, ratio FROM (
+        |  SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |    round(1.0 - CAST(levenshtein(a.s, b.s) AS DOUBLE) /
+        |      CAST(greatest(length(a.s), length(b.s)) AS DOUBLE), 6)
+        |      AS ratio
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+        |WHERE ratio >= 0.6""".stripMargin,
 
     "q261_between_time" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
