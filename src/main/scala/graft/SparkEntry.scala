@@ -27,11 +27,13 @@ object SparkEntry {
     QueriesCore.queries ++ QueriesWindow.queries ++
       QueriesText.queries ++ QueriesStats.queries ++
       QueriesExt.queries ++ QueriesPipeline.queries ++
-      QueriesAnalytics.queries ++ QueriesTa.queries
+      QueriesAnalytics.queries ++ QueriesTa.queries ++
+      QueriesVersioning.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracle ++ QueriesWindow.oracle ++
       QueriesText.oracle ++ QueriesStats.oracle ++
       QueriesExt.oracle ++ QueriesPipeline.oracle ++
-      QueriesAnalytics.oracle ++ QueriesTa.oracle
+      QueriesAnalytics.oracle ++ QueriesTa.oracle ++
+      QueriesVersioning.oracle
 }
