@@ -6,7 +6,7 @@ import graft.versioning.VersionOps
 import Q._
 
 /** Versioning / lineage / alerting coverage (reference
-  * `src/versioning/*`, `src/analytics/{metrics,alerts}.rs`):
+  * `src/versioning`, `src/analytics/{metrics,alerts}.rs`):
   * snapshot diff, content fingerprint, change-log time travel, CDC
   * merge, and metric alerting — each derived deterministically from
   * the driver testdata so DuckDB replays it bit-for-bit. */

@@ -12,12 +12,11 @@ class VersioningSpec extends SparkSpecBase {
   import spark.implicits._
 
   test("versionDiff labels added/removed/changed/unchanged") {
-    val old = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, null.asInstanceOf[java.lang.Long]))
-      .toDF("k", "v")
+    val old = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)),
+      (4L, None)).toDF("k", "v")
     val nw = Seq((2L, 20L), (3L, 99L), (4L, 40L), (5L, 50L))
       .toDF("k", "v")
-    val d = VersionOps.versionDiff(old.withColumn("v", col("v").cast("long")),
-      nw, Seq("k"), Seq("v"))
+    val d = VersionOps.versionDiff(old, nw, Seq("k"), Seq("v"))
     val m = d.select("k", "status").as[(Long, String)].collect().toMap
     m shouldBe Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
       4L -> "changed", 5L -> "added")
