@@ -1,19 +1,29 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print the formatted physical plan of one or more
-  * SparkEntry queries. Usage: Explain <sfDir> <query...>. */
+/** Plan-audit utility: prints the executed physical plan of the named
+  * `SparkEntry.queries` (all flagship bench queries if none given) so
+  * shuffle/broadcast/pushdown shape can be reviewed per SCALE.md.
+  * Usage: runMain graft.Explain [sfDir] q01_groupby_agg ...
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.tail.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
-    val spark = GraftSession.local(4)
+    val (dir, names) =
+      if (args.nonEmpty && args.head.startsWith("/"))
+        (args.head, args.tail.toSeq)
+      else ("/root/testdata/sf0.01", args.toSeq)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-explain").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+    val qs = if (names.nonEmpty) names else SparkEntry.queries.keys.toSeq.sorted
+    qs.foreach { q =>
+      println(s"===== $q")
+      println(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan)
     }
     spark.stop()
   }

@@ -71,10 +71,12 @@ object AlertOps {
       .orderBy(col(bucketCol))
       .rowsBetween(-lookback.toLong, -1L)
     val m = col(metricCol).cast(DecimalType(38, 0))
-    val base = metrics
-      .withColumn("__n", count(m).over(w).cast("long"))
-      .withColumn("__s", sum(m).over(w))
-      .withColumn("__s2", sum(m * m).over(w))
+    // one projection -> Catalyst collapses the three frames into a
+    // single Window operator (one sort, one pass)
+    val base = metrics.select(col("*"),
+      count(m).over(w).cast("long").as("__n"),
+      sum(m).over(w).as("__s"),
+      sum(m * m).over(w).as("__s2"))
     val nD = col("__n").cast("double")
     val mean = col("__s").cast("double") / nD
     val variance = (col("__s2").cast("double") -
