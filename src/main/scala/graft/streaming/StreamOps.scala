@@ -146,6 +146,31 @@ object StreamOps {
     df.groupBy((window(col(tsCol), size) +: keyCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Streaming rendition of
+    * [[graft.analytics.AlertOps.thresholdAlerts]] (reference
+    * src/analytics/alerts.rs fires its thresholds over a live metric
+    * feed): tumbling-window average of `metricCol` per key with the
+    * static rule table broadcast-joined BEFORE the aggregation — a
+    * stateless stream-static join, so the query stays append-mode
+    * with bounded state (watermark evicts closed windows). Severity
+    * labeling is identical to the batch operator; alerts emit once
+    * per (key, window) when the watermark closes the window. */
+  def thresholdAlerts(df: DataFrame, tsCol: String, keyCols: Seq[String],
+      metricCol: String, rules: DataFrame, size: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .join(broadcast(rules), keyCols)
+      .groupBy(keyCols.map(col) ++ Seq(window(col(tsCol), size),
+        col("warn"), col("crit")): _*)
+      .agg((sum(col(metricCol)).cast("long").cast("double") /
+        count(col(metricCol)).cast("double")).as("metric"))
+      .withColumn("severity",
+        when(col("metric") >= col("crit"), lit("critical"))
+          .when(col("metric") >= col("warn"), lit("warning")))
+      .filter(col("severity").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("window"), col("metric"),
+        col("severity")): _*)
+
   /** Stream-stream interval join: equi-key plus an event-time band
     * `leftTs ≤ rightTs ≤ leftTs + within`. Both sides carry
     * watermarks, so the state store evicts rows once they can no

@@ -113,4 +113,36 @@ class VersioningSpec extends SparkSpecBase {
     hits should contain(("a", "2024-01-10"))
     hits.map(_._1) should not contain "b"
   }
+
+  test("streaming thresholdAlerts emits one alert per closed window") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rules = Seq(("a", 10.0, 100.0)).toDF("key", "warn", "crit")
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val out = graft.streaming.StreamOps.thresholdAlerts(
+      input.toDF().toDF("ts", "key", "v"), "ts", Seq("key"), "v",
+      rules, "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("alerts_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [00,10): avg 50 -> warning; [10,20): avg 150 -> critical;
+      // [20,30): avg 5 -> silent
+      input.addData((ts(1), "a", 40L), (ts(2), "a", 60L),
+        (ts(11), "a", 150L), (ts(21), "a", 5L))
+      q.processAllAvailable()
+      input.addData((ts(45), "a", 1L)) // advance watermark, close all
+      q.processAllAvailable()
+      val got = spark.table("alerts_t")
+        .select(col("window.start").cast("string"), col("metric"),
+          col("severity"))
+        .as[(String, Double, String)].collect().toSet
+      got shouldBe Set(
+        ("2024-01-01 00:00:00", 50.0, "warning"),
+        ("2024-01-01 00:10:00", 150.0, "critical"))
+    } finally q.stop()
+  }
 }
