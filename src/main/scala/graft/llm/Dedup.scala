@@ -215,4 +215,52 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** Cross-document duplicate-SPAN detection — the exact-substring
+    * dedup of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022) re-expressed Spark-first. Instead of a
+    * suffix array (inherently sequential), every w-token window is
+    * hashed positionally; a window whose (doc, pos) is not the global
+    * first occurrence of its hash is a duplicated shingle, and runs
+    * of consecutive duplicated shingles merge into maximal per-doc
+    * spans [start_tok, end_tok] (inclusive, 0-based token indices).
+    *
+    * Scale shape: shingle hashing is map-side (one row per token,
+    * bounded fan-out w); first-occurrence is ONE hash shuffle
+    * (min(struct(doc,pos)) aggregate); the mark-back join is 1:1 per
+    * shingle instance so hot shingles cannot blow up output; span
+    * merging is a per-doc window (partitioned by doc_id, never
+    * global). Returns (doc_id, start_tok, end_tok, n_shingles);
+    * callers drop or clip the spans from the text. */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 8): DataFrame = {
+    require(w >= 2, "duplicateSpans needs w >= 2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(lower(col(textCol))).as("tk"))
+    val sh = toks.filter(size(col("tk")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("tk")) - (w - 1)),
+          i => md5(array_join(slice(col("tk"), i, lit(w)), " ")))))
+      .toDF("doc_id", "pos", "h")
+    val firsts = sh.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val dup = sh.join(firsts, "h")
+      .filter(!(col("doc_id") === col("f.doc_id") &&
+        col("pos") === col("f.pos")))
+      .select("doc_id", "pos")
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(wOrd).isNull ||
+          col("pos") - lag(col("pos"), 1).over(wOrd) =!= 1, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("g", sum(col("brk")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "g")
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + (w - 1)).cast("long").as("end_tok"),
+        count(lit(1)).cast("long").as("n_shingles"))
+      .drop("g")
+  }
 }

@@ -39,6 +39,13 @@ object QueriesPipeline {
     "q128_paragraph_dedup" -> ((s, d) =>
       PipelineOps.paragraphDedup(chunkedDocs(s, d), "text", "doc_id")),
 
+    // exact duplicate-SPAN detection (Lee et al. 2022 substring
+    // dedup): maximal runs of 8-token windows whose hash already
+    // occurred earlier in the corpus
+    "q271_dup_spans" -> ((s, d) =>
+      graft.llm.Dedup.duplicateSpans(t(s, d, "documents"), "text",
+        "doc_id", w = 8)),
+
     // corpus-fit bigram LM quality score (the CCNet/KenLM signal)
     "q129_bigram_lm" -> ((s, d) =>
       PipelineOps.bigramLmScore(t(s, d, "documents"), "text", "doc_id")),
@@ -469,6 +476,34 @@ object QueriesPipeline {
         "s_suppkey", "supp_fk")))
 
   val oracle: Map[String, String] = Map(
+
+    "q271_dup_spans" ->
+      raw"""WITH toks AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS tk FROM documents),
+        |sh0 AS (SELECT doc_id, CASE WHEN len(tk) >= 8 THEN
+        |    list_transform(range(1, len(tk) - 6),
+        |      i -> struct_pack(pos := i - 1,
+        |        h := md5(array_to_string(list_slice(tk, i, i + 7),
+        |          ' '))))
+        |  ELSE [] END AS ss FROM toks),
+        |sh AS (SELECT doc_id, unnest(ss, recursive := true) FROM sh0),
+        |f AS (SELECT h, min(struct_pack(d := doc_id, p := pos)) AS f
+        |  FROM sh GROUP BY h),
+        |dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN f USING (h)
+        |  WHERE NOT (s.doc_id = f.f.d AND s.pos = f.f.p)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL
+        |        OR pos - lag(pos) OVER w <> 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |grp AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+        |  CAST(max(pos) + 7 AS BIGINT) AS end_tok,
+        |  CAST(count(*) AS BIGINT) AS n_shingles
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
 
     "q128_paragraph_dedup" ->
       raw"""WITH words AS (

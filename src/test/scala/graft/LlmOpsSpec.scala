@@ -347,4 +347,24 @@ class LlmOpsSpec extends SparkSpecBase {
       rows.join(kept.select("id"), "id"), "v", "id", 2, 0.95)
     again.filter(!$"keep").count() shouldBe 0L
   }
+
+  test("duplicateSpans finds maximal cross-doc duplicated runs") {
+    // doc 1 is the source; doc 2 repeats tokens 10..21 of doc 1 at its
+    // positions 5..16 plus an unrelated tail; doc 3 is clean
+    val src = (0 until 40).map(i => s"w$i").mkString(" ")
+    val copied = (10 to 21).map(i => s"w$i").mkString(" ")
+    val d2 = "x0 x1 x2 x3 x4 " + copied + " y0 y1 y2 y3 y4 y5 y6 y7"
+    val d3 = (0 until 20).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, src), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = graft.llm.Dedup.duplicateSpans(docs, "text", "doc_id",
+        w = 8)
+      .select("doc_id", "start_tok", "end_tok", "n_shingles")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the 12 copied tokens at positions 5..16 host 5 duplicated
+    // 8-shingles (starts 5..9) merging into ONE span [5, 16]
+    spans shouldBe Set((2L, 5L, 16L, 5L))
+    // larger w than the duplicated run -> nothing flagged
+    graft.llm.Dedup.duplicateSpans(docs, "text", "doc_id", w = 13)
+      .count() shouldBe 0L
+  }
 }
