@@ -263,4 +263,31 @@ object Dedup {
         count(lit(1)).cast("long").as("n_shingles"))
       .drop("g")
   }
+
+  /** Companion to [[duplicateSpans]]: rebuild each document's text
+    * with the duplicated spans removed (the "drop the repeated
+    * substring, keep the first occurrence" step of substring dedup).
+    * Tokens are dropped iff their position falls inside one of the
+    * doc's spans; remaining tokens rejoin in order. Per-doc range
+    * anti-join (spans per doc are few and non-overlapping by
+    * construction) + one per-doc aggregate — no global state. Docs
+    * without spans pass through unchanged (normalized to the same
+    * lower/whitespace canon as the span detector). */
+  def clipSpans(docs: DataFrame, spans: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(lower(col(textCol)))))
+      .toDF("doc_id", "pos", "tok")
+    val kept = toks.join(spans.select(col("doc_id"), col("start_tok"),
+        col("end_tok")).as("sp"),
+      toks("doc_id") === col("sp.doc_id") &&
+        toks("pos") >= col("sp.start_tok") &&
+        toks("pos") <= col("sp.end_tok"),
+      "left_anti")
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("tok")))), x => x("tok")), " ")
+          .as("text_clean"))
+  }
 }

@@ -46,6 +46,15 @@ object QueriesPipeline {
       graft.llm.Dedup.duplicateSpans(t(s, d, "documents"), "text",
         "doc_id", w = 8)),
 
+    // span-clipped reconstruction: q271's duplicated spans removed
+    // from each doc, remaining tokens rejoined in order
+    "q272_clip_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.Dedup.clipSpans(docs,
+        graft.llm.Dedup.duplicateSpans(docs, "text", "doc_id", w = 8),
+        "text", "doc_id")
+    }),
+
     // corpus-fit bigram LM quality score (the CCNet/KenLM signal)
     "q129_bigram_lm" -> ((s, d) =>
       PipelineOps.bigramLmScore(t(s, d, "documents"), "text", "doc_id")),
@@ -504,6 +513,43 @@ object QueriesPipeline {
         |  CAST(max(pos) + 7 AS BIGINT) AS end_tok,
         |  CAST(count(*) AS BIGINT) AS n_shingles
         |FROM grp GROUP BY doc_id, g""".stripMargin,
+
+    "q272_clip_spans" ->
+      raw"""WITH toks AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS tk FROM documents),
+        |sh0 AS (SELECT doc_id, CASE WHEN len(tk) >= 8 THEN
+        |    list_transform(range(1, len(tk) - 6),
+        |      i -> struct_pack(pos := i - 1,
+        |        h := md5(array_to_string(list_slice(tk, i, i + 7),
+        |          ' '))))
+        |  ELSE [] END AS ss FROM toks),
+        |sh AS (SELECT doc_id, unnest(ss, recursive := true) FROM sh0),
+        |f AS (SELECT h, min(struct_pack(d := doc_id, p := pos)) AS f
+        |  FROM sh GROUP BY h),
+        |dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN f USING (h)
+        |  WHERE NOT (s.doc_id = f.f.d AND s.pos = f.f.p)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL
+        |        OR pos - lag(pos) OVER w <> 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |grp AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl),
+        |spans AS (SELECT doc_id, min(pos) AS start_tok,
+        |    max(pos) + 7 AS end_tok FROM grp GROUP BY doc_id, g),
+        |tokpos AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(tk) + 1),
+        |    i -> struct_pack(pos := i - 1, tok := tk[i])),
+        |    recursive := true) FROM toks),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = t.doc_id
+        |      AND t.pos BETWEEN sp.start_tok AND sp.end_tok))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        |FROM kept GROUP BY doc_id""".stripMargin,
 
     "q128_paragraph_dedup" ->
       raw"""WITH words AS (

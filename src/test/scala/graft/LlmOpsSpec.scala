@@ -366,5 +366,18 @@ class LlmOpsSpec extends SparkSpecBase {
     // larger w than the duplicated run -> nothing flagged
     graft.llm.Dedup.duplicateSpans(docs, "text", "doc_id", w = 13)
       .count() shouldBe 0L
+    // clipping removes exactly the span tokens; clean docs unchanged
+    val spansDf = graft.llm.Dedup.duplicateSpans(docs, "text",
+      "doc_id", w = 8)
+    val clipped = graft.llm.Dedup.clipSpans(docs, spansDf, "text",
+        "doc_id")
+      .select("doc_id", "n_kept", "text_clean")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    clipped(2L)._1 shouldBe (5 + 12 + 8 - 12).toLong
+    clipped(2L)._2 shouldBe
+      ("x0 x1 x2 x3 x4 " + "y0 y1 y2 y3 y4 y5 y6 y7")
+    clipped(1L)._2 shouldBe src
+    clipped(3L)._2 shouldBe d3
   }
 }
