@@ -115,7 +115,10 @@ object Bench {
       // round-3 continuation: rank-sum AUC + DSIR importance weights
       "q191_roc_auc", "q201_dsir_weights",
       // round-4: one-scan 5-fold CV + map-side context chunking
-      "q251_kfold_cv", "q257_chunk_docs")
+      "q251_kfold_cv", "q257_chunk_docs",
+      // round-4 versioning/dedup closers: snapshot diff, content
+      // fingerprint, exact duplicate-span detection
+      "q265_version_diff", "q266_fingerprint", "q271_dup_spans")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

@@ -198,6 +198,22 @@ object QueriesAnalytics {
       graft.vis.VisOps.histogram(t(s, d, "lineitem"), "l_quantity",
         lo = 0.0, hi = 50.0, nBins = 10, barWidth = 40)),
 
+    // grouped box-plot table: five-number summary + Tukey outlier
+    // count per return flag (reference vis grouped_box_plots as data)
+    "q273_boxplot" -> ((s, d) =>
+      graft.vis.VisOps.boxplotStats(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("price_c")),
+        "price_c", Seq("l_returnflag"))),
+
+    // Freedman-Diaconis auto-binned histogram of price cents
+    // (reference optimal_bins): bin count derived from exact IQR
+    "q274_histogram_fd" -> ((s, d) =>
+      graft.vis.VisOps.histogramAuto(
+        t(s, d, "lineitem").select(cents(col("l_extendedprice"))
+          .as("price_c")),
+        "price_c", maxBins = 200, barWidth = 40)),
+
     // text-vis parity: per-event-type Unicode sparkline of daily mean
     // value-cents compressed to 20 time buckets (reference
     // vis/direct sparkline)
@@ -311,6 +327,81 @@ object QueriesAnalytics {
         |SELECT event_id,
         |  round(coalesce(CAST(vc AS DOUBLE), mv), 6) AS vc
         |FROM base, m""".stripMargin,
+
+    "q273_boxplot" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |vc AS (SELECT l_returnflag, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM c GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, v, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM vc),
+        |st AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(min(v) AS BIGINT) AS min_v,
+        |    CAST(min(CASE WHEN CAST(cw AS DOUBLE) >=
+        |      0.25 * CAST(n AS DOUBLE) THEN v END) AS BIGINT) AS q1,
+        |    CAST(min(CASE WHEN CAST(cw AS DOUBLE) >=
+        |      0.5 * CAST(n AS DOUBLE) THEN v END) AS BIGINT) AS median,
+        |    CAST(min(CASE WHEN CAST(cw AS DOUBLE) >=
+        |      0.75 * CAST(n AS DOUBLE) THEN v END) AS BIGINT) AS q3,
+        |    CAST(max(v) AS BIGINT) AS max_v
+        |  FROM cum GROUP BY 1),
+        |f AS (SELECT *,
+        |    CAST(q1 AS DOUBLE) - 1.5 * CAST(q3 - q1 AS DOUBLE) AS lo_f,
+        |    CAST(q3 AS DOUBLE) + 1.5 * CAST(q3 - q1 AS DOUBLE) AS hi_f
+        |  FROM st),
+        |o AS (SELECT vc.l_returnflag,
+        |    CAST(sum(vc.c) AS BIGINT) AS n_outliers
+        |  FROM vc JOIN f USING (l_returnflag)
+        |  WHERE CAST(vc.v AS DOUBLE) < f.lo_f
+        |    OR CAST(vc.v AS DOUBLE) > f.hi_f
+        |  GROUP BY 1)
+        |SELECT f.l_returnflag, n, min_v, q1, median, q3, max_v,
+        |  coalesce(o.n_outliers, 0) AS n_outliers
+        |FROM f LEFT JOIN o USING (l_returnflag)""".stripMargin,
+
+    "q274_histogram_fd" ->
+      """WITH c AS (SELECT
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+        |  FROM c GROUP BY 1),
+        |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cw,
+        |    sum(c) OVER () AS n FROM vc),
+        |st AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx,
+        |    CAST(min(CASE WHEN CAST(cw AS DOUBLE) >=
+        |      0.25 * CAST(n AS DOUBLE) THEN v END) AS BIGINT) AS q1,
+        |    CAST(min(CASE WHEN CAST(cw AS DOUBLE) >=
+        |      0.75 * CAST(n AS DOUBLE) THEN v END) AS BIGINT) AS q3
+        |  FROM cum),
+        |p AS (SELECT n, mn, mx,
+        |    greatest(1, least(200, CASE WHEN q3 - q1 > 0 THEN
+        |      CAST(ceil((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) /
+        |        (2.0 * CAST(q3 - q1 AS DOUBLE) *
+        |          power(CAST(n AS DOUBLE), -1.0 / 3.0))) AS INT)
+        |      ELSE CAST(ceil(ln(CAST(n AS DOUBLE)) / ln(2.0)) AS INT)
+        |        + 1 END)) AS nb,
+        |    CAST(mn AS DOUBLE) AS lo,
+        |    CAST(mx AS DOUBLE) + greatest(abs(CAST(mx AS DOUBLE) -
+        |      CAST(mn AS DOUBLE)), 1.0) * 1e-9 AS hi
+        |  FROM st),
+        |w AS (SELECT nb, lo, hi, (hi - lo) / nb AS width FROM p),
+        |b AS (SELECT CAST(floor((CAST(c.v AS DOUBLE) - w.lo) / w.width)
+        |      AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM c, w
+        |  WHERE CAST(c.v AS DOUBLE) >= w.lo AND CAST(c.v AS DOUBLE) < w.hi
+        |  GROUP BY 1),
+        |m AS (SELECT max(cnt) AS mxc FROM b)
+        |SELECT bin,
+        |  round(w.lo + bin * w.width, 6) AS lo_edge,
+        |  round(w.lo + (bin + 1) * w.width, 6) AS hi_edge,
+        |  cnt,
+        |  repeat('#', CAST(cnt * 40 // mxc AS INT)) AS bar
+        |FROM b, w, m""".stripMargin,
 
     "q253_histogram" ->
       """WITH b AS (

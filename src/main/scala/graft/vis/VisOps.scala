@@ -95,4 +95,79 @@ object VisOps {
         collect_list(struct(col("bucket"), col("ch")))),
         x => x.getField("ch")), "").as("spark"))
   }
+
+  /** Grouped box-plot statistics table (reference
+    * `src/vis/plotters/mod.rs` grouped_box_plots rendered as data):
+    * per group the five-number summary — min, Q1, median, Q3, max —
+    * plus Tukey-fence outlier count at k·IQR. Quantiles use the
+    * repo's distinct-value rank-map idiom: one groupBy(keys, value)
+    * count, a per-group window cumsum over DISTINCT values (bounded
+    * by the value domain, never the row count), then
+    * first-value-reaching-q·n — exact on integral columns, identical
+    * to the q220 weighted-quantile rule with weight = multiplicity.
+    * The outlier count reuses the same distinct-value table (sum of
+    * multiplicities outside the fences), so the base is scanned
+    * exactly once. */
+  def boxplotStats(df: DataFrame, valueCol: String,
+      keyCols: Seq[String], k: Double = 1.5): DataFrame = {
+    val v = col(valueCol)
+    val vc = df.filter(v.isNotNull)
+      .groupBy(keyCols.map(col) :+ v.as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(col("v"))
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val cum = vc
+      .withColumn("cw", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+    def qAt(q: Double) = min(when(
+      col("cw").cast("double") >= lit(q) * col("n").cast("double"),
+      col("v")))
+    val stats = cum.groupBy(keyCols.map(col): _*)
+      .agg(max(col("n")).cast("long").as("n"),
+        min(col("v")).as("min_v"), qAt(0.25).as("q1"),
+        qAt(0.5).as("median"), qAt(0.75).as("q3"),
+        max(col("v")).as("max_v"))
+      .withColumn("lo_fence", col("q1").cast("double") -
+        lit(k) * (col("q3") - col("q1")).cast("double"))
+      .withColumn("hi_fence", col("q3").cast("double") +
+        lit(k) * (col("q3") - col("q1")).cast("double"))
+    val outliers = vc
+      .join(stats.select(keyCols.map(col) :+ col("lo_fence") :+
+        col("hi_fence"): _*), keyCols)
+      .filter(col("v").cast("double") < col("lo_fence") ||
+        col("v").cast("double") > col("hi_fence"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("c")).cast("long").as("n_outliers"))
+    stats.join(outliers, keyCols, "left")
+      .select(keyCols.map(col) ++ Seq(col("n"), col("min_v"),
+        col("q1"), col("median"), col("q3"), col("max_v"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers")): _*)
+  }
+
+  /** Histogram with the bin count chosen by the Freedman-Diaconis
+    * rule (reference `optimal_bins`): nb = ceil((max−min) /
+    * (2·IQR·n^(−1/3))), clamped to [1, maxBins], falling back to
+    * Sturges ceil(log2 n)+1 when IQR = 0. The IQR comes from the same
+    * cumulative-count quantile rule as [[boxplotStats]]; the three
+    * scalars (min, max, nb) finalize driver-side (one tiny row) and
+    * parameterize the distributed [[histogram]] aggregate. */
+  def histogramAuto(df: DataFrame, valueCol: String,
+      maxBins: Int = 200, barWidth: Int = 40): DataFrame = {
+    val st = boxplotStats(df, valueCol, Seq()).head()
+    val n = st.getAs[Long]("n").toDouble
+    val (mn, mx) = (st.getAs[Long]("min_v").toDouble,
+      st.getAs[Long]("max_v").toDouble)
+    val iqr = (st.getAs[Long]("q3") - st.getAs[Long]("q1")).toDouble
+    val sturges = math.ceil(math.log(n) / math.log(2.0)).toInt + 1
+    val nb0 =
+      if (iqr > 0.0)
+        math.ceil((mx - mn) / (2.0 * iqr * math.pow(n, -1.0 / 3.0))).toInt
+      else sturges
+    val nb = math.max(1, math.min(maxBins, nb0))
+    // hi is nudged past max so the max value lands in the last bin
+    // under the [lo, hi) contract (relative nudge, reproducible in
+    // any IEEE engine)
+    val hi = mx + math.max(math.abs(mx - mn), 1.0) * 1e-9
+    histogram(df, valueCol, mn, hi, nb, barWidth)
+  }
 }

@@ -46,4 +46,35 @@ class VisOpsSpec extends SparkSpecBase {
     val out = VisOps.sparkline(df, "k", "dt", "v", width = 5).collect()
     out(0).getAs[String]("spark") shouldBe "▁▁▁▁▁"
   }
+
+  test("boxplotStats five-number summary and Tukey outliers") {
+    // group a: 1..100 plus outliers -50 and 500; group b: constant
+    val rows = ((1 to 100).map(i => ("a", i.toLong)) ++
+      Seq(("a", -500L), ("a", 500L)) ++
+      (1 to 10).map(_ => ("b", 7L))).toDF("g", "v")
+    val st = graft.vis.VisOps.boxplotStats(rows, "v", Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = st("a")
+    a.getAs[Long]("n") shouldBe 102L
+    a.getAs[Long]("min_v") shouldBe -500L
+    // rule: first v with cum-count >= q*n (n=102)
+    a.getAs[Long]("q1") shouldBe 25L // first v with cw >= 25.5
+    a.getAs[Long]("median") shouldBe 50L
+    a.getAs[Long]("q3") shouldBe 76L // cw(v)=v+1 >= 76.5
+    a.getAs[Long]("max_v") shouldBe 500L
+    a.getAs[Long]("n_outliers") shouldBe 2L
+    val b = st("b")
+    b.getAs[Long]("q1") shouldBe 7L
+    b.getAs[Long]("n_outliers") shouldBe 0L
+  }
+
+  test("histogramAuto covers [min, max] with FD-derived bins") {
+    val df = (1L to 1000L).map(v => Tuple1(v)).toDF("v")
+    val h = graft.vis.VisOps.histogramAuto(df, "v")
+    val total = h.agg(sum("cnt")).head().getLong(0)
+    total shouldBe 1000L // every value (incl. max) falls in a bin
+    val nb = h.count()
+    nb should be >= 1L
+    nb should be <= 200L
+  }
 }
