@@ -854,4 +854,27 @@ object PandasOps {
     fields.foldLeft(df) { case (d, (path, castTo, out)) =>
       d.withColumn(out, get_json_object(col(jsonCol), path).cast(castTo))
     }
+
+  /** pandas Series.is_monotonic_increasing / decreasing per key
+    * (reference dataframe is_monotonic): one lag window partitioned
+    * by the keys, then a bool-and aggregate — monotonicity and strict
+    * monotonicity in both directions from a single pass. */
+  def isMonotonic(df: DataFrame, valueCol: String, orderCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val prev = lag(col(valueCol), 1).over(w)
+    df.select(keyCols.map(col) :+ col(valueCol).as("__v") :+
+        prev.as("__p"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        coalesce(bool_and(col("__p").isNull || col("__v") >= col("__p")),
+          lit(true)).as("increasing"),
+        coalesce(bool_and(col("__p").isNull || col("__v") <= col("__p")),
+          lit(true)).as("decreasing"),
+        coalesce(bool_and(col("__p").isNull || col("__v") > col("__p")),
+          lit(true)).as("strict_increasing"),
+        coalesce(bool_and(col("__p").isNull || col("__v") < col("__p")),
+          lit(true)).as("strict_decreasing"))
+  }
 }

@@ -214,6 +214,22 @@ object QueriesAnalytics {
           .as("price_c")),
         "price_c", maxBins = 200, barWidth = 40)),
 
+    // pair-plot table: 2-D binned joint distributions for all pairs
+    // of (quantity, price, discount) — reference pair_plot as data
+    "q275_pair_counts" -> ((s, d) =>
+      graft.vis.VisOps.pairCounts(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Map("l_quantity" -> (0.0, 55.0),
+          "l_extendedprice" -> (0.0, 120000.0),
+          "l_discount" -> (0.0, 0.12)), nBins = 8)),
+
+    // pandas is_monotonic per user: event values ordered by event_id
+    "q276_monotonic" -> ((s, d) =>
+      graft.ops.PandasOps.isMonotonic(
+        t(s, d, "events").select(col("user_id"), col("event_id"),
+          cents(col("value")).as("vc")),
+        "vc", "event_id", Seq("user_id"))),
+
     // text-vis parity: per-event-type Unicode sparkline of daily mean
     // value-cents compressed to 20 time buckets (reference
     // vis/direct sparkline)
@@ -327,6 +343,41 @@ object QueriesAnalytics {
         |SELECT event_id,
         |  round(coalesce(CAST(vc AS DOUBLE), mv), 6) AS vc
         |FROM base, m""".stripMargin,
+
+    "q275_pair_counts" ->
+      """WITH base AS (SELECT l_quantity AS q, l_extendedprice AS p,
+        |    l_discount AS d FROM lineitem),
+        |bq AS (SELECT CASE WHEN q IS NOT NULL AND q >= 0.0 AND q < 55.0
+        |    THEN CAST(floor((q - 0.0) / (55.0 / 8)) AS INT) END AS bq,
+        |  CASE WHEN p IS NOT NULL AND p >= 0.0 AND p < 120000.0
+        |    THEN CAST(floor((p - 0.0) / (120000.0 / 8)) AS INT)
+        |    END AS bp,
+        |  CASE WHEN d IS NOT NULL AND d >= 0.0 AND d < 0.12
+        |    THEN CAST(floor((d - 0.0) / (0.12 / 8)) AS INT) END AS bd
+        |  FROM base),
+        |u AS (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        |    bq AS bx, bp AS by FROM bq
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', bq, bd FROM bq
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', bp, bd
+        |    FROM bq)
+        |SELECT col_x, col_y, bx, by, CAST(count(*) AS BIGINT) AS cnt
+        |FROM u WHERE bx IS NOT NULL AND by IS NOT NULL
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q276_monotonic" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |l AS (SELECT user_id, v, lag(v) OVER
+        |    (PARTITION BY user_id ORDER BY event_id) AS p FROM b)
+        |SELECT user_id,
+        |  coalesce(bool_and(p IS NULL OR v >= p), true) AS increasing,
+        |  coalesce(bool_and(p IS NULL OR v <= p), true) AS decreasing,
+        |  coalesce(bool_and(p IS NULL OR v > p), true)
+        |    AS strict_increasing,
+        |  coalesce(bool_and(p IS NULL OR v < p), true)
+        |    AS strict_decreasing
+        |FROM l GROUP BY 1""".stripMargin,
 
     "q273_boxplot" ->
       """WITH c AS (SELECT l_returnflag,

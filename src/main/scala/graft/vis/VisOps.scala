@@ -170,4 +170,31 @@ object VisOps {
     val hi = mx + math.max(math.abs(mx - mn), 1.0) * 1e-9
     histogram(df, valueCol, mn, hi, nb, barWidth)
   }
+
+  /** Pair-plot table (reference pair_plot rendered as data): for every
+    * ordered pair of `cols`, a 2-D histogram of the joint
+    * distribution over fixed per-column [lo, hi) ranges. One stacked
+    * aggregate: each row contributes one (pair, bin_x, bin_y) key per
+    * column pair — nPairs·nBins² output rows max, exact integer
+    * binning, no sampling and no driver-side scatter. */
+  def pairCounts(df: DataFrame, cols: Seq[String],
+      ranges: Map[String, (Double, Double)], nBins: Int): DataFrame = {
+    require(cols.size >= 2 && nBins > 0)
+    def bin(c: String) = {
+      val (lo, hi) = ranges(c)
+      val v = col(c).cast("double")
+      when(v.isNotNull && v >= lo && v < hi,
+        floor((v - lit(lo)) / lit((hi - lo) / nBins)).cast("int"))
+    }
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+      bin(cols(i)).as("bx"), bin(cols(j)).as("by"))
+    df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("p.bx").as("bx"), col("p.by").as("by"))
+      .filter(col("bx").isNotNull && col("by").isNotNull)
+      .groupBy("col_x", "col_y", "bx", "by")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
 }

@@ -77,4 +77,34 @@ class VisOpsSpec extends SparkSpecBase {
     nb should be >= 1L
     nb should be <= 200L
   }
+
+  test("pairCounts bins every pair; totals match in-range rows") {
+    val df = Seq((1.0, 10.0, 0.5), (2.0, 20.0, 1.5), (9.0, 90.0, 9.9),
+      (11.0, 50.0, 5.0)).toDF("a", "b", "c") // a=11 out of range
+    val pc = graft.vis.VisOps.pairCounts(df, Seq("a", "b", "c"),
+      Map("a" -> (0.0, 10.0), "b" -> (0.0, 100.0), "c" -> (0.0, 10.0)),
+      nBins = 5)
+    pc.filter(col("col_x") === "a" && col("col_y") === "b")
+      .agg(sum("cnt")).head().getLong(0) shouldBe 3L
+    pc.filter(col("col_x") === "b" && col("col_y") === "c")
+      .agg(sum("cnt")).head().getLong(0) shouldBe 4L
+    pc.filter(col("col_x") === "a" && col("col_y") === "b" &&
+      col("bx") === 0 && col("by") === 0).head().getLong(4) shouldBe 1L
+  }
+
+  test("isMonotonic detects direction and strictness per key") {
+    val df = Seq(("up", 1, 1L), ("up", 2, 2L), ("up", 3, 5L),
+      ("flat", 1, 4L), ("flat", 2, 4L),
+      ("down", 1, 9L), ("down", 2, 3L),
+      ("mixed", 1, 1L), ("mixed", 2, 9L), ("mixed", 3, 2L))
+      .toDF("k", "o", "v")
+    val m = graft.ops.PandasOps.isMonotonic(df, "v", "o", Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4))).toMap
+    m("up") shouldBe ((true, false, true, false))
+    m("flat") shouldBe ((true, true, false, false))
+    m("down") shouldBe ((false, true, false, true))
+    m("mixed") shouldBe ((false, false, false, false))
+  }
 }
