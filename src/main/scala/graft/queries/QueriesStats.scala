@@ -917,7 +917,118 @@ object QueriesStats {
           dbl(col("l_quantity")).as("x1"),
           dbl(col("l_discount")).as("x2"),
           round(col("l_extendedprice")).cast("double").as("y")),
-        "rk", Seq("x1", "x2"), "y"))
+        "rk", Seq("x1", "x2"), "y")),
+
+    // §2.12 Welch's heteroscedastic one-way ANOVA across event
+    // types (statistic + dofs gated; the F-tail p is spec-checked —
+    // no F CDF in the oracle engine)
+    "q277_welch_anova" -> ((s, d) =>
+      StatsOps.welchAnova(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type")
+        .select("f_stat", "df1", "df2")),
+
+    // §2.12 variance inflation factors of the three lineitem
+    // measures (closed-form 3-var auxiliary R²s from exact sums)
+    "q278_vif" -> ((s, d) =>
+      StatsOps.vif3(
+        t(s, d, "lineitem").select(
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"),
+          cents(col("l_discount")).as("disc_c")),
+        Seq("qty_c", "price_c", "disc_c"))
+        .orderBy("column")),
+
+    // §2.12 Breusch–Pagan / Koenker heteroscedasticity of
+    // price-dollars ~ quantity (χ²(1) closed-form tail both engines)
+    "q279_breusch_pagan" -> ((s, d) =>
+      StatsOps.breuschPagan(
+        t(s, d, "lineitem").select(
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y")),
+        "x", "y")),
+
+    // §2.12 OLS influence diagnostics: top-20 rows by Cook's
+    // distance for price-dollars ~ quantity (fully deterministic —
+    // closed forms over broadcast exact sums)
+    "q280_ols_influence" -> ((s, d) =>
+      StatsOps.olsInfluence(
+        t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y")),
+        "x", "y", Seq("l_orderkey", "l_linenumber"), topK = 20)),
+
+    // pandas corrwith parity: per-user purchase vs click behavior
+    // frames aligned on user_id, column-wise correlations
+    "q281_corrwith" -> ((s, d) => {
+      def side(tpe: String) =
+        t(s, d, "events").filter(col("event_type") === tpe &&
+            col("value").isNotNull && col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(cents(col("value"))).as("v_sum"),
+            max(cents(col("value"))).as("v_max"))
+      StatsOps.corrWith(side("purchase"), side("click"),
+        Seq("user_id"), Seq("n_events", "v_sum", "v_max"))
+        .orderBy("column")
+    }),
+
+    // pandas sem/mad parity per event type (exact sem, one-shuffle
+    // window-reusing mad)
+    "q282_sem_mad" -> ((s, d) =>
+      StatsOps.semMad(
+        t(s, d, "events").filter(col("event_type").isNotNull)
+          .withColumn("vc", cents(col("value"))),
+        "vc", Seq("event_type"))
+        .orderBy("event_type")),
+
+    // §2.12 Games–Howell post-hoc pairs after Welch's ANOVA
+    // (statistic + Welch–Satterthwaite df; tukeyHsd convention)
+    "q284_games_howell" -> ((s, d) =>
+      StatsOps.gamesHowell(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type")
+        .orderBy("group_a", "group_b")),
+
+    // §2.12 chi-square cell post-hoc: standardized + Haberman
+    // adjusted residuals over the q60 contingency pair
+    "q285_chi2_residuals" -> ((s, d) =>
+      StatsOps.chiSquareResiduals(
+        t(s, d, "events")
+          .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+          .withColumn("ub", pmod(col("user_id"), lit(5)).cast("long")),
+        "event_type", "ub")
+        .orderBy("event_type", "ub")),
+
+    // causal-inference covariate balance: SMD purchase vs click over
+    // value cents + a user-residue covariate, one aggregate pass
+    "q286_smd_balance" -> ((s, d) =>
+      StatsOps.smdBalance(
+        t(s, d, "events")
+          .filter(col("value").isNotNull && col("user_id").isNotNull)
+          .select(col("event_type"), cents(col("value")).as("vc"),
+            pmod(col("user_id"), lit(1000)).cast("long").as("um")),
+        "event_type", "purchase", "click", Seq("vc", "um"))
+        .orderBy("covariate")),
+
+    // §2.14 triangle counts + local clustering on the parts-
+    // co-ordered-together graph (degree-ordered orientation — the
+    // hub-safe O(m^1.5) join shape)
+    "q287_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      GraphOps.triangleCounts(edges)
+        .select(col("id"), col("triangles"),
+          round(col("clustering"), 6).as("clustering"))
+        .orderBy("id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -3104,6 +3215,368 @@ object QueriesStats {
         |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
         |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
         |    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS std
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q277_welch_anova" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g0 AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(vc) AS DOUBLE) AS s1,
+        |    CAST(sum(vc * vc) AS DOUBLE) AS s2
+        |  FROM p GROUP BY 1),
+        |g1 AS (
+        |  SELECT n, s1 / n AS m,
+        |    CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1) END AS vr
+        |  FROM g0),
+        |g AS (SELECT n, m, n / vr AS w FROM g1 WHERE vr > 0),
+        |t AS (SELECT sum(w) AS swt FROM g),
+        |a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k, any_value(swt) AS sw,
+        |    sum(w * m) AS swm, sum(w * m * m) AS swmm,
+        |    sum((1.0 - w / swt) * (1.0 - w / swt) / (n - 1)) AS lam
+        |  FROM g, t),
+        |b AS (SELECT k, lam, (swmm - swm * swm / sw) / (k - 1) AS aa FROM a)
+        |SELECT
+        |  round(aa / (1.0 + 2.0 * (k - 2) / (k * k - 1) * lam), 6) AS f_stat,
+        |  CAST(k - 1 AS BIGINT) AS df1,
+        |  round((k * k - 1) / (3.0 * lam), 6) AS df2
+        |FROM b""".stripMargin,
+
+    "q278_vif" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x2,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x3
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x3) AS DOUBLE) AS s3,
+        |    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+        |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+        |    CAST(sum(x3 * x3) AS DOUBLE) AS s33,
+        |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        |    CAST(sum(x1 * x3) AS DOUBLE) AS s13,
+        |    CAST(sum(x2 * x3) AS DOUBLE) AS s23
+        |  FROM c),
+        |r AS (
+        |  SELECT
+        |    (n * s12 - s1 * s2) /
+        |      (sqrt(n * s11 - s1 * s1) * sqrt(n * s22 - s2 * s2)) AS r12,
+        |    (n * s13 - s1 * s3) /
+        |      (sqrt(n * s11 - s1 * s1) * sqrt(n * s33 - s3 * s3)) AS r13,
+        |    (n * s23 - s2 * s3) /
+        |      (sqrt(n * s22 - s2 * s2) * sqrt(n * s33 - s3 * s3)) AS r23
+        |  FROM s),
+        |d AS (
+        |  SELECT r12, r13, r23,
+        |    1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13 -
+        |      r23 * r23 AS det
+        |  FROM r)
+        |SELECT * FROM (
+        |  SELECT 'qty_c' AS "column",
+        |    round(CASE WHEN det > 0 THEN (1.0 - r23 * r23) / det END, 6)
+        |      AS vif FROM d
+        |  UNION ALL
+        |  SELECT 'price_c',
+        |    round(CASE WHEN det > 0 THEN (1.0 - r13 * r13) / det END, 6)
+        |    FROM d
+        |  UNION ALL
+        |  SELECT 'disc_c',
+        |    round(CASE WHEN det > 0 THEN (1.0 - r12 * r12) / det END, 6)
+        |    FROM d)
+        |ORDER BY "column"""".stripMargin,
+
+    "q279_breusch_pagan" -> {
+      val phiLm = graft.stats.Distributions.normalCdfSql("sqrt(lm_koenker)")
+      val phiBp = graft.stats.Distributions.normalCdfSql("sqrt(bp_stat)")
+      s"""WITH c AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |s1 AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM c),
+        |ab AS (
+        |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b, n, sx, sy
+        |  FROM s1),
+        |ab2 AS (SELECT b, (sy - b * sx) / n AS a FROM ab),
+        |r AS (
+        |  SELECT CAST(x AS DOUBLE) AS xv,
+        |    (CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) *
+        |    (CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) AS u
+        |  FROM c, ab2),
+        |s2 AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(xv) AS sx,
+        |    sum(xv * xv) AS sxx, sum(u) AS su, sum(u * u) AS suu,
+        |    sum(xv * u) AS sxu
+        |  FROM r),
+        |f AS (
+        |  SELECT n, su, n * sxx - sx * sx AS cxx,
+        |    n * sxu - sx * su AS cxu, n * suu - su * su AS cuu
+        |  FROM s2),
+        |g AS (
+        |  SELECT round(n * (cxu * cxu / (cxx * cuu)), 6) AS lm_koenker,
+        |    round((cxu * cxu / (n * cxx)) /
+        |      (2.0 * (su / n) * (su / n)), 6) AS bp_stat
+        |  FROM f)
+        |SELECT lm_koenker, bp_stat, CAST(1 AS BIGINT) AS dof,
+        |  round(2.0 * (1.0 - $phiLm), 6) AS p_koenker,
+        |  round(2.0 * (1.0 - $phiBp), 6) AS p_bp
+        |FROM g""".stripMargin
+    },
+
+    "q280_ols_influence" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM c),
+        |t AS (
+        |  SELECT n, sx / n AS xbar,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+        |    sxx - sx * sx / n AS cxx, sx, sy, syy, sxy
+        |  FROM s),
+        |t2 AS (
+        |  SELECT n, xbar, b, cxx, (sy - b * sx) / n AS a,
+        |    ((syy - sy * sy / n) - b * (sxy - sx * sy / n)) / (n - 2) AS s2
+        |  FROM t),
+        |r AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    1.0 / n + (CAST(x AS DOUBLE) - xbar) *
+        |      (CAST(x AS DOUBLE) - xbar) / cxx AS h,
+        |    CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)) AS e, s2
+        |  FROM c, t2),
+        |r2 AS (
+        |  SELECT l_orderkey, l_linenumber, h, e,
+        |    e / sqrt(s2 * (1.0 - h)) AS rs
+        |  FROM r)
+        |SELECT l_orderkey, l_linenumber, round(h, 6) AS leverage,
+        |  round(e, 6) AS resid, round(rs, 6) AS std_resid,
+        |  round(rs * rs * h / (2.0 * (1.0 - h)), 9) AS cooks_d
+        |FROM r2
+        |ORDER BY cooks_d DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+
+    "q281_corrwith" ->
+      """WITH pa AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS na,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS sa,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS ma
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |    AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |pb AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS nb,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS sb,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS mb
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |    AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT na, sa, ma, nb, sb, mb
+        |  FROM pa JOIN pb USING (user_id)),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(na) AS DOUBLE) AS s_na, CAST(sum(nb) AS DOUBLE) AS s_nb,
+        |    CAST(sum(sa) AS DOUBLE) AS s_sa, CAST(sum(sb) AS DOUBLE) AS s_sb,
+        |    CAST(sum(ma) AS DOUBLE) AS s_ma, CAST(sum(mb) AS DOUBLE) AS s_mb,
+        |    CAST(sum(na * na) AS DOUBLE) AS ss_na,
+        |    CAST(sum(nb * nb) AS DOUBLE) AS ss_nb,
+        |    CAST(sum(sa * sa) AS DOUBLE) AS ss_sa,
+        |    CAST(sum(sb * sb) AS DOUBLE) AS ss_sb,
+        |    CAST(sum(ma * ma) AS DOUBLE) AS ss_ma,
+        |    CAST(sum(mb * mb) AS DOUBLE) AS ss_mb,
+        |    CAST(sum(na * nb) AS DOUBLE) AS sp_n,
+        |    CAST(sum(sa * sb) AS DOUBLE) AS sp_s,
+        |    CAST(sum(ma * mb) AS DOUBLE) AS sp_m
+        |  FROM j)
+        |SELECT * FROM (
+        |  SELECT 'n_events' AS "column",
+        |    round(CASE WHEN sqrt(n * ss_na - s_na * s_na) *
+        |        sqrt(n * ss_nb - s_nb * s_nb) <> 0 THEN
+        |      (n * sp_n - s_na * s_nb) /
+        |        (sqrt(n * ss_na - s_na * s_na) *
+        |         sqrt(n * ss_nb - s_nb * s_nb)) END, 6) AS corr FROM s
+        |  UNION ALL
+        |  SELECT 'v_sum',
+        |    round(CASE WHEN sqrt(n * ss_sa - s_sa * s_sa) *
+        |        sqrt(n * ss_sb - s_sb * s_sb) <> 0 THEN
+        |      (n * sp_s - s_sa * s_sb) /
+        |        (sqrt(n * ss_sa - s_sa * s_sa) *
+        |         sqrt(n * ss_sb - s_sb * s_sb)) END, 6) FROM s
+        |  UNION ALL
+        |  SELECT 'v_max',
+        |    round(CASE WHEN sqrt(n * ss_ma - s_ma * s_ma) *
+        |        sqrt(n * ss_mb - s_mb * s_mb) <> 0 THEN
+        |      (n * sp_m - s_ma * s_mb) /
+        |        (sqrt(n * ss_ma - s_ma * s_ma) *
+        |         sqrt(n * ss_mb - s_mb * s_mb)) END, 6) FROM s)
+        |ORDER BY "column"""".stripMargin,
+
+    "q282_sem_mad" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(sum(vc) AS DOUBLE) / count(*) AS mean_
+        |  FROM p GROUP BY 1),
+        |g AS (
+        |  SELECT p.event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(vc) AS DOUBLE) AS sx,
+        |    CAST(sum(vc * vc) AS DOUBLE) AS sxx,
+        |    sum(abs(CAST(vc AS DOUBLE) - m.mean_)) AS sad
+        |  FROM p JOIN m USING (event_type) GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(sx / n, 6) AS mean,
+        |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / sqrt(n), 6)
+        |    AS sem,
+        |  round(sad / n, 6) AS mad
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q284_games_howell" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g0 AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(vc) AS DOUBLE) AS s1,
+        |    CAST(sum(vc * vc) AS DOUBLE) AS s2
+        |  FROM p GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS grp, n, s1 / n AS m,
+        |    CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1) END AS vr
+        |  FROM g0),
+        |g1 AS (SELECT grp, n, m, vr FROM g WHERE vr IS NOT NULL)
+        |SELECT a.grp AS group_a, b.grp AS group_b,
+        |  round(a.m - b.m, 6) AS mean_diff,
+        |  round(abs(a.m - b.m) /
+        |    sqrt((a.vr / a.n + b.vr / b.n) / 2), 6) AS q_stat,
+        |  round((a.vr / a.n + b.vr / b.n) * (a.vr / a.n + b.vr / b.n) /
+        |    ((a.vr / a.n) * (a.vr / a.n) / (a.n - 1) +
+        |     (b.vr / b.n) * (b.vr / b.n) / (b.n - 1)), 6) AS df
+        |FROM g1 a JOIN g1 b ON a.grp < b.grp
+        |ORDER BY group_a, group_b""".stripMargin,
+
+    "q285_chi2_residuals" ->
+      """WITH src0 AS (
+        |  SELECT event_type, user_id % 5 AS ub FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |obs AS (
+        |  SELECT event_type, ub, CAST(count(*) AS BIGINT) AS o
+        |  FROM src0 GROUP BY 1, 2),
+        |ra AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ra
+        |  FROM src0 GROUP BY 1),
+        |rb AS (SELECT ub, CAST(count(*) AS BIGINT) AS rb
+        |  FROM src0 GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM src0),
+        |cells AS (
+        |  SELECT g.event_type, g.ub,
+        |    CAST(coalesce(obs.o, 0) AS BIGINT) AS o,
+        |    CAST(g.ra AS DOUBLE) * CAST(g.rb AS DOUBLE) / nn AS ex,
+        |    CAST(g.ra AS DOUBLE) AS rad, CAST(g.rb AS DOUBLE) AS rbd, nn
+        |  FROM (SELECT ra.event_type, rb.ub, ra.ra, rb.rb
+        |        FROM ra CROSS JOIN rb) g
+        |  LEFT JOIN obs USING (event_type, ub), nt)
+        |SELECT event_type, ub, o, round(ex, 6) AS e,
+        |  round((o - ex) / sqrt(ex), 6) AS std_res,
+        |  round((o - ex) /
+        |    sqrt(ex * (1.0 - rad / nn) * (1.0 - rbd / nn)), 6)
+        |    AS adj_res,
+        |  abs((o - ex) /
+        |    sqrt(ex * (1.0 - rad / nn) * (1.0 - rbd / nn))) > 2.0
+        |    AS flagged
+        |FROM cells ORDER BY event_type, ub""".stripMargin,
+
+    "q286_smd_balance" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+        |    user_id % 1000 AS um
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IN ('purchase', 'click')),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS nt,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS nc,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END)
+        |      AS DOUBLE) AS st_vc,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vc * vc ELSE 0 END)
+        |      AS DOUBLE) AS sst_vc,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN vc ELSE 0 END)
+        |      AS DOUBLE) AS sc_vc,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN vc * vc ELSE 0 END)
+        |      AS DOUBLE) AS ssc_vc,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN um ELSE 0 END)
+        |      AS DOUBLE) AS st_um,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN um * um ELSE 0 END)
+        |      AS DOUBLE) AS sst_um,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN um ELSE 0 END)
+        |      AS DOUBLE) AS sc_um,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN um * um ELSE 0 END)
+        |      AS DOUBLE) AS ssc_um
+        |  FROM p),
+        |calc AS (
+        |  SELECT 'vc' AS covariate, st_vc / nt AS mt, sc_vc / nc AS mc,
+        |    (sst_vc - st_vc * st_vc / nt) / (nt - 1) AS vt,
+        |    (ssc_vc - sc_vc * sc_vc / nc) / (nc - 1) AS vcv
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'um', st_um / nt, sc_um / nc,
+        |    (sst_um - st_um * st_um / nt) / (nt - 1),
+        |    (ssc_um - sc_um * sc_um / nc) / (nc - 1)
+        |  FROM s)
+        |SELECT covariate, round(mt, 6) AS mean_treated,
+        |  round(mc, 6) AS mean_control,
+        |  round((mt - mc) / sqrt((vt + vcv) / 2), 6) AS smd,
+        |  abs((mt - mc) / sqrt((vt + vcv) / 2)) < 0.1 AS balanced
+        |FROM calc ORDER BY covariate""".stripMargin,
+
+    "q287_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |tri AS (
+        |  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT v1 AS id FROM tri
+        |  UNION ALL SELECT v2 FROM tri
+        |  UNION ALL SELECT v3 FROM tri),
+        |t AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM corners GROUP BY 1),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1)
+        |SELECT deg.id, CAST(coalesce(t.triangles, 0) AS BIGINT)
+        |    AS triangles,
+        |  round(CASE WHEN deg.d > 1 THEN
+        |    CAST(coalesce(t.triangles, 0) AS DOUBLE) * 2 /
+        |      (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1))
+        |    ELSE 0.0 END, 6) AS clustering
+        |FROM deg LEFT JOIN t USING (id) ORDER BY id""".stripMargin
   )
 }

@@ -189,6 +189,17 @@ object QueriesText {
         "embedding", "vec_id", q, 10, nLists = 8, nProbe = 2)
     }),
 
+    // int8 scalar-quantized ANN: per-dim min/max quantizer, codes
+    // scanned instead of floats (4× IO cut at rest), asymmetric
+    // dequantized-dot scoring vs the full-precision query
+    "q283_quantized_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.quantizedTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, 10)
+    }),
+
     // the PORTABLE hyperplane-LSH twin (md5-derived planes): DuckDB
     // replays bucket assignment AND the probe — the ANN analogue of
     // q91's portable simhash
@@ -513,6 +524,37 @@ object QueriesText {
         |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35)
         |SELECT a.vec_id, a.cluster, d.dup IS NULL AS keep
         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.dup""".stripMargin,
+
+    "q283_quantized_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |u AS (
+        |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        |  FROM e),
+        |p AS (SELECT i, min(x) AS lo, max(x) AS hi FROM u GROUP BY 1),
+        |c AS (
+        |  SELECT u.vec_id, u.i, p.lo, p.hi,
+        |    CASE WHEN p.hi > p.lo THEN
+        |      least(greatest(CAST(round((u.x - p.lo) / (p.hi - p.lo)
+        |        * 255) AS INT), 0), 255)
+        |    ELSE 0 END AS code
+        |  FROM u JOIN p USING (i)),
+        |d AS (
+        |  SELECT vec_id, i,
+        |    lo + CAST(code AS DOUBLE) * (hi - lo) / 255.0 AS dv
+        |  FROM c),
+        |s AS (
+        |  SELECT d.vec_id, sum(d.dv * qv[d.i]) AS dotq,
+        |    sum(d.dv * d.dv) AS nd2
+        |  FROM d, q GROUP BY 1)
+        |SELECT vec_id,
+        |  round(dotq / (sqrt(nd2) *
+        |    (SELECT sqrt(list_dot_product(qv, qv)) FROM q)), 6)
+        |    AS qcosine
+        |FROM s ORDER BY qcosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "q116_ivf_portable" ->
       """WITH v AS (

@@ -102,9 +102,12 @@ object StatsOps {
     * plus the recombiner and n-as-double. See [[corrMatrix]] doc for
     * the exactness analysis. */
   private def pairMoments(df0: DataFrame, cols: Seq[String],
-      exact: Boolean, caller: String):
+      exact: Boolean, caller: String,
+      pairsOpt: Option[Seq[(String, String)]] = None):
       (DataFrame, String => Column, Column) = {
     require(cols.size >= 2, s"$caller needs at least two columns")
+    val pairList = pairsOpt.getOrElse(
+      cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq)
     cols.foreach { c =>
       import org.apache.spark.sql.types._
       val ok = df0.schema(c).dataType match {
@@ -144,8 +147,7 @@ object StatsOps {
     val prods =
       cols.map(c => (s"s_$c", lng(c))) ++
         cols.map(c => (s"ss_$c", lng(c) * lng(c))) ++
-        cols.combinations(2).map { case Seq(a, b) =>
-          (s"sp_${a}_$b", lng(a) * lng(b)) }.toSeq
+        pairList.map { case (a, b) => (s"sp_${a}_$b", lng(a) * lng(b)) }
     val projected = df.select(
       prods.map { case (tag, e) => e.as(s"__p_$tag") }: _*)
     val sumExprs = Seq(count(lit(1)).as("__n__")) ++
@@ -203,6 +205,73 @@ object StatsOps {
         ((countDistinct(a) - 1) * (countDistinct(b) - 1)).as("dof"))
       .withColumn("p_value",
         chi2PUdf(col("chi2"), col("dof").cast("double")))
+  }
+
+  /** Per-cell post-hoc residuals for the [[chiSquare]] contingency
+    * table: standardized residual (O−E)/√E and Haberman's adjusted
+    * residual (O−E)/√(E·(1−rowm/n)·(1−colm/n)) — which cells drive a
+    * significant χ². Same two-key shuffles + margin grid as
+    * chiSquare; |adj_res| > 2 flags the cell (the ~95% normal
+    * criterion). */
+  def chiSquareResiduals(df0: DataFrame, a: String,
+      b: String): DataFrame = {
+    val df = df0.filter(col(a).isNotNull && col(b).isNotNull)
+    val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
+    val ma = df.groupBy(col(a)).agg(count(lit(1)).as("ra"))
+    val mb = df.groupBy(col(b)).agg(count(lit(1)).as("rb"))
+    val n = df.count().toDouble
+    val e = col("ra").cast("double") * col("rb").cast("double") /
+      lit(n)
+    val stdRes = (col("o") - col("e")) / sqrt(col("e"))
+    val adjRes = (col("o") - col("e")) /
+      sqrt(col("e") * (lit(1.0) - col("ra").cast("double") / lit(n)) *
+        (lit(1.0) - col("rb").cast("double") / lit(n)))
+    ma.crossJoin(mb)
+      .join(obs, Seq(a, b), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("e", e)
+      .select(col(a), col(b), col("o"), round(col("e"), 6).as("e"),
+        round(stdRes, 6).as("std_res"),
+        round(adjRes, 6).as("adj_res"),
+        (abs(adjRes) > 2.0).as("flagged"))
+  }
+
+  /** Standardized-mean-difference covariate balance table (the
+    * causal-inference balance diagnostic; exceeds the reference's
+    * stats stack): per covariate SMD = (m₁ − m₀)/√((v₁ + v₀)/2)
+    * between two treatment groups, ONE aggregate of exact integral
+    * sums for every covariate at once — no per-column scans.
+    * |SMD| < 0.1 is the conventional balance criterion. */
+  def smdBalance(df0: DataFrame, groupCol: String, treated: String,
+      control: String, cols: Seq[String]): DataFrame = {
+    val df = df0.filter(col(groupCol).isin(treated, control))
+      .na.drop(cols)
+    val isT = col(groupCol).cast("string") === treated
+    def side(flag: Column, tag: String) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).as(s"n_$tag")) ++
+      cols.flatMap(c => Seq(
+        sum(when(flag, col(c)).otherwise(lit(0L))).cast("double")
+          .as(s"s_${tag}_$c"),
+        sum(when(flag, col(c) * col(c)).otherwise(lit(0L)))
+          .cast("double").as(s"ss_${tag}_$c")))
+    val aggs = side(isT, "t") ++ side(!isT, "c")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def mv(tag: String, c: String) = {
+      val nn = col(s"n_$tag").cast("double")
+      val m = col(s"s_${tag}_$c") / nn
+      val v = (col(s"ss_${tag}_$c") -
+        col(s"s_${tag}_$c") * col(s"s_${tag}_$c") / nn) / (nn - 1)
+      (m, v)
+    }
+    val rows = cols.map { c =>
+      val (mt, vt) = mv("t", c)
+      val (mc, vc) = mv("c", c)
+      val smd = (mt - mc) / sqrt((vt + vc) / 2)
+      struct(lit(c).as("covariate"), round(mt, 6).as("mean_treated"),
+        round(mc, 6).as("mean_control"), round(smd, 6).as("smd"),
+        (abs(smd) < 0.1).as("balanced"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
   /** Chi-square goodness-of-fit (stats/mod.rs chi_square_test):
@@ -2018,6 +2087,295 @@ object StatsOps {
           yield lit(inv(i)(j)) * dx(i) * dx(j)).reduce(_ + _)
       }
     df.withColumn(outName, dist2)
+  }
+
+  /** Welch's heteroscedastic one-way ANOVA (the var-unequal
+    * counterpart of [[anovaOneWay]]; reference
+    * src/stats/hypothesis.rs anova + ttest var-unequal semantics
+    * combined): weights w_j = n_j/s_j², weighted grand mean,
+    *   F* = Σ w_j (m_j − x̄w)² / (k−1)
+    *        ───────────────────────────────
+    *        1 + 2(k−2)/(k²−1) · Λ,
+    *   Λ = Σ (1 − w_j/W)²/(n_j − 1),  df₂ = (k²−1)/(3Λ).
+    * Per-group moments come from ONE hash aggregate of exact
+    * integral sums (cents pattern); Λ needs W = Σw, so the k-row
+    * group table takes one broadcast of the scalar total — no
+    * second scan of the data. p-value via the regularized-beta F
+    * tail (spec-checked; the gate compares statistic + dofs, which
+    * are closed-form in both engines). */
+  def welchAnova(df0: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val df = df0.filter(col(valueCol).isNotNull &&
+      col(groupCol).isNotNull)
+    val g = df.groupBy(groupCol)
+      // Long-exact group sums (integral inputs — cents pattern)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col(valueCol)).cast("double").as("s1"),
+        sum(col(valueCol) * col(valueCol)).cast("double").as("s2"))
+      // groups of one row / zero variance carry no weight info:
+      // excluded (vr = 0 → w = ∞), matching scipy's error-out domain
+      .select(col("n"), (col("s1") / col("n")).as("m"),
+        when(col("n") > 1,
+          (col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)).as("vr"))
+      .filter(col("vr") > 0)
+      .select(col("n"), col("m"), (col("n") / col("vr")).as("w"))
+    val tot = g.agg(sum(col("w")).as("sw_tot"))
+    g.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).cast("double").as("k"),
+        first(col("sw_tot")).as("sw"),
+        sum(col("w") * col("m")).as("swm"),
+        sum(col("w") * col("m") * col("m")).as("swmm"),
+        sum((lit(1.0) - col("w") / col("sw_tot")) *
+          (lit(1.0) - col("w") / col("sw_tot")) / (col("n") - 1))
+          .as("lam"))
+      .select(col("k"), col("lam"),
+        ((col("swmm") - col("swm") * col("swm") / col("sw")) /
+          (col("k") - 1)).as("a"))
+      .select(
+        round(col("a") / (lit(1.0) + lit(2.0) * (col("k") - 2) /
+          (col("k") * col("k") - 1) * col("lam")), 6).as("f_stat"),
+        (col("k") - 1).cast("long").as("df1"),
+        round((col("k") * col("k") - 1) / (lit(3.0) * col("lam")), 6)
+          .as("df2"))
+      .withColumn("p_value",
+        round(fPUdf(col("f_stat"), col("df1").cast("double"),
+          col("df2")), 6))
+  }
+
+  /** Games–Howell post-hoc after [[welchAnova]] (the
+    * unequal-variance counterpart of [[tukeyHsd]]): per group pair
+    * the mean difference, the studentized statistic
+    * q = |mᵢ − mⱼ| / √((sᵢ²/nᵢ + sⱼ²/nⱼ)/2) and the Welch–
+    * Satterthwaite df. Group moments from ONE exact-sum aggregate;
+    * the pair join runs over the k-row group table. Statistic-only
+    * (the studentized-range tail has no closed form — the tukeyHsd
+    * convention). */
+  def gamesHowell(df0: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val df = df0.filter(col(valueCol).isNotNull &&
+      col(groupCol).isNotNull)
+    val g = df.groupBy(groupCol)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col(valueCol)).cast("double").as("s1"),
+        sum(col(valueCol) * col(valueCol)).cast("double").as("s2"))
+      .select(col(groupCol).cast("string").as("grp"), col("n"),
+        (col("s1") / col("n")).as("m"),
+        when(col("n") > 1,
+          (col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)).as("vr"))
+      .filter(col("vr").isNotNull)
+    val l = g.select(col("grp").as("group_a"), col("n").as("na"),
+      col("m").as("ma"), col("vr").as("va"))
+    val r = g.select(col("grp").as("group_b"), col("n").as("nb"),
+      col("m").as("mb"), col("vr").as("vb"))
+    val sa = col("va") / col("na"); val sb = col("vb") / col("nb")
+    val df2 = (sa + sb) * (sa + sb) /
+      (sa * sa / (col("na") - 1) + sb * sb / (col("nb") - 1))
+    l.join(r, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        round(col("ma") - col("mb"), 6).as("mean_diff"),
+        round(abs(col("ma") - col("mb")) / sqrt((sa + sb) / 2), 6)
+          .as("q_stat"),
+        round(df2, 6).as("df"))
+  }
+
+  /** Variance inflation factors for a 3-column design (statsmodels
+    * variance_inflation_factor parity; reference regression stack
+    * src/stats/regression/mod.rs has no VIF — exceeds). For three
+    * variables the auxiliary R²s are closed-form in the pairwise
+    * correlations: with det = 1 + 2·r₁₂r₁₃r₂₃ − r₁₂² − r₁₃² − r₂₃²
+    * (the correlation-matrix determinant), VIF_j = (1 − r_kl²)/det.
+    * Correlations come from the one-pass exact-limb moment machinery
+    * (integer-typed inputs, listwise null deletion), so the whole
+    * result is straight-line Column arithmetic replayable by the
+    * oracle. Degenerate designs (det ≤ 0 from a perfect collinearity)
+    * emit null. */
+  def vif3(df0: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size == 3, "vif3 takes exactly three columns " +
+      "(closed-form inverse); larger designs go through " +
+      "MlOps.linearRegressionMl residual fits")
+    val (one, rec, nD) = pairMoments(df0, cols, exact = true, "vif3")
+    def rr(a: String, b: String) = {
+      val sx = rec(s"s_$a"); val sy = rec(s"s_$b")
+      (nD * rec(s"sp_${a}_$b") - sx * sy) /
+        (sqrt(nD * rec(s"ss_$a") - sx * sx) *
+          sqrt(nD * rec(s"ss_$b") - sy * sy))
+    }
+    val Seq(c1, c2, c3) = cols
+    val r12 = rr(c1, c2); val r13 = rr(c1, c3); val r23 = rr(c2, c3)
+    val det = lit(1.0) + lit(2.0) * r12 * r13 * r23 -
+      r12 * r12 - r13 * r13 - r23 * r23
+    def v(rOther: Column) =
+      round(when(det > 0, (lit(1.0) - rOther * rOther) / det), 6)
+    one.select(explode(array(
+        struct(lit(c1).as("column"), v(r23).as("vif")),
+        struct(lit(c2).as("column"), v(r13).as("vif")),
+        struct(lit(c3).as("column"), v(r12).as("vif")))).as("r"))
+      .select(col("r.column"), col("r.vif"))
+  }
+
+  /** Breusch–Pagan heteroscedasticity test of y ~ x (statsmodels
+    * het_breuschpagan parity — exceeds the reference's regression
+    * stack). Stage 1 fits the main OLS from exact integral sums
+    * (slope/intercept are exact-double ratios); stage 2 broadcasts
+    * the two scalars, squares the per-row residual u = (y−(a+bx))²,
+    * and aggregates the auxiliary regression u ~ x in the same scan.
+    * Emits the Koenker studentized statistic LM = n·R²_aux (the
+    * modern default) and the original BP = ESS_aux/(2σ̂⁴); both are
+    * χ²(1) under H₀, so p = 2(1−Φ(√stat)) closed-form in any engine.
+    * Two passes over the data, zero driver state. */
+  def breuschPagan(df0: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // stage-1 sums run over the raw integral columns (Long-exact, so
+    // the fitted a/b are the same IEEE doubles in any engine); keep
+    // Σxy inside a signed Long — scale y to dollars, not cents, for
+    // price-sized data
+    val s1 = df.agg(count(lit(1)).cast("double").as("n"),
+        sum(col(xCol)).cast("double").as("sx"),
+        sum(col(yCol)).cast("double").as("sy"),
+        sum(col(xCol) * col(xCol)).cast("double").as("sxx"),
+        sum(col(xCol) * col(yCol)).cast("double").as("sxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("__b__"))
+      .select(col("__b__"),
+        ((col("sy") - col("__b__") * col("sx")) / col("n")).as("__a__"))
+    val u = (y - (col("__a__") + col("__b__") * x)) *
+      (y - (col("__a__") + col("__b__") * x))
+    val agg = df.crossJoin(broadcast(s1))
+      .select(x.as("xv"), u.as("u"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("xv")).as("sx"), sum(col("xv") * col("xv")).as("sxx"),
+        sum(col("u")).as("su"), sum(col("u") * col("u")).as("suu"),
+        sum(col("xv") * col("u")).as("sxu"))
+    val cxx = agg("n") * col("sxx") - col("sx") * col("sx")
+    val cxu = agg("n") * col("sxu") - col("sx") * col("su")
+    val cuu = agg("n") * col("suu") - col("su") * col("su")
+    val r2 = cxu * cxu / (cxx * cuu)
+    // ESS of u~x in the centered form: cov²/varx scaled back by 1/n
+    val ess = cxu * cxu / (col("n") * cxx)
+    val sig2 = col("su") / col("n")
+    agg.select(
+        round((col("n") * r2), 6).as("lm_koenker"),
+        round(ess / (lit(2.0) * sig2 * sig2), 6).as("bp_stat"),
+        col("n"))
+      .select(col("lm_koenker"), col("bp_stat"),
+        lit(1L).as("dof"),
+        round(lit(2.0) * (lit(1.0) -
+          Distributions.normalCdfCol(sqrt(col("lm_koenker")))), 6)
+          .as("p_koenker"),
+        round(lit(2.0) * (lit(1.0) -
+          Distributions.normalCdfCol(sqrt(col("bp_stat")))), 6)
+          .as("p_bp"))
+  }
+
+  /** Per-row OLS influence diagnostics for y ~ x (statsmodels
+    * OLSInfluence parity): leverage h_i = 1/n + (x_i−x̄)²/Sxx,
+    * internally studentized residual r_i = e_i/(s√(1−h_i)), Cook's
+    * distance D_i = r_i²·h_i/(p(1−h_i)) with p = 2. Every quantity
+    * is a deterministic per-row closed form over the broadcast exact
+    * sums — no FP accumulation order anywhere, so the top-k table is
+    * engine-exact. Returns the k most influential rows by Cook's D
+    * (TakeOrderedAndProject — no global sort), id columns first. */
+  def olsInfluence(df0: DataFrame, xCol: String, yCol: String,
+      idCols: Seq[String], topK: Int = 20): DataFrame = {
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // Long-exact sufficient sums over the raw integral columns (same
+    // contract as breuschPagan — size the scale so Σy² fits a Long)
+    val s = df.agg(count(lit(1)).cast("double").as("n"),
+        sum(col(xCol)).cast("double").as("sx"),
+        sum(col(yCol)).cast("double").as("sy"),
+        sum(col(xCol) * col(xCol)).cast("double").as("sxx"),
+        sum(col(yCol) * col(yCol)).cast("double").as("syy"),
+        sum(col(xCol) * col(yCol)).cast("double").as("sxy"))
+      .select(col("n"), (col("sx") / col("n")).as("xbar"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("b"),
+        (col("sxx") - col("sx") * col("sx") / col("n")).as("cxx"),
+        col("sx"), col("sy"), col("syy"), col("sxy"))
+      .select(col("n"), col("xbar"), col("b"), col("cxx"),
+        ((col("sy") - col("b") * col("sx")) / col("n")).as("a"),
+        // SSE via the centered identity; s² = SSE/(n−2)
+        (((col("syy") - col("sy") * col("sy") / col("n")) -
+          col("b") * (col("sxy") - col("sx") * col("sy") / col("n"))) /
+          (col("n") - 2)).as("s2"))
+    val h = lit(1.0) / col("n") +
+      (x - col("xbar")) * (x - col("xbar")) / col("cxx")
+    val e = y - (col("a") + col("b") * x)
+    val rStud = e / sqrt(col("s2") * (lit(1.0) - h))
+    val cook = rStud * rStud * h / (lit(2.0) * (lit(1.0) - h))
+    df.crossJoin(broadcast(s))
+      .select(idCols.map(col) ++ Seq(
+        round(h, 6).as("leverage"), round(e, 6).as("resid"),
+        round(rStud, 6).as("std_resid"),
+        round(cook, 9).as("cooks_d")): _*)
+      .orderBy(col("cooks_d").desc +: idCols.map(col): _*)
+      .limit(topK)
+  }
+
+  /** pandas DataFrame.corrwith parity: column-wise Pearson
+    * correlation of identically-named columns across two frames,
+    * matched row-to-row on key columns (the Spark re-expression of
+    * pandas index alignment). One equi-join, then ONE exact-limb
+    * moment pass restricted to the matched (a, b) pairs — no
+    * O(cols²) cross-pairs. Integer-typed inputs (cents pattern);
+    * listwise null deletion across all compared columns (documented
+    * deviation from pandas' per-pair completeness). */
+  def corrWith(dfA: DataFrame, dfB: DataFrame, keyCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    val a = dfA.select((keyCols.map(col) ++
+      cols.map(c => col(c).as(s"${c}__a"))): _*)
+    val b = dfB.select((keyCols.map(col) ++
+      cols.map(c => col(c).as(s"${c}__b"))): _*)
+    val joined = a.join(b, keyCols, "inner")
+    val pairs = cols.map(c => (s"${c}__a", s"${c}__b"))
+    val (one, rec, nD) = pairMoments(joined,
+      cols.map(c => s"${c}__a") ++ cols.map(c => s"${c}__b"),
+      exact = true, "corrWith", Some(pairs))
+    val rows = cols.map { c =>
+      val sx = rec(s"s_${c}__a"); val sy = rec(s"s_${c}__b")
+      val den = sqrt(nD * rec(s"ss_${c}__a") - sx * sx) *
+        sqrt(nD * rec(s"ss_${c}__b") - sy * sy)
+      struct(lit(c).as("column"),
+        round(when(den =!= 0,
+          (nD * rec(s"sp_${c}__a_${c}__b") - sx * sy) / den), 6)
+          .as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.column"), col("r.corr"))
+  }
+
+  /** pandas sem/mad parity per group: standard error of the mean
+    * sem = s/√n from exact integral sums (deterministic), and mean
+    * absolute deviation mad = Σ|x − x̄|/n. The group mean is an
+    * exact ratio computed by a key-partitioned window in the SAME
+    * shuffle the aggregate reuses — one exchange total, no join
+    * back. */
+  def semMad(df0: DataFrame, valueCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val df = df0.filter(col(valueCol).isNotNull)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    // Long-exact sums (integral inputs); the group mean is an exact
+    // ratio so each |x − x̄| is deterministic per row
+    df.withColumn("__m__", sum(col(valueCol)).over(w).cast("double") /
+        count(lit(1)).over(w))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col(valueCol)).cast("double").as("sx"),
+        sum(col(valueCol) * col(valueCol)).cast("double").as("sxx"),
+        sum(abs(v - col("__m__"))).as("sad"))
+      .select(keyCols.map(col) ++ Seq(
+        col("n").cast("long").as("n"),
+        round(col("sx") / col("n"), 6).as("mean"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))) / sqrt(col("n")), 6).as("sem"),
+        round(col("sad") / col("n"), 6).as("mad")): _*)
   }
 
   /** Gauss-Jordan inverse with partial pivoting (driver-side, d×d

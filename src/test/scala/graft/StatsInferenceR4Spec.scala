@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stats.StatsOps
+
+/** Round-4 inference additions: Welch's ANOVA, VIF, Breusch–Pagan,
+  * OLS influence, corrwith, sem/mad. */
+class StatsInferenceR4Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  // local closed-form reference for Welch's ANOVA (independent code
+  // path: plain Scala over the raw groups)
+  private def welchRef(groups: Seq[Seq[Double]]): (Double, Double) = {
+    val st = groups.map { g =>
+      val n = g.size.toDouble; val m = g.sum / n
+      val vr = g.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, n / vr)
+    }
+    val k = st.size.toDouble
+    val sw = st.map(_._3).sum
+    val xw = st.map { case (_, m, w) => w * m }.sum / sw
+    val a = st.map { case (_, m, w) => w * (m - xw) * (m - xw) }.sum /
+      (k - 1)
+    val lam = st.map { case (n, _, w) =>
+      (1.0 - w / sw) * (1.0 - w / sw) / (n - 1) }.sum
+    val f = a / (1.0 + 2.0 * (k - 2) / (k * k - 1) * lam)
+    val df2 = (k * k - 1) / (3.0 * lam)
+    (f, df2)
+  }
+
+  test("welchAnova matches the closed form and detects a shift") {
+    val g1 = Seq(10L, 12L, 11L, 13L, 9L, 11L)
+    val g2 = Seq(20L, 25L, 15L, 22L, 18L)
+    val g3 = Seq(11L, 10L, 12L, 11L, 13L, 10L, 12L)
+    val df = (g1.map(("a", _)) ++ g2.map(("b", _)) ++ g3.map(("c", _)))
+      .toDF("g", "v")
+    val r = StatsOps.welchAnova(df, "v", "g").head()
+    val (f, df2) = welchRef(Seq(g1, g2, g3).map(_.map(_.toDouble)))
+    r.getAs[Double]("f_stat") shouldBe f +- 1e-5
+    r.getAs[Long]("df1") shouldBe 2L
+    r.getAs[Double]("df2") shouldBe df2 +- 1e-5
+    r.getAs[Double]("p_value") should be < 0.05
+    // no shift -> F near zero, large p
+    val same = (g1.map(("a", _)) ++ g1.map(("b", _))).toDF("g", "v")
+    val r2 = StatsOps.welchAnova(same, "v", "g").head()
+    r2.getAs[Double]("f_stat") shouldBe 0.0 +- 1e-9
+    r2.getAs[Double]("p_value") should be > 0.9
+  }
+
+  test("vif3: independent columns ~1, collinear column explodes") {
+    // x1, x2 constructed orthogonal-ish via deterministic residues
+    val rows = (0 until 400).map { i =>
+      val x1 = (i * 37) % 101L
+      val x2 = (i * 59) % 97L
+      (x1, x2, x1 + x2) // x3 perfectly collinear
+    }
+    val ind = rows.map { case (a, b, _) =>
+      (a, b, ((a * 17 + b * 3) % 89)) }.toDF("x1", "x2", "x3")
+    val vifs = StatsOps.vif3(ind, Seq("x1", "x2", "x3"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("vif")).toMap
+    all(vifs.values) should be < 1.2
+    all(vifs.values) should be >= 1.0
+    val coll = rows.toDF("x1", "x2", "x3")
+    val v3 = StatsOps.vif3(coll, Seq("x1", "x2", "x3")).collect()
+      .map(r => Option(r.get(1)).map(_.asInstanceOf[Double]))
+    // perfect collinearity: det -> 0 (FP): either null or enormous
+    v3.foreach(v => assert(v.isEmpty || v.get > 100.0))
+  }
+
+  test("breuschPagan: flat noise accepts, scale-with-x noise rejects") {
+    // deterministic pseudo-noise with period 19, x has period 50 —
+    // over a full 950-cycle every (x, ε) pair appears once (CRT), so
+    // cov(x, ε) and cov(x, ε²) are exactly zero under H₀
+    def eps(i: Int): Long = ((i * 37) % 19) - 9
+    val homo = (1 to 950).map(i => (i.toLong % 50 + 1,
+      3 * (i.toLong % 50 + 1) + eps(i))).toDF("x", "y")
+    val r1 = StatsOps.breuschPagan(homo, "x", "y").head()
+    r1.getAs[Double]("p_koenker") should be > 0.05
+    val hetero = (1 to 950).map { i =>
+      val x = i.toLong % 50 + 1
+      (x, 3 * x + eps(i) * x) // residual scale grows with x
+    }.toDF("x", "y")
+    val r2 = StatsOps.breuschPagan(hetero, "x", "y").head()
+    r2.getAs[Double]("lm_koenker") should be >
+      r1.getAs[Double]("lm_koenker")
+    r2.getAs[Double]("p_koenker") should be < 0.01
+  }
+
+  test("olsInfluence: leverage closed form + planted outlier tops") {
+    // exact line except one far point: that row dominates Cook's D
+    val base = (1 to 50).map(i => (i.toLong, i.toLong, 3 * i + 5L))
+    val outlier = (999L, 30L, 500L) // id 999, x=30, y far off the line
+    val df = (base :+ outlier).toDF("id", "x", "y")
+    val top = StatsOps.olsInfluence(df, "x", "y", Seq("id"), topK = 3)
+      .head()
+    top.getAs[Long]("id") shouldBe 999L
+    math.abs(top.getAs[Double]("std_resid")) should be > 3.0
+    // exact h for n=3, x=[0,1,2]: h(x=0) = 1/3 + 1/2 = 5/6
+    val tiny = Seq((1L, 0L, 0L), (2L, 1L, 1L), (3L, 2L, 4L))
+      .toDF("id", "x", "y")
+    val all3 = StatsOps.olsInfluence(tiny, "x", "y", Seq("id"), 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("leverage")).toMap
+    all3(1L) shouldBe 5.0 / 6.0 +- 1e-6
+    all3(2L) shouldBe 1.0 / 3.0 +- 1e-6
+    all3(3L) shouldBe 5.0 / 6.0 +- 1e-6
+  }
+
+  test("corrWith: perfect, inverted and named alignment") {
+    val a = (1 to 40).map(i =>
+      (i.toLong, i.toLong, i.toLong, (i * 13 % 7).toLong))
+      .toDF("k", "u", "v", "w")
+    val b = (1 to 40).map(i =>
+      (i.toLong, 2 * i + 1L, 100L - i, (i * 5 % 11).toLong))
+      .toDF("k", "u", "v", "w")
+    val m = StatsOps.corrWith(a, b, Seq("k"), Seq("u", "v", "w"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("corr"))
+      .toMap
+    m("u") shouldBe 1.0 +- 1e-9
+    m("v") shouldBe -1.0 +- 1e-9
+    math.abs(m("w")) should be < 0.5
+  }
+
+  test("gamesHowell: hand-computed pair for two groups") {
+    // a: [1,2,3] n=3 m=2 vr=1 ; b: [10,14] n=2 m=12 vr=8
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L),
+      ("b", 14L)).toDF("g", "v")
+    val r = StatsOps.gamesHowell(df, "v", "g").head()
+    r.getAs[String]("group_a") shouldBe "a"
+    r.getAs[String]("group_b") shouldBe "b"
+    r.getAs[Double]("mean_diff") shouldBe -10.0
+    // se2 = 1/3 + 8/2 = 13/3 ; q = 10/sqrt(13/6)
+    r.getAs[Double]("q_stat") shouldBe
+      10.0 / math.sqrt(13.0 / 6.0) +- 1e-6
+    // df = (13/3)^2 / ((1/3)^2/2 + 4^2/1)
+    r.getAs[Double]("df") shouldBe
+      math.pow(13.0 / 3.0, 2) / ((1.0 / 9.0) / 2.0 + 16.0) +- 1e-6
+  }
+
+  test("chiSquareResiduals: independence -> ~0, planted excess flags") {
+    // 2x2 with a strong diagonal: cell (a,x) overrepresented
+    val rows = Seq.fill(80)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(80)(("b", "y"))
+    val df = rows.toDF("g", "c")
+    val r = StatsOps.chiSquareResiduals(df, "g", "c").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // E = 50 everywhere; std_res(a,x) = 30/sqrt(50)
+    r(("a", "x")).getAs[Double]("e") shouldBe 50.0
+    r(("a", "x")).getAs[Double]("std_res") shouldBe
+      30.0 / math.sqrt(50.0) +- 1e-6
+    r(("a", "x")).getAs[Boolean]("flagged") shouldBe true
+    r(("a", "y")).getAs[Double]("std_res") should be < 0.0
+    // uniform table: residuals exactly 0, nothing flagged
+    val flat = (Seq.fill(25)(("a", "x")) ++ Seq.fill(25)(("a", "y")) ++
+      Seq.fill(25)(("b", "x")) ++ Seq.fill(25)(("b", "y"))).toDF("g", "c")
+    StatsOps.chiSquareResiduals(flat, "g", "c").collect().foreach { x =>
+      x.getAs[Double]("std_res") shouldBe 0.0
+      x.getAs[Boolean]("flagged") shouldBe false
+    }
+  }
+
+  test("smdBalance: shifted covariate unbalanced, same one balanced") {
+    val t0 = (1 to 60).map(i => ("t", (i % 20) + 30L, i % 7L))
+    val c0 = (1 to 60).map(i => ("c", (i % 20).toLong, i % 7L))
+    val df = (t0 ++ c0).toDF("g", "x", "z")
+    val m = StatsOps.smdBalance(df, "g", "t", "c", Seq("x", "z"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    m("x").getAs[Double]("smd") should be > 1.0
+    m("x").getAs[Boolean]("balanced") shouldBe false
+    m("z").getAs[Double]("smd") shouldBe 0.0 +- 1e-9
+    m("z").getAs[Boolean]("balanced") shouldBe true
+    m("x").getAs[Double]("mean_treated") shouldBe
+      m("x").getAs[Double]("mean_control") + 30.0 +- 1e-6
+  }
+
+  test("triangleCounts: K4 plus a pendant path") {
+    // K4 on 1..4 (4 triangles, 3 per vertex) + pendant edge 4-5
+    val k4 = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i.toLong, j.toLong)
+    val edges = (k4 :+ (4L, 5L)).toDF("src", "dst")
+    val r = graft.graphops.GraphOps.triangleCounts(edges).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    (1 to 3).foreach { v =>
+      r(v.toLong).getAs[Long]("triangles") shouldBe 3L
+      // d=3, T=3: clustering = 6/(3*2) = 1
+      r(v.toLong).getAs[Double]("clustering") shouldBe 1.0
+    }
+    r(4L).getAs[Long]("triangles") shouldBe 3L
+    r(4L).getAs[Double]("clustering") shouldBe 0.5 // d=4: 6/12
+    r(5L).getAs[Long]("triangles") shouldBe 0L
+    r(5L).getAs[Double]("clustering") shouldBe 0.0
+    // duplicate/reversed/self edges don't change the counts
+    val noisy = (k4 ++ k4.map(_.swap) :+ (4L, 5L) :+ (2L, 2L))
+      .toDF("src", "dst")
+    val r2 = graft.graphops.GraphOps.triangleCounts(noisy).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("triangles")).toMap
+    r2(1L) shouldBe 3L
+    r2(5L) shouldBe 0L
+  }
+
+  test("semMad: hand-computed group values") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L), ("b", 10L)).toDF("g", "v")
+    val m = StatsOps.semMad(df, "v", Seq("g")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    m("a").getAs[Long]("n") shouldBe 4L
+    m("a").getAs[Double]("mean") shouldBe 2.5
+    // std = sqrt(5/3), sem = std/2
+    m("a").getAs[Double]("sem") shouldBe
+      math.sqrt(5.0 / 3.0) / 2.0 +- 1e-6
+    m("a").getAs[Double]("mad") shouldBe 1.0
+    m("b").getAs[Double]("sem") shouldBe 0.0
+    m("b").getAs[Double]("mad") shouldBe 0.0
+  }
+}
