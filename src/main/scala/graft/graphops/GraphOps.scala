@@ -346,14 +346,18 @@ object GraphOps {
     * per-vertex counts come from one explode of the three corners.
     * Self-loops and duplicate/reverse edges are removed first. */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // und feeds the degree table twice and the orientation join once;
+    // deg feeds the orientation and the final per-vertex join — cache
+    // both or the upstream edge-normalization replays four times
     val und = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+      .distinct().cache()
     val deg = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
+      .cache()
     // orientation key: (degree, id) — total order, hub-safe
     val oriented = und
       .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
