@@ -591,4 +591,54 @@ object PipelineOps {
           levenshtein(col(lCol), col(rCol)) <= maxDist)
       .withColumn("edit_dist",
         levenshtein(col(lCol), col(rCol)).cast("long"))
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents") re-expressed Spark-first:
+    * candidate phrases are maximal stopword-free alphanumeric token
+    * runs; word score = deg(w)/freq(w) with deg(w) = Σ over phrases
+    * containing w of the phrase length; phrase score = Σ member word
+    * scores (with multiplicity). Returns the corpus top-N distinct
+    * phrases by (rounded score, count, phrase).
+    *
+    * Scale shape: phrase segmentation is a per-document window
+    * (running count of stopword breaks — partition key = document,
+    * never global); word statistics are vocabulary-bounded groupBys;
+    * the final top-N is a TakeOrdered. Rounding to 6 dp BEFORE the
+    * ordering makes the top-N engine-replayable. */
+  def rakeKeywords(df: DataFrame, textCol: String, idCol: String,
+      stopwords: Seq[String], topN: Int = 20,
+      minPhraseCount: Long = 1L): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => length(t) > 0)).as(Seq("pos", "tok")))
+      .withColumn("stop", col("tok").isin(stopwords: _*))
+    val wDoc = Window.partitionBy("doc").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrased = toks
+      .withColumn("pid", sum(when(col("stop"), 1).otherwise(0)).over(wDoc))
+      .filter(!col("stop"))
+    val phrases = phrased.groupBy("doc", "pid")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+      .cache() // feeds both the word stats and the scoring join
+    val words = phrased.select(col("doc"), col("pid"), col("tok"))
+      .join(phrases.select(col("doc"), col("pid"), col("plen")),
+        Seq("doc", "pid"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore",
+        col("deg").cast("double") / col("freq").cast("double"))
+    val scored = phrased.select(col("doc"), col("pid"), col("tok"))
+      .join(words.select(col("tok"), col("wscore")), Seq("tok"))
+      .groupBy("doc", "pid").agg(sum(col("wscore")).as("pscore"))
+      .join(phrases, Seq("doc", "pid"))
+    scored.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"),
+        round(first(col("pscore")), 6).as("score"))
+      .filter(col("n_occ") >= minPhraseCount)
+      .orderBy(col("score").desc, col("n_occ").desc, col("phrase"))
+      .limit(topN)
+  }
 }

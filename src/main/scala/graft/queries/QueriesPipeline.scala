@@ -12,6 +12,14 @@ import Q._
   * the portable 48-bit md5 primitive. */
 object QueriesPipeline {
 
+  /** Stopword list for the RAKE gate — shared literal so the oracle
+    * SQL below carries the identical set. */
+  val rakeStops: Seq[String] = Seq("the", "and", "of", "to", "a",
+    "in", "is", "it", "for", "on", "with", "as", "was", "at", "by",
+    "an", "be", "this", "that", "from", "or", "are", "but", "not")
+  private val rakeStopsSql: String =
+    rakeStops.map(s => s"'$s'").mkString(", ")
+
   /** DuckDB rendition of PipelineOps.hash48Unit over expression `e`
     * (must already be VARCHAR): first 12 md5 hex chars as a 48-bit
     * integer over 2^48 — double-exact arithmetic in both engines. */
@@ -440,6 +448,13 @@ object QueriesPipeline {
         .groupBy("event_type").agg(count(lit(1)).as("n_kept"))),
 
     // adjacent-bigram PMI collocations over the corpus
+    // RAKE keyword extraction: top-20 stopword-delimited phrases by
+    // deg/freq word scores, appearing >= 3 times
+    "q289_rake" -> ((s, d) =>
+      graft.llm.PipelineOps.rakeKeywords(
+        t(s, d, "documents"), "text", "doc_id",
+        QueriesPipeline.rakeStops, topN = 20, minPhraseCount = 3L)),
+
     "q232_pmi" -> ((s, d) =>
       graft.llm.PipelineOps.pmiCollocations(t(s, d, "documents"),
         "text", minCount = 50L)),
@@ -1348,6 +1363,49 @@ object QueriesPipeline {
         |  round(ln(CAST(count(*) AS DOUBLE)) /
         |    ln(CAST(sum(c) AS DOUBLE)), 6) AS heaps_beta
         |FROM tc GROUP BY 1""".stripMargin,
+
+    "q289_rake" ->
+      raw"""WITH raw0 AS (
+        |  SELECT doc_id AS doc,
+        |    string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+        |  FROM documents),
+        |t1 AS (
+        |  SELECT doc, unnest(ts) AS tok,
+        |    generate_subscripts(ts, 1) AS pos
+        |  FROM raw0),
+        |t2 AS (
+        |  SELECT doc, tok, pos, tok IN ($rakeStopsSql) AS stop
+        |  FROM t1 WHERE tok <> ''),
+        |t3 AS (
+        |  SELECT doc, tok, pos, stop,
+        |    sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY doc ORDER BY pos
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+        |  FROM t2),
+        |t4 AS (SELECT doc, tok, pos, pid FROM t3 WHERE NOT stop),
+        |phrases AS (
+        |  SELECT doc, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS plen
+        |  FROM t4 GROUP BY 1, 2),
+        |words AS (
+        |  SELECT t4.tok, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(p.plen) AS BIGINT) AS deg
+        |  FROM t4 JOIN phrases p USING (doc, pid) GROUP BY 1),
+        |w2 AS (
+        |  SELECT tok, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+        |    AS wscore
+        |  FROM words),
+        |ps AS (
+        |  SELECT t4.doc, t4.pid, sum(w2.wscore) AS pscore
+        |  FROM t4 JOIN w2 USING (tok) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT p.phrase, ps.pscore
+        |  FROM ps JOIN phrases p USING (doc, pid))
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+        |  round(any_value(pscore), 6) AS score
+        |FROM sc GROUP BY 1
+        |HAVING count(*) >= 3
+        |ORDER BY score DESC, n_occ DESC, phrase LIMIT 20""".stripMargin,
 
     "q232_pmi" ->
       raw"""WITH arr AS (

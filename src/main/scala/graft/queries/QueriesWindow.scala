@@ -56,6 +56,16 @@ object QueriesWindow {
 
     // §2.5a pandas rolling(20).corr + .cov between value cents and
     // user id, per event type (pairwise window statistics)
+    // statsmodels RollingOLS: trailing-20 slope/intercept/r² of
+    // value-cents on user_id per event type (q136's frame)
+    "q288_rolling_ols" -> ((s, d) =>
+      graft.window.RollingOps.rollingOls(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "user_id", "vc", n = 20, orderCols = Seq("ts", "event_id"),
+        partitionCols = Seq("event_type"))
+        .select("event_id", "event_type", "roll_slope",
+          "roll_intercept", "roll_r2")),
+
     "q136_rolling_corr" -> ((s, d) => {
       val base = t(s, d, "events")
         .withColumn("vc", cents(col("value")))
@@ -236,6 +246,44 @@ object QueriesWindow {
         |FROM e
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |  ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q288_rolling_ols" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, event_type,
+        |    CAST(count(CASE WHEN user_id IS NOT NULL AND vc IS NOT NULL
+        |      THEN 1 END) OVER w AS DOUBLE) AS n,
+        |    sum(CASE WHEN vc IS NOT NULL
+        |      THEN CAST(user_id AS DOUBLE) END) OVER w AS sx,
+        |    sum(CASE WHEN user_id IS NOT NULL
+        |      THEN CAST(vc AS DOUBLE) END) OVER w AS sy,
+        |    sum(CASE WHEN vc IS NOT NULL
+        |      THEN CAST(user_id AS DOUBLE) * user_id END) OVER w AS sxx,
+        |    sum(CASE WHEN user_id IS NOT NULL
+        |      THEN CAST(vc AS DOUBLE) * vc END) OVER w AS syy,
+        |    sum(CAST(user_id AS DOUBLE) * vc) OVER w AS sxy
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT event_id, event_type, n, sx, sy,
+        |    n * sxx - sx * sx AS varx, n * syy - sy * sy AS vary,
+        |    n * sxy - sx * sy AS covxy
+        |  FROM s),
+        |g AS (
+        |  SELECT event_id, event_type, n, sx, sy, varx, vary, covxy,
+        |    CASE WHEN varx <> 0 THEN covxy / varx END AS slope
+        |  FROM f)
+        |SELECT event_id, event_type,
+        |  CASE WHEN n >= 20 THEN round(slope, 6) END AS roll_slope,
+        |  CASE WHEN n >= 20 THEN round((sy - slope * sx) / n, 6) END
+        |    AS roll_intercept,
+        |  CASE WHEN n >= 20 AND varx <> 0 AND vary <> 0
+        |    THEN round(covxy * covxy / (varx * vary), 6) END AS roll_r2
+        |FROM g""".stripMargin,
 
     "q136_rolling_corr" ->
       """WITH e AS (

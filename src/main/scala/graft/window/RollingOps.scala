@@ -85,6 +85,38 @@ object RollingOps {
     rollingCorr(df, xCol, yCol, n, orderCols, partitionCols, minPeriods,
       outName, sampleCov = true, asCov = true)
 
+  /** statsmodels RollingOLS parity: per-row trailing-window simple
+    * regression y ~ x — slope, intercept, r² from the same five
+    * running sums as [[rollingCorr]] (pairwise-complete, null until
+    * minPeriods complete pairs, null slope/r² on zero-variance x).
+    * All sums share one WindowSpec so Catalyst plans a single Window
+    * operator — one partitioned sort, no extra shuffle. Feed
+    * integral columns (cents pattern) and every window sum is exact,
+    * so the finalized ratios replay identically in any engine. */
+  def rollingOls(df: DataFrame, xCol: String, yCol: String, n: Int,
+      orderCols: Seq[String], partitionCols: Seq[String] = Nil,
+      minPeriods: Int = -1): DataFrame = {
+    val mp = if (minPeriods >= 0) minPeriods else n
+    val w = frame(base(orderCols, partitionCols), n, center = false)
+    val bothOk = col(xCol).isNotNull && col(yCol).isNotNull
+    val xm = when(bothOk, col(xCol).cast("double"))
+    val ym = when(bothOk, col(yCol).cast("double"))
+    val cnt = count(xm).over(w).cast("double")
+    val sx = sum(xm).over(w); val sy = sum(ym).over(w)
+    val sxx = sum(xm * xm).over(w); val syy = sum(ym * ym).over(w)
+    val sxy = sum(xm * ym).over(w)
+    val varx = cnt * sxx - sx * sx
+    val vary = cnt * syy - sy * sy
+    val covxy = cnt * sxy - sx * sy
+    val slope = when(varx =!= 0, covxy / varx)
+    df.withColumn("roll_slope", when(cnt >= mp, round(slope, 6)))
+      .withColumn("roll_intercept",
+        when(cnt >= mp, round((sy - slope * sx) / cnt, 6)))
+      .withColumn("roll_r2",
+        when(cnt >= mp && varx =!= 0 && vary =!= 0,
+          round(covxy * covxy / (varx * vary), 6)))
+  }
+
   /** pandas rolling(n).skew(): unbiased sample skewness
     * G1 = n·√(n−1)/(n−2) · Σ(x−μ)³ / (Σ(x−μ)²)^1.5 over each rows
     * window (pandas nanskew formula). `valueCol` must be

@@ -1,0 +1,46 @@
+package graft
+
+import graft.llm.PipelineOps
+
+/** RAKE keyword extraction. */
+class RakeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("rakeKeywords: hand-computed deg/freq scores") {
+    // phrases: "deep learning" / "deep networks" (split at "of"):
+    // freq(deep)=2 learning=1 networks=1; deg(deep)=4 others=2;
+    // wscore deep=2 learning=2 networks=2 -> both phrases score 4
+    val df = Seq((1L, "deep learning of deep networks"))
+      .toDF("id", "text")
+    val r = PipelineOps.rakeKeywords(df, "text", "id",
+      Seq("of"), topN = 10, minPhraseCount = 1L).collect()
+    val m = r.map(x => x.getString(0) ->
+      (x.getLong(1), x.getAs[Double]("score"))).toMap
+    m.keySet shouldBe Set("deep learning", "deep networks")
+    m("deep learning") shouldBe ((1L, 4.0))
+    m("deep networks") shouldBe ((1L, 4.0))
+  }
+
+  test("rakeKeywords: multi-word phrases beat single stop-adjacent words") {
+    val docs = Seq(
+      (1L, "linear regression, and linear regression again"),
+      (2L, "the linear regression model"),
+      (3L, "a simple model")).toDF("id", "text")
+    val r = PipelineOps.rakeKeywords(docs, "text", "id",
+      Seq("the", "and", "a", "again"), topN = 5, minPhraseCount = 2L)
+      .collect()
+    // doc1 contributes "linear regression" twice (", and" is one
+    // break run); doc2's longer "linear regression model" and doc3's
+    // "simple model" are singletons, filtered by minPhraseCount=2
+    r.map(_.getString(0)).toSeq shouldBe Seq("linear regression")
+    r.head.getLong(1) shouldBe 2L
+  }
+
+  test("rakeKeywords: stopword-only and empty docs yield nothing") {
+    val df = Seq((1L, "the and of"), (2L, ""), (3L, "   "))
+      .toDF("id", "text")
+    PipelineOps.rakeKeywords(df, "text", "id",
+      Seq("the", "and", "of"), topN = 5, minPhraseCount = 1L)
+      .count() shouldBe 0L
+  }
+}

@@ -321,4 +321,25 @@ class RollingEwmSpec extends SparkSpecBase {
       r.getDouble(0) shouldBe brute(vals.take(i + 1), 0.5) +- 1e-12
     }
   }
+
+  test("rollingOls recovers an exact line and gates minPeriods") {
+    import spark.implicits._
+    // y = 3x + 7 exactly: slope/intercept exact, r2 = 1 in-window
+    val df = (1 to 30).map(i => (i, i.toLong % 11, 3 * (i.toLong % 11) + 7))
+      .toDF("ord", "x", "y")
+    val r = RollingOps.rollingOls(df, "x", "y", n = 5, Seq("ord"))
+      .orderBy("ord").collect()
+    (0 until 4).foreach(i => r(i).isNullAt(3) shouldBe true)
+    (4 until 30).foreach { i =>
+      r(i).getAs[Double]("roll_slope") shouldBe 3.0
+      r(i).getAs[Double]("roll_intercept") shouldBe 7.0
+      r(i).getAs[Double]("roll_r2") shouldBe 1.0
+    }
+    // constant x inside the window -> null slope/r2
+    val flat = (1 to 6).map(i => (i, 4L, i.toLong)).toDF("ord", "x", "y")
+    val fr = RollingOps.rollingOls(flat, "x", "y", n = 5, Seq("ord"))
+      .orderBy("ord").collect()
+    fr(5).isNullAt(3) shouldBe true
+    fr(5).isNullAt(5) shouldBe true
+  }
 }
