@@ -877,4 +877,27 @@ object PandasOps {
         coalesce(bool_and(col("__p").isNull || col("__v") < col("__p")),
           lit(true)).as("strict_decreasing"))
   }
+
+  /** pandas groupby().expanding().nunique(): running count of
+    * DISTINCT non-null values per key in event order. The first
+    * occurrence of each (key, value) contributes 1 (row_number over
+    * the (key, value) partition), then a running sum in event order.
+    * Two window partitionings — (key, value) then (key) — so two
+    * keyed shuffles; both scale with the key cardinality, nothing
+    * global. Nulls never count and carry the running value through
+    * (pandas nunique semantics). */
+  def expandingNunique(df: DataFrame, valueCol: String,
+      orderCols: Seq[String], keyCols: Seq[String],
+      outName: String = "expanding_nunique"): DataFrame = {
+    val wf = Window.partitionBy((keyCols :+ valueCol).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wr = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__first__",
+        when(col(valueCol).isNotNull &&
+          row_number().over(wf) === 1, 1).otherwise(0))
+      .withColumn(outName, sum(col("__first__")).over(wr).cast("long"))
+      .drop("__first__")
+  }
 }

@@ -35,6 +35,19 @@ object QueriesExt {
         outName = "ewm_var")
         .select(col("event_id"), col("user_id"), col("ewm_var"))),
 
+    // §2.5a EWM covariance + correlation (pandas ewm().cov/.corr):
+    // the pairwise fold with seven accumulators, verified against a
+    // recursive-CTE oracle. No rounding (q57 note).
+    "q290_ewm_cov" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .select("event_id", "event_type", "value", "user_id")
+      val c1 = RollingOps.ewmCov(base, "value", "user_id",
+        "event_id", Seq("event_type"), alpha = 0.5)
+      RollingOps.ewmCorr(c1, "value", "user_id", "event_id",
+        Seq("event_type"), alpha = 0.5)
+        .select("event_id", "event_type", "ewm_cov", "ewm_corr")
+    }),
+
     // §2.13 DBSCAN on 1-D supplier balances (cents): the grid-cell
     // candidate join degenerates to exact pairs, so the whole chain
     // (degrees → cores → CC clusters → border attach) is oracle-able
@@ -787,6 +800,47 @@ object QueriesExt {
         |      (den * den) / (den * den - den2)
         |    ELSE NULL END AS ewm_var
         |FROM r""".stripMargin,
+
+    "q290_ewm_cov" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
+        |    CAST(user_id AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+        |      AS rn
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, event_id, rn,
+        |    CAST(1.0 AS DOUBLE) AS den, CAST(1.0 AS DOUBLE) AS den2,
+        |    x AS sx, y AS sy, x * y AS sxy, x * x AS sxx, y * y AS syy
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.event_id, b.rn,
+        |    (1.0 - 0.5) * r.den + 1.0,
+        |    (1.0 - 0.5) * (1.0 - 0.5) * r.den2 + 1.0,
+        |    (1.0 - 0.5) * r.sx + b.x,
+        |    (1.0 - 0.5) * r.sy + b.y,
+        |    (1.0 - 0.5) * r.sxy + b.x * b.y,
+        |    (1.0 - 0.5) * r.sxx + b.x * b.x,
+        |    (1.0 - 0.5) * r.syy + b.y * b.y
+        |  FROM base b JOIN r
+        |    ON b.event_type = r.event_type AND b.rn = r.rn + 1),
+        |f AS (
+        |  SELECT event_type, event_id,
+        |    sxy / den - (sx / den) * (sy / den) AS covb,
+        |    sxx / den - (sx / den) * (sx / den) AS varxb,
+        |    syy / den - (sy / den) * (sy / den) AS varyb,
+        |    den, den2
+        |  FROM r)
+        |SELECT e.event_id, e.event_type,
+        |  CASE WHEN f.den * f.den - f.den2 > 0.0
+        |    THEN f.covb * (f.den * f.den) / (f.den * f.den - f.den2)
+        |  END AS ewm_cov,
+        |  CASE WHEN f.varxb * f.varyb > 0.0
+        |    THEN f.covb / sqrt(f.varxb * f.varyb)
+        |  END AS ewm_corr
+        |FROM events e LEFT JOIN f
+        |  ON e.event_type = f.event_type AND e.event_id = f.event_id""".stripMargin,
 
     "q67_factorize" ->
       """SELECT event_type,

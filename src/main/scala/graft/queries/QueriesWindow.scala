@@ -56,6 +56,14 @@ object QueriesWindow {
 
     // §2.5a pandas rolling(20).corr + .cov between value cents and
     // user id, per event type (pairwise window statistics)
+    // pandas expanding().nunique(): distinct event types seen so far
+    // per user (first-occurrence flag + running sum)
+    "q291_expanding_nunique" -> ((s, d) =>
+      graft.ops.PandasOps.expandingNunique(
+        t(s, d, "events"), "event_type", Seq("event_id"),
+        Seq("user_id"))
+        .select("event_id", "user_id", "expanding_nunique")),
+
     // statsmodels RollingOLS: trailing-20 slope/intercept/r² of
     // value-cents on user_id per event type (q136's frame)
     "q288_rolling_ols" -> ((s, d) =>
@@ -246,6 +254,20 @@ object QueriesWindow {
         |FROM e
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |  ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q291_expanding_nunique" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_type IS NOT NULL AND
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY event_id) = 1
+        |      THEN 1 ELSE 0 END AS fst
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(fst) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS expanding_nunique
+        |FROM f""".stripMargin,
 
     "q288_rolling_ols" ->
       """WITH e AS (

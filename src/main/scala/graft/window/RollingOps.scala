@@ -420,6 +420,74 @@ object RollingOps {
     df.join(exploded, partitionCols :+ orderCol, "left")
   }
 
+  /** Exponentially-weighted moving covariance / correlation between
+    * two columns (pandas ewm().cov()/.corr() parity — the pairwise
+    * extension of [[ewmVar]], reference src/series/window.rs stops at
+    * single-series EWM). Same sorted-fold shape with seven
+    * accumulators (Σw, Σw², Σwx, Σwy, Σwxy, Σwx², Σwy²), pairwise-
+    * complete: rows where either column is null are skipped and emit
+    * null. cov applies the den²/(den²−den2) debias unless `bias`;
+    * corr is the biased ratio cov_b/√(varx_b·vary_b) — the debias
+    * factors cancel, matching pandas. */
+  def ewmCov(df: DataFrame, xCol: String, yCol: String,
+      orderCol: String, partitionCols: Seq[String], alpha: Double,
+      bias: Boolean = false, corr: Boolean = false,
+      outName: String = "ewm_cov"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val grouped = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y")))).as("__pts__"))
+    val a = alpha
+    val nD = s"((1.0d - $a) * acc.den + 1.0d)"
+    val nD2 = s"((1.0d - $a) * (1.0d - $a) * acc.den2 + 1.0d)"
+    val nSx = s"((1.0d - $a) * acc.sx + p.x)"
+    val nSy = s"((1.0d - $a) * acc.sy + p.y)"
+    val nSxy = s"((1.0d - $a) * acc.sxy + p.x * p.y)"
+    val nSxx = s"((1.0d - $a) * acc.sxx + p.x * p.x)"
+    val nSyy = s"((1.0d - $a) * acc.syy + p.y * p.y)"
+    val covB = s"($nSxy / $nD - ($nSx / $nD) * ($nSy / $nD))"
+    val varxB = s"($nSxx / $nD - ($nSx / $nD) * ($nSx / $nD))"
+    val varyB = s"($nSyy / $nD - ($nSy / $nD) * ($nSy / $nD))"
+    val eExpr =
+      if (corr)
+        s"""CASE WHEN $varxB * $varyB > 0.0d
+           |  THEN $covB / sqrt($varxB * $varyB)
+           |  ELSE CAST(null AS DOUBLE) END""".stripMargin
+      else if (bias) covB
+      else
+        s"""CASE WHEN $nD * $nD - $nD2 > 0.0d
+           |  THEN $covB * ($nD * $nD) / ($nD * $nD - $nD2)
+           |  ELSE CAST(null AS DOUBLE) END""".stripMargin
+    val fold = expr(
+      s"""transform(
+         |  aggregate(__pts__,
+         |    struct(cast(array() as array<struct<o: ${df.schema(orderCol).dataType.sql}, e: double>>) as outp,
+         |           cast(0.0 as double) as den, cast(0.0 as double) as den2,
+         |           cast(0.0 as double) as sx, cast(0.0 as double) as sy,
+         |           cast(0.0 as double) as sxy, cast(0.0 as double) as sxx,
+         |           cast(0.0 as double) as syy),
+         |    (acc, p) -> struct(
+         |      acc.outp || array(struct(p.o as o, $eExpr as e)),
+         |      $nD, $nD2, $nSx, $nSy, $nSxy, $nSxx, $nSyy)).outp,
+         |  x -> x)""".stripMargin)
+    val exploded = grouped.withColumn("__ewm__", explode(fold))
+      .select(partitionCols.map(col) :+
+        col("__ewm__.o").as(orderCol) :+
+        col("__ewm__.e").as(outName): _*)
+    df.join(exploded, partitionCols :+ orderCol, "left")
+  }
+
+  /** pandas ewm().corr() — [[ewmCov]] with the biased-ratio
+    * correlation output. */
+  def ewmCorr(df: DataFrame, xCol: String, yCol: String,
+      orderCol: String, partitionCols: Seq[String], alpha: Double,
+      outName: String = "ewm_corr"): DataFrame =
+    ewmCov(df, xCol, yCol, orderCol, partitionCols, alpha,
+      corr = true, outName = outName)
+
   /** EWM standard deviation: sqrt of [[ewmVar]] (clamped at 0 so a
     * −1 ulp variance cannot produce NaN; nulls stay null — greatest()
     * alone would silently turn them into 0). */

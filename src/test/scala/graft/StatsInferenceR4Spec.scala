@@ -197,6 +197,40 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     r2(5L) shouldBe 0L
   }
 
+  test("ewmCov(x,x) == ewmVar; ewmCorr of a linear map is 1") {
+    import graft.window.RollingOps
+    val df = Seq((1, 3.0), (2, 7.0), (3, 2.0), (4, 9.0), (5, 4.0))
+      .map { case (i, v) => ("k", i, v, 2.0 * v + 3.0) }
+      .toDF("k", "ord", "x", "y")
+    val v = RollingOps.ewmVar(df, "x", "ord", Seq("k"), alpha = 0.3)
+      .orderBy("ord").select("ewm_var").collect()
+    val c = RollingOps.ewmCov(df, "x", "x", "ord", Seq("k"),
+        alpha = 0.3).orderBy("ord").select("ewm_cov").collect()
+    v.zip(c).foreach { case (a, b) =>
+      if (a.isNullAt(0)) b.isNullAt(0) shouldBe true
+      else b.getDouble(0) shouldBe a.getDouble(0) +- 1e-12
+    }
+    val r = RollingOps.ewmCorr(df, "x", "y", "ord", Seq("k"),
+        alpha = 0.3).orderBy("ord").select("ewm_corr").collect()
+    r.head.isNullAt(0) shouldBe true // single point: zero variance
+    r.tail.foreach(_.getDouble(0) shouldBe 1.0 +- 1e-12)
+    // anti-correlated map -> -1
+    val neg = RollingOps.ewmCorr(
+      df.withColumn("y", -col("x")), "x", "y", "ord", Seq("k"),
+      alpha = 0.3).orderBy("ord").select("ewm_corr").collect()
+    neg.tail.foreach(_.getDouble(0) shouldBe -1.0 +- 1e-12)
+  }
+
+  test("expandingNunique counts first occurrences, skips nulls") {
+    val df = Seq((1, "a"), (2, "b"), (3, "a"), (4, null), (5, "c"),
+      (6, "b")).map { case (i, v) => ("u", i, v) }
+      .toDF("k", "ord", "v")
+    val r = graft.ops.PandasOps.expandingNunique(df, "v", Seq("ord"),
+      Seq("k")).orderBy("ord").select("expanding_nunique").collect()
+      .map(_.getLong(0)).toSeq
+    r shouldBe Seq(1L, 2L, 2L, 2L, 3L, 3L)
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
