@@ -175,6 +175,44 @@ object MlOps {
       col("prediction"): _*)
   }
 
+  /** Generalized linear model via MLlib GeneralizedLinearRegression
+    * (Poisson/gamma/binomial/gaussian families — the statsmodels GLM
+    * surface the reference's linear-model stack lacks). Distributed
+    * IRLS: each iteration is one aggregate of the weighted normal
+    * equations over the cluster. Returns the input plus `prediction`
+    * (mean response scale); coefficients via [[glmSummary]]. */
+  def glmMl(df: DataFrame, features: Seq[String], label: String,
+      family: String = "poisson", link: String = "log",
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.ml.regression.GeneralizedLinearRegression
+    val assembled = assemble(df, features)
+    val m = new GeneralizedLinearRegression().setLabelCol(label)
+      .setFeaturesCol("features").setFamily(family).setLink(link)
+      .setMaxIter(maxIter).fit(assembled)
+    m.transform(assembled).drop("features")
+  }
+
+  /** One row per GLM term: coefficient, standard error, Wald z and
+    * p-value (driver-side finalization of the tiny fitted summary —
+    * the established MLlib-summary pattern). */
+  def glmSummary(df: DataFrame, features: Seq[String], label: String,
+      family: String = "poisson", link: String = "log",
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.ml.regression.GeneralizedLinearRegression
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assembled = assemble(df, features)
+    val m = new GeneralizedLinearRegression().setLabelCol(label)
+      .setFeaturesCol("features").setFamily(family).setLink(link)
+      .setMaxIter(maxIter).fit(assembled)
+    val s = m.summary
+    val terms = features :+ "intercept"
+    val coefs = m.coefficients.toArray :+ m.intercept
+    terms.zip(coefs).zipWithIndex.map { case ((t, c), i) =>
+      (t, c, s.coefficientStandardErrors(i), s.tValues(i), s.pValues(i))
+    }.toDF("term", "coef", "std_err", "z_value", "p_value")
+  }
+
   /** DecisionTree classifier/regressor (models/tree.rs:185,669) via
     * MLlib — distributed histogram-based splits, deterministic given
     * the seed. Returns the input plus a `prediction` column. */

@@ -1012,6 +1012,34 @@ object QueriesStats {
         "event_type", "purchase", "click", Seq("vc", "um"))
         .orderBy("covariate")),
 
+    // §2.13 GLM Poisson regression (MLlib IRLS — rows-only gate,
+    // coefficient recovery spec'd on a synthetic log-linear process)
+    "q292_glm_poisson" -> ((s, d) =>
+      graft.ml.MlOps.glmSummary(
+        t(s, d, "lineitem").select(
+          dbl(col("l_quantity")).as("qty"),
+          dbl(col("l_discount")).as("x1"),
+          (dbl(col("l_extendedprice")) / 100000.0).as("x2")),
+        Seq("x1", "x2"), "qty", family = "poisson", link = "log")),
+
+    // §2.12 ANOVA effect sizes η²/ω² over the q78 design
+    "q293_anova_effect" -> ((s, d) =>
+      StatsOps.anovaEffectSizes(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type")),
+
+    // Bayesian A/B on purchase conversion, arms = user parity
+    // (Beta(1,1) posteriors, normal-approx P(B>A))
+    "q294_bayes_ab" -> ((s, d) =>
+      StatsOps.bayesAb(
+        t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .select(
+            when(pmod(col("user_id"), lit(2)) === 0, "a")
+              .otherwise("b").as("arm"),
+            (col("event_type") === "purchase").as("succ")),
+        "arm", "a", "b", "succ")),
+
     // §2.14 triangle counts + local clustering on the parts-
     // co-ordered-together graph (degree-ordered orientation — the
     // hub-safe O(m^1.5) join shape)
@@ -3550,6 +3578,70 @@ object QueriesStats {
         |  round((mt - mc) / sqrt((vt + vcv) / 2), 6) AS smd,
         |  abs((mt - mc) / sqrt((vt + vcv) / 2)) < 0.1 AS balanced
         |FROM calc ORDER BY covariate""".stripMargin,
+
+    "q293_anova_effect" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(vc) AS DOUBLE) AS s1,
+        |    CAST(sum(vc * vc) AS DOUBLE) AS s2
+        |  FROM p GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k, sum(n) AS nn,
+        |    sum(s1) AS ts1, sum(s2) AS ts2,
+        |    sum(s1 * s1 / n) AS sgm
+        |  FROM g),
+        |b AS (
+        |  SELECT k, nn, sgm - ts1 * ts1 / nn AS ssb,
+        |    ts2 - ts1 * ts1 / nn AS sst, ts2 - sgm AS ssw
+        |  FROM a)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |  round(ssb / sst, 6) AS eta2,
+        |  round((ssb - (k - 1) * (ssw / (nn - k))) /
+        |    (sst + ssw / (nn - k)), 6) AS omega2
+        |FROM b""".stripMargin,
+
+    "q294_bayes_ab" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("z")
+      s"""WITH p AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+        |    event_type = 'purchase' AS succ
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'a' AND succ THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS na,
+        |    CAST(sum(CASE WHEN arm <> 'a' AND succ THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN arm <> 'a' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS nb
+        |  FROM p),
+        |c AS (
+        |  SELECT sa, na, sb, nb,
+        |    (1.0 + sa) / ((1.0 + sa) + (1.0 + (na - sa))) AS ma,
+        |    (1.0 + sa) * (1.0 + (na - sa)) /
+        |      (((1.0 + sa) + (1.0 + (na - sa))) *
+        |       ((1.0 + sa) + (1.0 + (na - sa))) *
+        |       ((1.0 + sa) + (1.0 + (na - sa)) + 1)) AS va,
+        |    (1.0 + sb) / ((1.0 + sb) + (1.0 + (nb - sb))) AS mb,
+        |    (1.0 + sb) * (1.0 + (nb - sb)) /
+        |      (((1.0 + sb) + (1.0 + (nb - sb))) *
+        |       ((1.0 + sb) + (1.0 + (nb - sb))) *
+        |       ((1.0 + sb) + (1.0 + (nb - sb)) + 1)) AS vb
+        |  FROM s),
+        |zt AS (SELECT *, (mb - ma) / sqrt(va + vb) AS z FROM c)
+        |SELECT CAST(sa AS BIGINT) AS conv_a, CAST(na AS BIGINT) AS n_a,
+        |  CAST(sb AS BIGINT) AS conv_b, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma, 6) AS post_mean_a, round(mb, 6) AS post_mean_b,
+        |  round(mb - ma, 6) AS abs_lift,
+        |  round($phi, 6) AS prob_b_beats_a
+        |FROM zt""".stripMargin
+    },
 
     "q287_triangles" ->
       """WITH e AS (

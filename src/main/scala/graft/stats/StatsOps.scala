@@ -342,6 +342,70 @@ object StatsOps {
         col("df_between").cast("double"), col("df_within").cast("double")))
   }
 
+  /** ANOVA effect sizes from the same sufficient sums as
+    * [[anovaOneWay]]: η² = SSB/SST (variance explained) and the
+    * less-biased ω² = (SSB − (k−1)·MSW)/(SST + MSW). One hash
+    * aggregate; integral inputs keep the sums exact. */
+  def anovaEffectSizes(df0: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val df = df0.filter(col(valueCol).isNotNull &&
+      col(groupCol).isNotNull)
+    val g = df.groupBy(groupCol)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col(valueCol)).cast("double").as("s1"),
+        sum(col(valueCol) * col(valueCol)).cast("double").as("s2"))
+    g.agg(count(lit(1)).cast("double").as("k"), sum(col("n")).as("nn"),
+        sum(col("s1")).as("ts1"), sum(col("s2")).as("ts2"),
+        sum(col("s1") * col("s1") / col("n")).as("sgm"))
+      .select(col("k"), col("nn"),
+        (col("sgm") - col("ts1") * col("ts1") / col("nn")).as("ssb"),
+        (col("ts2") - col("ts1") * col("ts1") / col("nn")).as("sst"),
+        (col("ts2") - col("sgm")).as("ssw"))
+      .select(col("k").cast("long").as("k"),
+        col("nn").cast("long").as("n"),
+        round(col("ssb") / col("sst"), 6).as("eta2"),
+        round((col("ssb") - (col("k") - 1) *
+            (col("ssw") / (col("nn") - col("k")))) /
+          (col("sst") + col("ssw") / (col("nn") - col("k"))), 6)
+          .as("omega2"))
+  }
+
+  /** Beta-binomial Bayesian A/B test on conversion rates: posterior
+    * Beta(α₀+s, β₀+n−s) per arm, posterior means, and P(B > A)
+    * under the normal approximation of the posterior difference —
+    * closed-form and engine-replayable (exact P(B>A) needs the
+    * hypergeometric sum; the normal approx is standard at n ≫ 10).
+    * ONE conditional-count aggregate over the data. */
+  def bayesAb(df0: DataFrame, armCol: String, armA: String,
+      armB: String, successCol: String, alpha0: Double = 1.0,
+      beta0: Double = 1.0): DataFrame = {
+    val df = df0.filter(col(armCol).isin(armA, armB) &&
+      col(successCol).isNotNull)
+    val isA = col(armCol).cast("string") === armA
+    val succ = col(successCol).cast("boolean")
+    val s = df.agg(
+      sum(when(isA && succ, 1L).otherwise(0L)).cast("double").as("sa"),
+      sum(when(isA, 1L).otherwise(0L)).cast("double").as("na"),
+      sum(when(!isA && succ, 1L).otherwise(0L)).cast("double").as("sb"),
+      sum(when(!isA, 1L).otherwise(0L)).cast("double").as("nb"))
+    def post(sc: Column, n: Column) = {
+      val a = lit(alpha0) + sc
+      val b = lit(beta0) + (n - sc)
+      val m = a / (a + b)
+      val v = a * b / ((a + b) * (a + b) * (a + b + 1))
+      (m, v)
+    }
+    val (ma, va) = post(col("sa"), col("na"))
+    val (mb, vb) = post(col("sb"), col("nb"))
+    val z = (mb - ma) / sqrt(va + vb)
+    s.select(
+      col("sa").cast("long").as("conv_a"), col("na").cast("long").as("n_a"),
+      col("sb").cast("long").as("conv_b"), col("nb").cast("long").as("n_b"),
+      round(ma, 6).as("post_mean_a"), round(mb, 6).as("post_mean_b"),
+      round(mb - ma, 6).as("abs_lift"),
+      round(Distributions.normalCdfCol(z), 6).as("prob_b_beats_a"))
+  }
+
   /** Tukey HSD post-hoc after one-way ANOVA: for every group pair
     * the mean difference and the studentized-range statistic
     * q = |mᵢ − mⱼ| / √(MSW/2 · (1/nᵢ + 1/nⱼ)), with MSW from the same

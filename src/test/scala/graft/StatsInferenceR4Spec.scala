@@ -231,6 +231,46 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     r shouldBe Seq(1L, 2L, 2L, 2L, 3L, 3L)
   }
 
+  test("glmSummary recovers a log-linear Poisson process") {
+    val df = (0 until 200).map { i =>
+      val x = (i % 40) / 10.0
+      (x, math.round(math.exp(0.4 + 0.7 * x)).toDouble)
+    }.toDF("x1", "y")
+    val coefs = graft.ml.MlOps.glmSummary(df, Seq("x1"), "y",
+      family = "poisson", link = "log").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    coefs("x1") shouldBe 0.7 +- 0.1
+    coefs("intercept") shouldBe 0.4 +- 0.2
+  }
+
+  test("anovaEffectSizes: clean separation -> 1, no separation -> <= 0") {
+    val clean = Seq(("a", 0L), ("a", 0L), ("b", 2L), ("b", 2L))
+      .toDF("g", "v")
+    val r = StatsOps.anovaEffectSizes(clean, "v", "g").head()
+    r.getAs[Double]("eta2") shouldBe 1.0
+    r.getAs[Double]("omega2") shouldBe 1.0
+    val flat = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L))
+      .toDF("g", "v")
+    val r2 = StatsOps.anovaEffectSizes(flat, "v", "g").head()
+    r2.getAs[Double]("eta2") shouldBe 0.0
+    r2.getAs[Double]("omega2") should be <= 0.0
+  }
+
+  test("bayesAb: symmetric arms -> 0.5, planted winner -> ~1") {
+    val sym = (Seq.fill(50)(("a", true)) ++ Seq.fill(50)(("a", false)) ++
+      Seq.fill(50)(("b", true)) ++ Seq.fill(50)(("b", false)))
+      .toDF("arm", "succ")
+    val r = StatsOps.bayesAb(sym, "arm", "a", "b", "succ").head()
+    r.getAs[Double]("prob_b_beats_a") shouldBe 0.5
+    r.getAs[Long]("conv_a") shouldBe 50L
+    val skew = (Seq.fill(10)(("a", true)) ++ Seq.fill(90)(("a", false)) ++
+      Seq.fill(60)(("b", true)) ++ Seq.fill(40)(("b", false)))
+      .toDF("arm", "succ")
+    val r2 = StatsOps.bayesAb(skew, "arm", "a", "b", "succ").head()
+    r2.getAs[Double]("prob_b_beats_a") should be > 0.999
+    r2.getAs[Double]("abs_lift") shouldBe 0.49 +- 0.02
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
