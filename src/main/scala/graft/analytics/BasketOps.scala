@@ -71,4 +71,35 @@ object BasketOps {
         round(col("fab").cast("double") / col("fa") /
           (col("fb").cast("double") / lit(n)), 6).as("lift"))
   }
+
+  /** Sequential pattern mining (MLlib PrefixSpan — the ORDERED
+    * sibling of [[frequentItemsets]]): frequent subsequences of each
+    * key's item stream in `orderCol` order, support = number of
+    * sequences containing the pattern (not necessarily adjacently —
+    * the PrefixSpan semantics, vs q244's contiguous n-grams). With
+    * maxLen ≤ 2 the result is fully oracle-able: pattern <a,b> holds
+    * for a sequence iff ∃ positions i < j with s_i = a, s_j = b.
+    * Output: (pattern items joined by '>', freq), deterministic.
+    *
+    * Scale: sequence build is one keyed sort aggregate; PrefixSpan
+    * distributes by prefix projection (MLlib's parallel impl); with a
+    * bounded item vocabulary the pattern lattice is vocabulary-, not
+    * row-, bounded. */
+  def sequentialPatterns(df: DataFrame, keyCol: String,
+      orderCol: String, itemCol: String, minSupport: Double,
+      maxLen: Int = 2): DataFrame = {
+    import org.apache.spark.ml.fpm.PrefixSpan
+    val seqs = df.filter(col(keyCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(expr(s"transform(array_sort(collect_list(" +
+        s"struct($orderCol as o, $itemCol as i))), p -> array(p.i))")
+        .as("sequence"))
+    new PrefixSpan().setSequenceCol("sequence")
+      .setMinSupport(minSupport).setMaxPatternLength(maxLen)
+      .findFrequentSequentialPatterns(seqs)
+      .select(
+        array_join(expr("transform(sequence, s -> s[0])"), ">")
+          .as("pattern"),
+        col("freq"))
+  }
 }

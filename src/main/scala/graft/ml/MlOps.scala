@@ -192,6 +192,27 @@ object MlOps {
     m.transform(assembled).drop("features")
   }
 
+  /** Accelerated-failure-time survival regression (MLlib
+    * AFTSurvivalRegression — the parametric survival model completing
+    * the KM/Nelson-Aalen/log-rank family): log-duration ~ features
+    * with right-censoring. One row: per-feature coefficients,
+    * intercept, Weibull scale. Durations must be > 0 (filtered).
+    * Distributed L-BFGS over per-row log-likelihood gradients. */
+  def aftSurvival(df: DataFrame, features: Seq[String],
+      durationCol: String, censorCol: String): DataFrame = {
+    import org.apache.spark.ml.regression.AFTSurvivalRegression
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assembled = assemble(
+      df.filter(col(durationCol) > 0), features)
+    val m = new AFTSurvivalRegression().setLabelCol(durationCol)
+      .setCensorCol(censorCol).setFeaturesCol("features")
+      .fit(assembled)
+    val terms = features :+ "intercept" :+ "scale"
+    val vals = m.coefficients.toArray :+ m.intercept :+ m.scale
+    terms.zip(vals).toSeq.toDF("term", "value")
+  }
+
   /** One row per GLM term: coefficient, standard error, Wald z and
     * p-value (driver-side finalization of the tiny fitted summary —
     * the established MLlib-summary pattern). */

@@ -159,6 +159,26 @@ object QueriesAnalytics {
         t(s, d, "events"), "user_id", "event_type",
         minSupport = 0.4)),
 
+    // PrefixSpan sequential patterns (ordered, gap-tolerant) over
+    // user event streams — maxLen 2 keeps it fully oracle-able
+    "q295_seq_patterns" -> ((s, d) =>
+      graft.analytics.BasketOps.sequentialPatterns(
+        t(s, d, "events"), "user_id", "event_id", "event_type",
+        minSupport = 0.3, maxLen = 2)
+        .orderBy("pattern")),
+
+    // AFT survival regression on per-user spans (rows-only gate —
+    // L-BFGS internals; coefficient recovery spec'd)
+    "q296_aft" -> ((s, d) =>
+      graft.ml.MlOps.aftSurvival(
+        t(s, d, "events").groupBy("user_id").agg(
+          (datediff(max(col("ts")), min(col("ts"))) + 1).cast("double")
+            .as("dur"),
+          max(when(col("event_type") === "purchase", 1.0)
+            .otherwise(0.0)).as("ev"),
+          log(count(lit(1)).cast("double")).as("x1")),
+        Seq("x1"), "dur", "ev")),
+
     // single-item association rules (confidence + lift) from the
     // same baskets
     "q228_assoc_rules" -> ((s, d) =>
@@ -761,6 +781,28 @@ object QueriesAnalytics {
         |  / count(*), 6) AS pinball
         |FROM c CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS q) qs
         |GROUP BY 1""".stripMargin,
+
+    "q295_seq_patterns" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |nu AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM e),
+        |singles AS (
+        |  SELECT event_type AS pattern,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS freq
+        |  FROM e GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type || '>' || b.event_type AS pattern,
+        |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS freq
+        |  FROM e a JOIN e b
+        |    ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  GROUP BY 1),
+        |allp AS (
+        |  SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+        |SELECT pattern, freq FROM allp, nu
+        |WHERE freq >= ceil(0.3 * n)
+        |ORDER BY pattern""".stripMargin,
 
     "q227_freq_itemsets" ->
       """WITH types AS (

@@ -271,6 +271,37 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     r2.getAs[Double]("abs_lift") shouldBe 0.49 +- 0.02
   }
 
+  test("sequentialPatterns finds ordered, gap-tolerant pairs") {
+    // u1: a b c ; u2: a c b ; u3: b a c
+    val df = Seq(("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "c"),
+      ("u2", 1, "a"), ("u2", 2, "c"), ("u2", 3, "b"),
+      ("u3", 1, "b"), ("u3", 2, "a"), ("u3", 3, "c"))
+      .toDF("u", "o", "i")
+    val m = graft.analytics.BasketOps.sequentialPatterns(
+      df, "u", "o", "i", minSupport = 0.6, maxLen = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a..c (gap-tolerant) in all three; a..b in u1 AND u2 (a at 1,
+    // b at 3 — gap-tolerant); b..c in u1+u3; c..a nowhere
+    m("a>c") shouldBe 3L
+    m("b>c") shouldBe 2L
+    m("a>b") shouldBe 2L
+    m.get("c>a") shouldBe None
+    m("a") shouldBe 3L
+  }
+
+  test("aftSurvival recovers a log-linear duration model") {
+    // dur = exp(1 + 0.5x) * mild deterministic noise, uncensored
+    val df = (0 until 300).map { i =>
+      val x = (i % 30) / 10.0
+      val noise = math.exp(0.05 * math.sin(i * 1.7))
+      (x, math.exp(1.0 + 0.5 * x) * noise, 1.0)
+    }.toDF("x1", "dur", "ev")
+    val m = graft.ml.MlOps.aftSurvival(df, Seq("x1"), "dur", "ev")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    m("x1") shouldBe 0.5 +- 0.05
+    m("intercept") shouldBe 1.0 +- 0.1
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
