@@ -186,4 +186,27 @@ object CorpusOps {
         array_join(slice(col("__t__"), col("__i__") * step + 1,
           lit(chunkTokens)), " ").as("chunk"))
   }
+
+  /** Train word embeddings on the corpus (MLlib Word2Vec skip-gram
+    * with negative sampling — the on-cluster embedding-training leg
+    * of the pipeline; downstream ANN/semantic-dedup consume the
+    * vectors). Deterministic given the seed. Returns the word →
+    * vector table as (word, vector array<double>). At 100 TB the
+    * shape holds: training distributes by partition with periodic
+    * weight averaging (MLlib's implementation), vocabulary is
+    * frequency-pruned via minCount. */
+  def word2vec(docs: DataFrame, textCol: String, dim: Int = 16,
+      minCount: Int = 5, seed: Long = 42L,
+      maxIter: Int = 1): DataFrame = {
+    import org.apache.spark.ml.feature.Word2Vec
+    val toks = docs.select(
+      TextFunctions.tokens(lower(col(textCol))).as("tokens"))
+    val m = new Word2Vec().setInputCol("tokens").setOutputCol("vec")
+      .setVectorSize(dim).setMinCount(minCount).setSeed(seed)
+      .setMaxIter(maxIter)
+      .fit(toks)
+    m.getVectors.select(col("word"),
+      org.apache.spark.ml.functions.vector_to_array(col("vector"))
+        .as("vector"))
+  }
 }

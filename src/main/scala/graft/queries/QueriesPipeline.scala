@@ -448,6 +448,12 @@ object QueriesPipeline {
         .groupBy("event_type").agg(count(lit(1)).as("n_kept"))),
 
     // adjacent-bigram PMI collocations over the corpus
+    // on-cluster word-embedding training (MLlib Word2Vec skip-gram;
+    // rows-only — SGD internals; neighborhood-structure spec'd)
+    "q297_word2vec" -> ((s, d) =>
+      graft.llm.CorpusOps.word2vec(
+        t(s, d, "documents"), "text", dim = 8, minCount = 10)),
+
     // RAKE keyword extraction: top-20 stopword-delimited phrases by
     // deg/freq word scores, appearing >= 3 times
     "q289_rake" -> ((s, d) =>

@@ -36,6 +36,27 @@ class RakeSpec extends SparkSpecBase {
     r.head.getLong(1) shouldBe 2L
   }
 
+  test("word2vec places shared-context words closer than strangers") {
+    // pets share contexts; "engine" lives in disjoint contexts
+    val pets = Seq("cat", "dog").flatMap(w => (0 until 40).map(i =>
+      s"the fluffy $w sat on the warm mat near the door $i"))
+    val cars = (0 until 40).map(i =>
+      s"the diesel engine roared on the open highway at dawn $i")
+    val df = (pets ++ cars).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val vecs = graft.llm.CorpusOps.word2vec(df, "text", dim = 8,
+      minCount = 2, maxIter = 4).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    vecs.contains("cat") shouldBe true
+    cos(vecs("cat"), vecs("dog")) should be >
+      cos(vecs("cat"), vecs("engine"))
+  }
+
   test("rakeKeywords: stopword-only and empty docs yield nothing") {
     val df = Seq((1L, "the and of"), (2L, ""), (3L, "   "))
       .toDF("id", "text")
