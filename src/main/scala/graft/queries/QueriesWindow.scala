@@ -56,6 +56,16 @@ object QueriesWindow {
 
     // §2.5a pandas rolling(20).corr + .cov between value cents and
     // user id, per event type (pairwise window statistics)
+    // Hampel robust outlier filter: centered-7 window median ± 3
+    // scaled MADs per user series
+    "q298_hampel" -> ((s, d) =>
+      graft.window.RollingOps.hampel(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", n = 7, orderCols = Seq("event_id"),
+        partitionCols = Seq("user_id"), k = 3.0)
+        .select("event_id", "user_id", "hampel_outlier",
+          "hampel_filtered", "hampel_median", "hampel_mad")),
+
     // pandas expanding().nunique(): distinct event types seen so far
     // per user (first-occurrence flag + running sum)
     "q291_expanding_nunique" -> ((s, d) =>
@@ -254,6 +264,51 @@ object QueriesWindow {
         |FROM e
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |  ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q298_hampel" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v
+        |  FROM events),
+        |a AS (
+        |  SELECT event_id, user_id, v,
+        |    list_sort(list_filter(
+        |      list(v) OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+        |      x -> x IS NOT NULL)) AS arr
+        |  FROM e),
+        |m AS (
+        |  SELECT event_id, user_id, v, arr,
+        |    arr[CAST(floor((len(arr) - 1) * 0.5) AS INT) + 1] +
+        |      ((len(arr) - 1) * 0.5 -
+        |        CAST(CAST(floor((len(arr) - 1) * 0.5) AS INT) AS DOUBLE)) *
+        |      (arr[least(CAST(floor((len(arr) - 1) * 0.5) AS INT) + 2,
+        |          len(arr))] -
+        |       arr[CAST(floor((len(arr) - 1) * 0.5) AS INT) + 1]) AS med
+        |  FROM a),
+        |d AS (
+        |  SELECT event_id, user_id, v, med,
+        |    list_sort(list_transform(arr, x -> abs(x - med))) AS dar
+        |  FROM m),
+        |m2 AS (
+        |  SELECT event_id, user_id, v, med,
+        |    dar[CAST(floor((len(dar) - 1) * 0.5) AS INT) + 1] +
+        |      ((len(dar) - 1) * 0.5 -
+        |        CAST(CAST(floor((len(dar) - 1) * 0.5) AS INT) AS DOUBLE)) *
+        |      (dar[least(CAST(floor((len(dar) - 1) * 0.5) AS INT) + 2,
+        |          len(dar))] -
+        |       dar[CAST(floor((len(dar) - 1) * 0.5) AS INT) + 1]) AS mad
+        |  FROM d),
+        |f AS (
+        |  SELECT event_id, user_id, v, med, mad,
+        |    v IS NOT NULL AND abs(v - med) > 3.0 * 1.4826 * mad
+        |      AS hampel_outlier
+        |  FROM m2)
+        |SELECT event_id, user_id, hampel_outlier,
+        |  round(CASE WHEN hampel_outlier THEN med ELSE v END, 6)
+        |    AS hampel_filtered,
+        |  round(med, 6) AS hampel_median, round(mad, 6) AS hampel_mad
+        |FROM f""".stripMargin,
 
     "q291_expanding_nunique" ->
       """WITH f AS (

@@ -206,6 +206,45 @@ object RollingOps {
     rollingQuantile(df, valueCol, n, 0.5, orderCols, partitionCols,
       minPeriods, outName)
 
+  /** Hampel outlier filter: flag x_i when
+    * |x_i − med_i| > k·1.4826·MAD_i, with med_i / MAD_i the median
+    * and median-absolute-deviation of the CENTERED n-window (the
+    * robust despiking standard; 1.4826 makes MAD a σ estimate under
+    * normality). One collect_list window buffer per row (the same
+    * exact-quantile state [[rollingQuantile]] uses); the filtered
+    * column replaces flagged points with the window median. Nulls
+    * pass through unflagged. */
+  def hampel(df: DataFrame, valueCol: String, n: Int,
+      orderCols: Seq[String], partitionCols: Seq[String] = Nil,
+      k: Double = 3.0): DataFrame = {
+    val w = frame(base(orderCols, partitionCols), n, center = true)
+    val v = col(valueCol).cast("double")
+    def medOf(a: Column) = {
+      val c = size(a)
+      val h = (c - 1).cast("double") * lit(0.5)
+      val lo = floor(h).cast("int")
+      val vLo = element_at(a, lo + 1)
+      val vHi = element_at(a, least(lo + 2, c))
+      vLo + (h - lo.cast("double")) * (vHi - vLo)
+    }
+    // window results land in intermediate columns first: lambda
+    // bodies cannot nest window expressions, outer refs are fine
+    val med = col("__hmed__"); val mad = col("__hmad__")
+    val flag = v.isNotNull &&
+      abs(v - med) > lit(k) * lit(1.4826) * mad
+    df.withColumn("__harr__", array_sort(collect_list(v).over(w)))
+      .withColumn("__hmed__", medOf(col("__harr__")))
+      .withColumn("__hmad__",
+        medOf(array_sort(transform(col("__harr__"),
+          x => abs(x - col("__hmed__"))))))
+      .withColumn("hampel_outlier", flag)
+      .withColumn("hampel_filtered",
+        round(when(flag, med).otherwise(v), 6))
+      .withColumn("hampel_median", round(med, 6))
+      .withColumn("hampel_mad", round(mad, 6))
+      .drop("__harr__", "__hmed__", "__hmad__")
+  }
+
   /** expanding(minPeriods) (src/series/window.rs:359). */
   def expanding(df: DataFrame, valueCol: String, agg: Column => Column,
       orderCols: Seq[String], partitionCols: Seq[String] = Nil,

@@ -342,4 +342,22 @@ class RollingEwmSpec extends SparkSpecBase {
     fr(5).isNullAt(3) shouldBe true
     fr(5).isNullAt(5) shouldBe true
   }
+
+  test("hampel flags a planted spike and replaces it with the median") {
+    import spark.implicits._
+    // gentle sawtooth with one huge spike at ord=10
+    val df = (1 to 20).map(i =>
+      (i, if (i == 10) 1000L else 50L + (i % 3))).toDF("ord", "v")
+    val r = RollingOps.hampel(df, "v", n = 7, Seq("ord"))
+      .orderBy("ord").collect()
+    val byOrd = r.map(x => x.getInt(0) -> x).toMap
+    byOrd(10).getAs[Boolean]("hampel_outlier") shouldBe true
+    // replaced by the local median (~51)
+    byOrd(10).getAs[Double]("hampel_filtered") should be < 60.0
+    (1 to 20).filter(_ != 10).foreach { i =>
+      byOrd(i).getAs[Boolean]("hampel_outlier") shouldBe false
+      byOrd(i).getAs[Double]("hampel_filtered") shouldBe
+        (50.0 + (i % 3))
+    }
+  }
 }
