@@ -423,6 +423,35 @@ object QueriesStats {
 
     // §2.11 Mann–Kendall trend per event type over the hourly
     // resampled cents series
+    // Page–Hinkley sequential drift detection per event type
+    // (running-mean deviation cumsum minus its running minimum)
+    "q301_page_hinkley" -> ((s, d) =>
+      graft.timeseries.TimeSeriesOps.pageHinkley(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_id", delta = 0.0, lambda = 100000.0,
+        keyCols = Seq("event_type"))
+        .orderBy("event_type")),
+
+    // Newey–West HAC standard error of the hourly-total mean
+    // (Bartlett kernel, L = 4)
+    "q302_newey_west" -> ((s, d) =>
+      graft.timeseries.TimeSeriesOps.neweyWestMean(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+          .agg(sum(cents(col("value"))).cast("double").as("v")),
+        "v", "bucket", maxLag = 4)),
+
+    // §2.11 seasonal Mann–Kendall (Hirsch–Slack) on hourly totals,
+    // season = hour of day
+    "q299_seasonal_mk" -> ((s, d) => {
+      val h = t(s, d, "events").filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+        .withColumn("season", hour(col("b")))
+      graft.timeseries.TimeSeriesOps.seasonalMannKendall(
+        h, "b", "v", "season")
+    }),
+
     "q154_mann_kendall" -> ((s, d) => {
       val hourly = t(s, d, "events")
         .groupBy(col("event_type"),
@@ -535,6 +564,21 @@ object QueriesStats {
           date_trunc("hour", col("ts")).as("bucket"))
         .agg(sum(cents(col("value"))).cast("double").as("v"))
       TimeSeriesOps.decomposeAdditive(hourly, "bucket", "v", 24,
+          Seq("event_type"))
+        .select(col("event_type"), col("bucket"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("resid"), 6).as("resid"))
+    }),
+
+    // §2.11 classical MULTIPLICATIVE decomposition (ratio-to-MA,
+    // seasonal indices normalized to mean 1) of the same pipeline
+    "q300_decompose_mult" -> ((s, d) => {
+      val hourly = t(s, d, "events").filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+      TimeSeriesOps.decomposeMultiplicative(hourly, "bucket", "v", 24,
           Seq("event_type"))
         .select(col("event_type"), col("bucket"),
           round(col("trend"), 6).as("trend"),
@@ -2539,6 +2583,39 @@ object QueriesStats {
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
 
+    "q300_decompose_mult" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bucket, v,
+        |    row_number() OVER pk - 1 AS rn,
+        |    CASE WHEN count(v) OVER wa = 24 AND count(v) OVER wb = 24
+        |      THEN (avg(v) OVER wa + avg(v) OVER wb) / 2 END AS trend
+        |  FROM hourly
+        |  WINDOW
+        |    pk AS (PARTITION BY event_type ORDER BY bucket),
+        |    wa AS (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+        |    wb AS (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |ph AS (SELECT *, rn % 24 AS phase FROM w),
+        |raws AS (
+        |  SELECT event_type, phase, avg(v / trend) AS rs
+        |  FROM ph WHERE trend IS NOT NULL AND trend <> 0
+        |  GROUP BY 1, 2),
+        |ms AS (SELECT event_type, avg(rs) AS m FROM raws GROUP BY 1),
+        |seas AS (
+        |  SELECT r.event_type, r.phase, r.rs / ms.m AS seasonal
+        |  FROM raws r JOIN ms USING (event_type))
+        |SELECT p.event_type, p.bucket,
+        |  round(p.trend, 6) AS trend,
+        |  round(s.seasonal, 6) AS seasonal,
+        |  round(p.v / (p.trend * s.seasonal), 6) AS resid
+        |FROM ph p LEFT JOIN seas s
+        |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
     "q153_paired_ttest" ->
       """WITH ux AS (
         |  SELECT user_id,
@@ -2923,6 +3000,107 @@ object QueriesStats {
         |SELECT sl.event_type, round(slope, 9) AS slope,
         |  round(ic, 6) AS intercept
         |FROM sl JOIN res USING (event_type)""".stripMargin,
+
+    "q301_page_hinkley" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT event_type, event_id, v,
+        |    v - sum(v) OVER wc / count(*) OVER wc - 0.0 AS dev
+        |  FROM e
+        |  WINDOW wc AS (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mm AS (
+        |  SELECT event_type, event_id,
+        |    sum(dev) OVER wc AS m
+        |  FROM w
+        |  WINDOW wc AS (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ph AS (
+        |  SELECT event_type, event_id,
+        |    m - min(m) OVER wc AS ph
+        |  FROM mm
+        |  WINDOW wc AS (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, round(max(ph), 6) AS max_ph,
+        |  min(CASE WHEN ph > 100000.0 THEN event_id END) AS drift_at,
+        |  bool_or(ph > 100000.0) AS drift
+        |FROM ph GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q302_newey_west" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS bucket,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |mt AS (
+        |  SELECT avg(v) AS m, CAST(count(*) AS DOUBLE) AS n
+        |  FROM hourly),
+        |c AS (
+        |  SELECT v - m AS c, bucket FROM hourly, mt),
+        |l AS (
+        |  SELECT c,
+        |    lag(c, 1) OVER (ORDER BY bucket) AS c1,
+        |    lag(c, 2) OVER (ORDER BY bucket) AS c2,
+        |    lag(c, 3) OVER (ORDER BY bucket) AS c3,
+        |    lag(c, 4) OVER (ORDER BY bucket) AS c4
+        |  FROM c),
+        |g AS (
+        |  SELECT sum(c * c) AS g0, sum(c1 * c) AS g1,
+        |    sum(c2 * c) AS g2, sum(c3 * c) AS g3, sum(c4 * c) AS g4
+        |  FROM l),
+        |f AS (
+        |  SELECT m, n, g0,
+        |    g0 + 2.0 * (1.0 - 1.0 / 5) * g1 + 2.0 * (1.0 - 2.0 / 5) * g2
+        |      + 2.0 * (1.0 - 3.0 / 5) * g3 + 2.0 * (1.0 - 4.0 / 5) * g4
+        |      AS lrv
+        |  FROM g, mt)
+        |SELECT round(m, 6) AS mean, CAST(n AS BIGINT) AS n,
+        |  round(sqrt(g0 / n / n), 6) AS se_iid,
+        |  round(sqrt(lrv / n / n), 6) AS se_hac,
+        |  round(m / sqrt(lrv / n / n), 6) AS t_hac
+        |FROM f""".stripMargin,
+
+    "q299_seasonal_mk" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(z)")
+      s"""WITH h AS (
+         |  SELECT date_trunc('hour', ts) AS b,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         |      AS v,
+         |    hour(date_trunc('hour', ts)) AS season
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 3),
+         |st AS (
+         |  SELECT l.season,
+         |    sum(CASE WHEN r.v > l.v THEN 1
+         |      WHEN r.v < l.v THEN -1 ELSE 0 END) AS s
+         |  FROM h l JOIN h r ON l.season = r.season AND l.b < r.b
+         |  GROUP BY 1),
+         |nt AS (
+         |  SELECT season, CAST(count(*) AS DOUBLE) AS n
+         |  FROM h GROUP BY 1),
+         |tt AS (
+         |  SELECT season, sum(t * (t - 1) * (t * 2 + 5)) AS tsum
+         |  FROM (SELECT season, v, CAST(count(*) AS DOUBLE) AS t
+         |    FROM h GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |per AS (
+         |  SELECT CAST(st.s AS DOUBLE) AS s,
+         |    (n * (n - 1) * (n * 2 + 5) - tsum) / 18.0 AS vs
+         |  FROM st JOIN nt USING (season) JOIN tt USING (season)),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_seasons,
+         |    sum(s) AS ss, sum(vs) AS vv
+         |  FROM per),
+         |zz AS (
+         |  SELECT n_seasons, ss,
+         |    CASE WHEN ss > 0 THEN (ss - 1) / sqrt(vv)
+         |      WHEN ss < 0 THEN (ss + 1) / sqrt(vv) ELSE 0.0 END AS z
+         |  FROM tot)
+         |SELECT n_seasons, CAST(ss AS BIGINT) AS s_stat,
+         |  round(z, 6) AS z, round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM zz""".stripMargin
+    },
 
     "q154_mann_kendall" -> {
       val phi = graft.stats.Distributions.normalCdfSql("abs(z)")

@@ -164,6 +164,126 @@ object TimeSeriesOps {
         .as("p_value")): _*)
   }
 
+  /** Page–Hinkley drift detection (the streaming-drift test used by
+    * online-learning monitors; sequential sibling of
+    * [[cusumChangepoint]]): m_T = Σ_{t≤T}(x_t − x̄_t − δ) with x̄_t
+    * the RUNNING mean, PH_T = m_T − min_{t≤T} m_t; drift is flagged
+    * where PH exceeds λ. Everything is expanding-window arithmetic
+    * (per-key partitions at scale) — no iteration, no driver state.
+    * Returns per key: max PH, the first order value where PH > λ
+    * (null if never), and the flag. */
+  def pageHinkley(df: DataFrame, valueCol: String, orderCol: String,
+      delta: Double, lambda: Double,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valueCol).isNotNull)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val wcum = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val v = col(valueCol).cast("double")
+    val runMean = sum(v).over(wcum) / count(lit(1)).over(wcum)
+    val withPh = base
+      .withColumn("__dev__", v - runMean - lit(delta))
+      .withColumn("__m__", sum(col("__dev__")).over(wcum))
+      .withColumn("__ph__",
+        col("__m__") - min(col("__m__")).over(wcum))
+    withPh.groupBy(keyCols.map(col): _*)
+      .agg(round(max(col("__ph__")), 6).as("max_ph"),
+        min(when(col("__ph__") > lambda, col(orderCol)))
+          .as("drift_at"),
+        max(when(col("__ph__") > lambda, 1L).otherwise(0L))
+          .cast("boolean").as("drift"))
+  }
+
+  /** Newey–West HAC-robust standard error of the series mean
+    * (statsmodels cov_hac parity): Bartlett-kernel long-run variance
+    *   s²_NW = γ̂₀ + 2·Σ_{l≤L} (1 − l/(L+1))·γ̂_l,
+    * autocovariances γ̂_l = Σ(c_t·c_{t+l})/n over the mean-centered
+    * series. Reuses the [[acf]] bounded-lag join shape: L+1 keyed
+    * aggregates, no O(n²) work. Emits the plain and HAC standard
+    * errors plus the HAC t statistic of mean ≠ 0. */
+  def neweyWestMean(df: DataFrame, valueCol: String, orderCol: String,
+      maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val base = df.filter(col(valueCol).isNotNull)
+    val meanTab = base.agg(avg(col(valueCol)).as("__m__"),
+      count(lit(1)).cast("double").as("__n__"))
+    val w = Window.orderBy(col(orderCol))
+    val centered = base.crossJoin(broadcast(meanTab))
+      .withColumn("__c__", col(valueCol) - col("__m__"))
+      .withColumn("__rn__", row_number().over(w))
+      .select(col("__c__"), col("__rn__"), col("__m__"), col("__n__"))
+    val probes = centered
+      .withColumn("lag", explode(sequence(lit(0), lit(maxLag))))
+      .withColumn("__join_rn__", col("__rn__") + col("lag"))
+    val b = centered.select(col("__c__").as("__cb__"),
+      col("__rn__").as("__join_rn__"))
+    val gam = probes.join(b, "__join_rn__")
+      .groupBy(col("lag"))
+      .agg(sum(col("__c__") * col("__cb__")).as("__g__"),
+        first(col("__m__")).as("__m__"), first(col("__n__")).as("__n__"))
+      .withColumn("__wt__",
+        when(col("lag") === 0, lit(1.0))
+          .otherwise(lit(2.0) *
+            (lit(1.0) - col("lag").cast("double") / (maxLag + 1))))
+    gam.agg(first(col("__m__")).as("mean"),
+        first(col("__n__")).as("n"),
+        sum(col("__wt__") * col("__g__")).as("__lrv__"),
+        sum(when(col("lag") === 0, col("__g__"))).as("__g0__"))
+      .select(round(col("mean"), 6).as("mean"),
+        col("n").cast("long").as("n"),
+        round(sqrt(col("__g0__") / col("n") / col("n")), 6)
+          .as("se_iid"),
+        round(sqrt(col("__lrv__") / col("n") / col("n")), 6)
+          .as("se_hac"),
+        round(col("mean") /
+          sqrt(col("__lrv__") / col("n") / col("n")), 6).as("t_hac"))
+  }
+
+  /** Seasonal Mann–Kendall (Hirsch–Slack): the MK S and variance
+    * computed WITHIN each season (pairs compared only between
+    * same-season observations across cycles — a seasonal cycle can
+    * no longer masquerade as trend), then summed across seasons;
+    * z from the combined S with the ±1 continuity correction. The
+    * pair join is season-bounded, so fan-out is Σ n_s² over seasons
+    * — strictly less than the plain MK join. */
+  def seasonalMannKendall(df: DataFrame, tsCol: String,
+      valueCol: String, seasonCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(seasonCol).isNotNull)
+      .select(col(seasonCol).as("__sn__"), col(tsCol).as("__t__"),
+        col(valueCol).cast("double").as("__v__"))
+    val l = base.as("l"); val r = base.as("r")
+    val sTab = l.join(r, col("l.__sn__") === col("r.__sn__") &&
+        col("l.__t__") < col("r.__t__"))
+      .groupBy(col("l.__sn__").as("__sn__"))
+      .agg(sum(signum(col("r.__v__") - col("l.__v__"))).as("s"))
+    val nTab = base.groupBy(col("__sn__"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val tieTab = base.groupBy(col("__sn__"), col("__v__"))
+      .agg(count(lit(1)).cast("double").as("t"))
+      .groupBy(col("__sn__"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .as("tsum"))
+    val perSeason = sTab.join(nTab, "__sn__").join(tieTab, "__sn__")
+      .select(col("s"),
+        ((col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+          col("tsum")) / 18.0).as("vs"))
+    val tot = perSeason.agg(count(lit(1)).as("n_seasons"),
+      sum(col("s")).as("ss"), sum(col("vs")).as("vv"))
+    val z = when(col("ss") > 0, (col("ss") - 1) / sqrt(col("vv")))
+      .when(col("ss") < 0, (col("ss") + 1) / sqrt(col("vv")))
+      .otherwise(0.0)
+    tot.select(col("n_seasons"),
+      col("ss").cast("long").as("s_stat"),
+      round(z, 6).as("z"),
+      round(lit(2.0) * (lit(1.0) -
+        graft.stats.Distributions.normalCdfCol(abs(z))), 6)
+        .as("p_value"))
+  }
+
   /** Theil–Sen robust slope per key — the estimator that pairs with
     * [[mannKendall]]: median of all pairwise slopes
     * (x_j − x_i)/(t_j − t_i); intercept in the Conover form

@@ -111,4 +111,62 @@ object PropertiesR4Spec extends Properties("graft-r4") {
       out.count() == rows.size &&
         out.filter(col("v").isNull).count() == 0L
     }
+
+  property("triangleCounts matches brute force on random small graphs") =
+    forAll(Gen.chooseNum(3, 9), Gen.listOfN(24,
+      Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 8)))) { (nv, es0) =>
+      val es = es0.map { case (a, b) => (a.toLong % nv, b.toLong % nv) }
+        .filter { case (a, b) => a != b }
+      es.isEmpty || {
+        val und = es.map { case (a, b) => (a min b, a max b) }.toSet
+        def adj(x: Long, y: Long) = und.contains((x min y, x max y))
+        val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        val brute = verts.map { v =>
+          v -> verts.combinations(2).count { case Seq(a, b) =>
+            a != v && b != v && adj(v, a) && adj(v, b) && adj(a, b) }
+        }.toMap
+        val got = graft.graphops.GraphOps.triangleCounts(
+            es.toDF("src", "dst")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        verts.forall(v => got.getOrElse(v, 0L) == brute(v).toLong)
+      }
+    }
+
+  property("corrWith(df, df) on itself is 1 for non-constant columns") =
+    forAll(Gen.listOfN(25, Gen.zip(Gen.chooseNum(-50L, 50L),
+      Gen.chooseNum(-50L, 50L)))) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, a, b) }
+      val df = rows.toDF("k", "x", "y")
+      val distinctX = rows.map(_._2).distinct.size > 1
+      val distinctY = rows.map(_._3).distinct.size > 1
+      val m = StatsOps.corrWith(df, df, Seq("k"), Seq("x", "y"))
+        .collect().map(r => r.getString(0) ->
+          Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+      (m("x"), m("y")) match {
+        case (mx, my) =>
+          (!distinctX || mx.contains(1.0)) &&
+            (!distinctY || my.contains(1.0)) &&
+            (distinctX || mx.isEmpty) && (distinctY || my.isEmpty)
+      }
+    }
+
+  property("quantizeInt8 codes bounded and monotone per dimension") =
+    forAll(Gen.listOfN(12, Gen.listOfN(4,
+      Gen.chooseNum(-100, 100).map(_ / 7.0f)))) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val rows = graft.llm.Similarity.quantizeInt8(df, "v", "id")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val ok = rows.values.forall(cs =>
+        cs.length == 4 && cs.forall(c => c >= 0 && c <= 255))
+      // monotone: higher raw value in a dim never gets a lower code
+      val mono = (0 until 4).forall { d =>
+        val pairs = vecs.zipWithIndex.map { case (v, i) =>
+          (v(d), rows(i.toLong)(d)) }.sortBy(_._1)
+        pairs.zip(pairs.tail).forall { case ((_, c1), (_, c2)) =>
+          c1 <= c2 }
+      }
+      ok && mono
+    }
 }

@@ -302,6 +302,58 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     m("intercept") shouldBe 1.0 +- 0.1
   }
 
+  test("seasonalMannKendall: within-season trend detected, pure seasonality not") {
+    // 4 seasons x 12 cycles, monotone within season:
+    // S = 4 * C(12,2) = 264, no ties
+    val trend = for (s0 <- 0 until 4; c <- 0 until 12)
+      yield (s0, c * 4 + s0, s0 * 100.0 + c)
+    val r = graft.timeseries.TimeSeriesOps.seasonalMannKendall(
+      trend.toDF("season", "t", "v"), "t", "v", "season").head()
+    r.getAs[Long]("s_stat") shouldBe 264L
+    r.getAs[Long]("n_seasons") shouldBe 4L
+    r.getAs[Double]("p_value") should be < 0.01
+    // strong seasonal cycle, alternating +-1 within season: |S| small
+    val flat = for (s0 <- 0 until 4; c <- 0 until 12)
+      yield (s0, c * 4 + s0, s0 * 100.0 + (if (c % 2 == 0) 1.0 else -1.0))
+    val r2 = graft.timeseries.TimeSeriesOps.seasonalMannKendall(
+      flat.toDF("season", "t", "v"), "t", "v", "season").head()
+    // alternating series: |S| = 6 per season x 4 = 24 << 264
+    math.abs(r2.getAs[Long]("s_stat")) should be < 30L
+    r2.getAs[Double]("p_value") should be > 0.2
+  }
+
+  test("pageHinkley flags a level shift and stays quiet when stable") {
+    import graft.timeseries.TimeSeriesOps
+    val shifted = ((1 to 50).map(i => ("k", i, 10.0)) ++
+      (51 to 100).map(i => ("k", i, 60.0))).toDF("g", "t", "v")
+    val r = TimeSeriesOps.pageHinkley(shifted, "v", "t",
+      delta = 1.0, lambda = 200.0, keyCols = Seq("g")).head()
+    r.getAs[Boolean]("drift") shouldBe true
+    r.getAs[Int]("drift_at") should be > 50
+    val flat = (1 to 100).map(i =>
+      ("k", i, 10.0 + (i % 2))).toDF("g", "t", "v")
+    val r2 = TimeSeriesOps.pageHinkley(flat, "v", "t",
+      delta = 1.0, lambda = 200.0, keyCols = Seq("g")).head()
+    r2.getAs[Boolean]("drift") shouldBe false
+    r2.isNullAt(r2.fieldIndex("drift_at")) shouldBe true
+  }
+
+  test("neweyWestMean: HAC se inflates under autocorrelation only") {
+    import graft.timeseries.TimeSeriesOps
+    // alternating series: negative lag-1 autocovariance -> se_hac < se_iid
+    val alt = (1 to 200).map(i =>
+      (i, if (i % 2 == 0) 10.0 else -10.0)).toDF("t", "v")
+    val r = TimeSeriesOps.neweyWestMean(alt, "v", "t", maxLag = 4)
+      .head()
+    r.getAs[Double]("se_hac") should be < r.getAs[Double]("se_iid")
+    // slow square wave: strong positive autocorrelation -> inflation
+    val slow = (1 to 200).map(i =>
+      (i, if ((i / 25) % 2 == 0) 10.0 else -10.0)).toDF("t", "v")
+    val r2 = TimeSeriesOps.neweyWestMean(slow, "v", "t", maxLag = 4)
+      .head()
+    r2.getAs[Double]("se_hac") should be > r2.getAs[Double]("se_iid")
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
