@@ -423,6 +423,28 @@ object QueriesStats {
 
     // §2.11 Mann–Kendall trend per event type over the hourly
     // resampled cents series
+    // §2.12 Holm–Bonferroni step-down over the Dunn pair p-values
+    // (FWER control; the BH sibling of q187)
+    "q303_holm" -> ((s, d) => {
+      val dunn = StatsOps.dunnTest(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type")
+      StatsOps.holmBonferroni(
+        dunn.select(col("group_a"), col("group_b"), col("p_value")),
+        "p_value")
+        .select(col("group_a"), col("group_b"), col("p_value"),
+          round(col("p_value_holm"), 6).as("p_holm"),
+          round(col("p_value_bonferroni"), 6).as("p_bonf"))
+        .orderBy("group_a", "group_b")
+    }),
+
+    // §2.12 Mood's median test across event types (pooled-median
+    // 2×k chi-square; robust sibling of Kruskal–Wallis)
+    "q304_moods_median" -> ((s, d) =>
+      StatsOps.moodsMedianTest(
+        t(s, d, "events").withColumn("vc", cents(col("value"))),
+        "vc", "event_type")),
+
     // Page–Hinkley sequential drift detection per event type
     // (running-mean deviation cumsum minus its running minimum)
     "q301_page_hinkley" -> ((s, d) =>
@@ -3000,6 +3022,89 @@ object QueriesStats {
         |SELECT sl.event_type, round(slope, 9) AS slope,
         |  round(ic, 6) AS intercept
         |FROM sl JOIN res USING (event_type)""".stripMargin,
+
+    "q303_holm" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(z)")
+      s"""WITH p AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+         |  FROM events
+         |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (
+         |  SELECT event_type,
+         |    CAST(rank() OVER (ORDER BY vc) AS DOUBLE) +
+         |      (CAST(count(*) OVER (PARTITION BY vc) AS DOUBLE) - 1.0)
+         |      / 2.0 AS r
+         |  FROM p),
+         |t AS (
+         |  SELECT CAST(sum(c * c * c - c) AS DOUBLE) AS tie_t
+         |  FROM (SELECT count(*) AS c FROM p GROUP BY vc)),
+         |g AS (
+         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS gn,
+         |    sum(r) AS rs
+         |  FROM r GROUP BY 1),
+         |tot AS (SELECT sum(gn) AS nn FROM g),
+         |pr AS (
+         |  SELECT a.event_type AS ga, b.event_type AS gb,
+         |    a.gn AS na, a.rs AS ra, b.gn AS nb, b.rs AS rb, nn, tie_t
+         |  FROM g a JOIN g b ON a.event_type < b.event_type, tot, t),
+         |zz AS (
+         |  SELECT ga, gb,
+         |    (ra / na - rb / nb) /
+         |      sqrt((nn * (nn + 1) / 12 - tie_t / (12.0 * (nn - 1))) *
+         |        (1.0 / na + 1.0 / nb)) AS z
+         |  FROM pr),
+         |pp AS (
+         |  SELECT ga AS group_a, gb AS group_b,
+         |    round(2.0 * (1.0 - $phi), 6) AS p_value
+         |  FROM zz),
+         |rk AS (
+         |  SELECT group_a, group_b, p_value,
+         |    row_number() OVER (ORDER BY p_value) AS i,
+         |    count(*) OVER () AS m
+         |  FROM pp),
+         |adj AS (
+         |  SELECT group_a, group_b, p_value,
+         |    max(least(1.0, p_value * (m - i + 1))) OVER (ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS holm,
+         |    least(1.0, p_value * m) AS bonf
+         |  FROM rk)
+         |SELECT group_a, group_b, p_value, round(holm, 6) AS p_holm,
+         |  round(bonf, 6) AS p_bonf
+         |FROM adj ORDER BY group_a, group_b""".stripMargin
+    },
+
+    "q304_moods_median" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS vc
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |md AS (SELECT quantile_cont(vc, 0.5) AS med FROM p),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CASE WHEN vc > med THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS a
+        |  FROM p, md GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k, sum(n) AS nn,
+        |    sum(a) AS aa
+        |  FROM g),
+        |cells AS (
+        |  SELECT k, nn,
+        |    (a - n * (aa / nn)) * (a - n * (aa / nn)) /
+        |      (n * (aa / nn)) +
+        |    ((n - a) - n * (1.0 - aa / nn)) *
+        |      ((n - a) - n * (1.0 - aa / nn)) /
+        |      (n * (1.0 - aa / nn)) AS cell
+        |  FROM g, tot),
+        |f AS (
+        |  SELECT k, nn, round(sum(cell), 6) AS chi2
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT chi2, CAST(k - 1 AS BIGINT) AS dof,
+        |  CAST(nn AS BIGINT) AS n,
+        |  round(exp(-chi2 / 2) * (1 + chi2 / 2), 6) AS p_value
+        |FROM f""".stripMargin,
 
     "q301_page_hinkley" ->
       """WITH e AS (

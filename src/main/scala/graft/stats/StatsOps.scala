@@ -1755,6 +1755,68 @@ object StatsOps {
       .drop("__i__", "__n__", "__padj__")
   }
 
+  /** Holm–Bonferroni step-down adjustment over a p-value table (the
+    * FWER sibling of [[benjaminiHochberg]]): order p ascending,
+    * adj_i = max_{j≤i} min(1, (m−j+1)·p_j) — a prefix cummax window
+    * over the (metadata-scale) p table. Also emits the plain
+    * Bonferroni m·p for reference. */
+  def holmBonferroni(df0: DataFrame, pCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(pCol).isNotNull)
+    val ranked = df
+      .withColumn("__i__", row_number().over(Window.orderBy(col(pCol))))
+      .withColumn("__n__", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val wPrefix = Window.orderBy(col("__i__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("__step__",
+        least(lit(1.0), col(pCol) * (col("__n__") - col("__i__") + 1)))
+      .withColumn(s"${pCol}_holm", max(col("__step__")).over(wPrefix))
+      .withColumn(s"${pCol}_bonferroni",
+        least(lit(1.0), col(pCol) * col("__n__")))
+      .drop("__i__", "__n__", "__step__")
+  }
+
+  /** Mood's median test across k groups: counts above / not-above
+    * the POOLED median (exact percentile, broadcast back), χ² over
+    * the 2×k table with the margin-expected counts; dof = k−1.
+    * Robust to outliers, the coarse sibling of Kruskal–Wallis. */
+  def moodsMedianTest(df0: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val df = df0.filter(col(valueCol).isNotNull &&
+      col(groupCol).isNotNull)
+    val medTab = df.agg(
+      percentile(col(valueCol), lit(0.5)).as("__med__"))
+    val flagged = df.crossJoin(broadcast(medTab))
+      .withColumn("__ab__",
+        (col(valueCol).cast("double") > col("__med__")).cast("long"))
+    val g = flagged.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("__ab__")).cast("double").as("a"))
+    val tot = g.agg(count(lit(1)).cast("double").as("k"),
+      sum(col("n")).as("nn"), sum(col("a")).as("aa"))
+    val e = g.crossJoin(broadcast(tot))
+      .select(col("k"), col("nn"),
+        // expected above = n * (aa/nn); chi2 adds both rows of the
+        // 2xk table: (a-e)²/e + ((n-a)-(n-e))²/(n-e)
+        ((col("a") - col("n") * (col("aa") / col("nn"))) *
+          (col("a") - col("n") * (col("aa") / col("nn"))) /
+          (col("n") * (col("aa") / col("nn"))) +
+         ((col("n") - col("a")) -
+           col("n") * (lit(1.0) - col("aa") / col("nn"))) *
+          ((col("n") - col("a")) -
+            col("n") * (lit(1.0) - col("aa") / col("nn"))) /
+          (col("n") * (lit(1.0) - col("aa") / col("nn")))).as("cell"))
+    e.groupBy(col("k"), col("nn"))
+      .agg(sum(col("cell")).as("chi2"))
+      .select(round(col("chi2"), 6).as("chi2"),
+        (col("k") - 1).cast("long").as("dof"),
+        col("nn").cast("long").as("n"))
+      .withColumn("p_value",
+        round(chi2PUdf(col("chi2"), (col("dof")).cast("double")), 6))
+  }
+
   /** Odds ratio of a 2×2 table of two 0/1 columns, with the Wald
     * 95% CI: OR = ad/bc, CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d)).
     * Any empty cell → null estimates (no Haldane fudge — callers who

@@ -354,6 +354,32 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     r2.getAs[Double]("se_hac") should be > r2.getAs[Double]("se_iid")
   }
 
+  test("holmBonferroni: hand-computed step-down on [.01,.02,.04]") {
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.04)).toDF("t", "p")
+    val m = StatsOps.holmBonferroni(df, "p").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("p_holm"), r.getAs[Double]("p_bonferroni")))
+      .toMap
+    m("a")._1 shouldBe 0.03 +- 1e-12 // .01*3
+    m("b")._1 shouldBe 0.04 +- 1e-12 // max(.03, .02*2)
+    m("c")._1 shouldBe 0.04 +- 1e-12 // max(.04, .04*1)
+    m("a")._2 shouldBe 0.03 +- 1e-12
+    m("c")._2 shouldBe 0.12 +- 1e-12
+  }
+
+  test("moodsMedianTest: planted shift detected, identical groups not") {
+    val shift = ((1 to 40).map(i => ("a", i.toLong)) ++
+      (1 to 40).map(i => ("b", i + 100L))).toDF("g", "v")
+    val r = StatsOps.moodsMedianTest(shift, "v", "g").head()
+    r.getAs[Long]("dof") shouldBe 1L
+    r.getAs[Double]("p_value") should be < 0.001
+    val same = ((1 to 40).map(i => ("a", i.toLong)) ++
+      (1 to 40).map(i => ("b", i.toLong))).toDF("g", "v")
+    val r2 = StatsOps.moodsMedianTest(same, "v", "g").head()
+    r2.getAs[Double]("chi2") shouldBe 0.0 +- 1e-9
+    r2.getAs[Double]("p_value") should be > 0.9
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
