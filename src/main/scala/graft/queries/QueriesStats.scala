@@ -423,6 +423,25 @@ object QueriesStats {
 
     // §2.11 Mann–Kendall trend per event type over the hourly
     // resampled cents series
+    // §2.12 Cochran–Armitage dose-response trend: purchase share
+    // across ordered user-residue buckets
+    "q305_cochran_armitage" -> ((s, d) =>
+      StatsOps.cochranArmitage(
+        t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .select(pmod(col("user_id"), lit(4)).as("dose"),
+            (col("event_type") === "purchase").as("succ")),
+        "dose", "succ")),
+
+    // per-event-type binomial proportion CIs (Wald + Wilson score)
+    // for the high-value share
+    "q306_proportion_ci" -> ((s, d) =>
+      StatsOps.proportionCi(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), (col("value") >= 50.0).as("hv")),
+        "event_type", "hv")
+        .orderBy("event_type")),
+
     // §2.12 Holm–Bonferroni step-down over the Dunn pair p-values
     // (FWER control; the BH sibling of q187)
     "q303_holm" -> ((s, d) => {
@@ -3022,6 +3041,65 @@ object QueriesStats {
         |SELECT sl.event_type, round(slope, 9) AS slope,
         |  round(ic, 6) AS intercept
         |FROM sl JOIN res USING (event_type)""".stripMargin,
+
+    "q305_cochran_armitage" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(z)")
+      s"""WITH p AS (
+         |  SELECT CAST(user_id % 4 AS DOUBLE) AS s,
+         |    event_type = 'purchase' AS succ
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |g AS (
+         |  SELECT s, CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CASE WHEN succ THEN 1 ELSE 0 END) AS DOUBLE) AS r
+         |  FROM p GROUP BY 1),
+         |tot AS (SELECT sum(n) AS nn, sum(r) AS rr FROM g),
+         |e AS (SELECT g.s, g.n, g.r, nn, rr / nn AS pbar FROM g, tot),
+         |a AS (
+         |  SELECT any_value(nn) AS nn, any_value(pbar) AS pbar,
+         |    sum(s * (r - n * pbar)) AS t,
+         |    sum(n * s * s) AS snss, sum(n * s) AS sns,
+         |    CAST(count(*) AS BIGINT) AS k
+         |  FROM e),
+         |f AS (
+         |  SELECT k, nn, t,
+         |    t / sqrt(pbar * (1.0 - pbar) *
+         |      (snss - sns * sns / nn)) AS z
+         |  FROM a)
+         |SELECT k, CAST(nn AS BIGINT) AS n, round(t, 6) AS t_stat,
+         |  round(z, 6) AS z,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM f""".stripMargin
+    },
+
+    "q306_proportion_ci" ->
+      """WITH p AS (
+        |  SELECT event_type, value >= 50.0 AS hv
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CASE WHEN hv THEN 1 ELSE 0 END) AS DOUBLE) AS r
+        |  FROM p WHERE event_type IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, r, r / n AS p,
+        |    1.959964 * sqrt(r / n * (1.0 - r / n) / n) AS wh,
+        |    1.959964 * 1.959964 / n AS z2n
+        |  FROM g)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(r AS BIGINT) AS successes,
+        |  round(p, 6) AS p_hat,
+        |  round(greatest(0.0, p - wh), 6) AS wald_lo,
+        |  round(least(1.0, p + wh), 6) AS wald_hi,
+        |  round((p + z2n / 2) / (1.0 + z2n) -
+        |    1.959964 * sqrt(p * (1.0 - p) / n +
+        |      1.959964 * 1.959964 / (4.0 * n * n)) / (1.0 + z2n), 6)
+        |    AS wilson_lo,
+        |  round((p + z2n / 2) / (1.0 + z2n) +
+        |    1.959964 * sqrt(p * (1.0 - p) / n +
+        |      1.959964 * 1.959964 / (4.0 * n * n)) / (1.0 + z2n), 6)
+        |    AS wilson_hi
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "q303_holm" -> {
       val phi = graft.stats.Distributions.normalCdfSql("abs(z)")

@@ -1817,6 +1817,72 @@ object StatsOps {
         round(chi2PUdf(col("chi2"), (col("dof")).cast("double")), 6))
   }
 
+  /** Cochran–Armitage trend test for a dose-ordered 2×k table
+    * (proportion trend across ordered groups — the A/B dose-response
+    * test): with group scores s_j, successes r_j, sizes n_j,
+    *   T = Σ s_j (r_j − n_j·p̄),  Var = p̄(1−p̄)[Σ n_j s_j² −
+    *       (Σ n_j s_j)²/N],  z = T/√Var.
+    * One grouped conditional-count aggregate; the score column must
+    * be numeric (dose order). */
+  def cochranArmitage(df0: DataFrame, scoreCol: String,
+      successCol: String): DataFrame = {
+    val df = df0.filter(col(scoreCol).isNotNull &&
+      col(successCol).isNotNull)
+    val s = col(scoreCol).cast("double")
+    val succ = col(successCol).cast("boolean")
+    val g = df.groupBy(s.as("s"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(when(succ, 1L).otherwise(0L)).cast("double").as("r"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"))
+    val e = g.crossJoin(broadcast(tot))
+      .withColumn("pbar", col("rr") / col("nn"))
+    val agg = e.agg(
+      first(col("nn")).as("nn"), first(col("pbar")).as("pbar"),
+      sum(col("s") * (col("r") - col("n") * col("pbar"))).as("t"),
+      sum(col("n") * col("s") * col("s")).as("snss"),
+      sum(col("n") * col("s")).as("sns"),
+      count(lit(1)).as("k"))
+    val varT = col("pbar") * (lit(1.0) - col("pbar")) *
+      (col("snss") - col("sns") * col("sns") / col("nn"))
+    val z = col("t") / sqrt(varT)
+    agg.select(col("k").cast("long").as("k"),
+        col("nn").cast("long").as("n"),
+        round(col("t"), 6).as("t_stat"), round(z, 6).as("z"))
+      .withColumn("p_value",
+        round(lit(2.0) * (lit(1.0) -
+          Distributions.normalCdfCol(abs(col("z")))), 6))
+  }
+
+  /** Per-group binomial proportion confidence intervals: Wald
+    * p̂ ± z·√(p̂(1−p̂)/n) and Wilson score
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    * — the interval that behaves at extreme p̂ (the recommended
+    * default). One conditional-count aggregate per group; z fixed at
+    * 1.959964 (95%). */
+  def proportionCi(df0: DataFrame, groupCol: String,
+      successCol: String): DataFrame = {
+    val zc = lit(1.959964)
+    val df = df0.filter(col(groupCol).isNotNull &&
+      col(successCol).isNotNull)
+    val succ = col(successCol).cast("boolean")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(when(succ, 1L).otherwise(0L)).cast("double").as("r"))
+    val p = col("r") / col("n")
+    val waldHalf = zc * sqrt(p * (lit(1.0) - p) / col("n"))
+    val z2n = zc * zc / col("n")
+    val center = (p + z2n / 2) / (lit(1.0) + z2n)
+    val half = zc * sqrt(p * (lit(1.0) - p) / col("n") +
+      zc * zc / (lit(4.0) * col("n") * col("n"))) / (lit(1.0) + z2n)
+    g.select(col(groupCol), col("n").cast("long").as("n"),
+      col("r").cast("long").as("successes"),
+      round(p, 6).as("p_hat"),
+      round(greatest(lit(0.0), p - waldHalf), 6).as("wald_lo"),
+      round(least(lit(1.0), p + waldHalf), 6).as("wald_hi"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
   /** Odds ratio of a 2×2 table of two 0/1 columns, with the Wald
     * 95% CI: OR = ad/bc, CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d)).
     * Any empty cell → null estimates (no Haldane fudge — callers who

@@ -380,6 +380,45 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     r2.getAs[Double]("p_value") should be > 0.9
   }
 
+  test("cochranArmitage: monotone dose-response detected, flat not") {
+    // doses 0..3, success rate rises with dose
+    val up = (0 until 4).flatMap { dose =>
+      val nSucc = 10 + dose * 10 // 10,20,30,40 of 50
+      (1 to nSucc).map(_ => (dose.toLong, true)) ++
+        (1 to (50 - nSucc)).map(_ => (dose.toLong, false))
+    }.toDF("dose", "succ")
+    val r = StatsOps.cochranArmitage(up, "dose", "succ").head()
+    r.getAs[Long]("k") shouldBe 4L
+    r.getAs[Double]("z") should be > 3.0
+    r.getAs[Double]("p_value") should be < 0.001
+    val flat = (0 until 4).flatMap { dose =>
+      (1 to 25).map(_ => (dose.toLong, true)) ++
+        (1 to 25).map(_ => (dose.toLong, false))
+    }.toDF("dose", "succ")
+    val r2 = StatsOps.cochranArmitage(flat, "dose", "succ").head()
+    r2.getAs[Double]("z") shouldBe 0.0 +- 1e-9
+    r2.getAs[Double]("p_value") shouldBe 1.0 +- 1e-6
+  }
+
+  test("proportionCi: Wilson stays in [0,1] and brackets p_hat") {
+    val df = (Seq.fill(3)(("a", true)) ++ Seq.fill(97)(("a", false)) ++
+      Seq.fill(45)(("b", true)) ++ Seq.fill(55)(("b", false)))
+      .toDF("g", "s")
+    val m = StatsOps.proportionCi(df, "g", "s").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = m("a")
+    a.getAs[Double]("p_hat") shouldBe 0.03
+    // Wald at small p dips toward 0; Wilson lower bound stays > 0
+    a.getAs[Double]("wilson_lo") should be > 0.0
+    a.getAs[Double]("wilson_lo") should be <
+      a.getAs[Double]("p_hat")
+    a.getAs[Double]("wilson_hi") should be >
+      a.getAs[Double]("p_hat")
+    val b = m("b")
+    b.getAs[Double]("wald_lo") shouldBe
+      0.45 - 1.959964 * math.sqrt(0.45 * 0.55 / 100.0) +- 1e-6
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
