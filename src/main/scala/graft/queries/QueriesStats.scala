@@ -3063,12 +3063,11 @@ object QueriesStats {
          |  FROM e),
          |f AS (
          |  SELECT k, nn, t,
-         |    t / sqrt(pbar * (1.0 - pbar) *
-         |      (snss - sns * sns / nn)) AS z
+         |    round(t / sqrt(pbar * (1.0 - pbar) *
+         |      (snss - sns * sns / nn)), 6) AS z
          |  FROM a)
          |SELECT k, CAST(nn AS BIGINT) AS n, round(t, 6) AS t_stat,
-         |  round(z, 6) AS z,
-         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |  z, round(2.0 * (1.0 - $phi), 6) AS p_value
          |FROM f""".stripMargin
     },
 
