@@ -235,4 +235,38 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("phash")
       .drop("phash")
   }
+
+  /** Streaming CDC fold: consume a stream of change rows
+    * (opCol ∈ {"u","d"} + key + payload) and maintain a materialized
+    * target table by folding every micro-batch through
+    * [[graft.versioning.VersionOps.applyChanges]] — the streaming
+    * MERGE INTO pattern (foreachBatch is exactly how Delta/Iceberg
+    * upsert sinks run on Spark). Within a batch, later changes win
+    * via a per-key max-(batch-position) pre-collapse so replays are
+    * deterministic. The target lives in `store` (checkpoint your
+    * sink for production restarts; the spec injects an in-memory
+    * store). Returns the StreamingQuery. */
+  def streamingCdcFold(changes: DataFrame, keyCols: Seq[String],
+      opCol: String, seqCol: String,
+      store: java.util.concurrent.atomic.AtomicReference[DataFrame])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    changes.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // collapse to the LAST change per key within the batch
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col(seqCol).desc)
+          val collapsed = batch
+            .withColumn("__rn__", row_number().over(w))
+            .filter(col("__rn__") === 1).drop("__rn__", seqCol)
+          val next = graft.versioning.VersionOps.applyChanges(
+            store.get(), collapsed, keyCols, opCol)
+          // materialize before the next fold so lineage stays flat
+          store.set(next.localCheckpoint(true))
+        }
+        ()
+      }
+      .start()
+  }
 }

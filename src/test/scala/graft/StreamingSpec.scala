@@ -247,4 +247,36 @@ class StreamingSpec extends SparkSpecBase {
         (2L, 1, "gamma"))
     } finally q.stop()
   }
+
+  test("streamingCdcFold maintains the MERGE target across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // (op, id, val, seq)
+    val input = MemoryStream[(String, Long, String, Long)]
+    val base = Seq((1L, "one"), (2L, "two")).toDF("id", "v")
+    val store = new java.util.concurrent.atomic.AtomicReference(base)
+    val q = StreamOps.streamingCdcFold(
+      input.toDF().toDF("op", "id", "v", "seq"),
+      Seq("id"), "op", "seq", store)
+    try {
+      // batch 1: update id=1, insert id=3
+      input.addData(("u", 1L, "ONE", 1L), ("u", 3L, "three", 2L))
+      q.processAllAvailable()
+      store.get().orderBy("id").as[(Long, String)].collect().toSeq shouldBe
+        Seq((1L, "ONE"), (2L, "two"), (3L, "three"))
+      // batch 2: delete id=2; same-batch later change wins for id=3
+      input.addData(("d", 2L, "x", 3L), ("u", 3L, "iii", 4L),
+        ("u", 3L, "III", 5L))
+      q.processAllAvailable()
+      store.get().orderBy("id").as[(Long, String)].collect().toSeq shouldBe
+        Seq((1L, "ONE"), (3L, "III"))
+      // equivalence with ONE batch applyChanges of the collapsed log
+      val allChanges = Seq(("u", 1L, "ONE"), ("d", 2L, "x"),
+        ("u", 3L, "III")).toDF("op", "id", "v")
+        .select(col("id"), col("v"), col("op"))
+      val batchResult = graft.versioning.VersionOps.applyChanges(
+        base, allChanges, Seq("id"), "op")
+      store.get().orderBy("id").collect().toSeq shouldBe
+        batchResult.orderBy("id").collect().toSeq
+    } finally q.stop()
+  }
 }
