@@ -609,6 +609,30 @@ object PandasOps {
       l.join(r, on, how)
     }
 
+    /** pandas merge(indicator=True): the [[merge]] join plus the
+      * `_merge` provenance column (both / left_only / right_only) —
+      * the standard join-coverage audit. Presence flags ride the two
+      * sides as literal columns, so the indicator is pure join
+      * output (no extra pass). */
+    def mergeIndicator(right: DataFrame, on: Seq[String],
+        how: String = "outer",
+        suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+      val overlap = (df.columns.toSet intersect right.columns.toSet) -- on
+      val l = overlap.foldLeft(df)((d, c) =>
+        d.withColumnRenamed(c, c + suffixes._1))
+        .withColumn("__in_l__", lit(1))
+      val r = overlap.foldLeft(right)((d, c) =>
+        d.withColumnRenamed(c, c + suffixes._2))
+        .withColumn("__in_r__", lit(1))
+      l.join(r, on, how)
+        .withColumn("_merge",
+          when(col("__in_l__").isNotNull && col("__in_r__").isNotNull,
+            "both")
+            .when(col("__in_l__").isNotNull, "left_only")
+            .otherwise("right_only"))
+        .drop("__in_l__", "__in_r__")
+    }
+
     /** pandas reindex (src/index_impl + pandas_compat reindex): the
       * result has EXACTLY the keys of `newIndex` (one `keyCol`
       * column), in their row set — existing rows carry their values,

@@ -612,6 +612,31 @@ object QueriesStats {
           round(col("resid"), 6).as("resid"))
     }),
 
+    // §2.11 PER-KEY distributed Holt forecasting over the hourly
+    // series — every key's model fit in one shuffle, 3-step horizon
+    "q307_grouped_holt" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+      TimeSeriesOps.groupedHoltForecast(hourly, "v", "b",
+        Seq("event_type"), alpha = 0.4, beta = 0.3, steps = 3)
+        .orderBy("event_type", "h")
+    }),
+
+    // pandas merge(indicator=True): customer/order coverage audit
+    "q308_merge_indicator" -> ((s, d) => {
+      import graft.ops.PandasOps._
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"))
+      val o = t(s, d, "orders").groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.mergeIndicator(o, Seq("custkey"))
+        .select("custkey", "n_orders", "_merge")
+        .orderBy("custkey")
+    }),
+
     // §2.11 classical MULTIPLICATIVE decomposition (ratio-to-MA,
     // seasonal indices normalized to mean 1) of the same pipeline
     "q300_decompose_mult" -> ((s, d) => {
@@ -2623,6 +2648,59 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q307_grouped_holt" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS b,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn
+        |  FROM hourly),
+        |r AS (
+        |  SELECT event_type, rn, v AS level, CAST(0.0 AS DOUBLE) AS trend
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.rn,
+        |    CASE WHEN b.rn = 2
+        |      THEN 0.4 * b.v + (1.0 - 0.4) * (r.level + (b.v - r.level))
+        |      ELSE 0.4 * b.v + (1.0 - 0.4) * (r.level + r.trend) END,
+        |    CASE WHEN b.rn = 2
+        |      THEN 0.3 * ((0.4 * b.v + (1.0 - 0.4) *
+        |          (r.level + (b.v - r.level))) - r.level) +
+        |        (1.0 - 0.3) * (b.v - r.level)
+        |      ELSE 0.3 * ((0.4 * b.v + (1.0 - 0.4) *
+        |          (r.level + r.trend)) - r.level) +
+        |        (1.0 - 0.3) * r.trend END
+        |  FROM base b JOIN r
+        |    ON b.event_type = r.event_type AND b.rn = r.rn + 1),
+        |lastr AS (
+        |  SELECT event_type, level, trend,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY rn DESC)
+        |      AS rr
+        |  FROM r),
+        |fin AS (SELECT event_type, level, trend FROM lastr WHERE rr = 1)
+        |SELECT event_type, CAST(h AS BIGINT) AS h,
+        |  round(level + CAST(h AS DOUBLE) * trend, 6) AS forecast
+        |FROM fin CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) hs
+        |ORDER BY event_type, h""".stripMargin,
+
+    "q308_merge_indicator" ->
+      """WITH c AS (SELECT c_custkey AS custkey FROM customer),
+        |o AS (
+        |  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT)
+        |    AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(c.custkey, o.custkey) AS custkey, o.n_orders,
+        |  CASE WHEN c.custkey IS NOT NULL AND o.custkey IS NOT NULL
+        |    THEN 'both'
+        |    WHEN c.custkey IS NOT NULL THEN 'left_only'
+        |    ELSE 'right_only' END AS _merge
+        |FROM c FULL JOIN o ON c.custkey = o.custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q300_decompose_mult" ->
       """WITH hourly AS (

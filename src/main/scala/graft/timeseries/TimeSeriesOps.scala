@@ -1152,6 +1152,55 @@ object TimeSeriesOps {
     }
   }
 
+  /** PER-KEY distributed Holt forecasting: the [[holtForecast]]
+    * recurrence run as a sorted collect_list fold per key (the
+    * ewmMean machinery) — one shuffle fits EVERY key's model in
+    * parallel, no driver loop over groups. Emits `steps` rows per
+    * key: (key…, h, forecast = level + h·trend). Groups with a
+    * single point forecast flat (the driver-forecaster convention);
+    * empty groups don't appear. Verified against a recursive-CTE
+    * oracle. */
+  def groupedHoltForecast(df: DataFrame, valueCol: String,
+      orderCol: String, keyCols: Seq[String], alpha: Double,
+      beta: Double, steps: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha, beta in (0,1)")
+    require(steps >= 1, "steps >= 1")
+    val a = alpha; val b = beta
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__pts__"))
+    val t0 = "(p.v - acc.level)"
+    val lvl1 = s"($a * p.v + (1.0d - $a) * (acc.level + $t0))"
+    val tr1 = s"($b * ($lvl1 - acc.level) + (1.0d - $b) * $t0)"
+    val lvl2 = s"($a * p.v + (1.0d - $a) * (acc.level + acc.trend))"
+    val tr2 = s"($b * ($lvl2 - acc.level) + (1.0d - $b) * acc.trend)"
+    val fold = expr(
+      s"""aggregate(__pts__,
+         |  struct(cast(0 as int) as i, cast(0.0 as double) as level,
+         |         cast(0.0 as double) as trend),
+         |  (acc, p) -> CASE
+         |    WHEN acc.i = 0 THEN
+         |      struct(cast(1 as int) as i, cast(p.v as double) as level,
+         |        cast(0.0 as double) as trend)
+         |    WHEN acc.i = 1 THEN
+         |      struct(cast(2 as int) as i, cast($lvl1 as double) as level,
+         |        cast($tr1 as double) as trend)
+         |    ELSE
+         |      struct(cast(acc.i + 1 as int) as i,
+         |        cast($lvl2 as double) as level,
+         |        cast($tr2 as double) as trend) END)""".stripMargin)
+    grouped.withColumn("__st__", fold)
+      .select(keyCols.map(col) :+
+        col("__st__.level").as("level") :+
+        col("__st__.trend").as("trend"): _*)
+      .withColumn("h", explode(sequence(lit(1), lit(steps))))
+      .select(keyCols.map(col) :+ col("h").cast("long").as("h") :+
+        round(col("level") + col("h").cast("double") * col("trend"), 6)
+          .as("forecast"): _*)
+  }
+
   /** Double (Holt) exponential smoothing forecast
     * (forecasting.rs:422-469) — driver-side on an aggregated series. */
   def holtForecast(values: Seq[Double], alpha: Double, beta: Double,

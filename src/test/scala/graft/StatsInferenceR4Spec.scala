@@ -419,6 +419,41 @@ class StatsInferenceR4Spec extends SparkSpecBase {
       0.45 - 1.959964 * math.sqrt(0.45 * 0.55 / 100.0) +- 1e-6
   }
 
+  test("groupedHoltForecast matches the driver recurrence per key") {
+    import graft.timeseries.TimeSeriesOps
+    val s1 = Seq(10.0, 12.0, 15.0, 14.0, 18.0, 21.0)
+    val s2 = Seq(100.0, 90.0, 85.0, 70.0)
+    val df = (s1.zipWithIndex.map { case (v, i) => ("a", i, v) } ++
+      s2.zipWithIndex.map { case (v, i) => ("b", i, v) })
+      .toDF("k", "t", "v")
+    val got = TimeSeriesOps.groupedHoltForecast(df, "v", "t",
+      Seq("k"), alpha = 0.4, beta = 0.3, steps = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("forecast")).toMap
+    val e1 = TimeSeriesOps.holtForecast(s1, 0.4, 0.3, 2)
+    val e2 = TimeSeriesOps.holtForecast(s2, 0.4, 0.3, 2)
+    got(("a", 1L)) shouldBe e1(0) +- 1e-6
+    got(("a", 2L)) shouldBe e1(1) +- 1e-6
+    got(("b", 1L)) shouldBe e2(0) +- 1e-6
+    got(("b", 2L)) shouldBe e2(1) +- 1e-6
+    // single-point group forecasts flat
+    val flat = TimeSeriesOps.groupedHoltForecast(
+      Seq(("c", 0, 7.0)).toDF("k", "t", "v"), "v", "t", Seq("k"),
+      0.4, 0.3, 3).collect().map(_.getAs[Double]("forecast"))
+    flat.toSeq shouldBe Seq(7.0, 7.0, 7.0)
+  }
+
+  test("mergeIndicator labels join provenance like pandas") {
+    import graft.ops.PandasOps._
+    val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+    val r = Seq((2L, "B"), (3L, "C")).toDF("k", "rv")
+    val m = l.mergeIndicator(r, Seq("k")).collect()
+      .map(x => x.getLong(0) -> x.getAs[String]("_merge")).toMap
+    m(1L) shouldBe "left_only"
+    m(2L) shouldBe "both"
+    m(3L) shouldBe "right_only"
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
