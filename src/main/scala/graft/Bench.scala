@@ -118,7 +118,11 @@ object Bench {
       "q251_kfold_cv", "q257_chunk_docs",
       // round-4 versioning/dedup closers: snapshot diff, content
       // fingerprint, exact duplicate-span detection
-      "q265_version_diff", "q266_fingerprint", "q271_dup_spans")
+      "q265_version_diff", "q266_fingerprint", "q271_dup_spans",
+      // round-4 headliners: hub-safe triangle counting, SQ8 ANN,
+      // per-key forecasting, robust despiking
+      "q287_triangles", "q283_quantized_ann", "q307_grouped_holt",
+      "q298_hampel")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))
