@@ -335,6 +335,43 @@ object GraphOps {
     dist
   }
 
+  /** k-core decomposition membership: iteratively peel vertices of
+    * degree < k until a fixpoint — the surviving subgraph is the
+    * k-core (dense-region extraction; community seeding). Each
+    * superstep is one degree aggregate + two semi-joins with a
+    * localCheckpoint lineage cut — the CC/Pregel shape; iterations
+    * are bounded by the peel depth, not the vertex count. Returns
+    * the surviving vertices with their in-core degree. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 1, "k >= 1")
+    var sym = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var nVerts = sym.select("src").distinct().count()
+    var done = nVerts == 0
+    var i = 0
+    while (!done && i < maxIter) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("__d__"))
+        .filter(col("__d__") >= k).select(col("src"))
+      val next = sym.join(keep, "src")
+        .join(keep.select(col("src").as("dst")), "dst")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val nNext = next.select("src").distinct().count()
+      done = nNext == nVerts || nNext == 0
+      nVerts = nNext
+      sym = next
+      i += 1
+    }
+    if (i >= maxIter && !done)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIter supersteps")
+    sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Per-vertex and total triangle counts on the undirected simple
     * graph (clustering-coefficient building block; exceeds the
     * reference's graph stack). The classic two-join shape with the

@@ -1150,6 +1150,20 @@ object QueriesStats {
             (col("event_type") === "purchase").as("succ")),
         "arm", "a", "b", "succ")),
 
+    // §2.14 3-core of the parts co-order graph (iterative peel —
+    // rows-only: fixpoint refinement has no SQL form; K4 spec)
+    "q309_kcore" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      GraphOps.kCore(edges, k = 3).orderBy("id")
+    }),
+
     // §2.14 triangle counts + local clustering on the parts-
     // co-ordered-together graph (degree-ordered orientation — the
     // hub-safe O(m^1.5) join shape)

@@ -454,6 +454,22 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     m(3L) shouldBe "right_only"
   }
 
+  test("kCore peels to the dense core exactly") {
+    import graft.graphops.GraphOps
+    // K4 on 1..4 plus a chain 4-5-6: 3-core = K4, 2-core adds nothing
+    val k4 = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i.toLong, j.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val core3 = GraphOps.kCore(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    core3.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    all(core3.values) shouldBe 3L
+    // 2-core: the chain 5-6 peels (degree-1 endpoints cascade)
+    val core2 = GraphOps.kCore(edges, 2).collect().map(_.getLong(0)).toSet
+    core2 shouldBe Set(1L, 2L, 3L, 4L)
+    // k larger than any core -> empty
+    GraphOps.kCore(edges, 4).count() shouldBe 0L
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
