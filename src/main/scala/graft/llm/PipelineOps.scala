@@ -592,6 +592,63 @@ object PipelineOps {
       .withColumn("edit_dist",
         levenshtein(col(lCol), col(rCol)).cast("long"))
 
+  /** Water-filling budget allocation across sources: give source i
+    * a_i = min(cap_i, λ·w_i) tokens with λ solving Σa = min(budget,
+    * Σcap) — proportional-to-weight mixing under per-source caps,
+    * the allocation step of a capped data-mixture recipe. Closed
+    * form via the classic sort: order sources by cap/weight
+    * ascending; walking that order, λ_j = (B − Σ_{<j} cap) /
+    * (Σ_{≥j} w), and the first j with λ_j ≤ cap_j/w_j fixes λ (all
+    * earlier sources are capped). One window pass over the SOURCE
+    * table (metadata scale — one row per source/domain, never row
+    * scale) + a broadcast of the pivot. Zero-weight sources get
+    * min(cap, 0) = 0 unless everything is capped. */
+  def budgetAllocation(df: DataFrame, keyCol: String,
+      weightCol: String, capCol: String, budget: Double): DataFrame = {
+    require(budget >= 0, "budget >= 0")
+    val base = df.select(col(keyCol),
+        col(weightCol).cast("double").as("w"),
+        col(capCol).cast("double").as("c"))
+      .filter(col("w") >= 0 && col("c") >= 0)
+    // zero-weight sources sort LAST (r = ∞): under scarcity they
+    // absorb λ·0 = 0; with surplus budget (no pivot) they cap like
+    // everyone else
+    val r = when(col("w") > 0, col("c") / col("w"))
+      .otherwise(lit(Double.MaxValue))
+    val ord = Window.orderBy(col("__r__"), col(keyCol))
+    val wPrior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = base.withColumn("__r__", r)
+      .withColumn("__i__", row_number().over(ord))
+      .withColumn("__cumc__",
+        coalesce(sum(col("c")).over(wPrior), lit(0.0)))
+      .withColumn("__cumw__",
+        coalesce(sum(col("w")).over(wPrior), lit(0.0)))
+    val tots = base.agg(sum(col("w")).as("__wt__"),
+      sum(col("c")).as("__ct__"))
+    val cand = ranked.crossJoin(broadcast(tots))
+      .withColumn("__lam__",
+        when(col("__wt__") - col("__cumw__") > 0,
+          (lit(budget) - col("__cumc__")) /
+            (col("__wt__") - col("__cumw__"))))
+      .cache()
+    // pivot = FIRST source (sorted order) whose candidate λ stops
+    // the capping cascade; none ⇒ budget ≥ Σcap ⇒ everything capped
+    val pivot = cand
+      .filter(col("__lam__").isNotNull && col("__lam__") <= col("__r__"))
+      .agg(min(struct(col("__i__"), col("__lam__"))).as("__p__"))
+      .select(col("__p__.__i__").as("__pi__"),
+        col("__p__.__lam__").as("__plam__"))
+    cand.crossJoin(broadcast(pivot))
+      .select(col(keyCol), col("w").as("weight"), col("c").as("cap"),
+        round(
+          when(col("__pi__").isNull || col("__i__") < col("__pi__"),
+            col("c"))
+            .otherwise(greatest(lit(0.0), col("__plam__") * col("w"))),
+          6).as("allocation"),
+        (col("__pi__").isNull || col("__i__") < col("__pi__"))
+          .as("capped"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
     * extraction from individual documents") re-expressed Spark-first:
     * candidate phrases are maximal stopword-free alphanumeric token

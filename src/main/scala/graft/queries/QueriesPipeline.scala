@@ -448,6 +448,17 @@ object QueriesPipeline {
         .groupBy("event_type").agg(count(lit(1)).as("n_kept"))),
 
     // adjacent-bigram PMI collocations over the corpus
+    // capped water-filling budget allocation across sources
+    // (weight = doc count, cap = total chars, 1M-char budget)
+    "q310_budget_alloc" -> ((s, d) =>
+      graft.llm.PipelineOps.budgetAllocation(
+        t(s, d, "documents").filter(col("source").isNotNull)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars")),
+        "source", "n_docs", "chars", budget = 1000000.0)
+        .orderBy("source")),
+
     // on-cluster word-embedding training (MLlib Word2Vec skip-gram;
     // rows-only — SGD internals; neighborhood-structure spec'd)
     "q297_word2vec" -> ((s, d) =>
@@ -1369,6 +1380,46 @@ object QueriesPipeline {
         |  round(ln(CAST(count(*) AS DOUBLE)) /
         |    ln(CAST(sum(c) AS DOUBLE)), 6) AS heaps_beta
         |FROM tc GROUP BY 1""".stripMargin,
+
+    "q310_budget_alloc" ->
+      """WITH src AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS w,
+        |    CAST(sum(n_chars) AS DOUBLE) AS c
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |rr AS (
+        |  SELECT source, w, c,
+        |    CASE WHEN w > 0 THEN c / w
+        |      ELSE 1.7976931348623157e308 END AS r
+        |  FROM src),
+        |o AS (
+        |  SELECT source, w, c, r,
+        |    row_number() OVER (ORDER BY r, source) AS i,
+        |    coalesce(sum(c) OVER (ORDER BY r, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS cumc,
+        |    coalesce(sum(w) OVER (ORDER BY r, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS cumw
+        |  FROM rr),
+        |t AS (SELECT sum(w) AS wt FROM src),
+        |cand AS (
+        |  SELECT o.source, o.w, o.c, o.r, o.i, o.cumc, o.cumw,
+        |    CASE WHEN wt - cumw > 0
+        |      THEN (1000000.0 - cumc) / (wt - cumw) END AS lam
+        |  FROM o, t),
+        |piv AS (
+        |  SELECT min(i) AS pi FROM cand
+        |  WHERE lam IS NOT NULL AND lam <= r),
+        |piv2 AS (
+        |  SELECT pi,
+        |    (SELECT lam FROM cand WHERE i = (SELECT pi FROM piv))
+        |      AS plam
+        |  FROM piv)
+        |SELECT source, w AS weight, c AS cap,
+        |  round(CASE WHEN pi IS NULL OR i < pi THEN c
+        |    ELSE greatest(0.0, plam * w) END, 6) AS allocation,
+        |  (pi IS NULL OR i < pi) AS capped
+        |FROM cand, piv2 ORDER BY source""".stripMargin,
 
     "q289_rake" ->
       raw"""WITH raw0 AS (

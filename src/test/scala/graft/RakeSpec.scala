@@ -57,6 +57,31 @@ class RakeSpec extends SparkSpecBase {
       cos(vecs("cat"), vecs("engine"))
   }
 
+  test("budgetAllocation: water-filling with caps, hand-computed") {
+    import graft.llm.PipelineOps
+    val src = Seq(("A", 1L, 100L), ("B", 1L, 1000L), ("C", 0L, 50L))
+      .toDF("k", "w", "c")
+    // budget 600: A caps at 100, B absorbs lambda*1 = 500, C (zero
+    // weight) gets 0
+    val a1 = PipelineOps.budgetAllocation(src, "k", "w", "c", 600.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("allocation"), r.getAs[Boolean]("capped")))
+      .toMap
+    a1("A") shouldBe ((100.0, true))
+    a1("B") shouldBe ((500.0, false))
+    a1("C") shouldBe ((0.0, false))
+    // surplus budget: everything caps
+    val a2 = PipelineOps.budgetAllocation(src, "k", "w", "c", 5000.0)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("allocation")).toMap
+    a2 shouldBe Map("A" -> 100.0, "B" -> 1000.0, "C" -> 50.0)
+    // allocations sum to min(budget, sum(cap)) when weights exist
+    val tot = PipelineOps.budgetAllocation(src, "k", "w", "c", 600.0)
+      .agg(org.apache.spark.sql.functions.sum("allocation"))
+      .head().getDouble(0)
+    tot shouldBe 600.0 +- 1e-6
+  }
+
   test("rakeKeywords: stopword-only and empty docs yield nothing") {
     val df = Seq((1L, "the and of"), (2L, ""), (3L, "   "))
       .toDF("id", "text")
