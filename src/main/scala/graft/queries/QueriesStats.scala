@@ -423,6 +423,13 @@ object QueriesStats {
 
     // §2.11 Mann–Kendall trend per event type over the hourly
     // resampled cents series
+    // per-user Shannon entropy of the event-type mix (behavioral
+    // diversity profile)
+    "q311_group_entropy" -> ((s, d) =>
+      StatsOps.groupEntropy(t(s, d, "events"), "user_id",
+        "event_type")
+        .orderBy("user_id")),
+
     // §2.12 Cochran–Armitage dose-response trend: purchase share
     // across ordered user-residue buckets
     "q305_cochran_armitage" -> ((s, d) =>
@@ -3133,6 +3140,28 @@ object QueriesStats {
         |SELECT sl.event_type, round(slope, 9) AS slope,
         |  round(ic, 6) AS intercept
         |FROM sl JOIN res USING (event_type)""".stripMargin,
+
+    "q311_group_entropy" ->
+      """WITH cc AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT user_id, sum(c) AS n, CAST(count(*) AS BIGINT)
+        |    AS k_cats
+        |  FROM cc GROUP BY 1),
+        |h AS (
+        |  SELECT cc.user_id, any_value(n) AS n,
+        |    any_value(k_cats) AS k_cats,
+        |    -sum(c / n * ln(c / n)) AS hh
+        |  FROM cc JOIN tot USING (user_id) GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, k_cats,
+        |  round(hh, 6) AS entropy,
+        |  round(CASE WHEN k_cats > 1
+        |    THEN hh / ln(CAST(k_cats AS DOUBLE)) ELSE 0.0 END, 6)
+        |    AS entropy_norm
+        |FROM h ORDER BY user_id""".stripMargin,
 
     "q305_cochran_armitage" -> {
       val phi = graft.stats.Distributions.normalCdfSql("abs(z)")

@@ -1755,6 +1755,32 @@ object StatsOps {
       .drop("__i__", "__n__", "__padj__")
   }
 
+  /** Per-key Shannon entropy of a categorical mix (behavioral-
+    * diversity profiling: how spread is each user's event mix):
+    * H = −Σ p ln p over the key's category distribution, plus the
+    * normalized H/ln(k_cats) in [0,1] and the category count. Two
+    * keyed aggregates — (key, cat) counts then the per-key entropy
+    * fold; both shuffle on the key, nothing global. */
+  def groupEntropy(df0: DataFrame, keyCol: String,
+      catCol: String): DataFrame = {
+    val df = df0.filter(col(keyCol).isNotNull && col(catCol).isNotNull)
+    val cc = df.groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).cast("double").as("__c__"))
+    val tot = cc.groupBy(col(keyCol))
+      .agg(sum(col("__c__")).as("__n__"), count(lit(1)).as("__k__"))
+    cc.join(tot, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(first(col("__n__")).cast("long").as("n"),
+        first(col("__k__")).as("k_cats"),
+        (-sum(col("__c__") / col("__n__") *
+          log(col("__c__") / col("__n__")))).as("__h__"))
+      .select(col(keyCol), col("n"), col("k_cats"),
+        round(col("__h__"), 6).as("entropy"),
+        round(when(col("k_cats") > 1,
+          col("__h__") / log(col("k_cats").cast("double")))
+          .otherwise(lit(0.0)), 6).as("entropy_norm"))
+  }
+
   /** Holm–Bonferroni step-down adjustment over a p-value table (the
     * FWER sibling of [[benjaminiHochberg]]): order p ascending,
     * adj_i = max_{j≤i} min(1, (m−j+1)·p_j) — a prefix cummax window

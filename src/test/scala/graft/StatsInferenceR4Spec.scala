@@ -470,6 +470,19 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     GraphOps.kCore(edges, 4).count() shouldBe 0L
   }
 
+  test("groupEntropy: uniform mix -> ln k, single category -> 0") {
+    val df = (Seq.fill(10)(("u1", "a")) ++ Seq.fill(10)(("u1", "b")) ++
+      Seq.fill(10)(("u1", "c")) ++ Seq.fill(7)(("u2", "a")))
+      .toDF("u", "c")
+    val m = StatsOps.groupEntropy(df, "u", "c").collect()
+      .map(r => r.getString(0) -> r).toMap
+    m("u1").getAs[Double]("entropy") shouldBe math.log(3.0) +- 1e-6
+    m("u1").getAs[Double]("entropy_norm") shouldBe 1.0 +- 1e-6
+    m("u2").getAs[Double]("entropy") shouldBe 0.0
+    m("u2").getAs[Double]("entropy_norm") shouldBe 0.0
+    m("u2").getAs[Long]("k_cats") shouldBe 1L
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
