@@ -632,6 +632,33 @@ object QueriesStats {
         .orderBy("event_type", "h")
     }),
 
+    // §2.11 damped-trend (Gardner–McKenzie) grouped Holt, φ = 0.8
+    "q312_damped_holt" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+      TimeSeriesOps.groupedHoltForecast(hourly, "v", "b",
+        Seq("event_type"), alpha = 0.4, beta = 0.3, steps = 3,
+        phi = 0.8)
+        .orderBy("event_type", "h")
+    }),
+
+    // robust modified z-score outliers (Iglewicz–Hoaglin) on
+    // price-dollars
+    "q313_modified_z" -> ((s, d) =>
+      StatsOps.modifiedZScore(
+        t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice")).cast("long").as("y")),
+        "y")
+        .groupBy("outlier")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("mod_z")), 6).as("min_z"),
+          round(max(col("mod_z")), 6).as("max_z"))
+        .orderBy("outlier")),
+
     // pandas merge(indicator=True): customer/order coverage audit
     "q308_merge_indicator" -> ((s, d) => {
       import graft.ops.PandasOps._
@@ -2669,6 +2696,71 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q312_damped_holt" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS b,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn
+        |  FROM hourly),
+        |r AS (
+        |  SELECT event_type, rn, v AS level, CAST(0.0 AS DOUBLE) AS trend
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.rn,
+        |    CASE WHEN b.rn = 2
+        |      THEN 0.4 * b.v + (1.0 - 0.4) *
+        |        (r.level + 0.8 * (b.v - r.level))
+        |      ELSE 0.4 * b.v + (1.0 - 0.4) *
+        |        (r.level + 0.8 * r.trend) END,
+        |    CASE WHEN b.rn = 2
+        |      THEN 0.3 * ((0.4 * b.v + (1.0 - 0.4) *
+        |          (r.level + 0.8 * (b.v - r.level))) - r.level) +
+        |        (1.0 - 0.3) * 0.8 * (b.v - r.level)
+        |      ELSE 0.3 * ((0.4 * b.v + (1.0 - 0.4) *
+        |          (r.level + 0.8 * r.trend)) - r.level) +
+        |        (1.0 - 0.3) * 0.8 * r.trend END
+        |  FROM base b JOIN r
+        |    ON b.event_type = r.event_type AND b.rn = r.rn + 1),
+        |lastr AS (
+        |  SELECT event_type, level, trend,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY rn DESC)
+        |      AS rr
+        |  FROM r),
+        |fin AS (SELECT event_type, level, trend FROM lastr WHERE rr = 1)
+        |SELECT event_type, CAST(h AS BIGINT) AS h,
+        |  round(level + 0.8 * (1.0 - power(0.8, CAST(h AS DOUBLE))) /
+        |    (1.0 - 0.8) * trend, 6) AS forecast
+        |FROM fin CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) hs
+        |ORDER BY event_type, h""".stripMargin,
+
+    "q313_modified_z" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT quantile_cont(CAST(y AS DOUBLE), 0.5) AS med FROM c),
+        |d AS (SELECT CAST(y AS DOUBLE) AS yd, med FROM c, m),
+        |md AS (
+        |  SELECT quantile_cont(abs(yd - med), 0.5) AS mad FROM d),
+        |z AS (
+        |  SELECT yd, med, mad,
+        |    CASE WHEN mad > 0
+        |      THEN round(0.6745 * (yd - med) / mad, 6) END AS mod_z
+        |  FROM d, md),
+        |f AS (
+        |  SELECT mod_z,
+        |    CASE WHEN mad > 0 THEN abs(mod_z) > 3.5
+        |      ELSE yd <> med END AS outlier
+        |  FROM z)
+        |SELECT outlier, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(mod_z), 6) AS min_z, round(max(mod_z), 6) AS max_z
+        |FROM f GROUP BY 1 ORDER BY outlier""".stripMargin,
 
     "q307_grouped_holt" ->
       """WITH RECURSIVE hourly AS (

@@ -1755,6 +1755,32 @@ object StatsOps {
       .drop("__i__", "__n__", "__padj__")
   }
 
+  /** Modified z-score outliers (Iglewicz–Hoaglin): Mᵢ =
+    * 0.6745·(xᵢ − med)/MAD with the GLOBAL median and median
+    * absolute deviation — the robust replacement for ±3σ flagging
+    * (|M| > 3.5 is the published criterion). Two exact-percentile
+    * aggregates broadcast back; flagging is map-side. Zero-MAD
+    * (≥ half the data identical) yields null scores, flagged only
+    * when x ≠ med. */
+  def modifiedZScore(df0: DataFrame, valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val df = df0.filter(col(valueCol).isNotNull)
+    val med1 = df.agg(percentile(v, lit(0.5)).as("__med__"))
+    val withDev = df.crossJoin(broadcast(med1))
+      .withColumn("__dev__", abs(v - col("__med__")))
+    val mad1 = withDev.agg(
+      percentile(col("__dev__"), lit(0.5)).as("__mad__"))
+    withDev.crossJoin(broadcast(mad1))
+      .withColumn("mod_z",
+        when(col("__mad__") > 0,
+          round(lit(0.6745) * (v - col("__med__")) / col("__mad__"), 6)))
+      .withColumn("outlier",
+        when(col("__mad__") > 0, abs(col("mod_z")) > threshold)
+          .otherwise(v =!= col("__med__")))
+      .drop("__med__", "__dev__", "__mad__")
+  }
+
   /** Per-key Shannon entropy of a categorical mix (behavioral-
     * diversity profiling: how spread is each user's event mix):
     * H = −Σ p ln p over the key's category distribution, plus the

@@ -1162,20 +1162,25 @@ object TimeSeriesOps {
     * oracle. */
   def groupedHoltForecast(df: DataFrame, valueCol: String,
       orderCol: String, keyCols: Seq[String], alpha: Double,
-      beta: Double, steps: Int): DataFrame = {
+      beta: Double, steps: Int, phi: Double = 1.0): DataFrame = {
     require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
       "alpha, beta in (0,1)")
+    require(phi > 0 && phi <= 1, "phi in (0,1] (1 = undamped)")
     require(steps >= 1, "steps >= 1")
     val a = alpha; val b = beta
     val grouped = df.filter(col(valueCol).isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
         col(valueCol).cast("double").as("v")))).as("__pts__"))
+    // φ-damped trend (Gardner–McKenzie); φ = 1 reduces EXACTLY to
+    // plain Holt (1.0d * t is an IEEE identity)
     val t0 = "(p.v - acc.level)"
-    val lvl1 = s"($a * p.v + (1.0d - $a) * (acc.level + $t0))"
-    val tr1 = s"($b * ($lvl1 - acc.level) + (1.0d - $b) * $t0)"
-    val lvl2 = s"($a * p.v + (1.0d - $a) * (acc.level + acc.trend))"
-    val tr2 = s"($b * ($lvl2 - acc.level) + (1.0d - $b) * acc.trend)"
+    val lvl1 = s"($a * p.v + (1.0d - $a) * (acc.level + $phi * $t0))"
+    val tr1 = s"($b * ($lvl1 - acc.level) + (1.0d - $b) * $phi * $t0)"
+    val lvl2 =
+      s"($a * p.v + (1.0d - $a) * (acc.level + $phi * acc.trend))"
+    val tr2 =
+      s"($b * ($lvl2 - acc.level) + (1.0d - $b) * $phi * acc.trend)"
     val fold = expr(
       s"""aggregate(__pts__,
          |  struct(cast(0 as int) as i, cast(0.0 as double) as level,
@@ -1197,8 +1202,11 @@ object TimeSeriesOps {
         col("__st__.trend").as("trend"): _*)
       .withColumn("h", explode(sequence(lit(1), lit(steps))))
       .select(keyCols.map(col) :+ col("h").cast("long").as("h") :+
-        round(col("level") + col("h").cast("double") * col("trend"), 6)
-          .as("forecast"): _*)
+        round(col("level") +
+          (if (phi == 1.0) col("h").cast("double")
+           else lit(phi) * (lit(1.0) - pow(lit(phi),
+             col("h").cast("double"))) / (1.0 - phi)) *
+          col("trend"), 6).as("forecast"): _*)
   }
 
   /** Double (Holt) exponential smoothing forecast

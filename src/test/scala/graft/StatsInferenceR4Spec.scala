@@ -483,6 +483,34 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     m("u2").getAs[Long]("k_cats") shouldBe 1L
   }
 
+  test("damped Holt pulls long-horizon forecasts toward the level") {
+    import graft.timeseries.TimeSeriesOps
+    val up = (0 until 20).map(i => ("k", i, 10.0 + 3.0 * i))
+      .toDF("k", "t", "v")
+    def fc(phi: Double) = TimeSeriesOps.groupedHoltForecast(
+      up, "v", "t", Seq("k"), 0.4, 0.3, steps = 3, phi = phi)
+      .orderBy("h").collect().map(_.getAs[Double]("forecast"))
+    val plain = fc(1.0); val damped = fc(0.8)
+    // rising series: damped forecasts sit below the undamped line,
+    // and the gap widens with the horizon
+    (0 until 3).foreach(i => damped(i) should be < plain(i))
+    (plain(2) - damped(2)) should be > (plain(0) - damped(0))
+    // phi = 1 exactly matches the driver recurrence
+    plain(0) shouldBe TimeSeriesOps.holtForecast(
+      (0 until 20).map(i => 10.0 + 3.0 * i), 0.4, 0.3, 1).head +- 1e-9
+  }
+
+  test("modifiedZScore flags a planted spike, robust to it") {
+    val df = ((1 to 99).map(i => (i.toLong, 50L + i % 5)) :+
+      (999L, 5000L)).toDF("id", "v")
+    val r = StatsOps.modifiedZScore(df, "v").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    r(999L).getAs[Boolean]("outlier") shouldBe true
+    r(999L).getAs[Double]("mod_z") should be > 100.0
+    (1 to 99).foreach(i =>
+      r(i.toLong).getAs[Boolean]("outlier") shouldBe false)
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
