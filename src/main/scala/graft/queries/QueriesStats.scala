@@ -632,6 +632,31 @@ object QueriesStats {
         .orderBy("event_type", "h")
     }),
 
+    // §2.11 per-key linear-trend forecast on an hour index
+    "q314_trend_forecast" -> ((s, d) => {
+      // small index + dollar scale keep every OLS sum inside 2^53
+      // so the closed form replays exactly in the oracle
+      val hourly = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(round(col("value")).cast("long")).cast("double")
+          .as("v"))
+        .withColumn("ti",
+          (unix_timestamp(col("b")) / 3600).cast("long") - 438288)
+      TimeSeriesOps.groupedTrendForecast(hourly, "v", "ti",
+        Seq("event_type"), steps = 3)
+        .orderBy("event_type", "h")
+    }),
+
+    // burstiness: Fano factor of hourly event counts per type
+    "q315_fano" -> ((s, d) =>
+      StatsOps.fanoFactor(
+        t(s, d, "events").withColumn("hb",
+          date_trunc("hour", col("ts"))),
+        "event_type", "hb")
+        .orderBy("event_type")),
+
     // §2.11 damped-trend (Gardner–McKenzie) grouped Holt, φ = 0.8
     "q312_damped_holt" -> ((s, d) => {
       val hourly = t(s, d, "events")
@@ -2696,6 +2721,52 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q314_trend_forecast" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS b,
+        |    CAST(sum(CAST(round(value) AS BIGINT)) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT event_type,
+        |    CAST(CAST(epoch(b) / 3600 AS BIGINT) - 438288 AS DOUBLE)
+        |      AS x, v
+        |  FROM hourly),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(v) AS sy, sum(x * x) AS sxx,
+        |    sum(x * v) AS sxy, max(x) AS tmax
+        |  FROM ix GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, sx, sy, tmax,
+        |    CASE WHEN n > 1 AND n * sxx - sx * sx <> 0
+        |      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS b
+        |  FROM g),
+        |f2 AS (
+        |  SELECT event_type, tmax, b, (sy - b * sx) / n AS a FROM f)
+        |SELECT event_type, CAST(h AS BIGINT) AS h,
+        |  round(a + b * (tmax + CAST(h AS DOUBLE)), 6) AS forecast
+        |FROM f2 CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) hs
+        |ORDER BY event_type, h""".stripMargin,
+
+    "q315_fano" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hb,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS k,
+        |    CAST(sum(c) AS DOUBLE) AS s1,
+        |    CAST(sum(c * c) AS DOUBLE) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, CAST(k AS BIGINT) AS n_buckets,
+        |  round(s1 / k, 6) AS mean_count,
+        |  round(((s2 - s1 * s1 / k) / (k - 1)) / (s1 / k), 6) AS fano
+        |FROM g WHERE k > 1 ORDER BY event_type""".stripMargin,
 
     "q312_damped_holt" ->
       """WITH RECURSIVE hourly AS (

@@ -1755,6 +1755,29 @@ object StatsOps {
       .drop("__i__", "__n__", "__padj__")
   }
 
+  /** Fano factor / index of dispersion per key: variance-to-mean
+    * ratio of the per-bucket event counts — the burstiness
+    * diagnostic (1 = Poisson, > 1 overdispersed/bursty, < 1
+    * regular). Two keyed aggregates: bucket counts, then exact
+    * moment sums per key. */
+  def fanoFactor(df0: DataFrame, keyCol: String,
+      bucketCol: String): DataFrame = {
+    val df = df0.filter(col(keyCol).isNotNull &&
+      col(bucketCol).isNotNull)
+    val counts = df.groupBy(col(keyCol), col(bucketCol))
+      .agg(count(lit(1)).as("__c__"))
+    counts.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("double").as("__k__"),
+        sum(col("__c__")).cast("double").as("__s1__"),
+        sum(col("__c__") * col("__c__")).cast("double").as("__s2__"))
+      .filter(col("__k__") > 1)
+      .select(col(keyCol), col("__k__").cast("long").as("n_buckets"),
+        round(col("__s1__") / col("__k__"), 6).as("mean_count"),
+        round(((col("__s2__") - col("__s1__") * col("__s1__") /
+          col("__k__")) / (col("__k__") - 1)) /
+          (col("__s1__") / col("__k__")), 6).as("fano"))
+  }
+
   /** Modified z-score outliers (Iglewicz–Hoaglin): Mᵢ =
     * 0.6745·(xᵢ − med)/MAD with the GLOBAL median and median
     * absolute deviation — the robust replacement for ±3σ flagging

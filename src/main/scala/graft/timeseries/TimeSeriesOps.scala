@@ -1152,6 +1152,38 @@ object TimeSeriesOps {
     }
   }
 
+  /** Per-key linear-trend forecast: OLS of each key's series on its
+    * time index, extrapolated h steps past the key's last
+    * observation — the unsmoothed sibling of
+    * [[groupedHoltForecast]]. One hash aggregate of exact sums per
+    * key (the groupedLinearRegression shape), closed-form
+    * extrapolation, no iteration. Degenerate keys (constant index or
+    * n < 2) emit null forecasts. */
+  def groupedTrendForecast(df: DataFrame, valueCol: String,
+      orderCol: String, keyCols: Seq[String],
+      steps: Int): DataFrame = {
+    require(steps >= 1, "steps >= 1")
+    val x = col(orderCol).cast("double")
+    val y = col(valueCol).cast("double")
+    val base = df.filter(col(valueCol).isNotNull &&
+      col(orderCol).isNotNull)
+    val g = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("n"), sum(x).as("sx"),
+        sum(y).as("sy"), sum(x * x).as("sxx"), sum(x * y).as("sxy"),
+        max(x).as("tmax"))
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = when(col("n") > 1 && varx =!= 0,
+      (col("n") * col("sxy") - col("sx") * col("sy")) / varx)
+    g.withColumn("__b__", slope)
+      .withColumn("__a__",
+        (col("sy") - col("__b__") * col("sx")) / col("n"))
+      .withColumn("h", explode(sequence(lit(1), lit(steps))))
+      .select(keyCols.map(col) :+ col("h").cast("long").as("h") :+
+        round(col("__a__") + col("__b__") *
+          (col("tmax") + col("h").cast("double")), 6)
+          .as("forecast"): _*)
+  }
+
   /** PER-KEY distributed Holt forecasting: the [[holtForecast]]
     * recurrence run as a sorted collect_list fold per key (the
     * ewmMean machinery) — one shuffle fits EVERY key's model in

@@ -511,6 +511,39 @@ class StatsInferenceR4Spec extends SparkSpecBase {
       r(i.toLong).getAs[Boolean]("outlier") shouldBe false)
   }
 
+  test("groupedTrendForecast extrapolates exact lines per key") {
+    import graft.timeseries.TimeSeriesOps
+    val df = ((0 until 10).map(i => ("a", i.toLong, 5.0 + 2.0 * i)) ++
+      (0 until 10).map(i => ("b", i.toLong, 100.0 - 3.0 * i)))
+      .toDF("k", "t", "v")
+    val m = TimeSeriesOps.groupedTrendForecast(df, "v", "t",
+      Seq("k"), steps = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("forecast")).toMap
+    m(("a", 1L)) shouldBe 5.0 + 2.0 * 10 +- 1e-9
+    m(("a", 2L)) shouldBe 5.0 + 2.0 * 11 +- 1e-9
+    m(("b", 2L)) shouldBe 100.0 - 3.0 * 11 +- 1e-9
+    // constant index -> null forecast
+    val const = Seq(("c", 1L, 1.0), ("c", 1L, 2.0)).toDF("k", "t", "v")
+    TimeSeriesOps.groupedTrendForecast(const, "v", "t", Seq("k"), 1)
+      .head().isNullAt(2) shouldBe true
+  }
+
+  test("fanoFactor: regular counts -> 0, bursty -> > 1") {
+    // key r: 5 events in each of 6 buckets (variance 0)
+    val regular = for (b <- 1 to 6; _ <- 1 to 5) yield ("r", b)
+    // key s: extreme burst: 20 in one bucket, 1 in five others
+    val bursty = (1 to 20).map(_ => ("s", 1)) ++
+      (2 to 6).map(b => ("s", b))
+    val df = (regular ++ bursty).toDF("k", "b")
+    val m = StatsOps.fanoFactor(df, "k", "b").collect()
+      .map(r => r.getString(0) -> r).toMap
+    m("r").getAs[Double]("fano") shouldBe 0.0
+    m("r").getAs[Double]("mean_count") shouldBe 5.0
+    m("s").getAs[Double]("fano") should be > 1.0
+    m("s").getAs[Long]("n_buckets") shouldBe 6L
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
