@@ -632,6 +632,15 @@ object QueriesStats {
         .orderBy("event_type", "h")
     }),
 
+    // information gain + Theil's U of event_type from the user
+    // residue (asymmetric association; q126's NMI sibling)
+    "q316_info_gain" -> ((s, d) =>
+      StatsOps.informationGain(
+        t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .withColumn("ub", pmod(col("user_id"), lit(5)).cast("long")),
+        "ub", "event_type")),
+
     // §2.11 per-key linear-trend forecast on an hour index
     "q314_trend_forecast" -> ((s, d) => {
       // small index + dollar scale keep every OLS sum inside 2^53
@@ -2721,6 +2730,29 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q316_info_gain" ->
+      """WITH p AS (
+        |  SELECT user_id % 5 AS ub, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT ub, event_type, CAST(count(*) AS DOUBLE) AS c
+        |  FROM p GROUP BY 1, 2),
+        |nt AS (SELECT sum(c) AS n FROM cells),
+        |nx AS (SELECT ub, sum(c) AS nxv FROM cells GROUP BY 1),
+        |ny AS (SELECT event_type, sum(c) AS nyv FROM cells GROUP BY 1),
+        |hy AS (
+        |  SELECT -sum(nyv / n * ln(nyv / n)) AS h_y FROM ny, nt),
+        |hc AS (
+        |  SELECT -sum(c / n * ln(c / nxv)) AS h_y_given_x
+        |  FROM cells JOIN nx USING (ub), nt)
+        |SELECT round(h_y, 6) AS h_y,
+        |  round(h_y_given_x, 6) AS h_y_given_x,
+        |  round(h_y - h_y_given_x, 6) AS info_gain,
+        |  round(CASE WHEN h_y > 0
+        |    THEN (h_y - h_y_given_x) / h_y ELSE 0.0 END, 6)
+        |    AS uncertainty_coef
+        |FROM hy, hc""".stripMargin,
 
     "q314_trend_forecast" ->
       """WITH hourly AS (

@@ -1755,6 +1755,38 @@ object StatsOps {
       .drop("__i__", "__n__", "__padj__")
   }
 
+  /** Information gain of Y from X over two categoricals: H(Y),
+    * conditional H(Y|X) = −Σ (n_xy/n)·ln(n_xy/n_x), IG = H(Y) −
+    * H(Y|X), and Theil's uncertainty coefficient U(Y|X) = IG/H(Y)
+    * (the ASYMMETRIC sibling of [[normalizedMutualInfo]] — which
+    * predictor tells you most about the label). One cell-count
+    * aggregate bounded by |X|·|Y|. */
+  def informationGain(df0: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val cells = df.groupBy(col(xCol).as("__x__"), col(yCol).as("__y__"))
+      .agg(count(lit(1)).cast("double").as("__c__")).cache()
+    val nTot = cells.agg(sum(col("__c__")).as("__n__"))
+    val hx = cells.groupBy(col("__x__"))
+      .agg(sum(col("__c__")).as("__nx__"))
+    val hy = cells.groupBy(col("__y__"))
+      .agg(sum(col("__c__")).as("__ny__"))
+    val hOfY = hy.crossJoin(broadcast(nTot))
+      .agg((-sum(col("__ny__") / col("__n__") *
+        log(col("__ny__") / col("__n__")))).as("h_y"))
+    val hCond = cells.join(broadcast(hx), Seq("__x__"))
+      .crossJoin(broadcast(nTot))
+      .agg((-sum(col("__c__") / col("__n__") *
+        log(col("__c__") / col("__nx__")))).as("h_y_given_x"))
+    hOfY.crossJoin(hCond)
+      .select(round(col("h_y"), 6).as("h_y"),
+        round(col("h_y_given_x"), 6).as("h_y_given_x"),
+        round(col("h_y") - col("h_y_given_x"), 6).as("info_gain"),
+        round(when(col("h_y") > 0,
+          (col("h_y") - col("h_y_given_x")) / col("h_y"))
+          .otherwise(lit(0.0)), 6).as("uncertainty_coef"))
+  }
+
   /** Fano factor / index of dispersion per key: variance-to-mean
     * ratio of the per-bucket event counts — the burstiness
     * diagnostic (1 = Poisson, > 1 overdispersed/bursty, < 1

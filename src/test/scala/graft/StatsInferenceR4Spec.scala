@@ -544,6 +544,22 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     m("s").getAs[Long]("n_buckets") shouldBe 6L
   }
 
+  test("informationGain: perfect predictor -> U=1, independent -> ~0") {
+    // x fully determines y
+    val perfect = (Seq.fill(30)(("a", "u")) ++ Seq.fill(20)(("b", "v")))
+      .toDF("x", "y")
+    val r = StatsOps.informationGain(perfect, "x", "y").head()
+    r.getAs[Double]("h_y_given_x") shouldBe 0.0
+    r.getAs[Double]("uncertainty_coef") shouldBe 1.0
+    r.getAs[Double]("info_gain") shouldBe r.getAs[Double]("h_y")
+    // balanced independence: every (x, y) cell equal
+    val indep = (for (x0 <- Seq("a", "b"); y0 <- Seq("u", "v");
+      _ <- 1 to 10) yield (x0, y0)).toDF("x", "y")
+    val r2 = StatsOps.informationGain(indep, "x", "y").head()
+    r2.getAs[Double]("info_gain") shouldBe 0.0 +- 1e-9
+    r2.getAs[Double]("h_y") shouldBe math.log(2.0) +- 1e-6
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
