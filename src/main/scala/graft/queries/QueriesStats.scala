@@ -632,6 +632,15 @@ object QueriesStats {
         .orderBy("event_type", "h")
     }),
 
+    // importance-weighted mean + linearized SE + Kish n_eff of
+    // quantity under linenumber weights (weighted-sample estimation)
+    "q317_weighted_mean_se" -> ((s, d) =>
+      StatsOps.weightedMeanSe(
+        t(s, d, "lineitem").select(
+          col("l_quantity").cast("long").as("x"),
+          col("l_linenumber").cast("long").as("w")),
+        "x", "w")),
+
     // information gain + Theil's U of event_type from the user
     // residue (asymmetric association; q126's NMI sibling)
     "q316_info_gain" -> ((s, d) =>
@@ -2730,6 +2739,31 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q317_weighted_mean_se" ->
+      """WITH c AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(l_linenumber AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+        |    AND l_linenumber > 0),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(w) AS DOUBLE) AS sw,
+        |    CAST(sum(w * x) AS DOUBLE) AS swx,
+        |    CAST(sum(w * w) AS DOUBLE) AS sww,
+        |    CAST(sum(w * w * x) AS DOUBLE) AS swwx,
+        |    CAST(sum(w * w * x * x) AS DOUBLE) AS swwxx
+        |  FROM c),
+        |f AS (
+        |  SELECT n, sw, sww, swx / sw AS m,
+        |    swwxx - 2.0 * (swx / sw) * swwx +
+        |      (swx / sw) * (swx / sw) * sww AS lin
+        |  FROM s)
+        |SELECT CAST(n AS BIGINT) AS n, round(m, 6) AS weighted_mean,
+        |  round(sqrt(greatest(0.0, lin)) / sw, 6) AS se,
+        |  round(sw * sw / sww, 6) AS n_eff
+        |FROM f""".stripMargin,
 
     "q316_info_gain" ->
       """WITH p AS (

@@ -1755,6 +1755,34 @@ object StatsOps {
       .drop("__i__", "__n__", "__padj__")
   }
 
+  /** Importance-weighted mean with the Taylor-linearized standard
+    * error (survey / importance-sampling estimation — how to read a
+    * weighted sample of the corpus): x̄w = Σwx/Σw,
+    * se = √(Σw²(x−x̄w)²)/Σw (Hájek linearization), and Kish's
+    * effective sample size n_eff = (Σw)²/Σw². ONE aggregate of five
+    * sums via the algebraic expansion Σw²(x−m)² = Σw²x² − 2m·Σw²x +
+    * m²·Σw² — no second pass. Integral w/x (cents pattern) keep the
+    * sums exact. */
+  def weightedMeanSe(df0: DataFrame, valueCol: String,
+      weightCol: String): DataFrame = {
+    val df = df0.filter(col(valueCol).isNotNull &&
+      col(weightCol).isNotNull && col(weightCol) > 0)
+    val x = col(valueCol); val w = col(weightCol)
+    val s = df.agg(count(lit(1)).cast("double").as("n"),
+      sum(w).cast("double").as("sw"),
+      sum(w * x).cast("double").as("swx"),
+      sum(w * w).cast("double").as("sww"),
+      sum(w * w * x).cast("double").as("swwx"),
+      sum(w * w * x * x).cast("double").as("swwxx"))
+    val m = col("swx") / col("sw")
+    val lin = col("swwxx") - lit(2.0) * m * col("swwx") +
+      m * m * col("sww")
+    s.select(col("n").cast("long").as("n"),
+      round(m, 6).as("weighted_mean"),
+      round(sqrt(greatest(lit(0.0), lin)) / col("sw"), 6).as("se"),
+      round(col("sw") * col("sw") / col("sww"), 6).as("n_eff"))
+  }
+
   /** Information gain of Y from X over two categoricals: H(Y),
     * conditional H(Y|X) = −Σ (n_xy/n)·ln(n_xy/n_x), IG = H(Y) −
     * H(Y|X), and Theil's uncertainty coefficient U(Y|X) = IG/H(Y)

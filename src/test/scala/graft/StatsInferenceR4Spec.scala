@@ -560,6 +560,25 @@ class StatsInferenceR4Spec extends SparkSpecBase {
     r2.getAs[Double]("h_y") shouldBe math.log(2.0) +- 1e-6
   }
 
+  test("weightedMeanSe: hand-computed Hajek estimates") {
+    // x=[1,3], w=[3,1]: mean 1.5, lin = 9*.25 + 1*2.25 = 4.5,
+    // se = sqrt(4.5)/4, n_eff = 16/10
+    val df = Seq((1L, 3L), (3L, 1L)).toDF("x", "w")
+    val r = StatsOps.weightedMeanSe(df, "x", "w").head()
+    r.getAs[Double]("weighted_mean") shouldBe 1.5
+    r.getAs[Double]("se") shouldBe math.sqrt(4.5) / 4.0 +- 1e-6
+    r.getAs[Double]("n_eff") shouldBe 1.6 +- 1e-9
+    // uniform weights: n_eff = n, mean = plain mean
+    val u = Seq((2L, 5L), (4L, 5L), (6L, 5L)).toDF("x", "w")
+    val r2 = StatsOps.weightedMeanSe(u, "x", "w").head()
+    r2.getAs[Double]("weighted_mean") shouldBe 4.0
+    r2.getAs[Double]("n_eff") shouldBe 3.0
+    // zero/negative weights are dropped
+    val z = Seq((1L, 0L), (9L, 2L)).toDF("x", "w")
+    StatsOps.weightedMeanSe(z, "x", "w").head()
+      .getAs[Double]("weighted_mean") shouldBe 9.0
+  }
+
   test("semMad: hand-computed group values") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 10L)).toDF("g", "v")
