@@ -632,6 +632,19 @@ object QueriesStats {
         .orderBy("event_type", "h")
     }),
 
+    // categorical feature screening: IG / Theil's U of event_type
+    // from three derived features, ranked
+    "q318_ig_screen" -> ((s, d) =>
+      StatsOps.informationGainMulti(
+        t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull
+            && col("value").isNotNull)
+          .select(col("event_type"),
+            pmod(col("user_id"), lit(5)).cast("long").as("ub"),
+            hour(col("ts")).cast("long").as("hod"),
+            (col("value") >= 50.0).cast("long").as("hv")),
+        Seq("ub", "hod", "hv"), "event_type")),
+
     // importance-weighted mean + linearized SE + Kish n_eff of
     // quantity under linenumber weights (weighted-sample estimation)
     "q317_weighted_mean_se" -> ((s, d) =>
@@ -2739,6 +2752,49 @@ object QueriesStats {
         |  round(p.v - p.trend - s.seasonal, 6) AS resid
         |FROM ph p LEFT JOIN seas s
         |  ON p.event_type = s.event_type AND p.phase = s.phase""".stripMargin,
+
+    "q318_ig_screen" -> {
+      def block(fexpr: String, fname: String) =
+        s"""SELECT '$fname' AS feature, round(h_y, 6) AS h_y,
+           |  round(h_y_given_x, 6) AS h_y_given_x,
+           |  round(h_y - h_y_given_x, 6) AS info_gain,
+           |  round(CASE WHEN h_y > 0
+           |    THEN (h_y - h_y_given_x) / h_y ELSE 0.0 END, 6)
+           |    AS uncertainty_coef
+           |FROM (
+           |  SELECT
+           |    (SELECT -sum(nyv / n * ln(nyv / n)) FROM
+           |      (SELECT event_type, sum(c) AS nyv FROM cells_$fname
+           |       GROUP BY 1) yv,
+           |      (SELECT sum(c) AS n FROM cells_$fname) nt) AS h_y,
+           |    (SELECT -sum(c / n * ln(c / nxv)) FROM cells_$fname
+           |      JOIN (SELECT fx, sum(c) AS nxv FROM cells_$fname
+           |            GROUP BY 1) xv USING (fx),
+           |      (SELECT sum(c) AS n FROM cells_$fname) nt) AS h_y_given_x
+           |)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT event_type, user_id % 5 AS ub, hour(ts) AS hod,
+         |    CAST(value >= 50.0 AS BIGINT) AS hv
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL),
+         |cells_ub AS (
+         |  SELECT ub AS fx, event_type, CAST(count(*) AS DOUBLE) AS c
+         |  FROM base WHERE ub IS NOT NULL GROUP BY 1, 2),
+         |cells_hod AS (
+         |  SELECT hod AS fx, event_type, CAST(count(*) AS DOUBLE) AS c
+         |  FROM base WHERE hod IS NOT NULL GROUP BY 1, 2),
+         |cells_hv AS (
+         |  SELECT hv AS fx, event_type, CAST(count(*) AS DOUBLE) AS c
+         |  FROM base WHERE hv IS NOT NULL GROUP BY 1, 2)
+         |SELECT * FROM (
+         |${block("ub", "ub")}
+         |UNION ALL
+         |${block("hod", "hod")}
+         |UNION ALL
+         |${block("hv", "hv")})
+         |ORDER BY uncertainty_coef DESC, feature""".stripMargin
+    },
 
     "q317_weighted_mean_se" ->
       """WITH c AS (

@@ -1755,6 +1755,23 @@ object StatsOps {
       .drop("__i__", "__n__", "__padj__")
   }
 
+  /** Categorical feature screening: [[informationGain]] of the label
+    * from EVERY listed feature, one row per feature ranked by
+    * uncertainty coefficient — the categorical analogue of the
+    * F-score table (featureScores). The feature list is bounded and
+    * client-side; each feature costs one cell-bounded aggregate. */
+  def informationGainMulti(df: DataFrame, features: Seq[String],
+      labelCol: String): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    features.map { f =>
+      informationGain(df, f, labelCol)
+        .select(lit(f).as("feature"), col("h_y"),
+          col("h_y_given_x"), col("info_gain"),
+          col("uncertainty_coef"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("uncertainty_coef").desc, col("feature"))
+  }
+
   /** Importance-weighted mean with the Taylor-linearized standard
     * error (survey / importance-sampling estimation — how to read a
     * weighted sample of the corpus): x̄w = Σwx/Σw,
