@@ -460,10 +460,16 @@ object QueriesPipeline {
         .orderBy("source")),
 
     // on-cluster word-embedding training (MLlib Word2Vec skip-gram;
-    // rows-only — SGD internals; neighborhood-structure spec'd)
+    // rows-only — SGD internals; neighborhood-structure spec'd).
+    // Gate output is projected to sortable SCALARS (word, rounded
+    // L2 norm) — the raw array<float> vector column crashes the
+    // driver's pandas row-sorter (round-4 verdict item 1).
     "q297_word2vec" -> ((s, d) =>
       graft.llm.CorpusOps.word2vec(
-        t(s, d, "documents"), "text", dim = 8, minCount = 10)),
+        t(s, d, "documents"), "text", dim = 8, minCount = 10)
+        .select(col("word"),
+          round(sqrt(aggregate(col("vector"), lit(0.0d),
+            (acc, x) => acc + x * x)), 6).as("l2_norm"))),
 
     // RAKE keyword extraction: top-20 stopword-delimited phrases by
     // deg/freq word scores, appearing >= 3 times

@@ -465,11 +465,15 @@ object QueriesStats {
     }),
 
     // §2.12 Mood's median test across event types (pooled-median
-    // 2×k chi-square; robust sibling of Kruskal–Wallis)
+    // 2×k chi-square; robust sibling of Kruskal–Wallis). Gate =
+    // statistic + dof + n only (the q277 convention): the p-value is
+    // spec'd in Scala, not oracled, so the gate is not coupled to
+    // the dataset's group count via a hardcoded-dof tail formula.
     "q304_moods_median" -> ((s, d) =>
       StatsOps.moodsMedianTest(
         t(s, d, "events").withColumn("vc", cents(col("value"))),
-        "vc", "event_type")),
+        "vc", "event_type")
+        .select(col("chi2"), col("dof"), col("n"))),
 
     // Page–Hinkley sequential drift detection per event type
     // (running-mean deviation cumsum minus its running minimum)
@@ -3585,8 +3589,7 @@ object QueriesStats {
         |  SELECT k, nn, round(sum(cell), 6) AS chi2
         |  FROM cells GROUP BY 1, 2)
         |SELECT chi2, CAST(k - 1 AS BIGINT) AS dof,
-        |  CAST(nn AS BIGINT) AS n,
-        |  round(exp(-chi2 / 2) * (1 + chi2 / 2), 6) AS p_value
+        |  CAST(nn AS BIGINT) AS n
         |FROM f""".stripMargin,
 
     "q301_page_hinkley" ->
@@ -3645,7 +3648,7 @@ object QueriesStats {
         |      AS lrv
         |  FROM g, mt)
         |SELECT round(m, 6) AS mean, CAST(n AS BIGINT) AS n,
-        |  round(sqrt(g0 / n / n), 6) AS se_iid,
+        |  round(sqrt(g0 / (n - 1) / n), 6) AS se_iid,
         |  round(sqrt(lrv / n / n), 6) AS se_hac,
         |  round(m / sqrt(lrv / n / n), 6) AS t_hac
         |FROM f""".stripMargin,

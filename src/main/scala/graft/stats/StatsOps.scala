@@ -1809,8 +1809,12 @@ object StatsOps {
   def informationGain(df0: DataFrame, xCol: String,
       yCol: String): DataFrame = {
     val df = df0.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // no cache: every branch below lands in ONE final plan, so
+    // Spark's ReuseExchange dedupes the cell-count shuffle; a cache
+    // here would leak one persisted plan per screened feature when
+    // called from informationGainMulti
     val cells = df.groupBy(col(xCol).as("__x__"), col(yCol).as("__y__"))
-      .agg(count(lit(1)).cast("double").as("__c__")).cache()
+      .agg(count(lit(1)).cast("double").as("__c__"))
     val nTot = cells.agg(sum(col("__c__")).as("__n__"))
     val hx = cells.groupBy(col("__x__"))
       .agg(sum(col("__c__")).as("__nx__"))

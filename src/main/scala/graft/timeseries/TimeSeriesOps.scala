@@ -234,7 +234,9 @@ object TimeSeriesOps {
         sum(when(col("lag") === 0, col("__g__"))).as("__g0__"))
       .select(round(col("mean"), 6).as("mean"),
         col("n").cast("long").as("n"),
-        round(sqrt(col("__g0__") / col("n") / col("n")), 6)
+        // n−1 denominator: the plain SE of a mean uses the SAMPLE
+        // variance (statsmodels parity); γ̂₀/n would understate it
+        round(sqrt(col("__g0__") / (col("n") - 1) / col("n")), 6)
           .as("se_iid"),
         round(sqrt(col("__lrv__") / col("n") / col("n")), 6)
           .as("se_hac"),

@@ -225,7 +225,10 @@ object RollingOps {
       val lo = floor(h).cast("int")
       val vLo = element_at(a, lo + 1)
       val vHi = element_at(a, least(lo + 2, c))
-      vLo + (h - lo.cast("double")) * (vHi - vLo)
+      // guard the empty window (all-null values in the span):
+      // element_at(a, 1) on an empty array throws under ANSI mode;
+      // emit null med/MAD so null-only windows pass through unflagged
+      when(c > 0, vLo + (h - lo.cast("double")) * (vHi - vLo))
     }
     // window results land in intermediate columns first: lambda
     // bodies cannot nest window expressions, outer refs are fine

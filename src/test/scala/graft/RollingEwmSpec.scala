@@ -360,4 +360,23 @@ class RollingEwmSpec extends SparkSpecBase {
         (50.0 + (i % 3))
     }
   }
+
+  test("hampel: all-null window emits null med/mad, no ANSI crash") {
+    import spark.implicits._
+    // a lone non-null far from a cluster of nulls: the centered
+    // 3-windows around ords 5..7 contain ONLY nulls -> empty
+    // collect_list; must pass through unflagged with null median
+    // (not throw INVALID_INDEX_OF_ZERO under ANSI mode)
+    val df = Seq((1, Some(10.0)), (2, Some(11.0)), (3, None),
+      (4, None), (5, None), (6, None), (7, None))
+      .toDF("ord", "v")
+    val r = RollingOps.hampel(df, "v", n = 3, Seq("ord"))
+      .orderBy("ord").collect()
+    val byOrd = r.map(x => x.getInt(0) -> x).toMap
+    byOrd(6).getAs[Boolean]("hampel_outlier") shouldBe false
+    byOrd(6).isNullAt(byOrd(6).fieldIndex("hampel_median")) shouldBe true
+    byOrd(6).isNullAt(byOrd(6).fieldIndex("hampel_filtered")) shouldBe true
+    // non-null points unaffected
+    byOrd(1).getAs[Double]("hampel_filtered") shouldBe 10.0
+  }
 }
