@@ -48,6 +48,28 @@ object QueriesExt {
         .select("event_id", "event_type", "ewm_cov", "ewm_corr")
     }),
 
+    // §2.5a EWM with ignore_na=false — the PANDAS DEFAULT positional
+    // weighting (reference src/series/window.rs:555-602): a gap of g
+    // null rows decays every prior weight by (1-α)^g and null rows
+    // emit the carried value. Three outputs in one gate: adjust=true
+    // mean, adjust=false recursive mean, adjust=true unbiased var —
+    // each replayed by the recursive-CTE oracle over ALL rows
+    // (nulls included). No rounding (q57 note).
+    "q319_ewm_ignorena" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .select("event_id", "user_id", "value")
+      val m1 = RollingOps.ewmMean(base, "value", "event_id",
+        Seq("user_id"), alpha = 0.5, adjust = true,
+        ignoreNa = false, outName = "ewm_adj")
+      val m2 = RollingOps.ewmMean(m1, "value", "event_id",
+        Seq("user_id"), alpha = 0.5, adjust = false,
+        ignoreNa = false, outName = "ewm_rec")
+      RollingOps.ewmVar(m2, "value", "event_id", Seq("user_id"),
+        alpha = 0.5, ignoreNa = false, outName = "ewm_var")
+        .select("event_id", "user_id", "ewm_adj", "ewm_rec",
+          "ewm_var")
+    }),
+
     // §2.13 DBSCAN on 1-D supplier balances (cents): the grid-cell
     // candidate join degenerates to exact pairs, so the whole chain
     // (degrees → cores → CC clusters → border attach) is oracle-able
@@ -774,6 +796,58 @@ object QueriesExt {
         |SELECT p.id AS s_suppkey, lab.cluster AS cluster,
         |  coalesce(lab.is_core, FALSE) AS is_core
         |FROM p LEFT JOIN lab ON lab.id = p.id""".stripMargin,
+
+    // ignore_na=false replay: the CTE walks EVERY row (nulls
+    // included), decaying accumulators without adding on null rows —
+    // identical 0.5-multiplier arithmetic to the Scala fold, so no
+    // rounding is needed (q57 note)
+    "q319_ewm_ignorena" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rn,
+        |    CASE WHEN x IS NULL THEN CAST(0.0 AS DOUBLE) ELSE x END
+        |      AS num,
+        |    CASE WHEN x IS NULL THEN CAST(0.0 AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END AS den,
+        |    CASE WHEN x IS NULL THEN CAST(0.0 AS DOUBLE)
+        |         ELSE x * x END AS num2,
+        |    CASE WHEN x IS NULL THEN CAST(0.0 AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END AS den2,
+        |    x AS prev,
+        |    CASE WHEN x IS NULL THEN CAST(0.0 AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END AS ow
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    CASE WHEN b.x IS NULL THEN 0.5 * r.num
+        |         ELSE 0.5 * r.num + b.x END,
+        |    CASE WHEN b.x IS NULL THEN 0.5 * r.den
+        |         ELSE 0.5 * r.den + 1.0 END,
+        |    CASE WHEN b.x IS NULL THEN 0.5 * r.num2
+        |         ELSE 0.5 * r.num2 + b.x * b.x END,
+        |    CASE WHEN b.x IS NULL THEN 0.5 * 0.5 * r.den2
+        |         ELSE 0.5 * 0.5 * r.den2 + 1.0 END,
+        |    CASE WHEN b.x IS NULL THEN r.prev
+        |         WHEN r.prev IS NULL THEN b.x
+        |         ELSE (0.5 * r.ow * r.prev + 0.5 * b.x) /
+        |              (0.5 * r.ow + 0.5) END,
+        |    CASE WHEN b.x IS NULL THEN 0.5 * r.ow
+        |         ELSE CAST(1.0 AS DOUBLE) END
+        |  FROM base b JOIN r ON b.user_id = r.user_id
+        |    AND b.rn = r.rn + 1)
+        |SELECT event_id, user_id,
+        |  CASE WHEN den > 0.0 THEN num / den END AS ewm_adj,
+        |  prev AS ewm_rec,
+        |  CASE WHEN den * den - den2 > 0.0
+        |    THEN (CASE WHEN den > 0.0
+        |            THEN num2 / den - (num / den) * (num / den) END) *
+        |      (den * den) / (den * den - den2)
+        |  END AS ewm_var
+        |FROM r""".stripMargin,
 
     "q85_ewm_var" ->
       """WITH RECURSIVE base AS (

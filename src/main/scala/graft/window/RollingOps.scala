@@ -365,40 +365,58 @@ object RollingOps {
     *
     * adjust=true:  y_t = Σ w_i x_i / Σ w_i, w_i = (1-α)^(t-i)
     * adjust=false: y_t = (1-α) y_{t-1} + α x_t  (y_0 = x_0)
-    */
+    *
+    * ignoreNa=true (this library's historical default): nulls are
+    * skipped entirely — a missing value neither poisons nor resets
+    * the recurrence, and null rows emit null. ignoreNa=false is the
+    * PANDAS DEFAULT (reference src/series/window.rs:555-602
+    * `ignore_na`): weights decay by absolute POSITION, so a gap of g
+    * missing rows multiplies every prior weight by (1-α)^g, and
+    * missing rows emit the carried (last computed) value. */
   def ewmMean(df: DataFrame, valueCol: String, orderCol: String,
       partitionCols: Seq[String], alpha: Double,
-      adjust: Boolean = true, outName: String = "ewm"): DataFrame = {
-    // nulls are skipped entirely (pandas ignore_na=true semantics —
-    // documented divergence from the position-weighted default), so a
-    // missing value neither poisons nor resets the recurrence.
+      adjust: Boolean = true, ignoreNa: Boolean = true,
+      outName: String = "ewm"): DataFrame = {
     // (partitionCols, orderCol) must uniquely identify rows: the
     // result is joined back on that key.
-    val grouped = df.filter(col(valueCol).isNotNull)
+    val base = if (ignoreNa) df.filter(col(valueCol).isNotNull) else df
+    val grouped = base
       .groupBy(partitionCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
         col(valueCol).cast("double").as("v")))).as("__pts__"))
+    val oT = df.schema(orderCol).dataType.sql
+    // post-update accumulators, written inline so the emitted element
+    // uses the new values; the ignoreNa=false variants decay WITHOUT
+    // adding on a null point (positional weights)
+    val nN =
+      if (ignoreNa) s"((1.0d - $alpha) * acc.num + p.v)"
+      else s"""(CASE WHEN p.v IS NULL THEN (1.0d - $alpha) * acc.num
+              |  ELSE (1.0d - $alpha) * acc.num + p.v END)""".stripMargin
+    val nD =
+      if (ignoreNa) s"((1.0d - $alpha) * acc.den + 1.0d)"
+      else s"""(CASE WHEN p.v IS NULL THEN (1.0d - $alpha) * acc.den
+              |  ELSE (1.0d - $alpha) * acc.den + 1.0d END)""".stripMargin
     // fold over the ordered points, emitting the running EWM per point
     val fold =
-      if (adjust)
+      if (adjust) {
         // acc = (num, den); num_t = (1-a)*num + x, den_t = (1-a)*den + 1
+        val eA =
+          if (ignoreNa) s"$nN / $nD"
+          else s"(CASE WHEN $nD > 0.0d THEN $nN / $nD END)"
         expr(
           s"""transform(
              |  aggregate(__pts__,
-             |    struct(cast(array() as array<struct<o: ${df.schema(orderCol).dataType.sql}, e: double>>) as outp,
+             |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
              |           cast(0.0 as double) as num, cast(0.0 as double) as den),
              |    (acc, p) -> struct(
-             |      acc.outp || array(struct(p.o as o,
-             |        ((1.0d - $alpha) * acc.num + p.v) /
-             |        ((1.0d - $alpha) * acc.den + 1.0d) as e)),
-             |      (1.0d - $alpha) * acc.num + p.v,
-             |      (1.0d - $alpha) * acc.den + 1.0d)).outp,
+             |      acc.outp || array(struct(p.o as o, $eA as e)),
+             |      $nN, $nD)).outp,
              |  x -> x)""".stripMargin)
-      else
+      } else if (ignoreNa)
         expr(
           s"""transform(
              |  aggregate(__pts__,
-             |    struct(cast(array() as array<struct<o: ${df.schema(orderCol).dataType.sql}, e: double>>) as outp,
+             |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
              |           cast(null as double) as prev),
              |    (acc, p) -> struct(
              |      acc.outp || array(struct(p.o as o,
@@ -406,6 +424,29 @@ object RollingOps {
              |                 p.v) as e)),
              |      coalesce((1.0d - $alpha) * acc.prev + $alpha * p.v, p.v))).outp,
              |  x -> x)""".stripMargin)
+      else {
+        // adjust=false positional: carry (prev, old_wt); a gap decays
+        // old_wt, the next observation folds in with weight α against
+        // (1-α)·old_wt (pandas _ewm loop with new_wt = α)
+        val eF =
+          s"""(CASE WHEN p.v IS NULL THEN acc.prev
+             |  WHEN acc.prev IS NULL THEN cast(p.v as double)
+             |  ELSE ((1.0d - $alpha) * acc.ow * acc.prev + $alpha * p.v) /
+             |       ((1.0d - $alpha) * acc.ow + $alpha) END)""".stripMargin
+        val owF =
+          s"""(CASE WHEN p.v IS NULL THEN (1.0d - $alpha) * acc.ow
+             |  ELSE 1.0d END)""".stripMargin
+        expr(
+          s"""transform(
+             |  aggregate(__pts__,
+             |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
+             |           cast(null as double) as prev,
+             |           cast(0.0 as double) as ow),
+             |    (acc, p) -> struct(
+             |      acc.outp || array(struct(p.o as o, $eF as e)),
+             |      $eF, $owF)).outp,
+             |  x -> x)""".stripMargin)
+      }
     val exploded = grouped.withColumn("__ewm__", explode(fold))
       .select(partitionCols.map(col) :+
         col("__ewm__.o").as(orderCol) :+
@@ -423,23 +464,38 @@ object RollingOps {
     *
     * biased var = num2/den − (num/den)²; bias=false applies the
     * reliability debias den²/(den²−den2) (null while den² = den2,
-    * i.e. a single effective observation — pandas NaN). */
+    * i.e. a single effective observation — pandas NaN).
+    * ignoreNa=false: positional weight decay across null rows, which
+    * emit the carried value (see [[ewmMean]]). */
   def ewmVar(df: DataFrame, valueCol: String, orderCol: String,
       partitionCols: Seq[String], alpha: Double, bias: Boolean = false,
+      ignoreNa: Boolean = true,
       outName: String = "ewm_var"): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha in (0,1)")
-    val grouped = df.filter(col(valueCol).isNotNull)
+    val base = if (ignoreNa) df.filter(col(valueCol).isNotNull) else df
+    val grouped = base
       .groupBy(partitionCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
         col(valueCol).cast("double").as("v")))).as("__pts__"))
     val a = alpha
     // updated accumulators, written inline so the emitted element uses
-    // the POST-update values
-    val nD = s"((1.0d - $a) * acc.den + 1.0d)"
-    val nN = s"((1.0d - $a) * acc.num + p.v)"
-    val nN2 = s"((1.0d - $a) * acc.num2 + p.v * p.v)"
-    val nD2 = s"((1.0d - $a) * (1.0d - $a) * acc.den2 + 1.0d)"
-    val biased = s"($nN2 / $nD - ($nN / $nD) * ($nN / $nD))"
+    // the POST-update values; the ignoreNa=false variants decay
+    // without adding on a null point
+    def upd(add: String, decay: String) =
+      if (ignoreNa) add
+      else s"(CASE WHEN p.v IS NULL THEN $decay ELSE $add END)"
+    val nD = upd(s"((1.0d - $a) * acc.den + 1.0d)",
+      s"(1.0d - $a) * acc.den")
+    val nN = upd(s"((1.0d - $a) * acc.num + p.v)",
+      s"(1.0d - $a) * acc.num")
+    val nN2 = upd(s"((1.0d - $a) * acc.num2 + p.v * p.v)",
+      s"(1.0d - $a) * acc.num2")
+    val nD2 = upd(s"((1.0d - $a) * (1.0d - $a) * acc.den2 + 1.0d)",
+      s"(1.0d - $a) * (1.0d - $a) * acc.den2")
+    val biased0 = s"($nN2 / $nD - ($nN / $nD) * ($nN / $nD))"
+    val biased =
+      if (ignoreNa) biased0
+      else s"(CASE WHEN $nD > 0.0d THEN $biased0 END)"
     val eExpr =
       if (bias) biased
       else s"""CASE WHEN $nD * $nD - $nD2 > 0.0d
@@ -463,36 +519,57 @@ object RollingOps {
   }
 
   /** Exponentially-weighted moving covariance / correlation between
-    * two columns (pandas ewm().cov()/.corr() parity — the pairwise
+    * two columns (pandas ewm().cov()/.corr() — the pairwise
     * extension of [[ewmVar]], reference src/series/window.rs stops at
     * single-series EWM). Same sorted-fold shape with seven
     * accumulators (Σw, Σw², Σwx, Σwy, Σwxy, Σwx², Σwy²), pairwise-
-    * complete: rows where either column is null are skipped and emit
-    * null. cov applies the den²/(den²−den2) debias unless `bias`;
+    * complete: a row where either column is null adds no observation.
+    * ignoreNa=true (historical default): such rows are dropped from
+    * the fold entirely and emit null — pandas ignore_na=True
+    * semantics. ignoreNa=false (the PANDAS DEFAULT): the gap still
+    * decays every weight by (1-α) and the row emits the carried
+    * value. cov applies the den²/(den²−den2) debias unless `bias`;
     * corr is the biased ratio cov_b/√(varx_b·vary_b) — the debias
     * factors cancel, matching pandas. */
   def ewmCov(df: DataFrame, xCol: String, yCol: String,
       orderCol: String, partitionCols: Seq[String], alpha: Double,
       bias: Boolean = false, corr: Boolean = false,
+      ignoreNa: Boolean = true,
       outName: String = "ewm_cov"): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha in (0,1)")
-    val grouped = df
-      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val base =
+      if (ignoreNa) df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      else df
+    val grouped = base
       .groupBy(partitionCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
         col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y")))).as("__pts__"))
     val a = alpha
-    val nD = s"((1.0d - $a) * acc.den + 1.0d)"
-    val nD2 = s"((1.0d - $a) * (1.0d - $a) * acc.den2 + 1.0d)"
-    val nSx = s"((1.0d - $a) * acc.sx + p.x)"
-    val nSy = s"((1.0d - $a) * acc.sy + p.y)"
-    val nSxy = s"((1.0d - $a) * acc.sxy + p.x * p.y)"
-    val nSxx = s"((1.0d - $a) * acc.sxx + p.x * p.x)"
-    val nSyy = s"((1.0d - $a) * acc.syy + p.y * p.y)"
-    val covB = s"($nSxy / $nD - ($nSx / $nD) * ($nSy / $nD))"
-    val varxB = s"($nSxx / $nD - ($nSx / $nD) * ($nSx / $nD))"
-    val varyB = s"($nSyy / $nD - ($nSy / $nD) * ($nSy / $nD))"
+    def upd(add: String, decay: String) =
+      if (ignoreNa) add
+      else s"""(CASE WHEN p.x IS NULL OR p.y IS NULL THEN $decay
+              |  ELSE $add END)""".stripMargin
+    val nD = upd(s"((1.0d - $a) * acc.den + 1.0d)",
+      s"(1.0d - $a) * acc.den")
+    val nD2 = upd(s"((1.0d - $a) * (1.0d - $a) * acc.den2 + 1.0d)",
+      s"(1.0d - $a) * (1.0d - $a) * acc.den2")
+    val nSx = upd(s"((1.0d - $a) * acc.sx + p.x)",
+      s"(1.0d - $a) * acc.sx")
+    val nSy = upd(s"((1.0d - $a) * acc.sy + p.y)",
+      s"(1.0d - $a) * acc.sy")
+    val nSxy = upd(s"((1.0d - $a) * acc.sxy + p.x * p.y)",
+      s"(1.0d - $a) * acc.sxy")
+    val nSxx = upd(s"((1.0d - $a) * acc.sxx + p.x * p.x)",
+      s"(1.0d - $a) * acc.sxx")
+    val nSyy = upd(s"((1.0d - $a) * acc.syy + p.y * p.y)",
+      s"(1.0d - $a) * acc.syy")
+    def guardD(e: String) =
+      if (ignoreNa) e
+      else s"(CASE WHEN $nD > 0.0d THEN $e END)"
+    val covB = guardD(s"($nSxy / $nD - ($nSx / $nD) * ($nSy / $nD))")
+    val varxB = guardD(s"($nSxx / $nD - ($nSx / $nD) * ($nSx / $nD))")
+    val varyB = guardD(s"($nSyy / $nD - ($nSy / $nD) * ($nSy / $nD))")
     val eExpr =
       if (corr)
         s"""CASE WHEN $varxB * $varyB > 0.0d
@@ -526,17 +603,20 @@ object RollingOps {
     * correlation output. */
   def ewmCorr(df: DataFrame, xCol: String, yCol: String,
       orderCol: String, partitionCols: Seq[String], alpha: Double,
+      ignoreNa: Boolean = true,
       outName: String = "ewm_corr"): DataFrame =
     ewmCov(df, xCol, yCol, orderCol, partitionCols, alpha,
-      corr = true, outName = outName)
+      corr = true, ignoreNa = ignoreNa, outName = outName)
 
   /** EWM standard deviation: sqrt of [[ewmVar]] (clamped at 0 so a
     * −1 ulp variance cannot produce NaN; nulls stay null — greatest()
     * alone would silently turn them into 0). */
   def ewmStd(df: DataFrame, valueCol: String, orderCol: String,
       partitionCols: Seq[String], alpha: Double, bias: Boolean = false,
+      ignoreNa: Boolean = true,
       outName: String = "ewm_std"): DataFrame =
-    ewmVar(df, valueCol, orderCol, partitionCols, alpha, bias, outName)
+    ewmVar(df, valueCol, orderCol, partitionCols, alpha, bias,
+      ignoreNa, outName)
       .withColumn(outName, when(col(outName).isNotNull,
         sqrt(greatest(col(outName), lit(0.0)))))
 

@@ -78,7 +78,7 @@ object PropertiesSpec extends Properties("graft") {
       val df = vals.zipWithIndex.map { case (v, i) => ("g", i, v.toDouble) }
         .toDF("k", "ord", "v")
       val fold = graft.window.RollingOps
-        .ewmMean(df, "v", "ord", Seq("k"), alpha, adjust = true, "e")
+        .ewmMean(df, "v", "ord", Seq("k"), alpha, adjust = true, outName = "e")
         .orderBy("ord").select("e").as[Double].collect().toSeq
       val stream = graft.window.RollingOps
         .ewmScalable(df, "v", "ord", Seq("k"), alpha, "mean", true,

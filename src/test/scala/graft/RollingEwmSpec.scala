@@ -361,6 +361,80 @@ class RollingEwmSpec extends SparkSpecBase {
     }
   }
 
+  test("ewm ignore_na=false: positional weights diverge from " +
+      "ignore_na=true on a gappy series (pandas-pinned)") {
+    import spark.implicits._
+    val df = Seq((1, Some(1.0)), (2, Option.empty[Double]),
+      (3, Some(2.0))).toDF("ord", "v").withColumn("g", lit(1))
+    // pandas ewm(alpha=0.5, adjust=True, ignore_na=False).mean():
+    // [1.0, 1.0 (carried), (0.25*1 + 1*2)/1.25 = 1.8]
+    val pos = RollingOps.ewmMean(df, "v", "ord", Seq("g"), 0.5,
+      adjust = true, ignoreNa = false, outName = "m")
+      .orderBy("ord").select("m").as[Option[Double]].collect()
+    pos shouldBe Array(Some(1.0), Some(1.0), Some(1.8))
+    // ignore_na=True: (0.5*1 + 2)/1.5 = 5/3, null row emits null
+    val skip = RollingOps.ewmMean(df, "v", "ord", Seq("g"), 0.5,
+      adjust = true, ignoreNa = true, outName = "m")
+      .orderBy("ord").select("m").as[Option[Double]].collect()
+    skip(0) shouldBe Some(1.0)
+    skip(1) shouldBe None
+    skip(2).get shouldBe (5.0 / 3.0 +- 1e-12)
+  }
+
+  test("ewm adjust=false ignore_na=false matches the pandas " +
+      "old_wt recursion across a gap") {
+    import spark.implicits._
+    val df = Seq((1, Some(1.0)), (2, Option.empty[Double]),
+      (3, Some(2.0))).toDF("ord", "v").withColumn("g", lit(1))
+    // pandas ewm(alpha=0.5, adjust=False, ignore_na=False).mean():
+    // old_wt decays to 0.25 across the gap ->
+    // (0.25*1 + 0.5*2)/0.75 = 5/3
+    val r = RollingOps.ewmMean(df, "v", "ord", Seq("g"), 0.5,
+      adjust = false, ignoreNa = false, outName = "m")
+      .orderBy("ord").select("m").as[Option[Double]].collect()
+    r(0) shouldBe Some(1.0)
+    r(1) shouldBe Some(1.0)
+    r(2).get shouldBe (5.0 / 3.0 +- 1e-12)
+    // leading nulls emit null until the first observation
+    val lead = Seq((1, Option.empty[Double]), (2, Some(4.0)))
+      .toDF("ord", "v").withColumn("g", lit(1))
+    val r2 = RollingOps.ewmMean(lead, "v", "ord", Seq("g"), 0.5,
+      adjust = false, ignoreNa = false, outName = "m")
+      .orderBy("ord").select("m").as[Option[Double]].collect()
+    r2 shouldBe Array(None, Some(4.0))
+  }
+
+  test("ewmVar ignore_na=false: pandas-pinned on [1, null, 2]") {
+    import spark.implicits._
+    val df = Seq((1, Some(1.0)), (2, Option.empty[Double]),
+      (3, Some(2.0))).toDF("ord", "v").withColumn("g", lit(1))
+    // pandas ewm(alpha=0.5, ignore_na=False).var():
+    // [NaN, NaN (single obs), 0.5]
+    val r = RollingOps.ewmVar(df, "v", "ord", Seq("g"), 0.5,
+      ignoreNa = false, outName = "vv")
+      .orderBy("ord").select("vv").as[Option[Double]].collect()
+    r(0) shouldBe None
+    r(1) shouldBe None
+    r(2).get shouldBe (0.5 +- 1e-12)
+  }
+
+  test("ewmCov(x,x) ignore_na=false equals ewmVar ignore_na=false") {
+    import spark.implicits._
+    val df = Seq((1, Some(3.0)), (2, Option.empty[Double]),
+      (3, Some(5.0)), (4, Some(1.0)), (5, Option.empty[Double]),
+      (6, Some(7.0))).toDF("ord", "v").withColumn("g", lit(1))
+    val v = RollingOps.ewmVar(df, "v", "ord", Seq("g"), 0.3,
+      ignoreNa = false, outName = "a")
+      .orderBy("ord").select("a").as[Option[Double]].collect()
+    val c = RollingOps.ewmCov(df.withColumn("w", col("v")), "v", "w",
+      "ord", Seq("g"), 0.3, ignoreNa = false, outName = "a")
+      .orderBy("ord").select("a").as[Option[Double]].collect()
+    v.zip(c).foreach {
+      case (Some(a), Some(b)) => a shouldBe (b +- 1e-12)
+      case (a, b) => a shouldBe b
+    }
+  }
+
   test("hampel: all-null window emits null med/mad, no ANSI crash") {
     import spark.implicits._
     // a lone non-null far from a cluster of nulls: the centered
