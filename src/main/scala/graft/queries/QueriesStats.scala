@@ -625,6 +625,49 @@ object QueriesStats {
 
     // §2.11 PER-KEY distributed Holt forecasting over the hourly
     // series — every key's model fit in one shuffle, 3-step horizon
+    // §2.11 SARIMA(1,0,0)(1,0,0)_24 forecast of the hourly value
+    // total (reference advanced_forecasting.rs:19). The fit is
+    // driver-side on the AGGREGATED series — bounded by the events
+    // time range (~720 hourly buckets), like every forecaster here.
+    // Two OLS solves have no SQL replay => rows-only gate; the
+    // process-recovery specs pin the estimator.
+    "q320_sarima" -> ((s, d) => {
+      val series = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+        .orderBy("b")
+        .select("v").collect().map(_.getDouble(0)).toSeq
+      val fc = TimeSeriesOps.sarimaForecast(series, p = 1, d = 0,
+        q = 0, sp = 1, sd = 0, sq = 0, period = 24, steps = 12)
+      val rows = fc.zipWithIndex.map { case (v, i) =>
+        (i + 1, math.rint(v * 1e6) / 1e6) }
+      import s.implicits._
+      rows.toDF("step", "forecast")
+    }),
+
+    // §2.11 AutoArima AICc model selection over the same hourly
+    // series (reference advanced_forecasting.rs:584): the full
+    // deterministic candidate table with the selected order flagged.
+    "q321_auto_arima" -> ((s, d) => {
+      val series = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+        .orderBy("b")
+        .select("v").collect().map(_.getDouble(0)).toSeq
+      val (best, table) = TimeSeriesOps.autoArima(series,
+        maxP = 2, maxD = 1, maxQ = 1, period = 24,
+        maxSp = 1, maxSd = 1, maxSq = 1)
+      val b = best.map(m => (m.p, m.d, m.q, m.sp, m.sd, m.sq))
+      val rows = table.map { c =>
+        (c.p, c.d, c.q, c.sp, c.sd, c.sq, c.ok,
+          b.contains((c.p, c.d, c.q, c.sp, c.sd, c.sq)))
+      }
+      import s.implicits._
+      rows.toDF("p", "d", "q", "sp", "sd", "sq", "ok", "selected")
+    }),
+
     "q307_grouped_holt" -> ((s, d) => {
       val hourly = t(s, d, "events")
         .filter(col("value").isNotNull && col("event_type").isNotNull)

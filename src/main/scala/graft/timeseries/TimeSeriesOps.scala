@@ -1477,4 +1477,237 @@ object TimeSeriesOps {
   def arimaForecast(values: Seq[Double], p: Int, d: Int, q: Int,
       steps: Int): Seq[Double] =
     arimaForecast(arimaFit(values, p, d, q), steps)
+
+  /** Fitted additive SARIMA(p,d,q)(P,D,Q)_s model (reference
+    * src/time_series/advanced_forecasting.rs:19 SarimaForecaster).
+    * `w` is the fully differenced working series, `values` the
+    * original series (kept so forecasting can rebuild the
+    * integration chain); `nEff`/`sse` feed the information criteria
+    * (reference :230-253): log-likelihood of the residuals under
+    * N(0, σ²) with σ² = SSE/n, k = p+q+P+Q+1 parameters. */
+  final case class SarimaModel(p: Int, d: Int, q: Int, sp: Int,
+      sd: Int, sq: Int, period: Int, intercept: Double,
+      ar: Array[Double], sar: Array[Double], ma: Array[Double],
+      sma: Array[Double], residuals: Array[Double], w: Array[Double],
+      values: Array[Double], nEff: Int, sse: Double) {
+    def nParams: Int = p + q + sp + sq + 1
+    /** Gaussian log-likelihood at the MLE variance; −∞ on a
+      * degenerate (σ² = 0) fit, so such models rank last — the
+      * reference makes the same choice (:230). */
+    def logLikelihood: Double = {
+      val s2 = sse / nEff
+      if (s2 <= 0.0) Double.NegativeInfinity
+      else -0.5 * nEff * (math.log(2.0 * math.Pi) + math.log(s2) + 1.0)
+    }
+    def aic: Double = -2.0 * logLikelihood + 2.0 * nParams
+    def bic: Double =
+      -2.0 * logLikelihood + nParams * math.log(nEff.toDouble)
+    def aicc: Double = {
+      val k = nParams.toDouble; val n = nEff.toDouble
+      if (n - k - 1.0 > 0.0) aic + 2.0 * k * (k + 1.0) / (n - k - 1.0)
+      else aic
+    }
+  }
+
+  /** Fit additive SARIMA(p,d,q)(P,D,Q)_s on an aggregated series
+    * (reference advanced_forecasting.rs:271-390) — driver-side like
+    * every forecaster here. Differencing order matches the
+    * reference: d regular diffs first, then D seasonal (lag-s)
+    * diffs. Estimation extends [[arimaFit]]'s Hannan–Rissanen to the
+    * seasonal terms in ONE joint OLS — regressors are the p regular
+    * + P seasonal (lag s·j) AR lags of w and the q regular + Q
+    * seasonal innovation lags — where the reference fits each block
+    * separately; joint estimation is deterministic (two linear
+    * solves) and strictly tighter. */
+  def sarimaFit(values: Seq[Double], p: Int, d: Int, q: Int,
+      sp: Int, sd: Int, sq: Int, period: Int): SarimaModel = {
+    require(p >= 0 && d >= 0 && q >= 0 && sp >= 0 && sd >= 0 &&
+      sq >= 0, "orders must be >= 0")
+    require(p + q + sp + sq > 0, "need at least one AR/MA term")
+    require(sp + sd + sq == 0 || period >= 2,
+      "seasonal terms need period >= 2")
+    var w = values.toArray
+    (1 to d).foreach { _ =>
+      w = w.sliding(2).map(s => s(1) - s(0)).toArray
+    }
+    (1 to sd).foreach { _ =>
+      require(w.length > period, "series too short to seasonal-diff")
+      w = (period until w.length).map(i => w(i) - w(i - period)).toArray
+    }
+    val n = w.length
+    val maxArLag = math.max(p, if (sp > 0) period * sp else 0)
+    val maxMaLag = math.max(q, if (sq > 0) period * sq else 0)
+    // stage 1 long-AR must span the deepest seasonal AR lag so the
+    // innovation estimates see the seasonal structure
+    val m = math.max(
+      math.min(n / 4, math.max(2 * (p + q), 8)), maxArLag)
+    require(n > m + maxMaLag + 3 * (p + q + sp + sq) + 5,
+      s"series too short after differencing: $n")
+    val xs1 = (m until n).map(t =>
+      (1 to m).map(j => w(t - j)).toArray).toArray
+    val y1 = (m until n).map(w).toArray
+    val (c1, phi1) = olsFit(xs1, y1)
+    val eps = new Array[Double](n)
+    (m until n).foreach { t =>
+      val pred = c1 + (1 to m).map(j => phi1(j - 1) * w(t - j)).sum
+      eps(t) = w(t) - pred
+    }
+    val start = math.max(m + maxMaLag, maxArLag)
+    val xs2 = (start until n).map { t =>
+      ((1 to p).map(j => w(t - j)) ++
+        (1 to sp).map(j => w(t - j * period)) ++
+        (1 to q).map(j => eps(t - j)) ++
+        (1 to sq).map(j => eps(t - j * period))).toArray
+    }.toArray
+    val y2 = (start until n).map(w).toArray
+    val (icept, coefs) = olsFit(xs2, y2)
+    val ar = coefs.take(p)
+    val sar = coefs.slice(p, p + sp)
+    val ma = coefs.slice(p + sp, p + sp + q)
+    val sma = coefs.drop(p + sp + q)
+    // in-sample residuals of the final model; innovations before
+    // `start` are taken as 0 (deterministic seeding)
+    val resid = new Array[Double](n)
+    var sse = 0.0
+    (start until n).foreach { t =>
+      val pred = icept +
+        (1 to p).map(j => ar(j - 1) * w(t - j)).sum +
+        (1 to sp).map(j => sar(j - 1) * w(t - j * period)).sum +
+        (1 to q).map(j => ma(j - 1) * resid(t - j)).sum +
+        (1 to sq).map(j => sma(j - 1) * resid(t - j * period)).sum
+      resid(t) = w(t) - pred
+      sse += resid(t) * resid(t)
+    }
+    SarimaModel(p, d, q, sp, sd, sq, period, icept, ar, sar, ma, sma,
+      resid, w, values.toArray, n - start, sse)
+  }
+
+  /** Forecast `steps` ahead from a fitted SARIMA model: run the
+    * recurrence on the working series (future innovations = 0), then
+    * integrate the D seasonal differences (each level adds back the
+    * value one period earlier) and the d regular differences
+    * (anchored cumulative sums), inverting the fit's differencing
+    * order. */
+  def sarimaForecast(model: SarimaModel, steps: Int): Seq[Double] = {
+    import model._
+    val histW = w.toBuffer
+    val histE = residuals.toBuffer
+    val fw = (1 to steps).map { _ =>
+      val f = intercept +
+        (1 to p).map(j => ar(j - 1) * histW(histW.size - j)).sum +
+        (1 to sp).map(j =>
+          sar(j - 1) * histW(histW.size - j * period)).sum +
+        (1 to q).map(j => ma(j - 1) * histE(histE.size - j)).sum +
+        (1 to sq).map(j =>
+          sma(j - 1) * histE(histE.size - j * period)).sum
+      histW += f
+      histE += 0.0
+      f
+    }
+    var out = fw.toArray
+    if (sd > 0) {
+      // rebuild the seasonal-level chain from the regular-diffed
+      // series: u0 = Δ^d y, u_k = S^k u0; integrate deepest-first
+      var v = values.toArray
+      (1 to d).foreach { _ =>
+        v = v.sliding(2).map(s => s(1) - s(0)).toArray
+      }
+      var chain = List(v)
+      (1 to sd).foreach { _ =>
+        val c = chain.head
+        chain = (period until c.length)
+          .map(i => c(i) - c(i - period)).toArray :: chain
+      }
+      // chain.head is w's level; each step up adds back lag-s values
+      chain.tail.foreach { levelBelow =>
+        val hist = levelBelow.toBuffer
+        out = out.map { f =>
+          val nv = f + hist(hist.size - period); hist += nv; nv
+        }
+      }
+    }
+    if (d > 0) {
+      var cur = values.toArray
+      var anchors = List.empty[Double]
+      (1 to d).foreach { _ =>
+        anchors = cur.last :: anchors
+        cur =
+          if (cur.length >= 2)
+            cur.sliding(2).map(s => s(1) - s(0)).toArray
+          else Array.empty[Double]
+      }
+      anchors.foreach { a =>
+        var acc = a
+        out = out.map { f => acc += f; acc }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Convenience: fit + forecast. */
+  def sarimaForecast(values: Seq[Double], p: Int, d: Int, q: Int,
+      sp: Int, sd: Int, sq: Int, period: Int,
+      steps: Int): Seq[Double] =
+    sarimaForecast(sarimaFit(values, p, d, q, sp, sd, sq, period),
+      steps)
+
+  /** One row of the AutoArima selection table (reference
+    * advanced_forecasting.rs:584 ModelSelectionResult). */
+  final case class SarimaCandidate(p: Int, d: Int, q: Int, sp: Int,
+      sd: Int, sq: Int, period: Int, aic: Double, aicc: Double,
+      bic: Double, ok: Boolean)
+
+  /** AutoArima: exhaustive deterministic grid search over
+    * (p,d,q)×(P,D,Q) ranked by an information criterion (reference
+    * advanced_forecasting.rs:584 AutoArima; default AICc like the
+    * reference). Ties break toward the SIMPLEST model
+    * (fewest AR+MA terms, then lexicographic order), so selection is
+    * reproducible. Returns the best fitted model (None when every
+    * candidate fails or degenerates) plus the full candidate table.
+    * Driver-side on an aggregated series like all forecasters. */
+  def autoArima(values: Seq[Double], maxP: Int = 3, maxD: Int = 1,
+      maxQ: Int = 3, period: Int = 0, maxSp: Int = 1, maxSd: Int = 1,
+      maxSq: Int = 1, criterion: String = "aicc")
+      : (Option[SarimaModel], Seq[SarimaCandidate]) = {
+    require(Seq("aic", "aicc", "bic").contains(criterion),
+      s"criterion=$criterion")
+    val seasonal = period >= 2
+    val grid = for {
+      d <- 0 to maxD
+      sdv <- 0 to (if (seasonal) maxSd else 0)
+      p <- 0 to maxP
+      q <- 0 to maxQ
+      spv <- 0 to (if (seasonal) maxSp else 0)
+      sqv <- 0 to (if (seasonal) maxSq else 0)
+      if p + q + spv + sqv > 0
+    } yield (p, d, q, spv, sdv, sqv)
+    val cands = grid.map { case (p, d, q, spv, sdv, sqv) =>
+      scala.util.Try(
+        sarimaFit(values, p, d, q, spv, sdv, sqv,
+          if (seasonal) period else 0)) match {
+        case scala.util.Success(mo) =>
+          (Option(mo), SarimaCandidate(p, d, q, spv, sdv, sqv,
+            if (seasonal) period else 0,
+            mo.aic, mo.aicc, mo.bic, ok = true))
+        case scala.util.Failure(_) =>
+          (Option.empty[SarimaModel],
+            SarimaCandidate(p, d, q, spv, sdv, sqv,
+              if (seasonal) period else 0,
+              Double.NaN, Double.NaN, Double.NaN, ok = false))
+      }
+    }
+    def crit(c: SarimaCandidate): Double = criterion match {
+      case "aic" => c.aic
+      case "bic" => c.bic
+      case _ => c.aicc
+    }
+    val best = cands
+      .filter { case (mo, c) =>
+        mo.isDefined && !crit(c).isNaN && !crit(c).isInfinite }
+      .sortBy { case (_, c) =>
+        (crit(c), c.p + c.q + c.sp + c.sq,
+          (c.p, c.d, c.q, c.sp, c.sd, c.sq)) }
+      .headOption
+    (best.flatMap(_._1), cands.map(_._2))
+  }
 }

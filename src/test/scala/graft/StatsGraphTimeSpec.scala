@@ -1381,4 +1381,72 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     out("b").isNullAt(out("b").fieldIndex("slope")) shouldBe true
     out("b").isNullAt(out("b").fieldIndex("r2")) shouldBe true
   }
+
+  test("sarima recovers a planted seasonal AR(1)(1)_12 process") {
+    // w_t = 1 + 0.5 w_{t-1} + 0.3 w_{t-12} + e_t, deterministic noise
+    val rng = new scala.util.Random(13)
+    val buf = scala.collection.mutable.ArrayBuffer.fill(12)(5.0)
+    (12 until 600).foreach { t =>
+      buf += 1.0 + 0.5 * buf(t - 1) + 0.3 * buf(t - 12) +
+        (rng.nextDouble() - 0.5)
+    }
+    val m = TimeSeriesOps.sarimaFit(buf.toSeq, p = 1, d = 0, q = 0,
+      sp = 1, sd = 0, sq = 0, period = 12)
+    m.ar(0) shouldBe 0.5 +- 0.08
+    m.sar(0) shouldBe 0.3 +- 0.08
+    // long-run forecast approaches the process mean 1/(1-0.5-0.3)=5
+    val fc = TimeSeriesOps.sarimaForecast(m, 120)
+    fc.last shouldBe 5.0 +- 0.6
+  }
+
+  test("sarima seasonal differencing extrapolates trend + " +
+      "seasonal pattern exactly") {
+    val pat = Array(0.0, 4.0, -3.0, 7.0, 1.0, -2.0, 5.0)
+    val series = (0 until 140).map(t => 2.0 * t + pat(t % 7))
+    // after S_7 diff the series is the constant 14; AR(1) on it fits
+    // exactly, and integration adds the pattern back
+    val fc = TimeSeriesOps.sarimaForecast(series, p = 1, d = 0, q = 0,
+      sp = 0, sd = 1, sq = 0, period = 7, steps = 21)
+    fc.zipWithIndex.foreach { case (got, i) =>
+      val t = 140 + i
+      approx(got, 2.0 * t + pat(t % 7), 1e-3)
+    }
+  }
+
+  test("autoArima selects a seasonal model on seasonal-AR data " +
+      "and ranks it above the non-seasonal AR(1)") {
+    val rng = new scala.util.Random(29)
+    val buf = scala.collection.mutable.ArrayBuffer.fill(12)(0.0)
+    (12 until 500).foreach { t =>
+      buf += 0.3 * buf(t - 1) + 0.55 * buf(t - 12) +
+        (rng.nextDouble() - 0.5)
+    }
+    val (best, table) = TimeSeriesOps.autoArima(buf.toSeq,
+      maxP = 2, maxD = 1, maxQ = 1, period = 12)
+    best.isDefined shouldBe true
+    val b = best.get
+    (b.sp + b.sq) should be >= 1
+    // the table carries every candidate; the chosen AICc is the min
+    val chosen = table.find(c => c.ok && c.p == b.p && c.d == b.d &&
+      c.q == b.q && c.sp == b.sp && c.sd == b.sd && c.sq == b.sq).get
+    val plainAr = table.find(c => c.ok && c.p == 1 && c.d == 0 &&
+      c.q == 0 && c.sp == 0 && c.sd == 0 && c.sq == 0).get
+    chosen.aicc should be <= plainAr.aicc
+    table.filter(_.ok).map(_.aicc).min shouldBe chosen.aicc
+  }
+
+  test("sarima information criteria: aicc > aic, bic penalizes " +
+      "harder at n > e^2") {
+    val rng = new scala.util.Random(5)
+    var x = 0.0
+    val series = (0 until 300).map { _ =>
+      x = 0.4 * x + (rng.nextDouble() - 0.5); x
+    }
+    val m = TimeSeriesOps.sarimaFit(series, p = 2, d = 0, q = 1,
+      sp = 0, sd = 0, sq = 0, period = 0)
+    m.aic.isFinite shouldBe true
+    m.aicc should be > m.aic
+    m.bic should be > m.aic // ln(n) > 2 for n ~ 290
+    m.nParams shouldBe 4
+  }
 }
