@@ -198,6 +198,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Engine-portable SimHash near-dup candidate pairs: bands the
+    * 48-bit [[simhash48Portable]] into 4 × 12-bit bands (pigeonhole:
+    * any pair within hamming distance 3 shares a band). The
+    * cross-engine twin of [[simhashPairs]] — every step (md5 token
+    * hash, majority vote, banding, bucket join, hamming) replays in
+    * plain SQL, so the pairs themselves are oracle-checkable. */
+  def simhashPairsPortable(df: DataFrame, textCol: String,
+      idCol: String, maxBucket: Long = 1000L): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"),
+      simhash48Portable(col(textCol)).as("sim"))
+    val banded = capBuckets(withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sim"), b * 12).bitwiseAND(0xFFFL)): _*)))
+      .toDF("id", "sim", "band", "bucket"), maxBucket, "band", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+  }
+
   /** Embedding cosine near-dup pairs within LSH buckets (see
     * Similarity.hyperplaneBucket): bucket join, then exact cosine on
     * candidates only. */

@@ -250,6 +250,22 @@ object QueriesExt {
         Seq("f0", "f1", "f2"), "label", numTrees = 10)
         .groupBy(col("prediction")).agg(count(lit(1)).as("n"))),
 
+    // §2.13 the PORTABLE Lloyd twin of q72 on the same embedding
+    // dims (micro-scaled to exact integers so centroid sums replay
+    // bit-exactly in DuckDB): lowest-id seeding, 3 unrolled rounds —
+    // q94's pattern on the embeddings table. Closes the q72
+    // no-oracle gap per the round-4 verdict.
+    "q322_kmeans_embed" -> ((s, d) => {
+      def f(i: Int) = round(element_at(col("embedding"), i)
+        .cast("double") * 1e6, 0).cast("long").cast("double")
+      graft.ml.Clustering.kmeansLloyd(
+        t(s, d, "embeddings").select(col("vec_id"),
+          f(1).as("f0"), f(2).as("f1"), f(3).as("f2")),
+        Seq("f0", "f1", "f2"), "vec_id", k = 4, iters = 3)
+        .groupBy("cluster").agg(count(lit(1)).as("n"),
+          min(col("id")).as("min_id"))
+    }),
+
     "q72_kmeans" -> ((s, d) =>
       MlOps.kmeans(
         t(s, d, "embeddings").select(col("vec_id"),
@@ -524,41 +540,71 @@ object QueriesExt {
       |  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
       |SELECT event_id, user_id, y AS ewm FROM r""".stripMargin
 
-  private val kmeansLloydOracle: String = {
-    def assign(i: Int): String =
+  /** Generic Lloyd-unroll oracle: `ptsSql` must yield (id, f0..f_{nf-1})
+    * with exactly-representable (integer-valued double) features so
+    * every centroid sum replays bit-exactly cross-engine; seeds are
+    * the k lowest ids ([[graft.ml.Clustering.kmeansLloyd]]'s
+    * deterministic seeding), ties break to the lowest cluster index
+    * like the Scala array_min(struct(dist, c)). */
+  private def kmeansOracleSql(ptsSql: String, k: Int, nf: Int,
+      iters: Int): String = {
+    val fs = (0 until nf).map(i => s"f$i")
+    def assign(i: Int): String = {
+      val dist = fs.map(f =>
+        s"(p.$f - cx.$f) * (p.$f - cx.$f)").mkString(" +\n        ")
       s"""a$i AS (
-         |  SELECT id, f0, f1, c AS cluster FROM (
-         |    SELECT p.id, p.f0, p.f1, cx.c,
+         |  SELECT id, ${fs.mkString(", ")}, c AS cluster FROM (
+         |    SELECT p.id, ${fs.map("p." + _).mkString(", ")}, cx.c,
          |      row_number() OVER (PARTITION BY p.id ORDER BY
-         |        (p.f0 - cx.f0) * (p.f0 - cx.f0) +
-         |        (p.f1 - cx.f1) * (p.f1 - cx.f1), cx.c) AS rn
+         |        $dist, cx.c) AS rn
          |    FROM pts p CROSS JOIN c$i cx)
          |  WHERE rn = 1)""".stripMargin
-    def update(i: Int): String =
+    }
+    def update(i: Int): String = {
+      val cols = fs.zipWithIndex.map { case (f, j) =>
+        s"coalesce(s.s$j / s.n, prev.$f) AS $f" }.mkString(",\n    ")
+      val sums = fs.zipWithIndex.map { case (f, j) =>
+        s"sum($f) AS s$j" }.mkString(", ")
       s"""c${i + 1} AS (
          |  SELECT prev.c,
-         |    coalesce(s.s0 / s.n, prev.f0) AS f0,
-         |    coalesce(s.s1 / s.n, prev.f1) AS f1
+         |    $cols
          |  FROM c$i prev LEFT JOIN (
          |    SELECT cluster AS c, CAST(count(*) AS DOUBLE) AS n,
-         |      sum(f0) AS s0, sum(f1) AS s1 FROM a$i GROUP BY 1) s
+         |      $sums FROM a$i GROUP BY 1) s
          |    ON s.c = prev.c)""".stripMargin
-    val rounds = (0 until 3).map(i =>
+    }
+    val rounds = (0 until iters).map(i =>
       assign(i) + ",\n" + update(i)).mkString(",\n")
-    s"""WITH pts AS (
-       |  SELECT event_id AS id,
-       |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS f0,
-       |    CAST(user_id % 7 AS DOUBLE) AS f1
-       |  FROM events),
+    s"""WITH pts AS ($ptsSql),
        |c0 AS (
-       |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, f0, f1
-       |  FROM (SELECT id, f0, f1 FROM pts ORDER BY id LIMIT 3)),
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS c,
+       |    ${fs.mkString(", ")}
+       |  FROM (SELECT id, ${fs.mkString(", ")} FROM pts
+       |        ORDER BY id LIMIT $k)),
        |$rounds,
-       |${assign(3)}
+       |${assign(iters)}
        |SELECT CAST(cluster AS BIGINT) AS cluster,
        |  CAST(count(*) AS BIGINT) AS n, min(id) AS min_id
-       |FROM a3 GROUP BY 1""".stripMargin
+       |FROM a$iters GROUP BY 1""".stripMargin
   }
+
+  private val kmeansLloydOracle: String = kmeansOracleSql(
+    """SELECT event_id AS id,
+      |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS f0,
+      |    CAST(user_id % 7 AS DOUBLE) AS f1
+      |  FROM events""".stripMargin, k = 3, nf = 2, iters = 3)
+
+  /** q322: the same unroll on micro-scaled embedding dims (×1e6
+    * rounded to integers — exact in doubles, so sums replay). */
+  private val kmeansEmbedOracle: String = kmeansOracleSql(
+    """SELECT vec_id AS id,
+      |    CAST(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS DOUBLE) AS f0,
+      |    CAST(CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS DOUBLE) AS f1,
+      |    CAST(CAST(round(CAST(embedding[3] AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS DOUBLE) AS f2
+      |  FROM embeddings""".stripMargin, k = 4, nf = 3, iters = 3)
 
   val oracle: Map[String, String] = Map(
 
@@ -622,6 +668,8 @@ object QueriesExt {
         |FROM h GROUP BY 1""".stripMargin,
 
     "q94_kmeans_lloyd" -> kmeansLloydOracle,
+
+    "q322_kmeans_embed" -> kmeansEmbedOracle,
 
     // the full staged pipeline reproduced in SQL: exact-md5 dedup,
     // the shared MinHash-LSH CTEs over the survivors, word-set

@@ -129,6 +129,18 @@ object QueriesPipeline {
       PipelineOps.hashSample(t(s, d, "documents"), "doc_id", 0.25, "s1")
         .select("doc_id", "lang", "source")),
 
+    // the PORTABLE twin of q73's 10% lineitem sample: same md5
+    // 48-bit lottery on the composite row key, so the exact sampled
+    // row set hash-matches cross-engine (closes the q73 no-oracle
+    // gap per the round-4 verdict; q73 keeps pinning the engine-RNG
+    // sampleSeed surface)
+    "q323_lineitem_sample" -> ((s, d) =>
+      PipelineOps.hashSample(
+        t(s, d, "lineitem").withColumn("rk",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+        "rk", 0.1, "s73")
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
     // fuzzy vocabulary alignment: src0 vs src1 distinct tokens
     // within 2 edits (entity-resolution primitive)
     "q186_fuzzy_match" -> ((s, d) => {
@@ -1004,6 +1016,13 @@ object QueriesPipeline {
     "q96_hash_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${h48("CAST(doc_id AS VARCHAR) || 's1'")} < 0.25"""
+        .stripMargin,
+
+    "q323_lineitem_sample" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         |WHERE ${h48(
+        "CAST(l_orderkey AS VARCHAR) || '-' || " +
+          "CAST(l_linenumber AS VARCHAR) || 's73'")} < 0.1"""
         .stripMargin,
 
     "q186_fuzzy_match" ->

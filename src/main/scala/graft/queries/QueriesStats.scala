@@ -1287,6 +1287,25 @@ object QueriesStats {
             (col("event_type") === "purchase").as("succ")),
         "arm", "a", "b", "succ")),
 
+    // §2.14 68-core of the parts co-order graph — the ORACLED peel:
+    // k = 68 makes the peel genuinely iterate (5 rounds at sf0.001,
+    // 1 at sf0.01, both non-empty cores) and the DuckDB oracle
+    // replays it as 12 unrolled survivor-filter rounds (idempotent
+    // once converged, so the margin is safe). Closes the q309
+    // no-oracle gap per the round-4 verdict; q309 keeps the k=3
+    // fixpoint surface.
+    "q324_kcore_peel" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      GraphOps.kCore(edges, k = 68).orderBy("id")
+    }),
+
     // §2.14 3-core of the parts co-order graph (iterative peel —
     // rows-only: fixpoint refinement has no SQL form; K4 spec)
     "q309_kcore" -> ((s, d) => {
@@ -1320,7 +1339,36 @@ object QueriesStats {
     })
   )
 
+  /** q324 oracle: the k-core peel unrolled — e_{i+1} keeps edges
+    * whose BOTH endpoints have degree >= k within e_i. 12 rounds
+    * cover the observed 5-round worst case with margin; once the
+    * peel converges further rounds are identity filters. */
+  private val kcorePeelOracle: String = {
+    val k = 68
+    val rounds = (0 until 12).map { i =>
+      s"""e${i + 1} AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e$i e
+         |  JOIN (SELECT src FROM e$i GROUP BY 1
+         |        HAVING count(*) >= $k) ka ON ka.src = e.src
+         |  JOIN (SELECT src AS dst FROM e$i GROUP BY 1
+         |        HAVING count(*) >= $k) kb ON kb.dst = e.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS (
+       |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey
+       |   AND x.l_partkey < y.l_partkey),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM und
+       |       UNION SELECT dst, src FROM und),
+       |$rounds
+       |SELECT src AS id, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM e12 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q324_kcore_peel" -> kcorePeelOracle,
 
     "q260_trimmed_mean" ->
       """WITH c AS (
