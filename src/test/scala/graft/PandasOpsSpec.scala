@@ -202,6 +202,33 @@ class PandasOpsSpec extends SparkSpecBase {
     counts.foreach(c => c.toDouble shouldBe 250.0 +- 10.0)
   }
 
+  test("qcut and qcutApprox agree per-row on a well-separated " +
+      "continuous column (the documented 100TB-path contract)") {
+    // deterministic continuous values with no ties: the exact ntile
+    // assignment and the GK-bound assignment may only disagree
+    // within relErr*n rows of each boundary
+    val n = 4000
+    val df = (1 to n).map(i => (i, i * 7.0 + math.sin(i) * 0.3))
+      .toDF("id", "v")
+    val q = 8
+    val relErr = 0.001
+    val exact = df.qcut("v", q, tiebreak = "id")
+      .select(col("id"), col("v_qbin").as("b_exact"))
+    val approx = df.qcutApprox("v", q, relErr)
+      .select(col("id"), col("v_qbin").as("b_approx"))
+    val joined = exact.join(approx, "id")
+    val disagree = joined
+      .filter(col("b_exact") =!= col("b_approx")).count()
+    // q-1 boundaries, each may shift by at most ~relErr*n rows
+    disagree.toDouble should be <= (q - 1) * relErr * n + q
+    // bin populations within the same bound of n/q
+    val counts = df.qcutApprox("v", q, relErr)
+      .groupBy("v_qbin").count().select("count").as[Long].collect()
+    counts.length shouldBe q
+    counts.foreach(c =>
+      c.toDouble shouldBe (n.toDouble / q) +- (2 * relErr * n + q))
+  }
+
   test("nlargest is deterministic with tiebreak") {
     val df = Seq((1, 5.0), (2, 5.0), (3, 1.0)).toDF("id", "v")
     df.nlargest(2, "v", "id").select("id").as[Int].collect() shouldBe
