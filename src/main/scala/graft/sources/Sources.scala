@@ -193,8 +193,9 @@ object Sources {
   }
 
   /** JDBC passthrough (src/io/sql/operations.rs:118-485): partitioned
-    * parallel reads when a split column is given. Untestable in this
-    * container (no database) — surface parity only. */
+    * parallel reads when a split column is given. Round-trip tested
+    * against embedded Derby (which ships with Spark), including the
+    * 4-way parallel range-partitioned read. */
   def readJdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties,
       partitionCol: Option[(String, Long, Long, Int)] = None): DataFrame =

@@ -273,6 +273,33 @@ class SourcesAndPlanSpec extends SparkSpecBase {
     plan should include("BroadcastHashJoin")
   }
 
+  test("jdbc round-trip against embedded Derby (write, read, " +
+      "partitioned parallel read)") {
+    // Derby ships in the Spark jars dir, so the JDBC source is
+    // testable with zero extra dependencies: write -> read back ->
+    // partitioned read with a split column
+    val dbDir = tmp("graft_derby") + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = (1L to 100L).map(i => (i, s"name_$i", i * 2.5))
+      .toDF("id", "s", "v")
+    Sources.writeJdbc(df, url, "t1", props)
+    val back = Sources.readJdbc(spark, url, "t1", props)
+    back.count() shouldBe 100
+    back.filter($"id" === 42L).select("s").as[String].head() shouldBe
+      "name_42"
+    // partitioned read: 4 parallel range splits over id
+    val part = Sources.readJdbc(spark, url, "t1", props,
+      partitionCol = Some(("id", 1L, 100L, 4)))
+    part.rdd.getNumPartitions shouldBe 4
+    part.agg(org.apache.spark.sql.functions.sum($"v"))
+      .as[Double].head() shouldBe (2.5 * 5050.0 +- 1e-6)
+    // append mode accumulates
+    Sources.writeJdbc(df.limit(5), url, "t1", props)
+    Sources.readJdbc(spark, url, "t1", props).count() shouldBe 105
+  }
+
   test("zipfFit top-K plans as TakeOrderedAndProject") {
     val docs = Seq("a b c a b a", "c d e a b").toDF("text")
     val plan = graft.llm.CorpusOps.zipfFit(docs, "text", topK = 3)
