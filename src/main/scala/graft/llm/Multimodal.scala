@@ -216,6 +216,151 @@ object Multimodal {
       (pmod(xxhash64(bytes, i), lit(2000L)).cast("double") / 1000.0 - 1.0)
         .cast("float"))
 
+  /** Parsed ISO-BMFF (MP4/MOV) container metadata. */
+  case class Mp4Meta(brand: String, timescale: Int,
+      duration_ticks: Long, duration_s: Double, n_tracks: Int,
+      handlers: Seq[String], codecs: Seq[String])
+
+  private val mp4Containers =
+    Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** REAL MP4/ISO-BMFF box-structure walk (pure JDK byte parsing —
+    * no codec library needed for METADATA): ftyp major brand, mvhd
+    * timescale/duration, per-trak hdlr handler type ('vide'/'soun')
+    * and stsd first-entry codec fourcc. Handles 32-bit, 64-bit
+    * (size==1) and to-end (size==0) box sizes; returns null for
+    * null/unparseable bytes. Pixel/sample DECODE remains out of
+    * scope in this container (no JDK video codec) — frame sampling
+    * over real frame counts needs ffmpeg on the cluster. */
+  def parseMp4Meta(bytes: Column): Column = {
+    val f = udf((b: Array[Byte]) => {
+      if (b == null) None
+      else try {
+        def u32(o: Int): Long =
+          ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+            ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+        def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+        def fourcc(o: Int): String =
+          new String(b.slice(o, o + 4), "ISO-8859-1")
+        var brand = ""
+        var timescale = 0; var durTicks = 0L
+        val handlers = scala.collection.mutable.ArrayBuffer[String]()
+        val codecs = scala.collection.mutable.ArrayBuffer[String]()
+        var nTracks = 0
+        // walk boxes in [from, to); descend into container boxes
+        def walk(from: Int, to: Int): Unit = {
+          var o = from
+          while (o + 8 <= to) {
+            val size0 = u32(o)
+            val tp = fourcc(o + 4)
+            val (payload, size) =
+              if (size0 == 1L && o + 16 <= to) (o + 16, u64(o + 8))
+              else if (size0 == 0L) (o + 8, (to - o).toLong)
+              else (o + 8, size0)
+            if (size < 8 || o + size > to) return // corrupt: stop
+            val end = o + size.toInt
+            tp match {
+              case "ftyp" if brand.isEmpty =>
+                brand = fourcc(payload)
+              case "mvhd" =>
+                val v = b(payload) & 0xff
+                if (v == 1) {
+                  timescale = u32(payload + 20).toInt
+                  durTicks = u64(payload + 24)
+                } else {
+                  timescale = u32(payload + 12).toInt
+                  durTicks = u32(payload + 16)
+                }
+              case "trak" =>
+                nTracks += 1
+                walk(payload, end)
+              case "hdlr" =>
+                handlers += fourcc(payload + 8)
+              case "stsd" =>
+                // entry_count at +4; first sample entry box at +8
+                if (u32(payload + 4) > 0 && payload + 16 <= end)
+                  codecs += fourcc(payload + 12)
+              case t if mp4Containers.contains(t) =>
+                walk(payload, end)
+              case _ => ()
+            }
+            o = end
+          }
+        }
+        walk(0, b.length)
+        if (brand.isEmpty && timescale == 0) None
+        else Some(Mp4Meta(brand, timescale, durTicks,
+          if (timescale > 0) durTicks.toDouble / timescale else 0.0,
+          nTracks, handlers.toSeq, codecs.toSeq))
+      } catch { case _: Exception => None }
+    })
+    f(bytes)
+  }
+
+  /** Synthesize a minimal-but-valid ISO-BMFF box structure (ftyp +
+    * moov(mvhd + per-track trak(tkhd, mdia(mdhd, hdlr,
+    * minf(stbl(stsd(entry))))))) — the q101 encode→decode pattern
+    * for video: parameters in, real container bytes out, so
+    * [[parseMp4Meta]] is exercised on genuine box layout. Track 0
+    * is video (vide/avc1), any further tracks audio (soun/mp4a). */
+  def encodeMp4(timescale: Column, durationTicks: Column,
+      nTracks: Column): Column = {
+    val f = udf((ts: Int, dur: Long, nt: Int) => {
+      def box(tp: String, payload: Array[Byte]*): Array[Byte] = {
+        val n = 8 + payload.map(_.length).sum
+        val bb = java.nio.ByteBuffer.allocate(n)
+        bb.putInt(n).put(tp.getBytes("ISO-8859-1"))
+        payload.foreach(bb.put)
+        bb.array()
+      }
+      def full(tail: Array[Byte]): Array[Byte] = {
+        // FullBox: version 0 + 24-bit flags 0
+        val bb = java.nio.ByteBuffer.allocate(4 + tail.length)
+        bb.putInt(0).put(tail)
+        bb.array()
+      }
+      def be32(vs: Long*): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+        vs.foreach(v => bb.putInt(v.toInt))
+        bb.array()
+      }
+      val ftyp = box("ftyp",
+        "isom".getBytes("ISO-8859-1"), be32(0x200),
+        "isomiso2".getBytes("ISO-8859-1"))
+      val mvhd = box("mvhd", full(be32(0, 0, ts, dur, 0x00010000,
+        0x01000000, 0, 0,
+        0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+        0, 0, 0, 0, 0, 0, nt + 1)))
+      val traks = (0 until nt).map { i =>
+        val video = i == 0
+        val handler = if (video) "vide" else "soun"
+        val codec = if (video) "avc1" else "mp4a"
+        // creation, modification, track_id, reserved, duration,
+        // reserved x2, layer+alt, volume+reserved, matrix, w, h
+        val tkhd = box("tkhd", full(be32(0, 0, i + 1, 0, dur,
+          0, 0, 0, 0,
+          0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+          640 << 16, 360 << 16)))
+        val mdhd = box("mdhd", full(be32(0, 0, ts, dur,
+          0x55C40000L))) // language 'und' + pre_defined
+        val hdlr = box("hdlr", full(be32(0)),
+          handler.getBytes("ISO-8859-1"),
+          be32(0, 0, 0), Array[Byte](0)) // reserved + empty name
+        // minimal sample entry: 6 reserved bytes + data_ref_index 1
+        val entry = box(codec,
+          Array[Byte](0, 0, 0, 0, 0, 0, 0, 1))
+        val stsd = box("stsd", full(be32(1)), entry)
+        val stbl = box("stbl", stsd)
+        val minf = box("minf", stbl)
+        val mdia = box("mdia", mdhd, hdlr, minf)
+        box("trak", tkhd, mdia)
+      }
+      val moov = box("moov", (mvhd +: traks): _*)
+      ftyp ++ moov
+    })
+    f(timescale, durationTicks, nTracks)
+  }
+
   /** Repartition guidance for large binary columns: target ~128 MB
     * per partition given an average payload size. Pass `rowCount`
     * when known (e.g. from catalog stats or an earlier action) —

@@ -427,6 +427,33 @@ object QueriesPipeline {
           col("aud.duration_s").as("wav_duration"))
     }),
 
+    // REAL MP4/ISO-BMFF metadata round-trip (the q101 pattern for
+    // video): synthesize genuine box structure per row from
+    // closed-form parameters, walk it back with the pure-JDK parser,
+    // emit brand/timescale/duration/tracks/codecs — the oracle
+    // states the closed form, so a hash match proves the box walk
+    "q326_mp4_metadata" -> ((s, d) => {
+      val ps = t(s, d, "documents").select(col("doc_id"),
+        lit(1000).as("ts"),
+        (lit(500) + pmod(col("doc_id"), lit(9000)))
+          .cast("long").as("dur"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("nt"))
+      ps.withColumn("mp4", graft.llm.Multimodal.encodeMp4(
+          col("ts"), col("dur"), col("nt")))
+        .select(col("doc_id"),
+          graft.llm.Multimodal.parseMp4Meta(col("mp4")).as("m"))
+        .select(col("doc_id"),
+          col("m.brand").as("brand"),
+          col("m.timescale").cast("long").as("timescale"),
+          col("m.duration_ticks").as("duration_ticks"),
+          // raw double (q101 note): x/1000 can land on a round-6
+          // boundary; both engines run the identical division
+          col("m.duration_s").as("duration_s"),
+          col("m.n_tracks").cast("long").as("n_tracks"),
+          concat_ws(",", col("m.handlers")).as("handlers"),
+          concat_ws(",", col("m.codecs")).as("codecs"))
+    }),
+
     // corpus analytics (round-3 additions, graft.llm.CorpusOps)
 
     // DSIR importance weights toward src0 as the target slice
@@ -1289,6 +1316,18 @@ object QueriesPipeline {
         |  CAST(1000 + doc_id % 500 AS BIGINT) AS wav_frames,
         |  CAST(1000 + doc_id % 500 AS DOUBLE) /
         |    (8000 + (doc_id % 3) * 4000) AS wav_duration
+        |FROM documents""".stripMargin,
+
+    "q326_mp4_metadata" ->
+      """SELECT doc_id, 'isom' AS brand,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(500 + doc_id % 9000 AS BIGINT) AS duration_ticks,
+        |  CAST(500 + doc_id % 9000 AS DOUBLE) / 1000 AS duration_s,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'vide'
+        |       ELSE 'vide,soun' END AS handlers,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avc1'
+        |       ELSE 'avc1,mp4a' END AS codecs
         |FROM documents""".stripMargin,
 
     // DSIR replayed: raw (multiplicity-kept) bigrams, portable

@@ -56,4 +56,57 @@ class MultimodalCodecSpec extends SparkSpecBase {
       Multimodal.decodeWav($"bytes").as("aud"))
     out.filter($"img".isNotNull || $"aud".isNotNull).count() shouldBe 0
   }
+
+  test("MP4 encode→parse recovers brand, duration and track layout") {
+    val df = Seq((1L, 1000, 2500L, 1), (2L, 600, 1234L, 2))
+      .toDF("id", "ts", "dur", "nt")
+    val out = df.select($"id", Multimodal.parseMp4Meta(
+        Multimodal.encodeMp4($"ts", $"dur", $"nt")).as("m"))
+      .select($"id", $"m.brand", $"m.timescale", $"m.duration_ticks",
+        $"m.duration_s", $"m.n_tracks",
+        concat_ws(",", $"m.handlers").as("h"),
+        concat_ws(",", $"m.codecs").as("c"))
+      .orderBy("id").collect()
+    out(0).getString(1) shouldBe "isom"
+    out(0).getInt(2) shouldBe 1000
+    out(0).getLong(3) shouldBe 2500L
+    out(0).getDouble(4) shouldBe 2.5 +- 1e-12
+    out(0).getInt(5) shouldBe 1
+    out(0).getString(6) shouldBe "vide"
+    out(0).getString(7) shouldBe "avc1"
+    out(1).getDouble(4) shouldBe (1234.0 / 600.0) +- 1e-12
+    out(1).getInt(5) shouldBe 2
+    out(1).getString(6) shouldBe "vide,soun"
+    out(1).getString(7) shouldBe "avc1,mp4a"
+  }
+
+  test("MP4 parser: null/corrupt/truncated bytes yield null, " +
+      "64-bit box sizes are honored") {
+    import Multimodal._
+    val good = Seq((1L, 1000, 1000L, 1)).toDF("id", "ts", "dur", "nt")
+      .select(encodeMp4($"ts", $"dur", $"nt").as("b"))
+      .as[Array[Byte]].head()
+    // rewrite the ftyp box to a 64-bit largesize layout:
+    // size=1, type, largesize(8) then original payload
+    val ftypLen = java.nio.ByteBuffer.wrap(good, 0, 4).getInt
+    val bb = java.nio.ByteBuffer.allocate(good.length + 8)
+    bb.putInt(1).put(good, 4, 4).putLong(ftypLen + 8L)
+      .put(good, 8, good.length - 8)
+    val with64 = bb.array()
+    val df = Seq(
+      (1L, Some(good)),
+      (2L, Some(with64)),
+      (3L, Some("garbage".getBytes("UTF-8"))),
+      (4L, Some(good.take(10))), // truncated mid-box
+      (5L, None: Option[Array[Byte]])).toDF("id", "bytes")
+    val out = df.select($"id",
+        Multimodal.parseMp4Meta($"bytes").as("m"))
+      .orderBy("id").collect()
+    out(0).isNullAt(1) shouldBe false
+    out(1).isNullAt(1) shouldBe false
+    out(1).getStruct(1).getString(0) shouldBe "isom" // brand survives
+    out(2).isNullAt(1) shouldBe true
+    out(3).isNullAt(1) shouldBe true
+    out(4).isNullAt(1) shouldBe true
+  }
 }
