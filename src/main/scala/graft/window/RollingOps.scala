@@ -635,6 +635,7 @@ object RollingOps {
   def ewmScalable(df: DataFrame, valueCol: String, orderCol: String,
       partitionCols: Seq[String], alpha: Double, stat: String = "mean",
       adjust: Boolean = true, bias: Boolean = false,
+      ignoreNa: Boolean = true,
       outName: String = "ewm"): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha in (0,1)")
     require(Seq("mean", "var", "std").contains(stat), s"stat=$stat")
@@ -656,6 +657,7 @@ object RollingOps {
       var curKey: Array[Any] = null
       var num = 0.0; var den = 0.0; var num2 = 0.0; var den2 = 0.0
       var prev = 0.0; var hasPrev = false // adjust=false mean state
+      var prevOw = 0.0 // adjust=false ignore_na=false old_wt state
       // deep element compare: BinaryType keys are Array[Byte], where
       // Seq equality would degrade to reference equality and reset
       // the state on every row
@@ -673,20 +675,55 @@ object RollingOps {
         if (!sameKey(r)) {
           curKey = Array.tabulate(nKeys)(r.get)
           num = 0.0; den = 0.0; num2 = 0.0; den2 = 0.0
-          prev = 0.0; hasPrev = false
+          prev = 0.0; hasPrev = false; prevOw = 0.0
         }
         val e: Any =
-          if (r.isNullAt(vIdx)) null
+          if (r.isNullAt(vIdx) && ignoreNa) null
+          else if (r.isNullAt(vIdx)) {
+            // ignore_na=false (pandas default): the gap decays every
+            // accumulator without adding an observation; emit the
+            // carried value (identical to the fold forms)
+            num *= (1.0 - a); den *= (1.0 - a)
+            num2 *= (1.0 - a); den2 *= (1.0 - a) * (1.0 - a)
+            prevOw *= (1.0 - a)
+            if (statMean && adjust) {
+              if (den > 0.0) num / den else null
+            } else if (statMean) {
+              if (hasPrev) prev else null
+            } else {
+              if (den > 0.0) {
+                val biased = num2 / den - (num / den) * (num / den)
+                val v: Any =
+                  if (bias) biased
+                  else if (den * den - den2 > 0.0)
+                    biased * (den * den) / (den * den - den2)
+                  else null
+                if (statStd && v != null)
+                  math.sqrt(math.max(v.asInstanceOf[Double], 0.0))
+                else v
+              } else null
+            }
+          }
           else {
             val x = r.getDouble(vIdx)
             if (statMean && adjust) {
               num = (1.0 - a) * num + x
               den = (1.0 - a) * den + 1.0
               num / den
-            } else if (statMean) {
+            } else if (statMean && ignoreNa) {
               // boolean init flag, NOT a NaN sentinel: a NaN data value
               // must poison the recurrence exactly like the fold form
               prev = if (!hasPrev) x else (1.0 - a) * prev + a * x
+              hasPrev = true
+              prev
+            } else if (statMean) {
+              // pandas old_wt recursion (new_wt = alpha)
+              if (!hasPrev) { prev = x; prevOw = 1.0 }
+              else {
+                val ow = (1.0 - a) * prevOw
+                prev = (ow * prev + a * x) / (ow + a)
+                prevOw = 1.0
+              }
               hasPrev = true
               prev
             } else {

@@ -435,6 +435,34 @@ class RollingEwmSpec extends SparkSpecBase {
     }
   }
 
+  test("ewmScalable ignore_na=false is bit-equal to the fold forms " +
+      "on a gappy series (mean adjust=true/false, var)") {
+    import spark.implicits._
+    val df = Seq((1, Some(3.0)), (2, Option.empty[Double]),
+      (3, Some(5.0)), (4, Option.empty[Double]),
+      (5, Option.empty[Double]), (6, Some(1.0)), (7, Some(7.0)))
+      .toDF("ord", "v").withColumn("g", lit(1))
+    def col6(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.orderBy("ord").select(c).as[Option[Double]].collect().toSeq
+    // adjust=true mean
+    col6(RollingOps.ewmScalable(df, "v", "ord", Seq("g"), 0.3,
+      stat = "mean", adjust = true, ignoreNa = false, outName = "e"),
+      "e") shouldBe
+      col6(RollingOps.ewmMean(df, "v", "ord", Seq("g"), 0.3,
+        adjust = true, ignoreNa = false, outName = "e"), "e")
+    // adjust=false mean
+    col6(RollingOps.ewmScalable(df, "v", "ord", Seq("g"), 0.3,
+      stat = "mean", adjust = false, ignoreNa = false, outName = "e"),
+      "e") shouldBe
+      col6(RollingOps.ewmMean(df, "v", "ord", Seq("g"), 0.3,
+        adjust = false, ignoreNa = false, outName = "e"), "e")
+    // unbiased var
+    col6(RollingOps.ewmScalable(df, "v", "ord", Seq("g"), 0.3,
+      stat = "var", ignoreNa = false, outName = "e"), "e") shouldBe
+      col6(RollingOps.ewmVar(df, "v", "ord", Seq("g"), 0.3,
+        ignoreNa = false, outName = "e"), "e")
+  }
+
   test("hampel: all-null window emits null med/mad, no ANSI crash") {
     import spark.implicits._
     // a lone non-null far from a cluster of nulls: the centered
