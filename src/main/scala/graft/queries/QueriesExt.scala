@@ -70,6 +70,21 @@ object QueriesExt {
           "ewm_var")
     }),
 
+    // §2.5a TIME-decayed EWM (pandas ewm(halflife, times=...)):
+    // weight halves every 600 s of elapsed event time, replayed by a
+    // recursive-CTE oracle carrying (num, den, prev_t). Whole-second
+    // time axis (unix_timestamp ↔ epoch) so both engines feed pow()
+    // identical arguments; comparator tolerance absorbs the ≤1-ulp
+    // libm pow differences.
+    "q327_ewm_time" -> ((s, d) =>
+      RollingOps.ewmMeanTime(
+        t(s, d, "events")
+          .withColumn("tsec", unix_timestamp(col("ts")))
+          .select("event_id", "user_id", "value", "tsec"),
+        "value", "tsec", "event_id", Seq("user_id"),
+        halflife = 600.0, outName = "ewm_t")
+        .select(col("event_id"), col("user_id"), col("ewm_t"))),
+
     // §2.13 DBSCAN on 1-D supplier balances (cents): the grid-cell
     // candidate join degenerates to exact pairs, so the whole chain
     // (degrees → cores → CC clusters → border attach) is oracle-able
@@ -844,6 +859,30 @@ object QueriesExt {
         |SELECT p.id AS s_suppkey, lab.cluster AS cluster,
         |  coalesce(lab.is_core, FALSE) AS is_core
         |FROM p LEFT JOIN lab ON lab.id = p.id""".stripMargin,
+
+    "q327_ewm_time" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id,
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS t,
+        |    CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE),
+        |        event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, rn,
+        |    x AS num, CAST(1.0 AS DOUBLE) AS den, t AS pt
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.num + b.x,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.den + 1.0,
+        |    b.t
+        |  FROM base b JOIN r ON b.user_id = r.user_id
+        |    AND b.rn = r.rn + 1)
+        |SELECT e.event_id, e.user_id, r.num / r.den AS ewm_t
+        |FROM events e LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.event_id = r.event_id""".stripMargin,
 
     // ignore_na=false replay: the CTE walks EVERY row (nulls
     // included), decaying accumulators without adding on null rows —

@@ -328,6 +328,50 @@ object RollingOps {
     1.0 - math.exp(math.log(0.5) / halflife)
   }
 
+  /** Time-decayed EWM mean — pandas `ewm(halflife=…, times=…)`
+    * (exceeds the reference, whose EWM is positional only): an
+    * observation's weight decays by 0.5^(Δt/halflife) per ELAPSED
+    * TIME, so irregular sampling is handled exactly. `timeCol` is a
+    * numeric time axis in the same unit as `halflife` (e.g.
+    * unix_timestamp seconds); `orderCol` must uniquely key rows
+    * within a partition (join-back key; also the tie-break for equal
+    * times). pandas supports times with adjust=true mean only — same
+    * here. Null values/times are skipped and emit null. Same
+    * sorted-fold shape as [[ewmMean]] with the previous time carried
+    * in the accumulator. */
+  def ewmMeanTime(df: DataFrame, valueCol: String, timeCol: String,
+      orderCol: String, partitionCols: Seq[String], halflife: Double,
+      outName: String = "ewm_t"): DataFrame = {
+    require(halflife > 0, "halflife > 0")
+    val grouped = df
+      .filter(col(valueCol).isNotNull && col(timeCol).isNotNull)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(timeCol).cast("double").as("t"),
+        col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__pts__"))
+    val oT = df.schema(orderCol).dataType.sql
+    val dec =
+      s"coalesce(power(0.5d, (p.t - acc.pt) / ${halflife}d), 1.0d)"
+    val nN = s"($dec * acc.num + p.v)"
+    val nD = s"($dec * acc.den + 1.0d)"
+    val fold = expr(
+      s"""transform(
+         |  aggregate(__pts__,
+         |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
+         |           cast(0.0 as double) as num, cast(0.0 as double) as den,
+         |           cast(null as double) as pt),
+         |    (acc, p) -> struct(
+         |      acc.outp || array(struct(p.o as o, $nN / $nD as e)),
+         |      $nN, $nD, cast(p.t as double))).outp,
+         |  x -> x)""".stripMargin)
+    val exploded = grouped.withColumn("__ewm__", explode(fold))
+      .select(partitionCols.map(col) :+
+        col("__ewm__.o").as(orderCol) :+
+        col("__ewm__.e").as(outName): _*)
+    df.join(exploded, partitionCols :+ orderCol, "left")
+  }
+
   /** Scale-path EWM (adjust=true): weights below `tol` are truncated,
     * turning the sequential recurrence into a fixed-depth window of
     * K = ⌈ln(tol)/ln(1−α)⌉ lagged terms — an ordinary partitioned

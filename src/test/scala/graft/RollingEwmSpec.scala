@@ -435,6 +435,34 @@ class RollingEwmSpec extends SparkSpecBase {
     }
   }
 
+  test("ewmMeanTime: halflife decay over irregular times " +
+      "(pandas ewm(times=...) pinned)") {
+    import spark.implicits._
+    // times 0, 10, 30 with halflife 10: weights at t=30 are
+    // 0.125, 0.25, 1 -> (0.125*1 + 0.25*2 + 3)/1.375
+    val df = Seq((1, 0.0, 1.0), (2, 10.0, 2.0), (3, 30.0, 3.0))
+      .toDF("id", "tm", "v").withColumn("g", lit(1))
+    val out = RollingOps.ewmMeanTime(df, "v", "tm", "id", Seq("g"),
+      halflife = 10.0, outName = "e")
+      .orderBy("id").select("e").as[Double].collect()
+    out(0) shouldBe 1.0 +- 1e-12
+    out(1) shouldBe (2.5 / 1.5) +- 1e-12
+    out(2) shouldBe (3.625 / 1.375) +- 1e-12
+    // regular unit spacing with halflife h reduces to positional
+    // EWM with alpha = 1 - 0.5^(1/h)
+    val reg = (1 to 50).map(i => (i, i.toDouble, math.sin(i) * 5))
+      .toDF("id", "tm", "v").withColumn("g", lit(1))
+    val a = 1.0 - math.pow(0.5, 1.0 / 7.0)
+    val viaTime = RollingOps.ewmMeanTime(reg, "v", "tm", "id",
+      Seq("g"), halflife = 7.0, outName = "e")
+      .orderBy("id").select("e").as[Double].collect()
+    val viaAlpha = RollingOps.ewmMean(reg, "v", "id", Seq("g"), a,
+      adjust = true, outName = "e")
+      .orderBy("id").select("e").as[Double].collect()
+    viaTime.zip(viaAlpha).foreach { case (x, y) =>
+      x shouldBe y +- 1e-9 }
+  }
+
   test("ewmScalable ignore_na=false is bit-equal to the fold forms " +
       "on a gappy series (mean adjust=true/false, var)") {
     import spark.implicits._
