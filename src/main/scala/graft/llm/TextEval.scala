@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Text-generation evaluation metrics over (candidate, reference)
+  * pairs — BLEU and ROUGE-N, the standard eval half of a training
+  * pipeline (exceeds the reference, which has no eval metrics).
+  *
+  * Scale shape: the clipped n-gram overlap is computed DISTRIBUTED —
+  * explode per-side n-gram counts, join on (pair id, gram), one
+  * hash shuffle bounded by total n-gram volume; never a per-row
+  * quadratic scan. Everything is deterministic counting + closed
+  * arithmetic, so both metrics are DuckDB-oracle-checkable. */
+object TextEval {
+
+  private def toks(c: Column): Column = TextFunctions.tokens(lower(c))
+
+  /** Overlapping word n-grams of a token array as space-joined
+    * strings (empty when the text has fewer than n tokens). */
+  def ngramArr(t: Column, n: Column): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - n + 1),
+        i => concat_ws(" ", slice(t, i, n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** ROUGE-N per pair: clipped n-gram matches m, candidate/reference
+    * n-gram totals, precision m/c, recall m/r and F1 = 2m/(c+r)
+    * (the harmonic mean collapses to this closed form). Pairs with
+    * fewer than n tokens on a side emit 0-total and null scores. */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    val base = pairs.select(col(idCol).as("id"),
+      ngramArr(toks(col(candCol)), lit(n)).as("cg"),
+      ngramArr(toks(col(refCol)), lit(n)).as("rg"))
+    val totals = base.select(col("id"),
+      size(col("cg")).cast("long").as("c_tot"),
+      size(col("rg")).cast("long").as("r_tot"))
+    def counts(c: String, out: String) = base
+      .select(col("id"), explode(col(c)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as(out))
+    val clip = counts("cg", "cc").join(counts("rg", "rc"),
+        Seq("id", "g"))
+      .groupBy("id").agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val j = totals.join(clip, Seq("id"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+    j.select(col("id"), col("m").as("matches"),
+      col("c_tot").as("cand_ngrams"), col("r_tot").as("ref_ngrams"),
+      when(col("c_tot") > 0,
+        round(col("m").cast("double") / col("c_tot"), 6))
+        .as("precision"),
+      when(col("r_tot") > 0,
+        round(col("m").cast("double") / col("r_tot"), 6))
+        .as("recall"),
+      when(col("c_tot") + col("r_tot") > 0,
+        round(lit(2.0) * col("m") / (col("c_tot") + col("r_tot")), 6))
+        .as("f1"))
+  }
+
+  /** Sentence BLEU per pair (Papineni et al. 2002, smoothing method
+    * 0): modified (clipped) n-gram precisions p_1..p_maxN, brevity
+    * penalty bp = min(1, e^(1−r/c)), and
+    * bleu = bp·exp(Σ ln p_n / maxN) — 0 when any p_n is 0, null when
+    * the candidate has fewer than maxN tokens (p_maxN undefined). */
+  def bleu(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    val base = pairs.select(col(idCol).as("id"),
+      toks(col(candCol)).as("ct"), toks(col(refCol)).as("rt"))
+    val lens = base.select(col("id"),
+      size(col("ct")).cast("double").as("clen"),
+      size(col("rt")).cast("double").as("rlen"))
+    val byN = base
+      .withColumn("n", explode(sequence(lit(1), lit(maxN))))
+      .select(col("id"), col("n"),
+        ngramArr(col("ct"), col("n")).as("cg"),
+        ngramArr(col("rt"), col("n")).as("rg"))
+    val totals = byN.select(col("id"), col("n"),
+      size(col("cg")).cast("long").as("c_tot"))
+    def counts(c: String, out: String) = byN
+      .select(col("id"), col("n"), explode(col(c)).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as(out))
+    val clip = counts("cg", "cc").join(counts("rg", "rc"),
+        Seq("id", "n", "g"))
+      .groupBy("id", "n").agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val pn = totals.join(clip, Seq("id", "n"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+      .withColumn("p",
+        when(col("c_tot") > 0, col("m").cast("double") / col("c_tot")))
+    val agg = pn.groupBy("id").agg(
+      count(when(col("p").isNotNull, 1)).as("n_defined"),
+      count(when(col("p") === 0.0, 1)).as("n_zero"),
+      sum(when(col("p") > 0, log(col("p")))).as("sum_ln"),
+      max(when(col("n") === 1, col("p"))).as("p1"),
+      max(when(col("n") === 2, col("p"))).as("p2"),
+      max(when(col("n") === 3, col("p"))).as("p3"),
+      max(when(col("n") === 4, col("p"))).as("p4"))
+    lens.join(agg, Seq("id"), "left")
+      .withColumn("bp",
+        when(col("clen") >= col("rlen"), lit(1.0))
+          .otherwise(exp(lit(1.0) - col("rlen") / col("clen"))))
+      .select(col("id"),
+        round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+        round(col("p3"), 6).as("p3"), round(col("p4"), 6).as("p4"),
+        round(col("bp"), 6).as("bp"),
+        when(col("n_defined") < maxN, lit(null).cast("double"))
+          .when(col("n_zero") > 0, lit(0.0))
+          .otherwise(round(col("bp") *
+            exp(col("sum_ln") / maxN), 6)).as("bleu"))
+  }
+}
