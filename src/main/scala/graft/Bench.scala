@@ -122,7 +122,13 @@ object Bench {
       // round-4 headliners: hub-safe triangle counting, SQ8 ANN,
       // per-key forecasting, robust despiking
       "q287_triangles", "q283_quantized_ann", "q307_grouped_holt",
-      "q298_hampel")
+      "q298_hampel",
+      // round-5 headliners: pandas-default EWM, time-decayed EWM,
+      // SARIMA forecast, oracle-twin k-means/k-core, real MP4
+      // metadata, eval metrics
+      "q319_ewm_ignorena", "q327_ewm_time", "q320_sarima",
+      "q322_kmeans_embed", "q324_kcore_peel", "q326_mp4_metadata",
+      "q328_rouge2", "q329_bleu")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

@@ -374,4 +374,62 @@ object Similarity {
       .orderBy(col("qcosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Maximal-marginal-relevance (MMR, Carbonell & Goldstein 1998)
+    * diverse top-k: greedily select k items maximizing
+    * λ·rel(i) − (1−λ)·max_{s∈S} sim(i, s) — the standard
+    * diversity-aware selection for curation/retrieval (exceeds the
+    * reference). Scale shape: relevance top-`candidates` is the
+    * distributed TakeOrdered scan; the greedy loop then runs on that
+    * BOUNDED pool driver-side (k·|pool| cosines — the guarded
+    * driver-op pattern). All cosines are rounded to 6 decimals
+    * before comparison so the selection replays exactly in a SQL
+    * oracle (the q115/q116 convention). Ties break to the lowest
+    * id. Returns (rank, id, relevance, mmr_score). */
+  def mmrSelect(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, lambda: Double = 0.5,
+      candidates: Int = 200): DataFrame = {
+    require(k >= 1 && candidates >= k, "need candidates >= k >= 1")
+    val spark = df.sparkSession
+    val q = array(query.map(v => lit(v)): _*)
+    val pool = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"),
+        round(cosine(col(vecCol), q), 6).as("rel"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(candidates)
+      .collect()
+    // HALF_UP to match Spark round() and DuckDB round()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    final case class Cand(id: Long, vec: Array[Double], rel: Double)
+    val cands = pool.map(r => Cand(r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+    val selected =
+      scala.collection.mutable.ArrayBuffer[(Cand, Double)]()
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(c.vec, s._1.vec)).max
+        (c, lambda * c.rel - (1.0 - lambda) * maxSim)
+      }
+      val best = scored.maxBy { case (c, sc) => (sc, -c.id) }
+      selected += best
+      remaining -= best._1
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((c, sc), i) =>
+      (i + 1, c.id, c.rel, r6(sc)) }.toSeq
+      .toDF("rank", "id", "relevance", "mmr_score")
+  }
 }

@@ -164,6 +164,18 @@ object QueriesText {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))),
 
+    // MMR diverse top-10 (λ=0.5 — exact in both engines' doubles)
+    // over the 200-candidate relevance pool; greedy rounds replayed
+    // one-by-one in the unrolled SQL oracle
+    "q330_mmr" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.mmrSelect(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", q, k = 10, lambda = 0.5,
+        candidates = 200)
+    }),
+
     // embedding cosine top-k (brute force baseline)
     "q47_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -353,7 +365,51 @@ object QueriesText {
         |    AS simhash
         |  FROM votes GROUP BY 1)""".stripMargin
 
+  /** q330 oracle: the greedy MMR selection unrolled — round r picks
+    * the pool row maximizing 0.5·rel − 0.5·max(sim to selected),
+    * ties to the lowest id; cosines rounded to 6 before comparison
+    * exactly like the Scala op. MATERIALIZED so the pool scan does
+    * not inline exponentially. */
+  private val mmrOracle: String = {
+    def sim(a: String, b: String) =
+      s"""round(list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a)) *
+         |       sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+    val rounds = (2 to 10).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT CAST($r AS INTEGER) AS rank, id, v, rel,
+         |    0.5 * rel - (1.0 - 0.5) * (
+         |      SELECT max(${sim("p.v", "u.v")}) FROM u${r - 1} u)
+         |      AS score
+         |  FROM pool p
+         |  WHERE p.id NOT IN (SELECT id FROM u${r - 1})
+         |  ORDER BY score DESC, id LIMIT 1),
+         |u$r AS MATERIALIZED (SELECT id, v FROM u${r - 1}
+         |  UNION ALL SELECT id, v FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT id, v, ${sim("v", "qv")} AS rel
+       |  FROM v, q ORDER BY rel DESC, id LIMIT 200),
+       |s1 AS MATERIALIZED (
+       |  SELECT CAST(1 AS INTEGER) AS rank, id, v, rel,
+       |    0.5 * rel - (1.0 - 0.5) * 0.0 AS score
+       |  FROM pool ORDER BY score DESC, id LIMIT 1),
+       |u1 AS MATERIALIZED (SELECT id, v FROM s1),
+       |$rounds
+       |SELECT rank, id, rel AS relevance, round(score, 6) AS mmr_score
+       |FROM (${(1 to 10).map(r => s"SELECT rank, id, rel, score FROM s$r")
+          .mkString(" UNION ALL ")})
+       |ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q330_mmr" -> mmrOracle,
 
     // the JSON is synthesized from orders fields, so the oracle
     // derives the flattened frame directly from the same fields
