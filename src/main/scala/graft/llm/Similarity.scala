@@ -388,8 +388,17 @@ object Similarity {
     * id. Returns (rank, id, relevance, mmr_score). */
   def mmrSelect(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int, lambda: Double = 0.5,
-      candidates: Int = 200): DataFrame = {
+      candidates: Int = 200, maxCandidates: Int = 10000): DataFrame = {
     require(k >= 1 && candidates >= k, "need candidates >= k >= 1")
+    // The relevance pool is distributed (codegen'd cosine +
+    // TakeOrderedAndProject), but the greedy MMR selection collects
+    // the pool and runs O(k · |pool| · dim) on the driver — inherent
+    // to the sequential argmax. Cap it loudly (the tsne/transpose
+    // maxN convention) so candidates=10^7 fails fast, not OOM.
+    require(candidates <= maxCandidates,
+      s"mmrSelect greedy stage is driver-side O(k*candidates*dim); " +
+        s"candidates=$candidates > maxCandidates=$maxCandidates — " +
+        "raise maxCandidates explicitly if the pool truly fits")
     val spark = df.sparkSession
     val q = array(query.map(v => lit(v)): _*)
     val pool = df.select(col(idCol).cast("long").as("id"),

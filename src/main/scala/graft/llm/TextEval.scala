@@ -58,13 +58,25 @@ object TextEval {
         .as("f1"))
   }
 
-  /** Sentence BLEU per pair (Papineni et al. 2002, smoothing method
-    * 0): modified (clipped) n-gram precisions p_1..p_maxN, brevity
-    * penalty bp = min(1, e^(1−r/c)), and
-    * bleu = bp·exp(Σ ln p_n / maxN) — 0 when any p_n is 0, null when
-    * the candidate has fewer than maxN tokens (p_maxN undefined). */
+  /** Sentence BLEU per pair (Papineni et al. 2002): modified
+    * (clipped) n-gram precisions p_1..p_maxN, brevity penalty
+    * bp = min(1, e^(1−r/c)), and bleu = bp·exp(Σ ln p_n / maxN).
+    * Null when the candidate has fewer than maxN tokens (p_maxN
+    * undefined).
+    *
+    * `smoothing` = 0 (default): no smoothing — bleu is 0 when any
+    * p_n is 0 (the raw Papineni definition). `smoothing` = 1:
+    * Chen–Cherry (2014) method 1 / NLTK `method1` — a zero clipped
+    * count is replaced by `epsilon` before dividing, so
+    * p_n = ε / c_tot when m_n = 0; short candidates no longer
+    * collapse to 0 (what sacrebleu users expect). The reported
+    * p1..p4 columns are the smoothed precisions. */
   def bleu(pairs: DataFrame, idCol: String, candCol: String,
-      refCol: String, maxN: Int = 4): DataFrame = {
+      refCol: String, maxN: Int = 4, smoothing: Int = 0,
+      epsilon: Double = 0.1): DataFrame = {
+    require(smoothing == 0 || smoothing == 1,
+      s"smoothing method $smoothing not implemented (0 or 1)")
+    require(epsilon > 0, "epsilon > 0")
     val base = pairs.select(col(idCol).as("id"),
       toks(col(candCol)).as("ct"), toks(col(refCol)).as("rt"))
     val lens = base.select(col("id"),
@@ -83,10 +95,17 @@ object TextEval {
     val clip = counts("cg", "cc").join(counts("rg", "rc"),
         Seq("id", "n", "g"))
       .groupBy("id", "n").agg(sum(least(col("cc"), col("rc"))).as("m"))
-    val pn = totals.join(clip, Seq("id", "n"), "left")
+    val pn0 = totals.join(clip, Seq("id", "n"), "left")
       .withColumn("m", coalesce(col("m"), lit(0L)))
       .withColumn("p",
         when(col("c_tot") > 0, col("m").cast("double") / col("c_tot")))
+    // method 1 rewrites zero precisions to ε/c_tot, so downstream the
+    // n_zero counter is 0 and the generic ln-sum path applies as-is
+    val pn =
+      if (smoothing == 1)
+        pn0.withColumn("p", when(col("p") === 0.0,
+          lit(epsilon) / col("c_tot")).otherwise(col("p")))
+      else pn0
     val agg = pn.groupBy("id").agg(
       count(when(col("p").isNotNull, 1)).as("n_defined"),
       count(when(col("p") === 0.0, 1)).as("n_zero"),

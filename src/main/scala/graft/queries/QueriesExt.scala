@@ -48,6 +48,22 @@ object QueriesExt {
         .select("event_id", "event_type", "ewm_cov", "ewm_corr")
     }),
 
+    // §2.5a the O(n) streaming pairwise-EWM path (secondary sort +
+    // mapPartitions, EwmPairMachine) — bit-equal to the q290 fold by
+    // construction, so it shares the same recursive-CTE oracle
+    "q333_ewm_cov_scalable" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .select("event_id", "event_type", "value", "user_id")
+      val c1 = RollingOps.ewmCovScalable(base, "value", "user_id",
+        "event_id", Seq("event_type"), alpha = 0.5,
+        outName = "ewm_cov")
+      val c2 = RollingOps.ewmCorrScalable(base, "value", "user_id",
+        "event_id", Seq("event_type"), alpha = 0.5,
+        outName = "ewm_corr")
+      c1.join(c2, Seq("event_type", "event_id"))
+        .select("event_id", "event_type", "ewm_cov", "ewm_corr")
+    }),
+
     // §2.5a EWM with ignore_na=false — the PANDAS DEFAULT positional
     // weighting (reference src/series/window.rs:555-602): a gap of g
     // null rows decays every prior weight by (1-α)^g and null rows
@@ -84,6 +100,19 @@ object QueriesExt {
         "value", "tsec", "event_id", Seq("user_id"),
         halflife = 600.0, outName = "ewm_t")
         .select(col("event_id"), col("user_id"), col("ewm_t"))),
+
+    // §2.5a TIME-decayed EWM unbiased VARIANCE (pandas
+    // ewm(halflife, times).var()): the q327 recurrence extended with
+    // (num2, den2) squared-weight accumulators, replayed by the same
+    // recursive-CTE oracle shape. Whole-second axis (q327 note).
+    "q332_ewm_time_var" -> ((s, d) =>
+      RollingOps.ewmVarTime(
+        t(s, d, "events")
+          .withColumn("tsec", unix_timestamp(col("ts")))
+          .select("event_id", "user_id", "value", "tsec"),
+        "value", "tsec", "event_id", Seq("user_id"),
+        halflife = 600.0, outName = "ewm_t_var")
+        .select(col("event_id"), col("user_id"), col("ewm_t_var"))),
 
     // §2.13 DBSCAN on 1-D supplier balances (cents): the grid-cell
     // candidate join degenerates to exact pairs, so the whole chain
@@ -884,6 +913,38 @@ object QueriesExt {
         |FROM events e LEFT JOIN r
         |  ON e.user_id = r.user_id AND e.event_id = r.event_id""".stripMargin,
 
+    "q332_ewm_time_var" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id,
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS t,
+        |    CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE),
+        |        event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, rn,
+        |    x AS num, CAST(1.0 AS DOUBLE) AS den,
+        |    x * x AS num2, CAST(1.0 AS DOUBLE) AS den2, t AS pt
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.rn,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.num + b.x,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.den + 1.0,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.num2 + b.x * b.x,
+        |    power(0.5, (b.t - r.pt) / 600.0) *
+        |      power(0.5, (b.t - r.pt) / 600.0) * r.den2 + 1.0,
+        |    b.t
+        |  FROM base b JOIN r ON b.user_id = r.user_id
+        |    AND b.rn = r.rn + 1)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN r.den * r.den - r.den2 > 0.0
+        |    THEN (r.num2 / r.den - (r.num / r.den) * (r.num / r.den)) *
+        |      (r.den * r.den) / (r.den * r.den - r.den2) END
+        |    AS ewm_t_var
+        |FROM events e LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.event_id = r.event_id""".stripMargin,
+
     // ignore_na=false replay: the CTE walks EVERY row (nulls
     // included), decaying accumulators without adding on null rows —
     // identical 0.5-multiplier arithmetic to the Scala fold, so no
@@ -963,6 +1024,49 @@ object QueriesExt {
         |FROM r""".stripMargin,
 
     "q290_ewm_cov" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
+        |    CAST(user_id AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+        |      AS rn
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, event_id, rn,
+        |    CAST(1.0 AS DOUBLE) AS den, CAST(1.0 AS DOUBLE) AS den2,
+        |    x AS sx, y AS sy, x * y AS sxy, x * x AS sxx, y * y AS syy
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.event_id, b.rn,
+        |    (1.0 - 0.5) * r.den + 1.0,
+        |    (1.0 - 0.5) * (1.0 - 0.5) * r.den2 + 1.0,
+        |    (1.0 - 0.5) * r.sx + b.x,
+        |    (1.0 - 0.5) * r.sy + b.y,
+        |    (1.0 - 0.5) * r.sxy + b.x * b.y,
+        |    (1.0 - 0.5) * r.sxx + b.x * b.x,
+        |    (1.0 - 0.5) * r.syy + b.y * b.y
+        |  FROM base b JOIN r
+        |    ON b.event_type = r.event_type AND b.rn = r.rn + 1),
+        |f AS (
+        |  SELECT event_type, event_id,
+        |    sxy / den - (sx / den) * (sy / den) AS covb,
+        |    sxx / den - (sx / den) * (sx / den) AS varxb,
+        |    syy / den - (sy / den) * (sy / den) AS varyb,
+        |    den, den2
+        |  FROM r)
+        |SELECT e.event_id, e.event_type,
+        |  CASE WHEN f.den * f.den - f.den2 > 0.0
+        |    THEN f.covb * (f.den * f.den) / (f.den * f.den - f.den2)
+        |  END AS ewm_cov,
+        |  CASE WHEN f.varxb * f.varyb > 0.0
+        |    THEN f.covb / sqrt(f.varxb * f.varyb)
+        |  END AS ewm_corr
+        |FROM events e LEFT JOIN f
+        |  ON e.event_type = f.event_type AND e.event_id = f.event_id""".stripMargin,
+
+    // identical replay to q290 — the scalable path is bit-equal to
+    // the fold, so the same recurrence oracles both
+    "q333_ewm_cov_scalable" ->
       """WITH RECURSIVE base AS (
         |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
         |    CAST(user_id AS DOUBLE) AS y,

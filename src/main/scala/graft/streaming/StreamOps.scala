@@ -139,6 +139,50 @@ object StreamOps {
           out.iterator
       }
 
+  case class EwmStreamState(num: Double, den: Double, num2: Double,
+      den2: Double, prev: Double, hasPrev: Boolean, prevOw: Double)
+  case class EwmStreamOut(key: String, ord: Long, ewm: Option[Double])
+
+  /** Streaming EWM — the real-time-metrics story (reference
+    * src/streaming/mod.rs:719-926 RealTimeAnalytics keeps running
+    * exponential statistics over a live feed): per-key EWM
+    * mean/var/std carried ACROSS micro-batches with
+    * flatMapGroupsWithState. The state is the
+    * [[graft.window.RollingOps.EwmMachine]] accumulator set — the
+    * SAME state machine the batch [[graft.window.RollingOps.ewmScalable]]
+    * pass runs, so the streamed sequence is bit-equal to the batch
+    * fold over the concatenated input (spec'd cross-batch).
+    *
+    * Contract: per key, `ord` must be non-decreasing across batches
+    * (append-only sources; rows within a batch are sorted here).
+    * A null value follows the chosen ignore_na semantics exactly like
+    * the batch forms. State is O(1) per key and never evicted — key
+    * cardinality bounds memory, the right trade for always-on
+    * metrics; add a TTL wrapper if keys churn. */
+  def ewmStream(ds: Dataset[(String, Long, Option[Double])],
+      alpha: Double, stat: String = "mean", adjust: Boolean = true,
+      bias: Boolean = false, ignoreNa: Boolean = true)(
+      implicit e: Encoder[EwmStreamOut],
+      se: Encoder[EwmStreamState]): Dataset[EwmStreamOut] =
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[EwmStreamState, EwmStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Option[Double])],
+         state: GroupState[EwmStreamState]) =>
+          val m = new graft.window.RollingOps.EwmMachine(
+            alpha, stat, adjust, bias, ignoreNa)
+          state.getOption.foreach(s => m.restore(s.num, s.den, s.num2,
+            s.den2, s.prev, s.hasPrev, s.prevOw))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, ord, v) =>
+            val e = m.step(v.isEmpty, v.getOrElse(0.0))
+            EwmStreamOut(key, ord,
+              Option(e).map(_.asInstanceOf[Double]))
+          }
+          state.update(EwmStreamState(m.num, m.den, m.num2, m.den2,
+            m.prev, m.hasPrev, m.prevOw))
+          out.iterator
+      }
+
   /** Batch-equivalent of the streaming tumbling aggregation — used to
     * verify window semantics against the oracle on static data. */
   def tumblingBatch(df: DataFrame, tsCol: String, size: String,

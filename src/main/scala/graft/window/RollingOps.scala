@@ -372,6 +372,71 @@ object RollingOps {
     df.join(exploded, partitionCols :+ orderCol, "left")
   }
 
+  /** Time-decayed EWM variance — the var sibling of [[ewmMeanTime]]
+    * (pandas `ewm(halflife=…, times=…).var()`): weights decay by
+    * 0.5^(Δt/halflife) per elapsed time, with the [[ewmVar]]
+    * accumulator family (num, den, num2, den2) where den2 carries
+    * SQUARED weights (decays by the square of the per-step factor).
+    * Biased var = num2/den − (num/den)²; bias=false applies the
+    * den²/(den²−den2) reliability debias (null while a single
+    * effective observation). With REGULAR spacing Δ it reduces
+    * exactly to [[ewmVar]] at α = 1 − 0.5^(Δ/halflife) (spec'd).
+    * Same sorted-fold shape and null conventions as
+    * [[ewmMeanTime]]. */
+  def ewmVarTime(df: DataFrame, valueCol: String, timeCol: String,
+      orderCol: String, partitionCols: Seq[String], halflife: Double,
+      bias: Boolean = false,
+      outName: String = "ewm_t_var"): DataFrame = {
+    require(halflife > 0, "halflife > 0")
+    val grouped = df
+      .filter(col(valueCol).isNotNull && col(timeCol).isNotNull)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(timeCol).cast("double").as("t"),
+        col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__pts__"))
+    val oT = df.schema(orderCol).dataType.sql
+    val dec =
+      s"coalesce(power(0.5d, (p.t - acc.pt) / ${halflife}d), 1.0d)"
+    val nN = s"($dec * acc.num + p.v)"
+    val nD = s"($dec * acc.den + 1.0d)"
+    val nN2 = s"($dec * acc.num2 + p.v * p.v)"
+    val nD2 = s"($dec * $dec * acc.den2 + 1.0d)"
+    val biased = s"($nN2 / $nD - ($nN / $nD) * ($nN / $nD))"
+    val eExpr =
+      if (bias) biased
+      else s"""CASE WHEN $nD * $nD - $nD2 > 0.0d
+              |  THEN $biased * ($nD * $nD) / ($nD * $nD - $nD2)
+              |  ELSE CAST(null AS DOUBLE) END""".stripMargin
+    val fold = expr(
+      s"""transform(
+         |  aggregate(__pts__,
+         |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
+         |           cast(0.0 as double) as num, cast(0.0 as double) as den,
+         |           cast(0.0 as double) as num2, cast(0.0 as double) as den2,
+         |           cast(null as double) as pt),
+         |    (acc, p) -> struct(
+         |      acc.outp || array(struct(p.o as o, $eExpr as e)),
+         |      $nN, $nD, $nN2, $nD2, cast(p.t as double))).outp,
+         |  x -> x)""".stripMargin)
+    val exploded = grouped.withColumn("__ewm__", explode(fold))
+      .select(partitionCols.map(col) :+
+        col("__ewm__.o").as(orderCol) :+
+        col("__ewm__.e").as(outName): _*)
+    df.join(exploded, partitionCols :+ orderCol, "left")
+  }
+
+  /** Time-decayed EWM standard deviation: sqrt of [[ewmVarTime]]
+    * (clamped at 0; nulls stay null — the [[ewmStd]] convention). */
+  def ewmStdTime(df: DataFrame, valueCol: String, timeCol: String,
+      orderCol: String, partitionCols: Seq[String], halflife: Double,
+      bias: Boolean = false,
+      outName: String = "ewm_t_std"): DataFrame =
+    ewmVarTime(df, valueCol, timeCol, orderCol, partitionCols,
+      halflife, bias, outName)
+      .withColumn(outName, when(col(outName).isNotNull,
+        sqrt(greatest(col(outName), lit(0.0)))))
+
   /** Scale-path EWM (adjust=true): weights below `tol` are truncated,
     * turning the sequential recurrence into a fixed-depth window of
     * K = ⌈ln(tol)/ln(1−α)⌉ lagged terms — an ordinary partitioned
@@ -664,6 +729,154 @@ object RollingOps {
       .withColumn(outName, when(col(outName).isNotNull,
         sqrt(greatest(col(outName), lit(0.0)))))
 
+  /** Per-point EWM state machine — the ONE implementation of the
+    * exact O(1)-per-row recurrence, shared by [[ewmScalable]] (batch
+    * mapPartitions) and
+    * [[graft.streaming.StreamOps.ewmStream]] (flatMapGroupsWithState
+    * across micro-batches), so the two paths are bit-equal to each
+    * other and to the fold forms by construction. Arithmetic is the
+    * identical update order to [[ewmMean]]/[[ewmVar]]. */
+  private[graft] final class EwmMachine(a: Double, stat: String,
+      adjust: Boolean, bias: Boolean, ignoreNa: Boolean)
+      extends Serializable {
+    require(a > 0 && a < 1, "alpha in (0,1)")
+    require(Seq("mean", "var", "std").contains(stat), s"stat=$stat")
+    private val statMean = stat == "mean"
+    private val statStd = stat == "std"
+    var num = 0.0; var den = 0.0; var num2 = 0.0; var den2 = 0.0
+    var prev = 0.0; var hasPrev = false // adjust=false mean state
+    var prevOw = 0.0 // adjust=false ignore_na=false old_wt state
+    def reset(): Unit = {
+      num = 0.0; den = 0.0; num2 = 0.0; den2 = 0.0
+      prev = 0.0; hasPrev = false; prevOw = 0.0
+    }
+    def restore(n: Double, d: Double, n2: Double, d2: Double,
+        p: Double, hp: Boolean, ow: Double): Unit = {
+      num = n; den = d; num2 = n2; den2 = d2
+      prev = p; hasPrev = hp; prevOw = ow
+    }
+    /** Advance on one point (`isNull` = missing value; `x` ignored
+      * then) and return the emitted statistic, or null. */
+    def step(isNull: Boolean, x: Double): Any =
+      if (isNull && ignoreNa) null
+      else if (isNull) {
+        // ignore_na=false (pandas default): the gap decays every
+        // accumulator without adding an observation; emit the
+        // carried value (identical to the fold forms)
+        num *= (1.0 - a); den *= (1.0 - a)
+        num2 *= (1.0 - a); den2 *= (1.0 - a) * (1.0 - a)
+        prevOw *= (1.0 - a)
+        if (statMean && adjust) {
+          if (den > 0.0) num / den else null
+        } else if (statMean) {
+          if (hasPrev) prev else null
+        } else {
+          if (den > 0.0) {
+            val biased = num2 / den - (num / den) * (num / den)
+            val v: Any =
+              if (bias) biased
+              else if (den * den - den2 > 0.0)
+                biased * (den * den) / (den * den - den2)
+              else null
+            if (statStd && v != null)
+              math.sqrt(math.max(v.asInstanceOf[Double], 0.0))
+            else v
+          } else null
+        }
+      }
+      else {
+        if (statMean && adjust) {
+          num = (1.0 - a) * num + x
+          den = (1.0 - a) * den + 1.0
+          num / den
+        } else if (statMean && ignoreNa) {
+          // boolean init flag, NOT a NaN sentinel: a NaN data value
+          // must poison the recurrence exactly like the fold form
+          prev = if (!hasPrev) x else (1.0 - a) * prev + a * x
+          hasPrev = true
+          prev
+        } else if (statMean) {
+          // pandas old_wt recursion (new_wt = alpha)
+          if (!hasPrev) { prev = x; prevOw = 1.0 }
+          else {
+            val ow = (1.0 - a) * prevOw
+            prev = (ow * prev + a * x) / (ow + a)
+            prevOw = 1.0
+          }
+          hasPrev = true
+          prev
+        } else {
+          num = (1.0 - a) * num + x
+          den = (1.0 - a) * den + 1.0
+          num2 = (1.0 - a) * num2 + x * x
+          den2 = (1.0 - a) * (1.0 - a) * den2 + 1.0
+          val biased = num2 / den - (num / den) * (num / den)
+          val v: Any =
+            if (bias) biased
+            else if (den * den - den2 > 0.0)
+              biased * (den * den) / (den * den - den2)
+            else null
+          if (statStd && v != null)
+            math.sqrt(math.max(v.asInstanceOf[Double], 0.0))
+          else v
+        }
+      }
+  }
+
+  /** Per-point PAIRWISE EWM state machine — cov/corr sibling of
+    * [[EwmMachine]] with the seven accumulators of [[ewmCov]]
+    * (Σw, Σw², Σwx, Σwy, Σwxy, Σwx², Σwy²), identical update order
+    * so [[ewmCovScalable]] is bit-equal to the fold form. */
+  private[graft] final class EwmPairMachine(a: Double, bias: Boolean,
+      corr: Boolean, ignoreNa: Boolean) extends Serializable {
+    require(a > 0 && a < 1, "alpha in (0,1)")
+    var den = 0.0; var den2 = 0.0
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0
+    var sxx = 0.0; var syy = 0.0
+    def reset(): Unit = {
+      den = 0.0; den2 = 0.0; sx = 0.0; sy = 0.0
+      sxy = 0.0; sxx = 0.0; syy = 0.0
+    }
+    def restore(d: Double, d2: Double, x1: Double, y1: Double,
+        xy: Double, xx: Double, yy: Double): Unit = {
+      den = d; den2 = d2; sx = x1; sy = y1
+      sxy = xy; sxx = xx; syy = yy
+    }
+    private def emit(): Any =
+      if (den > 0.0) {
+        val covB = sxy / den - (sx / den) * (sy / den)
+        val varxB = sxx / den - (sx / den) * (sx / den)
+        val varyB = syy / den - (sy / den) * (sy / den)
+        if (corr) {
+          if (varxB * varyB > 0.0) covB / math.sqrt(varxB * varyB)
+          else null
+        } else if (bias) covB
+        else if (den * den - den2 > 0.0)
+          covB * (den * den) / (den * den - den2)
+        else null
+      } else null
+    /** Advance on one point; `incomplete` = either side missing. */
+    def step(incomplete: Boolean, x: Double, y: Double): Any =
+      if (incomplete && ignoreNa) null
+      else if (incomplete) {
+        // pairwise-incomplete row under ignore_na=false: decay every
+        // accumulator (den2 by (1-α)²) without adding, emit carried
+        den *= (1.0 - a); den2 *= (1.0 - a) * (1.0 - a)
+        sx *= (1.0 - a); sy *= (1.0 - a); sxy *= (1.0 - a)
+        sxx *= (1.0 - a); syy *= (1.0 - a)
+        emit()
+      } else {
+        den = (1.0 - a) * den + 1.0
+        den2 = (1.0 - a) * (1.0 - a) * den2 + 1.0
+        sx = (1.0 - a) * sx + x
+        sy = (1.0 - a) * sy + y
+        sxy = (1.0 - a) * sxy + x * y
+        sxx = (1.0 - a) * sxx + x * x
+        syy = (1.0 - a) * syy + y * y
+        emit()
+      }
+  }
+
   /** EXACT streaming EWM at scale: repartition by key, secondary-sort
     * within partitions, one O(n) stateful pass per partition
     * (`mapPartitions` with group-change detection — constant memory,
@@ -695,13 +908,9 @@ object RollingOps {
     val nKeys = partitionCols.size
     val vIdx = nKeys + 1
     val a = alpha
-    val statMean = stat == "mean"
-    val statStd = stat == "std"
     val out = sorted.mapPartitions { it =>
       var curKey: Array[Any] = null
-      var num = 0.0; var den = 0.0; var num2 = 0.0; var den2 = 0.0
-      var prev = 0.0; var hasPrev = false // adjust=false mean state
-      var prevOw = 0.0 // adjust=false ignore_na=false old_wt state
+      val m = new EwmMachine(a, stat, adjust, bias, ignoreNa)
       // deep element compare: BinaryType keys are Array[Byte], where
       // Seq equality would degrade to reference equality and reset
       // the state on every row
@@ -718,74 +927,11 @@ object RollingOps {
       it.map { r =>
         if (!sameKey(r)) {
           curKey = Array.tabulate(nKeys)(r.get)
-          num = 0.0; den = 0.0; num2 = 0.0; den2 = 0.0
-          prev = 0.0; hasPrev = false; prevOw = 0.0
+          m.reset()
         }
         val e: Any =
-          if (r.isNullAt(vIdx) && ignoreNa) null
-          else if (r.isNullAt(vIdx)) {
-            // ignore_na=false (pandas default): the gap decays every
-            // accumulator without adding an observation; emit the
-            // carried value (identical to the fold forms)
-            num *= (1.0 - a); den *= (1.0 - a)
-            num2 *= (1.0 - a); den2 *= (1.0 - a) * (1.0 - a)
-            prevOw *= (1.0 - a)
-            if (statMean && adjust) {
-              if (den > 0.0) num / den else null
-            } else if (statMean) {
-              if (hasPrev) prev else null
-            } else {
-              if (den > 0.0) {
-                val biased = num2 / den - (num / den) * (num / den)
-                val v: Any =
-                  if (bias) biased
-                  else if (den * den - den2 > 0.0)
-                    biased * (den * den) / (den * den - den2)
-                  else null
-                if (statStd && v != null)
-                  math.sqrt(math.max(v.asInstanceOf[Double], 0.0))
-                else v
-              } else null
-            }
-          }
-          else {
-            val x = r.getDouble(vIdx)
-            if (statMean && adjust) {
-              num = (1.0 - a) * num + x
-              den = (1.0 - a) * den + 1.0
-              num / den
-            } else if (statMean && ignoreNa) {
-              // boolean init flag, NOT a NaN sentinel: a NaN data value
-              // must poison the recurrence exactly like the fold form
-              prev = if (!hasPrev) x else (1.0 - a) * prev + a * x
-              hasPrev = true
-              prev
-            } else if (statMean) {
-              // pandas old_wt recursion (new_wt = alpha)
-              if (!hasPrev) { prev = x; prevOw = 1.0 }
-              else {
-                val ow = (1.0 - a) * prevOw
-                prev = (ow * prev + a * x) / (ow + a)
-                prevOw = 1.0
-              }
-              hasPrev = true
-              prev
-            } else {
-              num = (1.0 - a) * num + x
-              den = (1.0 - a) * den + 1.0
-              num2 = (1.0 - a) * num2 + x * x
-              den2 = (1.0 - a) * (1.0 - a) * den2 + 1.0
-              val biased = num2 / den - (num / den) * (num / den)
-              val v: Any =
-                if (bias) biased
-                else if (den * den - den2 > 0.0)
-                  biased * (den * den) / (den * den - den2)
-                else null
-              if (statStd && v != null)
-                math.sqrt(math.max(v.asInstanceOf[Double], 0.0))
-              else v
-            }
-          }
+          m.step(r.isNullAt(vIdx),
+            if (r.isNullAt(vIdx)) 0.0 else r.getDouble(vIdx))
         val outVals = new Array[Any](vIdx + 1)
         var i = 0
         while (i < vIdx) { outVals(i) = r.get(i); i += 1 }
@@ -797,6 +943,78 @@ object RollingOps {
     // key + order columns if the remaining input columns are needed
     out
   }
+
+  /** EXACT streaming EWM covariance / correlation at scale — the
+    * pairwise sibling of [[ewmScalable]]: repartition by key,
+    * secondary-sort, one O(n) stateful pass per partition via
+    * [[EwmPairMachine]] (constant memory, no per-group array
+    * materialization — the [[ewmCov]] fold's array append is O(n²)
+    * in group length, so THIS is the long-series path). Identical
+    * update order to the fold, hence bit-equal (spec'd on both
+    * ignore_na variants). Rows where either column is null follow
+    * pairwise-complete semantics: skipped under ignoreNa=true,
+    * decay-and-carry under ignoreNa=false. Output columns:
+    * (partitionCols…, orderCol, outName). */
+  def ewmCovScalable(df: DataFrame, xCol: String, yCol: String,
+      orderCol: String, partitionCols: Seq[String], alpha: Double,
+      bias: Boolean = false, corr: Boolean = false,
+      ignoreNa: Boolean = true,
+      outName: String = "ewm_cov"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(partitionCols.nonEmpty, "partitionCols required")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val base = df.select(partitionCols.map(col) :+ col(orderCol) :+
+      col(xCol).cast("double").as("__x__") :+
+      col(yCol).cast("double").as("__y__"): _*)
+    val sorted = base.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols :+ orderCol).map(col): _*)
+    val schema = StructType(sorted.schema.fields.dropRight(2) :+
+      StructField(outName, DoubleType, nullable = true))
+    val nKeys = partitionCols.size
+    val xIdx = nKeys + 1
+    val yIdx = nKeys + 2
+    val a = alpha
+    val out = sorted.mapPartitions { it =>
+      var curKey: Array[Any] = null
+      val m = new EwmPairMachine(a, bias, corr, ignoreNa)
+      def sameKey(r: Row): Boolean = {
+        if (curKey == null) return false
+        var i = 0
+        while (i < nKeys) {
+          if (!java.util.Objects.deepEquals(curKey(i), r.get(i)))
+            return false
+          i += 1
+        }
+        true
+      }
+      it.map { r =>
+        if (!sameKey(r)) {
+          curKey = Array.tabulate(nKeys)(r.get)
+          m.reset()
+        }
+        val incomplete = r.isNullAt(xIdx) || r.isNullAt(yIdx)
+        val e: Any = m.step(incomplete,
+          if (incomplete) 0.0 else r.getDouble(xIdx),
+          if (incomplete) 0.0 else r.getDouble(yIdx))
+        val outVals = new Array[Any](xIdx + 1)
+        var i = 0
+        while (i < xIdx) { outVals(i) = r.get(i); i += 1 }
+        outVals(xIdx) = e
+        Row.fromSeq(outVals.toIndexedSeq)
+      }
+    }(Encoders.row(schema))
+    out
+  }
+
+  /** pandas ewm().corr() at scale — [[ewmCovScalable]] with the
+    * biased-ratio correlation output. */
+  def ewmCorrScalable(df: DataFrame, xCol: String, yCol: String,
+      orderCol: String, partitionCols: Seq[String], alpha: Double,
+      ignoreNa: Boolean = true,
+      outName: String = "ewm_corr"): DataFrame =
+    ewmCovScalable(df, xCol, yCol, orderCol, partitionCols, alpha,
+      corr = true, ignoreNa = ignoreNa, outName = outName)
 
   /** Scale-path EWM variance: truncated weights like
     * [[ewmMeanTruncated]] — a fixed-depth lag window instead of the

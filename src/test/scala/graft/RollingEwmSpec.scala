@@ -491,6 +491,87 @@ class RollingEwmSpec extends SparkSpecBase {
         ignoreNa = false, outName = "e"), "e")
   }
 
+  test("ewmCovScalable streaming pass is bit-equal to the ewmCov " +
+      "fold (cov/corr, bias, both ignore_na variants)") {
+    import spark.implicits._
+    // two keys; pairwise-incomplete rows interleaved on EACH side
+    val rows = (1 to 40).flatMap { i =>
+      val x = if (i % 7 == 3) None else Some(math.sin(i * 0.8) * 5 + i % 4)
+      val y = if (i % 11 == 5) None else Some(math.cos(i * 0.6) * 3 - i % 3)
+      Seq(("a", i, x, y), ("b", i, y, x))
+    }
+    val df = rows.toDF("k", "ord", "x", "y")
+    def c(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k", "ord").select("e").as[Option[Double]]
+        .collect().toSeq
+    for (ina <- Seq(true, false)) {
+      // unbiased cov
+      c(RollingOps.ewmCovScalable(df, "x", "y", "ord", Seq("k"), 0.3,
+        ignoreNa = ina, outName = "e")) shouldBe
+        c(RollingOps.ewmCov(df, "x", "y", "ord", Seq("k"), 0.3,
+          ignoreNa = ina, outName = "e"))
+      // biased cov
+      c(RollingOps.ewmCovScalable(df, "x", "y", "ord", Seq("k"), 0.3,
+        bias = true, ignoreNa = ina, outName = "e")) shouldBe
+        c(RollingOps.ewmCov(df, "x", "y", "ord", Seq("k"), 0.3,
+          bias = true, ignoreNa = ina, outName = "e"))
+      // corr
+      c(RollingOps.ewmCorrScalable(df, "x", "y", "ord", Seq("k"), 0.3,
+        ignoreNa = ina, outName = "e")) shouldBe
+        c(RollingOps.ewmCorr(df, "x", "y", "ord", Seq("k"), 0.3,
+          ignoreNa = ina, outName = "e"))
+    }
+  }
+
+  test("ewmVarTime reduces to positional ewmVar on a regular grid " +
+      "and ewmStdTime is its sqrt") {
+    import spark.implicits._
+    // Δ = halflife -> per-step decay exactly 0.5 -> α = 0.5
+    val reg = (0 until 25).map(i =>
+        (1, i, i.toDouble * 7.0, math.sin(i * 1.3) * 9 + 2))
+      .toDF("g", "id", "tm", "v")
+    val viaTime = RollingOps.ewmVarTime(reg, "v", "tm", "id",
+      Seq("g"), halflife = 7.0, outName = "e")
+      .orderBy("id").select("e").as[Option[Double]].collect()
+    val viaAlpha = RollingOps.ewmVar(reg, "v", "id", Seq("g"), 0.5,
+      outName = "e")
+      .orderBy("id").select("e").as[Option[Double]].collect()
+    viaTime.zip(viaAlpha).foreach {
+      case (Some(x), Some(y)) => x shouldBe y +- 1e-9
+      case (x, y) => x.isEmpty shouldBe y.isEmpty
+    }
+    // first point: single effective observation -> debias undefined
+    viaTime(0).isEmpty shouldBe true
+    // biased var of the first point is 0
+    RollingOps.ewmVarTime(reg, "v", "tm", "id", Seq("g"), 7.0,
+      bias = true, outName = "e")
+      .orderBy("id").select("e").as[Option[Double]].head() shouldBe
+      Some(0.0)
+    val stds = RollingOps.ewmStdTime(reg, "v", "tm", "id", Seq("g"),
+      halflife = 7.0, outName = "e")
+      .orderBy("id").select("e").as[Option[Double]].collect()
+    stds.zip(viaTime).foreach {
+      case (Some(s), Some(v)) => s shouldBe math.sqrt(math.max(v, 0.0))
+      case (s, v) => s.isEmpty shouldBe v.isEmpty
+    }
+  }
+
+  test("ewmVarTime irregular spacing: hand-computed two-step check") {
+    import spark.implicits._
+    // points (t=0, x=10), (t=600, x=20) with halflife 600:
+    // dec = 0.5; den = .5*1+1 = 1.5, num = .5*10+20 = 25,
+    // num2 = .5*100+400 = 450, den2 = .25*1+1 = 1.25
+    // biased = 450/1.5 - (25/1.5)^2 = 300 - 277.77... = 22.2222...
+    // debias = biased * 2.25 / (2.25-1.25) = 50.0
+    val df = Seq((1, 1L, 0.0, 10.0), (1, 2L, 600.0, 20.0))
+      .toDF("g", "id", "tm", "v")
+    val out = RollingOps.ewmVarTime(df, "v", "tm", "id", Seq("g"),
+      halflife = 600.0, outName = "e")
+      .orderBy("id").select("e").as[Option[Double]].collect()
+    out(0).isEmpty shouldBe true
+    out(1).get shouldBe 50.0 +- 1e-9
+  }
+
   test("hampel: all-null window emits null med/mad, no ANSI crash") {
     import spark.implicits._
     // a lone non-null far from a cluster of nulls: the centered

@@ -279,4 +279,50 @@ class StreamingSpec extends SparkSpecBase {
         batchResult.orderBy("id").collect().toSeq
     } finally q.stop()
   }
+
+  test("ewmStream carries per-key EWM state across micro-batches, " +
+      "bit-equal to the batch fold on the concatenated input") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(("a", 1L, Some(3.0)), ("a", 2L, Option.empty[Double]),
+      ("b", 1L, Some(5.0)), ("a", 3L, Some(7.0)))
+    val batch2 = Seq(("a", 4L, Some(2.0)), ("b", 2L, Some(1.5)),
+      ("a", 5L, Some(9.5)), ("b", 3L, Option.empty[Double]))
+    val batch3 = Seq(("b", 4L, Some(4.25)), ("a", 6L, Some(0.5)))
+    val batchDf = (batch1 ++ batch2 ++ batch3).toDF("k", "ord", "v")
+    for ((stat, adjust, ina) <- Seq(("var", true, true),
+        ("mean", false, false), ("std", true, false))) {
+      val input = MemoryStream[(String, Long, Option[Double])]
+      val out = StreamOps.ewmStream(input.toDS(), alpha = 0.35,
+        stat = stat, adjust = adjust, ignoreNa = ina)
+      val name = s"ewm_stream_${stat}_$adjust$ina"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(batch1: _*); q.processAllAvailable()
+        input.addData(batch2: _*); q.processAllAvailable()
+        input.addData(batch3: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .as[StreamOps.EwmStreamOut].collect()
+        .map(o => (o.key, o.ord) -> o.ewm).toMap
+      val fold = (if (stat == "mean")
+          graft.window.RollingOps.ewmMean(batchDf, "v", "ord",
+            Seq("k"), 0.35, adjust = adjust, ignoreNa = ina,
+            outName = "e")
+        else if (stat == "var")
+          graft.window.RollingOps.ewmVar(batchDf, "v", "ord",
+            Seq("k"), 0.35, ignoreNa = ina, outName = "e")
+        else
+          graft.window.RollingOps.ewmStd(batchDf, "v", "ord",
+            Seq("k"), 0.35, ignoreNa = ina, outName = "e"))
+        .orderBy("k", "ord").select("k", "ord", "e")
+        .as[(String, Long, Option[Double])].collect()
+      streamed.size shouldBe fold.length
+      fold.foreach { case (k, ord, e) =>
+        withClue(s"$stat adjust=$adjust ignoreNa=$ina ($k,$ord): ") {
+          streamed((k, ord)) shouldBe e // bit-equal, shared machine
+        }
+      }
+    }
+  }
 }

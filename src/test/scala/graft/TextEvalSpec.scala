@@ -72,4 +72,44 @@ class TextEvalSpec extends SparkSpecBase {
     out.getAs[Double]("p4") shouldBe 0.0 +- 1e-12
     out.getAs[Double]("bleu") shouldBe 0.0 +- 1e-12
   }
+
+  test("bleu smoothing 1 (Chen–Cherry / NLTK method1): zero counts " +
+      "become eps/c_tot, hand-computed") {
+    // cand "the the the the" (4 tokens) vs ref "the cat":
+    // p1: clipped count of 'the' = 1 (ref has it once) / 4 = 0.25
+    // p2: 3 x 'the the', none in ref -> m=0 -> 0.1/3
+    // p3: 2 trigrams, m=0 -> 0.1/2;  p4: 1 fourgram, m=0 -> 0.1/1
+    // bp = 1 (clen 4 >= rlen 2)
+    // bleu = exp((ln .25 + ln(.1/3) + ln .05 + ln .1) / 4)
+    val df = Seq((1L, "the the the the", "the cat")).toDF("id", "c", "r")
+    val out = TextEval.bleu(df, "id", "c", "r", smoothing = 1).head()
+    out.getAs[Double]("p1") shouldBe 0.25 +- 1e-6
+    out.getAs[Double]("p2") shouldBe (0.1 / 3) +- 1e-6
+    out.getAs[Double]("p3") shouldBe 0.05 +- 1e-6
+    out.getAs[Double]("p4") shouldBe 0.1 +- 1e-6
+    val expected = math.exp((math.log(0.25) + math.log(0.1 / 3) +
+      math.log(0.05) + math.log(0.1)) / 4)
+    out.getAs[Double]("bleu") shouldBe expected +- 1e-6
+    // smoothing 0 on the same pair collapses to 0
+    TextEval.bleu(df, "id", "c", "r").head()
+      .getAs[Double]("bleu") shouldBe 0.0 +- 1e-12
+  }
+
+  test("bleu smoothing 1 equals smoothing 0 when no precision is zero") {
+    val df = Seq(
+      (1L, "a b c d e f", "a b c d e f"),
+      (2L, "the cat sat on the mat x", "sat on the mat the cat y"))
+      .toDF("id", "c", "r")
+    val s0 = TextEval.bleu(df, "id", "c", "r").orderBy("id").collect()
+    val s1 = TextEval.bleu(df, "id", "c", "r", smoothing = 1)
+      .orderBy("id").collect()
+    s0.zip(s1).foreach { case (a, b) =>
+      // bit-equal: no precision was zero, so no rewrite happened
+      a.getAs[Double]("bleu") shouldBe b.getAs[Double]("bleu")
+    }
+    // an unknown smoothing method fails loudly
+    intercept[IllegalArgumentException] {
+      TextEval.bleu(df, "id", "c", "r", smoothing = 2)
+    }
+  }
 }
