@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Permanent regression guard for the per-query plan audits: every
   * gate in [[SparkEntry.queries]] is planned against sf0.001 and the
@@ -51,6 +52,77 @@ class PlanLintSpec extends SparkSpecBase {
     case _: org.apache.spark.sql.execution.exchange
         .ReusedExchangeExec => ()
   }.isDefined
+
+  /** Gates whose GLOBAL (empty-partitionSpec) window runs over input
+    * that is not provably bounded by plan structure — each audited,
+    * with the written bound. This is the other scale-killer class
+    * (a Window.orderBy with no partitionBy funnels ALL rows through
+    * one task); anything new that trips this must either partition,
+    * pre-aggregate, or be justified here. */
+  private val allowGlobalWindow: Map[String, String] = Map(
+    "q30_ntile_qcut" -> ("exact qcut/ntile is DOCUMENTED " +
+      "single-series scope (PandasOps.scala qcut doc); qcutApprox " +
+      "(approx_percentile) is the scale path, agreement-spec'd"),
+    "q169_bh_fdr" -> ("Benjamini–Hochberg is INHERENTLY a global " +
+      "order statistic over one p-value per hypothesis — input is " +
+      "hypothesis-count-sized (suppliers here), not data-row-sized; " +
+      "at larger m, partition by test family")
+  )
+
+  /** Is every leafward path below `p` capped by an aggregation /
+    * tiny local relation before reaching a scan? If so, a global
+    * window above it sees domain-bounded rows (distinct values,
+    * group keys, calendar days …), not data-scale rows. Joins/unions
+    * require ALL branches bounded: a bounded × raw join is raw-sized.
+    * A final WindowGroupLimit with a small k also bounds (≤k rows
+    * reach the downstream global window — the rank-pushdown shape). */
+  private def boundedBelow(p: SparkPlan): Boolean = p match {
+    case _: HashAggregateExec | _: SortAggregateExec |
+        _: ObjectHashAggregateExec => true
+    case l: LocalTableScanExec => l.rows.lengthCompare(32) <= 0
+    case _: org.apache.spark.sql.execution.exchange
+        .ReusedExchangeExec => true
+    case w: WindowGroupLimitExec if w.limit <= 1000 => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+        _: org.apache.spark.sql.execution.LocalLimitExec |
+        _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+      true
+    // a cached intermediate is a physical-plan LEAF — descend into
+    // the plan that produced it (distinctValueCumCounts caches its
+    // aggregated input, which is exactly the bounded shape)
+    case m: org.apache.spark.sql.execution.columnar
+        .InMemoryTableScanExec => boundedBelow(m.relation.cachedPlan)
+    case n if n.children.nonEmpty => n.children.forall(boundedBelow)
+    case _ => false // a leaf scan: data-scale input
+  }
+
+  test("no gate runs a globally-ordered window over unbounded input") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          if (allowGlobalWindow.contains(name)) None
+          else try {
+            val plan = fn(spark, dir).queryExecution.executedPlan
+            val offenders = plan.collect {
+              case w: WindowExec
+                  if w.partitionSpec.isEmpty &&
+                    !boundedBelow(w.child) =>
+                s"WindowExec over:\n${w.child.treeString.take(800)}"
+            }
+            if (offenders.nonEmpty)
+              Some(s"$name: global ${offenders.distinct.mkString(",")}")
+            else None
+          } catch {
+            case e: Throwable =>
+              Some(s"$name: PLANNING FAILED ${e.toString.take(120)}")
+          }
+      }
+      withClue(bad.mkString("\n")) { bad shouldBe empty }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
 
   test("no gate plans an unbounded cartesian or nested-loop join") {
     // AQE off so queryExecution.executedPlan is the concrete
