@@ -128,7 +128,11 @@ object Bench {
       // metadata, eval metrics
       "q319_ewm_ignorena", "q327_ewm_time", "q320_sarima",
       "q322_kmeans_embed", "q324_kcore_peel", "q326_mp4_metadata",
-      "q328_rouge2", "q329_bleu")
+      "q328_rouge2", "q329_bleu",
+      // round-6 headliners: time-decayed EWM variance, the O(n)
+      // scalable pairwise EWM, per-key distributed SARIMA
+      "q332_ewm_time_var", "q333_ewm_cov_scalable",
+      "q334_sarima_perkey")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

@@ -58,6 +58,61 @@ object TextEval {
         .as("f1"))
   }
 
+  /** CORPUS-level BLEU (the sacrebleu default): clipped counts and
+    * candidate totals are SUMMED over all pairs before the
+    * precision ratio — p_n = Σ_pairs m_n / Σ_pairs c_n — and the
+    * brevity penalty uses corpus totals bp = min(1, e^(1−Σr/Σc)).
+    * One row out. Same distributed (pair, gram) clipped-count
+    * shape as [[bleu]]; the final reduce is a single global
+    * aggregate over maxN partial rows. Null when any p_n has a zero
+    * denominator (no candidate reached n tokens); 0 when any
+    * summed m_n is 0. */
+  def corpusBleu(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    val base = pairs.select(col(idCol).as("id"),
+      toks(col(candCol)).as("ct"), toks(col(refCol)).as("rt"))
+    val lens = base.agg(
+      sum(size(col("ct"))).cast("double").as("clen"),
+      sum(size(col("rt"))).cast("double").as("rlen"))
+    val byN = base
+      .withColumn("n", explode(sequence(lit(1), lit(maxN))))
+      .select(col("id"), col("n"),
+        ngramArr(col("ct"), col("n")).as("cg"),
+        ngramArr(col("rt"), col("n")).as("rg"))
+    val totals = byN.groupBy("n")
+      .agg(sum(size(col("cg"))).cast("long").as("c_tot"))
+    def counts(c: String, out: String) = byN
+      .select(col("id"), col("n"), explode(col(c)).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as(out))
+    val clip = counts("cg", "cc").join(counts("rg", "rc"),
+        Seq("id", "n", "g"))
+      .groupBy("n").agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val pn = totals.join(clip, Seq("n"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+      .withColumn("p",
+        when(col("c_tot") > 0, col("m").cast("double") / col("c_tot")))
+    val agg = pn.agg(
+      count(when(col("p").isNotNull, 1)).as("n_defined"),
+      count(when(col("p") === 0.0, 1)).as("n_zero"),
+      sum(when(col("p") > 0, log(col("p")))).as("sum_ln"),
+      max(when(col("n") === 1, col("p"))).as("p1"),
+      max(when(col("n") === 2, col("p"))).as("p2"),
+      max(when(col("n") === 3, col("p"))).as("p3"),
+      max(when(col("n") === 4, col("p"))).as("p4"))
+    lens.crossJoin(broadcast(agg))
+      .withColumn("bp",
+        when(col("clen") >= col("rlen"), lit(1.0))
+          .otherwise(exp(lit(1.0) - col("rlen") / col("clen"))))
+      .select(
+        round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+        round(col("p3"), 6).as("p3"), round(col("p4"), 6).as("p4"),
+        round(col("bp"), 6).as("bp"),
+        when(col("n_defined") < maxN, lit(null).cast("double"))
+          .when(col("n_zero") > 0, lit(0.0))
+          .otherwise(round(col("bp") *
+            exp(col("sum_ln") / maxN), 6)).as("bleu"))
+  }
+
   /** Sentence BLEU per pair (Papineni et al. 2002): modified
     * (clipped) n-gram precisions p_1..p_maxN, brevity penalty
     * bp = min(1, e^(1−r/c)), and bleu = bp·exp(Σ ln p_n / maxN).

@@ -114,6 +114,22 @@ object QueriesExt {
         halflife = 600.0, outName = "ewm_t_var")
         .select(col("event_id"), col("user_id"), col("ewm_t_var"))),
 
+    // §2.5a TIME-decayed pairwise EWM cov + corr — the halflife
+    // family completed (mean q327, var q332, cov/corr here), same
+    // recursive-CTE replay with seven accumulators + prev-time
+    "q337_ewm_time_cov" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .withColumn("tsec", unix_timestamp(col("ts")))
+        .select("event_id", "event_type", "value", "user_id", "tsec")
+      val c1 = RollingOps.ewmCovTime(base, "value", "user_id",
+        "tsec", "event_id", Seq("event_type"), halflife = 600.0,
+        outName = "ewm_t_cov")
+      RollingOps.ewmCovTime(c1, "value", "user_id", "tsec",
+        "event_id", Seq("event_type"), halflife = 600.0,
+        corr = true, outName = "ewm_t_corr")
+        .select("event_id", "event_type", "ewm_t_cov", "ewm_t_corr")
+    }),
+
     // §2.13 DBSCAN on 1-D supplier balances (cents): the grid-cell
     // candidate join degenerates to exact pairs, so the whole chain
     // (degrees → cores → CC clusters → border attach) is oracle-able
@@ -1063,6 +1079,53 @@ object QueriesExt {
         |  END AS ewm_corr
         |FROM events e LEFT JOIN f
         |  ON e.event_type = f.event_type AND e.event_id = f.event_id""".stripMargin,
+
+    "q337_ewm_time_cov" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS t,
+        |    CAST(value AS DOUBLE) AS x, CAST(user_id AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE),
+        |        event_id) AS rn
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, event_id, rn,
+        |    CAST(1.0 AS DOUBLE) AS den, CAST(1.0 AS DOUBLE) AS den2,
+        |    x AS sx, y AS sy, x * y AS sxy, x * x AS sxx,
+        |    y * y AS syy, t AS pt
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.event_id, b.rn,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.den + 1.0,
+        |    power(0.5, (b.t - r.pt) / 600.0) *
+        |      power(0.5, (b.t - r.pt) / 600.0) * r.den2 + 1.0,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.sx + b.x,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.sy + b.y,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.sxy + b.x * b.y,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.sxx + b.x * b.x,
+        |    power(0.5, (b.t - r.pt) / 600.0) * r.syy + b.y * b.y,
+        |    b.t
+        |  FROM base b JOIN r ON b.event_type = r.event_type
+        |    AND b.rn = r.rn + 1),
+        |f AS (
+        |  SELECT event_type, event_id,
+        |    sxy / den - (sx / den) * (sy / den) AS covb,
+        |    sxx / den - (sx / den) * (sx / den) AS varxb,
+        |    syy / den - (sy / den) * (sy / den) AS varyb,
+        |    den, den2
+        |  FROM r)
+        |SELECT e.event_id, e.event_type,
+        |  CASE WHEN f.den * f.den - f.den2 > 0.0
+        |    THEN f.covb * (f.den * f.den) / (f.den * f.den - f.den2)
+        |  END AS ewm_t_cov,
+        |  CASE WHEN f.varxb * f.varyb > 0.0
+        |    THEN f.covb / sqrt(f.varxb * f.varyb)
+        |  END AS ewm_t_corr
+        |FROM events e LEFT JOIN f
+        |  ON e.event_type = f.event_type
+        |  AND e.event_id = f.event_id""".stripMargin,
 
     // identical replay to q290 — the scalable path is bit-equal to
     // the fold, so the same recurrence oracles both

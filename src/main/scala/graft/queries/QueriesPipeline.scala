@@ -496,6 +496,18 @@ object QueriesPipeline {
         .withColumnRenamed("id", "pid")
     }),
 
+    // CORPUS-level BLEU (sacrebleu default): clipped counts summed
+    // over all pairs before the ratio, corpus-total brevity penalty
+    "q336_corpus_bleu" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("pid"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+      graft.llm.TextEval.corpusBleu(pairs, "pid", "cand", "ref",
+        maxN = 4)
+    }),
+
     // corpus analytics (round-3 additions, graft.llm.CorpusOps)
 
     // DSIR importance weights toward src0 as the target slice
@@ -1461,6 +1473,67 @@ object QueriesPipeline {
         |         ELSE exp(1.0 - rlen / clen) END) *
         |         exp(sum_ln / 4), 6) END AS bleu
         |FROM lens l LEFT JOIN agg USING (id)""".stripMargin,
+
+    "q336_corpus_bleu" ->
+      raw"""WITH pairs AS (
+        |  SELECT a.doc_id AS id, a.text AS ctext, b.text AS rtext
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1),
+        |tk AS (
+        |  SELECT id,
+        |    list_filter(regexp_split_to_array(trim(lower(ctext)), '\s+'),
+        |      x -> length(x) > 0) AS ct,
+        |    list_filter(regexp_split_to_array(trim(lower(rtext)), '\s+'),
+        |      x -> length(x) > 0) AS rt
+        |  FROM pairs),
+        |nn AS (SELECT id, ct, rt, unnest([1, 2, 3, 4]) AS n FROM tk),
+        |gr AS (
+        |  SELECT id, n,
+        |    CASE WHEN len(ct) >= n
+        |      THEN list_transform(range(1, len(ct) - n + 2),
+        |        i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))
+        |      ELSE [] END AS cg,
+        |    CASE WHEN len(rt) >= n
+        |      THEN list_transform(range(1, len(rt) - n + 2),
+        |        i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))
+        |      ELSE [] END AS rg
+        |  FROM nn),
+        |cc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(cg) AS g FROM gr) GROUP BY 1, 2, 3),
+        |rc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(rg) AS g FROM gr) GROUP BY 1, 2, 3),
+        |m AS (SELECT cc.n, sum(least(cc.c, rc.c)) AS m
+        |  FROM cc JOIN rc ON cc.id = rc.id AND cc.n = rc.n
+        |    AND cc.g = rc.g GROUP BY 1),
+        |tot AS (SELECT n, sum(len(cg)) AS c_tot FROM gr GROUP BY 1),
+        |p AS (
+        |  SELECT t.n,
+        |    CASE WHEN c_tot > 0
+        |      THEN CAST(coalesce(m.m, 0) AS DOUBLE) / c_tot END AS p
+        |  FROM tot t LEFT JOIN m ON m.n = t.n),
+        |agg AS (
+        |  SELECT
+        |    count(CASE WHEN p IS NOT NULL THEN 1 END) AS n_defined,
+        |    count(CASE WHEN p = 0.0 THEN 1 END) AS n_zero,
+        |    sum(CASE WHEN p > 0 THEN ln(p) END) AS sum_ln,
+        |    max(CASE WHEN n = 1 THEN p END) AS p1,
+        |    max(CASE WHEN n = 2 THEN p END) AS p2,
+        |    max(CASE WHEN n = 3 THEN p END) AS p3,
+        |    max(CASE WHEN n = 4 THEN p END) AS p4
+        |  FROM p),
+        |lens AS (SELECT CAST(sum(len(ct)) AS DOUBLE) AS clen,
+        |  CAST(sum(len(rt)) AS DOUBLE) AS rlen FROM tk)
+        |SELECT
+        |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round(p3, 6) AS p3, round(p4, 6) AS p4,
+        |  round(CASE WHEN clen >= rlen THEN 1.0
+        |    ELSE exp(1.0 - rlen / clen) END, 6) AS bp,
+        |  CASE WHEN n_defined < 4 THEN NULL
+        |       WHEN n_zero > 0 THEN 0.0
+        |       ELSE round((CASE WHEN clen >= rlen THEN 1.0
+        |         ELSE exp(1.0 - rlen / clen) END) *
+        |         exp(sum_ln / 4), 6) END AS bleu
+        |FROM lens, agg""".stripMargin,
 
     "q331_bleu_smooth" ->
       raw"""WITH pairs AS (

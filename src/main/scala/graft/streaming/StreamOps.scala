@@ -183,6 +183,47 @@ object StreamOps {
           out.iterator
       }
 
+  case class EwmCovStreamState(den: Double, den2: Double, sx: Double,
+      sy: Double, sxy: Double, sxx: Double, syy: Double)
+  case class EwmCovStreamOut(key: String, ord: Long,
+      ewm: Option[Double])
+
+  /** Streaming pairwise EWM covariance / correlation — the
+    * two-column sibling of [[ewmStream]]: per-key state carried
+    * across micro-batches via flatMapGroupsWithState, running the
+    * SAME [[graft.window.RollingOps.EwmPairMachine]] the batch
+    * [[graft.window.RollingOps.ewmCovScalable]] pass runs, so the
+    * streamed sequence is bit-equal to the batch fold over the
+    * concatenated input. Same ordering contract and O(1)-per-key
+    * state as [[ewmStream]]. */
+  def ewmCovStream(
+      ds: Dataset[(String, Long, Option[Double], Option[Double])],
+      alpha: Double, bias: Boolean = false, corr: Boolean = false,
+      ignoreNa: Boolean = true)(
+      implicit e: Encoder[EwmCovStreamOut],
+      se: Encoder[EwmCovStreamState]): Dataset[EwmCovStreamOut] =
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[EwmCovStreamState, EwmCovStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String,
+         rows: Iterator[(String, Long, Option[Double], Option[Double])],
+         state: GroupState[EwmCovStreamState]) =>
+          val m = new graft.window.RollingOps.EwmPairMachine(
+            alpha, bias, corr, ignoreNa)
+          state.getOption.foreach(s => m.restore(s.den, s.den2, s.sx,
+            s.sy, s.sxy, s.sxx, s.syy))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, ord, x, y) =>
+            val incomplete = x.isEmpty || y.isEmpty
+            val e = m.step(incomplete, x.getOrElse(0.0),
+              y.getOrElse(0.0))
+            EwmCovStreamOut(key, ord,
+              Option(e).map(_.asInstanceOf[Double]))
+          }
+          state.update(EwmCovStreamState(m.den, m.den2, m.sx, m.sy,
+            m.sxy, m.sxx, m.syy))
+          out.iterator
+      }
+
   /** Batch-equivalent of the streaming tumbling aggregation — used to
     * verify window semantics against the oracle on static data. */
   def tumblingBatch(df: DataFrame, tsCol: String, size: String,

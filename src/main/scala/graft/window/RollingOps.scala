@@ -437,6 +437,74 @@ object RollingOps {
       .withColumn(outName, when(col(outName).isNotNull,
         sqrt(greatest(col(outName), lit(0.0)))))
 
+  /** Time-decayed EWM covariance / correlation — the pairwise member
+    * of the halflife-over-times family ([[ewmMeanTime]] /
+    * [[ewmVarTime]]): weights decay by 0.5^(Δt/halflife) per elapsed
+    * time, with the seven pairwise accumulators of [[ewmCov]] (den2
+    * decays by the SQUARE of the per-step factor). Pairwise-complete:
+    * only rows with both values and a time present enter the fold
+    * (the [[ewmMeanTime]] null convention); others emit null. With
+    * REGULAR spacing Δ it reduces exactly to [[ewmCov]] at
+    * α = 1 − 0.5^(Δ/halflife) (spec'd). corr is the biased ratio —
+    * the debias factors cancel, matching the positional form. */
+  def ewmCovTime(df: DataFrame, xCol: String, yCol: String,
+      timeCol: String, orderCol: String, partitionCols: Seq[String],
+      halflife: Double, bias: Boolean = false, corr: Boolean = false,
+      outName: String = "ewm_t_cov"): DataFrame = {
+    require(halflife > 0, "halflife > 0")
+    val grouped = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(timeCol).isNotNull)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(timeCol).cast("double").as("t"),
+        col(orderCol).as("o"),
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y")))).as("__pts__"))
+    val oT = df.schema(orderCol).dataType.sql
+    val dec =
+      s"coalesce(power(0.5d, (p.t - acc.pt) / ${halflife}d), 1.0d)"
+    val nD = s"($dec * acc.den + 1.0d)"
+    val nD2 = s"($dec * $dec * acc.den2 + 1.0d)"
+    val nSx = s"($dec * acc.sx + p.x)"
+    val nSy = s"($dec * acc.sy + p.y)"
+    val nSxy = s"($dec * acc.sxy + p.x * p.y)"
+    val nSxx = s"($dec * acc.sxx + p.x * p.x)"
+    val nSyy = s"($dec * acc.syy + p.y * p.y)"
+    val covB = s"($nSxy / $nD - ($nSx / $nD) * ($nSy / $nD))"
+    val varxB = s"($nSxx / $nD - ($nSx / $nD) * ($nSx / $nD))"
+    val varyB = s"($nSyy / $nD - ($nSy / $nD) * ($nSy / $nD))"
+    val eExpr =
+      if (corr)
+        s"""CASE WHEN $varxB * $varyB > 0.0d
+           |  THEN $covB / sqrt($varxB * $varyB)
+           |  ELSE CAST(null AS DOUBLE) END""".stripMargin
+      else if (bias) covB
+      else
+        s"""CASE WHEN $nD * $nD - $nD2 > 0.0d
+           |  THEN $covB * ($nD * $nD) / ($nD * $nD - $nD2)
+           |  ELSE CAST(null AS DOUBLE) END""".stripMargin
+    val fold = expr(
+      s"""transform(
+         |  aggregate(__pts__,
+         |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
+         |           cast(0.0 as double) as den, cast(0.0 as double) as den2,
+         |           cast(0.0 as double) as sx, cast(0.0 as double) as sy,
+         |           cast(0.0 as double) as sxy, cast(0.0 as double) as sxx,
+         |           cast(0.0 as double) as syy,
+         |           cast(null as double) as pt),
+         |    (acc, p) -> struct(
+         |      acc.outp || array(struct(p.o as o, $eExpr as e)),
+         |      $nD, $nD2, $nSx, $nSy, $nSxy, $nSxx, $nSyy,
+         |      cast(p.t as double))).outp,
+         |  x -> x)""".stripMargin)
+    val exploded = grouped.withColumn("__ewm__", explode(fold))
+      .select(partitionCols.map(col) :+
+        col("__ewm__.o").as(orderCol) :+
+        col("__ewm__.e").as(outName): _*)
+    df.join(exploded, partitionCols :+ orderCol, "left")
+  }
+
   /** Scale-path EWM (adjust=true): weights below `tol` are truncated,
     * turning the sequential recurrence into a fixed-depth window of
     * K = ⌈ln(tol)/ln(1−α)⌉ lagged terms — an ordinary partitioned

@@ -556,6 +556,35 @@ class RollingEwmSpec extends SparkSpecBase {
     }
   }
 
+  test("ewmCovTime reduces to positional ewmCov/ewmCorr on a " +
+      "regular grid") {
+    import spark.implicits._
+    val reg = (0 until 25).map(i =>
+        (1, i, i.toDouble * 7.0, math.sin(i * 1.3) * 9 + 2,
+          math.cos(i * 0.7) * 4 - 1))
+      .toDF("g", "id", "tm", "x", "y")
+    def c(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").select("e").as[Option[Double]].collect()
+    val covT = c(RollingOps.ewmCovTime(reg, "x", "y", "tm", "id",
+      Seq("g"), halflife = 7.0, outName = "e"))
+    val covP = c(RollingOps.ewmCov(reg, "x", "y", "id", Seq("g"),
+      0.5, outName = "e"))
+    covT.zip(covP).foreach {
+      case (Some(a), Some(b)) => a shouldBe b +- 1e-9
+      case (a, b) => a.isEmpty shouldBe b.isEmpty
+    }
+    val corT = c(RollingOps.ewmCovTime(reg, "x", "y", "tm", "id",
+      Seq("g"), halflife = 7.0, corr = true, outName = "e"))
+    val corP = c(RollingOps.ewmCorr(reg, "x", "y", "id", Seq("g"),
+      0.5, outName = "e"))
+    corT.zip(corP).foreach {
+      case (Some(a), Some(b)) => a shouldBe b +- 1e-9
+      case (a, b) => a.isEmpty shouldBe b.isEmpty
+    }
+    // corr is scale-free and bounded
+    corT.flatten.foreach(v => math.abs(v) should be <= 1.0 + 1e-12)
+  }
+
   test("ewmVarTime irregular spacing: hand-computed two-step check") {
     import spark.implicits._
     // points (t=0, x=10), (t=600, x=20) with halflife 600:

@@ -325,4 +325,45 @@ class StreamingSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("ewmCovStream carries pairwise EWM state across batches, " +
+      "bit-equal to the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(("a", 1L, Some(3.0), Some(1.0)),
+      ("a", 2L, Option.empty[Double], Some(2.0)),
+      ("b", 1L, Some(5.0), Some(4.0)),
+      ("a", 3L, Some(7.0), Some(0.5)))
+    val batch2 = Seq(("a", 4L, Some(2.0), Some(6.0)),
+      ("b", 2L, Some(1.5), Some(2.5)),
+      ("a", 5L, Some(9.5), Some(3.25)),
+      ("b", 3L, Some(4.0), Option.empty[Double]))
+    val batchDf = (batch1 ++ batch2).toDF("k", "ord", "x", "y")
+    for ((corr, ina) <- Seq((false, true), (true, false))) {
+      val input = MemoryStream[(String, Long, Option[Double],
+        Option[Double])]
+      val out = StreamOps.ewmCovStream(input.toDS(), alpha = 0.4,
+        corr = corr, ignoreNa = ina)
+      val name = s"ewmcov_stream_$corr$ina"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(batch1: _*); q.processAllAvailable()
+        input.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .as[StreamOps.EwmCovStreamOut].collect()
+        .map(o => (o.key, o.ord) -> o.ewm).toMap
+      val fold = graft.window.RollingOps.ewmCov(batchDf, "x", "y",
+          "ord", Seq("k"), 0.4, corr = corr, ignoreNa = ina,
+          outName = "e")
+        .orderBy("k", "ord").select("k", "ord", "e")
+        .as[(String, Long, Option[Double])].collect()
+      streamed.size shouldBe fold.length
+      fold.foreach { case (k, ord, e) =>
+        withClue(s"corr=$corr ignoreNa=$ina ($k,$ord): ") {
+          streamed((k, ord)) shouldBe e
+        }
+      }
+    }
+  }
 }

@@ -112,4 +112,28 @@ class TextEvalSpec extends SparkSpecBase {
       TextEval.bleu(df, "id", "c", "r", smoothing = 2)
     }
   }
+
+  test("corpusBleu sums clipped counts across pairs before the " +
+      "ratio (hand-computed) and differs from mean sentence BLEU") {
+    // pair 1 perfect: m_n = c_n = (4,3,2,1)
+    // pair 2 "x y z w" vs "x y q w": m = (3,1,0,0), c = (4,3,2,1)
+    // corpus: p1=7/8, p2=4/6, p3=2/4, p4=1/2, bp=1 (clen=rlen=8)
+    val df = Seq((1L, "a b c d", "a b c d"),
+      (2L, "x y z w", "x y q w")).toDF("id", "c", "r")
+    val out = TextEval.corpusBleu(df, "id", "c", "r").head()
+    out.getAs[Double]("p1") shouldBe 0.875 +- 1e-6
+    out.getAs[Double]("p2") shouldBe (4.0 / 6.0) +- 1e-6
+    out.getAs[Double]("p3") shouldBe 0.5 +- 1e-6
+    out.getAs[Double]("p4") shouldBe 0.5 +- 1e-6
+    out.getAs[Double]("bp") shouldBe 1.0 +- 1e-9
+    val expected = math.exp((math.log(0.875) + math.log(4.0 / 6.0) +
+      math.log(0.5) + math.log(0.5)) / 4)
+    out.getAs[Double]("bleu") shouldBe expected +- 1e-6
+    // sentence BLEU of pair 2 alone is 0 (p3 = p4 = 0); the corpus
+    // pooling is what keeps the score positive — the reason
+    // sacrebleu reports corpus BLEU
+    val sent = TextEval.bleu(df, "id", "c", "r").orderBy("id")
+      .collect()
+    sent(1).getAs[Double]("bleu") shouldBe 0.0 +- 1e-12
+  }
 }
