@@ -58,6 +58,61 @@ object TextEval {
         .as("f1"))
   }
 
+  /** Character n-grams of a string as substrings (empty when the
+    * string is shorter than n). */
+  def charNgramArr(s: Column, n: Column): Column =
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - n + 1),
+        i => s.substr(i, n)))
+      .otherwise(array().cast("array<string>"))
+
+  /** chrF per pair (Popović 2015; sacrebleu's chrF with
+    * word_order=0): character n-gram F-score over n = 1..maxN on
+    * WHITESPACE-STRIPPED lowercased text. chrP/chrR are the
+    * arithmetic means over the orders where BOTH sides have at
+    * least one n-gram; chrF = (1+β²)·P·R / (β²·P + R) with β = 2
+    * (recall weighted double) — 0 when the denominator is 0, null
+    * when no order is defined. Same distributed (pair, n, gram)
+    * clipped-count shape as [[bleu]]. */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && beta > 0, "maxN >= 1, beta > 0")
+    def strip(c: Column) =
+      regexp_replace(lower(trim(c)), "\\s+", "")
+    val base = pairs.select(col(idCol).as("id"),
+      strip(col(candCol)).as("cs"), strip(col(refCol)).as("rs"))
+    val byN = base
+      .withColumn("n", explode(sequence(lit(1), lit(maxN))))
+      .select(col("id"), col("n"),
+        charNgramArr(col("cs"), col("n")).as("cg"),
+        charNgramArr(col("rs"), col("n")).as("rg"))
+    val totals = byN.select(col("id"), col("n"),
+      size(col("cg")).cast("long").as("c_tot"),
+      size(col("rg")).cast("long").as("r_tot"))
+    def counts(c: String, out: String) = byN
+      .select(col("id"), col("n"), explode(col(c)).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as(out))
+    val clip = counts("cg", "cc").join(counts("rg", "rc"),
+        Seq("id", "n", "g"))
+      .groupBy("id", "n").agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val pn = totals.join(clip, Seq("id", "n"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+      .filter(col("c_tot") > 0 && col("r_tot") > 0)
+      .withColumn("p", col("m").cast("double") / col("c_tot"))
+      .withColumn("r", col("m").cast("double") / col("r_tot"))
+    val agg = pn.groupBy("id").agg(
+      avg(col("p")).as("chrp"), avg(col("r")).as("chrr"))
+    val b2 = beta * beta
+    base.select(col("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        round(col("chrp"), 6).as("chrp"),
+        round(col("chrr"), 6).as("chrr"),
+        when(col("chrp").isNull, lit(null).cast("double"))
+          .when(lit(b2) * col("chrp") + col("chrr") === 0.0, lit(0.0))
+          .otherwise(round(lit(1.0 + b2) * col("chrp") * col("chrr") /
+            (lit(b2) * col("chrp") + col("chrr")), 6)).as("chrf"))
+  }
+
   /** CORPUS-level BLEU (the sacrebleu default): clipped counts and
     * candidate totals are SUMMED over all pairs before the
     * precision ratio — p_n = Σ_pairs m_n / Σ_pairs c_n — and the

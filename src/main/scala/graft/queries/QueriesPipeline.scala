@@ -496,6 +496,18 @@ object QueriesPipeline {
         .withColumnRenamed("id", "pid")
     }),
 
+    // chrF (Popović 2015): character n-gram F-score, n=1..6, β=2 —
+    // the third sacrebleu metric (BLEU q329, corpus BLEU q336)
+    "q338_chrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("pid"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+      graft.llm.TextEval.chrF(pairs, "pid", "cand", "ref")
+        .withColumnRenamed("id", "pid")
+    }),
+
     // CORPUS-level BLEU (sacrebleu default): clipped counts summed
     // over all pairs before the ratio, corpus-total brevity penalty
     "q336_corpus_bleu" -> ((s, d) => {
@@ -1473,6 +1485,55 @@ object QueriesPipeline {
         |         ELSE exp(1.0 - rlen / clen) END) *
         |         exp(sum_ln / 4), 6) END AS bleu
         |FROM lens l LEFT JOIN agg USING (id)""".stripMargin,
+
+    "q338_chrf" ->
+      raw"""WITH pairs AS (
+        |  SELECT a.doc_id AS id, a.text AS ctext, b.text AS rtext
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1),
+        |st AS (
+        |  SELECT id,
+        |    regexp_replace(lower(trim(ctext)), '\s+', '', 'g') AS cs,
+        |    regexp_replace(lower(trim(rtext)), '\s+', '', 'g') AS rs
+        |  FROM pairs),
+        |nn AS (SELECT id, cs, rs, unnest([1, 2, 3, 4, 5, 6]) AS n
+        |  FROM st),
+        |gr AS (
+        |  SELECT id, n,
+        |    CASE WHEN length(cs) >= n
+        |      THEN list_transform(range(1, length(cs) - n + 2),
+        |        i -> substr(cs, CAST(i AS INT), n))
+        |      ELSE [] END AS cg,
+        |    CASE WHEN length(rs) >= n
+        |      THEN list_transform(range(1, length(rs) - n + 2),
+        |        i -> substr(rs, CAST(i AS INT), n))
+        |      ELSE [] END AS rg
+        |  FROM nn),
+        |cc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(cg) AS g FROM gr) GROUP BY 1, 2, 3),
+        |rc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(rg) AS g FROM gr) GROUP BY 1, 2, 3),
+        |m AS (SELECT cc.id, cc.n, sum(least(cc.c, rc.c)) AS m
+        |  FROM cc JOIN rc ON cc.id = rc.id AND cc.n = rc.n
+        |    AND cc.g = rc.g GROUP BY 1, 2),
+        |tot AS (SELECT id, n, len(cg) AS c_tot, len(rg) AS r_tot
+        |  FROM gr),
+        |pr AS (
+        |  SELECT t.id,
+        |    CAST(coalesce(m.m, 0) AS DOUBLE) / c_tot AS p,
+        |    CAST(coalesce(m.m, 0) AS DOUBLE) / r_tot AS r
+        |  FROM tot t LEFT JOIN m ON m.id = t.id AND m.n = t.n
+        |  WHERE c_tot > 0 AND r_tot > 0),
+        |agg AS (
+        |  SELECT id, avg(p) AS chrp, avg(r) AS chrr
+        |  FROM pr GROUP BY 1)
+        |SELECT s.id AS pid,
+        |  round(chrp, 6) AS chrp, round(chrr, 6) AS chrr,
+        |  CASE WHEN chrp IS NULL THEN NULL
+        |       WHEN 4.0 * chrp + chrr = 0.0 THEN 0.0
+        |       ELSE round(5.0 * chrp * chrr /
+        |         (4.0 * chrp + chrr), 6) END AS chrf
+        |FROM st s LEFT JOIN agg ON agg.id = s.id""".stripMargin,
 
     "q336_corpus_bleu" ->
       raw"""WITH pairs AS (

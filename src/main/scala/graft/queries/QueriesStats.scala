@@ -723,6 +723,22 @@ object QueriesStats {
           col("forecast"))
     }),
 
+    // §2.12 Krippendorff's alpha — inter-annotator agreement over a
+    // ratings table derived from events (unit = user, rater = event
+    // type, category = 25-dollar bucket of the user-type mean spend;
+    // the mean is an exact-cents Long sum so both engines bucket
+    // identically). Annotation QA for labeling pipelines.
+    "q339_krippendorff" -> ((s, d) => {
+      val ratings = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull
+          && col("user_id").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(floor(avg(cents(col("value"))) / 2500.0)
+          .cast("long").as("cat"))
+      graft.stats.StatsOps.krippendorffAlpha(ratings, "user_id",
+        "event_type", "cat")
+    }),
+
     "q307_grouped_holt" -> ((s, d) => {
       val hourly = t(s, d, "events")
         .filter(col("value").isNotNull && col("event_type").isNotNull)
@@ -3104,6 +3120,37 @@ object QueriesStats {
         |SELECT outlier, CAST(count(*) AS BIGINT) AS n,
         |  round(min(mod_z), 6) AS min_z, round(max(mod_z), 6) AS max_z
         |FROM f GROUP BY 1 ORDER BY outlier""".stripMargin,
+
+    "q339_krippendorff" ->
+      """WITH ratings AS (
+        |  SELECT user_id AS u, event_type AS r,
+        |    CAST(floor(avg(CAST(round(value * 100) AS BIGINT))
+        |      / 2500.0) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mu AS (SELECT u, count(*) AS m FROM ratings GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |rr AS (SELECT ratings.*, m FROM ratings JOIN mu USING (u)),
+        |o AS (
+        |  SELECT a.c AS c1, b.c AS c2,
+        |    sum(1.0 / (a.m - 1)) AS o
+        |  FROM rr a JOIN rr b ON a.u = b.u AND a.r <> b.r
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT sum(o) AS n FROM o),
+        |dis AS (SELECT coalesce(sum(CASE WHEN c1 <> c2 THEN o END),
+        |  0.0) AS dis FROM o),
+        |sq AS (SELECT coalesce(sum(nc * nc), 0.0) AS sq
+        |  FROM (SELECT c1, sum(o) AS nc FROM o GROUP BY 1))
+        |SELECT CAST(nn.n AS DOUBLE) AS n_ratings,
+        |  round(dis / nn.n, 6) AS d_o,
+        |  round((nn.n * nn.n - sq) / (nn.n * (nn.n - 1)), 6) AS d_e,
+        |  round(CASE WHEN nn.n * nn.n - sq = 0 THEN 1.0
+        |    ELSE 1.0 - (dis / nn.n) /
+        |      ((nn.n * nn.n - sq) / (nn.n * (nn.n - 1))) END, 6)
+        |    AS alpha
+        |FROM nn, dis, sq""".stripMargin,
 
     // planted seasonal-AR twin: regenerate the bit-identical series,
     // replay the ridge-regularized 3-parameter joint OLS by Cramer's

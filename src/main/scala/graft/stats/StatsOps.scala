@@ -528,6 +528,58 @@ object StatsOps {
         col("__gap__")), 6).as("emd"))
   }
 
+  /** Krippendorff's alpha for NOMINAL data — the standard
+    * inter-annotator agreement statistic for multi-rater labeling
+    * with missing ratings (the annotation-QA half of a training-data
+    * pipeline; exceeds the reference, whose agreement stats stop at
+    * Cohen's kappa). Input: one row per (unit, rater, category)
+    * rating; units with fewer than two ratings are dropped (they
+    * carry no agreement information — Krippendorff 2011).
+    *
+    * Coincidence matrix o_{cc'} = Σ_units (ordered within-unit pairs
+    * of c,c') / (m_u − 1); observed disagreement D_o =
+    * Σ_{c≠c'} o_{cc'} / n; expected D_e = Σ_{c≠c'} n_c n_{c'} /
+    * (n(n−1)); α = 1 − D_o/D_e (1.0 when D_e = 0 — a single
+    * category everywhere is perfect agreement by convention).
+    *
+    * Scale shape: the only join is the within-unit rating self-join,
+    * fan-out bounded by raters-per-unit (a panel, not data-scale);
+    * everything else is two grouped aggregates over a
+    * |categories|²-bounded table. One row out. */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      raterCol: String, valueCol: String): DataFrame = {
+    val ratings = df
+      .filter(col(unitCol).isNotNull && col(raterCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(unitCol).as("u"), col(raterCol).as("r"),
+        col(valueCol).cast("string").as("c"))
+    val mu = ratings.groupBy("u")
+      .agg(count(lit(1)).as("mu")).filter(col("mu") >= 2)
+    val rr = ratings.join(mu, Seq("u"))
+    val o = rr.as("a").join(rr.as("b"),
+        col("a.u") === col("b.u") && col("a.r") =!= col("b.r"))
+      .select(col("a.c").as("c1"), col("b.c").as("c2"),
+        (lit(1.0) / (col("a.mu") - 1).cast("double")).as("w"))
+      .groupBy("c1", "c2").agg(sum("w").as("o"))
+    val nTot = o.agg(sum("o").as("n"))
+    val nc = o.groupBy("c1").agg(sum("o").as("nc"))
+    val dObs = o.filter(col("c1") =!= col("c2"))
+      .agg(coalesce(sum("o"), lit(0.0)).as("dis"))
+    // Σ_{c≠c'} n_c n_{c'} = (Σ n_c)² − Σ n_c² — no category
+    // cross-join needed
+    val sumSq = nc.agg(coalesce(sum(col("nc") * col("nc")), lit(0.0))
+      .as("sq"))
+    nTot.crossJoin(broadcast(dObs)).crossJoin(broadcast(sumSq))
+      .withColumn("exp", col("n") * col("n") - col("sq"))
+      .select(col("n").cast("double").as("n_ratings"),
+        round(col("dis") / col("n"), 6).as("d_o"),
+        round(col("exp") / (col("n") * (col("n") - 1)), 6).as("d_e"),
+        round(when(col("exp") === 0.0, lit(1.0))
+          .otherwise(lit(1.0) - (col("dis") / col("n")) /
+            (col("exp") / (col("n") * (col("n") - 1)))), 6)
+          .as("alpha"))
+  }
+
   /** Cramér's V association strength (stats/mod.rs cramers_v):
     * sqrt(χ²/(n·(k−1))). */
   def cramersV(df: DataFrame, a: String, b: String): DataFrame = {

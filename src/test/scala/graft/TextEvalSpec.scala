@@ -136,4 +136,29 @@ class TextEvalSpec extends SparkSpecBase {
       .collect()
     sent(1).getAs[Double]("bleu") shouldBe 0.0 +- 1e-12
   }
+
+  test("chrF: hand-computed char n-gram F-score, beta weighting, " +
+      "whitespace stripping") {
+    // "abc" vs "abd", maxN=2: n=1 m=2 -> P1=R1=2/3; n=2 cand
+    // {ab,bc} ref {ab,bd} m=1 -> P2=R2=1/2. chrP=chrR=7/12 and with
+    // P=R the F collapses to P for ANY beta.
+    val df = Seq((1L, "a b c", "ab d")).toDF("id", "c", "r")
+    // whitespace stripped -> "abc" vs "abd"
+    val out = TextEval.chrF(df, "id", "c", "r", maxN = 2).head()
+    out.getAs[Double]("chrp") shouldBe (7.0 / 12.0) +- 1e-6
+    out.getAs[Double]("chrr") shouldBe (7.0 / 12.0) +- 1e-6
+    out.getAs[Double]("chrf") shouldBe (7.0 / 12.0) +- 1e-6
+    // beta=2 weights recall: cand "ab" vs ref "abcd" at maxN=1:
+    // P=1, R=1/2 -> chrF2 = 5*0.5/(4+0.5) = 5/9; beta=1 -> 2/3
+    val df2 = Seq((1L, "ab", "abcd")).toDF("id", "c", "r")
+    TextEval.chrF(df2, "id", "c", "r", maxN = 1).head()
+      .getAs[Double]("chrf") shouldBe (5.0 / 9.0) +- 1e-6
+    TextEval.chrF(df2, "id", "c", "r", maxN = 1, beta = 1.0).head()
+      .getAs[Double]("chrf") shouldBe (2.0 / 3.0) +- 1e-6
+    // orders where a side has no n-gram are EXCLUDED from the mean,
+    // not counted as zero: len-2 cand at maxN=6 only uses n=1..2
+    val df3 = Seq((1L, "ab", "ab")).toDF("id", "c", "r")
+    TextEval.chrF(df3, "id", "c", "r", maxN = 6).head()
+      .getAs[Double]("chrf") shouldBe 1.0 +- 1e-9
+  }
 }

@@ -25,6 +25,37 @@ class VerdictR6Spec extends SparkSpecBase {
     ok.count() shouldBe 3
   }
 
+  test("krippendorffAlpha: hand-computed nominal agreement, " +
+      "perfect-agreement convention, single-rating units dropped") {
+    // u1: A,A  u2: A,B  u3: B,B  u4: B,B  (+ u5 rated once: dropped)
+    // coincidences (w = 1/(m-1) = 1): o_AA=2, o_AB=o_BA=1, o_BB=4
+    // n=8, n_A=3, n_B=5; D_o = 2/8 = 0.25
+    // D_e = 2*3*5 / (8*7) = 30/56; alpha = 1 - .25/(30/56) = 8/15
+    val df = Seq(
+      (1, "r1", "A"), (1, "r2", "A"),
+      (2, "r1", "A"), (2, "r2", "B"),
+      (3, "r1", "B"), (3, "r2", "B"),
+      (4, "r1", "B"), (4, "r2", "B"),
+      (5, "r1", "A")).toDF("u", "r", "c")
+    val out = graft.stats.StatsOps.krippendorffAlpha(df, "u", "r", "c")
+      .head()
+    out.getAs[Double]("n_ratings") shouldBe 8.0
+    out.getAs[Double]("d_o") shouldBe 0.25 +- 1e-9
+    out.getAs[Double]("d_e") shouldBe (30.0 / 56.0) +- 1e-6
+    out.getAs[Double]("alpha") shouldBe (8.0 / 15.0) +- 1e-6
+    // all raters agree everywhere -> D_e = 0 -> alpha = 1 by
+    // convention
+    val perfect = Seq((1, "r1", "X"), (1, "r2", "X"),
+      (2, "r1", "X"), (2, "r2", "X")).toDF("u", "r", "c")
+    graft.stats.StatsOps.krippendorffAlpha(perfect, "u", "r", "c")
+      .head().getAs[Double]("alpha") shouldBe 1.0 +- 1e-12
+    // systematic disagreement -> alpha below 0 (worse than chance)
+    val anti = Seq((1, "r1", "A"), (1, "r2", "B"),
+      (2, "r1", "B"), (2, "r2", "A")).toDF("u", "r", "c")
+    (graft.stats.StatsOps.krippendorffAlpha(anti, "u", "r", "c")
+      .head().getAs[Double]("alpha") < 0.0) shouldBe true
+  }
+
   test("mmrSelect k=1 returns the single most relevant candidate") {
     val q = Seq(1f, 0f, 0f, 0f)
     val top = graft.llm.Similarity.mmrSelect(embDf, "vec", "id", q,
