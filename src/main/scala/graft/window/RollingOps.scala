@@ -1012,6 +1012,121 @@ object RollingOps {
     out
   }
 
+  /** Per-point TIME-DECAYED EWM state machine — the halflife-over-
+    * times analogue of [[EwmMachine]]: the decay factor is
+    * 0.5^(Δt/halflife) per point instead of a constant (1−α), with
+    * den2 decaying by its square. Identical update order to the
+    * [[ewmMeanTime]]/[[ewmVarTime]] folds (power(0.5, x) is
+    * java.lang.Math.pow in both Spark's Pow expression and here),
+    * so [[ewmTimeScalable]] is bit-equal to the fold forms. */
+  private[graft] final class EwmTimeMachine(halflife: Double,
+      stat: String, bias: Boolean) extends Serializable {
+    require(halflife > 0, "halflife > 0")
+    require(Seq("mean", "var", "std").contains(stat), s"stat=$stat")
+    private val statMean = stat == "mean"
+    private val statStd = stat == "std"
+    var num = 0.0; var den = 0.0; var num2 = 0.0; var den2 = 0.0
+    var pt = 0.0; var hasPt = false
+    def reset(): Unit = {
+      num = 0.0; den = 0.0; num2 = 0.0; den2 = 0.0
+      pt = 0.0; hasPt = false
+    }
+    def restore(n: Double, d: Double, n2: Double, d2: Double,
+        t: Double, hp: Boolean): Unit = {
+      num = n; den = d; num2 = n2; den2 = d2; pt = t; hasPt = hp
+    }
+    /** Advance on one VALID point (value and time present — the
+      * fold drops others before the recurrence) and return the
+      * emitted statistic, or null. StrictMath.pow, NOT Math.pow:
+      * Spark's Pow expression evaluates java.lang.StrictMath.pow
+      * (platform-deterministic), and the two differ by 1 ulp on
+      * some inputs — Math.pow here would break bit-equality with
+      * the fold forms. */
+    def step(t: Double, x: Double): Any = {
+      val dec =
+        if (!hasPt) 1.0
+        else java.lang.StrictMath.pow(0.5, (t - pt) / halflife)
+      num = dec * num + x
+      den = dec * den + 1.0
+      num2 = dec * num2 + x * x
+      den2 = dec * dec * den2 + 1.0
+      pt = t; hasPt = true
+      if (statMean) num / den
+      else {
+        val biased = num2 / den - (num / den) * (num / den)
+        val v: Any =
+          if (bias) biased
+          else if (den * den - den2 > 0.0)
+            biased * (den * den) / (den * den - den2)
+          else null
+        if (statStd && v != null)
+          math.sqrt(math.max(v.asInstanceOf[Double], 0.0))
+        else v
+      }
+    }
+  }
+
+  /** EXACT time-decayed EWM at scale: the mapPartitions O(n) path
+    * for [[ewmMeanTime]]/[[ewmVarTime]]/[[ewmStdTime]], whose
+    * collect_list folds are O(n²) in group length (array append per
+    * point) — the same regime split as [[ewmScalable]] vs
+    * [[ewmMean]]. Repartition by key, secondary-sort by
+    * (timeCol, orderCol) — the fold's sort_array order — then one
+    * stateful pass per partition via [[EwmTimeMachine]], bit-equal
+    * to the fold forms (spec'd). Rows with a null value or time
+    * emit null and do not advance the state. Output:
+    * (partitionCols…, orderCol, outName). */
+  def ewmTimeScalable(df: DataFrame, valueCol: String,
+      timeCol: String, orderCol: String, partitionCols: Seq[String],
+      halflife: Double, stat: String = "mean", bias: Boolean = false,
+      outName: String = "ewm_t"): DataFrame = {
+    require(partitionCols.nonEmpty, "partitionCols required")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val base = df.select(partitionCols.map(col) :+ col(orderCol) :+
+      col(timeCol).cast("double").as("__t__") :+
+      col(valueCol).cast("double").as("__v__"): _*)
+    val sorted = base.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(
+        (partitionCols.map(col) :+ col("__t__") :+ col(orderCol)): _*)
+    val schema = StructType(sorted.schema.fields.dropRight(2) :+
+      StructField(outName, DoubleType, nullable = true))
+    val nKeys = partitionCols.size
+    val tIdx = nKeys + 1
+    val vIdx = nKeys + 2
+    val h = halflife
+    val out = sorted.mapPartitions { it =>
+      var curKey: Array[Any] = null
+      val m = new EwmTimeMachine(h, stat, bias)
+      def sameKey(r: Row): Boolean = {
+        if (curKey == null) return false
+        var i = 0
+        while (i < nKeys) {
+          if (!java.util.Objects.deepEquals(curKey(i), r.get(i)))
+            return false
+          i += 1
+        }
+        true
+      }
+      it.map { r =>
+        if (!sameKey(r)) {
+          curKey = Array.tabulate(nKeys)(r.get)
+          m.reset()
+        }
+        val e: Any =
+          if (r.isNullAt(vIdx) || r.isNullAt(tIdx)) null
+          else m.step(r.getDouble(tIdx), r.getDouble(vIdx))
+        val outVals = new Array[Any](tIdx + 1)
+        var i = 0
+        while (i < nKeys) { outVals(i) = r.get(i); i += 1 }
+        outVals(nKeys) = r.get(nKeys)
+        outVals(tIdx) = e
+        Row.fromSeq(outVals.toIndexedSeq)
+      }
+    }(Encoders.row(schema))
+    out
+  }
+
   /** EXACT streaming EWM covariance / correlation at scale — the
     * pairwise sibling of [[ewmScalable]]: repartition by key,
     * secondary-sort, one O(n) stateful pass per partition via

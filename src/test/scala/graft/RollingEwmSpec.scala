@@ -585,6 +585,36 @@ class RollingEwmSpec extends SparkSpecBase {
     corT.flatten.foreach(v => math.abs(v) should be <= 1.0 + 1e-12)
   }
 
+  test("ewmTimeScalable streaming pass is bit-equal to the " +
+      "time-decayed fold forms (mean/var/std, irregular times, " +
+      "nulls, two keys)") {
+    import spark.implicits._
+    // irregular gaps, interleaved null values, a null time
+    val rows = (1 to 60).flatMap { i =>
+      val t = if (i % 13 == 5) None
+        else Some(i * 37.0 + (i % 7) * 11.0)
+      val v = if (i % 9 == 4) None
+        else Some(math.sin(i * 0.7) * 13 + (i % 5))
+      Seq(("a", i.toLong, t, v), ("b", i.toLong, t.map(_ * 2), v))
+    }
+    val df = rows.toDF("k", "ord", "tm", "v")
+    def c(d: org.apache.spark.sql.DataFrame, col0: String) =
+      d.orderBy("k", "ord").select(col0).as[Option[Double]]
+        .collect().toSeq
+    c(RollingOps.ewmTimeScalable(df, "v", "tm", "ord", Seq("k"),
+      halflife = 97.0, stat = "mean", outName = "e"), "e") shouldBe
+      c(RollingOps.ewmMeanTime(df, "v", "tm", "ord", Seq("k"),
+        halflife = 97.0, outName = "e"), "e")
+    c(RollingOps.ewmTimeScalable(df, "v", "tm", "ord", Seq("k"),
+      halflife = 97.0, stat = "var", outName = "e"), "e") shouldBe
+      c(RollingOps.ewmVarTime(df, "v", "tm", "ord", Seq("k"),
+        halflife = 97.0, outName = "e"), "e")
+    c(RollingOps.ewmTimeScalable(df, "v", "tm", "ord", Seq("k"),
+      halflife = 97.0, stat = "std", outName = "e"), "e") shouldBe
+      c(RollingOps.ewmStdTime(df, "v", "tm", "ord", Seq("k"),
+        halflife = 97.0, outName = "e"), "e")
+  }
+
   test("ewmVarTime irregular spacing: hand-computed two-step check") {
     import spark.implicits._
     // points (t=0, x=10), (t=600, x=20) with halflife 600:
