@@ -183,6 +183,53 @@ object StreamOps {
           out.iterator
       }
 
+  case class EwmTimeStreamState(num: Double, den: Double,
+      num2: Double, den2: Double, pt: Double, hasPt: Boolean)
+  case class EwmTimeStreamOut(key: String, ord: Long,
+      ewm: Option[Double])
+
+  /** Streaming TIME-DECAYED EWM — the halflife-over-times member of
+    * the streaming family: per-key state carried across
+    * micro-batches running the SAME
+    * [[graft.window.RollingOps.EwmTimeMachine]] as the batch
+    * [[graft.window.RollingOps.ewmTimeScalable]] pass, so the
+    * streamed sequence is bit-equal to the batch forms. Input rows
+    * are (key, ord, timeSeconds, value); within a batch rows sort by
+    * (time, ord) — the batch sort contract — and across batches
+    * event times must be non-decreasing per key (append-only
+    * sources). Rows with a missing time or value emit null and do
+    * not advance state. */
+  def ewmTimeStream(
+      ds: Dataset[(String, Long, Option[Double], Option[Double])],
+      halflife: Double, stat: String = "mean",
+      bias: Boolean = false)(
+      implicit e: Encoder[EwmTimeStreamOut],
+      se: Encoder[EwmTimeStreamState]): Dataset[EwmTimeStreamOut] =
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[EwmTimeStreamState, EwmTimeStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String,
+         rows: Iterator[(String, Long, Option[Double], Option[Double])],
+         state: GroupState[EwmTimeStreamState]) =>
+          val m = new graft.window.RollingOps.EwmTimeMachine(
+            halflife, stat, bias)
+          state.getOption.foreach(s => m.restore(s.num, s.den,
+            s.num2, s.den2, s.pt, s.hasPt))
+          val out = rows.toSeq
+            .sortBy(r => (r._3.getOrElse(Double.NegativeInfinity),
+              r._2))
+            .map { case (_, ord, t, v) =>
+              val e: Any =
+                if (t.isEmpty || v.isEmpty) null
+                else m.step(t.get, v.get)
+              EwmTimeStreamOut(key, ord,
+                Option(e).map(_.asInstanceOf[Double]))
+            }
+          state.update(EwmTimeStreamState(m.num, m.den, m.num2,
+            m.den2, m.pt, m.hasPt))
+          out.iterator
+      }
+
   case class EwmCovStreamState(den: Double, den2: Double, sx: Double,
       sy: Double, sxy: Double, sxx: Double, syy: Double)
   case class EwmCovStreamOut(key: String, ord: Long,

@@ -326,6 +326,47 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("ewmTimeStream carries time-decayed EWM state across " +
+      "batches, bit-equal to the batch scalable pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(("a", 1L, Some(10.0), Some(3.0)),
+      ("a", 2L, Some(130.0), Option.empty[Double]),
+      ("b", 1L, Some(50.0), Some(5.0)),
+      ("a", 3L, Some(310.0), Some(7.0)))
+    val batch2 = Seq(("a", 4L, Some(400.0), Some(2.0)),
+      ("b", 2L, Some(777.0), Some(1.5)),
+      ("a", 5L, Option.empty[Double], Some(9.5)),
+      ("a", 6L, Some(912.0), Some(4.0)))
+    val batchDf = (batch1 ++ batch2).toDF("k", "ord", "tm", "v")
+    for (stat <- Seq("mean", "var")) {
+      val input = MemoryStream[(String, Long, Option[Double],
+        Option[Double])]
+      val out = StreamOps.ewmTimeStream(input.toDS(),
+        halflife = 300.0, stat = stat)
+      val name = s"ewm_time_stream_$stat"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(batch1: _*); q.processAllAvailable()
+        input.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .as[StreamOps.EwmTimeStreamOut].collect()
+        .map(o => (o.key, o.ord) -> o.ewm).toMap
+      val batch = graft.window.RollingOps.ewmTimeScalable(batchDf,
+          "v", "tm", "ord", Seq("k"), halflife = 300.0, stat = stat,
+          outName = "e")
+        .orderBy("k", "ord").select("k", "ord", "e")
+        .as[(String, Long, Option[Double])].collect()
+      streamed.size shouldBe batch.length
+      batch.foreach { case (k, ord, e) =>
+        withClue(s"$stat ($k,$ord): ") {
+          streamed((k, ord)) shouldBe e
+        }
+      }
+    }
+  }
+
   test("ewmCovStream carries pairwise EWM state across batches, " +
       "bit-equal to the batch fold") {
     implicit val sqlCtx = spark.sqlContext
