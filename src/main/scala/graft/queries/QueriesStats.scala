@@ -689,6 +689,7 @@ object QueriesStats {
       TimeSeriesOps.groupedSarimaForecast(monthly, "v", "m",
         "n_regionkey", p = 1, d = 0, q = 0, sp = 1, sd = 0, sq = 0,
         period = 12, steps = 6)
+        .withColumn("n_regionkey", col("n_regionkey").cast("long"))
     }),
 
     // the PORTABLE ORACLE TWIN of the SARIMA estimator (the q322
@@ -719,7 +720,7 @@ object QueriesStats {
       TimeSeriesOps.groupedSarimaForecast(base, "y", "t", "nk",
         p = 1, d = 0, q = 0, sp = 1, sd = 0, sq = 0, period = 12,
         steps = 6)
-        .select(col("nk").as("n_nationkey"), col("h"),
+        .select(col("nk").cast("long").as("n_nationkey"), col("h"),
           col("forecast"))
     }),
 

@@ -271,6 +271,48 @@ object StreamOps {
           out.iterator
       }
 
+  case class EwmCovTimeStreamState(den: Double, den2: Double,
+      sx: Double, sy: Double, sxy: Double, sxx: Double, syy: Double,
+      pt: Double, hasPt: Boolean)
+
+  /** Streaming TIME-DECAYED pairwise EWM cov/corr — completes the
+    * streaming EWM matrix (positional [[ewmStream]]/[[ewmCovStream]],
+    * time-decayed [[ewmTimeStream]] and this). Same
+    * [[graft.window.RollingOps.EwmTimePairMachine]] as the batch
+    * pass, bit-equal across micro-batches; same ordering contract as
+    * [[ewmTimeStream]]. Input rows: (key, ord, timeSeconds, x, y). */
+  def ewmCovTimeStream(
+      ds: Dataset[(String, Long, Option[Double], Option[Double],
+        Option[Double])],
+      halflife: Double, bias: Boolean = false, corr: Boolean = false)(
+      implicit e: Encoder[EwmCovStreamOut],
+      se: Encoder[EwmCovTimeStreamState]): Dataset[EwmCovStreamOut] =
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[EwmCovTimeStreamState, EwmCovStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String,
+         rows: Iterator[(String, Long, Option[Double], Option[Double],
+           Option[Double])],
+         state: GroupState[EwmCovTimeStreamState]) =>
+          val m = new graft.window.RollingOps.EwmTimePairMachine(
+            halflife, bias, corr)
+          state.getOption.foreach(s => m.restore(s.den, s.den2, s.sx,
+            s.sy, s.sxy, s.sxx, s.syy, s.pt, s.hasPt))
+          val out = rows.toSeq
+            .sortBy(r => (r._3.getOrElse(Double.NegativeInfinity),
+              r._2))
+            .map { case (_, ord, t, x, y) =>
+              val e: Any =
+                if (t.isEmpty || x.isEmpty || y.isEmpty) null
+                else m.step(t.get, x.get, y.get)
+              EwmCovStreamOut(key, ord,
+                Option(e).map(_.asInstanceOf[Double]))
+            }
+          state.update(EwmCovTimeStreamState(m.den, m.den2, m.sx,
+            m.sy, m.sxy, m.sxx, m.syy, m.pt, m.hasPt))
+          out.iterator
+      }
+
   /** Batch-equivalent of the streaming tumbling aggregation — used to
     * verify window semantics against the oracle on static data. */
   def tumblingBatch(df: DataFrame, tsCol: String, size: String,

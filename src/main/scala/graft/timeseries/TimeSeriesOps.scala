@@ -1663,18 +1663,21 @@ object TimeSeriesOps {
     * too short for the requested orders fails LOUDLY with the key in
     * the message — a silent skip would fabricate missing forecasts.
     * Null values are dropped (series = present points in orderCol
-    * order). Output: (keyCol, h = 1..steps, forecast), unrounded. */
+    * order). Keys group by their STRING form (numeric and string
+    * keys both work; the output key column is string — cast back in
+    * the caller if a numeric key type is needed). Output:
+    * (keyCol, h = 1..steps, forecast), unrounded. */
   def groupedSarimaForecast(df: DataFrame, valueCol: String,
       orderCol: String, keyCol: String, p: Int, d: Int, q: Int,
       sp: Int, sd: Int, sq: Int, period: Int,
       steps: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(valueCol).isNotNull)
-      .select(col(keyCol).cast("long").as("k"),
+    df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
         col(orderCol).cast("long").as("o"),
         col(valueCol).cast("double").as("v"))
-      .as[(Long, Long, Double)]
+      .as[(String, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
         val series =

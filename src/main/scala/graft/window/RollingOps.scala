@@ -1066,6 +1066,117 @@ object RollingOps {
     }
   }
 
+  /** Per-point TIME-DECAYED PAIRWISE EWM state machine — the
+    * cov/corr member of the time family, identical update order to
+    * the [[ewmCovTime]] fold (StrictMath.pow: see
+    * [[EwmTimeMachine]]). */
+  private[graft] final class EwmTimePairMachine(halflife: Double,
+      bias: Boolean, corr: Boolean) extends Serializable {
+    require(halflife > 0, "halflife > 0")
+    var den = 0.0; var den2 = 0.0
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0
+    var sxx = 0.0; var syy = 0.0
+    var pt = 0.0; var hasPt = false
+    def reset(): Unit = {
+      den = 0.0; den2 = 0.0; sx = 0.0; sy = 0.0
+      sxy = 0.0; sxx = 0.0; syy = 0.0; pt = 0.0; hasPt = false
+    }
+    def restore(d: Double, d2: Double, x1: Double, y1: Double,
+        xy: Double, xx: Double, yy: Double, t: Double,
+        hp: Boolean): Unit = {
+      den = d; den2 = d2; sx = x1; sy = y1
+      sxy = xy; sxx = xx; syy = yy; pt = t; hasPt = hp
+    }
+    /** Advance on one COMPLETE point (x, y, t present — the fold
+      * drops others) and return the emitted statistic, or null. */
+    def step(t: Double, x: Double, y: Double): Any = {
+      val dec =
+        if (!hasPt) 1.0
+        else java.lang.StrictMath.pow(0.5, (t - pt) / halflife)
+      den = dec * den + 1.0
+      den2 = dec * dec * den2 + 1.0
+      sx = dec * sx + x
+      sy = dec * sy + y
+      sxy = dec * sxy + x * y
+      sxx = dec * sxx + x * x
+      syy = dec * syy + y * y
+      pt = t; hasPt = true
+      val covB = sxy / den - (sx / den) * (sy / den)
+      val varxB = sxx / den - (sx / den) * (sx / den)
+      val varyB = syy / den - (sy / den) * (sy / den)
+      if (corr) {
+        if (varxB * varyB > 0.0) covB / math.sqrt(varxB * varyB)
+        else null
+      } else if (bias) covB
+      else if (den * den - den2 > 0.0)
+        covB * (den * den) / (den * den - den2)
+      else null
+    }
+  }
+
+  /** EXACT time-decayed pairwise EWM at scale — the mapPartitions
+    * O(n) path for [[ewmCovTime]] (same regime split as
+    * [[ewmCovScalable]] vs [[ewmCov]]): repartition by key,
+    * secondary-sort by (timeCol, orderCol), one stateful pass via
+    * [[EwmTimePairMachine]], bit-equal to the fold (spec'd +
+    * property-tested). Rows with a missing value or time emit null
+    * and do not advance state. Output:
+    * (partitionCols…, orderCol, outName). */
+  def ewmCovTimeScalable(df: DataFrame, xCol: String, yCol: String,
+      timeCol: String, orderCol: String, partitionCols: Seq[String],
+      halflife: Double, bias: Boolean = false, corr: Boolean = false,
+      outName: String = "ewm_t_cov"): DataFrame = {
+    require(partitionCols.nonEmpty, "partitionCols required")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val base = df.select(partitionCols.map(col) :+ col(orderCol) :+
+      col(timeCol).cast("double").as("__t__") :+
+      col(xCol).cast("double").as("__x__") :+
+      col(yCol).cast("double").as("__y__"): _*)
+    val sorted = base.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(
+        (partitionCols.map(col) :+ col("__t__") :+ col(orderCol)): _*)
+    val schema = StructType(sorted.schema.fields.dropRight(3) :+
+      StructField(outName, DoubleType, nullable = true))
+    val nKeys = partitionCols.size
+    val tIdx = nKeys + 1
+    val xIdx = nKeys + 2
+    val yIdx = nKeys + 3
+    val h = halflife
+    val out = sorted.mapPartitions { it =>
+      var curKey: Array[Any] = null
+      val m = new EwmTimePairMachine(h, bias, corr)
+      def sameKey(r: Row): Boolean = {
+        if (curKey == null) return false
+        var i = 0
+        while (i < nKeys) {
+          if (!java.util.Objects.deepEquals(curKey(i), r.get(i)))
+            return false
+          i += 1
+        }
+        true
+      }
+      it.map { r =>
+        if (!sameKey(r)) {
+          curKey = Array.tabulate(nKeys)(r.get)
+          m.reset()
+        }
+        val e: Any =
+          if (r.isNullAt(xIdx) || r.isNullAt(yIdx) ||
+            r.isNullAt(tIdx)) null
+          else m.step(r.getDouble(tIdx), r.getDouble(xIdx),
+            r.getDouble(yIdx))
+        val outVals = new Array[Any](tIdx + 1)
+        var i = 0
+        while (i < nKeys) { outVals(i) = r.get(i); i += 1 }
+        outVals(nKeys) = r.get(nKeys)
+        outVals(tIdx) = e
+        Row.fromSeq(outVals.toIndexedSeq)
+      }
+    }(Encoders.row(schema))
+    out
+  }
+
   /** EXACT time-decayed EWM at scale: the mapPartitions O(n) path
     * for [[ewmMeanTime]]/[[ewmVarTime]]/[[ewmStdTime]], whose
     * collect_list folds are O(n²) in group length (array append per

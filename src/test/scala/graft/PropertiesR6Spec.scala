@@ -59,4 +59,24 @@ object PropertiesR6Spec extends Properties("graft-r6") {
         Seq("k"), h, outName = "e"))
       sMean == fMean && sVar == fVar
     }
+
+  property("ewmCovTimeScalable is bit-equal to the ewmCovTime fold " +
+      "on random irregular times (cov and corr)") =
+    forAll(seriesGen, seriesGen,
+      Gen.listOfN(40, Gen.chooseNum(1.0, 500.0)),
+      Gen.chooseNum(10.0, 900.0)) { (xs, ys, gaps, h) =>
+      val ts = gaps.scanLeft(0.0)((acc, g) => acc + math.rint(g)).tail
+      val df = xs.zipAll(ys, None, None).zip(ts).zipWithIndex
+        .map { case (((x, y), t), i) => (1, i, t, x, y) }
+        .toDF("k", "ord", "tm", "x", "y")
+      val sCov = col1(RollingOps.ewmCovTimeScalable(df, "x", "y",
+        "tm", "ord", Seq("k"), h, outName = "e"))
+      val fCov = col1(RollingOps.ewmCovTime(df, "x", "y", "tm",
+        "ord", Seq("k"), h, outName = "e"))
+      val sCor = col1(RollingOps.ewmCovTimeScalable(df, "x", "y",
+        "tm", "ord", Seq("k"), h, corr = true, outName = "e"))
+      val fCor = col1(RollingOps.ewmCovTime(df, "x", "y", "tm",
+        "ord", Seq("k"), h, corr = true, outName = "e"))
+      sCov == fCov && sCor == fCor
+    }
 }

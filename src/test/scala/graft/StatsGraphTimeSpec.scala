@@ -1424,14 +1424,14 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     out.length shouldBe 8
     // bit-equal to the driver-side path on each key's own series —
     // the distributed operator runs the identical code per group
-    for ((series, key) <- Seq((s1, 1L), (s2, 2L))) {
+    for ((series, key) <- Seq((s1, "1"), (s2, "2"))) {
       val direct = graft.timeseries.TimeSeriesOps.sarimaForecast(
         series.map(_._3), 1, 0, 0, 1, 0, 0, 12, 4)
-      val got = out.filter(_.getLong(0) == key).map(_.getDouble(2))
+      val got = out.filter(_.getString(0) == key).map(_.getDouble(2))
       got.toSeq shouldBe direct
     }
     // tight noise -> fitted forecasts track each key's OWN process
-    val f1 = out.filter(_.getLong(0) == 1L).map(_.getDouble(2))
+    val f1 = out.filter(_.getString(0) == "1").map(_.getDouble(2))
     val t1 = {
       val h = s1.map(_._3).toBuffer
       (0 until 4).map { _ =>
@@ -1440,6 +1440,21 @@ class StatsGraphTimeSpec extends SparkSpecBase {
       }
     }
     f1.zip(t1).foreach { case (g, e) => g shouldBe e +- 0.05 }
+  }
+
+  test("groupedSarimaForecast accepts STRING keys (the q307 " +
+      "per-key convention)") {
+    import spark.implicits._
+    val rows = (0 until 200).flatMap { t =>
+      Seq(("click", t.toLong, math.sin(t / 6.0) * 5 + 10.0),
+        ("view", t.toLong, math.cos(t / 9.0) * 3 + 20.0))
+    }
+    val out = graft.timeseries.TimeSeriesOps.groupedSarimaForecast(
+      rows.toDF("k", "t", "v"), "v", "t", "k",
+      p = 1, d = 0, q = 0, sp = 1, sd = 0, sq = 0, period = 12,
+      steps = 3).collect()
+    out.length shouldBe 6
+    out.map(_.getString(0)).toSet shouldBe Set("click", "view")
   }
 
   test("groupedSarimaForecast fails loudly naming the key when a " +

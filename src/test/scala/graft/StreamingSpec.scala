@@ -367,6 +367,44 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("ewmCovTimeStream carries time-decayed pairwise state " +
+      "across batches, bit-equal to the batch scalable pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      ("a", 1L, Some(10.0), Some(3.0), Some(1.0)),
+      ("a", 2L, Some(130.0), Option.empty[Double], Some(2.0)),
+      ("b", 1L, Some(50.0), Some(5.0), Some(4.0)),
+      ("a", 3L, Some(310.0), Some(7.0), Some(0.5)))
+    val batch2 = Seq(
+      ("a", 4L, Some(400.0), Some(2.0), Some(6.0)),
+      ("b", 2L, Some(777.0), Some(1.5), Some(2.5)),
+      ("a", 5L, Some(912.0), Some(9.5), Some(3.25)))
+    val batchDf = (batch1 ++ batch2).toDF("k", "ord", "tm", "x", "y")
+    val input = MemoryStream[(String, Long, Option[Double],
+      Option[Double], Option[Double])]
+    val out = StreamOps.ewmCovTimeStream(input.toDS(),
+      halflife = 300.0)
+    val q = out.writeStream.format("memory")
+      .queryName("ewmcovtime_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewmcovtime_stream")
+      .as[StreamOps.EwmCovStreamOut].collect()
+      .map(o => (o.key, o.ord) -> o.ewm).toMap
+    val batch = graft.window.RollingOps.ewmCovTimeScalable(batchDf,
+        "x", "y", "tm", "ord", Seq("k"), halflife = 300.0,
+        outName = "e")
+      .orderBy("k", "ord").select("k", "ord", "e")
+      .as[(String, Long, Option[Double])].collect()
+    streamed.size shouldBe batch.length
+    batch.foreach { case (k, ord, e) =>
+      withClue(s"($k,$ord): ") { streamed((k, ord)) shouldBe e }
+    }
+  }
+
   test("ewmCovStream carries pairwise EWM state across batches, " +
       "bit-equal to the batch fold") {
     implicit val sqlCtx = spark.sqlContext
