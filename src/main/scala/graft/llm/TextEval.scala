@@ -168,6 +168,94 @@ object TextEval {
             exp(col("sum_ln") / maxN), 6)).as("bleu"))
   }
 
+  /** MULTI-REFERENCE sentence BLEU (Papineni et al. 2002 §2.1):
+    * input has ONE ROW PER (candidate, reference) — several rows per
+    * id — and the clipped count for a gram is
+    * min(cand_count, max over references of ref_count). The brevity
+    * penalty uses the reference length CLOSEST to the candidate
+    * (ties toward the shorter — the sacrebleu convention), selected
+    * via a single packed min (|Δlen|·10⁶ + len, lengths < 10⁶).
+    * The candidate text must be identical across an id's rows.
+    * Output per id: p1..p4, bp, bleu (null when the candidate has
+    * fewer than maxN tokens; 0 when any pooled p_n is 0). */
+  def multiRefBleu(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    val base = pairs.select(col(idCol).as("id"),
+      toks(col(candCol)).as("ct"), toks(col(refCol)).as("rt"),
+      col(refCol).as("rk"))
+    val lens = base.groupBy("id").agg(
+      first(size(col("ct"))).cast("double").as("clen"),
+      min(abs(size(col("rt")) - size(col("ct"))).cast("long") *
+        1000000L + size(col("rt"))).as("__rm__"))
+      .select(col("id"), col("clen"),
+        (col("__rm__") % 1000000L).cast("double").as("rlen"))
+    val cand = base.groupBy("id").agg(first(col("ct")).as("ct"))
+    val byN = cand
+      .withColumn("n", explode(sequence(lit(1), lit(maxN))))
+      .select(col("id"), col("n"),
+        ngramArr(col("ct"), col("n")).as("cg"))
+    val totals = byN.select(col("id"), col("n"),
+      size(col("cg")).cast("long").as("c_tot"))
+    val cc = byN
+      .select(col("id"), col("n"), explode(col("cg")).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("cc"))
+    // per-reference counts, then the max across references
+    val mrc = base
+      .withColumn("n", explode(sequence(lit(1), lit(maxN))))
+      .select(col("id"), col("rk"), col("n"),
+        explode(ngramArr(col("rt"), col("n"))).as("g"))
+      .groupBy("id", "rk", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id", "n", "g").agg(max(col("c")).as("mrc"))
+    val clip = cc.join(mrc, Seq("id", "n", "g"))
+      .groupBy("id", "n")
+      .agg(sum(least(col("cc"), col("mrc"))).as("m"))
+    val pn = totals.join(clip, Seq("id", "n"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+      .withColumn("p",
+        when(col("c_tot") > 0, col("m").cast("double") / col("c_tot")))
+    val agg = pn.groupBy("id").agg(
+      count(when(col("p").isNotNull, 1)).as("n_defined"),
+      count(when(col("p") === 0.0, 1)).as("n_zero"),
+      sum(when(col("p") > 0, log(col("p")))).as("sum_ln"),
+      max(when(col("n") === 1, col("p"))).as("p1"),
+      max(when(col("n") === 2, col("p"))).as("p2"),
+      max(when(col("n") === 3, col("p"))).as("p3"),
+      max(when(col("n") === 4, col("p"))).as("p4"))
+    lens.join(agg, Seq("id"), "left")
+      .withColumn("bp",
+        when(col("clen") >= col("rlen"), lit(1.0))
+          .otherwise(exp(lit(1.0) - col("rlen") / col("clen"))))
+      .select(col("id"),
+        round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+        round(col("p3"), 6).as("p3"), round(col("p4"), 6).as("p4"),
+        round(col("bp"), 6).as("bp"),
+        when(col("n_defined") < maxN, lit(null).cast("double"))
+          .when(col("n_zero") > 0, lit(0.0))
+          .otherwise(round(col("bp") *
+            exp(col("sum_ln") / maxN), 6)).as("bleu"))
+  }
+
+  /** Self-BLEU (Zhu et al. 2018) — the standard DIVERSITY metric for
+    * a (generated) corpus: each document scored as a multi-reference
+    * BLEU candidate against `k` OTHER documents (the deterministic
+    * neighbors id+1..id+k — no RNG, fully SQL-replayable); high
+    * Self-BLEU = low diversity. Returns one row per document that
+    * has at least one neighbor; aggregate the `bleu` column for the
+    * corpus score. */
+  def selfBleu(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxN: Int = 4): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val a = docs.select(col(idCol).cast("long").as("__i__"),
+      col(textCol).as("__c__"))
+    val b = docs.select(col(idCol).cast("long").as("__j__"),
+      col(textCol).as("__r__"))
+    val pairs = a
+      .withColumn("__d__", explode(sequence(lit(1), lit(k))))
+      .join(b, col("__j__") === col("__i__") + col("__d__"))
+    multiRefBleu(pairs, "__i__", "__c__", "__r__", maxN)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Sentence BLEU per pair (Papineni et al. 2002): modified
     * (clipped) n-gram precisions p_1..p_maxN, brevity penalty
     * bp = min(1, e^(1−r/c)), and bleu = bp·exp(Σ ln p_n / maxN).

@@ -496,6 +496,13 @@ object QueriesPipeline {
         .withColumnRenamed("id", "pid")
     }),
 
+    // Self-BLEU corpus-diversity metric (Zhu et al. 2018): each doc
+    // as a multi-reference BLEU candidate against its next 3
+    // neighbors — max-over-refs clipping, closest-ref-length brevity
+    "q340_self_bleu" -> ((s, d) =>
+      graft.llm.TextEval.selfBleu(t(s, d, "documents"), "doc_id",
+        "text", k = 3)),
+
     // chrF (Popović 2015): character n-gram F-score, n=1..6, β=2 —
     // the third sacrebleu metric (BLEU q329, corpus BLEU q336)
     "q338_chrf" -> ((s, d) => {
@@ -1475,6 +1482,85 @@ object QueriesPipeline {
         |lens AS (SELECT id, CAST(len(ct) AS DOUBLE) AS clen,
         |  CAST(len(rt) AS DOUBLE) AS rlen FROM tk)
         |SELECT l.id AS pid,
+        |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round(p3, 6) AS p3, round(p4, 6) AS p4,
+        |  round(CASE WHEN clen >= rlen THEN 1.0
+        |    ELSE exp(1.0 - rlen / clen) END, 6) AS bp,
+        |  CASE WHEN n_defined < 4 THEN NULL
+        |       WHEN n_zero > 0 THEN 0.0
+        |       ELSE round((CASE WHEN clen >= rlen THEN 1.0
+        |         ELSE exp(1.0 - rlen / clen) END) *
+        |         exp(sum_ln / 4), 6) END AS bleu
+        |FROM lens l LEFT JOIN agg USING (id)""".stripMargin,
+
+    "q340_self_bleu" ->
+      raw"""WITH pairs AS (
+        |  SELECT a.doc_id AS id, a.text AS ctext, b.text AS rtext
+        |  FROM documents a
+        |  CROSS JOIN range(1, 4) r(j)
+        |  JOIN documents b ON b.doc_id = a.doc_id + r.j),
+        |tk AS (
+        |  SELECT id, rtext,
+        |    list_filter(regexp_split_to_array(trim(lower(ctext)), '\s+'),
+        |      x -> length(x) > 0) AS ct,
+        |    list_filter(regexp_split_to_array(trim(lower(rtext)), '\s+'),
+        |      x -> length(x) > 0) AS rt
+        |  FROM pairs),
+        |lens AS (
+        |  SELECT id, CAST(min(len(ct)) AS DOUBLE) AS clen,
+        |    CAST(min(abs(len(rt) - len(ct)) * 1000000 + len(rt))
+        |      % 1000000 AS DOUBLE) AS rlen
+        |  FROM tk GROUP BY 1),
+        |cand AS (
+        |  SELECT id,
+        |    list_filter(regexp_split_to_array(trim(lower(ctext)), '\s+'),
+        |      x -> length(x) > 0) AS ct
+        |  FROM (SELECT DISTINCT id, ctext FROM pairs)),
+        |cn AS (SELECT id, ct, unnest([1, 2, 3, 4]) AS n FROM cand),
+        |cg AS (
+        |  SELECT id, n,
+        |    CASE WHEN len(ct) >= n
+        |      THEN list_transform(range(1, len(ct) - n + 2),
+        |        i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))
+        |      ELSE [] END AS cg
+        |  FROM cn),
+        |cc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(cg) AS g FROM cg) GROUP BY 1, 2, 3),
+        |rn AS (SELECT id, rtext, rt, unnest([1, 2, 3, 4]) AS n
+        |  FROM tk),
+        |rg AS (
+        |  SELECT id, rtext, n,
+        |    CASE WHEN len(rt) >= n
+        |      THEN list_transform(range(1, len(rt) - n + 2),
+        |        i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))
+        |      ELSE [] END AS rg
+        |  FROM rn),
+        |mrc AS (
+        |  SELECT id, n, g, max(c) AS mrc FROM (
+        |    SELECT id, rtext, n, g, count(*) AS c
+        |    FROM (SELECT id, rtext, n, unnest(rg) AS g FROM rg)
+        |    GROUP BY 1, 2, 3, 4)
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT cc.id, cc.n, sum(least(cc.c, mrc.mrc)) AS m
+        |  FROM cc JOIN mrc ON mrc.id = cc.id AND mrc.n = cc.n
+        |    AND mrc.g = cc.g GROUP BY 1, 2),
+        |tot AS (SELECT id, n, len(cg) AS c_tot FROM cg),
+        |p AS (
+        |  SELECT t.id, t.n,
+        |    CASE WHEN c_tot > 0
+        |      THEN CAST(coalesce(m.m, 0) AS DOUBLE) / c_tot END AS p
+        |  FROM tot t LEFT JOIN m ON m.id = t.id AND m.n = t.n),
+        |agg AS (
+        |  SELECT id,
+        |    count(CASE WHEN p IS NOT NULL THEN 1 END) AS n_defined,
+        |    count(CASE WHEN p = 0.0 THEN 1 END) AS n_zero,
+        |    sum(CASE WHEN p > 0 THEN ln(p) END) AS sum_ln,
+        |    max(CASE WHEN n = 1 THEN p END) AS p1,
+        |    max(CASE WHEN n = 2 THEN p END) AS p2,
+        |    max(CASE WHEN n = 3 THEN p END) AS p3,
+        |    max(CASE WHEN n = 4 THEN p END) AS p4
+        |  FROM p GROUP BY 1)
+        |SELECT l.id AS doc_id,
         |  round(p1, 6) AS p1, round(p2, 6) AS p2,
         |  round(p3, 6) AS p3, round(p4, 6) AS p4,
         |  round(CASE WHEN clen >= rlen THEN 1.0

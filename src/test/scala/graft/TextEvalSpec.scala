@@ -137,6 +137,50 @@ class TextEvalSpec extends SparkSpecBase {
     sent(1).getAs[Double]("bleu") shouldBe 0.0 +- 1e-12
   }
 
+  test("multiRefBleu pools clipped counts via max-over-references " +
+      "and picks the closest reference length for bp") {
+    // cand "the cat" vs refs {"the dog", "a cat"}: each unigram is
+    // in SOME ref -> p1 = 1 (single-ref would give 1/2); p2 = 0
+    val df = Seq((1L, "the cat", "the dog"), (1L, "the cat", "a cat"))
+      .toDF("id", "c", "r")
+    val out = TextEval.multiRefBleu(df, "id", "c", "r", maxN = 2)
+      .head()
+    out.getAs[Double]("p1") shouldBe 1.0 +- 1e-9
+    out.getAs[Double]("p2") shouldBe 0.0 +- 1e-12
+    out.getAs[Double]("bp") shouldBe 1.0 +- 1e-9
+    out.getAs[Double]("bleu") shouldBe 0.0 +- 1e-12
+    // bp reference length: closest wins (refs of len 5 and 6 vs
+    // cand len 4 -> rlen 5 -> bp = exp(1 - 5/4))
+    val df2 = Seq((1L, "a b c d", "a b c d e"),
+      (1L, "a b c d", "a b c d e f")).toDF("id", "c", "r")
+    TextEval.multiRefBleu(df2, "id", "c", "r", maxN = 2).head()
+      .getAs[Double]("bp") shouldBe math.exp(1.0 - 5.0 / 4.0) +- 1e-6
+    // tie (refs len 3 and 5, cand 4) -> shorter wins -> bp = 1
+    val df3 = Seq((1L, "a b c d", "a b c"),
+      (1L, "a b c d", "a b c d e")).toDF("id", "c", "r")
+    TextEval.multiRefBleu(df3, "id", "c", "r", maxN = 2).head()
+      .getAs[Double]("bp") shouldBe 1.0 +- 1e-9
+  }
+
+  test("selfBleu: identical corpus scores 1, diverse corpus scores " +
+      "low, last doc (no neighbor) excluded") {
+    val same = (0L until 6L).map(i => (i, "the quick brown fox " +
+      "jumps over the lazy dog")).toDF("doc_id", "text")
+    val s1 = TextEval.selfBleu(same, "doc_id", "text", k = 2)
+    s1.count() shouldBe 5 // doc 5 has no neighbor
+    s1.select("bleu").as[Double].collect()
+      .foreach(_ shouldBe 1.0 +- 1e-9)
+    val diverse = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six"),
+      (2L, "red green blue cyan magenta yellow"),
+      (3L, "north south east west up down"))
+      .toDF("doc_id", "text")
+    val s2 = TextEval.selfBleu(diverse, "doc_id", "text", k = 2)
+      .select("bleu").as[Double].collect()
+    s2.foreach(_ shouldBe 0.0 +- 1e-12) // fully diverse
+  }
+
   test("chrF: hand-computed char n-gram F-score, beta weighting, " +
       "whitespace stripping") {
     // "abc" vs "abd", maxN=2: n=1 m=2 -> P1=R1=2/3; n=2 cand
