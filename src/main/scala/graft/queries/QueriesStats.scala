@@ -740,6 +740,22 @@ object QueriesStats {
         "event_type", "cat")
     }),
 
+    // §2.12 Krippendorff's alpha with the INTERVAL metric — the
+    // same ratings table as q339 but disagreement weighted (c−c')²,
+    // the right metric when categories are ordered magnitudes
+    // (spend buckets): near-miss raters disagree less than far-off
+    // ones
+    "q341_krippendorff_interval" -> ((s, d) => {
+      val ratings = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull
+          && col("user_id").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(floor(avg(cents(col("value"))) / 2500.0)
+          .cast("long").as("cat"))
+      graft.stats.StatsOps.krippendorffAlpha(ratings, "user_id",
+        "event_type", "cat", metric = "interval")
+    }),
+
     "q307_grouped_holt" -> ((s, d) => {
       val hourly = t(s, d, "events")
         .filter(col("value").isNotNull && col("event_type").isNotNull)
@@ -3152,6 +3168,40 @@ object QueriesStats {
         |      ((nn.n * nn.n - sq) / (nn.n * (nn.n - 1))) END, 6)
         |    AS alpha
         |FROM nn, dis, sq""".stripMargin,
+
+    "q341_krippendorff_interval" ->
+      """WITH ratings AS (
+        |  SELECT user_id AS u, event_type AS r,
+        |    CAST(CAST(floor(avg(CAST(round(value * 100) AS BIGINT))
+        |      / 2500.0) AS BIGINT) AS DOUBLE) AS c
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mu AS (SELECT u, count(*) AS m FROM ratings GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |rr AS (SELECT ratings.*, m FROM ratings JOIN mu USING (u)),
+        |o AS (
+        |  SELECT a.c AS c1, b.c AS c2,
+        |    sum(1.0 / (a.m - 1)) AS o
+        |  FROM rr a JOIN rr b ON a.u = b.u AND a.r <> b.r
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT sum(o) AS n FROM o),
+        |dis AS (SELECT coalesce(sum(o * (c1 - c2) * (c1 - c2)),
+        |  0.0) AS dis FROM o),
+        |st AS (SELECT coalesce(sum(nc), 0.0) AS s0,
+        |    coalesce(sum(nc * v), 0.0) AS s1,
+        |    coalesce(sum(nc * v * v), 0.0) AS s2
+        |  FROM (SELECT c1 AS v, sum(o) AS nc FROM o GROUP BY 1))
+        |SELECT CAST(nn.n AS DOUBLE) AS n_ratings,
+        |  round(dis / nn.n, 6) AS d_o,
+        |  round((2.0 * s0 * s2 - 2.0 * s1 * s1) /
+        |    (nn.n * (nn.n - 1)), 6) AS d_e,
+        |  round(CASE WHEN 2.0 * s0 * s2 - 2.0 * s1 * s1 = 0 THEN 1.0
+        |    ELSE 1.0 - (dis / nn.n) /
+        |      ((2.0 * s0 * s2 - 2.0 * s1 * s1) /
+        |        (nn.n * (nn.n - 1))) END, 6) AS alpha
+        |FROM nn, dis, st""".stripMargin,
 
     // planted seasonal-AR twin: regenerate the bit-identical series,
     // replay the ridge-regularized 3-parameter joint OLS by Cramer's

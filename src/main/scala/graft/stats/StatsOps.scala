@@ -547,12 +547,17 @@ object StatsOps {
     * everything else is two grouped aggregates over a
     * |categories|²-bounded table. One row out. */
   def krippendorffAlpha(df: DataFrame, unitCol: String,
-      raterCol: String, valueCol: String): DataFrame = {
+      raterCol: String, valueCol: String,
+      metric: String = "nominal"): DataFrame = {
+    require(Seq("nominal", "interval").contains(metric),
+      s"metric=$metric (nominal or interval)")
+    val nominal = metric == "nominal"
     val ratings = df
       .filter(col(unitCol).isNotNull && col(raterCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(unitCol).as("u"), col(raterCol).as("r"),
-        col(valueCol).cast("string").as("c"))
+        (if (nominal) col(valueCol).cast("string")
+         else col(valueCol).cast("double").cast("string")).as("c"))
     val mu = ratings.groupBy("u")
       .agg(count(lit(1)).as("mu")).filter(col("mu") >= 2)
     val rr = ratings.join(mu, Seq("u"))
@@ -561,16 +566,38 @@ object StatsOps {
       .select(col("a.c").as("c1"), col("b.c").as("c2"),
         (lit(1.0) / (col("a.mu") - 1).cast("double")).as("w"))
       .groupBy("c1", "c2").agg(sum("w").as("o"))
+    // disagreement weight δ(c,c'): 0/1 for nominal, (c−c')² for
+    // interval (Krippendorff's interval metric — categories must be
+    // numeric)
+    def delta(c1: Column, c2: Column): Column =
+      if (nominal) when(c1 =!= c2, lit(1.0)).otherwise(lit(0.0))
+      else {
+        val d = c1.cast("double") - c2.cast("double")
+        d * d
+      }
     val nTot = o.agg(sum("o").as("n"))
     val nc = o.groupBy("c1").agg(sum("o").as("nc"))
-    val dObs = o.filter(col("c1") =!= col("c2"))
-      .agg(coalesce(sum("o"), lit(0.0)).as("dis"))
-    // Σ_{c≠c'} n_c n_{c'} = (Σ n_c)² − Σ n_c² — no category
-    // cross-join needed
-    val sumSq = nc.agg(coalesce(sum(col("nc") * col("nc")), lit(0.0))
-      .as("sq"))
-    nTot.crossJoin(broadcast(dObs)).crossJoin(broadcast(sumSq))
-      .withColumn("exp", col("n") * col("n") - col("sq"))
+    val dObs = o
+      .agg(coalesce(sum(col("o") * delta(col("c1"), col("c2"))),
+        lit(0.0)).as("dis"))
+    // expected disagreement numerator Σ_{c,c'} n_c n_{c'} δ(c,c'):
+    // nominal collapses to (Σn_c)² − Σn_c² (no cross-join);
+    // interval expands to 2·(Σn_c)·(Σn_c v_c²)·... — use the
+    // algebraic form Σ n_c n_c' (v_c − v_c')² =
+    // 2·N·Σn_c v_c² − 2·(Σ n_c v_c)², three scalar aggregates
+    val expAgg =
+      if (nominal)
+        nc.agg((coalesce(sum(col("nc")), lit(0.0)) *
+          coalesce(sum(col("nc")), lit(0.0)) -
+          coalesce(sum(col("nc") * col("nc")), lit(0.0))).as("exp"))
+      else {
+        val v = col("c1").cast("double")
+        nc.agg((lit(2.0) * coalesce(sum(col("nc")), lit(0.0)) *
+          coalesce(sum(col("nc") * v * v), lit(0.0)) -
+          lit(2.0) * coalesce(sum(col("nc") * v), lit(0.0)) *
+            coalesce(sum(col("nc") * v), lit(0.0))).as("exp"))
+      }
+    nTot.crossJoin(broadcast(dObs)).crossJoin(broadcast(expAgg))
       .select(col("n").cast("double").as("n_ratings"),
         round(col("dis") / col("n"), 6).as("d_o"),
         round(col("exp") / (col("n") * (col("n") - 1)), 6).as("d_e"),

