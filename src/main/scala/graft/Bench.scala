@@ -130,9 +130,10 @@ object Bench {
       "q322_kmeans_embed", "q324_kcore_peel", "q326_mp4_metadata",
       "q328_rouge2", "q329_bleu",
       // round-6 headliners: time-decayed EWM variance, the O(n)
-      // scalable pairwise EWM, per-key distributed SARIMA
+      // scalable pairwise EWM, per-key distributed SARIMA, chrF and
+      // Self-BLEU eval metrics
       "q332_ewm_time_var", "q333_ewm_cov_scalable",
-      "q334_sarima_perkey")
+      "q334_sarima_perkey", "q338_chrf", "q340_self_bleu")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

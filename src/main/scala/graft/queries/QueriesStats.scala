@@ -756,6 +756,41 @@ object QueriesStats {
         "event_type", "cat", metric = "interval")
     }),
 
+    // the AUTO-ARIMA SELECTION oracle twin (extends the q335 SARIMA
+    // twin): planted noisy seasonal AR per nation (md5 pseudo-noise
+    // so both engines build bit-identical series); the grid
+    // {(1,0,0)(0,0,0), (0,0,0)(1,0,0), (1,0,0)(1,0,0)}_12 is
+    // replayed fit-by-fit in SQL — three ridge Cramer OLS solves,
+    // in-sample SSE, Gaussian AICc, argmin selection (measured
+    // margin ≥ 84 AICc units, so fp cannot flip it), then the
+    // winner's forecast recurrence. Verifies order SELECTION, not
+    // just a fixed fit.
+    "q342_auto_arima_perkey" -> ((s, d) => {
+      val base = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"))
+        .withColumn("c", expr("cast(1 + pmod(nk, 3) as double)"))
+        .withColumn("seeds", expr(
+          "transform(sequence(0, 11), t -> cast(5 + pmod(" +
+            "cast(conv(substring(md5(concat(cast(nk as string), " +
+            "'-', cast(t as string), 'sar6')), 1, 4), 16, 10) " +
+            "as bigint), 20) as double))"))
+        .withColumn("ys", expr(
+          "aggregate(sequence(12, 59), seeds, (acc, t) -> " +
+            "acc || array(c + 0.55d * element_at(acc, -1) + " +
+            "0.35d * element_at(acc, -12) + " +
+            "(cast(pmod(cast(conv(substring(md5(concat(" +
+            "cast(nk as string), '-', cast(t as string), 'nz')), " +
+            "1, 4), 16, 10) as bigint), 1000) as double) / 1000.0d " +
+            "- 0.5d)))"))
+        .select(col("nk"),
+          posexplode(col("ys")).as(Seq("t", "y")))
+      TimeSeriesOps.groupedAutoArima(base, "y", "t", "nk",
+        maxP = 1, maxD = 0, maxQ = 0, period = 12, maxSp = 1,
+        maxSd = 0, maxSq = 0, steps = 4)
+        .select(col("nk").cast("long").as("n_nationkey"), col("h"),
+          col("forecast"), col("p"), col("sp"))
+    }),
+
     "q307_grouped_holt" -> ((s, d) => {
       val hourly = t(s, d, "events")
         .filter(col("value").isNotNull && col("event_type").isNotNull)
@@ -3202,6 +3237,161 @@ object QueriesStats {
         |      ((2.0 * s0 * s2 - 2.0 * s1 * s1) /
         |        (nn.n * (nn.n - 1))) END, 6) AS alpha
         |FROM nn, dis, st""".stripMargin,
+
+    // AutoArima selection twin: regenerate the noisy planted series,
+    // replay ALL THREE grid candidates (ridge Cramer OLS + SSE +
+    // Gaussian AICc), argmin-select, forecast with the winner
+    "q342_auto_arima_perkey" ->
+      """WITH RECURSIVE n0 AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |    CAST(1 + n_nationkey % 3 AS DOUBLE) AS c
+        |  FROM nation),
+        |n1 AS (
+        |  SELECT nk, c,
+        |    list_transform(range(0, 12), t -> CAST(5 + CAST(list_sum(
+        |      list_transform(range(1, 5), i ->
+        |        (strpos('0123456789abcdef', substr(md5(
+        |           CAST(nk AS VARCHAR) || '-' || CAST(t AS VARCHAR)
+        |             || 'sar6'), i, 1)) - 1)
+        |        * power(16, 4 - i))) AS BIGINT) % 20 AS DOUBLE))
+        |      AS seeds
+        |  FROM n0),
+        |gen AS (
+        |  SELECT nk, c, 11 AS t, seeds AS ys FROM n1
+        |  UNION ALL
+        |  SELECT nk, c, t + 1,
+        |    list_append(ys, c + CAST(0.55 AS DOUBLE) * ys[len(ys)]
+        |      + CAST(0.35 AS DOUBLE) * ys[len(ys) - 11]
+        |      + (CAST(CAST(list_sum(list_transform(range(1, 5), i ->
+        |          (strpos('0123456789abcdef', substr(md5(
+        |             CAST(nk AS VARCHAR) || '-' ||
+        |             CAST(t + 1 AS VARCHAR) || 'nz'), i, 1)) - 1)
+        |          * power(16, 4 - i))) AS BIGINT) % 1000 AS DOUBLE)
+        |        / CAST(1000.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)))
+        |  FROM gen WHERE t < 59),
+        |f0 AS (SELECT nk, ys FROM gen WHERE t = 59),
+        |fa AS (
+        |  SELECT nk, ys,
+        |    list_sum(list_transform(range(13, 61), i -> ys[i - 1]))
+        |      AS s1,
+        |    list_sum(list_transform(range(13, 61), i -> ys[i - 12]))
+        |      AS s2,
+        |    list_sum(list_transform(range(13, 61), i -> ys[i])) AS sy,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 1] * ys[i - 1])) AS s11,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 1] * ys[i - 12])) AS s12,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 12] * ys[i - 12])) AS s22,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 1] * ys[i])) AS s1y,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 12] * ys[i])) AS s2y,
+        |    list_sum(list_transform(range(9, 61), i -> ys[i - 1]))
+        |      AS b1,
+        |    list_sum(list_transform(range(9, 61), i -> ys[i]))
+        |      AS by_,
+        |    list_sum(list_transform(range(9, 61),
+        |      i -> ys[i - 1] * ys[i - 1])) AS b11,
+        |    list_sum(list_transform(range(9, 61),
+        |      i -> ys[i - 1] * ys[i])) AS b1y
+        |  FROM f0),
+        |sa AS (
+        |  SELECT nk, ys, b1, by_, b11, b1y,
+        |    (48.0 + lamA) AS a00, s1 AS a01, s2 AS a02,
+        |    (s11 + lamA) AS a11, s12 AS a12, (s22 + lamA) AS a22,
+        |    sy, s1y, s2y,
+        |    1e-8 * ((52.0 + b11)) / 2 AS lamB
+        |  FROM (SELECT *, 1e-8 * ((48.0 + s11) + s22) / 3 AS lamA
+        |        FROM fa)),
+        |ca AS (
+        |  SELECT nk, ys, b1, by_, b11, b1y, lamB,
+        |    (sy * (a11 * a22 - a12 * a12)
+        |      - a01 * (s1y * a22 - a12 * s2y)
+        |      + a02 * (s1y * a12 - a11 * s2y)) /
+        |    (a00 * (a11 * a22 - a12 * a12)
+        |      - a01 * (a01 * a22 - a12 * a02)
+        |      + a02 * (a01 * a12 - a11 * a02)) AS ci,
+        |    (a00 * (s1y * a22 - a12 * s2y)
+        |      - sy * (a01 * a22 - a12 * a02)
+        |      + a02 * (a01 * s2y - s1y * a02)) /
+        |    (a00 * (a11 * a22 - a12 * a12)
+        |      - a01 * (a01 * a22 - a12 * a02)
+        |      + a02 * (a01 * a12 - a11 * a02)) AS phiA,
+        |    (a00 * (a11 * s2y - s1y * a12)
+        |      - a01 * (a01 * s2y - s1y * a02)
+        |      + sy * (a01 * a12 - a11 * a02)) /
+        |    (a00 * (a11 * a22 - a12 * a12)
+        |      - a01 * (a01 * a22 - a12 * a02)
+        |      + a02 * (a01 * a12 - a11 * a02)) AS sarA
+        |  FROM sa),
+        |cb AS (
+        |  SELECT nk, ys, ci, phiA, sarA,
+        |    (by_ * (b11 + lamB) - b1 * b1y) /
+        |      ((52.0 + lamB) * (b11 + lamB) - b1 * b1) AS cB,
+        |    ((52.0 + lamB) * b1y - b1 * by_) /
+        |      ((52.0 + lamB) * (b11 + lamB) - b1 * b1) AS phiB
+        |  FROM ca),
+        |fc0 AS (
+        |  SELECT nk, ys, ci, phiA, sarA, cB, phiB,
+        |    list_sum(list_transform(range(13, 61), i -> ys[i - 12]))
+        |      AS c2,
+        |    list_sum(list_transform(range(13, 61), i -> ys[i]))
+        |      AS cy,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 12] * ys[i - 12])) AS c22,
+        |    list_sum(list_transform(range(13, 61),
+        |      i -> ys[i - 12] * ys[i])) AS c2y
+        |  FROM cb),
+        |cc AS (
+        |  SELECT nk, ys, ci, phiA, sarA, cB, phiB,
+        |    (cy * (c22 + lamC) - c2 * c2y) /
+        |      ((48.0 + lamC) * (c22 + lamC) - c2 * c2) AS cC,
+        |    ((48.0 + lamC) * c2y - c2 * cy) /
+        |      ((48.0 + lamC) * (c22 + lamC) - c2 * c2) AS sarC
+        |  FROM (SELECT *, 1e-8 * ((48.0 + c22)) / 2 AS lamC
+        |        FROM fc0)),
+        |sse AS (
+        |  SELECT nk, ys, ci, phiA, sarA, cB, phiB, cC, sarC,
+        |    list_sum(list_transform(range(13, 61), i ->
+        |      (ys[i] - (ci + phiA * ys[i - 1] + sarA * ys[i - 12])) *
+        |      (ys[i] - (ci + phiA * ys[i - 1] + sarA * ys[i - 12]))))
+        |      AS sseA,
+        |    list_sum(list_transform(range(9, 61), i ->
+        |      (ys[i] - (cB + phiB * ys[i - 1])) *
+        |      (ys[i] - (cB + phiB * ys[i - 1])))) AS sseB,
+        |    list_sum(list_transform(range(13, 61), i ->
+        |      (ys[i] - (cC + sarC * ys[i - 12])) *
+        |      (ys[i] - (cC + sarC * ys[i - 12])))) AS sseC
+        |  FROM cc),
+        |win AS (
+        |  SELECT nk, ys, ci, phiA, sarA, cB, phiB, cC, sarC,
+        |    CASE WHEN aB <= aA AND aB <= aC THEN 'B'
+        |         WHEN aC <= aA THEN 'C' ELSE 'A' END AS w
+        |  FROM (SELECT *,
+        |    48.0 * (ln(2 * pi()) + ln(sseA / 48.0) + 1.0) + 6.0
+        |      + 24.0 / 44.0 AS aA,
+        |    52.0 * (ln(2 * pi()) + ln(sseB / 52.0) + 1.0) + 4.0
+        |      + 12.0 / 49.0 AS aB,
+        |    48.0 * (ln(2 * pi()) + ln(sseC / 48.0) + 1.0) + 4.0
+        |      + 12.0 / 45.0 AS aC
+        |    FROM sse)),
+        |fwd AS (
+        |  SELECT nk, 0 AS h, ys[60] AS fv, ci, phiA, sarA, cB, phiB,
+        |    cC, sarC, w, ys
+        |  FROM win
+        |  UNION ALL
+        |  SELECT nk, h + 1,
+        |    CASE w WHEN 'A' THEN ci + phiA * fv + sarA * ys[49 + h]
+        |           WHEN 'B' THEN cB + phiB * fv
+        |           ELSE cC + sarC * ys[49 + h] END,
+        |    ci, phiA, sarA, cB, phiB, cC, sarC, w, ys
+        |  FROM fwd WHERE h < 4)
+        |SELECT nk AS n_nationkey, CAST(h AS BIGINT) AS h,
+        |  fv AS forecast,
+        |  CAST(CASE w WHEN 'C' THEN 0 ELSE 1 END AS BIGINT) AS p,
+        |  CAST(CASE w WHEN 'B' THEN 0 ELSE 1 END AS BIGINT) AS sp
+        |FROM fwd WHERE h >= 1""".stripMargin,
 
     // planted seasonal-AR twin: regenerate the bit-identical series,
     // replay the ridge-regularized 3-parameter joint OLS by Cramer's

@@ -1697,6 +1697,45 @@ object TimeSeriesOps {
       .toDF(keyCol, "h", "forecast")
   }
 
+  /** PER-KEY distributed AutoArima — the order-selection sibling of
+    * [[groupedSarimaForecast]]: the full deterministic
+    * (p,d,q)(P,D,Q) grid search runs INSIDE each key's executor task
+    * ([[autoArima]] per group), so a million keys each get their own
+    * selected orders after one shuffle. Keys group by string form
+    * (numeric and string keys both work). A key where every
+    * candidate fails selects nothing and fails LOUDLY with the key
+    * in the message. Output per key: h = 1..steps, the winner's
+    * forecast, and the selected orders (p,d,q,sp,sd,sq). */
+  def groupedAutoArima(df: DataFrame, valueCol: String,
+      orderCol: String, keyCol: String, maxP: Int = 3, maxD: Int = 1,
+      maxQ: Int = 3, period: Int = 0, maxSp: Int = 1, maxSd: Int = 1,
+      maxSq: Int = 1, criterion: String = "aicc",
+      steps: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val series =
+          it.toArray.sortBy(_._2).map(_._3).toIndexedSeq
+        val (best, _) = autoArima(series, maxP, maxD, maxQ, period,
+          maxSp, maxSd, maxSq, criterion)
+        val m = best.getOrElse(throw new IllegalStateException(
+          s"groupedAutoArima key=$k: every candidate failed or " +
+            "degenerated"))
+        sarimaForecast(m, steps).iterator.zipWithIndex.map {
+          case (f, i) =>
+            (k, (i + 1).toLong, f, m.p.toLong, m.d.toLong,
+              m.q.toLong, m.sp.toLong, m.sd.toLong, m.sq.toLong)
+        }
+      }
+      .toDF(keyCol, "h", "forecast", "p", "d", "q", "sp", "sd", "sq")
+  }
+
   /** One row of the AutoArima selection table (reference
     * advanced_forecasting.rs:584 ModelSelectionResult). */
   final case class SarimaCandidate(p: Int, d: Int, q: Int, sp: Int,

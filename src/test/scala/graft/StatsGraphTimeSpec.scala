@@ -1457,6 +1457,52 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     out.map(_.getString(0)).toSet shouldBe Set("click", "view")
   }
 
+  test("groupedAutoArima selects per-key orders matching the " +
+      "driver-side grid search and forecasts with the winner") {
+    import spark.implicits._
+    // key 1: strongly seasonal AR; key 2: plain AR(1), no
+    // seasonality — selection must differ BETWEEN keys
+    val rng1 = new scala.util.Random(3)
+    val s1 = {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .fill(12)(5.0 + rng1.nextDouble())
+      (12 until 200).foreach(t => buf += 1.0 + 0.3 * buf(t - 1) +
+        0.6 * buf(t - 12) + (rng1.nextDouble() - 0.5) * 0.2)
+      buf.toSeq
+    }
+    val rng2 = new scala.util.Random(5)
+    val s2 = {
+      val buf = scala.collection.mutable.ArrayBuffer(10.0)
+      (1 until 200).foreach(_ => buf += 2.0 + 0.8 * buf.last +
+        (rng2.nextDouble() - 0.5) * 0.2)
+      buf.toSeq
+    }
+    val df = (s1.zipWithIndex.map { case (v, t) => (1L, t.toLong, v) }
+      ++ s2.zipWithIndex.map { case (v, t) => (2L, t.toLong, v) })
+      .toDF("k", "t", "v")
+    val out = graft.timeseries.TimeSeriesOps.groupedAutoArima(df,
+      "v", "t", "k", maxP = 1, maxD = 0, maxQ = 0, period = 12,
+      maxSp = 1, maxSd = 0, maxSq = 0, steps = 3)
+      .orderBy("k", "h").collect()
+    out.length shouldBe 6
+    // per-key parity with the driver-side search
+    for ((series, key) <- Seq((s1, "1"), (s2, "2"))) {
+      val (best, _) = graft.timeseries.TimeSeriesOps.autoArima(
+        series, maxP = 1, maxD = 0, maxQ = 0, period = 12,
+        maxSp = 1, maxSd = 0, maxSq = 0)
+      val m = best.get
+      val rows = out.filter(_.getString(0) == key)
+      rows.map(_.getLong(3)).toSet shouldBe Set(m.p.toLong)
+      rows.map(_.getLong(6)).toSet shouldBe Set(m.sp.toLong)
+      rows.map(_.getDouble(2)).toSeq shouldBe
+        graft.timeseries.TimeSeriesOps.sarimaForecast(m, 3)
+    }
+    // the seasonal key selected a seasonal term; the plain-AR key
+    // did not
+    out.filter(_.getString(0) == "1").head.getLong(6) shouldBe 1L
+    out.filter(_.getString(0) == "2").head.getLong(6) shouldBe 0L
+  }
+
   test("groupedSarimaForecast fails loudly naming the key when a " +
       "series is too short") {
     import spark.implicits._
