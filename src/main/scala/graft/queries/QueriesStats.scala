@@ -791,6 +791,27 @@ object QueriesStats {
           col("forecast"), col("p"), col("sp"))
     }),
 
+    // §2.11 per-key Kalman filter + RTS smoother for the local-level
+    // state-space model over the hourly per-type series (the q307
+    // shape). Forward recurrence Pp=P+q, K=Pp/(Pp+r), x+=K(y−x),
+    // P=(1−K)Pp; backward RTS pass C=Pf/(Pf+q). All +,−,×,÷ doubles,
+    // so the ascending+descending recursive-CTE oracle replays both
+    // passes bit-exactly — no rounding (q319 convention).
+    "q343_kalman" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+      val filt = TimeSeriesOps.kalmanLocalLevel(hourly, "v", "b",
+        Seq("event_type"), q = 25.0, r = 400.0, p0 = 1000.0)
+      TimeSeriesOps.kalmanSmoothLocalLevel(filt, "v", "b",
+        Seq("event_type"), q = 25.0, r = 400.0, p0 = 1000.0,
+        outName = "kf_smooth", filtName = "kf_filt")
+        .select(col("event_type"), col("b"), col("kf_level"),
+          col("kf_var"), col("kf_smooth"))
+    }),
+
     "q307_grouped_holt" -> ((s, d) => {
       val hourly = t(s, d, "events")
         .filter(col("value").isNotNull && col("event_type").isNotNull)
@@ -3477,6 +3498,54 @@ object QueriesStats {
         |SELECT nk AS n_nationkey, CAST(h AS BIGINT) AS h,
         |  fv AS forecast
         |FROM f WHERE h >= 1""".stripMargin,
+
+    // Kalman replay: the forward CTE walks rn ascending carrying
+    // (x, p) through the predict/gain/update recurrence with every
+    // compound term written EXACTLY as the Scala fold computes it
+    // (each k reference recomputes the same division — IEEE
+    // deterministic, so bit-equal, no rounding); the backward CTE
+    // walks rn descending from nmax replaying the RTS pass over the
+    // MATERIALIZED filter states.
+    "q343_kalman" ->
+      """WITH RECURSIVE hourly AS MATERIALIZED (
+        |  SELECT event_type, date_trunc('hour', ts) AS b,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |base AS MATERIALIZED (
+        |  SELECT event_type, b, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY b)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nmax
+        |  FROM hourly),
+        |r AS (
+        |  SELECT event_type, b, rn, nmax, v AS x,
+        |    CAST(1000.0 AS DOUBLE) AS p
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b2.event_type, b2.b, b2.rn, b2.nmax,
+        |    r.x + ((r.p + 25.0) / ((r.p + 25.0) + 400.0)) *
+        |      (b2.v - r.x),
+        |    (1.0 - ((r.p + 25.0) / ((r.p + 25.0) + 400.0))) *
+        |      (r.p + 25.0)
+        |  FROM base b2 JOIN r
+        |    ON b2.event_type = r.event_type AND b2.rn = r.rn + 1),
+        |rf AS MATERIALIZED (SELECT * FROM r),
+        |s AS (
+        |  SELECT event_type, b, rn, x AS xs, p AS ps
+        |  FROM rf WHERE rn = nmax
+        |  UNION ALL
+        |  SELECT f.event_type, f.b, f.rn,
+        |    f.x + (f.p / (f.p + 25.0)) * (s.xs - f.x),
+        |    f.p + (f.p / (f.p + 25.0)) * (f.p / (f.p + 25.0)) *
+        |      (s.ps - (f.p + 25.0))
+        |  FROM rf f JOIN s
+        |    ON f.event_type = s.event_type AND f.rn = s.rn - 1)
+        |SELECT rf.event_type, rf.b, rf.x AS kf_level, rf.p AS kf_var,
+        |  s.xs AS kf_smooth
+        |FROM rf JOIN s ON rf.event_type = s.event_type
+        |  AND rf.rn = s.rn""".stripMargin,
 
     "q307_grouped_holt" ->
       """WITH RECURSIVE hourly AS (

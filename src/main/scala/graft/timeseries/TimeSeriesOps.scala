@@ -1243,6 +1243,143 @@ object TimeSeriesOps {
           col("trend"), 6).as("forecast"): _*)
   }
 
+  /** Per-key Kalman FILTER for the local-level state-space model
+    * (random walk + noise: x_t = x_{t-1} + w_t, w~N(0,q);
+    * y_t = x_t + v_t, v~N(0,r)) — the state-space smoothing layer the
+    * reference exposes via its advanced time-series module
+    * (reference src/time_series/advanced_forecasting.rs regime:
+    * per-series recurrences). Distributed exactly like
+    * [[groupedHoltForecast]] and the EWM folds: ONE shuffle groups
+    * each key's series, a codegen'd higher-order fold replays the
+    * filter recurrence, and the per-row filtered level + error
+    * variance explode back 1:1 (left join preserves unfiltered rows
+    * as null).
+    *
+    * Recurrence (predict → gain → update):
+    *   Pp = P + q;  K = Pp/(Pp+r);  x' = x + K·(y − x);
+    *   P' = (1−K)·Pp
+    * initialized x₁ = first observation, P₁ = p0. Every step is
+    * +,−,×,÷ on doubles — IEEE-deterministic — so a recursive-CTE
+    * oracle replays it BIT-exactly (the q319 convention; no
+    * rounding). Null values are excluded before the fold (discrete
+    * observation index, the family convention). Groups are bounded
+    * series (the documented EWM contract). The steady-state gain
+    * converges geometrically to the Riccati fixpoint
+    * P* = (−q + √(q²+4qr))/2 (spec'd).
+    */
+  def kalmanLocalLevel(df: DataFrame, valueCol: String,
+      orderCol: String, partitionCols: Seq[String], q: Double,
+      r: Double, p0: Double, outName: String = "kf_level",
+      varName: String = "kf_var"): DataFrame = {
+    require(q >= 0 && r > 0 && p0 >= 0, "need q >= 0, r > 0, p0 >= 0")
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__pts__"))
+    val oT = df.schema(orderCol).dataType.sql
+    val pp = s"(acc.p + ${q}d)"
+    val k = s"($pp / ($pp + ${r}d))"
+    val x1 = s"(acc.x + $k * (p.v - acc.x))"
+    val p1 = s"((1.0d - $k) * $pp)"
+    val fold = expr(
+      s"""aggregate(__pts__,
+         |  struct(cast(array() as array<struct<o: $oT, e: double,
+         |           pe: double>>) as outp,
+         |         cast(0 as int) as i,
+         |         cast(0.0 as double) as x,
+         |         cast(0.0 as double) as p),
+         |  (acc, p) -> CASE WHEN acc.i = 0 THEN
+         |      struct(acc.outp || array(struct(p.o as o,
+         |          cast(p.v as double) as e, ${p0}d as pe)) as outp,
+         |        cast(1 as int) as i, cast(p.v as double) as x,
+         |        ${p0}d as p)
+         |    ELSE
+         |      struct(acc.outp || array(struct(p.o as o,
+         |          cast($x1 as double) as e,
+         |          cast($p1 as double) as pe)) as outp,
+         |        cast(acc.i + 1 as int) as i, cast($x1 as double) as x,
+         |        cast($p1 as double) as p) END).outp""".stripMargin)
+    val exploded = grouped.withColumn("__kf__", explode(fold))
+      .select(partitionCols.map(col) :+
+        col("__kf__.o").as(orderCol) :+
+        col("__kf__.e").as(outName) :+
+        col("__kf__.pe").as(varName): _*)
+    df.join(exploded, partitionCols :+ orderCol, "left")
+  }
+
+  /** Per-key Rauch–Tung–Striebel SMOOTHER for the local-level model:
+    * the backward pass over [[kalmanLocalLevel]]'s filtered states,
+    * giving the full-information estimate at every t (the filter is
+    * causal; the smoother also sees the future). Same single-shuffle
+    * shape — the forward fold stores (x_f, P_f) per point, a second
+    * fold walks the REVERSED array:
+    *   C = P_f/(P_f + q);  x_s = x_f + C·(x_s⁺ − x_f);
+    *   P_s = P_f + C²·(P_s⁺ − (P_f + q))
+    * (x_s⁺/P_s⁺ = smoothed state one step ahead; the last point's
+    * smoothed state equals its filtered state). All +,−,×,÷ —
+    * replayed bit-exactly by a DESCENDING recursive CTE over the
+    * filter CTE (the q319 convention). Emits both filtered and
+    * smoothed columns. */
+  def kalmanSmoothLocalLevel(df: DataFrame, valueCol: String,
+      orderCol: String, partitionCols: Seq[String], q: Double,
+      r: Double, p0: Double, outName: String = "kf_smooth",
+      filtName: String = "kf_level"): DataFrame = {
+    require(q >= 0 && r > 0 && p0 >= 0, "need q >= 0, r > 0, p0 >= 0")
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__pts__"))
+    val oT = df.schema(orderCol).dataType.sql
+    val pp = s"(acc.p + ${q}d)"
+    val k = s"($pp / ($pp + ${r}d))"
+    val x1 = s"(acc.x + $k * (p.v - acc.x))"
+    val p1 = s"((1.0d - $k) * $pp)"
+    val fwd = expr(
+      s"""aggregate(__pts__,
+         |  struct(cast(array() as array<struct<o: $oT, xf: double,
+         |           pf: double>>) as outp,
+         |         cast(0 as int) as i,
+         |         cast(0.0 as double) as x,
+         |         cast(0.0 as double) as p),
+         |  (acc, p) -> CASE WHEN acc.i = 0 THEN
+         |      struct(acc.outp || array(struct(p.o as o,
+         |          cast(p.v as double) as xf, ${p0}d as pf)) as outp,
+         |        cast(1 as int) as i, cast(p.v as double) as x,
+         |        ${p0}d as p)
+         |    ELSE
+         |      struct(acc.outp || array(struct(p.o as o,
+         |          cast($x1 as double) as xf,
+         |          cast($p1 as double) as pf)) as outp,
+         |        cast(acc.i + 1 as int) as i, cast($x1 as double) as x,
+         |        cast($p1 as double) as p) END).outp""".stripMargin)
+    val cg = s"(e.pf / (e.pf + ${q}d))"
+    val xs1 = s"(e.xf + $cg * (acc.xs - e.xf))"
+    val ps1 = s"(e.pf + $cg * $cg * (acc.ps - (e.pf + ${q}d)))"
+    val bwd = expr(
+      s"""aggregate(
+         |  slice(reverse(__fwd__), 2, greatest(size(__fwd__) - 1, 0)),
+         |  struct(array(struct(element_at(__fwd__, -1).o as o,
+         |      element_at(__fwd__, -1).xf as xf,
+         |      element_at(__fwd__, -1).xf as xs,
+         |      element_at(__fwd__, -1).pf as ps)) as outp,
+         |    element_at(__fwd__, -1).xf as xs,
+         |    element_at(__fwd__, -1).pf as ps),
+         |  (acc, e) -> struct(
+         |    acc.outp || array(struct(e.o as o, e.xf as xf,
+         |      cast($xs1 as double) as xs,
+         |      cast($ps1 as double) as ps)) as outp,
+         |    cast($xs1 as double) as xs,
+         |    cast($ps1 as double) as ps)).outp""".stripMargin)
+    val exploded = grouped.withColumn("__fwd__", fwd)
+      .filter(size(col("__fwd__")) > 0)
+      .withColumn("__kf__", explode(bwd))
+      .select(partitionCols.map(col) :+
+        col("__kf__.o").as(orderCol) :+
+        col("__kf__.xf").as(filtName) :+
+        col("__kf__.xs").as(outName): _*)
+    df.join(exploded, partitionCols :+ orderCol, "left")
+  }
+
   /** Double (Holt) exponential smoothing forecast
     * (forecasting.rs:422-469) — driver-side on an aggregated series. */
   def holtForecast(values: Seq[Double], alpha: Double, beta: Double,
