@@ -342,7 +342,51 @@ object GraphOps {
     * localCheckpoint lineage cut — the CC/Pregel shape; iterations
     * are bounded by the peel depth, not the vertex count. Returns
     * the surviving vertices with their in-core degree. */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame =
+    kCoreImpl(edges, k, maxIter)
+
+  /** Synchronous label-propagation community detection (reference
+    * src/graph's community surface; the GraphX LabelPropagation
+    * contract): labels init to vertex ids; every round each vertex
+    * adopts the most frequent label among its neighbors with ties
+    * broken by the SMALLEST label — fully deterministic, no RNG.
+    * Synchronous LPA need not converge (bipartite two-coloring
+    * oscillates), so the bounded-round form IS the algorithm; run a
+    * fixed `rounds` supersteps. Each superstep is one labels→edges
+    * join, one (vertex,label) count shuffle, and one argmax
+    * aggregate — all distributed, lineage cut per round (the CC
+    * convention). The deterministic argmax is max(struct(count,
+    * −label)), which a row_number replay in SQL reproduces exactly —
+    * the whole run is oracle-able by unrolled MATERIALIZED CTE
+    * rounds (the q324 k-core precedent). Returns (id, lbl). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
+    val sym = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      val nbr = sym
+        .join(labels.select(col("id").as("nid"), col("lbl")),
+          col("dst") === col("nid"))
+        .groupBy(col("src").as("vid"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("vid")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("vid"), (-col("m.nl")).as("nlbl"))
+      labels = labels.join(nbr, labels("id") === nbr("vid"), "left")
+        .select(col("id"),
+          coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
+  private def kCoreImpl(edges: DataFrame, k: Int,
+      maxIter: Int): DataFrame = {
     require(k >= 1, "k >= 1")
     var sym = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))

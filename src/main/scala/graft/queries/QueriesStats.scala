@@ -1450,6 +1450,27 @@ object QueriesStats {
       GraphOps.kCore(edges, k = 68).orderBy("id")
     }),
 
+    // §2.14 label-propagation communities on the parts co-order
+    // graph: 4 synchronous rounds, labels init to vertex ids, each
+    // vertex adopts its neighborhood's most frequent label with
+    // min-label tie-break — fully deterministic, so the DuckDB
+    // oracle replays all 4 rounds as unrolled MATERIALIZED CTEs with
+    // a row_number argmax (the q324 unroll precedent)
+    "q344_label_prop" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      GraphOps.labelPropagation(edges, rounds = 4)
+        .select(col("id").cast("long").as("id"),
+          col("lbl").cast("long").as("lbl"))
+        .orderBy("id")
+    }),
+
     // §2.14 3-core of the parts co-order graph (iterative peel —
     // rows-only: fixpoint refinement has no SQL form; K4 spec)
     "q309_kcore" -> ((s, d) => {
@@ -1487,6 +1508,37 @@ object QueriesStats {
     * whose BOTH endpoints have degree >= k within e_i. 12 rounds
     * cover the observed 5-round worst case with margin; once the
     * peel converges further rounds are identity filters. */
+  // 4 unrolled synchronous LPA rounds: per round, neighbor-label
+  // counts then a row_number argmax (count DESC, label ASC) — the
+  // exact SQL image of Spark's max(struct(c, −lbl)) tie-break
+  private val labelPropOracle: String = {
+    val rounds = (0 until 4).map { i =>
+      s"""l${i + 1} AS MATERIALIZED (
+         |  SELECT l.id, coalesce(w.nlbl, l.lbl) AS lbl
+         |  FROM l$i l LEFT JOIN (
+         |    SELECT vid AS id, lbl AS nlbl FROM (
+         |      SELECT cc.vid, cc.lbl, row_number() OVER (
+         |          PARTITION BY cc.vid
+         |          ORDER BY cc.cnt DESC, cc.lbl ASC) AS rk
+         |      FROM (SELECT e.src AS vid, x.lbl, count(*) AS cnt
+         |            FROM e JOIN l$i x ON e.dst = x.id
+         |            GROUP BY e.src, x.lbl) cc) rr
+         |    WHERE rk = 1) w ON l.id = w.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS (
+       |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey
+       |   AND x.l_partkey < y.l_partkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM und
+       |      UNION SELECT dst, src FROM und),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl
+       |      FROM e),
+       |$rounds
+       |SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS lbl
+       |FROM l4 ORDER BY id""".stripMargin
+  }
+
   private val kcorePeelOracle: String = {
     val k = 68
     val rounds = (0 until 12).map { i =>
@@ -1513,6 +1565,8 @@ object QueriesStats {
   val oracle: Map[String, String] = Map(
 
     "q324_kcore_peel" -> kcorePeelOracle,
+
+    "q344_label_prop" -> labelPropOracle,
 
     "q260_trimmed_mean" ->
       """WITH c AS (
