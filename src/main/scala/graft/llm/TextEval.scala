@@ -17,6 +17,24 @@ object TextEval {
 
   private def toks(c: Column): Column = TextFunctions.tokens(lower(c))
 
+  /** Word error rate per pair: token-level Levenshtein distance
+    * between candidate and reference (via the codegen'd
+    * [[graft.sqlext.WordLevenshtein]] expression — Spark's built-in
+    * levenshtein is char-level) divided by the reference token
+    * count. Case-folded whitespace tokens (the TextEval convention).
+    * Emits (id, n_edits, n_ref, wer); null wer on empty references.
+    * Pure map-side — no shuffle at any scale. */
+  def wer(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val d = graft.sqlext.WordLevenshtein.word_levenshtein(
+      toks(col(candCol)), toks(col(refCol)))
+    pairs.select(col(idCol), d.cast("long").as("n_edits"),
+      size(toks(col(refCol))).cast("long").as("n_ref"))
+      .withColumn("wer",
+        when(col("n_ref") > 0,
+          col("n_edits").cast("double") / col("n_ref")))
+  }
+
   /** Overlapping word n-grams of a token array as space-joined
     * strings (empty when the text has fewer than n tokens). */
   def ngramArr(t: Column, n: Column): Column =

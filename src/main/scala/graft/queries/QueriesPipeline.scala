@@ -503,6 +503,27 @@ object QueriesPipeline {
       graft.llm.TextEval.selfBleu(t(s, d, "documents"), "doc_id",
         "text", k = 3)),
 
+    // WER over adjacent-doc pairs: TOKEN-level Levenshtein via the
+    // codegen'd WordLevenshtein expression (Spark's builtin is
+    // char-level) / reference length. Texts truncated to their first
+    // 25 tokens so the oracle's bijective word→char encoding stays in
+    // a compact codepoint range (edit distance is invariant under
+    // bijective relabeling — the oracle maps each pair's ≤50-word
+    // vocab to single-byte chr(33+i) — DuckDB levenshtein is
+    // BYTE-level, so the encoding must stay ASCII);
+    // the operator itself takes full texts.
+    "q345_wer" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def trunc(c: org.apache.spark.sql.Column) = concat_ws(" ", slice(
+        graft.functions.TextFunctions.tokens(c), 1, 25))
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("pid"),
+          trunc(col("a.text")).as("cand"),
+          trunc(col("b.text")).as("ref"))
+      graft.llm.TextEval.wer(pairs, "pid", "cand", "ref")
+    }),
+
     // chrF (Popović 2015): character n-gram F-score, n=1..6, β=2 —
     // the third sacrebleu metric (BLEU q329, corpus BLEU q336)
     "q338_chrf" -> ((s, d) => {
@@ -1571,6 +1592,44 @@ object QueriesPipeline {
         |         ELSE exp(1.0 - rlen / clen) END) *
         |         exp(sum_ln / 4), 6) END AS bleu
         |FROM lens l LEFT JOIN agg USING (id)""".stripMargin,
+
+    // word-level edit distance replayed through a bijective
+    // word→char encoding: each pair's vocab maps to ASCII chr(33+i)
+    // (DuckDB levenshtein is BYTE-level — multibyte codepoints would
+    // inflate distances), and levenshtein on the encoded strings IS the
+    // token-level distance (invariant under bijective relabeling;
+    // list_distinct's ordering is irrelevant for the same reason)
+    "q345_wer" ->
+      raw"""WITH tk AS (
+        |  SELECT a.doc_id AS pid,
+        |    list_transform(list_filter(regexp_split_to_array(
+        |      trim(a.text), '\s+'), t -> len(t) > 0)[1:25],
+        |      t -> lower(t)) AS ct,
+        |    list_transform(list_filter(regexp_split_to_array(
+        |      trim(b.text), '\s+'), t -> len(t) > 0)[1:25],
+        |      t -> lower(t)) AS rt
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1),
+        |enc AS (
+        |  SELECT pid, ct, rt,
+        |    list_distinct(list_concat(ct, rt)) AS vocab
+        |  FROM tk),
+        |s AS (
+        |  SELECT pid,
+        |    coalesce(list_aggregate(list_transform(ct,
+        |      t -> chr(33 + list_position(vocab, t))),
+        |      'string_agg', ''), '') AS cs,
+        |    coalesce(list_aggregate(list_transform(rt,
+        |      t -> chr(33 + list_position(vocab, t))),
+        |      'string_agg', ''), '') AS rs,
+        |    len(rt) AS n_ref
+        |  FROM enc)
+        |SELECT pid, CAST(levenshtein(cs, rs) AS BIGINT) AS n_edits,
+        |  CAST(n_ref AS BIGINT) AS n_ref,
+        |  CASE WHEN n_ref > 0
+        |    THEN CAST(levenshtein(cs, rs) AS DOUBLE) / n_ref
+        |  END AS wer
+        |FROM s""".stripMargin,
 
     "q338_chrf" ->
       raw"""WITH pairs AS (
