@@ -66,6 +66,57 @@ object PipelineOps {
           .as("distinct_estimate"))
   }
 
+  /** 48-bit md5 hash of a (key, salt-row) pair as an exact BIGINT —
+    * the integer sibling of [[hash48Unit]], for modular bucket
+    * addressing (< 2^48, so every engine's arithmetic is exact). */
+  private def hash48Long(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  private def cmsBucket(key: Column, row: Column,
+      width: Int): Column =
+    pmod(hash48Long(concat(key.cast("string"), lit("#cms"),
+      row.cast("string"))), lit(width.toLong))
+
+  /** Count-min sketch (Cormode–Muthukrishnan 2005): `depth`
+    * md5-derived hash rows × `width` buckets. The sketch is a
+    * (r, bucket, cnt) table built by ONE explode + groupBy shuffle
+    * (map-side partial aggregation; ≤ depth·width rows out), and is
+    * MERGEABLE across corpus shards/days by summing counts — the
+    * streaming-friendly frequency summary for 100 TB key spaces
+    * where exact per-key counts don't fit. Deterministic portable
+    * hashing (the hash48 idiom), so any engine — including the
+    * DuckDB oracle — re-derives identical buckets: the sketch is a
+    * pure function of the multiset, not of RNG state. */
+  def countMinSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1,16]")
+    require(width >= 2, "width >= 2")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"), cmsBucket(col("k"), col("r"), width)
+        .as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate keys against a count-min sketch: address each
+    * key's `depth` buckets and take the MIN count (CMS never
+    * underestimates; overestimate ≤ e·N/width with prob
+    * 1−e^(−depth)). Broadcast-friendly: the sketch is ≤ depth·width
+    * rows. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1,16]")
+    require(width >= 2, "width >= 2")
+    keys.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+      .select(col(keyCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", cmsBucket(col(keyCol), col("r"), width))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
+
   /** TF-IDF top terms per document: tf from one grouped count, df
     * from one more, idf = ln((N+1)/(df+1)) + 1 (smooth), top `topN`
     * terms per doc by tfidf (ranked on the 6-dp rounded score with a

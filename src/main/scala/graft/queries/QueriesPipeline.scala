@@ -171,6 +171,24 @@ object QueriesPipeline {
     "q97_kmv_distinct" -> ((s, d) =>
       PipelineOps.kmvDistinct(t(s, d, "lineitem"), "l_partkey", 128)),
 
+    // count-min sketch frequency estimates: 500 folded user keys
+    // through a deliberately tight 4×64 sketch (collisions are the
+    // point — the min-over-rows does real work) vs the exact counts;
+    // deterministic md5 bucketing, so the oracle re-derives the
+    // sketch itself, not just the answer
+    "q346_cms" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        .select(pmod(col("user_id"), lit(500)).cast("long").as("k"))
+      val sketch = PipelineOps.countMinSketch(ev, "k",
+        depth = 4, width = 64)
+      val exact = ev.groupBy("k")
+        .agg(count(lit(1)).cast("long").as("true_count"))
+      PipelineOps.cmsEstimate(sketch, ev, "k", depth = 4, width = 64)
+        .join(exact, Seq("k"))
+        .select(col("k"), col("cms_count").cast("long").as("cms_count"),
+          col("true_count"))
+    }),
+
     // TF-IDF top-3 terms per document
     "q98_tfidf" -> ((s, d) =>
       PipelineOps.tfidfTopTerms(t(s, d, "documents"), "text", "doc_id",
@@ -1192,6 +1210,32 @@ object QueriesPipeline {
          |  round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
          |    ELSE 127.0 / max(h) END, 6) AS distinct_estimate
          |FROM km""".stripMargin,
+
+    // full sketch replay: identical md5 bucket addressing (48-bit
+    // integer hash mod 64 — exact in both engines), identical
+    // (r, bucket) counts, min-over-rows estimate
+    "q346_cms" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(user_id % 500 AS BIGINT) AS k
+         |  FROM events WHERE user_id IS NOT NULL),
+         |b AS (
+         |  SELECT k, r,
+         |    CAST(list_sum(list_transform(range(1, 13),
+         |      i -> (strpos('0123456789abcdef', substr(md5(
+         |        CAST(k AS VARCHAR) || '#cms' || CAST(r AS VARCHAR)),
+         |        i, 1)) - 1) * power(16, 12 - i))) AS BIGINT) % 64
+         |      AS bucket
+         |  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+         |sk AS (
+         |  SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |kb AS (SELECT DISTINCT k, r, bucket FROM b),
+         |est AS (
+         |  SELECT kb.k, min(coalesce(sk.cnt, 0)) AS cms_count
+         |  FROM kb LEFT JOIN sk USING (r, bucket) GROUP BY kb.k),
+         |ex AS (SELECT k, count(*) AS true_count FROM ev GROUP BY 1)
+         |SELECT est.k, CAST(est.cms_count AS BIGINT) AS cms_count,
+         |  CAST(ex.true_count AS BIGINT) AS true_count
+         |FROM est JOIN ex ON est.k = ex.k""".stripMargin,
 
     "q98_tfidf" ->
       raw"""WITH toks AS (
