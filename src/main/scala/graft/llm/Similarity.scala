@@ -46,6 +46,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse
+    * any number of rankings of the same id space —
+    * score(id) = Σ_lists 1/(k + rank_list(id)) — the standard way to
+    * combine lexical (BM25) and embedding retrieval without score
+    * calibration. Input rows are (listCol, idCol, scoreCol); ranks
+    * are derived per list by (score desc, id asc) via a PARTITIONED
+    * window (one shuffle on the list id — each list is a bounded
+    * candidate set, never a full corpus). Emits (id, rrf_score,
+    * n_lists); take the fused top-k downstream with orderBy+limit
+    * (TakeOrdered). With ≤2 lists the double sum is exactly
+    * order-independent (IEEE addition is commutative). */
+  def rrfFuse(scores: DataFrame, listCol: String, idCol: String,
+      scoreCol: String, k: Int = 60): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(listCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scores.withColumn("__rk__", row_number().over(w))
+      .groupBy(idCol)
+      .agg(sum(lit(1.0) / (lit(k.toDouble) + col("__rk__")))
+        .as("rrf_score"),
+        count(lit(1)).cast("long").as("n_lists"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim i weight
     * derived from a hash — stable across runs/engines, no RNG state.
     * Returns the sign-pattern bucket id (int, < 2^planes).

@@ -185,6 +185,26 @@ object QueriesText {
         "embedding", "vec_id", q, 10)
     }),
 
+    // reciprocal-rank fusion of two cosine retrievals (query vecs 0
+    // and 1, candidates ≥ 2, top-50 each, k=60): rrf = Σ 1/(60+rank),
+    // ranks from the 6-dp-rounded cosine with id tie-break (the q47
+    // rank-stability convention); fused top-20
+    "q347_rrf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      def qv(id: Int) = emb.filter(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0)
+      val cand = emb.filter(col("vec_id") >= 2)
+      val a = Similarity.bruteForceTopK(cand, "embedding", "vec_id",
+        qv(0), 50).withColumn("lst", lit("a"))
+      val b = Similarity.bruteForceTopK(cand, "embedding", "vec_id",
+        qv(1), 50).withColumn("lst", lit("b"))
+      Similarity.rrfFuse(a.unionByName(b), "lst", "vec_id", "cosine",
+        k = 60)
+        .orderBy(desc("rrf_score"), col("vec_id")).limit(20)
+        .select(col("vec_id"),
+          round(col("rrf_score"), 9).as("rrf_score"), col("n_lists"))
+    }),
+
     // embedding LSH-bucketed ANN (hash-based — rows-only check)
     "q48_embed_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -729,6 +749,46 @@ object QueriesText {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, cosine FROM scored
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // both rank lists replayed with the q47 cosine (6-dp round, id
+    // tie-break), then Σ CAST(1.0 AS DOUBLE)/(60+rk) — bare 1.0
+    // would run the fusion in DECIMAL
+    "q347_rrf" ->
+      """WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |q1 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 1),
+        |la AS (
+        |  SELECT vec_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                             CAST(embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(qv, qv))), 6) AS c
+        |  FROM embeddings, q0 WHERE vec_id >= 2
+        |  ORDER BY c DESC, vec_id LIMIT 50),
+        |lb AS (
+        |  SELECT vec_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                             CAST(embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(qv, qv))), 6) AS c
+        |  FROM embeddings, q1 WHERE vec_id >= 2
+        |  ORDER BY c DESC, vec_id LIMIT 50),
+        |u AS (
+        |  SELECT vec_id,
+        |    row_number() OVER (ORDER BY c DESC, vec_id) AS rk
+        |  FROM la
+        |  UNION ALL
+        |  SELECT vec_id,
+        |    row_number() OVER (ORDER BY c DESC, vec_id) AS rk
+        |  FROM lb),
+        |f AS (
+        |  SELECT vec_id,
+        |    sum(CAST(1.0 AS DOUBLE) / (60 + rk)) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM u GROUP BY 1)
+        |SELECT vec_id, round(s, 9) AS rrf_score, n_lists
+        |FROM f ORDER BY s DESC, vec_id LIMIT 20""".stripMargin,
 
     "q49_langid" ->
       """WITH scored AS (
