@@ -209,4 +209,104 @@ object CorpusOps {
       org.apache.spark.ml.functions.vector_to_array(col("vector"))
         .as("vector"))
   }
+
+  /** Greedy left-to-right application of one BPE merge (a,b)→ab to a
+    * symbol array, as a codegen'd fold: append each symbol, fusing
+    * it with the previous one when they spell the pair. Replays the
+    * classic non-overlapping scan ((a,a) on [a,a,a] → [aa,a]); the
+    * merged symbol can never re-fuse in the same pass because it is
+    * strictly longer than `a`. Symbols are restricted to [a-z]+ by
+    * [[bpeTrain]]'s word filter, so inlining them in the SQL literal
+    * is safe. */
+  private def mergeApplyExpr(a: String, b: String): String =
+    s"""aggregate(syms, cast(array() as array<string>),
+       |  (acc, s) -> CASE WHEN size(acc) > 0
+       |      AND element_at(acc, -1) = '$a' AND s = '$b'
+       |    THEN slice(acc, 1, size(acc) - 1) || array('$a$b')
+       |    ELSE acc || array(s) END)""".stripMargin
+
+  /** Distributed byte-pair-encoding MERGE TRAINING (Sennrich et al.
+    * 2016) — the tokenizer-learning step of a training pipeline,
+    * run on-cluster. The corpus-scale work is exactly ONE shuffle
+    * (lowercased word counts); every merge round then runs on the
+    * VOCAB table (distinct words — domain-bounded, millions of rows
+    * at 100 TB, not trillions): count adjacent symbol pairs weighted
+    * by word frequency (one bounded groupBy), pick the most frequent
+    * pair with the deterministic (count desc, pair asc) tie-break
+    * (one driver-collected row per round — the kCore loop shape),
+    * and apply the merge map-side via [[mergeApplyExpr]]. Words are
+    * restricted to ^[a-z]{1,12}$ so symbols stay ASCII and the
+    * DuckDB oracle can replay the whole run on a
+    * separator-encoded string form ('abc' → ' a  b  c '; merge =
+    * one non-overlapping replace — verified equivalent to the
+    * greedy fold). Returns the merge table (merge_round, mleft,
+    * mright, pair_count). */
+  def bpeTrain(docs: DataFrame, textCol: String,
+      merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64, "merges in [1,64]")
+    val spark = docs.sparkSession
+    var vocab = docs.select(explode(
+        TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]{1,12}$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .select("syms", "cnt")
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= merges && !done) {
+      // guard single-symbol words: Spark sequence(1, 0) DESCENDS
+      val top = vocab
+        .select(col("cnt"), explode(expr(
+          """CASE WHEN size(syms) >= 2 THEN
+            |  transform(sequence(1, size(syms) - 1),
+            |    i -> struct(element_at(syms, i) as a,
+            |                element_at(syms, i + 1) as b))
+            |ELSE cast(array() as array<struct<a: string, b: string>>)
+            |END""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += ((r, a, b, c))
+        vocab = vocab
+          .withColumn("syms", expr(mergeApplyExpr(a, b)))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("merge_round", "mleft", "mright", "pair_count")
+      .select(col("merge_round").cast("long").as("merge_round"),
+        col("mleft"), col("mright"), col("pair_count"))
+  }
+
+  /** Apply a learned merge list to text map-side: tokenize each word
+    * to characters and fold the merges in ORDER (the BPE inference
+    * rule). Emits (original word, its BPE segmentation) per distinct
+    * word — join back to the corpus for per-doc token ids. */
+  def bpeSegment(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+      "1 to 64 merges")
+    require(merges.forall { case (a, b) =>
+      (a + b).matches("^[a-z]+$") }, "merges must be [a-z]+ symbols")
+    var v = docs.select(explode(
+        TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]{1,12}$"))
+      .distinct()
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    merges.foreach { case (a, b) =>
+      v = v.withColumn("syms", expr(mergeApplyExpr(a, b)))
+    }
+    v.select(col("w"), col("syms"))
+  }
 }

@@ -20,6 +20,46 @@ object QueriesPipeline {
   private val rakeStopsSql: String =
     rakeStops.map(s => s"'$s'").mkString(", ")
 
+  /** Full BPE training replay: vocab as separator-encoded strings
+    * ('abc' → ' a  b  c '), pairs via list_zip on the double-space
+    * split, per-round argmax with (count desc, a, b) tie-break, and
+    * the merge applied as ONE non-overlapping replace — byte-for-
+    * byte the greedy fold's semantics (left-to-right, no rescan of
+    * the merged output). */
+  private val bpeOracle: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT z[1] AS a, z[2] AS b, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest(list_zip(l, l[2:])) AS z FROM (
+         |      SELECT cnt, string_split(trim(s), '  ') AS l
+         |      FROM v${r - 1}) q1) q2
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |t$r AS MATERIALIZED (
+         |  SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT cnt, replace(s,
+         |    ' ' || (SELECT a FROM t$r) || '  ' ||
+         |      (SELECT b FROM t$r) || ' ',
+         |    ' ' || (SELECT a FROM t$r) ||
+         |      (SELECT b FROM t$r) || ' ') AS s
+         |  FROM v${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to 8).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, a AS mleft,
+         |  b AS mright, CAST(c AS BIGINT) AS pair_count
+         |FROM t$r""".stripMargin).mkString("\nUNION ALL\n")
+    raw"""WITH v0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s,
+       |    count(*) AS cnt
+       |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+       |      trim(lower(text)), '\s+'), x -> length(x) > 0)) AS w
+       |    FROM documents) tw
+       |  WHERE regexp_matches(w, '^[a-z]{1,12}$$')
+       |  GROUP BY 1),
+       |""".stripMargin + rounds + "\n" + sel +
+      "\nORDER BY merge_round"
+  }
+
   /** DuckDB rendition of PipelineOps.hash48Unit over expression `e`
     * (must already be VARCHAR): first 12 md5 hex chars as a 48-bit
     * integer over 2^48 — double-exact arithmetic in both engines. */
@@ -193,6 +233,17 @@ object QueriesPipeline {
     "q98_tfidf" -> ((s, d) =>
       PipelineOps.tfidfTopTerms(t(s, d, "documents"), "text", "doc_id",
         topN = 3)),
+
+    // distributed BPE merge training: 8 merge rounds over the
+    // documents word-count vocab (one corpus shuffle, then
+    // vocab-bounded rounds; deterministic (count desc, pair asc)
+    // tie-break). The oracle replays the ENTIRE training run on a
+    // separator-encoded string vocab (' a  b  c '; merge = one
+    // non-overlapping replace — the greedy-equivalence is verified
+    // in BpeSpec)
+    "q348_bpe" -> ((s, d) =>
+      graft.llm.CorpusOps.bpeTrain(t(s, d, "documents"), "text",
+        merges = 8)),
 
     // bloom-prefiltered fact-dim join; bloom is transparent to the
     // result, so the oracle is the plain join
@@ -1236,6 +1287,8 @@ object QueriesPipeline {
          |SELECT est.k, CAST(est.cms_count AS BIGINT) AS cms_count,
          |  CAST(ex.true_count AS BIGINT) AS true_count
          |FROM est JOIN ex ON est.k = ex.k""".stripMargin,
+
+    "q348_bpe" -> bpeOracle,
 
     "q98_tfidf" ->
       raw"""WITH toks AS (
