@@ -142,6 +142,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs (Broder 1997's second
+    * resemblance measure): c(A⊆B) = |A∩B| / |A|. Catches the dup
+    * class symmetric Jaccard structurally misses — a short document
+    * EMBEDDED in a long one scores Jaccard ≈ |A|/|B| (arbitrarily
+    * small) but containment 1.0; quote-inclusion and page-wrapping
+    * dups in web corpora are exactly this shape. Same bounded
+    * postings-join skeleton as [[ngramJaccardPairs]] (per-block
+    * candidates, maxDf hot-gram drop so containment stays a lower
+    * bound); each unordered pair is emitted once with BOTH
+    * directions, kept when the larger direction clears `threshold`.
+    * Reference jaccard scope: /root/reference/src/text/mod.rs (the
+    * reference has Jaccard only; containment is the scale-dedup
+    * extension). */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int, threshold: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val allToks = df.select(col(blockCol).as("blk"),
+      col(idCol).as("id"),
+      explode(TextFunctions.wordNgrams(col(textCol), n)).as("g"))
+    val toks = if (maxDf == Long.MaxValue) allToks else {
+      val hot = allToks.groupBy("blk", "g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("blk", "g")
+      allToks.join(hot, Seq("blk", "g"), "left_anti")
+    }
+    val sizes = allToks.groupBy("blk", "id").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("x").join(toks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.g") === col("y.g") &&
+        col("x.id") < col("y.id"))
+      .groupBy(col("x.blk").as("blk_i"), col("x.id").as("id_a"),
+        col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("blk_i") === col("sa.blk") &&
+        col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("blk_i") === col("sb.blk") &&
+        col("id_b") === col("sb.id"))
+      .withColumn("contain_a_in_b",
+        round(col("inter").cast("double") / col("sa.sz"), 6))
+      .withColumn("contain_b_in_a",
+        round(col("inter").cast("double") / col("sb.sz"), 6))
+      .filter(greatest(col("contain_a_in_b"), col("contain_b_in_a"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("contain_a_in_b"), col("contain_b_in_a"))
+  }
+
   /** SimHash-64: per-token xxhash64, majority vote per bit, packed to
     * one long. Near-dups differ in few bits (hamming distance).
     * Entirely map-side per row. */

@@ -117,6 +117,173 @@ object PipelineOps {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
 
+  /** The k-smallest-distinct-hash KMV sketch as a 1-column
+    * DataFrame (h in [0,1)) — the set-operable form of
+    * [[kmvDistinct]] (theta-sketch, Dasgupta et al. 2016). ≤ k rows
+    * out via TakeOrdered (per-partition top-k, no global sort);
+    * deterministic md5 hashing, so two engines build the identical
+    * sketch. */
+  def kmvSketchDf(df: DataFrame, valueCol: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2, "kmvSketchDf needs k >= 2")
+    df.filter(col(valueCol).isNotNull)
+      .select(hash48Unit(col(valueCol)).as("h"))
+      .distinct().orderBy("h").limit(k)
+  }
+
+  /** Distinct-count SET ALGEBRA over two KMV sketches without
+    * rescanning either input — the theta-sketch estimator: theta =
+    * min of the per-sketch k-th smallest hash (1.0 when a sketch is
+    * exact, i.e. holds < k hashes); every hash < theta is a uniform
+    * rate-theta sample of its set, so |A∩B| ≈ |{h ∈ both, h <
+    * theta}| / theta, |A∪B| ≈ |{h ∈ either, h < theta}| / theta,
+    * and Jaccard is their sample ratio. This is how 100 TB overlap
+    * questions (users in BOTH cohorts, docs in BOTH crawls) are
+    * answered from per-shard sketches: merge ≤ k-row tables, never
+    * the raw keys. All arithmetic is on exact 48-bit dyadic hashes —
+    * a DuckDB oracle replays the whole estimate. One row out. */
+  def kmvSetEstimate(a: DataFrame, b: DataFrame,
+      k: Int = 128): DataFrame = {
+    require(k >= 2, "kmvSetEstimate needs k >= 2")
+    def thetaOf(s: DataFrame) = s.agg(
+      when(count(lit(1)) < k, lit(1.0)).otherwise(max(col("h")))
+        .as("th"))
+    val theta = thetaOf(a).crossJoin(broadcast(thetaOf(b).
+      withColumnRenamed("th", "th_b")))
+      .select(least(col("th"), col("th_b")).as("theta"))
+    val sampU = a.union(b).distinct()
+      .crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
+    val sampI = a.join(b, Seq("h"))
+      .crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
+    val nU = sampU.agg(count(lit(1)).as("n_union"))
+    val nI = sampI.agg(count(lit(1)).as("n_inter"))
+    theta.crossJoin(broadcast(nU)).crossJoin(broadcast(nI))
+      .select(round(col("theta"), 6).as("theta"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("n_union").cast("long").as("n_union"),
+        round(col("n_inter") / col("theta"), 4).as("est_inter"),
+        round(col("n_union") / col("theta"), 4).as("est_union"),
+        round(when(col("n_union") > 0,
+          col("n_inter").cast("double") / col("n_union"))
+          .otherwise(lit(0.0)), 6).as("est_jaccard"))
+  }
+
+  /** Standard HLL bias constant alpha_m (Flajolet et al. 2007 §4):
+    * tabulated for small m, 0.7213/(1+1.079/m) above. */
+  def hllAlpha(p: Int): Double = (1 << p) match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case m  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** HyperLogLog register table (Flajolet–Fusy–Gandouet–Meunier
+    * 2007) with the same deterministic md5 addressing as
+    * [[countMinSketch]], so the sketch is a pure function of the
+    * value SET (not RNG state) and a DuckDB oracle re-derives it
+    * bit-for-bit. The 48-bit hash splits into p register bits +
+    * W = 48−p rank bits; rho = leading zeros of the rank bits + 1 is
+    * computed EXACTLY via integer bit-length (length(bin(w)) — no
+    * floating log2, whose ulp error flips floor() at powers of two).
+    * One groupBy(register).max shuffle with map-side partials, ≤ 2^p
+    * rows out; registers no value hashed into are simply absent
+    * (= rank 0, handled by [[hllEstimate]]). MERGEABLE across
+    * corpus shards/days by max per register ([[hllMerge]]) — the
+    * standard distinct-count summary where exact sets don't fit. */
+  def hllSketch(df: DataFrame, valueCol: String,
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val w = 48 - p
+    val h = hash48Long(concat(col(valueCol).cast("string"),
+      lit("#hll")))
+    df.filter(col(valueCol).isNotNull)
+      .select(shiftright(h, w).as("register"),
+        pmod(h, lit(1L << w)).as("wbits"))
+      .select(col("register"),
+        when(col("wbits") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(col("wbits"))))
+          .cast("int").as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Merge HLL sketches over the same p: max per register — the
+    * property that makes HLL the 100 TB distinct counter (per-shard
+    * sketches union with no rescan). */
+  def hllMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("register").agg(max(col("rho_max")).as("rho_max"))
+
+  /** Per-group HLL registers — ONE groupBy(group, register) shuffle
+    * with map-side partials, ≤ 2^p rows per group out. The realistic
+    * 100 TB shape ("distinct users per day/segment over a year"):
+    * group cardinality × 2^p summary rows instead of group × user
+    * exact sets. Estimate with [[hllEstimateGrouped]]; merge across
+    * shards by max per (group, register). */
+  def hllSketchGrouped(df: DataFrame, groupCol: String,
+      valueCol: String, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val w = 48 - p
+    val h = hash48Long(concat(col(valueCol).cast("string"),
+      lit("#hll")))
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), shiftright(h, w).as("register"),
+        pmod(h, lit(1L << w)).as("wbits"))
+      .select(col("grp"), col("register"),
+        when(col("wbits") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(col("wbits"))))
+          .cast("int").as("rho"))
+      .groupBy("grp", "register").agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Per-group HLL estimates from a [[hllSketchGrouped]] table: the
+    * [[hllEstimate]] formula applied per group in one ≤ 2^p-rows-per-
+    * group aggregate. */
+  def hllEstimateGrouped(sketch: DataFrame, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val m = 1 << p
+    val alpha = hllAlpha(p)
+    sketch.groupBy("grp")
+      .agg(count(lit(1)).as("regs_set"),
+        sum(pow(lit(2.0), -col("rho_max"))).as("z_set"))
+      .select(col("grp"),
+        (lit(m) - col("regs_set")).cast("long").as("v_zero"),
+        (col("z_set") + (lit(m) - col("regs_set"))).as("z"))
+      .select(col("grp"), col("v_zero"),
+        round(
+          when(col("v_zero") > 0 &&
+              lit(alpha * m.toDouble * m) / col("z") <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
+          .otherwise(lit(alpha * m.toDouble * m) / col("z")), 4)
+          .as("hll_estimate"))
+  }
+
+  /** HLL cardinality estimate from a [[hllSketch]] register table:
+    * raw = alpha_m·m²/Z with Z = Σ 2^(−M[j]) (absent registers
+    * contribute 2^0 = 1 via the zero-register count), plus the
+    * standard small-range correction (V>0 and raw ≤ 2.5m → linear
+    * counting m·ln(m/V)). Z is a sum of ≤ 2^p dyadic rationals of
+    * scale ≥ 2^(−49), so both engines compute it EXACTLY — the only
+    * cross-engine freedom is the final ln/divide ulp, absorbed by
+    * the 6-dp round convention. One ≤ 2^p-row aggregate. */
+  def hllEstimate(sketch: DataFrame, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val m = 1 << p
+    val alpha = hllAlpha(p)
+    sketch
+      .agg(count(lit(1)).as("regs_set"),
+        sum(pow(lit(2.0), -col("rho_max"))).as("z_set"))
+      .select(lit(m).cast("long").as("m"),
+        (lit(m) - col("regs_set")).cast("long").as("v_zero"),
+        (col("z_set") + (lit(m) - col("regs_set"))).as("z"))
+      .select(col("m"), col("v_zero"), round(col("z"), 6).as("z"),
+        round(
+          when(col("v_zero") > 0 &&
+              lit(alpha * m.toDouble * m) / (col("z")) <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
+          .otherwise(lit(alpha * m.toDouble * m) / col("z")), 4)
+          .as("hll_estimate"))
+  }
+
   /** TF-IDF top terms per document: tf from one grouped count, df
     * from one more, idf = ln((N+1)/(df+1)) + 1 (smooth), top `topN`
     * terms per doc by tfidf (ranked on the 6-dp rounded score with a

@@ -229,6 +229,59 @@ object QueriesPipeline {
           col("true_count"))
     }),
 
+    // HyperLogLog distinct-count sketch of lineitem part keys
+    // (p=6 → 64 registers; same value set as the KMV gate q97 so the
+    // two sketch families are directly comparable). The gate emits
+    // the FULL register table — every (register, rho_max) row is an
+    // exact integer the oracle re-derives from the same md5 bit
+    // split — carrying the estimate + exact distinct on each row via
+    // two 1-row broadcast scalar joins (the tinySide pattern).
+    "q349_hll" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sk = PipelineOps.hllSketch(li, "l_partkey", p = 6)
+      val est = PipelineOps.hllEstimate(sk, p = 6)
+      val exact = li.filter(col("l_partkey").isNotNull)
+        .agg(countDistinct(col("l_partkey")).cast("long")
+          .as("exact_distinct"))
+      sk.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+        .select(col("register").cast("long").as("register"),
+          col("rho_max").cast("long").as("rho_max"),
+          col("m"), col("v_zero"), col("z"), col("hll_estimate"),
+          col("exact_distinct"))
+    }),
+
+    // theta-sketch set algebra over two KMV sketches: distinct
+    // R-orders vs N-orders and their intersection/union/Jaccard,
+    // estimated from two 128-row sketches (never the raw keys) —
+    // deterministic md5 hashing, so the oracle replays sketch
+    // construction AND the theta estimator
+    "q351_kmv_setops" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val a = PipelineOps.kmvSketchDf(
+        li.filter(col("l_returnflag") === "R"), "l_orderkey", 128)
+      val b = PipelineOps.kmvSketchDf(
+        li.filter(col("l_returnflag") === "N"), "l_orderkey", 128)
+      PipelineOps.kmvSetEstimate(a, b, 128)
+    }),
+
+    // per-group HLL distinct users by event type (the "distinct per
+    // segment at 100 TB" shape: group × 64 register rows, not group
+    // × user sets), joined with the exact per-group answer
+    "q352_hll_grouped" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val est = PipelineOps.hllEstimateGrouped(
+        PipelineOps.hllSketchGrouped(ev, "event_type", "user_id",
+          p = 6), p = 6)
+      val exact = ev.filter(col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).cast("long")
+          .as("exact_distinct"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp").as("event_type"), col("v_zero"),
+          col("hll_estimate"), col("exact_distinct"))
+    }),
+
     // TF-IDF top-3 terms per document
     "q98_tfidf" -> ((s, d) =>
       PipelineOps.tfidfTopTerms(t(s, d, "documents"), "text", "doc_id",
@@ -1289,6 +1342,139 @@ object QueriesPipeline {
          |FROM est JOIN ex ON est.k = ex.k""".stripMargin,
 
     "q348_bpe" -> bpeOracle,
+
+    // full theta-sketch replay: identical 48-bit md5 unit hashes,
+    // identical 128-row k-min sketches (hashes are distinct, so the
+    // ORDER BY h LIMIT k set is engine-independent), then the same
+    // theta = min(kth-smallest) estimator arithmetic on exact dyadic
+    // doubles
+    "q351_kmv_setops" ->
+      s"""WITH ha AS (
+         |  SELECT DISTINCT ${h48("CAST(l_orderkey AS VARCHAR)")} AS h
+         |  FROM lineitem
+         |  WHERE l_returnflag = 'R' AND l_orderkey IS NOT NULL),
+         |a AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+         |hb AS (
+         |  SELECT DISTINCT ${h48("CAST(l_orderkey AS VARCHAR)")} AS h
+         |  FROM lineitem
+         |  WHERE l_returnflag = 'N' AND l_orderkey IS NOT NULL),
+         |b AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+         |th AS (SELECT least(
+         |  (SELECT CASE WHEN count(*) < 128 THEN 1.0
+         |     ELSE max(h) END FROM a),
+         |  (SELECT CASE WHEN count(*) < 128 THEN 1.0
+         |     ELSE max(h) END FROM b)) AS theta),
+         |u AS (
+         |  SELECT count(*) AS n_union
+         |  FROM (SELECT h FROM a UNION SELECT h FROM b) s, th
+         |  WHERE s.h < th.theta),
+         |i AS (
+         |  SELECT count(*) AS n_inter
+         |  FROM a JOIN b USING (h), th WHERE a.h < th.theta)
+         |SELECT round(theta, 6) AS theta,
+         |  CAST(n_inter AS BIGINT) AS n_inter,
+         |  CAST(n_union AS BIGINT) AS n_union,
+         |  round(n_inter / theta, 4) AS est_inter,
+         |  round(n_union / theta, 4) AS est_union,
+         |  round(CASE WHEN n_union > 0
+         |    THEN CAST(n_inter AS DOUBLE) / n_union
+         |    ELSE 0.0 END, 6) AS est_jaccard
+         |FROM th, u, i""".stripMargin,
+
+    // per-group HLL replay: the q349 pipeline with event_type as a
+    // grouping key on both the register build and the estimate
+    "q352_hll_grouped" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT event_type AS grp,
+         |    CAST(user_id AS VARCHAR) AS s
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |h AS (
+         |  SELECT grp, CAST(list_sum(list_transform(range(1, 13),
+         |    i -> (strpos('0123456789abcdef', substr(
+         |      md5(s || '#hll'), i, 1)) - 1) * power(16, 12 - i)))
+         |    AS BIGINT) AS h
+         |  FROM v),
+         |sk AS (
+         |  SELECT grp, h // 4398046511104 AS register,
+         |    max(CASE WHEN h % 4398046511104 = 0 THEN 43
+         |      ELSE 43 - length(bin(h % 4398046511104)) END) AS rho_max
+         |  FROM h GROUP BY 1, 2),
+         |e0 AS (
+         |  SELECT grp, count(*) AS regs_set,
+         |    sum(power(2.0, -rho_max)) AS z_set
+         |  FROM sk GROUP BY 1),
+         |e1 AS (
+         |  SELECT grp, CAST(64 - regs_set AS BIGINT) AS v_zero,
+         |    z_set + (64 - regs_set) AS z_raw
+         |  FROM e0),
+         |e2 AS (
+         |  SELECT grp, v_zero,
+         |    round(CASE WHEN v_zero > 0
+         |        AND 0.709 * 64.0 * 64.0 / z_raw <= 160.0
+         |      THEN 64.0 * ln(64.0 / v_zero)
+         |      ELSE 0.709 * 64.0 * 64.0 / z_raw END, 4)
+         |      AS hll_estimate
+         |  FROM e1),
+         |ex AS (
+         |  SELECT event_type AS grp,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT e2.grp AS event_type, e2.v_zero, e2.hll_estimate,
+         |  ex.exact_distinct
+         |FROM e2 JOIN ex ON e2.grp = ex.grp""".stripMargin,
+
+    // full HLL replay: identical md5 48-bit split (top 6 register
+    // bits / 42 rank bits), rho via exact integer bit-length
+    // (length(bin(w)) — no floating log2), register max, then the
+    // same alpha_64·m²/Z estimate with linear-counting correction.
+    // Z is a sum of dyadic rationals — exact in both engines; the
+    // estimate shares only ln/divide ulps, absorbed by round().
+    "q349_hll" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS s
+         |  FROM lineitem WHERE l_partkey IS NOT NULL),
+         |h AS (
+         |  SELECT CAST(list_sum(list_transform(range(1, 13),
+         |    i -> (strpos('0123456789abcdef', substr(
+         |      md5(s || '#hll'), i, 1)) - 1) * power(16, 12 - i)))
+         |    AS BIGINT) AS h
+         |  FROM v),
+         |rr AS (
+         |  SELECT h // 4398046511104 AS register,
+         |    h % 4398046511104 AS wbits
+         |  FROM h),
+         |sk AS (
+         |  SELECT register, max(CASE WHEN wbits = 0 THEN 43
+         |    ELSE 43 - length(bin(wbits)) END) AS rho_max
+         |  FROM rr GROUP BY 1),
+         |e0 AS (
+         |  SELECT count(*) AS regs_set,
+         |    sum(power(2.0, -rho_max)) AS z_set
+         |  FROM sk),
+         |e1 AS (
+         |  SELECT CAST(64 AS BIGINT) AS m,
+         |    CAST(64 - regs_set AS BIGINT) AS v_zero,
+         |    z_set + (64 - regs_set) AS z_raw
+         |  FROM e0),
+         |e2 AS (
+         |  SELECT m, v_zero, round(z_raw, 6) AS z,
+         |    round(CASE WHEN v_zero > 0
+         |        AND 0.709 * 64.0 * 64.0 / z_raw <= 160.0
+         |      THEN 64.0 * ln(64.0 / v_zero)
+         |      ELSE 0.709 * 64.0 * 64.0 / z_raw END, 4)
+         |      AS hll_estimate
+         |  FROM e1),
+         |ex AS (
+         |  SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+         |    AS exact_distinct
+         |  FROM lineitem WHERE l_partkey IS NOT NULL)
+         |SELECT CAST(sk.register AS BIGINT) AS register,
+         |  CAST(sk.rho_max AS BIGINT) AS rho_max,
+         |  e2.m, e2.v_zero, e2.z, e2.hll_estimate, ex.exact_distinct
+         |FROM sk CROSS JOIN e2 CROSS JOIN ex""".stripMargin,
 
     "q98_tfidf" ->
       raw"""WITH toks AS (

@@ -143,6 +143,13 @@ object QueriesText {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         "source", n = 1, threshold = 0.9)),
 
+    // asymmetric 3-gram containment pairs within source blocks: the
+    // dup class Jaccard misses (short doc embedded in a long one);
+    // threshold 0.5 keeps the planted near-dups, drops soup noise
+    "q350_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "text", "doc_id",
+        "source", n = 3, threshold = 0.5)),
+
     // SimHash near-dup candidates (xxhash64 fast path — rows-only)
     "q46_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id")
@@ -615,6 +622,32 @@ object QueriesText {
         |JOIN sizes sa ON inter.blk = sa.blk AND inter.id_a = sa.id
         |JOIN sizes sb ON inter.blk = sb.blk AND inter.id_b = sb.id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.9""".stripMargin,
+
+    "q350_containment" ->
+      raw"""WITH words AS (
+        |  SELECT source AS blk, doc_id AS id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)),
+        |      '\s+'), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |toks AS (
+        |  SELECT blk, id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(ws) - 2, 0) + 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+        |  FROM words),
+        |sizes AS (SELECT blk, id, count(*) AS sz FROM toks GROUP BY 1, 2),
+        |inter AS (
+        |  SELECT x.blk, x.id AS id_a, y.id AS id_b, count(*) AS inter
+        |  FROM toks x JOIN toks y
+        |    ON x.blk = y.blk AND x.g = y.g AND x.id < y.id
+        |  GROUP BY 1, 2, 3)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS contain_a_in_b,
+        |  round(CAST(inter AS DOUBLE) / sb.sz, 6) AS contain_b_in_a
+        |FROM inter
+        |JOIN sizes sa ON inter.blk = sa.blk AND inter.id_a = sa.id
+        |JOIN sizes sb ON inter.blk = sb.blk AND inter.id_b = sb.id
+        |WHERE greatest(round(CAST(inter AS DOUBLE) / sa.sz, 6),
+        |  round(CAST(inter AS DOUBLE) / sb.sz, 6)) >= 0.5""".stripMargin,
 
     "q168_semantic_dedup" ->
       """WITH v AS (
