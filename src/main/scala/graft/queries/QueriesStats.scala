@@ -1240,6 +1240,14 @@ object QueriesStats {
         "vc", "event_type", "click", "view")),
 
     // §2.12 describe from exact sums + exact percentiles
+    // mergeable histogram-quantile sketch: two scans (bounds + 64
+    // bin counts), interpolated P25/P50/P90/P99 — the no-global-sort
+    // quantile read; every arithmetic step replayed by the oracle
+    "q353_hist_quantiles" -> ((s, d) =>
+      graft.stats.StatsOps.histogramQuantiles(
+        t(s, d, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.9, 0.99), bins = 64)),
+
     "q66_describe" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(col("l_quantity").cast("long").as("x"))
@@ -4642,6 +4650,35 @@ object QueriesStats {
         |  sum(r) AS rank_sum,
         |  sum(r) - CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) + 1) / 2 AS u
         |FROM ranked GROUP BY 1""".stripMargin,
+
+    "q353_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS hi,
+        |    count(*) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |bins AS (
+        |  SELECT CASE WHEN b.hi = b.lo THEN 0 ELSE
+        |    least(63, greatest(0, CAST(floor(
+        |      (l_extendedprice - b.lo) * 64.0 / (b.hi - b.lo))
+        |      AS INT))) END AS bin,
+        |    count(*) AS cnt
+        |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM bins),
+        |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE),
+        |  CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |  CAST(0.99 AS DOUBLE)]) AS q)
+        |SELECT qs.q, CAST(cum.bin AS BIGINT) AS bin,
+        |  round(b.lo + (b.hi - b.lo) / 64.0 *
+        |    (cum.bin + (qs.q * b.n - (cum.cum - cum.cnt)) / cum.cnt),
+        |    6) AS quantile_est
+        |FROM qs CROSS JOIN b JOIN cum
+        |  ON cum.cum >= qs.q * b.n
+        |  AND cum.cum - cum.cnt < qs.q * b.n""".stripMargin,
 
     "q66_describe" ->
       """WITH s AS (

@@ -28,6 +28,65 @@ object StatsOps {
 
   /** describe (stats.rs:50): count/mean/std/min/q1/median/q3/max per
     * numeric column, one aggregate pass + exact percentiles. */
+  /** Mergeable histogram-quantile sketch over EXPLICIT bounds: bin
+    * counts of floor((x−lo)·bins/(hi−lo)) clamped into [0, bins−1]
+    * — ONE hash aggregate, ≤ `bins` rows out, mergeable across
+    * shards/days by summing counts (shared bounds make per-shard
+    * histograms addable, the property GK/t-digest summaries lack
+    * without custom merge code). Unlike approx_percentile this is a
+    * pure deterministic function of the multiset, so a DuckDB
+    * oracle replays it exactly. */
+  def histogramBins(df: DataFrame, valueCol: String, bins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    df.filter(col(valueCol).isNotNull)
+      .select(least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol) - lit(lo)) * lit(bins.toDouble) /
+          lit(hi - lo)).cast("int"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a histogram sketch: two scans total
+    * (min/max bounds, bin counts), then linear interpolation INSIDE
+    * the containing bin from the ≤ `bins`-row cumulative table — the
+    * way quantiles are read off 100 TB without a global sort. Each
+    * requested q picks the unique bin with cum_before < q·N ≤ cum
+    * (a ≤|qs|-row local relation joined against the bounded bin
+    * table) and estimates lo + w·(bin + (q·N − cum_before)/cnt).
+    * Error ≤ one bin width — tighten with `bins`, not passes. */
+  def histogramQuantiles(df: DataFrame, valueCol: String,
+      qs: Seq[Double], bins: Int = 64): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles in (0,1]")
+    require(qs.size <= 32, "at most 32 quantiles per call")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = df.filter(col(valueCol).isNotNull)
+      .agg(min(col(valueCol)).cast("double").as("lo"),
+        max(col(valueCol)).cast("double").as("hi"),
+        count(lit(1)).as("n"))
+    val binned = df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(when(col("hi") === col("lo"), lit(0)).otherwise(
+        least(lit(bins - 1), greatest(lit(0),
+          floor((col(valueCol) - col("lo")) * lit(bins.toDouble) /
+            (col("hi") - col("lo"))).cast("int")))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = binned.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(Long.MinValue, 0)))
+    qs.toDF("q").crossJoin(broadcast(bounds))
+      .join(cum,
+        col("cum") >= col("q") * col("n") &&
+        col("cum") - col("cnt") < col("q") * col("n"))
+      .select(col("q"),
+        col("bin").cast("long").as("bin"),
+        round(col("lo") + (col("hi") - col("lo")) / lit(bins.toDouble)
+          * (col("bin") + (col("q") * col("n") -
+             (col("cum") - col("cnt"))) / col("cnt")), 6)
+          .as("quantile_est"))
+  }
+
   def describeNum(df: DataFrame, c: String): DataFrame =
     df.agg(
       count(col(c)).as("count"),
