@@ -823,6 +823,20 @@ object QueriesStats {
         .orderBy("event_type", "h")
     }),
 
+    // per-key one-step-ahead Holt backtest over the q307 hourly
+    // series: MAE/RMSE/MAPE/sMAPE/MASE per event type; recurrence
+    // replayed bit-exactly by a recursive CTE, averages within the
+    // comparator tolerance
+    "q354_holt_backtest" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+      TimeSeriesOps.holtBacktestOneStep(hourly, "v", "b",
+        Seq("event_type"), alpha = 0.4, beta = 0.3)
+    }),
+
     // categorical feature screening: IG / Theil's U of event_type
     // from three derived features, ranked
     "q318_ig_screen" -> ((s, d) =>
@@ -3608,6 +3622,62 @@ object QueriesStats {
         |  s.xs AS kf_smooth
         |FROM rf JOIN s ON rf.event_type = s.event_type
         |  AND rf.rn = s.rn""".stripMargin,
+
+    "q354_holt_backtest" ->
+      """WITH RECURSIVE hourly AS MATERIALIZED (
+        |  SELECT event_type, date_trunc('hour', ts) AS b,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |base AS MATERIALIZED (
+        |  SELECT event_type, b, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY b)
+        |      AS rn
+        |  FROM hourly),
+        |r AS (
+        |  SELECT event_type, rn, v, v AS level,
+        |    CAST(0.0 AS DOUBLE) AS trend, CAST(NULL AS DOUBLE) AS fc
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b2.event_type, b2.rn, b2.v,
+        |    CASE WHEN b2.rn = 2
+        |      THEN (0.4 * b2.v + 0.6 * (r.level + (b2.v - r.level)))
+        |      ELSE (0.4 * b2.v + 0.6 * (r.level + r.trend)) END,
+        |    CASE WHEN b2.rn = 2
+        |      THEN (0.3 * ((0.4 * b2.v + 0.6 * (r.level +
+        |        (b2.v - r.level))) - r.level) + 0.7 *
+        |        (b2.v - r.level))
+        |      ELSE (0.3 * ((0.4 * b2.v + 0.6 * (r.level + r.trend))
+        |        - r.level) + 0.7 * r.trend) END,
+        |    CASE WHEN b2.rn >= 3 THEN r.level + r.trend END
+        |  FROM base b2 JOIN r
+        |    ON b2.event_type = r.event_type AND b2.rn = r.rn + 1),
+        |e AS (
+        |  SELECT event_type, v AS y, fc, v - fc AS err
+        |  FROM r WHERE fc IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |    avg(abs(err)) AS mae_raw,
+        |    sqrt(avg(err * err)) AS rmse_raw,
+        |    avg(CASE WHEN abs(y) > 0 THEN abs(err) / abs(y) END)
+        |      AS mape_raw,
+        |    avg(CASE WHEN abs(y) + abs(fc) > 0
+        |      THEN 2.0 * abs(err) / (abs(y) + abs(fc)) END)
+        |      AS smape_raw
+        |  FROM e GROUP BY 1),
+        |nv AS (
+        |  SELECT event_type, avg(abs(d)) AS naive_mae FROM (
+        |    SELECT event_type, v - lag(v) OVER (
+        |      PARTITION BY event_type ORDER BY b) AS d
+        |    FROM base) dd
+        |  WHERE d IS NOT NULL GROUP BY 1)
+        |SELECT m.event_type, m.n_eval,
+        |  round(mae_raw, 6) AS mae, round(rmse_raw, 6) AS rmse,
+        |  round(mape_raw, 6) AS mape, round(smape_raw, 6) AS smape,
+        |  CASE WHEN naive_mae > 0
+        |    THEN round(mae_raw / naive_mae, 6) END AS mase
+        |FROM m JOIN nv USING (event_type)""".stripMargin,
 
     "q307_grouped_holt" ->
       """WITH RECURSIVE hourly AS (

@@ -1243,6 +1243,93 @@ object TimeSeriesOps {
           col("trend"), 6).as("forecast"): _*)
   }
 
+  /** Per-key ONE-STEP-AHEAD Holt backtest — the forecast-accuracy
+    * evaluation layer the forecaster family was missing: replay the
+    * plain-Holt recurrence over each key's history, emit the h=1
+    * forecast level+trend made BEFORE each observation (from the
+    * 3rd point on — the first two initialize level=y1 then
+    * level=y2, trend=y2−y1, the [[groupedHoltForecast]] init), and
+    * aggregate the standard error suite per key:
+    * MAE, RMSE, MAPE (|y|>0 rows), sMAPE, and MASE with the
+    * in-sample naive scale mean|y_t − y_{t−1}| (Hyndman–Koehler
+    * 2006 — scale-free, defined when y has zeros). Distributed
+    * exactly like the other per-key folds: ONE shuffle groups each
+    * bounded series, the fold is codegen'd, metrics are one more
+    * grouped aggregate; the naive scale is a partitioned lag
+    * window. Every recurrence step is IEEE +,−,×,÷ replayed
+    * bit-exactly by a recursive-CTE oracle; only the final averages
+    * carry summation-order ulps, absorbed by round(6). */
+  def holtBacktestOneStep(df: DataFrame, valueCol: String,
+      orderCol: String, keyCols: Seq[String], alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha, beta in (0,1)")
+    val a = alpha; val b = beta
+    val oT = df.schema(orderCol).dataType.sql
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__pts__"))
+    val lvl1 = s"($a * p.v + ${1.0 - a} * (acc.level + (p.v - acc.level)))"
+    val tr1 = s"($b * ($lvl1 - acc.level) + ${1.0 - b} * (p.v - acc.level))"
+    val lvl2 = s"($a * p.v + ${1.0 - a} * (acc.level + acc.trend))"
+    val tr2 = s"($b * ($lvl2 - acc.level) + ${1.0 - b} * acc.trend)"
+    val fold = expr(
+      s"""aggregate(__pts__,
+         |  struct(cast(array() as array<struct<o: $oT, y: double,
+         |           fc: double>>) as outp,
+         |         cast(0 as int) as i,
+         |         cast(0.0 as double) as level,
+         |         cast(0.0 as double) as trend),
+         |  (acc, p) -> CASE
+         |    WHEN acc.i = 0 THEN
+         |      struct(acc.outp as outp, cast(1 as int) as i,
+         |        cast(p.v as double) as level,
+         |        cast(0.0 as double) as trend)
+         |    WHEN acc.i = 1 THEN
+         |      struct(acc.outp as outp, cast(2 as int) as i,
+         |        cast($lvl1 as double) as level,
+         |        cast($tr1 as double) as trend)
+         |    ELSE
+         |      struct((acc.outp || array(struct(p.o as o,
+         |        p.v as y, cast(acc.level + acc.trend as double) as fc)))
+         |          as outp,
+         |        cast(acc.i + 1 as int) as i,
+         |        cast($lvl2 as double) as level,
+         |        cast($tr2 as double) as trend) END)
+         |  .outp""".stripMargin)
+    val errs = grouped.withColumn("__e__", explode(fold))
+      .select(keyCols.map(col) :+ col("__e__.y").as("y") :+
+        col("__e__.fc").as("fc"): _*)
+      .withColumn("err", col("y") - col("fc"))
+    val metrics = errs.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_eval"),
+        avg(abs(col("err"))).as("mae_raw"),
+        sqrt(avg(col("err") * col("err"))).as("rmse_raw"),
+        avg(when(abs(col("y")) > 0,
+          abs(col("err")) / abs(col("y")))).as("mape_raw"),
+        avg(when(abs(col("y")) + abs(col("fc")) > 0,
+          lit(2.0) * abs(col("err")) /
+            (abs(col("y")) + abs(col("fc"))))).as("smape_raw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val naive = df.filter(col(valueCol).isNotNull)
+      .select(keyCols.map(col) :+ col(orderCol) :+
+        col(valueCol).cast("double").as("__v__"): _*)
+      .withColumn("__d__", col("__v__") - lag("__v__", 1).over(w))
+      .filter(col("__d__").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(avg(abs(col("__d__"))).as("naive_mae"))
+    metrics.join(naive, keyCols)
+      .select(keyCols.map(col) :+ col("n_eval") :+
+        round(col("mae_raw"), 6).as("mae") :+
+        round(col("rmse_raw"), 6).as("rmse") :+
+        round(col("mape_raw"), 6).as("mape") :+
+        round(col("smape_raw"), 6).as("smape") :+
+        when(col("naive_mae") > 0,
+          round(col("mae_raw") / col("naive_mae"), 6)).as("mase"): _*)
+  }
+
   /** Per-key Kalman FILTER for the local-level state-space model
     * (random walk + noise: x_t = x_{t-1} + w_t, w~N(0,q);
     * y_t = x_t + v_t, v~N(0,r)) — the state-space smoothing layer the
