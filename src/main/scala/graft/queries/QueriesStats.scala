@@ -823,6 +823,26 @@ object QueriesStats {
         .orderBy("event_type", "h")
     }),
 
+    // deterministic Fisher permutation test (199 md5-rank label
+    // permutations, add-one p): click-vs-view mean event value in
+    // exact cents — every permutation and comparison replayed
+    "q355_perm_test" -> ((s, d) =>
+      StatsOps.permutationTestMeanDiff(
+        t(s, d, "events")
+          .filter(col("event_type").isin("click", "view") &&
+            col("event_id").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            cents(col("value")).as("vc")),
+        "vc", "event_type", "click", "event_id", reps = 199)),
+
+    // delete-one-group jackknife SE of the global mean event value
+    // (the delete-a-partition estimator-variance shape)
+    "q356_jackknife" -> ((s, d) =>
+      StatsOps.jackknifeMeanByGroup(
+        t(s, d, "events").select(col("event_type"),
+          cents(col("value")).as("vc")),
+        "vc", "event_type")),
+
     // per-key one-step-ahead Holt backtest over the q307 hourly
     // series: MAE/RMSE/MAPE/sMAPE/MASE per event type; recurrence
     // replayed bit-exactly by a recursive CTE, averages within the
@@ -3622,6 +3642,77 @@ object QueriesStats {
         |  s.xs AS kf_smooth
         |FROM rf JOIN s ON rf.event_type = s.event_type
         |  AND rf.rn = s.rn""".stripMargin,
+
+    // full randomization replay: the same 199 md5-rank permutations,
+    // exact-cents group sums (so every d_r is the identical double
+    // and no >= comparison can flip on summation ulps)
+    "q355_perm_test" ->
+      """WITH base AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS v,
+        |    (event_type = 'click') AS isa
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND event_type IN ('click', 'view')
+        |    AND event_id IS NOT NULL),
+        |obs AS (
+        |  SELECT CAST(sum(CASE WHEN isa THEN v END) AS DOUBLE) /
+        |      CAST(sum(CASE WHEN isa THEN 1 END) AS BIGINT) -
+        |    CAST(sum(CASE WHEN NOT isa THEN v END) AS DOUBLE) /
+        |      CAST(sum(CASE WHEN NOT isa THEN 1 END) AS BIGINT)
+        |      AS obs_diff,
+        |    CAST(sum(CASE WHEN isa THEN 1 END) AS BIGINT) AS n1
+        |  FROM base),
+        |reps AS (SELECT unnest(range(1, 200)) AS rep),
+        |hh AS (
+        |  SELECT b.id, b.v, r.rep,
+        |    list_sum(list_transform(range(1, 13),
+        |      i -> (strpos('0123456789abcdef', substr(md5(
+        |        b.id || '#perm' || CAST(r.rep AS VARCHAR)), i, 1))
+        |        - 1) * power(16, 12 - i))) / 281474976710656.0 AS h
+        |  FROM base b CROSS JOIN reps r),
+        |lab AS (
+        |  SELECT rep, v,
+        |    (row_number() OVER (PARTITION BY rep ORDER BY h, id) <=
+        |      (SELECT n1 FROM obs)) AS lab
+        |  FROM hh),
+        |per AS (
+        |  SELECT rep,
+        |    CAST(sum(CASE WHEN lab THEN v END) AS DOUBLE) /
+        |      CAST(sum(CASE WHEN lab THEN 1 END) AS BIGINT) -
+        |    CAST(sum(CASE WHEN NOT lab THEN v END) AS DOUBLE) /
+        |      CAST(sum(CASE WHEN NOT lab THEN 1 END) AS BIGINT) AS d
+        |  FROM lab GROUP BY 1),
+        |ge AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_ge
+        |  FROM per, obs WHERE abs(per.d) >= abs(obs.obs_diff))
+        |SELECT round(obs.obs_diff, 6) AS obs_diff, ge.n_ge,
+        |  round((ge.n_ge + 1.0) / 200.0, 6) AS p_value
+        |FROM obs, ge""".stripMargin,
+
+    // exact-integer delete-one-group pseudo-values, then the
+    // (G-1)/G jackknife moment
+    "q356_jackknife" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |tot AS (
+        |  SELECT CAST(sum(v) AS BIGINT) AS s_all, count(*) AS n_all
+        |  FROM base),
+        |per AS (
+        |  SELECT g, CAST(t.s_all - sum(v) AS DOUBLE) /
+        |    (t.n_all - count(*)) AS theta_g
+        |  FROM base, tot t GROUP BY g, t.s_all, t.n_all),
+        |gs AS (
+        |  SELECT count(*) AS gc, avg(theta_g) AS tb,
+        |    sum(theta_g * theta_g) AS ss
+        |  FROM per)
+        |SELECT CAST(gc AS BIGINT) AS g_count, round(tb, 6) AS theta_bar,
+        |  round(sqrt(greatest(0.0, (gc - 1.0) / gc *
+        |    (ss - gc * tb * tb))), 6) AS se_jack
+        |FROM gs""".stripMargin,
 
     "q354_holt_backtest" ->
       """WITH RECURSIVE hourly AS MATERIALIZED (

@@ -28,6 +28,96 @@ object StatsOps {
 
   /** describe (stats.rs:50): count/mean/std/min/q1/median/q3/max per
     * numeric column, one aggregate pass + exact percentiles. */
+  /** Deterministic two-sample PERMUTATION test for the difference in
+    * means (Fisher randomization): R exact label permutations drawn
+    * by ranking rows on md5(id, rep) — a uniform permutation per
+    * rep, no RNG state, so ANY engine re-derives the identical
+    * permutation set and the test is hash-reproducible (the
+    * hashSample/md5-lottery idiom applied to resampling). Per rep,
+    * the first n1 hash-ranked rows relabel as group 1; the rep
+    * statistic is the relabeled mean difference; p = (1 + #{|d_r|
+    * >= |d_obs|}) / (R + 1) (add-one, Phipson–Smyth 2010).
+    *
+    * Determinism contract: pass an INTEGER-scaled value column
+    * (e.g. cents) — group sums are then exact, every d_r is the
+    * same double in every engine, and the >= comparisons cannot
+    * flip on summation-order ulps. Shape: explode ×R, one window
+    * rank per rep partition, one (rep,label) aggregate — R·n
+    * intermediate rows, for bounded analysis tables (sample first
+    * at 100 TB; the test is inherently resampling-scale). `idCol`
+    * must be row-unique. */
+  def permutationTestMeanDiff(df: DataFrame, valueCol: String,
+      groupCol: String, groupA: String, idCol: String,
+      reps: Int = 199): DataFrame = {
+    require(reps >= 1 && reps <= 10000, "reps in [1,10000]")
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(idCol).cast("string").as("id"),
+        col(valueCol).cast("long").as("v"),
+        (col(groupCol) === groupA).as("isa"))
+    val obs = base.agg(
+      (sum(when(col("isa"), col("v"))).cast("double") /
+        sum(when(col("isa"), 1L)) -
+       sum(when(!col("isa"), col("v"))).cast("double") /
+        sum(when(!col("isa"), 1L))).as("obs_diff"),
+      sum(when(col("isa"), 1L)).as("n1"),
+      count(lit(1)).as("n"))
+    val reped = base.crossJoin(broadcast(obs))
+      .select(col("id"), col("v"), col("n1"),
+        explode(sequence(lit(1), lit(reps))).as("rep"))
+      .withColumn("h", graft.llm.PipelineOps.hash48Unit(
+        concat(col("id"), lit("#perm"), col("rep"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rep").orderBy(col("h"), col("id"))
+    val labeled = reped
+      .withColumn("lab", row_number().over(w) <= col("n1"))
+    val perRep = labeled.groupBy("rep")
+      .agg((sum(when(col("lab"), col("v"))).cast("double") /
+          sum(when(col("lab"), 1L)) -
+        sum(when(!col("lab"), col("v"))).cast("double") /
+          sum(when(!col("lab"), 1L))).as("d"))
+    perRep.crossJoin(broadcast(obs))
+      .agg(first(col("obs_diff")).as("od"),
+        sum(when(abs(col("d")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L)).as("n_ge"))
+      .select(round(col("od"), 6).as("obs_diff"),
+        col("n_ge").cast("long").as("n_ge"),
+        round((col("n_ge") + lit(1.0)) / lit(reps + 1.0), 6)
+          .as("p_value"))
+  }
+
+  /** Delete-one-GROUP jackknife for the global mean (Quenouille–
+    * Tukey; the delete-a-partition form is how estimator variance is
+    * assessed over sharded 100 TB data): pseudo-estimates θ_g =
+    * mean over all rows except group g — computed from exact
+    * integer totals minus per-group sums (one aggregate each, no
+    * per-g rescans) — then SE² = (G−1)/G · Σ(θ_g − θ̄)². Integer-
+    * scaled input keeps every θ_g engine-exact; only the final
+    * moment sum carries ulps (round-absorbed). */
+  def jackknifeMeanByGroup(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull &&
+      col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val tot = base.agg(sum(col("v")).as("s_all"),
+      count(lit(1)).as("n_all"))
+    val per = base.groupBy("g")
+      .agg(sum(col("v")).as("s_g"), count(lit(1)).as("n_g"))
+      .crossJoin(broadcast(tot))
+      .select(col("g"),
+        ((col("s_all") - col("s_g")).cast("double") /
+          (col("n_all") - col("n_g"))).as("theta_g"))
+    val gstats = per.agg(count(lit(1)).as("gcount"),
+      avg(col("theta_g")).as("theta_bar"),
+      sum(col("theta_g") * col("theta_g")).as("ss"))
+    gstats.select(col("gcount").cast("long").as("g_count"),
+      round(col("theta_bar"), 6).as("theta_bar"),
+      round(sqrt(greatest(lit(0.0),
+        (col("gcount") - lit(1.0)) / col("gcount") *
+        (col("ss") - col("gcount") * col("theta_bar") *
+          col("theta_bar")))), 6).as("se_jack"))
+  }
+
   /** Mergeable histogram-quantile sketch over EXPLICIT bounds: bin
     * counts of floor((x−lo)·bins/(hi−lo)) clamped into [0, bins−1]
     * — ONE hash aggregate, ≤ `bins` rows out, mergeable across
