@@ -823,6 +823,17 @@ object QueriesStats {
         .orderBy("event_type", "h")
     }),
 
+    // 2x2 difference-in-differences (even-users x afternoon) with
+    // saturated-OLS large-sample inference, one conditional-sum agg
+    "q357_did" -> ((s, d) =>
+      StatsOps.diffInDiffMeans(
+        t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(cents(col("value")).as("yc"),
+            (pmod(col("user_id"), lit(2)) === 0).as("treated"),
+            (hour(col("ts")) >= 12).as("post")),
+        "yc", "treated", "post")),
+
     // deterministic Fisher permutation test (199 md5-rank label
     // permutations, add-one p): click-vs-view mean event value in
     // exact cents — every permutation and comparison replayed
@@ -3642,6 +3653,47 @@ object QueriesStats {
         |  s.xs AS kf_smooth
         |FROM rf JOIN s ON rf.event_type = s.event_type
         |  AND rf.rn = s.rn""".stripMargin,
+
+    // identical conditional-sum algebra + the shared A&S normal CDF
+    "q357_did" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(eff / se)")
+      s"""WITH base AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS y,
+         |    (user_id % 2 = 0) AS t, (hour(ts) >= 12) AS p
+         |  FROM events
+         |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+         |    AND ts IS NOT NULL),
+         |a AS (
+         |  SELECT count(*) AS n, CAST(sum(y * y) AS DOUBLE) AS ssq,
+         |    CAST(sum(CASE WHEN NOT t AND NOT p THEN y END) AS BIGINT) AS s00,
+         |    CAST(sum(CASE WHEN NOT t AND p THEN y END) AS BIGINT) AS s01,
+         |    CAST(sum(CASE WHEN t AND NOT p THEN y END) AS BIGINT) AS s10,
+         |    CAST(sum(CASE WHEN t AND p THEN y END) AS BIGINT) AS s11,
+         |    CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 END) AS BIGINT) AS n00,
+         |    CAST(sum(CASE WHEN NOT t AND p THEN 1 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN t AND NOT p THEN 1 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN t AND p THEN 1 END) AS BIGINT) AS n11
+         |  FROM base),
+         |e AS (
+         |  SELECT n, n00, n01, n10, n11,
+         |    (CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10) -
+         |    (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00)
+         |      AS eff,
+         |    ssq - (CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE) / n00 +
+         |      CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE) / n01 +
+         |      CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / n10 +
+         |      CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / n11) AS rss
+         |  FROM a),
+         |f AS (
+         |  SELECT n, eff,
+         |    sqrt(greatest(0.0, rss / (n - 4.0)) *
+         |      (1.0 / n00 + 1.0 / n01 + 1.0 / n10 + 1.0 / n11)) AS se
+         |  FROM e)
+         |SELECT CAST(n AS BIGINT) AS n, round(eff, 6) AS did_effect,
+         |  round(se, 6) AS se, round(eff / se, 6) AS z,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_value
+         |FROM f""".stripMargin
+    },
 
     // full randomization replay: the same 199 md5-rank permutations,
     // exact-cents group sums (so every d_r is the identical double

@@ -28,6 +28,59 @@ object StatsOps {
 
   /** describe (stats.rs:50): count/mean/std/min/q1/median/q3/max per
     * numeric column, one aggregate pass + exact percentiles. */
+  /** 2×2 difference-in-differences from ONE grouping-free aggregate
+    * (8 conditional exact-integer sums — no shuffle beyond map-side
+    * partials, the ideal 100 TB shape): effect = (m̄11−m̄10) −
+    * (m̄01−m̄00), with the saturated-OLS large-sample inference
+    * σ² = RSS/(n−4), SE = σ·sqrt(Σ 1/n_cell), z, two-sided normal
+    * p (the Abramowitz–Stegun Φ both engines share). Pass an
+    * integer-scaled y (cents) so cell sums are exact; RSS uses
+    * Σy² − Σ s_c²/n_c on exact sums. */
+  def diffInDiffMeans(df: DataFrame, yCol: String,
+      treatedCol: String, postCol: String): DataFrame = {
+    val base = df.filter(col(yCol).isNotNull &&
+        col(treatedCol).isNotNull && col(postCol).isNotNull)
+      .select(col(yCol).cast("long").as("y"),
+        col(treatedCol).cast("boolean").as("t"),
+        col(postCol).cast("boolean").as("p"))
+    def cell(t: Boolean, p: Boolean, e: Column) =
+      sum(when(col("t") === t && col("p") === p, e))
+    val agg0 = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("y") * col("y")).as("ssq"),
+      cell(false, false, col("y")).as("s00"),
+      cell(false, true, col("y")).as("s01"),
+      cell(true, false, col("y")).as("s10"),
+      cell(true, true, col("y")).as("s11"),
+      cell(false, false, lit(1L)).as("n00"),
+      cell(false, true, lit(1L)).as("n01"),
+      cell(true, false, lit(1L)).as("n10"),
+      cell(true, true, lit(1L)).as("n11"))
+    def m(s: String, n: String) =
+      col(s).cast("double") / col(n)
+    def cellss(s: String, n: String) =
+      col(s).cast("double") * col(s).cast("double") / col(n)
+    val eff = (m("s11", "n11") - m("s10", "n10")) -
+      (m("s01", "n01") - m("s00", "n00"))
+    val rss = col("ssq").cast("double") -
+      (cellss("s00", "n00") + cellss("s01", "n01") +
+       cellss("s10", "n10") + cellss("s11", "n11"))
+    val invN = lit(1.0) / col("n00") + lit(1.0) / col("n01") +
+      lit(1.0) / col("n10") + lit(1.0) / col("n11")
+    val withEff = agg0.select(col("n"),
+      col("n00"), col("n01"), col("n10"), col("n11"),
+      eff.as("eff"),
+      sqrt(greatest(lit(0.0), rss / (col("n") - lit(4.0))) * invN)
+        .as("se"))
+    withEff.select(col("n").cast("long").as("n"),
+      round(col("eff"), 6).as("did_effect"),
+      round(col("se"), 6).as("se"),
+      round(col("eff") / col("se"), 6).as("z"),
+      round(lit(2.0) * (lit(1.0) -
+        Distributions.normalCdfCol(abs(col("eff") / col("se")))), 6)
+        .as("p_value"))
+  }
+
   /** Deterministic two-sample PERMUTATION test for the difference in
     * means (Fisher randomization): R exact label permutations drawn
     * by ranking rows on md5(id, rep) — a uniform permutation per
