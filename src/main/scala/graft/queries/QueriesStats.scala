@@ -823,6 +823,14 @@ object QueriesStats {
         .orderBy("event_type", "h")
     }),
 
+    // TOST equivalence: are click and view mean values the SAME
+    // within +-300 cents (Schuirmann two one-sided z tests)
+    "q358_tost" -> ((s, d) =>
+      graft.stats.TwoSampleOps.tostEquivalence(
+        t(s, d, "events").select(col("event_type"),
+          cents(col("value")).as("vc")),
+        "vc", "event_type", "click", "view", margin = 300.0)),
+
     // 2x2 difference-in-differences (even-users x afternoon) with
     // saturated-OLS large-sample inference, one conditional-sum agg
     "q357_did" -> ((s, d) =>
@@ -3653,6 +3661,46 @@ object QueriesStats {
         |  s.xs AS kf_smooth
         |FROM rf JOIN s ON rf.event_type = s.event_type
         |  AND rf.rn = s.rn""".stripMargin,
+
+    // Welch-z TOST replay: exact-integer moment sums + the shared
+    // A&S normal CDF polynomial on both one-sided z's
+    "q358_tost" -> {
+      val phiLo = graft.stats.Distributions.normalCdfSql(
+        "(d + 300.0) / se")
+      val phiHi = graft.stats.Distributions.normalCdfSql(
+        "(d - 300.0) / se")
+      s"""WITH base AS (
+         |  SELECT CAST(round(value * 100) AS BIGINT) AS y,
+         |    (event_type = 'click') AS isa
+         |  FROM events
+         |  WHERE value IS NOT NULL
+         |    AND event_type IN ('click', 'view')),
+         |a AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN isa THEN y END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN isa THEN 1 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN isa THEN y * y END) AS BIGINT) AS qa,
+         |    CAST(sum(CASE WHEN NOT isa THEN y END) AS BIGINT) AS sb,
+         |    CAST(sum(CASE WHEN NOT isa THEN 1 END) AS BIGINT) AS nb,
+         |    CAST(sum(CASE WHEN NOT isa THEN y * y END) AS BIGINT) AS qb
+         |  FROM base),
+         |f AS (
+         |  SELECT
+         |    CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS d,
+         |    sqrt(
+         |      (CAST(qa AS DOUBLE) -
+         |        CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) /
+         |        (na - 1.0) / na +
+         |      (CAST(qb AS DOUBLE) -
+         |        CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) /
+         |        (nb - 1.0) / nb) AS se
+         |  FROM a)
+         |SELECT round(d, 6) AS mean_diff, round(se, 6) AS se,
+         |  round((d + 300.0) / se, 6) AS z_lower,
+         |  round((d - 300.0) / se, 6) AS z_upper,
+         |  round(greatest(1.0 - $phiLo, $phiHi), 6) AS p_tost
+         |FROM f""".stripMargin
+    },
 
     // identical conditional-sum algebra + the shared A&S normal CDF
     "q357_did" -> {

@@ -64,6 +64,49 @@ object TwoSampleOps {
     * the `catCol` distributions of two cohorts, plus the metric
     * sqrt(JSD). Zero-probability categories contribute 0 to their
     * side. One hash aggregate over the data. */
+  /** TOST equivalence test (Schuirmann 1987) on the mean difference
+    * of two groups with a large-sample Welch z: the A/B question
+    * "are these the SAME within ±margin" that a significance test
+    * cannot answer. z_lo = (d+δ)/se tests H0: d ≤ −δ, z_hi =
+    * (d−δ)/se tests H0: d ≥ +δ; p_tost = max of the two one-sided
+    * normal p's — equivalence is declared when p_tost < α. One
+    * grouping-free conditional-sum aggregate on exact integer input
+    * (the diffInDiffMeans shape); Welch se from per-group
+    * s²/n with s² = (Σy² − s²/n)/(n−1) on exact sums. */
+  def tostEquivalence(df: DataFrame, valueCol: String,
+      groupCol: String, groupA: String, groupB: String,
+      margin: Double): DataFrame = {
+    require(margin > 0, "margin > 0")
+    val base = df.filter(col(valueCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("y"),
+        (col(groupCol) === groupA).as("isa"))
+    def c(a: Boolean, e: Column) = sum(when(col("isa") === a, e))
+    val agg0 = base.agg(
+      c(true, col("y")).as("sa"), c(true, lit(1L)).as("na"),
+      c(true, col("y") * col("y")).as("qa"),
+      c(false, col("y")).as("sb"), c(false, lit(1L)).as("nb"),
+      c(false, col("y") * col("y")).as("qb"))
+    def varOf(s: String, q: String, n: String) =
+      (col(q).cast("double") -
+        col(s).cast("double") * col(s).cast("double") / col(n)) /
+        (col(n) - lit(1.0))
+    val d = col("sa").cast("double") / col("na") -
+      col("sb").cast("double") / col("nb")
+    val se = sqrt(varOf("sa", "qa", "na") / col("na") +
+      varOf("sb", "qb", "nb") / col("nb"))
+    agg0.select(d.as("d"), se.as("se"))
+      .select(round(col("d"), 6).as("mean_diff"),
+        round(col("se"), 6).as("se"),
+        round((col("d") + lit(margin)) / col("se"), 6).as("z_lower"),
+        round((col("d") - lit(margin)) / col("se"), 6).as("z_upper"),
+        round(greatest(
+          lit(1.0) - Distributions.normalCdfCol(
+            (col("d") + lit(margin)) / col("se")),
+          Distributions.normalCdfCol(
+            (col("d") - lit(margin)) / col("se"))), 6).as("p_tost"))
+  }
+
   def jensenShannon(df: DataFrame, catCol: String, groupCol: String,
       gA: String, gB: String): DataFrame = {
     val pooled = df.filter(col(groupCol).isin(gA, gB) &&
