@@ -229,6 +229,32 @@ object QueriesPipeline {
           col("true_count"))
     }),
 
+    // ranked-retrieval evaluation (trec_eval family) — P@10/R@10/
+    // MRR/AP@10/NDCG@10 per query. Deterministic harness: queries =
+    // nations, the "run" ranks each nation's customers by md5 order
+    // (a fixed pseudo-retrieval both engines replay byte-identically)
+    // and qrels grade customers by exact-cents balance bands
+    // (>=7500 -> rel 2, >=5000 -> rel 1). The METRICS are the unit
+    // under test; every count is exact and the double formulas share
+    // one association order with the oracle.
+    "q359_rank_eval" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("h"), col("did"))
+      val run = c.select(col("c_nationkey").cast("long").as("qid"),
+          col("c_custkey").cast("long").as("did"),
+          md5(col("c_custkey").cast("string")).as("h"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("qid", "did", "rank")
+      val bal = cents(col("c_acctbal"))
+      val qrels = c.select(col("c_nationkey").cast("long").as("qid"),
+          col("c_custkey").cast("long").as("did"),
+          when(bal >= 750000L, 2).when(bal >= 500000L, 1).as("rel"))
+        .filter(col("rel").isNotNull)
+      graft.llm.RetrievalEval.rankEval(run, qrels, k = 10)
+    }),
+
     // HyperLogLog distinct-count sketch of lineitem part keys
     // (p=6 → 64 registers; same value set as the KMV gate q97 so the
     // two sketch families are directly comparable). The gate emits
@@ -778,6 +804,71 @@ object QueriesPipeline {
         "s_suppkey", "supp_fk")))
 
   val oracle: Map[String, String] = Map(
+
+    // full metric replay: identical md5 pseudo-run, exact-cents
+    // qrels, the same hit-cumulative window and gain/discount
+    // association order; doubles rounded at 6 dp on both sides
+    "q359_rank_eval" ->
+      """WITH run0 AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS qid,
+        |    CAST(c_custkey AS BIGINT) AS did,
+        |    md5(CAST(c_custkey AS VARCHAR)) AS h
+        |  FROM customer),
+        |run AS (
+        |  SELECT qid, did, rnk FROM (
+        |    SELECT qid, did, row_number() OVER (
+        |      PARTITION BY qid ORDER BY h, did) AS rnk
+        |    FROM run0)
+        |  WHERE rnk <= 10),
+        |qrels AS (
+        |  SELECT qid, did, rel FROM (
+        |    SELECT CAST(c_nationkey AS BIGINT) AS qid,
+        |      CAST(c_custkey AS BIGINT) AS did,
+        |      CASE
+        |        WHEN CAST(round(c_acctbal * 100) AS BIGINT) >= 750000
+        |          THEN 2.0
+        |        WHEN CAST(round(c_acctbal * 100) AS BIGINT) >= 500000
+        |          THEN 1.0 END AS rel
+        |    FROM customer)
+        |  WHERE rel IS NOT NULL),
+        |j AS (
+        |  SELECT r.qid, r.rnk, coalesce(q.rel, 0.0) AS rel
+        |  FROM run r LEFT JOIN qrels q
+        |    ON q.qid = r.qid AND q.did = r.did),
+        |jc AS (
+        |  SELECT qid, rnk, rel,
+        |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY qid ORDER BY rnk) AS hc
+        |  FROM j),
+        |pq AS (
+        |  SELECT qid, count(*) AS n_ret,
+        |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+        |    sum((power(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg,
+        |    sum(CASE WHEN rel > 0 THEN CAST(hc AS DOUBLE) / rnk
+        |      ELSE 0.0 END) AS ap_num,
+        |    min(CASE WHEN rel > 0 THEN rnk END) AS first_rel
+        |  FROM jc GROUP BY 1),
+        |ideal AS (
+        |  SELECT qid, count(*) AS n_rel,
+        |    sum(CASE WHEN pos <= 10 THEN
+        |      (power(2.0, rel) - 1.0) / log2(pos + 1.0) END) AS idcg
+        |  FROM (
+        |    SELECT qid, rel, row_number() OVER (
+        |      PARTITION BY qid ORDER BY rel DESC, did) AS pos
+        |    FROM qrels)
+        |  GROUP BY 1)
+        |SELECT p.qid, CAST(n_ret AS BIGINT) AS n_ret,
+        |  CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+        |  CAST(hits AS BIGINT) AS hits,
+        |  round(CAST(hits AS DOUBLE) / 10, 6) AS p_at_k,
+        |  CASE WHEN coalesce(n_rel, 0) > 0
+        |    THEN round(CAST(hits AS DOUBLE) / n_rel, 6) END AS r_at_k,
+        |  round(coalesce(1.0 / first_rel, 0.0), 6) AS rr,
+        |  CASE WHEN coalesce(n_rel, 0) > 0
+        |    THEN round(ap_num / least(n_rel, 10), 6) END AS ap_at_k,
+        |  CASE WHEN idcg > 0
+        |    THEN round(dcg / idcg, 6) END AS ndcg_at_k
+        |FROM pq p LEFT JOIN ideal i ON i.qid = p.qid""".stripMargin,
 
     "q271_dup_spans" ->
       raw"""WITH toks AS (SELECT doc_id, list_filter(
