@@ -24,7 +24,7 @@ OPENS = [x for p in [
 def run_verify():
     cmd = ["java"] + OPENS + [
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-Xmx8g", "-cp", CP, "graft.Verify", SF, OUT]
+        "-Xmx8g", "-cp", CP, "graft.Verify", SF, OUT] + sorted(ONLY)
     env = {"PATH": "/usr/bin:/bin", "SPARK_GRAFT_CPUS": "8"}
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for line in r.stderr.splitlines():

@@ -472,4 +472,70 @@ object GraphOps {
           (col("d").cast("double") * (col("d").cast("double") - 1)))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Newman modularity of a vertex partition (Newman & Girvan 2004)
+    * over the undirected simple graph induced by `edges`: one row per
+    * community with exact counts and its additive contribution
+    *   dq = m_c/m − (d_c/(2m))²
+    * so the graph-level Q is `sum(dq)` ([[modularityScore]]). This is
+    * the quality metric for any community output (label propagation,
+    * connected components, an external attribute) — the reference has
+    * community detection but no partition-quality score.
+    *
+    * `partition` is (id, comm) with one row per vertex; vertices
+    * missing from the map are dropped from the metric (inner join on
+    * both endpoints), isolated mapped vertices count toward n_nodes
+    * with zero degree. Self-loops and duplicate/reversed edges are
+    * normalized away.
+    *
+    * Scale shape: edge normalization, one degree aggregate, two hash
+    * joins against the partition map (broadcast when small), one
+    * per-community aggregate; the global edge count rides a 1-row
+    * broadcast cross join. No window, no driver loop. The dq double
+    * is computed in one fixed association order so a DuckDB replay
+    * over the same integer counts hash-matches. */
+  def modularity(edges: DataFrame, partition: DataFrame,
+      idCol: String = "id", commCol: String = "comm"): DataFrame = {
+    val pmap = partition.select(col(idCol).as("id"),
+      col(commCol).as("comm"))
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().cache()
+    val m = und.agg(count(lit(1)).cast("double").as("m"))
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // per-community node count + degree mass (isolated vertices d=0)
+    val nodes = pmap.join(deg, Seq("id"), "left")
+      .na.fill(0L, Seq("d"))
+      .groupBy("comm")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("degree_sum"))
+    // internal edges: both endpoints mapped to the same community
+    val internal = und
+      .join(pmap.select(col("id").as("a"), col("comm").as("ca")),
+        Seq("a"))
+      .join(pmap.select(col("id").as("b"), col("comm").as("cb")),
+        Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm"))
+      .agg(count(lit(1)).as("internal_edges"))
+    nodes.join(internal, Seq("comm"), "left")
+      .na.fill(0L, Seq("internal_edges"))
+      .crossJoin(broadcast(m))
+      .select(col("comm"), col("n_nodes"), col("degree_sum"),
+        col("internal_edges"),
+        (col("internal_edges").cast("double") / col("m") -
+          (col("degree_sum").cast("double") / (lit(2.0) * col("m"))) *
+          (col("degree_sum").cast("double") / (lit(2.0) * col("m"))))
+          .as("dq"))
+  }
+
+  /** Graph-level modularity Q = Σ_c dq of [[modularity]]'s output —
+    * the single number a community-detection loop maximizes. */
+  def modularityScore(edges: DataFrame, partition: DataFrame,
+      idCol: String = "id", commCol: String = "comm"): DataFrame =
+    modularity(edges, partition, idCol, commCol)
+      .agg(sum("dq").as("modularity"))
 }

@@ -1532,6 +1532,58 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // split-conformal prediction intervals (Lei et al. 2018) around
+    // a per-flag unit-rate predictor of lineitem price: calibration =
+    // even orderkeys fits rate = Σprice/Σqty and supplies the α=0.1
+    // residual quantile at the EXACT integer rank ⌈(n+1)·9/10⌉; test
+    // rows report empirical coverage of ŷ ± q̂. All inputs exact
+    // cents/longs; the only doubles are two int ratios and |y−ŷ|,
+    // replayed in the same association order
+    "q361_conformal" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_returnflag").as("k"),
+        cents(col("l_extendedprice")).as("pc"),
+        col("l_quantity").cast("long").as("qty"),
+        (pmod(col("l_orderkey"), lit(2)) === 0).as("cal"))
+      val rate = li.filter(col("cal")).groupBy("k")
+        .agg((sum("pc").cast("double") / sum("qty").cast("double"))
+          .as("rate"))
+      val scored = li.join(rate, Seq("k"))
+        .withColumn("y", col("pc").cast("double"))
+        .withColumn("yhat", col("qty").cast("double") * col("rate"))
+      graft.ml.Conformal.splitConformal(scored, Seq("k"), "y", "yhat",
+          "cal", alphaNum = 1, alphaDen = 10)
+        .select(col("k"), col("n_cal"), col("rank"), col("n_test"),
+          col("n_covered"), round(col("qhat"), 6).as("qhat"),
+          round(col("coverage"), 6).as("coverage"))
+        .orderBy("k")
+    }),
+
+    // §2.14 Newman modularity of the p_brand partition over the
+    // parts co-order graph — the partition-quality metric for any
+    // community output. Exact integer counts (nodes, degree mass,
+    // internal edges) per community; dq double in one fixed
+    // association order; the graph-level Q is sum(dq)
+    "q360_modularity" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      val brands = t(s, d, "part").select(
+        col("p_partkey").as("id"), col("p_brand").as("comm"))
+      GraphOps.modularity(edges, brands)
+        .select(col("comm"),
+          col("n_nodes").cast("long").as("n_nodes"),
+          col("degree_sum").cast("long").as("degree_sum"),
+          col("internal_edges").cast("long").as("internal_edges"),
+          round(col("dq"), 6).as("dq"))
+        .orderBy("comm")
+    }),
+
     // §2.14 3-core of the parts co-order graph (iterative peel —
     // rows-only: fixpoint refinement has no SQL form; K4 spec)
     "q309_kcore" -> ((s, d) => {
@@ -1628,6 +1680,83 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical split, rate ratio, residual formula, integer rank
+    // arithmetic and coverage count
+    "q361_conformal" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS k,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    (l_orderkey % 2 = 0) AS cal
+        |  FROM lineitem),
+        |rate AS (
+        |  SELECT k, CAST(sum(pc) AS DOUBLE) / CAST(sum(qty) AS DOUBLE)
+        |    AS rate
+        |  FROM li WHERE cal GROUP BY 1),
+        |scored AS (
+        |  SELECT li.k, cal,
+        |    abs(CAST(pc AS DOUBLE) - CAST(qty AS DOUBLE) * rate) AS r
+        |  FROM li JOIN rate ON rate.k = li.k),
+        |ncal AS (
+        |  SELECT k, count(*) AS n_cal,
+        |    CAST(floor(((count(*) + 1) * 9 + 9) / 10.0) AS BIGINT)
+        |      AS rnk
+        |  FROM scored WHERE cal GROUP BY 1),
+        |ranked AS (
+        |  SELECT k, r,
+        |    row_number() OVER (PARTITION BY k ORDER BY r) AS rk
+        |  FROM scored WHERE cal),
+        |q AS (
+        |  SELECT ncal.k, n_cal, rnk, r AS qhat
+        |  FROM ranked JOIN ncal ON ncal.k = ranked.k
+        |    AND ranked.rk = ncal.rnk),
+        |cov AS (
+        |  SELECT q.k, count(s.r) AS n_test,
+        |    CAST(sum(CASE WHEN s.r <= qhat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_covered
+        |  FROM q LEFT JOIN scored s ON s.k = q.k AND NOT s.cal
+        |  GROUP BY 1)
+        |SELECT q.k, CAST(n_cal AS BIGINT) AS n_cal,
+        |  rnk AS rank, CAST(n_test AS BIGINT) AS n_test, n_covered,
+        |  round(qhat, 6) AS qhat,
+        |  CASE WHEN n_test > 0 THEN
+        |    round(CAST(n_covered AS DOUBLE) / n_test, 6) END
+        |    AS coverage
+        |FROM q JOIN cov ON cov.k = q.k""".stripMargin,
+
+    // identical edge normalization, degree mass, internal-edge count
+    // and the same dq association order
+    "q360_modularity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e0),
+        |deg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)
+        |  GROUP BY 1),
+        |pm AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+        |nodes AS (
+        |  SELECT comm, count(*) AS n_nodes,
+        |    CAST(sum(coalesce(d, 0)) AS BIGINT) AS degree_sum
+        |  FROM pm LEFT JOIN deg USING (id) GROUP BY 1),
+        |inte AS (
+        |  SELECT pa.comm, count(*) AS internal_edges
+        |  FROM e0
+        |  JOIN pm pa ON pa.id = e0.a
+        |  JOIN pm pb ON pb.id = e0.b
+        |  WHERE pa.comm = pb.comm GROUP BY 1)
+        |SELECT comm, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  degree_sum,
+        |  CAST(coalesce(internal_edges, 0) AS BIGINT)
+        |    AS internal_edges,
+        |  round(CAST(coalesce(internal_edges, 0) AS DOUBLE) / m
+        |    - (CAST(degree_sum AS DOUBLE) / (2.0 * m))
+        |      * (CAST(degree_sum AS DOUBLE) / (2.0 * m)), 6) AS dq
+        |FROM nodes LEFT JOIN inte USING (comm) CROSS JOIN m""".stripMargin,
 
     "q260_trimmed_mean" ->
       """WITH c AS (

@@ -327,6 +327,38 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("modularity: two triangles + bridge, hand-computed") {
+    // triangle {1,2,3} in A, triangle {4,5,6} in B, bridge 3-4;
+    // m=7, d_A=d_B=7, internal=3 each:
+    // dq = 3/7 - (7/14)^2 = 0.1785714...; Q = 2*dq
+    val e = Seq((1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4),
+      (3, 4)).toDF("src", "dst")
+    val pm = Seq((1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"),
+      (6, "B")).toDF("id", "comm")
+    val rows = GraphOps.modularity(e, pm).orderBy("comm").collect()
+    rows.length shouldBe 2
+    for (r <- rows) {
+      r.getAs[Long]("n_nodes") shouldBe 3L
+      r.getAs[Long]("degree_sum") shouldBe 7L
+      r.getAs[Long]("internal_edges") shouldBe 3L
+      approx(r.getAs[Double]("dq"), 3.0 / 7 - 0.25, 1e-12)
+    }
+    val q = GraphOps.modularityScore(e, pm).head().getDouble(0)
+    approx(q, 2 * (3.0 / 7 - 0.25), 1e-12)
+  }
+
+  test("modularity: single community scores 0; isolated counted") {
+    val e = Seq((1, 2), (2, 3), (2, 1), (3, 2), (1, 1))
+      .toDF("src", "dst") // dupes/reverses/self-loop normalize away
+    val pm = Seq((1, "A"), (2, "A"), (3, "A"), (9, "A"))
+      .toDF("id", "comm")
+    val r = GraphOps.modularity(e, pm).head()
+    r.getAs[Long]("n_nodes") shouldBe 4L // isolated 9 counted
+    r.getAs[Long]("internal_edges") shouldBe 2L
+    r.getAs[Long]("degree_sum") shouldBe 4L
+    approx(r.getAs[Double]("dq"), 0.0, 1e-12)
+  }
+
   test("connectedComponents includes isolated vertices when given") {
     val e = Seq((1, 2)).toDF("src", "dst")
     val v = Seq(1, 2, 7).toDF("id") // 7 has no incident edge
