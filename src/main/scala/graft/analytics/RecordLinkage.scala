@@ -1,0 +1,80 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi & Sunter 1969, JASA):
+  * blocked candidate generation + log₂ match-weight scoring from
+  * per-field m/u probabilities, the machinery behind Splink/dedupe-
+  * style entity resolution. The reference ships fuzzy string matching
+  * (`/root/reference/src/text/` similarity kernels, exercised by
+  * q186) but no decision-theoretic linkage layer on top; this adds
+  * the standard one.
+  *
+  * Scale shape (100 TB): candidate pairs come ONLY from equality
+  * blocks — one size aggregate, a size filter dropping
+  * over-`maxBlock` blocks (the `maxDf` hot-key convention: a
+  * degenerate block like a null zip code would otherwise explode
+  * quadratically), then a block-keyed self-join. Scoring is pure
+  * map-side column arithmetic; weights are driver-computed constants.
+  */
+object RecordLinkage {
+
+  /** log₂ agreement weight log₂(m/u). */
+  def agreeWeight(m: Double, u: Double): Double =
+    math.log(m / u) / math.log(2.0)
+
+  /** log₂ disagreement weight log₂((1−m)/(1−u)). */
+  def disagreeWeight(m: Double, u: Double): Double =
+    math.log((1.0 - m) / (1.0 - u)) / math.log(2.0)
+
+  /** Candidate pairs: self-join within equality blocks on
+    * `blockCols`, one row per unordered pair (l_id < r_id), all
+    * non-block columns duplicated with `l_`/`r_` prefixes. Blocks
+    * larger than `maxBlock` are dropped (documented skew guard —
+    * quadratic in block size, so a hot block must be split by a
+    * finer key, not joined). */
+  def blockPairs(df0: DataFrame, idCol: String,
+      blockCols: Seq[String], maxBlock: Int = 10000): DataFrame = {
+    require(blockCols.nonEmpty, "blockPairs needs at least one block key")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val ok = df0.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn__"))
+      .filter(col("__bn__") <= maxBlock).drop("__bn__")
+    val base = df0.join(ok, blockCols)
+    def side(p: String) = base.select(base.columns.map(c =>
+      col(c).as(if (blockCols.contains(c)) c else p + c)): _*)
+    side("l_").join(side("r_"), blockCols)
+      .filter(col("l_" + idCol) < col("r_" + idCol))
+  }
+
+  /** Fellegi–Sunter score + decision for candidate pairs that carry
+    * boolean per-field agreement columns: each field contributes its
+    * agreement weight when true, disagreement weight when false, and
+    * 0 when null (comparison impossible — a missing value carries no
+    * evidence). `fields` is (agreementCol, m, u) with m = P(agree |
+    * match), u = P(agree | non-match); scores ≥ `upper` classify
+    * `match`, ≤ `lower` `non_match`, else `possible` (the clerical-
+    * review band). Weights sum left-to-right in field order so a SQL
+    * replay with the same literal weights is bit-identical. */
+  def fellegiSunter(pairs: DataFrame,
+      fields: Seq[(String, Double, Double)],
+      upper: Double, lower: Double): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter needs at least one field")
+    require(lower <= upper, s"thresholds inverted: $lower > $upper")
+    fields.foreach { case (c, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+        s"field $c needs 0 < u < m < 1, got m=$m u=$u")
+    }
+    val score = fields.map { case (c, m, u) =>
+      when(col(c).isNull, lit(0.0))
+        .when(col(c), lit(agreeWeight(m, u)))
+        .otherwise(lit(disagreeWeight(m, u)))
+    }.reduce(_ + _)
+    pairs.withColumn("fs_score", score)
+      .withColumn("fs_class",
+        when(col("fs_score") >= upper, "match")
+          .when(col("fs_score") <= lower, "non_match")
+          .otherwise("possible"))
+  }
+}

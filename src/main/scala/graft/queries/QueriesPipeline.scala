@@ -20,6 +20,19 @@ object QueriesPipeline {
   private val rakeStopsSql: String =
     rakeStops.map(s => s"'$s'").mkString(", ")
 
+  /** Fellegi-Sunter m/u probabilities for the q362 linkage gate —
+    * shared with the oracle, which inlines the derived log2 weights
+    * as Scala-printed double literals so both engines sum identical
+    * bits. */
+  private val fsFields: Seq[(String, Double, Double)] = Seq(
+    ("type_eq", 0.95, 0.02), ("size_eq", 0.90, 0.02),
+    ("name1_eq", 0.85, 0.01), ("price_band", 0.80, 0.20))
+  private val fsScoreSql: String = fsFields.map { case (c, m, u) =>
+    s"(CASE WHEN $c THEN ${graft.analytics.RecordLinkage
+      .agreeWeight(m, u)} ELSE ${graft.analytics.RecordLinkage
+      .disagreeWeight(m, u)} END)"
+  }.mkString(" + ")
+
   /** Full BPE training replay: vocab as separator-encoded strings
     * ('abc' → ' a  b  c '), pairs via list_zip on the double-space
     * split, per-round argmax with (count desc, a, b) tie-break, and
@@ -193,6 +206,35 @@ object QueriesPipeline {
         .select(col("w").as("wb")).distinct()
       PipelineOps.fuzzyMatch(a, b, "wa", "wb", 2)
         .select(col("wa"), col("wb"), col("edit_dist"))
+    }),
+
+    // Fellegi-Sunter probabilistic record linkage over the part
+    // catalog: equality-blocked candidate pairs (p_brand blocks,
+    // oversized blocks dropped per the maxDf convention), four
+    // boolean agreement fields, log2 m/u weights summed in field
+    // order, three-way match/possible/non_match decision. The score
+    // is a function of the 4 booleans (<=16 distinct values), so the
+    // gate emits the full decision surface with pair counts
+    "q362_record_linkage" -> ((s, d) => {
+      val pairs = graft.analytics.RecordLinkage.blockPairs(
+        t(s, d, "part").select(col("p_partkey"), col("p_brand"),
+          col("p_type"), col("p_size"),
+          col("p_name"), cents(col("p_retailprice")).as("pc")),
+        "p_partkey", Seq("p_brand"), maxBlock = 1000)
+      val ag = pairs
+        .withColumn("type_eq", col("l_p_type") === col("r_p_type"))
+        .withColumn("size_eq", col("l_p_size") === col("r_p_size"))
+        .withColumn("name1_eq", split(col("l_p_name"), " ").getItem(0)
+          === split(col("r_p_name"), " ").getItem(0))
+        .withColumn("price_band",
+          abs(col("l_pc") - col("r_pc")) <= lit(10000L))
+      graft.analytics.RecordLinkage
+        .fellegiSunter(ag, fsFields, upper = 5.0, lower = 0.0)
+        .groupBy("type_eq", "size_eq", "name1_eq", "price_band",
+          "fs_class")
+        .agg(round(min("fs_score"), 6).as("fs_score"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy("type_eq", "size_eq", "name1_eq", "price_band")
     }),
 
     // Benjamini-Hochberg FDR adjustment over a per-supplier p-value
@@ -1358,6 +1400,37 @@ object QueriesPipeline {
         "CAST(l_orderkey AS VARCHAR) || '-' || " +
           "CAST(l_linenumber AS VARCHAR) || 's73'")} < 0.1"""
         .stripMargin,
+
+    // identical blocking (brand x container, HAVING <= maxBlock),
+    // ordered-pair self-join, agreement booleans, and the same
+    // left-to-right weight sum with Scala-printed double literals
+    "q362_record_linkage" ->
+      s"""WITH sz AS (
+         |  SELECT p_brand FROM part
+         |  GROUP BY 1 HAVING count(*) <= 1000),
+         |base AS (
+         |  SELECT p.p_partkey, p.p_brand, p.p_type,
+         |    p.p_size, p.p_name,
+         |    CAST(round(p.p_retailprice * 100) AS BIGINT) AS pc
+         |  FROM part p JOIN sz ON sz.p_brand = p.p_brand),
+         |pairs AS (
+         |  SELECT
+         |    l.p_type = r.p_type AS type_eq,
+         |    l.p_size = r.p_size AS size_eq,
+         |    split_part(l.p_name, ' ', 1) = split_part(r.p_name, ' ', 1)
+         |      AS name1_eq,
+         |    abs(l.pc - r.pc) <= 10000 AS price_band
+         |  FROM base l JOIN base r ON l.p_brand = r.p_brand
+         |    AND l.p_partkey < r.p_partkey),
+         |scored AS (
+         |  SELECT *, $fsScoreSql AS s FROM pairs)
+         |SELECT type_eq, size_eq, name1_eq, price_band,
+         |  CASE WHEN s >= 5.0 THEN 'match'
+         |       WHEN s <= 0.0 THEN 'non_match'
+         |       ELSE 'possible' END AS fs_class,
+         |  round(min(s), 6) AS fs_score,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM scored GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q186_fuzzy_match" ->
       raw"""WITH ta AS (
