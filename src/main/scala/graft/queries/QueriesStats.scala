@@ -1532,6 +1532,19 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // §2.12 power analysis (statsmodels NormalIndPower family):
+    // achieved power of the two-sided z test at the observed
+    // click-vs-view effect + required per-group n for 0.8 power.
+    // Exact sufficient sums; Φ is the shared A&S polynomial and the
+    // z quantiles are Acklam constants interpolated into the oracle
+    "q363_power_analysis" -> ((s, d) =>
+      StatsOps.powerTwoSample(
+        t(s, d, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"), cents(col("value")).as("vc")),
+        "vc", "event_type", "click", "view",
+        alpha = 0.05, targetPower = 0.8)),
+
     // split-conformal prediction intervals (Lei et al. 2018) around
     // a per-flag unit-rate predictor of lineitem price: calibration =
     // even orderkeys fits rate = Σprice/Σqty and supplies the α=0.1
@@ -1680,6 +1693,43 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical sufficient sums, Welch/pooled effect formulas, the
+    // same A&S Φ replay and Acklam z-quantile literals
+    "q363_power_analysis" -> {
+      val zc = graft.stats.Distributions.normSInv(0.975)
+      val zp = graft.stats.Distributions.normSInv(0.8)
+      val phiP = graft.stats.Distributions.normalCdfSql(s"dz - $zc")
+      val phiM = graft.stats.Distributions.normalCdfSql(s"-dz - $zc")
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |    sum(v) AS s1, sum(v * v) AS s2
+         |  FROM (SELECT event_type,
+         |      CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v
+         |    FROM events WHERE event_type IN ('click', 'view')
+         |      AND value IS NOT NULL)
+         |  GROUP BY 1),
+         |gm AS (SELECT event_type, n, s1 / n AS m,
+         |    (s2 - s1 * s1 / n) / (n - 1) AS s2v FROM g),
+         |w AS (SELECT a.n AS na, a.m AS ma, a.s2v AS va,
+         |    b.n AS nb, b.m AS mb, b.s2v AS vb
+         |  FROM (SELECT * FROM gm WHERE event_type = 'click') a,
+         |       (SELECT * FROM gm WHERE event_type = 'view') b),
+         |f AS (SELECT na, nb, ma, mb,
+         |    abs(ma - mb) / sqrt(va / na + vb / nb) AS dz,
+         |    abs(ma - mb) /
+         |      sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+         |      AS d
+         |  FROM w)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+         |  round(d, 6) AS effect_d, round(dz, 6) AS z_effect,
+         |  round(($phiP) + ($phiM), 6) AS power,
+         |  CASE WHEN d >= 1e-6 THEN
+         |    CAST(ceil(2.0 * (($zc + $zp) / d) * (($zc + $zp) / d))
+         |      AS BIGINT) END AS n_required
+         |FROM f""".stripMargin
+    },
 
     // identical split, rate ratio, residual formula, integer rank
     // arithmetic and coverage count

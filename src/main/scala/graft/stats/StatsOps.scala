@@ -905,6 +905,62 @@ object StatsOps {
       col("b.n").cast("long").as("n_b"))
   }
 
+  /** Power analysis for the two-sample mean comparison under the
+    * normal approximation (the statsmodels `NormalIndPower` family —
+    * the planning companion to [[ttestWelch]]/[[cohensD]]):
+    * achieved power of the two-sided level-α z test at the OBSERVED
+    * group statistics, and the per-group n required for
+    * `targetPower` at the observed pooled effect size:
+    *   power = Φ(dz − z₁₋α/₂) + Φ(−dz − z₁₋α/₂),
+    *     dz  = |m_A − m_B| / √(s²_A/n_A + s²_B/n_B)
+    *   n_req = ⌈2·((z₁₋α/₂ + z_pow)/d)²⌉,  d = |m_A − m_B|/s_p
+    * z quantiles are driver-side Acklam Φ⁻¹ constants and Φ the
+    * shared A&S polynomial, so an oracle with the identical literals
+    * replays bit-exact. One aggregate over the two groups from exact
+    * sufficient sums; two 1-row stat rows cross-joined (the ttest
+    * shape). n_req is null when d < 1e-6 (no finite n achieves the
+    * target against a vanishing effect; also keeps ⌈·⌉ in long
+    * range). */
+  def powerTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String, alpha: Double = 0.05,
+      targetPower: Double = 0.8): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    require(targetPower > 0 && targetPower < 1,
+      s"targetPower in (0,1): $targetPower")
+    val zcrit = Distributions.normSInv(1 - alpha / 2)
+    val zpow = Distributions.normSInv(targetPower)
+    val v = col(valueCol).cast("double")
+    val stats = df.filter(col(groupCol).isin(gA, gB) && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"), sum(v).as("s1"),
+        sum(v * v).as("s2"))
+      .withColumn("m", col("s1") / col("n"))
+      .withColumn("s2v", (col("s2") - col("s1") * col("s1") / col("n"))
+        / (col("n") - 1))
+    val a = stats.filter(col(groupCol) === gA).as("a")
+    val b = stats.filter(col(groupCol) === gB).as("b")
+    val se = sqrt(col("a.s2v") / col("a.n") + col("b.s2v") / col("b.n"))
+    val dz = abs(col("a.m") - col("b.m")) / se
+    val sp = sqrt(((col("a.n") - 1) * col("a.s2v") +
+      (col("b.n") - 1) * col("b.s2v")) /
+      (col("a.n") + col("b.n") - 2))
+    val d = abs(col("a.m") - col("b.m")) / sp
+    val power = Distributions.normalCdfCol(dz - lit(zcrit)) +
+      Distributions.normalCdfCol(-dz - lit(zcrit))
+    val zsum = lit(zcrit) + lit(zpow)
+    a.crossJoin(b).select(
+      col("a.n").cast("long").as("n_a"),
+      col("b.n").cast("long").as("n_b"),
+      round(col("a.m"), 6).as("mean_a"),
+      round(col("b.m"), 6).as("mean_b"),
+      round(d, 6).as("effect_d"),
+      round(dz, 6).as("z_effect"),
+      round(power, 6).as("power"),
+      when(d >= 1e-6,
+        ceil(lit(2.0) * (zsum / d) * (zsum / d)).cast("long"))
+        .as("n_required"))
+  }
+
   /** Bartlett's test of variance homogeneity (the ANOVA companion;
     * stats family extension): from per-group sufficient sums,
     * χ² = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C with the standard

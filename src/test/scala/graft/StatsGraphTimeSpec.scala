@@ -327,6 +327,41 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("powerTwoSample: hand-computed dz, d, power, n_required") {
+    import graft.stats.Distributions
+    // x: 0,2,4 -> n=3, m=2, s2=4; y: 1,3,5,7 -> n=4, m=4, s2=20/3
+    // se = sqrt(4/3 + 5/3) = sqrt(3); dz = 2/sqrt(3)
+    // sp2 = (2*4 + 3*20/3)/5 = 5.6; d = 2/sqrt(5.6)
+    val df = (Seq(0, 2, 4).map(v => ("x", v)) ++
+      Seq(1, 3, 5, 7).map(v => ("y", v))).toDF("g", "v")
+    val r = graft.stats.StatsOps.powerTwoSample(df, "v", "g", "x", "y")
+      .head()
+    r.getAs[Long]("n_a") shouldBe 3L
+    r.getAs[Long]("n_b") shouldBe 4L
+    val dz = 2.0 / math.sqrt(3.0)
+    val d = 2.0 / math.sqrt(5.6)
+    approx(r.getAs[Double]("z_effect"), dz, 1e-6)
+    approx(r.getAs[Double]("effect_d"), d, 1e-6)
+    val zc = Distributions.normSInv(0.975)
+    val zp = Distributions.normSInv(0.8)
+    approx(r.getAs[Double]("power"),
+      Distributions.normalCdf(dz - zc) +
+        Distributions.normalCdf(-dz - zc), 1e-6)
+    r.getAs[Long]("n_required") shouldBe
+      math.ceil(2.0 * math.pow((zc + zp) / d, 2)).toLong
+    // sanity: requested power is modest here, so n_req > observed n
+    r.getAs[Long]("n_required") should be > 4L
+  }
+
+  test("powerTwoSample saturates to 1 on a huge effect") {
+    val df = ((1 to 50).map(v => ("x", v)) ++
+      (1 to 50).map(v => ("y", v + 1000))).toDF("g", "v")
+    val r = graft.stats.StatsOps.powerTwoSample(df, "v", "g", "x", "y")
+      .head()
+    approx(r.getAs[Double]("power"), 1.0, 1e-9)
+    r.getAs[Long]("n_required") shouldBe 1L
+  }
+
   test("modularity: two triangles + bridge, hand-computed") {
     // triangle {1,2,3} in A, triangle {4,5,6} in B, bridge 3-4;
     // m=7, d_A=d_B=7, internal=3 each:
