@@ -26,6 +26,8 @@ class PlanLintSpec extends SparkSpecBase {
   private val allow: Map[String, String] = Map(
     "q07_join_cross" -> "the explicit cross-join gate",
     "q59_ttest" -> "two single-group stat rows (filter-to-one-group)",
+    "q363_power_analysis" ->
+      "two single-group stat rows (filter-to-one-group, q59 shape)",
     "q84_mwu_ztest" -> "bounded rank/tie tables of two groups",
     "q86_lof" -> ("all-pairs kNN baseline on the bounded supplier " +
       "set; the LSH-bucketed kNN graph is the documented scale path"),
