@@ -1532,6 +1532,44 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // coarsened exact matching (Iacus-King-Porro): strata = order
+    // status x order year, treatment = urgent/high priority, outcome
+    // = order price cents. Per-stratum exact cells + ATT
+    // contributions; strata without common support pruned
+    "q364_cem" -> ((s, d) =>
+      StatsOps.cem(
+        t(s, d, "orders").select(
+          col("o_orderstatus").as("status"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            .as("treated"),
+          cents(col("o_totalprice")).as("oc")),
+        "treated", "oc", Seq("status", "yr"))
+        .select(col("status"), col("yr"), col("n_treat"),
+          col("n_ctrl"),
+          round(col("mean_treat"), 6).as("mean_treat"),
+          round(col("mean_ctrl"), 6).as("mean_ctrl"),
+          round(col("att_contrib"), 9).as("att_contrib"))
+        .orderBy("status", "yr")),
+
+    // CUPED variance reduction (Deng et al. 2013): arms = orderkey
+    // parity, metric = price DOLLARS (exact long sums — Σy² of cents
+    // would overflow), covariate = quantity. Emits per-arm raw vs
+    // adjusted means + pooled theta / rho^2
+    "q365_cuped" -> ((s, d) =>
+      StatsOps.cupedByArm(
+        t(s, d, "lineitem").select(
+          pmod(col("l_orderkey"), lit(2)).cast("long").as("arm"),
+          round(col("l_extendedprice")).cast("long").as("usd"),
+          col("l_quantity").cast("long").as("qty")),
+        "arm", "usd", "qty")
+        .select(col("arm"), col("n"),
+          round(col("y_mean"), 6).as("y_mean"),
+          round(col("y_cuped_mean"), 6).as("y_cuped_mean"),
+          round(col("theta"), 6).as("theta"),
+          round(col("var_reduction"), 6).as("var_reduction"))
+        .orderBy("arm")),
+
     // §2.12 power analysis (statsmodels NormalIndPower family):
     // achieved power of the two-sided z test at the observed
     // click-vs-view effect + required per-group n for 0.8 power.
@@ -1693,6 +1731,72 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical exact cells, support pruning and ATT share weights
+    "q364_cem" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS treated,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS oc
+        |  FROM orders),
+        |per AS (
+        |  SELECT status, yr,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ctrl,
+        |    CAST(sum(CASE WHEN treated THEN oc END) AS DOUBLE)
+        |      AS sy_t,
+        |    CAST(sum(CASE WHEN NOT treated THEN oc END) AS DOUBLE)
+        |      AS sy_c
+        |  FROM base GROUP BY 1, 2),
+        |m AS (
+        |  SELECT status, yr, n_treat, n_ctrl, sy_t, sy_c
+        |  FROM per WHERE n_treat > 0 AND n_ctrl > 0),
+        |mt AS (SELECT CAST(sum(n_treat) AS DOUBLE) AS mtr FROM m)
+        |SELECT status, yr, n_treat, n_ctrl,
+        |  round(sy_t / n_treat, 6) AS mean_treat,
+        |  round(sy_c / n_ctrl, 6) AS mean_ctrl,
+        |  round(CAST(n_treat AS DOUBLE) / mtr *
+        |    (sy_t / n_treat - sy_c / n_ctrl), 9) AS att_contrib
+        |FROM m CROSS JOIN mt""".stripMargin,
+
+    // identical long sufficient sums (dollars), pooled theta/rho^2
+    // and adjusted-mean association order
+    "q365_cuped" ->
+      """WITH li AS (
+        |  SELECT CAST(l_orderkey % 2 AS BIGINT) AS arm,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS usd,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT arm, count(*) AS n, sum(usd) AS sy, sum(qty) AS sx,
+        |    sum(qty * usd) AS sxy, sum(qty * qty) AS sxx,
+        |    sum(usd * usd) AS syy
+        |  FROM li GROUP BY 1),
+        |pool AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS n,
+        |    CAST(sum(sy) AS DOUBLE) AS sy,
+        |    CAST(sum(sx) AS DOUBLE) AS sx,
+        |    CAST(sum(sxy) AS DOUBLE) AS sxy,
+        |    CAST(sum(sxx) AS DOUBLE) AS sxx,
+        |    CAST(sum(syy) AS DOUBLE) AS syy
+        |  FROM per),
+        |k AS (
+        |  SELECT sx / n AS xbar,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+        |    ((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+        |      ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rho2
+        |  FROM pool)
+        |SELECT arm, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS y_mean,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - theta *
+        |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - xbar), 6)
+        |    AS y_cuped_mean,
+        |  round(theta, 6) AS theta,
+        |  round(rho2, 6) AS var_reduction
+        |FROM per CROSS JOIN k""".stripMargin,
 
     // identical sufficient sums, Welch/pooled effect formulas, the
     // same A&S Φ replay and Acklam z-quantile literals

@@ -961,6 +961,119 @@ object StatsOps {
         .as("n_required"))
   }
 
+  /** Coarsened exact matching (Iacus, King & Porro 2012) — the
+    * observational-causal companion to [[diffInDiffMeans]]: units are
+    * exact-matched within strata of caller-coarsened covariates,
+    * strata lacking common support (no treated or no control unit)
+    * are pruned, and the ATT is the treated-share-weighted sum of
+    * within-stratum mean differences:
+    *   ATT = Σ_s (n_t^s / M_t) · (ȳ_t^s − ȳ_c^s)
+    * over matched strata (M_t = matched treated total). One
+    * conditional-sum aggregate keyed by the strata (map-side
+    * partials), one common-support filter, one 1-row broadcast for
+    * M_t — the ideal 100 TB shape; no pairwise matching ever.
+    * Returns one row per matched stratum with exact counts, sums and
+    * the ATT contribution; [[cemAtt]] folds them to the estimate. */
+  def cem(df0: DataFrame, treatCol: String, outcomeCol: String,
+      strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "cem needs at least one stratum key")
+    // sums run in the INPUT type: pass an exact integer outcome
+    // (cents) and every sum is order-free, so the double ratios below
+    // are bit-deterministic and replayable (the diffInDiffMeans
+    // exact-cell-sum convention)
+    val y = col(outcomeCol)
+    val t = col(treatCol).cast("boolean")
+    val per = df0.filter(t.isNotNull && y.isNotNull)
+      .groupBy(strataCols.map(col): _*)
+      .agg(sum(when(t, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(t, y)).as("sy_treat"),
+        sum(when(!t, y)).as("sy_ctrl"))
+      .filter(col("n_treat") > 0 && col("n_ctrl") > 0)
+    val mt = per.agg(sum("n_treat").cast("double").as("m_treat"))
+    val meanT = col("sy_treat").cast("double") / col("n_treat")
+    val meanC = col("sy_ctrl").cast("double") / col("n_ctrl")
+    per.crossJoin(broadcast(mt))
+      .select(strataCols.map(col) ++ Seq(
+        col("n_treat"), col("n_ctrl"),
+        meanT.as("mean_treat"), meanC.as("mean_ctrl"),
+        (col("n_treat").cast("double") / col("m_treat") *
+          (meanT - meanC)).as("att_contrib")): _*)
+  }
+
+  /** ATT + matching diagnostics from [[cem]]'s per-stratum rows:
+    * matched counts and the pruned-unit shares a CEM report leads
+    * with. `total` rows are the pre-matching universe. */
+  def cemAtt(df0: DataFrame, treatCol: String, outcomeCol: String,
+      strataCols: Seq[String]): DataFrame = {
+    val t = col(treatCol).cast("boolean")
+    val y = col(outcomeCol)
+    val totals = df0.filter(t.isNotNull && y.isNotNull)
+      .agg(sum(when(t, 1L).otherwise(0L)).as("tot_treat"),
+        sum(when(!t, 1L).otherwise(0L)).as("tot_ctrl"))
+    cem(df0, treatCol, outcomeCol, strataCols)
+      .agg(count(lit(1)).as("n_strata"),
+        sum("n_treat").as("matched_treat"),
+        sum("n_ctrl").as("matched_ctrl"),
+        sum("att_contrib").as("att"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_strata"), col("matched_treat"),
+        col("matched_ctrl"), col("tot_treat"), col("tot_ctrl"),
+        col("att"))
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013,
+    * WSDM) — the industry-standard experiment sensitivity boost:
+    * with a pre-experiment covariate x,
+    *   θ = cov(x,y)/var(x) (pooled),  ŷ = y − θ·(x − x̄)
+    * leaves every arm's expectation unchanged while cutting the
+    * metric variance by ρ²(x,y). Emits one row per arm with exact n,
+    * raw and adjusted means, plus the pooled θ and the variance-
+    * reduction ratio ρ² on every row. All from ONE exact-sufficient-
+    * sum aggregate per arm + a 1-row pooled broadcast; formulas in
+    * fixed association order for the oracle replay. */
+  def cupedByArm(df0: DataFrame, armCol: String, yCol: String,
+      xCol: String): DataFrame = {
+    // sums run in the INPUT type (exact-integer convention): pass y/x
+    // as longs scaled so Σy², Σxy stay in long range (dollars, not
+    // cents, for money — the q61 OLS precedent) and every sufficient
+    // sum is order-free; only the final ratios are doubles
+    val y = col(yCol)
+    val x = col(xCol)
+    val per = df0.filter(col(armCol).isNotNull && y.isNotNull &&
+        x.isNotNull)
+      .groupBy(col(armCol))
+      .agg(count(lit(1)).as("n"),
+        sum(y).as("sy"), sum(x).as("sx"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+        sum(y * y).as("syy"))
+    val pooled = per.agg(sum("n").cast("double").as("n"),
+        sum("sy").cast("double").as("sy"),
+        sum("sx").cast("double").as("sx"),
+        sum("sxy").cast("double").as("sxy"),
+        sum("sxx").cast("double").as("sxx"),
+        sum("syy").cast("double").as("syy"))
+      .select(
+        (col("sx") / col("n")).as("xbar"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")))
+          .as("theta"),
+        (((col("sxy") - col("sx") * col("sy") / col("n")) *
+          (col("sxy") - col("sx") * col("sy") / col("n"))) /
+          ((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))))
+          .as("rho2"))
+    val nD = col("n").cast("double")
+    per.crossJoin(broadcast(pooled))
+      .select(col(armCol),
+        col("n").cast("long").as("n"),
+        (col("sy").cast("double") / nD).as("y_mean"),
+        (col("sy").cast("double") / nD - col("theta") *
+          (col("sx").cast("double") / nD - col("xbar")))
+          .as("y_cuped_mean"),
+        col("theta"), col("rho2").as("var_reduction"))
+  }
+
   /** Bartlett's test of variance homogeneity (the ANOVA companion;
     * stats family extension): from per-group sufficient sums,
     * χ² = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C with the standard

@@ -327,6 +327,42 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("cem: support pruning, strata cells, ATT share weights") {
+    // s1: treated {10,20} vs ctrl {10} -> diff 5
+    // s2: treated {30} vs ctrl {20,40} -> diff 0
+    // s3: treated-only {99} -> pruned
+    val df = Seq(("s1", true, 10L), ("s1", true, 20L),
+      ("s1", false, 10L), ("s2", true, 30L), ("s2", false, 20L),
+      ("s2", false, 40L), ("s3", true, 99L))
+      .toDF("s", "treated", "y")
+    val per = graft.stats.StatsOps.cem(df, "treated", "y", Seq("s"))
+      .orderBy("s").collect()
+    per.length shouldBe 2 // s3 pruned
+    approx(per(0).getAs[Double]("att_contrib"), 2.0 / 3 * 5, 1e-12)
+    approx(per(1).getAs[Double]("att_contrib"), 0.0, 1e-12)
+    val att = graft.stats.StatsOps
+      .cemAtt(df, "treated", "y", Seq("s")).head()
+    att.getAs[Long]("n_strata") shouldBe 2L
+    att.getAs[Long]("matched_treat") shouldBe 3L
+    att.getAs[Long]("matched_ctrl") shouldBe 3L
+    att.getAs[Long]("tot_treat") shouldBe 4L
+    att.getAs[Long]("tot_ctrl") shouldBe 3L
+    approx(att.getAs[Double]("att"), 10.0 / 3, 1e-12)
+  }
+
+  test("cuped: y = 2x exactly -> rho2 = 1, arm means equalized") {
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L),
+      ("b", 3L, 6L), ("b", 4L, 8L)).toDF("arm", "x", "y")
+    val out = graft.stats.StatsOps.cupedByArm(df, "arm", "y", "x")
+      .orderBy("arm").collect()
+    approx(out(0).getAs[Double]("theta"), 2.0, 1e-12)
+    approx(out(0).getAs[Double]("var_reduction"), 1.0, 1e-12)
+    approx(out(0).getAs[Double]("y_mean"), 3.0, 1e-12)
+    approx(out(0).getAs[Double]("y_cuped_mean"), 5.0, 1e-12)
+    approx(out(1).getAs[Double]("y_mean"), 7.0, 1e-12)
+    approx(out(1).getAs[Double]("y_cuped_mean"), 5.0, 1e-12)
+  }
+
   test("powerTwoSample: hand-computed dz, d, power, n_required") {
     import graft.stats.Distributions
     // x: 0,2,4 -> n=3, m=2, s2=4; y: 1,3,5,7 -> n=4, m=4, s2=20/3
