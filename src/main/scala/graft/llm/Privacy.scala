@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy auditing + release machinery for large corpora — the
+  * layer next to PII redaction (PipelineOps.piiRedact q95): before a
+  * 100 TB dataset ships, quasi-identifier re-identification risk is
+  * measured (k-anonymity / l-diversity, Sweeney 2002; Machanavajjhala
+  * et al. 2007) and released aggregates get Laplace-mechanism noise
+  * (Dwork et al. 2006).
+  *
+  * Everything here is one or two hash aggregates keyed by the
+  * quasi-identifier — map-side partials, no window, no driver loop.
+  * The DP noise draws its entropy from the engine-portable 48-bit
+  * md5 lottery ([[PipelineOps.hash48Unit]]) keyed by (salt, group):
+  * runs are reproducible, independent releases vary the salt, and an
+  * external engine can replay the exact noise — the property that
+  * makes the mechanism testable at all. (A production release would
+  * rotate the salt secretly; the MECHANISM is identical.)
+  */
+object Privacy {
+
+  /** Per-equivalence-class k-anonymity audit: one row per
+    * quasi-identifier class with its size, the count of distinct
+    * sensitive values (the class's l-diversity), and whether it
+    * violates `k`. Classes are the natural groupBy — bounded by the
+    * quasi-identifier domain, not the data. */
+  def kAnonymityClasses(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("below_k", col("n") < k)
+  }
+
+  /** Dataset-level privacy summary: the k-anonymity (minimum class
+    * size), minimum l-diversity, and the share of rows living in
+    * classes below `k` — the numbers a privacy review leads with. */
+  def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame =
+    kAnonymityClasses(df, quasiCols, sensitiveCol, k)
+      .agg(sum("n").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min("n").as("k_anonymity"),
+        min("l_diversity").as("l_diversity_min"),
+        sum(when(col("below_k"), col("n")).otherwise(0L))
+          .as("rows_below_k"))
+      .withColumn("pct_below_k",
+        col("rows_below_k").cast("double") / col("n_rows"))
+
+  /** Laplace inverse-CDF noise at scale b from a uniform u ∈ (0,1):
+    * −b·sgn(u−½)·ln(1−2|u−½|). */
+  private def laplaceNoise(u: org.apache.spark.sql.Column,
+      b: Double): org.apache.spark.sql.Column =
+    lit(-b) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+
+  /** ε-DP noisy per-group counts (Laplace mechanism, sensitivity 1):
+    * emits the true count, the replayable noise draw keyed by
+    * (salt, group key), and the released noisy count. One hash
+    * aggregate + map-side noise arithmetic. */
+  def dpGroupCount(df: DataFrame, keyCols: Seq[String],
+      epsilon: Double, salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val u = PipelineOps.hash48Unit(
+      concat_ws("|", (lit(salt) +: keyCols.map(c => col(c))): _*))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", laplaceNoise(u, 1.0 / epsilon))
+      .withColumn("n_dp", col("n") + col("noise"))
+  }
+
+  /** ε-DP noisy per-group sums: caller supplies the value column and
+    * its sensitivity bound c (values are clamped to [−c, c] first —
+    * without the clamp the sensitivity claim is false). Scale is
+    * c/ε. Exact-integer value columns keep the true sum
+    * order-free/replayable. */
+  def dpGroupSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      sensitivity: Double, epsilon: Double, salt: String): DataFrame = {
+    require(epsilon > 0 && sensitivity > 0,
+      s"need epsilon > 0 and sensitivity > 0")
+    val clamped = greatest(lit(-sensitivity),
+      least(lit(sensitivity), col(valueCol).cast("double")))
+    val u = PipelineOps.hash48Unit(
+      concat_ws("|", (lit(salt) +: keyCols.map(c => col(c))): _*))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(clamped).as("sum_clamped"),
+        count(lit(1)).as("n"))
+      .withColumn("noise", laplaceNoise(u, sensitivity / epsilon))
+      .withColumn("sum_dp", col("sum_clamped") + col("noise"))
+  }
+}

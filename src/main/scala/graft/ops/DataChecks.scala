@@ -53,6 +53,44 @@ object DataChecks {
         .cast("long").as("violation_ppm"))
   }
 
+  /** Key-skew heavy hitters — the pre-shuffle audit that says
+    * whether a join/groupBy on `keyCols` will hot-spot: per-key
+    * counts in ONE hash aggregate, top-`topK` keys by load
+    * (deterministic tie-break on the key) with exact ppm load
+    * shares. The classic 100 TB failure is a skewed key discovered
+    * six hours into the job; this makes it a 30-second query. Plans
+    * as TakeOrdered — no global sort materializes. */
+  def skewHeavyHitters(df: DataFrame, keyCols: Seq[String],
+      topK: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty && topK >= 1,
+      "skewHeavyHitters needs keys and topK >= 1")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__t__"))
+    counts
+      .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topK)
+      .crossJoin(broadcast(total))
+      .select(keyCols.map(col) ++ Seq(col("n"),
+        (col("n") * 1000000L).cast("long").divide(col("__t__"))
+          .cast("long").as("share_ppm")): _*)
+  }
+
+  /** One-row skew summary over the same per-key counts: row/key
+    * totals, the heaviest key's load, max/mean ratio and top-1 share
+    * in exact ppm. `skew_ratio` ≈ 1 is uniform; ratios in the
+    * hundreds mean the shuffle needs salting or AQE skew handling. */
+  def skewSummary(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_keys"),
+        max("n").as("max_key_rows"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        (col("max_key_rows").cast("double") * col("n_keys") /
+          col("n_rows")).as("skew_ratio"),
+        (col("max_key_rows") * 1000000L).cast("long")
+          .divide(col("n_rows")).cast("long").as("top1_ppm"))
+
   /** Referential-integrity check: child rows whose `childKey` has no
     * match in `parent.parentKey` are violations (NULL child keys are
     * violations too — they reference nothing). One left-anti join. */

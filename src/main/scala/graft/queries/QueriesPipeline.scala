@@ -237,6 +237,62 @@ object QueriesPipeline {
         .orderBy("type_eq", "size_eq", "name1_eq", "price_band")
     }),
 
+    // k-anonymity / l-diversity audit (Sweeney 2002): equivalence
+    // classes of the (nation, segment) quasi-identifier with class
+    // size, distinct sensitive values (exact-cents balance) and the
+    // below-k flag — the pre-release re-identification screen
+    "q366_k_anonymity" -> ((s, d) =>
+      graft.llm.Privacy.kAnonymityClasses(
+        t(s, d, "customer").select(col("c_nationkey"),
+          col("c_mktsegment"),
+          cents(col("c_acctbal")).as("bal")),
+        Seq("c_nationkey", "c_mktsegment"), "bal", k = 5)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // epsilon-DP noisy group counts (Laplace mechanism): portable
+    // md5-lottery entropy keyed by (salt, group) so the release is
+    // reproducible AND the oracle replays the exact noise draw
+    "q367_dp_count" -> ((s, d) =>
+      graft.llm.Privacy.dpGroupCount(
+        t(s, d, "orders").select(col("o_orderstatus").as("status")),
+        Seq("status"), epsilon = 0.5, salt = "release1")
+        .select(col("status"), col("n"),
+          round(col("noise"), 6).as("noise"),
+          round(col("n_dp"), 6).as("n_dp"))
+        .orderBy("status")),
+
+    // epsilon-DP noisy group sums with sensitivity clamping
+    // (quantity in [-50, 50], scale 50/eps); integral clamped values
+    // keep the true sum order-free
+    "q368_dp_sum" -> ((s, d) =>
+      graft.llm.Privacy.dpGroupSum(
+        t(s, d, "lineitem").select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast("long").as("qty")),
+        Seq("rf"), "qty", sensitivity = 50.0, epsilon = 1.0,
+        salt = "release2")
+        .select(col("rf"), col("n"),
+          round(col("sum_clamped"), 6).as("sum_clamped"),
+          round(col("noise"), 6).as("noise"),
+          round(col("sum_dp"), 6).as("sum_dp"))
+        .orderBy("rf")),
+
+    // key-skew heavy hitters: the pre-shuffle audit as a query —
+    // top-20 supplier keys of lineitem by load with exact ppm
+    // shares (TakeOrdered plan, deterministic key tie-break)
+    "q369_skew_hitters" -> ((s, d) =>
+      graft.ops.DataChecks.skewHeavyHitters(
+        t(s, d, "lineitem").select(col("l_suppkey")),
+        Seq("l_suppkey"), topK = 20)),
+
+    // one-row skew summary (max/mean load ratio + top-1 ppm share)
+    "q370_skew_summary" -> ((s, d) =>
+      graft.ops.DataChecks.skewSummary(
+        t(s, d, "lineitem").select(col("l_suppkey")),
+        Seq("l_suppkey"))
+        .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+          round(col("skew_ratio"), 6).as("skew_ratio"),
+          col("top1_ppm"))),
+
     // Benjamini-Hochberg FDR adjustment over a per-supplier p-value
     // table (portable-hash pseudo p-values — the CORRECTION is the
     // operator under test; any hypothesis table plugs in)
@@ -1400,6 +1456,78 @@ object QueriesPipeline {
         "CAST(l_orderkey AS VARCHAR) || '-' || " +
           "CAST(l_linenumber AS VARCHAR) || 's73'")} < 0.1"""
         .stripMargin,
+
+    "q366_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT))
+        |    AS BIGINT) AS l_diversity,
+        |  count(*) < 5 AS below_k
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // identical md5-lottery draw and Laplace inverse CDF, noise
+    // computed once and reused for the release value
+    "q367_dp_count" -> {
+      val u = h48("'release1|' || status")
+      s"""WITH g AS (
+         |  SELECT o_orderstatus AS status,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1),
+         |x AS (SELECT status, n, $u AS u FROM g),
+         |no AS (
+         |  SELECT status, n,
+         |    -2.0 * (CASE WHEN u - 0.5 > 0 THEN 1.0
+         |      WHEN u - 0.5 < 0 THEN -1.0 ELSE 0.0 END) *
+         |      ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+         |  FROM x)
+         |SELECT status, n, round(noise, 6) AS noise,
+         |  round(n + noise, 6) AS n_dp
+         |FROM no""".stripMargin
+    },
+
+    "q368_dp_sum" -> {
+      val u = h48("'release2|' || rf")
+      s"""WITH li AS (
+         |  SELECT l_returnflag AS rf,
+         |    greatest(-50.0, least(50.0,
+         |      CAST(CAST(l_quantity AS BIGINT) AS DOUBLE))) AS q
+         |  FROM lineitem),
+         |g AS (
+         |  SELECT rf, sum(q) AS sc, CAST(count(*) AS BIGINT) AS n
+         |  FROM li GROUP BY 1),
+         |x AS (SELECT rf, sc, n, $u AS u FROM g),
+         |no AS (
+         |  SELECT rf, sc, n,
+         |    -50.0 * (CASE WHEN u - 0.5 > 0 THEN 1.0
+         |      WHEN u - 0.5 < 0 THEN -1.0 ELSE 0.0 END) *
+         |      ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+         |  FROM x)
+         |SELECT rf, n, round(sc, 6) AS sum_clamped,
+         |  round(noise, 6) AS noise, round(sc + noise, 6) AS sum_dp
+         |FROM no""".stripMargin
+    },
+
+    "q369_skew_hitters" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n) AS tt FROM c),
+        |top AS (
+        |  SELECT l_suppkey, CAST(n AS BIGINT) AS n FROM c
+        |  ORDER BY n DESC, l_suppkey LIMIT 20)
+        |SELECT l_suppkey, n,
+        |  CAST(n * 1000000 // tt AS BIGINT) AS share_ppm
+        |FROM top CROSS JOIN t""".stripMargin,
+
+    "q370_skew_summary" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(n) AS BIGINT) AS max_key_rows,
+        |  round(CAST(max(n) AS DOUBLE) * count(*) /
+        |    CAST(sum(n) AS DOUBLE), 6) AS skew_ratio,
+        |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top1_ppm
+        |FROM c""".stripMargin,
 
     // identical blocking (brand x container, HAVING <= maxBlock),
     // ordered-pair self-join, agreement booleans, and the same
