@@ -532,6 +532,39 @@ object GraphOps {
           .as("dq"))
   }
 
+  /** Degree assortativity coefficient (Newman 2002, PRL): the
+    * Pearson correlation of endpoint degrees over the undirected
+    * edge list,
+    *   r = [S_jk/M − (S_j+k/2M)²] / [S_j²+k²/2M − (S_j+k/2M)²]
+    * with exact long sums S over edges (j,k endpoint degrees) and
+    * doubles only in the final closed form — hubs-link-to-hubs r>0,
+    * hub-and-spoke r<0. Null when degrees are constant (zero
+    * variance). One degree aggregate + two hash joins + ONE global
+    * sum — the modularity shape; no window, no driver loop. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val sums = und
+      .join(deg.select(col("id").as("a"), col("d").as("dj")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("dk")), Seq("b"))
+      .agg(count(lit(1)).as("m_edges"),
+        sum(col("dj") * col("dk")).as("sjk"),
+        sum(col("dj") + col("dk")).as("ssum"),
+        sum(col("dj") * col("dj") + col("dk") * col("dk")).as("ssq"))
+    val m = col("m_edges").cast("double")
+    val mean = col("ssum").cast("double") / (lit(2.0) * m)
+    val num = col("sjk").cast("double") / m - mean * mean
+    val den = col("ssq").cast("double") / (lit(2.0) * m) - mean * mean
+    sums.select(col("m_edges"), col("sjk"), col("ssum"), col("ssq"),
+      when(den =!= 0.0, num / den).as("assortativity"))
+  }
+
   /** Graph-level modularity Q = Σ_c dq of [[modularity]]'s output —
     * the single number a community-detection loop maximizes. */
   def modularityScore(edges: DataFrame, partition: DataFrame,

@@ -1610,6 +1610,23 @@ object QueriesStats {
         .orderBy("k")
     }),
 
+    // §2.14 degree assortativity of the parts co-order graph
+    // (Newman 2002): exact long edge-endpoint-degree sums, double
+    // closed form — do popular parts co-occur with popular parts?
+    "q371_assortativity" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      GraphOps.assortativity(edges)
+        .select(col("m_edges"), col("sjk"), col("ssum"), col("ssq"),
+          round(col("assortativity"), 6).as("assortativity"))
+    }),
+
     // §2.14 Newman modularity of the p_brand partition over the
     // parts co-order graph — the partition-quality metric for any
     // community output. Exact integer counts (nodes, degree mass,
@@ -1878,6 +1895,38 @@ object QueriesStats {
         |    round(CAST(n_covered AS DOUBLE) / n_test, 6) END
         |    AS coverage
         |FROM q JOIN cov ON cov.k = q.k""".stripMargin,
+
+    // identical normalization, degree join, exact sums and closed form
+    "q371_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT count(*) AS m_edges,
+        |    CAST(sum(dj.d * dk.d) AS BIGINT) AS sjk,
+        |    CAST(sum(dj.d + dk.d) AS BIGINT) AS ssum,
+        |    CAST(sum(dj.d * dj.d + dk.d * dk.d) AS BIGINT) AS ssq
+        |  FROM e0 JOIN deg dj ON dj.id = e0.a
+        |    JOIN deg dk ON dk.id = e0.b)
+        |SELECT CAST(m_edges AS BIGINT) AS m_edges, sjk, ssum, ssq,
+        |  CASE WHEN CAST(ssq AS DOUBLE) / (2.0 * m_edges)
+        |      - (CAST(ssum AS DOUBLE) / (2.0 * m_edges))
+        |        * (CAST(ssum AS DOUBLE) / (2.0 * m_edges)) <> 0.0
+        |    THEN round(
+        |      (CAST(sjk AS DOUBLE) / m_edges
+        |        - (CAST(ssum AS DOUBLE) / (2.0 * m_edges))
+        |          * (CAST(ssum AS DOUBLE) / (2.0 * m_edges)))
+        |      / (CAST(ssq AS DOUBLE) / (2.0 * m_edges)
+        |        - (CAST(ssum AS DOUBLE) / (2.0 * m_edges))
+        |          * (CAST(ssum AS DOUBLE) / (2.0 * m_edges))), 6)
+        |  END AS assortativity
+        |FROM s""".stripMargin,
 
     // identical edge normalization, degree mass, internal-edge count
     // and the same dq association order

@@ -398,6 +398,17 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     r.getAs[Long]("n_required") shouldBe 1L
   }
 
+  test("assortativity: star = -1, constant-degree cycle = null") {
+    val star = Seq(("c", "a"), ("c", "b"), ("c", "d"))
+      .toDF("src", "dst")
+    val r = GraphOps.assortativity(star).head()
+    r.getAs[Long]("m_edges") shouldBe 3L
+    approx(r.getAs[Double]("assortativity"), -1.0, 1e-12)
+    val cycle = Seq((1, 2), (2, 3), (3, 4), (4, 1)).toDF("src", "dst")
+    val c = GraphOps.assortativity(cycle).head()
+    c.isNullAt(c.fieldIndex("assortativity")) shouldBe true
+  }
+
   test("modularity: two triangles + bridge, hand-computed") {
     // triangle {1,2,3} in A, triangle {4,5,6} in B, bridge 3-4;
     // m=7, d_A=d_B=7, internal=3 each:
