@@ -924,4 +924,37 @@ object PandasOps {
       .withColumn(outName, sum(col("__first__")).over(wr).cast("long"))
       .drop("__first__")
   }
+
+  /** Merge overlapping/touching intervals per key (gaps-and-islands):
+    * an interval starting at or before the running max end of its
+    * predecessors joins their island; a strict gap starts a new one.
+    * Emits one row per island: keys..., island (1-based per key),
+    * `start`/`end` of the merged span, n_intervals. Works on any
+    * ordered type (dates, timestamps, numerics).
+    *
+    * Two per-key windows (running max end, running island count) —
+    * keyed shuffles only, nothing global. The island partition is
+    * order-independent under start ties: a tied row's end ≥ its own
+    * start, so ties can never introduce a break between each other,
+    * making the result (and its SQL replay) deterministic. */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeIntervals needs at least one key")
+    val wPrev = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .withColumn("__pmax__", max(col(endCol)).over(wPrev))
+      .withColumn("__new__",
+        when(col("__pmax__").isNull ||
+          col(startCol) > col("__pmax__"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("__new__")).over(wRun))
+      .groupBy((keyCols.map(col) :+ col("island")): _*)
+      .agg(min(col(startCol)).as("start"),
+        max(col(endCol)).as("end"),
+        count(lit(1)).as("n_intervals"))
+  }
 }

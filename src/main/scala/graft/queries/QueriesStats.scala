@@ -1610,6 +1610,22 @@ object QueriesStats {
         .orderBy("k")
     }),
 
+    // interval merge (gaps-and-islands) per supplier: each shipment
+    // opens a 7-day activity window [shipdate, shipdate+6]; merged
+    // islands = the supplier's continuous activity spans. Touching
+    // intervals merge; strict gaps break. Two per-key windows
+    "q372_merge_intervals" -> ((s, d) =>
+      graft.ops.PandasOps.mergeIntervals(
+        t(s, d, "lineitem").select(col("l_suppkey"),
+          col("l_shipdate").cast("date").as("s0"),
+          date_add(col("l_shipdate").cast("date"), 6).as("e0")),
+        Seq("l_suppkey"), "s0", "e0")
+        .select(col("l_suppkey"), col("island").cast("long")
+            .as("island"),
+          col("start"), col("end"),
+          col("n_intervals").cast("long").as("n_intervals"))
+        .orderBy("l_suppkey", "island")),
+
     // §2.14 degree assortativity of the parts co-order graph
     // (Newman 2002): exact long edge-endpoint-degree sums, double
     // closed form — do popular parts co-occur with popular parts?
@@ -1895,6 +1911,32 @@ object QueriesStats {
         |    round(CAST(n_covered AS DOUBLE) / n_test, 6) END
         |    AS coverage
         |FROM q JOIN cov ON cov.k = q.k""".stripMargin,
+
+    // identical windows: running max end (rows to 1 preceding),
+    // running break count, then the island aggregate
+    "q372_merge_intervals" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE) + 6 AS e
+        |  FROM lineitem
+        |  WHERE l_shipdate IS NOT NULL),
+        |x AS (
+        |  SELECT k, s, e,
+        |    max(e) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pmax
+        |  FROM iv),
+        |y AS (
+        |  SELECT k, s, e,
+        |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY k ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM x)
+        |SELECT k AS l_suppkey, CAST(island AS BIGINT) AS island,
+        |  min(s) AS start, max(e) AS "end",
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM y GROUP BY 1, 2""".stripMargin,
 
     // identical normalization, degree join, exact sums and closed form
     "q371_assortativity" ->

@@ -398,6 +398,19 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     r.getAs[Long]("n_required") shouldBe 1L
   }
 
+  test("mergeIntervals: touching merges, gaps break, per key") {
+    val df = Seq(("a", 1, 3), ("a", 3, 4), ("a", 2, 4), ("a", 5, 6),
+      ("a", 8, 9), ("b", 1, 10), ("b", 2, 3))
+      .toDF("k", "s", "e")
+    val out = graft.ops.PandasOps
+      .mergeIntervals(df, Seq("k"), "s", "e")
+      .orderBy("k", "island")
+      .select("k", "start", "end", "n_intervals")
+      .as[(String, Int, Int, Long)].collect().toSeq
+    out shouldBe Seq(("a", 1, 4, 3L), ("a", 5, 6, 1L),
+      ("a", 8, 9, 1L), ("b", 1, 10, 2L))
+  }
+
   test("assortativity: star = -1, constant-degree cycle = null") {
     val star = Seq(("c", "a"), ("c", "b"), ("c", "d"))
       .toDF("src", "dst")
