@@ -133,7 +133,10 @@ object Bench {
       // scalable pairwise EWM, per-key distributed SARIMA, chrF and
       // Self-BLEU eval metrics
       "q332_ewm_time_var", "q333_ewm_cov_scalable",
-      "q334_sarima_perkey", "q338_chrf", "q340_self_bleu")
+      "q334_sarima_perkey", "q338_chrf", "q340_self_bleu",
+      // round-6 late headliners: ranked-retrieval eval, FS record
+      // linkage (blocked self-join), per-key interval merge
+      "q359_rank_eval", "q362_record_linkage", "q372_merge_intervals")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))
