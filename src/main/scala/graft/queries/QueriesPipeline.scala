@@ -25,7 +25,7 @@ object QueriesPipeline {
     * as Scala-printed double literals so both engines sum identical
     * bits. */
   private val fsFields: Seq[(String, Double, Double)] = Seq(
-    ("type_eq", 0.95, 0.02), ("size_eq", 0.90, 0.02),
+    ("type_eq", 0.95, 0.02),
     ("name1_eq", 0.85, 0.01), ("price_band", 0.80, 0.20))
   private val fsScoreSql: String = fsFields.map { case (c, m, u) =>
     s"(CASE WHEN $c THEN ${graft.analytics.RecordLinkage
@@ -209,32 +209,32 @@ object QueriesPipeline {
     }),
 
     // Fellegi-Sunter probabilistic record linkage over the part
-    // catalog: equality-blocked candidate pairs (p_brand blocks,
-    // oversized blocks dropped per the maxDf convention), four
-    // boolean agreement fields, log2 m/u weights summed in field
-    // order, three-way match/possible/non_match decision. The score
-    // is a function of the 4 booleans (<=16 distinct values), so the
-    // gate emits the full decision surface with pair counts
+    // catalog: equality-blocked candidate pairs on the COMPOUND
+    // (brand, size) key — the scale knob: brand-only blocks are 800
+    // rows at sf0.1 (~8M pairs); adding size cuts blocks ~50x for
+    // the same recall on the remaining fields. Oversized blocks
+    // dropped per the maxDf convention. Three boolean agreement
+    // fields, log2 m/u weights summed in field order, three-way
+    // decision; the gate emits the full decision surface (<=8 score
+    // patterns) with pair counts
     "q362_record_linkage" -> ((s, d) => {
       val pairs = graft.analytics.RecordLinkage.blockPairs(
         t(s, d, "part").select(col("p_partkey"), col("p_brand"),
           col("p_type"), col("p_size"),
           col("p_name"), cents(col("p_retailprice")).as("pc")),
-        "p_partkey", Seq("p_brand"), maxBlock = 1000)
+        "p_partkey", Seq("p_brand", "p_size"), maxBlock = 1000)
       val ag = pairs
         .withColumn("type_eq", col("l_p_type") === col("r_p_type"))
-        .withColumn("size_eq", col("l_p_size") === col("r_p_size"))
         .withColumn("name1_eq", split(col("l_p_name"), " ").getItem(0)
           === split(col("r_p_name"), " ").getItem(0))
         .withColumn("price_band",
           abs(col("l_pc") - col("r_pc")) <= lit(10000L))
       graft.analytics.RecordLinkage
         .fellegiSunter(ag, fsFields, upper = 5.0, lower = 0.0)
-        .groupBy("type_eq", "size_eq", "name1_eq", "price_band",
-          "fs_class")
+        .groupBy("type_eq", "name1_eq", "price_band", "fs_class")
         .agg(round(min("fs_score"), 6).as("fs_score"),
           count(lit(1)).as("n_pairs"))
-        .orderBy("type_eq", "size_eq", "name1_eq", "price_band")
+        .orderBy("type_eq", "name1_eq", "price_band")
     }),
 
     // k-anonymity / l-diversity audit (Sweeney 2002): equivalence
@@ -1534,31 +1534,32 @@ object QueriesPipeline {
     // left-to-right weight sum with Scala-printed double literals
     "q362_record_linkage" ->
       s"""WITH sz AS (
-         |  SELECT p_brand FROM part
-         |  GROUP BY 1 HAVING count(*) <= 1000),
+         |  SELECT p_brand, p_size FROM part
+         |  GROUP BY 1, 2 HAVING count(*) <= 1000),
          |base AS (
          |  SELECT p.p_partkey, p.p_brand, p.p_type,
          |    p.p_size, p.p_name,
          |    CAST(round(p.p_retailprice * 100) AS BIGINT) AS pc
-         |  FROM part p JOIN sz ON sz.p_brand = p.p_brand),
+         |  FROM part p JOIN sz ON sz.p_brand = p.p_brand
+         |    AND sz.p_size = p.p_size),
          |pairs AS (
          |  SELECT
          |    l.p_type = r.p_type AS type_eq,
-         |    l.p_size = r.p_size AS size_eq,
          |    split_part(l.p_name, ' ', 1) = split_part(r.p_name, ' ', 1)
          |      AS name1_eq,
          |    abs(l.pc - r.pc) <= 10000 AS price_band
          |  FROM base l JOIN base r ON l.p_brand = r.p_brand
+         |    AND l.p_size = r.p_size
          |    AND l.p_partkey < r.p_partkey),
          |scored AS (
          |  SELECT *, $fsScoreSql AS s FROM pairs)
-         |SELECT type_eq, size_eq, name1_eq, price_band,
+         |SELECT type_eq, name1_eq, price_band,
          |  CASE WHEN s >= 5.0 THEN 'match'
          |       WHEN s <= 0.0 THEN 'non_match'
          |       ELSE 'possible' END AS fs_class,
          |  round(min(s), 6) AS fs_score,
          |  CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM scored GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+         |FROM scored GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q186_fuzzy_match" ->
       raw"""WITH ta AS (

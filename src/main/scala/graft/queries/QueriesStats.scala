@@ -1532,6 +1532,22 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // group-sequential monitoring: monthly interim looks at the
+    // click-vs-view experiment, cumulative exact sums -> Welch z per
+    // look vs the Bonferroni z_(1-α/2K) boundary with K read from
+    // the data and the quantile via the in-plan Acklam Φ⁻¹
+    "q373_sequential" -> ((s, d) =>
+      StatsOps.sequentialLooks(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            date_trunc("month", col("ts")).cast("date").as("mo"),
+            cents(col("value")).as("vc")),
+        "event_type", "vc", "mo", "click", "view", alpha = 0.05)
+        .select(col("look"), col("na"), col("nb"),
+          round(col("z"), 6).as("z"),
+          round(col("boundary"), 6).as("boundary"), col("crossed"))
+        .orderBy("look")),
+
     // coarsened exact matching (Iacus-King-Porro): strata = order
     // status x order year, treatment = urgent/high priority, outcome
     // = order price cents. Per-stratum exact cells + ATT
@@ -1764,6 +1780,56 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical cells, cumulative windows, Welch z and the Acklam
+    // quantile replay with K from the same look table
+    "q373_sequential" -> {
+      val zq = graft.stats.Distributions
+        .normSInvSql("1.0 - 0.05 / (2.0 * kk)")
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(date_trunc('month', ts) AS DATE) AS mo,
+         |    CAST(round(value * 100) AS BIGINT) AS vc
+         |  FROM events
+         |  WHERE event_type IN ('click', 'view')
+         |    AND value IS NOT NULL),
+         |cells AS (
+         |  SELECT mo AS look,
+         |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS ka,
+         |    sum(CASE WHEN event_type = 'click' THEN vc END) AS sa,
+         |    sum(CASE WHEN event_type = 'click' THEN vc * vc END)
+         |      AS qa,
+         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS kb,
+         |    sum(CASE WHEN event_type = 'view' THEN vc END) AS sb,
+         |    sum(CASE WHEN event_type = 'view' THEN vc * vc END)
+         |      AS qb
+         |  FROM ev GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS kk FROM cells),
+         |cum AS (
+         |  SELECT look,
+         |    CAST(sum(ka) OVER w AS BIGINT) AS na,
+         |    CAST(sum(sa) OVER w AS DOUBLE) AS csa,
+         |    CAST(sum(qa) OVER w AS DOUBLE) AS cqa,
+         |    CAST(sum(kb) OVER w AS BIGINT) AS nb,
+         |    CAST(sum(sb) OVER w AS DOUBLE) AS csb,
+         |    CAST(sum(qb) OVER w AS DOUBLE) AS cqb
+         |  FROM cells
+         |  WINDOW w AS (ORDER BY look
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f AS (
+         |  SELECT look, na, nb,
+         |    (csa / na - csb / nb) / sqrt(
+         |      ((cqa - csa * csa / na) / (na - 1)) / na +
+         |      ((cqb - csb * csb / nb) / (nb - 1)) / nb) AS z,
+         |    $zq AS boundary
+         |  FROM cum CROSS JOIN tot)
+         |SELECT look, na, nb, round(z, 6) AS z,
+         |  round(boundary, 6) AS boundary,
+         |  abs(z) >= boundary AS crossed
+         |FROM f""".stripMargin
+    },
 
     // identical exact cells, support pruning and ATT share weights
     "q364_cem" ->

@@ -1022,6 +1022,73 @@ object StatsOps {
         col("att"))
   }
 
+  /** Group-sequential experiment monitoring (the closed-form members
+    * of the boundary family): at each interim look (ordered distinct
+    * `lookCol` values) the two-arm Welch z is computed from
+    * CUMULATIVE exact sufficient sums and compared against a
+    * stopping boundary —
+    *  - `bonferroni`: z₁₋α/(2K) constant across the K looks (the
+    *    conservative closed form; K is read from the data via a
+    *    1-row broadcast and the quantile is the in-plan Acklam Φ⁻¹,
+    *    so the oracle replays it);
+    *  - `haybittle-peto`: |z| ≥ 3 at interim looks, z₁₋α/₂ at the
+    *    final look (Peto's rule — final inference undisturbed).
+    * O'Brien–Fleming/Lan–DeMets spending needs iterative root
+    * finding (no closed form) — documented out of scope; Bonferroni
+    * dominates it in conservatism, never in validity.
+    *
+    * Shape: one per-(look) conditional-sum aggregate, a cumulative
+    * window over the LOOK table (bounded by the number of looks, not
+    * rows), a 1-row broadcast for K/the final look. Pass an exact
+    * integer value column (cents) — the cumulative sums stay
+    * order-free. */
+  def sequentialLooks(df0: DataFrame, armCol: String, valueCol: String,
+      lookCol: String, gA: String, gB: String, alpha: Double = 0.05,
+      style: String = "bonferroni"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    require(Seq("bonferroni", "haybittle-peto").contains(style),
+      s"style must be bonferroni|haybittle-peto, got $style")
+    val v = col(valueCol)
+    val isA = col(armCol) === gA
+    val cells = df0
+      .filter(col(armCol).isin(gA, gB) && v.isNotNull &&
+        col(lookCol).isNotNull)
+      .groupBy(col(lookCol).as("look"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("ka"),
+        sum(when(isA, v)).as("sa"),
+        sum(when(isA, v * v)).as("qa"),
+        sum(when(!isA, 1L).otherwise(0L)).as("kb"),
+        sum(when(!isA, v)).as("sb"),
+        sum(when(!isA, v * v)).as("qb"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("look")
+      .rowsBetween(Long.MinValue, 0)
+    val totals = cells.agg(count(lit(1)).cast("double").as("kk"),
+      max("look").as("final_look"))
+    val cum = cells.select(col("look"),
+        sum("ka").over(wCum).as("na"), sum("sa").over(wCum).as("csa"),
+        sum("qa").over(wCum).as("cqa"),
+        sum("kb").over(wCum).as("nb"), sum("sb").over(wCum).as("csb"),
+        sum("qb").over(wCum).as("cqb"))
+      .crossJoin(broadcast(totals))
+    def m(s: Column, n: Column) = s.cast("double") / n
+    def va(q: Column, s: Column, n: Column) =
+      (q.cast("double") - s.cast("double") * s.cast("double") / n) /
+        (n - 1)
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val z = (m(col("csa"), naD) - m(col("csb"), nbD)) /
+      sqrt(va(col("cqa"), col("csa"), naD) / naD +
+        va(col("cqb"), col("csb"), nbD) / nbD)
+    val boundary = style match {
+      case "bonferroni" => Distributions.normSInvCol(
+        lit(1.0) - lit(alpha) / (lit(2.0) * col("kk")))
+      case _ => when(col("look") === col("final_look"),
+        lit(Distributions.normSInv(1 - alpha / 2))).otherwise(lit(3.0))
+    }
+    cum.select(col("look"), col("na"), col("nb"),
+      z.as("z"), boundary.as("boundary"),
+      (abs(z) >= boundary).as("crossed"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013,
     * WSDM) — the industry-standard experiment sensitivity boost:
     * with a pre-experiment covariate x,

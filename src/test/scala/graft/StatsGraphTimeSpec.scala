@@ -327,6 +327,42 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("sequentialLooks: cumulative Welch z + boundaries by style") {
+    import graft.stats.Distributions
+    val df = Seq(
+      (1, "a", 0L), (1, "a", 2L), (1, "a", 4L), (1, "b", 1L),
+      (1, "b", 3L), (2, "a", 6L), (2, "b", 5L), (2, "b", 7L))
+      .toDF("look", "arm", "v")
+    def welchZ(xs: Seq[Long], ys: Seq[Long]): Double = {
+      def mv(s: Seq[Long]) = {
+        val n = s.size.toDouble; val m = s.sum / n
+        (m, s.map(x => (x - m) * (x - m)).sum / (n - 1), n)
+      }
+      val (ma, va, na) = mv(xs); val (mb, vb, nb) = mv(ys)
+      (ma - mb) / math.sqrt(va / na + vb / nb)
+    }
+    val bon = graft.stats.StatsOps.sequentialLooks(df, "arm", "v",
+      "look", "a", "b", alpha = 0.05, style = "bonferroni")
+      .orderBy("look").collect()
+    bon.length shouldBe 2
+    approx(bon(0).getAs[Double]("z"),
+      welchZ(Seq(0, 2, 4), Seq(1, 3)), 1e-9)
+    approx(bon(1).getAs[Double]("z"),
+      welchZ(Seq(0, 2, 4, 6), Seq(1, 3, 5, 7)), 1e-9)
+    val zBon = Distributions.normSInv(1 - 0.05 / 4) // K = 2
+    for (r <- bon) {
+      approx(r.getAs[Double]("boundary"), zBon, 1e-9)
+      r.getAs[Boolean]("crossed") shouldBe
+        (math.abs(r.getAs[Double]("z")) >= zBon)
+    }
+    val hp = graft.stats.StatsOps.sequentialLooks(df, "arm", "v",
+      "look", "a", "b", alpha = 0.05, style = "haybittle-peto")
+      .orderBy("look").collect()
+    approx(hp(0).getAs[Double]("boundary"), 3.0, 1e-12)
+    approx(hp(1).getAs[Double]("boundary"),
+      Distributions.normSInv(0.975), 1e-12)
+  }
+
   test("cem: support pruning, strata cells, ATT share weights") {
     // s1: treated {10,20} vs ctrl {10} -> diff 5
     // s2: treated {30} vs ctrl {20,40} -> diff 0
