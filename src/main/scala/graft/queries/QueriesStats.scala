@@ -1532,6 +1532,21 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // §2.12 Yuen trimmed-mean t-test (robust Welch) on A-vs-R price
+    // dollars, 20% trim: per-group rank window, winsor-bound picks,
+    // exact conditional sums, closed form + A&S normal p
+    "q374_yuen" -> ((s, d) =>
+      StatsOps.yuenTTest(
+        t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice")).cast("long").as("usd")),
+        "usd", "g", "A", "R", trim = 0.2)
+        .select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+          round(col("tmean_a"), 6).as("tmean_a"),
+          round(col("tmean_b"), 6).as("tmean_b"),
+          round(col("t_stat"), 6).as("t_stat"),
+          round(col("df"), 6).as("df"),
+          round(col("p_norm"), 6).as("p_norm"))),
+
     // group-sequential monitoring: monthly interim looks at the
     // click-vs-view experiment, cumulative exact sums -> Welch z per
     // look vs the Bonferroni z_(1-α/2K) boundary with K read from
@@ -1780,6 +1795,66 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical rank window, winsor picks, exact sums, closed form
+    // and Φ replay
+    "q374_yuen" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(t)")
+      s"""WITH base AS (
+         |  SELECT l_returnflag AS g,
+         |    CAST(round(l_extendedprice) AS BIGINT) AS x
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+         |r AS (
+         |  SELECT g, x,
+         |    row_number() OVER (PARTITION BY g ORDER BY x) AS rk
+         |  FROM base),
+         |ns AS (
+         |  SELECT g, count(*) AS n,
+         |    CAST(floor(0.2 * count(*)) AS BIGINT) AS k
+         |  FROM base GROUP BY 1),
+         |j AS (SELECT r.g, x, rk, n, k FROM r JOIN ns ON ns.g = r.g),
+         |lo AS (SELECT g, x AS xlo FROM j WHERE rk = k + 1),
+         |hi AS (SELECT g, x AS xhi FROM j WHERE rk = n - k),
+         |st AS (
+         |  SELECT j.g, max(n) AS n, max(k) AS k,
+         |    sum(CASE WHEN rk > k AND rk <= n - k THEN x END) AS stx,
+         |    sum(CASE WHEN rk <= k THEN xlo
+         |      WHEN rk > n - k THEN xhi ELSE x END) AS sw,
+         |    sum((CASE WHEN rk <= k THEN xlo
+         |        WHEN rk > n - k THEN xhi ELSE x END) *
+         |      (CASE WHEN rk <= k THEN xlo
+         |        WHEN rk > n - k THEN xhi ELSE x END)) AS qw
+         |  FROM j JOIN lo ON lo.g = j.g JOIN hi ON hi.g = j.g
+         |  GROUP BY 1),
+         |f AS (
+         |  SELECT g, n, k, n - 2 * k AS h,
+         |    CAST(stx AS DOUBLE) / (n - 2 * k) AS mt,
+         |    (CAST(qw AS DOUBLE)
+         |      - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / n)
+         |      / (n - 1) AS sw2
+         |  FROM st),
+         |f2 AS (
+         |  SELECT g, n, h, mt,
+         |    sw2 * (n - 1) / (CAST(h AS DOUBLE) * (h - 1)) AS d
+         |  FROM f),
+         |w AS (
+         |  SELECT a.n AS na, a.h AS ha, a.mt AS ma, a.d AS da,
+         |    b.n AS nb, b.h AS hb, b.mt AS mb, b.d AS db
+         |  FROM (SELECT * FROM f2 WHERE g = 'A') a,
+         |       (SELECT * FROM f2 WHERE g = 'R') b),
+         |z AS (
+         |  SELECT na, nb, ha, hb, ma, mb,
+         |    (ma - mb) / sqrt(da + db) AS t,
+         |    (da + db) * (da + db) /
+         |      (da * da / (ha - 1) + db * db / (hb - 1)) AS dfree
+         |  FROM w)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
+         |  round(ma, 6) AS tmean_a, round(mb, 6) AS tmean_b,
+         |  round(t, 6) AS t_stat, round(dfree, 6) AS df,
+         |  round(2.0 * (1.0 - $phi), 6) AS p_norm
+         |FROM z""".stripMargin
+    },
 
     // identical cells, cumulative windows, Welch z and the Acklam
     // quantile replay with K from the same look table

@@ -1895,6 +1895,71 @@ object StatsOps {
           col("__m__").cast("double"), 6).as("trimmed_mean"))
   }
 
+  /** Yuen's trimmed-mean t-test (Yuen 1974, Biometrika) — the robust
+    * two-sample comparison the Welch t lacks under heavy tails: per
+    * group trim the k = ⌊γn⌋ smallest/largest observations for the
+    * trimmed mean, winsorize (clamp to the (k+1)-th / (n−k)-th order
+    * statistics) for the variance, then
+    *   t = (m_tA − m_tB)/√(d_A + d_B),
+    *   d_g = s²_{w,g}(n_g−1)/(h_g(h_g−1)),  h = n − 2k,
+    * Welch–Satterthwaite df on the d's, large-sample two-sided p via
+    * the shared A&S Φ (the exact t CDF lives in
+    * [[Distributions.tTwoSidedP]] for driver-side use; the normal
+    * form is the engine-replayable one).
+    *
+    * Shape: one per-group window (rank), two rank-pick joins for the
+    * winsor bounds, one conditional-sum aggregate — all keyed by the
+    * group. Pass exact integers scaled so Σx² fits a long (dollars)
+    * and every sum is order-free. */
+  def yuenTTest(df0: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String, trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim in (0, 0.5): $trim")
+    val base = df0
+      .filter(col(groupCol).isin(gA, gB) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("x"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("x"))
+    val ranked = base.withColumn("rk", row_number().over(wRank))
+    val ns = ranked.groupBy("g").agg(count(lit(1)).as("n"))
+      .withColumn("k", floor(lit(trim) * col("n")).cast("long"))
+    val j = ranked.join(ns, Seq("g"))
+    val lo = j.filter(col("rk") === col("k") + 1)
+      .select(col("g"), col("x").as("xlo"))
+    val hi = j.filter(col("rk") === col("n") - col("k"))
+      .select(col("g"), col("x").as("xhi"))
+    val inTrim = col("rk") > col("k") && col("rk") <= col("n") - col("k")
+    val xw = when(col("rk") <= col("k"), col("xlo"))
+      .when(col("rk") > col("n") - col("k"), col("xhi"))
+      .otherwise(col("x"))
+    val stats = j.join(lo, Seq("g")).join(hi, Seq("g"))
+      .groupBy("g")
+      .agg(first("n").as("n"), first("k").as("k"),
+        sum(when(inTrim, col("x"))).as("st"),
+        sum(xw).as("sw"), sum(xw * xw).as("qw"))
+      .withColumn("h", col("n") - lit(2) * col("k"))
+      .withColumn("mt", col("st").cast("double") / col("h"))
+      .withColumn("sw2",
+        (col("qw").cast("double") -
+          col("sw").cast("double") * col("sw").cast("double") /
+            col("n")) / (col("n") - 1))
+      .withColumn("d", col("sw2") * (col("n") - 1) /
+        (col("h").cast("double") * (col("h") - 1)))
+    val a = stats.filter(col("g") === gA).as("a")
+    val b = stats.filter(col("g") === gB).as("b")
+    val t = (col("a.mt") - col("b.mt")) /
+      sqrt(col("a.d") + col("b.d"))
+    val dfree = (col("a.d") + col("b.d")) * (col("a.d") + col("b.d")) /
+      (col("a.d") * col("a.d") / (col("a.h") - 1) +
+        col("b.d") * col("b.d") / (col("b.h") - 1))
+    a.crossJoin(b).select(
+      col("a.n").as("n_a"), col("b.n").as("n_b"),
+      col("a.h").as("h_a"), col("b.h").as("h_b"),
+      col("a.mt").as("tmean_a"), col("b.mt").as("tmean_b"),
+      t.as("t_stat"), dfree.as("df"),
+      (lit(2.0) * (lit(1.0) -
+        Distributions.normalCdfCol(abs(t)))).as("p_norm"))
+  }
+
   /** Herfindahl-Hirschman concentration index over group shares:
     * HHI = Σ_g (n_g/N)² — 1/k at uniform, 1 at monopoly. One
     * groupBy + one aggregate. */

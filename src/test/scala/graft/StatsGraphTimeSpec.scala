@@ -327,6 +327,26 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("yuenTTest: hand-computed trim/winsor stats on 1..10 shift") {
+    // a = 1..10, b = a + 10; trim 0.2 -> k=2, h=6
+    // trimmed mean a = mean(3..8) = 5.5
+    // winsorized a: {3,3,3,4,5,6,7,8,8,8}: sw2 = (345 - 302.5)/9
+    // d = sw2*9/(6*5); same for b; df = (2d)^2/(2 d^2/5) = 10
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      (1 to 10).map(v => ("b", v + 10L))).toDF("g", "x")
+    val r = graft.stats.StatsOps
+      .yuenTTest(df, "x", "g", "a", "b", trim = 0.2).head()
+    r.getAs[Long]("n_a") shouldBe 10L
+    r.getAs[Long]("h_a") shouldBe 6L
+    approx(r.getAs[Double]("tmean_a"), 5.5, 1e-12)
+    approx(r.getAs[Double]("tmean_b"), 15.5, 1e-12)
+    val sw2 = (345.0 - 302.5) / 9
+    val d = sw2 * 9 / (6.0 * 5)
+    approx(r.getAs[Double]("t_stat"), -10.0 / math.sqrt(2 * d), 1e-9)
+    approx(r.getAs[Double]("df"), 10.0, 1e-9)
+    assert(r.getAs[Double]("p_norm") < 0.01)
+  }
+
   test("sequentialLooks: cumulative Welch z + boundaries by style") {
     import graft.stats.Distributions
     val df = Seq(
