@@ -1532,6 +1532,41 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // §2.12 ICC(1,1) one-way random-effects intraclass correlation
+    // with unbalanced-design k0: line-price-dollar consistency
+    // within orders (groups = orders)
+    "q375_icc" -> ((s, d) =>
+      StatsOps.iccOneWay(
+        t(s, d, "lineitem").select(col("l_orderkey"),
+          round(col("l_extendedprice")).cast("long").as("usd")),
+        "l_orderkey", "usd")
+        .select(col("n_groups"), col("n_obs"),
+          round(col("msb"), 6).as("msb"),
+          round(col("msw"), 6).as("msw"),
+          round(col("k0"), 6).as("k0"),
+          round(col("icc"), 6).as("icc"))),
+
+    // §2.12 Bland-Altman agreement between the order-header total
+    // and the summed line gross (both dollars): bias, SD of diffs,
+    // 95% limits of agreement, share of orders within limits
+    "q376_bland_altman" -> ((s, d) => {
+      val lines = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sum(round(col("l_extendedprice")).cast("long"))
+          .as("line_usd"))
+      val paired = t(s, d, "orders").select(
+          col("o_orderkey").as("ok"),
+          round(col("o_totalprice")).cast("long").as("hdr_usd"))
+        .join(lines, Seq("ok"))
+      StatsOps.blandAltman(paired, "hdr_usd", "line_usd")
+        .select(col("n"), round(col("mean_diff"), 6).as("mean_diff"),
+          round(col("sd_diff"), 6).as("sd_diff"),
+          round(col("loa_lo"), 6).as("loa_lo"),
+          round(col("loa_hi"), 6).as("loa_hi"),
+          col("n_within"),
+          round(col("pct_within"), 6).as("pct_within"))
+    }),
+
     // §2.12 Yuen trimmed-mean t-test (robust Welch) on A-vs-R price
     // dollars, 20% trim: per-group rank window, winsor-bound picks,
     // exact conditional sums, closed form + A&S normal p
@@ -1795,6 +1830,75 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical per-group exact sums, ANOVA decomposition, k0 and
+    // ICC closed form
+    "q375_icc" ->
+      """WITH per AS (
+        |  SELECT l_orderkey,
+        |    count(*) AS ni,
+        |    sum(CAST(round(l_extendedprice) AS BIGINT)) AS si,
+        |    sum(CAST(round(l_extendedprice) AS BIGINT) *
+        |        CAST(round(l_extendedprice) AS BIGINT)) AS qi
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS g,
+        |    CAST(sum(ni) AS DOUBLE) AS n,
+        |    CAST(sum(si) AS DOUBLE) AS s,
+        |    CAST(sum(qi) AS DOUBLE) AS q,
+        |    sum(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni) AS sg,
+        |    CAST(sum(ni * ni) AS DOUBLE) AS nn2
+        |  FROM per),
+        |f AS (
+        |  SELECT CAST(g AS BIGINT) AS n_groups,
+        |    CAST(n AS BIGINT) AS n_obs,
+        |    (sg - s * s / n) / (g - 1) AS msb,
+        |    (q - sg) / (n - g) AS msw,
+        |    (n - nn2 / n) / (g - 1) AS k0
+        |  FROM tot)
+        |SELECT n_groups, n_obs, round(msb, 6) AS msb,
+        |  round(msw, 6) AS msw, round(k0, 6) AS k0,
+        |  round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc
+        |FROM f""".stripMargin,
+
+    // identical pairing, exact diff sums, Acklam z literal and
+    // within-limits count
+    "q376_bland_altman" -> {
+      val z = graft.stats.Distributions.normSInv(0.975)
+      s"""WITH lines AS (
+         |  SELECT l_orderkey AS ok,
+         |    sum(CAST(round(l_extendedprice) AS BIGINT)) AS line_usd
+         |  FROM lineitem GROUP BY 1),
+         |paired AS (
+         |  SELECT CAST(round(o_totalprice) AS BIGINT) -
+         |    CAST(line_usd AS BIGINT) AS d
+         |  FROM orders JOIN lines ON lines.ok = o_orderkey),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(d) AS DOUBLE) AS sd1,
+         |    CAST(sum(d * d) AS DOUBLE) AS sd2
+         |  FROM paired),
+         |k AS (
+         |  SELECT n, sd1 / n AS mean_diff,
+         |    sqrt((sd2 - sd1 * sd1 / n) / (n - 1)) AS sd_diff
+         |  FROM s),
+         |k2 AS (
+         |  SELECT n, mean_diff, sd_diff,
+         |    mean_diff - $z * sd_diff AS loa_lo,
+         |    mean_diff + $z * sd_diff AS loa_hi
+         |  FROM k),
+         |w AS (
+         |  SELECT CAST(sum(CASE WHEN d >= loa_lo AND d <= loa_hi
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+         |    max(n) AS n2
+         |  FROM paired CROSS JOIN k2)
+         |SELECT n, round(mean_diff, 6) AS mean_diff,
+         |  round(sd_diff, 6) AS sd_diff,
+         |  round(loa_lo, 6) AS loa_lo, round(loa_hi, 6) AS loa_hi,
+         |  n_within,
+         |  round(CAST(n_within AS DOUBLE) / n, 6) AS pct_within
+         |FROM k2 CROSS JOIN w""".stripMargin
+    },
 
     // identical rank window, winsor picks, exact sums, closed form
     // and Φ replay

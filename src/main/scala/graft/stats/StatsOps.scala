@@ -1960,6 +1960,74 @@ object StatsOps {
         Distributions.normalCdfCol(abs(t)))).as("p_norm"))
   }
 
+  /** One-way random-effects intraclass correlation ICC(1,1)
+    * (Shrout & Fleiss 1979) with the unbalanced-design k₀ of the
+    * one-way ANOVA: how much of the variance lives BETWEEN groups —
+    * the reliability/agreement measure for clustered measurements.
+    *   MSB = SSB/(G−1), MSW = SSW/(N−G),
+    *   k₀ = (N − Σn_i²/N)/(G−1),
+    *   ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW).
+    * One per-group exact-sum aggregate + one global aggregate; pass
+    * an exact integer value (dollars) so Σx² stays a long. */
+  def iccOneWay(df0: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val per = df0.filter(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("ni"), sum(v).as("si"),
+        sum(v * v).as("qi"))
+    val tot = per.agg(count(lit(1)).cast("double").as("g"),
+      sum("ni").cast("double").as("n"),
+      sum("si").cast("double").as("s"),
+      sum("qi").cast("double").as("q"),
+      sum(col("si").cast("double") * col("si").cast("double") /
+        col("ni")).as("sg"),
+      sum(col("ni") * col("ni")).cast("double").as("nn2"))
+    val ssb = col("sg") - col("s") * col("s") / col("n")
+    val ssw = col("q") - col("sg")
+    val msb = ssb / (col("g") - 1)
+    val msw = ssw / (col("n") - col("g"))
+    val k0 = (col("n") - col("nn2") / col("n")) / (col("g") - 1)
+    tot.select(col("g").cast("long").as("n_groups"),
+      col("n").cast("long").as("n_obs"),
+      msb.as("msb"), msw.as("msw"), k0.as("k0"),
+      ((msb - msw) / (msb + (k0 - 1) * msw)).as("icc"))
+  }
+
+  /** Bland–Altman agreement analysis (Bland & Altman 1986, Lancet)
+    * between two paired measurements: mean difference (bias), SD of
+    * differences, the 95% limits of agreement d̄ ± z₀.₉₇₅·s_d, and
+    * the share of pairs inside the limits. Differences are exact
+    * integers when the inputs are (cents convention) so sums are
+    * order-free; the z quantile is the Acklam constant so the
+    * oracle replays it as a literal. One exact-sum aggregate + one
+    * broadcast join back for the within-limits count. */
+  def blandAltman(df0: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val d = col(xCol) - col(yCol)
+    val z = Distributions.normSInv(0.975)
+    val base = df0
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(d.as("__d__"))
+    val s = base.agg(count(lit(1)).as("n"), sum("__d__").as("sd1"),
+        sum(col("__d__") * col("__d__")).as("sd2"))
+      .withColumn("mean_diff",
+        col("sd1").cast("double") / col("n"))
+      .withColumn("sd_diff", sqrt(
+        (col("sd2").cast("double") -
+          col("sd1").cast("double") * col("sd1").cast("double") /
+            col("n")) / (col("n") - 1)))
+      .withColumn("loa_lo", col("mean_diff") - lit(z) * col("sd_diff"))
+      .withColumn("loa_hi", col("mean_diff") + lit(z) * col("sd_diff"))
+    base.crossJoin(broadcast(s))
+      .groupBy("n", "mean_diff", "sd_diff", "loa_lo", "loa_hi")
+      .agg(sum(when(col("__d__") >= col("loa_lo") &&
+          col("__d__") <= col("loa_hi"), 1L).otherwise(0L))
+        .as("n_within"))
+      .withColumn("pct_within",
+        col("n_within").cast("double") / col("n"))
+  }
+
   /** Herfindahl-Hirschman concentration index over group shares:
     * HHI = Σ_g (n_g/N)² — 1/k at uniform, 1 at monopoly. One
     * groupBy + one aggregate. */

@@ -327,6 +327,34 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("iccOneWay: perfect within-agreement = 1, none = -1/(k0-1)") {
+    val perfect = Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L))
+      .toDF("g", "x")
+    val r1 = graft.stats.StatsOps.iccOneWay(perfect, "g", "x").head()
+    approx(r1.getAs[Double]("k0"), 2.0, 1e-12)
+    approx(r1.getAs[Double]("icc"), 1.0, 1e-12)
+    val none = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L))
+      .toDF("g", "x")
+    val r2 = graft.stats.StatsOps.iccOneWay(none, "g", "x").head()
+    approx(r2.getAs[Double]("msb"), 0.0, 1e-12)
+    approx(r2.getAs[Double]("icc"), -1.0, 1e-12)
+  }
+
+  test("blandAltman: hand-computed bias, limits, within count") {
+    import graft.stats.Distributions
+    val df = Seq((10L, 10L), (12L, 10L), (14L, 10L), (16L, 10L))
+      .toDF("x", "y") // diffs 0,2,4,6
+    val r = graft.stats.StatsOps.blandAltman(df, "x", "y").head()
+    r.getAs[Long]("n") shouldBe 4L
+    approx(r.getAs[Double]("mean_diff"), 3.0, 1e-12)
+    val sd = math.sqrt(20.0 / 3)
+    approx(r.getAs[Double]("sd_diff"), sd, 1e-12)
+    val z = Distributions.normSInv(0.975)
+    approx(r.getAs[Double]("loa_lo"), 3.0 - z * sd, 1e-9)
+    approx(r.getAs[Double]("loa_hi"), 3.0 + z * sd, 1e-9)
+    r.getAs[Long]("n_within") shouldBe 4L
+  }
+
   test("yuenTTest: hand-computed trim/winsor stats on 1..10 shift") {
     // a = 1..10, b = a + 10; trim 0.2 -> k=2, h=6
     // trimmed mean a = mean(3..8) = 5.5
