@@ -1532,6 +1532,21 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // §2.12 Brunner-Munzel nonparametric Behrens-Fisher test on
+    // click-vs-view cents: range-bucketed combined + within-group
+    // midrank maps, exact doubled-halfrank sums, Satterthwaite df,
+    // common-language effect, A&S normal p
+    "q377_brunner_munzel" -> ((s, d) =>
+      StatsOps.brunnerMunzel(
+        t(s, d, "events").filter(col("value").isNotNull)
+          .select(col("event_type"), cents(col("value")).as("vc")),
+        "vc", "event_type", "click", "view")
+        .select(col("n_a"), col("n_b"),
+          round(col("p_hat"), 6).as("p_hat"),
+          round(col("w_stat"), 6).as("w_stat"),
+          round(col("df"), 6).as("df"),
+          round(col("p_norm"), 6).as("p_norm"))),
+
     // §2.12 ICC(1,1) one-way random-effects intraclass correlation
     // with unbalanced-design k0: line-price-dollar consistency
     // within orders (groups = orders)
@@ -1830,6 +1845,69 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical midrank construction (combined + within), exact
+    // doubled-rank sums, variance expansion and closed forms
+    "q377_brunner_munzel" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("abs(w)")
+      s"""WITH pooled AS (
+         |  SELECT event_type AS g,
+         |    CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events
+         |  WHERE event_type IN ('click', 'view')
+         |    AND value IS NOT NULL),
+         |rk AS (
+         |  SELECT g, v,
+         |    CAST(rank() OVER (ORDER BY v) AS DOUBLE) +
+         |      (CAST(count(*) OVER (PARTITION BY v) AS DOUBLE) - 1.0)
+         |        / 2.0 AS rall,
+         |    CAST(rank() OVER (PARTITION BY g ORDER BY v) AS DOUBLE) +
+         |      (CAST(count(*) OVER (PARTITION BY g, v) AS DOUBLE)
+         |        - 1.0) / 2.0 AS rwin
+         |  FROM pooled),
+         |st AS (
+         |  SELECT g, count(*) AS n,
+         |    CAST(sum(CAST(rall * 2 AS BIGINT)) AS BIGINT) AS sr2,
+         |    CAST(sum(CAST((rall - rwin) * 2 AS BIGINT)) AS BIGINT)
+         |      AS sd2,
+         |    CAST(sum(CAST((rall - rwin) * 2 AS BIGINT) *
+         |      CAST((rall - rwin) * 2 AS BIGINT)) AS BIGINT) AS sq4
+         |  FROM rk GROUP BY 1),
+         |f AS (
+         |  SELECT g, n, CAST(sr2 AS DOUBLE) / (2.0 * n) AS m,
+         |    CAST(sr2 AS DOUBLE) / (2.0 * n) -
+         |      (CAST(n AS DOUBLE) + 1) / 2 AS cc,
+         |    sd2, sq4
+         |  FROM st),
+         |f2 AS (
+         |  SELECT g, n, m,
+         |    (CAST(sq4 AS DOUBLE) / 4 -
+         |      2.0 * cc * (CAST(sd2 AS DOUBLE) / 2) +
+         |      n * cc * cc) / (n - 1) AS vv
+         |  FROM f),
+         |w0 AS (
+         |  SELECT a.n AS n1, a.m AS m1, a.vv AS v1,
+         |    b.n AS n2, b.m AS m2, b.vv AS v2
+         |  FROM (SELECT * FROM f2 WHERE g = 'click') a,
+         |       (SELECT * FROM f2 WHERE g = 'view') b),
+         |z AS (
+         |  SELECT n1, n2,
+         |    (m2 - (CAST(n2 AS DOUBLE) + 1) / 2) / n1 AS phat,
+         |    n1 * v1 + n2 * v2 AS vt,
+         |    CAST(n1 AS DOUBLE) * n2 * (m2 - m1) / (n1 + n2) /
+         |      sqrt(n1 * v1 + n2 * v2) AS w,
+         |    (n1 * v1 + n2 * v2) * (n1 * v1 + n2 * v2) /
+         |      ((n1 * v1) * (n1 * v1) / (n1 - 1) +
+         |       (n2 * v2) * (n2 * v2) / (n2 - 1)) AS dfree
+         |  FROM w0)
+         |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+         |  round(phat, 6) AS p_hat,
+         |  CASE WHEN vt > 0 THEN round(w, 6) END AS w_stat,
+         |  CASE WHEN vt > 0 THEN round(dfree, 6) END AS df,
+         |  CASE WHEN vt > 0 THEN
+         |    round(2.0 * (1.0 - $phi), 6) END AS p_norm
+         |FROM z""".stripMargin
+    },
 
     // identical per-group exact sums, ANOVA decomposition, k0 and
     // ICC closed form

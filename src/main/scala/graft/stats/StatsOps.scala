@@ -1895,6 +1895,67 @@ object StatsOps {
           col("__m__").cast("double"), 6).as("trimmed_mean"))
   }
 
+  /** Brunner–Munzel test (Brunner & Munzel 2000) — the nonparametric
+    * Behrens–Fisher solution: tests P(X<Y)+½P(X=Y) = ½ without the
+    * equal-variance assumption Mann–Whitney secretly makes. Combined
+    * and within-group midranks via the range-bucketed distinct-value
+    * rank maps (no global window);
+    *   Ŵ = n₁n₂(R̄₂−R̄₁)/(N·√(n₁v₁+n₂v₂)),
+    *   v_k from Σ(R−r−R̄_k+(n_k+1)/2)² expanded over EXACT sums of
+    *   2(R−r) (midranks are half-integers — doubled they are exact
+    *   longs, so every sum is order-free),
+    * Satterthwaite df, the common-language effect p̂, large-sample
+    * two-sided normal p via the shared A&S Φ. Null Ŵ when both
+    * variance terms vanish (all values identical). */
+  def brunnerMunzel(df0: DataFrame, valueCol: String, groupCol: String,
+      gA: String, gB: String): DataFrame = {
+    val pooled = df0
+      .filter(col(groupCol).isin(gA, gB) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v")).cache()
+    val countsAll = pooled.groupBy("v").agg(count(lit(1)).as("__c__"))
+    val rankAll = distinctValueRanks(countsAll, "v", "__c__")
+      .withColumnRenamed("__r__", "rall")
+    def withinRanks(gv: String) = {
+      val c = pooled.filter(col("g") === gv).groupBy("v")
+        .agg(count(lit(1)).as("__c__"))
+      distinctValueRanks(c, "v", "__c__")
+        .withColumnRenamed("__r__", "rwin").withColumn("g", lit(gv))
+    }
+    val within = withinRanks(gA).unionByName(withinRanks(gB))
+    val stats = pooled.join(broadcast(rankAll), Seq("v"))
+      .join(broadcast(within), Seq("g", "v"))
+      .select(col("g"),
+        (col("rall") * 2).cast("long").as("r2"),
+        ((col("rall") - col("rwin")) * 2).cast("long").as("d2"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("r2").as("sr2"),
+        sum("d2").as("sd2"), sum(col("d2") * col("d2")).as("sq4"))
+      .withColumn("m", col("sr2").cast("double") / (lit(2.0) * col("n")))
+      .withColumn("cc",
+        col("m") - (col("n").cast("double") + 1) / 2)
+      .withColumn("vv",
+        (col("sq4").cast("double") / 4 -
+          lit(2.0) * col("cc") * (col("sd2").cast("double") / 2) +
+          col("n") * col("cc") * col("cc")) / (col("n") - 1))
+    val a = stats.filter(col("g") === gA).as("a")
+    val b = stats.filter(col("g") === gB).as("b")
+    val n1 = col("a.n").cast("double"); val n2 = col("b.n").cast("double")
+    val nn = n1 + n2
+    val varTerm = n1 * col("a.vv") + n2 * col("b.vv")
+    val w = n1 * n2 * (col("b.m") - col("a.m")) / nn / sqrt(varTerm)
+    val dfS = varTerm * varTerm /
+      ((n1 * col("a.vv")) * (n1 * col("a.vv")) / (n1 - 1) +
+        (n2 * col("b.vv")) * (n2 * col("b.vv")) / (n2 - 1))
+    val phat = (col("b.m") - (n2 + 1) / 2) / n1
+    a.crossJoin(b).select(
+      col("a.n").as("n_a"), col("b.n").as("n_b"),
+      phat.as("p_hat"),
+      when(varTerm > 0, w).as("w_stat"),
+      when(varTerm > 0, dfS).as("df"),
+      when(varTerm > 0, lit(2.0) * (lit(1.0) -
+        Distributions.normalCdfCol(abs(w)))).as("p_norm"))
+  }
+
   /** Yuen's trimmed-mean t-test (Yuen 1974, Biometrika) — the robust
     * two-sample comparison the Welch t lacks under heavy tails: per
     * group trim the k = ⌊γn⌋ smallest/largest observations for the

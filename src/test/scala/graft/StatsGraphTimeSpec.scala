@@ -327,6 +327,27 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("brunnerMunzel: hand-computed stats on {1,2,3} vs {2,3,4}") {
+    // combined midranks: 1, 2.5, 2.5, 4.5, 4.5, 6
+    // m1 = 8/3, m2 = 13/3; v1 = v2 = 7/12
+    // W = 9*(5/3)/6/sqrt(3.5); df = 3.5^2 / (2*(1.75^2/2)) = 4
+    val df = Seq(("a", 1), ("a", 2), ("a", 3),
+      ("b", 2), ("b", 3), ("b", 4)).toDF("g", "v")
+    val r = graft.stats.StatsOps
+      .brunnerMunzel(df, "v", "g", "a", "b").head()
+    r.getAs[Long]("n_a") shouldBe 3L
+    approx(r.getAs[Double]("p_hat"), 7.0 / 9, 1e-12)
+    approx(r.getAs[Double]("w_stat"), 2.5 / math.sqrt(3.5), 1e-9)
+    approx(r.getAs[Double]("df"), 4.0, 1e-9)
+    // degenerate: all values equal -> null W
+    val same = Seq(("a", 1), ("a", 1), ("b", 1), ("b", 1))
+      .toDF("g", "v")
+    val r2 = graft.stats.StatsOps
+      .brunnerMunzel(same, "v", "g", "a", "b").head()
+    approx(r2.getAs[Double]("p_hat"), 0.5, 1e-12)
+    r2.isNullAt(r2.fieldIndex("w_stat")) shouldBe true
+  }
+
   test("iccOneWay: perfect within-agreement = 1, none = -1/(k0-1)") {
     val perfect = Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L))
       .toDF("g", "x")
