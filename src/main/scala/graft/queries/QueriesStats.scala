@@ -239,6 +239,21 @@ object QueriesStats {
             .otherwise(0L)).as("ev")),
         "dur", "ev")),
 
+    // §2.12 restricted mean survival time over the same survival
+    // data: expected active days within the first 30 — the step
+    // integral of the KM curve from its bounded distinct-duration
+    // table
+    "q378_rmst" -> ((s, d) =>
+      StatsOps.rmst(
+        t(s, d, "events").groupBy("user_id").agg(
+          datediff(max(col("ts")), min(col("ts"))).cast("long")
+            .as("dur"),
+          max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("ev")),
+        "dur", "ev", tau = 30.0)
+        .select(col("tau"), round(col("rmst"), 6).as("rmst"),
+          col("n_steps"))),
+
     // §2.12 Nelson-Aalen cumulative hazard over the same survival data
     "q213_nelson_aalen" -> ((s, d) =>
       StatsOps.nelsonAalen(
@@ -3082,6 +3097,51 @@ object QueriesStats {
         |  FROM w)
         |SELECT dur, d, c, n_risk, round(surv, 6) AS survival
         |FROM s""".stripMargin,
+
+    // same KM replay as q183 + the virtual origin row, s-DESC
+    // tiebreak, lead segments clipped at tau and one sum
+    "q378_rmst" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(max(ts) AS DATE)) AS dur,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS ev
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT dur,
+        |    CAST(sum(CASE WHEN ev <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT dur, d, c,
+        |    CAST(coalesce(sum(d + c) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below,
+        |    CAST(sum(d + c) OVER () AS BIGINT) AS nn
+        |  FROM t),
+        |s AS (
+        |  SELECT dur,
+        |    exp(sum(ln(greatest(1.0 - CAST(d AS DOUBLE) /
+        |      (CASE WHEN nn - below > 0 THEN nn - below END), 1e-300)))
+        |      OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS surv
+        |  FROM w),
+        |km AS (
+        |  SELECT CAST(dur AS DOUBLE) AS t, round(surv, 6) AS sv
+        |  FROM s
+        |  UNION ALL SELECT 0.0, 1.0),
+        |a AS (
+        |  SELECT sv * greatest(0.0,
+        |    least(coalesce(lead(t) OVER (ORDER BY t, sv DESC), 30.0),
+        |      30.0) - least(t, 30.0)) AS area
+        |  FROM km)
+        |SELECT 30.0 AS tau, round(sum(area), 6) AS rmst,
+        |  CAST(count(*) AS BIGINT) AS n_steps
+        |FROM a""".stripMargin,
 
     "q213_nelson_aalen" ->
       """WITH u AS (

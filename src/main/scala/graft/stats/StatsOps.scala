@@ -1770,6 +1770,35 @@ object StatsOps {
         round(col("survival"), 6).as("survival"))
   }
 
+  /** Restricted mean survival time RMST(τ) = ∫₀^τ S(t)dt (Royston &
+    * Parmar 2013) — the step-function area under the [[kaplanMeier]]
+    * curve up to the horizon τ: "expected survival time within the
+    * first τ units", the model-free alternative to a hazard ratio.
+    * Computed from the BOUNDED distinct-duration KM table: a virtual
+    * (t=0, S=1) row, one lead window (default τ), per-step area
+    * S·(min(next,τ) − min(t,τ)) clamped at 0, one sum. Uses the same
+    * 6-dp survival the KM gate publishes so the oracle replay is
+    * bit-identical. */
+  def rmst(df0: DataFrame, durationCol: String, eventCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df0.sparkSession
+    import spark.implicits._
+    val km = kaplanMeier(df0, durationCol, eventCol)
+      .select(col(durationCol).cast("double").as("t"),
+        col("survival").as("s"))
+      .unionByName(Seq((0.0, 1.0)).toDF("t", "s"))
+    // s DESC tiebreak: the virtual (0, 1.0) row sorts before a real
+    // zero-duration step, so the lead segments are deterministic
+    val w = Window.orderBy(col("t"), col("s").desc)
+    km.withColumn("tn", coalesce(lead(col("t"), 1).over(w), lit(tau)))
+      .withColumn("area", col("s") * greatest(lit(0.0),
+        least(col("tn"), lit(tau)) - least(col("t"), lit(tau))))
+      .agg(lit(tau).as("tau"), sum("area").as("rmst"),
+        count(lit(1)).cast("long").as("n_steps"))
+  }
+
   /** Nelson–Aalen cumulative hazard estimator (lifelines
     * NelsonAalenFitter semantics): H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over the
     * same distinct-duration machinery as [[kaplanMeier]], with the

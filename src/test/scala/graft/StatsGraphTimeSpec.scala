@@ -327,6 +327,20 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("rmst: step integral of the KM curve, clipped at tau") {
+    // events at t=1 and t=3 (n=2): S=1 on [0,1), 0.5 on [1,3), 0 after
+    val ev = Seq((1L, 1L), (3L, 1L)).toDF("dur", "ev")
+    val r = graft.stats.StatsOps.rmst(ev, "dur", "ev", tau = 5.0)
+      .head()
+    approx(r.getAs[Double]("rmst"), 1.0 + 0.5 * 2, 1e-9)
+    r.getAs[Long]("n_steps") shouldBe 3L
+    // censoring at t=3 keeps S=0.5 through tau
+    val cz = Seq((1L, 1L), (3L, 0L)).toDF("dur", "ev")
+    val r2 = graft.stats.StatsOps.rmst(cz, "dur", "ev", tau = 5.0)
+      .head()
+    approx(r2.getAs[Double]("rmst"), 1.0 + 0.5 * 2 + 0.5 * 2, 1e-9)
+  }
+
   test("brunnerMunzel: hand-computed stats on {1,2,3} vs {2,3,4}") {
     // combined midranks: 1, 2.5, 2.5, 4.5, 4.5, 6
     // m1 = 8/3, m2 = 13/3; v1 = v2 = 7/12
