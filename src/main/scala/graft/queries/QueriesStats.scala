@@ -1547,6 +1547,39 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // §2.11 Croston/SBA intermittent-demand forecast per nation:
+    // daily urgent-order counts on a ZERO-FILLED calendar (absence
+    // of demand is data), demand-size + interval EWMAs via the
+    // grouped codegen fold, replayed by a recursive CTE
+    "q379_croston" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val dem = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("k"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val bounds = t(s, d, "orders").agg(
+        min(col("o_orderdate").cast("date")).as("d0"),
+        max(col("o_orderdate").cast("date")).as("d1"))
+      val cal = t(s, d, "nation").select(col("n_nationkey").as("k"))
+        .crossJoin(broadcast(bounds))
+        .select(col("k"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val series = cal.join(dem, Seq("k", "day"), "left")
+        .select(col("k"), col("day"),
+          coalesce(col("cnt"), lit(0.0)).as("v"))
+      TimeSeriesOps.groupedCroston(series, "v", "day", Seq("k"),
+          alpha = 0.3)
+        .select(col("k"), col("n_periods"), col("n_demands"),
+          round(col("size_ewma"), 6).as("size_ewma"),
+          round(col("interval_ewma"), 6).as("interval_ewma"),
+          round(col("croston"), 6).as("croston"),
+          round(col("sba"), 6).as("sba"))
+        .orderBy("k")
+    }),
+
     // §2.12 Brunner-Munzel nonparametric Behrens-Fisher test on
     // click-vs-view cents: range-bucketed combined + within-group
     // midrank maps, exact doubled-halfrank sums, Satterthwaite df,
@@ -1860,6 +1893,73 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical zero-filled calendar, then the fold replayed as a
+    // per-key recursive CTE (q307 precedent) with the same alpha
+    // literals and first-demand initialization
+    "q379_croston" ->
+      """WITH RECURSIVE dem AS (
+        |  SELECT c.c_nationkey AS k, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  WHERE o.o_orderpriority = '1-URGENT'
+        |  GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |    CAST(max(o_orderdate) AS DATE) AS d1
+        |  FROM orders),
+        |cal AS (
+        |  SELECT n_nationkey AS k,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |      AS DATE) AS day
+        |  FROM nation CROSS JOIN bounds),
+        |series AS (
+        |  SELECT cal.k, cal.day, coalesce(dem.cnt, 0.0) AS v
+        |  FROM cal LEFT JOIN dem
+        |    ON dem.k = cal.k AND dem.day = cal.day),
+        |base AS (
+        |  SELECT k, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY day) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS np
+        |  FROM series),
+        |r AS (
+        |  SELECT k, rn,
+        |    CASE WHEN v > 0 THEN 1 ELSE 0 END AS seen,
+        |    CAST(CASE WHEN v > 0 THEN v ELSE 0.0 END AS DOUBLE) AS z,
+        |    CAST(CASE WHEN v > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+        |      AS p,
+        |    CAST(CASE WHEN v > 0 THEN 0.0 ELSE 1.0 END AS DOUBLE)
+        |      AS q,
+        |    CASE WHEN v > 0 THEN 1 ELSE 0 END AS d
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.k, b.rn,
+        |    CASE WHEN b.v > 0 THEN 1 ELSE r.seen END,
+        |    CASE WHEN b.v > 0 AND r.seen = 0 THEN b.v
+        |         WHEN b.v > 0 THEN 0.3 * b.v + (1.0 - 0.3) * r.z
+        |         ELSE r.z END,
+        |    CASE WHEN b.v > 0 AND r.seen = 0 THEN r.q + 1.0
+        |         WHEN b.v > 0
+        |           THEN 0.3 * (r.q + 1.0) + (1.0 - 0.3) * r.p
+        |         ELSE r.p END,
+        |    CASE WHEN b.v > 0 THEN 0.0 ELSE r.q + 1.0 END,
+        |    CASE WHEN b.v > 0 THEN r.d + 1 ELSE r.d END
+        |  FROM base b JOIN r ON b.k = r.k AND b.rn = r.rn + 1),
+        |lastr AS (
+        |  SELECT k, seen, z, p, d,
+        |    row_number() OVER (PARTITION BY k ORDER BY rn DESC) AS rr
+        |  FROM r),
+        |np AS (SELECT k, CAST(max(np) AS BIGINT) AS n_periods
+        |  FROM base GROUP BY 1)
+        |SELECT f.k, np.n_periods, CAST(f.d AS BIGINT) AS n_demands,
+        |  round(f.z, 6) AS size_ewma,
+        |  round(f.p, 6) AS interval_ewma,
+        |  CASE WHEN f.seen = 1 AND f.p > 0
+        |    THEN round(f.z / f.p, 6) END AS croston,
+        |  CASE WHEN f.seen = 1 AND f.p > 0
+        |    THEN round(0.85 * (f.z / f.p), 6) END AS sba
+        |FROM lastr f JOIN np ON np.k = f.k
+        |WHERE f.rr = 1""".stripMargin,
 
     // identical midrank construction (combined + within), exact
     // doubled-rank sums, variance expansion and closed forms

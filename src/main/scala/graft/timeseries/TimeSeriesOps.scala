@@ -1243,6 +1243,64 @@ object TimeSeriesOps {
           col("trend"), 6).as("forecast"): _*)
   }
 
+  /** Croston's method for intermittent demand (Croston 1972) with
+    * the Syntetos–Boylan bias correction (SBA, 2005) — the standard
+    * forecaster when most periods are zero (spare parts, rare-event
+    * demand), where SES/Holt systematically lag: separate EWMAs of
+    * the demand SIZE z and the inter-demand INTERVAL p (counted
+    * inclusively in periods), per-period forecast z/p and SBA
+    * (1−α/2)·z/p. Zero periods must be PRESENT as zeros — zero-fill
+    * the calendar first; absence of demand is data.
+    *
+    * Distributed exactly like the other per-key folds
+    * ([[groupedHoltForecast]]): ONE shuffle groups each bounded
+    * series, the fold is a codegen'd `aggregate`, and a recursive
+    * CTE replays it bit-for-bit. Keys with no demand at all emit
+    * null forecasts. */
+  def groupedCroston(df: DataFrame, valueCol: String, orderCol: String,
+      keyCols: Seq[String], alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    val a = alpha
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+          col(valueCol).cast("double").as("v")))).as("__pts__"),
+        count(lit(1)).as("n_periods"))
+    val fold = expr(
+      s"""aggregate(__pts__,
+         |  struct(cast(0 as int) as seen, cast(0.0 as double) as z,
+         |         cast(0.0 as double) as p, cast(0.0 as double) as q,
+         |         cast(0 as int) as d),
+         |  (acc, pt) -> CASE
+         |    WHEN pt.v > 0.0d AND acc.seen = 0 THEN
+         |      struct(cast(1 as int) as seen,
+         |        cast(pt.v as double) as z,
+         |        cast(acc.q + 1.0d as double) as p,
+         |        cast(0.0 as double) as q, cast(1 as int) as d)
+         |    WHEN pt.v > 0.0d THEN
+         |      struct(cast(1 as int) as seen,
+         |        cast($a * pt.v + (1.0d - $a) * acc.z as double) as z,
+         |        cast($a * (acc.q + 1.0d) + (1.0d - $a) * acc.p
+         |          as double) as p,
+         |        cast(0.0 as double) as q,
+         |        cast(acc.d + 1 as int) as d)
+         |    ELSE
+         |      struct(cast(acc.seen as int) as seen,
+         |        cast(acc.z as double) as z,
+         |        cast(acc.p as double) as p,
+         |        cast(acc.q + 1.0d as double) as q,
+         |        cast(acc.d as int) as d) END)""".stripMargin)
+    val ok = col("__st__.seen") === 1 && col("__st__.p") > 0
+    grouped.withColumn("__st__", fold)
+      .select(keyCols.map(col) ++ Seq(col("n_periods"),
+        col("__st__.d").cast("long").as("n_demands"),
+        col("__st__.z").as("size_ewma"),
+        col("__st__.p").as("interval_ewma"),
+        when(ok, col("__st__.z") / col("__st__.p")).as("croston"),
+        when(ok, lit(1.0 - a / 2) *
+          (col("__st__.z") / col("__st__.p"))).as("sba")): _*)
+  }
+
   /** Per-key ONE-STEP-AHEAD Holt backtest — the forecast-accuracy
     * evaluation layer the forecaster family was missing: replay the
     * plain-Holt recurrence over each key's history, emit the h=1

@@ -327,6 +327,28 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("groupedCroston: hand-computed size/interval EWMAs") {
+    // series: 0, 4, 0, 0, 6, 0 (alpha 0.5)
+    // first demand at t2: z=4, p=2 (interval incl.); next at t5:
+    // z = .5*6+.5*4 = 5; p = .5*3+.5*2 = 2.5 -> croston 2, sba 1.5
+    val df = Seq((1, 0.0), (2, 4.0), (3, 0.0), (4, 0.0), (5, 6.0),
+      (6, 0.0)).map { case (t, v) => ("k", t, v) }
+      .toDF("k", "t", "v")
+    val r = graft.timeseries.TimeSeriesOps
+      .groupedCroston(df, "v", "t", Seq("k"), alpha = 0.5).head()
+    r.getAs[Long]("n_periods") shouldBe 6L
+    r.getAs[Long]("n_demands") shouldBe 2L
+    approx(r.getAs[Double]("size_ewma"), 5.0, 1e-12)
+    approx(r.getAs[Double]("interval_ewma"), 2.5, 1e-12)
+    approx(r.getAs[Double]("croston"), 2.0, 1e-12)
+    approx(r.getAs[Double]("sba"), 0.75 * 2.0, 1e-12)
+    // all-zero key -> null forecast
+    val zero = Seq(("z", 1, 0.0), ("z", 2, 0.0)).toDF("k", "t", "v")
+    val r2 = graft.timeseries.TimeSeriesOps
+      .groupedCroston(zero, "v", "t", Seq("k"), alpha = 0.5).head()
+    r2.isNullAt(r2.fieldIndex("croston")) shouldBe true
+  }
+
   test("rmst: step integral of the KM curve, clipped at tau") {
     // events at t=1 and t=3 (n=2): S=1 on [0,1), 0.5 on [1,3), 0 after
     val ev = Seq((1L, 1L), (3L, 1L)).toDF("dur", "ev")
