@@ -1547,6 +1547,22 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // §2.11 Theta-method forecast (M3 winner; Hyndman-Billah SES+
+    // half-drift form) per event type over the hourly cents series:
+    // SES fold with in-fold decay accumulation, exact-sum OLS slope
+    "q380_theta" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+      TimeSeriesOps.groupedThetaForecast(hourly, "v", "b",
+          Seq("event_type"), alpha = 0.4, steps = 3)
+        .select(col("event_type"), col("n"), col("h"),
+          round(col("forecast"), 6).as("forecast"))
+        .orderBy("event_type", "h")
+    }),
+
     // §2.11 Croston/SBA intermittent-demand forecast per nation:
     // daily urgent-order counts on a ZERO-FILLED calendar (absence
     // of demand is data), demand-size + interval EWMAs via the
@@ -1893,6 +1909,54 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical SES recursion with accumulated decay, exact-sum
+    // slope, and the same drift-multiplier association order
+    "q380_theta" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS b,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |      AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY b)
+        |      AS rn
+        |  FROM hourly),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(v) AS sy, sum(rn * v) AS siy
+        |  FROM base GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, rn, CAST(v AS DOUBLE) AS level,
+        |    CAST(1.0 - 0.4 AS DOUBLE) AS w
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.rn,
+        |    0.4 * b.v + (1.0 - 0.4) * r.level,
+        |    r.w * (1.0 - 0.4)
+        |  FROM base b JOIN r
+        |    ON b.event_type = r.event_type AND b.rn = r.rn + 1),
+        |lastr AS (
+        |  SELECT event_type, level, w,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY rn
+        |      DESC) AS rr
+        |  FROM r),
+        |f AS (
+        |  SELECT a.event_type, a.n, a.sy, a.siy, l.level, l.w,
+        |    (a.n * a.siy - (a.n * (a.n + 1) / 2) * a.sy) /
+        |    (a.n * (a.n * (a.n + 1) * (2.0 * a.n + 1) / 6) -
+        |      (a.n * (a.n + 1) / 2) * (a.n * (a.n + 1) / 2)) AS slope
+        |  FROM agg a JOIN lastr l
+        |    ON l.event_type = a.event_type AND l.rr = 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(h AS BIGINT) AS h,
+        |  round(level + (CAST(h AS DOUBLE) - 1 + 1.0 / 0.4 - w / 0.4)
+        |    * (slope / 2), 6) AS forecast
+        |FROM f CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) hs
+        |ORDER BY event_type, h""".stripMargin,
 
     // identical zero-filled calendar, then the fold replayed as a
     // per-key recursive CTE (q307 precedent) with the same alpha

@@ -1243,6 +1243,56 @@ object TimeSeriesOps {
           col("trend"), 6).as("forecast"): _*)
   }
 
+  /** Theta-method forecast (Assimakopoulos & Nikolopoulos 2000; the
+    * M3 winner) in the Hyndman–Billah 2003 equivalent form — SES
+    * with half the linear-trend drift:
+    *   ŷ(h) = ℓ_n + (h − 1 + 1/α − (1−α)ⁿ/α) · b̂/2
+    * with ℓ from the SES recurrence (ℓ₁ = y₁) and b̂ the OLS slope
+    * of y on 1..n from exact sums (Σi, Σi² closed-form). The decay
+    * factor (1−α)ⁿ is ACCUMULATED inside the fold (repeated
+    * multiplication) so the recursive-CTE oracle replays it
+    * bit-for-bit instead of trusting pow() parity. One grouped
+    * sorted fold per key — the groupedHoltForecast shape. */
+  def groupedThetaForecast(df: DataFrame, valueCol: String,
+      orderCol: String, keyCols: Seq[String], alpha: Double,
+      steps: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    require(steps >= 1, "steps >= 1")
+    val a = alpha
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__pts__"))
+    val fold = expr(
+      s"""aggregate(__pts__,
+         |  struct(cast(0 as int) as i, cast(0.0 as double) as level,
+         |         cast(0.0 as double) as sy, cast(0.0 as double) as siy,
+         |         cast(1.0 as double) as w),
+         |  (acc, pt) -> struct(
+         |    cast(acc.i + 1 as int) as i,
+         |    cast(CASE WHEN acc.i = 0 THEN pt.v
+         |      ELSE $a * pt.v + (1.0d - $a) * acc.level END
+         |      as double) as level,
+         |    cast(acc.sy + pt.v as double) as sy,
+         |    cast(acc.siy + cast(acc.i + 1 as double) * pt.v
+         |      as double) as siy,
+         |    cast(acc.w * (1.0d - $a) as double) as w))""".stripMargin)
+    val n = col("__st__.i").cast("double")
+    val si = n * (n + 1) / 2
+    val sii = n * (n + 1) * (lit(2.0) * n + 1) / 6
+    val slope = (n * col("__st__.siy") - si * col("__st__.sy")) /
+      (n * sii - si * si)
+    grouped.withColumn("__st__", fold)
+      .withColumn("h", explode(sequence(lit(1), lit(steps))))
+      .select(keyCols.map(col) ++ Seq(
+        col("__st__.i").cast("long").as("n"),
+        col("h").cast("long").as("h"),
+        (col("__st__.level") +
+          (col("h").cast("double") - 1 + lit(1.0 / a) -
+            col("__st__.w") / lit(a)) * (slope / 2))
+          .as("forecast")): _*)
+  }
+
   /** Croston's method for intermittent demand (Croston 1972) with
     * the Syntetos–Boylan bias correction (SBA, 2005) — the standard
     * forecaster when most periods are zero (spare parts, rare-event

@@ -327,6 +327,20 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("groupedThetaForecast: hand-computed SES + half-drift") {
+    // y = 1,2,3 (slope exactly 1), alpha 0.5: levels 1, 1.5, 2.25;
+    // w = 0.125; h=1 multiplier = 1-1+2-0.25 = 1.75 -> 2.25+0.875
+    val df = Seq(("k", 1, 1.0), ("k", 2, 2.0), ("k", 3, 3.0))
+      .toDF("k", "t", "v")
+    val out = graft.timeseries.TimeSeriesOps
+      .groupedThetaForecast(df, "v", "t", Seq("k"), alpha = 0.5,
+        steps = 2).orderBy("h").collect()
+    out(0).getAs[Long]("n") shouldBe 3L
+    approx(out(0).getAs[Double]("forecast"), 3.125, 1e-12)
+    // h=2 adds one more half-slope unit: +0.5
+    approx(out(1).getAs[Double]("forecast"), 3.625, 1e-12)
+  }
+
   test("groupedCroston: hand-computed size/interval EWMAs") {
     // series: 0, 4, 0, 0, 6, 0 (alpha 0.5)
     // first demand at t2: z=4, p=2 (interval incl.); next at t5:
