@@ -1547,6 +1547,24 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // §2.11 the three standard forecast baselines (naive / seasonal
+    // naive m=24 / drift) per event type over the hourly series —
+    // the yardstick row every forecaster gate compares against
+    "q381_baselines" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("b"))
+        .agg(sum(cents(col("value"))).cast("double").as("v"))
+      TimeSeriesOps.groupedBaselineForecasts(hourly, "v", "b",
+          Seq("event_type"), season = 24, steps = 3)
+        .select(col("event_type"), col("n"), col("h"),
+          round(col("naive"), 6).as("naive"),
+          round(col("snaive"), 6).as("snaive"),
+          round(col("drift"), 6).as("drift"))
+        .orderBy("event_type", "h")
+    }),
+
     // §2.11 Theta-method forecast (M3 winner; Hyndman-Billah SES+
     // half-drift form) per event type over the hourly cents series:
     // SES fold with in-fold decay accumulation, exact-sum OLS slope
@@ -1909,6 +1927,44 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical picks: last/first/last-season values by row number
+    "q381_baselines" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS b,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |      AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY b)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM hourly),
+        |hs AS (SELECT unnest([1, 2, 3]) AS h),
+        |lasts AS (
+        |  SELECT event_type, n, v AS lastv FROM base WHERE rn = n),
+        |firsts AS (
+        |  SELECT event_type, v AS firstv FROM base WHERE rn = 1),
+        |sn AS (
+        |  SELECT b.event_type, h.h, b.v AS snaive
+        |  FROM base b JOIN hs h
+        |    ON b.n >= 24 AND b.rn = b.n - 24 + 1 + ((h.h - 1) % 24))
+        |SELECT l.event_type, CAST(l.n AS BIGINT) AS n,
+        |  CAST(h.h AS BIGINT) AS h,
+        |  round(l.lastv, 6) AS naive,
+        |  round(sn.snaive, 6) AS snaive,
+        |  CASE WHEN l.n >= 2 THEN
+        |    round(l.lastv + CAST(h.h AS DOUBLE) *
+        |      (l.lastv - f.firstv) / (CAST(l.n AS DOUBLE) - 1), 6)
+        |  END AS drift
+        |FROM lasts l
+        |CROSS JOIN hs h
+        |JOIN firsts f ON f.event_type = l.event_type
+        |LEFT JOIN sn ON sn.event_type = l.event_type AND sn.h = h.h
+        |ORDER BY l.event_type, h""".stripMargin,
 
     // identical SES recursion with accumulated decay, exact-sum
     // slope, and the same drift-multiplier association order

@@ -1243,6 +1243,38 @@ object TimeSeriesOps {
           col("trend"), 6).as("forecast"): _*)
   }
 
+  /** The three standard forecast BASELINES every forecaster must
+    * beat (Hyndman & Athanasopoulos fpp): per key and horizon h,
+    *  - naive: y_n,
+    *  - seasonal naive: y_{n−m+1+((h−1) mod m)} (last full season),
+    *  - drift: y_n + h·(y_n − y_1)/(n − 1).
+    * One grouped sorted collect; picks are element_at on the bounded
+    * series — trivially replayable. Keys shorter than the season (or
+    * n = 1 for drift) emit nulls rather than wrapping around. */
+  def groupedBaselineForecasts(df: DataFrame, valueCol: String,
+      orderCol: String, keyCols: Seq[String], season: Int,
+      steps: Int): DataFrame = {
+    require(season >= 1 && steps >= 1, "season, steps >= 1")
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__pts__"))
+      .withColumn("n", size(col("__pts__")))
+    val last = element_at(col("__pts__"), col("n")).getField("v")
+    val first = element_at(col("__pts__"), lit(1)).getField("v")
+    grouped.withColumn("h", explode(sequence(lit(1), lit(steps))))
+      .withColumn("naive", last)
+      .withColumn("snaive", when(col("n") >= season,
+        element_at(col("__pts__"), col("n") - season + 1 +
+          pmod(col("h") - 1, lit(season))).getField("v")))
+      .withColumn("drift", when(col("n") >= 2,
+        last + col("h").cast("double") * (last - first) /
+          (col("n").cast("double") - 1)))
+      .select(keyCols.map(col) ++ Seq(col("n").cast("long").as("n"),
+        col("h").cast("long").as("h"), col("naive"), col("snaive"),
+        col("drift")): _*)
+  }
+
   /** Theta-method forecast (Assimakopoulos & Nikolopoulos 2000; the
     * M3 winner) in the Hyndman–Billah 2003 equivalent form — SES
     * with half the linear-trend drift:

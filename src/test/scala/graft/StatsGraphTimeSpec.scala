@@ -327,6 +327,29 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("groupedBaselineForecasts: naive/snaive/drift picks") {
+    // y = 10,20,30,40 with season 2: last=40, first=10
+    val df = (1 to 4).map(i => ("k", i, i * 10.0)).toDF("k", "t", "v")
+    val out = graft.timeseries.TimeSeriesOps
+      .groupedBaselineForecasts(df, "v", "t", Seq("k"), season = 2,
+        steps = 3).orderBy("h").collect()
+    out.map(_.getAs[Double]("naive")).toSeq shouldBe
+      Seq(40.0, 40.0, 40.0)
+    // season 2: h=1 -> y3=30, h=2 -> y4=40, h=3 -> y3=30
+    out.map(_.getAs[Double]("snaive")).toSeq shouldBe
+      Seq(30.0, 40.0, 30.0)
+    // drift slope = (40-10)/3 = 10 per step
+    out.map(_.getAs[Double]("drift")).toSeq shouldBe
+      Seq(50.0, 60.0, 70.0)
+    // series shorter than the season -> null snaive
+    val short = Seq(("k", 1, 5.0)).toDF("k", "t", "v")
+    val r = graft.timeseries.TimeSeriesOps
+      .groupedBaselineForecasts(short, "v", "t", Seq("k"),
+        season = 2, steps = 1).head()
+    r.isNullAt(r.fieldIndex("snaive")) shouldBe true
+    r.isNullAt(r.fieldIndex("drift")) shouldBe true // n = 1
+  }
+
   test("groupedThetaForecast: hand-computed SES + half-drift") {
     // y = 1,2,3 (slope exactly 1), alpha 0.5: levels 1, 1.5, 2.25;
     // w = 0.125; h=1 multiplier = 1-1+2-0.25 = 1.75 -> 2.25+0.875
