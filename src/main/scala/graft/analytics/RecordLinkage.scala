@@ -77,4 +77,35 @@ object RecordLinkage {
           .when(col("fs_score") <= lower, "non_match")
           .otherwise("possible"))
   }
+
+  /** Entity ids from matched pairs: `rounds` synchronous rounds of
+    * min-label propagation over the match graph (labels start as the
+    * vertex's own id; each round every vertex takes the min over
+    * itself and its neighbors) — deterministic and UNROLLABLE, so an
+    * oracle replays it exactly. Matched components are near-cliques
+    * inside blocks, so tiny diameters; `rounds` = 3 covers diameter
+    * ≤ 3, and for unbounded components use
+    * [[graft.graphops.GraphOps.connectedComponents]] (fixpoint,
+    * pointer jumping) instead. Each round is two hash joins + one
+    * min aggregate — keyed shuffles only. */
+  def entityIds(pairs: DataFrame, idACol: String, idBCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val edges = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
+      .distinct().cache()
+    val verts = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+    var lbl = verts.withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      val msgs = edges
+        .join(lbl.select(col("id").as("a"), col("lbl")), Seq("a"))
+        .select(col("b").as("id"), col("lbl"))
+        .union(edges
+          .join(lbl.select(col("id").as("b"), col("lbl")), Seq("b"))
+          .select(col("a").as("id"), col("lbl")))
+        .union(lbl)
+      lbl = msgs.groupBy("id").agg(min("lbl").as("lbl"))
+    }
+    lbl.select(col("id"), col("lbl").as("entity"))
+  }
 }

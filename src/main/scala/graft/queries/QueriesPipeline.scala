@@ -237,6 +237,33 @@ object QueriesPipeline {
         .orderBy("type_eq", "name1_eq", "price_band")
     }),
 
+    // end-to-end entity resolution: the q362 blocked FS pipeline's
+    // 'match' pairs clustered into entities by 3 unrolled rounds of
+    // synchronous min-label propagation (near-clique components
+    // inside blocks -> tiny diameter; the q344 unroll precedent)
+    "q382_entity_resolution" -> ((s, d) => {
+      val pairs = graft.analytics.RecordLinkage.blockPairs(
+        t(s, d, "part").select(col("p_partkey"), col("p_brand"),
+          col("p_type"), col("p_size"),
+          col("p_name"), cents(col("p_retailprice")).as("pc")),
+        "p_partkey", Seq("p_brand", "p_size"), maxBlock = 1000)
+      val ag = pairs
+        .withColumn("type_eq", col("l_p_type") === col("r_p_type"))
+        .withColumn("name1_eq", split(col("l_p_name"), " ").getItem(0)
+          === split(col("r_p_name"), " ").getItem(0))
+        .withColumn("price_band",
+          abs(col("l_pc") - col("r_pc")) <= lit(10000L))
+      val matches = graft.analytics.RecordLinkage
+        .fellegiSunter(ag, fsFields, upper = 5.0, lower = 0.0)
+        .filter(col("fs_class") === "match")
+        .select(col("l_p_partkey"), col("r_p_partkey"))
+      graft.analytics.RecordLinkage
+        .entityIds(matches, "l_p_partkey", "r_p_partkey", rounds = 3)
+        .select(col("id").cast("long").as("part"),
+          col("entity").cast("long").as("entity"))
+        .orderBy("part")
+    }),
+
     // k-anonymity / l-diversity audit (Sweeney 2002): equivalence
     // classes of the (nation, segment) quasi-identifier with class
     // size, distinct sensitive values (exact-cents balance) and the
@@ -1456,6 +1483,52 @@ object QueriesPipeline {
         "CAST(l_orderkey AS VARCHAR) || '-' || " +
           "CAST(l_linenumber AS VARCHAR) || 's73'")} < 0.1"""
         .stripMargin,
+
+    // same pipeline as q362 keeping the pair ids, then the 3 label
+    // rounds unrolled as MATERIALIZED CTEs
+    "q382_entity_resolution" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""l$r AS MATERIALIZED (
+           |  SELECT id, min(lbl) AS lbl FROM (
+           |    SELECT m.b AS id, l.lbl FROM m JOIN l${r - 1} l
+           |      ON l.id = m.a
+           |    UNION ALL
+           |    SELECT m.a AS id, l.lbl FROM m JOIN l${r - 1} l
+           |      ON l.id = m.b
+           |    UNION ALL
+           |    SELECT id, lbl FROM l${r - 1}) q
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sz AS (
+         |  SELECT p_brand, p_size FROM part
+         |  GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |base AS (
+         |  SELECT p.p_partkey, p.p_brand, p.p_type,
+         |    p.p_size, p.p_name,
+         |    CAST(round(p.p_retailprice * 100) AS BIGINT) AS pc
+         |  FROM part p JOIN sz ON sz.p_brand = p.p_brand
+         |    AND sz.p_size = p.p_size),
+         |pairs AS (
+         |  SELECT l.p_partkey AS ia, r.p_partkey AS ib,
+         |    l.p_type = r.p_type AS type_eq,
+         |    split_part(l.p_name, ' ', 1) = split_part(r.p_name, ' ', 1)
+         |      AS name1_eq,
+         |    abs(l.pc - r.pc) <= 10000 AS price_band
+         |  FROM base l JOIN base r ON l.p_brand = r.p_brand
+         |    AND l.p_size = r.p_size
+         |    AND l.p_partkey < r.p_partkey),
+         |m AS (
+         |  SELECT DISTINCT ia AS a, ib AS b FROM pairs
+         |  WHERE $fsScoreSql >= 5.0),
+         |verts AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT a AS id FROM m UNION ALL SELECT b FROM m) v),
+         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts),
+         |$rounds
+         |SELECT CAST(id AS BIGINT) AS part,
+         |  CAST(lbl AS BIGINT) AS entity
+         |FROM l3""".stripMargin
+    },
 
     "q366_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

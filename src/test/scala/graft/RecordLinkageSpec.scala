@@ -39,6 +39,15 @@ class RecordLinkageSpec extends SparkSpecBase {
       g shouldBe w +- 1e-12
   }
 
+  test("entityIds: min-label clustering over match pairs") {
+    val pairs = Seq((2, 1), (2, 3), (10, 11), (3, 4))
+      .toDF("a", "b")
+    val got = RecordLinkage.entityIds(pairs, "a", "b", rounds = 3)
+      .as[(Int, Int)].collect().toMap
+    got shouldBe Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1, 10 -> 10,
+      11 -> 10)
+  }
+
   test("weight helpers match the closed forms") {
     RecordLinkage.agreeWeight(0.9, 0.1) shouldBe
       (math.log(9.0) / math.log(2.0)) +- 1e-15
