@@ -102,4 +102,44 @@ object Conformal {
 
   private def absResid(yCol: String, yhatCol: String): Column =
     abs(col(yCol).cast("double") - col(yhatCol).cast("double"))
+
+  /** Adaptive conformal radius tracking (the online companion to
+    * [[splitConformal]], after Gibbs & Candès 2021): per key, walk
+    * the series in `orderCol` order and update the interval radius
+    *   q_{t+1} = q_t + γ·(miss_t − α),  miss_t = 1{|y_t − ŷ_t| > q_t}
+    * so the long-run miss rate is driven to α even under
+    * distribution shift — no exchangeability assumption, O(1) state.
+    * Emits per key the final radius, the realized miss rate and n.
+    * One grouped sorted fold (the EWM/Holt shape); a recursive CTE
+    * replays it bit-for-bit. `q0` seeds the radius. */
+  def adaptiveConformal(df: DataFrame, keyCols: Seq[String],
+      yCol: String, yhatCol: String, orderCol: String,
+      alpha: Double, gamma: Double, q0: Double = 0.0): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    require(gamma > 0, s"gamma must be > 0: $gamma")
+    val grouped = df
+      .filter(col(yCol).isNotNull && col(yhatCol).isNotNull)
+      .withColumn("__r__", absResid(yCol, yhatCol))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col("__r__").as("r")))).as("__pts__"))
+    val fold = expr(
+      s"""aggregate(__pts__,
+         |  struct(cast($q0 as double) as q, cast(0 as int) as miss,
+         |         cast(0 as int) as i),
+         |  (acc, pt) -> struct(
+         |    cast(acc.q + $gamma *
+         |      ((CASE WHEN pt.r > acc.q THEN 1.0d ELSE 0.0d END)
+         |        - $alpha) as double) as q,
+         |    cast(acc.miss + (CASE WHEN pt.r > acc.q THEN 1
+         |      ELSE 0 END) as int) as miss,
+         |    cast(acc.i + 1 as int) as i))""".stripMargin)
+    grouped.withColumn("__st__", fold)
+      .select(keyCols.map(col) ++ Seq(
+        col("__st__.i").cast("long").as("n"),
+        col("__st__.miss").cast("long").as("n_miss"),
+        (col("__st__.miss").cast("double") / col("__st__.i"))
+          .as("miss_rate"),
+        col("__st__.q").as("q_final")): _*)
+  }
 }

@@ -1547,6 +1547,34 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // adaptive conformal radius tracking (Gibbs-Candès online
+    // update, no exchangeability needed): per return flag, walk the
+    // daily |actual - predicted| price series and drive the interval
+    // radius q += gamma*(miss - alpha); emits final radius + realized
+    // miss rate. Bounded per-day series -> recursive-CTE replay
+    "q383_adaptive_conformal" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_returnflag").as("g"),
+        col("l_shipdate").cast("date").as("day"),
+        cents(col("l_extendedprice")).as("pc"),
+        col("l_quantity").cast("long").as("qty"))
+      val rate = li.groupBy("g")
+        .agg((sum("pc").cast("double") / sum("qty").cast("double"))
+          .as("rate"))
+      val daily = li.groupBy(col("g"), col("day"))
+        .agg(sum("pc").as("spc"), sum("qty").as("sqty"))
+        .join(rate, Seq("g"))
+        .select(col("g"), col("day"),
+          col("spc").cast("double").as("y"),
+          (col("sqty").cast("double") * col("rate")).as("yhat"))
+      graft.ml.Conformal.adaptiveConformal(daily, Seq("g"), "y",
+          "yhat", "day", alpha = 0.1, gamma = 1000.0)
+        .select(col("g"), col("n"), col("n_miss"),
+          round(col("miss_rate"), 6).as("miss_rate"),
+          round(col("q_final"), 6).as("q_final"))
+        .orderBy("g")
+    }),
+
     // §2.11 the three standard forecast baselines (naive / seasonal
     // naive m=24 / drift) per event type over the hourly series —
     // the yardstick row every forecaster gate compares against
@@ -1927,6 +1955,54 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical rate, daily residual series, and the fold replayed
+    // as a per-key recursive CTE with the same gamma/alpha literals
+    "q383_adaptive_conformal" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_returnflag AS g, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |rate AS (
+        |  SELECT g, CAST(sum(pc) AS DOUBLE) / CAST(sum(qty) AS DOUBLE)
+        |    AS rate
+        |  FROM li GROUP BY 1),
+        |daily AS (
+        |  SELECT li.g, day,
+        |    CAST(sum(pc) AS DOUBLE) AS y,
+        |    CAST(sum(qty) AS DOUBLE) * max(rate) AS yhat
+        |  FROM li JOIN rate ON rate.g = li.g
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT g, abs(y - yhat) AS r,
+        |    row_number() OVER (PARTITION BY g ORDER BY day) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM daily),
+        |rec AS (
+        |  SELECT g, rn,
+        |    CAST(0.0 + 1000.0 *
+        |      ((CASE WHEN r > 0.0 THEN 1.0 ELSE 0.0 END) - 0.1)
+        |      AS DOUBLE) AS q,
+        |    CASE WHEN r > 0.0 THEN 1 ELSE 0 END AS miss
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.g, b.rn,
+        |    rec.q + 1000.0 *
+        |      ((CASE WHEN b.r > rec.q THEN 1.0 ELSE 0.0 END) - 0.1),
+        |    rec.miss + (CASE WHEN b.r > rec.q THEN 1 ELSE 0 END)
+        |  FROM base b JOIN rec ON b.g = rec.g AND b.rn = rec.rn + 1),
+        |fin AS (
+        |  SELECT g, q, miss,
+        |    row_number() OVER (PARTITION BY g ORDER BY rn DESC) AS rr
+        |  FROM rec),
+        |nn AS (SELECT g, CAST(max(n) AS BIGINT) AS n
+        |  FROM base GROUP BY 1)
+        |SELECT f.g, nn.n, CAST(f.miss AS BIGINT) AS n_miss,
+        |  round(CAST(f.miss AS DOUBLE) / nn.n, 6) AS miss_rate,
+        |  round(f.q, 6) AS q_final
+        |FROM fin f JOIN nn ON nn.g = f.g
+        |WHERE f.rr = 1""".stripMargin,
 
     // identical picks: last/first/last-season values by row number
     "q381_baselines" ->

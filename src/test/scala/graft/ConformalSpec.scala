@@ -58,6 +58,30 @@ class ConformalSpec extends SparkSpecBase {
     }
   }
 
+  test("adaptiveConformal: hand-traced radius walk") {
+    // residuals 5, 0.2, 10 with gamma=1, alpha=0.5, q0=0:
+    // q: 0 -> 0.5 (miss) -> 0.0 (hit) -> 0.5 (miss)
+    val df = Seq(("k", 1, 5.0), ("k", 2, 0.2), ("k", 3, 10.0))
+      .map { case (k, t, r) => (k, t, r, 0.0) }
+      .toDF("k", "t", "y", "yhat")
+    val r = graft.ml.Conformal.adaptiveConformal(df, Seq("k"), "y",
+      "yhat", "t", alpha = 0.5, gamma = 1.0).head()
+    r.getAs[Long]("n") shouldBe 3L
+    r.getAs[Long]("n_miss") shouldBe 2L
+    r.getAs[Double]("q_final") shouldBe 0.5 +- 1e-12
+  }
+
+  test("adaptiveConformal drives miss rate toward alpha") {
+    // deterministic saw-tooth residuals; long horizon
+    val rows = (1 to 5000).map { i =>
+      ("k", i, ((i.toLong * 2654435761L) % 1000).toDouble, 0.0)
+    }
+    val r = graft.ml.Conformal.adaptiveConformal(
+      rows.toDF("k", "t", "y", "yhat"), Seq("k"), "y", "yhat", "t",
+      alpha = 0.2, gamma = 25.0).head()
+    r.getAs[Double]("miss_rate") shouldBe 0.2 +- 0.03
+  }
+
   test("coverage >= 1-alpha on an exchangeable sample") {
     // deterministic pseudo-noise: resid_i = (i*2654435761 mod 1000);
     // cal/test split by parity of a second hash — exchangeable enough
