@@ -183,6 +183,40 @@ object StreamOps {
           out.iterator
       }
 
+  case class AciStreamState(q: Double, miss: Long, n: Long)
+  case class AciStreamOut(key: String, ord: Long, q: Double,
+      miss: Boolean)
+
+  /** Streaming adaptive conformal radius — the live-uncertainty
+    * companion to [[graft.ml.Conformal.adaptiveConformal]]: per-key
+    * interval radius q ← q + γ·(miss − α) carried ACROSS
+    * micro-batches with flatMapGroupsWithState, emitting the
+    * post-update radius and miss flag per row. The update is the
+    * identical double arithmetic the batch fold runs, so the
+    * streamed q sequence is bit-equal to the batch walk over the
+    * concatenated input (spec'd cross-batch). Same contract as
+    * [[ewmStream]]: per-key non-decreasing `ord`, O(1) state. */
+  def adaptiveConformalStream(ds: Dataset[(String, Long, Double)],
+      alpha: Double, gamma: Double, q0: Double = 0.0)(
+      implicit e: Encoder[AciStreamOut],
+      se: Encoder[AciStreamState]): Dataset[AciStreamOut] =
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[AciStreamState, AciStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[AciStreamState]) =>
+          var s = state.getOption.getOrElse(AciStreamState(q0, 0L, 0L))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, ord, r) =>
+            val m = r > s.q
+            s = AciStreamState(
+              s.q + gamma * ((if (m) 1.0 else 0.0) - alpha),
+              s.miss + (if (m) 1L else 0L), s.n + 1L)
+            AciStreamOut(key, ord, s.q, m)
+          }
+          state.update(s)
+          out.iterator
+      }
+
   case class EwmTimeStreamState(num: Double, den: Double,
       num2: Double, den2: Double, pt: Double, hasPt: Boolean)
   case class EwmTimeStreamOut(key: String, ord: Long,

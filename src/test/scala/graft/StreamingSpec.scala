@@ -280,6 +280,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("adaptiveConformalStream carries the radius across batches, " +
+      "bit-equal to the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(("a", 1L, 5.0), ("b", 1L, 2.0), ("a", 2L, 0.2))
+    val batch2 = Seq(("a", 3L, 10.0), ("b", 2L, 0.1), ("b", 3L, 7.0))
+    val input = MemoryStream[(String, Long, Double)]
+    val out = StreamOps.adaptiveConformalStream(input.toDS(),
+      alpha = 0.5, gamma = 1.0)
+    val q = out.writeStream.format("memory").queryName("aci_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("aci_stream")
+      .as[StreamOps.AciStreamOut].collect()
+    // hand walk, key a (gamma 1, alpha .5, q0 0):
+    // r=5 miss -> q .5; r=.2 hit -> q 0; r=10 miss -> q .5
+    val qa = streamed.filter(_.key == "a").sortBy(_.ord).map(_.q)
+    qa.toSeq shouldBe Seq(0.5, 0.0, 0.5)
+    // batch fold over the concatenated input agrees on the final q
+    val all = (batch1 ++ batch2)
+      .map { case (k, o, r) => (k, o, r, 0.0) }
+      .toDF("k", "t", "y", "yhat")
+    val fold = graft.ml.Conformal.adaptiveConformal(all, Seq("k"),
+      "y", "yhat", "t", alpha = 0.5, gamma = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("q_final"), r.getAs[Long]("n_miss"))).toMap
+    for ((k, rows) <- streamed.groupBy(_.key)) {
+      val last = rows.maxBy(_.ord)
+      last.q shouldBe fold(k)._1
+      rows.count(_.miss).toLong shouldBe fold(k)._2
+    }
+  }
+
   test("ewmStream carries per-key EWM state across micro-batches, " +
       "bit-equal to the batch fold on the concatenated input") {
     implicit val sqlCtx = spark.sqlContext
