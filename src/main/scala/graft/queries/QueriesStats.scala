@@ -1547,6 +1547,25 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // multi-feature drift report: per-feature PSI (explicit breaks)
+    // between early (<=1994) and late shipping cohorts, ONE scan via
+    // stack + one (feature, bin) aggregate
+    "q384_drift_report" -> ((s, d) =>
+      StatsOps.driftReport(
+        t(s, d, "lineitem").select(
+          when(year(col("l_shipdate")) <= 1994, "early")
+            .otherwise("late").as("coh"),
+          col("l_quantity").cast("double").as("qty"),
+          round(col("l_extendedprice")).cast("double").as("usd"),
+          round(col("l_discount") * 100).cast("double").as("disc")),
+        "coh", "early", "late",
+        Seq(("qty", Seq(10.0, 20.0, 30.0, 40.0)),
+          ("usd", Seq(20000.0, 40000.0, 60000.0, 80000.0)),
+          ("disc", Seq(2.0, 4.0, 6.0, 8.0))))
+        .select(col("feature"), col("n_a"), col("n_b"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy("feature")),
+
     // adaptive conformal radius tracking (Gibbs-Candès online
     // update, no exchangeability needed): per return flag, walk the
     // daily |actual - predicted| price series and drive the interval
@@ -1955,6 +1974,53 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical unpivot, per-feature break indicators, eps clamp,
+    // and contribution sum
+    "q384_drift_report" -> {
+      def binSql(brs: Seq[Double]) = brs
+        .map(b => s"(CASE WHEN v > $b THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH li AS (
+         |  SELECT CASE WHEN year(l_shipdate) <= 1994 THEN 'early'
+         |      ELSE 'late' END AS g,
+         |    CAST(l_quantity AS DOUBLE) AS qty,
+         |    CAST(round(l_extendedprice) AS DOUBLE) AS usd,
+         |    CAST(round(l_discount * 100) AS DOUBLE) AS disc
+         |  FROM lineitem),
+         |st AS (
+         |  SELECT g, 'qty' AS feature, qty AS v FROM li
+         |  UNION ALL SELECT g, 'usd', usd FROM li
+         |  UNION ALL SELECT g, 'disc', disc FROM li),
+         |binned AS (
+         |  SELECT feature, g,
+         |    CASE feature
+         |      WHEN 'qty' THEN ${binSql(Seq(10.0, 20.0, 30.0, 40.0))}
+         |      WHEN 'usd' THEN
+         |        ${binSql(Seq(20000.0, 40000.0, 60000.0, 80000.0))}
+         |      ELSE ${binSql(Seq(2.0, 4.0, 6.0, 8.0))} END AS bin
+         |  FROM st WHERE v IS NOT NULL),
+         |counts AS (
+         |  SELECT feature, bin,
+         |    CAST(sum(CASE WHEN g = 'early' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN g = 'late' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nb
+         |  FROM binned GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT feature, CAST(sum(na) AS DOUBLE) AS ta,
+         |    CAST(sum(nb) AS DOUBLE) AS tb
+         |  FROM counts GROUP BY 1),
+         |terms AS (
+         |  SELECT c.feature, c.na, c.nb,
+         |    greatest(c.na / t.ta, 1.0e-6) AS pa,
+         |    greatest(c.nb / t.tb, 1.0e-6) AS pb
+         |  FROM counts c JOIN tot t ON t.feature = c.feature)
+         |SELECT feature, CAST(sum(na) AS BIGINT) AS n_a,
+         |  CAST(sum(nb) AS BIGINT) AS n_b,
+         |  round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+         |FROM terms GROUP BY feature""".stripMargin
+    },
 
     // identical rate, daily residual series, and the fold replayed
     // as a per-key recursive CTE with the same gamma/alpha literals

@@ -2294,6 +2294,53 @@ object StatsOps {
         round(col("psi"), 6).as("psi"))
   }
 
+  /** Multi-feature drift report — the scheduled monitoring query
+    * over a wide table: per feature, the PSI between two cohorts
+    * over EXPLICIT per-feature breaks (the [[psi]] contract),
+    * computed in ONE scan via `stack` (unpivot) + one (feature, bin)
+    * aggregate + one bounded per-feature finalization. Returns one
+    * row per feature: cohort sizes and the PSI (< 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 major shift by the usual reading). */
+  def driftReport(df0: DataFrame, cohortCol: String, gA: String,
+      gB: String, features: Seq[(String, Seq[Double])],
+      eps: Double = 1e-6): DataFrame = {
+    require(features.nonEmpty && features.forall(_._2.nonEmpty),
+      "driftReport needs features each with at least one break")
+    val stackExpr = expr("stack(" + features.size + ", " +
+      features.map { case (f, _) => s"'$f', cast($f as double)" }
+        .mkString(", ") + ") as (feature, v)")
+    val stacked = df0.filter(col(cohortCol).isin(gA, gB))
+      .select(col(cohortCol).as("__g__"), stackExpr)
+      .filter(col("v").isNotNull)
+    def binOf(breaks: Seq[Double]) = breaks.foldLeft(lit(0)) {
+      (acc, b) => acc + when(col("v") > b, 1).otherwise(0)
+    }
+    val bin = features.tail.foldLeft(
+      when(col("feature") === features.head._1,
+        binOf(features.head._2))) { case (acc, (f, brs)) =>
+      acc.when(col("feature") === f, binOf(brs))
+    }
+    val counts = stacked.withColumn("__bin__", bin)
+      .groupBy(col("feature"), col("__bin__"))
+      .agg(sum(when(col("__g__") === gA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("__g__") === gB, 1L).otherwise(0L)).as("nb"))
+    val tot = counts.groupBy("feature")
+      .agg(sum("na").cast("double").as("ta"),
+        sum("nb").cast("double").as("tb"))
+    // when() guards keep ANSI mode happy if a cohort is empty for a
+    // feature (clamps to eps, same as the division's limit would)
+    counts.join(tot, Seq("feature"))
+      .withColumn("pa", greatest(when(col("ta") > 0,
+        col("na") / col("ta")).otherwise(lit(0.0)), lit(eps)))
+      .withColumn("pb", greatest(when(col("tb") > 0,
+        col("nb") / col("tb")).otherwise(lit(0.0)), lit(eps)))
+      .withColumn("contrib",
+        (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+      .groupBy("feature")
+      .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+        sum("contrib").as("psi"))
+  }
+
   /** Gini coefficient over non-negative values — exact, tie-correct:
     * with the distinct-value table (value v, count c, strictly-below
     * cumulative count b from [[distinctValueCumCounts]] — range-
