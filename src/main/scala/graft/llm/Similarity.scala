@@ -399,6 +399,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** ANN index quality against exact search — the measurement loop
+    * [[RetrievalEval]] exists for: `truth` is the exact top-k
+    * (graded rel = k+1−rank so NDCG weighs early ranks), `run` is
+    * the index's top-k; emits the trec_eval row (recall@k = how much
+    * of the exact answer the index found, plus MRR/AP/NDCG). Both
+    * inputs are (id, cosine) top-k frames (the bruteForceTopK /
+    * lshTopK / ivfTopK output shape); ranks derive from
+    * (cosine desc, id) over the k-row inputs — bounded by
+    * construction. */
+  def annRecall(truth: DataFrame, run: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col(idCol))
+    val qrels = truth.withColumn("rank", row_number().over(w))
+      .select(lit(0L).as("qid"), col(idCol).as("did"),
+        (lit(k + 1) - col("rank")).as("rel"))
+    val runr = run.withColumn("rank", row_number().over(w))
+      .select(lit(0L).as("qid"), col(idCol).as("did"), col("rank"))
+    graft.llm.RetrievalEval.rankEval(runr, qrels, k)
+  }
+
   /** Maximal-marginal-relevance (MMR, Carbonell & Goldstein 1998)
     * diverse top-k: greedily select k items maximizing
     * λ·rel(i) − (1−λ)·max_{s∈S} sim(i, s) — the standard

@@ -261,6 +261,22 @@ object QueriesText {
         "embedding", "vec_id", q, 10, planes = 4)
     }),
 
+    // ANN index quality as a query: recall@10 / MRR / NDCG of the
+    // portable hyperplane-LSH index against exact brute-force search
+    // (graded rel = 11 - exact rank) — the rankEval measurement loop
+    // closed over the ANN stack
+    "q385_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val cand = emb.filter(col("vec_id") =!= 0)
+      val truth = Similarity.bruteForceTopK(cand, "embedding",
+        "vec_id", q, 10)
+      val run = Similarity.lshTopKPortable(cand, "embedding",
+        "vec_id", q, 10, planes = 4)
+      Similarity.annRecall(truth, run, "vec_id", 10)
+    }),
+
     // LOF anomaly scores on the EXACT kNN graph (planes=0: embeddings
     // are small enough to oracle all-pairs; the LSH default is the
     // scale path). round(lof, 6): both engines derive from cosines
@@ -768,6 +784,90 @@ object QueriesText {
          |     sqrt(list_dot_product(qv, qv))), 6) AS cosine
          |FROM cand
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // q47's exact ranking (graded 11-rank qrels) + q115's portable
+    // bucket probe as the run + the q359 metric replay, one query
+    "q385_ann_recall" -> {
+      def proj(p: Int, v: String): String =
+        s"""list_sum(list_transform(range(1, len($v) + 1),
+           |  i -> $v[i] * (list_sum(list_transform(range(1, 13),
+           |    j -> (strpos('0123456789abcdef',
+           |        substr(md5('p${p}d' || CAST(i - 1 AS VARCHAR)), j, 1))
+           |      - 1) * power(16, 12 - j))) / 281474976710656.0
+           |    * 2 - 1)))""".stripMargin
+      def bucket(v: String): String =
+        (0 until 4).map(p =>
+          s"(CASE WHEN ${proj(p, v)} >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT vec_id,
+         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                             CAST(embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(qv, qv))), 6) AS c
+         |  FROM embeddings, q WHERE vec_id <> 0),
+         |truth AS (
+         |  SELECT vec_id AS did, trk FROM (
+         |    SELECT vec_id,
+         |      row_number() OVER (ORDER BY c DESC, vec_id) AS trk
+         |    FROM sc) x WHERE trk <= 10),
+         |qrels AS (
+         |  SELECT did, CAST(11 - trk AS DOUBLE) AS rel FROM truth),
+         |csc AS (
+         |  SELECT vec_id,
+         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                             CAST(embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(qv, qv))), 6) AS c
+         |  FROM embeddings, q
+         |  WHERE vec_id <> 0
+         |    AND ${bucket("CAST(embedding AS DOUBLE[])")} =
+         |        ${bucket("qv")}),
+         |runl AS (
+         |  SELECT vec_id AS did, rnk FROM (
+         |    SELECT vec_id,
+         |      row_number() OVER (ORDER BY c DESC, vec_id) AS rnk
+         |    FROM csc) x WHERE rnk <= 10),
+         |j AS (
+         |  SELECT r.rnk, coalesce(qr.rel, 0.0) AS rel
+         |  FROM runl r LEFT JOIN qrels qr ON qr.did = r.did),
+         |jc AS (
+         |  SELECT rnk, rel,
+         |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (
+         |      ORDER BY rnk) AS hc
+         |  FROM j),
+         |pq AS (
+         |  SELECT count(*) AS n_ret,
+         |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+         |    sum((power(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg,
+         |    sum(CASE WHEN rel > 0 THEN CAST(hc AS DOUBLE) / rnk
+         |      ELSE 0.0 END) AS ap_num,
+         |    min(CASE WHEN rel > 0 THEN rnk END) AS first_rel
+         |  FROM jc),
+         |ideal AS (
+         |  SELECT count(*) AS n_rel,
+         |    sum(CASE WHEN pos <= 10 THEN
+         |      (power(2.0, rel) - 1.0) / log2(pos + 1.0) END) AS idcg
+         |  FROM (
+         |    SELECT rel, row_number() OVER (ORDER BY rel DESC, did)
+         |      AS pos
+         |    FROM qrels) y)
+         |SELECT CAST(0 AS BIGINT) AS qid,
+         |  CAST(n_ret AS BIGINT) AS n_ret,
+         |  CAST(n_rel AS BIGINT) AS n_rel,
+         |  CAST(hits AS BIGINT) AS hits,
+         |  round(CAST(hits AS DOUBLE) / 10, 6) AS p_at_k,
+         |  CASE WHEN n_rel > 0
+         |    THEN round(CAST(hits AS DOUBLE) / n_rel, 6) END AS r_at_k,
+         |  round(coalesce(1.0 / first_rel, 0.0), 6) AS rr,
+         |  CASE WHEN n_rel > 0
+         |    THEN round(ap_num / least(n_rel, 10), 6) END AS ap_at_k,
+         |  CASE WHEN idcg > 0
+         |    THEN round(dcg / idcg, 6) END AS ndcg_at_k
+         |FROM pq CROSS JOIN ideal""".stripMargin
     },
 
     "q47_embed_topk" ->
