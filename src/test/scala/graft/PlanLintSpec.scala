@@ -53,6 +53,13 @@ class PlanLintSpec extends SparkSpecBase {
     // exchange was linted where it first appeared)
     case _: org.apache.spark.sql.execution.exchange
         .ReusedExchangeExec => ()
+    // a small top-k / limit bounds its side just like an aggregate
+    // (the boundedBelow convention): ≤1000 rows in a BNL is a
+    // broadcastable constant-size side, not a scale risk
+    case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+        if t.limit <= 1000 => ()
+    case g: org.apache.spark.sql.execution.GlobalLimitExec
+        if g.limit <= 1000 => ()
   }.isDefined
 
   /** Gates whose GLOBAL (empty-partitionSpec) window runs over input
