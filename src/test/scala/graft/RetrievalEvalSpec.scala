@@ -59,6 +59,23 @@ class RetrievalEvalSpec extends SparkSpecBase {
     out.getAs[Long]("hits") shouldBe 0L
   }
 
+  test("annRecall: identical run and truth scores perfectly") {
+    val topk = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7))
+      .toDF("vec_id", "cosine")
+    val r = graft.llm.Similarity.annRecall(topk, topk, "vec_id", 3)
+      .head()
+    r.getAs[Long]("hits") shouldBe 3L
+    r.getAs[Double]("r_at_k") shouldBe 1.0 +- 1e-9
+    r.getAs[Double]("ndcg_at_k") shouldBe 1.0 +- 1e-9
+    // a run missing the top item loses recall and NDCG
+    val worse = Seq((2L, 0.8), (3L, 0.7), (9L, 0.1))
+      .toDF("vec_id", "cosine")
+    val w = graft.llm.Similarity.annRecall(topk, worse, "vec_id", 3)
+      .head()
+    w.getAs[Long]("hits") shouldBe 2L
+    assert(w.getAs[Double]("ndcg_at_k") < 1.0)
+  }
+
   test("rankEvalMacro: means over queries, nulls excluded") {
     val m = RetrievalEval.rankEvalMacro(
       RetrievalEval.rankEval(run, qrels, k = 5)).head()
