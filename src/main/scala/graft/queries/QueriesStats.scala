@@ -1547,6 +1547,20 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // §2.12 rank-based inverse-normal transform (Blom RINT): the
+    // per-flag quantity distribution forced onto a standard normal —
+    // tie-averaged midranks from keyed windows, in-plan Acklam Φ⁻¹
+    "q386_rint" -> ((s, d) =>
+      StatsOps.rankInverseNormal(
+        t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("qty")),
+        "qty", Seq("g"))
+        .select(col("g"), col("qty"), col("c").cast("long").as("c"),
+          col("n").cast("long").as("n"),
+          round(col("midrank"), 6).as("midrank"),
+          round(col("rint"), 6).as("rint"))
+        .orderBy("g", "qty")),
+
     // multi-feature drift report: per-feature PSI (explicit breaks)
     // between early (<=1994) and late shipping cohorts, ONE scan via
     // stack + one (feature, bin) aggregate
@@ -1974,6 +1988,27 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical per-key midranks and the Acklam Φ⁻¹ replay on the
+    // same Blom argument
+    "q386_rint" -> {
+      val inv = graft.stats.Distributions
+        .normSInvSql("(midrank - 0.375) / (CAST(n AS DOUBLE) + 0.25)")
+      s"""WITH counts AS (
+         |  SELECT l_returnflag AS g,
+         |    CAST(l_quantity AS BIGINT) AS qty, count(*) AS c
+         |  FROM lineitem GROUP BY 1, 2),
+         |mr AS (
+         |  SELECT g, qty, CAST(c AS BIGINT) AS c,
+         |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY qty
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) + 1 + (c - 1) / 2.0 AS midrank
+         |  FROM counts)
+         |SELECT g, qty, c, n, round(midrank, 6) AS midrank,
+         |  round($inv, 6) AS rint
+         |FROM mr""".stripMargin
+    },
 
     // identical unpivot, per-feature break indicators, eps clamp,
     // and contribution sum

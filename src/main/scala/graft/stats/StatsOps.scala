@@ -2294,6 +2294,36 @@ object StatsOps {
         round(col("psi"), 6).as("psi"))
   }
 
+  /** Rank-based inverse-normal transform (RINT, Blom 1958 scores —
+    * the GWAS/limma-standard normalization): per key, each distinct
+    * value maps to Φ⁻¹((R̄ − 3/8)/(n + 1/4)) with R̄ the tie-averaged
+    * midrank, forcing any distribution onto a standard normal while
+    * preserving order. Returns the per-(key, value) table with
+    * counts, midranks and the score (join back to rows as needed) —
+    * bounded by the value domain, not the data. Midranks come from
+    * a per-key window over the (key, value, count) table (keyed
+    * shuffles only); Φ⁻¹ is the in-plan Acklam polynomial, replayed
+    * verbatim by normSInvSql. */
+  def rankInverseNormal(df0: DataFrame, valueCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "rankInverseNormal needs a key")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df0.filter(col(valueCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("c"))
+    val wBelow = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(valueCol)).rowsBetween(Long.MinValue, -1)
+    val wTot = Window.partitionBy(keyCols.map(col): _*)
+    val mid = coalesce(sum("c").over(wBelow), lit(0L)) + lit(1) +
+      (col("c") - 1) / lit(2.0)
+    counts
+      .withColumn("n", sum("c").over(wTot))
+      .withColumn("midrank", mid)
+      .withColumn("rint", Distributions.normSInvCol(
+        (col("midrank") - lit(0.375)) /
+          (col("n").cast("double") + lit(0.25))))
+  }
+
   /** Multi-feature drift report — the scheduled monitoring query
     * over a wide table: per feature, the PSI between two cohorts
     * over EXPLICIT per-feature breaks (the [[psi]] contract),

@@ -327,6 +327,24 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("rankInverseNormal: Blom scores with tie-averaged midranks") {
+    import graft.stats.Distributions
+    val df = Seq(("k", 1), ("k", 1), ("k", 2)).toDF("g", "v")
+    val out = graft.stats.StatsOps
+      .rankInverseNormal(df, "v", Seq("g")).orderBy("v").collect()
+    approx(out(0).getAs[Double]("midrank"), 1.5, 1e-12)
+    approx(out(1).getAs[Double]("midrank"), 3.0, 1e-12)
+    approx(out(0).getAs[Double]("rint"),
+      Distributions.normSInv((1.5 - 0.375) / 3.25), 1e-12)
+    approx(out(1).getAs[Double]("rint"),
+      Distributions.normSInv((3.0 - 0.375) / 3.25), 1e-12)
+    // median of an odd tie-free series maps to exactly Phi^-1(.5)=0
+    val odd = Seq(("k", 1), ("k", 2), ("k", 3)).toDF("g", "v")
+    val mid = graft.stats.StatsOps.rankInverseNormal(odd, "v",
+      Seq("g")).filter($"v" === 2).head()
+    approx(mid.getAs[Double]("rint"), 0.0, 1e-12)
+  }
+
   test("groupedBaselineForecasts: naive/snaive/drift picks") {
     // y = 10,20,30,40 with season 2: last=40, first=10
     val df = (1 to 4).map(i => ("k", i, i * 10.0)).toDF("k", "t", "v")
