@@ -1547,6 +1547,17 @@ object QueriesStats {
         .orderBy("id")
     }),
 
+    // §2.12 Box-Cox lambda profile over quantity: per-lambda profile
+    // log-likelihood on the canonical half-integer grid (IEEE-exact
+    // powers), argmax flagged
+    "q387_boxcox" -> ((s, d) =>
+      StatsOps.boxCoxProfile(
+        t(s, d, "lineitem").select(col("l_quantity").as("qty")),
+        "qty")
+        .select(col("lambda"), col("n"), round(col("ll"), 6).as("ll"),
+          col("is_best"))
+        .orderBy("lambda")),
+
     // §2.12 rank-based inverse-normal transform (Blom RINT): the
     // per-flag quantity distribution forced onto a standard normal —
     // tie-averaged midranks from keyed windows, in-plan Acklam Φ⁻¹
@@ -1988,6 +1999,40 @@ object QueriesStats {
     "q324_kcore_peel" -> kcorePeelOracle,
 
     "q344_label_prop" -> labelPropOracle,
+
+    // identical grid, IEEE-exact power cases, profile-LL formula and
+    // unrounded argmax flag
+    "q387_boxcox" ->
+      """WITH y0 AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_quantity > 0),
+        |s AS (SELECT sum(ln(y)) AS slny,
+        |  CAST(count(*) AS DOUBLE) AS n FROM y0),
+        |grid AS (SELECT unnest([-2.0, -1.0, -0.5, 0.0, 0.5, 1.0,
+        |  2.0]) AS lambda),
+        |tt AS (
+        |  SELECT lambda,
+        |    CASE WHEN lambda = 0.0 THEN ln(y)
+        |      ELSE ((CASE WHEN lambda = 0.5 THEN sqrt(y)
+        |        WHEN lambda = 2.0 THEN y * y
+        |        WHEN lambda = -1.0 THEN 1.0 / y
+        |        WHEN lambda = -0.5 THEN 1.0 / sqrt(y)
+        |        WHEN lambda = -2.0 THEN 1.0 / (y * y)
+        |        WHEN lambda = 1.0 THEN y
+        |        ELSE power(y, lambda) END) - 1) / lambda END AS t
+        |  FROM y0 CROSS JOIN grid),
+        |p AS (
+        |  SELECT lambda, count(*) AS nl, sum(t) AS st,
+        |    sum(t * t) AS stt
+        |  FROM tt GROUP BY 1),
+        |f AS (
+        |  SELECT lambda, nl,
+        |    -0.5 * n * ln((stt - st * st / n) / n) +
+        |      (lambda - 1) * slny AS ll
+        |  FROM p CROSS JOIN s)
+        |SELECT lambda, CAST(nl AS BIGINT) AS n, round(ll, 6) AS ll,
+        |  ll = max(ll) OVER () AS is_best
+        |FROM f""".stripMargin,
 
     // identical per-key midranks and the Acklam Φ⁻¹ replay on the
     // same Blom argument

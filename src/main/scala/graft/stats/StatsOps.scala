@@ -2294,6 +2294,55 @@ object StatsOps {
         round(col("psi"), 6).as("psi"))
   }
 
+  /** Box–Cox profile log-likelihood over a λ grid (Box & Cox 1964):
+    * for each candidate λ, t = (yᵡ−1)/λ (ln y at λ=0) and
+    *   LL(λ) = −n/2·ln(σ̂²_t) + (λ−1)·Σ ln y,
+    * emitted as one row per λ with the argmax flagged — the variance-
+    * stabilizing power transform chosen the standard way. Positive
+    * values only (rows with y ≤ 0 are dropped). One bounded-grid
+    * cross join (|λ| rows) + one per-λ aggregate + a 1-row Σln y
+    * broadcast. The canonical half-integer exponents
+    * {−2,−1,−½,0,½,1,2} are computed via sqrt/division/multiply —
+    * IEEE-exact and engine-identical; other λ fall back to pow(),
+    * whose last-ulp may differ across engines (documented). */
+  def boxCoxProfile(df0: DataFrame, valueCol: String,
+      lambdas: Seq[Double] = Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0,
+        2.0)): DataFrame = {
+    require(lambdas.nonEmpty, "boxCoxProfile needs a lambda grid")
+    import org.apache.spark.sql.expressions.Window
+    val y = col(valueCol).cast("double")
+    val base = df0.filter(y.isNotNull && y > 0)
+    val slny = base.agg(sum(log(y)).as("slny"),
+      count(lit(1)).cast("double").as("n"))
+    val spark0 = df0.sparkSession
+    import spark0.implicits._
+    val grid = lambdas.toDF("lambda")
+    def tFor(lam: Column): Column = {
+      val p = when(lam === 0.5, sqrt(y))
+        .when(lam === 2.0, y * y)
+        .when(lam === -1.0, lit(1.0) / y)
+        .when(lam === -0.5, lit(1.0) / sqrt(y))
+        .when(lam === -2.0, lit(1.0) / (y * y))
+        .when(lam === 1.0, y)
+        .otherwise(pow(y, lam))
+      when(lam === 0.0, log(y)).otherwise((p - 1) / lam)
+    }
+    val perLam = base.crossJoin(broadcast(grid))
+      .withColumn("t", tFor(col("lambda")))
+      .groupBy("lambda")
+      .agg(count(lit(1)).as("nl"), sum("t").as("st"),
+        sum(col("t") * col("t")).as("stt"))
+      .crossJoin(broadcast(slny))
+      .withColumn("ll",
+        lit(-0.5) * col("n") * log((col("stt") -
+          col("st") * col("st") / col("n")) / col("n")) +
+          (col("lambda") - 1) * col("slny"))
+    perLam.withColumn("is_best",
+        col("ll") === max("ll").over(Window.partitionBy()))
+      .select(col("lambda"), col("nl").cast("long").as("n"),
+        col("ll"), col("is_best"))
+  }
+
   /** Rank-based inverse-normal transform (RINT, Blom 1958 scores —
     * the GWAS/limma-standard normalization): per key, each distinct
     * value maps to Φ⁻¹((R̄ − 3/8)/(n + 1/4)) with R̄ the tie-averaged

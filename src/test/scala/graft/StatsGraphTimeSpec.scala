@@ -327,6 +327,29 @@ class StatsGraphTimeSpec extends SparkSpecBase {
     comps(10) shouldBe 10
   }
 
+  test("boxCoxProfile: LL matches the closed form; log-normal picks 0") {
+    val ys = Seq(1.0, 2.0, 4.0)
+    val df = ys.toDF("y")
+    val out = graft.stats.StatsOps.boxCoxProfile(df, "y")
+      .orderBy("lambda").collect()
+    def varN(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val slny = ys.map(math.log).sum
+    // lambda = 1: t = y - 1, LL = -n/2 ln(var(y)) + 0
+    val l1 = out.find(_.getDouble(0) == 1.0).get
+    approx(l1.getAs[Double]("ll"),
+      -1.5 * math.log(varN(ys)) + 0.0, 1e-9)
+    // lambda = 0: t = ln y, LL = -n/2 ln(var(ln y)) - slny
+    val l0 = out.find(_.getDouble(0) == 0.0).get
+    approx(l0.getAs[Double]("ll"),
+      -1.5 * math.log(varN(ys.map(math.log))) - slny, 1e-9)
+    // geometric series is exactly log-symmetric -> lambda 0 wins
+    l0.getAs[Boolean]("is_best") shouldBe true
+    out.count(_.getAs[Boolean]("is_best")) shouldBe 1
+  }
+
   test("rankInverseNormal: Blom scores with tie-averaged midranks") {
     import graft.stats.Distributions
     val df = Seq(("k", 1), ("k", 1), ("k", 2)).toDF("g", "v")
