@@ -48,6 +48,90 @@ object RecordLinkage {
       .filter(col("l_" + idCol) < col("r_" + idCol))
   }
 
+  /** Multi-pass blocking: the scale-honest candidate generator. One
+    * fixed equality key makes block size grow linearly with data and
+    * candidate pairs quadratically (the round-6 organic-sf1 finding:
+    * 23.6× wall at 10× data on a (brand,size) key); the standard fix
+    * (Splink/Fellegi-Sunter practice) is a UNION of several NARROW
+    * block keys, each with data-independent expected block size, so
+    * recall comes from key diversity instead of key width.
+    *
+    * Each pass `passes(i)` is one equality block key (a column set).
+    * A pair is emitted by its FIRST generating pass only (canonical-
+    * pass dedup, the `SkewOps.intervalJoin` canonical-bucket trick):
+    * pass i keeps a pair iff for every earlier pass q the two rows
+    * do NOT share a kept pass-q block. The dedup predicate is pure
+    * map-side column arithmetic — rows are pre-enriched with one
+    * boolean `kept` flag per pass (one count aggregate + one keyed
+    * join each), so no pair-level dedup shuffle is ever needed.
+    *
+    * Output: every input column duplicated with `l_`/`r_` prefixes
+    * plus `block_pass` (the generating pass index). Oversized blocks
+    * (> `maxBlock`) are dropped per pass — use [[blockAudit]] to make
+    * that recall loss LOUD instead of silent. */
+  def blockPairsMulti(df0: DataFrame, idCol: String,
+      passes: Seq[Seq[String]], maxBlock: Int = 10000): DataFrame = {
+    require(passes.nonEmpty, "blockPairsMulti needs at least one pass")
+    passes.foreach(p =>
+      require(p.nonEmpty, "each blocking pass needs at least one key"))
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val orig = df0.columns.toSeq
+    var base = df0
+    passes.zipWithIndex.foreach { case (keys, i) =>
+      // null-safe enrichment join: a row with a NULL pass-i key can
+      // never pair in pass i (=== semantics below) but must still
+      // participate in the other passes, so it may not be dropped.
+      val ok = df0.groupBy(keys.map(col): _*)
+        .agg((count(lit(1)) <= maxBlock).as(s"__kept$i"))
+        .select(keys.map(k => col(k).as(s"__ok${i}_$k")) :+
+          col(s"__kept$i"): _*)
+      val cond = keys.map(k => col(k) <=> col(s"__ok${i}_$k"))
+        .reduce(_ && _)
+      base = base.join(ok, cond)
+        .drop(keys.map(k => s"__ok${i}_$k"): _*)
+    }
+    def side(p: String) = base.select(base.columns.map(c =>
+      col(c).as(p + c)): _*)
+    val l = side("l_")
+    val r = side("r_")
+    passes.zipWithIndex.map { case (keys, i) =>
+      val eq = keys.map(k => col("l_" + k) === col("r_" + k))
+        .reduce(_ && _)
+      val canonical = (0 until i).map { q =>
+        val agreeQ = passes(q).map(k => col("l_" + k) === col("r_" + k))
+          .reduce(_ && _)
+        !(coalesce(agreeQ, lit(false)) && col(s"l___kept$q"))
+      }.foldLeft(lit(true))(_ && _)
+      l.join(r, eq && col(s"l___kept$i") &&
+          col("l_" + idCol) < col("r_" + idCol) && canonical)
+        .select(orig.flatMap(c =>
+          Seq(col("l_" + c), col("r_" + c))) :+
+          lit(i).as("block_pass"): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Per-pass blocking audit — the loud companion to the silent
+    * `maxBlock` guard: how many blocks each pass has, how many were
+    * dropped for being oversized, how many rows sat in those dropped
+    * blocks (the recall a user silently lost), and the largest block
+    * seen. One count aggregate per pass; emit this next to any
+    * production linkage run. */
+  def blockAudit(df0: DataFrame, passes: Seq[Seq[String]],
+      maxBlock: Int = 10000): DataFrame = {
+    require(passes.nonEmpty, "blockAudit needs at least one pass")
+    passes.zipWithIndex.map { case (keys, i) =>
+      df0.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bn__"))
+        .agg(lit(i).as("block_pass"),
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("__bn__") > maxBlock, 1L).otherwise(0L))
+            .as("n_blocks_dropped"),
+          sum(when(col("__bn__") > maxBlock, col("__bn__"))
+            .otherwise(0L)).as("n_rows_dropped"),
+          max("__bn__").as("max_block"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Fellegi–Sunter score + decision for candidate pairs that carry
     * boolean per-field agreement columns: each field contributes its
     * agreement weight when true, disagreement weight when false, and
@@ -90,7 +174,17 @@ object RecordLinkage {
     * min aggregate — keyed shuffles only. */
   def entityIds(pairs: DataFrame, idACol: String, idBCol: String,
       rounds: Int = 3): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(rounds >= 1 || rounds == -1,
+      s"rounds must be >= 1, or -1 for the fixpoint path, got $rounds")
+    if (rounds == -1) {
+      // Fixpoint fallback for components of unbounded diameter: the
+      // pointer-jumping connected-components loop converges in
+      // O(log d) rounds and needs no diameter bound, at the price of
+      // a convergence check per round (not oracle-unrollable).
+      return graft.graphops.GraphOps.connectedComponents(
+        pairs.select(col(idACol).as("src"), col(idBCol).as("dst")))
+        .select(col("id"), col("component").as("entity"))
+    }
     val edges = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
       .distinct().cache()
     val verts = edges.select(col("a").as("id"))

@@ -51,12 +51,36 @@ object Privacy {
       .withColumn("pct_below_k",
         col("rows_below_k").cast("double") / col("n_rows"))
 
-  /** Laplace inverse-CDF noise at scale b from a uniform u ∈ (0,1):
-    * −b·sgn(u−½)·ln(1−2|u−½|). */
-  private def laplaceNoise(u: org.apache.spark.sql.Column,
-      b: Double): org.apache.spark.sql.Column =
+  /** Laplace inverse-CDF noise at scale b from a uniform u:
+    * −b·sgn(u−½)·ln(1−2|u−½|). u is clamped into
+    * [2⁻⁴⁹, 1−2⁻⁴⁹] first — the 48-bit lattice can yield exactly 0
+    * (probability 2⁻⁴⁸ per group), which would otherwise release an
+    * infinite value. The clamp is mirrored in the oracle SQL. */
+  private val uEps = math.pow(2.0, -49)
+  private def laplaceNoise(u0: org.apache.spark.sql.Column,
+      b: Double): org.apache.spark.sql.Column = {
+    val u = greatest(lit(uEps), least(lit(1.0 - uEps), u0))
     lit(-b) * signum(u - lit(0.5)) *
       log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+  }
+
+  /** Injective, engine-portable encoding of one noise-key component:
+    * NULL → "n", else length-prefixed "L:value" — so distinct key
+    * tuples (("a",NULL) vs (NULL,"a"), values containing the
+    * separator) can never collide onto one Laplace draw. Digits
+    * always open a non-null component, so the "n" sentinel is
+    * unambiguous and the concatenation of encodings is
+    * self-delimiting. */
+  private def encKeyPart(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(c.isNull, lit("n")).otherwise(concat(
+      length(c.cast("string")).cast("string"), lit(":"),
+      c.cast("string")))
+
+  private def noiseKey(salt: String, keyCols: Seq[String])
+      : org.apache.spark.sql.Column =
+    concat((lit(salt) +: lit("|") +:
+      keyCols.map(c => encKeyPart(col(c)))): _*)
 
   /** ε-DP noisy per-group counts (Laplace mechanism, sensitivity 1):
     * emits the true count, the replayable noise draw keyed by
@@ -65,8 +89,7 @@ object Privacy {
   def dpGroupCount(df: DataFrame, keyCols: Seq[String],
       epsilon: Double, salt: String): DataFrame = {
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
-    val u = PipelineOps.hash48Unit(
-      concat_ws("|", (lit(salt) +: keyCols.map(c => col(c))): _*))
+    val u = PipelineOps.hash48Unit(noiseKey(salt, keyCols))
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("noise", laplaceNoise(u, 1.0 / epsilon))
@@ -84,8 +107,7 @@ object Privacy {
       s"need epsilon > 0 and sensitivity > 0")
     val clamped = greatest(lit(-sensitivity),
       least(lit(sensitivity), col(valueCol).cast("double")))
-    val u = PipelineOps.hash48Unit(
-      concat_ws("|", (lit(salt) +: keyCols.map(c => col(c))): _*))
+    val u = PipelineOps.hash48Unit(noiseKey(salt, keyCols))
     df.groupBy(keyCols.map(col): _*)
       .agg(sum(clamped).as("sum_clamped"),
         count(lit(1)).as("n"))

@@ -285,13 +285,18 @@ object TextEval {
     * Chen–Cherry (2014) method 1 / NLTK `method1` — a zero clipped
     * count is replaced by `epsilon` before dividing, so
     * p_n = ε / c_tot when m_n = 0; short candidates no longer
-    * collapse to 0 (what sacrebleu users expect). The reported
-    * p1..p4 columns are the smoothed precisions. */
+    * collapse to 0 (what sacrebleu users expect). `smoothing` = 2:
+    * Chen–Cherry method 2 — add one to both the clipped count and
+    * the total for every order n ≥ 2: p_n = (m_n+1)/(c_n+1).
+    * `smoothing` = 3: Chen–Cherry method 3 / NLTK `method3` /
+    * sacrebleu's `exp` family — the k-th zero precision (in n
+    * order) becomes 1/(2^k · c_n), an exponentially decaying floor.
+    * The reported p1..p4 columns are the smoothed precisions. */
   def bleu(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4, smoothing: Int = 0,
       epsilon: Double = 0.1): DataFrame = {
-    require(smoothing == 0 || smoothing == 1,
-      s"smoothing method $smoothing not implemented (0 or 1)")
+    require(smoothing >= 0 && smoothing <= 3,
+      s"smoothing method $smoothing not implemented (0..3)")
     require(epsilon > 0, "epsilon > 0")
     val base = pairs.select(col(idCol).as("id"),
       toks(col(candCol)).as("ct"), toks(col(refCol)).as("rt"))
@@ -315,13 +320,29 @@ object TextEval {
       .withColumn("m", coalesce(col("m"), lit(0L)))
       .withColumn("p",
         when(col("c_tot") > 0, col("m").cast("double") / col("c_tot")))
-    // method 1 rewrites zero precisions to ε/c_tot, so downstream the
-    // n_zero counter is 0 and the generic ln-sum path applies as-is
-    val pn =
-      if (smoothing == 1)
+    // methods 1/3 rewrite zero precisions to a positive floor and
+    // method 2 shifts the ratio, so downstream the n_zero counter is
+    // 0 (or counts a genuinely-zero smoothed p1 for method 2) and
+    // the generic ln-sum path applies as-is
+    val pn = smoothing match {
+      case 1 =>
         pn0.withColumn("p", when(col("p") === 0.0,
           lit(epsilon) / col("c_tot")).otherwise(col("p")))
-      else pn0
+      case 2 =>
+        pn0.withColumn("p", when(col("c_tot") > 0 && col("n") > 1,
+          (col("m") + lit(1)).cast("double") / (col("c_tot") + lit(1)))
+          .otherwise(col("p")))
+      case 3 =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("n")
+        pn0.withColumn("__kz__",
+          sum(when(col("p") === 0.0, 1).otherwise(0)).over(w))
+          .withColumn("p", when(col("p") === 0.0,
+            lit(1.0) / (pow(lit(2.0), col("__kz__")) * col("c_tot")))
+            .otherwise(col("p")))
+          .drop("__kz__")
+      case _ => pn0
+    }
     val agg = pn.groupBy("id").agg(
       count(when(col("p").isNotNull, 1)).as("n_defined"),
       count(when(col("p") === 0.0, 1)).as("n_zero"),

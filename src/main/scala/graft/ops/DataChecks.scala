@@ -30,11 +30,14 @@ object DataChecks {
           .as(s"__v_$name")
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // `div` (integer floor division on longs) matches the oracle's
+    // `//` exactly; double .divide then cast truncation can differ
+    // by 1 when the true ratio sits one ulp under an integer
     checks.map { case (name, _) =>
       one.select(lit(name).as("check"), col("__n__").as("n_rows"),
         col(s"__v_$name").as("n_violations"),
-        (col(s"__v_$name") * 1000000L).cast("long")
-          .divide(col("__n__")).cast("long").as("violation_ppm"))
+        expr(s"`__v_$name` * 1000000 div `__n__`")
+          .as("violation_ppm"))
     }.reduce(_ unionByName _)
   }
 
@@ -49,8 +52,7 @@ object DataChecks {
         sum(col("__c__") - 1L).as("__v__"))
     agg.select(lit(name).as("check"), col("__n__").as("n_rows"),
       col("__v__").as("n_violations"),
-      (col("__v__") * 1000000L).cast("long").divide(col("__n__"))
-        .cast("long").as("violation_ppm"))
+      expr("`__v__` * 1000000 div `__n__`").as("violation_ppm"))
   }
 
   /** Key-skew heavy hitters — the pre-shuffle audit that says
@@ -72,8 +74,7 @@ object DataChecks {
       .limit(topK)
       .crossJoin(broadcast(total))
       .select(keyCols.map(col) ++ Seq(col("n"),
-        (col("n") * 1000000L).cast("long").divide(col("__t__"))
-          .cast("long").as("share_ppm")): _*)
+        expr("n * 1000000 div __t__").as("share_ppm")): _*)
   }
 
   /** One-row skew summary over the same per-key counts: row/key
@@ -88,8 +89,7 @@ object DataChecks {
       .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
         (col("max_key_rows").cast("double") * col("n_keys") /
           col("n_rows")).as("skew_ratio"),
-        (col("max_key_rows") * 1000000L).cast("long")
-          .divide(col("n_rows")).cast("long").as("top1_ppm"))
+        expr("max_key_rows * 1000000 div n_rows").as("top1_ppm"))
 
   /** Referential-integrity check: child rows whose `childKey` has no
     * match in `parent.parentKey` are violations (NULL child keys are
@@ -104,7 +104,6 @@ object DataChecks {
     totals.crossJoin(orphans)
       .select(lit(name).as("check"), col("__n__").as("n_rows"),
         col("__v__").as("n_violations"),
-        (col("__v__") * 1000000L).cast("long").divide(col("__n__"))
-          .cast("long").as("violation_ppm"))
+        expr("`__v__` * 1000000 div `__n__`").as("violation_ppm"))
   }
 }

@@ -209,48 +209,78 @@ object QueriesPipeline {
     }),
 
     // Fellegi-Sunter probabilistic record linkage over the part
-    // catalog: equality-blocked candidate pairs on the COMPOUND
-    // (brand, size) key — the scale knob: brand-only blocks are 800
-    // rows at sf0.1 (~8M pairs); adding size cuts blocks ~50x for
-    // the same recall on the remaining fields. Oversized blocks
-    // dropped per the maxDf convention. Three boolean agreement
-    // fields, log2 m/u weights summed in field order, three-way
-    // decision; the gate emits the full decision surface (<=8 score
-    // patterns) with pair counts
+    // catalog, MULTI-PASS blocked (the round-6 scale fix): a fixed
+    // (brand, size) key grows blocks linearly with data and pairs
+    // quadratically (23.6x wall at 10x organic data), so candidates
+    // now come from the union of two NARROW passes — (brand, size,
+    // name1) and (brand, size, type) — each with a data-independent
+    // expected block size, deduped map-side by canonical pass.
+    // Recall is preserved for every pair that can reach 'match'
+    // (match needs name1_eq AND type_eq under these weights, so
+    // pass 0 alone covers the match set). Oversized blocks dropped
+    // per the maxDf convention, surfaced LOUDLY by the q388 audit.
+    // Three boolean agreement fields, log2 m/u weights summed in
+    // field order, three-way decision; the gate emits the decision
+    // surface per generating pass with pair counts
     "q362_record_linkage" -> ((s, d) => {
-      val pairs = graft.analytics.RecordLinkage.blockPairs(
-        t(s, d, "part").select(col("p_partkey"), col("p_brand"),
-          col("p_type"), col("p_size"),
-          col("p_name"), cents(col("p_retailprice")).as("pc")),
-        "p_partkey", Seq("p_brand", "p_size"), maxBlock = 1000)
+      val parts = t(s, d, "part").select(col("p_partkey"),
+        col("p_brand"), col("p_type"), col("p_size"),
+        split(col("p_name"), " ").getItem(0).as("name1"),
+        cents(col("p_retailprice")).as("pc"))
+      val pairs = graft.analytics.RecordLinkage.blockPairsMulti(
+        parts, "p_partkey",
+        Seq(Seq("p_brand", "p_size", "name1"),
+          Seq("p_brand", "p_size", "p_type")), maxBlock = 1000)
       val ag = pairs
         .withColumn("type_eq", col("l_p_type") === col("r_p_type"))
-        .withColumn("name1_eq", split(col("l_p_name"), " ").getItem(0)
-          === split(col("r_p_name"), " ").getItem(0))
+        .withColumn("name1_eq", col("l_name1") === col("r_name1"))
         .withColumn("price_band",
           abs(col("l_pc") - col("r_pc")) <= lit(10000L))
       graft.analytics.RecordLinkage
         .fellegiSunter(ag, fsFields, upper = 5.0, lower = 0.0)
-        .groupBy("type_eq", "name1_eq", "price_band", "fs_class")
+        .groupBy("block_pass", "type_eq", "name1_eq", "price_band",
+          "fs_class")
         .agg(round(min("fs_score"), 6).as("fs_score"),
           count(lit(1)).as("n_pairs"))
-        .orderBy("type_eq", "name1_eq", "price_band")
+        .orderBy("block_pass", "type_eq", "name1_eq", "price_band")
     }),
 
-    // end-to-end entity resolution: the q362 blocked FS pipeline's
-    // 'match' pairs clustered into entities by 3 unrolled rounds of
-    // synchronous min-label propagation (near-clique components
-    // inside blocks -> tiny diameter; the q344 unroll precedent)
+    // the loud companion to q362's maxBlock guard: per-pass block
+    // counts, oversized-block drops and the rows (recall) lost in
+    // them — the audit a production linkage run emits next to its
+    // pairs so silent recall collapse is impossible
+    "q388_linkage_block_audit" -> ((s, d) => {
+      val parts = t(s, d, "part").select(col("p_partkey"),
+        col("p_brand"), col("p_type"), col("p_size"),
+        split(col("p_name"), " ").getItem(0).as("name1"))
+      graft.analytics.RecordLinkage.blockAudit(parts,
+        Seq(Seq("p_brand", "p_size", "name1"),
+          Seq("p_brand", "p_size", "p_type")), maxBlock = 1000)
+        .orderBy("block_pass")
+    }),
+
+    // end-to-end entity resolution: the q362 multi-pass blocked FS
+    // pipeline's 'match' pairs clustered into entities by 3 unrolled
+    // rounds of synchronous min-label propagation (near-clique
+    // components inside blocks -> tiny diameter; the q344 unroll
+    // precedent). The match set is provably identical to the old
+    // single-pass (brand,size) blocking: 'match' requires name1_eq
+    // AND type_eq under the fsFields weights, and every such pair is
+    // generated by pass 0 — so the oracle SQL is unchanged.
+    // entityIds(rounds = -1) is the documented fixpoint path for
+    // unbounded-diameter components (pointer-jumping CC).
     "q382_entity_resolution" -> ((s, d) => {
-      val pairs = graft.analytics.RecordLinkage.blockPairs(
-        t(s, d, "part").select(col("p_partkey"), col("p_brand"),
-          col("p_type"), col("p_size"),
-          col("p_name"), cents(col("p_retailprice")).as("pc")),
-        "p_partkey", Seq("p_brand", "p_size"), maxBlock = 1000)
+      val parts = t(s, d, "part").select(col("p_partkey"),
+        col("p_brand"), col("p_type"), col("p_size"),
+        split(col("p_name"), " ").getItem(0).as("name1"),
+        cents(col("p_retailprice")).as("pc"))
+      val pairs = graft.analytics.RecordLinkage.blockPairsMulti(
+        parts, "p_partkey",
+        Seq(Seq("p_brand", "p_size", "name1"),
+          Seq("p_brand", "p_size", "p_type")), maxBlock = 1000)
       val ag = pairs
         .withColumn("type_eq", col("l_p_type") === col("r_p_type"))
-        .withColumn("name1_eq", split(col("l_p_name"), " ").getItem(0)
-          === split(col("r_p_name"), " ").getItem(0))
+        .withColumn("name1_eq", col("l_name1") === col("r_name1"))
         .withColumn("price_band",
           abs(col("l_pc") - col("r_pc")) <= lit(10000L))
       val matches = graft.analytics.RecordLinkage
@@ -766,6 +796,34 @@ object QueriesPipeline {
           col("a.text").as("cand"), col("b.text").as("ref"))
       graft.llm.TextEval.bleu(pairs, "pid", "cand", "ref", maxN = 4,
           smoothing = 1)
+        .withColumnRenamed("id", "pid")
+    }),
+
+    // Chen-Cherry smoothing method 2: add-one on both clipped count
+    // and total for every n >= 2 (p1 raw, so an all-miss unigram
+    // still zeroes the score)
+    "q389_bleu_smooth2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("pid"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+      graft.llm.TextEval.bleu(pairs, "pid", "cand", "ref", maxN = 4,
+          smoothing = 2)
+        .withColumnRenamed("id", "pid")
+    }),
+
+    // Chen-Cherry smoothing method 3 (NLTK method3, the sacrebleu
+    // exp-decay family): the k-th zero precision in n order becomes
+    // 1/(2^k * c_n)
+    "q390_bleu_smooth3" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("pid"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+      graft.llm.TextEval.bleu(pairs, "pid", "cand", "ref", maxN = 4,
+          smoothing = 3)
         .withColumnRenamed("id", "pid")
     }),
 
@@ -1484,8 +1542,8 @@ object QueriesPipeline {
           "CAST(l_linenumber AS VARCHAR) || 's73'")} < 0.1"""
         .stripMargin,
 
-    // same pipeline as q362 keeping the pair ids, then the 3 label
-    // rounds unrolled as MATERIALIZED CTEs
+    // same multi-pass pipeline as q362 keeping the pair ids, then
+    // the 3 label rounds unrolled as MATERIALIZED CTEs
     "q382_entity_resolution" -> {
       val rounds = (1 to 3).map { r =>
         s"""l$r AS MATERIALIZED (
@@ -1499,24 +1557,46 @@ object QueriesPipeline {
            |    SELECT id, lbl FROM l${r - 1}) q
            |  GROUP BY 1)""".stripMargin
       }.mkString(",\n")
-      s"""WITH sz AS (
-         |  SELECT p_brand, p_size FROM part
-         |  GROUP BY 1, 2 HAVING count(*) <= 1000),
-         |base AS (
-         |  SELECT p.p_partkey, p.p_brand, p.p_type,
-         |    p.p_size, p.p_name,
-         |    CAST(round(p.p_retailprice * 100) AS BIGINT) AS pc
-         |  FROM part p JOIN sz ON sz.p_brand = p.p_brand
-         |    AND sz.p_size = p.p_size),
-         |pairs AS (
+      s"""WITH base AS (
+         |  SELECT p_partkey, p_brand, p_type, p_size,
+         |    split_part(p_name, ' ', 1) AS name1,
+         |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+         |  FROM part),
+         |k0 AS (
+         |  SELECT p_brand, p_size, name1,
+         |    count(*) <= 1000 AS kept0
+         |  FROM base GROUP BY 1, 2, 3),
+         |k1 AS (
+         |  SELECT p_brand, p_size, p_type,
+         |    count(*) <= 1000 AS kept1
+         |  FROM base GROUP BY 1, 2, 3),
+         |b AS (
+         |  SELECT base.*, k0.kept0, k1.kept1
+         |  FROM base
+         |  JOIN k0 ON k0.p_brand = base.p_brand
+         |    AND k0.p_size = base.p_size AND k0.name1 = base.name1
+         |  JOIN k1 ON k1.p_brand = base.p_brand
+         |    AND k1.p_size = base.p_size AND k1.p_type = base.p_type),
+         |p0 AS (
          |  SELECT l.p_partkey AS ia, r.p_partkey AS ib,
          |    l.p_type = r.p_type AS type_eq,
-         |    split_part(l.p_name, ' ', 1) = split_part(r.p_name, ' ', 1)
-         |      AS name1_eq,
+         |    l.name1 = r.name1 AS name1_eq,
          |    abs(l.pc - r.pc) <= 10000 AS price_band
-         |  FROM base l JOIN base r ON l.p_brand = r.p_brand
-         |    AND l.p_size = r.p_size
-         |    AND l.p_partkey < r.p_partkey),
+         |  FROM b l JOIN b r ON l.p_brand = r.p_brand
+         |    AND l.p_size = r.p_size AND l.name1 = r.name1
+         |    AND l.p_partkey < r.p_partkey
+         |  WHERE l.kept0),
+         |p1 AS (
+         |  SELECT l.p_partkey AS ia, r.p_partkey AS ib,
+         |    l.p_type = r.p_type AS type_eq,
+         |    l.name1 = r.name1 AS name1_eq,
+         |    abs(l.pc - r.pc) <= 10000 AS price_band
+         |  FROM b l JOIN b r ON l.p_brand = r.p_brand
+         |    AND l.p_size = r.p_size AND l.p_type = r.p_type
+         |    AND l.p_partkey < r.p_partkey
+         |  WHERE l.kept1 AND NOT (l.name1 = r.name1 AND l.kept0)),
+         |pairs AS (
+         |  SELECT * FROM p0 UNION ALL SELECT * FROM p1),
          |m AS (
          |  SELECT DISTINCT ia AS a, ib AS b FROM pairs
          |  WHERE $fsScoreSql >= 5.0),
@@ -1538,15 +1618,19 @@ object QueriesPipeline {
         |  count(*) < 5 AS below_k
         |FROM customer GROUP BY 1, 2""".stripMargin,
 
-    // identical md5-lottery draw and Laplace inverse CDF, noise
+    // identical md5-lottery draw (length-prefixed injective key
+    // encoding) and Laplace inverse CDF with the 2^-49 clamp, noise
     // computed once and reused for the release value
     "q367_dp_count" -> {
-      val u = h48("'release1|' || status")
+      val u = h48("'release1|' || CAST(length(status) AS VARCHAR)" +
+        " || ':' || status")
+      val lo = math.pow(2.0, -49)
       s"""WITH g AS (
          |  SELECT o_orderstatus AS status,
          |    CAST(count(*) AS BIGINT) AS n
          |  FROM orders GROUP BY 1),
-         |x AS (SELECT status, n, $u AS u FROM g),
+         |x AS (SELECT status, n,
+         |  greatest($lo, least(${1.0 - lo}, $u)) AS u FROM g),
          |no AS (
          |  SELECT status, n,
          |    -2.0 * (CASE WHEN u - 0.5 > 0 THEN 1.0
@@ -1559,7 +1643,9 @@ object QueriesPipeline {
     },
 
     "q368_dp_sum" -> {
-      val u = h48("'release2|' || rf")
+      val u = h48("'release2|' || CAST(length(rf) AS VARCHAR)" +
+        " || ':' || rf")
+      val lo = math.pow(2.0, -49)
       s"""WITH li AS (
          |  SELECT l_returnflag AS rf,
          |    greatest(-50.0, least(50.0,
@@ -1568,7 +1654,8 @@ object QueriesPipeline {
          |g AS (
          |  SELECT rf, sum(q) AS sc, CAST(count(*) AS BIGINT) AS n
          |  FROM li GROUP BY 1),
-         |x AS (SELECT rf, sc, n, $u AS u FROM g),
+         |x AS (SELECT rf, sc, n,
+         |  greatest($lo, least(${1.0 - lo}, $u)) AS u FROM g),
          |no AS (
          |  SELECT rf, sc, n,
          |    -50.0 * (CASE WHEN u - 0.5 > 0 THEN 1.0
@@ -1602,37 +1689,92 @@ object QueriesPipeline {
         |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top1_ppm
         |FROM c""".stripMargin,
 
-    // identical blocking (brand x container, HAVING <= maxBlock),
-    // ordered-pair self-join, agreement booleans, and the same
-    // left-to-right weight sum with Scala-printed double literals
+    // identical multi-pass blocking: per-pass kept flags (HAVING-
+    // free so dropped-block state is explicit), pass-0 (brand, size,
+    // name1) and pass-1 (brand, size, type) self-joins, canonical-
+    // pass dedup (a pass-1 pair is kept only when the rows do NOT
+    // share a kept pass-0 block), and the same left-to-right weight
+    // sum with Scala-printed double literals
     "q362_record_linkage" ->
-      s"""WITH sz AS (
-         |  SELECT p_brand, p_size FROM part
-         |  GROUP BY 1, 2 HAVING count(*) <= 1000),
-         |base AS (
-         |  SELECT p.p_partkey, p.p_brand, p.p_type,
-         |    p.p_size, p.p_name,
-         |    CAST(round(p.p_retailprice * 100) AS BIGINT) AS pc
-         |  FROM part p JOIN sz ON sz.p_brand = p.p_brand
-         |    AND sz.p_size = p.p_size),
-         |pairs AS (
-         |  SELECT
+      s"""WITH base AS (
+         |  SELECT p_partkey, p_brand, p_type, p_size,
+         |    split_part(p_name, ' ', 1) AS name1,
+         |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+         |  FROM part),
+         |k0 AS (
+         |  SELECT p_brand, p_size, name1,
+         |    count(*) <= 1000 AS kept0
+         |  FROM base GROUP BY 1, 2, 3),
+         |k1 AS (
+         |  SELECT p_brand, p_size, p_type,
+         |    count(*) <= 1000 AS kept1
+         |  FROM base GROUP BY 1, 2, 3),
+         |b AS (
+         |  SELECT base.*, k0.kept0, k1.kept1
+         |  FROM base
+         |  JOIN k0 ON k0.p_brand = base.p_brand
+         |    AND k0.p_size = base.p_size AND k0.name1 = base.name1
+         |  JOIN k1 ON k1.p_brand = base.p_brand
+         |    AND k1.p_size = base.p_size AND k1.p_type = base.p_type),
+         |p0 AS (
+         |  SELECT 0 AS block_pass,
          |    l.p_type = r.p_type AS type_eq,
-         |    split_part(l.p_name, ' ', 1) = split_part(r.p_name, ' ', 1)
-         |      AS name1_eq,
+         |    l.name1 = r.name1 AS name1_eq,
          |    abs(l.pc - r.pc) <= 10000 AS price_band
-         |  FROM base l JOIN base r ON l.p_brand = r.p_brand
-         |    AND l.p_size = r.p_size
-         |    AND l.p_partkey < r.p_partkey),
+         |  FROM b l JOIN b r ON l.p_brand = r.p_brand
+         |    AND l.p_size = r.p_size AND l.name1 = r.name1
+         |    AND l.p_partkey < r.p_partkey
+         |  WHERE l.kept0),
+         |p1 AS (
+         |  SELECT 1 AS block_pass,
+         |    l.p_type = r.p_type AS type_eq,
+         |    l.name1 = r.name1 AS name1_eq,
+         |    abs(l.pc - r.pc) <= 10000 AS price_band
+         |  FROM b l JOIN b r ON l.p_brand = r.p_brand
+         |    AND l.p_size = r.p_size AND l.p_type = r.p_type
+         |    AND l.p_partkey < r.p_partkey
+         |  WHERE l.kept1 AND NOT (l.name1 = r.name1 AND l.kept0)),
+         |pairs AS (
+         |  SELECT * FROM p0 UNION ALL SELECT * FROM p1),
          |scored AS (
          |  SELECT *, $fsScoreSql AS s FROM pairs)
-         |SELECT type_eq, name1_eq, price_band,
+         |SELECT CAST(block_pass AS INTEGER) AS block_pass,
+         |  type_eq, name1_eq, price_band,
          |  CASE WHEN s >= 5.0 THEN 'match'
          |       WHEN s <= 0.0 THEN 'non_match'
          |       ELSE 'possible' END AS fs_class,
          |  round(min(s), 6) AS fs_score,
          |  CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM scored GROUP BY 1, 2, 3, 4""".stripMargin,
+         |FROM scored GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    // per-pass block-size distribution with the oversized-drop
+    // accounting mirrored exactly
+    "q388_linkage_block_audit" ->
+      """WITH base AS (
+        |  SELECT p_brand, p_size, p_type,
+        |    split_part(p_name, ' ', 1) AS name1
+        |  FROM part),
+        |a0 AS (
+        |  SELECT count(*) AS bn FROM base
+        |  GROUP BY p_brand, p_size, name1),
+        |a1 AS (
+        |  SELECT count(*) AS bn FROM base
+        |  GROUP BY p_brand, p_size, p_type)
+        |SELECT CAST(0 AS INTEGER) AS block_pass,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN bn > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_blocks_dropped,
+        |  CAST(sum(CASE WHEN bn > 1000 THEN bn ELSE 0 END) AS BIGINT)
+        |    AS n_rows_dropped,
+        |  CAST(max(bn) AS BIGINT) AS max_block
+        |FROM a0
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN bn > 1000 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN bn > 1000 THEN bn ELSE 0 END) AS BIGINT),
+        |  CAST(max(bn) AS BIGINT)
+        |FROM a1""".stripMargin,
 
     "q186_fuzzy_match" ->
       raw"""WITH ta AS (
@@ -2429,6 +2571,141 @@ object QueriesPipeline {
         |           ELSE CAST(m.m AS DOUBLE) / c_tot END
         |    END AS p
         |  FROM tot t LEFT JOIN m ON m.id = t.id AND m.n = t.n),
+        |agg AS (
+        |  SELECT id,
+        |    count(CASE WHEN p IS NOT NULL THEN 1 END) AS n_defined,
+        |    sum(CASE WHEN p > 0 THEN ln(p) END) AS sum_ln,
+        |    max(CASE WHEN n = 1 THEN p END) AS p1,
+        |    max(CASE WHEN n = 2 THEN p END) AS p2,
+        |    max(CASE WHEN n = 3 THEN p END) AS p3,
+        |    max(CASE WHEN n = 4 THEN p END) AS p4
+        |  FROM p GROUP BY 1),
+        |lens AS (SELECT id, CAST(len(ct) AS DOUBLE) AS clen,
+        |  CAST(len(rt) AS DOUBLE) AS rlen FROM tk)
+        |SELECT l.id AS pid,
+        |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round(p3, 6) AS p3, round(p4, 6) AS p4,
+        |  round(CASE WHEN clen >= rlen THEN 1.0
+        |    ELSE exp(1.0 - rlen / clen) END, 6) AS bp,
+        |  CASE WHEN n_defined < 4 THEN NULL
+        |       ELSE round((CASE WHEN clen >= rlen THEN 1.0
+        |         ELSE exp(1.0 - rlen / clen) END) *
+        |         exp(sum_ln / 4), 6) END AS bleu
+        |FROM lens l LEFT JOIN agg USING (id)""".stripMargin,
+
+    // Chen-Cherry method 2: (m+1)/(c_tot+1) for n >= 2, raw p1 —
+    // so the n_zero -> 0 branch returns
+    "q389_bleu_smooth2" ->
+      raw"""WITH pairs AS (
+        |  SELECT a.doc_id AS id, a.text AS ctext, b.text AS rtext
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1),
+        |tk AS (
+        |  SELECT id,
+        |    list_filter(regexp_split_to_array(trim(lower(ctext)), '\s+'),
+        |      x -> length(x) > 0) AS ct,
+        |    list_filter(regexp_split_to_array(trim(lower(rtext)), '\s+'),
+        |      x -> length(x) > 0) AS rt
+        |  FROM pairs),
+        |nn AS (SELECT id, ct, rt, unnest([1, 2, 3, 4]) AS n FROM tk),
+        |gr AS (
+        |  SELECT id, n,
+        |    CASE WHEN len(ct) >= n
+        |      THEN list_transform(range(1, len(ct) - n + 2),
+        |        i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))
+        |      ELSE [] END AS cg,
+        |    CASE WHEN len(rt) >= n
+        |      THEN list_transform(range(1, len(rt) - n + 2),
+        |        i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))
+        |      ELSE [] END AS rg
+        |  FROM nn),
+        |cc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(cg) AS g FROM gr) GROUP BY 1, 2, 3),
+        |rc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(rg) AS g FROM gr) GROUP BY 1, 2, 3),
+        |m AS (SELECT cc.id, cc.n, sum(least(cc.c, rc.c)) AS m
+        |  FROM cc JOIN rc ON cc.id = rc.id AND cc.n = rc.n
+        |    AND cc.g = rc.g GROUP BY 1, 2),
+        |tot AS (SELECT id, n, len(cg) AS c_tot FROM gr),
+        |p AS (
+        |  SELECT t.id, t.n,
+        |    CASE WHEN c_tot > 0 THEN
+        |      CASE WHEN t.n > 1 THEN
+        |        CAST(coalesce(m.m, 0) + 1 AS DOUBLE) / (c_tot + 1)
+        |      ELSE CAST(coalesce(m.m, 0) AS DOUBLE) / c_tot END
+        |    END AS p
+        |  FROM tot t LEFT JOIN m ON m.id = t.id AND m.n = t.n),
+        |agg AS (
+        |  SELECT id,
+        |    count(CASE WHEN p IS NOT NULL THEN 1 END) AS n_defined,
+        |    count(CASE WHEN p = 0 THEN 1 END) AS n_zero,
+        |    sum(CASE WHEN p > 0 THEN ln(p) END) AS sum_ln,
+        |    max(CASE WHEN n = 1 THEN p END) AS p1,
+        |    max(CASE WHEN n = 2 THEN p END) AS p2,
+        |    max(CASE WHEN n = 3 THEN p END) AS p3,
+        |    max(CASE WHEN n = 4 THEN p END) AS p4
+        |  FROM p GROUP BY 1),
+        |lens AS (SELECT id, CAST(len(ct) AS DOUBLE) AS clen,
+        |  CAST(len(rt) AS DOUBLE) AS rlen FROM tk)
+        |SELECT l.id AS pid,
+        |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round(p3, 6) AS p3, round(p4, 6) AS p4,
+        |  round(CASE WHEN clen >= rlen THEN 1.0
+        |    ELSE exp(1.0 - rlen / clen) END, 6) AS bp,
+        |  CASE WHEN n_defined < 4 THEN NULL
+        |       WHEN n_zero > 0 THEN 0.0
+        |       ELSE round((CASE WHEN clen >= rlen THEN 1.0
+        |         ELSE exp(1.0 - rlen / clen) END) *
+        |         exp(sum_ln / 4), 6) END AS bleu
+        |FROM lens l LEFT JOIN agg USING (id)""".stripMargin,
+
+    // Chen-Cherry method 3: k-th zero precision (cumulative zero
+    // count over n, window per id) -> 1/(2^k * c_tot)
+    "q390_bleu_smooth3" ->
+      raw"""WITH pairs AS (
+        |  SELECT a.doc_id AS id, a.text AS ctext, b.text AS rtext
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1),
+        |tk AS (
+        |  SELECT id,
+        |    list_filter(regexp_split_to_array(trim(lower(ctext)), '\s+'),
+        |      x -> length(x) > 0) AS ct,
+        |    list_filter(regexp_split_to_array(trim(lower(rtext)), '\s+'),
+        |      x -> length(x) > 0) AS rt
+        |  FROM pairs),
+        |nn AS (SELECT id, ct, rt, unnest([1, 2, 3, 4]) AS n FROM tk),
+        |gr AS (
+        |  SELECT id, n,
+        |    CASE WHEN len(ct) >= n
+        |      THEN list_transform(range(1, len(ct) - n + 2),
+        |        i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))
+        |      ELSE [] END AS cg,
+        |    CASE WHEN len(rt) >= n
+        |      THEN list_transform(range(1, len(rt) - n + 2),
+        |        i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))
+        |      ELSE [] END AS rg
+        |  FROM nn),
+        |cc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(cg) AS g FROM gr) GROUP BY 1, 2, 3),
+        |rc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(rg) AS g FROM gr) GROUP BY 1, 2, 3),
+        |m AS (SELECT cc.id, cc.n, sum(least(cc.c, rc.c)) AS m
+        |  FROM cc JOIN rc ON cc.id = rc.id AND cc.n = rc.n
+        |    AND cc.g = rc.g GROUP BY 1, 2),
+        |tot AS (SELECT id, n, len(cg) AS c_tot FROM gr),
+        |pz AS (
+        |  SELECT t.id, t.n, t.c_tot, coalesce(m.m, 0) AS m,
+        |    sum(CASE WHEN t.c_tot > 0 AND coalesce(m.m, 0) = 0
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY t.id ORDER BY t.n) AS kz
+        |  FROM tot t LEFT JOIN m ON m.id = t.id AND m.n = t.n),
+        |p AS (
+        |  SELECT id, n,
+        |    CASE WHEN c_tot > 0 THEN
+        |      CASE WHEN m = 0 THEN 1.0 / (power(2.0, kz) * c_tot)
+        |           ELSE CAST(m AS DOUBLE) / c_tot END
+        |    END AS p
+        |  FROM pz),
         |agg AS (
         |  SELECT id,
         |    count(CASE WHEN p IS NOT NULL THEN 1 END) AS n_defined,

@@ -2327,8 +2327,8 @@ object QueriesStats {
          |    CAST(sum(CAST(rall * 2 AS BIGINT)) AS BIGINT) AS sr2,
          |    CAST(sum(CAST((rall - rwin) * 2 AS BIGINT)) AS BIGINT)
          |      AS sd2,
-         |    CAST(sum(CAST((rall - rwin) * 2 AS BIGINT) *
-         |      CAST((rall - rwin) * 2 AS BIGINT)) AS BIGINT) AS sq4
+         |    sum(CAST(CAST((rall - rwin) * 2 AS BIGINT) AS HUGEINT) *
+         |      CAST((rall - rwin) * 2 AS BIGINT)) AS sq4
          |  FROM rk GROUP BY 1),
          |f AS (
          |  SELECT g, n, CAST(sr2 AS DOUBLE) / (2.0 * n) AS m,
@@ -2381,7 +2381,8 @@ object QueriesStats {
         |    CAST(sum(ni) AS DOUBLE) AS n,
         |    CAST(sum(si) AS DOUBLE) AS s,
         |    CAST(sum(qi) AS DOUBLE) AS q,
-        |    sum(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni) AS sg,
+        |    CAST(sum((si * si) // ni) AS DOUBLE) +
+        |      sum(CAST((si * si) % ni AS DOUBLE) / ni) AS sg,
         |    CAST(sum(ni * ni) AS DOUBLE) AS nn2
         |  FROM per),
         |f AS (

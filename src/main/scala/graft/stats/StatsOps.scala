@@ -1957,8 +1957,12 @@ object StatsOps {
         (col("rall") * 2).cast("long").as("r2"),
         ((col("rall") - col("rwin")) * 2).cast("long").as("d2"))
       .groupBy("g")
+      // sq4 = Σ(2(R−r))² is bounded by ~4N³, past Long at pooled
+      // N ≳ 1.3M — accumulate in decimal(38,0): still exact and
+      // order-free up to N ~ 1e12, no silent wraparound
       .agg(count(lit(1)).as("n"), sum("r2").as("sr2"),
-        sum("d2").as("sd2"), sum(col("d2") * col("d2")).as("sq4"))
+        sum("d2").as("sd2"),
+        sum(col("d2").cast("decimal(19,0)") * col("d2")).as("sq4"))
       .withColumn("m", col("sr2").cast("double") / (lit(2.0) * col("n")))
       .withColumn("cc",
         col("m") - (col("n").cast("double") + 1) / 2)
@@ -2058,7 +2062,15 @@ object StatsOps {
     *   k₀ = (N − Σn_i²/N)/(G−1),
     *   ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW).
     * One per-group exact-sum aggregate + one global aggregate; pass
-    * an exact integer value (dollars) so Σx² stays a long. */
+    * an exact integer value (dollars) so Σx² stays a long.
+    *
+    * Determinism: Σ si²/ni is split into the exact BIGINT quotient
+    * Σ(si² div ni) — an order-free integer sum — plus the bounded
+    * fractional remainders Σ((si² mod ni)/ni), each in [0,1), whose
+    * double-sum order error is O(G·ε) ≈ 1e-8 absolute against an
+    * O(G·mean²) term, stable under 6-decimal rounding. Summing
+    * si²/ni directly as doubles is partition-order-dependent and
+    * hash-diverged from DuckDB at the last ulp (round-6 q375). */
   def iccOneWay(df0: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val v = col(valueCol)
@@ -2066,13 +2078,15 @@ object StatsOps {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("ni"), sum(v).as("si"),
         sum(v * v).as("qi"))
+    val si2 = col("si") * col("si")
     val tot = per.agg(count(lit(1)).cast("double").as("g"),
       sum("ni").cast("double").as("n"),
       sum("si").cast("double").as("s"),
       sum("qi").cast("double").as("q"),
-      sum(col("si").cast("double") * col("si").cast("double") /
-        col("ni")).as("sg"),
+      sum(expr("si * si div ni")).as("sgq"),
+      sum((si2 % col("ni")).cast("double") / col("ni")).as("sgf"),
       sum(col("ni") * col("ni")).cast("double").as("nn2"))
+      .withColumn("sg", col("sgq").cast("double") + col("sgf"))
     val ssb = col("sg") - col("s") * col("s") / col("n")
     val ssw = col("q") - col("sg")
     val msb = ssb / (col("g") - 1)

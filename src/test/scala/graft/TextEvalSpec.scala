@@ -109,7 +109,7 @@ class TextEvalSpec extends SparkSpecBase {
     }
     // an unknown smoothing method fails loudly
     intercept[IllegalArgumentException] {
-      TextEval.bleu(df, "id", "c", "r", smoothing = 2)
+      TextEval.bleu(df, "id", "c", "r", smoothing = 4)
     }
   }
 

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 verdict follow-ups: q375 ICC partition-order determinism,
+  * record-linkage scale honesty, entity-resolution fixpoint. */
+class VerdictR7Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("iccOneWay: bit-identical under repartition(1) vs repartition(32)") {
+    // Many groups with values large enough that a naive double sum of
+    // si^2/ni is partition-order-sensitive at the last ulp.
+    val rng = new scala.util.Random(7)
+    val data = (0 until 5000).flatMap { g =>
+      (0 until (1 + g % 5)).map(_ => (s"g$g", 50000L + rng.nextInt(100000)))
+    }
+    val df = data.toDF("g", "x")
+    val r1 = graft.stats.StatsOps
+      .iccOneWay(df.repartition(1), "g", "x").head()
+    val r32 = graft.stats.StatsOps
+      .iccOneWay(df.repartition(32), "g", "x").head()
+    for (c <- Seq("msb", "msw", "k0", "icc")) {
+      java.lang.Double.doubleToLongBits(r1.getAs[Double](c)) shouldBe
+        java.lang.Double.doubleToLongBits(r32.getAs[Double](c))
+    }
+    r1.getAs[Long]("n_groups") shouldBe 5000L
+  }
+
+  test("blockPairsMulti: union of passes, each pair from its first pass only") {
+    import graft.analytics.RecordLinkage
+    // city pass and zip pass overlap on (1,2); (3,4) only via zip;
+    // (1,3)/(2,3) only via city
+    val df = Seq(
+      (1L, "nyc", "10001"), (2L, "nyc", "10001"), (3L, "nyc", "99999"),
+      (4L, "sfo", "99999"), (5L, "chi", "60601")
+    ).toDF("id", "city", "zip")
+    val pairs = RecordLinkage.blockPairsMulti(df, "id",
+      Seq(Seq("city"), Seq("zip")))
+      .select("l_id", "r_id", "block_pass").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    pairs.toSeq shouldBe Seq(
+      (1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0), (3L, 4L, 1))
+    // no pair appears twice across passes
+    pairs.map(p => (p._1, p._2)).distinct.length shouldBe pairs.length
+  }
+
+  test("blockPairsMulti: null block key pairs nowhere but row survives other passes") {
+    import graft.analytics.RecordLinkage
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "z1"),
+      (2L, null.asInstanceOf[String], "z1"),
+      (3L, "c1", "z2"), (4L, "c1", "z3")
+    ).toDF("id", "city", "zip")
+    val pairs = RecordLinkage.blockPairsMulti(df, "id",
+      Seq(Seq("city"), Seq("zip")))
+      .select("l_id", "r_id", "block_pass").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    // nulls never equality-pair on city; rows 1,2 still pair via zip
+    pairs.toSeq shouldBe Seq((1L, 2L, 1), (3L, 4L, 0))
+  }
+
+  test("blockPairsMulti + blockAudit: oversized block dropped in one pass, recalled by the other, loudly counted") {
+    import graft.analytics.RecordLinkage
+    val hot = (1L to 5L).map(i => (i, "hot", s"z$i"))
+    val df = (hot :+ ((6L, "cold", "z1"))).toDF("id", "city", "zip")
+    // city pass: 'hot' block size 5 > maxBlock=4 -> dropped; zip
+    // pass recalls (1,6) which shares z1
+    val pairs = RecordLinkage.blockPairsMulti(df, "id",
+      Seq(Seq("city"), Seq("zip")), maxBlock = 4)
+      .select("l_id", "r_id", "block_pass").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    pairs.toSeq shouldBe Seq((1L, 6L, 1))
+    val audit = RecordLinkage.blockAudit(df,
+      Seq(Seq("city"), Seq("zip")), maxBlock = 4)
+      .orderBy("block_pass").collect()
+    audit(0).getLong(1) shouldBe 2L // city blocks: hot, cold
+    audit(0).getLong(2) shouldBe 1L // hot dropped
+    audit(0).getLong(3) shouldBe 5L // 5 rows lost to the drop
+    audit(0).getLong(4) shouldBe 5L // max block
+    audit(1).getLong(2) shouldBe 0L // zip pass drops nothing
+  }
+
+  test("entityIds: chain of 5 under-merges at rounds=3, fixpoint rounds=-1 converges") {
+    import graft.analytics.RecordLinkage
+    // path 1-2-3-4-5: diameter 4 > 3 unrolled rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val unrolled = RecordLinkage.entityIds(pairs, "a", "b", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    unrolled(5L) should be > 1L // vertex 5 has not yet heard from 1
+    val fix = RecordLinkage.entityIds(pairs, "a", "b", rounds = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    fix.values.toSet shouldBe Set(1L) // one entity, min label
+    fix.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+  }
+
+  test("bleu smoothing methods 2 and 3: hand-computed Chen-Cherry values") {
+    // cand 'the cat sat on mat' vs ref 'the cat is on the mat':
+    // raw p = 4/5, 1/4, 0, 0; clen=5, rlen=6 -> bp = e^(1-6/5)
+    val pairs = Seq((1L, "the cat sat on mat", "the cat is on the mat"))
+      .toDF("pid", "cand", "ref")
+    val bp = math.exp(1.0 - 6.0 / 5.0)
+    // method 2: add-one for n>=2 -> p2 = 2/5, p3 = 1/4, p4 = 1/3
+    val m2 = graft.llm.TextEval
+      .bleu(pairs, "pid", "cand", "ref", smoothing = 2).head()
+    approx(m2.getAs[Double]("p1"), 0.8, 1e-6)
+    approx(m2.getAs[Double]("p2"), 0.4, 1e-6)
+    approx(m2.getAs[Double]("p3"), 0.25, 1e-6)
+    approx(m2.getAs[Double]("p4"), 0.333333, 1e-6)
+    approx(m2.getAs[Double]("bleu"),
+      bp * math.pow(0.8 * 0.4 * 0.25 / 3.0, 0.25), 1e-6)
+    // method 3: first zero (n=3) -> 1/(2*3), second (n=4) -> 1/(4*2)
+    val m3 = graft.llm.TextEval
+      .bleu(pairs, "pid", "cand", "ref", smoothing = 3).head()
+    approx(m3.getAs[Double]("p1"), 0.8, 1e-6)
+    approx(m3.getAs[Double]("p2"), 0.25, 1e-6)
+    approx(m3.getAs[Double]("p3"), 1.0 / 6, 1e-6)
+    approx(m3.getAs[Double]("p4"), 0.125, 1e-6)
+    approx(m3.getAs[Double]("bleu"),
+      bp * math.pow(0.8 * 0.25 / 48.0, 0.25), 1e-6)
+    // method 2 keeps the raw-p1 zero -> whole score 0
+    val miss = Seq((1L, "aa bb cc dd ee", "xx yy zz ww vv"))
+      .toDF("pid", "cand", "ref")
+    graft.llm.TextEval.bleu(miss, "pid", "cand", "ref", smoothing = 2)
+      .head().getAs[Double]("bleu") shouldBe 0.0
+    // while method 3 floors it positive
+    graft.llm.TextEval.bleu(miss, "pid", "cand", "ref", smoothing = 3)
+      .head().getAs[Double]("bleu") should be > 0.0
+  }
+}
