@@ -7,8 +7,9 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Excel XLSX read/write with zero external dependencies (reference
-  * src/io/excel.rs, 1,320 LoC): XLSX is a zip of XML parts, both of
-  * which the JDK provides (java.util.zip + javax.xml DOM).
+  * src/io/excel.rs, 1,320 LoC, multi-sheet API with sheet_name
+  * params): XLSX is a zip of XML parts, both of which the JDK
+  * provides (java.util.zip + javax.xml DOM).
   *
   * Deliberately driver-side and single-file: a spreadsheet is a
   * small-data interchange format (the container caps at 2^20 rows),
@@ -18,7 +19,10 @@ import org.apache.spark.sql.types._
   *
   * Writer emits inline strings (no sharedStrings part); reader
   * understands both inline and shared strings, sparse cells via `r`
-  * references, and numeric/string/boolean cell types.
+  * references, and numeric/string/boolean cell types. Multi-sheet:
+  * [[writeXlsxSheets]] writes an ordered map of name → DataFrame,
+  * [[readXlsxSheet]] selects by name or index, [[listSheets]]
+  * enumerates names in workbook order.
   */
 object Excel {
 
@@ -41,7 +45,12 @@ object Excel {
 
   /** Write `df` as a single-sheet XLSX file. */
   def writeXlsx(df: DataFrame, path: String,
-      sheetName: String = "Sheet1"): Unit = {
+      sheetName: String = "Sheet1"): Unit =
+    writeXlsxSheets(Seq(sheetName -> df), path)
+
+  /** One worksheet part: header row from the schema, then data rows
+    * with sparse cells (nulls and non-finite doubles absent). */
+  private def sheetXml(df: DataFrame): String = {
     val schema = df.schema
     val rows = df.collect()
     require(rows.length <= MaxRows,
@@ -79,6 +88,17 @@ object Excel {
       sb.append("</row>")
     }
     sb.append("</sheetData></worksheet>")
+    sb.toString
+  }
+
+  /** Write several DataFrames as one XLSX workbook, one worksheet
+    * per (name, df) pair, in the given order. */
+  def writeXlsxSheets(sheets: Seq[(String, DataFrame)],
+      path: String): Unit = {
+    require(sheets.nonEmpty, "writeXlsxSheets needs at least one sheet")
+    require(sheets.map(_._1).distinct.length == sheets.length,
+      s"duplicate sheet names: ${sheets.map(_._1).mkString(", ")}")
+    val n = sheets.length
 
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -86,7 +106,9 @@ object Excel {
       """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
       """<Default Extension="xml" ContentType="application/xml"/>""" +
       """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
-      """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+      (1 to n).map(i =>
+        s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+        .mkString +
       """</Types>"""
     val rels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -97,11 +119,17 @@ object Excel {
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
       """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
-      s"""<sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+      "<sheets>" +
+      sheets.zipWithIndex.map { case ((name, _), i) =>
+        s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString +
+      "</sheets></workbook>"
     val wbRels =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
-      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+      (1 to n).map(i =>
+        s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+        .mkString +
       """</Relationships>"""
 
     val zos = new ZipOutputStream(new FileOutputStream(path))
@@ -115,47 +143,118 @@ object Excel {
       put("_rels/.rels", rels)
       put("xl/workbook.xml", workbook)
       put("xl/_rels/workbook.xml.rels", wbRels)
-      put("xl/worksheets/sheet1.xml", sb.toString)
+      sheets.zipWithIndex.foreach { case ((_, df), i) =>
+        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+      }
     } finally zos.close()
   }
 
-  /** Read the first worksheet of an XLSX file; row 1 is the header.
-    * Columns whose every non-empty cell parses as a number become
-    * DoubleType, otherwise StringType. */
-  def readXlsx(spark: SparkSession, path: String): DataFrame = {
-    // pull the parts we need out of the zip
-    var sheetXml: Array[Byte] = null
-    var sharedXml: Array[Byte] = null
+  /** All parts of the zip we care about, keyed by entry name. */
+  private def readParts(path: String): Map[String, Array[Byte]] = {
+    val out = scala.collection.mutable.Map[String, Array[Byte]]()
     val zis = new ZipInputStream(new FileInputStream(path))
     try {
       var e = zis.getNextEntry
       while (e != null) {
         val name = e.getName
-        if (name.matches("xl/worksheets/sheet1\\.xml") ||
-            (sheetXml == null && name.matches("xl/worksheets/sheet\\d+\\.xml"))) {
-          sheetXml = readAll(zis)
-        } else if (name == "xl/sharedStrings.xml") {
-          sharedXml = readAll(zis)
-        }
+        if (name == "xl/workbook.xml" ||
+            name == "xl/_rels/workbook.xml.rels" ||
+            name == "xl/sharedStrings.xml" ||
+            name.matches("xl/worksheets/sheet\\d+\\.xml"))
+          out(name) = readAll(zis)
         e = zis.getNextEntry
       }
     } finally zis.close()
-    require(sheetXml != null, s"no worksheet found in $path")
+    out.toMap
+  }
 
+  private def parseDoc(bytes: Array[Byte]): org.w3c.dom.Document = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(false)
-    def parse(bytes: Array[Byte]) =
-      dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+    dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** (sheet name, worksheet part name) in workbook order, resolved
+    * through the workbook → rels indirection (sheet order in the
+    * workbook need not match sheetN numbering). Falls back to
+    * sheetN.xml numeric order when the workbook part is absent. */
+  private def sheetTable(parts: Map[String, Array[Byte]])
+      : Seq[(String, String)] = {
+    (parts.get("xl/workbook.xml"),
+        parts.get("xl/_rels/workbook.xml.rels")) match {
+      case (Some(wb), Some(rl)) =>
+        val relNodes = parseDoc(rl).getElementsByTagName("Relationship")
+        val relTarget = (0 until relNodes.getLength).map { i =>
+          val el = relNodes.item(i).asInstanceOf[org.w3c.dom.Element]
+          el.getAttribute("Id") ->
+            ("xl/" + el.getAttribute("Target").stripPrefix("/xl/")
+              .stripPrefix("xl/"))
+        }.toMap
+        val sheetNodes = parseDoc(wb).getElementsByTagName("sheet")
+        (0 until sheetNodes.getLength).flatMap { i =>
+          val el = sheetNodes.item(i).asInstanceOf[org.w3c.dom.Element]
+          val rid = el.getAttribute("r:id")
+          relTarget.get(rid).map(el.getAttribute("name") -> _)
+        }
+      case _ =>
+        parts.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml"))
+          .toSeq
+          .sortBy(n => n.replaceAll("\\D+", "").toInt)
+          .zipWithIndex
+          .map { case (p, i) => (s"Sheet${i + 1}", p) }
+    }
+  }
+
+  /** Sheet names of an XLSX workbook in workbook order. */
+  def listSheets(path: String): Seq[String] =
+    sheetTable(readParts(path)).map(_._1)
+
+  /** Read the FIRST worksheet of an XLSX file; row 1 is the header.
+    * Columns whose every non-empty cell parses as a number become
+    * DoubleType, otherwise StringType. */
+  def readXlsx(spark: SparkSession, path: String): DataFrame =
+    readXlsxSheet(spark, path, 0)
+
+  /** Read one worksheet by name. */
+  def readXlsxSheet(spark: SparkSession, path: String,
+      sheetName: String): DataFrame = {
+    val parts = readParts(path)
+    val table = sheetTable(parts)
+    val part = table.collectFirst { case (n, p) if n == sheetName => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no sheet named '$sheetName' in $path; " +
+          s"sheets: ${table.map(_._1).mkString(", ")}"))
+    sheetToDf(spark, parts, part, path)
+  }
+
+  /** Read one worksheet by 0-based workbook-order index. */
+  def readXlsxSheet(spark: SparkSession, path: String,
+      index: Int): DataFrame = {
+    val parts = readParts(path)
+    val table = sheetTable(parts)
+    require(index >= 0 && index < table.length,
+      s"sheet index $index out of range (0..${table.length - 1}) in $path")
+    sheetToDf(spark, parts, table(index)._2, path)
+  }
+
+  private def sheetToDf(spark: SparkSession,
+      parts: Map[String, Array[Byte]], sheetPart: String,
+      path: String): DataFrame = {
+    val sheetBytes = parts.getOrElse(sheetPart,
+      throw new IllegalArgumentException(
+        s"worksheet part $sheetPart missing in $path"))
 
     val shared: IndexedSeq[String] =
-      if (sharedXml == null) IndexedSeq.empty
-      else {
-        val doc = parse(sharedXml)
-        val sis = doc.getElementsByTagName("si")
-        (0 until sis.getLength).map(i => sis.item(i).getTextContent)
+      parts.get("xl/sharedStrings.xml") match {
+        case None => IndexedSeq.empty
+        case Some(sx) =>
+          val doc = parseDoc(sx)
+          val sis = doc.getElementsByTagName("si")
+          (0 until sis.getLength).map(i => sis.item(i).getTextContent)
       }
 
-    val doc = parse(sheetXml)
+    val doc = parseDoc(sheetBytes)
     val rowNodes = doc.getElementsByTagName("row")
     val cellsByRow = (0 until rowNodes.getLength).map { r =>
       val rowEl = rowNodes.item(r).asInstanceOf[org.w3c.dom.Element]

@@ -347,6 +347,164 @@ object StreamOps {
           out.iterator
       }
 
+  // ----- streaming sketches: the mergeable-state family -----------
+  // CMS/HLL/KMV exist as batch aggregates (PipelineOps.scala); these
+  // carry the SAME deterministic md5-48 sketch state across
+  // micro-batches with flatMapGroupsWithState, so a 100 TB pipeline
+  // maintains rolling distinct / heavy-hitter estimates without ever
+  // rescanning history. Hashing replays PipelineOps.hash48Unit /
+  // hash48Long bit-for-bit (first 6 md5 bytes as a 48-bit integer),
+  // so streamed state == the batch sketch over the concatenated
+  // input (spec'd cross-batch in StreamingSketchSpec).
+
+  /** First 12 md5 hex chars (= 6 bytes) of the UTF-8 string as a
+    * 48-bit long — the JVM twin of [[graft.llm.PipelineOps]]'s
+    * hash48Long column expression. */
+  private def md5Hash48(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.take(6).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+  }
+
+  /** Spark's round(col, scale) semantics on a double (Catalyst uses
+    * BigDecimal HALF_UP) — so streamed estimates are bit-equal to
+    * the batch columns. */
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  case class HllStreamState(regs: Map[Long, Int], totalRows: Long)
+  case class HllStreamOut(key: String, batchRows: Long,
+      totalRows: Long, regsSet: Int, vZero: Long, hllEstimate: Double)
+
+  /** Streaming HyperLogLog: per-key register map (≤ 2^p entries)
+    * carried across micro-batches, one output row per (key, batch)
+    * with the post-update cardinality estimate — identical
+    * addressing, rho computation, Z sum (exact: dyadic terms) and
+    * small-range correction as the batch
+    * [[graft.llm.PipelineOps.hllSketch]]/hllEstimate pair. State is
+    * O(2^p) per key, never evicted (always-on metric shape). */
+  def hllStream(ds: Dataset[(String, String)], p: Int = 6)(
+      implicit e: Encoder[HllStreamOut],
+      se: Encoder[HllStreamState]): Dataset[HllStreamOut] = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val w = 48 - p
+    val m = 1 << p
+    val alpha = graft.llm.PipelineOps.hllAlpha(p)
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[HllStreamState, HllStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[HllStreamState]) =>
+          val prev = state.getOption
+            .getOrElse(HllStreamState(Map.empty, 0L))
+          var regs = prev.regs
+          var nBatch = 0L
+          rows.foreach { case (_, v) =>
+            if (v != null) {
+              nBatch += 1
+              val h = md5Hash48(v + "#hll")
+              val reg = h >>> w
+              val wbits = h & ((1L << w) - 1)
+              val rho =
+                if (wbits == 0) w + 1
+                else w + 1 -
+                  (64 - java.lang.Long.numberOfLeadingZeros(wbits))
+              if (regs.getOrElse(reg, 0) < rho) regs += reg -> rho
+            }
+          }
+          val total = prev.totalRows + nBatch
+          state.update(HllStreamState(regs, total))
+          val vZero = (m - regs.size).toLong
+          val z = regs.valuesIterator
+            .map(r => math.pow(2.0, -r)).sum + vZero
+          val raw = alpha * m.toDouble * m / z
+          val est =
+            if (vZero > 0 && raw <= 2.5 * m)
+              m.toDouble * math.log(m.toDouble / vZero)
+            else raw
+          Iterator.single(HllStreamOut(key, nBatch, total,
+            regs.size, vZero, roundHalfUp(est, 4)))
+      }
+  }
+
+  case class KmvStreamState(hs: Seq[Double])
+  case class KmvStreamOut(key: String, kSeen: Long,
+      distinctEstimate: Double)
+
+  /** Streaming KMV distinct-count: the k smallest distinct 48-bit
+    * value hashes per key carried across micro-batches; one output
+    * row per (key, batch) with the post-update estimate — identical
+    * hash, (k−1)/h_k estimator and rounding as the batch
+    * [[graft.llm.PipelineOps.kmvDistinct]]. State ≤ k doubles per
+    * key. */
+  def kmvStream(ds: Dataset[(String, String)], k: Int = 256)(
+      implicit e: Encoder[KmvStreamOut],
+      se: Encoder[KmvStreamState]): Dataset[KmvStreamOut] = {
+    require(k >= 2, "kmvStream needs k >= 2")
+    val two48 = math.pow(2.0, 48)
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[KmvStreamState, KmvStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[KmvStreamState]) =>
+          val prev = state.getOption.map(_.hs).getOrElse(Seq.empty)
+          val incoming = rows.collect {
+            case (_, v) if v != null => md5Hash48(v).toDouble / two48
+          }.toSet
+          val hs = (prev.toSet ++ incoming).toSeq.sorted.take(k)
+          state.update(KmvStreamState(hs))
+          val kSeen = hs.length.toLong
+          val est =
+            if (kSeen < k) kSeen.toDouble
+            else (k - 1.0) / hs.last
+          Iterator.single(KmvStreamOut(key, kSeen,
+            roundHalfUp(est, 6)))
+      }
+  }
+
+  case class CmsStreamState(cnt: Map[Long, Long])
+  case class CmsStreamOut(key: String, ord: Long, item: String,
+      cmsCount: Long)
+
+  /** Streaming count-min sketch: per-key depth×width counter map
+    * carried across micro-batches; emits, for EVERY arriving item,
+    * its post-update CMS frequency estimate (min over the depth
+    * rows) — the rolling heavy-hitter shape. Identical md5 bucket
+    * addressing as the batch
+    * [[graft.llm.PipelineOps.countMinSketch]]/cmsEstimate pair, so
+    * the streamed estimate for an item equals the batch estimate
+    * over everything seen so far (all-integer, spec'd cross-batch).
+    * Rows are processed in `ord` order within a batch; state is
+    * O(depth·width) per key. */
+  def cmsStream(ds: Dataset[(String, Long, String)], depth: Int = 4,
+      width: Int = 1024)(
+      implicit e: Encoder[CmsStreamOut],
+      se: Encoder[CmsStreamState]): Dataset[CmsStreamOut] = {
+    require(depth >= 1 && depth <= 16, "depth in [1,16]")
+    require(width >= 2, "width >= 2")
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[CmsStreamState, CmsStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[CmsStreamState]) =>
+          var cnt = state.getOption.map(_.cnt).getOrElse(Map.empty)
+          val out = rows.toSeq.sortBy(_._2).collect {
+            case (_, ord, item) if item != null =>
+              val slots = (0 until depth).map { r =>
+                val b = java.lang.Long.remainderUnsigned(
+                  md5Hash48(item + "#cms" + r), width.toLong)
+                r.toLong * width + b
+              }
+              slots.foreach(s => cnt += s -> (cnt.getOrElse(s, 0L) + 1))
+              CmsStreamOut(key, ord, item,
+                slots.map(cnt(_)).min)
+          }
+          state.update(CmsStreamState(cnt))
+          out.iterator
+      }
+  }
+
   /** Batch-equivalent of the streaming tumbling aggregation — used to
     * verify window semantics against the oracle on static data. */
   def tumblingBatch(df: DataFrame, tsCol: String, size: String,

@@ -67,4 +67,111 @@ class StreamingSketchSpec extends SparkSpecBase {
       batch.exceptAll(streamed).count() shouldBe 0
     } finally q.stop()
   }
+
+  // ---- keyed flatMapGroupsWithState forms: the sketch lives as
+  // per-key GroupState and emits append-mode estimates, the shape
+  // for maintaining rolling estimates next to other keyed state ----
+
+  test("hllStream keyed state: final estimate bit-equal to batch hllEstimate over concatenated input") {
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (1 to 700).map(i => ("s1", s"u$i")) ++
+      (1 to 50).map(i => ("s2", s"v$i"))
+    val b2 = (500 to 1400).map(i => ("s1", s"u$i")) // overlap
+    val input = MemoryStream[(String, String)]
+    val out = StreamOps.hllStream(input.toDS(), p = 6)
+    val q = out.writeStream.format("memory").queryName("hll_fmgws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hll_fmgws")
+      .as[StreamOps.HllStreamOut].collect()
+    // last emission per key vs the batch estimate on everything
+    val lastS1 = rows.filter(_.key == "s1").maxBy(_.totalRows)
+    lastS1.totalRows shouldBe (700 + 901).toLong
+    val batchEst = PipelineOps.hllEstimate(
+      PipelineOps.hllSketch(
+        (b1 ++ b2).filter(_._1 == "s1").map(_._2).toDF("v"), "v", 6), 6)
+      .head().getAs[Double]("hll_estimate")
+    lastS1.hllEstimate shouldBe batchEst
+    // the second key's state is independent
+    val lastS2 = rows.filter(_.key == "s2").maxBy(_.totalRows)
+    val batchEst2 = PipelineOps.hllEstimate(
+      PipelineOps.hllSketch(
+        (1 to 50).map(i => s"v$i").toDF("v"), "v", 6), 6)
+      .head().getAs[Double]("hll_estimate")
+    lastS2.hllEstimate shouldBe batchEst2
+  }
+
+  test("kmvStream keyed state: final estimate bit-equal to batch kmvDistinct over concatenated input") {
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (1 to 300).map(i => ("k", s"x$i"))
+    val b2 = (200 to 900).map(i => ("k", s"x$i"))
+    val input = MemoryStream[(String, String)]
+    val out = StreamOps.kmvStream(input.toDS(), k = 64)
+    val q = out.writeStream.format("memory").queryName("kmv_fmgws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("kmv_fmgws")
+      .as[StreamOps.KmvStreamOut].collect()
+    rows.length shouldBe 2 // one emission per batch
+    val batch = PipelineOps.kmvDistinct(
+      (b1 ++ b2).map(_._2).toDF("v"), "v", k = 64).head()
+    val last = rows.last
+    last.kSeen shouldBe batch.getAs[Long]("k_seen")
+    last.distinctEstimate shouldBe
+      batch.getAs[Double]("distinct_estimate")
+    // first batch alone also matches its own prefix
+    val batch1 = PipelineOps.kmvDistinct(
+      b1.map(_._2).toDF("v"), "v", k = 64).head()
+    rows.head.distinctEstimate shouldBe
+      batch1.getAs[Double]("distinct_estimate")
+  }
+
+  test("cmsStream keyed state: per-item rolling estimates equal batch CMS over the prefix seen so far") {
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val items1 = (1 to 200).map(i => s"key${1 + (200.0 / i).toInt}")
+    val items2 = (1 to 150).map(i => s"key${1 + i % 5}")
+    val b1 = items1.zipWithIndex.map { case (it, i) =>
+      ("c", i.toLong, it) }
+    val b2 = items2.zipWithIndex.map { case (it, i) =>
+      ("c", (1000 + i).toLong, it) }
+    val input = MemoryStream[(String, Long, String)]
+    val out = StreamOps.cmsStream(input.toDS(), depth = 4, width = 32)
+    val q = out.writeStream.format("memory").queryName("cms_fmgws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cms_fmgws")
+      .as[StreamOps.CmsStreamOut].collect()
+    rows.length shouldBe 350
+    // the streamed estimate at row i is the batch CMS estimate over
+    // the PREFIX up to and including that row — check a spread of
+    // prefixes plus the final row (whose prefix is the full input)
+    val ordered = rows.sortBy(_.ord)
+    val allItems = items1 ++ items2
+    val byOrd = ordered.map(_.ord)
+    val checkIdx = Seq(0, 1, 49, 199, 200, 260, 349)
+    checkIdx.foreach { i =>
+      val prefix = allItems.take(i + 1).toDF("k")
+      val sketch = PipelineOps.countMinSketch(prefix, "k",
+        depth = 4, width = 32)
+      val it = ordered(i).item
+      val est = PipelineOps.cmsEstimate(sketch,
+        Seq(it).toDF("k"), "k", depth = 4, width = 32)
+        .head().getLong(1)
+      withClue(s"row $i (ord ${byOrd(i)}, item $it): ") {
+        ordered(i).cmsCount shouldBe est
+      }
+    }
+  }
 }

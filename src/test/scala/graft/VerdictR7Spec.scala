@@ -127,4 +127,64 @@ class VerdictR7Spec extends SparkSpecBase {
     graft.llm.TextEval.bleu(miss, "pid", "cand", "ref", smoothing = 3)
       .head().getAs[Double]("bleu") should be > 0.0
   }
+
+  test("xlsx multi-sheet: 3-sheet round trip, listSheets order, read by name and index") {
+    import graft.sources.Excel
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_ms")
+      .toString + "/wb.xlsx"
+    val s1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val s2 = Seq((10.5, true), (11.5, false)).toDF("x", "flag")
+    val s3 = Seq(("only", 7L)).toDF("k", "v")
+    Excel.writeXlsxSheets(
+      Seq("first" -> s1, "second sheet" -> s2, "third" -> s3), path)
+    Excel.listSheets(path) shouldBe Seq("first", "second sheet", "third")
+    val b2 = Excel.readXlsxSheet(spark, path, "second sheet")
+      .orderBy("x")
+    b2.columns shouldBe Array("x", "flag")
+    b2.select("flag").collect().map(_.getBoolean(0)).toSeq shouldBe
+      Seq(true, false)
+    val b3 = Excel.readXlsxSheet(spark, path, 2)
+    b3.columns shouldBe Array("k", "v")
+    b3.head().getString(0) shouldBe "only"
+    // first sheet is the default read
+    Excel.readXlsx(spark, path).columns shouldBe Array("id", "s")
+    // unknown name fails loudly with the available names
+    val err = intercept[IllegalArgumentException] {
+      Excel.readXlsxSheet(spark, path, "nope")
+    }
+    err.getMessage should include("second sheet")
+    // duplicate names rejected at write time
+    intercept[IllegalArgumentException] {
+      Excel.writeXlsxSheets(Seq("d" -> s1, "d" -> s2), path)
+    }
+  }
+
+  test("xlsx multi-sheet: r:id indirection resolved when workbook order differs from sheetN numbering") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_rid")
+      .toString + "/wb.xlsx"
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // workbook lists 'zeta' FIRST but its part is sheet2.xml; shared
+    // strings exercised on both sheets
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="zeta" sheetId="1" r:id="rA"/><sheet name="alpha" sheetId="2" r:id="rB"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rA" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/><Relationship Id="rB" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3"><si><t>col</t></si><si><t>from_sheet2</t></si><si><t>from_sheet1</t></si></sst>""")
+    def sheet(v: Int) =
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row><row r="2"><c r="A2" t="s"><v>$v</v></c></row></sheetData></worksheet>"""
+    put("xl/worksheets/sheet1.xml", sheet(2))
+    put("xl/worksheets/sheet2.xml", sheet(1))
+    zos.close()
+    graft.sources.Excel.listSheets(path) shouldBe Seq("zeta", "alpha")
+    graft.sources.Excel.readXlsxSheet(spark, path, "zeta")
+      .head().getString(0) shouldBe "from_sheet2"
+    graft.sources.Excel.readXlsxSheet(spark, path, "alpha")
+      .head().getString(0) shouldBe "from_sheet1"
+  }
 }
