@@ -198,7 +198,11 @@ object RecordLinkage {
           .join(lbl.select(col("id").as("b"), col("lbl")), Seq("b"))
           .select(col("a").as("id"), col("lbl")))
         .union(lbl)
-      lbl = msgs.groupBy("id").agg(min("lbl").as("lbl"))
+      // cache each round: lbl is referenced 3x by the next round, so
+      // an uncached lineage replays round r-1's plan 3^r times (the
+      // classic iterative-join DAG blow-up); the cache makes each
+      // round materialize once and stay O(vertices)
+      lbl = msgs.groupBy("id").agg(min("lbl").as("lbl")).cache()
     }
     lbl.select(col("id"), col("lbl").as("entity"))
   }

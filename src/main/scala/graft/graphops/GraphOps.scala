@@ -571,4 +571,82 @@ object GraphOps {
       idCol: String = "id", commCol: String = "comm"): DataFrame =
     modularity(edges, partition, idCol, commCol)
       .agg(sum("dq").as("modularity"))
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): for every
+    * non-adjacent... in fact every vertex pair with ≥1 common
+    * neighbor, score = Σ_w 1/ln(deg(w)) over common neighbors w —
+    * the standard "who should be connected" feature. Distributed as
+    * a postings self-join on the shared neighbor (the n-gram-pairs
+    * shape): sym edges keyed by w produce (u,v,w) triples in one
+    * shuffle; `maxDeg` drops hub neighbors (a w with deg d yields
+    * d² pairs and contributes only 1/ln d — the maxDf convention,
+    * same recall/cost trade as blocking).
+    *
+    * Determinism: each 1/ln(deg) term is rounded to 12 decimals and
+    * summed as DECIMAL(28,12) — decimal sums are order-free, so the
+    * score is partition-order-independent and engine-replayable
+    * (the q375 lesson applied up front). */
+  def adamicAdar(edges: DataFrame, maxDeg: Int = 10000): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+    val sym = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("w"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDeg && col("d") >= 2)
+    val post = sym.select(col("src").as("w"), col("dst").as("u"))
+      .join(deg, Seq("w"))
+    post.as("a").join(post.as("b"),
+        col("a.w") === col("b.w") && col("a.u") < col("b.u"))
+      .select(col("a.u").as("src"), col("b.u").as("dst"),
+        round(lit(1.0) / log(col("a.d").cast("double")), 12)
+          .cast("decimal(28,12)").as("t"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("t")).as("aa_dec"))
+      .withColumn("aa_score", col("aa_dec").cast("double"))
+      .drop("aa_dec")
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) by EXACT integer power
+    * iteration: `rounds` unnormalized mutual-reinforcement rounds —
+    * auth ← Σ_{u→v} hub(u), hub ← Σ_{u→v} auth(v) — starting from
+    * hub = 1. All sums are BIGINT (order-free, engine-replayable,
+    * the repo's exact-sum convention; growth is bounded by
+    * (max degree)^(2·rounds), guarded); L1 normalization happens
+    * ONCE at the end as a single float divide per row. Two keyed
+    * join+agg shuffles per round. */
+  def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 4,
+      s"rounds in [1,4] (integer scores grow as deg^(2*rounds)), got $rounds")
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var hub = verts.withColumn("hub", lit(1L))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auth = e.join(hub.select(col("id").as("src"), col("hub")),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum("hub").as("auth"))
+      auth = verts.join(auth, Seq("id"), "left")
+        .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
+        .cache()
+      hub = e.join(auth.select(col("id").as("dst"), col("auth")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum("auth").as("hub"))
+      hub = verts.join(hub, Seq("id"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
+        .cache()
+    }
+    val totals = auth.agg(sum("auth").as("ta"))
+      .crossJoin(hub.agg(sum("hub").as("th")))
+    auth.join(hub, Seq("id"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("auth"), col("hub"),
+        when(col("ta") > 0,
+          col("auth").cast("double") / col("ta")).as("auth_norm"),
+        when(col("th") > 0,
+          col("hub").cast("double") / col("th")).as("hub_norm"))
+  }
 }

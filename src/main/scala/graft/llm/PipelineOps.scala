@@ -916,4 +916,34 @@ object PipelineOps {
       .orderBy(col("score").desc, col("n_occ").desc, col("phrase"))
       .limit(topN)
   }
+
+  /** Data-pipeline funnel report: cumulative row-local stage
+    * predicates evaluated in ONE scan (a single conditional-sum
+    * aggregate — no per-stage passes), emitting per stage the
+    * docs in/out, exact ppm keep rate (integer div, engine-exact)
+    * and the surviving token budget. Stage predicates must be
+    * row-local; make dedup row-local first by precomputing a
+    * first-copy flag (row_number over the content hash). The report
+    * a 100 TB filter chain prints before anyone trains on its
+    * output. */
+  def pipelineFunnel(df: DataFrame, stages: Seq[(String, Column)],
+      tokensCol: Column): DataFrame = {
+    require(stages.nonEmpty, "pipelineFunnel needs at least one stage")
+    val cum = stages.scanLeft(lit(true))((acc, s) => acc && s._2).tail
+    val aggs = count(lit(1)).as("__n0") +:
+      cum.zipWithIndex.flatMap { case (p, i) =>
+        Seq(sum(when(p, 1L).otherwise(0L)).as(s"__n${i + 1}"),
+          sum(when(p, tokensCol.cast("long")).otherwise(0L))
+            .as(s"__t${i + 1}"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    stages.zipWithIndex.map { case ((name, _), i) =>
+      one.select(lit(i).as("stage_idx"), lit(name).as("stage"),
+        col(s"__n$i").as("docs_in"),
+        col(s"__n${i + 1}").as("docs_out"),
+        expr(s"CASE WHEN `__n$i` > 0 THEN " +
+          s"`__n${i + 1}` * 1000000 div `__n$i` END").as("kept_ppm"),
+        col(s"__t${i + 1}").as("tokens_out"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -261,4 +261,47 @@ object MlMetrics {
         (col("q") - lit(1.0)) * col("__d__"))) / count(lit(1)), 6)
         .as("pinball"))
   }
+
+  /** Murphy (1973) decomposition of the Brier score:
+    * BS = reliability − resolution + uncertainty, with
+    * REL = Σ_b n_b(p̄_b − ȳ_b)²/N, RES = Σ_b n_b(ȳ_b − ȳ)²/N,
+    * UNC = ȳ(1 − ȳ). BS itself is Σ(p−y)²/N summed exactly on the
+    * dyadic lattice; the ≤`bins` REL/RES terms are rounded to 12
+    * decimals and summed as DECIMAL (order-free — a plain double
+    * sum over shuffled bin rows would be partition-order-dependent).
+    * One row out. */
+  def brierDecomposition(df: DataFrame, probCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val base = df.filter(p.isNotNull && y.isNotNull && p >= 0 && p <= 1)
+      .select(least(floor(p * bins), lit(bins - 1)).cast("int")
+        .as("bin"), p.as("p"), when(y, 1L).otherwise(0L).as("y"))
+    val tot = base.agg(count(lit(1)).as("nn"), sum("y").as("ny"),
+      sum((col("p") - col("y")) * (col("p") - col("y"))).as("bs_sum"))
+    val binAgg = base.groupBy("bin")
+      .agg(count(lit(1)).as("nb"), sum("p").as("ps"),
+        sum("y").as("ys"))
+    val terms = binAgg.crossJoin(broadcast(tot))
+      .select(
+        round(col("nb") * (col("ps") / col("nb") -
+          col("ys").cast("double") / col("nb")) *
+          (col("ps") / col("nb") -
+            col("ys").cast("double") / col("nb")), 12)
+          .cast("decimal(30,12)").as("rel_t"),
+        round(col("nb") * (col("ys").cast("double") / col("nb") -
+          col("ny").cast("double") / col("nn")) *
+          (col("ys").cast("double") / col("nb") -
+            col("ny").cast("double") / col("nn")), 12)
+          .cast("decimal(30,12)").as("res_t"))
+      .agg(sum("rel_t").as("rel_s"), sum("res_t").as("res_s"))
+    tot.crossJoin(broadcast(terms))
+      .select(col("nn").cast("long").as("n"),
+        (col("bs_sum") / col("nn")).as("brier"),
+        (col("rel_s").cast("double") / col("nn")).as("reliability"),
+        (col("res_s").cast("double") / col("nn")).as("resolution"),
+        (col("ny").cast("double") / col("nn") *
+          (lit(1.0) - col("ny").cast("double") / col("nn")))
+          .as("uncertainty"))
+  }
 }

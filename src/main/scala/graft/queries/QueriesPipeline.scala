@@ -259,6 +259,85 @@ object QueriesPipeline {
         .orderBy("block_pass")
     }),
 
+    // Adamic-Adar link prediction on the supplier co-order graph:
+    // postings self-join on the shared neighbor, hub cap, each
+    // 1/ln(deg) term rounded to 12 decimals and summed as DECIMAL
+    // (order-free, the q375 lesson applied up front)
+    "q391_adamic_adar" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"),
+          col("y.l_suppkey").as("dst"))
+        .distinct()
+      graft.graphops.GraphOps.adamicAdar(edges)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("n_common"),
+          round(col("aa_score"), 6).as("aa_score"))
+        .orderBy("src", "dst")
+    }),
+
+    // HITS hubs & authorities on the customer->supplier purchase
+    // graph: 2 rounds of EXACT BIGINT mutual reinforcement (hub
+    // starts at 1), L1-normalized once at the end — order-free
+    // integer sums, so the oracle unrolls the rounds as CTEs
+    "q392_hits" -> ((s, d) => {
+      val e = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string"))
+          .as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      graft.graphops.GraphOps.hits(e, rounds = 2)
+        .select(col("id"), col("auth"), col("hub"),
+          round(col("auth_norm"), 9).as("auth_norm"),
+          round(col("hub_norm"), 9).as("hub_norm"))
+        .orderBy("id")
+    }),
+
+    // Murphy decomposition of the Brier score on a dyadic-lattice
+    // probability (floor(h48*1024)/1024 -> every sum exact) vs the
+    // 'F' order-status outcome; REL/RES bin terms rounded to 12
+    // decimals and summed as DECIMAL (order-free)
+    "q393_brier_decomp" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        (floor(graft.llm.PipelineOps.hash48Unit(col("o_orderkey")) *
+          1024) / 1024).as("p"),
+        (col("o_orderstatus") === "F").as("y"))
+      graft.ml.MlMetrics.brierDecomposition(o, "p", "y", bins = 10)
+        .select(col("n"), round(col("brier"), 9).as("brier"),
+          round(col("reliability"), 9).as("reliability"),
+          round(col("resolution"), 9).as("resolution"),
+          round(col("uncertainty"), 9).as("uncertainty"))
+    }),
+
+    // training-data pipeline funnel: 4 cumulative stages (nonempty,
+    // token length band, stopword ratio via exact integer cross-
+    // multiplication, exact-dedup first copy) evaluated in ONE scan;
+    // per-stage doc counts, exact ppm keep rate, surviving tokens
+    "q394_pipeline_funnel" -> ((s, d) => {
+      val stops = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+      val tk = graft.functions.TextFunctions.tokens(lower(col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .withColumn("tok", size(tk).cast("long"))
+        .withColumn("stopc",
+          size(filter(tk, x => x.isInCollection(stops))).cast("long"))
+        .withColumn("first_copy", row_number().over(w) === 1)
+      graft.llm.PipelineOps.pipelineFunnel(base, Seq(
+        ("nonempty", length(trim(col("text"))) > 0),
+        ("len_5_500", col("tok").between(5L, 500L)),
+        ("stopword_ratio", col("stopc") * 20L >= col("tok")),
+        ("first_copy", col("first_copy"))), col("tok"))
+        .orderBy("stage_idx")
+    }),
+
     // end-to-end entity resolution: the q362 multi-pass blocked FS
     // pipeline's 'match' pairs clustered into entities by 3 unrolled
     // rounds of synchronous min-label propagation (near-clique
@@ -1746,6 +1825,164 @@ object QueriesPipeline {
          |  round(min(s), 6) AS fs_score,
          |  CAST(count(*) AS BIGINT) AS n_pairs
          |FROM scored GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    // same postings join on the shared co-order neighbor, identical
+    // deg window [2, 10000], per-term round-12 DECIMAL sum
+    "q391_adamic_adar" ->
+      """WITH und AS (
+        |  SELECT DISTINCT x.l_suppkey AS src, y.l_suppkey AS dst
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_suppkey < y.l_suppkey),
+        |sym AS (SELECT src, dst FROM und
+        |        UNION SELECT dst, src FROM und),
+        |deg AS (
+        |  SELECT src AS w, count(*) AS d FROM sym
+        |  GROUP BY 1 HAVING count(*) >= 2 AND count(*) <= 10000),
+        |post AS (
+        |  SELECT s.src AS w, s.dst AS u, deg.d
+        |  FROM sym s JOIN deg ON deg.w = s.src),
+        |pairs AS (
+        |  SELECT a.u AS src, b.u AS dst,
+        |    CAST(round(1.0 / ln(a.d), 12) AS DECIMAL(28,12)) AS t
+        |  FROM post a JOIN post b ON a.w = b.w AND a.u < b.u)
+        |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+        |  CAST(count(*) AS BIGINT) AS n_common,
+        |  round(CAST(sum(t) AS DOUBLE), 6) AS aa_score
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // identical exact-BIGINT power iteration, 2 unrolled rounds,
+    // single L1 normalization
+    "q392_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |v AS (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e) q),
+        |h0 AS (SELECT id, CAST(1 AS BIGINT) AS hub FROM v),
+        |a1 AS (
+        |  SELECT v.id, CAST(coalesce(s.a, 0) AS BIGINT) AS auth
+        |  FROM v LEFT JOIN (
+        |    SELECT e.dst AS id, sum(h.hub) AS a
+        |    FROM e JOIN h0 h ON h.id = e.src GROUP BY 1) s
+        |    ON s.id = v.id),
+        |h1 AS (
+        |  SELECT v.id, CAST(coalesce(s.h, 0) AS BIGINT) AS hub
+        |  FROM v LEFT JOIN (
+        |    SELECT e.src AS id, sum(a.auth) AS h
+        |    FROM e JOIN a1 a ON a.id = e.dst GROUP BY 1) s
+        |    ON s.id = v.id),
+        |a2 AS (
+        |  SELECT v.id, CAST(coalesce(s.a, 0) AS BIGINT) AS auth
+        |  FROM v LEFT JOIN (
+        |    SELECT e.dst AS id, sum(h.hub) AS a
+        |    FROM e JOIN h1 h ON h.id = e.src GROUP BY 1) s
+        |    ON s.id = v.id),
+        |h2 AS (
+        |  SELECT v.id, CAST(coalesce(s.h, 0) AS BIGINT) AS hub
+        |  FROM v LEFT JOIN (
+        |    SELECT e.src AS id, sum(a.auth) AS h
+        |    FROM e JOIN a2 a ON a.id = e.dst GROUP BY 1) s
+        |    ON s.id = v.id),
+        |t AS (SELECT
+        |  (SELECT CAST(sum(auth) AS BIGINT) FROM a2) AS ta,
+        |  (SELECT CAST(sum(hub) AS BIGINT) FROM h2) AS th)
+        |SELECT a2.id, a2.auth, h2.hub,
+        |  CASE WHEN ta > 0 THEN
+        |    round(CAST(a2.auth AS DOUBLE) / ta, 9) END AS auth_norm,
+        |  CASE WHEN th > 0 THEN
+        |    round(CAST(h2.hub AS DOUBLE) / th, 9) END AS hub_norm
+        |FROM a2 JOIN h2 ON h2.id = a2.id CROSS JOIN t""".stripMargin,
+
+    // identical dyadic lattice, bin sums from exact integers,
+    // round-12 DECIMAL REL/RES term sums
+    "q393_brier_decomp" -> {
+      val u = h48("CAST(o_orderkey AS VARCHAR)")
+      s"""WITH o AS (
+         |  SELECT floor($u * 1024) / 1024 AS p,
+         |    o_orderstatus = 'F' AS y
+         |  FROM orders),
+         |b AS (
+         |  SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+         |    p, CASE WHEN y THEN 1 ELSE 0 END AS yy
+         |  FROM o),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(yy) AS BIGINT) AS ny,
+         |    sum((p - yy) * (p - yy)) AS bs
+         |  FROM b),
+         |bins AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+         |    sum(p) AS ps, CAST(sum(yy) AS BIGINT) AS ys
+         |  FROM b GROUP BY 1),
+         |terms AS (
+         |  SELECT
+         |    CAST(round(nb * (ps / nb - CAST(ys AS DOUBLE) / nb) *
+         |      (ps / nb - CAST(ys AS DOUBLE) / nb), 12)
+         |      AS DECIMAL(30,12)) AS rel_t,
+         |    CAST(round(nb * (CAST(ys AS DOUBLE) / nb -
+         |      CAST(ny AS DOUBLE) / nn) *
+         |      (CAST(ys AS DOUBLE) / nb - CAST(ny AS DOUBLE) / nn),
+         |      12) AS DECIMAL(30,12)) AS res_t
+         |  FROM bins CROSS JOIN tot),
+         |s AS (SELECT sum(rel_t) AS rs, sum(res_t) AS os FROM terms)
+         |SELECT nn AS n, round(bs / nn, 9) AS brier,
+         |  round(CAST(rs AS DOUBLE) / nn, 9) AS reliability,
+         |  round(CAST(os AS DOUBLE) / nn, 9) AS resolution,
+         |  round(CAST(ny AS DOUBLE) / nn *
+         |    (1.0 - CAST(ny AS DOUBLE) / nn), 9) AS uncertainty
+         |FROM tot CROSS JOIN s""".stripMargin
+    },
+
+    // identical one-scan funnel: cumulative predicates over the same
+    // token/stopword/first-copy columns, integer // keep rates
+    "q394_pipeline_funnel" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS tok,
+        |    CAST(len(list_filter(tk, t -> t IN ('the','and','of',
+        |      'to','a','in','is','it'))) AS BIGINT) AS stopc,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rn,
+        |    length(trim(text)) > 0 AS p1
+        |  FROM d),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(count(CASE WHEN p1 THEN 1 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN p1 THEN tok ELSE 0 END) AS BIGINT)
+        |      AS t1,
+        |    CAST(count(CASE WHEN p1 AND tok BETWEEN 5 AND 500
+        |      THEN 1 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN p1 AND tok BETWEEN 5 AND 500
+        |      THEN tok ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(count(CASE WHEN p1 AND tok BETWEEN 5 AND 500
+        |      AND stopc * 20 >= tok THEN 1 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN p1 AND tok BETWEEN 5 AND 500
+        |      AND stopc * 20 >= tok THEN tok ELSE 0 END) AS BIGINT)
+        |      AS t3,
+        |    CAST(count(CASE WHEN p1 AND tok BETWEEN 5 AND 500
+        |      AND stopc * 20 >= tok AND rn = 1 THEN 1 END) AS BIGINT)
+        |      AS n4,
+        |    CAST(sum(CASE WHEN p1 AND tok BETWEEN 5 AND 500
+        |      AND stopc * 20 >= tok AND rn = 1 THEN tok ELSE 0 END)
+        |      AS BIGINT) AS t4
+        |  FROM f)
+        |SELECT CAST(0 AS INTEGER) AS stage_idx, 'nonempty' AS stage,
+        |  n0 AS docs_in, n1 AS docs_out,
+        |  CASE WHEN n0 > 0 THEN n1 * 1000000 // n0 END AS kept_ppm,
+        |  t1 AS tokens_out FROM g
+        |UNION ALL SELECT CAST(1 AS INTEGER), 'len_5_500', n1, n2,
+        |  CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 END, t2 FROM g
+        |UNION ALL SELECT CAST(2 AS INTEGER), 'stopword_ratio', n2, n3,
+        |  CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 END, t3 FROM g
+        |UNION ALL SELECT CAST(3 AS INTEGER), 'first_copy', n3, n4,
+        |  CASE WHEN n3 > 0 THEN n4 * 1000000 // n3 END, t4 FROM g"""
+        .stripMargin,
 
     // per-pass block-size distribution with the oversized-drop
     // accounting mirrored exactly

@@ -3632,4 +3632,5 @@ object StatsOps {
     }
     inv
   }
+
 }

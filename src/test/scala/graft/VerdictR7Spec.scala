@@ -187,4 +187,68 @@ class VerdictR7Spec extends SparkSpecBase {
     graft.sources.Excel.readXlsxSheet(spark, path, "alpha")
       .head().getString(0) shouldBe "from_sheet1"
   }
+
+  test("adamicAdar: hand-computed scores on a 4-vertex graph") {
+    // degs: 1:2, 2:2, 3:3, 4:1; common-neighbor pairs:
+    // (2,3) via 1, (1,3) via 2 -> 1/ln2; (1,2),(1,4),(2,4) via 3 -> 1/ln3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = graft.graphops.GraphOps.adamicAdar(edges)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    r.size shouldBe 5
+    approx(r((2L, 3L))._2, 1.0 / math.log(2), 1e-9)
+    approx(r((1L, 3L))._2, 1.0 / math.log(2), 1e-9)
+    approx(r((1L, 2L))._2, 1.0 / math.log(3), 1e-9)
+    approx(r((1L, 4L))._2, 1.0 / math.log(3), 1e-9)
+    approx(r((2L, 4L))._2, 1.0 / math.log(3), 1e-9)
+    r((1L, 2L))._1 shouldBe 1L
+    // hub cap: maxDeg = 2 drops vertex 3 as a shared neighbor
+    val capped = graft.graphops.GraphOps.adamicAdar(edges, maxDeg = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    capped shouldBe Set((2L, 3L), (1L, 3L))
+  }
+
+  test("hits: exact integer 2-round values on a tiny bipartite graph") {
+    val e = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"))
+      .toDF("src", "dst")
+    val r = graft.graphops.GraphOps.hits(e, rounds = 2)
+      .collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    r("s1") shouldBe ((5L, 0L))
+    r("s2") shouldBe ((3L, 0L))
+    r("c1") shouldBe ((0L, 8L))
+    r("c2") shouldBe ((0L, 5L))
+  }
+
+  test("brierDecomposition: Murphy identity BS = REL - RES + UNC on a hand case") {
+    val df = Seq((0.2, false), (0.2, true), (0.8, true), (0.8, true))
+      .toDF("p", "y")
+    val r = graft.ml.MlMetrics.brierDecomposition(df, "p", "y").head()
+    approx(r.getAs[Double]("brier"), 0.19, 1e-12)
+    approx(r.getAs[Double]("reliability"), 0.065, 1e-12)
+    approx(r.getAs[Double]("resolution"), 0.0625, 1e-12)
+    approx(r.getAs[Double]("uncertainty"), 0.1875, 1e-12)
+  }
+
+  test("pipelineFunnel: cumulative stage counts, ppm, token budget in one scan") {
+    val df = Seq(
+      (1L, 6L, true),  // passes both stages
+      (2L, 3L, true),  // fails length band
+      (3L, 10L, false), // fails flag stage
+      (4L, 7L, true)   // passes both
+    ).toDF("id", "tok", "flag")
+    val rows = graft.llm.PipelineOps.pipelineFunnel(df, Seq(
+      ("len", col("tok") >= 5L), ("flag", col("flag"))), col("tok"))
+      .orderBy("stage_idx").collect()
+    rows(0).getLong(2) shouldBe 4L // docs_in
+    rows(0).getLong(3) shouldBe 3L // docs_out (len >= 5)
+    rows(0).getLong(4) shouldBe 750000L
+    rows(0).getLong(5) shouldBe 23L // 6+10+7
+    rows(1).getLong(2) shouldBe 3L
+    rows(1).getLong(3) shouldBe 2L
+    rows(1).getLong(4) shouldBe 666666L // floor div
+    rows(1).getLong(5) shouldBe 13L // 6+7
+  }
 }
