@@ -136,7 +136,11 @@ object Bench {
       "q334_sarima_perkey", "q338_chrf", "q340_self_bleu",
       // round-6 late headliners: ranked-retrieval eval, FS record
       // linkage (blocked self-join), per-key interval merge
-      "q359_rank_eval", "q362_record_linkage", "q372_merge_intervals")
+      "q359_rank_eval", "q362_record_linkage", "q372_merge_intervals",
+      // round-7 headliners: multi-pass-blocked linkage audit,
+      // Adamic-Adar link prediction, one-scan pipeline funnel
+      "q388_linkage_block_audit", "q391_adamic_adar",
+      "q394_pipeline_funnel")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

@@ -505,6 +505,72 @@ object StreamOps {
       }
   }
 
+  case class PsiStreamState(counts: Map[Int, Long], totalRows: Long)
+  case class PsiStreamOut(key: String, batchRows: Long,
+      totalRows: Long, psi: Double)
+
+  /** Streaming PSI drift monitor — the live companion to the batch
+    * [[graft.stats.StatsOps.psi]] / driftReport (q384): per feature
+    * key, observed bin counts accumulate across micro-batches
+    * (fixed explicit `breaks`, the portable-binning convention) and
+    * every batch emits the CURRENT Population Stability Index of the
+    * accumulated stream against the static `baselineCounts`
+    * histogram (bin shares clamped at `eps`, same formula/ordering
+    * as the batch op: Σ_bins (p_obs − p_base)·ln(p_obs/p_base),
+    * summed in bin order — deterministic). State is O(bins) per
+    * key; the alerting shape for "has this feature drifted since
+    * the model shipped". */
+  def psiStream(ds: Dataset[(String, Double)], breaks: Seq[Double],
+      baselineCounts: Map[String, Seq[Long]], eps: Double = 1e-6)(
+      implicit e: Encoder[PsiStreamOut],
+      se: Encoder[PsiStreamState]): Dataset[PsiStreamOut] = {
+    require(breaks.nonEmpty, "psiStream: need at least one break")
+    require(eps > 0, "psiStream: eps > 0")
+    val nBins = breaks.length + 1
+    baselineCounts.foreach { case (k, cs) =>
+      require(cs.length == nBins,
+        s"baseline for '$k' has ${cs.length} bins, expected $nBins")
+    }
+    val sortedBreaks = breaks.toArray
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[PsiStreamState, PsiStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[PsiStreamState]) =>
+          val prev = state.getOption
+            .getOrElse(PsiStreamState(Map.empty, 0L))
+          var counts = prev.counts
+          var nBatch = 0L
+          rows.foreach { case (_, v) =>
+            nBatch += 1
+            // same bin rule as the batch op: count of breaks < v
+            var b = 0
+            var i = 0
+            while (i < sortedBreaks.length) {
+              if (v > sortedBreaks(i)) b += 1
+              i += 1
+            }
+            counts += b -> (counts.getOrElse(b, 0L) + 1L)
+          }
+          val total = prev.totalRows + nBatch
+          state.update(PsiStreamState(counts, total))
+          val base = baselineCounts.getOrElse(key,
+            Seq.fill(nBins)(0L))
+          val tBase = base.sum.toDouble
+          var psi = 0.0
+          var b = 0
+          while (b < nBins) {
+            val po = math.max(
+              counts.getOrElse(b, 0L).toDouble / total, eps)
+            val pb = math.max(
+              if (tBase > 0) base(b) / tBase else 0.0, eps)
+            psi += (po - pb) * math.log(po / pb)
+            b += 1
+          }
+          Iterator.single(PsiStreamOut(key, nBatch, total, psi))
+      }
+  }
+
   /** Batch-equivalent of the streaming tumbling aggregation — used to
     * verify window semantics against the oracle on static data. */
   def tumblingBatch(df: DataFrame, tsCol: String, size: String,

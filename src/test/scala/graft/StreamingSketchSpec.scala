@@ -174,4 +174,41 @@ class StreamingSketchSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("psiStream: accumulated streamed PSI equals batch psi on the concatenated input") {
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val breaks = Seq(10.0, 20.0, 30.0)
+    // baseline: roughly uniform across the 4 bins
+    val baseVals = (1 to 400).map(i => (i % 40).toDouble)
+    val baseCounts = baseVals.groupBy(v =>
+      breaks.count(v > _)).view.mapValues(_.size.toLong).toMap
+    val baseline = Map("f1" ->
+      (0 to 3).map(b => baseCounts.getOrElse(b, 0L)))
+    // drifted stream: mass concentrated high
+    val b1 = (1 to 150).map(i => ("f1", (25 + i % 15).toDouble))
+    val b2 = (1 to 100).map(i => ("f1", (5 + i % 30).toDouble))
+    val input = MemoryStream[(String, Double)]
+    val out = StreamOps.psiStream(input.toDS(), breaks, baseline)
+    val q = out.writeStream.format("memory").queryName("psi_fmgws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("psi_fmgws")
+      .as[StreamOps.PsiStreamOut].collect().sortBy(_.totalRows)
+    rows.length shouldBe 2
+    rows.last.totalRows shouldBe 250L
+    // batch reference: cohort A = full stream, cohort B = baseline
+    val batchDf = ((b1 ++ b2).map(x => ("obs", x._2)) ++
+      baseVals.map(v => ("base", v))).toDF("g", "v")
+    val batchPsi = graft.stats.StatsOps
+      .psi(batchDf, "v", "g", "obs", "base", breaks)
+      .head().getAs[Double]("psi")
+    math.abs(rows.last.psi - batchPsi) should be <= 1e-6
+    // drift direction sanity: batch-1 (concentrated) drifts more
+    // than the fuller mix
+    rows.head.psi should be > rows.last.psi
+  }
 }
