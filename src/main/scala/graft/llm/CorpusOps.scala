@@ -309,4 +309,48 @@ object CorpusOps {
     }
     v.select(col("w"), col("syms"))
   }
+
+  /** Jensen–Shannon divergence between the unigram distributions of
+    * two corpus slices (Lin 1991) — the symmetric, always-finite
+    * corpus-mixture comparison a curation pipeline reports when
+    * deciding how much of source B to blend into source A:
+    * JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2, in nats, bounded by
+    * ln 2. Zero-count words are exact (no ε clamps — the q·ln(q/m)
+    * term vanishes and the other side contributes p·ln 2 at most).
+    *
+    * One explode + one word-keyed count aggregate (bounded by
+    * vocabulary, not corpus size); per-word terms are rounded to 12
+    * decimals and summed as DECIMAL so the reduction is order-free
+    * and engine-replayable. Emits one row: vocab sizes, token
+    * totals, KL halves and the JSD. */
+  def jsDivergence(docs: DataFrame, textCol: String,
+      groupCol: String, gA: String, gB: String): DataFrame = {
+    val toks = docs.filter(col(groupCol).isin(gA, gB))
+      .select(col(groupCol).as("g"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+    val counts = toks.groupBy("w")
+      .agg(sum(when(col("g") === gA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === gB, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    val m = (p + q) / 2
+    val termA = when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0))
+    val termB = when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))
+    counts.crossJoin(broadcast(tot))
+      .select(col("ca"), col("cb"),
+        round(termA, 12).cast("decimal(30,12)").as("ta"),
+        round(termB, 12).cast("decimal(30,12)").as("tb"),
+        col("na"), col("nb"))
+      .groupBy("na", "nb")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        sum("ta").as("kla"), sum("tb").as("klb"))
+      .select(col("n_vocab"), col("vocab_a"), col("vocab_b"),
+        col("na").as("tokens_a"), col("nb").as("tokens_b"),
+        col("kla").cast("double").as("kl_pm"),
+        col("klb").cast("double").as("kl_qm"),
+        ((col("kla") + col("klb")).cast("double") / 2).as("jsd"))
+  }
 }

@@ -338,6 +338,18 @@ object QueriesPipeline {
         .orderBy("stage_idx")
     }),
 
+    // Jensen-Shannon divergence between the src0/src1 unigram
+    // distributions: the symmetric corpus-mixture comparison for
+    // blending decisions; per-word terms round-12 DECIMAL-summed
+    "q395_js_divergence" -> ((s, d) =>
+      graft.llm.CorpusOps.jsDivergence(
+        t(s, d, "documents"), "text", "source", "src0", "src1")
+        .select(col("n_vocab"), col("vocab_a"), col("vocab_b"),
+          col("tokens_a"), col("tokens_b"),
+          round(col("kl_pm"), 6).as("kl_pm"),
+          round(col("kl_qm"), 6).as("kl_qm"),
+          round(col("jsd"), 6).as("jsd"))),
+
     // end-to-end entity resolution: the q362 multi-pass blocked FS
     // pipeline's 'match' pairs clustered into entities by 3 unrolled
     // rounds of synchronous min-label propagation (near-clique
@@ -1983,6 +1995,52 @@ object QueriesPipeline {
         |UNION ALL SELECT CAST(3 AS INTEGER), 'first_copy', n3, n4,
         |  CASE WHEN n3 > 0 THEN n4 * 1000000 // n3 END, t4 FROM g"""
         .stripMargin,
+
+    // identical word-keyed counts, per-word round-12 DECIMAL terms,
+    // halved at the end
+    "q395_js_divergence" ->
+      raw"""WITH toks AS (
+        |  SELECT source AS g, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0)) AS w
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM toks GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM c),
+        |terms AS (
+        |  SELECT ca, cb, na, nb,
+        |    CAST(round(CASE WHEN ca > 0 THEN
+        |      (CAST(ca AS DOUBLE) / na) *
+        |      ln((CAST(ca AS DOUBLE) / na) /
+        |        ((CAST(ca AS DOUBLE) / na +
+        |          CAST(cb AS DOUBLE) / nb) / 2))
+        |      ELSE 0.0 END, 12) AS DECIMAL(30,12)) AS ta,
+        |    CAST(round(CASE WHEN cb > 0 THEN
+        |      (CAST(cb AS DOUBLE) / nb) *
+        |      ln((CAST(cb AS DOUBLE) / nb) /
+        |        ((CAST(ca AS DOUBLE) / na +
+        |          CAST(cb AS DOUBLE) / nb) / 2))
+        |      ELSE 0.0 END, 12) AS DECIMAL(30,12)) AS tb
+        |  FROM c CROSS JOIN tot)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |  CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_a,
+        |  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_b,
+        |  CAST(max(na) AS BIGINT) AS tokens_a,
+        |  CAST(max(nb) AS BIGINT) AS tokens_b,
+        |  round(CAST(sum(ta) AS DOUBLE), 6) AS kl_pm,
+        |  round(CAST(sum(tb) AS DOUBLE), 6) AS kl_qm,
+        |  round(CAST(sum(ta) + sum(tb) AS DOUBLE) / 2, 6) AS jsd
+        |FROM terms""".stripMargin,
 
     // per-pass block-size distribution with the oversized-drop
     // accounting mirrored exactly

@@ -232,6 +232,22 @@ class VerdictR7Spec extends SparkSpecBase {
     approx(r.getAs[Double]("uncertainty"), 0.1875, 1e-12)
   }
 
+  test("jsDivergence: hand-computed, zero on identical, ln2 on disjoint") {
+    import graft.llm.CorpusOps
+    // P = {a:.5, b:.5}, Q = {a:.5, c:.5} -> JSD = ln2 / 2
+    val df = Seq(("s0", "a b"), ("s1", "a c")).toDF("src", "text")
+    val r = CorpusOps.jsDivergence(df, "text", "src", "s0", "s1").head()
+    r.getAs[Long]("n_vocab") shouldBe 3L
+    approx(r.getAs[Double]("jsd"), math.log(2) / 2, 1e-9)
+    approx(r.getAs[Double]("kl_pm"), math.log(2) / 2, 1e-9)
+    val same = Seq(("s0", "x y z"), ("s1", "x y z")).toDF("src", "text")
+    approx(CorpusOps.jsDivergence(same, "text", "src", "s0", "s1")
+      .head().getAs[Double]("jsd"), 0.0, 1e-12)
+    val disj = Seq(("s0", "x x"), ("s1", "y y")).toDF("src", "text")
+    approx(CorpusOps.jsDivergence(disj, "text", "src", "s0", "s1")
+      .head().getAs[Double]("jsd"), math.log(2), 1e-9)
+  }
+
   test("pipelineFunnel: cumulative stage counts, ppm, token budget in one scan") {
     val df = Seq(
       (1L, 6L, true),  // passes both stages
