@@ -178,6 +178,101 @@ object Multimodal {
     f(sampleRate, frames)
   }
 
+  /** 64-bit perceptual average-hash (aHash) of REAL image bytes —
+    * the standard near-duplicate-image fingerprint for training-data
+    * dedup: decode (javax.imageio), integer luma
+    * (299r + 587g + 114b), 8×8 floor-partitioned block means, one
+    * bit per block (mean > global mean of the 64 block means),
+    * row-major bit order. All pixel arithmetic is integer sums in a
+    * fixed loop order, so the hash is a pure function of the pixel
+    * content — identical across executors, runs and re-encodes of
+    * the same pixels (PNG↔BMP invariance is spec'd). Null or
+    * undecodable bytes → null. Per-row map work, no shuffle. */
+  def imageAHash(bytes: Column): Column = {
+    val f = udf((b: Array[Byte]) => {
+      if (b == null) None
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = Array.ofDim[Long](8, 8)
+          val cnts = Array.ofDim[Long](8, 8)
+          var y = 0
+          while (y < h) {
+            val by = (y.toLong * 8 / h).toInt
+            var x = 0
+            while (x < w) {
+              val bx = (x.toLong * 8 / w).toInt
+              val rgb = img.getRGB(x, y)
+              val gray = 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              sums(by)(bx) += gray
+              cnts(by)(bx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val means = Array.ofDim[Double](64)
+          var i = 0
+          while (i < 64) {
+            val c = cnts(i / 8)(i % 8)
+            means(i) = if (c == 0) 0.0 else sums(i / 8)(i % 8).toDouble / c
+            i += 1
+          }
+          var tot = 0.0
+          i = 0
+          while (i < 64) { tot += means(i); i += 1 }
+          val thr = tot / 64
+          var hash = 0L
+          i = 0
+          while (i < 64) {
+            if (means(i) > thr) hash |= (1L << (63 - i))
+            i += 1
+          }
+          Some(hash)
+        }
+      } catch { case _: Exception => None }
+    })
+    f(bytes)
+  }
+
+  /** Near-duplicate image candidate pairs by banding the 64-bit
+    * aHash into 8 bands of 8 bits (the simhash pigeonhole shape:
+    * pairs within `maxHamming` ≤ 7 bit flips share at least one
+    * untouched band, so banding loses NO qualifying pair); the band
+    * bucket groupBy is the only shuffle, verification is
+    * bit_count(xor) on the joined rows, and `maxBucket` caps
+    * degenerate buckets (flat-color corpora) exactly like the text
+    * dedup family. Emits (l/r ids, hashes, hamming). */
+  def imageNearDupPairs(df: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 7,
+      maxBucket: Long = 100000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming in [0,7] (8x8-bit pigeonhole bound), got $maxHamming")
+    val base = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).as("ah"))
+    val banded = base.select(col("id"), col("ah"),
+        posexplode(expr(
+          "transform(sequence(0, 7), b -> shiftright(ah, b * 8) & 255)")))
+      .toDF("id", "ah", "band", "bucket")
+      .withColumn("__bc__", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket")))
+      .filter(col("__bc__") <= maxBucket).drop("__bc__")
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("l_id"), col("b.id").as("r_id"),
+        col("a.ah").as("l_hash"), col("b.ah").as("r_hash"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("l_hash").bitwiseXOR(col("r_hash"))))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Image metadata stub kept for the synthetic (non-decodable)
     * payload path: width/height/format derived deterministically from
     * the byte content. Use `decodeImage` for real image bytes. */

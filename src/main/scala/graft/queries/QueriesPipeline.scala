@@ -338,6 +338,28 @@ object QueriesPipeline {
         .orderBy("stage_idx")
     }),
 
+    // perceptual average-hash over REAL synthesized PNGs (rows-only:
+    // no engine-portable PNG decoder exists in DuckDB; the pixel
+    // contract is spec'd — PNG/BMP re-encode invariance, planted
+    // same-dimension duplicates recovered at hamming 0)
+    "q396_image_ahash" -> ((s, d) => {
+      val m = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          (lit(32) + pmod(col("doc_id"), lit(16)).cast("int"))
+            .as("w"),
+          (lit(24) + pmod(col("doc_id"), lit(12)).cast("int"))
+            .as("h"))
+      graft.llm.Multimodal
+        .partitionForPayload(m, avgBytesPerRow = 4096,
+          targetPartitionBytes = 4L * 1024 * 1024)
+        .withColumn("png", graft.llm.Multimodal
+          .encodePng(col("w"), col("h")))
+        .withColumn("ahash", graft.llm.Multimodal
+          .imageAHash(col("png")))
+        .select(col("doc_id"), col("w"), col("h"), col("ahash"))
+        .orderBy("doc_id")
+    }),
+
     // Jensen-Shannon divergence between the src0/src1 unigram
     // distributions: the symmetric corpus-mixture comparison for
     // blending decisions; per-word terms round-12 DECIMAL-summed

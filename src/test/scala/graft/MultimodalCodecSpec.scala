@@ -109,4 +109,54 @@ class MultimodalCodecSpec extends SparkSpecBase {
     out(3).isNullAt(1) shouldBe true
     out(4).isNullAt(1) shouldBe true
   }
+
+  test("imageAHash: pixel-content pure (PNG == BMP of same pixels), " +
+      "dims-duplicates hash-equal, inverted pattern differs") {
+    def img(w: Int, h: Int, invert: Boolean): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17) & 0xffffff
+        im.setRGB(x, y, if (invert) v ^ 0xffffff else v)
+      }
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, b); b.toByteArray
+    }
+    val rows = Seq(
+      (1L, enc(img(40, 30, false), "png")),
+      (2L, enc(img(40, 30, false), "bmp")), // same pixels, other codec
+      (3L, enc(img(40, 30, true), "png")),  // inverted
+      (4L, enc(img(40, 30, false), "png"))  // exact dup of 1
+    ).toDF("id", "bytes")
+    val h = rows.select($"id",
+        graft.llm.Multimodal.imageAHash($"bytes").as("ah"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    h(1L) shouldBe h(2L) // codec-invariant
+    h(1L) shouldBe h(4L) // content-duplicate
+    // inversion flips the luma ordering -> hash is (close to) the
+    // complement; definitely far in hamming
+    java.lang.Long.bitCount(h(1L) ^ h(3L)) should be > 40
+  }
+
+  test("imageNearDupPairs: pigeonhole banding finds all pairs within maxHamming and no false keeps") {
+    val base = 0x0123456789abcdefL
+    val near3 = base ^ ((1L << 3) | (1L << 21) | (1L << 60)) // 3 flips
+    val near7 = base ^ 0x7fL                                 // 7 flips in one band
+    val far = base ^ 0x00ff00ff00ff00ffL                     // 32 flips
+    val df = Seq((1L, base), (2L, near3), (3L, near7), (4L, far))
+      .toDF("id", "ah")
+    val pairs = graft.llm.Multimodal
+      .imageNearDupPairs(df, "id", "ah", maxHamming = 7)
+      .select("l_id", "r_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs.keySet should contain((1L, 2L))
+    pairs.keySet should contain((1L, 3L))
+    pairs((1L, 2L)) shouldBe 3
+    pairs((1L, 3L)) shouldBe 7
+    // no pair involving the far hash survives the hamming filter
+    pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+  }
 }
