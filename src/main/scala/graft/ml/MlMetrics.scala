@@ -262,6 +262,46 @@ object MlMetrics {
         .as("pinball"))
   }
 
+  /** Temperature scaling (Guo et al. 2017) over an explicit
+    * temperature grid — the standard one-parameter LLM-confidence
+    * calibration: logits z = ln(p/(1−p)) are divided by each
+    * candidate T, re-squashed, and the negative log-likelihood
+    * profiled; the argmin T is flagged. Like the Box-Cox profile
+    * this is a bounded-grid cross join + one per-T aggregate —
+    * nothing iterative, nothing driver-side, and the whole profile
+    * is engine-replayable. Per-row NLL terms are rounded to 12
+    * decimals and summed as DECIMAL (order-free). Probabilities are
+    * clamped to [1e-6, 1−1e-6] before the logit so hard 0/1 stay
+    * finite (mirrored by the oracle). */
+  def temperatureScaling(df: DataFrame, probCol: String,
+      labelCol: String, temps: Seq[Double] =
+        Seq(0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 4.0)): DataFrame = {
+    require(temps.nonEmpty && temps.forall(_ > 0),
+      "temperatureScaling needs a positive temperature grid")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val p0 = col(probCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val p = least(greatest(p0, lit(1e-6)), lit(1.0 - 1e-6))
+    val base = df.filter(p0.isNotNull && y.isNotNull)
+      .select(log(p / (lit(1.0) - p)).as("z"),
+        when(y, 1.0).otherwise(0.0).as("yy"))
+    val grid = temps.toDF("temp")
+    val pt = lit(1.0) / (lit(1.0) + exp(-col("z") / col("temp")))
+    val nllTerm = -(col("yy") * log(pt) +
+      (lit(1.0) - col("yy")) * log(lit(1.0) - pt))
+    val prof = base.crossJoin(broadcast(grid))
+      .select(col("temp"),
+        round(nllTerm, 12).cast("decimal(30,12)").as("t"))
+      .groupBy("temp")
+      .agg(count(lit(1)).as("n"), sum("t").as("ts"))
+      .withColumn("nll", col("ts").cast("double") / col("n"))
+    prof.withColumn("is_best", col("nll") ===
+        min("nll").over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("temp"), col("n"), col("nll"), col("is_best"))
+  }
+
   /** Murphy (1973) decomposition of the Brier score:
     * BS = reliability − resolution + uncertainty, with
     * REL = Σ_b n_b(p̄_b − ȳ_b)²/N, RES = Σ_b n_b(ȳ_b − ȳ)²/N,

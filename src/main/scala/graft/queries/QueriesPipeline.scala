@@ -360,6 +360,22 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // temperature-scaling calibration profile (Guo et al. 2017) on a
+    // label-shifted dyadic-lattice probability: bounded grid, exact
+    // lattice sums, per-row NLL terms round-12 DECIMAL-summed
+    "q397_temperature" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        (floor(graft.llm.PipelineOps.hash48Unit(col("o_orderkey")) *
+          512) / 1024 +
+          when(col("o_orderstatus") === "F", 0.5).otherwise(0.0))
+          .as("p"),
+        (col("o_orderstatus") === "F").as("y"))
+      graft.ml.MlMetrics.temperatureScaling(o, "p", "y")
+        .select(col("temp"), col("n"), round(col("nll"), 9).as("nll"),
+          col("is_best"))
+        .orderBy("temp")
+    }),
+
     // Jensen-Shannon divergence between the src0/src1 unigram
     // distributions: the symmetric corpus-mixture comparison for
     // blending decisions; per-word terms round-12 DECIMAL-summed
@@ -2017,6 +2033,40 @@ object QueriesPipeline {
         |UNION ALL SELECT CAST(3 AS INTEGER), 'first_copy', n3, n4,
         |  CASE WHEN n3 > 0 THEN n4 * 1000000 // n3 END, t4 FROM g"""
         .stripMargin,
+
+    // identical lattice, clamp literals, logit/re-squash per grid
+    // temperature, round-12 DECIMAL NLL term sums, argmin flag
+    "q397_temperature" -> {
+      val u = h48("CAST(o_orderkey AS VARCHAR)")
+      val lo = 1e-6
+      val hi = 1.0 - 1e-6
+      s"""WITH o AS (
+         |  SELECT floor($u * 512) / 1024 +
+         |    CASE WHEN o_orderstatus = 'F' THEN 0.5 ELSE 0.0 END AS p,
+         |    o_orderstatus = 'F' AS y
+         |  FROM orders),
+         |b AS (
+         |  SELECT ln(pc / (1.0 - pc)) AS z,
+         |    CASE WHEN y THEN 1.0 ELSE 0.0 END AS yy
+         |  FROM (SELECT greatest($lo, least($hi, p)) AS pc, y
+         |        FROM o) q),
+         |g AS (SELECT unnest([0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 4.0])
+         |  AS temp),
+         |terms AS (
+         |  SELECT temp,
+         |    CAST(round(-(yy * ln(1.0 / (1.0 + exp(-z / temp))) +
+         |      (1.0 - yy) *
+         |      ln(1.0 - 1.0 / (1.0 + exp(-z / temp)))), 12)
+         |      AS DECIMAL(30,12)) AS t
+         |  FROM b CROSS JOIN g),
+         |prof AS (
+         |  SELECT temp, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(t) AS DOUBLE) / count(*) AS nll
+         |  FROM terms GROUP BY 1)
+         |SELECT temp, n, round(nll, 9) AS nll,
+         |  nll = min(nll) OVER () AS is_best
+         |FROM prof""".stripMargin
+    },
 
     // identical word-keyed counts, per-word round-12 DECIMAL terms,
     // halved at the end

@@ -248,6 +248,23 @@ class VerdictR7Spec extends SparkSpecBase {
       .head().getAs[Double]("jsd"), math.log(2), 1e-9)
   }
 
+  test("temperatureScaling: overconfident scores pick T > 1, calibrated pick T = 1") {
+    import graft.ml.MlMetrics
+    // p = 0.9 but only 60% correct -> optimal pt = 0.6 -> T* ~ 5.4,
+    // grid argmin is 4.0
+    val over = ((1 to 6).map(_ => (0.9, true)) ++
+      (1 to 4).map(_ => (0.9, false))).toDF("p", "y")
+    val bestOver = MlMetrics.temperatureScaling(over, "p", "y")
+      .filter(col("is_best")).head().getDouble(0)
+    bestOver shouldBe 4.0
+    // p = 0.9 and 90% correct -> already calibrated -> T = 1
+    val cal = ((1 to 9).map(_ => (0.9, true)) :+ ((0.9, false)))
+      .toDF("p", "y")
+    val bestCal = MlMetrics.temperatureScaling(cal, "p", "y")
+      .filter(col("is_best")).head().getDouble(0)
+    bestCal shouldBe 1.0
+  }
+
   test("pipelineFunnel: cumulative stage counts, ppm, token budget in one scan") {
     val df = Seq(
       (1L, 6L, true),  // passes both stages
