@@ -376,6 +376,24 @@ object QueriesPipeline {
         .orderBy("temp")
     }),
 
+    // isotonic regression (PAV) of monthly pooled order value per
+    // priority: exact (sum,count) blocks + cross-multiplied
+    // violation tests, so the fit is bit-identical to the closed
+    // minimax form max_{j<=i} min_{k>=i} mean(j..k) the oracle
+    // computes from exact prefix sums
+    "q398_isotonic" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        col("o_orderpriority").as("prio"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+          - 1).as("xm"),
+        cents(col("o_totalprice")).as("yc"))
+      graft.ml.Isotonic.isotonicFit(o, "prio", "xm", "yc")
+        .select(col("prio"), col("xm").cast("long").as("xm"),
+          col("n_pooled"), col("y_sum").cast("long").as("y_sum"),
+          round(col("fitted"), 6).as("fitted"))
+        .orderBy("prio", "xm")
+    }),
+
     // Jensen-Shannon divergence between the src0/src1 unigram
     // distributions: the symmetric corpus-mixture comparison for
     // blending decisions; per-word terms round-12 DECIMAL-summed
@@ -2032,6 +2050,50 @@ object QueriesPipeline {
         |  CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 END, t3 FROM g
         |UNION ALL SELECT CAST(3 AS INTEGER), 'first_copy', n3, n4,
         |  CASE WHEN n3 > 0 THEN n4 * 1000000 // n3 END, t4 FROM g"""
+        .stripMargin,
+
+    // the closed minimax identity: fitted(i) = max_{j<=i} of the
+    // suffix-min over k>=i of mean(j..k), every mean one correctly-
+    // rounded division of exact BIGINT prefix-sum differences —
+    // bit-identical to the PAV fit (rounding is monotone, so min/max
+    // commute with it)
+    "q398_isotonic" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS xm,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+        |  FROM orders),
+        |p AS (
+        |  SELECT prio, xm, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(yc) AS BIGINT) AS s
+        |  FROM o GROUP BY 1, 2),
+        |r AS (
+        |  SELECT prio, xm, c, s,
+        |    row_number() OVER (PARTITION BY prio ORDER BY xm) AS i
+        |  FROM p),
+        |pre AS (
+        |  SELECT prio, i, xm, c, s,
+        |    CAST(sum(s) OVER (PARTITION BY prio ORDER BY i)
+        |      AS BIGINT) AS ps,
+        |    CAST(sum(c) OVER (PARTITION BY prio ORDER BY i)
+        |      AS BIGINT) AS pc
+        |  FROM r),
+        |jk AS (
+        |  SELECT a.prio, a.i AS j, b.i AS k,
+        |    CAST(b.ps - a.ps + a.s AS DOUBLE) /
+        |      (b.pc - a.pc + a.c) AS m
+        |  FROM pre a JOIN pre b
+        |    ON b.prio = a.prio AND b.i >= a.i),
+        |mn AS (
+        |  SELECT prio, j, k AS i,
+        |    min(m) OVER (PARTITION BY prio, j ORDER BY k DESC) AS mn
+        |  FROM jk),
+        |fit AS (
+        |  SELECT prio, i, max(mn) AS f
+        |  FROM mn GROUP BY prio, i)
+        |SELECT r.prio, CAST(r.xm AS BIGINT) AS xm, r.c AS n_pooled,
+        |  r.s AS y_sum, round(fit.f, 6) AS fitted
+        |FROM r JOIN fit ON fit.prio = r.prio AND fit.i = r.i"""
         .stripMargin,
 
     // identical lattice, clamp literals, logit/re-squash per grid

@@ -76,6 +76,39 @@ object PropertiesR7Spec extends Properties("graft-r7") {
       }
     }
 
+  property("isotonicFit equals the quadratic minimax reference, is " +
+      "monotone, and preserves block means") =
+    forAll(Gen.listOfN(25, for {
+      x <- Gen.chooseNum(0, 9); y <- Gen.chooseNum(-50L, 50L)
+    } yield (x.toDouble, y.toDouble))) { pts =>
+      pts.nonEmpty ==> {
+        val df = pts.zipWithIndex.map { case ((x, y), i) =>
+          ("k", x, y) }.toDF("k", "x", "y")
+        val got = graft.ml.Isotonic.isotonicFit(df, "k", "x", "y")
+          .orderBy("x").collect()
+          .map(r => (r.getDouble(1), r.getDouble(4)))
+        // reference: pool per x, fitted(i) = max_{j<=i} min_{k>=i}
+        // mean(j..k) on exact sums
+        val pooled = pts.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (x, g) => (x, g.map(_._2).sum, g.size.toLong) }
+        val n = pooled.length
+        val ref = (0 until n).map { i =>
+          val cand = for (j <- 0 to i) yield (i until n).map { k =>
+            val s = (j to k).map(pooled(_)._2).sum
+            val c = (j to k).map(pooled(_)._3).sum
+            s / c
+          }.min
+          (pooled(i)._1, cand.max)
+        }
+        val matches = got.toSeq == ref
+        val monotone = got.map(_._2).sliding(2).forall {
+          case Array(a, b) => a <= b
+          case _ => true
+        }
+        matches && monotone
+      }
+    }
+
   property("pipelineFunnel: docs_out monotone non-increasing, " +
       "docs_in chains, tokens_out <= stage-0 budget") =
     forAll(Gen.listOfN(30, for {
