@@ -273,6 +273,75 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** 64-bit audio energy fingerprint — the [[imageAHash]] sibling
+    * for near-duplicate AUDIO: decode WAV/PCM
+    * (javax.sound.sampled), per-sample |amplitude|, 64
+    * floor-partitioned frame-block energy sums (exact integer), one
+    * bit per block (energy·64 > total energy, cross-multiplied — an
+    * exact integer comparison, no float threshold), temporal order.
+    * A pure function of the PCM content: invariant to container
+    * re-encoding, stable across executors. Pairs via
+    * [[imageNearDupPairs]] (the banding is hash-agnostic). Null or
+    * undecodable bytes → null. */
+  def audioEnergyHash(bytes: Column): Column = {
+    val f = udf((b: Array[Byte]) => {
+      if (b == null) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val raw = readAllBytes(ais)
+            val ch = fmt.getChannels
+            val big = fmt.isBigEndian
+            val nFrames = raw.length / (2 * ch)
+            if (nFrames < 64) None
+            else {
+              val sums = new Array[Long](64)
+              var i = 0
+              while (i < nFrames) {
+                val blk = (i.toLong * 64 / nFrames).toInt
+                var c = 0
+                var acc = 0L
+                while (c < ch) {
+                  val o = (i * ch + c) * 2
+                  val v =
+                    if (big) ((raw(o) << 8) | (raw(o + 1) & 0xff)).toShort
+                    else ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+                  acc += math.abs(v.toLong)
+                  c += 1
+                }
+                sums(blk) += acc
+                i += 1
+              }
+              var tot = 0L
+              var j = 0
+              while (j < 64) { tot += sums(j); j += 1 }
+              var hash = 0L
+              j = 0
+              while (j < 64) {
+                if (sums(j) * 64 > tot) hash |= (1L << (63 - j))
+                j += 1
+              }
+              Some(hash)
+            }
+          }
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    })
+    f(bytes)
+  }
+
+  private def readAllBytes(in: java.io.InputStream): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    bos.toByteArray
+  }
+
   /** Image metadata stub kept for the synthetic (non-decodable)
     * payload path: width/height/format derived deterministically from
     * the byte content. Use `decodeImage` for real image bytes. */

@@ -394,6 +394,25 @@ object QueriesPipeline {
         .orderBy("prio", "xm")
     }),
 
+    // audio energy fingerprint over REAL synthesized WAVs (rows-only
+    // like q396: no SQL PCM decoder; content-purity and planted-dup
+    // recovery are spec'd in MultimodalCodecSpec)
+    "q399_audio_hash" -> ((s, d) => {
+      val m = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          (lit(100) + pmod(col("doc_id"), lit(7)) * 50).cast("int")
+            .as("frames"))
+      graft.llm.Multimodal
+        .partitionForPayload(m, avgBytesPerRow = 2048,
+          targetPartitionBytes = 4L * 1024 * 1024)
+        .withColumn("wav", graft.llm.Multimodal
+          .encodeWav(lit(8000), col("frames")))
+        .withColumn("ahash", graft.llm.Multimodal
+          .audioEnergyHash(col("wav")))
+        .select(col("doc_id"), col("frames"), col("ahash"))
+        .orderBy("doc_id")
+    }),
+
     // Jensen-Shannon divergence between the src0/src1 unigram
     // distributions: the symmetric corpus-mixture comparison for
     // blending decisions; per-word terms round-12 DECIMAL-summed

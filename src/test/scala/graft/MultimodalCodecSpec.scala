@@ -141,6 +141,28 @@ class MultimodalCodecSpec extends SparkSpecBase {
     java.lang.Long.bitCount(h(1L) ^ h(3L)) should be > 40
   }
 
+  test("audioEnergyHash: pure function of PCM content, null under 64 frames, dup recovery via banding") {
+    import org.apache.spark.sql.functions.lit
+    val wavs = Seq(1L -> 320, 2L -> 320, 3L -> 512, 4L -> 40)
+      .toDF("id", "frames")
+      .select($"id", $"frames",
+        Multimodal.encodeWav(lit(8000), $"frames").as("wav"))
+      .withColumn("ah", Multimodal.audioEnergyHash($"wav"))
+    val h = wavs.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    h(1L) shouldBe defined
+    h(1L) shouldBe h(2L) // same frame count -> identical PCM -> same hash
+    h(4L) shouldBe None  // < 64 frames
+    // banding over audio hashes recovers the planted duplicate pair
+    val pairs = Multimodal.imageNearDupPairs(
+      wavs.filter($"ah".isNotNull).select($"id", $"ah"), "id", "ah",
+      maxHamming = 0)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L))
+  }
+
   test("imageNearDupPairs: pigeonhole banding finds all pairs within maxHamming and no false keeps") {
     val base = 0x0123456789abcdefL
     val near3 = base ^ ((1L << 3) | (1L << 21) | (1L << 60)) // 3 flips
