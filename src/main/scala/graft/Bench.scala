@@ -138,8 +138,10 @@ object Bench {
       // linkage (blocked self-join), per-key interval merge
       "q359_rank_eval", "q362_record_linkage", "q372_merge_intervals",
       // round-7 headliners: multi-pass-blocked linkage audit,
-      // Adamic-Adar link prediction, one-scan pipeline funnel
-      "q388_linkage_block_audit", "q391_adamic_adar",
+      // exact-integer HITS, one-scan pipeline funnel (adamic-adar is
+      // gate-only: a dense co-occurrence graph degenerates under its
+      // binding hub cap at bench scales — see SCALE.md round 7)
+      "q388_linkage_block_audit", "q392_hits",
       "q394_pipeline_funnel")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>

@@ -260,7 +260,12 @@ object QueriesPipeline {
     }),
 
     // Adamic-Adar link prediction on the supplier co-order graph:
-    // postings self-join on the shared neighbor, hub cap, each
+    // postings self-join on the shared neighbor, BINDING hub cap
+    // (maxDeg=300 -- Sigma deg^2 explodes on co-occurrence graphs
+    // whose density grows with data; a shared-by-everyone hub
+    // carries ~no signal, so the principled cutoff is also the
+    // scale guard -- measured: uncapped organic sf1 ran away at
+    // ~4e10 candidate triples), each
     // 1/ln(deg) term rounded to 12 decimals and summed as DECIMAL
     // (order-free, the q375 lesson applied up front)
     "q391_adamic_adar" -> ((s, d) => {
@@ -272,7 +277,7 @@ object QueriesPipeline {
         .select(col("x.l_suppkey").as("src"),
           col("y.l_suppkey").as("dst"))
         .distinct()
-      graft.graphops.GraphOps.adamicAdar(edges)
+      graft.graphops.GraphOps.adamicAdar(edges, maxDeg = 300)
         .select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"), col("n_common"),
           round(col("aa_score"), 6).as("aa_score"))
@@ -1914,7 +1919,7 @@ object QueriesPipeline {
          |FROM scored GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     // same postings join on the shared co-order neighbor, identical
-    // deg window [2, 10000], per-term round-12 DECIMAL sum
+    // deg window [2, 300], per-term round-12 DECIMAL sum
     "q391_adamic_adar" ->
       """WITH und AS (
         |  SELECT DISTINCT x.l_suppkey AS src, y.l_suppkey AS dst
@@ -1925,7 +1930,7 @@ object QueriesPipeline {
         |        UNION SELECT dst, src FROM und),
         |deg AS (
         |  SELECT src AS w, count(*) AS d FROM sym
-        |  GROUP BY 1 HAVING count(*) >= 2 AND count(*) <= 10000),
+        |  GROUP BY 1 HAVING count(*) >= 2 AND count(*) <= 300),
         |post AS (
         |  SELECT s.src AS w, s.dst AS u, deg.d
         |  FROM sym s JOIN deg ON deg.w = s.src),
