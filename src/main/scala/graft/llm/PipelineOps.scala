@@ -917,6 +917,45 @@ object PipelineOps {
       .limit(topN)
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * id draws `k` pseudo-random negatives from a bounded candidate
+    * POOL — the `poolSize` ids with the smallest salted hash (a
+    * deterministic lottery, so the pool is a uniform sample that any
+    * engine re-derives). Draw i for id is pool[floor(h48(id‖i‖salt)
+    * · |pool|)]; accidental self-draws are filtered (an id may thus
+    * yield k−1 rows — documented, countable). The pool is ≤ 1000
+    * rows by contract, so its rank window is provably bounded
+    * (PlanLint's GlobalLimit rule) and the draw join broadcasts.
+    * Everything is md5-48 arithmetic — the oracle replays the exact
+    * sample. One TakeOrdered + one broadcast join; no global
+    * shuffle of the corpus. */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+      poolSize: Int = 1000, salt: String = ""): DataFrame = {
+    require(k >= 1 && k <= 100, s"k in [1,100], got $k")
+    require(poolSize >= 2 && poolSize <= 1000,
+      s"poolSize in [2,1000] (bounded-pool contract), got $poolSize")
+    val ids = df.select(col(idCol)).filter(col(idCol).isNotNull)
+      .distinct()
+    val pool = ids.select(col(idCol).as("__pid__"),
+        hash48Unit(concat(col(idCol).cast("string"),
+          lit("#pool" + salt))).as("__h__"))
+      .orderBy("__h__").limit(poolSize)
+    val indexed = pool.withColumn("__ix__",
+      row_number().over(Window.orderBy("__h__")) - 1)
+    val cnt = indexed.agg(count(lit(1)).as("__pn__"))
+    val draws = ids
+      .withColumn("draw", explode(sequence(lit(1), lit(k))))
+      .crossJoin(broadcast(cnt))
+      .withColumn("__ix__", floor(
+        hash48Unit(concat(col(idCol).cast("string"), lit("#neg"),
+          col("draw").cast("string"), lit(salt))) * col("__pn__"))
+        .cast("int"))
+    draws.join(broadcast(indexed.select(col("__ix__"),
+        col("__pid__"))), Seq("__ix__"))
+      .filter(col("__pid__") =!= col(idCol))
+      .select(col(idCol), col("draw"), col("__pid__").as("neg_id"))
+  }
+
   /** Data-pipeline funnel report: cumulative row-local stage
     * predicates evaluated in ONE scan (a single conditional-sum
     * aggregate — no per-stage passes), emitting per stage the

@@ -418,6 +418,15 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // deterministic negative sampling over the documents corpus:
+    // bounded 500-id lottery pool, 3 draws per doc, md5-48 index
+    // arithmetic replayed exactly by the oracle
+    "q400_negative_sampling" -> ((s, d) =>
+      graft.llm.PipelineOps.negativeSample(
+        t(s, d, "documents").select(col("doc_id")),
+        "doc_id", k = 3, poolSize = 500, salt = "r7")
+        .orderBy("doc_id", "draw")),
+
     // Jensen-Shannon divergence between the src0/src1 unigram
     // distributions: the symmetric corpus-mixture comparison for
     // blending decisions; per-word terms round-12 DECIMAL-summed
@@ -2152,6 +2161,34 @@ object QueriesPipeline {
          |SELECT temp, n, round(nll, 9) AS nll,
          |  nll = min(nll) OVER () AS is_best
          |FROM prof""".stripMargin
+    },
+
+    // identical lottery pool (ORDER BY h LIMIT 500, rank index),
+    // identical md5-48 draw index arithmetic, self-draw filter
+    "q400_negative_sampling" -> {
+      val hp = h48("CAST(doc_id AS VARCHAR) || '#poolr7'")
+      val hn = h48("CAST(doc_id AS VARCHAR) || '#neg' || " +
+        "CAST(d AS VARCHAR) || 'r7'")
+      s"""WITH ids AS (
+         |  SELECT DISTINCT doc_id FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |pool AS (
+         |  SELECT doc_id AS pid, $hp AS h
+         |  FROM ids ORDER BY h LIMIT 500),
+         |ix AS (
+         |  SELECT pid, row_number() OVER (ORDER BY h) - 1 AS ixv
+         |  FROM pool),
+         |pn AS (SELECT CAST(count(*) AS BIGINT) AS pn FROM ix),
+         |draws AS (
+         |  SELECT doc_id, d,
+         |    CAST(floor($hn * pn) AS BIGINT) AS ixv
+         |  FROM ids
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS d) g
+         |  CROSS JOIN pn)
+         |SELECT doc_id, CAST(d AS INTEGER) AS draw,
+         |  CAST(pid AS BIGINT) AS neg_id
+         |FROM draws JOIN ix USING (ixv)
+         |WHERE pid <> doc_id""".stripMargin
     },
 
     // identical word-keyed counts, per-word round-12 DECIMAL terms,

@@ -265,6 +265,32 @@ class VerdictR7Spec extends SparkSpecBase {
     bestCal shouldBe 1.0
   }
 
+  test("negativeSample: k draws per id minus self-collisions, pool membership, salt independence") {
+    import graft.llm.PipelineOps
+    val df = (1L to 200L).toDF("id")
+    val s1 = PipelineOps.negativeSample(df, "id", k = 3,
+      poolSize = 50, salt = "a").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every id yields 3 draws except when a draw hit itself
+    val byId = s1.groupBy(_._1).view.mapValues(_.length).toMap
+    byId.values.foreach(n => n should (be >= 2 and be <= 3))
+    s1.count(_._2 == 1) should be >= 190 // few self-collisions
+    // no self-negatives
+    s1.foreach { case (id, _, neg) => neg should not be id }
+    // negatives all come from the 50-id lottery pool
+    s1.map(_._3).distinct.length should be <= 50
+    // deterministic: identical second run
+    val s2 = PipelineOps.negativeSample(df, "id", k = 3,
+      poolSize = 50, salt = "a").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    s1.sorted.toSeq shouldBe s2.sorted.toSeq
+    // a different salt draws a different sample
+    val s3 = PipelineOps.negativeSample(df, "id", k = 3,
+      poolSize = 50, salt = "b").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    s1.sorted.toSeq should not be s3.sorted.toSeq
+  }
+
   test("pipelineFunnel: cumulative stage counts, ppm, token budget in one scan") {
     val df = Seq(
       (1L, 6L, true),  // passes both stages
