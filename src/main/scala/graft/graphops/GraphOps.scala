@@ -649,4 +649,179 @@ object GraphOps {
         when(col("th") > 0,
           col("hub").cast("double") / col("th")).as("hub_norm"))
   }
+
+  /** Link-prediction score suite over an undirected graph
+    * (Liben-Nowell & Kleinberg 2003): for every vertex pair with at
+    * least one common neighbor, emit common-neighbor count, both
+    * degrees, Jaccard, cosine (Salton), and preferential-attachment
+    * scores. Same postings-join shape as [[adamicAdar]]: one
+    * neighbor-keyed shuffle whose fan-out is bounded by the `maxDeg`
+    * hub cap (a vertex adjacent to everything carries no pairwise
+    * signal and would otherwise contribute deg² candidate pairs).
+    *
+    * Determinism: counts and degrees are exact BIGINTs; jaccard /
+    * cosine are ONE final correctly-rounded double expression from
+    * exact integers — order-free and engine-replayable. */
+  def linkPredict(edges: DataFrame, maxDeg: Int = 10000): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+    val sym = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("w"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDeg)
+    val post = sym.select(col("src").as("w"), col("dst").as("u"))
+      .join(deg.select(col("w")), Seq("w"))
+    val common = post.as("a").join(post.as("b"),
+        col("a.w") === col("b.w") && col("a.u") < col("b.u"))
+      .groupBy(col("a.u").as("src"), col("b.u").as("dst"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("w").as("src"), col("d").as("deg_src")),
+        Seq("src"))
+      .join(deg.select(col("w").as("dst"), col("d").as("deg_dst")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), col("n_common"),
+        col("deg_src"), col("deg_dst"),
+        (col("n_common").cast("double") /
+          (col("deg_src") + col("deg_dst") - col("n_common")))
+          .as("jaccard"),
+        (col("n_common").cast("double") /
+          sqrt((col("deg_src") * col("deg_dst")).cast("double")))
+          .as("cosine"),
+        (col("deg_src") * col("deg_dst")).as("pref_attach"))
+  }
+
+  /** Personalized PageRank (random walk with restart to a source
+    * set) by EXACT integer power iteration — the repo's order-free
+    * convention for iterative graph scores (see [[hits]]): every
+    * vertex state is a BIGINT "mass" on a fixed `scale` lattice, a
+    * round is
+    *   r'(v) = (damp · Σ_{u→v} (r(u) div outdeg(u))) div 100
+    *         + ((100−damp) · scale) div 100 · 1{v ∈ sources}
+    * with integer (truncating) division replayed identically by the
+    * oracle; mass through dangling vertices is dropped (documented —
+    * the restart term keeps the walk anchored). Integer sums are
+    * partition-order-free, so `rounds` unrolls exactly as SQL CTEs.
+    * Cost: one keyed join+agg shuffle per round.
+    *
+    * Returns (id, ppr BIGINT, ppr_norm) with ppr_norm the single
+    * final float divide by the total retained mass. */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[Any],
+      rounds: Int = 3, dampPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 6,
+      s"rounds in [1,6] (each unrolls as an oracle CTE), got $rounds")
+    require(dampPct >= 1 && dampPct <= 99,
+      s"dampPct in [1,99], got $dampPct")
+    require(sources.nonEmpty, "sources must be non-empty")
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val restart = lit((100 - dampPct).toLong * scale / 100)
+    val isSrc = col("id").isin(sources: _*)
+    var r = verts.select(col("id"),
+      when(isSrc, lit(scale)).otherwise(lit(0L)).as("ppr"))
+    for (_ <- 1 to rounds) {
+      val contrib = r.join(outDeg, Seq("id"))
+        .join(e.select(col("src").as("id"), col("dst")), Seq("id"))
+        .select(col("dst").as("id"),
+          expr("ppr div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      r = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (expr(s"(${dampPct}L * coalesce(c, 0L)) div 100") +
+            when(isSrc, restart).otherwise(lit(0L))).as("ppr"))
+        .localCheckpoint(eager = true)
+    }
+    val total = r.agg(sum("ppr").as("tot"))
+    r.crossJoin(broadcast(total))
+      .select(col("id"), col("ppr"),
+        when(col("tot") > 0,
+          col("ppr").cast("double") / col("tot")).as("ppr_norm"))
+  }
+
+  /** Per-edge triangle support — the number of triangles each
+    * undirected edge participates in (the k-truss building block).
+    * Triangles are enumerated once via the canonical orientation
+    * a < b < c (each triangle appears exactly once as the join
+    * e(a,b) ⋈ e(b,c) ⋈ e(a,c)), then each triangle credits its 3
+    * edges. Input edges are canonicalized to (least, greatest) and
+    * deduped; self-loops dropped. Exact BIGINT counts — order-free.
+    *
+    * Scale: the wedge join fans out as Σ_b out-deg(b)²  under the
+    * a<b<c orientation; at 100 TB orient by (degree, id) instead if
+    * key order correlates with degree — here the canonical key
+    * orientation keeps the oracle SQL identical. */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val canon = canonEdges(edges).cache()
+    val tri = triangles3(canon)
+    tri.select(col("a").as("u"), col("b").as("v"))
+      .union(tri.select(col("a").as("u"), col("c").as("v")))
+      .union(tri.select(col("b").as("u"), col("c").as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+  }
+
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** Enumerate each triangle once as (a < b < c). */
+  private def triangles3(canon: DataFrame): DataFrame =
+    canon.as("e1")
+      .join(canon.as("e2"), col("e2.a") === col("e1.b"))
+      .join(canon.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"),
+        col("e2.b").as("c"))
+
+  /** k-truss (Cohen 2008): the maximal subgraph where every edge is
+    * supported by ≥ k−2 triangles. Iteratively recomputes support on
+    * the SURVIVING edge set and drops under-supported edges.
+    *
+    * `rounds >= 1` runs that many synchronous prune rounds — each
+    * unrolls exactly as an oracle CTE (the bounded-unroll precedent
+    * of [[hits]] / label propagation); `rounds = -1` iterates to the
+    * true fixpoint with early exit (the path for unbounded prune
+    * depth; lineage cut per round). Returns surviving canonical
+    * edges with their final-round support. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = -1,
+      maxIter: Int = 50): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds == -1 || rounds >= 1,
+      s"rounds must be >= 1 or -1 for fixpoint, got $rounds")
+    var cur = canonEdges(edges).localCheckpoint(eager = true)
+    var last: DataFrame = null
+    var n = if (rounds == -1) cur.count() else -1L
+    var it = 0
+    val limit = if (rounds == -1) maxIter else rounds
+    var converged = false
+    while (it < limit && !converged) {
+      val tri = triangles3(cur)
+      val sup = tri.select(col("a").as("u"), col("b").as("v"))
+        .union(tri.select(col("a").as("u"), col("c").as("v")))
+        .union(tri.select(col("b").as("u"), col("c").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      last = cur.join(
+          sup.select(col("u").as("a"), col("v").as("b"),
+            col("support")),
+          Seq("a", "b"))
+        .filter(col("support") >= k - 2)
+        .localCheckpoint(eager = true)
+      if (rounds == -1) {
+        val n2 = last.select("a", "b").count()
+        converged = n2 == n
+        n = n2
+      }
+      cur = last.select(col("a"), col("b"))
+      it += 1
+    }
+    if (last == null) cur.withColumn("support", lit(null).cast("long"))
+    else last
+  }
 }

@@ -1933,6 +1933,90 @@ object QueriesStats {
         .select(col("id"), col("triangles"),
           round(col("clustering"), 6).as("clustering"))
         .orderBy("id")
+    }),
+
+    // §2.14+ link-prediction score suite (common neighbors, Jaccard,
+    // cosine, preferential attachment) on the supplier co-purchase
+    // graph — exact BIGINT counts/degrees, one final correctly-
+    // rounded double per score (order-free by construction)
+    "q401_link_predict" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"),
+          col("y.l_suppkey").as("dst"))
+        .distinct()
+      GraphOps.linkPredict(edges, maxDeg = 10000)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("n_common"),
+          col("deg_src"), col("deg_dst"),
+          round(col("jaccard"), 9).as("jaccard"),
+          round(col("cosine"), 9).as("cosine"),
+          col("pref_attach"))
+        .orderBy("src", "dst")
+    }),
+
+    // §2.14+ personalized PageRank (random walk with restart) on
+    // the parts-co-ordered graph from sources {1,2,3}: 3 rounds of
+    // EXACT BIGINT mass propagation on a 1e12 lattice with integer
+    // `div` replayed by the oracle's `//`; single final normalize
+    "q402_ppr" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val und = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      // PPR is directed (the pageRank/hits contract); symmetrize
+      // the co-purchase graph here
+      val edges = und.union(und.select(col("dst").as("src"),
+        col("src").as("dst")))
+      GraphOps.personalizedPageRank(edges,
+          sources = Seq(1L, 2L, 3L), rounds = 3)
+        .select(col("id").cast("long").as("id"), col("ppr"),
+          round(col("ppr_norm"), 9).as("ppr_norm"))
+        .orderBy("id")
+    }),
+
+    // §2.14+ per-edge triangle support (the k-truss building block)
+    // on the parts-co-ordered graph: each triangle enumerated once
+    // via the a<b<c orientation, exact BIGINT credit to its 3 edges
+    "q403_edge_support" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      GraphOps.edgeSupport(edges)
+        .select(col("u").cast("long").as("u"),
+          col("v").cast("long").as("v"), col("support"))
+        .orderBy("u", "v")
+    }),
+
+    // §2.14+ 12-truss after 3 synchronous prune rounds (the bounded-
+    // unroll precedent of q344/q392; the fixpoint path rounds = -1
+    // is spec'd in GraphExtraSpec) — support recomputed on the
+    // SURVIVING edge set each round, exact integer counts throughout
+    "q404_ktruss" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"),
+          col("y.l_partkey").as("dst"))
+        .distinct()
+      GraphOps.kTruss(edges, k = 12, rounds = 3)
+        .select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"), col("support"))
+        .orderBy("a", "b")
     })
   )
 
@@ -6578,6 +6662,129 @@ object QueriesStats {
         |    CAST(coalesce(t.triangles, 0) AS DOUBLE) * 2 /
         |      (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1))
         |    ELSE 0.0 END, 6) AS clustering
-        |FROM deg LEFT JOIN t USING (id) ORDER BY id""".stripMargin
+        |FROM deg LEFT JOIN t USING (id) ORDER BY id""".stripMargin,
+
+    // identical postings join (hub cap is a no-op at this scale but
+    // mirrored), exact integer counts/degrees, same one-expression
+    // double per score
+    "q401_link_predict" ->
+      """WITH und AS (
+        |  SELECT DISTINCT x.l_suppkey AS src, y.l_suppkey AS dst
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_suppkey < y.l_suppkey),
+        |sym AS (SELECT src, dst FROM und
+        |        UNION SELECT dst, src FROM und),
+        |deg AS (
+        |  SELECT src AS w, CAST(count(*) AS BIGINT) AS d FROM sym
+        |  GROUP BY 1 HAVING count(*) <= 10000),
+        |post AS (
+        |  SELECT s.src AS w, s.dst AS u
+        |  FROM sym s JOIN deg ON deg.w = s.src),
+        |cm AS (
+        |  SELECT a.u AS src, b.u AS dst,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM post a JOIN post b ON a.w = b.w AND a.u < b.u
+        |  GROUP BY 1, 2)
+        |SELECT CAST(cm.src AS BIGINT) AS src,
+        |  CAST(cm.dst AS BIGINT) AS dst, cm.n_common,
+        |  ds.d AS deg_src, dd.d AS deg_dst,
+        |  round(CAST(cm.n_common AS DOUBLE) /
+        |    (ds.d + dd.d - cm.n_common), 9) AS jaccard,
+        |  round(CAST(cm.n_common AS DOUBLE) /
+        |    sqrt(CAST(ds.d * dd.d AS DOUBLE)), 9) AS cosine,
+        |  ds.d * dd.d AS pref_attach
+        |FROM cm JOIN deg ds ON ds.w = cm.src
+        |JOIN deg dd ON dd.w = cm.dst""".stripMargin,
+
+    // identical exact-integer mass propagation: 3 unrolled rounds,
+    // `//` floor-div on nonnegative masses == Spark's `div`
+    "q402_ppr" -> {
+      def rnd(i: Int): String =
+        s"""r$i AS MATERIALIZED (
+           |  SELECT v.id,
+           |    CAST((85 * coalesce(s.c, 0)) // 100 AS BIGINT) +
+           |    CASE WHEN v.id IN (1, 2, 3)
+           |      THEN 150000000000 ELSE 0 END AS ppr
+           |  FROM v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r.ppr // d.deg) AS c
+           |    FROM e JOIN r${i - 1} r ON r.id = e.src
+           |    JOIN deg d ON d.id = e.src GROUP BY 1) s
+           |    ON s.id = v.id)""".stripMargin
+      s"""WITH und AS (
+         |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey
+         |   AND x.l_partkey < y.l_partkey),
+         |e AS (SELECT src, dst FROM und
+         |      UNION ALL SELECT dst, src FROM und),
+         |v AS (SELECT DISTINCT src AS id FROM e),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM e GROUP BY 1),
+         |r0 AS (SELECT id, CASE WHEN id IN (1, 2, 3)
+         |    THEN CAST(1000000000000 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS ppr FROM v),
+         |${rnd(1)},
+         |${rnd(2)},
+         |${rnd(3)},
+         |t AS (SELECT CAST(sum(ppr) AS BIGINT) AS tot FROM r3)
+         |SELECT CAST(id AS BIGINT) AS id, ppr,
+         |  CASE WHEN tot > 0 THEN
+         |    round(CAST(ppr AS DOUBLE) / tot, 9) END AS ppr_norm
+         |FROM r3 CROSS JOIN t""".stripMargin
+    },
+
+    // identical a<b<c single-orientation triangle enumeration,
+    // exact BIGINT 3-edge credit
+    "q403_edge_support" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey),
+        |tri AS (
+        |  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM (SELECT v1 AS u, v2 AS v FROM tri
+        |      UNION ALL SELECT v1, v3 FROM tri
+        |      UNION ALL SELECT v2, v3 FROM tri)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // 3 unrolled prune rounds, support recomputed on each round's
+    // surviving edges — the exact SQL image of kTruss(rounds = 3)
+    "q404_ktruss" -> {
+      def round(i: Int): String =
+        s"""tri$i AS MATERIALIZED (
+           |  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+           |  FROM e${i - 1} e1
+           |  JOIN e${i - 1} e2 ON e2.a = e1.b
+           |  JOIN e${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |sup$i AS MATERIALIZED (
+           |  SELECT u, v, CAST(count(*) AS BIGINT) AS support
+           |  FROM (SELECT v1 AS u, v2 AS v FROM tri$i
+           |        UNION ALL SELECT v1, v3 FROM tri$i
+           |        UNION ALL SELECT v2, v3 FROM tri$i)
+           |  GROUP BY 1, 2),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.a, e.b, s.support
+           |  FROM e${i - 1} e JOIN sup$i s
+           |    ON s.u = e.a AND s.v = e.b
+           |  WHERE s.support >= 10)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey
+         |   AND x.l_partkey < y.l_partkey),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         |  support
+         |FROM e3""".stripMargin
+    }
   )
 }
