@@ -344,4 +344,109 @@ object MlMetrics {
           (lit(1.0) - col("ny").cast("double") / col("nn")))
           .as("uncertainty"))
   }
+
+  /** Uplift-model evaluation (Radcliffe 2007 Qini): bucket by model
+    * score (bucket 0 = highest scores), then per bucket and
+    * cumulatively report treated/control sizes and responders, the
+    * per-bucket and cumulative uplift, and the Qini value
+    * Rt − Rc·Nt/Nc (incremental responders vs a control scaled to
+    * the treated volume).
+    *
+    * Scale/determinism: ONE groupBy over the data; the cumulative
+    * window runs over the ≤`buckets`-row aggregate (bounded by
+    * construction). Counts are exact BIGINTs; uplift/qini are single
+    * left-associated double expressions from exact integers —
+    * order-free and engine-replayable. */
+  def upliftCurve(df: DataFrame, treatCol: String,
+      outcomeCol: String, scoreCol: String,
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets in [2,1000], got $buckets")
+    val tr = col(treatCol).cast("boolean")
+    val y = col(outcomeCol).cast("boolean")
+    val p = col(scoreCol).cast("double")
+    val base = df
+      .filter(tr.isNotNull && y.isNotNull && p.isNotNull &&
+        p >= 0 && p <= 1)
+      .select(least(floor(p * buckets), lit(buckets - 1))
+        .cast("int").as("bin"),
+        when(tr, 1L).otherwise(0L).as("t"),
+        when(y, 1L).otherwise(0L).as("yy"))
+    val agg = base.groupBy("bin").agg(
+      sum("t").as("nt"),
+      (count(lit(1)) - sum("t")).as("nc"),
+      sum(col("t") * col("yy")).as("rt"),
+      sum((lit(1L) - col("t")) * col("yy")).as("rc"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.select((lit(buckets - 1) - col("bin")).as("bucket"),
+        col("nt"), col("nc"), col("rt"), col("rc"))
+      .withColumn("cum_nt", sum("nt").over(w))
+      .withColumn("cum_nc", sum("nc").over(w))
+      .withColumn("cum_rt", sum("rt").over(w))
+      .withColumn("cum_rc", sum("rc").over(w))
+      .select(col("bucket"), col("nt"), col("nc"), col("rt"),
+        col("rc"), col("cum_nt"), col("cum_nc"), col("cum_rt"),
+        col("cum_rc"),
+        when(col("nt") > 0 && col("nc") > 0,
+          col("rt").cast("double") / col("nt") -
+            col("rc").cast("double") / col("nc")).as("uplift"),
+        when(col("cum_nt") > 0 && col("cum_nc") > 0,
+          col("cum_rt").cast("double") / col("cum_nt") -
+            col("cum_rc").cast("double") / col("cum_nc"))
+          .as("cum_uplift"),
+        when(col("cum_nc") > 0,
+          col("cum_rt").cast("double") -
+            col("cum_rc").cast("double") * col("cum_nt") /
+              col("cum_nc")).as("qini"))
+  }
+
+  /** Group-fairness audit of a binary classifier: per sensitive
+    * group, exact counts (n, tp/fp/fn/tn), predicted-positive rate,
+    * TPR and FPR in exact ppm (integer `div`, matching SQL `//` on
+    * nonnegatives), plus each rate's signed ppm gap to the OVERALL
+    * rate — demographic-parity and equalized-odds deltas.
+    *
+    * Scale: one groupBy over the data + a broadcast 1-row overall
+    * aggregate. Entirely integer arithmetic — exact at any scale. */
+  def fairnessReport(df: DataFrame, groupCol: String,
+      labelCol: String, predCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val yh = col(predCol).cast("boolean")
+    val base = df.filter(y.isNotNull && yh.isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        when(y, 1L).otherwise(0L).as("y"),
+        when(yh, 1L).otherwise(0L).as("p"))
+    def cells(g: org.apache.spark.sql.RelationalGroupedDataset) =
+      g.agg(
+      count(lit(1)).as("n"),
+      sum(col("p")).as("npp"),
+      sum(col("y") * col("p")).as("tp"),
+      sum((lit(1L) - col("y")) * col("p")).as("fp"),
+      sum(col("y") * (lit(1L) - col("p"))).as("fn"),
+      sum((lit(1L) - col("y")) * (lit(1L) - col("p"))).as("tn"))
+    val per = cells(base.groupBy("grp"))
+    val overall = cells(base.groupBy())
+      .select(expr("npp * 1000000 div n").as("o_ppr"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) END")
+          .as("o_tpr"),
+        expr("CASE WHEN fp + tn > 0 THEN fp * 1000000 div (fp + tn) END")
+          .as("o_fpr"))
+    per.crossJoin(broadcast(overall))
+      .select(col("grp"), col("n"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        expr("npp * 1000000 div n").as("pos_rate_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) END")
+          .as("tpr_ppm"),
+        expr("CASE WHEN fp + tn > 0 THEN fp * 1000000 div (fp + tn) END")
+          .as("fpr_ppm"),
+        (expr("npp * 1000000 div n") - col("o_ppr"))
+          .as("dp_gap_ppm"),
+        (expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) END") -
+          col("o_tpr")).as("tpr_gap_ppm"),
+        (expr("CASE WHEN fp + tn > 0 THEN fp * 1000000 div (fp + tn) END") -
+          col("o_fpr")).as("fpr_gap_ppm"))
+  }
 }

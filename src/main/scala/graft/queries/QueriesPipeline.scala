@@ -427,6 +427,74 @@ object QueriesPipeline {
         "doc_id", k = 3, poolSize = 500, salt = "r7")
         .orderBy("doc_id", "draw")),
 
+    // uplift/Qini evaluation: unit-level treatment from the customer
+    // hash bit, dyadic-lattice model score, 'F'-status outcome —
+    // exact integer bucket counts, single-expression uplift/qini
+    "q405_uplift" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        (PipelineOps.hash48Unit(concat(col("o_custkey")
+          .cast("string"), lit("#t"))) < 0.5).as("treat"),
+        (col("o_orderstatus") === "F").as("y"),
+        (floor(PipelineOps.hash48Unit(concat(col("o_orderkey")
+          .cast("string"), lit("#s"))) * 1024) / 1024).as("p"))
+      graft.ml.MlMetrics.upliftCurve(o, "treat", "y", "p",
+          buckets = 10)
+        .select(col("bucket"), col("nt"), col("nc"), col("rt"),
+          col("rc"), col("cum_nt"), col("cum_nc"), col("cum_rt"),
+          col("cum_rc"),
+          round(col("uplift"), 9).as("uplift"),
+          round(col("cum_uplift"), 9).as("cum_uplift"),
+          round(col("qini"), 9).as("qini"))
+        .orderBy("bucket")
+    }),
+
+    // group-fairness audit (demographic parity + equalized odds ppm
+    // gaps) by customer nation — entirely exact integer arithmetic
+    "q406_fairness" -> ((s, d) => {
+      val o = t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("grp"),
+          (col("o_orderstatus") === "F").as("y"),
+          (PipelineOps.hash48Unit(concat(col("o_orderkey")
+            .cast("string"), lit("#f"))) >= 0.5).as("pred"))
+      graft.ml.MlMetrics.fairnessReport(o, "grp", "y", "pred")
+        .orderBy("grp")
+    }),
+
+    // IPW ATE with stratum-exact propensity over order priority —
+    // off-support strata excluded AND counted (loud-drop convention)
+    "q407_ipw" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        col("o_orderpriority").as("strat"),
+        (PipelineOps.hash48Unit(concat(col("o_custkey")
+          .cast("string"), lit("#t"))) < 0.5).as("treat"),
+        cents(col("o_totalprice")).as("yc"))
+      graft.stats.StatsOps.ipwAte(o, "treat", "yc", Seq("strat"))
+        .select(col("n_total"), col("n_matched"),
+          col("n_off_support"), col("n_strata"),
+          col("n_strata_dropped"), round(col("ate"), 6).as("ate"))
+    }),
+
+    // Poisson overdispersion audit of per-user event counts by
+    // event type — the switch-to-negative-binomial trigger; exact
+    // count sums, Wilson-Hilferty p via the shared normal polynomial
+    "q408_dispersion" -> ((s, d) => {
+      val counts = t(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      graft.stats.StatsOps.dispersionTest(counts,
+          Seq("event_type"), "c")
+        .select(col("event_type"), col("n"),
+          round(col("mean"), 9).as("mean"),
+          round(col("variance"), 9).as("variance"),
+          round(col("dispersion"), 9).as("dispersion"),
+          round(col("chi2"), 6).as("chi2"),
+          col("dof").cast("long").as("dof"),
+          round(col("z_wh"), 9).as("z_wh"),
+          round(col("p_over"), 9).as("p_over"))
+        .orderBy("event_type")
+    }),
+
     // Jensen-Shannon divergence between the src0/src1 unigram
     // distributions: the symmetric corpus-mixture comparison for
     // blending decisions; per-word terms round-12 DECIMAL-summed
@@ -2189,6 +2257,171 @@ object QueriesPipeline {
          |  CAST(pid AS BIGINT) AS neg_id
          |FROM draws JOIN ix USING (ixv)
          |WHERE pid <> doc_id""".stripMargin
+    },
+
+    // identical treatment bit / dyadic score, exact integer bucket
+    // counts, identical left-associated uplift/qini expressions
+    "q405_uplift" -> {
+      val ht = h48("CAST(o_custkey AS VARCHAR) || '#t'")
+      val hs = h48("CAST(o_orderkey AS VARCHAR) || '#s'")
+      s"""WITH o AS (
+         |  SELECT ($ht < 0.5) AS t,
+         |    (o_orderstatus = 'F') AS y,
+         |    floor($hs * 1024) / 1024 AS p
+         |  FROM orders),
+         |b AS (
+         |  SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+         |    CASE WHEN t THEN 1 ELSE 0 END AS tt,
+         |    CASE WHEN y THEN 1 ELSE 0 END AS yy
+         |  FROM o WHERE p >= 0 AND p <= 1),
+         |g AS (
+         |  SELECT 9 - bin AS bucket,
+         |    CAST(sum(tt) AS BIGINT) AS nt,
+         |    CAST(count(*) - sum(tt) AS BIGINT) AS nc,
+         |    CAST(sum(tt * yy) AS BIGINT) AS rt,
+         |    CAST(sum((1 - tt) * yy) AS BIGINT) AS rc
+         |  FROM b GROUP BY 1),
+         |c AS (
+         |  SELECT bucket, nt, nc, rt, rc,
+         |    CAST(sum(nt) OVER w AS BIGINT) AS cum_nt,
+         |    CAST(sum(nc) OVER w AS BIGINT) AS cum_nc,
+         |    CAST(sum(rt) OVER w AS BIGINT) AS cum_rt,
+         |    CAST(sum(rc) OVER w AS BIGINT) AS cum_rc
+         |  FROM g WINDOW w AS (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT bucket, nt, nc, rt, rc,
+         |  cum_nt, cum_nc, cum_rt, cum_rc,
+         |  CASE WHEN nt > 0 AND nc > 0 THEN
+         |    round(CAST(rt AS DOUBLE) / nt -
+         |      CAST(rc AS DOUBLE) / nc, 9) END AS uplift,
+         |  CASE WHEN cum_nt > 0 AND cum_nc > 0 THEN
+         |    round(CAST(cum_rt AS DOUBLE) / cum_nt -
+         |      CAST(cum_rc AS DOUBLE) / cum_nc, 9) END AS cum_uplift,
+         |  CASE WHEN cum_nc > 0 THEN
+         |    round(CAST(cum_rt AS DOUBLE) -
+         |      CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc, 9)
+         |    END AS qini
+         |FROM c""".stripMargin
+    },
+
+    // identical confusion cells per nation, exact ppm via `//`
+    // (== Spark integer div on nonnegatives), signed gaps vs the
+    // overall rates
+    "q406_fairness" -> {
+      val hf = h48("CAST(o_orderkey AS VARCHAR) || '#f'")
+      s"""WITH o AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS grp,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         |    CASE WHEN $hf >= 0.5 THEN 1 ELSE 0 END AS p
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |per AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(p) AS BIGINT) AS npp,
+         |    CAST(sum(y * p) AS BIGINT) AS tp,
+         |    CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+         |    CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+         |    CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+         |  FROM o GROUP BY 1),
+         |ov AS (
+         |  SELECT
+         |    CAST(sum(p) * 1000000 // count(*) AS BIGINT) AS o_ppr,
+         |    CASE WHEN sum(y) > 0 THEN CAST(sum(y * p) * 1000000 //
+         |      sum(y) AS BIGINT) END AS o_tpr,
+         |    CASE WHEN sum(1 - y) > 0 THEN
+         |      CAST(sum((1 - y) * p) * 1000000 //
+         |        sum(1 - y) AS BIGINT) END AS o_fpr
+         |  FROM o)
+         |SELECT grp, n, tp, fp, fn, tn,
+         |  CAST(npp * 1000000 // n AS BIGINT) AS pos_rate_ppm,
+         |  CASE WHEN tp + fn > 0 THEN
+         |    CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+         |    END AS tpr_ppm,
+         |  CASE WHEN fp + tn > 0 THEN
+         |    CAST(fp * 1000000 // (fp + tn) AS BIGINT)
+         |    END AS fpr_ppm,
+         |  CAST(npp * 1000000 // n - o_ppr AS BIGINT) AS dp_gap_ppm,
+         |  CAST(CASE WHEN tp + fn > 0 THEN
+         |    tp * 1000000 // (tp + fn) END - o_tpr AS BIGINT)
+         |    AS tpr_gap_ppm,
+         |  CAST(CASE WHEN fp + tn > 0 THEN
+         |    fp * 1000000 // (fp + tn) END - o_fpr AS BIGINT)
+         |    AS fpr_gap_ppm
+         |FROM per CROSS JOIN ov""".stripMargin
+    },
+
+    // identical per-stratum exact sums, round-12 DECIMAL term sum,
+    // final divide by the matched population
+    "q407_ipw" -> {
+      val ht = h48("CAST(o_custkey AS VARCHAR) || '#t'")
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS strat,
+         |    ($ht < 0.5) AS t,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+         |  FROM orders),
+         |per AS (
+         |  SELECT strat, CAST(count(*) AS BIGINT) AS ns,
+         |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nt,
+         |    CAST(sum(CASE WHEN t THEN yc END) AS BIGINT) AS syt,
+         |    CAST(sum(CASE WHEN NOT t THEN yc END) AS BIGINT) AS syc
+         |  FROM o GROUP BY 1),
+         |per2 AS (SELECT *, ns - nt AS nc FROM per),
+         |m AS (
+         |  SELECT CAST(sum(ns) AS BIGINT) AS n_matched,
+         |    CAST(count(*) AS BIGINT) AS n_strata,
+         |    sum(CAST(round(CAST(ns AS DOUBLE) *
+         |      (CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / nc),
+         |      12) AS DECIMAL(38,12))) AS tsum
+         |  FROM per2 WHERE nt > 0 AND nc > 0),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_all,
+         |  CAST(sum(ns) AS BIGINT) AS n_total FROM per2)
+         |SELECT n_total, n_matched,
+         |  n_total - n_matched AS n_off_support,
+         |  n_strata, n_strata_all - n_strata AS n_strata_dropped,
+         |  round(CAST(tsum AS DOUBLE) / n_matched, 6) AS ate
+         |FROM m CROSS JOIN a""".stripMargin
+    },
+
+    // identical exact count sums, identical variance/dispersion
+    // expression tree, Wilson-Hilferty z, shared Phi polynomial
+    "q408_dispersion" -> {
+      val phi = graft.stats.Distributions.normalCdfSql("z_wh")
+      s"""WITH counts AS (
+         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(c) AS BIGINT) AS sy,
+         |    CAST(sum(c * c) AS BIGINT) AS syy
+         |  FROM counts GROUP BY 1),
+         |d AS (
+         |  SELECT event_type, n,
+         |    CAST(sy AS DOUBLE) / n AS mean,
+         |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+         |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+         |      AS variance
+         |  FROM g WHERE n > 1 AND sy > 0),
+         |e AS (
+         |  SELECT event_type, n, mean, variance,
+         |    variance / mean AS dispersion,
+         |    (CAST(n AS DOUBLE) - 1) * (variance / mean) AS chi2,
+         |    CAST(n AS DOUBLE) - 1 AS dofd
+         |  FROM d),
+         |f AS (
+         |  SELECT *,
+         |    (pow(chi2 / dofd, 1.0 / 3) -
+         |      (1.0 - 2.0 / (9.0 * dofd))) /
+         |      sqrt(2.0 / (9.0 * dofd)) AS z_wh
+         |  FROM e)
+         |SELECT event_type, n, round(mean, 9) AS mean,
+         |  round(variance, 9) AS variance,
+         |  round(dispersion, 9) AS dispersion,
+         |  round(chi2, 6) AS chi2,
+         |  CAST(dofd AS BIGINT) AS dof,
+         |  round(z_wh, 9) AS z_wh,
+         |  round(1.0 - ($phi), 9) AS p_over
+         |FROM f""".stripMargin
     },
 
     // identical word-keyed counts, per-word round-12 DECIMAL terms,

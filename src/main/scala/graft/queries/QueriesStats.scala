@@ -2002,7 +2002,7 @@ object QueriesStats {
 
     // §2.14+ 12-truss after 3 synchronous prune rounds (the bounded-
     // unroll precedent of q344/q392; the fixpoint path rounds = -1
-    // is spec'd in GraphExtraSpec) — support recomputed on the
+    // is spec'd in GraphLinkTrussSpec) — support recomputed on the
     // SURVIVING edge set each round, exact integer counts throughout
     "q404_ktruss" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey"),

@@ -3606,6 +3606,91 @@ object StatsOps {
         round(col("sad") / col("n"), 6).as("mad")): _*)
   }
 
+  /** Inverse-propensity-weighted ATE with stratum-exact propensity
+    * (Horvitz-Thompson within coarse strata; Rosenbaum & Rubin 1983
+    * via subclassification): with ê_s = nt_s/n_s exact inside each
+    * stratum, the IPW estimator algebraically reduces to the
+    * n_s-weighted stratified mean difference
+    *   ATE = (1/N) Σ_s n_s · (ȳ_t,s − ȳ_c,s)
+    * over strata with BOTH arms present; off-support strata (one arm
+    * empty) are excluded and reported loudly (the q388 dropped-block
+    * convention). Complements [[cemAtt]], which weights by n_treat
+    * (ATT).
+    *
+    * Determinism/scale: one groupBy; pass an exact-integer outcome
+    * (cents) so per-stratum sums are order-free; each stratum term is
+    * rounded to 12 decimals and DECIMAL-summed. */
+  def ipwAte(df0: DataFrame, treatCol: String, outcomeCol: String,
+      strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "ipwAte needs at least one stratum")
+    val t = col(treatCol).cast("boolean")
+    val y = col(outcomeCol)
+    val per = df0.filter(t.isNotNull && y.isNotNull)
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("ns"),
+        sum(when(t, 1L).otherwise(0L)).as("nt"),
+        sum(when(t, y)).as("syt"),
+        sum(when(!t, y)).as("syc"))
+      .withColumn("nc", col("ns") - col("nt"))
+    val matched = per.filter(col("nt") > 0 && col("nc") > 0)
+    val term = col("ns").cast("double") *
+      (col("syt").cast("double") / col("nt") -
+        col("syc").cast("double") / col("nc"))
+    val m = matched.agg(
+      sum(col("ns")).as("n_matched"),
+      count(lit(1)).as("n_strata"),
+      sum(round(term, 12).cast("decimal(38,12)")).as("tsum"))
+    val all = per.agg(count(lit(1)).as("n_strata_all"),
+      sum(col("ns")).as("n_total"))
+    m.crossJoin(broadcast(all))
+      .select(col("n_total").cast("long").as("n_total"),
+        col("n_matched").cast("long").as("n_matched"),
+        (col("n_total") - col("n_matched")).cast("long")
+          .as("n_off_support"),
+        col("n_strata").cast("long").as("n_strata"),
+        (col("n_strata_all") - col("n_strata")).cast("long")
+          .as("n_strata_dropped"),
+        (col("tsum").cast("double") / col("n_matched")).as("ate"))
+  }
+
+  /** Poisson overdispersion check per key: the dispersion index
+    * D = s²/x̄ of a count column and the χ² statistic
+    * (n−1)·D ~ χ²_{n−1} under H₀: Poisson, with the Wilson-Hilferty
+    * normal approximation for the (typically large) df. D ≫ 1 is the
+    * standard trigger for switching a count model to negative
+    * binomial / quasi-Poisson.
+    *
+    * Determinism: with integer counts, n/Σy/Σy² are exact; D and the
+    * statistic are single left-associated double expressions;
+    * p uses the shared normalCdf polynomial (SQL twin). One
+    * groupBy — scales. */
+  def dispersionTest(df0: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val g = df0.filter(v.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(v).as("sy"),
+        sum(v * v).as("syy"))
+      .filter(col("n") > 1 && col("sy") > 0)
+    val n = col("n").cast("double")
+    val varS = (n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy")) / (n * (n - 1))
+    val mean = col("sy").cast("double") / col("n")
+    val disp = g.select(keyCols.map(col) ++ Seq(
+      col("n").cast("long").as("n"), mean.as("mean"),
+      varS.as("variance"), (varS / mean).as("dispersion"),
+      ((n - 1) * (varS / mean)).as("chi2"),
+      (n - 1).as("dof")): _*)
+    // Wilson-Hilferty: ((X²/df)^(1/3) − (1 − 2/(9df))) /
+    //   sqrt(2/(9df)) ≈ N(0,1)
+    val z = (pow(col("chi2") / col("dof"), lit(1.0) / 3) -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * col("dof")))) /
+      sqrt(lit(2.0) / (lit(9.0) * col("dof")))
+    disp.withColumn("z_wh", z)
+      .withColumn("p_over",
+        lit(1.0) - Distributions.normalCdfCol(col("z_wh")))
+  }
+
   /** Gauss-Jordan inverse with partial pivoting (driver-side, d×d
     * for small d). */
   private def invertGaussJordan(m0: Array[Array[Double]]):
