@@ -744,6 +744,47 @@ object GraphOps {
           col("ppr").cast("double") / col("tot")).as("ppr_norm"))
   }
 
+  /** Standard PageRank as EXACT integer power iteration — the
+    * [[personalizedPageRank]] recursion with the restart mass paid
+    * to EVERY vertex (uniform teleport), on the same fixed `scale`
+    * lattice with truncating integer division replayed by the
+    * oracle. Complements the float [[pageRank]] (which converges
+    * further but is not engine-replayable): use this form when the
+    * result must hash-match across engines — e.g. TextRank keyword
+    * scoring, where only the ranking matters and 2-4 rounds
+    * separate keywords fine. Dangling mass is dropped (documented);
+    * the per-vertex restart keeps every score positive. */
+  def pageRankExact(edges: DataFrame, rounds: Int = 3,
+      dampPct: Int = 85, scale: Long = 1000000000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 6,
+      s"rounds in [1,6] (each unrolls as an oracle CTE), got $rounds")
+    require(dampPct >= 1 && dampPct <= 99,
+      s"dampPct in [1,99], got $dampPct")
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val restart = lit((100 - dampPct).toLong * scale / 100)
+    var r = verts.select(col("id"), lit(scale).as("pr"))
+    for (_ <- 1 to rounds) {
+      val contrib = r.join(outDeg, Seq("id"))
+        .join(e.select(col("src").as("id"), col("dst")), Seq("id"))
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      r = verts.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (expr(s"(${dampPct}L * coalesce(c, 0L)) div 100") +
+            restart).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    val total = r.agg(sum("pr").as("tot"))
+    r.crossJoin(broadcast(total))
+      .select(col("id"), col("pr"),
+        when(col("tot") > 0,
+          col("pr").cast("double") / col("tot")).as("pr_norm"))
+  }
+
   /** Per-edge triangle support — the number of triangles each
     * undirected edge participates in (the k-truss building block).
     * Triangles are enumerated once via the canonical orientation

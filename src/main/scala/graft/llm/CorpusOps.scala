@@ -353,4 +353,42 @@ object CorpusOps {
         col("klb").cast("double").as("kl_qm"),
         ((col("kla") + col("klb")).cast("double") / 2).as("jsd"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    * adjacent-word co-occurrence graph over the corpus (lowercased
+    * whitespace tokens, stopwords and short words dropped,
+    * undirected distinct edges) and rank words by
+    * [[graft.graphops.GraphOps.pageRankExact]] — the EXACT-integer
+    * PageRank, so the scores (and therefore the keyword ranking and
+    * its tie-breaks) are engine-replayable bit-for-bit. Top `topN`
+    * by (score desc, word asc).
+    *
+    * Scale: pair generation is a pure map (transform over each doc's
+    * token array — no positional self-join); the graph is
+    * vocabulary-bounded, so the per-round join+agg shuffles are
+    * small regardless of corpus size; top-N is a TakeOrdered. */
+  def textRankKeywords(df: DataFrame, textCol: String,
+      stops: Seq[String], topN: Int = 20, rounds: Int = 3,
+      minLen: Int = 3): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val pairs = df.select(toks.as("__tk__"))
+      .filter(size(col("__tk__")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__tk__) - 1), " +
+          "i -> struct(__tk__[i-1] AS a, __tk__[i] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val ok = (c: Column) => length(c) >= minLen && !c.isin(stops: _*)
+    val und = pairs
+      .filter(ok(col("a")) && ok(col("b")) && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .distinct()
+    val sym = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst")))
+    graft.graphops.GraphOps.pageRankExact(sym, rounds = rounds)
+      .orderBy(col("pr").desc, col("id").asc)
+      .limit(topN)
+      .select(col("id").as("word"), col("pr"))
+  }
 }

@@ -427,6 +427,50 @@ object QueriesPipeline {
         "doc_id", k = 3, poolSize = 500, salt = "r7")
         .orderBy("doc_id", "draw")),
 
+    // Aalen-Johansen cumulative incidence under competing risks:
+    // hash-derived durations (50 distinct times) and cause codes
+    // {0=censored,1,2}; exp-of-log-sum survival + fixed-ascending-
+    // order CIF window sums (the q183 KM replay convention)
+    "q409_cif" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        (lit(1) + floor(PipelineOps.hash48Unit(concat(
+          col("o_orderkey").cast("string"), lit("#d"))) * 50))
+          .cast("long").as("dur"),
+        floor(PipelineOps.hash48Unit(concat(
+          col("o_orderkey").cast("string"), lit("#c"))) * 3)
+          .cast("long").as("cause"))
+      graft.stats.StatsOps.aalenJohansen(o, "dur", "cause")
+        .orderBy("dur")
+    }),
+
+    // exact-integer PageRank on the supplier co-purchase graph —
+    // the engine-replayable twin of the float q54 gate
+    "q410_pagerank_exact" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val und = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"),
+          col("y.l_suppkey").as("dst"))
+        .distinct()
+      val edges = und.union(und.select(col("dst").as("src"),
+        col("src").as("dst")))
+      graft.graphops.GraphOps.pageRankExact(edges, rounds = 3)
+        .select(col("id").cast("long").as("id"), col("pr"),
+          round(col("pr_norm"), 9).as("pr_norm"))
+        .orderBy("id")
+    }),
+
+    // TextRank keywords over the documents corpus: adjacent-word
+    // graph (stopwords + <3-char words dropped), exact-integer
+    // PageRank, top-20 by (score desc, word) — ranking replayable
+    // bit-for-bit
+    "q411_textrank" -> ((s, d) =>
+      graft.llm.CorpusOps.textRankKeywords(
+        t(s, d, "documents"), "text", rakeStops, topN = 20,
+        rounds = 3)),
+
     // uplift/Qini evaluation: unit-level treatment from the customer
     // hash bit, dyadic-lattice model score, 'F'-status outcome —
     // exact integer bucket counts, single-expression uplift/qini
@@ -2257,6 +2301,140 @@ object QueriesPipeline {
          |  CAST(pid AS BIGINT) AS neg_id
          |FROM draws JOIN ix USING (ixv)
          |WHERE pid <> doc_id""".stripMargin
+    },
+
+    // identical hash-derived durations/causes, identical
+    // exp-of-ln-sum survival and ascending-order CIF window sums
+    "q409_cif" -> {
+      val hd = h48("CAST(o_orderkey AS VARCHAR) || '#d'")
+      val hc = h48("CAST(o_orderkey AS VARCHAR) || '#c'")
+      s"""WITH o AS (
+         |  SELECT CAST(1 + floor($hd * 50) AS BIGINT) AS dur,
+         |    CAST(floor($hc * 3) AS BIGINT) AS cause
+         |  FROM orders),
+         |t AS (
+         |  SELECT dur,
+         |    CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d2,
+         |    CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c,
+         |    CAST(count(*) AS BIGINT) AS alln
+         |  FROM o GROUP BY 1),
+         |tot AS (SELECT CAST(sum(alln) AS BIGINT) AS n FROM t),
+         |b AS (
+         |  SELECT t.*, n - CAST(coalesce(sum(alln) OVER
+         |    (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |     1 PRECEDING), 0) AS BIGINT) AS n_risk
+         |  FROM t CROSS JOIN tot),
+         |s AS (
+         |  SELECT *, ln(greatest(1.0 - CAST(d1 + d2 AS DOUBLE) /
+         |    (CASE WHEN n_risk > 0 THEN n_risk END), 1e-300)) AS lt
+         |  FROM b),
+         |x AS (
+         |  SELECT *, exp(sum(lt) OVER w) AS surv,
+         |    exp(coalesce(sum(lt) OVER wp, 0.0)) AS surv_prev
+         |  FROM s WINDOW
+         |    w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW),
+         |    wp AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING)),
+         |y AS (
+         |  SELECT *,
+         |    sum(surv_prev * (CAST(d1 AS DOUBLE) /
+         |      (CASE WHEN n_risk > 0 THEN n_risk END))) OVER w
+         |      AS cif1,
+         |    sum(surv_prev * (CAST(d2 AS DOUBLE) /
+         |      (CASE WHEN n_risk > 0 THEN n_risk END))) OVER w
+         |      AS cif2
+         |  FROM x WINDOW
+         |    w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW))
+         |SELECT dur, d1, d2, c, n_risk,
+         |  round(surv, 6) AS survival,
+         |  round(cif1, 6) AS cif1, round(cif2, 6) AS cif2
+         |FROM y""".stripMargin
+    },
+
+    // identical exact-integer mass propagation with uniform restart
+    // (every vertex), 3 unrolled rounds
+    "q410_pagerank_exact" -> {
+      def rnd(i: Int): String =
+        s"""r$i AS MATERIALIZED (
+           |  SELECT v.id,
+           |    CAST((85 * coalesce(s.c, 0)) // 100 AS BIGINT) +
+           |    150000000000 AS pr
+           |  FROM v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r.pr // d.deg) AS c
+           |    FROM e JOIN r${i - 1} r ON r.id = e.src
+           |    JOIN deg d ON d.id = e.src GROUP BY 1) s
+           |    ON s.id = v.id)""".stripMargin
+      s"""WITH und AS (
+         |  SELECT DISTINCT x.l_suppkey AS src, y.l_suppkey AS dst
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey
+         |   AND x.l_suppkey < y.l_suppkey),
+         |e AS (SELECT src, dst FROM und
+         |      UNION ALL SELECT dst, src FROM und),
+         |v AS (SELECT DISTINCT src AS id FROM e),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM e GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr
+         |       FROM v),
+         |${rnd(1)},
+         |${rnd(2)},
+         |${rnd(3)},
+         |t AS (SELECT CAST(sum(pr) AS BIGINT) AS tot FROM r3)
+         |SELECT CAST(id AS BIGINT) AS id, pr,
+         |  CASE WHEN tot > 0 THEN
+         |    round(CAST(pr AS DOUBLE) / tot, 9) END AS pr_norm
+         |FROM r3 CROSS JOIN t""".stripMargin
+    },
+
+    // identical adjacent-pair word graph (list_zip — the BPE oracle
+    // precedent), identical uniform-restart integer PageRank,
+    // identical (pr DESC, word) top-20
+    "q411_textrank" -> {
+      def rnd(i: Int): String =
+        s"""r$i AS MATERIALIZED (
+           |  SELECT v.id,
+           |    CAST((85 * coalesce(s.c, 0)) // 100 AS BIGINT) +
+           |    150000000000 AS pr
+           |  FROM v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r.pr // d.deg) AS c
+           |    FROM e JOIN r${i - 1} r ON r.id = e.src
+           |    JOIN deg d ON d.id = e.src GROUP BY 1) s
+           |    ON s.id = v.id)""".stripMargin
+      raw"""WITH toks AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS l
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT z[1] AS a, z[2] AS b FROM (
+        |    SELECT unnest(list_zip(l, l[2:])) AS z
+        |    FROM toks WHERE len(l) >= 2) q
+        |  WHERE z[2] IS NOT NULL),
+        |flt AS (
+        |  SELECT a, b FROM pairs
+        |  WHERE length(a) >= 3 AND length(b) >= 3
+        |    AND a NOT IN ($rakeStopsSql)
+        |    AND b NOT IN ($rakeStopsSql) AND a <> b),
+        |und AS (SELECT DISTINCT least(a, b) AS src,
+        |        greatest(a, b) AS dst FROM flt),
+        |e AS (SELECT src, dst FROM und
+        |      UNION ALL SELECT dst, src FROM und),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr
+        |       FROM v),
+        |${rnd(1)},
+        |${rnd(2)},
+        |${rnd(3)}
+        |SELECT id AS word, pr FROM r3
+        |ORDER BY pr DESC, word LIMIT 20""".stripMargin
     },
 
     // identical treatment bit / dyadic score, exact integer bucket

@@ -1770,6 +1770,60 @@ object StatsOps {
         round(col("survival"), 6).as("survival"))
   }
 
+  /** Aalen-Johansen cumulative incidence under competing risks
+    * (Aalen & Johansen 1978): with cause codes 0 = censored and
+    * 1/2 = the two competing event types,
+    *   CIF_j(t) = Σ_{s ≤ t} S(s−) · d_j(s) / n_risk(s)
+    * where S is the all-cause Kaplan-Meier survival. Naive 1−KM per
+    * cause over-estimates when risks compete — this is the correct
+    * decomposition, with S(t) + CIF₁(t) + CIF₂(t) = 1 telescoping
+    * exactly at every event time.
+    *
+    * Same engine-replayable shape as [[kaplanMeier]]: one groupBy to
+    * the BOUNDED distinct-duration table, exp-of-log-sum running
+    * product for S and its exclusive-frame lag S(s−), CIF as an
+    * ascending-ordered window sum (fixed order ⇒ identical float
+    * bits in both engines). */
+  def aalenJohansen(df0: DataFrame, durationCol: String,
+      causeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(durationCol).isNotNull &&
+      col(causeCol).isNotNull)
+    val t = df.groupBy(col(durationCol))
+      .agg(sum(when(col(causeCol) === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col(causeCol) === 2, 1L).otherwise(0L)).as("d2"),
+        sum(when(col(causeCol) === 0, 1L).otherwise(0L)).as("c"))
+      .withColumn("__all__", col("d1") + col("d2") + col("c"))
+    val below = distinctValueCumCounts(
+      t.select(col(durationCol), col("__all__")), durationCol,
+      "__all__")
+      .select(col(durationCol), col("__below__"))
+    val tot = t.agg(sum("__all__").as("__n__"))
+    val w = Window.orderBy(col(durationCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col(durationCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = t.join(below, Seq(durationCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("__n__") - col("__below__"))
+    val logTerm = log(greatest(
+      lit(1.0) - (col("d1") + col("d2")).cast("double") /
+        when(col("n_risk") > 0, col("n_risk")), lit(1e-300)))
+    def cifTerm(d: String) = col("surv_prev") *
+      (col(d).cast("double") / when(col("n_risk") > 0, col("n_risk")))
+    base
+      .withColumn("surv", exp(sum(logTerm).over(w)))
+      .withColumn("surv_prev",
+        exp(coalesce(sum(logTerm).over(wPrev), lit(0.0))))
+      .withColumn("cif1", sum(cifTerm("d1")).over(w))
+      .withColumn("cif2", sum(cifTerm("d2")).over(w))
+      .select(col(durationCol), col("d1"), col("d2"), col("c"),
+        col("n_risk"),
+        round(col("surv"), 6).as("survival"),
+        round(col("cif1"), 6).as("cif1"),
+        round(col("cif2"), 6).as("cif2"))
+  }
+
   /** Restricted mean survival time RMST(τ) = ∫₀^τ S(t)dt (Royston &
     * Parmar 2013) — the step-function area under the [[kaplanMeier]]
     * curve up to the horizon τ: "expected survival time within the

@@ -116,6 +116,48 @@ class CausalEvalSpec extends SparkSpecBase {
     a shouldBe b
   }
 
+  test("aalenJohansen: hand-computed competing-risk CIFs and the " +
+    "telescoping identity") {
+    // (dur, cause): cause 0 = censored, 1/2 = competing events
+    val df = Seq((1L, 1L), (1L, 0L), (2L, 2L), (3L, 1L), (3L, 0L))
+      .toDF("dur", "cause")
+    val r = StatsOps.aalenJohansen(df, "dur", "cause")
+      .orderBy("dur").collect()
+    r.length shouldBe 3
+    val t1 = r(0)
+    (t1.getAs[Long]("d1"), t1.getAs[Long]("d2"), t1.getAs[Long]("c"),
+      t1.getAs[Long]("n_risk")) shouldBe ((1L, 0L, 1L, 5L))
+    approx(t1.getAs[Double]("survival"), 0.8, 1e-6)
+    approx(t1.getAs[Double]("cif1"), 0.2, 1e-6)
+    val t2 = r(1)
+    t2.getAs[Long]("n_risk") shouldBe 3L
+    approx(t2.getAs[Double]("survival"), 0.8 * 2 / 3, 1e-6)
+    approx(t2.getAs[Double]("cif2"), 0.8 / 3, 1e-6)
+    val t3 = r(2)
+    t3.getAs[Long]("n_risk") shouldBe 2L
+    approx(t3.getAs[Double]("cif1"), 0.2 + (0.8 * 2 / 3) / 2, 1e-6)
+    // S(t) + CIF1(t) + CIF2(t) telescopes to exactly 1 at every time
+    r.foreach { row =>
+      approx(row.getAs[Double]("survival") +
+        row.getAs[Double]("cif1") + row.getAs[Double]("cif2"),
+        1.0, 1e-5)
+    }
+  }
+
+  test("aalenJohansen: single cause reduces to 1 - KM") {
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 0L), (4L, 1L))
+      .toDF("dur", "cause")
+    val aj = StatsOps.aalenJohansen(df, "dur", "cause")
+      .orderBy("dur").collect()
+    val km = StatsOps.kaplanMeier(df.withColumnRenamed("cause", "ev"),
+      "dur", "ev").orderBy("dur").collect()
+    aj.zip(km).foreach { case (a, k) =>
+      approx(a.getAs[Double]("cif1"),
+        1.0 - k.getAs[Double]("survival"), 1e-5)
+      a.getAs[Double]("cif2") shouldBe 0.0 +- 1e-12
+    }
+  }
+
   test("dispersionTest: equidispersed Poisson-ish counts sit near " +
     "D=1, overdispersed mixture flags high") {
     // deterministic pseudo-counts: equidispersed stream vs a

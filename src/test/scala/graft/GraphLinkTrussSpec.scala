@@ -90,6 +90,38 @@ class GraphLinkTrussSpec extends SparkSpecBase {
     a shouldBe b
   }
 
+  test("pageRankExact: uniform restart is a fixpoint on a regular " +
+    "graph, and repartition-invariant") {
+    // 4-cycle (symmetric): every vertex deg 2 -> mass is invariant
+    val und = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    val sym = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val r = GraphOps.pageRankExact(sym, rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    all(r.values) shouldBe 1000000000000L
+    val a = GraphOps.pageRankExact(sym.repartition(1), rounds = 2)
+      .orderBy("id").collect().toSeq
+    val b = GraphOps.pageRankExact(sym.repartition(5), rounds = 2)
+      .orderBy("id").collect().toSeq
+    a shouldBe b
+  }
+
+  test("textRankKeywords ranks the most central word first and " +
+    "honors stopwords") {
+    import spark.implicits._
+    val docs = Seq("alpha beta gamma", "beta gamma delta",
+      "gamma delta epsilon", "zeta gamma beta").toDF("text")
+    val top = graft.llm.CorpusOps
+      .textRankKeywords(docs, "text", stops = Nil, topN = 3)
+      .collect()
+    top.head.getString(0) shouldBe "gamma"
+    // stopping the central word removes it from the graph
+    val stopped = graft.llm.CorpusOps
+      .textRankKeywords(docs, "text", stops = Seq("gamma"), topN = 10)
+      .collect().map(_.getString(0))
+    stopped should not contain "gamma"
+  }
+
   test("edgeSupport: triangle counts per edge on K4") {
     // complete graph on 4 vertices: every edge is in 2 triangles
     val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield i -> j
