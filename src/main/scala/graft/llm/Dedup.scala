@@ -359,4 +359,51 @@ object Dedup {
           struct(col("pos"), col("tok")))), x => x("tok")), " ")
           .as("text_clean"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS local fingerprinting scheme): hash every
+    * character k-gram, slide a window of `w` consecutive hashes, and
+    * select the minimum of each window (rightmost on ties). The
+    * selected (position, hash) set is a provably-dense local
+    * fingerprint: any substring shared between two documents of
+    * length ≥ w + k − 1 contributes at least one IDENTICAL selected
+    * fingerprint to both — so a plain fp-keyed equi-join finds all
+    * long shared passages (plagiarism / quote / near-dup spans)
+    * without an all-pairs comparison.
+    *
+    * Scale/determinism: the whole selection is a per-document pure
+    * map (SQL `transform` lambdas — no shuffle until the final
+    * explode). The k-gram hash is base-31 polynomial with a 40-bit
+    * mask applied EVERY step (so the accumulator never exceeds 2⁴⁶
+    * — ANSI-overflow-safe in Spark, plain BIGINT in the oracle, and
+    * bit-identical in both); 40-bit values keep the birthday
+    * collision odds negligible at corpus scale while the
+    * min-ordering runs over nonnegative values. Documents shorter
+    * than w + k − 1 produce no fingerprints (filtered). */
+  def winnowingFingerprints(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 64, s"k in [2,64], got $k")
+    require(w >= 1 && w <= 64, s"w in [1,64], got $w")
+    val mask = (1L << 40) - 1
+    val hs = expr(
+      s"""transform(sequence(1, length(__t__) - $k + 1),
+         |  i -> aggregate(sequence(i, i + $k - 1),
+         |    549755813881L,
+         |    (acc, j) -> (31 * acc + ascii(substring(__t__, j, 1)))
+         |      & ${mask}L))""".stripMargin)
+    val fps = expr(
+      s"""transform(sequence(1, size(__hs__) - $w + 1), p -> struct(
+         |  array_min(slice(__hs__, p, $w)) AS fp,
+         |  p + array_max(filter(sequence(0, ${w - 1}),
+         |    q -> element_at(__hs__, p + q) =
+         |      array_min(slice(__hs__, p, $w)))) AS pos))""".stripMargin)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t__"))
+      .filter(col("__t__").isNotNull &&
+        length(col("__t__")) >= k + w - 1)
+      .select(col("doc_id"), hs.as("__hs__"))
+      .select(col("doc_id"),
+        explode(array_distinct(fps)).as("f"))
+      .select(col("doc_id"), col("f.pos").cast("long").as("pos"),
+        col("f.fp").as("fp"))
+  }
 }

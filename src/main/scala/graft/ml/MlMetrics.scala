@@ -402,6 +402,47 @@ object MlMetrics {
               col("cum_nc")).as("qini"))
   }
 
+  /** Off-policy evaluation of a deterministic target policy from
+    * logged bandit data (Horvitz-Thompson / self-normalized IPS —
+    * Swaminathan & Joachims 2015): rows carry the logged action, its
+    * logging propensity, the observed reward, and the action the
+    * TARGET policy would take. Reports
+    *   V_IPS   = (1/n) Σ 1{a = π(x)} · r / p
+    *   V_SNIPS = Σ 1{a = π(x)} · r/p  /  Σ 1{a = π(x)} · 1/p
+    * plus the effective sample size ESS = (Σw)²/Σw² of the matched
+    * importance weights — the "how much data is really behind this
+    * estimate" diagnostic.
+    *
+    * Determinism/scale: one aggregate; each w, w·r and w² term is
+    * rounded to 12 decimals and DECIMAL-summed (order-free). Pass a
+    * lattice-valued propensity (e.g. k/1024) and integer rewards for
+    * exact per-row terms. */
+  def ipsEvaluation(df: DataFrame, actionCol: String,
+      propensityCol: String, rewardCol: String,
+      targetActionCol: String): DataFrame = {
+    val p = col(propensityCol).cast("double")
+    val matchd = col(actionCol) === col(targetActionCol)
+    val base = df.filter(col(actionCol).isNotNull && p.isNotNull &&
+        p > 0 && p <= 1 && col(rewardCol).isNotNull &&
+        col(targetActionCol).isNotNull)
+      .select(when(matchd, 1L).otherwise(0L).as("m"),
+        p.as("p"), col(rewardCol).cast("double").as("r"))
+    val w = col("m") / col("p")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(38,12)"))
+    base.agg(count(lit(1)).as("n"), sum("m").as("n_matched"),
+        dsum(w).as("wsum"), dsum(w * col("r")).as("wrsum"),
+        dsum(w * w).as("w2sum"))
+      .select(col("n").cast("long").as("n"),
+        col("n_matched").cast("long").as("n_matched"),
+        (col("wrsum").cast("double") / col("n")).as("v_ips"),
+        when(col("wsum") > 0, col("wrsum").cast("double") /
+          col("wsum").cast("double")).as("v_snips"),
+        when(col("w2sum") > 0, col("wsum").cast("double") *
+          col("wsum").cast("double") / col("w2sum").cast("double"))
+          .as("ess"))
+  }
+
   /** Group-fairness audit of a binary classifier: per sensitive
     * group, exact counts (n, tp/fp/fn/tn), predicted-positive rate,
     * TPR and FPR in exact ppm (integer `div`, matching SQL `//` on

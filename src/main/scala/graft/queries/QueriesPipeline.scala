@@ -427,6 +427,50 @@ object QueriesPipeline {
         "doc_id", k = 3, poolSize = 500, salt = "r7")
         .orderBy("doc_id", "draw")),
 
+    // per-dimension ANOVA class separability of the embeddings
+    // table: which dimensions carry label signal — round-9 DECIMAL
+    // element sums, round-12 per-label moment terms
+    "q412_embed_separability" -> ((s, d) =>
+      graft.llm.EmbeddingStats.classSeparability(
+        t(s, d, "embeddings"), "embedding", "label")
+        .select(col("dim"), col("n"), col("k"),
+          round(col("ssb"), 6).as("ssb"),
+          round(col("ssw"), 6).as("ssw"),
+          round(col("f_stat"), 6).as("f_stat"))
+        .orderBy("dim")),
+
+    // off-policy evaluation (IPS/SNIPS/ESS) of a deterministic
+    // target policy from hash-logged bandit rows: lattice
+    // propensities, 0/1 rewards — every term exact, DECIMAL-summed
+    "q413_ips_eval" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        floor(PipelineOps.hash48Unit(concat(col("o_orderkey")
+          .cast("string"), lit("#a"))) * 4).cast("long").as("act"),
+        ((lit(1) + floor(PipelineOps.hash48Unit(concat(
+          col("o_orderkey").cast("string"), lit("#p"))) * 512)) /
+          lit(1024.0)).as("prop"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+          .as("reward"),
+        floor(PipelineOps.hash48Unit(concat(col("o_custkey")
+          .cast("string"), lit("#pi"))) * 4).cast("long").as("tgt"))
+      graft.ml.MlMetrics.ipsEvaluation(o, "act", "prop", "reward",
+          "tgt")
+        .select(col("n"), col("n_matched"),
+          round(col("v_ips"), 9).as("v_ips"),
+          round(col("v_snips"), 9).as("v_snips"),
+          round(col("ess"), 6).as("ess"))
+    }),
+
+    // winnowing (MOSS) fingerprints over the first 300 docs:
+    // per-doc pure-map k-gram hashing + rightmost-min window
+    // selection, 61-bit nonnegative hash order replayed by the
+    // oracle's HUGEINT arithmetic
+    "q414_winnowing" -> ((s, d) =>
+      graft.llm.Dedup.winnowingFingerprints(
+        t(s, d, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id", "pos")),
+
     // Aalen-Johansen cumulative incidence under competing risks:
     // hash-derived durations (50 distinct times) and cause codes
     // {0=censored,1,2}; exp-of-log-sum survival + fixed-ascending-
@@ -2302,6 +2346,110 @@ object QueriesPipeline {
          |FROM draws JOIN ix USING (ixv)
          |WHERE pid <> doc_id""".stripMargin
     },
+
+    // identical posexplode → per-(label,dim) round-9 DECIMAL sums →
+    // per-dim round-12 moment terms → identical F expression
+    "q412_embed_separability" ->
+      """WITH x0 AS (
+        |  SELECT label AS lbl,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> struct_pack(dim := i,
+        |        vd := CAST(embedding[CAST(i AS INTEGER)]
+        |          AS DOUBLE)))) AS z
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |x AS (SELECT lbl, z.dim AS dim, z.vd AS vd FROM x0),
+        |pl AS (
+        |  SELECT dim, lbl, CAST(count(*) AS BIGINT) AS nl,
+        |    sum(CAST(round(vd, 9) AS DECIMAL(28,9))) AS sl,
+        |    sum(CAST(round(vd * vd, 9) AS DECIMAL(28,9))) AS ssl
+        |  FROM x GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT dim, CAST(sum(nl) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    sum(sl) AS g, sum(ssl) AS sstot,
+        |    sum(CAST(round(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+        |      / nl, 12) AS DECIMAL(38,12))) AS usum
+        |  FROM pl GROUP BY 1)
+        |SELECT dim, n, k,
+        |  round(CAST(usum AS DOUBLE) -
+        |    CAST(g AS DOUBLE) * CAST(g AS DOUBLE) / n, 6) AS ssb,
+        |  round(CAST(sstot AS DOUBLE) - CAST(usum AS DOUBLE), 6)
+        |    AS ssw,
+        |  CASE WHEN CAST(sstot AS DOUBLE) - CAST(usum AS DOUBLE)
+        |      > 0 THEN
+        |    round((CAST(usum AS DOUBLE) -
+        |      CAST(g AS DOUBLE) * CAST(g AS DOUBLE) / n) / (k - 1) /
+        |      ((CAST(sstot AS DOUBLE) - CAST(usum AS DOUBLE)) /
+        |        (n - k)), 6) END AS f_stat
+        |FROM pd WHERE k > 1 AND n > k""".stripMargin,
+
+    // identical hash actions/propensities/targets, identical
+    // round-12 DECIMAL w / w·r / w² sums
+    "q413_ips_eval" -> {
+      val ha = h48("CAST(o_orderkey AS VARCHAR) || '#a'")
+      val hp = h48("CAST(o_orderkey AS VARCHAR) || '#p'")
+      val hpi = h48("CAST(o_custkey AS VARCHAR) || '#pi'")
+      s"""WITH o AS (
+         |  SELECT CAST(floor($ha * 4) AS BIGINT) AS act,
+         |    (1 + floor($hp * 512)) / 1024.0 AS prop,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r,
+         |    CAST(floor($hpi * 4) AS BIGINT) AS tgt
+         |  FROM orders),
+         |b AS (
+         |  SELECT CASE WHEN act = tgt THEN 1 ELSE 0 END AS m,
+         |    prop AS p, CAST(r AS DOUBLE) AS r
+         |  FROM o WHERE prop > 0 AND prop <= 1),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(m) AS BIGINT) AS n_matched,
+         |    sum(CAST(round(m / p, 12) AS DECIMAL(38,12))) AS wsum,
+         |    sum(CAST(round((m / p) * r, 12) AS DECIMAL(38,12)))
+         |      AS wrsum,
+         |    sum(CAST(round((m / p) * (m / p), 12)
+         |      AS DECIMAL(38,12))) AS w2sum
+         |  FROM b)
+         |SELECT n, n_matched,
+         |  round(CAST(wrsum AS DOUBLE) / n, 9) AS v_ips,
+         |  CASE WHEN wsum > 0 THEN
+         |    round(CAST(wrsum AS DOUBLE) / CAST(wsum AS DOUBLE), 9)
+         |    END AS v_snips,
+         |  CASE WHEN w2sum > 0 THEN
+         |    round(CAST(wsum AS DOUBLE) * CAST(wsum AS DOUBLE) /
+         |      CAST(w2sum AS DOUBLE), 6) END AS ess
+         |FROM a""".stripMargin
+    },
+
+    // identical per-step 40-bit-masked polynomial k-gram hashes
+    // (BIGINT & == Spark's ANSI-safe masked recurrence), identical
+    // rightmost-min window selection
+    "q414_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 300 AND text IS NOT NULL
+        |    AND length(text) >= 11),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 8 + 2),
+        |      i -> list_reduce(
+        |        list_prepend(CAST(549755813881 AS BIGINT),
+        |          list_transform(range(i, i + 8),
+        |            j -> CAST(ord(substr(text, CAST(j AS INTEGER),
+        |              1)) AS BIGINT))),
+        |        (acc, b) -> (31 * acc + b) & 1099511627775)) AS hs
+        |  FROM d),
+        |sel0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(hs) - 4 + 2), p ->
+        |      struct_pack(
+        |        pos := p + list_max(list_filter(range(0, 4),
+        |          q -> hs[CAST(p + q AS INTEGER)] =
+        |            list_min(hs[p : p + 3]))),
+        |        fp := list_min(hs[p : p + 3])))) AS z
+        |  FROM h)
+        |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
+        |  CAST(z.fp AS BIGINT) AS fp
+        |FROM sel0""".stripMargin,
 
     // identical hash-derived durations/causes, identical
     // exp-of-ln-sum survival and ascending-order CIF window sums
