@@ -406,4 +406,41 @@ object Dedup {
       .select(col("doc_id"), col("f.pos").cast("long").as("pos"),
         col("f.fp").as("fp"))
   }
+
+  /** Shared-passage candidate pairs from [[winnowingFingerprints]]:
+    * documents sharing ≥ `minShared` selected fingerprints, with
+    * fingerprint-set Jaccard. The postings self-join is keyed on the
+    * fingerprint; `maxDf` drops boilerplate fingerprints present in
+    * more than that many documents (a fingerprint shared by
+    * everything carries no pair signal and would fan out as df² —
+    * the q45 n-gram maxDf argument). One fp-keyed shuffle + one
+    * pair-keyed aggregation — no all-pairs comparison. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2,
+      maxDf: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val post = fps.join(keep.select(col("fp")), Seq("fp"))
+    post.as("a").join(post.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(perDoc.select(col("doc_id").as("id_a"),
+        col("nfp").as("nfp_a")), Seq("id_a"))
+      .join(perDoc.select(col("doc_id").as("id_b"),
+        col("nfp").as("nfp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("nfp_a"), col("nfp_b"),
+        (col("n_shared").cast("double") /
+          (col("nfp_a") + col("nfp_b") - col("n_shared")))
+          .as("fp_jaccard"))
+  }
 }

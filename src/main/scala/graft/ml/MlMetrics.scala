@@ -443,6 +443,46 @@ object MlMetrics {
           .as("ess"))
   }
 
+  /** Doubly-robust off-policy value (Dudík, Langford & Li 2011):
+    * augments [[ipsEvaluation]] with a direct reward model — here
+    * the per-action empirical mean reward q̂(a) from the log itself
+    * (the simplest context-free model; exact-ratio from integer
+    * sums, broadcast back as a tiny action table):
+    *   V_DR = (1/n) Σ [ q̂(π(x)) + 1{a = π(x)} · (r − q̂(a)) / p ]
+    * Unbiased if EITHER the propensities or the reward model is
+    * right; variance far below plain IPS when q̂ explains most of r.
+    *
+    * One aggregate for q̂, one broadcast join, one final aggregate;
+    * per-row terms rounded to 12 decimals and DECIMAL-summed. */
+  def drEvaluation(df: DataFrame, actionCol: String,
+      propensityCol: String, rewardCol: String,
+      targetActionCol: String): DataFrame = {
+    val p = col(propensityCol).cast("double")
+    val base = df.filter(col(actionCol).isNotNull && p.isNotNull &&
+        p > 0 && p <= 1 && col(rewardCol).isNotNull &&
+        col(targetActionCol).isNotNull)
+      .select(col(actionCol).as("act"),
+        col(targetActionCol).as("tgt"), p.as("p"),
+        col(rewardCol).cast("double").as("r"),
+        when(col(actionCol) === col(targetActionCol), 1L)
+          .otherwise(0L).as("m"))
+    val qhat = base.groupBy("act")
+      .agg(count(lit(1)).as("na"), sum("r").as("sr"))
+      .select(col("act"), (col("sr") / col("na")).as("q"))
+    val joined = base
+      .join(broadcast(qhat.select(col("act"), col("q").as("q_act"))),
+        Seq("act"))
+      .join(broadcast(qhat.select(col("act").as("tgt"),
+        col("q").as("q_tgt"))), Seq("tgt"), "left")
+    val term = coalesce(col("q_tgt"), lit(0.0)) +
+      col("m") * (col("r") - col("q_act")) / col("p")
+    joined.agg(count(lit(1)).as("n"), sum("m").as("n_matched"),
+        sum(round(term, 12).cast("decimal(38,12)")).as("tsum"))
+      .select(col("n").cast("long").as("n"),
+        col("n_matched").cast("long").as("n_matched"),
+        (col("tsum").cast("double") / col("n")).as("v_dr"))
+  }
+
   /** Group-fairness audit of a binary classifier: per sensitive
     * group, exact counts (n, tp/fp/fn/tn), predicted-positive rate,
     * TPR and FPR in exact ppm (integer `div`, matching SQL `//` on

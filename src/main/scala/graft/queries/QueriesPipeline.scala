@@ -471,6 +471,52 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // shared-passage pairs from winnowing fingerprints: fp-keyed
+    // postings join with boilerplate maxDf cap, fingerprint-set
+    // Jaccard — plagiarism/quote detection without all-pairs
+    "q415_winnow_pairs" -> ((s, d) =>
+      graft.llm.Dedup.winnowingPairs(
+        t(s, d, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", k = 8, w = 4, minShared = 2, maxDf = 100)
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          col("nfp_a"), col("nfp_b"),
+          round(col("fp_jaccard"), 9).as("fp_jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // negative-binomial MoM fit of per-user event counts — the
+    // model the q408 dispersion audit says to switch to
+    "q416_negbin" -> ((s, d) => {
+      val counts = t(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      graft.stats.StatsOps.negbinMoM(counts, Seq("event_type"), "c")
+        .select(col("event_type"), col("n"),
+          round(col("mean"), 9).as("mean"),
+          round(col("variance"), 9).as("variance"),
+          round(col("r_hat"), 9).as("r_hat"),
+          round(col("p_hat"), 9).as("p_hat"))
+        .orderBy("event_type")
+    }),
+
+    // doubly-robust off-policy value with the per-action empirical
+    // reward model — same logged-bandit rows as q413
+    "q417_dr_eval" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        floor(PipelineOps.hash48Unit(concat(col("o_orderkey")
+          .cast("string"), lit("#a"))) * 4).cast("long").as("act"),
+        ((lit(1) + floor(PipelineOps.hash48Unit(concat(
+          col("o_orderkey").cast("string"), lit("#p"))) * 512)) /
+          lit(1024.0)).as("prop"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+          .as("reward"),
+        floor(PipelineOps.hash48Unit(concat(col("o_custkey")
+          .cast("string"), lit("#pi"))) * 4).cast("long").as("tgt"))
+      graft.ml.MlMetrics.drEvaluation(o, "act", "prop", "reward",
+          "tgt")
+        .select(col("n"), col("n_matched"),
+          round(col("v_dr"), 9).as("v_dr"))
+    }),
+
     // Aalen-Johansen cumulative incidence under competing risks:
     // hash-derived durations (50 distinct times) and cause codes
     // {0=censored,1,2}; exp-of-log-sum survival + fixed-ascending-
@@ -2450,6 +2496,112 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // the q414 fingerprint CTEs + identical postings join, maxDf
+    // cap, and single-expression Jaccard
+    "q415_winnow_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 300 AND text IS NOT NULL
+        |    AND length(text) >= 11),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 8 + 2),
+        |      i -> list_reduce(
+        |        list_prepend(CAST(549755813881 AS BIGINT),
+        |          list_transform(range(i, i + 8),
+        |            j -> CAST(ord(substr(text, CAST(j AS INTEGER),
+        |              1)) AS BIGINT))),
+        |        (acc, b) -> (31 * acc + b) & 1099511627775)) AS hs
+        |  FROM d),
+        |sel0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(hs) - 4 + 2), p ->
+        |      list_min(hs[p : p + 3]))) AS fp
+        |  FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM sel0),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+        |  FROM fps GROUP BY 1),
+        |keep AS (
+        |  SELECT fp FROM fps GROUP BY fp
+        |  HAVING count(*) >= 2 AND count(*) <= 100),
+        |post AS (SELECT f.doc_id, f.fp FROM fps f
+        |         JOIN keep USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM post a JOIN post b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, n_shared, pa.nfp AS nfp_a,
+        |  pb.nfp AS nfp_b,
+        |  round(CAST(n_shared AS DOUBLE) /
+        |    (pa.nfp + pb.nfp - n_shared), 9) AS fp_jaccard
+        |FROM pairs
+        |JOIN perdoc pa ON pa.doc_id = id_a
+        |JOIN perdoc pb ON pb.doc_id = id_b""".stripMargin,
+
+    // identical exact count sums, NB2 moment equations, nulls on
+    // non-overdispersed keys
+    "q416_negbin" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sy,
+        |    CAST(sum(c * c) AS BIGINT) AS syy
+        |  FROM counts GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n,
+        |    CAST(sy AS DOUBLE) / n AS mean,
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+        |      AS variance
+        |  FROM g WHERE n > 1 AND sy > 0)
+        |SELECT event_type, n, round(mean, 9) AS mean,
+        |  round(variance, 9) AS variance,
+        |  CASE WHEN variance > mean THEN
+        |    round(mean * mean / (variance - mean), 9) END AS r_hat,
+        |  CASE WHEN variance > mean THEN
+        |    round((mean * mean / (variance - mean)) /
+        |      ((mean * mean / (variance - mean)) + mean), 9)
+        |    END AS p_hat
+        |FROM d""".stripMargin,
+
+    // identical per-action exact-ratio reward model, identical
+    // round-12 DECIMAL DR term sum
+    "q417_dr_eval" -> {
+      val ha = h48("CAST(o_orderkey AS VARCHAR) || '#a'")
+      val hp = h48("CAST(o_orderkey AS VARCHAR) || '#p'")
+      val hpi = h48("CAST(o_custkey AS VARCHAR) || '#pi'")
+      s"""WITH o AS (
+         |  SELECT CAST(floor($ha * 4) AS BIGINT) AS act,
+         |    (1 + floor($hp * 512)) / 1024.0 AS p,
+         |    CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+         |      AS DOUBLE) AS r,
+         |    CAST(floor($hpi * 4) AS BIGINT) AS tgt
+         |  FROM orders WHERE (1 + floor($hp * 512)) / 1024.0 > 0),
+         |q AS (
+         |  SELECT act, sum(r) / count(*) AS qv
+         |  FROM o GROUP BY 1),
+         |j AS (
+         |  SELECT o.*, qa.qv AS q_act, coalesce(qt.qv, 0.0) AS q_tgt,
+         |    CASE WHEN o.act = o.tgt THEN 1 ELSE 0 END AS m
+         |  FROM o JOIN q qa ON qa.act = o.act
+         |  LEFT JOIN q qt ON qt.act = o.tgt),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(m) AS BIGINT) AS n_matched,
+         |    sum(CAST(round(q_tgt + m * (r - q_act) / p, 12)
+         |      AS DECIMAL(38,12))) AS tsum
+         |  FROM j)
+         |SELECT n, n_matched,
+         |  round(CAST(tsum AS DOUBLE) / n, 9) AS v_dr
+         |FROM a""".stripMargin
+    },
 
     // identical hash-derived durations/causes, identical
     // exp-of-ln-sum survival and ascending-order CIF window sums

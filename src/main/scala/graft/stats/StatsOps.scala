@@ -3745,6 +3745,33 @@ object StatsOps {
         lit(1.0) - Distributions.normalCdfCol(col("z_wh")))
   }
 
+  /** Negative-binomial fit per key by method of moments (the
+    * companion to [[dispersionTest]]: once D = s²/x̄ > 1 flags
+    * overdispersion, this is the NB2 the count model switches to):
+    *   r̂ = x̄² / (s² − x̄),   p̂ = r̂ / (r̂ + x̄)
+    * Null r̂/p̂ when s² ≤ x̄ (un/equi-dispersed — NB undefined).
+    * Exact n/Σy/Σy² sums; one groupBy. */
+  def negbinMoM(df0: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val g = df0.filter(v.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(v).as("sy"),
+        sum(v * v).as("syy"))
+      .filter(col("n") > 1 && col("sy") > 0)
+    val n = col("n").cast("double")
+    val mean = col("sy").cast("double") / col("n")
+    val varS = (n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")) /
+      (n * (n - 1))
+    val r = mean * mean / (varS - mean)
+    g.select(keyCols.map(col) ++ Seq(
+      col("n").cast("long").as("n"), mean.as("mean"),
+      varS.as("variance"),
+      when(varS > mean, r).as("r_hat"),
+      when(varS > mean, r / (r + mean)).as("p_hat")): _*)
+  }
+
   /** Gauss-Jordan inverse with partial pivoting (driver-side, d×d
     * for small d). */
   private def invertGaussJordan(m0: Array[Array[Double]]):

@@ -126,6 +126,76 @@ class EmbedPolicyWinnowSpec extends SparkSpecBase {
     j.count() should be >= 1L
   }
 
+  test("drEvaluation: hand-computed doubly-robust value") {
+    // q̂(0) = q̂(1) = 0.5 from the log itself
+    val df = Seq(
+      (1L, 0.5, 1L, 1L), // matched: 0.5 + (1-0.5)/0.5   = 1.5
+      (0L, 0.5, 0L, 1L), // unmatched: q̂(1)              = 0.5
+      (1L, 0.25, 0L, 0L), // unmatched: q̂(0)             = 0.5
+      (0L, 0.25, 1L, 0L)) // matched: 0.5 + (1-0.5)/0.25 = 2.5
+      .toDF("act", "prop", "reward", "tgt")
+    val r = MlMetrics
+      .drEvaluation(df, "act", "prop", "reward", "tgt")
+      .collect()(0)
+    r.getAs[Long]("n") shouldBe 4L
+    r.getAs[Long]("n_matched") shouldBe 2L
+    approx(r.getAs[Double]("v_dr"), 5.0 / 4)
+  }
+
+  test("drEvaluation: a perfect reward model zeroes the IPS " +
+    "correction — v_dr is exactly the direct estimate") {
+    // reward depends only on the action -> q̂(a) = r exactly
+    val df = (0 until 200).map { i =>
+      val act = (i % 2).toLong
+      val tgt = (i % 4 / 2).toLong
+      (act, if (i % 3 == 0) 0.25 else 0.5, act, tgt)
+    }.toDF("act", "prop", "reward", "tgt")
+    val r = MlMetrics
+      .drEvaluation(df, "act", "prop", "reward", "tgt")
+      .collect()(0)
+    // direct estimate: mean of q̂(tgt) = fraction of tgt = 1
+    approx(r.getAs[Double]("v_dr"), 0.5, 1e-9)
+  }
+
+  test("winnowingPairs finds the shared passage and caps " +
+    "boilerplate fingerprints") {
+    val shared = "zzcommonsharedpassagewithlength"
+    val docs = Seq(
+      (1L, "alpha head " + shared + " one tail xxxxxxx"),
+      (2L, "different beginning " + shared + " yy end"),
+      (3L, "nothing in common here at all qqqqqqqqq"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 2, maxDf = 100)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got should contain((1L, 2L))
+    got.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+    // boilerplate cap: 5 identical docs, maxDf = 3 -> every fp
+    // exceeds the document-frequency cap -> no pairs at all
+    val boiler = (1L to 5L)
+      .map(i => (i, "identical boilerplate text shared by all"))
+      .toDF("doc_id", "text")
+    Dedup.winnowingPairs(boiler, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = 3).count() shouldBe 0L
+  }
+
+  test("negbinMoM: hand-computed NB2 moments; null when not " +
+    "overdispersed") {
+    val df = Seq(("k", 1L), ("k", 2L), ("k", 3L), ("k", 6L),
+      ("u", 2L), ("u", 2L), ("u", 2L))
+      .toDF("key", "c")
+    val r = graft.stats.StatsOps.negbinMoM(df, Seq("key"), "c")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val kk = r("k")
+    val varS = 56.0 / 12
+    val rr = 9.0 / (varS - 3.0)
+    approx(kk.getAs[Double]("r_hat"), rr, 1e-9)
+    approx(kk.getAs[Double]("p_hat"), rr / (rr + 3.0), 1e-9)
+    // constant counts: variance 0 <= mean -> NB undefined
+    r("u").isNullAt(r("u").fieldIndex("r_hat")) shouldBe true
+  }
+
   test("winnowing: too-short documents yield no fingerprints") {
     val docs = Seq((1L, "tiny"), (2L, "exactly11ch"))
       .toDF("doc_id", "text")
