@@ -1938,7 +1938,10 @@ object QueriesStats {
     // §2.14+ link-prediction score suite (common neighbors, Jaccard,
     // cosine, preferential attachment) on the supplier co-purchase
     // graph — exact BIGINT counts/degrees, one final correctly-
-    // rounded double per score (order-free by construction)
+    // rounded double per score (order-free by construction).
+    // maxDeg = 300 binds the postings fan-out on denser organic
+    // graphs (the q391 hub-cap argument; at sf0.1 the uncapped
+    // postings join fans out ~deg² per hub and ran 10.6 s)
     "q401_link_predict" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey"),
         col("l_suppkey"))
@@ -1948,7 +1951,7 @@ object QueriesStats {
         .select(col("x.l_suppkey").as("src"),
           col("y.l_suppkey").as("dst"))
         .distinct()
-      GraphOps.linkPredict(edges, maxDeg = 10000)
+      GraphOps.linkPredict(edges, maxDeg = 300)
         .select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"), col("n_common"),
           col("deg_src"), col("deg_dst"),
@@ -6677,7 +6680,7 @@ object QueriesStats {
         |        UNION SELECT dst, src FROM und),
         |deg AS (
         |  SELECT src AS w, CAST(count(*) AS BIGINT) AS d FROM sym
-        |  GROUP BY 1 HAVING count(*) <= 10000),
+        |  GROUP BY 1 HAVING count(*) <= 300),
         |post AS (
         |  SELECT s.src AS w, s.dst AS u
         |  FROM sym s JOIN deg ON deg.w = s.src),
