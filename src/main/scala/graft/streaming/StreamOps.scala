@@ -571,6 +571,55 @@ object StreamOps {
       }
   }
 
+  case class FairnessStreamState(n: Long, npp: Long, tp: Long,
+      fp: Long, fn: Long, tn: Long)
+  case class FairnessStreamOut(grp: String, nBatch: Long, n: Long,
+      tp: Long, fp: Long, fn: Long, tn: Long, posRatePpm: Long,
+      tprPpm: Option[Long], fprPpm: Option[Long])
+
+  /** Streaming rendition of
+    * [[graft.ml.MlMetrics.fairnessReport]]'s per-group counts: the
+    * confusion cells accumulate per sensitive group across
+    * micro-batches (6 longs of state per group —
+    * flatMapGroupsWithState, the ewmStream shape) and every batch
+    * emits the CUMULATIVE predicted-positive/TPR/FPR in the same
+    * exact-ppm integer arithmetic as the batch audit — so a
+    * fairness regression in a live scoring pipeline is visible at
+    * the batch boundary it happens, not at the next batch job.
+    * Input: (group, label, predicted). */
+  def fairnessStream(ds: Dataset[(String, Boolean, Boolean)])(
+      implicit e: Encoder[FairnessStreamOut],
+      se: Encoder[FairnessStreamState]): Dataset[FairnessStreamOut] = {
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[FairnessStreamState, FairnessStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Boolean, Boolean)],
+         state: GroupState[FairnessStreamState]) =>
+          val prev = state.getOption
+            .getOrElse(FairnessStreamState(0L, 0L, 0L, 0L, 0L, 0L))
+          var (n, npp, tp, fp, fn, tn) =
+            (prev.n, prev.npp, prev.tp, prev.fp, prev.fn, prev.tn)
+          var nBatch = 0L
+          rows.foreach { case (_, y, p) =>
+            nBatch += 1; n += 1
+            if (p) npp += 1
+            (y, p) match {
+              case (true, true) => tp += 1
+              case (false, true) => fp += 1
+              case (true, false) => fn += 1
+              case (false, false) => tn += 1
+            }
+          }
+          state.update(FairnessStreamState(n, npp, tp, fp, fn, tn))
+          val tpr = if (tp + fn > 0) Some(tp * 1000000L / (tp + fn))
+            else None
+          val fpr = if (fp + tn > 0) Some(fp * 1000000L / (fp + tn))
+            else None
+          Iterator.single(FairnessStreamOut(key, nBatch, n, tp, fp,
+            fn, tn, npp * 1000000L / n, tpr, fpr))
+      }
+  }
+
   /** Batch-equivalent of the streaming tumbling aggregation — used to
     * verify window semantics against the oracle on static data. */
   def tumblingBatch(df: DataFrame, tsCol: String, size: String,
