@@ -985,4 +985,95 @@ object PipelineOps {
         col(s"__t${i + 1}").as("tokens_out"))
     }.reduce(_ unionByName _)
   }
+
+  /** Leakage-safe train/test split by GROUP: every row of a group
+    * (user, document cluster, session) lands on the same side, so no
+    * entity straddles the boundary — the split bug that silently
+    * inflates eval scores. Deterministic md5-48 lottery on the group
+    * key (pure map-side filter, replayable, stable under
+    * re-partitioning and data growth: a group's side never changes
+    * as data is appended). `testPermille` of the group-hash space
+    * goes to 'test'. */
+  def groupSplit(df: DataFrame, groupCol: String, testPermille: Int,
+      salt: String = ""): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille in [0,1000], got $testPermille")
+    df.withColumn("split",
+      when(hash48Unit(concat(col(groupCol).cast("string"),
+        lit(salt))) * 1000 < testPermille, lit("test"))
+        .otherwise(lit("train")))
+  }
+
+  /** Character-class composition audit per document — the cheap
+    * garbage detector (mojibake, binary spill, wrong-script
+    * contamination) a web-corpus pipeline runs before language ID:
+    * exact per-class character counts (letters, digits, whitespace,
+    * punctuation-ish remainder) and exact-ppm shares via integer
+    * div. One scan, map-side only. */
+  def scriptMix(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val total = length(t).cast("long")
+    df.filter(t.isNotNull && length(t) > 0)
+      .select(col(idCol), total.as("n_chars"),
+        cnt("[a-zA-Z]").as("n_alpha"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("[ \\t\\n\\r]").as("n_space"))
+      .withColumn("n_other", col("n_chars") - col("n_alpha") -
+        col("n_digit") - col("n_space"))
+      .withColumn("alpha_ppm",
+        expr("n_alpha * 1000000 div n_chars"))
+      .withColumn("digit_ppm",
+        expr("n_digit * 1000000 div n_chars"))
+      .withColumn("other_ppm",
+        expr("n_other * 1000000 div n_chars"))
+  }
+
+  /** Gopher quality rules (Rae et al. 2021, Appendix A — the
+    * standard web-corpus repetition/shape filter set), evaluated in
+    * ONE scan with exact integer arithmetic (bound checks
+    * cross-multiplied, never divided):
+    *   1. word count within [minWords, maxWords]
+    *   2. mean word length within [3, 10]   (3w ≤ letters ≤ 10w)
+    *   3. symbol-to-word ratio ≤ 10%        (10·symbols ≤ words)
+    *   4. ≥ 80% of words contain a letter   (5·alphaWords ≥ 4·words)
+    *   5. ≥ 2 of the canonical stop words present
+    * Returns one row per rule with pass counts and exact-ppm pass
+    * rate, plus an 'all_rules' row. */
+  def gopherRules(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val lowered = lower(col(textCol))
+    val tk = graft.functions.TextFunctions.tokens(lowered)
+    val words = size(tk).cast("long")
+    val letters = (length(col(textCol)) - length(regexp_replace(
+      col(textCol), "[a-zA-Z]", ""))).cast("long")
+    val symbols = (length(col(textCol)) - length(regexp_replace(
+      col(textCol), "[#…]", ""))).cast("long")
+    val alphaWords = size(filter(tk,
+      w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = size(filter(tk,
+      w => w.isin(stops: _*))).cast("long")
+    val rules: Seq[(String, Column)] = Seq(
+      ("word_count", words >= minWords && words <= maxWords),
+      ("mean_word_len", lit(3L) * words <= letters &&
+        letters <= lit(10L) * words),
+      ("symbol_ratio", lit(10L) * symbols <= words),
+      ("alpha_words", lit(5L) * alphaWords >= lit(4L) * words),
+      ("stop_words", stopHits >= 2))
+    val all = rules.map(_._2).reduce(_ && _)
+    val aggs = (rules :+ ("all_rules", all)).map { case (n, p) =>
+      sum(when(p, 1L).otherwise(0L)).as(s"__$n")
+    } :+ count(lit(1)).as("__n")
+    val one = df.filter(col(textCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    (rules :+ ("all_rules", all)).zipWithIndex.map { case ((n, _), i) =>
+      one.select(lit(i).as("rule_idx"), lit(n).as("rule"),
+        col("__n").as("n_docs"), col(s"__$n").as("n_pass"),
+        expr(s"`__$n` * 1000000 div `__n`").as("pass_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

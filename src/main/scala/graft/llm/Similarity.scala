@@ -486,4 +486,40 @@ object Similarity {
       (i + 1, c.id, c.rel, r6(sc)) }.toSeq
       .toDF("rank", "id", "relevance", "mmr_score")
   }
+
+  /** Hard-negative mining for contrastive training: for each query
+    * embedding, the k most cosine-similar candidates with a
+    * DIFFERENT label — the negatives that actually teach the
+    * decision boundary (vs [[PipelineOps.negativeSample]]'s random
+    * draws). Per-query top-k via a PARTITIONED window with the
+    * (cosine desc, id asc) tie-break on 6-dp-rounded cosines (the
+    * q47 replay convention).
+    *
+    * Brute-force contract: cost is |queries| × |candidates| fused
+    * codegen cosines — bound the QUERY side (e.g. `.limit(n)`, which
+    * also lets Catalyst broadcast it); at corpus scale shortlist
+    * candidates through [[ivfTopK]] / [[lshTopK]] and re-rank the
+    * shortlist here. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv__"),
+      col(labelCol).as("__ql__")))
+    val c = candidates.select(col(idCol).as("neg_id"),
+      col(vecCol).as("__cv__"), col(labelCol).as("neg_label"))
+    val scored = c.join(q,
+        col("neg_label") =!= col("__ql__") &&
+          col("neg_id") =!= col("query_id"))
+      .select(col("query_id"), col("neg_id"), col("neg_label"),
+        round(cosine(col("__cv__"), col("__qv__")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neg_id"),
+        col("neg_label"), col("cosine"))
+  }
 }

@@ -443,6 +443,28 @@ object MlMetrics {
           .as("ess"))
   }
 
+  /** Confident-learning-style label-noise audit (Northcutt et al.
+    * 2021, binary form): rows where the model is CONFIDENT
+    * (p ≥ τ or p ≤ 1−τ) and disagrees with the recorded label are
+    * the mislabel candidates a data-cleaning pass reviews first.
+    * Per label value: n, confidently-scored count, flagged count and
+    * exact-ppm flag rate. One groupBy; integer arithmetic. */
+  def labelNoiseAudit(df: DataFrame, labelCol: String,
+      probCol: String, tau: Double = 0.9): DataFrame = {
+    require(tau > 0.5 && tau < 1.0, s"tau in (0.5,1), got $tau")
+    val y = col(labelCol).cast("boolean")
+    val p = col(probCol).cast("double")
+    val confident = p >= tau || p <= 1 - tau
+    val flagged = (y && p <= 1 - tau) || (!y && p >= tau)
+    df.filter(y.isNotNull && p.isNotNull && p >= 0 && p <= 1)
+      .groupBy(y.as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(confident, 1L).otherwise(0L)).as("n_confident"),
+        sum(when(flagged, 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("flagged_ppm",
+        expr("n_flagged * 1000000 div n"))
+  }
+
   /** Doubly-robust off-policy value (Dudík, Langford & Li 2011):
     * augments [[ipsEvaluation]] with a direct reward model — here
     * the per-action empirical mean reward q̂(a) from the log itself

@@ -471,6 +471,68 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // leakage-safe group split of events by user: per-split row and
+    // user counts PLUS a structural leakage check (max splits any
+    // user touches — must be 1)
+    "q418_group_split" -> ((s, d) => {
+      val sp = PipelineOps.groupSplit(t(s, d, "events"), "user_id",
+        testPermille = 200, salt = "gs")
+      val perUser = sp.groupBy("user_id")
+        .agg(countDistinct(col("split")).as("k"))
+        .agg(max(col("k")).as("max_splits_per_user"))
+      sp.groupBy("split")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(perUser))
+        .orderBy("split")
+    }),
+
+    // confident-learning label-noise audit on the dyadic-lattice
+    // score vs the 'F' label
+    "q419_label_noise" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        (col("o_orderstatus") === "F").as("y"),
+        (floor(PipelineOps.hash48Unit(concat(col("o_orderkey")
+          .cast("string"), lit("#s"))) * 1024) / 1024).as("p"))
+      graft.ml.MlMetrics.labelNoiseAudit(o, "y", "p", tau = 0.9)
+        .orderBy("label")
+    }),
+
+    // character-class composition audit (garbage/mojibake detector):
+    // per-source totals of the per-doc exact ppm shares
+    "q420_script_mix" -> ((s, d) =>
+      PipelineOps.scriptMix(t(s, d, "documents"), "doc_id", "text")
+        .join(t(s, d, "documents").select(col("doc_id"),
+          col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("n_alpha")).as("alpha"),
+          sum(col("n_digit")).as("digit"),
+          sum(col("n_space")).as("space"),
+          sum(col("n_other")).as("other"))
+        .withColumn("alpha_ppm", expr("alpha * 1000000 div chars"))
+        .withColumn("other_ppm", expr("other * 1000000 div chars"))
+        .orderBy("source")),
+
+    // Gopher quality rule-set report in ONE scan — per-rule pass
+    // counts and exact-ppm rates over the corpus
+    "q421_gopher" -> ((s, d) =>
+      PipelineOps.gopherRules(t(s, d, "documents"), "text",
+        minWords = 30, maxWords = 100000)
+        .orderBy("rule_idx")),
+
+    // hard-negative mining: for 20 query embeddings, the 3 nearest
+    // different-label candidates by fused-codegen cosine (6-dp
+    // replay convention); query side bounded via limit (broadcast)
+    "q422_hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val queries = e.orderBy("vec_id").limit(20)
+      graft.llm.Similarity.hardNegatives(queries, e,
+          "vec_id", "embedding", "label", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // shared-passage pairs from winnowing fingerprints: fp-keyed
     // postings join with boilerplate maxDf cap, fingerprint-set
     // Jaccard — plagiarism/quote detection without all-pairs
@@ -2496,6 +2558,145 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // identical md5-lottery group assignment, identical counts and
+    // structural leakage bound
+    "q418_group_split" -> {
+      val hg = h48("CAST(user_id AS VARCHAR) || 'gs'")
+      s"""WITH sp AS (
+         |  SELECT user_id,
+         |    CASE WHEN $hg * 1000 < 200 THEN 'test'
+         |      ELSE 'train' END AS split
+         |  FROM events),
+         |pu AS (
+         |  SELECT CAST(max(k) AS BIGINT) AS max_splits_per_user
+         |  FROM (SELECT user_id, count(DISTINCT split) AS k
+         |        FROM sp GROUP BY 1))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  max_splits_per_user
+         |FROM sp CROSS JOIN pu GROUP BY 1, 4""".stripMargin
+    },
+
+    // identical dyadic score, identical confident/flagged predicates
+    "q419_label_noise" -> {
+      val hs = h48("CAST(o_orderkey AS VARCHAR) || '#s'")
+      s"""WITH o AS (
+         |  SELECT (o_orderstatus = 'F') AS y,
+         |    floor($hs * 1024) / 1024 AS p
+         |  FROM orders),
+         |g AS (
+         |  SELECT y AS label, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN p >= 0.9 OR p <= 0.1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_confident,
+         |    CAST(sum(CASE WHEN (y AND p <= 0.1) OR
+         |      (NOT y AND p >= 0.9) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_flagged
+         |  FROM o WHERE p >= 0 AND p <= 1 GROUP BY 1)
+         |SELECT label, n, n_confident, n_flagged,
+         |  CAST(n_flagged * 1000000 // n AS BIGINT) AS flagged_ppm
+         |FROM g""".stripMargin
+    },
+
+    // identical regexp char-class counts, exact ppm via `//`
+    "q420_script_mix" ->
+      """WITH per AS (
+        |  SELECT source, length(text) AS nc,
+        |    length(text) - length(regexp_replace(text,
+        |      '[a-zA-Z]', '', 'g')) AS na,
+        |    length(text) - length(regexp_replace(text,
+        |      '[0-9]', '', 'g')) AS nd,
+        |    length(text) - length(regexp_replace(text,
+        |      '[ \t\n\r]', '', 'g')) AS ns
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS chars,
+        |  CAST(sum(na) AS BIGINT) AS alpha,
+        |  CAST(sum(nd) AS BIGINT) AS digit,
+        |  CAST(sum(ns) AS BIGINT) AS space,
+        |  CAST(sum(nc - na - nd - ns) AS BIGINT) AS other,
+        |  CAST(sum(na) * 1000000 // sum(nc) AS BIGINT) AS alpha_ppm,
+        |  CAST(sum(nc - na - nd - ns) * 1000000 // sum(nc)
+        |    AS BIGINT) AS other_ppm
+        |FROM per GROUP BY 1""".stripMargin,
+
+    // identical tokenization, cross-multiplied rule predicates,
+    // exact ppm pass rates
+    "q421_gopher" ->
+      raw"""WITH d AS (
+        |  SELECT text,
+        |    list_filter(regexp_split_to_array(trim(lower(text)),
+        |      '\s+'), x -> length(x) > 0) AS tk,
+        |    length(text) - length(regexp_replace(text,
+        |      '[a-zA-Z]', '', 'g')) AS letters,
+        |    length(text) - length(regexp_replace(text,
+        |      '[#…]', '', 'g')) AS symbols
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT len(tk) AS words, letters, symbols,
+        |    len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+        |      AS alphawords,
+        |    len(list_filter(tk, w -> w IN ('the', 'be', 'to', 'of',
+        |      'and', 'that', 'have', 'with'))) AS stophits
+        |  FROM d),
+        |p AS (
+        |  SELECT
+        |    (words >= 30 AND words <= 100000) AS r0,
+        |    (3 * words <= letters AND letters <= 10 * words) AS r1,
+        |    (10 * symbols <= words) AS r2,
+        |    (5 * alphawords >= 4 * words) AS r3,
+        |    (stophits >= 2) AS r4
+        |  FROM f),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |    CAST(sum(CASE WHEN r0 AND r1 AND r2 AND r3 AND r4
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS call
+        |  FROM p)
+        |SELECT * FROM (
+        |  SELECT 0 AS rule_idx, 'word_count' AS rule, n AS n_docs,
+        |    c0 AS n_pass, CAST(c0 * 1000000 // n AS BIGINT)
+        |    AS pass_ppm FROM a
+        |  UNION ALL SELECT 1, 'mean_word_len', n, c1,
+        |    CAST(c1 * 1000000 // n AS BIGINT) FROM a
+        |  UNION ALL SELECT 2, 'symbol_ratio', n, c2,
+        |    CAST(c2 * 1000000 // n AS BIGINT) FROM a
+        |  UNION ALL SELECT 3, 'alpha_words', n, c3,
+        |    CAST(c3 * 1000000 // n AS BIGINT) FROM a
+        |  UNION ALL SELECT 4, 'stop_words', n, c4,
+        |    CAST(c4 * 1000000 // n AS BIGINT) FROM a
+        |  UNION ALL SELECT 5, 'all_rules', n, call,
+        |    CAST(call * 1000000 // n AS BIGINT) FROM a)""".stripMargin,
+
+    // the q47 cosine replay per (query, candidate) with different
+    // labels, per-query (cosine desc, id) top-3
+    "q422_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+        |  FROM embeddings ORDER BY vec_id LIMIT 20),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neg_id,
+        |    e.label AS neg_label,
+        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |      q.qv) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.label <> q.ql AND e.vec_id <> q.query_id),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neg_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neg_id,
+        |  neg_label, cosine
+        |FROM rk WHERE rank <= 3""".stripMargin,
 
     // the q414 fingerprint CTEs + identical postings join, maxDf
     // cap, and single-expression Jaccard

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{PipelineOps, Similarity}
+import graft.ml.MlMetrics
+
+/** Round-7 pipeline-guard additions: leakage-safe group split,
+  * label-noise audit, script-mix audit, Gopher rules, hard-negative
+  * mining. */
+class PipelineGuardSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("groupSplit: no group straddles the split, assignment is " +
+    "append-stable") {
+    val df = (1 to 500).map(i => (i % 50, i)).toDF("grp", "x")
+    val sp = PipelineOps.groupSplit(df, "grp", testPermille = 300,
+      salt = "s")
+    sp.groupBy("grp").agg(countDistinct("split").as("k"))
+      .agg(max("k")).collect()(0).getLong(0) shouldBe 1L
+    // appending rows never flips an existing group's side
+    val bigger = (1 to 1000).map(i => (i % 50, i)).toDF("grp", "x")
+    val a = sp.select("grp", "split").distinct().collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val b = PipelineOps.groupSplit(bigger, "grp", 300, "s")
+      .select("grp", "split").distinct().collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    a shouldBe b
+    // permille 0 -> everything trains
+    PipelineOps.groupSplit(df, "grp", 0, "s")
+      .filter(col("split") === "test").count() shouldBe 0L
+  }
+
+  test("labelNoiseAudit: hand-computed confident disagreements") {
+    val df = Seq(
+      (true, 0.95), // confident agree
+      (true, 0.05), // confident DISAGREE -> flagged
+      (true, 0.60), // not confident
+      (false, 0.95), // confident DISAGREE -> flagged
+      (false, 0.05), // confident agree
+      (false, 0.40)) // not confident
+      .toDF("y", "p")
+    val r = MlMetrics.labelNoiseAudit(df, "y", "p", tau = 0.9)
+      .orderBy("label").collect()
+    val neg = r(0) // label = false
+    (neg.getAs[Long]("n"), neg.getAs[Long]("n_confident"),
+      neg.getAs[Long]("n_flagged")) shouldBe ((3L, 2L, 1L))
+    val pos = r(1)
+    (pos.getAs[Long]("n"), pos.getAs[Long]("n_confident"),
+      pos.getAs[Long]("n_flagged")) shouldBe ((3L, 2L, 1L))
+    pos.getAs[Long]("flagged_ppm") shouldBe 333333L
+  }
+
+  test("scriptMix: exact char-class counts") {
+    val df = Seq((1L, "ab1 c!")).toDF("id", "text")
+    val r = PipelineOps.scriptMix(df, "id", "text").collect()(0)
+    r.getAs[Long]("n_chars") shouldBe 6L
+    r.getAs[Long]("n_alpha") shouldBe 3L
+    r.getAs[Long]("n_digit") shouldBe 1L
+    r.getAs[Long]("n_space") shouldBe 1L
+    r.getAs[Long]("n_other") shouldBe 1L
+    r.getAs[Long]("alpha_ppm") shouldBe 500000L
+  }
+
+  test("gopherRules: crafted docs hit the intended rules") {
+    val good = (("the be to of and that have with " * 5) +
+      ("sound words here " * 10)).trim
+    val tooShort = "tiny doc"
+    val symbolHeavy = "# # # # # the be of and few words"
+    val df = Seq(good, tooShort, symbolHeavy).toDF("text")
+    val r = PipelineOps.gopherRules(df, "text", minWords = 30)
+      .collect().map(x => x.getString(1) ->
+        (x.getAs[Long]("n_pass"), x.getAs[Long]("n_docs"))).toMap
+    r("word_count")._2 shouldBe 3L
+    r("word_count")._1 shouldBe 1L // only `good` has >= 30 words
+    r("symbol_ratio")._1 shouldBe 2L // symbolHeavy: 5 symbols * 10 > 11 words
+    r("stop_words")._1 shouldBe 2L // good + symbolHeavy
+    r("all_rules")._1 shouldBe 1L
+  }
+
+  test("hardNegatives: nearest different-label candidates, " +
+    "self and same-label excluded") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f), 0), // same label — never a negative
+      (3L, Array(0.9f, 0.4f), 1), // closest different-label
+      (4L, Array(0.0f, 1.0f), 1), // orthogonal
+      (5L, Array(-1.0f, 0.0f), 2)) // opposite
+      .toDF("vec_id", "embedding", "label")
+    val q = df.filter(col("vec_id") === 1L)
+    val r = Similarity.hardNegatives(q, df, "vec_id", "embedding",
+      "label", k = 3).orderBy("rank").collect()
+    r.map(_.getAs[Long]("neg_id")).toSeq shouldBe Seq(3L, 4L, 5L)
+    r.map(_.getAs[Int]("rank")).toSeq shouldBe Seq(1, 2, 3)
+    all(r.map(_.getAs[Int]("neg_label"))) should not be 0
+  }
+}
