@@ -407,6 +407,27 @@ object Dedup {
         col("f.fp").as("fp"))
   }
 
+  /** The native-expression fast path of [[winnowingFingerprints]]:
+    * same (doc_id, pos, fp) output, BIT-IDENTICAL on every input
+    * (both operate on code points with the identical masked
+    * recurrence and rightmost-min rule — property-spec'd), but the
+    * per-document kernel is a true O(len) rolling hash + monotonic
+    * deque inside whole-stage codegen instead of O(len·k)
+    * interpreted SQL lambdas. Use this form in production; the
+    * lambda form exists as the engine-portable oracle twin. */
+  def winnowingFingerprintsFast(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): DataFrame = {
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t__"))
+      .filter(col("__t__").isNotNull &&
+        length(col("__t__")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(graft.sqlext.WinnowFingerprints
+          .winnow_fps(col("__t__"), k, w)).as("pk"))
+      .select(col("doc_id"),
+        expr("pk >> 40").as("pos"),
+        expr("pk & 1099511627775").as("fp"))
+  }
+
   /** Shared-passage candidate pairs from [[winnowingFingerprints]]:
     * documents sharing ≥ `minShared` selected fingerprints, with
     * fingerprint-set Jaccard. The postings self-join is keyed on the
@@ -420,7 +441,8 @@ object Dedup {
       maxDf: Int = 100): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+    // the native O(len) kernel — bit-identical to the lambda form
+    val fps = winnowingFingerprintsFast(df, idCol, textCol, k, w)
       .select(col("doc_id"), col("fp")).distinct()
     val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))

@@ -461,12 +461,13 @@ object QueriesPipeline {
           round(col("ess"), 6).as("ess"))
     }),
 
-    // winnowing (MOSS) fingerprints over the first 300 docs:
-    // per-doc pure-map k-gram hashing + rightmost-min window
-    // selection, 61-bit nonnegative hash order replayed by the
-    // oracle's HUGEINT arithmetic
+    // winnowing (MOSS) fingerprints over the first 300 docs, via
+    // the NATIVE codegen expression (O(len) rolling hash + deque;
+    // property-spec'd bit-equal to the SQL-lambda form the oracle
+    // replays) — the oracle hash-match therefore validates the
+    // native kernel itself
     "q414_winnowing" -> ((s, d) =>
-      graft.llm.Dedup.winnowingFingerprints(
+      graft.llm.Dedup.winnowingFingerprintsFast(
         t(s, d, "documents").filter(col("doc_id") < 300),
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),

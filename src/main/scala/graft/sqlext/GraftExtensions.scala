@@ -44,5 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "0.1, boost threshold 0.7) over UTF-8 bytes; 0.0 if either " +
           "side is empty."),
       (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fps",
+        "winnow_fps(str, k, w) - winnowing fingerprint selection " +
+          "(MOSS): packed (pos << 40) | fp longs of the rightmost-" +
+          "min k-gram hash per w-window."),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])))
   }
 }

@@ -196,6 +196,35 @@ class EmbedPolicyWinnowSpec extends SparkSpecBase {
     r("u").isNullAt(r("u").fieldIndex("r_hat")) shouldBe true
   }
 
+  test("winnowingFingerprintsFast (native expression) is " +
+    "bit-identical to the SQL-lambda form, including non-ASCII") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaa"), // all-ties stress
+      (3L, "abcabcabcabcabcabcabcabc"), // periodic
+      (4L, "héllo wörld ünïcode çôdepoints in the mix here"),
+      (5L, "日本語のテキストでも同一のコードポイント領域で一致する"))
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 4), (5, 3), (2, 1), (4, 8))) {
+      val slow = Dedup.winnowingFingerprints(docs, "doc_id", "text",
+        k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fast = Dedup.winnowingFingerprintsFast(docs, "doc_id",
+        "text", k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      withClue(s"k=$k w=$w: ") { fast shouldBe slow }
+    }
+  }
+
+  test("winnow_fps registers through GraftExtensions-style SQL use") {
+    graft.sqlext.WinnowFingerprints.register(spark)
+    val r = spark.sql(
+      "SELECT winnow_fps('the quick brown fox jumps', 8, 4) AS v")
+      .collect()(0).getSeq[Long](0)
+    r should not be empty
+    all(r.map(_ & ((1L << 40) - 1))) should be >= 0L
+  }
+
   test("winnowing: too-short documents yield no fingerprints") {
     val docs = Seq((1L, "tiny"), (2L, "exactly11ch"))
       .toDF("doc_id", "text")
