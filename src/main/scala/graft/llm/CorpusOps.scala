@@ -354,6 +354,59 @@ object CorpusOps {
         ((col("kla") + col("klb")).cast("double") / 2).as("jsd"))
   }
 
+  /** Good-Turing vocabulary-coverage report per corpus slice: token
+    * total N, vocabulary V, hapax/dis legomena counts n₁/n₂, and the
+    * Good-Turing unseen-mass estimate P(next token is NEW) ≈ n₁/N —
+    * the "how much of this source's vocabulary have we actually
+    * seen" number a curation pass reads before deciding a slice is
+    * exhausted. Exact integers + exact-ppm integer division; one
+    * word-keyed count aggregate (vocabulary-bounded). */
+  def goodTuringCoverage(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val counts = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    counts.groupBy("g")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .withColumn("unseen_ppm", expr("n1 * 1000000 div n_tokens"))
+      .withColumn("hapax_share_ppm", expr("n1 * 1000000 div vocab"))
+  }
+
+  /** Tokenizer fertility of a FIXED merge list (the number every
+    * tokenizer-vs-corpus fit review leads with: BPE tokens per
+    * word): apply [[bpeSegment]]'s merges to the corpus vocabulary,
+    * join segment sizes back to the word counts, and report per
+    * slice the exact token/word totals, fertility in ppm
+    * (tokens·10⁶ div words) and the share of words left unmerged as
+    * a single piece... the lower the fertility, the better the
+    * merges fit the slice. */
+  def bpeFertility(docs: DataFrame, textCol: String,
+      groupCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val seg = bpeSegment(docs, textCol, merges)
+      .select(col("w"), size(col("syms")).cast("long").as("pieces"))
+    val words = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]{1,12}$"))
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    words.join(seg, Seq("w"))
+      .groupBy("g")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("pieces")).as("n_tokens"),
+        sum(when(col("pieces") === 1, col("c")).otherwise(0L))
+          .as("n_single"))
+      .withColumn("fertility_ppm",
+        expr("n_tokens * 1000000 div n_words"))
+      .withColumn("single_piece_ppm",
+        expr("n_single * 1000000 div n_words"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): build the
     * adjacent-word co-occurrence graph over the corpus (lowercased
     * whitespace tokens, stopwords and short words dropped,

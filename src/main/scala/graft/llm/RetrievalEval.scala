@@ -103,6 +103,71 @@ object RetrievalEval {
     * corpus-level numbers a leaderboard reports. Null per-query
     * cells (no relevant docs / zero IDCG) are excluded from their
     * mean, matching trec_eval's handling. */
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    * rankings of the same id space, truncated at depth k — the
+    * top-weighted "how much did my retrieval change" number for
+    * comparing ranker versions / ANN vs exact / A-B rank lists,
+    * robust to non-conjoint tails (unlike Kendall's τ):
+    *   RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d
+    *
+    * Ranks derive per list by (score desc, id asc) — a PARTITIONED
+    * window over per-list candidate sets. Overlap-at-depth counts
+    * are exact integers; the geometric weights are computed ONCE in
+    * Scala by repeated multiplication and inlined as the same
+    * double literals in the oracle (the Fellegi-Sunter inline-
+    * literal convention), each depth term rounded to 12 decimals
+    * and DECIMAL-summed. Emits one row per depth (overlap,
+    * agreement, cumulative rbo@d) — the last row is RBO@k. */
+  def rbo(scores: DataFrame, listCol: String, idCol: String,
+      scoreCol: String, listA: String, listB: String,
+      p: Double = 0.9, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 100, s"k in [1,100], got $k")
+    require(p > 0 && p < 1, s"p in (0,1), got $p")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__l__"))
+      .orderBy(col("__s__").desc, col("__i__").asc)
+    val ranked = scores
+      .filter(col(listCol).isin(listA, listB))
+      .select(col(listCol).as("__l__"), col(idCol).as("__i__"),
+        col(scoreCol).as("__s__"))
+      .withColumn("__r__", row_number().over(w))
+      .filter(col("__r__") <= k)
+    val a = ranked.filter(col("__l__") === listA)
+      .select(col("__i__"), col("__r__").as("ra"))
+    val b = ranked.filter(col("__l__") === listB)
+      .select(col("__i__"), col("__r__").as("rb"))
+    // overlap at depth d = ids with max(ra, rb) <= d: a histogram
+    // of that entry depth + a cumulative sum over the k-row depth
+    // table (LocalRelation equi-join — no nested-loop anywhere)
+    val hist = a.join(b, Seq("__i__"))
+      .select(greatest(col("ra"), col("rb")).as("d0"))
+      .groupBy("d0").agg(count(lit(1)).as("__c__"))
+    val session = scores.sparkSession
+    import session.implicits._
+    val depths = (1 to k).toDF("d")
+    val weights = Array.iterate(1.0, k)(_ * p)
+    val wCol = (1 until k).foldLeft(
+      when(col("d") === 1, weights(0))) { (acc, i) =>
+      acc.when(col("d") === i + 1, weights(i))
+    }
+    val wd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOverlap = depths
+      .join(hist, col("d") === col("d0"), "left")
+      .select(col("d"), coalesce(col("__c__"), lit(0L)).as("__c__"))
+      .withColumn("overlap", sum(col("__c__")).over(wd))
+    // drop depth rows only when the rankings share nothing at all
+    // (the SQL image groups an empty intersection to zero rows)
+    withOverlap
+      .select(col("d"), col("overlap"),
+        (col("overlap").cast("double") / col("d")).as("agreement"),
+        round(wCol * col("overlap") / col("d"), 12)
+          .cast("decimal(38,12)").as("__t__"))
+      .withColumn("rbo",
+        (lit(1.0) - p) * sum(col("__t__")).over(wd).cast("double"))
+      .drop("__t__")
+  }
+
   def rankEvalMacro(perQuery: DataFrame): DataFrame =
     perQuery.agg(count(lit(1)).cast("long").as("n_queries"),
       round(avg("p_at_k"), 6).as("mean_p_at_k"),

@@ -472,6 +472,46 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // rank-biased overlap between the cosine neighborhoods of two
+    // query embeddings: per-depth overlap (exact ints) + cumulative
+    // RBO with Scala-inlined geometric weights
+    "q423_rbo" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      def ranking(qid: Int, name: String) = {
+        // 1-row agg (not a bare filter) so the broadcast stat-row
+        // side is structurally bounded for the plan lint
+        val q = e.filter(col("vec_id") === qid)
+          .agg(first(col("embedding")).as("qv"))
+        e.filter(col("vec_id") =!= qid).crossJoin(broadcast(q))
+          .select(lit(name).as("list"), col("vec_id").as("id"),
+            round(graft.llm.Similarity.cosine(col("embedding"),
+              col("qv")), 6).as("score"))
+      }
+      graft.llm.RetrievalEval.rbo(
+          ranking(0, "qa").union(ranking(1, "qb")),
+          "list", "id", "score", "qa", "qb", p = 0.9, k = 10)
+        .select(col("d"), col("overlap"),
+          round(col("agreement"), 9).as("agreement"),
+          round(col("rbo"), 9).as("rbo"))
+        .orderBy("d")
+    }),
+
+    // Good-Turing vocabulary coverage per source: unseen-mass
+    // estimate n1/N in exact ppm
+    "q424_good_turing" -> ((s, d) =>
+      graft.llm.CorpusOps.goodTuringCoverage(
+        t(s, d, "documents"), "text", "source")
+        .orderBy("g")),
+
+    // tokenizer fertility of a fixed 5-merge BPE list per source —
+    // exact token/word totals via the oracle-replayable merge fold
+    "q425_bpe_fertility" -> ((s, d) =>
+      graft.llm.CorpusOps.bpeFertility(
+        t(s, d, "documents"), "text", "source",
+        Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+          ("o", "n")))
+        .orderBy("g")),
+
     // leakage-safe group split of events by user: per-split row and
     // user counts PLUS a structural leakage check (max splits any
     // user touches — must be 1)
@@ -2559,6 +2599,117 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // both neighborhoods replayed with the q47 cosine, identical
+    // (score desc, id) ranks, Scala-printed geometric weight
+    // literals, round-12 DECIMAL depth-term cumsum
+    "q423_rbo" -> {
+      val weights = Array.iterate(1.0, 10)(_ * 0.9)
+      val wCase = weights.zipWithIndex.map { case (wv, i) =>
+        s"WHEN ${i + 1} THEN ${wv}"
+      }.mkString(" ")
+      s"""WITH sc AS (
+         |  SELECT l, id,
+         |    round(list_dot_product(ev, qv) /
+         |      (sqrt(list_dot_product(ev, ev)) *
+         |       sqrt(list_dot_product(qv, qv))), 6) AS score
+         |  FROM (
+         |    SELECT 'qa' AS l, e.vec_id AS id,
+         |      CAST(e.embedding AS DOUBLE[]) AS ev,
+         |      CAST(q.embedding AS DOUBLE[]) AS qv
+         |    FROM embeddings e, embeddings q
+         |    WHERE q.vec_id = 0 AND e.vec_id <> 0
+         |    UNION ALL
+         |    SELECT 'qb', e.vec_id,
+         |      CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])
+         |    FROM embeddings e, embeddings q
+         |    WHERE q.vec_id = 1 AND e.vec_id <> 1)),
+         |rk AS (
+         |  SELECT l, id, row_number() OVER (PARTITION BY l
+         |    ORDER BY score DESC, id ASC) AS r
+         |  FROM sc),
+         |j AS (
+         |  SELECT greatest(a.r, b.r) AS mind
+         |  FROM (SELECT id, r FROM rk WHERE l = 'qa' AND r <= 10) a
+         |  JOIN (SELECT id, r FROM rk WHERE l = 'qb' AND r <= 10) b
+         |    USING (id)),
+         |hist AS (
+         |  SELECT mind AS d0, CAST(count(*) AS BIGINT) AS c
+         |  FROM j GROUP BY 1),
+         |per AS (
+         |  SELECT g.d AS d,
+         |    CAST(sum(coalesce(h.c, 0)) OVER (ORDER BY g.d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS overlap
+         |  FROM generate_series(1, 10) AS g(d)
+         |  LEFT JOIN hist h ON h.d0 = g.d),
+         |t AS (
+         |  SELECT CAST(d AS INTEGER) AS d, overlap,
+         |    CAST(overlap AS DOUBLE) / d AS agreement,
+         |    CAST(round((CASE d $wCase END) * overlap / d, 12)
+         |      AS DECIMAL(38,12)) AS tt
+         |  FROM per)
+         |SELECT d, overlap, round(agreement, 9) AS agreement,
+         |  round((1.0 - 0.9) * CAST(sum(tt) OVER (ORDER BY d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE), 9) AS rbo
+         |FROM t""".stripMargin
+    },
+
+    // identical word-keyed counts, exact hapax/ppm arithmetic
+    "q424_good_turing" ->
+      raw"""WITH toks AS (
+        |  SELECT source AS g, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0)) AS w
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+        |      FROM toks GROUP BY 1, 2)
+        |SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n2,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 //
+        |    sum(c) AS BIGINT) AS unseen_ppm,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 //
+        |    count(*) AS BIGINT) AS hapax_share_ppm
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // segmentation replayed as the q348-verified non-overlapping
+    // replace chain on the separator-encoded form, exact counts
+    "q425_bpe_fertility" ->
+      raw"""WITH words AS (
+        |  SELECT source AS g, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> length(x) > 0)) AS w
+        |    FROM documents
+        |    WHERE source IS NOT NULL AND text IS NOT NULL) q
+        |  WHERE regexp_matches(w, '^[a-z]{1,12}$$')
+        |  GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT w, CAST(len(string_split(trim(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(w, '(.)', ' \1 ', 'g'),
+        |      ' t  h ', ' th '),
+        |      ' th  e ', ' the '),
+        |      ' i  n ', ' in '),
+        |      ' a  n ', ' an '),
+        |      ' o  n ', ' on ')), '  ')) AS BIGINT) AS pieces
+        |  FROM (SELECT DISTINCT w FROM words))
+        |SELECT g, CAST(sum(c) AS BIGINT) AS n_words,
+        |  CAST(sum(c * pieces) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN pieces = 1 THEN c ELSE 0 END)
+        |    AS BIGINT) AS n_single,
+        |  CAST(sum(c * pieces) * 1000000 // sum(c) AS BIGINT)
+        |    AS fertility_ppm,
+        |  CAST(sum(CASE WHEN pieces = 1 THEN c ELSE 0 END) *
+        |    1000000 // sum(c) AS BIGINT) AS single_piece_ppm
+        |FROM words JOIN seg USING (w) GROUP BY 1""".stripMargin,
 
     // identical md5-lottery group assignment, identical counts and
     // structural leakage bound

@@ -77,6 +77,66 @@ class PipelineGuardSpec extends SparkSpecBase {
     r("all_rules")._1 shouldBe 1L
   }
 
+  test("rbo: identical rankings score 1 - p^k; disjoint score 0") {
+    import graft.llm.RetrievalEval
+    val same = (1 to 10).flatMap(i => Seq(
+      ("qa", i.toLong, 100.0 - i), ("qb", i.toLong, 100.0 - i)))
+      .toDF("list", "id", "score")
+    val r = RetrievalEval.rbo(same, "list", "id", "score",
+      "qa", "qb", p = 0.9, k = 10).orderBy("d").collect()
+    r.length shouldBe 10
+    all(r.map(x => x.getAs[Double]("agreement"))) shouldBe 1.0
+    approx(r.last.getAs[Double]("rbo"), 1.0 - math.pow(0.9, 10), 1e-9)
+    val disjoint = ((1 to 10).map(i => ("qa", i.toLong, 100.0 - i)) ++
+      (11 to 20).map(i => ("qb", i.toLong, 100.0 - i)))
+      .toDF("list", "id", "score")
+    val d = RetrievalEval.rbo(disjoint, "list", "id", "score",
+      "qa", "qb").collect()
+    d.length shouldBe 10
+    all(d.map(_.getAs[Long]("overlap"))) shouldBe 0L
+    all(d.map(_.getAs[Double]("rbo"))) shouldBe 0.0
+  }
+
+  test("rbo: hand-computed partial overlap") {
+    import graft.llm.RetrievalEval
+    // qa: 1,2,3 ; qb: 1,3,2 at k=3 -> overlaps 1,1,3
+    val df = Seq(("qa", 1L, 3.0), ("qa", 2L, 2.0), ("qa", 3L, 1.0),
+      ("qb", 1L, 3.0), ("qb", 3L, 2.0), ("qb", 2L, 1.0))
+      .toDF("list", "id", "score")
+    val r = RetrievalEval.rbo(df, "list", "id", "score",
+      "qa", "qb", p = 0.5, k = 3).orderBy("d").collect()
+    r.map(_.getAs[Long]("overlap")).toSeq shouldBe Seq(1L, 1L, 3L)
+    // rbo@3 = 0.5 * (1*1/1 + 0.5*1/2 + 0.25*3/3)
+    approx(r.last.getAs[Double]("rbo"),
+      0.5 * (1.0 + 0.25 + 0.25), 1e-9)
+  }
+
+  test("goodTuringCoverage: exact hapax arithmetic") {
+    import graft.llm.CorpusOps
+    val df = Seq(("s", "a a a b b c"), ("s", "d"))
+      .toDF("src", "text")
+    val r = CorpusOps.goodTuringCoverage(df, "text", "src")
+      .collect()(0)
+    r.getAs[Long]("n_tokens") shouldBe 7L
+    r.getAs[Long]("vocab") shouldBe 4L
+    r.getAs[Long]("n1") shouldBe 2L // c, d
+    r.getAs[Long]("n2") shouldBe 1L // b
+    r.getAs[Long]("unseen_ppm") shouldBe (2L * 1000000 / 7)
+  }
+
+  test("bpeFertility: fixed merges, hand-counted pieces") {
+    import graft.llm.CorpusOps
+    val df = Seq(("s", "the in zz the")).toDF("src", "text")
+    val r = CorpusOps.bpeFertility(df, "text", "src",
+      Seq(("t", "h"), ("th", "e"), ("i", "n")))
+      .collect()(0)
+    // the->1 piece (x2), in->1, zz->2 : words 4, tokens 5
+    r.getAs[Long]("n_words") shouldBe 4L
+    r.getAs[Long]("n_tokens") shouldBe 5L
+    r.getAs[Long]("n_single") shouldBe 3L
+    r.getAs[Long]("fertility_ppm") shouldBe 1250000L
+  }
+
   test("hardNegatives: nearest different-label candidates, " +
     "self and same-label excluded") {
     val df = Seq(
