@@ -799,12 +799,19 @@ object GraphOps {
     * orientation keeps the oracle SQL identical. */
   def edgeSupport(edges: DataFrame): DataFrame = {
     val canon = canonEdges(edges).cache()
-    val tri = triangles3(canon)
-    tri.select(col("a").as("u"), col("b").as("v"))
-      .union(tri.select(col("a").as("u"), col("c").as("v")))
-      .union(tri.select(col("b").as("u"), col("c").as("v")))
+    triEdgeCredits(triangles3(canon))
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
   }
+
+  /** The 3 canonical (u < v) edges of each (a, b, c) triangle —
+    * the apex c is (degree, id)-smallest, not id-smallest, so the
+    * c-edges re-canonicalize by id here. */
+  private def triEdgeCredits(tri: DataFrame): DataFrame =
+    tri.select(col("a").as("u"), col("b").as("v"))
+      .union(tri.select(least(col("a"), col("c")).as("u"),
+        greatest(col("a"), col("c")).as("v")))
+      .union(tri.select(least(col("b"), col("c")).as("u"),
+        greatest(col("b"), col("c")).as("v")))
 
   private def canonEdges(edges: DataFrame): DataFrame =
     edges.filter(col("src") =!= col("dst"))
@@ -812,14 +819,41 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
 
-  /** Enumerate each triangle once as (a < b < c). */
-  private def triangles3(canon: DataFrame): DataFrame =
-    canon.as("e1")
-      .join(canon.as("e2"), col("e2.a") === col("e1.b"))
+  /** Enumerate each triangle exactly once by compact-forward
+    * degree orientation (Latapy 2008): orient every edge from its
+    * (degree, id)-smaller endpoint, generate wedges only from
+    * out-edges, close against the canonical edge set. The
+    * orientation is acyclic, so each triangle is found exactly once
+    * — from its order-smallest vertex — and Σ out-deg² is bounded
+    * by O(m^1.5) REGARDLESS of hubs (the key-order a<b<c join blows
+    * up quadratically on a vertex that co-occurs with everything;
+    * degree orientation caps any vertex's wedge budget at √(2m)).
+    * Emits the triangle's three vertices (a, b, c) with a < b the
+    * canonical closing edge and c the wedge apex. */
+  private def triangles3(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("a").as("v"))
+      .union(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val oriented = canon
+      .join(deg.select(col("v").as("a"), col("dg").as("da")),
+        Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dg").as("db")),
+        Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t")))
+          .as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"))
+      .localCheckpoint(eager = true)
+    oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .join(canon.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"),
-        col("e2.b").as("c"))
+        col("e3.a") === col("e1.t") && col("e3.b") === col("e2.t"))
+      .select(col("e1.t").as("a"), col("e2.t").as("b"),
+        col("e1.s").as("c"))
+  }
 
   /** k-truss (Cohen 2008): the maximal subgraph where every edge is
     * supported by ≥ k−2 triangles. Iteratively recomputes support on
@@ -843,10 +877,7 @@ object GraphOps {
     val limit = if (rounds == -1) maxIter else rounds
     var converged = false
     while (it < limit && !converged) {
-      val tri = triangles3(cur)
-      val sup = tri.select(col("a").as("u"), col("b").as("v"))
-        .union(tri.select(col("a").as("u"), col("c").as("v")))
-        .union(tri.select(col("b").as("u"), col("c").as("v")))
+      val sup = triEdgeCredits(triangles3(cur))
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
       last = cur.join(
           sup.select(col("u").as("a"), col("v").as("b"),
