@@ -208,4 +208,30 @@ object Sources {
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties): Unit =
     df.write.mode("append").jdbc(url, table, props)
+
+  /** Bucketed parquet table write — THE co-location primitive for
+    * repeated large-scale joins/aggregations on a stable key (the
+    * SCALE.md §bucketing design): the write pays one shuffle into
+    * `numBuckets` hash buckets (optionally sorted within), and every
+    * later equi-join or aggregation on the bucket key between
+    * same-bucketed tables plans WITHOUT a ShuffleExchange — at
+    * 100 TB that converts the nightly fact-to-fact join from the
+    * dominant shuffle into a zipped per-bucket merge. Registered in
+    * the session catalog with data at `path` (external table, no
+    * warehouse pollution); read it back with `spark.table`.
+    * BucketingSpec asserts the exchange-free plans mechanically. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    require(numBuckets >= 1 && numBuckets <= 100000,
+      s"numBuckets in [1,100000], got $numBuckets")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val w0 = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w = if (sortCols.nonEmpty)
+      w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w.saveAsTable(tableName)
+  }
 }
