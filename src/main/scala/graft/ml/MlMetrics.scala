@@ -42,6 +42,110 @@ object MlMetrics {
           .as("f1"))
   }
 
+  /** Multiclass one-vs-rest classification report: per class, exact
+    * support/tp/fp/fn and precision/recall/F1 (sklearn
+    * `classification_report` semantics; a class with zero
+    * predictions gets null precision — feed [[multiclassMacro]],
+    * which applies the zero_division=0 convention). Three
+    * class-keyed aggregations joined on the class domain — exact
+    * integers, scales as a groupBy. */
+  def multiclassReport(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val base = df.filter(col(labelCol).isNotNull &&
+        col(predCol).isNotNull)
+      .select(col(labelCol).as("y"), col(predCol).as("p"))
+    val classes = base.select(col("y").as("cls"))
+      .union(base.select(col("p").as("cls"))).distinct()
+    val tp = base.filter(col("y") === col("p"))
+      .groupBy(col("y").as("cls")).agg(count(lit(1)).as("tp"))
+    val sup = base.groupBy(col("y").as("cls"))
+      .agg(count(lit(1)).as("support"))
+    val prd = base.groupBy(col("p").as("cls"))
+      .agg(count(lit(1)).as("predicted"))
+    classes
+      .join(tp, Seq("cls"), "left")
+      .join(sup, Seq("cls"), "left")
+      .join(prd, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("predicted") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("precision", when(col("predicted") > 0,
+        col("tp").cast("double") / col("predicted")))
+      .withColumn("recall", when(col("support") > 0,
+        col("tp").cast("double") / col("support")))
+      .withColumn("f1", when(col("support") + col("predicted") > 0,
+        lit(2.0) * col("tp") / (col("support") + col("predicted"))))
+  }
+
+  /** Macro/micro summary of [[multiclassReport]]: micro accuracy
+    * (Σtp over n, exact ppm) and macro-averaged precision/recall/F1
+    * with the sklearn zero_division=0 convention; per-class terms
+    * rounded to 12 decimals and DECIMAL-summed (order-free). */
+  def multiclassMacro(report: DataFrame): DataFrame = {
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(coalesce(c, lit(0.0)), 12).cast("decimal(38,12)"))
+    report.agg(count(lit(1)).as("k"),
+        sum(col("support")).as("n"), sum(col("tp")).as("tpsum"),
+        dsum(col("precision")).as("ps"), dsum(col("recall")).as("rs"),
+        dsum(col("f1")).as("fs"))
+      .select(col("k").cast("long").as("n_classes"),
+        col("n").cast("long").as("n"),
+        expr("tpsum * 1000000 div n").as("accuracy_ppm"),
+        (col("ps").cast("double") / col("k")).as("macro_precision"),
+        (col("rs").cast("double") / col("k")).as("macro_recall"),
+        (col("fs").cast("double") / col("k")).as("macro_f1"))
+  }
+
+  /** ROC operating-point table over the DISTINCT score values (the
+    * thresholds "predict positive iff score ≥ t"), with Youden's
+    * J = TPR − FPR and an expected-cost column, flagging the
+    * J-optimal and cost-optimal thresholds — how a deployed binary
+    * classifier's cutoff actually gets picked. Input scores should
+    * be lattice-valued for engine replay. Distinct-score aggregate
+    * (domain-bounded) + one ordered window over it. */
+  def rocThresholds(df: DataFrame, scoreCol: String,
+      labelCol: String, costFp: Double = 1.0,
+      costFn: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val y = col(labelCol).cast("boolean")
+    val s = col(scoreCol).cast("double")
+    val per = df.filter(y.isNotNull && s.isNotNull)
+      .groupBy(s.as("threshold"))
+      .agg(sum(when(y, 1L).otherwise(0L)).as("posc"),
+        sum(when(!y, 1L).otherwise(0L)).as("negc"))
+    val tot = per.agg(sum("posc").as("np"), sum("negc").as("nn"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.crossJoin(broadcast(tot))
+      .withColumn("tp", sum("posc").over(w))
+      .withColumn("fp", sum("negc").over(w))
+      .withColumn("fn", col("np") - col("tp"))
+      .withColumn("tpr", when(col("np") > 0,
+        col("tp").cast("double") / col("np")))
+      .withColumn("fpr", when(col("nn") > 0,
+        col("fp").cast("double") / col("nn")))
+      .withColumn("youden_j", col("tpr") - col("fpr"))
+      .withColumn("exp_cost", lit(costFp) * col("fp") +
+        lit(costFn) * col("fn"))
+    // ties break to the SMALLER threshold (max of (metric, -t))
+    val best = cum.agg(
+      max(struct(col("youden_j"), (col("threshold") * -1).as("nt")))
+        .as("bj"),
+      max(struct((col("exp_cost") * -1).as("nc"),
+        (col("threshold") * -1).as("nt"))).as("bc"))
+    cum.crossJoin(broadcast(best))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("tpr"), col("fpr"), col("youden_j"), col("exp_cost"),
+        (struct(col("youden_j"), (col("threshold") * -1).as("nt"))
+          === col("bj")).as("is_j_best"),
+        (struct((col("exp_cost") * -1).as("nc"),
+          (col("threshold") * -1).as("nt")) === col("bc"))
+          .as("is_cost_best"))
+  }
+
   /** MSE / MAE / RMSE / R² / explained variance from one aggregate of
     * sufficient sums. Integer-typed inputs accumulate exactly in
     * DECIMAL(38,0) (cross-engine reproducible); others in double. */

@@ -472,6 +472,67 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // multiclass one-vs-rest report over a 4-class hash task where
+    // the prediction agrees with the label 70% of the time
+    "q426_multiclass" -> ((s, d) => {
+      val lbl = floor(PipelineOps.hash48Unit(concat(
+        col("o_orderkey").cast("string"), lit("#mc"))) * 4)
+        .cast("long")
+      val alt = floor(PipelineOps.hash48Unit(concat(
+        col("o_orderkey").cast("string"), lit("#mp"))) * 4)
+        .cast("long")
+      val agree = PipelineOps.hash48Unit(concat(
+        col("o_orderkey").cast("string"), lit("#ag"))) < 0.7
+      val o = t(s, d, "orders").select(lbl.as("y"),
+        when(agree, lbl).otherwise(alt).as("p"))
+      graft.ml.MlMetrics.multiclassReport(o, "y", "p")
+        .select(col("cls"), col("support"), col("predicted"),
+          col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 9).as("precision"),
+          round(col("recall"), 9).as("recall"),
+          round(col("f1"), 9).as("f1"))
+        .orderBy("cls")
+    }),
+
+    // macro/micro summary of the same task (zero_division=0,
+    // round-12 DECIMAL per-class term sums)
+    "q427_multiclass_macro" -> ((s, d) => {
+      val lbl = floor(PipelineOps.hash48Unit(concat(
+        col("o_orderkey").cast("string"), lit("#mc"))) * 4)
+        .cast("long")
+      val alt = floor(PipelineOps.hash48Unit(concat(
+        col("o_orderkey").cast("string"), lit("#mp"))) * 4)
+        .cast("long")
+      val agree = PipelineOps.hash48Unit(concat(
+        col("o_orderkey").cast("string"), lit("#ag"))) < 0.7
+      val o = t(s, d, "orders").select(lbl.as("y"),
+        when(agree, lbl).otherwise(alt).as("p"))
+      graft.ml.MlMetrics.multiclassMacro(
+          graft.ml.MlMetrics.multiclassReport(o, "y", "p"))
+        .select(col("n_classes"), col("n"), col("accuracy_ppm"),
+          round(col("macro_precision"), 9).as("macro_precision"),
+          round(col("macro_recall"), 9).as("macro_recall"),
+          round(col("macro_f1"), 9).as("macro_f1"))
+    }),
+
+    // ROC operating points over the dyadic score lattice with
+    // Youden-J and cost-optimal threshold flags (cost FN = 4x FP)
+    "q428_roc_youden" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        (col("o_orderstatus") === "F").as("y"),
+        (floor(PipelineOps.hash48Unit(concat(col("o_orderkey")
+          .cast("string"), lit("#s"))) * 1024) / 1024).as("p"))
+      graft.ml.MlMetrics.rocThresholds(o, "p", "y",
+          costFp = 1.0, costFn = 4.0)
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          round(col("tpr"), 9).as("tpr"),
+          round(col("fpr"), 9).as("fpr"),
+          round(col("youden_j"), 9).as("youden_j"),
+          round(col("exp_cost"), 6).as("exp_cost"),
+          col("is_j_best"), col("is_cost_best"))
+        .orderBy("threshold")
+    }),
+
     // rank-biased overlap between the cosine neighborhoods of two
     // query embeddings: per-depth overlap (exact ints) + cumulative
     // RBO with Scala-inlined geometric weights
@@ -2599,6 +2660,135 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // identical hash task, identical one-vs-rest cell algebra
+    "q426_multiclass" -> {
+      val hm = h48("CAST(o_orderkey AS VARCHAR) || '#mc'")
+      val hp = h48("CAST(o_orderkey AS VARCHAR) || '#mp'")
+      val ha = h48("CAST(o_orderkey AS VARCHAR) || '#ag'")
+      s"""WITH o AS (
+         |  SELECT CAST(floor($hm * 4) AS BIGINT) AS y,
+         |    CASE WHEN $ha < 0.7 THEN CAST(floor($hm * 4) AS BIGINT)
+         |      ELSE CAST(floor($hp * 4) AS BIGINT) END AS p
+         |  FROM orders),
+         |cls AS (SELECT DISTINCT y AS cls FROM o
+         |        UNION SELECT DISTINCT p FROM o),
+         |tp AS (SELECT y AS cls, CAST(count(*) AS BIGINT) AS tp
+         |       FROM o WHERE y = p GROUP BY 1),
+         |sup AS (SELECT y AS cls, CAST(count(*) AS BIGINT) AS support
+         |        FROM o GROUP BY 1),
+         |prd AS (SELECT p AS cls, CAST(count(*) AS BIGINT)
+         |          AS predicted FROM o GROUP BY 1),
+         |j AS (
+         |  SELECT c.cls, coalesce(s.support, 0) AS support,
+         |    coalesce(pr.predicted, 0) AS predicted,
+         |    coalesce(t.tp, 0) AS tp
+         |  FROM cls c LEFT JOIN tp t USING (cls)
+         |  LEFT JOIN sup s USING (cls) LEFT JOIN prd pr USING (cls))
+         |SELECT cls, support, predicted, tp,
+         |  predicted - tp AS fp, support - tp AS fn,
+         |  CASE WHEN predicted > 0 THEN
+         |    round(CAST(tp AS DOUBLE) / predicted, 9) END
+         |    AS precision,
+         |  CASE WHEN support > 0 THEN
+         |    round(CAST(tp AS DOUBLE) / support, 9) END AS recall,
+         |  CASE WHEN support + predicted > 0 THEN
+         |    round(2.0 * tp / (support + predicted), 9) END AS f1
+         |FROM j""".stripMargin
+    },
+
+    // same per-class cells, round-12 DECIMAL macro sums,
+    // zero_division -> 0
+    "q427_multiclass_macro" -> {
+      val hm = h48("CAST(o_orderkey AS VARCHAR) || '#mc'")
+      val hp = h48("CAST(o_orderkey AS VARCHAR) || '#mp'")
+      val ha = h48("CAST(o_orderkey AS VARCHAR) || '#ag'")
+      s"""WITH o AS (
+         |  SELECT CAST(floor($hm * 4) AS BIGINT) AS y,
+         |    CASE WHEN $ha < 0.7 THEN CAST(floor($hm * 4) AS BIGINT)
+         |      ELSE CAST(floor($hp * 4) AS BIGINT) END AS p
+         |  FROM orders),
+         |cls AS (SELECT DISTINCT y AS cls FROM o
+         |        UNION SELECT DISTINCT p FROM o),
+         |tp AS (SELECT y AS cls, CAST(count(*) AS BIGINT) AS tp
+         |       FROM o WHERE y = p GROUP BY 1),
+         |sup AS (SELECT y AS cls, CAST(count(*) AS BIGINT) AS support
+         |        FROM o GROUP BY 1),
+         |prd AS (SELECT p AS cls, CAST(count(*) AS BIGINT)
+         |          AS predicted FROM o GROUP BY 1),
+         |j AS (
+         |  SELECT c.cls, coalesce(s.support, 0) AS support,
+         |    coalesce(pr.predicted, 0) AS predicted,
+         |    coalesce(t.tp, 0) AS tp
+         |  FROM cls c LEFT JOIN tp t USING (cls)
+         |  LEFT JOIN sup s USING (cls) LEFT JOIN prd pr USING (cls)),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(support) AS BIGINT) AS n,
+         |    CAST(sum(tp) AS BIGINT) AS tpsum,
+         |    sum(CAST(round(coalesce(CASE WHEN predicted > 0 THEN
+         |      CAST(tp AS DOUBLE) / predicted END, 0.0), 12)
+         |      AS DECIMAL(38,12))) AS ps,
+         |    sum(CAST(round(coalesce(CASE WHEN support > 0 THEN
+         |      CAST(tp AS DOUBLE) / support END, 0.0), 12)
+         |      AS DECIMAL(38,12))) AS rs,
+         |    sum(CAST(round(coalesce(CASE WHEN support + predicted
+         |      > 0 THEN 2.0 * tp / (support + predicted) END, 0.0),
+         |      12) AS DECIMAL(38,12))) AS fs
+         |  FROM j)
+         |SELECT k AS n_classes, n,
+         |  CAST(tpsum * 1000000 // n AS BIGINT) AS accuracy_ppm,
+         |  round(CAST(ps AS DOUBLE) / k, 9) AS macro_precision,
+         |  round(CAST(rs AS DOUBLE) / k, 9) AS macro_recall,
+         |  round(CAST(fs AS DOUBLE) / k, 9) AS macro_f1
+         |FROM a""".stripMargin
+    },
+
+    // identical distinct-threshold cumulative cells; best flags ==
+    // row_number over the identical tie-break
+    "q428_roc_youden" -> {
+      val hs = h48("CAST(o_orderkey AS VARCHAR) || '#s'")
+      s"""WITH o AS (
+         |  SELECT (o_orderstatus = 'F') AS y,
+         |    floor($hs * 1024) / 1024 AS p
+         |  FROM orders),
+         |per AS (
+         |  SELECT p AS threshold,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS posc,
+         |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS negc
+         |  FROM o GROUP BY 1),
+         |tot AS (SELECT CAST(sum(posc) AS BIGINT) AS np,
+         |        CAST(sum(negc) AS BIGINT) AS nn FROM per),
+         |cum AS (
+         |  SELECT threshold, np, nn,
+         |    CAST(sum(posc) OVER w AS BIGINT) AS tp,
+         |    CAST(sum(negc) OVER w AS BIGINT) AS fp
+         |  FROM per CROSS JOIN tot
+         |  WINDOW w AS (ORDER BY threshold DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |x AS (
+         |  SELECT threshold, tp, fp, np - tp AS fn,
+         |    CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / np END
+         |      AS tpr,
+         |    CASE WHEN nn > 0 THEN CAST(fp AS DOUBLE) / nn END
+         |      AS fpr,
+         |    CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / np END -
+         |      CASE WHEN nn > 0 THEN CAST(fp AS DOUBLE) / nn END
+         |      AS youden_j,
+         |    1.0 * fp + 4.0 * (np - tp) AS exp_cost
+         |  FROM cum)
+         |SELECT threshold, tp, fp, fn,
+         |  round(tpr, 9) AS tpr, round(fpr, 9) AS fpr,
+         |  round(youden_j, 9) AS youden_j,
+         |  round(exp_cost, 6) AS exp_cost,
+         |  row_number() OVER (ORDER BY youden_j DESC,
+         |    threshold ASC) = 1 AS is_j_best,
+         |  row_number() OVER (ORDER BY exp_cost ASC,
+         |    threshold ASC) = 1 AS is_cost_best
+         |FROM x""".stripMargin
+    },
 
     // both neighborhoods replayed with the q47 cosine, identical
     // (score desc, id) ranks, Scala-printed geometric weight

@@ -77,6 +77,59 @@ class PipelineGuardSpec extends SparkSpecBase {
     r("all_rules")._1 shouldBe 1L
   }
 
+  test("multiclassReport + macro: hand-computed 3-class cells") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), // a: tp 2, fn 1
+      ("b", "b"), ("b", "c"), // b: tp 1, fn 1; pred b gets fp 1
+      ("c", "c")) // c: tp 1, fp 1 (from b)
+      .toDF("y", "p")
+    val rep = MlMetrics.multiclassReport(df, "y", "p")
+      .orderBy("cls").collect()
+    val a = rep(0)
+    (a.getAs[Long]("support"), a.getAs[Long]("tp"),
+      a.getAs[Long]("fp"), a.getAs[Long]("fn")) shouldBe
+      ((3L, 2L, 0L, 1L))
+    approx(a.getAs[Double]("precision"), 1.0)
+    approx(a.getAs[Double]("recall"), 2.0 / 3)
+    approx(a.getAs[Double]("f1"), 4.0 / 5)
+    val m = MlMetrics.multiclassMacro(
+      MlMetrics.multiclassReport(df, "y", "p")).collect()(0)
+    m.getAs[Long]("n_classes") shouldBe 3L
+    m.getAs[Long]("accuracy_ppm") shouldBe (4L * 1000000 / 6)
+    // macro precision = (1 + 1/2 + 1/2)/3
+    approx(m.getAs[Double]("macro_precision"), 2.0 / 3, 1e-9)
+  }
+
+  test("multiclassReport: class predicted but never labeled gets " +
+    "null recall and support 0") {
+    val df = Seq(("a", "a"), ("a", "z")).toDF("y", "p")
+    val z = MlMetrics.multiclassReport(df, "y", "p")
+      .filter(col("cls") === "z").collect()(0)
+    z.getAs[Long]("support") shouldBe 0L
+    z.getAs[Long]("fp") shouldBe 1L
+    z.isNullAt(z.fieldIndex("recall")) shouldBe true
+  }
+
+  test("rocThresholds: hand-computed operating points and best " +
+    "flags") {
+    // pos scores: .9 .7 ; neg scores: .7 .3
+    val df = Seq((true, 0.9), (true, 0.7), (false, 0.7),
+      (false, 0.3)).toDF("y", "p")
+    val r = MlMetrics.rocThresholds(df, "p", "y", costFp = 1.0,
+      costFn = 4.0).orderBy(desc("threshold")).collect()
+    r.length shouldBe 3
+    // t=.9: tp1 fp0 -> J=.5; t=.7: tp2 fp1 -> J=1-.5=.5; t=.3: J=0
+    approx(r(0).getAs[Double]("youden_j"), 0.5)
+    approx(r(1).getAs[Double]("youden_j"), 0.5)
+    // J tie between .9 and .7 -> smaller threshold wins
+    r(1).getAs[Boolean]("is_j_best") shouldBe true
+    r(0).getAs[Boolean]("is_j_best") shouldBe false
+    // costs: t=.9 -> 0+4*1=4; t=.7 -> 1+0=1; t=.3 -> 2
+    r.map(_.getAs[Double]("exp_cost")).toSeq shouldBe
+      Seq(4.0, 1.0, 2.0)
+    r(1).getAs[Boolean]("is_cost_best") shouldBe true
+  }
+
   test("rbo: identical rankings score 1 - p^k; disjoint score 0") {
     import graft.llm.RetrievalEval
     val same = (1 to 10).flatMap(i => Seq(
