@@ -142,7 +142,13 @@ object Bench {
       // gate-only: a dense co-occurrence graph degenerates under its
       // binding hub cap at bench scales — see SCALE.md round 7)
       "q388_linkage_block_audit", "q392_hits",
-      "q394_pipeline_funnel")
+      "q394_pipeline_funnel",
+      // round-7 late headliners: exact-integer personalized
+      // PageRank, TextRank keywords (graph+text composition),
+      // native-kernel winnowing pairs, uplift/Qini, hard-negative
+      // mining over embeddings
+      "q402_ppr", "q411_textrank", "q415_winnow_pairs",
+      "q405_uplift", "q422_hard_negatives")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))
