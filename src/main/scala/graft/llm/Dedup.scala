@@ -428,6 +428,34 @@ object Dedup {
         expr("pk & 1099511627775").as("fp"))
   }
 
+  /** MinHash-LSH parameter planner: the detection-probability curve
+    * p(s) = 1 − (1 − s^r)^b over a similarity grid for a (bands b,
+    * rows-per-band r) configuration, plus the 50%-detection
+    * threshold s* = (1/b)^(1/r) — how the q44 banding parameters
+    * get CHOSEN before a corpus-scale dedup run. Powers are expanded
+    * as explicit repeated multiplication (left-associated — the
+    * identical float expression tree in any engine; no libm pow in
+    * the curve), so the table is engine-replayable bit-for-bit. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, bands: Int,
+      rowsPerBand: Int, steps: Int = 20): DataFrame = {
+    require(bands >= 1 && bands <= 64, s"bands in [1,64], got $bands")
+    require(rowsPerBand >= 1 && rowsPerBand <= 32,
+      s"rowsPerBand in [1,32], got $rowsPerBand")
+    require(steps >= 2 && steps <= 1000,
+      s"steps in [2,1000], got $steps")
+    import spark.implicits._
+    val base = (1 until steps).toDF("i")
+      .select(col("i"), (col("i").cast("double") / steps).as("s"))
+    val sR = Seq.fill(rowsPerBand)(col("s")).reduce(_ * _)
+    val oneMinus = lit(1.0) - sR
+    val miss = Seq.fill(bands)(oneMinus).reduce(_ * _)
+    val sStar = math.pow(1.0 / bands, 1.0 / rowsPerBand)
+    base.select(col("i"), col("s"),
+      (lit(1.0) - miss).as("p_detect"),
+      lit(sStar).as("s_half"),
+      (lit(1.0) - miss >= 0.5).as("above_half"))
+  }
+
   /** Shared-passage candidate pairs from [[winnowingFingerprints]]:
     * documents sharing ≥ `minShared` selected fingerprints, with
     * fingerprint-set Jaccard. The postings self-join is keyed on the

@@ -986,6 +986,36 @@ object PipelineOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Code-vs-prose heuristic score per document — the cheap "is
+    * this code?" router a mixed web corpus applies before language
+    * ID (code wants different dedup/quality rules than prose):
+    * exact counts of code-ish characters ({}[]();=<>#), digit share
+    * and code keywords vs prose stop words, combined into an exact
+    * integer score in ppm (each signal a cross-multiplied integer
+    * ratio — no floats anywhere). `is_code` = score above the
+    * threshold. Map-side only. */
+  def codeScore(df: DataFrame, idCol: String, textCol: String,
+      thresholdPpm: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val kw = Seq("def", "return", "import", "class", "void", "int",
+      "var", "const", "function")
+    val tk = graft.functions.TextFunctions.tokens(lower(t))
+    val kwHits = size(filter(tk, w => w.isin(kw: _*))).cast("long")
+    val words = size(tk).cast("long")
+    df.filter(t.isNotNull && length(t) > 0)
+      .select(col(idCol), length(t).cast("long").as("n_chars"),
+        cnt("[{}\\[\\]();=<>#]").as("n_codechar"),
+        kwHits.as("n_kw"), words.as("n_words"))
+      // score = codechar share + 2x keyword share, both in ppm
+      .withColumn("score_ppm",
+        expr("n_codechar * 1000000 div n_chars") +
+          when(col("n_words") > 0,
+            expr("n_kw * 2000000 div n_words")).otherwise(0L))
+      .withColumn("is_code", col("score_ppm") >= thresholdPpm)
+  }
+
   /** Leakage-safe train/test split by GROUP: every row of a group
     * (user, document cluster, session) lands on the same side, so no
     * entity straddles the boundary — the split bug that silently

@@ -472,6 +472,45 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // code-vs-prose router score per source: exact integer signal
+    // counts and ppm scores, no floats anywhere
+    "q429_code_score" -> ((s, d) =>
+      PipelineOps.codeScore(t(s, d, "documents"), "doc_id", "text")
+        .join(t(s, d, "documents").select(col("doc_id"),
+          col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+          sum(col("score_ppm")).as("score_sum"),
+          sum(col("n_codechar")).as("codechars"))
+        .withColumn("mean_score_ppm",
+          expr("score_sum div n_docs"))
+        .orderBy("source")),
+
+    // MinHash-LSH parameter planner for the q44 (16 bands x 8 rows)
+    // configuration: detection curve by repeated multiplication
+    // (identical float tree both engines)
+    "q430_lsh_plan" -> ((s, d) =>
+      graft.llm.Dedup.lshPlan(s, bands = 16, rowsPerBand = 8,
+        steps = 20)
+        .select(col("i"), round(col("s"), 9).as("s"),
+          round(col("p_detect"), 9).as("p_detect"),
+          round(col("s_half"), 9).as("s_half"),
+          col("above_half"))
+        .orderBy("i")),
+
+    // Hill tail-index of order spend per priority class — the
+    // heavy-tail detector before trusting means/z-scores
+    "q431_hill" -> ((s, d) =>
+      graft.stats.StatsOps.hillTailIndex(
+        t(s, d, "orders").select(col("o_orderpriority").as("pri"),
+          cents(col("o_totalprice")).as("vc")),
+        Seq("pri"), "vc", k = 100)
+        .select(col("pri"), col("k_used"), col("x_k1"),
+          round(col("hill"), 9).as("hill"),
+          round(col("alpha"), 9).as("alpha"))
+        .orderBy("pri")),
+
     // multiclass one-vs-rest report over a 4-class hash task where
     // the prediction agrees with the label 70% of the time
     "q426_multiclass" -> ((s, d) => {
@@ -2660,6 +2699,82 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // identical regexp/keyword counts, identical integer ppm score
+    "q429_code_score" ->
+      raw"""WITH per AS (
+        |  SELECT doc_id, source, length(text) AS nc,
+        |    length(text) - length(regexp_replace(text,
+        |      '[{}\[\]();=<>#]', '', 'g')) AS ncc,
+        |    len(list_filter(list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> length(x) > 0),
+        |      w -> w IN ('def', 'return', 'import', 'class', 'void',
+        |        'int', 'var', 'const', 'function'))) AS nkw,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+        |      '\s+'), x -> length(x) > 0)) AS nw
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |sc AS (
+        |  SELECT source,
+        |    CAST(ncc * 1000000 // nc AS BIGINT) +
+        |    CAST(CASE WHEN nw > 0 THEN nkw * 2000000 // nw
+        |      ELSE 0 END AS BIGINT) AS score_ppm,
+        |    ncc
+        |  FROM per)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN score_ppm >= 100000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_code,
+        |  CAST(sum(score_ppm) AS BIGINT) AS score_sum,
+        |  CAST(sum(ncc) AS BIGINT) AS codechars,
+        |  CAST(sum(score_ppm) // count(*) AS BIGINT)
+        |    AS mean_score_ppm
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    // identical repeated-multiplication power expansion, inlined
+    // s_half literal from the same Scala computation
+    "q430_lsh_plan" -> {
+      val sStar = math.pow(1.0 / 16, 1.0 / 8)
+      val s8 = Seq.fill(8)("s").mkString(" * ")
+      val m16 = Seq.fill(16)("(1.0 - s8)").mkString(" * ")
+      s"""WITH g AS (
+         |  SELECT CAST(i AS INTEGER) AS i,
+         |    CAST(i AS DOUBLE) / 20 AS s
+         |  FROM generate_series(1, 19) AS t(i)),
+         |x AS (SELECT i, s, $s8 AS s8 FROM g),
+         |y AS (SELECT i, s, 1.0 - ($m16) AS p FROM x)
+         |SELECT i, round(s, 9) AS s, round(p, 9) AS p_detect,
+         |  round($sStar, 9) AS s_half,
+         |  p >= 0.5 AS above_half
+         |FROM y""".stripMargin
+    },
+
+    // identical per-key top-(k+1) value multiset, round-12 DECIMAL
+    // ln-ratio sums
+    "q431_hill" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+        |  FROM orders
+        |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |rk AS (
+        |  SELECT pri, vc, row_number() OVER (PARTITION BY pri
+        |    ORDER BY vc DESC) AS r
+        |  FROM o),
+        |xk1 AS (SELECT pri, CAST(vc AS DOUBLE) AS xk1
+        |        FROM rk WHERE r = 101),
+        |top AS (SELECT pri, vc FROM rk WHERE r <= 100)
+        |SELECT t.pri, CAST(count(*) AS BIGINT) AS k_used,
+        |  any_value(xk1) AS x_k1,
+        |  round(CAST(sum(CAST(round(ln(CAST(vc AS DOUBLE) / xk1),
+        |    12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9)
+        |    AS hill,
+        |  CASE WHEN sum(CAST(round(ln(CAST(vc AS DOUBLE) / xk1), 12)
+        |    AS DECIMAL(38,12))) > 0 THEN
+        |    round(CAST(count(*) AS DOUBLE) /
+        |      CAST(sum(CAST(round(ln(CAST(vc AS DOUBLE) / xk1), 12)
+        |        AS DECIMAL(38,12))) AS DOUBLE), 9) END AS alpha
+        |FROM top t JOIN xk1 USING (pri) GROUP BY 1""".stripMargin,
 
     // identical hash task, identical one-vs-rest cell algebra
     "q426_multiclass" -> {

@@ -3745,6 +3745,45 @@ object StatsOps {
         lit(1.0) - Distributions.normalCdfCol(col("z_wh")))
   }
 
+  /** Hill tail-index estimator per key (Hill 1975): over the top
+    * k+1 order statistics of a positive column,
+    *   H = (1/k) Σ_{i=1..k} ln(x_(i) / x_(k+1)),  α̂ = 1/H
+    * — the standard heavy-tail detector (α < 2: infinite variance;
+    * α < 1: infinite mean) a pipeline runs on spend / token-count /
+    * degree distributions before trusting means and z-scores.
+    *
+    * Per-key top-(k+1) via a PARTITIONED window (rank pushdown —
+    * never a global sort); the value multiset of the top set is
+    * tie-resolution-independent, each ln term is rounded to 12
+    * decimals and DECIMAL-summed (order-free). Pass exact-integer
+    * values (cents/counts) so both engines see identical ratios. */
+  def hillTailIndex(df0: DataFrame, keyCols: Seq[String],
+      valueCol: String, k: Int = 100): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k in [2,100000], got $k")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(v.desc)
+    val top = df0.filter(v.isNotNull && v > 0)
+      .withColumn("__r__", row_number().over(w))
+      .filter(col("__r__") <= k + 1)
+    val xk1 = top.filter(col("__r__") === k + 1)
+      .select((keyCols.map(col) :+
+        v.cast("double").as("__xk1__")): _*)
+    top.filter(col("__r__") <= k)
+      .join(xk1, keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("k_used"),
+        first(col("__xk1__")).as("x_k1"),
+        sum(round(log(v.cast("double") / col("__xk1__")), 12)
+          .cast("decimal(38,12)")).as("hsum"))
+      .select(keyCols.map(col) ++ Seq(
+        col("k_used").cast("long").as("k_used"), col("x_k1"),
+        (col("hsum").cast("double") / col("k_used")).as("hill"),
+        when(col("hsum") > 0, col("k_used").cast("double") /
+          col("hsum").cast("double")).as("alpha")): _*)
+  }
+
   /** Negative-binomial fit per key by method of moments (the
     * companion to [[dispersionTest]]: once D = s²/x̄ > 1 flags
     * overdispersion, this is the NB2 the count model switches to):

@@ -77,6 +77,48 @@ class PipelineGuardSpec extends SparkSpecBase {
     r("all_rules")._1 shouldBe 1L
   }
 
+  test("codeScore flags code-like text and not prose") {
+    val df = Seq(
+      (1L, "def f(x): return [x for x in range(10)]; import os"),
+      (2L, "the quiet afternoon light settled over the garden"))
+      .toDF("id", "text")
+    val r = PipelineOps.codeScore(df, "id", "text")
+      .orderBy("id").collect()
+    r(0).getAs[Boolean]("is_code") shouldBe true
+    r(1).getAs[Boolean]("is_code") shouldBe false
+    r(1).getAs[Long]("n_codechar") shouldBe 0L
+  }
+
+  test("lshPlan: curve is monotone, s_half calibrated, and the " +
+    "16x8 q44 config detects ~always above 0.9 similarity") {
+    val p = graft.llm.Dedup.lshPlan(spark, bands = 16,
+      rowsPerBand = 8).orderBy("i").collect()
+    val ps = p.map(_.getAs[Double]("p_detect"))
+    ps.zip(ps.tail).foreach { case (a, b) => a should be <= b }
+    // s* = (1/16)^(1/8); p(s*) should be near 1 - (1-1/16)^16 ~ .644
+    val sHalf = p.head.getAs[Double]("s_half")
+    approx(sHalf, math.pow(1.0 / 16, 1.0 / 8), 1e-12)
+    ps.last should be >= 0.999 // s = 0.95
+    p.count(_.getAs[Boolean]("above_half")) should be >= 1
+  }
+
+  test("hillTailIndex: Pareto-ish data recovers the tail exponent") {
+    // x_i = floor(1e6 / i^(1/2)) has tail index ~2
+    val df = (1 to 5000).map { i =>
+      ("k", math.floor(1e6 / math.sqrt(i.toDouble)).toLong)
+    }.toDF("key", "v")
+    val r = graft.stats.StatsOps.hillTailIndex(df, Seq("key"), "v",
+      k = 200).collect()(0)
+    r.getAs[Long]("k_used") shouldBe 200L
+    val alpha = r.getAs[Double]("alpha")
+    alpha should (be >= 1.5 and be <= 2.5)
+    // light-tail control: uniform-ish values -> alpha far larger
+    val light = (1 to 5000).map(i => ("k", 1000000L + i))
+      .toDF("key", "v")
+    graft.stats.StatsOps.hillTailIndex(light, Seq("key"), "v",
+      k = 200).collect()(0).getAs[Double]("alpha") should be >= 100.0
+  }
+
   test("multiclassReport + macro: hand-computed 3-class cells") {
     val df = Seq(
       ("a", "a"), ("a", "a"), ("a", "b"), // a: tp 2, fn 1
