@@ -986,6 +986,58 @@ object PipelineOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Dataset card ("datasheets for datasets", Gebru et al. 2021) —
+    * the one-page numeric summary a corpus release ships with,
+    * computed in a handful of exact aggregates and emitted as
+    * (metric, value) rows: sizes, exact-duplicate rate, slice
+    * entropies (how concentrated the language/source mix is), and
+    * the hapax share (vocabulary freshness). Every number is either
+    * an exact integer, an exact-ppm integer division, or a round-12
+    * DECIMAL-summed entropy — engine-replayable end to end. */
+  def datasetCard(docs: DataFrame, textCol: String, langCol: String,
+      sourceCol: String): DataFrame = {
+    val t = col(textCol)
+    val base = docs.filter(t.isNotNull)
+    val tk = graft.functions.TextFunctions.tokens(lower(t))
+    val sizes = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(t).cast("long")).as("n_chars"),
+      sum(size(tk).cast("long")).as("n_tokens"),
+      countDistinct(md5(t)).as("n_distinct"))
+    def entropyOf(keyCol: String, name: String) = {
+      val c = base.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      val tot = c.agg(sum("c").as("n"))
+      val p = col("c").cast("double") / col("n")
+      c.crossJoin(broadcast(tot))
+        .select(round(-p * log(p), 12).cast("decimal(38,12)")
+          .as("h"))
+        .agg(sum("h").as("hs"))
+        .select(lit(name).as("metric"),
+          col("hs").cast("double").as("value"))
+    }
+    val hapax = base
+      .select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(lit("hapax_share_ppm").as("metric"),
+        expr("n1 * 1000000 div vocab").cast("double").as("value"))
+    val sizeRows = Seq(
+      ("n_docs", col("n_docs")),
+      ("n_chars", col("n_chars")),
+      ("n_tokens", col("n_tokens")),
+      ("exact_dup_ppm",
+        expr("(n_docs - n_distinct) * 1000000 div n_docs")),
+      ("mean_chars", expr("n_chars div n_docs"))).map {
+      case (name, c) => sizes.select(lit(name).as("metric"),
+        c.cast("double").as("value"))
+    }
+    (sizeRows :+ entropyOf(langCol, "lang_entropy_nats") :+
+      entropyOf(sourceCol, "source_entropy_nats") :+ hapax)
+      .reduce(_ unionByName _)
+  }
+
   /** Code-vs-prose heuristic score per document — the cheap "is
     * this code?" router a mixed web corpus applies before language
     * ID (code wants different dedup/quality rules than prose):

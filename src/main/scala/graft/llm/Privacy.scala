@@ -51,6 +51,53 @@ object Privacy {
       .withColumn("pct_below_k",
         col("rows_below_k").cast("double") / col("n_rows"))
 
+  /** Entropy l-diversity + t-closeness audit per equivalence class
+    * (Machanavajjhala et al. 2007; Li et al. 2007) — the stronger
+    * follow-ups once [[kAnonymityClasses]] passes: distinct-count
+    * l-diversity is gameable by skew (99 of 100 rows sharing one
+    * sensitive value still "has 2 distinct values"), so report
+    *  - entropy l-diversity: exp(−Σ p ln p) over the class's
+    *    sensitive distribution ("effective number of values"), and
+    *  - t-closeness as total-variation distance ½Σ|p_class − p_all|
+    *    to the GLOBAL sensitive distribution (a class that leaks
+    *    nothing sits at 0).
+    * Two exact count aggregates + a broadcast of the (bounded)
+    * sensitive-domain global counts; per-value terms rounded to 12
+    * decimals and DECIMAL-summed — order-free, engine-replayable. */
+  def diversityCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    val cell = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__s__")): _*)
+      .agg(count(lit(1)).as("ns"))
+    val glob = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy(col(sensitiveCol).as("__s__"))
+      .agg(count(lit(1)).as("gs"))
+    val tot = glob.agg(sum("gs").as("g"))
+    val p = col("ns").cast("double") / col("nc")
+    val q = col("gs").cast("double") / col("g")
+    val withN = cell
+      .join(broadcast(glob), Seq("__s__"))
+      .crossJoin(broadcast(tot))
+    val perClass = withN
+      .join(withN.groupBy(quasiCols.map(col): _*)
+        .agg(sum("ns").as("nc")), quasiCols)
+      .select((quasiCols.map(col) ++ Seq(col("nc"), col("ns"),
+        round(-p * log(p), 12).cast("decimal(38,12)").as("__h__"),
+        round(abs(p - q), 12).cast("decimal(38,12)").as("__d__"))): _*)
+    perClass.groupBy(quasiCols.map(col): _*)
+      .agg(first(col("nc")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        sum(col("__h__")).as("hsum"),
+        sum(col("__d__")).as("dsum"))
+      .select((quasiCols.map(col) ++ Seq(
+        col("n").cast("long").as("n"),
+        col("l_distinct").cast("long").as("l_distinct"),
+        col("hsum").cast("double").as("entropy_nats"),
+        exp(col("hsum").cast("double")).as("entropy_l"),
+        (col("dsum").cast("double") / 2).as("t_closeness"))): _*)
+  }
+
   /** Laplace inverse-CDF noise at scale b from a uniform u:
     * −b·sgn(u−½)·ln(1−2|u−½|). u is clamped into
     * [2⁻⁴⁹, 1−2⁻⁴⁹] first — the 48-bit lattice can yield exactly 0

@@ -472,6 +472,29 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // entropy l-diversity + t-closeness per (segment, priority)
+    // quasi-identifier class, sensitive = order status
+    "q432_l_diversity" -> ((s, d) => {
+      val o = t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("status"))
+      graft.llm.Privacy.diversityCloseness(o, Seq("seg", "pri"),
+          "status")
+        .select(col("seg"), col("pri"), col("n"), col("l_distinct"),
+          round(col("entropy_nats"), 9).as("entropy_nats"),
+          round(col("entropy_l"), 9).as("entropy_l"),
+          round(col("t_closeness"), 9).as("t_closeness"))
+        .orderBy("seg", "pri")
+    }),
+
+    // dataset card: sizes, exact-dup rate, slice entropies, hapax
+    // share as (metric, value) rows — the release datasheet
+    "q433_dataset_card" -> ((s, d) =>
+      PipelineOps.datasetCard(t(s, d, "documents"), "text", "lang",
+        "source").orderBy("metric")),
+
     // code-vs-prose router score per source: exact integer signal
     // counts and ppm scores, no floats anywhere
     "q429_code_score" -> ((s, d) =>
@@ -2699,6 +2722,91 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // identical cell/global counts, round-12 DECIMAL entropy and
+    // TVD term sums
+    "q432_l_diversity" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+        |    o_orderstatus AS status
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderstatus IS NOT NULL),
+        |cell AS (
+        |  SELECT seg, pri, status, CAST(count(*) AS BIGINT) AS ns
+        |  FROM o GROUP BY 1, 2, 3),
+        |gcnt AS (SELECT status, CAST(count(*) AS BIGINT) AS gs
+        |         FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gs) AS BIGINT) AS g FROM gcnt),
+        |cl AS (SELECT seg, pri, CAST(sum(ns) AS BIGINT) AS nc
+        |       FROM cell GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT c.seg, c.pri, cl.nc, c.ns,
+        |    CAST(round(-(CAST(c.ns AS DOUBLE) / cl.nc) *
+        |      ln(CAST(c.ns AS DOUBLE) / cl.nc), 12)
+        |      AS DECIMAL(38,12)) AS h,
+        |    CAST(round(abs(CAST(c.ns AS DOUBLE) / cl.nc -
+        |      CAST(gl.gs AS DOUBLE) / t.g), 12)
+        |      AS DECIMAL(38,12)) AS dd
+        |  FROM cell c
+        |  JOIN cl ON cl.seg = c.seg AND cl.pri = c.pri
+        |  JOIN gcnt gl ON gl.status = c.status
+        |  CROSS JOIN tot t)
+        |SELECT seg, pri, CAST(any_value(nc) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS l_distinct,
+        |  round(CAST(sum(h) AS DOUBLE), 9) AS entropy_nats,
+        |  round(exp(CAST(sum(h) AS DOUBLE)), 9) AS entropy_l,
+        |  round(CAST(sum(dd) AS DOUBLE) / 2, 9) AS t_closeness
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    // each card metric replayed with the identical exact recipe
+    "q433_dataset_card" ->
+      raw"""WITH base AS (
+        |  SELECT text, lang, source,
+        |    list_filter(regexp_split_to_array(trim(lower(text)),
+        |      '\s+'), x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |sizes AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |    CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        |  FROM base),
+        |langent AS (
+        |  SELECT CAST(sum(h) AS DOUBLE) AS v FROM (
+        |    SELECT CAST(round(-(CAST(c AS DOUBLE) / n) *
+        |      ln(CAST(c AS DOUBLE) / n), 12) AS DECIMAL(38,12)) AS h
+        |    FROM (SELECT lang, CAST(count(*) AS BIGINT) AS c
+        |          FROM base WHERE lang IS NOT NULL GROUP BY 1) q
+        |    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n
+        |          FROM base WHERE lang IS NOT NULL) t)),
+        |srcent AS (
+        |  SELECT CAST(sum(h) AS DOUBLE) AS v FROM (
+        |    SELECT CAST(round(-(CAST(c AS DOUBLE) / n) *
+        |      ln(CAST(c AS DOUBLE) / n), 12) AS DECIMAL(38,12)) AS h
+        |    FROM (SELECT source, CAST(count(*) AS BIGINT) AS c
+        |          FROM base WHERE source IS NOT NULL GROUP BY 1) q
+        |    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n
+        |          FROM base WHERE source IS NOT NULL) t)),
+        |hap AS (
+        |  SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) *
+        |    1000000 // count(*) AS BIGINT) AS v
+        |  FROM (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(tk) AS w FROM base) q GROUP BY 1))
+        |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value
+        |  FROM sizes
+        |UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE)
+        |  FROM sizes
+        |UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE)
+        |  FROM sizes
+        |UNION ALL SELECT 'exact_dup_ppm',
+        |  CAST((n_docs - n_distinct) * 1000000 // n_docs AS DOUBLE)
+        |  FROM sizes
+        |UNION ALL SELECT 'mean_chars',
+        |  CAST(n_chars // n_docs AS DOUBLE) FROM sizes
+        |UNION ALL SELECT 'lang_entropy_nats', v FROM langent
+        |UNION ALL SELECT 'source_entropy_nats', v FROM srcent
+        |UNION ALL SELECT 'hapax_share_ppm', CAST(v AS DOUBLE)
+        |  FROM hap""".stripMargin,
 
     // identical regexp/keyword counts, identical integer ppm score
     "q429_code_score" ->

@@ -77,6 +77,46 @@ class PipelineGuardSpec extends SparkSpecBase {
     r("all_rules")._1 shouldBe 1L
   }
 
+  test("diversityCloseness: skewed class flagged by entropy, " +
+    "uniform class sits at global distribution") {
+    import graft.llm.Privacy
+    // class A: 9x 's1', 1x 's2' (distinct-l = 2 but entropy-l low)
+    // class B: 5x 's1', 5x 's2' (balanced)
+    val rows = Seq.fill(9)(("A", "s1")) ++ Seq(("A", "s2")) ++
+      Seq.fill(5)(("B", "s1")) ++ Seq.fill(5)(("B", "s2"))
+    val df = rows.toDF("q", "sv")
+    val r = Privacy.diversityCloseness(df, Seq("q"), "sv")
+      .orderBy("q").collect()
+    val a = r(0)
+    a.getAs[Long]("l_distinct") shouldBe 2L
+    // entropy-l of (0.9, 0.1) = exp(0.325) ~ 1.384 << 2
+    a.getAs[Double]("entropy_l") should be < 1.5
+    val b = r(1)
+    approx(b.getAs[Double]("entropy_l"), 2.0, 1e-6)
+    // global = (14/20, 6/20); TVD(B) = |.5-.7|/2 + |.5-.3|/2 = 0.2
+    approx(b.getAs[Double]("t_closeness"), 0.2, 1e-9)
+    a.getAs[Double]("t_closeness") should be > 0.0
+  }
+
+  test("datasetCard: exact metrics on a crafted corpus") {
+    val df = Seq(
+      (1L, "alpha beta", "en", "s1"),
+      (2L, "alpha beta", "en", "s1"), // exact dup
+      (3L, "gamma delta epsilon", "fr", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val m = PipelineOps.datasetCard(df, "text", "lang", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    m("n_docs") shouldBe 3.0
+    m("n_tokens") shouldBe 7.0
+    m("exact_dup_ppm") shouldBe 333333.0
+    // hapax: alpha/beta appear twice; gamma/delta/epsilon once
+    m("hapax_share_ppm") shouldBe 600000.0
+    // lang entropy of (2/3, 1/3)
+    approx(m("lang_entropy_nats"),
+      -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3),
+      1e-9)
+  }
+
   test("codeScore flags code-like text and not prose") {
     val df = Seq(
       (1L, "def f(x): return [x for x in range(10)]; import os"),
