@@ -37,4 +37,48 @@ object GeoOps {
   def gridCell(lat: Column, lon: Column, sizeDeg: Double): Column =
     floor(lat / sizeDeg).cast("long") * 100000L +
       floor(lon / sizeDeg).cast("long")
+
+  /** Radius join "all (a, b) pairs within R km" at scale — the
+    * pattern this object's doc describes, as an operator: grid-cell
+    * both sides, join each a-point to its 3×3 neighbor cells
+    * (equi-keyed — shuffle bounded by cell population, never a
+    * cross join), then keep pairs passing the exact [[haversineKm]]
+    * filter. Every qualifying pair is found exactly once (one cell
+    * per b-point, one (dx,dy) matches it).
+    *
+    * CALLER CONTRACT: `cellSizeDeg` must be ≥ the radius expressed
+    * in degrees at the maximum |latitude| of the data —
+    * R / (111.32 · cos(maxLat)) for longitude; violating it loses
+    * pairs near cell corners. Input frames must not share column
+    * names. Deterministic: cells are floors of identical double
+    * expressions; the distance is the shared haversine form. */
+  def radiusJoin(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      latA: String, lonA: String, latB: String, lonB: String,
+      radiusKm: Double, cellSizeDeg: Double):
+      org.apache.spark.sql.DataFrame = {
+    require(radiusKm > 0, s"radiusKm > 0, got $radiusKm")
+    require(cellSizeDeg > 0, s"cellSizeDeg > 0, got $cellSizeDeg")
+    val ca = a
+      .withColumn("__o__", explode(expr(
+        "transform(sequence(0, 8), " +
+          "i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy))")))
+      .withColumn("__jlat__",
+        floor(col(latA) / cellSizeDeg).cast("long") +
+          col("__o__.dx"))
+      .withColumn("__jlon__",
+        floor(col(lonA) / cellSizeDeg).cast("long") +
+          col("__o__.dy"))
+      .drop("__o__")
+    val cb = b
+      .withColumn("__jlat__",
+        floor(col(latB) / cellSizeDeg).cast("long"))
+      .withColumn("__jlon__",
+        floor(col(lonB) / cellSizeDeg).cast("long"))
+    ca.join(cb, Seq("__jlat__", "__jlon__"))
+      .withColumn("distance_km",
+        haversineKm(col(latA), col(lonA), col(latB), col(lonB)))
+      .filter(col("distance_km") <= radiusKm)
+      .drop("__jlat__", "__jlon__")
+  }
 }

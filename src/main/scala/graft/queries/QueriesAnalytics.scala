@@ -120,6 +120,29 @@ object QueriesAnalytics {
         .agg(round(min(col("km")), 6).as("nearest_km"))
     }),
 
+    // grid-blocked radius join (all customer-supplier pairs within
+    // 200 km): 3x3 neighbor-cell equi-join + exact haversine filter
+    // — never a cross join. Lat band +-60 deg so the cell size
+    // contract holds (200 km / (111.32 * cos 60) = 3.6 < 3.7)
+    "q434_radius_join" -> ((s, d) => {
+      def lat(c: org.apache.spark.sql.Column) =
+        ((cents(c) % 12000 + 12000) % 12000).cast("double") / 100.0 - 60.0
+      def lon(c: org.apache.spark.sql.Column) =
+        ((cents(c) % 36000 + 36000) % 36000).cast("double") / 100.0 - 180.0
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        lat(col("c_acctbal")).as("clat"),
+        lon(col("c_acctbal")).as("clon"))
+      val supp = t(s, d, "supplier").select(col("s_suppkey"),
+        lat(col("s_acctbal")).as("slat"),
+        lon(col("s_acctbal")).as("slon"))
+      graft.functions.GeoOps.radiusJoin(cust, supp,
+          "clat", "clon", "slat", "slon",
+          radiusKm = 200.0, cellSizeDeg = 3.7)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("distance_km"), 6).as("distance_km"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
+
     // pandas rolling(10).skew()/.kurt() per user over event values
     // (integer dollars -> exact window sums)
     "q224_rolling_skew_kurt" -> ((s, d) => {
@@ -712,6 +735,45 @@ object QueriesAnalytics {
         |      sin(radians(slon - clon) / 2.0)))), 6) AS nearest_km
         |FROM cust JOIN supp ON c_nationkey = s_nationkey
         |GROUP BY 1""".stripMargin,
+
+    // identical derived coordinates, identical 3x3 neighbor-cell
+    // equi-join and haversine filter
+    "q434_radius_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CAST((CAST(round(c_acctbal * 100) AS BIGINT) % 12000
+        |      + 12000) % 12000 AS DOUBLE) / 100.0 - 60.0 AS clat,
+        |    CAST((CAST(round(c_acctbal * 100) AS BIGINT) % 36000
+        |      + 36000) % 36000 AS DOUBLE) / 100.0 - 180.0 AS clon
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_suppkey,
+        |    CAST((CAST(round(s_acctbal * 100) AS BIGINT) % 12000
+        |      + 12000) % 12000 AS DOUBLE) / 100.0 - 60.0 AS slat,
+        |    CAST((CAST(round(s_acctbal * 100) AS BIGINT) % 36000
+        |      + 36000) % 36000 AS DOUBLE) / 100.0 - 180.0 AS slon
+        |  FROM supplier),
+        |ca AS (
+        |  SELECT c.*, CAST(floor(clat / 3.7) AS BIGINT) + dx.i
+        |      AS jlat,
+        |    CAST(floor(clon / 3.7) AS BIGINT) + dy.i AS jlon
+        |  FROM cust c, generate_series(-1, 1) AS dx(i),
+        |    generate_series(-1, 1) AS dy(i)),
+        |cb AS (
+        |  SELECT s.*, CAST(floor(slat / 3.7) AS BIGINT) AS jlat,
+        |    CAST(floor(slon / 3.7) AS BIGINT) AS jlon
+        |  FROM supp s),
+        |pairs AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    2.0 * 6371.0088 * asin(sqrt(
+        |      sin(radians(slat - clat) / 2.0) *
+        |        sin(radians(slat - clat) / 2.0) +
+        |      cos(radians(clat)) * cos(radians(slat)) *
+        |        sin(radians(slon - clon) / 2.0) *
+        |        sin(radians(slon - clon) / 2.0))) AS km
+        |  FROM ca JOIN cb USING (jlat, jlon))
+        |SELECT c_custkey, s_suppkey, round(km, 6) AS distance_km
+        |FROM pairs WHERE km <= 200.0""".stripMargin,
 
     "q224_rolling_skew_kurt" ->
       """WITH e AS (

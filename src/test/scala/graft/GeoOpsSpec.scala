@@ -1,5 +1,7 @@
 package graft
 
+// (radiusJoin specs appended below by round 7)
+
 import org.apache.spark.sql.functions._
 import graft.functions.GeoOps
 
@@ -56,5 +58,40 @@ class GeoOpsSpec extends SparkSpecBase {
       math.abs(r1 - r2) should be <= 1L
       math.abs(q1 - q2) should be <= 1L
     }
+  }
+
+  test("radiusJoin finds exactly the brute-force pairs, " +
+    "including across cell boundaries") {
+    import spark.implicits._
+    import graft.functions.GeoOps
+    // points straddling the lat-cell boundary at 3.7deg multiples
+    val a = Seq((1L, 3.69, 10.0), (2L, 40.0, 10.0), (3L, -10.0, 50.0))
+      .toDF("aid", "alat", "alon")
+    val b = Seq((10L, 3.72, 10.05), (20L, 40.4, 10.0),
+      (30L, -10.0, 58.0), (40L, 3.70, 10.01))
+      .toDF("bid", "blat", "blon")
+    val got = GeoOps.radiusJoin(a, b, "alat", "alon", "blat",
+      "blon", radiusKm = 60.0, cellSizeDeg = 3.7)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force with the same haversine
+    val want = (for {
+      (ai, ala, alo) <- Seq((1L, 3.69, 10.0), (2L, 40.0, 10.0),
+        (3L, -10.0, 50.0))
+      (bi, bla, blo) <- Seq((10L, 3.72, 10.05), (20L, 40.4, 10.0),
+        (30L, -10.0, 58.0), (40L, 3.70, 10.01))
+      dLat = math.toRadians(bla - ala) / 2
+      dLon = math.toRadians(blo - alo) / 2
+      h = math.sin(dLat) * math.sin(dLat) +
+        math.cos(math.toRadians(ala)) * math.cos(math.toRadians(bla)) *
+          math.sin(dLon) * math.sin(dLon)
+      if 2 * 6371.0088 * math.asin(math.sqrt(h)) <= 60.0
+    } yield (ai, bi)).toSet
+    got shouldBe want
+    // the cross-boundary pair (1 -> 10/40) must be present
+    got should contain((1L, 10L))
+    got should contain((1L, 40L))
+    // far pair excluded
+    got should not contain ((3L, 30L))
   }
 }
