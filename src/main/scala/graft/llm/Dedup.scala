@@ -428,6 +428,34 @@ object Dedup {
         expr("pk & 1099511627775").as("fp"))
   }
 
+  /** Quality-aware canonical selection for duplicate groups: where
+    * [[exact]] keeps the smallest id, real pipelines keep the BEST
+    * copy of each duplicate cluster (longest / highest quality
+    * score — duplicates often differ by truncation or boilerplate).
+    * Canonical = argmax (score, then smallest id) per content-hash
+    * group, resolved with ONE max(struct) aggregation (no window
+    * over the group). Emits every member of each multi-member group
+    * with its canonical id and keep flag. */
+  def canonicalByQuality(df: DataFrame, textCol: String,
+      idCol: String, scoreCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val base = df.filter(col(textCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(h.as("__h__"), col(idCol).as("doc_id"),
+        col(scoreCol).as("score"))
+    val best = base.groupBy("__h__")
+      .agg(count(lit(1)).as("group_size"),
+        max(struct(col("score"),
+          (col("doc_id") * -1).as("negid"))).as("b"))
+      .filter(col("group_size") >= 2)
+      .select(col("__h__"), col("group_size"),
+        (col("b.negid") * -1).as("canonical_id"))
+    base.join(best, Seq("__h__"))
+      .select(col("doc_id"), col("canonical_id"), col("group_size"),
+        col("score"), (col("doc_id") === col("canonical_id"))
+          .as("is_canonical"))
+  }
+
   /** MinHash-LSH parameter planner: the detection-probability curve
     * p(s) = 1 − (1 − s^r)^b over a similarity grid for a (bands b,
     * rows-per-band r) configuration, plus the 50%-detection

@@ -472,6 +472,16 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // quality-aware duplicate retention: keep the longest copy
+    // (tie -> smallest id) of every exact-dup cluster
+    "q435_dedup_retention" -> ((s, d) =>
+      graft.llm.Dedup.canonicalByQuality(
+        t(s, d, "documents"), "text", "doc_id", "n_chars")
+        .select(col("doc_id"), col("canonical_id"),
+          col("group_size"), col("score").cast("long").as("score"),
+          col("is_canonical"))
+        .orderBy("doc_id")),
+
     // entropy l-diversity + t-closeness per (segment, priority)
     // quasi-identifier class, sensitive = order status
     "q432_l_diversity" -> ((s, d) => {
@@ -2722,6 +2732,21 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // identical content-hash groups, identical (score, -id) argmax
+    "q435_dedup_retention" ->
+      """WITH base AS (
+        |  SELECT md5(text) AS h, doc_id, n_chars AS score
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |best AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS group_size,
+        |    max(struct_pack(s := score, n := -doc_id)) AS bb
+        |  FROM base GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT b.doc_id, -((bb).n) AS canonical_id, group_size,
+        |  CAST(b.score AS BIGINT) AS score,
+        |  b.doc_id = -((bb).n) AS is_canonical
+        |FROM base b JOIN best USING (h)""".stripMargin,
 
     // identical cell/global counts, round-12 DECIMAL entropy and
     // TVD term sums

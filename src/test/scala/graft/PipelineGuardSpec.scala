@@ -77,6 +77,23 @@ class PipelineGuardSpec extends SparkSpecBase {
     r("all_rules")._1 shouldBe 1L
   }
 
+  test("canonicalByQuality keeps the best copy, ties to the " +
+    "smallest id, skips singletons") {
+    import graft.llm.Dedup
+    val df = Seq(
+      (1L, "same text", 10L), (2L, "same text", 25L),
+      (3L, "same text", 25L), // ties with 2 on score -> 2 wins
+      (4L, "unique doc", 99L))
+      .toDF("doc_id", "text", "q")
+    val r = Dedup.canonicalByQuality(df, "text", "doc_id", "q")
+      .orderBy("doc_id").collect()
+    r.length shouldBe 3 // singleton 4 excluded
+    all(r.map(_.getAs[Long]("canonical_id"))) shouldBe 2L
+    r.map(x => x.getAs[Long]("doc_id") ->
+      x.getAs[Boolean]("is_canonical")).toMap shouldBe
+      Map(1L -> false, 2L -> true, 3L -> false)
+  }
+
   test("diversityCloseness: skewed class flagged by entropy, " +
     "uniform class sits at global distribution") {
     import graft.llm.Privacy
