@@ -35,6 +35,28 @@ object TextEval {
           col("n_edits").cast("double") / col("n_ref")))
   }
 
+  /** ROUGE-L per pair (Lin 2004, rouge-score F1 convention): LCS
+    * length over token sequences via the native [[graft.sqlext
+    * .WordLcs]] codegen kernel, precision lcs/|cand|, recall
+    * lcs/|ref|, F1 = 2·lcs/(|cand|+|ref|) (the harmonic mean's
+    * closed form). Rewards in-order coverage at any gap — what the
+    * contiguous-n-gram [[rougeN]] can't see. Pure map per pair. */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val lcs = graft.sqlext.WordLcs.word_lcs(
+      toks(col(candCol)), toks(col(refCol)))
+    pairs.select(col(idCol), lcs.cast("long").as("lcs"),
+        size(toks(col(candCol))).cast("long").as("n_cand"),
+        size(toks(col(refCol))).cast("long").as("n_ref"))
+      .withColumn("rouge_l_p", when(col("n_cand") > 0,
+        col("lcs").cast("double") / col("n_cand")))
+      .withColumn("rouge_l_r", when(col("n_ref") > 0,
+        col("lcs").cast("double") / col("n_ref")))
+      .withColumn("rouge_l_f",
+        when(col("n_cand") + col("n_ref") > 0,
+          lit(2.0) * col("lcs") / (col("n_cand") + col("n_ref"))))
+  }
+
   /** Overlapping word n-grams of a token array as space-joined
     * strings (empty when the text has fewer than n tokens). */
   def ngramArr(t: Column, n: Column): Column =

@@ -472,6 +472,26 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // ROUGE-L over adjacent-doc pairs (truncated to 25 tokens, the
+    // q345 WER pairing): LCS via the native WordLcs codegen kernel,
+    // replayed by the oracle's prefix-max DP recursive CTE
+    "q436_rouge_l" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def trunc(c: org.apache.spark.sql.Column) = concat_ws(" ",
+        slice(graft.functions.TextFunctions.tokens(c), 1, 25))
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("pid"),
+          trunc(col("a.text")).as("cand"),
+          trunc(col("b.text")).as("ref"))
+      graft.llm.TextEval.rougeL(pairs, "pid", "cand", "ref")
+        .select(col("pid"), col("lcs"), col("n_cand"), col("n_ref"),
+          round(col("rouge_l_p"), 9).as("rouge_l_p"),
+          round(col("rouge_l_r"), 9).as("rouge_l_r"),
+          round(col("rouge_l_f"), 9).as("rouge_l_f"))
+        .orderBy("pid")
+    }),
+
     // quality-aware duplicate retention: keep the longest copy
     // (tie -> smallest id) of every exact-dup cluster
     "q435_dedup_retention" -> ((s, d) =>
@@ -2732,6 +2752,53 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // LCS replayed as a recursive-CTE DP over rows-as-lists with
+    // the prefix-max reformulation (new[j] = max(old[j],
+    // max_{k<=j}(old[k-1] + eq_k)) — the left-to-right dependency
+    // eliminated, so each row is one list_transform)
+    "q436_rouge_l" ->
+      raw"""WITH RECURSIVE
+        |tk AS (
+        |  SELECT a.doc_id AS pid,
+        |    list_transform(list_filter(regexp_split_to_array(
+        |      trim(a.text), '\s+'), t -> len(t) > 0)[1:25],
+        |      t -> lower(t)) AS ct,
+        |    list_transform(list_filter(regexp_split_to_array(
+        |      trim(b.text), '\s+'), t -> len(t) > 0)[1:25],
+        |      t -> lower(t)) AS rt
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1),
+        |dims AS (SELECT pid, ct, rt, len(ct) AS n, len(rt) AS m
+        |         FROM tk),
+        |dp(pid, i, row) AS (
+        |  SELECT pid, 0, list_transform(range(0, m + 1),
+        |    x -> CAST(0 AS BIGINT)) FROM dims
+        |  UNION ALL
+        |  SELECT d.pid, dp.i + 1,
+        |    list_transform(range(0, d.m + 1), j ->
+        |      CASE WHEN j = 0 THEN CAST(0 AS BIGINT) ELSE
+        |        greatest(dp.row[CAST(j + 1 AS INTEGER)],
+        |          list_max(list_transform(
+        |            range(1, CAST(j + 1 AS INTEGER)), k ->
+        |            dp.row[CAST(k AS INTEGER)] +
+        |            CASE WHEN d.rt[CAST(k AS INTEGER)] =
+        |              d.ct[CAST(dp.i + 1 AS INTEGER)]
+        |              THEN 1 ELSE 0 END)))
+        |      END)
+        |  FROM dp JOIN dims d USING (pid) WHERE dp.i < d.n),
+        |fin AS (
+        |  SELECT pid, coalesce(row[-1], 0) AS lcs, n, m
+        |  FROM dp JOIN dims USING (pid) WHERE i = n)
+        |SELECT pid, CAST(lcs AS BIGINT) AS lcs,
+        |  CAST(n AS BIGINT) AS n_cand, CAST(m AS BIGINT) AS n_ref,
+        |  CASE WHEN n > 0 THEN
+        |    round(CAST(lcs AS DOUBLE) / n, 9) END AS rouge_l_p,
+        |  CASE WHEN m > 0 THEN
+        |    round(CAST(lcs AS DOUBLE) / m, 9) END AS rouge_l_r,
+        |  CASE WHEN n + m > 0 THEN
+        |    round(2.0 * lcs / (n + m), 9) END AS rouge_l_f
+        |FROM fin""".stripMargin,
 
     // identical content-hash groups, identical (score, -id) argmax
     "q435_dedup_retention" ->

@@ -54,5 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("word_lcs"),
+      new ExpressionInfo(classOf[WordLcs].getName, "word_lcs",
+        "word_lcs(a, b) - longest common subsequence length over " +
+          "two token arrays (the ROUGE-L kernel)."),
+      (exprs: Seq[Expression]) => WordLcs(exprs.head, exprs(1))))
   }
 }

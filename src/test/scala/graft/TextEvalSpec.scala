@@ -205,4 +205,41 @@ class TextEvalSpec extends SparkSpecBase {
     TextEval.chrF(df3, "id", "c", "r", maxN = 6).head()
       .getAs[Double]("chrf") shouldBe 1.0 +- 1e-9
   }
+
+  test("WordLcs expression matches the quadratic reference on " +
+    "deterministic pseudo-random token sequences") {
+    import graft.sqlext.WordLcs
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def seqOf(seed: Int, len: Int): Seq[String] =
+      (0 until len).map(i =>
+        vocab(math.abs((seed * 2654435761L + i * 40503L).toInt) %
+          vocab.length))
+    val cases = for (s <- 1 to 30) yield
+      (s.toLong, seqOf(s, 5 + s % 20), seqOf(s + 99, 3 + (s * 7) % 22))
+    val df = cases.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        WordLcs.word_lcs(col("a"), col("b")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cases.foreach { case (id, a, b) =>
+      got(id) shouldBe WordLcs.lcsOf(a, b)
+    }
+  }
+
+  test("rougeL: hand-computed P/R/F and empty-side behavior") {
+    // cand: "the cat sat on mat", ref: "the dog sat on the mat"
+    // LCS = the sat on mat = 4
+    val df = Seq((1L, "the cat sat on mat",
+      "the dog sat on the mat")).toDF("id", "c", "r")
+    val x = TextEval.rougeL(df, "id", "c", "r").head()
+    x.getAs[Long]("lcs") shouldBe 4L
+    x.getAs[Double]("rouge_l_p") shouldBe (4.0 / 5) +- 1e-9
+    x.getAs[Double]("rouge_l_r") shouldBe (4.0 / 6) +- 1e-9
+    x.getAs[Double]("rouge_l_f") shouldBe (8.0 / 11) +- 1e-9
+    // identical texts -> F = 1; disjoint -> 0
+    TextEval.rougeL(Seq((1L, "x y z", "x y z")).toDF("id", "c", "r"),
+      "id", "c", "r").head().getAs[Double]("rouge_l_f") shouldBe
+      1.0 +- 1e-9
+    TextEval.rougeL(Seq((1L, "a b", "z w")).toDF("id", "c", "r"),
+      "id", "c", "r").head().getAs[Long]("lcs") shouldBe 0L
+  }
 }
