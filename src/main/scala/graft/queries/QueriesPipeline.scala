@@ -472,6 +472,27 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // Bradley-Terry strengths from supplier price duels (per order,
+    // the higher-priced line wins) — 3 MM rounds, exact-count win
+    // matrix, round-12 DECIMAL opponent sums per round
+    "q437_bradley_terry" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"), cents(col("l_extendedprice")).as("pc"))
+      val duels = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") =!= col("y.l_suppkey") &&
+            col("x.pc") > col("y.pc"))
+        .select(col("x.l_suppkey").as("winner"),
+          col("y.l_suppkey").as("loser"))
+        .groupBy("winner", "loser").agg(count(lit(1)).as("k"))
+      graft.analytics.PairwiseRank.bradleyTerry(duels,
+          "winner", "loser", "k", rounds = 3)
+        .select(col("id").cast("long").as("id"), col("wins"),
+          round(col("strength"), 9).as("strength"),
+          round(col("share"), 9).as("share"))
+        .orderBy("id")
+    }),
+
     // ROUGE-L over adjacent-doc pairs (truncated to 25 tokens, the
     // q345 WER pairing): LCS via the native WordLcs codegen kernel,
     // replayed by the oracle's prefix-max DP recursive CTE
@@ -2752,6 +2773,57 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // identical duel counts, 3 unrolled MM rounds with round-12
+    // DECIMAL opponent sums, identical final normalization
+    "q437_bradley_terry" -> {
+      def rnd(i: Int): String =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT g.a AS id,
+           |    sum(CAST(round(CAST(g.n AS DOUBLE) /
+           |      (pa.p + pb.p), 12) AS DECIMAL(38,12))) AS den
+           |  FROM games g
+           |  JOIN p${i - 1} pa ON pa.id = g.a
+           |  JOIN p${i - 1} pb ON pb.id = g.b
+           |  GROUP BY 1),
+           |p$i AS MATERIALIZED (
+           |  SELECT w.id,
+           |    CASE WHEN d.den IS NOT NULL AND d.den > 0 THEN
+           |      CAST(w.wins AS DOUBLE) / CAST(d.den AS DOUBLE)
+           |      ELSE 0.0 END AS p
+           |  FROM winsof w LEFT JOIN d$i d ON d.id = w.id)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT x.l_suppkey AS w, y.l_suppkey AS l,
+         |    CAST(count(*) AS BIGINT) AS k
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey
+         |   AND x.l_suppkey <> y.l_suppkey
+         |   AND CAST(round(x.l_extendedprice * 100) AS BIGINT) >
+         |       CAST(round(y.l_extendedprice * 100) AS BIGINT)
+         |  GROUP BY 1, 2),
+         |games AS (
+         |  SELECT a, b, CAST(sum(k) AS BIGINT) AS n FROM (
+         |    SELECT w AS a, l AS b, k FROM e
+         |    UNION ALL SELECT l, w, k FROM e) q
+         |  GROUP BY 1, 2),
+         |players AS (SELECT DISTINCT a AS id FROM games),
+         |winsof AS (
+         |  SELECT p.id, CAST(coalesce(s.wins, 0) AS BIGINT) AS wins
+         |  FROM players p LEFT JOIN (
+         |    SELECT w AS id, CAST(sum(k) AS BIGINT) AS wins
+         |    FROM e GROUP BY 1) s ON s.id = p.id),
+         |p0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS p FROM players),
+         |${rnd(1)},
+         |${rnd(2)},
+         |${rnd(3)},
+         |tot AS (SELECT sum(CAST(round(p, 12) AS DECIMAL(38,12)))
+         |        AS tp FROM p3)
+         |SELECT CAST(w.id AS BIGINT) AS id, w.wins,
+         |  round(p3.p, 9) AS strength,
+         |  CASE WHEN tp > 0 THEN
+         |    round(p3.p / CAST(tp AS DOUBLE), 9) END AS share
+         |FROM winsof w JOIN p3 ON p3.id = w.id CROSS JOIN tot""".stripMargin
+    },
 
     // LCS replayed as a recursive-CTE DP over rows-as-lists with
     // the prefix-max reformulation (new[j] = max(old[j],

@@ -77,6 +77,43 @@ class PipelineGuardSpec extends SparkSpecBase {
     r("all_rules")._1 shouldBe 1L
   }
 
+  test("bradleyTerry: dominant player converges to the top " +
+    "strength; symmetric duels tie") {
+    import graft.analytics.PairwiseRank
+    // a beats b 9:1, b beats c 9:1, a beats c 9:1 -> a > b > c
+    val duels = Seq(
+      ("a", "b", 9L), ("b", "a", 1L),
+      ("b", "c", 9L), ("c", "b", 1L),
+      ("a", "c", 9L), ("c", "a", 1L)).toDF("w", "l", "k")
+    val r = PairwiseRank.bradleyTerry(duels, "w", "l", "k",
+      rounds = 5).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("strength")).toMap
+    r("a") should be > r("b")
+    r("b") should be > r("c")
+    // perfectly symmetric duels -> equal strengths
+    val sym = Seq(("x", "y", 5L), ("y", "x", 5L)).toDF("w", "l", "k")
+    val s = PairwiseRank.bradleyTerry(sym, "w", "l", "k")
+      .collect().map(_.getAs[Double]("share"))
+    approx(s(0), 0.5, 1e-9)
+    approx(s(1), 0.5, 1e-9)
+  }
+
+  test("bradleyTerry: zero-win player pinned at strength 0, " +
+    "repartition-invariant") {
+    import graft.analytics.PairwiseRank
+    val duels = Seq(("a", "z", 3L), ("b", "z", 2L), ("a", "b", 1L),
+      ("b", "a", 1L)).toDF("w", "l", "k")
+    val r = PairwiseRank.bradleyTerry(duels, "w", "l", "k")
+      .collect().map(x => x.getString(0) ->
+        x.getAs[Double]("strength")).toMap
+    r("z") shouldBe 0.0
+    val p1 = PairwiseRank.bradleyTerry(duels.repartition(1),
+      "w", "l", "k").orderBy("id").collect().toSeq
+    val p7 = PairwiseRank.bradleyTerry(duels.repartition(7),
+      "w", "l", "k").orderBy("id").collect().toSeq
+    p1 shouldBe p7
+  }
+
   test("canonicalByQuality keeps the best copy, ties to the " +
     "smallest id, skips singletons") {
     import graft.llm.Dedup
