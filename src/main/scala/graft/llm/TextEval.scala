@@ -57,6 +57,92 @@ object TextEval {
           lit(2.0) * col("lcs") / (col("n_cand") + col("n_ref"))))
   }
 
+  /** CIDEr-D per pair (Vedantam et al. 2015, single-reference
+    * form): consensus-weighted n-gram similarity — each n-gram
+    * weighted by its corpus idf = ln(N / df) over the REFERENCE
+    * side, per-n score the length-penalized clipped cosine
+    *   exp(−(lc−lr)²/72) · Σ_g min(c_g, r_g)·r_g·idf_g² /
+    *     (‖c‖·‖r‖)
+    * and the final score 10 · mean over n = 1..`maxN`. Uniform
+    * per-sentence TF scaling cancels inside the cosine, so raw
+    * counts · idf are the vectors (the pycocoevalcap identity).
+    *
+    * Scale/determinism: n-gram counts and dfs are exact integer
+    * aggregates (df bounded by vocabulary); every dot/norm term is
+    * rounded to 12 decimals and DECIMAL-summed — order-free and
+    * engine-replayable. */
+  def ciderD(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN in [1,6], got $maxN")
+    val base = pairs.select(col(idCol).as("id"),
+      toks(col(candCol)).as("ctk"), toks(col(refCol)).as("rtk"))
+    val nTbl = base.select(col("id"), col("ctk"), col("rtk"),
+      explode(sequence(lit(1), lit(maxN))).as("n"))
+    val grams = nTbl.select(col("id"), col("n"),
+      ngramArr(col("ctk"), col("n")).as("cg"),
+      ngramArr(col("rtk"), col("n")).as("rg"))
+    val cc = grams.select(col("id"), col("n"),
+        explode(col("cg")).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+    val rc = grams.select(col("id"), col("n"),
+        explode(col("rg")).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("r"))
+    // idf over the reference corpus: df = #refs containing the gram
+    val nRefs = base.agg(count(lit(1)).as("nn"))
+    val df = rc.select(col("n"), col("g")).groupBy("n", "g")
+      .agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(nRefs))
+      .select(col("n"), col("g"),
+        log(col("nn").cast("double") / col("df")).as("idf"))
+    // join candidate and reference count vectors per (id, n, gram);
+    // grams absent from every reference carry idf 0 (df would be 0
+    // only for candidate-exclusive grams -> they contribute 0 to
+    // the clipped dot AND to ||c|| with weight... CIDEr assigns
+    // idf = ln(N) to unseen grams via the +0 df convention of the
+    // reference corpus; pycocoevalcap uses df = max(1, df) ONLY for
+    // grams present somewhere. Candidate grams unseen in ANY ref
+    // get df undefined -> we follow the single-ref simplification:
+    // weight them ln(N/1) (they still add to ||c||).
+    val full = cc.join(rc, Seq("id", "n", "g"), "full")
+      .select(col("id"), col("n"), col("g"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("r"), lit(0L)).as("r"))
+      .join(idf, Seq("n", "g"), "left")
+      .crossJoin(broadcast(nRefs))
+      .withColumn("w",
+        coalesce(col("idf"), log(col("nn").cast("double"))))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast("decimal(38,12)"))
+    val perN = full.groupBy("id", "n")
+      .agg(dsum(least(col("c"), col("r")).cast("double") *
+          col("r") * col("w") * col("w")).as("dot"),
+        dsum(col("c").cast("double") * col("c") * col("w") *
+          col("w")).as("c2"),
+        dsum(col("r").cast("double") * col("r") * col("w") *
+          col("w")).as("r2"))
+    val lens = base.select(col("id"),
+      size(col("ctk")).cast("long").as("lc"),
+      size(col("rtk")).cast("long").as("lr"))
+    val scored = perN.join(lens, Seq("id"))
+      .withColumn("pen", exp(
+        (col("lc") - col("lr")).cast("double") *
+          (col("lc") - col("lr")) * lit(-1.0 / 72)))
+      .withColumn("score_n",
+        when(col("c2") > 0 && col("r2") > 0,
+          col("pen") * col("dot").cast("double") /
+            (sqrt(col("c2").cast("double")) *
+              sqrt(col("r2").cast("double"))))
+          .otherwise(lit(0.0)))
+    scored.groupBy("id")
+      .agg(dsum(col("score_n")).as("ssum"))
+      .join(lens, Seq("id"))
+      .select(col("id"), col("lc"), col("lr"),
+        // divide by maxN, not rows present: an n with no grams on
+        // a side contributes score 0 (the pycocoevalcap behavior)
+        (lit(10.0) * col("ssum").cast("double") / maxN)
+          .as("cider_d"))
+  }
+
   /** Overlapping word n-grams of a token array as space-joined
     * strings (empty when the text has fewer than n tokens). */
   def ngramArr(t: Column, n: Column): Column =

@@ -472,6 +472,24 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // CIDEr-D over the adjacent-doc pairs (idf from the reference
+    // side, clipped length-penalized cosine per n, mean over n=1..4)
+    "q438_cider_d" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def trunc(c: org.apache.spark.sql.Column) = concat_ws(" ",
+        slice(graft.functions.TextFunctions.tokens(c), 1, 25))
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("pid"),
+          trunc(col("a.text")).as("cand"),
+          trunc(col("b.text")).as("ref"))
+      graft.llm.TextEval.ciderD(pairs, "pid", "cand", "ref",
+          maxN = 4)
+        .select(col("id").as("pid"), col("lc"), col("lr"),
+          round(col("cider_d"), 9).as("cider_d"))
+        .orderBy("pid")
+    }),
+
     // Bradley-Terry strengths from supplier price duels (per order,
     // the higher-priced line wins) — 3 MM rounds, exact-count win
     // matrix, round-12 DECIMAL opponent sums per round
@@ -2773,6 +2791,76 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // identical n-gram count vectors, reference-side idf, clipped
+    // dot / norms as round-12 DECIMAL sums, identical penalty and
+    // association order everywhere
+    "q438_cider_d" ->
+      raw"""WITH tk AS (
+        |  SELECT a.doc_id AS pid,
+        |    list_transform(list_filter(regexp_split_to_array(
+        |      trim(a.text), '\s+'), t -> len(t) > 0)[1:25],
+        |      t -> lower(t)) AS ct,
+        |    list_transform(list_filter(regexp_split_to_array(
+        |      trim(b.text), '\s+'), t -> len(t) > 0)[1:25],
+        |      t -> lower(t)) AS rt
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nrefs FROM tk),
+        |ng AS (SELECT pid, ct, rt, unnest([1, 2, 3, 4]) AS n
+        |       FROM tk),
+        |gr AS (
+        |  SELECT pid, n,
+        |    CASE WHEN len(ct) >= n THEN
+        |      list_transform(range(1, len(ct) - n + 2), i ->
+        |        array_to_string(ct[CAST(i AS INTEGER) :
+        |          CAST(i + n - 1 AS INTEGER)], ' '))
+        |      ELSE [] END AS cg,
+        |    CASE WHEN len(rt) >= n THEN
+        |      list_transform(range(1, len(rt) - n + 2), i ->
+        |        array_to_string(rt[CAST(i AS INTEGER) :
+        |          CAST(i + n - 1 AS INTEGER)], ' '))
+        |      ELSE [] END AS rg
+        |  FROM ng),
+        |cc AS (SELECT pid, n, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT pid, n, unnest(cg) AS g FROM gr) q
+        |  GROUP BY 1, 2, 3),
+        |rc AS (SELECT pid, n, g, CAST(count(*) AS BIGINT) AS r
+        |  FROM (SELECT pid, n, unnest(rg) AS g FROM gr) q
+        |  GROUP BY 1, 2, 3),
+        |idf AS (
+        |  SELECT n, g, ln(CAST(nrefs AS DOUBLE) / df) AS idf
+        |  FROM (SELECT n, g, CAST(count(*) AS BIGINT) AS df
+        |    FROM rc GROUP BY 1, 2) q CROSS JOIN nn),
+        |fullv AS (
+        |  SELECT pid, n, g, coalesce(cc.c, 0) AS c,
+        |    coalesce(rc.r, 0) AS r,
+        |    coalesce(idf.idf, ln(CAST(nn.nrefs AS DOUBLE))) AS w
+        |  FROM cc FULL JOIN rc USING (pid, n, g)
+        |  LEFT JOIN idf USING (n, g) CROSS JOIN nn),
+        |pern AS (
+        |  SELECT pid, n,
+        |    sum(CAST(round(CAST(least(c, r) AS DOUBLE) * r * w * w,
+        |      12) AS DECIMAL(38,12))) AS dot,
+        |    sum(CAST(round(CAST(c AS DOUBLE) * c * w * w, 12)
+        |      AS DECIMAL(38,12))) AS c2,
+        |    sum(CAST(round(CAST(r AS DOUBLE) * r * w * w, 12)
+        |      AS DECIMAL(38,12))) AS r2
+        |  FROM fullv GROUP BY 1, 2),
+        |lens AS (SELECT pid, CAST(len(ct) AS BIGINT) AS lc,
+        |         CAST(len(rt) AS BIGINT) AS lr FROM tk),
+        |sc AS (
+        |  SELECT p.pid,
+        |    CASE WHEN c2 > 0 AND r2 > 0 THEN
+        |      exp(CAST(lc - lr AS DOUBLE) * (lc - lr) *
+        |        (-1.0 / 72)) * CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(c2 AS DOUBLE)) * sqrt(CAST(r2 AS DOUBLE)))
+        |      ELSE 0.0 END AS score_n
+        |  FROM pern p JOIN lens USING (pid))
+        |SELECT s.pid, lc, lr,
+        |  round(10.0 * CAST(sum(CAST(round(score_n, 12)
+        |    AS DECIMAL(38,12))) AS DOUBLE) / 4, 9) AS cider_d
+        |FROM sc s JOIN lens USING (pid) GROUP BY 1, 2, 3""".stripMargin,
 
     // identical duel counts, 3 unrolled MM rounds with round-12
     // DECIMAL opponent sums, identical final normalization

@@ -225,6 +225,26 @@ class TextEvalSpec extends SparkSpecBase {
     }
   }
 
+  test("ciderD: identical pair scores high, disjoint scores 0, " +
+    "length penalty bites") {
+    // idf over a 3-ref corpus so weights are non-degenerate
+    val df = Seq(
+      (1L, "the red fox jumps", "the red fox jumps"),
+      (2L, "aa bb cc dd", "xx yy zz ww"),
+      (3L, "the red fox jumps over everything else here now",
+        "the red fox jumps"))
+      .toDF("id", "c", "r")
+    val r = TextEval.ciderD(df, "id", "c", "r")
+      .collect().map(x => x.getLong(0) ->
+        x.getAs[Double]("cider_d")).toMap
+    // identical candidate/reference: cosine 1 and penalty 1 per n
+    // (where grams exist) -> score near 10 (all 4 n-levels present)
+    r(1L) should be >= 9.9
+    r(2L) shouldBe 0.0 +- 1e-12
+    // same content + extra length -> penalized below the identical
+    r(3L) should (be > 0.0 and be < r(1L))
+  }
+
   test("rougeL: hand-computed P/R/F and empty-side behavior") {
     // cand: "the cat sat on mat", ref: "the dog sat on the mat"
     // LCS = the sat on mat = 4
