@@ -472,6 +472,31 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // Fleiss' kappa over synthesized 5-rater 3-category annotations
+    // with a 60% agreement bias toward a per-unit base category
+    "q439_fleiss_kappa" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("u"))
+        .withColumn("rater",
+          explode(sequence(lit(1), lit(5))))
+      val base = floor(PipelineOps.hash48Unit(concat(col("u")
+        .cast("string"), lit("#base"))) * 3).cast("long")
+      val indep = floor(PipelineOps.hash48Unit(concat(col("u")
+        .cast("string"), lit("#r"), col("rater").cast("string")))
+        * 3).cast("long")
+      val agree = PipelineOps.hash48Unit(concat(col("u")
+        .cast("string"), lit("#ag"),
+        col("rater").cast("string"))) < 0.6
+      val ann = o.select(col("u"),
+        when(agree, base).otherwise(indep).as("rating"))
+      graft.stats.StatsOps.fleissKappa(ann, "u", "rating")
+        .select(col("n_units"), col("n_raters"),
+          col("units_dropped"),
+          round(col("p_bar"), 9).as("p_bar"),
+          round(col("p_e"), 9).as("p_e"),
+          round(col("kappa"), 9).as("kappa"))
+    }),
+
     // CIDEr-D over the adjacent-doc pairs (idf from the reference
     // side, clipped length-penalized cosine per n, mean over n=1..4)
     "q438_cider_d" -> ((s, d) => {
@@ -2791,6 +2816,62 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // identical synthesized annotations, identical mode-n keep rule,
+    // round-12 DECIMAL P_i / p_c² sums
+    "q439_fleiss_kappa" -> {
+      val hb = h48("CAST(u AS VARCHAR) || '#base'")
+      val hr = h48("CAST(u AS VARCHAR) || '#r' || CAST(rater AS VARCHAR)")
+      val ha = h48("CAST(u AS VARCHAR) || '#ag' || CAST(rater AS VARCHAR)")
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS u, r.rater
+         |  FROM orders CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5])
+         |    AS rater) r
+         |  WHERE o_orderkey < 2000),
+         |ann AS (
+         |  SELECT u, CASE WHEN $ha < 0.6
+         |    THEN CAST(floor($hb * 3) AS BIGINT)
+         |    ELSE CAST(floor($hr * 3) AS BIGINT) END AS rating
+         |  FROM o),
+         |cells AS (
+         |  SELECT u, rating AS c, CAST(count(*) AS BIGINT) AS nic
+         |  FROM ann GROUP BY 1, 2),
+         |perunit AS (
+         |  SELECT u, CAST(sum(nic) AS BIGINT) AS n,
+         |    CAST(sum(nic * nic) AS BIGINT) AS s2
+         |  FROM cells GROUP BY 1),
+         |nmode AS (
+         |  SELECT n AS n_raters FROM (
+         |    SELECT n, count(*) AS cnt FROM perunit GROUP BY 1)
+         |  ORDER BY cnt DESC, n LIMIT 1),
+         |kept AS (SELECT p.* FROM perunit p JOIN nmode
+         |         ON p.n = nmode.n_raters),
+         |dropped AS (
+         |  SELECT CAST(sum(CASE WHEN p.n <> nmode.n_raters
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS units_dropped
+         |  FROM perunit p CROSS JOIN nmode),
+         |pbar AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+         |    sum(CAST(round(CAST(s2 - n AS DOUBLE) /
+         |      (n * (n - 1)), 12) AS DECIMAL(38,12))) AS psum
+         |  FROM kept),
+         |pe AS (
+         |  SELECT sum(CAST(round((CAST(mc AS DOUBLE) / tot) *
+         |    (CAST(mc AS DOUBLE) / tot), 12) AS DECIMAL(38,12)))
+         |    AS pe
+         |  FROM (SELECT c, CAST(sum(nic) AS BIGINT) AS mc
+         |    FROM cells JOIN kept USING (u) GROUP BY 1) q
+         |  CROSS JOIN (SELECT CAST(sum(n) AS BIGINT) AS tot
+         |    FROM kept) t)
+         |SELECT n_units, n_raters, units_dropped,
+         |  round(CAST(psum AS DOUBLE) / n_units, 9) AS p_bar,
+         |  round(CAST(pe AS DOUBLE), 9) AS p_e,
+         |  round((CAST(psum AS DOUBLE) / n_units -
+         |    CAST(pe AS DOUBLE)) / (1.0 - CAST(pe AS DOUBLE)), 9)
+         |    AS kappa
+         |FROM pbar CROSS JOIN pe CROSS JOIN dropped
+         |CROSS JOIN nmode""".stripMargin
+    },
 
     // identical n-gram count vectors, reference-side idf, clipped
     // dot / norms as round-12 DECIMAL sums, identical penalty and

@@ -3745,6 +3745,59 @@ object StatsOps {
         lit(1.0) - Distributions.normalCdfCol(col("z_wh")))
   }
 
+  /** Fleiss' kappa (Fleiss 1971): multi-rater nominal agreement for
+    * a FIXED rater count per subject — the classic IAA number next
+    * to [[krippendorffAlpha]] (which additionally handles missing
+    * ratings and non-nominal metrics). Input: one row per (unit,
+    * rating); units with a deviating rater count are EXCLUDED and
+    * counted loudly (the q388 convention — Fleiss is undefined for
+    * them; use Krippendorff there).
+    *   P_i = (Σ_c n_ic² − n) / (n(n−1)),  P̄ = mean_i P_i,
+    *   P_e = Σ_c p_c²,  κ = (P̄ − P_e)/(1 − P_e)
+    * Exact integer cell counts; per-unit and per-category terms
+    * rounded to 12 decimals and DECIMAL-summed. */
+  def fleissKappa(df: DataFrame, unitCol: String,
+      ratingCol: String): DataFrame = {
+    val cells = df.filter(col(unitCol).isNotNull &&
+        col(ratingCol).isNotNull)
+      .groupBy(col(unitCol).as("u"), col(ratingCol).as("c"))
+      .agg(count(lit(1)).as("nic"))
+    val perUnit = cells.groupBy("u")
+      .agg(sum("nic").as("n"), sum(col("nic") * col("nic")).as("s2"))
+    val nMode = perUnit.groupBy("n").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("n")).limit(1)
+      .select(col("n").as("n_raters"))
+    val kept = perUnit.join(broadcast(nMode),
+      perUnit("n") === nMode("n_raters"))
+    val dropped = perUnit.crossJoin(broadcast(nMode))
+      .agg(sum(when(col("n") =!= col("n_raters"), 1L).otherwise(0L))
+        .as("units_dropped"))
+    val pbar = kept.select(
+      round((col("s2") - col("n")).cast("double") /
+        (col("n") * (col("n") - 1)), 12).cast("decimal(38,12)")
+        .as("pi"))
+      .agg(count(lit(1)).as("n_units"), sum("pi").as("psum"))
+    val pe = cells
+      .join(kept.select(col("u")), Seq("u"))
+      .groupBy("c").agg(sum("nic").as("mc"))
+      .crossJoin(broadcast(kept.agg(sum("n").as("tot"))))
+      .select(round((col("mc").cast("double") / col("tot")) *
+        (col("mc").cast("double") / col("tot")), 12)
+        .cast("decimal(38,12)").as("pc2"))
+      .agg(sum("pc2").as("pe"))
+    pbar.crossJoin(broadcast(pe))
+      .crossJoin(broadcast(dropped))
+      .crossJoin(broadcast(nMode))
+      .select(col("n_units").cast("long").as("n_units"),
+        col("n_raters").cast("long").as("n_raters"),
+        col("units_dropped").cast("long").as("units_dropped"),
+        (col("psum").cast("double") / col("n_units")).as("p_bar"),
+        col("pe").cast("double").as("p_e"),
+        ((col("psum").cast("double") / col("n_units") -
+          col("pe").cast("double")) /
+          (lit(1.0) - col("pe").cast("double"))).as("kappa"))
+  }
+
   /** Hill tail-index estimator per key (Hill 1975): over the top
     * k+1 order statistics of a positive column,
     *   H = (1/k) Σ_{i=1..k} ln(x_(i) / x_(k+1)),  α̂ = 1/H

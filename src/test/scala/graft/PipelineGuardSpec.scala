@@ -77,6 +77,29 @@ class PipelineGuardSpec extends SparkSpecBase {
     r("all_rules")._1 shouldBe 1L
   }
 
+  test("fleissKappa: perfect agreement = 1, independent-looking " +
+    "split near the textbook value, deviating units dropped loudly") {
+    import graft.stats.StatsOps
+    // 4 units, 3 raters each, all agree -> kappa 1
+    val perfect = (1 to 4).flatMap(u => (1 to 3).map(r =>
+      (u.toLong, (u % 2).toLong))).toDF("u", "rating")
+    val p = StatsOps.fleissKappa(perfect, "u", "rating").collect()(0)
+    p.getAs[Long]("n_raters") shouldBe 3L
+    approx(p.getAs[Double]("kappa"), 1.0, 1e-9)
+    // one unit with an extra rater is excluded and counted
+    val uneven = perfect.union(Seq((1L, 0L)).toDF("u", "rating"))
+    val q = StatsOps.fleissKappa(uneven, "u", "rating").collect()(0)
+    q.getAs[Long]("units_dropped") shouldBe 1L
+    q.getAs[Long]("n_units") shouldBe 3L
+    // textbook disagreement: 2 raters always split across 2 cats
+    val split = (1 to 10).map(u => (u.toLong, 0L)) ++
+      (1 to 10).map(u => (u.toLong, 1L))
+    val s = StatsOps.fleissKappa(split.toDF("u", "rating"),
+      "u", "rating").collect()(0)
+    // P_bar = 0 (never agree), P_e = 0.5 -> kappa = -1
+    approx(s.getAs[Double]("kappa"), -1.0, 1e-9)
+  }
+
   test("bradleyTerry: dominant player converges to the top " +
     "strength; symmetric duels tie") {
     import graft.analytics.PairwiseRank
