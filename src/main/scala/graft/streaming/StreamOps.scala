@@ -620,6 +620,44 @@ object StreamOps {
       }
   }
 
+  case class UpliftStreamState(nt: Long, nc: Long, rt: Long, rc: Long)
+  case class UpliftStreamOut(bucket: Int, nBatch: Long, nt: Long,
+      nc: Long, rt: Long, rc: Long, uplift: Option[Double])
+
+  /** Streaming rendition of
+    * [[graft.ml.MlMetrics.upliftCurve]]'s per-bucket cells: the
+    * treated/control responder counts accumulate per score bucket
+    * across micro-batches (4 longs of state — the fairnessStream
+    * shape) and every batch emits the CUMULATIVE per-bucket uplift —
+    * the live read on whether the treatment is still lifting while
+    * an experiment runs. Input: (bucket, treated, outcome). The
+    * cumulative-across-buckets Qini view stays a batch query over
+    * the emitted cells (one ≤buckets-row frame). */
+  def upliftStream(ds: Dataset[(Int, Boolean, Boolean)])(
+      implicit e: Encoder[UpliftStreamOut],
+      se: Encoder[UpliftStreamState]): Dataset[UpliftStreamOut] = {
+    ds.groupByKey(_._1)(Encoders.scalaInt)
+      .flatMapGroupsWithState[UpliftStreamState, UpliftStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Int, rows: Iterator[(Int, Boolean, Boolean)],
+         state: GroupState[UpliftStreamState]) =>
+          val prev = state.getOption
+            .getOrElse(UpliftStreamState(0L, 0L, 0L, 0L))
+          var (nt, nc, rt, rc) = (prev.nt, prev.nc, prev.rt, prev.rc)
+          var nBatch = 0L
+          rows.foreach { case (_, t, y) =>
+            nBatch += 1
+            if (t) { nt += 1; if (y) rt += 1 }
+            else { nc += 1; if (y) rc += 1 }
+          }
+          state.update(UpliftStreamState(nt, nc, rt, rc))
+          val uplift = if (nt > 0 && nc > 0)
+            Some(rt.toDouble / nt - rc.toDouble / nc) else None
+          Iterator.single(UpliftStreamOut(bucket, nBatch, nt, nc,
+            rt, rc, uplift))
+      }
+  }
+
   /** Batch-equivalent of the streaming tumbling aggregation — used to
     * verify window semantics against the oracle on static data. */
   def tumblingBatch(df: DataFrame, tsCol: String, size: String,

@@ -67,4 +67,46 @@ class StreamingFairnessSpec extends SparkSpecBase {
         Map("A" -> 3L, "B" -> 3L)
     } finally q.stop()
   }
+
+  test("streamed cumulative uplift cells == batch upliftCurve") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, Boolean, Boolean)]
+    val out = StreamOps.upliftStream(input.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("uplift_stream_t")
+      .outputMode(OutputMode.Append()).start()
+    // bucket k corresponds to score (9 - k + 0.5) / 10 in the batch
+    // op's bucket = 9 - floor(p * 10) convention
+    val b1 = Seq((0, true, true), (0, false, false),
+      (3, true, false), (3, false, true))
+    val b2 = Seq((0, true, true), (0, true, false),
+      (0, false, true), (3, true, true))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+
+      val streamed = spark.table("uplift_stream_t").collect()
+        .groupBy(_.getInt(0)).map { case (b, rows) =>
+          val r = rows.maxBy(r => r.getAs[Long]("nt") +
+            r.getAs[Long]("nc"))
+          b -> (r.getAs[Long]("nt"), r.getAs[Long]("nc"),
+            r.getAs[Long]("rt"), r.getAs[Long]("rc"))
+        }
+
+      val batchRows = (b1 ++ b2).map { case (b, t, y) =>
+        (t, y, (9 - b) / 10.0 + 0.05) }
+      val batch = graft.ml.MlMetrics.upliftCurve(
+          batchRows.toDF("t", "y", "p"), "t", "y", "p")
+        .collect().map { r =>
+          r.getInt(0) -> (r.getAs[Long]("nt"), r.getAs[Long]("nc"),
+            r.getAs[Long]("rt"), r.getAs[Long]("rc"))
+        }.toMap
+
+      streamed.keySet shouldBe batch.keySet
+      streamed.foreach { case (b, cells) =>
+        cells shouldBe batch(b)
+      }
+    } finally q.stop()
+  }
 }
