@@ -99,6 +99,30 @@ object MlMetrics {
         (col("fs").cast("double") / col("k")).as("macro_f1"))
   }
 
+  /** Multiclass Matthews correlation (Gorodkin 2004 R_K) from
+    * [[multiclassReport]]'s exact cells:
+    *   R_K = (c·s − Σ_k p_k·t_k) /
+    *         (√(s² − Σp_k²) · √(s² − Σt_k²))
+    * with c = Σtp (trace), s = n, p_k = predicted, t_k = support —
+    * the chance-corrected single number that, unlike accuracy,
+    * survives class imbalance. All sums exact BIGINTs; the two
+    * √ factors are separate (each operand < 2⁶³ where the product
+    * would overflow), identical tree in the oracle. Null when a
+    * factor is 0 (a degenerate margin). */
+  def multiclassMcc(report: DataFrame): DataFrame =
+    report.agg(sum(col("support")).as("n"), sum(col("tp")).as("c"),
+        sum(col("support") * col("predicted")).as("pt"),
+        sum(col("predicted") * col("predicted")).as("p2"),
+        sum(col("support") * col("support")).as("t2"))
+      .select(col("n").cast("long").as("n"),
+        col("c").cast("long").as("n_correct"),
+        when(col("n") * col("n") - col("p2") > 0 &&
+            col("n") * col("n") - col("t2") > 0,
+          (col("c") * col("n") - col("pt")).cast("double") /
+            (sqrt((col("n") * col("n") - col("p2")).cast("double")) *
+              sqrt((col("n") * col("n") - col("t2"))
+                .cast("double")))).as("mcc"))
+
   /** ROC operating-point table over the DISTINCT score values (the
     * thresholds "predict positive iff score ≥ t"), with Youden's
     * J = TPR − FPR and an expected-cost column, flagging the

@@ -472,6 +472,25 @@ object QueriesPipeline {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id", "pos")),
 
+    // multiclass Matthews correlation (Gorodkin R_K) on the q426
+    // hash task — the imbalance-robust single number
+    "q440_multiclass_mcc" -> ((s, d) => {
+      val lbl = floor(PipelineOps.hash48Unit(concat(
+        col("o_orderkey").cast("string"), lit("#mc"))) * 4)
+        .cast("long")
+      val alt = floor(PipelineOps.hash48Unit(concat(
+        col("o_orderkey").cast("string"), lit("#mp"))) * 4)
+        .cast("long")
+      val agree = PipelineOps.hash48Unit(concat(
+        col("o_orderkey").cast("string"), lit("#ag"))) < 0.7
+      val o = t(s, d, "orders").select(lbl.as("y"),
+        when(agree, lbl).otherwise(alt).as("p"))
+      graft.ml.MlMetrics.multiclassMcc(
+          graft.ml.MlMetrics.multiclassReport(o, "y", "p"))
+        .select(col("n"), col("n_correct"),
+          round(col("mcc"), 9).as("mcc"))
+    }),
+
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
     "q439_fleiss_kappa" -> ((s, d) => {
@@ -2816,6 +2835,46 @@ object QueriesPipeline {
         |SELECT DISTINCT doc_id, CAST(z.pos AS BIGINT) AS pos,
         |  CAST(z.fp AS BIGINT) AS fp
         |FROM sel0""".stripMargin,
+
+    // same per-class cells as q426, identical R_K expression with
+    // the two separate sqrt factors
+    "q440_multiclass_mcc" -> {
+      val hm = h48("CAST(o_orderkey AS VARCHAR) || '#mc'")
+      val hp = h48("CAST(o_orderkey AS VARCHAR) || '#mp'")
+      val ha = h48("CAST(o_orderkey AS VARCHAR) || '#ag'")
+      s"""WITH o AS (
+         |  SELECT CAST(floor($hm * 4) AS BIGINT) AS y,
+         |    CASE WHEN $ha < 0.7 THEN CAST(floor($hm * 4) AS BIGINT)
+         |      ELSE CAST(floor($hp * 4) AS BIGINT) END AS p
+         |  FROM orders),
+         |cls AS (SELECT DISTINCT y AS cls FROM o
+         |        UNION SELECT DISTINCT p FROM o),
+         |tp AS (SELECT y AS cls, CAST(count(*) AS BIGINT) AS tp
+         |       FROM o WHERE y = p GROUP BY 1),
+         |sup AS (SELECT y AS cls, CAST(count(*) AS BIGINT) AS support
+         |        FROM o GROUP BY 1),
+         |prd AS (SELECT p AS cls, CAST(count(*) AS BIGINT)
+         |          AS predicted FROM o GROUP BY 1),
+         |j AS (
+         |  SELECT c.cls, coalesce(s.support, 0) AS support,
+         |    coalesce(pr.predicted, 0) AS predicted,
+         |    coalesce(t.tp, 0) AS tp
+         |  FROM cls c LEFT JOIN tp t USING (cls)
+         |  LEFT JOIN sup s USING (cls) LEFT JOIN prd pr USING (cls)),
+         |a AS (
+         |  SELECT CAST(sum(support) AS BIGINT) AS n,
+         |    CAST(sum(tp) AS BIGINT) AS c,
+         |    CAST(sum(support * predicted) AS BIGINT) AS pt,
+         |    CAST(sum(predicted * predicted) AS BIGINT) AS p2,
+         |    CAST(sum(support * support) AS BIGINT) AS t2
+         |  FROM j)
+         |SELECT n, c AS n_correct,
+         |  CASE WHEN n * n - p2 > 0 AND n * n - t2 > 0 THEN
+         |    round(CAST(c * n - pt AS DOUBLE) /
+         |      (sqrt(CAST(n * n - p2 AS DOUBLE)) *
+         |       sqrt(CAST(n * n - t2 AS DOUBLE))), 9) END AS mcc
+         |FROM a""".stripMargin
+    },
 
     // identical synthesized annotations, identical mode-n keep rule,
     // round-12 DECIMAL P_i / p_c² sums

@@ -259,6 +259,24 @@ class PipelineGuardSpec extends SparkSpecBase {
     approx(m.getAs[Double]("macro_precision"), 2.0 / 3, 1e-9)
   }
 
+  test("multiclassMcc: perfect = 1, binary case matches the " +
+    "textbook MCC, degenerate margin -> null") {
+    def mcc(rows: Seq[(String, String)]): org.apache.spark.sql.Row =
+      MlMetrics.multiclassMcc(MlMetrics.multiclassReport(
+        rows.toDF("y", "p"), "y", "p")).collect()(0)
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"),
+      ("a", "a"))
+    approx(mcc(perfect).getAs[Double]("mcc"), 1.0, 1e-9)
+    // binary confusion tp=2 fp=1 fn=1 tn=2: MCC = (4-1)/sqrt(3*3*3*3)
+    val bin = Seq(("p", "p"), ("p", "p"), ("p", "n"),
+      ("n", "p"), ("n", "n"), ("n", "n"))
+    approx(mcc(bin).getAs[Double]("mcc"), 3.0 / 9, 1e-9)
+    // all predictions the same class -> p-margin degenerate -> null
+    val degen = Seq(("a", "a"), ("b", "a"), ("a", "a"))
+    val d = mcc(degen)
+    d.isNullAt(d.fieldIndex("mcc")) shouldBe true
+  }
+
   test("multiclassReport: class predicted but never labeled gets " +
     "null recall and support 0") {
     val df = Seq(("a", "a"), ("a", "z")).toDF("y", "p")
