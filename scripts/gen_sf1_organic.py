@@ -19,15 +19,16 @@ dedup workloads keep real structure.
 All randomness is hash(key || salt) — fully deterministic, no RNG
 state, reproducible regardless of parallelism.
 
-Usage: python3 scripts/gen_sf1_organic.py [SRC_DIR] [OUT_DIR]
-Defaults: /root/testdata/sf0.1 -> /tmp/graft_sf1_organic
+Usage: python3 scripts/gen_sf1_organic.py [SRC_DIR] [OUT_DIR] [SCALE]
+Defaults: /root/testdata/sf0.1 -> /tmp/graft_sf1_organic at SCALE=10
+(SCALE=30 gives the sf3-organic 30x stress set).
 """
 import sys, os, time
 import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1_organic"
-SCALE = 10
+SCALE = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 con.execute(f"SET threads TO {os.cpu_count()}")

@@ -433,9 +433,12 @@ object Dedup {
     * copy of each duplicate cluster (longest / highest quality
     * score — duplicates often differ by truncation or boilerplate).
     * Canonical = argmax (score, then smallest id) per content-hash
-    * group, resolved with ONE max(struct) aggregation (no window
-    * over the group). Emits every member of each multi-member group
-    * with its canonical id and keep flag. */
+    * group, resolved with ONE min(struct) aggregation (no window
+    * over the group): min over (−score, id) is score-desc then
+    * id-asc, and the id itself is never negated so ANY orderable id
+    * type works (string ids included). `scoreCol` must be numeric.
+    * Emits every member of each multi-member group with its
+    * canonical id and keep flag. */
   def canonicalByQuality(df: DataFrame, textCol: String,
       idCol: String, scoreCol: String): DataFrame = {
     val h = md5(col(textCol))
@@ -445,11 +448,11 @@ object Dedup {
         col(scoreCol).as("score"))
     val best = base.groupBy("__h__")
       .agg(count(lit(1)).as("group_size"),
-        max(struct(col("score"),
-          (col("doc_id") * -1).as("negid"))).as("b"))
+        min(struct((col("score") * -1).as("negscore"),
+          col("doc_id").as("id"))).as("b"))
       .filter(col("group_size") >= 2)
       .select(col("__h__"), col("group_size"),
-        (col("b.negid") * -1).as("canonical_id"))
+        col("b.id").as("canonical_id"))
     base.join(best, Seq("__h__"))
       .select(col("doc_id"), col("canonical_id"), col("group_size"),
         col("score"), (col("doc_id") === col("canonical_id"))
@@ -491,7 +494,16 @@ object Dedup {
     * more than that many documents (a fingerprint shared by
     * everything carries no pair signal and would fan out as df² —
     * the q45 n-gram maxDf argument). One fp-keyed shuffle + one
-    * pair-keyed aggregation — no all-pairs comparison. */
+    * pair-keyed aggregation — no all-pairs comparison.
+    *
+    * `fp_jaccard` is deliberately asymmetric about the df filter:
+    * n_shared counts only fingerprints surviving df ∈ [2, maxDf],
+    * while nfp_a/nfp_b count ALL per-doc fingerprints — "shared
+    * non-boilerplate over full fingerprint union". This
+    * under-estimates raw set overlap when boilerplate is dropped,
+    * which is the conservative direction for dedup (boilerplate
+    * cannot inflate similarity) and keeps the denominator stable as
+    * maxDf moves. */
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 2,
       maxDf: Int = 100): DataFrame = {

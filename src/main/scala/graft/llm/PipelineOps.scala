@@ -1041,11 +1041,11 @@ object PipelineOps {
   /** Code-vs-prose heuristic score per document — the cheap "is
     * this code?" router a mixed web corpus applies before language
     * ID (code wants different dedup/quality rules than prose):
-    * exact counts of code-ish characters ({}[]();=<>#), digit share
-    * and code keywords vs prose stop words, combined into an exact
-    * integer score in ppm (each signal a cross-multiplied integer
-    * ratio — no floats anywhere). `is_code` = score above the
-    * threshold. Map-side only. */
+    * exact counts of code-ish characters ({}[]();=<>#) and code
+    * keywords, combined into an exact integer score in ppm
+    * (codechar share + 2x keyword share, each a cross-multiplied
+    * integer ratio — no floats anywhere). `is_code` = score above
+    * the threshold. Map-side only. */
   def codeScore(df: DataFrame, idCol: String, textCol: String,
       thresholdPpm: Long = 100000L): DataFrame = {
     val t = col(textCol)
@@ -1119,7 +1119,9 @@ object PipelineOps {
     * cross-multiplied, never divided):
     *   1. word count within [minWords, maxWords]
     *   2. mean word length within [3, 10]   (3w ≤ letters ≤ 10w)
-    *   3. symbol-to-word ratio ≤ 10%        (10·symbols ≤ words)
+    *   3. symbol-to-word ratio ≤ 10%        (10·symbols ≤ words;
+    *      symbols = '#', '…', and ASCII '...' — tracked as 3× the
+    *      count so the check stays pure-integer: 10·s₃ ≤ 3·words)
     *   4. ≥ 80% of words contain a letter   (5·alphaWords ≥ 4·words)
     *   5. ≥ 2 of the canonical stop words present
     * Returns one row per rule with pass counts and exact-ppm pass
@@ -1133,8 +1135,13 @@ object PipelineOps {
     val words = size(tk).cast("long")
     val letters = (length(col(textCol)) - length(regexp_replace(
       col(textCol), "[a-zA-Z]", ""))).cast("long")
-    val symbols = (length(col(textCol)) - length(regexp_replace(
-      col(textCol), "[#…]", ""))).cast("long")
+    // 3x the symbol count, kept integral (no division): 3 per '#'
+    // or '…' char, plus the chars deleted by removing each literal
+    // non-overlapping '...' (3 per occurrence in both engines)
+    val symbols3 = lit(3L) * (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[#…]", ""))).cast("long") +
+      (length(col(textCol)) - length(replace(col(textCol),
+        lit("..."), lit("")))).cast("long")
     val alphaWords = size(filter(tk,
       w => w.rlike("[a-z]"))).cast("long")
     val stopHits = size(filter(tk,
@@ -1143,7 +1150,7 @@ object PipelineOps {
       ("word_count", words >= minWords && words <= maxWords),
       ("mean_word_len", lit(3L) * words <= letters &&
         letters <= lit(10L) * words),
-      ("symbol_ratio", lit(10L) * symbols <= words),
+      ("symbol_ratio", lit(10L) * symbols3 <= lit(3L) * words),
       ("alpha_words", lit(5L) * alphaWords >= lit(4L) * words),
       ("stop_words", stopHits >= 2))
     val all = rules.map(_._2).reduce(_ && _)

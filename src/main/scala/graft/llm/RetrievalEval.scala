@@ -99,10 +99,6 @@ object RetrievalEval {
           .as("ndcg_at_k"))
   }
 
-  /** Macro (mean-over-queries) summary of `rankEval` output: the
-    * corpus-level numbers a leaderboard reports. Null per-query
-    * cells (no relevant docs / zero IDCG) are excluded from their
-    * mean, matching trec_eval's handling. */
   /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
     * rankings of the same id space, truncated at depth k — the
     * top-weighted "how much did my retrieval change" number for
@@ -168,6 +164,10 @@ object RetrievalEval {
       .drop("__t__")
   }
 
+  /** Macro (mean-over-queries) summary of `rankEval` output: the
+    * corpus-level numbers a leaderboard reports. Null per-query
+    * cells (no relevant docs / zero IDCG) are excluded from their
+    * mean, matching trec_eval's handling. */
   def rankEvalMacro(perQuery: DataFrame): DataFrame =
     perQuery.agg(count(lit(1)).cast("long").as("n_queries"),
       round(avg("p_at_k"), 6).as("mean_p_at_k"),

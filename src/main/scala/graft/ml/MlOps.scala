@@ -7,7 +7,7 @@ import org.apache.spark.ml.classification.{DecisionTreeClassifier,
 import org.apache.spark.ml.feature.{PCA, VectorAssembler}
 import org.apache.spark.ml.regression.{DecisionTreeRegressor,
   GBTRegressor, LinearRegression, RandomForestRegressor}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ML layer (reference src/ml/: preprocessing/mod.rs:14-302,
@@ -232,6 +232,101 @@ object MlOps {
     terms.zip(coefs).zipWithIndex.map { case ((t, c), i) =>
       (t, c, s.coefficientStandardErrors(i), s.tValues(i), s.pValues(i))
     }.toDF("term", "coef", "std_err", "z_value", "p_value")
+  }
+
+  /** PORTABLE ORACLE TWIN of [[glmSummary]]'s Poisson/log fit (the
+    * q322 Lloyd-unroll / q335 SARIMA-replay precedent): IRLS with
+    * the standard GLM initialization μ⁰ = y + ½, unrolled for a
+    * FIXED number of rounds, every step engine-replayable:
+    *
+    *  - per-round normal equations XᵀWX β = XᵀWz (W = diag(μ),
+    *    working response z = η + (y−μ)/μ) accumulated as ORDER-FREE
+    *    sums: each per-row term rounded to 12 decimals and summed
+    *    as DECIMAL(38,12) — identical regardless of partitioning;
+    *  - the only transcendental outputs (ln at init, exp per round)
+    *    are rounded to 9 decimals — at η ≈ ln ȳ the double ulp is
+    *    ~1e-15, so a last-ulp libm disagreement between engines
+    *    cannot move the rounded value;
+    *  - the 3×3 ridge-stabilized solve (+`ridge` on the diagonal)
+    *    is Cramer's rule written as ONE textual expression mirrored
+    *    in the SQL oracle — identical doubles in, identical out;
+    *  - round-to-round β is a 1-row AGGREGATE broadcast onto the
+    *    data (the stat-row pattern) — no driver collect, two keyed
+    *    scans per round at any scale.
+    *
+    * Two features + intercept (the 3×3 Cramer case). Returns one
+    * row (n_rounds, n, b0, b1, b2). The companion spec shows the
+    * 2-round estimate already agrees with MLlib's converged GLM to
+    * <1e-2 on a planted log-linear process. */
+  def glmPoissonIrlsTwin(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String, rounds: Int = 2, ridge: Double = 1e-6): DataFrame = {
+    require(rounds >= 1 && rounds <= 4,
+      s"rounds in [1,4] (fixed unroll, one oracle CTE each), got $rounds")
+    val base = df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull && col(yCol) >= 0)
+      .select(col(yCol).cast("double").as("y"),
+        col(x1Col).cast("double").as("x1"),
+        col(x2Col).cast("double").as("x2"))
+
+    // order-free decimal accumulation of one normal-equation cell
+    def cell(c: Column, name: String) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double").as(name)
+
+    // Cramer's rule for (A + ridge·I) b = c — single expression,
+    // mirrored textually in the oracle SQL
+    def solve(agg: DataFrame): DataFrame = {
+      val l = lit(ridge)
+      val (a11, a12, a13) = (col("a11") + l, col("a12"), col("a13"))
+      val (a22, a23, a33) =
+        (col("a22") + l, col("a23"), col("a33") + l)
+      val det = a11 * (a22 * a33 - a23 * a23) -
+        a12 * (a12 * a33 - a23 * a13) +
+        a13 * (a12 * a23 - a22 * a13)
+      agg.select(col("n"),
+        round((col("c1") * (a22 * a33 - a23 * a23) -
+          a12 * (col("c2") * a33 - a23 * col("c3")) +
+          a13 * (col("c2") * a23 - a22 * col("c3"))) / det, 12)
+          .as("b0"),
+        round((a11 * (col("c2") * a33 - a23 * col("c3")) -
+          col("c1") * (a12 * a33 - a23 * a13) +
+          a13 * (a12 * col("c3") - col("c2") * a13)) / det, 12)
+          .as("b1"),
+        round((a11 * (a22 * col("c3") - col("c2") * a23) -
+          a12 * (a12 * col("c3") - col("c2") * a13) +
+          col("c1") * (a12 * a23 - a22 * a13)) / det, 12)
+          .as("b2"))
+    }
+
+    def normalEq(rows: DataFrame): DataFrame = {
+      // rows: y, x1, x2, w (= μ), z
+      val (w, x1, x2, z) = (col("w"), col("x1"), col("x2"), col("z"))
+      rows.agg(count(lit(1)).as("n"),
+        cell(w, "a11"), cell(w * x1, "a12"), cell(w * x2, "a13"),
+        cell(w * x1 * x1, "a22"), cell(w * x1 * x2, "a23"),
+        cell(w * x2 * x2, "a33"),
+        cell(w * z, "c1"), cell(w * x1 * z, "c2"),
+        cell(w * x2 * z, "c3"))
+    }
+
+    // round 1: μ⁰ = y + ½ (exact), η⁰ = round(ln μ⁰, 9)
+    val init = base.select(col("y"), col("x1"), col("x2"),
+      (col("y") + 0.5).as("w"),
+      (round(log(col("y") + 0.5), 9) - lit(0.5) / (col("y") + 0.5))
+        .as("z"))
+    var beta = solve(normalEq(init))
+    // rounds 2..k: η = Xβ, μ = max(round(exp η, 9), 1e-6)
+    for (_ <- 2 to rounds) {
+      val eta = col("b0") + col("b1") * col("x1") +
+        col("b2") * col("x2")
+      val mu = greatest(round(exp(eta), 9), lit(1e-6))
+      val rows = base.crossJoin(broadcast(beta))
+        .select(col("y"), col("x1"), col("x2"), mu.as("w"),
+          (eta + (col("y") - mu) / mu).as("z"))
+      beta = solve(normalEq(rows))
+    }
+    beta.select(lit(rounds.toLong).as("n_rounds"), col("n"),
+      col("b0"), col("b1"), col("b2"))
   }
 
   /** DecisionTree classifier/regressor (models/tree.rs:185,669) via

@@ -3587,11 +3587,13 @@ object QueriesPipeline {
         |      '\s+'), x -> length(x) > 0) AS tk,
         |    length(text) - length(regexp_replace(text,
         |      '[a-zA-Z]', '', 'g')) AS letters,
-        |    length(text) - length(regexp_replace(text,
-        |      '[#…]', '', 'g')) AS symbols
+        |    3 * (length(text) - length(regexp_replace(text,
+        |      '[#…]', '', 'g')))
+        |      + (length(text) - length(replace(text, '...', '')))
+        |      AS symbols3
         |  FROM documents WHERE text IS NOT NULL),
         |f AS (
-        |  SELECT len(tk) AS words, letters, symbols,
+        |  SELECT len(tk) AS words, letters, symbols3,
         |    len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
         |      AS alphawords,
         |    len(list_filter(tk, w -> w IN ('the', 'be', 'to', 'of',
@@ -3601,7 +3603,7 @@ object QueriesPipeline {
         |  SELECT
         |    (words >= 30 AND words <= 100000) AS r0,
         |    (3 * words <= letters AND letters <= 10 * words) AS r1,
-        |    (10 * symbols <= words) AS r2,
+        |    (10 * symbols3 <= 3 * words) AS r2,
         |    (5 * alphawords >= 4 * words) AS r3,
         |    (stophits >= 2) AS r4
         |  FROM f),

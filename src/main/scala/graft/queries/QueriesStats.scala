@@ -1489,6 +1489,20 @@ object QueriesStats {
           (dbl(col("l_extendedprice")) / 100000.0).as("x2")),
         Seq("x1", "x2"), "qty", family = "poisson", link = "log")),
 
+    // the PORTABLE ORACLE TWIN of q292's Poisson/log IRLS (the
+    // q322/q335 precedent): same design matrix, GLM init μ⁰ = y+½,
+    // 2 unrolled IRLS rounds with order-free decimal normal
+    // equations and a Cramer 3×3 ridge solve — every arithmetic
+    // step replayed textually in the DuckDB oracle. Closes the
+    // q292 no-oracle ledger row.
+    "q441_glm_irls_twin" -> ((s, d) =>
+      graft.ml.MlOps.glmPoissonIrlsTwin(
+        t(s, d, "lineitem").select(
+          dbl(col("l_quantity")).as("qty"),
+          dbl(col("l_discount")).as("x1"),
+          (dbl(col("l_extendedprice")) / 100000.0).as("x2")),
+        "x1", "x2", "qty", rounds = 2)),
+
     // §2.12 ANOVA effect sizes η²/ω² over the q78 design
     "q293_anova_effect" -> ((s, d) =>
       StatsOps.anovaEffectSizes(
@@ -2081,9 +2095,70 @@ object QueriesStats {
        |FROM e12 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // q441: the IRLS twin's normal-equation cells and Cramer solve,
+  // generated once per round so the ridge/solve text cannot drift
+  // between rounds (mirrors MlOps.glmPoissonIrlsTwin exactly)
+  private val glmIrlsTwinOracle: String = {
+    def cells(src: String) = {
+      def c(term: String, name: String) =
+        s"CAST(sum(CAST(round($term, 12) AS DECIMAL(38,12))) " +
+          s"AS DOUBLE) AS $name"
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${c("w", "a11")}, ${c("w * x1", "a12")},
+         |    ${c("w * x2", "a13")}, ${c("w * x1 * x1", "a22")},
+         |    ${c("w * x1 * x2", "a23")}, ${c("w * x2 * x2", "a33")},
+         |    ${c("w * z", "c1")}, ${c("w * x1 * z", "c2")},
+         |    ${c("w * x2 * z", "c3")}
+         |  FROM $src""".stripMargin
+    }
+    val dt = "((a11 + 1e-6) * ((a22 + 1e-6) * (a33 + 1e-6) " +
+      "- a23 * a23) - a12 * (a12 * (a33 + 1e-6) - a23 * a13) " +
+      "+ a13 * (a12 * a23 - (a22 + 1e-6) * a13))"
+    def solve(src: String) =
+      s"""SELECT n,
+         |    round((c1 * ((a22 + 1e-6) * (a33 + 1e-6) - a23 * a23) -
+         |      a12 * (c2 * (a33 + 1e-6) - a23 * c3) +
+         |      a13 * (c2 * a23 - (a22 + 1e-6) * c3)) / $dt, 12) AS b0,
+         |    round(((a11 + 1e-6) * (c2 * (a33 + 1e-6) - a23 * c3) -
+         |      c1 * (a12 * (a33 + 1e-6) - a23 * a13) +
+         |      a13 * (a12 * c3 - c2 * a13)) / $dt, 12) AS b1,
+         |    round(((a11 + 1e-6) * ((a22 + 1e-6) * c3 - c2 * a23) -
+         |      a12 * (a12 * c3 - c2 * a13) +
+         |      c1 * (a12 * a23 - (a22 + 1e-6) * a13)) / $dt, 12) AS b2
+         |  FROM $src""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS y,
+       |    CAST(l_discount AS DOUBLE) AS x1,
+       |    CAST(l_extendedprice AS DOUBLE) / 100000.0 AS x2
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+       |    AND l_extendedprice IS NOT NULL AND l_quantity >= 0),
+       |r1 AS (
+       |  SELECT y, x1, x2, y + 0.5 AS w,
+       |    round(ln(y + 0.5), 9) - 0.5 / (y + 0.5) AS z
+       |  FROM base),
+       |n1 AS (${cells("r1")}),
+       |b1 AS (${solve("n1")}),
+       |r2a AS (
+       |  SELECT y, x1, x2, t.b0 + t.b1 * x1 + t.b2 * x2 AS eta
+       |  FROM base CROSS JOIN b1 t),
+       |r2 AS (
+       |  SELECT y, x1, x2,
+       |    greatest(round(exp(eta), 9), 1e-6) AS w,
+       |    eta + (y - greatest(round(exp(eta), 9), 1e-6)) /
+       |      greatest(round(exp(eta), 9), 1e-6) AS z
+       |  FROM r2a),
+       |n2 AS (${cells("r2")}),
+       |b2 AS (${solve("n2")})
+       |SELECT CAST(2 AS BIGINT) AS n_rounds, n, b0, b1, b2
+       |FROM b2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "q324_kcore_peel" -> kcorePeelOracle,
+
+    "q441_glm_irls_twin" -> glmIrlsTwinOracle,
 
     "q344_label_prop" -> labelPropOracle,
 

@@ -278,6 +278,8 @@ class SourcesAndPlanSpec extends SparkSpecBase {
     // Derby ships in the Spark jars dir, so the JDBC source is
     // testable with zero extra dependencies: write -> read back ->
     // partitioned read with a split column
+    // keep Derby's derby.log out of the repo root
+    System.setProperty("derby.stream.error.file", "target/derby.log")
     val dbDir = tmp("graft_derby") + "/db"
     val url = s"jdbc:derby:$dbDir;create=true"
     val props = new java.util.Properties()
