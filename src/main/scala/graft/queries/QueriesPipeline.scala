@@ -491,6 +491,25 @@ object QueriesPipeline {
           round(col("mcc"), 9).as("mcc"))
     }),
 
+    // the PORTABLE ORACLE TWIN of q210's random forest (q441's IRLS
+    // precedent): md5-lottery bagging, fixed feature-subset schedule,
+    // exact-Gini depth-2 splits over BIGINT cells — the trained
+    // forest emitted node by node and replayed in SQL. Closes the
+    // q210 no-oracle ledger row.
+    "q442_forest_twin" -> ((s, d) =>
+      graft.ml.ForestTwin.giniStumpForestTwin(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull)
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(7)).cast("long").as("f0"),
+            hour(col("ts")).cast("long").as("f1"),
+            least(greatest(floor(col("value") / 10.0).cast("long"),
+              lit(0L)), lit(9L)).as("f2"),
+            (col("event_type") === "purchase").cast("long").as("y")),
+        "event_id", Seq("f0", "f1", "f2"), "y",
+        thresholds = Seq((0 to 5).toList, (0 to 22).toList,
+          (0 to 8).toList), trees = 5)),
+
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
     "q439_fleiss_kappa" -> ((s, d) => {
@@ -1707,7 +1726,103 @@ object QueriesPipeline {
         t(s, d, "supplier").filter(pmod(col("s_suppkey"), lit(3)) =!= 0),
         "s_suppkey", "supp_fk")))
 
+  // q442: the stump-forest twin's candidate grid (the SAME schedule
+  // the Scala twin builds: tree t mod 3 -> 2-feature subset, fixed
+  // per-feature threshold grids) inlined as VALUES, plus the two
+  // argmax levels as windowed CTEs
+  private val forestTwinOracle: String = {
+    val candRows = (for {
+      t <- 0 until 5
+      f <- Seq(Seq(0, 1), Seq(1, 2), Seq(0, 2))(t % 3)
+      thr <- Seq(0 to 5, 0 to 22, 0 to 8)(f)
+    } yield s"($t,$f,$thr)").mkString(",")
+    def scoreCte(src: String, keys: String) =
+      s"""SELECT $keys, feat, thr,
+         |    CAST(sum(CASE WHEN fv <= thr THEN n ELSE 0 END)
+         |      AS BIGINT) AS nl,
+         |    CAST(sum(CASE WHEN fv <= thr THEN pos ELSE 0 END)
+         |      AS BIGINT) AS pl,
+         |    CAST(sum(CASE WHEN fv > thr THEN n ELSE 0 END)
+         |      AS BIGINT) AS nr,
+         |    CAST(sum(CASE WHEN fv > thr THEN pos ELSE 0 END)
+         |      AS BIGINT) AS pr
+         |  FROM (SELECT l.*, c.feat, c.thr,
+         |      CASE WHEN c.feat = 0 THEN l.f0
+         |           WHEN c.feat = 1 THEN l.f1 ELSE l.f2 END AS fv
+         |    FROM $src l JOIN cand c ON c.tree = l.tree)
+         |  GROUP BY ALL""".stripMargin
+    def argmaxCte(src: String, part: String) =
+      s"""SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY $part
+         |      ORDER BY score DESC, feat ASC, thr ASC) AS rn
+         |  FROM (SELECT *,
+         |      round(CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+         |          / nl +
+         |        CAST(pr * pr + (nr - pr) * (nr - pr) AS DOUBLE)
+         |          / nr, 9) AS score
+         |    FROM $src WHERE nl > 0 AND nr > 0))
+         |  WHERE rn = 1""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(event_id AS VARCHAR) AS id,
+       |    CAST(user_id % 7 AS BIGINT) AS f0,
+       |    CAST(hour(ts) AS BIGINT) AS f1,
+       |    least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 9)
+       |      AS f2,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+       |    AND ts IS NOT NULL AND value IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |bags AS (
+       |  SELECT CAST(t.tree AS BIGINT) AS tree, b.*
+       |  FROM base b CROSS JOIN range(0, 5) t(tree)
+       |  WHERE ${h48("b.id || '-' || CAST(t.tree AS VARCHAR) " +
+        "|| 'bf8'")} < 0.7),
+       |cells AS (
+       |  SELECT tree, f0, f1, f2, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS pos
+       |  FROM bags GROUP BY ALL),
+       |cand AS (
+       |  SELECT CAST(tree AS BIGINT) AS tree,
+       |    CAST(feat AS BIGINT) AS feat, CAST(thr AS BIGINT) AS thr
+       |  FROM (VALUES $candRows) v(tree, feat, thr)),
+       |rootsc AS (${scoreCte("cells", "tree")}),
+       |roots AS (${argmaxCte("rootsc", "tree")}),
+       |sided AS (
+       |  SELECT l.tree, l.f0, l.f1, l.f2, l.n, l.pos,
+       |    CASE WHEN (CASE WHEN r.feat = 0 THEN l.f0
+       |      WHEN r.feat = 1 THEN l.f1 ELSE l.f2 END) <= r.thr
+       |      THEN 'l' ELSE 'r' END AS side
+       |  FROM cells l JOIN roots r ON r.tree = l.tree),
+       |childsc AS (${scoreCte("sided", "tree, side")}),
+       |childs AS (${argmaxCte("childsc", "tree, side")}),
+       |leaves AS (
+       |  SELECT s.tree,
+       |    s.side || (CASE WHEN (CASE WHEN c.feat = 0 THEN s.f0
+       |      WHEN c.feat = 1 THEN s.f1 ELSE s.f2 END) <= c.thr
+       |      THEN 'l' ELSE 'r' END) AS leaf,
+       |    CAST(sum(s.n) AS BIGINT) AS n,
+       |    CAST(sum(s.pos) AS BIGINT) AS n_pos
+       |  FROM sided s JOIN childs c
+       |    ON c.tree = s.tree AND c.side = s.side
+       |  GROUP BY ALL)
+       |SELECT tree, 'root' AS node, feat AS feature,
+       |  thr AS threshold, score, nl + nr AS n, pl + pr AS n_pos,
+       |  CAST(NULL AS BOOLEAN) AS pred
+       |FROM roots
+       |UNION ALL
+       |SELECT tree, side, feat, thr, score, nl + nr, pl + pr,
+       |  CAST(NULL AS BOOLEAN)
+       |FROM childs
+       |UNION ALL
+       |SELECT tree, leaf, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(NULL AS DOUBLE), n, n_pos, n_pos * 2 > n
+       |FROM leaves""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q442_forest_twin" -> forestTwinOracle,
 
     // full metric replay: identical md5 pseudo-run, exact-cents
     // qrels, the same hit-cumulative window and gain/discount

@@ -53,4 +53,58 @@ class VerdictR8Spec extends SparkSpecBase {
     }
     bits(1) shouldBe bits(32)
   }
+
+  // planted depth-2 rule on integer features: positive iff
+  // (f0 <= 2 AND f1 <= 10) — every tree that sees f0 and f1 must
+  // recover exactly that split pair by exact-Gini argmax
+  private lazy val separable = (0 until 3000).map { i =>
+    val f0 = i % 7
+    val f1 = (i / 7) % 24
+    val f2 = (i / 168) % 10
+    val y = if (f0 <= 2 && f1 <= 10) 1L else 0L
+    (i.toLong, f0.toLong, f1.toLong, f2.toLong, y)
+  }.toDF("id", "f0", "f1", "f2", "y")
+
+  test("giniStumpForestTwin: recovers the planted depth-2 rule on " +
+      "every tree whose feature subset contains it") {
+    val forest = graft.ml.ForestTwin.giniStumpForestTwin(
+      separable, "id", Seq("f0", "f1", "f2"), "y",
+      thresholds = Seq((0 to 5).toList, (0 to 22).toList,
+        (0 to 8).toList), trees = 6).collect()
+    // trees 0 and 3 see (f0, f1): root must split one of the planted
+    // features at its planted threshold, children the other
+    for (t <- Seq(0L, 3L)) {
+      val root = forest.find(r => r.getAs[Long]("tree") == t &&
+        r.getAs[String]("node") == "root").get
+      val rf = root.getAs[Long]("feature")
+      val rt = root.getAs[Long]("threshold")
+      Set((0L, 2L), (1L, 10L)) should contain((rf, rt))
+      // the child of the side that still mixes labels splits the
+      // OTHER planted feature at its planted threshold
+      val l = forest.find(r => r.getAs[Long]("tree") == t &&
+        r.getAs[String]("node") == "l").get
+      (l.getAs[Long]("feature"), l.getAs[Long]("threshold")) shouldBe
+        (if (rf == 0L) (1L, 10L) else (0L, 2L))
+      // all four leaves are PURE: majority vote == planted rule
+      val leaves = forest.filter(r => r.getAs[Long]("tree") == t &&
+        r.getAs[String]("node").length == 2)
+      leaves should have size 4
+      for (leaf <- leaves) {
+        val pos = leaf.getAs[Long]("n_pos")
+        val n = leaf.getAs[Long]("n")
+        assert(pos == 0L || pos == n,
+          s"leaf ${leaf.getAs[String]("node")} impure: $pos/$n")
+      }
+    }
+  }
+
+  test("giniStumpForestTwin: identical forest under repartition(1) " +
+      "vs repartition(32)") {
+    def run(parts: Int) = graft.ml.ForestTwin.giniStumpForestTwin(
+      separable.repartition(parts), "id", Seq("f0", "f1", "f2"), "y",
+      thresholds = Seq((0 to 5).toList, (0 to 22).toList,
+        (0 to 8).toList), trees = 5)
+      .orderBy("tree", "node").collect().map(_.toString).toSeq
+    run(1) shouldBe run(32)
+  }
 }
