@@ -647,12 +647,12 @@ object QueriesStats {
     // Two OLS solves have no SQL replay => rows-only gate; the
     // process-recovery specs pin the estimator.
     "q320_sarima" -> ((s, d) => {
-      val series = t(s, d, "events")
-        .filter(col("value").isNotNull)
-        .groupBy(date_trunc("hour", col("ts")).as("b"))
-        .agg(sum(cents(col("value"))).cast("double").as("v"))
-        .orderBy("b")
-        .select("v").collect().map(_.getDouble(0)).toSeq
+      val series = TimeSeriesOps.collectSeries(
+        t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy(date_trunc("hour", col("ts")).as("b"))
+          .agg(sum(cents(col("value"))).cast("double").as("v")),
+        "v", "b")
       val fc = TimeSeriesOps.sarimaForecast(series, p = 1, d = 0,
         q = 0, sp = 1, sd = 0, sq = 0, period = 24, steps = 12)
       val rows = fc.zipWithIndex.map { case (v, i) =>
@@ -665,12 +665,12 @@ object QueriesStats {
     // series (reference advanced_forecasting.rs:584): the full
     // deterministic candidate table with the selected order flagged.
     "q321_auto_arima" -> ((s, d) => {
-      val series = t(s, d, "events")
-        .filter(col("value").isNotNull)
-        .groupBy(date_trunc("hour", col("ts")).as("b"))
-        .agg(sum(cents(col("value"))).cast("double").as("v"))
-        .orderBy("b")
-        .select("v").collect().map(_.getDouble(0)).toSeq
+      val series = TimeSeriesOps.collectSeries(
+        t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy(date_trunc("hour", col("ts")).as("b"))
+          .agg(sum(cents(col("value"))).cast("double").as("v")),
+        "v", "b")
       val (best, table) = TimeSeriesOps.autoArima(series,
         maxP = 2, maxD = 1, maxQ = 1, period = 24,
         maxSp = 1, maxSd = 1, maxSq = 1)

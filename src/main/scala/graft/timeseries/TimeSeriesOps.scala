@@ -817,16 +817,42 @@ object TimeSeriesOps {
       round(fP(f, n - 3), 6).as("p_value"))
   }
 
+  /** Loud-capped driver-side series collect — the ONLY sanctioned
+    * way a `Seq[Double]`-taking forecaster gets its input. The
+    * contract everywhere else in the library (transpose, MMR, DFS)
+    * is that driver-side materialization `require`s an explicit
+    * bound; this applies it to aggregated time series: at most
+    * `maxSeriesLen + 1` rows are ever shipped to the driver
+    * (`limit`, not a post-hoc count — a decades-at-seconds series
+    * fails loudly without being materialized first). */
+  def collectSeries(series: DataFrame, valueCol: String,
+      orderCol: String, maxSeriesLen: Int = 100000): Seq[Double] = {
+    val capped = series.orderBy(col(orderCol))
+      .limit(maxSeriesLen + 1)
+      .select(col(valueCol).cast("double")).collect()
+      .map(_.getDouble(0)).toSeq
+    require(capped.length <= maxSeriesLen,
+      s"aggregated series exceeds maxSeriesLen=$maxSeriesLen rows; " +
+        "coarsen the bucketing or raise the cap explicitly")
+    capped
+  }
+
   /** Partial autocorrelation function per key via Durbin–Levinson on
     * the [[acf]] output — the ARIMA-order diagnostic companion.
     * The recursion is O(maxLag²) per key on the collected ACF table
     * (keys × maxLag rows — aggregation output, small by
     * construction), the same driver-side finalization pattern as the
-    * forecasters. Returns (keyCols…, lag, pacf). */
+    * forecasters. `maxCollectRows` bounds that collect loudly (the
+    * limit is applied BEFORE the fetch, so a runaway key domain
+    * fails without materializing). Returns (keyCols…, lag, pacf). */
   def pacf(df: DataFrame, valueCol: String, orderCol: String,
-      maxLag: Int, keyCols: Seq[String] = Nil): DataFrame = {
+      maxLag: Int, keyCols: Seq[String] = Nil,
+      maxCollectRows: Int = 200000): DataFrame = {
     val acfRows = acf(df, valueCol, orderCol, maxLag, keyCols)
-      .collect()
+      .limit(maxCollectRows + 1).collect()
+    require(acfRows.length <= maxCollectRows,
+      s"pacf: ACF table exceeds maxCollectRows=$maxCollectRows " +
+        "(keys x maxLag); reduce the key domain or raise the cap")
     val byKey = acfRows.groupBy(r => keyCols.indices.map(r.get).toSeq)
     val out = byKey.toSeq.flatMap { case (key, rows) =>
       val rho = Array.fill(maxLag + 1)(0.0)

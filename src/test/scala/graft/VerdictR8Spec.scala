@@ -98,6 +98,121 @@ class VerdictR8Spec extends SparkSpecBase {
     }
   }
 
+  test("collectSeries: loud require when the aggregated series " +
+      "exceeds the cap; exact pass-through under it") {
+    val series = (0 until 50).map(i => (i.toLong, i * 1.5))
+      .toDF("b", "v")
+    val ok = graft.timeseries.TimeSeriesOps
+      .collectSeries(series, "v", "b", maxSeriesLen = 50)
+    ok should have length 50
+    ok.head shouldBe 0.0
+    ok.last shouldBe 49 * 1.5
+    val e = intercept[IllegalArgumentException] {
+      graft.timeseries.TimeSeriesOps
+        .collectSeries(series, "v", "b", maxSeriesLen = 49)
+    }
+    e.getMessage should include("maxSeriesLen")
+  }
+
+  test("pacf: loud require when keys x maxLag exceeds " +
+      "maxCollectRows; unchanged output under it") {
+    val df = (0 until 200).map { i =>
+      (s"k${i % 10}", i.toLong, math.sin(i * 0.3) + i % 10)
+    }.toDF("k", "t", "v")
+    val under = graft.timeseries.TimeSeriesOps
+      .pacf(df, "v", "t", maxLag = 5, keyCols = Seq("k"))
+    under.count() shouldBe 50
+    val e = intercept[IllegalArgumentException] {
+      graft.timeseries.TimeSeriesOps.pacf(df, "v", "t", maxLag = 5,
+        keyCols = Seq("k"), maxCollectRows = 49)
+    }
+    e.getMessage should include("maxCollectRows")
+  }
+
+  test("AQE OptimizeSkewedJoin: splits the hot key's shuffle " +
+      "partition (PartialReducerPartitionSpec) and matches the " +
+      "salted-join result on the same skew") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, AQEShuffleReadExec}
+    // 94% of fact rows on key 0; dim is too big to broadcast here
+    // (we disable broadcast to force the shuffled-join regime AQE's
+    // skew handling targets)
+    val fact = spark.range(0, 320000).select(
+      when(col("id") < 300000, 0L).otherwise(pmod(col("id"), lit(63L)) + 1)
+        .as("k"),
+      concat(lit("payload_payload_payload_"), col("id")).as("pay"))
+    val dim = spark.range(0, 64 * 200).select(
+      pmod(col("id"), lit(64L)).as("k"), (col("id") * 3L).as("v"))
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "131072")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      // NOTE: a per-key agg directly after the join would REUSE the
+      // join's hash partitioning, and OptimizeSkewedJoin declines to
+      // split in that case (splitting breaks the downstream
+      // distribution requirement — the forceOptimizeSkewedJoin
+      // trade-off, see SCALE.md). A global agg imposes no
+      // distribution requirement, and carrying max(pay) keeps the
+      // incompressible payload in the skewed shuffle.
+      val total = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          max(col("pay")).as("mp"))
+      val totalRow = total.collect()
+      // AQE finalizes the plan only after execution — walk it now
+      val aqe = total.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
+      val finalPlan = aqe.executedPlan
+      // QueryStageExec nodes are leaves to TreeNode.collect — walk
+      // into each stage's materialized plan explicitly
+      def deep(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(deep)
+      }
+      val nodes = deep(finalPlan)
+      val smjs = nodes.collect {
+        case s: org.apache.spark.sql.execution.joins.ShuffledJoin => s
+      }
+      assert(smjs.exists(_.isSkewJoin),
+        s"no skew-marked shuffled join in:\n$finalPlan")
+      val reads = nodes.collect { case r: AQEShuffleReadExec => r }
+      val skewSplits = reads.flatMap(_.partitionSpecs)
+        .count(_.isInstanceOf[PartialReducerPartitionSpec])
+      assert(skewSplits >= 2,
+        s"hot partition was not split (specs: " +
+          s"${reads.map(_.partitionSpecs.size)})")
+      // the manual salting path produces the identical result
+      def perKey(df: DataFrame) = df
+        .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .orderBy("k").collect().map(_.toString).toSeq
+      perKey(fact.join(dim, "k")) shouldBe
+        perKey(graft.ops.SkewOps.saltedJoin(
+          fact, dim.withColumnRenamed("k", "dk"), "k", "dk",
+          saltFrom = "pay", salts = 8))
+      totalRow.head.getAs[Long]("n") shouldBe 320000L * 200L
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("giniStumpForestTwin: identical forest under repartition(1) " +
       "vs repartition(32)") {
     def run(parts: Int) = graft.ml.ForestTwin.giniStumpForestTwin(
