@@ -399,12 +399,17 @@ object TextEval {
     * `smoothing` = 3: Chen–Cherry method 3 / NLTK `method3` /
     * sacrebleu's `exp` family — the k-th zero precision (in n
     * order) becomes 1/(2^k · c_n), an exponentially decaying floor.
+    * `smoothing` = 4: Chen–Cherry method 4 / NLTK `method4` —
+    * method 3's floor scaled by candidate length,
+    * ln(clen)/(2^k · 5 · c_n) (NLTK's K = 5), so SHORT candidates
+    * get proportionally smaller smoothed counts; a 1-token
+    * candidate keeps its raw zero (NLTK's hyp_len > 1 guard).
     * The reported p1..p4 columns are the smoothed precisions. */
   def bleu(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4, smoothing: Int = 0,
       epsilon: Double = 0.1): DataFrame = {
-    require(smoothing >= 0 && smoothing <= 3,
-      s"smoothing method $smoothing not implemented (0..3)")
+    require(smoothing >= 0 && smoothing <= 4,
+      s"smoothing method $smoothing not implemented (0..4)")
     require(epsilon > 0, "epsilon > 0")
     val base = pairs.select(col(idCol).as("id"),
       toks(col(candCol)).as("ct"), toks(col(refCol)).as("rt"))
@@ -449,6 +454,18 @@ object TextEval {
             lit(1.0) / (pow(lit(2.0), col("__kz__")) * col("c_tot")))
             .otherwise(col("p")))
           .drop("__kz__")
+      case 4 =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("n")
+        pn0.join(lens.select(col("id"), col("clen")), Seq("id"))
+          .withColumn("__kz__",
+            sum(when(col("p") === 0.0, 1).otherwise(0)).over(w))
+          .withColumn("p",
+            when(col("p") === 0.0 && col("clen") > 1.0,
+              log(col("clen")) / (pow(lit(2.0), col("__kz__")) *
+                lit(5.0) * col("c_tot")))
+            .otherwise(col("p")))
+          .drop("__kz__", "clen")
       case _ => pn0
     }
     val agg = pn.groupBy("id").agg(

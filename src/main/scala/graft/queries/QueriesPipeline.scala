@@ -1567,6 +1567,20 @@ object QueriesPipeline {
         .withColumnRenamed("id", "pid")
     }),
 
+    // BLEU with Chen–Cherry smoothing 4 (NLTK method4, K = 5):
+    // method 3's exponential floor scaled by ln(candidate length) —
+    // completes the smoothing family 0–4
+    "q443_bleu_smooth4" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 2)
+        .select(col("a.doc_id").as("pid"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+      graft.llm.TextEval.bleu(pairs, "pid", "cand", "ref", maxN = 4,
+          smoothing = 4)
+        .withColumnRenamed("id", "pid")
+    }),
+
     // Self-BLEU corpus-diversity metric (Zhu et al. 2018): each doc
     // as a multi-reference BLEU candidate against its next 3
     // neighbors — max-over-refs clipping, closest-ref-length brevity
@@ -5199,6 +5213,76 @@ object QueriesPipeline {
         |  round(CASE WHEN clen >= rlen THEN 1.0
         |    ELSE exp(1.0 - rlen / clen) END, 6) AS bp,
         |  CASE WHEN n_defined < 4 THEN NULL
+        |       ELSE round((CASE WHEN clen >= rlen THEN 1.0
+        |         ELSE exp(1.0 - rlen / clen) END) *
+        |         exp(sum_ln / 4), 6) END AS bleu
+        |FROM lens l LEFT JOIN agg USING (id)""".stripMargin,
+
+    "q443_bleu_smooth4" ->
+      raw"""WITH pairs AS (
+        |  SELECT a.doc_id AS id, a.text AS ctext, b.text AS rtext
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 2),
+        |tk AS (
+        |  SELECT id,
+        |    list_filter(regexp_split_to_array(trim(lower(ctext)), '\s+'),
+        |      x -> length(x) > 0) AS ct,
+        |    list_filter(regexp_split_to_array(trim(lower(rtext)), '\s+'),
+        |      x -> length(x) > 0) AS rt
+        |  FROM pairs),
+        |lens AS (SELECT id, CAST(len(ct) AS DOUBLE) AS clen,
+        |  CAST(len(rt) AS DOUBLE) AS rlen FROM tk),
+        |nn AS (SELECT id, ct, rt, unnest([1, 2, 3, 4]) AS n FROM tk),
+        |gr AS (
+        |  SELECT id, n,
+        |    CASE WHEN len(ct) >= n
+        |      THEN list_transform(range(1, len(ct) - n + 2),
+        |        i -> array_to_string(list_slice(ct, i, i + n - 1), ' '))
+        |      ELSE [] END AS cg,
+        |    CASE WHEN len(rt) >= n
+        |      THEN list_transform(range(1, len(rt) - n + 2),
+        |        i -> array_to_string(list_slice(rt, i, i + n - 1), ' '))
+        |      ELSE [] END AS rg
+        |  FROM nn),
+        |cc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(cg) AS g FROM gr) GROUP BY 1, 2, 3),
+        |rc AS (SELECT id, n, g, count(*) AS c
+        |  FROM (SELECT id, n, unnest(rg) AS g FROM gr) GROUP BY 1, 2, 3),
+        |m AS (SELECT cc.id, cc.n, sum(least(cc.c, rc.c)) AS m
+        |  FROM cc JOIN rc ON cc.id = rc.id AND cc.n = rc.n
+        |    AND cc.g = rc.g GROUP BY 1, 2),
+        |tot AS (SELECT id, n, len(cg) AS c_tot FROM gr),
+        |pz AS (
+        |  SELECT t.id, t.n, t.c_tot, coalesce(m.m, 0) AS m,
+        |    sum(CASE WHEN t.c_tot > 0 AND coalesce(m.m, 0) = 0
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY t.id ORDER BY t.n) AS kz
+        |  FROM tot t LEFT JOIN m ON m.id = t.id AND m.n = t.n),
+        |p AS (
+        |  SELECT pz.id, pz.n,
+        |    CASE WHEN c_tot > 0 THEN
+        |      CASE WHEN m = 0 AND clen > 1 THEN
+        |        ln(clen) / (power(2.0, kz) * 5.0 * c_tot)
+        |           ELSE CAST(m AS DOUBLE) / c_tot END
+        |    END AS p
+        |  FROM pz JOIN lens ON lens.id = pz.id),
+        |agg AS (
+        |  SELECT id,
+        |    count(CASE WHEN p IS NOT NULL THEN 1 END) AS n_defined,
+        |    count(CASE WHEN p = 0 THEN 1 END) AS n_zero,
+        |    sum(CASE WHEN p > 0 THEN ln(p) END) AS sum_ln,
+        |    max(CASE WHEN n = 1 THEN p END) AS p1,
+        |    max(CASE WHEN n = 2 THEN p END) AS p2,
+        |    max(CASE WHEN n = 3 THEN p END) AS p3,
+        |    max(CASE WHEN n = 4 THEN p END) AS p4
+        |  FROM p GROUP BY 1)
+        |SELECT l.id AS pid,
+        |  round(p1, 6) AS p1, round(p2, 6) AS p2,
+        |  round(p3, 6) AS p3, round(p4, 6) AS p4,
+        |  round(CASE WHEN clen >= rlen THEN 1.0
+        |    ELSE exp(1.0 - rlen / clen) END, 6) AS bp,
+        |  CASE WHEN n_defined < 4 THEN NULL
+        |       WHEN n_zero > 0 THEN 0.0
         |       ELSE round((CASE WHEN clen >= rlen THEN 1.0
         |         ELSE exp(1.0 - rlen / clen) END) *
         |         exp(sum_ln / 4), 6) END AS bleu

@@ -109,8 +109,55 @@ class TextEvalSpec extends SparkSpecBase {
     }
     // an unknown smoothing method fails loudly
     intercept[IllegalArgumentException] {
-      TextEval.bleu(df, "id", "c", "r", smoothing = 4)
+      TextEval.bleu(df, "id", "c", "r", smoothing = 5)
     }
+  }
+
+  test("bleu smoothing 4 (Chen–Cherry / NLTK method4, K=5): the " +
+      "k-th zero precision becomes ln(clen)/(2^k * 5 * c_n), " +
+      "hand-computed against NLTK") {
+    // cand "a b c d e" (5 tokens) vs ref "a b x y z" (5 tokens):
+    // p1 = 2/5, p2 = 1/4 ('a b'), p3: m=0, 1st zero ->
+    //   ln(5)/(2^1 * 5 * 3); p4: m=0, 2nd zero -> ln(5)/(2^2 * 5 * 2)
+    // bp = 1 (clen = rlen); bleu = exp(mean ln p_n)
+    val df = Seq((1L, "a b c d e", "a b x y z")).toDF("id", "c", "r")
+    val out = TextEval.bleu(df, "id", "c", "r", smoothing = 4).head()
+    val p3 = math.log(5.0) / (2.0 * 5.0 * 3.0)
+    val p4 = math.log(5.0) / (4.0 * 5.0 * 2.0)
+    out.getAs[Double]("p1") shouldBe 0.4 +- 1e-6
+    out.getAs[Double]("p2") shouldBe 0.25 +- 1e-6
+    out.getAs[Double]("p3") shouldBe p3 +- 1e-6
+    out.getAs[Double]("p4") shouldBe p4 +- 1e-6
+    val expected = math.exp((math.log(0.4) + math.log(0.25) +
+      math.log(p3) + math.log(p4)) / 4)
+    out.getAs[Double]("bleu") shouldBe expected +- 1e-6
+    // NLTK's hyp_len > 1 guard: a 1-token candidate keeps raw zeros
+    // (p2..p4 undefined -> bleu null; p1 zero stays zero if unmatched)
+    val one = Seq((1L, "q", "a b c d")).toDF("id", "c", "r")
+    val o1 = TextEval.bleu(one, "id", "c", "r", smoothing = 4).head()
+    o1.getAs[Double]("p1") shouldBe 0.0 +- 1e-12
+    assert(o1.isNullAt(o1.fieldIndex("bleu")))
+  }
+
+  test("bleu smoothing 4 equals smoothing 3 scaled: shorter " +
+      "candidates get smaller floors than longer ones at the same " +
+      "zero position") {
+    // p1 > 0 on both (shared token 'a', no shared bigram), so p2 is
+    // the FIRST zero in both candidates
+    val short = Seq((1L, "a b c", "a y z")).toDF("id", "c", "r")
+    val long = Seq((1L, "a b c d e f g h i j k l m n o p",
+      "a y z w v u t s r q p2 o2 n2 m2 l2 k2")).toDF("id", "c", "r")
+    def p2of(df: org.apache.spark.sql.DataFrame) =
+      TextEval.bleu(df, "id", "c", "r", smoothing = 4).head()
+        .getAs[Double]("p2")
+    // method 3 would give equal LENGTH-NORMALIZED floors
+    // (p2 * c_tot = 1/2 for both); method 4 scales by ln(clen):
+    // p2 * c_tot = ln(clen)/(2 * 5)
+    val shortFloor = p2of(short) * 2.0   // c_tot = 2 bigrams
+    val longFloor = p2of(long) * 15.0    // c_tot = 15 bigrams
+    shortFloor shouldBe math.log(3.0) / 10.0 +- 1e-5
+    longFloor shouldBe math.log(16.0) / 10.0 +- 1e-5
+    shortFloor should be < longFloor
   }
 
   test("corpusBleu sums clipped counts across pairs before the " +
