@@ -505,6 +505,85 @@ object StreamOps {
       }
   }
 
+  case class HhStreamState(cnt: Map[Long, Long], total: Long,
+    cand: Map[String, Long])
+  case class HhStreamOut(key: String, asof: Long, item: String,
+    est: Long, total: Long)
+
+  /** Streaming top-k heavy hitters — [[cmsStream]] composed into the
+    * always-on monitor shape of the batch
+    * [[graft.llm.PipelineOps.heavyHitters]] (q102) + q346 CMS
+    * estimate pair: per monitor key the state is the CMS counter map
+    * + the running total + a BOUNDED candidate set (≤ `maxCandidates`
+    * items, lowest-estimate entries pruned first — the space-saving
+    * device), and after every micro-batch it emits the items whose
+    * CMS estimate clears the classical φ = 1/k support threshold
+    * (est·k > total), stamped with the max `ord` seen ("as of").
+    *
+    * Identical md5 `#cms` bucket addressing as the batch pair, so
+    * with `maxCandidates` ≥ distinct items the emitted set equals
+    * the batch computation over everything seen so far EXACTLY
+    * (spec'd cross-batch). With a tight candidate budget the usual
+    * space-saving caveat applies: an item pruned while cold
+    * re-enters with its FULL CMS estimate on its next arrival (the
+    * sketch never forgets), so only an item that stops arriving
+    * entirely can be missed. State is O(depth·width + maxCandidates)
+    * per key — the fixed-size mergeable shape a 100 TB/day stream
+    * needs. */
+  def heavyHittersStream(ds: Dataset[(String, Long, String)],
+      k: Int, depth: Int = 4, width: Int = 1024,
+      maxCandidates: Int = 1024)(
+      implicit e: Encoder[HhStreamOut],
+      se: Encoder[HhStreamState]): Dataset[HhStreamOut] = {
+    require(k >= 2, "heavyHittersStream needs k >= 2")
+    require(depth >= 1 && depth <= 16, "depth in [1,16]")
+    require(width >= 2, "width >= 2")
+    require(maxCandidates >= k,
+      s"maxCandidates ($maxCandidates) must be >= k ($k)")
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[HhStreamState, HhStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[HhStreamState]) =>
+          val prev = state.getOption
+            .getOrElse(HhStreamState(Map.empty, 0L, Map.empty))
+          var cnt = prev.cnt
+          var total = prev.total
+          var cand = prev.cand
+          var asof = Long.MinValue
+          def slots(item: String): Seq[Long] =
+            (0 until depth).map { r =>
+              val b = java.lang.Long.remainderUnsigned(
+                md5Hash48(item + "#cms" + r), width.toLong)
+              r.toLong * width + b
+            }
+          rows.toSeq.sortBy(_._2).foreach {
+            case (_, ord, item) if item != null =>
+              val ss = slots(item)
+              ss.foreach(s => cnt += s -> (cnt.getOrElse(s, 0L) + 1))
+              total += 1
+              if (ord > asof) asof = ord
+              cand += item -> ss.map(cnt(_)).min
+              if (cand.size > maxCandidates)
+                // prune lowest estimates (ties: larger item first,
+                // so the KEPT side is deterministic)
+                cand = cand.toSeq.sortBy { case (it, c) => (-c, it) }
+                  .take(maxCandidates).toMap
+            case _ => ()
+          }
+          state.update(HhStreamState(cnt, total, cand))
+          if (asof == Long.MinValue) Iterator.empty
+          else cand.toSeq.collect {
+            // refresh estimates: a candidate's buckets may have been
+            // bumped by other items since its last arrival
+            case (item, _)
+                if slots(item).map(cnt(_)).min * k > total =>
+              HhStreamOut(key, asof, item,
+                slots(item).map(cnt(_)).min, total)
+          }.sortBy(o => (-o.est, o.item)).iterator
+      }
+  }
+
   case class PsiStreamState(counts: Map[Int, Long], totalRows: Long)
   case class PsiStreamOut(key: String, batchRows: Long,
       totalRows: Long, psi: Double)

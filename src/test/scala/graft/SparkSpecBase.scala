@@ -13,6 +13,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the SQL-only deployment path under test in VerdictR8Spec:
+      // the injector class name in the session config, exactly as
+      // --conf spark.sql.extensions=... would set it
+      .config("spark.sql.extensions",
+        "graft.sqlext.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

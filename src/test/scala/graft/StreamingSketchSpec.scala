@@ -211,4 +211,74 @@ class StreamingSketchSpec extends SparkSpecBase {
     // than the fuller mix
     rows.head.psi should be > rows.last.psi
   }
+
+  test("heavyHittersStream: per-batch emitted hot set equals the " +
+      "batch CMS heavy-hitter computation over the prefix") {
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val b1items = Seq.fill(120)("hot") ++
+      (1 to 40).flatMap(i => Seq.fill(2)(s"f$i"))
+    val b2items = Seq.fill(30)("warm") ++ Seq.fill(10)("hot") ++
+      (1 to 30).map(i => s"g$i")
+    val b1 = b1items.zipWithIndex.map { case (it, i) =>
+      ("m", i.toLong, it) }
+    val b2 = b2items.zipWithIndex.map { case (it, i) =>
+      ("m", (1000 + i).toLong, it) }
+    val input = MemoryStream[(String, Long, String)]
+    val out = StreamOps.heavyHittersStream(input.toDS(), k = 10,
+      depth = 4, width = 32, maxCandidates = 1024)
+    val q = out.writeStream.format("memory").queryName("hh_fmgws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hh_fmgws")
+      .as[StreamOps.HhStreamOut].collect()
+    // reference: the batch countMinSketch/cmsEstimate pair over the
+    // prefix, thresholded at est*k > total (q102's phi = 1/k rule)
+    def ref(prefix: Seq[String]): Map[String, (Long, Long)] = {
+      val df = prefix.toDF("k")
+      val sketch = PipelineOps.countMinSketch(df, "k",
+        depth = 4, width = 32)
+      val est = PipelineOps.cmsEstimate(sketch, df, "k",
+        depth = 4, width = 32).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = prefix.size.toLong
+      est.collect { case (i, e) if e * 10 > total =>
+        i -> (e, total) }.toMap
+    }
+    def emitted(asof: Long) = rows.filter(_.asof == asof)
+      .map(o => o.item -> (o.est, o.total)).toMap
+    emitted(b1.map(_._2).max) shouldBe ref(b1items)
+    emitted(b2.map(_._2).max) shouldBe ref(b1items ++ b2items)
+  }
+
+  test("heavyHittersStream: a tight candidate budget still finds " +
+      "the persistent heavy hitter with its exact CMS estimate") {
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    // 300 distinct one-off cold items swamp a 10-slot candidate
+    // set; 'hot' keeps arriving, so pruning can never lose it
+    val items = (1 to 300).flatMap(i => Seq(s"cold$i", "hot"))
+    val batch = items.zipWithIndex.map { case (it, i) =>
+      ("m", i.toLong, it) }
+    val input = MemoryStream[(String, Long, String)]
+    val out = StreamOps.heavyHittersStream(input.toDS(), k = 10,
+      depth = 4, width = 64, maxCandidates = 10)
+    val q = out.writeStream.format("memory").queryName("hh_prune")
+      .outputMode(OutputMode.Append()).start()
+    try { input.addData(batch: _*); q.processAllAvailable() }
+    finally q.stop()
+    val rows = spark.table("hh_prune")
+      .as[StreamOps.HhStreamOut].collect()
+    val hot = rows.filter(_.item == "hot")
+    hot should have size 1
+    val sketch = PipelineOps.countMinSketch(items.toDF("k"), "k",
+      depth = 4, width = 64)
+    val hotEst = PipelineOps.cmsEstimate(sketch, Seq("hot").toDF("k"),
+      "k", depth = 4, width = 64).head().getLong(1)
+    hot.head.est shouldBe hotEst
+    hot.head.total shouldBe 600L
+  }
 }

@@ -213,6 +213,69 @@ class VerdictR8Spec extends SparkSpecBase {
     }
   }
 
+  test("SQL-only deployment: a session built with " +
+      "spark.sql.extensions=graft.sqlext.GraftExtensions reproduces " +
+      "the q436 ROUGE-L gate through spark.sql() alone") {
+    // TestSpark's builder carries
+    // spark.sql.extensions=graft.sqlext.GraftExtensions (the config
+    // a --conf flag would set); newSession() rebuilds SessionState
+    // from the INJECTED extensions only, so any imperative
+    // register(...) calls other suites made on the shared session
+    // cannot leak in — if word_lcs resolves here, it came through
+    // the config path
+    spark.conf.get("spark.sql.extensions") shouldBe
+      "graft.sqlext.GraftExtensions"
+    locally {
+      val s2 = spark.newSession()
+      // every injected function resolves from SQL text
+      s2.sql("SELECT rolling_hash64('abc') AS a, " +
+        "jaro_winkler('martha', 'marhta') AS b, " +
+        "cosine_similarity(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT))) AS c, " +
+        "size(winnow_fps('abcdefghij', 3, 4)) AS d").collect()
+      // the q436 pipeline as PURE SQL over the parquet path — the
+      // thrift-server/notebook user's route, word_lcs in SQL text
+      val sql = raw"""
+        |WITH docs AS (
+        |  SELECT doc_id, text
+        |  FROM parquet.`/root/testdata/sf0.001/documents.parquet`),
+        |pairs AS (
+        |  SELECT a.doc_id AS pid,
+        |    concat_ws(' ', slice(filter(split(trim(a.text), '\\s+'),
+        |      t -> length(t) > 0), 1, 25)) AS cand,
+        |    concat_ws(' ', slice(filter(split(trim(b.text), '\\s+'),
+        |      t -> length(t) > 0), 1, 25)) AS ref
+        |  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1),
+        |tk AS (
+        |  SELECT pid,
+        |    filter(split(trim(lower(cand)), '\\s+'),
+        |      t -> length(t) > 0) AS ct,
+        |    filter(split(trim(lower(ref)), '\\s+'),
+        |      t -> length(t) > 0) AS rt
+        |  FROM pairs),
+        |sel AS (
+        |  SELECT pid, CAST(word_lcs(ct, rt) AS BIGINT) AS lcs,
+        |    CAST(size(ct) AS BIGINT) AS n_cand,
+        |    CAST(size(rt) AS BIGINT) AS n_ref
+        |  FROM tk)
+        |SELECT pid, lcs, n_cand, n_ref,
+        |  round(CASE WHEN n_cand > 0
+        |    THEN CAST(lcs AS DOUBLE) / n_cand END, 9) AS rouge_l_p,
+        |  round(CASE WHEN n_ref > 0
+        |    THEN CAST(lcs AS DOUBLE) / n_ref END, 9) AS rouge_l_r,
+        |  round(CASE WHEN n_cand + n_ref > 0
+        |    THEN CAST(2.0 AS DOUBLE) * lcs / (n_cand + n_ref)
+        |    END, 9) AS rouge_l_f
+        |FROM sel ORDER BY pid""".stripMargin
+      val viaSql = s2.sql(sql).collect().map(_.toString).toSeq
+      val viaGate = SparkEntry.queries("q436_rouge_l")(
+        spark, "/root/testdata/sf0.001")
+        .collect().map(_.toString).toSeq
+      viaSql should not be empty
+      viaSql shouldBe viaGate
+    }
+  }
+
   test("giniStumpForestTwin: identical forest under repartition(1) " +
       "vs repartition(32)") {
     def run(parts: Int) = graft.ml.ForestTwin.giniStumpForestTwin(
