@@ -329,6 +329,98 @@ object MlOps {
       col("b0"), col("b1"), col("b2"))
   }
 
+  /** PORTABLE ORACLE TWIN of [[aftSurvival]] (Weibull AFT — the
+    * q441 IRLS twin's sibling): Newton ascent on the extreme-value
+    * log-likelihood, unrolled for a FIXED number of rounds over
+    * parameters (b0, b1, u = ln σ), every step engine-replayable by
+    * the q441 conventions (decimal order-free sums, 9-decimal
+    * rounding on ln/exp outputs, Cramer 3×3 ridge solve mirrored
+    * textually in SQL).
+    *
+    * Per row with ε = (ln t − b0 − b1·x)/σ and E = exp(ε):
+    * ll_i = δ·ε − E − δ·u; gradient (E−δ)/σ·x_j and ε(E−δ)−δ;
+    * negative Hessian E/σ²·x_i x_j (η block), (εE+E−δ)/σ·x_j
+    * (cross), ε(E−δ)+ε²E (u,u). Init: b0 = mean ln t (decimal),
+    * b1 = 0, u = 0. One feature + intercept + scale (the 3×3 Cramer
+    * case). Returns (n_rounds, n, b0, b1, ln_sigma, sigma). */
+  def aftNewtonTwin(df: DataFrame, xCol: String, durCol: String,
+      censorCol: String, rounds: Int = 3,
+      ridge: Double = 1e-6): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds in [1,8] (fixed unroll, one oracle CTE each), got $rounds")
+    val base = df
+      .filter(col(durCol).isNotNull && col(xCol).isNotNull &&
+        col(censorCol).isNotNull && col(durCol) > 0)
+      .select(round(log(col(durCol).cast("double")), 9).as("lnt"),
+        col(xCol).cast("double").as("x"),
+        col(censorCol).cast("double").as("d"))
+
+    def cell(c: Column, name: String) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double").as(name)
+
+    // init: b0 = decimal mean of ln t, b1 = 0, u = 0 (σ = 1)
+    val init = base.agg(count(lit(1)).as("n"), cell(col("lnt"), "s"))
+      .select(col("n"), round(col("s") / col("n"), 12).as("b0"),
+        lit(0.0).as("b1"), lit(0.0).as("u"))
+
+    // one Newton round: aggregate gradient + negative Hessian with
+    // order-free decimal sums, Cramer ridge solve, θ += Δ
+    def newtonRound(theta: DataFrame): DataFrame = {
+      val sg = round(exp(col("u")), 9)
+      val eps = (col("lnt") - col("b0") - col("b1") * col("x")) / sg
+      val rows = base.crossJoin(broadcast(theta))
+        .select(col("n"), col("b0"), col("b1"), col("u"),
+          col("x"), col("d"), sg.as("sg"), eps.as("eps"),
+          least(round(exp(eps), 9), lit(1e12)).as("ee"))
+      val (x, d, e, ep, sgc) = (col("x"), col("d"), col("ee"),
+        col("eps"), col("sg"))
+      val agg = rows.groupBy("n", "b0", "b1", "u").agg(
+        cell((e - d) / sgc, "g1"),
+        cell((e - d) / sgc * x, "g2"),
+        cell(ep * (e - d) - d, "g3"),
+        cell(e / (sgc * sgc), "a11"),
+        cell(e / (sgc * sgc) * x, "a12"),
+        cell((ep * e + e - d) / sgc, "a13"),
+        cell(e / (sgc * sgc) * x * x, "a22"),
+        cell((ep * e + e - d) / sgc * x, "a23"),
+        cell(ep * (e - d) + ep * ep * e, "a33"))
+      val l = lit(ridge)
+      val (a11, a12, a13) = (col("a11") + l, col("a12"), col("a13"))
+      val (a22, a23, a33) =
+        (col("a22") + l, col("a23"), col("a33") + l)
+      val det = a11 * (a22 * a33 - a23 * a23) -
+        a12 * (a12 * a33 - a23 * a13) +
+        a13 * (a12 * a23 - a22 * a13)
+      // damped Newton: scale the WHOLE step so its ∞-norm is ≤ 0.5
+      // (direction preserved — a per-component clamp distorts the
+      // direction and provably diverges on this likelihood; the
+      // flat σ start needs the damping, and convergence is by
+      // round ~4 on planted data)
+      val raw = agg.select(col("n"), col("b0"), col("b1"), col("u"),
+        ((col("g1") * (a22 * a33 - a23 * a23) -
+          a12 * (col("g2") * a33 - a23 * col("g3")) +
+          a13 * (col("g2") * a23 - a22 * col("g3"))) / det).as("d1"),
+        ((a11 * (col("g2") * a33 - a23 * col("g3")) -
+          col("g1") * (a12 * a33 - a23 * a13) +
+          a13 * (a12 * col("g3") - col("g2") * a13)) / det).as("d2"),
+        ((a11 * (a22 * col("g3") - col("g2") * a23) -
+          a12 * (a12 * col("g3") - col("g2") * a13) +
+          col("g1") * (a12 * a23 - a22 * a13)) / det).as("d3"))
+      val sc = least(lit(1.0), lit(0.5) / greatest(
+        abs(col("d1")), abs(col("d2")), abs(col("d3"))))
+      raw.select(col("n"),
+        round(col("b0") + col("d1") * sc, 12).as("b0"),
+        round(col("b1") + col("d2") * sc, 12).as("b1"),
+        round(col("u") + col("d3") * sc, 12).as("u"))
+    }
+
+    var theta = init
+    for (_ <- 1 to rounds) theta = newtonRound(theta)
+    theta.select(lit(rounds.toLong).as("n_rounds"), col("n"),
+      col("b0"), col("b1"), col("u").as("ln_sigma"),
+      round(exp(col("u")), 9).as("sigma"))
+  }
+
   /** DecisionTree classifier/regressor (models/tree.rs:185,669) via
     * MLlib — distributed histogram-based splits, deterministic given
     * the seed. Returns the input plus a `prediction` column. */

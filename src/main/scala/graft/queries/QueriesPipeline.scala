@@ -510,6 +510,31 @@ object QueriesPipeline {
         thresholds = Seq((0 to 5).toList, (0 to 22).toList,
           (0 to 8).toList), trees = 5)),
 
+    // the PORTABLE ORACLE TWIN of q296's AFT survival fit: a planted
+    // Weibull process (ln T = 0.5 + 0.8·x + 0.4·W, W a standard
+    // minimum-extreme-value draw from the md5 lottery; 20% of rows
+    // right-censored at 0.6·T) recovered by 6 unrolled ∞-norm-damped
+    // Newton rounds on the extreme-value log-likelihood —
+    // gradient/Hessian as order-free decimal sums, Cramer ridge
+    // solve, all replayed in SQL. Closes the q296 no-oracle ledger
+    // row.
+    "q444_aft_twin" -> ((s, d) => {
+      val key = col("c_custkey").cast("string")
+      val u1 = greatest(PipelineOps.hash48Unit(
+        concat(key, lit("aftu"))), lit(1e-12))
+      val w = round(log(-log(lit(1.0) - u1)), 9)
+      val x = pmod(col("c_custkey"), lit(5)).cast("double") * 0.2
+      val t0 = round(exp(lit(0.5) + lit(0.8) * x + lit(0.4) * w), 9)
+      val ev = PipelineOps.hash48Unit(
+        concat(key, lit("aftc"))) < 0.8
+      val planted = t(s, d, "customer").select(
+        x.as("x"),
+        when(ev, t0).otherwise(round(t0 * 0.6, 9)).as("t"),
+        when(ev, 1.0).otherwise(0.0).as("d"))
+      graft.ml.MlOps.aftNewtonTwin(planted, "x", "t", "d",
+        rounds = 6)
+    }),
+
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
     "q439_fleiss_kappa" -> ((s, d) => {
@@ -1834,9 +1859,95 @@ object QueriesPipeline {
        |FROM leaves""".stripMargin
   }
 
+  // q444: the AFT Newton twin — planted Weibull construction plus
+  // one (per-row, aggregate, solve) CTE triple per unrolled round,
+  // mirroring MlOps.aftNewtonTwin exactly
+  private val aftTwinOracle: String = {
+    def cell(term: String, name: String) =
+      s"CAST(sum(CAST(round($term, 12) AS DECIMAL(38,12))) " +
+        s"AS DOUBLE) AS $name"
+    val dt = "((a11 + 1e-6) * ((a22 + 1e-6) * (a33 + 1e-6) " +
+      "- a23 * a23) - a12 * (a12 * (a33 + 1e-6) - a23 * a13) " +
+      "+ a13 * (a12 * a23 - (a22 + 1e-6) * a13))"
+    def newtonCtes(i: Int): String = {
+      val prev = if (i == 1) "t0c" else s"t${i - 1}"
+      s"""w$i AS (
+         |  SELECT t.n, t.b0, t.b1, t.u, b.x, b.d,
+         |    round(exp(t.u), 9) AS sg,
+         |    (b.lnt - t.b0 - t.b1 * b.x) / round(exp(t.u), 9) AS eps,
+         |    least(round(exp((b.lnt - t.b0 - t.b1 * b.x) /
+         |      round(exp(t.u), 9)), 9), 1e12) AS ee
+         |  FROM base b CROSS JOIN $prev t),
+         |g$i AS (
+         |  SELECT n, b0, b1, u,
+         |    ${cell("(ee - d) / sg", "g1")},
+         |    ${cell("(ee - d) / sg * x", "g2")},
+         |    ${cell("eps * (ee - d) - d", "g3")},
+         |    ${cell("ee / (sg * sg)", "a11")},
+         |    ${cell("ee / (sg * sg) * x", "a12")},
+         |    ${cell("(eps * ee + ee - d) / sg", "a13")},
+         |    ${cell("ee / (sg * sg) * x * x", "a22")},
+         |    ${cell("(eps * ee + ee - d) / sg * x", "a23")},
+         |    ${cell("eps * (ee - d) + eps * eps * ee", "a33")}
+         |  FROM w$i GROUP BY 1, 2, 3, 4),
+         |s$i AS (
+         |  SELECT n, b0, b1, u,
+         |    (g1 * ((a22 + 1e-6) * (a33 + 1e-6) - a23 * a23) -
+         |      a12 * (g2 * (a33 + 1e-6) - a23 * g3) +
+         |      a13 * (g2 * a23 - (a22 + 1e-6) * g3)) / $dt AS d1,
+         |    ((a11 + 1e-6) * (g2 * (a33 + 1e-6) - a23 * g3) -
+         |      g1 * (a12 * (a33 + 1e-6) - a23 * a13) +
+         |      a13 * (a12 * g3 - g2 * a13)) / $dt AS d2,
+         |    ((a11 + 1e-6) * ((a22 + 1e-6) * g3 - g2 * a23) -
+         |      a12 * (a12 * g3 - g2 * a13) +
+         |      g1 * (a12 * a23 - (a22 + 1e-6) * a13)) / $dt AS d3
+         |  FROM g$i),
+         |t$i AS (
+         |  SELECT n,
+         |    round(b0 + d1 * least(1.0, 0.5 /
+         |      greatest(abs(d1), abs(d2), abs(d3))), 12) AS b0,
+         |    round(b1 + d2 * least(1.0, 0.5 /
+         |      greatest(abs(d1), abs(d2), abs(d3))), 12) AS b1,
+         |    round(u + d3 * least(1.0, 0.5 /
+         |      greatest(abs(d1), abs(d2), abs(d3))), 12) AS u
+         |  FROM s$i)""".stripMargin
+    }
+    val key = "CAST(c_custkey AS VARCHAR)"
+    s"""WITH c0 AS (
+       |  SELECT CAST(c_custkey % 5 AS DOUBLE) * 0.2 AS x,
+       |    greatest(${h48(s"$key || 'aftu'")}, 1e-12) AS uu,
+       |    ${h48(s"$key || 'aftc'")} < 0.8 AS ev
+       |  FROM customer),
+       |c1 AS (
+       |  SELECT x, ev,
+       |    round(exp(0.5 + 0.8 * x +
+       |      0.4 * round(ln(-ln(1.0 - uu)), 9)), 9) AS t0
+       |  FROM c0),
+       |c2 AS (
+       |  SELECT x,
+       |    CASE WHEN ev THEN t0 ELSE round(t0 * 0.6, 9) END AS t,
+       |    CASE WHEN ev THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS d
+       |  FROM c1),
+       |base AS (
+       |  SELECT round(ln(t), 9) AS lnt, x, d FROM c2 WHERE t > 0),
+       |t0c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    round(CAST(sum(CAST(round(lnt, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) / count(*), 12) AS b0,
+       |    CAST(0.0 AS DOUBLE) AS b1, CAST(0.0 AS DOUBLE) AS u
+       |  FROM base),
+       |${(1 to 6).map(newtonCtes).mkString(",\n")}
+       |SELECT CAST(6 AS BIGINT) AS n_rounds, n, b0, b1,
+       |  u AS ln_sigma, round(exp(u), 9) AS sigma
+       |FROM t6""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "q442_forest_twin" -> forestTwinOracle,
+
+    "q444_aft_twin" -> aftTwinOracle,
 
     // full metric replay: identical md5 pseudo-run, exact-cents
     // qrels, the same hit-cumulative window and gain/discount

@@ -98,6 +98,50 @@ class VerdictR8Spec extends SparkSpecBase {
     }
   }
 
+  // planted Weibull AFT process: ln T = 0.5 + 0.8·x + 0.4·W with W
+  // standard minimum extreme value; 20% right-censored at 0.6·T
+  private lazy val aftPlanted = {
+    val rng = new scala.util.Random(3)
+    (0 until 2000).map { i =>
+      val x = (i % 5) * 0.2
+      val w = math.log(-math.log(1.0 - rng.nextDouble()))
+      val t = math.exp(0.5 + 0.8 * x + 0.4 * w)
+      val ev = rng.nextDouble() < 0.8
+      (x, if (ev) t else t * 0.6, if (ev) 1.0 else 0.0)
+    }.toDF("x", "t", "d")
+  }
+
+  test("aftNewtonTwin: 6 damped Newton rounds recover the planted " +
+      "Weibull parameters and agree with MLlib's converged AFT") {
+    val twin = graft.ml.MlOps
+      .aftNewtonTwin(aftPlanted, "x", "t", "d", rounds = 6).head()
+    val (b0, b1, sg) = (twin.getAs[Double]("b0"),
+      twin.getAs[Double]("b1"), twin.getAs[Double]("sigma"))
+    // MLlib maximizes the SAME likelihood (L-BFGS instead of
+    // Newton) — the converged optima must agree tightly
+    val m = graft.ml.MlOps.aftSurvival(aftPlanted, Seq("x"), "t", "d")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    approx(b0, m("intercept"), 1e-2)
+    approx(b1, m("x"), 1e-2)
+    approx(sg, m("scale"), 1e-2)
+    // and the plant is recovered (informative-censoring bias < 0.1)
+    approx(b0, 0.5, 0.1)
+    approx(b1, 0.8, 0.1)
+    approx(sg, 0.4, 0.1)
+  }
+
+  test("aftNewtonTwin: bit-identical under repartition(1) vs " +
+      "repartition(32)") {
+    def bits(parts: Int) = {
+      val r = graft.ml.MlOps.aftNewtonTwin(
+        aftPlanted.repartition(parts), "x", "t", "d", rounds = 4)
+        .head()
+      Seq("b0", "b1", "ln_sigma").map(c =>
+        java.lang.Double.doubleToLongBits(r.getAs[Double](c)))
+    }
+    bits(1) shouldBe bits(32)
+  }
+
   test("collectSeries: loud require when the aggregated series " +
       "exceeds the cap; exact pass-through under it") {
     val series = (0 until 50).map(i => (i.toLong, i * 1.5))
