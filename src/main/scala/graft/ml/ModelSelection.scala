@@ -174,4 +174,124 @@ object ModelSelection {
       rank().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("rmse"), col("model"))).cast("int"))
   }
+
+  /** PORTABLE ORACLE TWIN of [[autoMlRegression]] (the q441/q442/
+    * q444 ledger-twin series): the same select-by-holdout-RMSE
+    * harness with every candidate engine-replayable —
+    *
+    *   mean       intercept-only (decimal mean of train y)
+    *   linear_x1  ridge OLS on (1, x1): 2×2 Cramer
+    *   linear_x1_x2  ridge OLS on (1, x1, x2): the q441 3×3 Cramer
+    *
+    * Split is the portable md5-48 lottery on the id (+ salt);
+    * normal equations and test SSE accumulate as order-free
+    * 12-decimal DECIMAL(38,12) sums; RMSE = sqrt (IEEE-exact, no
+    * rounding needed) of the decimal mean, rounded to 9. Returns
+    * one row per candidate: (model, n_train, n_test, rmse,
+    * selected) — selected = argmin rmse with the model-name
+    * tiebreak. The MLlib harness stays the production API; this is
+    * its hash-matchable image. */
+  def autoMlTwin(df: DataFrame, idCol: String, x1Col: String,
+      x2Col: String, yCol: String, testFrac: Double = 0.25,
+      salt: String = "amt", ridge: Double = 1e-6): DataFrame = {
+    require(testFrac > 0 && testFrac < 1, "testFrac in (0,1)")
+    val h = coalesce(PipelineOps.hash48Unit(
+      concat(col(idCol).cast("string"), lit(salt))), lit(1.0))
+    val base = df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .select(col(yCol).cast("double").as("y"),
+        col(x1Col).cast("double").as("x1"),
+        col(x2Col).cast("double").as("x2"),
+        (h < testFrac).as("is_test"))
+
+    def cell(c: Column, name: String) =
+      sum(round(c, 12).cast("decimal(38,12)")).cast("double").as(name)
+    val (y, x1, x2) = (col("y"), col("x1"), col("x2"))
+
+    // ONE scan: train normal-equation cells + test cross-moments
+    // (test SSE is pure algebra on these — no per-model second scan)
+    def side(c: Column, isTest: Boolean) =
+      when(col("is_test") === isTest, c).otherwise(lit(0.0))
+    val s = base.agg(
+      sum(when(!col("is_test"), 1L).otherwise(0L)).as("ntr"),
+      sum(when(col("is_test"), 1L).otherwise(0L)).as("nte"),
+      cell(side(y, false), "sy"), cell(side(x1, false), "sx1"),
+      cell(side(x2, false), "sx2"),
+      cell(side(x1 * x1, false), "s11"),
+      cell(side(x1 * x2, false), "s12"),
+      cell(side(x2 * x2, false), "s22"),
+      cell(side(x1 * y, false), "s1y"),
+      cell(side(x2 * y, false), "s2y"),
+      cell(side(y, true), "ty"), cell(side(x1, true), "tx1"),
+      cell(side(x2, true), "tx2"),
+      cell(side(x1 * x1, true), "t11"),
+      cell(side(x1 * x2, true), "t12"),
+      cell(side(x2 * x2, true), "t22"),
+      cell(side(x1 * y, true), "t1y"),
+      cell(side(x2 * y, true), "t2y"),
+      cell(side(y * y, true), "tyy"))
+
+    val l = lit(ridge)
+    // mean: b0 = sy/ntr
+    val mB0 = round(col("sy") / col("ntr"), 12)
+    // linear_x1: (ntr+λ)b0 + sx1·b1 = sy ; sx1·b0 + (s11+λ)b1 = s1y
+    val det1 = (col("ntr") + l) * (col("s11") + l) -
+      col("sx1") * col("sx1")
+    val l1B0 = round((col("sy") * (col("s11") + l) -
+      col("sx1") * col("s1y")) / det1, 12)
+    val l1B1 = round(((col("ntr") + l) * col("s1y") -
+      col("sy") * col("sx1")) / det1, 12)
+    // linear_x1_x2: the q441 3×3 Cramer with A = [[ntr,sx1,sx2],
+    // [sx1,s11,s12],[sx2,s12,s22]] + λI, c = (sy,s1y,s2y)
+    val (a11, a12, a13) = (col("ntr") + l, col("sx1"), col("sx2"))
+    val (a22, a23, a33) = (col("s11") + l, col("s12"), col("s22") + l)
+    val det = a11 * (a22 * a33 - a23 * a23) -
+      a12 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * a23 - a22 * a13)
+    val l2B0 = round((col("sy") * (a22 * a33 - a23 * a23) -
+      a12 * (col("s1y") * a33 - a23 * col("s2y")) +
+      a13 * (col("s1y") * a23 - a22 * col("s2y"))) / det, 12)
+    val l2B1 = round((a11 * (col("s1y") * a33 - a23 * col("s2y")) -
+      col("sy") * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * col("s2y") - col("s1y") * a13)) / det, 12)
+    val l2B2 = round((a11 * (a22 * col("s2y") - col("s1y") * a23) -
+      a12 * (a12 * col("s2y") - col("s1y") * a13) +
+      col("sy") * (a12 * a23 - a22 * a13)) / det, 12)
+
+    // test SSE(b0,b1,b2) = tyy − 2b0·ty − 2b1·t1y − 2b2·t2y
+    //   + b0²·nte + 2b0b1·tx1 + 2b0b2·tx2 + b1²·t11 + 2b1b2·t12
+    //   + b2²·t22  (every term a decimal-summed cross-moment)
+    def sse(b0: Column, b1: Column, b2: Column): Column =
+      col("tyy") - lit(2.0) * b0 * col("ty") -
+        lit(2.0) * b1 * col("t1y") - lit(2.0) * b2 * col("t2y") +
+        b0 * b0 * col("nte") + lit(2.0) * b0 * b1 * col("tx1") +
+        lit(2.0) * b0 * b2 * col("tx2") + b1 * b1 * col("t11") +
+        lit(2.0) * b1 * b2 * col("t12") + b2 * b2 * col("t22")
+    def rmse(b0: Column, b1: Column, b2: Column): Column =
+      round(sqrt(greatest(sse(b0, b1, b2), lit(0.0)) /
+        col("nte")), 9)
+
+    val scored = s.select(col("ntr"), col("nte"),
+      rmse(mB0, lit(0.0), lit(0.0)).as("rmse_mean"),
+      rmse(l1B0, l1B1, lit(0.0)).as("rmse_lin1"),
+      rmse(l2B0, l2B1, l2B2).as("rmse_lin2"))
+    val rows = Seq(
+      ("linear_x1", "rmse_lin1"), ("linear_x1_x2", "rmse_lin2"),
+      ("mean", "rmse_mean")).map { case (name, c) =>
+      scored.select(lit(name).as("model"), col("ntr").as("n_train"),
+        col("nte").as("n_test"), col(c).as("rmse"),
+        (col(c) === least(col("rmse_mean"), col("rmse_lin1"),
+          col("rmse_lin2")) &&
+          // name tiebreak: selected only if no alphabetically
+          // earlier model achieves the same minimum
+          !Seq(("linear_x1", "rmse_lin1"), ("linear_x1_x2",
+            "rmse_lin2"), ("mean", "rmse_mean"))
+            .filter(_._1 < name).map { case (_, oc) =>
+              col(oc) === least(col("rmse_mean"), col("rmse_lin1"),
+                col("rmse_lin2"))
+            }.foldLeft(lit(false))(_ || _)).as("selected"))
+    }.reduce(_ unionByName _)
+    rows
+  }
 }

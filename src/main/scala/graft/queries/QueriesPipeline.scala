@@ -535,6 +535,25 @@ object QueriesPipeline {
         rounds = 6)
     }),
 
+    // the PORTABLE ORACLE TWIN of q258's AutoML-lite selection: the
+    // same pick-by-holdout-RMSE harness with engine-replayable
+    // candidates (mean / ridge-OLS x1 / ridge-OLS x1+x2, all exact
+    // Cramer solves on decimal sufficient statistics, ONE scan).
+    // Planted linear process => linear_x1_x2 must win. Closes the
+    // q258 no-oracle ledger row.
+    "q445_automl_twin" -> ((s, d) => {
+      val key = col("c_custkey").cast("string")
+      val x1 = pmod(col("c_custkey"), lit(10)).cast("double")
+      val x2 = pmod(expr("c_custkey div 10"), lit(8)).cast("double")
+      val noise = (PipelineOps.hash48Unit(concat(key, lit("amln")))
+        - 0.5) * 2.0
+      val planted = t(s, d, "customer").select(
+        col("c_custkey").as("id"), x1.as("x1"), x2.as("x2"),
+        (lit(3.0) + lit(2.0) * x1 - x2 + noise).as("y"))
+      graft.ml.ModelSelection.autoMlTwin(planted, "id", "x1", "x2",
+        "y")
+    }),
+
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
     "q439_fleiss_kappa" -> ((s, d) => {
@@ -1943,11 +1962,98 @@ object QueriesPipeline {
        |FROM t6""".stripMargin
   }
 
+  // q445: the AutoML twin — ONE aggregate of train/test sufficient
+  // statistics, Cramer fits, algebraic holdout SSE, argmin-by-name
+  private val autoMlTwinOracle: String = {
+    def cell(term: String, name: String) =
+      "CAST(sum(CAST(round(CASE WHEN is_test = " +
+        s"${if (name.startsWith("t")) "true" else "false"} " +
+        s"THEN $term ELSE 0.0 END, 12) AS DECIMAL(38,12))) " +
+        s"AS DOUBLE) AS $name"
+    def rmse(b0: String, b1: String, b2: String) =
+      s"round(sqrt(greatest(tyy - 2.0 * $b0 * ty - 2.0 * $b1 * t1y" +
+        s" - 2.0 * $b2 * t2y + $b0 * $b0 * nte" +
+        s" + 2.0 * $b0 * $b1 * tx1 + 2.0 * $b0 * $b2 * tx2" +
+        s" + $b1 * $b1 * t11 + 2.0 * $b1 * $b2 * t12" +
+        s" + $b2 * $b2 * t22, 0.0) / nte), 9)"
+    val dt = "((ntr + 1e-6) * ((s11 + 1e-6) * (s22 + 1e-6) " +
+      "- s12 * s12) - sx1 * (sx1 * (s22 + 1e-6) - s12 * sx2) " +
+      "+ sx2 * (sx1 * s12 - (s11 + 1e-6) * sx2))"
+    val minv = "least(rmse_mean, rmse_lin1, rmse_lin2)"
+    s"""WITH planted AS (
+       |  SELECT c_custkey AS id,
+       |    CAST(c_custkey % 10 AS DOUBLE) AS x1,
+       |    CAST((c_custkey // 10) % 8 AS DOUBLE) AS x2,
+       |    3.0 + 2.0 * CAST(c_custkey % 10 AS DOUBLE)
+       |      - CAST((c_custkey // 10) % 8 AS DOUBLE)
+       |      + (${h48("CAST(c_custkey AS VARCHAR) || 'amln'")}
+       |        - 0.5) * 2.0 AS y
+       |  FROM customer),
+       |base AS (
+       |  SELECT y, x1, x2,
+       |    coalesce(${h48("CAST(id AS VARCHAR) || 'amt'")}, 1.0)
+       |      < 0.25 AS is_test
+       |  FROM planted
+       |  WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL),
+       |s AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ntr,
+       |    CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nte,
+       |    ${cell("y", "sy")}, ${cell("x1", "sx1")},
+       |    ${cell("x2", "sx2")}, ${cell("x1 * x1", "s11")},
+       |    ${cell("x1 * x2", "s12")}, ${cell("x2 * x2", "s22")},
+       |    ${cell("x1 * y", "s1y")}, ${cell("x2 * y", "s2y")},
+       |    ${cell("y", "ty")}, ${cell("x1", "tx1")},
+       |    ${cell("x2", "tx2")}, ${cell("x1 * x1", "t11")},
+       |    ${cell("x1 * x2", "t12")}, ${cell("x2 * x2", "t22")},
+       |    ${cell("x1 * y", "t1y")}, ${cell("x2 * y", "t2y")},
+       |    ${cell("y * y", "tyy")}
+       |  FROM base),
+       |b AS (
+       |  SELECT *,
+       |    round(sy / ntr, 12) AS mb0,
+       |    round((sy * (s11 + 1e-6) - sx1 * s1y) /
+       |      ((ntr + 1e-6) * (s11 + 1e-6) - sx1 * sx1), 12) AS b01,
+       |    round(((ntr + 1e-6) * s1y - sy * sx1) /
+       |      ((ntr + 1e-6) * (s11 + 1e-6) - sx1 * sx1), 12) AS b11,
+       |    round((sy * ((s11 + 1e-6) * (s22 + 1e-6) - s12 * s12) -
+       |      sx1 * (s1y * (s22 + 1e-6) - s12 * s2y) +
+       |      sx2 * (s1y * s12 - (s11 + 1e-6) * s2y)) / $dt, 12)
+       |      AS b02,
+       |    round(((ntr + 1e-6) * (s1y * (s22 + 1e-6) - s12 * s2y) -
+       |      sy * (sx1 * (s22 + 1e-6) - s12 * sx2) +
+       |      sx2 * (sx1 * s2y - s1y * sx2)) / $dt, 12) AS b12,
+       |    round(((ntr + 1e-6) * ((s11 + 1e-6) * s2y - s1y * s12) -
+       |      sx1 * (sx1 * s2y - s1y * sx2) +
+       |      sy * (sx1 * s12 - (s11 + 1e-6) * sx2)) / $dt, 12)
+       |      AS b22
+       |  FROM s),
+       |sc AS (
+       |  SELECT ntr, nte,
+       |    ${rmse("mb0", "0.0", "0.0")} AS rmse_mean,
+       |    ${rmse("b01", "b11", "0.0")} AS rmse_lin1,
+       |    ${rmse("b02", "b12", "b22")} AS rmse_lin2
+       |  FROM b)
+       |SELECT 'linear_x1' AS model, ntr AS n_train, nte AS n_test,
+       |  rmse_lin1 AS rmse, rmse_lin1 = $minv AS selected FROM sc
+       |UNION ALL
+       |SELECT 'linear_x1_x2', ntr, nte, rmse_lin2,
+       |  rmse_lin2 = $minv AND NOT (rmse_lin1 = $minv) FROM sc
+       |UNION ALL
+       |SELECT 'mean', ntr, nte, rmse_mean,
+       |  rmse_mean = $minv AND NOT (rmse_lin1 = $minv)
+       |    AND NOT (rmse_lin2 = $minv) FROM sc""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "q442_forest_twin" -> forestTwinOracle,
 
     "q444_aft_twin" -> aftTwinOracle,
+
+    "q445_automl_twin" -> autoMlTwinOracle,
 
     // full metric replay: identical md5 pseudo-run, exact-cents
     // qrels, the same hit-cumulative window and gain/discount

@@ -142,6 +142,47 @@ class VerdictR8Spec extends SparkSpecBase {
     bits(1) shouldBe bits(32)
   }
 
+  test("autoMlTwin: the true generating model wins the holdout; " +
+      "exactly one candidate is selected; partition-order-identical") {
+    val rng = new scala.util.Random(17)
+    // y = 1 + 3·x1 + noise — linear_x1 should beat both the richer
+    // and the poorer model on holdout RMSE (x2 is pure noise)
+    val data = (0 until 4000).map { i =>
+      val x1 = (i % 9).toDouble
+      val x2 = rng.nextDouble() * 4.0
+      (i.toLong, x1, x2, 1.0 + 3.0 * x1 + rng.nextGaussian() * 0.5)
+    }.toDF("id", "x1", "x2", "y")
+    val rows = graft.ml.ModelSelection
+      .autoMlTwin(data, "id", "x1", "x2", "y").collect()
+    rows should have size 3
+    rows.count(_.getAs[Boolean]("selected")) shouldBe 1
+    val byModel = rows.map(r =>
+      r.getAs[String]("model") -> r).toMap
+    // x2 is noise: the 2-feature fit can only overfit the holdout
+    // marginally; both linear fits crush the mean
+    byModel("mean").getAs[Double]("rmse") should be >
+      byModel("linear_x1").getAs[Double]("rmse") * 5
+    val sel = rows.find(_.getAs[Boolean]("selected")).get
+      .getAs[String]("model")
+    assert(sel == "linear_x1" || sel == "linear_x1_x2")
+    // and a process where x2 genuinely matters selects the full model
+    val data2 = (0 until 4000).map { i =>
+      val x1 = (i % 9).toDouble
+      val x2 = ((i / 9) % 7).toDouble
+      (i.toLong, x1, x2, 1.0 + 3.0 * x1 - 2.0 * x2 +
+        rng.nextGaussian() * 0.5)
+    }.toDF("id", "x1", "x2", "y")
+    val sel2 = graft.ml.ModelSelection
+      .autoMlTwin(data2, "id", "x1", "x2", "y").collect()
+      .find(_.getAs[Boolean]("selected")).get
+    sel2.getAs[String]("model") shouldBe "linear_x1_x2"
+    // partition-order determinism (decimal sums are order-free)
+    def runs(parts: Int) = graft.ml.ModelSelection
+      .autoMlTwin(data2.repartition(parts), "id", "x1", "x2", "y")
+      .orderBy("model").collect().map(_.toString).toSeq
+    runs(1) shouldBe runs(32)
+  }
+
   test("collectSeries: loud require when the aggregated series " +
       "exceeds the cap; exact pass-through under it") {
     val series = (0 until 50).map(i => (i.toLong, i * 1.5))
