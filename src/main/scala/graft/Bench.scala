@@ -148,7 +148,12 @@ object Bench {
       // native-kernel winnowing pairs, uplift/Qini, hard-negative
       // mining over embeddings
       "q402_ppr", "q411_textrank", "q415_winnow_pairs",
-      "q405_uplift", "q422_hard_negatives")
+      "q405_uplift", "q422_hard_negatives",
+      // round-8 headliners: the ledger twins — unrolled IRLS GLM,
+      // exact-Gini stump forest, damped-Newton AFT, one-scan AutoML
+      // selection, BLEU smoothing 4
+      "q441_glm_irls_twin", "q442_forest_twin", "q444_aft_twin",
+      "q445_automl_twin", "q443_bleu_smooth4")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))
