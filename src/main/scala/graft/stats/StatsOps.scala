@@ -3755,7 +3755,11 @@ object StatsOps {
     *   P_i = (Σ_c n_ic² − n) / (n(n−1)),  P̄ = mean_i P_i,
     *   P_e = Σ_c p_c²,  κ = (P̄ − P_e)/(1 − P_e)
     * Exact integer cell counts; per-unit and per-category terms
-    * rounded to 12 decimals and DECIMAL-summed. */
+    * rounded to 12 decimals and DECIMAL-summed. Degenerate designs
+    * yield NULL κ instead of an ANSI division error: P_e = 1
+    * (every rating in one category — agreement carries no
+    * information; 0/0 in the formula) and n_raters = 1 (P_i
+    * undefined). */
   def fleissKappa(df: DataFrame, unitCol: String,
       ratingCol: String): DataFrame = {
     val cells = df.filter(col(unitCol).isNotNull &&
@@ -3773,9 +3777,10 @@ object StatsOps {
       .agg(sum(when(col("n") =!= col("n_raters"), 1L).otherwise(0L))
         .as("units_dropped"))
     val pbar = kept.select(
-      round((col("s2") - col("n")).cast("double") /
-        (col("n") * (col("n") - 1)), 12).cast("decimal(38,12)")
-        .as("pi"))
+      when(col("n") > 1,
+        round((col("s2") - col("n")).cast("double") /
+          (col("n") * (col("n") - 1)), 12))
+        .cast("decimal(38,12)").as("pi"))
       .agg(count(lit(1)).as("n_units"), sum("pi").as("psum"))
     val pe = cells
       .join(kept.select(col("u")), Seq("u"))
@@ -3793,9 +3798,10 @@ object StatsOps {
         col("units_dropped").cast("long").as("units_dropped"),
         (col("psum").cast("double") / col("n_units")).as("p_bar"),
         col("pe").cast("double").as("p_e"),
-        ((col("psum").cast("double") / col("n_units") -
-          col("pe").cast("double")) /
-          (lit(1.0) - col("pe").cast("double"))).as("kappa"))
+        when(col("pe").cast("double") < 1.0,
+          (col("psum").cast("double") / col("n_units") -
+            col("pe").cast("double")) /
+            (lit(1.0) - col("pe").cast("double"))).as("kappa"))
   }
 
   /** Hill tail-index estimator per key (Hill 1975): over the top

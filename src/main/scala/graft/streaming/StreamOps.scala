@@ -650,6 +650,85 @@ object StreamOps {
       }
   }
 
+  case class QuantStreamState(counts: Map[Int, Long],
+    totalRows: Long)
+  case class QuantStreamOut(key: String, batchRows: Long,
+    totalRows: Long, q: Double, quantileEst: Double)
+
+  /** Streaming quantile monitor — the live companion to the batch
+    * [[graft.stats.StatsOps.histogramQuantiles]], on the
+    * [[psiStream]] state shape: per key, counts over a FIXED
+    * explicit `edges` grid accumulate across micro-batches
+    * (values clamped into the end bins — the portable-binning
+    * convention: no data-dependent bounds, so any engine and any
+    * prefix bins identically), and every batch emits the CURRENT
+    * interpolated quantile estimates of the accumulated stream for
+    * each requested q:
+    *   est = left(bin) + width(bin) · (q·N − cum_before)/cnt
+    * over the unique bin with cum_before < q·N ≤ cum. Error ≤ one
+    * bin width, exactly like the batch op — tighten with more
+    * edges, never with a sort. State is O(|edges|) per key: the
+    * p50/p95/p99 latency-dashboard shape at any stream volume. */
+  def quantileStream(ds: Dataset[(String, Double)],
+      edges: Seq[Double], qs: Seq[Double])(
+      implicit e: Encoder[QuantStreamOut],
+      se: Encoder[QuantStreamState]): Dataset[QuantStreamOut] = {
+    require(edges.length >= 2, "quantileStream: need >= 2 edges")
+    require(edges == edges.sorted && edges.distinct == edges,
+      "quantileStream: edges must be strictly ascending")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles in (0,1]")
+    val eArr = edges.toArray
+    val nBins = eArr.length - 1
+    val qArr = qs.toArray
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[QuantStreamState, QuantStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[QuantStreamState]) =>
+          val prev = state.getOption
+            .getOrElse(QuantStreamState(Map.empty, 0L))
+          var counts = prev.counts
+          var nBatch = 0L
+          rows.foreach { case (_, v) =>
+            nBatch += 1
+            var b = 0
+            var i = 1
+            // bin = count of interior edges <= v, clamped to the
+            // end bins (same rule any engine replays)
+            while (i < nBins) {
+              if (v >= eArr(i)) b += 1
+              i += 1
+            }
+            counts += b -> (counts.getOrElse(b, 0L) + 1L)
+          }
+          val total = prev.totalRows + nBatch
+          state.update(QuantStreamState(counts, total))
+          if (nBatch == 0L || total == 0L) Iterator.empty
+          else {
+            val cum = new Array[Long](nBins)
+            var acc = 0L
+            var b = 0
+            while (b < nBins) {
+              acc += counts.getOrElse(b, 0L); cum(b) = acc; b += 1
+            }
+            qArr.iterator.map { q =>
+              val rank = q * total
+              var bin = 0
+              while (bin < nBins - 1 && cum(bin) < rank) bin += 1
+              val before = if (bin == 0) 0L else cum(bin - 1)
+              val cnt = counts.getOrElse(bin, 0L)
+              val est =
+                if (cnt == 0L) eArr(bin)
+                else eArr(bin) + (eArr(bin + 1) - eArr(bin)) *
+                  ((rank - before) / cnt)
+              QuantStreamOut(key, nBatch, total, q,
+                math.rint(est * 1e9) / 1e9)
+            }
+          }
+      }
+  }
+
   case class FairnessStreamState(n: Long, npp: Long, tp: Long,
       fp: Long, fn: Long, tn: Long)
   case class FairnessStreamOut(grp: String, nBatch: Long, n: Long,

@@ -101,9 +101,12 @@ object PropertiesR7bSpec extends Properties("graft-r7b") {
       val r = graft.stats.StatsOps
         .fleissKappa(rows.toDF("u", "rating"), "u", "rating")
         .collect()(0)
-      val k = r.getAs[Double]("kappa")
-      r.getAs[Long]("units_dropped") == 0L &&
-        (k.isNaN || (k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9))
+      // degenerate all-one-category draws yield NULL kappa (P_e = 1)
+      val kOk = r.isNullAt(r.fieldIndex("kappa")) || {
+        val k = r.getAs[Double]("kappa")
+        k.isNaN || (k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9)
+      }
+      r.getAs[Long]("units_dropped") == 0L && kOk
     }
 
   private val tokGen: Gen[Seq[String]] = for {

@@ -254,6 +254,57 @@ class StreamingSketchSpec extends SparkSpecBase {
     emitted(b2.map(_._2).max) shouldBe ref(b1items ++ b2items)
   }
 
+  test("quantileStream: per-batch interpolated quantiles equal the " +
+      "fixed-edge histogram computation over the accumulated prefix") {
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val edges = Seq(0.0, 10.0, 20.0, 30.0, 40.0)
+    val qs = Seq(0.5, 0.95)
+    val b1vals = (1 to 200).map(i => (i % 40).toDouble)
+    val b2vals = (1 to 100).map(i => 35.0 + (i % 5)) // shift right
+    val b1 = b1vals.map(("lat", _))
+    val b2 = b2vals.map(("lat", _))
+    val input = MemoryStream[(String, Double)]
+    val out = StreamOps.quantileStream(input.toDS(), edges, qs)
+    val q = out.writeStream.format("memory").queryName("quant_fmgws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("quant_fmgws")
+      .as[StreamOps.QuantStreamOut].collect()
+    rows should have size 4 // 2 batches x 2 quantiles
+    // reference: same fixed-edge binning + interpolation, plain fold
+    def ref(vals: Seq[Double], qq: Double): Double = {
+      val nBins = edges.length - 1
+      val counts = new Array[Long](nBins)
+      vals.foreach { v =>
+        val b = (1 until nBins).count(i => v >= edges(i))
+        counts(b) += 1
+      }
+      val cum = counts.scanLeft(0L)(_ + _).tail
+      val rank = qq * vals.size
+      var bin = 0
+      while (bin < nBins - 1 && cum(bin) < rank) bin += 1
+      val before = if (bin == 0) 0L else cum(bin - 1)
+      val est =
+        if (counts(bin) == 0L) edges(bin)
+        else edges(bin) + (edges(bin + 1) - edges(bin)) *
+          ((rank - before) / counts(bin))
+      math.rint(est * 1e9) / 1e9
+    }
+    for (qq <- qs) {
+      rows.find(r => r.totalRows == 200L && r.q == qq).get
+        .quantileEst shouldBe ref(b1vals, qq)
+      rows.find(r => r.totalRows == 300L && r.q == qq).get
+        .quantileEst shouldBe ref(b1vals ++ b2vals, qq)
+    }
+    // drift direction sanity: the right-shifted batch pulls p95 up
+    val p95s = rows.filter(_.q == 0.95).sortBy(_.totalRows)
+    p95s.last.quantileEst should be > p95s.head.quantileEst
+  }
+
   test("heavyHittersStream: a tight candidate budget still finds " +
       "the persistent heavy hitter with its exact CMS estimate") {
     import graft.streaming.StreamOps
