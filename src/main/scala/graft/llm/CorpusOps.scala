@@ -444,4 +444,91 @@ object CorpusOps {
       .limit(topN)
       .select(col("id").as("word"), col("pr"))
   }
+
+  /** PORTABLE ORACLE TWIN of [[word2vec]]'s neighborhood structure
+    * (the q441–q445 ledger-twin series): Levy & Goldberg (2014)
+    * showed SGNS implicitly factorizes the shifted PPMI matrix, so
+    * the EXPLICIT PPMI row vectors are the deterministic member of
+    * the word2vec family — no RNG, no SGD order-dependence, and the
+    * cosine neighborhoods they induce are engine-replayable:
+    *
+    *  - symmetric ±`window` co-occurrence counts (pure map + one
+    *    vocab-bounded aggregation; counts exact BIGINTs),
+    *  - PPMI(w,c) = max(0, ln(n_wc·N / (n_w·n_c))) with the ln
+    *    output rounded at 9 decimals (the q441 convention),
+    *  - vectors restricted to the top-`dims` contexts by marginal
+    *    count (ties by name) — the bounded explicit embedding,
+    *  - for the top-`focus` words: top-`topK` cosine neighbors
+    *    among words with marginal count ≥ `minCount`, every
+    *    dot/norm term 12-decimal DECIMAL-summed (order-free),
+    *    ranked by (cosine desc, word asc).
+    *
+    * Everything is vocab-bounded aggregation + an equi-join of a
+    * (focus × dims)-row broadcast against the vector table — the
+    * 100 TB shape. Returns (focus_word, rank, neighbor, cosine). */
+  def ppmiEmbed(df: DataFrame, textCol: String, dims: Int = 32,
+      minCount: Int = 5, focus: Int = 10, topK: Int = 3,
+      window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 4, s"window in [1,4], got $window")
+    require(dims >= 2 && dims <= 256, s"dims in [2,256], got $dims")
+    require(focus >= 1 && focus <= 100 && topK >= 1 && topK <= 20,
+      "focus in [1,100], topK in [1,20]")
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val pairs = df.filter(col(textCol).isNotNull)
+      .select(toks.as("__tk__"))
+      .filter(size(col("__tk__")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $window), d ->
+           |  CASE WHEN size(__tk__) > d THEN
+           |    transform(sequence(1, size(__tk__) - d),
+           |      i -> struct(__tk__[i-1] AS w, __tk__[i+d-1] AS c))
+           |  ELSE array_repeat(
+           |    struct(__tk__[0] AS w, __tk__[0] AS c), 0)
+           |  END))""".stripMargin)).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"))
+    val sym = pairs.union(
+      pairs.select(col("c").as("w"), col("w").as("c")))
+    val nwc = sym.groupBy("w", "c").agg(count(lit(1)).as("nwc"))
+    val nw = nwc.groupBy("w").agg(sum("nwc").as("nw"))
+    val ncm = nwc.groupBy("c").agg(sum("nwc").as("nc"))
+    val tot = nwc.agg(sum("nwc").as("nn"))
+    val ppmi = nwc.join(nw, "w").join(ncm, "c")
+      .crossJoin(broadcast(tot))
+      .select(col("w"), col("c"),
+        round(log((col("nwc").cast("double") * col("nn")) /
+          (col("nw").cast("double") * col("nc"))), 9).as("pp"))
+      .filter(col("pp") > 0)
+    val dimsT = ncm.orderBy(col("nc").desc, col("c").asc)
+      .limit(dims).select(col("c"))
+    val vecs = ppmi.join(dimsT, "c")
+    val norms = vecs.groupBy("w")
+      .agg(sum(round(col("pp") * col("pp"), 12)
+        .cast("decimal(38,12)")).cast("double").as("n2"))
+      .filter(col("n2") > 0)
+    val focusT = nw.orderBy(col("nw").desc, col("w").asc)
+      .limit(focus).select(col("w").as("f"))
+    val fv = vecs.join(focusT, col("w") === col("f"))
+      .select(col("f"), col("c"), col("pp").as("pf"))
+    val cand = vecs.join(nw.filter(col("nw") >= minCount)
+      .select(col("w")), "w")
+    val dots = fv.join(cand, Seq("c"))
+      .filter(col("w") =!= col("f"))
+      .groupBy("f", "w")
+      .agg(sum(round(col("pf") * col("pp"), 12)
+        .cast("decimal(38,12)")).cast("double").as("dot"))
+    val scored = dots
+      .join(norms.select(col("w").as("f"), col("n2").as("nf")),
+        Seq("f"))
+      .join(norms, Seq("w"))
+      .select(col("f"), col("w"),
+        round(col("dot") / (sqrt(col("nf")) * sqrt(col("n2"))), 9)
+          .as("cosine"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("f").orderBy(col("cosine").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= topK)
+      .select(col("f").as("focus_word"),
+        col("rank").cast("long").as("rank"),
+        col("w").as("neighbor"), col("cosine"))
+  }
 }

@@ -554,6 +554,15 @@ object QueriesPipeline {
         "y")
     }),
 
+    // the PORTABLE ORACLE TWIN of q297's word2vec neighborhoods:
+    // explicit PPMI vectors (Levy–Goldberg 2014 — the matrix SGNS
+    // implicitly factorizes) over a ±2 window, top-32 context dims,
+    // cosine top-3 neighbors of the 10 most frequent words — every
+    // count exact, ln rounded at 9, dot/norm terms decimal-summed.
+    // Closes the q297 no-oracle ledger row.
+    "q446_ppmi_embed" -> ((s, d) =>
+      graft.llm.CorpusOps.ppmiEmbed(t(s, d, "documents"), "text")),
+
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
     "q439_fleiss_kappa" -> ((s, d) => {
@@ -2054,6 +2063,72 @@ object QueriesPipeline {
     "q444_aft_twin" -> aftTwinOracle,
 
     "q445_automl_twin" -> autoMlTwinOracle,
+
+    "q446_ppmi_embed" ->
+      raw"""WITH toks AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> length(x) > 0) AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |p1 AS (
+        |  SELECT z[1] AS w, z[2] AS c FROM (
+        |    SELECT unnest(list_zip(l, l[2:])) AS z
+        |    FROM toks WHERE len(l) >= 2) q
+        |  WHERE z[2] IS NOT NULL),
+        |p2 AS (
+        |  SELECT z[1] AS w, z[2] AS c FROM (
+        |    SELECT unnest(list_zip(l, l[3:])) AS z
+        |    FROM toks WHERE len(l) >= 3) q
+        |  WHERE z[2] IS NOT NULL),
+        |pairs AS (SELECT w, c FROM p1 UNION ALL
+        |          SELECT w, c FROM p2),
+        |sym AS (SELECT w, c FROM pairs UNION ALL
+        |        SELECT c AS w, w AS c FROM pairs),
+        |nwc AS (SELECT w, c, CAST(count(*) AS BIGINT) AS nwc
+        |        FROM sym GROUP BY 1, 2),
+        |nw AS (SELECT w, CAST(sum(nwc) AS BIGINT) AS nw
+        |       FROM nwc GROUP BY 1),
+        |ncm AS (SELECT c, CAST(sum(nwc) AS BIGINT) AS nc
+        |        FROM nwc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nwc) AS BIGINT) AS nn FROM nwc),
+        |ppos AS (
+        |  SELECT * FROM (
+        |    SELECT x.w, x.c,
+        |      round(ln((CAST(x.nwc AS DOUBLE) * t.nn) /
+        |        (CAST(a.nw AS DOUBLE) * b.nc)), 9) AS pp
+        |    FROM nwc x JOIN nw a ON a.w = x.w
+        |    JOIN ncm b ON b.c = x.c CROSS JOIN tot t)
+        |  WHERE pp > 0),
+        |dims AS (SELECT c FROM ncm ORDER BY nc DESC, c ASC LIMIT 32),
+        |vecs AS (SELECT p.w, p.c, p.pp
+        |         FROM ppos p JOIN dims d ON d.c = p.c),
+        |norms0 AS (
+        |  SELECT w, CAST(sum(CAST(round(pp * pp, 12)
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS n2
+        |  FROM vecs GROUP BY 1),
+        |norms AS (SELECT * FROM norms0 WHERE n2 > 0),
+        |focust AS (SELECT w AS f FROM nw
+        |           ORDER BY nw DESC, w ASC LIMIT 10),
+        |fv AS (SELECT t.f, v.c, v.pp AS pf
+        |       FROM vecs v JOIN focust t ON v.w = t.f),
+        |cand AS (SELECT v.w, v.c, v.pp FROM vecs v
+        |         JOIN nw a ON a.w = v.w AND a.nw >= 5),
+        |dots AS (
+        |  SELECT fv.f, cand.w,
+        |    CAST(sum(CAST(round(fv.pf * cand.pp, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        |  FROM fv JOIN cand ON cand.c = fv.c
+        |  WHERE cand.w <> fv.f GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.f, d.w,
+        |    round(d.dot / (sqrt(nf.n2) * sqrt(nn2.n2)), 9) AS cosine
+        |  FROM dots d JOIN norms nf ON nf.w = d.f
+        |  JOIN norms nn2 ON nn2.w = d.w),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY f
+        |    ORDER BY cosine DESC, w ASC) AS rank FROM scored)
+        |SELECT f AS focus_word, CAST(rank AS BIGINT) AS rank,
+        |  w AS neighbor, cosine
+        |FROM rk WHERE rank <= 3""".stripMargin,
 
     // full metric replay: identical md5 pseudo-run, exact-cents
     // qrels, the same hit-cumulative window and gain/discount

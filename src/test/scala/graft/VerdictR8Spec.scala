@@ -183,6 +183,31 @@ class VerdictR8Spec extends SparkSpecBase {
     runs(1) shouldBe runs(32)
   }
 
+  test("ppmiEmbed: distributionally interchangeable words are each " +
+      "other's nearest PPMI-cosine neighbors") {
+    // 'apple' and 'pear' appear in identical context templates
+    // (fruit verbs); 'cat' and 'dog' in another (animal verbs);
+    // the two families never mix contexts
+    val rng = new scala.util.Random(5)
+    val docs = (0 until 400).map { i =>
+      val fruit = Seq("apple", "pear")(rng.nextInt(2))
+      val animal = Seq("cat", "dog")(rng.nextInt(2))
+      if (i % 2 == 0) s"we ate the $fruit slice and peeled one $fruit today"
+      else s"the $animal ran and the $animal barked loudly"
+    }.toDF("text")
+    val out = graft.llm.CorpusOps
+      .ppmiEmbed(docs, "text", dims = 32, minCount = 3,
+        focus = 20, topK = 2).collect()
+    def top1(f: String) = out
+      .filter(r => r.getAs[String]("focus_word") == f &&
+        r.getAs[Long]("rank") == 1L)
+      .head.getAs[String]("neighbor")
+    top1("apple") shouldBe "pear"
+    top1("pear") shouldBe "apple"
+    top1("cat") shouldBe "dog"
+    top1("dog") shouldBe "cat"
+  }
+
   test("collectSeries: loud require when the aggregated series " +
       "exceeds the cap; exact pass-through under it") {
     val series = (0 until 50).map(i => (i.toLong, i * 1.5))
