@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / web-provenance operators for crawl-scale corpus curation
+  * (the CommonCrawl pipeline shape: every document carries a source
+  * URL; curation groups, caps and audits by registered domain).
+  * Mirrors the reference's text-pipeline provenance handling
+  * (reference src/text_pipeline, src/dataframe string ops) expressed
+  * as pure Spark expressions — every function here is a map-side
+  * Column expression (no UDF, no shuffle) so it pushes through
+  * whole-stage codegen and scales linearly to a 100 TB crawl.
+  *
+  * Determinism: parsing is regexp_extract with patterns valid in
+  * both Java regex and RE2/DuckDB (character classes only — no
+  * lookaround, no backreferences), so the DuckDB oracle replays the
+  * exact same extraction; registered-domain suffix logic is pure
+  * list arithmetic replayable as SQL.
+  */
+object UrlOps {
+
+  /** Scheme: letters+digits+`+.-` before `://`. */
+  val SchemeRe = "^([a-z][a-z0-9+.-]*)://"
+
+  /** Host (authority): everything after `://` up to `/?#`. */
+  val HostRe = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+
+  /** Path: after the authority, up to `?` or `#` (may be empty). */
+  val PathRe = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Query string: after the first `?`, up to `#`. */
+  val QueryRe = "\\?([^#]*)"
+
+  /** Two-level public suffixes recognized by [[registeredDomain]].
+    * A deliberately small, fixed, documented subset of the public
+    * suffix list (the full Mozilla PSL is a data file a production
+    * deployment would broadcast-join instead; the operator's shape
+    * is identical — this list keeps the oracle self-contained). */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "co.in", "co.kr", "com.mx", "co.nz",
+    "com.sg", "co.za")
+
+  /** Parse `urlCol` into url_scheme / url_host / url_path /
+    * url_query columns (empty string where the component is absent,
+    * matching regexp_extract semantics in both engines) and
+    * url_domain, the registered domain of the host. Pure map. */
+  def parseUrl(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    df.withColumn("url_scheme", regexp_extract(u, SchemeRe, 1))
+      .withColumn("url_host", regexp_extract(u, HostRe, 1))
+      .withColumn("url_path", regexp_extract(u, PathRe, 1))
+      .withColumn("url_query", regexp_extract(u, QueryRe, 1))
+      .withColumn("url_domain", registeredDomain(col("url_host")))
+  }
+
+  /** Registered domain (site identity) of a hostname: the last two
+    * labels, or the last three when the trailing two form a known
+    * two-level public suffix (`bbc.co.uk`, not `co.uk`). Total on
+    * any input: a host with a single label returns itself. */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // positive-index slices guarded by greatest() so the expression
+    // is total (ANSI mode: element_at(-k) past the front throws)
+    val last2 = concat_ws(".", slice(labels, greatest(n - 1, lit(1)), lit(2)))
+    val last3 = concat_ws(".", slice(labels, greatest(n - 2, lit(1)), lit(3)))
+    when(n >= 3 && last2.isin(TwoLevelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Per-registered-domain corpus rollup — the first audit any
+    * crawl curation runs: documents, bytes and corpus share by
+    * site. One groupBy shuffle on the domain plus a broadcast 1-row
+    * total; share in exact ppm (integer div, replayable). */
+  def domainRollup(df: DataFrame, urlCol: String,
+      charsCol: String): DataFrame = {
+    val parsed = parseUrl(df, urlCol)
+      .select(col("url_domain"), col(charsCol).cast("long").as("__c__"))
+    val per = parsed.groupBy("url_domain").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__c__")).as("n_chars_total"))
+    val tot = per.agg(sum(col("n_docs")).as("__t__"))
+    per.crossJoin(broadcast(tot))
+      .select(col("url_domain"), col("n_docs"), col("n_chars_total"),
+        expr("n_docs * 1000000 div __t__").as("docs_ppm"))
+  }
+
+  /** 48-bit md5 key hash (the repo's portable lottery primitive,
+    * integer form — see PipelineOps.hash48Unit). */
+  def h48Long(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Per-key rendezvous weights h(key, shard) for shards 0..n-1
+    * (Thaler & Ravishankar 1998 highest-random-weight hashing). */
+  private def hrwWeights(keyCol: String, n: Int): Column =
+    array((0 until n).map(sIdx => h48Long(
+      concat(col(keyCol).cast("string"), lit("#shard"),
+        lit(sIdx.toString)))): _*)
+
+  /** Deterministic shard assignment for writing an N-shard corpus:
+    * `mod` scheme (h % n — one hash, but reshuffles ~(m−1)/m of keys
+    * when the count changes) and `hrw` scheme (rendezvous hashing —
+    * argmax over per-shard weights; growing n → m moves exactly the
+    * keys whose new shards win, ~(m−n)/m, the consistent-hashing
+    * property). Pure map, O(n) hashes per key under hrw — the right
+    * trade when re-bucketing a 100 TB corpus costs days of IO.
+    * Replayable anywhere (md5 arithmetic only). */
+  def shardAssign(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"shardAssign needs n >= 1, got $n")
+    val h = h48Long(col(keyCol))
+    val w = hrwWeights(keyCol, n)
+    df.withColumn("shard_mod", pmod(h, lit(n.toLong)))
+      .withColumn("shard_hrw",
+        (array_position(w, array_max(w)) - 1).cast("long"))
+  }
+
+  /** Resharding audit: how many keys move when the shard count grows
+    * n → m, under both schemes — the quantified argument for
+    * rendezvous sharding at re-bucket time. One aggregate over the
+    * distinct keys; exact ppm. */
+  def shardMoveReport(df: DataFrame, keyCol: String, n: Int,
+      m: Int): DataFrame = {
+    require(n >= 1 && m >= 1 && n != m,
+      s"shardMoveReport needs distinct shard counts >= 1, got $n -> $m")
+    val h = h48Long(col(keyCol))
+    val wN = hrwWeights(keyCol, n)
+    val wM = hrwWeights(keyCol, m)
+    val keys = df.select(col(keyCol)).distinct().select(
+      h.as("__h__"),
+      (array_position(wN, array_max(wN)) - 1).as("__hrw_n__"),
+      (array_position(wM, array_max(wM)) - 1).as("__hrw_m__"))
+    val agg = keys.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(pmod(col("__h__"), lit(n.toLong)) =!=
+        pmod(col("__h__"), lit(m.toLong)), 1L).otherwise(0L))
+        .as("moved_mod"),
+      sum(when(col("__hrw_n__") =!= col("__hrw_m__"), 1L)
+        .otherwise(0L)).as("moved_hrw"))
+    agg.select(lit(n).cast("long").as("n_from"),
+      lit(m).cast("long").as("n_to"), col("n_keys"),
+      col("moved_mod"),
+      expr("moved_mod * 1000000 div n_keys").as("moved_mod_ppm"),
+      col("moved_hrw"),
+      expr("moved_hrw * 1000000 div n_keys").as("moved_hrw_ppm"))
+  }
+}

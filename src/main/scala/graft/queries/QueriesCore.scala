@@ -212,6 +212,77 @@ object QueriesCore {
           round(dbl(count(lit(1))) / sum(lit(1.0) / col("l_quantity")), 6)
             .as("harmonic_mean"),
           (max("l_quantity") - min("l_quantity")).as("range")))
+  ,
+
+    // §2.3/§2.2 TPC-H Q17 shape: correlated SCALAR subquery (avg
+    // quantity per part) — expressed Spark-first as a pre-aggregated
+    // join (what Catalyst decorrelates the subquery into anyway);
+    // the oracle keeps the literal correlated form to prove
+    // semantic equivalence. Exact: avg compare cross-multiplied on
+    // integer quantities, revenue in cents.
+    "q450_q17_small_qty" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val pa = t(s, d, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand")
+      val stats = li.groupBy(col("l_partkey").as("sp"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+          count(lit(1)).as("qty_n"))
+      li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(stats, col("l_partkey") === col("sp"))
+        .filter(col("l_quantity").cast("long") * 5 * col("qty_n") <
+          col("qty_sum"))
+        .groupBy("p_brand")
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS chained on the same
+    // fact table — suppliers who were the ONLY returning supplier
+    // on a finished multi-supplier order. Spark-first: left_semi
+    // for EXISTS, left_anti for NOT EXISTS (equi on the order key,
+    // residual non-equi on the supplier).
+    "q451_q21_sole_returner" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val fOrders = t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .drop("o_orderkey")
+      val others = li.select(col("l_orderkey").as("o2"),
+        col("l_suppkey").as("s2"))
+      val othersR = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val kept = l1
+        .join(others, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(othersR, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+      kept.join(broadcast(t(s, d, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+    }),
+
+    // TPC-H Q22 shape: scalar subquery threshold (above-average
+    // positive balance) + NOT EXISTS anti join (customers with no
+    // orders), rolled up by segment. Exact: the avg compare is
+    // cross-multiplied on cent-integers.
+    "q452_q22_idle_rich" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val pos = cust.filter(cents(col("c_acctbal")) > 0)
+        .agg(sum(cents(col("c_acctbal"))).as("bal_sum"),
+          count(lit(1)).as("bal_n"))
+      cust.crossJoin(broadcast(pos))
+        .filter(cents(col("c_acctbal")) * col("bal_n") >
+          col("bal_sum"))
+        .join(t(s, d, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -361,6 +432,52 @@ object QueriesCore {
         |  round(exp(sum(ln(l_quantity)) / count(*)), 6) AS geo_mean,
         |  round(CAST(count(*) AS DOUBLE) / sum(1.0 / l_quantity), 6) AS harmonic_mean,
         |  max(l_quantity) - min(l_quantity) AS range
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // literal correlated scalar subqueries — DuckDB decorrelates
+    // them the same way the Spark side pre-aggregates
+    "q450_q17_small_qty" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND 5 * CAST(l_quantity AS BIGINT) *
+        |    (SELECT count(*) FROM lineitem l2
+        |     WHERE l2.l_partkey = p_partkey)
+        |    < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+        |       WHERE l2.l_partkey = p_partkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q451_q21_sole_returner" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "q452_q22_idle_rich" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+        |    (SELECT count(*) FROM customer
+        |     WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+        |  > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |     FROM customer
+        |     WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin
   )
 }

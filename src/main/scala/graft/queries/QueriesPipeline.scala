@@ -81,6 +81,26 @@ object QueriesPipeline {
        |    i -> (strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1)
        |      * power(16, 12 - i))) / 281474976710656.0""".stripMargin
 
+  /** DuckDB IN-list of UrlOps.TwoLevelSuffixes (shared literal). */
+  private def suffixesSql: String =
+    graft.llm.UrlOps.TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB rendition of syntheticUrls: the identical deterministic
+    * crawl-URL construction (h48 lottery domain pick, ?ref for ~half
+    * the docs) so the URL gates replay end-to-end. */
+  private def urlsSqlCte: String = {
+    val domList = graft.queries.QueriesPipeline.urlDomains
+      .map(s => s"'$s'").mkString(", ")
+    raw"""WITH urls AS (
+       |  SELECT doc_id, n_chars,
+       |    'https://' || source || '.' ||
+       |    ([$domList])[CAST(floor((${h48("doc_id::VARCHAR || '#dom'")}) * 8) AS INT) + 1] ||
+       |    '/' || lang || '/doc/' || doc_id ||
+       |    CASE WHEN (${h48("doc_id::VARCHAR || '#q'")}) < 0.5
+       |      THEN '?ref=' || (n_chars % 97) ELSE '' END AS url
+       |  FROM documents)""".stripMargin
+  }
+
   /** Spark-side derived multi-line corpus: the synthetic documents
     * are single-line, so chunk each doc's words into 4-word lines —
     * the oracle builds the identical corpus with list slicing. */
@@ -91,6 +111,34 @@ object QueriesPipeline {
       concat_ws("\n", transform(
         sequence(lit(0), ceil(size(words) / lit(4.0)).cast("int") - 1),
         i => concat_ws(" ", slice(words, i * 4 + 1, lit(4))))).as("text"))
+  }
+
+  /** Registered domains for the synthetic-crawl URL gates — a mix of
+    * plain and two-level-suffix sites so registeredDomain's both
+    * branches are exercised. Shared literal with the oracle SQL. */
+  val urlDomains: Seq[String] = Seq("example.com", "data.co.uk",
+    "corpus.org", "mirror-site.net", "archive.gov.uk",
+    "texts.com.au", "sample-data.io", "crawl.co.jp")
+
+  /** Deterministic synthetic crawl URLs over the documents table:
+    * subdomain = source, domain by md5 lottery, path from lang +
+    * doc_id, query string present for ~half the docs. The oracle
+    * rebuilds the identical strings (h48 arithmetic is exact). */
+  private def syntheticUrls(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val domArr = array(urlDomains.map(lit): _*)
+    val uDom = PipelineOps.hash48Unit(
+      concat(col("doc_id").cast("string"), lit("#dom")))
+    val uQ = PipelineOps.hash48Unit(
+      concat(col("doc_id").cast("string"), lit("#q")))
+    t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+      concat(lit("https://"), col("source"), lit("."),
+        element_at(domArr, (floor(uDom * 8) + 1).cast("int")),
+        lit("/"), col("lang"), lit("/doc/"),
+        col("doc_id").cast("string"),
+        when(uQ < 0.5, concat(lit("?ref="),
+          pmod(col("n_chars"), lit(97L)).cast("string")))
+          .otherwise(lit(""))).as("url"))
   }
 
   val queries: Map[String, QueryFn] = Map(
@@ -562,6 +610,28 @@ object QueriesPipeline {
     // Closes the q297 no-oracle ledger row.
     "q446_ppmi_embed" -> ((s, d) =>
       graft.llm.CorpusOps.ppmiEmbed(t(s, d, "documents"), "text")),
+
+    // URL provenance parsing + registered-domain extraction over a
+    // deterministic synthetic crawl (md5-lottery domain pick, so the
+    // oracle rebuilds the identical URLs): scheme/host/path/query by
+    // portable regexes, site identity via the two-level-suffix rule
+    "q447_url_parse" -> ((s, d) =>
+      graft.llm.UrlOps.parseUrl(syntheticUrls(s, d), "url")
+        .select("doc_id", "url", "url_scheme", "url_host",
+          "url_domain", "url_path", "url_query")),
+
+    // per-registered-domain corpus rollup (docs, chars, exact-ppm
+    // share) — the first audit of any crawl curation run
+    "q448_domain_rollup" -> ((s, d) =>
+      graft.llm.UrlOps.domainRollup(syntheticUrls(s, d), "url",
+        "n_chars")),
+
+    // resharding audit: keys moved when a 10-shard corpus grows to
+    // 11 under mod-hash vs interval (consistent) assignment — the
+    // quantified case for interval sharding at re-bucket time
+    "q449_shard_plan" -> ((s, d) =>
+      graft.llm.UrlOps.shardMoveReport(t(s, d, "documents"),
+        "doc_id", 10, 11)),
 
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
@@ -2129,6 +2199,87 @@ object QueriesPipeline {
         |SELECT f AS focus_word, CAST(rank AS BIGINT) AS rank,
         |  w AS neighbor, cosine
         |FROM rk WHERE rank <= 3""".stripMargin,
+
+    "q447_url_parse" ->
+      raw"""$urlsSqlCte,
+        |p AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1)
+        |    AS url_scheme,
+        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+        |    AS url_host,
+        |  regexp_extract(url,
+        |    '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS url_path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS url_query
+        |  FROM urls),
+        |lab AS (SELECT p.*, string_split(url_host, '.') AS l FROM p)
+        |SELECT doc_id, url, url_scheme, url_host,
+        |  CASE WHEN len(l) >= 3 AND
+        |      array_to_string(l[greatest(len(l)-1,1):], '.')
+        |        IN ($suffixesSql)
+        |    THEN array_to_string(l[greatest(len(l)-2,1):], '.')
+        |    ELSE array_to_string(l[greatest(len(l)-1,1):], '.')
+        |  END AS url_domain,
+        |  url_path, url_query
+        |FROM lab""".stripMargin,
+
+    "q448_domain_rollup" ->
+      raw"""$urlsSqlCte,
+        |lab AS (SELECT string_split(regexp_extract(url,
+        |    '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS l, n_chars
+        |  FROM urls),
+        |dom AS (SELECT
+        |  CASE WHEN len(l) >= 3 AND
+        |      array_to_string(l[greatest(len(l)-1,1):], '.')
+        |        IN ($suffixesSql)
+        |    THEN array_to_string(l[greatest(len(l)-2,1):], '.')
+        |    ELSE array_to_string(l[greatest(len(l)-1,1):], '.')
+        |  END AS url_domain, n_chars FROM lab),
+        |per AS (SELECT url_domain,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |  FROM dom GROUP BY 1)
+        |SELECT url_domain, n_docs, n_chars_total,
+        |  CAST(n_docs * 1000000 //
+        |    CAST((SELECT sum(n_docs) FROM per) AS BIGINT) AS BIGINT)
+        |    AS docs_ppm
+        |FROM per""".stripMargin,
+
+    "q449_shard_plan" ->
+      """WITH keys AS (SELECT DISTINCT doc_id FROM documents),
+        |w AS (
+        |  SELECT
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |        substr(md5(doc_id::VARCHAR), i, 1)) - 1)
+        |        * power(16, 12 - i))) AS BIGINT) AS hh,
+        |    list_transform(range(0, 10), s ->
+        |      CAST(list_sum(list_transform(range(1, 13),
+        |        i -> (strpos('0123456789abcdef', substr(md5(
+        |          doc_id::VARCHAR || '#shard' || s), i, 1)) - 1)
+        |          * power(16, 12 - i))) AS BIGINT)) AS w10,
+        |    list_transform(range(0, 11), s ->
+        |      CAST(list_sum(list_transform(range(1, 13),
+        |        i -> (strpos('0123456789abcdef', substr(md5(
+        |          doc_id::VARCHAR || '#shard' || s), i, 1)) - 1)
+        |          * power(16, 12 - i))) AS BIGINT)) AS w11
+        |  FROM keys),
+        |m AS (
+        |  SELECT hh,
+        |    list_position(w10, list_max(w10)) - 1 AS h10,
+        |    list_position(w11, list_max(w11)) - 1 AS h11
+        |  FROM w)
+        |SELECT CAST(10 AS BIGINT) AS n_from,
+        |  CAST(11 AS BIGINT) AS n_to,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN hh % 10 <> hh % 11 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS moved_mod,
+        |  CAST(sum(CASE WHEN hh % 10 <> hh % 11 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS moved_mod_ppm,
+        |  CAST(sum(CASE WHEN h10 <> h11 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS moved_hrw,
+        |  CAST(sum(CASE WHEN h10 <> h11 THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS moved_hrw_ppm
+        |FROM m""".stripMargin,
 
     // full metric replay: identical md5 pseudo-run, exact-cents
     // qrels, the same hit-cumulative window and gain/discount
