@@ -1365,6 +1365,18 @@ object QueriesStats {
           cents(col("l_discount")).as("x2")),
         "y", "x1", "x2")),
 
+    // §2.13/§2.12 exact linear-SHAP: closed-form Shapley per-row
+    // attribution φ_i = b_i(x_i − x̄_i) for the q255 OLS model —
+    // one moment aggregate broadcast back, per-row pass is pure map
+    "q453_linear_shap" -> ((s, d) =>
+      StatsOps.linearShap(
+        t(s, d, "lineitem").select(
+          col("l_orderkey"),
+          round(col("l_extendedprice")).cast("long").as("y"),
+          col("l_quantity").cast("long").as("x1"),
+          cents(col("l_discount")).as("x2")),
+        "y", "x1", "x2", keepCols = Seq("l_orderkey"))),
+
     // §2.12 exact 5% trimmed mean of price-dollars (robust center;
     // partial tie inclusion at the cuts, range-bucketed ranks)
     "q260_trimmed_mean" -> ((s, d) =>
@@ -3018,6 +3030,47 @@ object QueriesStats {
          |  round(2.0 * (1.0 - $phi), 6) AS p_value
          |FROM tt""".stripMargin
     },
+
+    // the q255 Cramer fit replayed, then per-row φ_i = b_i(x_i−x̄_i)
+    // with identical association order
+    "q453_linear_shap" ->
+      """WITH raw AS (
+        |  SELECT l_orderkey,
+        |    CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |s AS (SELECT
+        |    CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+        |    CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+        |    CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+        |    CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+        |    CAST(CAST(sum(x1 * y) AS BIGINT) AS DOUBLE) AS s1y,
+        |    CAST(CAST(sum(x2 * y) AS BIGINT) AS DOUBLE) AS s2y
+        |  FROM raw),
+        |c AS (SELECT n, s1, s2, sy,
+        |    s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+        |    s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+        |    s2y - s2 * sy / n AS c2y
+        |  FROM s),
+        |d AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+        |fit AS (SELECT
+        |    s1 / n AS xb1, s2 / n AS xb2, sy / n AS base,
+        |    (c1y * c22 - c2y * c12) / det AS b1,
+        |    (c2y * c11 - c1y * c12) / det AS b2
+        |  FROM d)
+        |SELECT r.l_orderkey, r.x1, r.x2,
+        |  round(b1 * (r.x1 - xb1), 6) AS phi1,
+        |  round(b2 * (r.x2 - xb2), 6) AS phi2,
+        |  round(base, 6) AS baseline,
+        |  round(base + b1 * (r.x1 - xb1) + b2 * (r.x2 - xb2), 6)
+        |    AS prediction
+        |FROM raw r CROSS JOIN fit""".stripMargin,
 
     "q251_kfold_cv" ->
       """WITH r AS (

@@ -1472,6 +1472,57 @@ object StatsOps {
         col("r.t_stat"), col("r.p_value"))
   }
 
+  /** Exact Shapley attribution for the 2-feature linear model
+    * (Lundberg & Lee 2017: for a linear model on independent
+    * features the Shapley value is φ_i(row) = b_i·(x_i − x̄_i),
+    * closed-form — no sampling). Fits the same exact-Cramer OLS as
+    * [[multipleRegression2]] from ONE aggregate of integer moments,
+    * broadcasts the 1-row coefficient frame back, and emits per-row
+    * contributions plus the shared baseline (ȳ) and reconstructed
+    * prediction — a pure map-side second pass, the 100 TB
+    * explainability shape (no per-row model evaluation service).
+    * Feed integer-valued columns (cents pattern) so the coefficient
+    * arithmetic is the same IEEE double in any engine. */
+  def linearShap(df0: DataFrame, yCol: String, x1Col: String,
+      x2Col: String, keepCols: Seq[String]): DataFrame = {
+    val df = df0.filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+      col(x2Col).isNotNull)
+    val (y, x1, x2) = (col(yCol).cast("double"),
+      col(x1Col).cast("double"), col(x2Col).cast("double"))
+    val s = df.agg(count(lit(1)).cast("double").as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+      sum(x1 * x1).as("s11"), sum(x2 * x2).as("s22"),
+      sum(x1 * x2).as("s12"), sum(x1 * y).as("s1y"),
+      sum(x2 * y).as("s2y"))
+    val n = col("n")
+    def cc(sab: Column, sa: Column, sb: Column) = sab - sa * sb / n
+    val fit = s
+      .withColumn("c11", cc(col("s11"), col("s1"), col("s1")))
+      .withColumn("c22", cc(col("s22"), col("s2"), col("s2")))
+      .withColumn("c12", cc(col("s12"), col("s1"), col("s2")))
+      .withColumn("c1y", cc(col("s1y"), col("s1"), col("sy")))
+      .withColumn("c2y", cc(col("s2y"), col("s2"), col("sy")))
+      .withColumn("det",
+        col("c11") * col("c22") - col("c12") * col("c12"))
+      .withColumn("b1", (col("c1y") * col("c22") -
+        col("c2y") * col("c12")) / col("det"))
+      .withColumn("b2", (col("c2y") * col("c11") -
+        col("c1y") * col("c12")) / col("det"))
+      .select((col("s1") / n).as("__xb1__"),
+        (col("s2") / n).as("__xb2__"), (col("sy") / n).as("__base__"),
+        col("b1").as("__b1__"), col("b2").as("__b2__"))
+    val phi1 = col("__b1__") * (x1 - col("__xb1__"))
+    val phi2 = col("__b2__") * (x2 - col("__xb2__"))
+    df.crossJoin(broadcast(fit))
+      .select(keepCols.map(col) ++ Seq(
+        col(x1Col).cast("long").as("x1"),
+        col(x2Col).cast("long").as("x2"),
+        round(phi1, 6).as("phi1"), round(phi2, 6).as("phi2"),
+        round(col("__base__"), 6).as("baseline"),
+        round(col("__base__") + phi1 + phi2, 6)
+          .as("prediction")): _*)
+  }
+
   /** Per-group OLS simple regression (pandas groupby().apply(ols)
     * parity): slope/intercept/r² per key from the five sufficient
     * sums — ONE hash aggregate regardless of group count, no

@@ -584,6 +584,56 @@ object StreamOps {
       }
   }
 
+  case class PhStreamState(n: Long, sumX: Double, m: Double,
+      minM: Double, maxPh: Double, driftAt: Long, hasDrift: Boolean)
+  case class PhStreamOut(key: String, ord: Long, ph: Double,
+      maxPh: Double, drift: Boolean, driftAt: Option[Long])
+
+  /** Streaming Page–Hinkley drift detector — the live companion to
+    * the batch [[graft.timeseries.TimeSeriesOps.pageHinkley]]: per
+    * key, the running-mean deviation accumulator
+    *   m_T = Σ_{t≤T}(x_t − x̄_t − δ),  PH_T = m_T − min_{t≤T} m_t
+    * carried ACROSS micro-batches with flatMapGroupsWithState,
+    * emitting the post-update PH, running max and first-drift order
+    * per row. The fold runs the identical double-arithmetic sequence
+    * the batch window pass produces (running mean = sum/count
+    * including the current row, dev accumulated in order), so the
+    * streamed PH walk is bit-equal to the batch computation over the
+    * concatenated input (spec'd cross-batch). Same contract as
+    * [[ewmStream]]: per-key non-decreasing `ord` across batches
+    * (rows within a batch are sorted here), O(1) state per key. */
+  def phStream(ds: Dataset[(String, Long, Double)], delta: Double,
+      lambda: Double)(
+      implicit e: Encoder[PhStreamOut],
+      se: Encoder[PhStreamState]): Dataset[PhStreamOut] =
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[PhStreamState, PhStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[PhStreamState]) =>
+          var s = state.getOption.getOrElse(
+            PhStreamState(0L, 0.0, 0.0, Double.PositiveInfinity,
+              Double.NegativeInfinity, 0L, hasDrift = false))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, ord, x) =>
+            val n = s.n + 1
+            val sumX = s.sumX + x
+            val dev = x - sumX / n - delta
+            val m = s.m + dev
+            val minM = math.min(s.minM, m)
+            val ph = m - minM
+            val maxPh = math.max(s.maxPh, ph)
+            val drifted = s.hasDrift || ph > lambda
+            val driftAt = if (s.hasDrift) s.driftAt
+              else if (ph > lambda) ord else 0L
+            s = PhStreamState(n, sumX, m, minM, maxPh, driftAt,
+              drifted)
+            PhStreamOut(key, ord, ph, maxPh, ph > lambda,
+              if (drifted) Some(driftAt) else None)
+          }
+          state.update(s)
+          out.iterator
+      }
+
   case class PsiStreamState(counts: Map[Int, Long], totalRows: Long)
   case class PsiStreamOut(key: String, batchRows: Long,
       totalRows: Long, psi: Double)
