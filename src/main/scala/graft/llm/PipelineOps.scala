@@ -768,6 +768,60 @@ object PipelineOps {
         round(col("__lp__"), 6).as("avg_logprob"))
   }
 
+  /** Held-out bigram-LM perplexity — the production quality-filter
+    * shape ([[bigramLmScore]] scores WITHIN the corpus; this trains
+    * on a deterministic hash split and scores the held-out docs
+    * against the TRAINED model, the way a reference LM filters a
+    * candidate crawl): add-1 (Laplace) smoothed bigram probabilities
+    *   p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+    * with V the trained unigram-context vocabulary, so unseen
+    * bigrams and unseen contexts score 1/(c+V) and 1/V instead of
+    * blowing up. Per-doc log-probs are summed as round-12 DECIMAL
+    * terms (order-free — engine-replayable at any parallelism);
+    * outputs n_bigrams, avg log-prob and perplexity exp(−avg).
+    * Scale: two vocab-bounded count aggregates + one (gram-keyed)
+    * left join per side; the split is a pure map. */
+  def lmPerplexity(docs: DataFrame, textCol: String, idCol: String,
+      trainFrac: Double = 0.7, salt: String = "#lm"): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1,
+      s"lmPerplexity needs 0 < trainFrac < 1, got $trainFrac")
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val isTrain = hash48Unit(concat(col(idCol).cast("string"),
+      lit(salt))) < trainFrac
+    val bg = docs
+      .select(col(idCol).as("__id__"), isTrain.as("__train__"),
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              concat_ws(" ", element_at(toks, i),
+                element_at(toks, i + 1)).as("big"))))
+          .otherwise(array())).as("g"))
+      .select(col("__id__"), col("__train__"),
+        col("g.w1"), col("g.big"))
+    val train = bg.filter(col("__train__"))
+    val bigC = train.groupBy("big").agg(count(lit(1)).as("cb"))
+    val uniC = train.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = train.agg(
+      countDistinct(col("w1")).cast("double").as("__v__"))
+    val lp = log((coalesce(col("cb"), lit(0L)).cast("double") + 1.0) /
+      (coalesce(col("cu"), lit(0L)).cast("double") + col("__v__")))
+    val scored = bg.filter(!col("__train__"))
+      .join(bigC, Seq("big"), "left")
+      .join(uniC, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("__id__"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(round(lp, 12).cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("__avg__"))
+    docs.select(col(idCol).as("__id__"), isTrain.as("__train__"))
+      .filter(!col("__train__")).select("__id__").distinct()
+      .join(scored, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__avg__"), 9).as("avg_logprob"),
+        round(exp(-col("__avg__")), 6).as("perplexity"))
+  }
+
   /** Pretraining sequence packing (concat-and-chunk): documents are
     * hash-bucketed (the distributed analog of a global shuffle),
     * deterministically ordered within each bucket by the portable

@@ -633,6 +633,13 @@ object QueriesPipeline {
       graft.llm.UrlOps.shardMoveReport(t(s, d, "documents"),
         "doc_id", 10, 11)),
 
+    // held-out add-1 bigram-LM perplexity: train on the 70% hash
+    // split, score the held-out docs against the trained model —
+    // the reference-LM quality-filter shape
+    "q454_lm_perplexity" -> ((s, d) =>
+      PipelineOps.lmPerplexity(t(s, d, "documents"), "text",
+        "doc_id")),
+
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
     "q439_fleiss_kappa" -> ((s, d) => {
@@ -2199,6 +2206,40 @@ object QueriesPipeline {
         |SELECT f AS focus_word, CAST(rank AS BIGINT) AS rank,
         |  w AS neighbor, cosine
         |FROM rk WHERE rank <= 3""".stripMargin,
+
+    "q454_lm_perplexity" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    (${h48("doc_id::VARCHAR || '#lm'")}) < 0.7 AS tr,
+        |    list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tr, tk[i] AS w1,
+        |    tk[i] || ' ' || tk[i+1] AS big
+        |  FROM toks, unnest(range(1, CAST(len(tk) AS INT))) AS t(i)),
+        |bc AS (SELECT big, count(*) AS cb FROM bg WHERE tr GROUP BY 1),
+        |uc AS (SELECT w1, count(*) AS cu FROM bg WHERE tr GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS vv
+        |  FROM bg WHERE tr),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    CAST(round(ln((CAST(coalesce(bc.cb, 0) AS DOUBLE) + 1.0)
+        |      / (CAST(coalesce(uc.cu, 0) AS DOUBLE) + v.vv)), 12)
+        |      AS DECIMAL(38,12)) AS lp
+        |  FROM bg g LEFT JOIN bc USING (big)
+        |  LEFT JOIN uc USING (w1) CROSS JOIN v
+        |  WHERE NOT g.tr),
+        |ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lp) AS DOUBLE) / count(*) AS av
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ag.n_bigrams, 0) AS n_bigrams,
+        |  round(ag.av, 9) AS avg_logprob,
+        |  round(exp(-ag.av), 6) AS perplexity
+        |FROM (SELECT DISTINCT doc_id FROM toks WHERE NOT tr) d
+        |LEFT JOIN ag USING (doc_id)""".stripMargin,
 
     "q447_url_parse" ->
       raw"""$urlsSqlCte,
