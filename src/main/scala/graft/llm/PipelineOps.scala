@@ -822,6 +822,73 @@ object PipelineOps {
         round(exp(-col("__avg__")), 6).as("perplexity"))
   }
 
+  /** Interpolated Kneser–Ney held-out perplexity (Kneser & Ney 1995;
+    * the industry-standard n-gram smoothing — [[lmPerplexity]]'s
+    * add-1 sibling): with discount d = 0.75,
+    *   p(w2|w1) = max(c(w1w2)−d, 0)/c(w1)
+    *            + d·N1+(w1·)/c(w1) · p_cont(w2)        (seen w1)
+    *   p(w2|w1) = p_cont(w2)                            (unseen w1)
+    * where the continuation probability is Laplace-guarded so an
+    * unseen continuation stays finite without an ε clamp:
+    *   p_cont(w2) = (N1+(·w2) + 1) / (B + V)
+    * (N1+(w1·)/N1+(·w2) = distinct right/left neighbors in train,
+    * B = distinct train bigram types, V = distinct train contexts).
+    * Same deterministic split, exact integer counts, and round-12
+    * DECIMAL order-free term sums as [[lmPerplexity]]. Scale: three
+    * vocab-bounded aggregates + gram-keyed left joins. */
+  def lmPerplexityKn(docs: DataFrame, textCol: String, idCol: String,
+      trainFrac: Double = 0.7, salt: String = "#lm"): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1,
+      s"lmPerplexityKn needs 0 < trainFrac < 1, got $trainFrac")
+    val d = 0.75
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val isTrain = hash48Unit(concat(col(idCol).cast("string"),
+      lit(salt))) < trainFrac
+    val bg = docs
+      .select(col(idCol).as("__id__"), isTrain.as("__train__"),
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"),
+              concat_ws(" ", element_at(toks, i),
+                element_at(toks, i + 1)).as("big"))))
+          .otherwise(array())).as("g"))
+      .select(col("__id__"), col("__train__"),
+        col("g.w1"), col("g.w2"), col("g.big"))
+    val train = bg.filter(col("__train__"))
+    val bigC = train.groupBy("big").agg(count(lit(1)).as("cb"))
+    val ctxC = train.groupBy("w1").agg(count(lit(1)).as("cu"),
+      countDistinct(col("big")).as("n1f"))
+    val contC = train.groupBy("w2")
+      .agg(countDistinct(col("w1")).as("n1b"))
+    val tots = train.agg(
+      countDistinct(col("big")).cast("double").as("__b__"),
+      countDistinct(col("w1")).cast("double").as("__v__"))
+    val pc = (coalesce(col("n1b"), lit(0L)).cast("double") + 1.0) /
+      (col("__b__") + col("__v__"))
+    val cuD = col("cu").cast("double")
+    val seen = greatest(coalesce(col("cb"), lit(0L)).cast("double") -
+      d, lit(0.0)) / cuD +
+      ((lit(d) * col("n1f").cast("double")) / cuD) * pc
+    val lp = log(when(col("cu").isNotNull, seen).otherwise(pc))
+    val scored = bg.filter(!col("__train__"))
+      .join(bigC, Seq("big"), "left")
+      .join(ctxC, Seq("w1"), "left")
+      .join(contC, Seq("w2"), "left")
+      .crossJoin(broadcast(tots))
+      .groupBy(col("__id__"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(round(lp, 12).cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("__avg__"))
+    docs.select(col(idCol).as("__id__"), isTrain.as("__train__"))
+      .filter(!col("__train__")).select("__id__").distinct()
+      .join(scored, Seq("__id__"), "left")
+      .select(col("__id__").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__avg__"), 9).as("avg_logprob"),
+        round(exp(-col("__avg__")), 6).as("perplexity"))
+  }
+
   /** Pretraining sequence packing (concat-and-chunk): documents are
     * hash-bucketed (the distributed analog of a global shuffle),
     * deterministically ordered within each bucket by the portable

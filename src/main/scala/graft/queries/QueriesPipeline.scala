@@ -640,6 +640,12 @@ object QueriesPipeline {
       PipelineOps.lmPerplexity(t(s, d, "documents"), "text",
         "doc_id")),
 
+    // interpolated Kneser-Ney (d=0.75) on the same held-out split —
+    // the industry-standard smoothing next to q454's add-1
+    "q455_lm_kneser_ney" -> ((s, d) =>
+      PipelineOps.lmPerplexityKn(t(s, d, "documents"), "text",
+        "doc_id")),
+
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
     "q439_fleiss_kappa" -> ((s, d) => {
@@ -2230,6 +2236,53 @@ object QueriesPipeline {
         |      AS DECIMAL(38,12)) AS lp
         |  FROM bg g LEFT JOIN bc USING (big)
         |  LEFT JOIN uc USING (w1) CROSS JOIN v
+        |  WHERE NOT g.tr),
+        |ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lp) AS DOUBLE) / count(*) AS av
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ag.n_bigrams, 0) AS n_bigrams,
+        |  round(ag.av, 9) AS avg_logprob,
+        |  round(exp(-ag.av), 6) AS perplexity
+        |FROM (SELECT DISTINCT doc_id FROM toks WHERE NOT tr) d
+        |LEFT JOIN ag USING (doc_id)""".stripMargin,
+
+    "q455_lm_kneser_ney" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    (${h48("doc_id::VARCHAR || '#lm'")}) < 0.7 AS tr,
+        |    list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tr, tk[i] AS w1, tk[i+1] AS w2,
+        |    tk[i] || ' ' || tk[i+1] AS big
+        |  FROM toks, unnest(range(1, CAST(len(tk) AS INT))) AS t(i)),
+        |bc AS (SELECT big, count(*) AS cb FROM bg WHERE tr GROUP BY 1),
+        |cx AS (SELECT w1, count(*) AS cu,
+        |    count(DISTINCT big) AS n1f
+        |  FROM bg WHERE tr GROUP BY 1),
+        |ct AS (SELECT w2, count(DISTINCT w1) AS n1b
+        |  FROM bg WHERE tr GROUP BY 1),
+        |tt AS (SELECT CAST(count(DISTINCT big) AS DOUBLE) AS bb,
+        |    CAST(count(DISTINCT w1) AS DOUBLE) AS vv
+        |  FROM bg WHERE tr),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    CAST(round(ln(CASE WHEN cx.cu IS NOT NULL THEN
+        |      greatest(CAST(coalesce(bc.cb, 0) AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(cx.cu AS DOUBLE)
+        |      + ((0.75 * CAST(cx.n1f AS DOUBLE))
+        |          / CAST(cx.cu AS DOUBLE))
+        |        * ((CAST(coalesce(ct.n1b, 0) AS DOUBLE) + 1.0)
+        |            / (tt.bb + tt.vv))
+        |      ELSE (CAST(coalesce(ct.n1b, 0) AS DOUBLE) + 1.0)
+        |            / (tt.bb + tt.vv) END), 12)
+        |      AS DECIMAL(38,12)) AS lp
+        |  FROM bg g LEFT JOIN bc USING (big)
+        |  LEFT JOIN cx USING (w1) LEFT JOIN ct USING (w2)
+        |  CROSS JOIN tt
         |  WHERE NOT g.tr),
         |ag AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,

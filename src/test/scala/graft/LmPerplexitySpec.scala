@@ -59,4 +59,31 @@ class LmPerplexitySpec extends SparkSpecBase {
       .filter(col("doc_id") >= 60 && col("n_bigrams") > 0)
     out.count() should be > 0L
   }
+
+  test("Kneser-Ney: finite everywhere, fluent held-out docs still " +
+      "beat token soup, and KN beats add-1 on the repeated pattern") {
+    val kn = PipelineOps.lmPerplexityKn(corpus, "text", "doc_id")
+      .filter(col("n_bigrams") > 0).collect()
+    kn.foreach { r =>
+      r.getAs[Double]("avg_logprob") should be <= 0.0
+      r.getAs[Double]("perplexity").isInfinity shouldBe false
+    }
+    val byId = kn.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("perplexity")).toMap
+    val fluent = byId.filter(_._1 < 60)
+    val soup = byId.filter(_._1 >= 60)
+    fluent should not be empty
+    soup should not be empty
+    fluent.values.max should be < soup.values.min
+    // on heavily repeated in-domain text, KN's discounted estimate
+    // wastes less mass on the huge add-1 vocabulary prior
+    val add1 = PipelineOps.lmPerplexity(corpus, "text", "doc_id")
+      .filter(col("n_bigrams") > 0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("perplexity")).toMap
+    val knMeanFluent = fluent.values.sum / fluent.size
+    val a1Fluent = add1.filter(_._1 < 60)
+    val a1MeanFluent = a1Fluent.values.sum / a1Fluent.size
+    knMeanFluent should be < a1MeanFluent
+  }
 }
