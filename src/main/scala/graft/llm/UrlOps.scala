@@ -89,6 +89,50 @@ object UrlOps {
         expr("n_docs * 1000000 div __t__").as("docs_ppm"))
   }
 
+  /** HTML entity decode order — `&amp;` LAST so `&amp;lt;` decodes
+    * to the literal `&lt;`, not `<` (the standard single-pass rule).
+    * Shared with the oracle SQL, which replays the same sequence. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Strip HTML to text: remove tags (each replaced by a space so
+    * adjacent words don't fuse), decode the common entities in the
+    * fixed [[HtmlEntities]] order, collapse whitespace. Pure
+    * regexp_replace chain — map-side, codegen'd, and replayable by
+    * any engine with the same patterns. A crawl-cleaning primitive,
+    * not a full parser: script/style CONTENT survives tag removal
+    * (the boilerplate scorer downstream handles that). */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) {
+      case (acc, (from, to)) => regexp_replace(acc, from, to)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** All href link targets in an HTML column (double-quoted form),
+    * in document order — the edge generator for crawl web graphs. */
+  def extractLinks(c: Column): Column =
+    regexp_extract_all(c, lit("href=\"([^\"]*)\""), lit(1))
+
+  /** Domain-level web graph from an HTML corpus: one edge
+    * (src_domain → dst_domain, count) per link, where src is the
+    * registered domain of the page's own URL and dst of each href
+    * target. One explode + one groupBy — the PageRank/HITS input
+    * builder at crawl scale. */
+  def linkGraph(df: DataFrame, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val srcHost = regexp_extract(col(urlCol), HostRe, 1)
+    val dstHost = regexp_extract(col("__link__"), HostRe, 1)
+    df.select(registeredDomain(srcHost).as("src_domain"),
+        explode(extractLinks(col(htmlCol))).as("__link__"))
+      .select(col("src_domain"),
+        registeredDomain(dstHost).as("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
+  }
+
   /** 48-bit md5 key hash (the repo's portable lottery primitive,
     * integer form — see PipelineOps.hash48Unit). */
   def h48Long(c: Column): Column =

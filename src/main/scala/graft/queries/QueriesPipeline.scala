@@ -101,6 +101,35 @@ object QueriesPipeline {
        |  FROM documents)""".stripMargin
   }
 
+  /** DuckDB rendition of syntheticHtml (extends urlsSqlCte). */
+  private def htmlSqlCte: String = {
+    val domList = graft.queries.QueriesPipeline.urlDomains
+      .map(s => s"'$s'").mkString(", ")
+    urlsSqlCte + ",\n" + raw"""html AS (
+       |  SELECT d.doc_id, u.url,
+       |    '<html><head><title>Doc ' || d.doc_id ||
+       |    '</title></head><body><h1>' || d.lang ||
+       |    ' &amp; more</h1><p>' || d.text ||
+       |    ' &lt;tail&gt;</p><a href="' || u.url || '">self</a>' ||
+       |    CASE WHEN (${h48("d.doc_id::VARCHAR || '#l2'")}) < 0.5
+       |      THEN '<a href="https://w.' ||
+       |        ([$domList])[CAST(floor((${h48("d.doc_id::VARCHAR || '#l2'")}) * 8) AS INT) + 1] ||
+       |        '/x">out</a>'
+       |      ELSE '' END ||
+       |    '</body></html>' AS html
+       |  FROM documents d JOIN urls u USING (doc_id))""".stripMargin
+  }
+
+  /** DuckDB rendition of UrlOps.registeredDomain over a split-host
+    * list expression `l`. */
+  private def regDomSql(l: String): String =
+    s"""CASE WHEN len($l) >= 3 AND
+       |      array_to_string($l[greatest(len($l)-1,1):], '.')
+       |        IN ($suffixesSql)
+       |    THEN array_to_string($l[greatest(len($l)-2,1):], '.')
+       |    ELSE array_to_string($l[greatest(len($l)-1,1):], '.')
+       |  END""".stripMargin
+
   /** Spark-side derived multi-line corpus: the synthetic documents
     * are single-line, so chunk each doc's words into 4-word lines —
     * the oracle builds the identical corpus with list slicing. */
@@ -139,6 +168,31 @@ object QueriesPipeline {
         when(uQ < 0.5, concat(lit("?ref="),
           pmod(col("n_chars"), lit(97L)).cast("string")))
           .otherwise(lit(""))).as("url"))
+  }
+
+  /** Deterministic synthetic HTML over the documents table: title +
+    * h1 with literal entities, the doc text in a <p>, a self link to
+    * the q447 synthetic URL, and an outbound link to a second
+    * md5-lottery domain for ~half the docs. The oracle rebuilds the
+    * identical markup. */
+  private def syntheticHtml(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val domArr = array(urlDomains.map(lit): _*)
+    val u2 = PipelineOps.hash48Unit(
+      concat(col("doc_id").cast("string"), lit("#l2")))
+    val dom2 = element_at(domArr, (floor(u2 * 8) + 1).cast("int"))
+    t(s, d, "documents").select(col("doc_id"), col("text"),
+        col("lang"))
+      .join(syntheticUrls(s, d).select("doc_id", "url"), "doc_id")
+      .select(col("doc_id"), col("url"), concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><h1>"), col("lang"),
+        lit(" &amp; more</h1><p>"), col("text"),
+        lit(" &lt;tail&gt;</p><a href=\""), col("url"),
+        lit("\">self</a>"),
+        when(u2 < 0.5, concat(lit("<a href=\"https://w."), dom2,
+          lit("/x\">out</a>"))).otherwise(lit("")),
+        lit("</body></html>")).as("html"))
   }
 
   val queries: Map[String, QueryFn] = Map(
@@ -645,6 +699,24 @@ object QueriesPipeline {
     "q455_lm_kneser_ney" -> ((s, d) =>
       PipelineOps.lmPerplexityKn(t(s, d, "documents"), "text",
         "doc_id")),
+
+    // HTML -> text cleaning over a deterministic synthetic crawl:
+    // tag strip, fixed-order entity decode, whitespace collapse,
+    // plus href extraction (count + joined list)
+    "q456_html_strip" -> ((s, d) => {
+      val links = graft.llm.UrlOps.extractLinks(col("html"))
+      syntheticHtml(s, d).select(col("doc_id"),
+        graft.llm.UrlOps.stripHtml(col("html")).as("text_clean"),
+        size(links).cast("long").as("n_links"),
+        concat_ws("|", links).as("links_joined"))
+    }),
+
+    // domain-level web graph from the same synthetic crawl — one
+    // (src_domain, dst_domain, count) edge list, the PageRank/HITS
+    // input builder
+    "q457_link_graph" -> ((s, d) =>
+      graft.llm.UrlOps.linkGraph(syntheticHtml(s, d), "url",
+        "html")),
 
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
@@ -2293,6 +2365,48 @@ object QueriesPipeline {
         |  round(exp(-ag.av), 6) AS perplexity
         |FROM (SELECT DISTINCT doc_id FROM toks WHERE NOT tr) d
         |LEFT JOIN ag USING (doc_id)""".stripMargin,
+
+    "q456_html_strip" ->
+      raw"""$htmlSqlCte,
+        |links AS (SELECT doc_id,
+        |    regexp_extract_all(html, 'href="([^"]*)"', 1) AS ls
+        |  FROM html),
+        |clean AS (SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS text_clean
+        |  FROM html)
+        |SELECT c.doc_id, c.text_clean,
+        |  CAST(len(l.ls) AS BIGINT) AS n_links,
+        |  array_to_string(l.ls, '|') AS links_joined
+        |FROM clean c JOIN links l USING (doc_id)""".stripMargin,
+
+    "q457_link_graph" ->
+      raw"""$htmlSqlCte,
+        |lk AS (SELECT doc_id, url,
+        |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+        |      AS link
+        |  FROM html),
+        |hosts AS (SELECT
+        |    string_split(regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS sl,
+        |    string_split(regexp_extract(link,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS dl
+        |  FROM lk),
+        |doms AS (SELECT
+        |  ${regDomSql("sl")} AS src_domain,
+        |  ${regDomSql("dl")} AS dst_domain
+        |  FROM hosts)
+        |SELECT src_domain, dst_domain,
+        |  CAST(count(*) AS BIGINT) AS n_links
+        |FROM doms GROUP BY 1, 2""".stripMargin,
 
     "q447_url_parse" ->
       raw"""$urlsSqlCte,

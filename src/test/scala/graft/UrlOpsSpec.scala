@@ -92,6 +92,43 @@ class UrlOpsSpec extends SparkSpecBase {
     hrw should be < mod
   }
 
+  test("stripHtml removes tags, decodes entities in the standard " +
+      "order, and collapses whitespace") {
+    val html = Seq(
+      "<html><body><h1>Hi</h1><p>a &amp; b &lt;c&gt;</p></body></html>",
+      "no tags &quot;quoted&quot; &#39;x&#39;",
+      "double-encoded: &amp;lt; stays literal",
+      "  <br/>  spaced   <b>words</b>  "
+    ).toDF("h").select(UrlOps.stripHtml(col("h")).as("t"))
+      .as[String].collect()
+    html(0) shouldBe "Hi a & b <c>"
+    html(1) shouldBe "no tags \"quoted\" 'x'"
+    // &amp; decoded LAST: &amp;lt; -> &lt; literal, not <
+    html(2) shouldBe "double-encoded: &lt; stays literal"
+    html(3) shouldBe "spaced words"
+  }
+
+  test("extractLinks returns hrefs in document order; linkGraph " +
+      "aggregates domain-level edges") {
+    val df = Seq(
+      (1L, "https://a.example.com/p",
+        """<a href="https://x.data.co.uk/1">1</a><a href="https://y.example.com/2">2</a>"""),
+      (2L, "https://b.data.co.uk/q",
+        """<a href="https://z.example.com/3">3</a>""")
+    ).toDF("id", "url", "html")
+    val links = df.select(UrlOps.extractLinks(col("html")).as("l"))
+      .as[Seq[String]].collect()
+    links(0) shouldBe Seq("https://x.data.co.uk/1",
+      "https://y.example.com/2")
+    val edges = UrlOps.linkGraph(df, "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSet
+    edges shouldBe Set(
+      ("example.com", "data.co.uk", 1L),
+      ("example.com", "example.com", 1L),
+      ("data.co.uk", "example.com", 1L))
+  }
+
   test("rendezvous consistency: every key that moves 10 -> 11 moves " +
       "TO the new shard (old winners never reshuffle among themselves)") {
     val keys = (0L until 2000L).toDF("k")
