@@ -133,6 +133,70 @@ object UrlOps {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** Tracking query parameters dropped by [[canonicalizeUrl]] —
+    * the common cross-site analytics keys. Shared with the oracle. */
+  val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)="
+
+  /** URL canonicalization — the dedup-by-URL primitive a crawl runs
+    * BEFORE content dedup (two fetches of the same page differ only
+    * in tracking params / case / default ports): lowercase scheme
+    * and host, drop default :80/:443 ports, drop the fragment, drop
+    * tracking params ([[TrackingParamRe]]), sort the surviving query
+    * params, omit the '?' when nothing survives. Pure expression
+    * chain (split / filter / array_sort / concat) — map-side and
+    * engine-replayable. Paths keep their case (they are
+    * case-sensitive); empty path stays empty (host-only URLs compare
+    * equal with or without the trailing slash convention upstream). */
+  def canonicalizeUrl(u: Column): Column = {
+    // scheme/host are case-insensitive: extract them from the
+    // lowercased URL (the lowercase-only parse regexes would miss
+    // 'HTTPS://'); path and query keep their original case
+    val lu = lower(u)
+    val scheme = regexp_extract(lu, SchemeRe, 1)
+    val hostPort = regexp_extract(lu, HostRe, 1)
+    val host = regexp_replace(hostPort, ":(80|443)$", "")
+    val path = regexp_extract(u,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(u, QueryRe, 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamRe)))
+    val qs = when(size(kept) > 0,
+      concat(lit("?"), concat_ws("&", kept))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, qs)
+  }
+
+  /** URL-level dedup groups: canonicalize, group, and report every
+    * canonical URL with more than one raw variant plus the keeper
+    * (min raw URL — a deterministic survivor rule). One groupBy. */
+  def urlDedupGroups(df: DataFrame, urlCol: String): DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("url_canonical"),
+        col(urlCol).as("__raw__"))
+      .groupBy("url_canonical")
+      .agg(count(lit(1)).as("n_variants"),
+        min(col("__raw__")).as("keeper"))
+
+  /** Anchor texts with their link targets: one row per
+    * `<a href="...">text</a>` in document order. */
+  def extractAnchors(c: Column): Column =
+    regexp_extract_all(c,
+      lit("<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>"), lit(0))
+
+  /** Per-target-domain anchor-text table — anchor text is the
+    * classic off-page relevance signal (what OTHER pages call this
+    * site): counts each (dst_domain, anchor text) pair. One explode
+    * + one groupBy. */
+  def anchorText(df: DataFrame, htmlCol: String): DataFrame = {
+    val a = col("__a__")
+    val href = regexp_extract(a, "<a href=\"([^\"]*)\"", 1)
+    val txt = regexp_extract(a, ">([^<]*)</a>", 1)
+    val dstHost = regexp_extract(href, HostRe, 1)
+    df.select(explode(extractAnchors(col(htmlCol))).as("__a__"))
+      .select(registeredDomain(dstHost).as("dst_domain"),
+        txt.as("anchor"))
+      .groupBy("dst_domain", "anchor")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** 48-bit md5 key hash (the repo's portable lottery primitive,
     * integer form — see PipelineOps.hash48Unit). */
   def h48Long(c: Column): Column =

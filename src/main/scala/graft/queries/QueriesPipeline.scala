@@ -718,6 +718,45 @@ object QueriesPipeline {
       graft.llm.UrlOps.linkGraph(syntheticHtml(s, d), "url",
         "html")),
 
+    // URL canonicalization + dedup groups: each doc contributes its
+    // clean URL and a messy variant (case/port/tracking lotteries);
+    // canonicalization must collapse every pair
+    "q458_url_canonical" -> ((s, d) => {
+      val clean = syntheticUrls(s, d).select("doc_id", "url")
+      val m1 = PipelineOps.hash48Unit(
+        concat(col("doc_id").cast("string"), lit("#m1"))) < 0.5
+      val m2 = PipelineOps.hash48Unit(
+        concat(col("doc_id").cast("string"), lit("#m2"))) < 0.5
+      val m3 = PipelineOps.hash48Unit(
+        concat(col("doc_id").cast("string"), lit("#m3"))) < 0.5
+      val hostEnd = regexp_extract(col("url"),
+        graft.llm.UrlOps.HostRe, 1)
+      val path = regexp_extract(col("url"),
+        graft.llm.UrlOps.PathRe, 1)
+      val qref = regexp_extract(col("url"),
+        graft.llm.UrlOps.QueryRe, 1)
+      val params = when(m3, when(qref === "",
+          lit("utm_source=news"))
+          .otherwise(concat(qref, lit("&utm_source=news"))))
+        .otherwise(qref)
+      val messy = concat(
+        when(m1, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(m1, upper(hostEnd)).otherwise(hostEnd),
+        when(m2, lit(":443")).otherwise(lit("")),
+        path,
+        when(params === "", lit(""))
+          .otherwise(concat(lit("?"), params)))
+      val both = clean.select(col("url"))
+        .union(clean.select(messy.as("url")))
+      graft.llm.UrlOps.urlDedupGroups(both, "url")
+    }),
+
+    // per-target-domain anchor-text counts over the synthetic crawl
+    // — the off-page relevance signal table
+    "q459_anchor_text" -> ((s, d) =>
+      graft.llm.UrlOps.anchorText(syntheticHtml(s, d), "html")),
+
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
     "q439_fleiss_kappa" -> ((s, d) => {
@@ -2407,6 +2446,76 @@ object QueriesPipeline {
         |SELECT src_domain, dst_domain,
         |  CAST(count(*) AS BIGINT) AS n_links
         |FROM doms GROUP BY 1, 2""".stripMargin,
+
+    "q458_url_canonical" ->
+      raw"""$urlsSqlCte,
+        |messy AS (
+        |  SELECT doc_id, url,
+        |    (${h48("doc_id::VARCHAR || '#m1'")}) < 0.5 AS m1,
+        |    (${h48("doc_id::VARCHAR || '#m2'")}) < 0.5 AS m2,
+        |    (${h48("doc_id::VARCHAR || '#m3'")}) < 0.5 AS m3,
+        |    regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS h,
+        |    regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS qref
+        |  FROM urls),
+        |mv AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN m3 THEN
+        |      CASE WHEN qref = '' THEN 'utm_source=news'
+        |           ELSE qref || '&utm_source=news' END
+        |    ELSE qref END AS params,
+        |    m1, m2, h, pth
+        |  FROM messy),
+        |allu AS (
+        |  SELECT url FROM urls
+        |  UNION ALL
+        |  SELECT (CASE WHEN m1 THEN 'HTTPS' ELSE 'https' END ||
+        |    '://' || (CASE WHEN m1 THEN upper(h) ELSE h END) ||
+        |    (CASE WHEN m2 THEN ':443' ELSE '' END) || pth ||
+        |    (CASE WHEN params = '' THEN ''
+        |          ELSE '?' || params END)) AS url
+        |  FROM mv),
+        |kq AS (
+        |  SELECT url, list_sort(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> length(x) > 0 AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)=')))
+        |    AS kept
+        |  FROM allu),
+        |canon AS (
+        |  SELECT url AS raw,
+        |    regexp_extract(lower(url),
+        |      '^([a-z][a-z0-9+.-]*)://', 1) || '://' ||
+        |    regexp_replace(regexp_extract(lower(url),
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+        |      ':(80|443)$$', '') ||
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) ||
+        |    CASE WHEN len(kept) > 0
+        |      THEN '?' || array_to_string(kept, '&') ELSE '' END
+        |    AS cu
+        |  FROM kq)
+        |SELECT cu AS url_canonical,
+        |  CAST(count(*) AS BIGINT) AS n_variants,
+        |  min(raw) AS keeper
+        |FROM canon GROUP BY 1""".stripMargin,
+
+    "q459_anchor_text" ->
+      raw"""$htmlSqlCte,
+        |an AS (SELECT unnest(regexp_extract_all(html,
+        |    '<a href="([^"]*)"[^>]*>([^<]*)</a>', 0)) AS a
+        |  FROM html),
+        |parts AS (SELECT
+        |    string_split(regexp_extract(
+        |      regexp_extract(a, '<a href="([^"]*)"', 1),
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS dl,
+        |    regexp_extract(a, '>([^<]*)</a>', 1) AS anchor
+        |  FROM an)
+        |SELECT ${regDomSql("dl")} AS dst_domain, anchor,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM parts GROUP BY 1, 2""".stripMargin,
 
     "q447_url_parse" ->
       raw"""$urlsSqlCte,

@@ -129,6 +129,53 @@ class UrlOpsSpec extends SparkSpecBase {
       ("data.co.uk", "example.com", 1L))
   }
 
+  test("canonicalizeUrl lowercases scheme/host, strips default " +
+      "ports and tracking params, sorts the rest, keeps path case") {
+    val c = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/X?b=2&utm_source=x&a=1",
+      "https://www.example.com/Path/X?a=1&b=2",
+      "http://site.org:80/",
+      "http://site.org/",
+      "https://t.co/x?utm_campaign=z&fbclid=abc&ref=rss"
+    ).toDF("u").select(UrlOps.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect()
+    c(0) shouldBe "https://www.example.com/Path/X?a=1&b=2"
+    c(0) shouldBe c(1)
+    c(2) shouldBe "http://site.org/"
+    c(2) shouldBe c(3)
+    // all params were tracking -> no '?'
+    c(4) shouldBe "https://t.co/x"
+  }
+
+  test("urlDedupGroups collapses raw variants onto one canonical " +
+      "with a deterministic keeper") {
+    val raw = Seq(
+      "https://a.com/p?x=1&utm_source=s",
+      "HTTPS://A.COM:443/p?x=1",
+      "https://a.com/p?x=1",
+      "https://b.com/q").toDF("url")
+    val g = UrlOps.urlDedupGroups(raw, "url").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    g("https://a.com/p?x=1")._1 shouldBe 3L
+    // keeper is the lexicographic min raw variant
+    g("https://a.com/p?x=1")._2 shouldBe "HTTPS://A.COM:443/p?x=1"
+    g("https://b.com/q")._1 shouldBe 1L
+  }
+
+  test("anchorText counts (target domain, anchor) pairs") {
+    val df = Seq(
+      """<a href="https://x.example.com/1">Example Site</a>
+        |<a href="https://y.data.co.uk/2" rel="nofollow">Data</a>
+        |<a href="https://z.example.com/3">Example Site</a>"""
+        .stripMargin).toDF("html")
+    val a = UrlOps.anchorText(df, "html").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    a(("example.com", "Example Site")) shouldBe 2L
+    a(("data.co.uk", "Data")) shouldBe 1L
+  }
+
   test("rendezvous consistency: every key that moves 10 -> 11 moves " +
       "TO the new shard (old winners never reshuffle among themselves)") {
     val keys = (0L until 2000L).toDF("k")
