@@ -757,6 +757,20 @@ object QueriesPipeline {
     "q459_anchor_text" -> ((s, d) =>
       graft.llm.UrlOps.anchorText(syntheticHtml(s, d), "html")),
 
+    // end-to-end crawl ranking composition: HTML -> hrefs -> domain
+    // graph -> exact-integer PageRank (2 rounds, oracle-unrolled) —
+    // the full "rank sites from raw pages" pipeline in one gate
+    "q460_domain_pagerank" -> ((s, d) => {
+      val e = graft.llm.UrlOps.linkGraph(syntheticHtml(s, d),
+          "url", "html")
+        .filter(col("src_domain") =!= col("dst_domain"))
+        .select(col("src_domain").as("src"),
+          col("dst_domain").as("dst"))
+      graft.graphops.GraphOps.pageRankExact(e, rounds = 2)
+        .select(col("id").as("domain"), col("pr"),
+          round(col("pr_norm"), 9).as("pr_norm"))
+    }),
+
     // Fleiss' kappa over synthesized 5-rater 3-category annotations
     // with a 60% agreement bias toward a per-unit base category
     "q439_fleiss_kappa" -> ((s, d) => {
@@ -2501,6 +2515,45 @@ object QueriesPipeline {
         |  CAST(count(*) AS BIGINT) AS n_variants,
         |  min(raw) AS keeper
         |FROM canon GROUP BY 1""".stripMargin,
+
+    "q460_domain_pagerank" -> {
+      def rnd(i: Int): String =
+        s"""r$i AS MATERIALIZED (
+           |  SELECT v.id,
+           |    CAST((85 * coalesce(s.c, 0)) // 100 AS BIGINT) +
+           |    150000000000 AS pr
+           |  FROM v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r.pr // d.deg) AS c
+           |    FROM e JOIN r${i - 1} r ON r.id = e.src
+           |    JOIN deg d ON d.id = e.src GROUP BY 1) s
+           |    ON s.id = v.id)""".stripMargin
+      raw"""$htmlSqlCte,
+        |lk AS (SELECT url,
+        |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+        |      AS link
+        |  FROM html),
+        |hosts AS (SELECT
+        |    string_split(regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS sl,
+        |    string_split(regexp_extract(link,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS dl
+        |  FROM lk),
+        |gg AS (SELECT DISTINCT
+        |  ${regDomSql("sl")} AS src,
+        |  ${regDomSql("dl")} AS dst
+        |  FROM hosts),
+        |e AS (SELECT src, dst FROM gg WHERE src <> dst),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr
+        |  FROM v),
+        |""".stripMargin + rnd(1) + ",\n" + rnd(2) + ",\n" +
+        raw"""tot AS (SELECT sum(pr) AS tot FROM r2)
+        |SELECT r2.id AS domain, r2.pr,
+        |  round(CAST(r2.pr AS DOUBLE) / tot.tot, 9) AS pr_norm
+        |FROM r2 CROSS JOIN tot""".stripMargin
+    },
 
     "q459_anchor_text" ->
       raw"""$htmlSqlCte,
