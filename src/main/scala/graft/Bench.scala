@@ -153,7 +153,12 @@ object Bench {
       // exact-Gini stump forest, damped-Newton AFT, one-scan AutoML
       // selection, BLEU smoothing 4
       "q441_glm_irls_twin", "q442_forest_twin", "q444_aft_twin",
-      "q445_automl_twin", "q443_bleu_smooth4")
+      "q445_automl_twin", "q443_bleu_smooth4",
+      // round-8 late headliners: TPC-H decorrelation shapes,
+      // full-table linear-SHAP, Kneser-Ney held-out perplexity,
+      // and the HTML -> domain-PageRank crawl composition
+      "q451_q21_sole_returner", "q453_linear_shap",
+      "q455_lm_kneser_ney", "q460_domain_pagerank")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

@@ -487,6 +487,82 @@ object Dedup {
       (lit(1.0) - miss >= 0.5).as("above_half"))
   }
 
+  /** Content-defined chunking (the storage-dedup primitive — FastCDC
+    * /LBFS family): boundaries fall where the k-gram rolling hash ≡ 0
+    * (mod 2^b), so an insertion early in a document shifts offsets
+    * but the boundary positions RE-SYNCHRONIZE at the next content
+    * match — unlike fixed-size chunking, which invalidates every
+    * later chunk (spec'd). Hash is the repo's base-31 masked
+    * polynomial (q414 convention: 40-bit mask EVERY step,
+    * ANSI-overflow-safe, plain BIGINT in the oracle). A boundary at
+    * gram start i cuts AFTER character i+k−1; the document end is
+    * always a cut. Docs shorter than k yield one whole-doc chunk.
+    * Emits (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5) —
+    * pure per-doc map, no shuffle. Average chunk ≈ 2^b chars. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, modBits: Int = 6): DataFrame = {
+    require(k >= 2 && k <= 64, s"k in [2,64], got $k")
+    require(modBits >= 1 && modBits <= 20,
+      s"modBits in [1,20], got $modBits")
+    val mask = (1L << 40) - 1
+    val m = 1L << modBits
+    // sequence(1, n) is DESCENDING for n < 1 — guard short docs
+    val hs = expr(
+      s"""case when length(__t__) >= $k then
+         |  transform(sequence(1, length(__t__) - $k + 1),
+         |    i -> aggregate(sequence(i, i + $k - 1),
+         |      549755813881L,
+         |      (acc, j) -> (31 * acc + ascii(substring(__t__, j, 1)))
+         |        & ${mask}L))
+         |else cast(array() as array<bigint>) end""".stripMargin)
+    val cutEnds = expr(
+      s"""case when size(__hs__) = 0
+         |  then cast(array() as array<bigint>)
+         |  else transform(filter(sequence(1, size(__hs__)),
+         |      i -> element_at(__hs__, i) % ${m}L = 0),
+         |    i -> cast(i + $k - 1 as bigint)) end""".stripMargin)
+    val allCuts = expr(
+      s"""case when coalesce(try_element_at(__ce__, -1), -1L)
+         |       != length(__t__)
+         |  then concat(__ce__, array(cast(length(__t__) as bigint)))
+         |  else __ce__ end""".stripMargin)
+    val chunks = expr(
+      """transform(sequence(1, size(__ac__)), j -> struct(
+        |  cast(j as bigint) as idx,
+        |  case when j = 1 then 1L
+        |       else element_at(__ac__, j - 1) + 1L end as st,
+        |  element_at(__ac__, j) as en))""".stripMargin)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t__"))
+      .filter(col("__t__").isNotNull && length(col("__t__")) >= 1)
+      .withColumn("__hs__", hs)
+      .withColumn("__ce__", cutEnds)
+      .withColumn("__ac__", allCuts)
+      .select(col("doc_id"), col("__t__"),
+        explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+        col("c.st").as("chunk_start"),
+        (col("c.en") - col("c.st") + 1L).as("chunk_len"),
+        md5(expr("""substring(__t__, cast(c.st as int),
+          cast(c.en - c.st + 1 as int))"""))
+          .as("chunk_md5"))
+  }
+
+  /** Cross-corpus duplicate-chunk report over [[cdcChunks]]: every
+    * chunk content stored more than once, with copy count, distinct
+    * holding docs, and the bytes a content-addressed store saves.
+    * ONE groupBy on the chunk hash — the dedup-ratio estimator for
+    * a 100 TB blob store. */
+  def cdcDedupReport(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, modBits: Int = 6): DataFrame =
+    cdcChunks(df, idCol, textCol, k, modBits)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        first(col("chunk_len")).as("chunk_len"),
+        ((count(lit(1)) - 1L) * first(col("chunk_len")))
+          .as("bytes_saved"))
+      .filter(col("n_copies") > 1)
+
   /** Shared-passage candidate pairs from [[winnowingFingerprints]]:
     * documents sharing ≥ `minShared` selected fingerprints, with
     * fingerprint-set Jaccard. The postings self-join is keyed on the

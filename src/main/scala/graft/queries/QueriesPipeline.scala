@@ -120,6 +120,47 @@ object QueriesPipeline {
        |  FROM documents d JOIN urls u USING (doc_id))""".stripMargin
   }
 
+  /** Shared CTE chain replaying Dedup.cdcChunks (k=8, mod 64): the
+    * base-31 masked rolling hash, boundary cuts, and per-chunk
+    * (idx, start, end) structs. Gates append their own final
+    * SELECT. */
+  private def cdcChunksOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text AS t FROM documents
+      |  WHERE text IS NOT NULL AND length(text) >= 1),
+      |h AS (
+      |  SELECT doc_id, t,
+      |    list_transform(
+      |      range(1, greatest(length(t) - 8 + 1, 0) + 1),
+      |      i -> list_reduce(
+      |        list_prepend(CAST(549755813881 AS BIGINT),
+      |          list_transform(range(i, i + 8),
+      |            j -> CAST(ord(substr(t, CAST(j AS INTEGER),
+      |              1)) AS BIGINT))),
+      |        (acc, b) -> (31 * acc + b) & 1099511627775)) AS hs
+      |  FROM d),
+      |ce AS (
+      |  SELECT doc_id, t,
+      |    list_transform(list_filter(range(1, len(hs) + 1),
+      |        i -> hs[CAST(i AS INTEGER)] % 64 = 0),
+      |      i -> CAST(i + 7 AS BIGINT)) AS ce0
+      |  FROM h),
+      |ac AS (
+      |  SELECT doc_id, t,
+      |    CASE WHEN coalesce(ce0[-1], -1) != length(t)
+      |      THEN list_append(ce0, CAST(length(t) AS BIGINT))
+      |      ELSE ce0 END AS ac0
+      |  FROM ce),
+      |ch AS (
+      |  SELECT doc_id, t,
+      |    unnest(list_transform(range(1, len(ac0) + 1), j ->
+      |      struct_pack(
+      |        idx := CAST(j AS BIGINT),
+      |        st := CASE WHEN j = 1 THEN CAST(1 AS BIGINT)
+      |              ELSE ac0[CAST(j - 1 AS INTEGER)] + 1 END,
+      |        en := ac0[CAST(j AS INTEGER)]))) AS c
+      |  FROM ac)""".stripMargin
+
   /** DuckDB rendition of UrlOps.registeredDomain over a split-host
     * list expression `l`. */
   private def regDomSql(l: String): String =
@@ -756,6 +797,19 @@ object QueriesPipeline {
     // — the off-page relevance signal table
     "q459_anchor_text" -> ((s, d) =>
       graft.llm.UrlOps.anchorText(syntheticHtml(s, d), "html")),
+
+    // content-defined chunking (FastCDC/LBFS family): rolling-hash
+    // boundaries over each doc, chunk table with md5 content ids —
+    // the storage-dedup primitive (insert-resilient, spec'd)
+    "q461_cdc_chunks" -> ((s, d) =>
+      graft.llm.Dedup.cdcChunks(t(s, d, "documents"), "doc_id",
+        "text")),
+
+    // cross-corpus duplicate-chunk report: dedup ratio a
+    // content-addressed store achieves on this corpus
+    "q462_cdc_dedup" -> ((s, d) =>
+      graft.llm.Dedup.cdcDedupReport(t(s, d, "documents"), "doc_id",
+        "text")),
 
     // end-to-end crawl ranking composition: HTML -> hrefs -> domain
     // graph -> exact-integer PageRank (2 rounds, oracle-unrolled) —
@@ -2515,6 +2569,26 @@ object QueriesPipeline {
         |  CAST(count(*) AS BIGINT) AS n_variants,
         |  min(raw) AS keeper
         |FROM canon GROUP BY 1""".stripMargin,
+
+    "q461_cdc_chunks" -> (cdcChunksOracle + """
+        |SELECT doc_id, c.idx AS chunk_idx, c.st AS chunk_start,
+        |  c.en - c.st + 1 AS chunk_len,
+        |  md5(substr(t, CAST(c.st AS INTEGER),
+        |    CAST(c.en - c.st + 1 AS INTEGER))) AS chunk_md5
+        |FROM ch""".stripMargin),
+
+    "q462_cdc_dedup" -> (cdcChunksOracle + """,
+        |tab AS (
+        |  SELECT md5(substr(t, CAST(c.st AS INTEGER),
+        |      CAST(c.en - c.st + 1 AS INTEGER))) AS chunk_md5,
+        |    doc_id, c.en - c.st + 1 AS chunk_len
+        |  FROM ch)
+        |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(min(chunk_len) AS BIGINT) AS chunk_len,
+        |  CAST((count(*) - 1) * min(chunk_len) AS BIGINT)
+        |    AS bytes_saved
+        |FROM tab GROUP BY 1 HAVING count(*) > 1""".stripMargin),
 
     "q460_domain_pagerank" -> {
       def rnd(i: Int): String =
