@@ -526,18 +526,24 @@ object Dedup {
          |       != length(__t__)
          |  then concat(__ce__, array(cast(length(__t__) as bigint)))
          |  else __ce__ end""".stripMargin)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t__"))
+      .filter(col("__t__").isNotNull && length(col("__t__")) >= 1)
+      .withColumn("__hs__", hs)
+      .withColumn("__ce__", cutEnds)
+      .withColumn("__ac__", allCuts)
+      .transform(emitCdcChunks)
+  }
+
+  /** Shared chunk-emit tail of the portable and fast CDC paths:
+    * expects (doc_id, __t__, __ac__=ascending cut ends). */
+  private def emitCdcChunks(df: DataFrame): DataFrame = {
     val chunks = expr(
       """transform(sequence(1, size(__ac__)), j -> struct(
         |  cast(j as bigint) as idx,
         |  case when j = 1 then 1L
         |       else element_at(__ac__, j - 1) + 1L end as st,
         |  element_at(__ac__, j) as en))""".stripMargin)
-    df.select(col(idCol).as("doc_id"), col(textCol).as("__t__"))
-      .filter(col("__t__").isNotNull && length(col("__t__")) >= 1)
-      .withColumn("__hs__", hs)
-      .withColumn("__ce__", cutEnds)
-      .withColumn("__ac__", allCuts)
-      .select(col("doc_id"), col("__t__"),
+    df.select(col("doc_id"), col("__t__"),
         explode(chunks).as("c"))
       .select(col("doc_id"), col("c.idx").as("chunk_idx"),
         col("c.st").as("chunk_start"),
@@ -547,6 +553,25 @@ object Dedup {
           .as("chunk_md5"))
   }
 
+  /** The native-expression fast path of [[cdcChunks]]: identical
+    * output on every input (the kernel runs the same masked
+    * recurrence over code points via the WinnowFingerprints O(n)
+    * rolling invariant — property-spec'd bit-equal), but boundary
+    * detection is one codegen'd expression instead of O(len·k)
+    * interpreted SQL lambdas. Use this form in production; the
+    * lambda form is the engine-portable oracle twin. */
+  def cdcChunksFast(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, modBits: Int = 6): DataFrame = {
+    require(k >= 2 && k <= 64, s"k in [2,64], got $k")
+    require(modBits >= 1 && modBits <= 20,
+      s"modBits in [1,20], got $modBits")
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t__"))
+      .filter(col("__t__").isNotNull && length(col("__t__")) >= 1)
+      .withColumn("__ac__",
+        graft.sqlext.CdcCuts.cdc_cuts(col("__t__"), k, modBits))
+      .transform(emitCdcChunks)
+  }
+
   /** Cross-corpus duplicate-chunk report over [[cdcChunks]]: every
     * chunk content stored more than once, with copy count, distinct
     * holding docs, and the bytes a content-addressed store saves.
@@ -554,7 +579,7 @@ object Dedup {
     * a 100 TB blob store. */
   def cdcDedupReport(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, modBits: Int = 6): DataFrame =
-    cdcChunks(df, idCol, textCol, k, modBits)
+    cdcChunksFast(df, idCol, textCol, k, modBits)
       .groupBy("chunk_md5")
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),

@@ -802,7 +802,7 @@ object QueriesPipeline {
     // boundaries over each doc, chunk table with md5 content ids —
     // the storage-dedup primitive (insert-resilient, spec'd)
     "q461_cdc_chunks" -> ((s, d) =>
-      graft.llm.Dedup.cdcChunks(t(s, d, "documents"), "doc_id",
+      graft.llm.Dedup.cdcChunksFast(t(s, d, "documents"), "doc_id",
         "text")),
 
     // cross-corpus duplicate-chunk report: dedup ratio a

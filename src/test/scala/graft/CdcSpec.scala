@@ -67,6 +67,24 @@ class CdcSpec extends SparkSpecBase {
     fShared should be < shared
   }
 
+  test("cdcChunksFast (codegen kernel) is bit-equal to the portable " +
+      "lambda chain on varied strings incl. unicode and short docs") {
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcdefgh .,!\nxyz" + "é漢"
+    val docs = (0 until 120).map { i =>
+      val len = rng.nextInt(300)
+      (i.toLong, (0 until len)
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.filter(_._2.nonEmpty).toDF("id", "t")
+    val slow = Dedup.cdcChunks(docs, "id", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val fast = Dedup.cdcChunksFast(docs, "id", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    fast shouldBe slow
+  }
+
   test("cdcDedupReport finds planted duplicate content and prices " +
       "the savings") {
     val dup = "shared passage that repeats verbatim across documents " * 4
