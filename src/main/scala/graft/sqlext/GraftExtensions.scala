@@ -60,5 +60,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_lcs(a, b) - longest common subsequence length over " +
           "two token arrays (the ROUGE-L kernel)."),
       (exprs: Seq[Expression]) => WordLcs(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_levenshtein"),
+      new ExpressionInfo(classOf[WordLevenshtein].getName,
+        "word_levenshtein",
+        "word_levenshtein(a, b) - token-level Levenshtein edit " +
+          "distance over two string arrays."),
+      (exprs: Seq[Expression]) =>
+        WordLevenshtein(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts",
+        "cdc_cuts(str, k, modBits) - content-defined chunk cut end " +
+          "positions (1-based, ascending; doc end always included): " +
+          "k-gram base-31 masked rolling hash == 0 mod 2^modBits."),
+      (exprs: Seq[Expression]) => CdcCuts(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])))
   }
 }

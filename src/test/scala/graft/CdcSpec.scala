@@ -85,6 +85,23 @@ class CdcSpec extends SparkSpecBase {
     fast shouldBe slow
   }
 
+  test("cdc_cuts is callable from SQL text via GraftExtensions " +
+      "(the thrift-server route), cuts ascend and end at doc length") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.sqlext.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftSqlBridge
+      .applyInjectedFunctions(ext, spark)
+    val text = "hello world, a longer test string for chunking here"
+    val cuts = spark.sql(s"select cdc_cuts('$text', 8, 2) as c")
+      .head().getSeq[Long](0)
+    cuts.last shouldBe text.length.toLong
+    cuts shouldBe cuts.sorted
+    cuts.distinct.length shouldBe cuts.length
+    // and word_levenshtein reached SQL too
+    spark.sql("select word_levenshtein(array('a','b'), array('a'))")
+      .head().getInt(0) shouldBe 1
+  }
+
   test("cdcDedupReport finds planted duplicate content and prices " +
       "the savings") {
     val dup = "shared passage that repeats verbatim across documents " * 4
