@@ -19,6 +19,37 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Journey-string sequence mining — the MATCH_RECOGNIZE-lite: per
+    * entity, the chronologically ordered event-type initials become
+    * one string (the "journey"), and each named regex pattern is
+    * counted over it with non-overlapping left-to-right semantics
+    * (identical in Java regex and RE2). `browse→buy = "v+p"`,
+    * `error streaks = "e{2,}"` — sequence questions become one-line
+    * regexes instead of k-way self-joins.
+    *
+    * Determinism: event order is (ts, tieCol) — supply a unique
+    * tiebreaker. Scale: ONE groupBy; the journey lives in executor
+    * memory and is bounded by the entity's event count (cap activity
+    * upstream for adversarially hot entities — this is per-group
+    * state, never a driver collect). */
+  def journeyPatterns(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "journeyPatterns needs >= 1 pattern")
+    val ini = substring(col(typeCol), 1, 1)
+    val base = df.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(tsCol).as("ts"),
+            col(tieCol).as("tie"), ini.as("ini")))),
+          x => x.getField("ini")), "").as("journey"))
+    patterns.foldLeft(base) { case (acc, (name, pat)) =>
+      acc.withColumn(name,
+        size(regexp_extract_all(col("journey"), lit(pat), lit(0)))
+          .cast("long"))
+    }
+  }
+
   /** Ordered-funnel conversion: for the step sequence `steps`, a user
     * reaches step k at the EARLIEST event of type `steps(k)` that is
     * strictly after their step-(k−1) time (classic "ordered funnel",

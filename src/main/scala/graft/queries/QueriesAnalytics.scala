@@ -19,6 +19,16 @@ object QueriesAnalytics {
       EventOps.funnel(t(s, d, "events"), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))),
 
+    // journey-string sequence mining (MATCH_RECOGNIZE-lite): per-user
+    // chronological event-initial string + regex pattern counts
+    // (browse->buy runs, error streaks, signup->view adjacency)
+    "q463_event_journeys" -> ((s, d) =>
+      EventOps.journeyPatterns(t(s, d, "events"), "user_id", "ts",
+        "event_type", "event_id", Seq(
+          "n_browse_buy" -> "v+p",
+          "n_error_streak" -> "e{2,}",
+          "n_signup_view" -> "sv"))),
+
     // monthly cohort retention on orders (cohort = month of first
     // order per customer, offset in months)
     "q216_retention" -> ((s, d) =>
@@ -330,6 +340,21 @@ object QueriesAnalytics {
           round(col("vc"), 6).as("vc"))))
 
   val oracle: Map[String, String] = Map(
+
+    "q463_event_journeys" ->
+      """WITH j AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n_events, journey,
+        |  CAST(len(regexp_extract_all(journey, 'v+p')) AS BIGINT)
+        |    AS n_browse_buy,
+        |  CAST(len(regexp_extract_all(journey, 'e{2,}')) AS BIGINT)
+        |    AS n_error_streak,
+        |  CAST(len(regexp_extract_all(journey, 'sv')) AS BIGINT)
+        |    AS n_signup_view
+        |FROM j""".stripMargin,
 
     "q264_token_sort" ->
       """WITH p AS (

@@ -798,6 +798,20 @@ object QueriesPipeline {
     "q459_anchor_text" -> ((s, d) =>
       graft.llm.UrlOps.anchorText(syntheticHtml(s, d), "html")),
 
+    // Unicode NFC normalization over synthesized decomposed text
+    // (combining acute/tilde) — the crawl-cleaning staple; native
+    // codegen expression vs DuckDB's utf8proc nfc_normalize
+    "q464_nfc_normalize" -> ((s, d) => {
+      val mess = concat(lit("Cafe"), lit("́"), lit(" nin"),
+        lit("o"), lit("̃"), lit(" "),
+        substring(col("text"), 1, 40))
+      val norm = graft.sqlext.NfcNormalize.nfc(mess)
+      t(s, d, "documents").select(col("doc_id"),
+        length(mess).cast("long").as("len_raw"),
+        length(norm).cast("long").as("len_nfc"),
+        norm.as("text_nfc"))
+    }),
+
     // content-defined chunking (FastCDC/LBFS family): rolling-hash
     // boundaries over each doc, chunk table with md5 content ids —
     // the storage-dedup primitive (insert-resilient, spec'd)
@@ -2569,6 +2583,18 @@ object QueriesPipeline {
         |  CAST(count(*) AS BIGINT) AS n_variants,
         |  min(raw) AS keeper
         |FROM canon GROUP BY 1""".stripMargin,
+
+    "q464_nfc_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'Cafe' || chr(769) || ' nin' || 'o' || chr(771) || ' '
+        |      || substr(text, 1, 40) AS mess
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(mess) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(mess)) AS BIGINT) AS len_nfc,
+        |  nfc_normalize(mess) AS text_nfc
+        |FROM m""".stripMargin,
 
     "q461_cdc_chunks" -> (cdcChunksOracle + """
         |SELECT doc_id, c.idx AS chunk_idx, c.st AS chunk_start,

@@ -77,5 +77,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CdcCuts(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName,
+        "nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC canonical composition " +
+          "(UAX #15) via java.text.Normalizer."),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }
