@@ -500,10 +500,12 @@ object Dedup {
     * Emits (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5) —
     * pure per-doc map, no shuffle. Average chunk ≈ 2^b chars. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, modBits: Int = 6): DataFrame = {
+      k: Int = 8, modBits: Int = 6, maxLen: Int = 256): DataFrame = {
     require(k >= 2 && k <= 64, s"k in [2,64], got $k")
     require(modBits >= 1 && modBits <= 20,
       s"modBits in [1,20], got $modBits")
+    require(maxLen >= (1 << modBits),
+      s"maxLen >= 2^modBits (got $maxLen)")
     val mask = (1L << 40) - 1
     val m = 1L << modBits
     // sequence(1, n) is DESCENDING for n < 1 — guard short docs
@@ -526,11 +528,29 @@ object Dedup {
          |       != length(__t__)
          |  then concat(__ce__, array(cast(length(__t__) as bigint)))
          |  else __ce__ end""".stripMargin)
+    // forced max-chunk cuts: between consecutive natural cuts a < b,
+    // insert a+maxLen, a+2·maxLen, … — pure gap arithmetic on the
+    // natural-cut set (CDC on exactly-periodic text can otherwise go
+    // hundreds of chars without a boundary)
+    def prevCut = "case when j = 1 then 0L " +
+      "else element_at(__ac0__, j - 1) end"
+    val expanded = expr(
+      s"""flatten(transform(sequence(1, size(__ac0__)), j ->
+         |  concat(
+         |    case when (element_at(__ac0__, j) - ($prevCut) - 1L)
+         |        >= ${maxLen}L
+         |      then transform(sequence(1,
+         |          cast((element_at(__ac0__, j) - ($prevCut) - 1L)
+         |            div ${maxLen}L as int)),
+         |        f -> ($prevCut) + cast(f as bigint) * ${maxLen}L)
+         |      else cast(array() as array<bigint>) end,
+         |    array(element_at(__ac0__, j)))))""".stripMargin)
     df.select(col(idCol).as("doc_id"), col(textCol).as("__t__"))
       .filter(col("__t__").isNotNull && length(col("__t__")) >= 1)
       .withColumn("__hs__", hs)
       .withColumn("__ce__", cutEnds)
-      .withColumn("__ac__", allCuts)
+      .withColumn("__ac0__", allCuts)
+      .withColumn("__ac__", expanded)
       .transform(emitCdcChunks)
   }
 
@@ -561,14 +581,15 @@ object Dedup {
     * interpreted SQL lambdas. Use this form in production; the
     * lambda form is the engine-portable oracle twin. */
   def cdcChunksFast(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, modBits: Int = 6): DataFrame = {
+      k: Int = 8, modBits: Int = 6, maxLen: Int = 256): DataFrame = {
     require(k >= 2 && k <= 64, s"k in [2,64], got $k")
     require(modBits >= 1 && modBits <= 20,
       s"modBits in [1,20], got $modBits")
     df.select(col(idCol).as("doc_id"), col(textCol).as("__t__"))
       .filter(col("__t__").isNotNull && length(col("__t__")) >= 1)
       .withColumn("__ac__",
-        graft.sqlext.CdcCuts.cdc_cuts(col("__t__"), k, modBits))
+        graft.sqlext.CdcCuts.cdc_cuts(col("__t__"), k, modBits,
+          maxLen))
       .transform(emitCdcChunks)
   }
 
@@ -578,8 +599,8 @@ object Dedup {
     * ONE groupBy on the chunk hash — the dedup-ratio estimator for
     * a 100 TB blob store. */
   def cdcDedupReport(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, modBits: Int = 6): DataFrame =
-    cdcChunksFast(df, idCol, textCol, k, modBits)
+      k: Int = 8, modBits: Int = 6, maxLen: Int = 256): DataFrame =
+    cdcChunksFast(df, idCol, textCol, k, modBits, maxLen)
       .groupBy("chunk_md5")
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -587,6 +608,48 @@ object Dedup {
         ((count(lit(1)) - 1L) * first(col("chunk_len")))
           .as("bytes_saved"))
       .filter(col("n_copies") > 1)
+
+  /** Shared-content candidate pairs from [[cdcChunksFast]] — the
+    * chunk-level sibling of [[winnowingPairs]]: documents sharing at
+    * least `minShared` chunk content-ids become a pair with their
+    * chunk-Jaccard. Chunks held by more than `maxDf` docs are
+    * boilerplate and excluded from pair generation (bounds the
+    * bucket fan-out — the all-pairs trap guard); per-doc totals
+    * count ALL distinct chunks, so the reported jaccard is
+    * conservative under boilerplate exclusion (the winnowingPairs
+    * convention, documented there). One chunk-keyed shuffle. */
+  def cdcPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, modBits: Int = 6, maxLen: Int = 256,
+      maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    require(maxDf >= 2, s"maxDf >= 2, got $maxDf")
+    require(minShared >= 1, s"minShared >= 1, got $minShared")
+    val ch = cdcChunksFast(df, idCol, textCol, k, modBits, maxLen)
+      .select(col("doc_id"), col("chunk_md5")).distinct()
+    val totals = ch.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"))
+    val keptHashes = ch.groupBy("chunk_md5")
+      .agg(count(lit(1)).as("__df__"))
+      .filter(col("__df__") >= 2 && col("__df__") <= maxDf)
+      .select("chunk_md5")
+    val kept = ch.join(keptHashes, "chunk_md5")
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.chunk_md5") === col("b.chunk_md5") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(totals.select(col("doc_id").as("doc_a"),
+        col("n_chunks").as("na")), "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"),
+        col("n_chunks").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("na"), col("nb"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6)
+          .as("chunk_jaccard"))
+  }
 
   /** Shared-passage candidate pairs from [[winnowingFingerprints]]:
     * documents sharing ≥ `minShared` selected fingerprints, with

@@ -181,6 +181,23 @@ object UrlOps {
     regexp_extract_all(c,
       lit("<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>"), lit(0))
 
+  /** Robots/meta crawl directives from raw HTML — the keep/drop and
+    * canonical-identity signals a crawler must honor before any
+    * content processing: noindex / nofollow flags (robots meta) and
+    * the `<link rel="canonical">` target ('' when absent, the
+    * regexp_extract no-match convention). Pure map. Feed
+    * url_canonical from [[canonicalizeUrl]] with the canonical-link
+    * override for the full dedup-identity story. */
+  def metaDirectives(df: DataFrame, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    df.withColumn("meta_noindex",
+        h.rlike("<meta name=\"robots\" content=\"[^\"]*noindex"))
+      .withColumn("meta_nofollow",
+        h.rlike("<meta name=\"robots\" content=\"[^\"]*nofollow"))
+      .withColumn("canonical_href", regexp_extract(h,
+        "<link rel=\"canonical\" href=\"([^\"]*)\"", 1))
+  }
+
   /** Per-target-domain anchor-text table — anchor text is the
     * classic off-page relevance signal (what OTHER pages call this
     * site): counts each (dst_domain, anchor text) pair. One explode

@@ -151,15 +151,32 @@ object QueriesPipeline {
       |      THEN list_append(ce0, CAST(length(t) AS BIGINT))
       |      ELSE ce0 END AS ac0
       |  FROM ce),
+      |ex AS (
+      |  SELECT doc_id, t,
+      |    flatten(list_transform(range(1, len(ac0) + 1), j ->
+      |      list_append(
+      |        CASE WHEN (ac0[CAST(j AS INTEGER)] -
+      |            (CASE WHEN j = 1 THEN 0
+      |             ELSE ac0[CAST(j - 1 AS INTEGER)] END) - 1) >= 256
+      |          THEN list_transform(range(1,
+      |              CAST((ac0[CAST(j AS INTEGER)] -
+      |                (CASE WHEN j = 1 THEN 0
+      |                 ELSE ac0[CAST(j - 1 AS INTEGER)] END) - 1)
+      |                // 256 AS BIGINT) + 1),
+      |            f -> (CASE WHEN j = 1 THEN 0
+      |              ELSE ac0[CAST(j - 1 AS INTEGER)] END) + f * 256)
+      |          ELSE CAST([] AS BIGINT[]) END,
+      |        ac0[CAST(j AS INTEGER)]))) AS acx
+      |  FROM ac),
       |ch AS (
       |  SELECT doc_id, t,
-      |    unnest(list_transform(range(1, len(ac0) + 1), j ->
+      |    unnest(list_transform(range(1, len(acx) + 1), j ->
       |      struct_pack(
       |        idx := CAST(j AS BIGINT),
       |        st := CASE WHEN j = 1 THEN CAST(1 AS BIGINT)
-      |              ELSE ac0[CAST(j - 1 AS INTEGER)] + 1 END,
-      |        en := ac0[CAST(j AS INTEGER)]))) AS c
-      |  FROM ac)""".stripMargin
+      |              ELSE acx[CAST(j - 1 AS INTEGER)] + 1 END,
+      |        en := acx[CAST(j AS INTEGER)]))) AS c
+      |  FROM ex)""".stripMargin
 
   /** DuckDB rendition of UrlOps.registeredDomain over a split-host
     * list expression `l`. */
@@ -797,6 +814,38 @@ object QueriesPipeline {
     // — the off-page relevance signal table
     "q459_anchor_text" -> ((s, d) =>
       graft.llm.UrlOps.anchorText(syntheticHtml(s, d), "html")),
+
+    // chunk-level near-dup pairs from CDC content ids (boilerplate
+    // chunks df>maxDf excluded; conservative jaccard)
+    "q465_cdc_pairs" -> ((s, d) =>
+      graft.llm.Dedup.cdcPairs(t(s, d, "documents"), "doc_id",
+        "text")),
+
+    // robots-meta + canonical-link extraction over HTML with
+    // lottery-injected directives — the crawl keep/drop gate
+    "q466_meta_directives" -> ((s, d) => {
+      val u1 = PipelineOps.hash48Unit(
+        concat(col("doc_id").cast("string"), lit("#nx")))
+      val u2 = PipelineOps.hash48Unit(
+        concat(col("doc_id").cast("string"), lit("#cn")))
+      val html = concat(lit("<html><head>"),
+        when(u1 < 0.3, lit(
+          "<meta name=\"robots\" content=\"noindex,nofollow\">"))
+          .when(u1 < 0.5,
+            lit("<meta name=\"robots\" content=\"noindex\">"))
+          .otherwise(lit("")),
+        when(u2 < 0.4, concat(
+          lit("<link rel=\"canonical\" href=\"https://canon.example.com/doc/"),
+          col("doc_id").cast("string"), lit("\">")))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), substring(col("text"), 1, 60),
+        lit("</p></body></html>"))
+      graft.llm.UrlOps.metaDirectives(
+          t(s, d, "documents").select(col("doc_id"),
+            col("text")).withColumn("html", html), "html")
+        .select("doc_id", "meta_noindex", "meta_nofollow",
+          "canonical_href")
+    }),
 
     // Unicode NFC normalization over synthesized decomposed text
     // (combining acute/tilde) — the crawl-cleaning staple; native
@@ -2583,6 +2632,58 @@ object QueriesPipeline {
         |  CAST(count(*) AS BIGINT) AS n_variants,
         |  min(raw) AS keeper
         |FROM canon GROUP BY 1""".stripMargin,
+
+    "q465_cdc_pairs" -> (cdcChunksOracle + """,
+        |cu AS (SELECT DISTINCT doc_id,
+        |    md5(substr(t, CAST(c.st AS INTEGER),
+        |      CAST(c.en - c.st + 1 AS INTEGER))) AS chunk_md5
+        |  FROM ch),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM cu GROUP BY 1),
+        |keep AS (SELECT chunk_md5 FROM cu GROUP BY 1
+        |  HAVING count(*) >= 2 AND count(*) <= 64),
+        |kt AS (SELECT cu.doc_id, cu.chunk_md5
+        |  FROM cu JOIN keep USING (chunk_md5)),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kt a JOIN kt b ON a.chunk_md5 = b.chunk_md5
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+        |  ta.n_chunks AS na, tb.n_chunks AS nb,
+        |  round(CAST(pr.n_shared AS DOUBLE) /
+        |    (ta.n_chunks + tb.n_chunks - pr.n_shared), 6)
+        |    AS chunk_jaccard
+        |FROM pr JOIN tot ta ON ta.doc_id = pr.doc_a
+        |JOIN tot tb ON tb.doc_id = pr.doc_b""".stripMargin),
+
+    "q466_meta_directives" ->
+      raw"""WITH m AS (
+        |  SELECT doc_id,
+        |    '<html><head>' ||
+        |    CASE WHEN (${h48("doc_id::VARCHAR || '#nx'")}) < 0.3
+        |      THEN '<meta name="robots" content="noindex,nofollow">'
+        |    WHEN (${h48("doc_id::VARCHAR || '#nx'")}) < 0.5
+        |      THEN '<meta name="robots" content="noindex">'
+        |    ELSE '' END ||
+        |    CASE WHEN (${h48("doc_id::VARCHAR || '#cn'")}) < 0.4
+        |      THEN '<link rel="canonical" href="https://canon.example.com/doc/'
+        |        || doc_id || '">'
+        |    ELSE '' END ||
+        |    '</head><body><p>' || substr(text, 1, 60) ||
+        |    '</p></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_matches(html,
+        |    '<meta name="robots" content="[^"]*noindex')
+        |    AS meta_noindex,
+        |  regexp_matches(html,
+        |    '<meta name="robots" content="[^"]*nofollow')
+        |    AS meta_nofollow,
+        |  regexp_extract(html,
+        |    '<link rel="canonical" href="([^"]*)"', 1)
+        |    AS canonical_href
+        |FROM m""".stripMargin,
 
     "q464_nfc_normalize" ->
       """WITH m AS (

@@ -21,23 +21,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * [length]. The rolling update reuses the WinnowFingerprints
   * seed-term invariant, so the kernel is O(n) not O(n·k).
   */
-case class CdcCuts(child: Expression, k: Int, modBits: Int)
-    extends UnaryExpression {
+case class CdcCuts(child: Expression, k: Int, modBits: Int,
+    maxLen: Int) extends UnaryExpression {
 
   require(k >= 2 && k <= 64, s"k in [2,64], got $k")
   require(modBits >= 1 && modBits <= 20,
     s"modBits in [1,20], got $modBits")
+  require(maxLen >= (1 << modBits),
+    s"maxLen >= 2^modBits (got $maxLen < ${1 << modBits})")
 
   override def dataType: DataType = ArrayType(LongType, false)
   override def prettyName: String = "cdc_cuts"
 
   override def nullSafeEval(input: Any): Any =
-    CdcCuts.compute(input.asInstanceOf[UTF8String], k, modBits)
+    CdcCuts.compute(input.asInstanceOf[UTF8String], k, modBits,
+      maxLen)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.sqlext.CdcCuts.compute($c, $k, $modBits);")
+      s"${ev.value} = graft.sqlext.CdcCuts.compute($c, $k, " +
+        s"$modBits, $maxLen);")
 
   override protected def withNewChildInternal(
       newChild: Expression): CdcCuts = copy(child = newChild)
@@ -48,51 +52,72 @@ object CdcCuts {
   import org.apache.spark.sql.{Column, GraftSqlBridge}
 
   /** Column-level entry point. */
-  def cdc_cuts(c: Column, k: Int, modBits: Int): Column =
+  def cdc_cuts(c: Column, k: Int, modBits: Int,
+      maxLen: Int): Column =
     GraftSqlBridge.toColumn(
-      CdcCuts(GraftSqlBridge.toExpression(c), k, modBits))
+      CdcCuts(GraftSqlBridge.toExpression(c), k, modBits, maxLen))
 
   private val Mask = (1L << 40) - 1
   private val Seed = 549755813881L
 
-  /** Java-callable kernel shared by eval and codegen. */
-  def compute(u: UTF8String, k: Int, modBits: Int): ArrayData = {
+  /** Java-callable kernel shared by eval and codegen. Forced cuts:
+    * between consecutive natural cuts a < b (a=0 at doc start, doc
+    * end is a natural cut), inserts a+maxLen, a+2·maxLen, … while
+    * the remaining gap exceeds maxLen — positions depend only on
+    * the natural-cut set, so the portable SQL chain replays them
+    * with pure gap arithmetic. */
+  def compute(u: UTF8String, k: Int, modBits: Int,
+      maxLen: Int): ArrayData = {
     val s = u.toString
     val n = s.codePointCount(0, s.length)
     val modMask = (1L << modBits) - 1
-    if (n < k) {
-      if (n == 0) return ArrayData.toArrayData(Array.empty[Long])
-      return ArrayData.toArrayData(Array(n.toLong))
+    if (n == 0) return ArrayData.toArrayData(Array.empty[Long])
+    val natural = new scala.collection.mutable.ArrayBuffer[Long]()
+    if (n >= k) {
+      val cps = new Array[Int](n)
+      var ci = 0
+      var si = 0
+      while (si < s.length) {
+        val cp = s.codePointAt(si)
+        cps(ci) = cp
+        ci += 1
+        si += Character.charCount(cp)
+      }
+      val nGrams = n - k + 1
+      // 31^(k-1), seed*31^k mod 2^40 (WinnowFingerprints invariant)
+      var b = 1L
+      var i = 0
+      while (i < k - 1) { b = (b * 31L) & Mask; i += 1 }
+      val seedTerm = (((b * 31L) & Mask) * (Seed & Mask)) & Mask
+      var h = Seed
+      i = 0
+      while (i < k) { h = (h * 31L + cps(i)) & Mask; i += 1 }
+      if ((h & modMask) == 0L) natural += k.toLong
+      i = 1
+      while (i < nGrams) {
+        var p = (h - ((cps(i - 1) * b) & Mask) - seedTerm) & Mask
+        p = (p * 31L) & Mask
+        h = (p + seedTerm + cps(i + k - 1)) & Mask
+        if ((h & modMask) == 0L) natural += (i + k).toLong
+        i += 1
+      }
     }
-    val cps = new Array[Int](n)
-    var ci = 0
-    var si = 0
-    while (si < s.length) {
-      val cp = s.codePointAt(si)
-      cps(ci) = cp
-      ci += 1
-      si += Character.charCount(cp)
-    }
-    val nGrams = n - k + 1
-    // 31^(k-1) and seed*31^k mod 2^40 (WinnowFingerprints invariant)
-    var b = 1L
-    var i = 0
-    while (i < k - 1) { b = (b * 31L) & Mask; i += 1 }
-    val seedTerm = (((b * 31L) & Mask) * (Seed & Mask)) & Mask
+    if (natural.isEmpty || natural.last != n.toLong)
+      natural += n.toLong
+    // expand gaps with forced cuts (max chunk length)
     val cuts = new scala.collection.mutable.ArrayBuffer[Long]()
-    var h = Seed
-    i = 0
-    while (i < k) { h = (h * 31L + cps(i)) & Mask; i += 1 }
-    if ((h & modMask) == 0L) cuts += k.toLong // gram 1 cuts after k
-    i = 1
-    while (i < nGrams) {
-      var p = (h - ((cps(i - 1) * b) & Mask) - seedTerm) & Mask
-      p = (p * 31L) & Mask
-      h = (p + seedTerm + cps(i + k - 1)) & Mask
-      if ((h & modMask) == 0L) cuts += (i + k).toLong // 1-based i+1
-      i += 1
+    var last = 0L
+    var j = 0
+    while (j < natural.length) {
+      val b2 = natural(j)
+      while (b2 - last > maxLen) {
+        last += maxLen
+        cuts += last
+      }
+      cuts += b2
+      last = b2
+      j += 1
     }
-    if (cuts.isEmpty || cuts.last != n.toLong) cuts += n.toLong
     ArrayData.toArrayData(cuts.toArray)
   }
 }

@@ -71,12 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cdc_cuts"),
       new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts",
-        "cdc_cuts(str, k, modBits) - content-defined chunk cut end " +
-          "positions (1-based, ascending; doc end always included): " +
-          "k-gram base-31 masked rolling hash == 0 mod 2^modBits."),
+        "cdc_cuts(str, k, modBits, maxLen) - content-defined chunk " +
+          "cut end positions (1-based, ascending; doc end always " +
+          "included): k-gram base-31 masked rolling hash == 0 mod " +
+          "2^modBits, forced cuts bound chunks at maxLen chars."),
       (exprs: Seq[Expression]) => CdcCuts(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int])))
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int])))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName,

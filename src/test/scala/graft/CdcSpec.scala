@@ -92,7 +92,7 @@ class CdcSpec extends SparkSpecBase {
     org.apache.spark.sql.GraftSqlBridge
       .applyInjectedFunctions(ext, spark)
     val text = "hello world, a longer test string for chunking here"
-    val cuts = spark.sql(s"select cdc_cuts('$text', 8, 2) as c")
+    val cuts = spark.sql(s"select cdc_cuts('$text', 8, 2, 256) as c")
       .head().getSeq[Long](0)
     cuts.last shouldBe text.length.toLong
     cuts shouldBe cuts.sorted
@@ -100,6 +100,55 @@ class CdcSpec extends SparkSpecBase {
     // and word_levenshtein reached SQL too
     spark.sql("select word_levenshtein(array('a','b'), array('a'))")
       .head().getInt(0) shouldBe 1
+  }
+
+  test("cdcPairs surfaces docs sharing planted passages with a " +
+      "conservative jaccard; boilerplate chunks beyond maxDf are " +
+      "excluded from pair generation") {
+    // long enough that boundaries (expected every ~64 chars) occur
+    // INSIDE both the passage and the boilerplate
+    val passage =
+      "a planted shared passage of meaningful length " * 12
+    val boiler = "common footer everywhere " * 10
+    val docs = Seq(
+      (1L, passage + " unique tail one " + boiler),
+      (2L, passage + " unique tail two " + boiler),
+      (3L, "completely different content here " + boiler),
+      (4L, "another unrelated doc " + boiler)
+    ).toDF("id", "t")
+    val pairs = Dedup.cdcPairs(docs, "id", "t", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    // docs 1-2 share the passage chunks
+    pairs.keySet should contain((1L, 2L))
+    val (shared, jac) = pairs((1L, 2L))
+    shared should be >= 1L
+    jac should (be > 0.0 and be <= 1.0)
+    // with only 4 docs the boilerplate survives maxDf=64; tighten
+    // maxDf below the boilerplate df and 3-4 pairs vanish
+    val tight = Dedup.cdcPairs(docs, "id", "t", maxDf = 3,
+      minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    tight should not contain ((3L, 4L))
+    tight should contain((1L, 2L))
+  }
+
+  test("metaDirectives flags robots noindex/nofollow and extracts " +
+      "the canonical link ('' when absent)") {
+    val df = Seq(
+      (1L, "<html><head><meta name=\"robots\" " +
+        "content=\"noindex,nofollow\"></head><body>x</body></html>"),
+      (2L, "<html><head><meta name=\"robots\" " +
+        "content=\"noindex\"><link rel=\"canonical\" " +
+        "href=\"https://a.com/c\"></head><body>y</body></html>"),
+      (3L, "<html><head></head><body>z</body></html>")
+    ).toDF("id", "html")
+    val r = graft.llm.UrlOps.metaDirectives(df, "html")
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(2), x.getBoolean(3), x.getString(4))).toMap
+    r(1L) shouldBe ((true, true, ""))
+    r(2L) shouldBe ((true, false, "https://a.com/c"))
+    r(3L) shouldBe ((false, false, ""))
   }
 
   test("cdcDedupReport finds planted duplicate content and prices " +
