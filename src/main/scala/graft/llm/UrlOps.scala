@@ -133,6 +133,42 @@ object UrlOps {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment — allocate an
+    * integer budget of `total` slots across keys proportionally to
+    * integer weights, exactly: base = floor(total·w/W) per key, the
+    * leftover slots go to the largest fractional remainders
+    * (tie: key order). The crawl-budget / sampling-quota / shard-
+    * sizing primitive; entirely integer arithmetic (remainders
+    * compared as total·w mod W — no floats), so any engine replays
+    * it bit-for-bit. One aggregate + one ranking window over the
+    * KEY table (not the data). Keys with weight ≤ 0 get 0. */
+  def apportion(df: DataFrame, keyCol: String, weightCol: String,
+      total: Long): DataFrame = {
+    require(total >= 0, s"total >= 0, got $total")
+    val w = when(col(weightCol).cast("long") > 0,
+      col(weightCol).cast("long")).otherwise(lit(0L))
+    val keys = df.select(col(keyCol).as("key"), w.as("__w__"))
+      .groupBy("key").agg(sum(col("__w__")).as("w"))
+    val tot = keys.agg(sum(col("w")).as("__W__"))
+    val q = keys.crossJoin(broadcast(tot))
+      .withColumn("__num__", col("w") * total)
+      .withColumn("base", expr("__num__ div __W__"))
+      .withColumn("__rem__", expr("__num__ % __W__"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem__").desc, col("key").asc)
+    // the ranking window runs over the KEY table (bounded — domains
+    // /shards/strata), not the data rows; PlanLint's global-window
+    // rule is about row-scale windows
+    val ranked = q.withColumn("__rk__", row_number().over(wnd))
+      .crossJoin(broadcast(
+        q.agg(sum(col("base")).as("__B__"))))
+    ranked.select(col("key"), col("w"),
+        col("base"),
+        when(col("__rk__") <= lit(total) - col("__B__"), 1L)
+          .otherwise(0L).as("bonus"))
+      .withColumn("alloc", col("base") + col("bonus"))
+  }
+
   /** Tracking query parameters dropped by [[canonicalizeUrl]] —
     * the common cross-site analytics keys. Shared with the oracle. */
   val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)="

@@ -815,6 +815,18 @@ object QueriesPipeline {
     "q459_anchor_text" -> ((s, d) =>
       graft.llm.UrlOps.anchorText(syntheticHtml(s, d), "html")),
 
+    // largest-remainder (Hamilton) crawl-budget apportionment:
+    // 10000 fetch slots across registered domains by corpus chars —
+    // exact integer quotas, remainder ranking over the key table
+    "q467_crawl_budget" -> ((s, d) => {
+      val roll = graft.llm.UrlOps.domainRollup(
+        syntheticUrls(s, d), "url", "n_chars")
+      graft.llm.UrlOps.apportion(roll, "url_domain",
+          "n_chars_total", 10000L)
+        .select(col("key").as("url_domain"), col("w"),
+          col("base"), col("bonus"), col("alloc"))
+    }),
+
     // chunk-level near-dup pairs from CDC content ids (boilerplate
     // chunks df>maxDf excluded; conservative jaccard)
     "q465_cdc_pairs" -> ((s, d) =>
@@ -2632,6 +2644,31 @@ object QueriesPipeline {
         |  CAST(count(*) AS BIGINT) AS n_variants,
         |  min(raw) AS keeper
         |FROM canon GROUP BY 1""".stripMargin,
+
+    "q467_crawl_budget" ->
+      raw"""$urlsSqlCte,
+        |lab AS (SELECT string_split(regexp_extract(url,
+        |    '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS l, n_chars
+        |  FROM urls),
+        |dom AS (SELECT
+        |  ${regDomSql("l")} AS url_domain, n_chars FROM lab),
+        |per AS (SELECT url_domain,
+        |    CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM dom GROUP BY 1),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS ww FROM per),
+        |q AS (SELECT url_domain, w,
+        |    (w * 10000) // ww AS base,
+        |    (w * 10000) % ww AS rem
+        |  FROM per CROSS JOIN tw),
+        |r AS (SELECT *, row_number() OVER (
+        |    ORDER BY rem DESC, url_domain ASC) AS rk FROM q),
+        |b AS (SELECT CAST(sum(base) AS BIGINT) AS bb FROM q)
+        |SELECT url_domain, w, CAST(base AS BIGINT) AS base,
+        |  CAST(CASE WHEN rk <= 10000 - b.bb THEN 1 ELSE 0 END
+        |    AS BIGINT) AS bonus,
+        |  CAST(base + CASE WHEN rk <= 10000 - b.bb THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r CROSS JOIN b""".stripMargin,
 
     "q465_cdc_pairs" -> (cdcChunksOracle + """,
         |cu AS (SELECT DISTINCT doc_id,
