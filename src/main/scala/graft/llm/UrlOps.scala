@@ -133,6 +133,42 @@ object UrlOps {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** Parse robots.txt bodies into (domain, disallow_prefix) rules:
+    * split lines, keep `Disallow:` directives, drop empty prefixes
+    * (an empty Disallow means allow-all in the robots protocol).
+    * Simplified single-agent form — production adds per-agent
+    * sections; the parse/explode/join shape is identical. */
+  def robotsRules(df: DataFrame, domainCol: String,
+      robotsTextCol: String): DataFrame =
+    df.select(col(domainCol).as("domain"),
+        explode(split(col(robotsTextCol), "\n")).as("__line__"))
+      .select(col("domain"),
+        regexp_extract(col("__line__"), "^Disallow: (.+)$", 1)
+          .as("disallow_prefix"))
+      .filter(col("disallow_prefix") =!= "")
+
+  /** Robots gate over a URL table: a URL is allowed iff NO
+    * disallow prefix of its registered domain prefixes its path
+    * (simplified longest-match-free semantics — prefix match only,
+    * like the original 1994 protocol). One domain-keyed left join +
+    * one groupBy; emits the matched-rule count for auditability
+    * (the q388 loud-drop convention). */
+  def robotsAllowed(urls: DataFrame, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val host = regexp_extract(col(urlCol), HostRe, 1)
+    val path = regexp_extract(col(urlCol), PathRe, 1)
+    val u = urls.select(col("*"),
+      registeredDomain(host).as("__dom__"), path.as("__path__"))
+    u.join(rules.select(col("domain").as("__dom__"),
+          col("disallow_prefix")), Seq("__dom__"), "left")
+      .groupBy(col(urlCol).as("url"), col("__dom__").as("url_domain"),
+        col("__path__").as("url_path"))
+      .agg(sum(when(col("disallow_prefix").isNotNull &&
+          col("__path__").startsWith(col("disallow_prefix")), 1L)
+          .otherwise(0L)).as("n_rules_matched"))
+      .withColumn("allowed", col("n_rules_matched") === 0L)
+  }
+
   /** Largest-remainder (Hamilton) apportionment — allocate an
     * integer budget of `total` slots across keys proportionally to
     * integer weights, exactly: base = floor(total·w/W) per key, the

@@ -815,6 +815,32 @@ object QueriesPipeline {
     "q459_anchor_text" -> ((s, d) =>
       graft.llm.UrlOps.anchorText(syntheticHtml(s, d), "html")),
 
+    // robots.txt end-to-end: synthesize per-domain robots bodies
+    // (lottery Disallow lines), parse to rules, gate every crawl URL
+    // by prefix match — doc_id join gives a deterministic output key
+    "q468_robots" -> ((s, d) => {
+      val domDf = t(s, d, "documents").sparkSession
+        .createDataFrame(urlDomains.map(Tuple1(_)))
+        .toDF("domain")
+      def lot(salt: String) = PipelineOps.hash48Unit(
+        concat(col("domain"), lit(salt)))
+      val robots = domDf.select(col("domain"), concat(
+        lit("User-agent: *\n"),
+        when(lot("#r1") < 0.5, lit("Disallow: /en\n"))
+          .otherwise(lit("")),
+        when(lot("#r2") < 0.4, lit("Disallow: /de/doc\n"))
+          .otherwise(lit("")),
+        when(lot("#r3") < 0.25, lit("Disallow: /\n"))
+          .otherwise(lit(""))).as("robots_txt"))
+      val rules = graft.llm.UrlOps.robotsRules(robots, "domain",
+        "robots_txt")
+      graft.llm.UrlOps.robotsAllowed(
+          syntheticUrls(s, d).select("doc_id", "url"), "url",
+          rules)
+        .select("url", "url_domain", "url_path",
+          "n_rules_matched", "allowed")
+    }),
+
     // largest-remainder (Hamilton) crawl-budget apportionment:
     // 10000 fetch slots across registered domains by corpus chars —
     // exact integer quotas, remainder ranking over the key table
@@ -2644,6 +2670,44 @@ object QueriesPipeline {
         |  CAST(count(*) AS BIGINT) AS n_variants,
         |  min(raw) AS keeper
         |FROM canon GROUP BY 1""".stripMargin,
+
+    "q468_robots" -> {
+      val domList = graft.queries.QueriesPipeline.urlDomains
+        .map(s => s"'$s'").mkString(", ")
+      raw"""$urlsSqlCte,
+        |doms AS (SELECT unnest([$domList]) AS domain),
+        |rob AS (SELECT domain,
+        |  'User-agent: *' || chr(10) ||
+        |  CASE WHEN (${h48("domain || '#r1'")}) < 0.5
+        |    THEN 'Disallow: /en' || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#r2'")}) < 0.4
+        |    THEN 'Disallow: /de/doc' || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#r3'")}) < 0.25
+        |    THEN 'Disallow: /' || chr(10) ELSE '' END AS robots_txt
+        |  FROM doms),
+        |lines AS (SELECT domain,
+        |    unnest(string_split(robots_txt, chr(10))) AS line
+        |  FROM rob),
+        |rules AS (SELECT domain,
+        |    regexp_extract(line, '^Disallow: (.+)$$', 1) AS p
+        |  FROM lines
+        |  WHERE regexp_extract(line, '^Disallow: (.+)$$', 1) <> ''),
+        |uu AS (SELECT url,
+        |    string_split(regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS l,
+        |    regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth
+        |  FROM urls),
+        |ud AS (SELECT url, pth, ${regDomSql("l")} AS dom FROM uu),
+        |j AS (SELECT ud.url, ud.dom, ud.pth, r.p
+        |  FROM ud LEFT JOIN rules r ON r.domain = ud.dom)
+        |SELECT url, dom AS url_domain, pth AS url_path,
+        |  CAST(sum(CASE WHEN p IS NOT NULL AND starts_with(pth, p)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rules_matched,
+        |  sum(CASE WHEN p IS NOT NULL AND starts_with(pth, p)
+        |    THEN 1 ELSE 0 END) = 0 AS allowed
+        |FROM j GROUP BY 1, 2, 3""".stripMargin
+    },
 
     "q467_crawl_budget" ->
       raw"""$urlsSqlCte,

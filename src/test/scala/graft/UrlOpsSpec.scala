@@ -176,6 +176,36 @@ class UrlOpsSpec extends SparkSpecBase {
     a(("data.co.uk", "Data")) shouldBe 1L
   }
 
+  test("robotsRules parses Disallow lines (ignoring other " +
+      "directives and empty disallows) and robotsAllowed gates by " +
+      "path prefix per registered domain") {
+    val robots = Seq(
+      ("example.com",
+        "User-agent: *\nDisallow: /private\nDisallow: /tmp\n" +
+          "Crawl-delay: 5\nDisallow:\n"),
+      ("data.co.uk", "User-agent: *\nDisallow: /\n")
+    ).toDF("domain", "robots_txt")
+    val rules = UrlOps.robotsRules(robots, "domain", "robots_txt")
+    rules.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet shouldBe Set(
+        ("example.com", "/private"), ("example.com", "/tmp"),
+        ("data.co.uk", "/"))
+    val urls = Seq(
+      "https://www.example.com/private/x",
+      "https://www.example.com/public/x",
+      "https://a.data.co.uk/anything",
+      "https://other.org/free").toDF("url")
+    val gated = UrlOps.robotsAllowed(urls, "url", rules)
+      .collect().map(r => r.getAs[String]("url") ->
+        (r.getAs[Long]("n_rules_matched"),
+          r.getAs[Boolean]("allowed"))).toMap
+    gated("https://www.example.com/private/x") shouldBe ((1L, false))
+    gated("https://www.example.com/public/x") shouldBe ((0L, true))
+    gated("https://a.data.co.uk/anything") shouldBe ((1L, false))
+    // domains with no robots rules are allowed
+    gated("https://other.org/free") shouldBe ((0L, true))
+  }
+
   test("rendezvous consistency: every key that moves 10 -> 11 moves " +
       "TO the new shard (old winners never reshuffle among themselves)") {
     val keys = (0L until 2000L).toDF("k")
