@@ -205,6 +205,35 @@ object UrlOps {
       .withColumn("alloc", col("base") + col("bonus"))
   }
 
+  /** D'Hondt (Jefferson) divisor apportionment — the proportional
+    * allocation sibling of [[apportion]] that slightly favors large
+    * weights (the PR-election method): the `total` slots go to the
+    * `total` largest quotients w/d over d = 1..total, ties broken
+    * (key asc, d asc). Explodes total divisors per key — use for
+    * bounded key tables and budgets (domains × fetch slots), where
+    * keys·total stays small; Hamilton [[apportion]] is the O(keys)
+    * form. Quotients are IEEE doubles computed identically in any
+    * engine, so the ranking replays exactly. */
+  def apportionDHondt(df: DataFrame, keyCol: String,
+      weightCol: String, total: Int): DataFrame = {
+    require(total >= 1 && total <= 100000,
+      s"total in [1,100000], got $total")
+    val w = when(col(weightCol).cast("long") > 0,
+      col(weightCol).cast("long")).otherwise(lit(0L))
+    val keys = df.select(col(keyCol).as("key"), w.as("__w__"))
+      .groupBy("key").agg(sum(col("__w__")).as("w"))
+      .filter(col("w") > 0)
+    val quo = keys
+      .withColumn("d", explode(sequence(lit(1), lit(total))))
+      .withColumn("__q__", col("w").cast("double") / col("d"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__q__").desc, col("key").asc, col("d").asc)
+    quo.withColumn("__rk__", row_number().over(wnd))
+      .filter(col("__rk__") <= total)
+      .groupBy("key").agg(first(col("w")).as("w"),
+        count(lit(1)).as("seats"))
+  }
+
   /** Tracking query parameters dropped by [[canonicalizeUrl]] —
     * the common cross-site analytics keys. Shared with the oracle. */
   val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)="

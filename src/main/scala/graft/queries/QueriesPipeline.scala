@@ -841,6 +841,15 @@ object QueriesPipeline {
           "n_rules_matched", "allowed")
     }),
 
+    // D'Hondt divisor apportionment of 97 slots over the same
+    // domain weights — the large-weight-favoring sibling of q467
+    "q469_dhondt" -> ((s, d) => {
+      val roll = graft.llm.UrlOps.domainRollup(
+        syntheticUrls(s, d), "url", "n_chars")
+      graft.llm.UrlOps.apportionDHondt(roll, "url_domain",
+        "n_chars_total", 97)
+    }),
+
     // largest-remainder (Hamilton) crawl-budget apportionment:
     // 10000 fetch slots across registered domains by corpus chars —
     // exact integer quotas, remainder ranking over the key table
@@ -2708,6 +2717,23 @@ object QueriesPipeline {
         |    THEN 1 ELSE 0 END) = 0 AS allowed
         |FROM j GROUP BY 1, 2, 3""".stripMargin
     },
+
+    "q469_dhondt" ->
+      raw"""$urlsSqlCte,
+        |lab AS (SELECT string_split(regexp_extract(url,
+        |    '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS l, n_chars
+        |  FROM urls),
+        |dom AS (SELECT
+        |  ${regDomSql("l")} AS key, n_chars FROM lab),
+        |per AS (SELECT key, CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM dom GROUP BY 1 HAVING sum(n_chars) > 0),
+        |quo AS (SELECT key, w, unnest(range(1, 98)) AS d FROM per),
+        |q2 AS (SELECT key, w, d, CAST(w AS DOUBLE) / d AS q
+        |  FROM quo),
+        |r AS (SELECT *, row_number() OVER (
+        |    ORDER BY q DESC, key ASC, d ASC) AS rk FROM q2)
+        |SELECT key, w, CAST(count(*) AS BIGINT) AS seats
+        |FROM r WHERE rk <= 97 GROUP BY 1, 2""".stripMargin,
 
     "q467_crawl_budget" ->
       raw"""$urlsSqlCte,

@@ -76,6 +76,28 @@ object PropertiesR8bSpec extends Properties("graft-r8b") {
       }
     }
 
+  property("apportionDHondt seats sum to the total and are " +
+      "monotone in weight") =
+    forAll(for {
+      n <- Gen.chooseNum(1, 8)
+      ws <- Gen.listOfN(n, Gen.chooseNum(1L, 300L))
+      total <- Gen.chooseNum(1, 60)
+    } yield (ws, total)) { case (ws, total) =>
+      val df = ws.zipWithIndex
+        .map { case (w, i) => (s"k$i", w) }.toDF("k", "w")
+      val a = UrlOps.apportionDHondt(df, "k", "w", total)
+        .collect().map(r => r.getAs[Long]("w") ->
+          r.getAs[Long]("seats"))
+      val sorted = a.sortBy(_._1)
+      a.map(_._2).sum == total.toLong &&
+        // weight-monotone: a strictly heavier key never gets fewer
+        // seats; equal weights differ by at most the tie-break seat
+        sorted.zip(sorted.drop(1)).forall {
+          case ((w1, s1), (w2, s2)) =>
+            if (w1 == w2) math.abs(s1 - s2) <= 1 else s1 <= s2
+        }
+    }
+
   property("journeyPatterns conserves events (journey length == " +
       "n_events) and is input-order invariant") =
     forAll(for {
