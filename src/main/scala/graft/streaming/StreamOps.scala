@@ -634,6 +634,53 @@ object StreamOps {
           out.iterator
       }
 
+  case class JourneyStreamState(journey: String, n: Long)
+  case class JourneyStreamOut(key: String, batchEvents: Long,
+      nEvents: Long, journey: String,
+      patternCounts: Map[String, Long])
+
+  /** Streaming journey-pattern monitor — the live companion to the
+    * batch [[graft.analytics.EventOps.journeyPatterns]]: per key,
+    * the chronological event-initial string accumulates across
+    * micro-batches with flatMapGroupsWithState and every batch
+    * re-counts the named regex patterns over the CURRENT journey
+    * (non-overlapping left-to-right — the same Java-regex semantics
+    * the batch op's regexp_extract_all uses, so the streamed counts
+    * equal the batch computation on the concatenated input, spec'd
+    * cross-batch). Contract: per-key non-decreasing `ord` across
+    * batches (rows within a batch are sorted here); state is the
+    * journey string — bounded by per-key activity and guarded by a
+    * LOUD `maxJourneyLen` require (cap entity activity upstream for
+    * adversarially hot keys). */
+  def journeyStream(ds: Dataset[(String, Long, String)],
+      patterns: Seq[(String, String)], maxJourneyLen: Int = 100000)(
+      implicit e: Encoder[JourneyStreamOut],
+      se: Encoder[JourneyStreamState]): Dataset[JourneyStreamOut] = {
+    require(patterns.nonEmpty, "journeyStream needs >= 1 pattern")
+    val compiled = patterns.map { case (n, p) => (n, p) }
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[JourneyStreamState, JourneyStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[JourneyStreamState]) =>
+          val prev = state.getOption
+            .getOrElse(JourneyStreamState("", 0L))
+          val sortedRows = rows.toSeq.sortBy(_._2)
+          val inis = sortedRows.map(_._3.substring(0, 1)).mkString
+          val j = prev.journey + inis
+          require(j.length <= maxJourneyLen,
+            s"journeyStream: key '$key' journey exceeds " +
+              s"$maxJourneyLen events — cap activity upstream")
+          val n = prev.n + sortedRows.length
+          state.update(JourneyStreamState(j, n))
+          val counts = compiled.map { case (name, pat) =>
+            name -> pat.r.findAllMatchIn(j).size.toLong
+          }.toMap
+          Iterator.single(JourneyStreamOut(key,
+            sortedRows.length.toLong, n, j, counts))
+      }
+  }
+
   case class PsiStreamState(counts: Map[Int, Long], totalRows: Long)
   case class PsiStreamOut(key: String, batchRows: Long,
       totalRows: Long, psi: Double)

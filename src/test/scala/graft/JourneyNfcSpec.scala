@@ -29,6 +29,43 @@ class JourneyNfcSpec extends SparkSpecBase {
     r("u2").getAs[Long]("n_signup_view") shouldBe 1L
   }
 
+  test("journeyStream accumulated across micro-batches equals the " +
+      "batch journeyPatterns on the concatenated input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "view"), ("u1", 3L, "purchase"),
+      ("u1", 4L, "error"), ("u1", 5L, "error"), ("u2", 1L, "signup"),
+      ("u2", 2L, "view"), ("u1", 6L, "view"), ("u1", 7L, "purchase"))
+    val input = MemoryStream[(String, Long, String)]
+    val out = graft.streaming.StreamOps.journeyStream(input.toDS(),
+      Seq("np" -> "v+p", "ne" -> "e{2,}"))
+    val q = out.writeStream.format("memory").queryName("jrn_fmgws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evs.take(4): _*); q.processAllAvailable()
+      input.addData(evs.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    import graft.streaming.StreamOps.JourneyStreamOut
+    val rows = spark.table("jrn_fmgws").as[JourneyStreamOut]
+      .collect()
+    val last = rows.groupBy(_.key)
+      .map { case (k, rs) => k -> rs.maxBy(_.nEvents) }
+    // batch reference over the same events with ord as tiebreak
+    val batch = graft.analytics.EventOps.journeyPatterns(
+      evs.toDF("u", "ts", "ty").withColumn("id", col("ts")),
+      "u", "ts", "ty", "id", Seq("np" -> "v+p", "ne" -> "e{2,}"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    last("u1").journey shouldBe batch("u1")._2
+    last("u1").nEvents shouldBe batch("u1")._1
+    last("u1").patternCounts("np") shouldBe batch("u1")._3
+    last("u1").patternCounts("ne") shouldBe batch("u1")._4
+    last("u2").journey shouldBe batch("u2")._2
+  }
+
   test("nfc composes decomposed accents, is idempotent, and leaves " +
       "ASCII untouched") {
     import graft.sqlext.NfcNormalize.nfc
