@@ -815,6 +815,40 @@ object QueriesPipeline {
     "q459_anchor_text" -> ((s, d) =>
       graft.llm.UrlOps.anchorText(syntheticHtml(s, d), "html")),
 
+    // the full URL dedup-identity composition: pages declaring a
+    // <link rel=canonical> adopt that target, everyone else keeps
+    // their own URL, then canonicalizeUrl normalizes — the identity
+    // a crawler groups by before content dedup (q458 + q466 joined)
+    "q470_url_identity" -> ((s, d) => {
+      val u1 = PipelineOps.hash48Unit(
+        concat(col("doc_id").cast("string"), lit("#nx")))
+      val u2 = PipelineOps.hash48Unit(
+        concat(col("doc_id").cast("string"), lit("#cn")))
+      val html = concat(lit("<html><head>"),
+        when(u1 < 0.3, lit(
+          "<meta name=\"robots\" content=\"noindex,nofollow\">"))
+          .when(u1 < 0.5,
+            lit("<meta name=\"robots\" content=\"noindex\">"))
+          .otherwise(lit("")),
+        when(u2 < 0.4, concat(
+          lit("<link rel=\"canonical\" href=\"https://canon.example.com/doc/"),
+          col("doc_id").cast("string"), lit("\">")))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), substring(col("text"), 1, 60),
+        lit("</p></body></html>"))
+      val base = t(s, d, "documents").select(col("doc_id"),
+          col("text"))
+        .withColumn("html", html)
+        .join(syntheticUrls(s, d).select("doc_id", "url"), "doc_id")
+      val withMeta = graft.llm.UrlOps.metaDirectives(base, "html")
+      val identity = graft.llm.UrlOps.canonicalizeUrl(
+        when(col("canonical_href") =!= "", col("canonical_href"))
+          .otherwise(col("url")))
+      withMeta.select(col("doc_id"),
+        (col("canonical_href") =!= "").as("has_canonical"),
+        identity.as("url_identity"))
+    }),
+
     // robots.txt end-to-end: synthesize per-domain robots bodies
     // (lottery Disallow lines), parse to rules, gate every crawl URL
     // by prefix match — doc_id join gives a deterministic output key
@@ -2679,6 +2713,39 @@ object QueriesPipeline {
         |  CAST(count(*) AS BIGINT) AS n_variants,
         |  min(raw) AS keeper
         |FROM canon GROUP BY 1""".stripMargin,
+
+    "q470_url_identity" ->
+      raw"""$urlsSqlCte,
+        |cn AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN (${h48("doc_id::VARCHAR || '#cn'")}) < 0.4
+        |      THEN 'https://canon.example.com/doc/' || doc_id
+        |      ELSE '' END AS canonical_href
+        |  FROM urls),
+        |pick AS (
+        |  SELECT doc_id, canonical_href <> '' AS has_canonical,
+        |    CASE WHEN canonical_href <> '' THEN canonical_href
+        |         ELSE url END AS u
+        |  FROM cn),
+        |kq AS (
+        |  SELECT doc_id, has_canonical, u, list_sort(list_filter(
+        |      string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
+        |      x -> length(x) > 0 AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)=')))
+        |    AS kept
+        |  FROM pick)
+        |SELECT doc_id, has_canonical,
+        |  regexp_extract(lower(u),
+        |    '^([a-z][a-z0-9+.-]*)://', 1) || '://' ||
+        |  regexp_replace(regexp_extract(lower(u),
+        |    '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+        |    ':(80|443)$$', '') ||
+        |  regexp_extract(u,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) ||
+        |  CASE WHEN len(kept) > 0
+        |    THEN '?' || array_to_string(kept, '&') ELSE '' END
+        |  AS url_identity
+        |FROM kq""".stripMargin,
 
     "q468_robots" -> {
       val domList = graft.queries.QueriesPipeline.urlDomains
