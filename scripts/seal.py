@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Auto-generate the repo's seal numbers from artifacts instead of
+hand-edits (the 686-vs-734 README drift showed the failure mode).
+
+Sources of truth:
+  - gate count + oracled count: the Verify output dir
+    (<outdir>/oracle_sql.json for oracled; one .parquet dir per gate
+    for the total) — run scripts/check.py first, or point at any
+    verify outdir
+  - test counts: target/test-reports/*.xml JUnit attributes
+
+Rewrites the marked seal lines in README.md in place and prints a
+one-line summary. Usage: seal.py [verify_outdir]
+"""
+import glob
+import json
+import os
+import re
+import sys
+import xml.etree.ElementTree as ET
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+
+
+def gate_counts():
+    oracle = json.load(open(os.path.join(OUT, "oracle_sql.json")))
+    gates = [d for d in os.listdir(OUT)
+             if d.endswith(".parquet")
+             and os.path.isdir(os.path.join(OUT, d))]
+    return len(gates), len(oracle)
+
+
+def test_counts():
+    tests = failures = errors = suites = 0
+    for f in glob.glob(os.path.join(REPO, "target/test-reports/*.xml")):
+        root = ET.parse(f).getroot()
+        suites += 1
+        tests += int(root.get("tests", 0))
+        failures += int(root.get("failures", 0))
+        errors += int(root.get("errors", 0))
+    return suites, tests, failures, errors
+
+
+def rewrite_readme(gates, oracled, tests):
+    path = os.path.join(REPO, "README.md")
+    s = open(path).read()
+    s, n1 = re.subn(
+        r"holds \d+ runnable operator queries; \d+ carry",
+        f"holds {gates} runnable operator queries; {oracled} carry",
+        s)
+    s, n2 = re.subn(
+        r"sbt test   # \d+ specs",
+        f"sbt test   # {tests} specs", s)
+    rows_only = gates - oracled
+    s, n3 = re.subn(
+        r"The \d+ remaining rows-only\nqueries",
+        f"The {rows_only} remaining rows-only\nqueries", s)
+    open(path, "w").write(s)
+    return n1, n2, n3
+
+
+def main():
+    gates, oracled = gate_counts()
+    suites, tests, failures, errors = test_counts()
+    if failures or errors:
+        print(f"WARN: test reports carry {failures} failures / "
+              f"{errors} errors — seal numbers reflect a RED suite")
+    n1, n2, n3 = rewrite_readme(gates, oracled, tests)
+    print(f"seal: gates={gates} oracled={oracled} "
+          f"rows_only={gates - oracled} suites={suites} tests={tests} "
+          f"(README lines rewritten: {n1 + n2 + n3})")
+
+
+if __name__ == "__main__":
+    main()

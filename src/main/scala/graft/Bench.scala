@@ -158,7 +158,14 @@ object Bench {
       // full-table linear-SHAP, Kneser-Ney held-out perplexity,
       // and the HTML -> domain-PageRank crawl composition
       "q451_q21_sole_returner", "q453_linear_shap",
-      "q455_lm_kneser_ney", "q460_domain_pagerank")
+      "q455_lm_kneser_ney", "q460_domain_pagerank",
+      // round-9 headliners: RFC 9309 robots gating, the remaining
+      // TPC-H correlated-subquery shapes (Q2 min-cost, Q15 top
+      // supplier, Q20 nested IN), and the skew-safe salted
+      // paragraph-dedup variant benched against q128
+      "q472_robots_rep", "q473_q2_min_cost",
+      "q474_q15_top_supplier", "q475_q20_part_share",
+      "q476_paragraph_dedup_salted")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))
@@ -199,8 +206,30 @@ object Bench {
     val total = timings.values.sum
     val failedJson = if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // contention sentinel: a machine-contended run self-describes.
+    // loadavg >> cores or extra JVMs co-resident during the run mean
+    // the min-of-N timings may still be inflated — the round-8
+    // official record was poisoned exactly this way and the JSON
+    // carried no evidence. other_jvms counts java processes on the
+    // box BESIDES this one (sbt wrapper parents count; steady-state
+    // idle box = 0-1).
+    val loadavg = try {
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    val otherJvms = try {
+      new java.io.File("/proc").listFiles()
+        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+        .count { f =>
+          val comm = new java.io.File(f, "comm")
+          comm.exists() && {
+            val src = scala.io.Source.fromFile(comm)
+            try src.mkString.trim == "java" finally src.close()
+          }
+        } - 1 // exclude this JVM
+    } catch { case _: Throwable => -1 }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"micro_op_rows":$targetRows,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"micro_op_rows":$targetRows,"loadavg":$loadavg,"other_jvms":$otherJvms,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also write the line to a file so the result
     // survives any stdout wrapping by the build tool.

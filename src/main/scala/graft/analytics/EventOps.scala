@@ -248,14 +248,23 @@ object EventOps {
     * on channel). Ordering ties break on `idCol`. */
   def attribution(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, valueCol: String, convType: String,
-      idCol: String): DataFrame = {
+      idCol: String, maxTypes: Int = 1000): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val isTouch = col(typeCol) =!= convType
+    // the channel domain is collected to the driver to pivot into
+    // per-channel running counts — bounded by nature (channels are
+    // an enum), but a miskeyed call (URL or user-id as typeCol)
+    // would ship the whole domain here: limit BEFORE fetch + a loud
+    // require (the repo's collectSeries convention)
     val touchTypes = df.filter(col(typeCol).isNotNull && isTouch)
-      .select(col(typeCol)).distinct()
+      .select(col(typeCol)).distinct().limit(maxTypes + 1)
       .collect().map(_.getString(0)).sorted.toSeq
+    require(touchTypes.length <= maxTypes,
+      s"attribution: more than $maxTypes distinct touch types in " +
+        s"'$typeCol' — is this really a channel column? Raise " +
+        "maxTypes explicitly if so.")
     val withState = df
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .withColumn("__last__",

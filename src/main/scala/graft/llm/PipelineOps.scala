@@ -704,19 +704,44 @@ object PipelineOps {
     * is a single linear streaming min in one task, not a hot join
     * key. Then one groupBy(id) reassembles. No driver state.
     *
+    * `salted = true` switches to the skew-safe two-stage form for
+    * corpora where one paragraph dominates a partition (boilerplate
+    * repeated billions of times): partial min per (paragraph, salt)
+    * via map-side-combinable groupBy, then the final min per
+    * paragraph, then a join back to the lines. Identical output
+    * (spec-asserted); costs one extra shuffle of the line rows, so
+    * the default stays the window form — measured at organic 30×
+    * the window form wins (see SCALE.md round 9: shuffle volume,
+    * not per-task skew, dominates this operator at every probed
+    * scale because the paragraph partitions stay balanced).
+    *
     * Returns (idCol, n_lines, n_kept, text_clean) where text_clean is
     * null when every paragraph of the document was seen earlier. */
   def paragraphDedup(docs: DataFrame, textCol: String, idCol: String,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n", salted: Boolean = false,
+      saltBuckets: Int = 64): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets >= 1, got $saltBuckets")
     val lines = docs
       .select(col(idCol).as("__id__"),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("__pos__", "__l__")))
       .filter(length(trim(col("__l__"))) > 0)
-    val wLine = Window.partitionBy(col("__l__"))
-    lines
-      .withColumn("__first__",
+    val withFirst = if (!salted) {
+      val wLine = Window.partitionBy(col("__l__"))
+      lines.withColumn("__first__",
         min(struct(col("__id__"), col("__pos__"))).over(wLine))
+    } else {
+      val partial = lines
+        .withColumn("__salt__",
+          pmod(xxhash64(col("__id__"), col("__pos__")),
+            lit(saltBuckets.toLong)))
+        .groupBy("__l__", "__salt__")
+        .agg(min(struct(col("__id__"), col("__pos__"))).as("__m__"))
+      val firsts = partial.groupBy("__l__")
+        .agg(min(col("__m__")).as("__first__"))
+      lines.join(firsts, "__l__")
+    }
+    withFirst
       .withColumn("__keep__",
         col("__id__") === col("__first__.__id__") &&
           col("__pos__") === col("__first__.__pos__"))

@@ -20,14 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Scheme: letters+digits+`+.-` before `://`. */
-  val SchemeRe = "^([a-z][a-z0-9+.-]*)://"
+  /** Scheme: letters+digits+`+.-` before `://` (schemes are
+    * case-insensitive per RFC 3986 — the class accepts both cases;
+    * consumers lowercase the extraction). */
+  val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 
-  /** Host (authority): everything after `://` up to `/?#`. */
-  val HostRe = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+  /** Authority: everything after `://` up to `/?#` — may still carry
+    * `user@` and `:port`; [[registeredDomain]] strips both. */
+  val HostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 
   /** Path: after the authority, up to `?` or `#` (may be empty). */
-  val PathRe = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+  val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Bare lowercase hostname from an authority component: drop
+    * `user@` userinfo, drop `:port`, lowercase (hostnames are
+    * case-insensitive; RFC 3986 §3.2.2). Character-class-only
+    * patterns — identical in Java regex and RE2/DuckDB. */
+  def hostOfAuthority(auth: Column): Column =
+    lower(regexp_replace(regexp_replace(auth, "^[^/@]*@", ""),
+      ":[0-9]*$", ""))
 
   /** Query string: after the first `?`, up to `#`. */
   val QueryRe = "\\?([^#]*)"
@@ -50,8 +61,10 @@ object UrlOps {
     * url_domain, the registered domain of the host. Pure map. */
   def parseUrl(df: DataFrame, urlCol: String): DataFrame = {
     val u = col(urlCol)
-    df.withColumn("url_scheme", regexp_extract(u, SchemeRe, 1))
-      .withColumn("url_host", regexp_extract(u, HostRe, 1))
+    df.withColumn("url_scheme",
+        lower(regexp_extract(u, SchemeRe, 1)))
+      .withColumn("url_host",
+        hostOfAuthority(regexp_extract(u, HostRe, 1)))
       .withColumn("url_path", regexp_extract(u, PathRe, 1))
       .withColumn("url_query", regexp_extract(u, QueryRe, 1))
       .withColumn("url_domain", registeredDomain(col("url_host")))
@@ -60,9 +73,13 @@ object UrlOps {
   /** Registered domain (site identity) of a hostname: the last two
     * labels, or the last three when the trailing two form a known
     * two-level public suffix (`bbc.co.uk`, not `co.uk`). Total on
-    * any input: a host with a single label returns itself. */
-  def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
+    * any input: a host with a single label returns itself. Input may
+    * be a raw authority — `user@` and `:port` are stripped and the
+    * host lowercased first ([[hostOfAuthority]]), so every call path
+    * (domainRollup, linkGraph, robotsAllowed, anchorText) groups
+    * `example.com:8080` and `EXAMPLE.com` with `example.com`. */
+  def registeredDomain(authority: Column): Column = {
+    val labels = split(hostOfAuthority(authority), "\\.")
     val n = size(labels)
     // positive-index slices guarded by greatest() so the expression
     // is total (ANSI mode: element_at(-k) past the front throws)
@@ -70,6 +87,51 @@ object UrlOps {
     val last3 = concat_ws(".", slice(labels, greatest(n - 2, lit(1)), lit(3)))
     when(n >= 3 && last2.isin(TwoLevelSuffixes: _*), last3)
       .otherwise(last2)
+  }
+
+  /** Registered domain against a FULL public-suffix table — the
+    * production form [[registeredDomain]]'s fixed two-level list
+    * stands in for: explode each host's candidate suffixes (its last
+    * 1..`maxDepth` label runs), broadcast-join the suffix table,
+    * keep the LONGEST matching suffix (PSL longest-match rule), and
+    * return suffix + one label. Hosts matching no suffix fall back
+    * to the last-two-labels heuristic; a host that IS a bare suffix
+    * (or single label) returns itself. Adds `reg_domain` to `df`.
+    * One bounded explode (≤ maxDepth rows/host) + one broadcast
+    * join + one max-struct aggregate — pure map-side at crawl scale.
+    * Suffix table: one `suffix` string column (lowercase). */
+  def registeredDomainPsl(df: DataFrame, hostCol: String,
+      suffixes: DataFrame, maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 8,
+      s"registeredDomainPsl: maxDepth in [1,8], got $maxDepth")
+    val host = hostOfAuthority(col(hostCol))
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // candidate suffix of depth k = last k labels (k < label count:
+    // the whole host is never its own suffix+1)
+    val withId = df.withColumn("__host__", host)
+      .withColumn("__n__", n)
+    val cand = withId
+      .select(col("__host__"),
+        explode(sequence(lit(1),
+          least(col("__n__") - 1, lit(maxDepth)))).as("__k__"))
+      .withColumn("__cand__", concat_ws(".",
+        slice(split(col("__host__"), "\\."),
+          greatest(size(split(col("__host__"), "\\.")) - col("__k__")
+            + 1, lit(1)), col("__k__"))))
+    val matched = cand.join(broadcast(
+        suffixes.select(lower(col("suffix")).as("__cand__"))),
+        Seq("__cand__"), "left_semi")
+      .groupBy("__host__").agg(max(col("__k__")).as("__best_k__"))
+    withId.join(matched, Seq("__host__"), "left")
+      .withColumn("reg_domain",
+        when(col("__best_k__").isNotNull,
+          concat_ws(".", slice(split(col("__host__"), "\\."),
+            greatest(col("__n__") - col("__best_k__"), lit(1)),
+            col("__best_k__") + 1)))
+          .otherwise(concat_ws(".", slice(split(col("__host__"), "\\."),
+            greatest(col("__n__") - 1, lit(1)), lit(2)))))
+      .drop("__host__", "__n__", "__best_k__")
   }
 
   /** Per-registered-domain corpus rollup — the first audit any
@@ -140,8 +202,12 @@ object UrlOps {
     * sections; the parse/explode/join shape is identical. */
   def robotsRules(df: DataFrame, domainCol: String,
       robotsTextCol: String): DataFrame =
+    // CRLF bodies: normalize \r away BEFORE splitting — Java regex
+    // '$' would silently drop a trailing \r that DuckDB RE2 keeps,
+    // diverging the extracted prefixes across engines
     df.select(col(domainCol).as("domain"),
-        explode(split(col(robotsTextCol), "\n")).as("__line__"))
+        explode(split(regexp_replace(col(robotsTextCol), "\r", ""),
+          "\n")).as("__line__"))
       .select(col("domain"),
         regexp_extract(col("__line__"), "^Disallow: (.+)$", 1)
           .as("disallow_prefix"))
@@ -169,6 +235,143 @@ object UrlOps {
       .withColumn("allowed", col("n_rules_matched") === 0L)
   }
 
+  /** RFC 9309 (Robots Exclusion Protocol) rule parser — the REP-
+    * complete sibling of the v1 [[robotsRules]]: both `Allow:` and
+    * `Disallow:` directives, `*` wildcards and the `$` end anchor.
+    * Still single-agent (per-agent group selection is a split the
+    * same parse applies to). Emits one rule row per directive:
+    * (domain, is_allow, pattern, pattern_len, pattern_re) where
+    * pattern_re is the portable regex compiled from the REP pattern
+    * — metachars escaped (except `*`), `*` → `.*`, a trailing `$`
+    * kept as the end anchor, `^` prepended. Character-class-only
+    * regex work, identical in Java regex and RE2/DuckDB; empty
+    * patterns are dropped (an empty Disallow means allow-all). */
+  def robotsRulesRep(df: DataFrame, domainCol: String,
+      robotsTextCol: String): DataFrame = {
+    val lines = df.select(col(domainCol).as("domain"),
+      explode(split(regexp_replace(col(robotsTextCol), "\r", ""),
+        "\n")).as("__line__"))
+    val dirRe = "^(Allow|Disallow): *(.*)$"
+    val rules = lines.select(col("domain"),
+        regexp_extract(col("__line__"), dirRe, 1).as("__dir__"),
+        regexp_extract(col("__line__"), dirRe, 2).as("pattern"))
+      .filter(col("__dir__") =!= "" && col("pattern") =!= "")
+    compileRepPatterns(rules)
+  }
+
+  /** RFC 9309 §2.2.1 group selection — the multi-agent completion of
+    * [[robotsRulesRep]]: robots bodies carry GROUPS (one or more
+    * consecutive `User-agent:` lines followed by their rules); a
+    * crawler obeys the groups whose agent token case-insensitively
+    * equals its own product token, falling back to the `*` groups
+    * when no exact group exists in that file. Returns the same rule
+    * schema as [[robotsRulesRep]] (composes with
+    * [[robotsAllowedRep]]), already filtered to the rules governing
+    * `agent`.
+    *
+    * Plan: group islands via one per-domain position window (a group
+    * starts at a User-agent line not preceded by another User-agent
+    * line — robots bodies are KB-bounded per domain, so the window
+    * partition is tiny), one (domain, group) flag aggregate, one
+    * domain-level any-exact aggregate, joined back. All expression
+    * work is the portable regex subset. */
+  def robotsRulesRepAgent(df: DataFrame, domainCol: String,
+      robotsTextCol: String, agent: String): DataFrame = {
+    require(agent.nonEmpty, "robotsRulesRepAgent: agent required")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("__pos__")
+    val uaRe = "^User-agent: *(.*)$"
+    val dirRe = "^(Allow|Disallow): *(.*)$"
+    val lines = df.select(col(domainCol).as("domain"),
+        posexplode(split(regexp_replace(col(robotsTextCol), "\r", ""),
+          "\n")).as(Seq("__pos__", "__line__")))
+      .withColumn("__ua__",
+        lower(trim(regexp_extract(col("__line__"), uaRe, 1))))
+      .withColumn("__is_ua__", col("__ua__") =!= "")
+    val grouped = lines
+      .withColumn("__new_grp__",
+        (col("__is_ua__") &&
+          !coalesce(lag(col("__is_ua__"), 1).over(w), lit(false)))
+          .cast("long"))
+      .withColumn("__grp__", sum(col("__new_grp__")).over(w))
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val flags = grouped.filter(col("__is_ua__"))
+      .groupBy("domain", "__grp__")
+      .agg(max((col("__ua__") === agentLc).cast("long"))
+          .as("__exact__"),
+        max((col("__ua__") === "*").cast("long")).as("__star__"))
+    val anyExact = flags.groupBy("domain")
+      .agg(max(col("__exact__")).as("__any_exact__"))
+    val govern = flags.join(anyExact, "domain")
+      .filter(when(col("__any_exact__") === 1L,
+        col("__exact__") === 1L).otherwise(col("__star__") === 1L))
+      .select("domain", "__grp__")
+    val rules = grouped
+      .join(govern, Seq("domain", "__grp__"), "left_semi")
+      .select(col("domain"),
+        regexp_extract(col("__line__"), dirRe, 1).as("__dir__"),
+        regexp_extract(col("__line__"), dirRe, 2).as("pattern"))
+      .filter(col("__dir__") =!= "" && col("pattern") =!= "")
+    compileRepPatterns(rules)
+  }
+
+  /** Shared REP pattern→regex compilation (see [[robotsRulesRep]]):
+    * takes (domain, __dir__, pattern) rule rows, emits the full rule
+    * schema with pattern_len + pattern_re. */
+  private def compileRepPatterns(rules: DataFrame): DataFrame = {
+    val anchored = col("pattern").endsWith("$")
+    val core = when(anchored,
+      expr("substring(pattern, 1, length(pattern) - 1)"))
+      .otherwise(col("pattern"))
+    val esc = regexp_replace(core, "([.^$+?(){}|\\[\\]\\\\])",
+      "\\\\$1")
+    val starred = regexp_replace(esc, "\\*", ".*")
+    rules.select(col("domain"),
+      (col("__dir__") === "Allow").as("is_allow"),
+      col("pattern"),
+      length(col("pattern")).cast("long").as("pattern_len"),
+      concat(lit("^"), starred,
+        when(anchored, lit("$")).otherwise(lit(""))).as("pattern_re"))
+  }
+
+  /** RFC 9309 robots gate — longest-match precedence over
+    * [[robotsRulesRep]] rules: the matched rule with the longest
+    * original pattern decides; Allow wins exact-length ties; no
+    * match means allowed. The match target is the URL path PLUS the
+    * query (`?q=...`) when present, empty path treated as `/` — the
+    * REP matching unit. Precedence is encoded as one integer score
+    * `2·pattern_len + is_allow` (lexicographic (len, allow) order),
+    * so the verdict is `max(score)` parity — pure integer arithmetic
+    * any engine replays bit-for-bit. One domain-keyed left join +
+    * one groupBy; emits match counts + best_score (-1 = no match)
+    * for auditability. */
+  def robotsAllowedRep(urls: DataFrame, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val path = regexp_extract(col(urlCol), PathRe, 1)
+    val query = regexp_extract(col(urlCol), QueryRe, 1)
+    val target = concat(
+      when(path === "", lit("/")).otherwise(path),
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+    val u = urls.select(col("*"),
+      registeredDomain(regexp_extract(col(urlCol), HostRe, 1))
+        .as("__dom__"),
+      target.as("__target__"))
+    val j = u.join(rules.select(col("domain").as("__dom__"),
+        col("is_allow"), col("pattern_len"), col("pattern_re")),
+      Seq("__dom__"), "left")
+    val matched = col("pattern_re").isNotNull &&
+      regexp_like(col("__target__"), col("pattern_re"))
+    j.groupBy(col(urlCol).as("url"), col("__dom__").as("url_domain"),
+        col("__target__").as("match_target"))
+      .agg(
+        coalesce(max(when(matched, col("pattern_len") * 2 +
+          when(col("is_allow"), 1L).otherwise(0L))), lit(-1L))
+          .as("best_score"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_rules_matched"))
+      .withColumn("allowed",
+        col("best_score") === -1L || pmod(col("best_score"), lit(2L)) === 1L)
+  }
+
   /** Largest-remainder (Hamilton) apportionment — allocate an
     * integer budget of `total` slots across keys proportionally to
     * integer weights, exactly: base = floor(total·w/W) per key, the
@@ -186,10 +389,18 @@ object UrlOps {
     val keys = df.select(col(keyCol).as("key"), w.as("__w__"))
       .groupBy("key").agg(sum(col("__w__")).as("w"))
     val tot = keys.agg(sum(col("w")).as("__W__"))
+    // W = 0 (all weights <= 0, or an empty key table): every key
+    // gets alloc 0 — guarded explicitly because `div` by zero throws
+    // under ANSI mode (and the bonus rank would otherwise hand the
+    // whole budget to arbitrary keys)
     val q = keys.crossJoin(broadcast(tot))
       .withColumn("__num__", col("w") * total)
-      .withColumn("base", expr("__num__ div __W__"))
-      .withColumn("__rem__", expr("__num__ % __W__"))
+      .withColumn("base", expr(
+        "CASE WHEN __W__ > 0 THEN __num__ div __W__ ELSE 0 END"))
+      .withColumn("__rem__", expr(
+        "CASE WHEN __W__ > 0 THEN __num__ % __W__ ELSE 0 END"))
+      .withColumn("__tot_eff__", expr(
+        "CASE WHEN __W__ > 0 THEN " + total + "L ELSE 0L END"))
     val wnd = org.apache.spark.sql.expressions.Window
       .orderBy(col("__rem__").desc, col("key").asc)
     // the ranking window runs over the KEY table (bounded — domains
@@ -200,7 +411,7 @@ object UrlOps {
         q.agg(sum(col("base")).as("__B__"))))
     ranked.select(col("key"), col("w"),
         col("base"),
-        when(col("__rk__") <= lit(total) - col("__B__"), 1L)
+        when(col("__rk__") <= col("__tot_eff__") - col("__B__"), 1L)
           .otherwise(0L).as("bonus"))
       .withColumn("alloc", col("base") + col("bonus"))
   }

@@ -282,6 +282,82 @@ object QueriesCore {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("numcust"),
           sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+    }),
+
+    // TPC-H Q2 shape: correlated scalar MIN over a join — for each
+    // small part, the supplier(s) achieving the minimum catalog cost
+    // (min line price per (part, supplier) stands in for partsupp,
+    // which the testdata lacks). Spark-first: ONE per-part min
+    // aggregate joined back (the decorrelated plan Catalyst would
+    // build); the oracle keeps the literal correlated subquery.
+    // Exact: costs in integer cents.
+    "q473_q2_min_cost" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ps = li.groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+      val minCost = ps.groupBy(col("ps_partkey").as("mp"))
+        .agg(min(col("cost_cents")).as("min_cost"))
+      val pa = t(s, d, "part").filter(col("p_size") < 15)
+        .select("p_partkey", "p_brand")
+      ps.join(minCost, col("ps_partkey") === col("mp") &&
+          col("cost_cents") === col("min_cost"))
+        .join(broadcast(pa), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")
+            .select("s_suppkey", "s_name", "s_nationkey")),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("n_name"), col("cost_cents"))
+    }),
+
+    // TPC-H Q15 shape: scalar MAX over a grouped view — the
+    // supplier(s) with the top revenue in 1996Q1. Spark-first: the
+    // revenue aggregate + a broadcast 1-row max joined back; the
+    // oracle keeps the literal `= (SELECT max(...) FROM view)` form.
+    "q474_q15_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice") *
+          (lit(1) - col("l_discount")))).as("total_revenue_c"))
+      val mx = rev.agg(max(col("total_revenue_c")).as("__mx__"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue_c") === col("__mx__"))
+        .join(broadcast(t(s, d, "supplier")
+            .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue_c"))
+    }),
+
+    // TPC-H Q20 shape: nested IN with a correlated scalar — the
+    // suppliers who shipped more than half of some part's total
+    // 1995 volume (per-(supplier,part) sum vs the correlated
+    // per-part sum; partsupp availability stands in as shipped
+    // volume). Spark-first: two aggregates over ONE filtered scan
+    // lineage + a semi join; the oracle keeps the literal
+    // IN (... HAVING ... > (SELECT ...)) form.
+    "q475_q20_part_share" -> ((s, d) => {
+      val li95 = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val perPair = li95.groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("qty")).as("sq"))
+      val perPart = li95.groupBy(col("l_partkey").as("pp"))
+        .agg(sum(col("qty")).as("tq"))
+      val qual = perPair
+        .join(perPart, col("l_partkey") === col("pp"))
+        .filter(col("sq") * 2 > col("tq"))
+        .select(col("l_suppkey")).distinct()
+      t(s, d, "supplier").select("s_suppkey", "s_name")
+        .join(qual, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
     })
   )
 
@@ -478,6 +554,47 @@ object QueriesCore {
         |     WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q473_q2_min_cost" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, p_brand, s_name, n_name, cost_cents
+        |FROM ps, part, supplier, nation
+        |WHERE ps_partkey = p_partkey AND ps_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND p_size < 15
+        |  AND cost_cents = (SELECT min(cost_cents) FROM ps ps2
+        |    WHERE ps2.ps_partkey = ps.ps_partkey)""".stripMargin,
+
+    "q474_q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS total_revenue_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue_c
+        |FROM supplier, revenue
+        |WHERE s_suppkey = l_suppkey
+        |  AND total_revenue_c =
+        |    (SELECT max(total_revenue_c) FROM revenue)""".stripMargin,
+
+    "q475_q20_part_share" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l1
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING 2 * sum(CAST(l_quantity AS BIGINT)) >
+        |    (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+        |     WHERE l2.l_partkey = l1.l_partkey
+        |       AND l2.l_shipdate >= TIMESTAMP '1995-01-01'
+        |       AND l2.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin
   )
 }

@@ -178,6 +178,18 @@ object QueriesPipeline {
       |        en := acx[CAST(j AS INTEGER)]))) AS c
       |  FROM ex)""".stripMargin
 
+  /** DuckDB rendition of UrlOps.hostOfAuthority over a URL
+    * expression `e`: extract the authority (case-insensitive
+    * scheme), strip `user@` userinfo and `:port`, lowercase — the
+    * exact expression chain registeredDomain/parseUrl apply, so the
+    * oracle replays identical host identities on hostile inputs
+    * (ports, userinfo, uppercase schemes/hosts). Plain (non-
+    * interpolated) Scala string so the regex `$` anchors survive. */
+  private def hostSql(e: String): String =
+    "lower(regexp_replace(regexp_replace(regexp_extract(" + e +
+      ", '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)," +
+      " '^[^/@]*@', ''), ':[0-9]*$', ''))"
+
   /** DuckDB rendition of UrlOps.registeredDomain over a split-host
     * list expression `l`. */
   private def regDomSql(l: String): String =
@@ -259,6 +271,14 @@ object QueriesPipeline {
     // the chunked corpus (~450 duplicate lines at sf0.001)
     "q128_paragraph_dedup" -> ((s, d) =>
       PipelineOps.paragraphDedup(chunkedDocs(s, d), "text", "doc_id")),
+
+    // the skew-safe SALTED variant of q128: two-stage
+    // (paragraph, salt) partial-min + join-back instead of the
+    // paragraph window — same output (same oracle), one extra
+    // shuffle; benchmarked against q128 at organic 30x in SCALE.md
+    "q476_paragraph_dedup_salted" -> ((s, d) =>
+      PipelineOps.paragraphDedup(chunkedDocs(s, d), "text", "doc_id",
+        salted = true)),
 
     // exact duplicate-SPAN detection (Lee et al. 2022 substring
     // dedup): maximal runs of 8-token windows whose hash already
@@ -873,6 +893,128 @@ object QueriesPipeline {
           rules)
         .select("url", "url_domain", "url_path",
           "n_rules_matched", "allowed")
+    }),
+
+    // hostile-input URL parsing: uppercase schemes/hosts, user:pw@
+    // userinfo, explicit ports — the inputs a real crawl frontier
+    // carries; proves parseUrl's strip+lowercase semantics (the
+    // round-9 hardening) hash-exactly against the oracle
+    "q471_url_parse_hard" -> ((s, d) => {
+      val key = col("doc_id").cast("string")
+      def u(salt: String) = PipelineOps.hash48Unit(
+        concat(key, lit(salt)))
+      val domArr = array(urlDomains.map(lit): _*)
+      val dom = element_at(domArr, (floor(u("#hd") * 8) + 1)
+        .cast("int"))
+      val scheme = when(u("#hs") < 0.33, lit("HTTP"))
+        .when(u("#hs") < 0.66, lit("https")).otherwise(lit("Ftp"))
+      val userinfo = when(u("#hu") < 0.3, lit("user:pw@"))
+        .otherwise(lit(""))
+      val host0 = concat(col("source"), lit("."), dom)
+      val host = when(u("#hc") < 0.5, upper(host0)).otherwise(host0)
+      val port = when(u("#hp") < 0.3, lit(":8080"))
+        .when(u("#hp") < 0.5, lit(":443")).otherwise(lit(""))
+      val qs = when(u("#hq") < 0.5, concat(lit("?ref="),
+        pmod(col("n_chars"), lit(97L)).cast("string")))
+        .otherwise(lit(""))
+      val url = concat(scheme, lit("://"), userinfo, host, port,
+        lit("/"), col("lang"), lit("/doc/"), key, qs)
+      graft.llm.UrlOps.parseUrl(
+          t(s, d, "documents").select(col("doc_id"), url.as("url")),
+          "url")
+        .select("doc_id", "url", "url_scheme", "url_host",
+          "url_domain", "url_path", "url_query")
+    }),
+
+    // RFC 9309 robots end-to-end: Allow/Disallow with * wildcards
+    // and $ anchors over CRLF bodies, longest-match precedence
+    // (Allow wins ties), match target = path + query — supersedes
+    // q468's Disallow-prefix-only v1 semantics
+    "q472_robots_rep" -> ((s, d) => {
+      val domDf = t(s, d, "documents").sparkSession
+        .createDataFrame(urlDomains.map(Tuple1(_)))
+        .toDF("domain")
+      def lot(salt: String) = PipelineOps.hash48Unit(
+        concat(col("domain"), lit(salt)))
+      val robots = domDf.select(col("domain"), concat(
+        lit("User-agent: *\r\n"),
+        when(lot("#a1") < 0.5, lit("Disallow: /en\r\n"))
+          .otherwise(lit("")),
+        when(lot("#a2") < 0.5, lit("Allow: /en/doc\r\n"))
+          .otherwise(lit("")),
+        when(lot("#a3") < 0.4, lit("Disallow: /*/doc/*7$\r\n"))
+          .otherwise(lit("")),
+        when(lot("#a4") < 0.3, lit("Allow: /de\r\n"))
+          .otherwise(lit("")),
+        when(lot("#a5") < 0.35, lit("Disallow: /de*c\r\n"))
+          .otherwise(lit("")),
+        when(lot("#a6") < 0.2, lit("Disallow: /\r\n"))
+          .otherwise(lit(""))).as("robots_txt"))
+      val rules = graft.llm.UrlOps.robotsRulesRep(robots, "domain",
+        "robots_txt")
+      graft.llm.UrlOps.robotsAllowedRep(
+          syntheticUrls(s, d).select("doc_id", "url"), "url", rules)
+        .select("url", "url_domain", "match_target", "best_score",
+          "n_rules_matched", "allowed")
+    }),
+
+    // RFC 9309 §2.2.1 multi-agent group selection: bodies carry
+    // graftbot / * / otherbot groups (lottery-included); the gate
+    // crawls as 'GraftBot' (case-insensitive token match) — exact
+    // groups govern where present, else the * group; otherbot's
+    // Disallow-all must never leak
+    "q477_robots_agent" -> ((s, d) => {
+      val domDf = t(s, d, "documents").sparkSession
+        .createDataFrame(urlDomains.map(Tuple1(_)))
+        .toDF("domain")
+      def lot(salt: String) = PipelineOps.hash48Unit(
+        concat(col("domain"), lit(salt)))
+      val robots = domDf.select(col("domain"), concat(
+        when(lot("#g1") < 0.5, concat(
+          lit("User-agent: graftbot\r\nDisallow: /en\r\n"),
+          when(lot("#g2") < 0.5, lit("Allow: /en/doc\r\n"))
+            .otherwise(lit("")))).otherwise(lit("")),
+        lit("User-agent: *\r\nDisallow: /de\r\n"),
+        when(lot("#g3") < 0.4,
+          lit("User-agent: otherbot\r\nDisallow: /\r\n"))
+          .otherwise(lit(""))).as("robots_txt"))
+      val rules = graft.llm.UrlOps.robotsRulesRepAgent(robots,
+        "domain", "robots_txt", "GraftBot")
+      graft.llm.UrlOps.robotsAllowedRep(
+          syntheticUrls(s, d).select("doc_id", "url"), "url", rules)
+        .select("url", "url_domain", "match_target", "best_score",
+          "n_rules_matched", "allowed")
+    }),
+
+    // registered domain against a FULL public-suffix table
+    // (longest-match PSL rule via bounded explode + broadcast join)
+    // over hostile authorities: userinfo, ports, uppercase, and a
+    // deliberate 3-level suffix the fixed two-level rule can't see
+    "q478_psl_domain" -> ((s, d) => {
+      val key = col("doc_id").cast("string")
+      def u(salt: String) = PipelineOps.hash48Unit(
+        concat(key, lit(salt)))
+      val domArr = array(urlDomains.map(lit): _*)
+      val base = element_at(domArr, (floor(u("#pd") * 8) + 1)
+        .cast("int"))
+      val core = when(u("#p3") < 0.25,
+        concat(col("source"), lit(".static.example.com")))
+        .otherwise(concat(col("source"), lit("."), base))
+      val sub = when(u("#p1") < 0.3, concat(lit("w."), core))
+        .otherwise(core)
+      val cased = when(u("#p2") < 0.5, upper(sub)).otherwise(sub)
+      val auth = concat(
+        when(u("#p4") < 0.2, lit("user@")).otherwise(lit("")),
+        cased,
+        when(u("#p5") < 0.2, lit(":8080")).otherwise(lit("")))
+      val hosts = t(s, d, "documents")
+        .select(col("doc_id"), auth.as("host"))
+      val sufDf = t(s, d, "documents").sparkSession.createDataFrame(
+        (graft.llm.UrlOps.TwoLevelSuffixes ++
+          Seq("com", "org", "net", "io", "jp", "uk", "au",
+            "static.example.com")).map(Tuple1(_))).toDF("suffix")
+      graft.llm.UrlOps.registeredDomainPsl(hosts, "host", sufDf)
+        .select("doc_id", "host", "reg_domain")
     }),
 
     // D'Hondt divisor apportionment of 97 slots over the same
@@ -2646,10 +2788,8 @@ object QueriesPipeline {
         |      AS link
         |  FROM html),
         |hosts AS (SELECT
-        |    string_split(regexp_extract(url,
-        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS sl,
-        |    string_split(regexp_extract(link,
-        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS dl
+        |    string_split(${hostSql("url")}, '.') AS sl,
+        |    string_split(${hostSql("link")}, '.') AS dl
         |  FROM lk),
         |doms AS (SELECT
         |  ${regDomSql("sl")} AS src_domain,
@@ -2667,9 +2807,9 @@ object QueriesPipeline {
         |    (${h48("doc_id::VARCHAR || '#m2'")}) < 0.5 AS m2,
         |    (${h48("doc_id::VARCHAR || '#m3'")}) < 0.5 AS m3,
         |    regexp_extract(url,
-        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS h,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS h,
         |    regexp_extract(url,
-        |      '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
         |    regexp_extract(url, '\?([^#]*)', 1) AS qref
         |  FROM urls),
         |mv AS (
@@ -2769,10 +2909,9 @@ object QueriesPipeline {
         |  FROM lines
         |  WHERE regexp_extract(line, '^Disallow: (.+)$$', 1) <> ''),
         |uu AS (SELECT url,
-        |    string_split(regexp_extract(url,
-        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS l,
+        |    string_split(${hostSql("url")}, '.') AS l,
         |    regexp_extract(url,
-        |      '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth
         |  FROM urls),
         |ud AS (SELECT url, pth, ${regDomSql("l")} AS dom FROM uu),
         |j AS (SELECT ud.url, ud.dom, ud.pth, r.p
@@ -2785,10 +2924,276 @@ object QueriesPipeline {
         |FROM j GROUP BY 1, 2, 3""".stripMargin
     },
 
+    "q471_url_parse_hard" -> {
+      val domList = graft.queries.QueriesPipeline.urlDomains
+        .map(s => s"'$s'").mkString(", ")
+      raw"""WITH hard AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN (${h48("doc_id::VARCHAR || '#hs'")}) < 0.33
+        |        THEN 'HTTP'
+        |      WHEN (${h48("doc_id::VARCHAR || '#hs'")}) < 0.66
+        |        THEN 'https' ELSE 'Ftp' END) || '://' ||
+        |    (CASE WHEN (${h48("doc_id::VARCHAR || '#hu'")}) < 0.3
+        |      THEN 'user:pw@' ELSE '' END) ||
+        |    (CASE WHEN (${h48("doc_id::VARCHAR || '#hc'")}) < 0.5
+        |      THEN upper(source || '.' ||
+        |        ([$domList])[CAST(floor((${h48("doc_id::VARCHAR || '#hd'")}) * 8) AS INT) + 1])
+        |      ELSE source || '.' ||
+        |        ([$domList])[CAST(floor((${h48("doc_id::VARCHAR || '#hd'")}) * 8) AS INT) + 1]
+        |      END) ||
+        |    (CASE WHEN (${h48("doc_id::VARCHAR || '#hp'")}) < 0.3
+        |        THEN ':8080'
+        |      WHEN (${h48("doc_id::VARCHAR || '#hp'")}) < 0.5
+        |        THEN ':443' ELSE '' END) ||
+        |    '/' || lang || '/doc/' || doc_id ||
+        |    (CASE WHEN (${h48("doc_id::VARCHAR || '#hq'")}) < 0.5
+        |      THEN '?ref=' || (n_chars % 97) ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url,
+        |    '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS url_scheme,
+        |  ${hostSql("url")} AS url_host,
+        |  regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |    AS url_path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS url_query
+        |  FROM hard),
+        |lab AS (SELECT p.*, string_split(url_host, '.') AS l FROM p)
+        |SELECT doc_id, url, url_scheme, url_host,
+        |  ${regDomSql("l")} AS url_domain, url_path, url_query
+        |FROM lab""".stripMargin
+    },
+
+    "q472_robots_rep" -> {
+      val domList = graft.queries.QueriesPipeline.urlDomains
+        .map(s => s"'$s'").mkString(", ")
+      raw"""$urlsSqlCte,
+        |doms AS (SELECT unnest([$domList]) AS domain),
+        |rob AS (SELECT domain,
+        |  'User-agent: *' || chr(13) || chr(10) ||
+        |  CASE WHEN (${h48("domain || '#a1'")}) < 0.5
+        |    THEN 'Disallow: /en' || chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#a2'")}) < 0.5
+        |    THEN 'Allow: /en/doc' || chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#a3'")}) < 0.4
+        |    THEN 'Disallow: /*/doc/*7' || chr(36) || chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#a4'")}) < 0.3
+        |    THEN 'Allow: /de' || chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#a5'")}) < 0.35
+        |    THEN 'Disallow: /de*c' || chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#a6'")}) < 0.2
+        |    THEN 'Disallow: /' || chr(13) || chr(10) ELSE '' END
+        |  AS robots_txt FROM doms),
+        |lines AS (SELECT domain,
+        |    unnest(string_split(replace(robots_txt, chr(13), ''),
+        |      chr(10))) AS line
+        |  FROM rob),
+        |rr AS (SELECT domain,
+        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 1)
+        |      AS dir,
+        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 2)
+        |      AS pattern
+        |  FROM lines),
+        |rules0 AS (SELECT domain, dir = 'Allow' AS is_allow, pattern
+        |  FROM rr WHERE dir <> '' AND pattern <> ''),
+        |comp AS (SELECT domain, is_allow, pattern,
+        |    CAST(length(pattern) AS BIGINT) AS plen,
+        |    ends_with(pattern, '$$') AS anch,
+        |    CASE WHEN ends_with(pattern, '$$')
+        |      THEN substr(pattern, 1, length(pattern) - 1)
+        |      ELSE pattern END AS core
+        |  FROM rules0),
+        |rx AS (SELECT domain, is_allow, plen,
+        |    '^' || regexp_replace(regexp_replace(core,
+        |      '([.^$$+?(){}|\[\]\\])', '\\\1', 'g'),
+        |      '\*', '.*', 'g') ||
+        |    CASE WHEN anch THEN '$$' ELSE '' END AS re
+        |  FROM comp),
+        |uu AS (SELECT url,
+        |    string_split(${hostSql("url")}, '.') AS l,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |      AS pth,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS qq
+        |  FROM urls),
+        |ut AS (SELECT url, ${regDomSql("l")} AS dom,
+        |    (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+        |    (CASE WHEN qq <> '' THEN '?' || qq ELSE '' END)
+        |      AS target
+        |  FROM uu),
+        |j AS (SELECT ut.url, ut.dom, ut.target, r.is_allow, r.plen,
+        |    r.re
+        |  FROM ut LEFT JOIN rx r ON r.domain = ut.dom),
+        |sc AS (SELECT url, dom, target,
+        |    CASE WHEN re IS NOT NULL AND regexp_matches(target, re)
+        |      THEN plen * 2 +
+        |        CASE WHEN is_allow THEN 1 ELSE 0 END END AS score
+        |  FROM j),
+        |ag AS (SELECT url, dom, target,
+        |    CAST(coalesce(max(score), -1) AS BIGINT) AS best_score,
+        |    CAST(count(score) AS BIGINT) AS n_rules_matched
+        |  FROM sc GROUP BY 1, 2, 3)
+        |SELECT url, dom AS url_domain, target AS match_target,
+        |  best_score, n_rules_matched,
+        |  (best_score = -1 OR best_score % 2 = 1) AS allowed
+        |FROM ag""".stripMargin
+    },
+
+    "q477_robots_agent" -> {
+      val domList = graft.queries.QueriesPipeline.urlDomains
+        .map(s => s"'$s'").mkString(", ")
+      raw"""$urlsSqlCte,
+        |doms AS (SELECT unnest([$domList]) AS domain),
+        |rob AS (SELECT domain,
+        |  CASE WHEN (${h48("domain || '#g1'")}) < 0.5
+        |    THEN 'User-agent: graftbot' || chr(13) || chr(10) ||
+        |      'Disallow: /en' || chr(13) || chr(10) ||
+        |      CASE WHEN (${h48("domain || '#g2'")}) < 0.5
+        |        THEN 'Allow: /en/doc' || chr(13) || chr(10)
+        |        ELSE '' END
+        |    ELSE '' END ||
+        |  'User-agent: *' || chr(13) || chr(10) ||
+        |  'Disallow: /de' || chr(13) || chr(10) ||
+        |  CASE WHEN (${h48("domain || '#g3'")}) < 0.4
+        |    THEN 'User-agent: otherbot' || chr(13) || chr(10) ||
+        |      'Disallow: /' || chr(13) || chr(10)
+        |    ELSE '' END AS robots_txt
+        |  FROM doms),
+        |ls AS (SELECT domain,
+        |    string_split(replace(robots_txt, chr(13), ''), chr(10))
+        |      AS arr
+        |  FROM rob),
+        |lines AS (SELECT domain, i AS pos,
+        |    arr[CAST(i AS INTEGER)] AS line
+        |  FROM ls, unnest(range(1, len(arr) + 1)) AS t(i)),
+        |marked AS (SELECT domain, pos, line,
+        |    lower(trim(regexp_extract(line,
+        |      '^User-agent: *(.*)$$', 1))) AS ua
+        |  FROM lines),
+        |lagd AS (SELECT domain, pos, line, ua, ua <> '' AS is_ua,
+        |    coalesce(lag(ua <> '') OVER (PARTITION BY domain
+        |      ORDER BY pos), false) AS prev_ua
+        |  FROM marked),
+        |grp AS (SELECT domain, pos, line, ua, is_ua,
+        |    sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY domain ORDER BY pos) AS g
+        |  FROM lagd),
+        |flags AS (SELECT domain, g,
+        |    max(CASE WHEN ua = 'graftbot' THEN 1 ELSE 0 END)
+        |      AS has_exact,
+        |    max(CASE WHEN ua = '*' THEN 1 ELSE 0 END) AS has_star
+        |  FROM grp WHERE is_ua GROUP BY 1, 2),
+        |anyx AS (SELECT domain, max(has_exact) AS any_exact
+        |  FROM flags GROUP BY 1),
+        |govern AS (SELECT f.domain, f.g
+        |  FROM flags f JOIN anyx a USING (domain)
+        |  WHERE CASE WHEN a.any_exact = 1 THEN f.has_exact = 1
+        |        ELSE f.has_star = 1 END),
+        |rules0 AS (SELECT grp.domain,
+        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 1)
+        |      = 'Allow' AS is_allow,
+        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 2)
+        |      AS pattern
+        |  FROM grp JOIN govern
+        |    ON grp.domain = govern.domain AND grp.g = govern.g
+        |  WHERE regexp_extract(line,
+        |      '^(Allow|Disallow): *(.*)$$', 1) <> ''
+        |    AND regexp_extract(line,
+        |      '^(Allow|Disallow): *(.*)$$', 2) <> ''),
+        |comp AS (SELECT domain, is_allow, pattern,
+        |    CAST(length(pattern) AS BIGINT) AS plen,
+        |    ends_with(pattern, '$$') AS anch,
+        |    CASE WHEN ends_with(pattern, '$$')
+        |      THEN substr(pattern, 1, length(pattern) - 1)
+        |      ELSE pattern END AS core
+        |  FROM rules0),
+        |rx AS (SELECT domain, is_allow, plen,
+        |    '^' || regexp_replace(regexp_replace(core,
+        |      '([.^$$+?(){}|\[\]\\])', '\\\1', 'g'),
+        |      '\*', '.*', 'g') ||
+        |    CASE WHEN anch THEN '$$' ELSE '' END AS re
+        |  FROM comp),
+        |uu AS (SELECT url,
+        |    string_split(${hostSql("url")}, '.') AS l,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |      AS pth,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS qq
+        |  FROM urls),
+        |ut AS (SELECT url, ${regDomSql("l")} AS dom,
+        |    (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+        |    (CASE WHEN qq <> '' THEN '?' || qq ELSE '' END)
+        |      AS target
+        |  FROM uu),
+        |j AS (SELECT ut.url, ut.dom, ut.target, r.is_allow, r.plen,
+        |    r.re
+        |  FROM ut LEFT JOIN rx r ON r.domain = ut.dom),
+        |sc AS (SELECT url, dom, target,
+        |    CASE WHEN re IS NOT NULL AND regexp_matches(target, re)
+        |      THEN plen * 2 +
+        |        CASE WHEN is_allow THEN 1 ELSE 0 END END AS score
+        |  FROM j),
+        |ag AS (SELECT url, dom, target,
+        |    CAST(coalesce(max(score), -1) AS BIGINT) AS best_score,
+        |    CAST(count(score) AS BIGINT) AS n_rules_matched
+        |  FROM sc GROUP BY 1, 2, 3)
+        |SELECT url, dom AS url_domain, target AS match_target,
+        |  best_score, n_rules_matched,
+        |  (best_score = -1 OR best_score % 2 = 1) AS allowed
+        |FROM ag""".stripMargin
+    },
+
+    "q478_psl_domain" -> {
+      val domList = graft.queries.QueriesPipeline.urlDomains
+        .map(s => s"'$s'").mkString(", ")
+      val sufList = (graft.llm.UrlOps.TwoLevelSuffixes ++
+        Seq("com", "org", "net", "io", "jp", "uk", "au",
+          "static.example.com")).map(s => s"'$s'").mkString(", ")
+      raw"""WITH hard AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN (${h48("doc_id::VARCHAR || '#p4'")}) < 0.2
+        |      THEN 'user@' ELSE '' END) ||
+        |    (CASE WHEN (${h48("doc_id::VARCHAR || '#p2'")}) < 0.5
+        |      THEN upper(sub) ELSE sub END) ||
+        |    (CASE WHEN (${h48("doc_id::VARCHAR || '#p5'")}) < 0.2
+        |      THEN ':8080' ELSE '' END) AS host
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN (${h48("doc_id::VARCHAR || '#p1'")}) < 0.3
+        |        THEN 'w.' || core ELSE core END AS sub
+        |    FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN (${h48("doc_id::VARCHAR || '#p3'")}) < 0.25
+        |          THEN source || '.static.example.com'
+        |          ELSE source || '.' ||
+        |            ([$domList])[CAST(floor((${h48("doc_id::VARCHAR || '#pd'")}) * 8) AS INT) + 1]
+        |        END AS core
+        |      FROM documents))),
+        |sufs AS (SELECT unnest([$sufList]) AS suffix),
+        |hosts AS (SELECT doc_id, host,
+        |    string_split(lower(regexp_replace(regexp_replace(host,
+        |      '^[^/@]*@', ''), ':[0-9]*$$', '')), '.') AS l
+        |  FROM hard),
+        |cand AS (SELECT doc_id, k,
+        |    array_to_string(l[len(l)-CAST(k AS INT)+1:], '.')
+        |      AS cand
+        |  FROM hosts,
+        |    unnest(range(1, least(len(l) - 1, 4) + 1)) AS t(k)),
+        |m AS (SELECT doc_id, max(k) AS bk
+        |  FROM cand JOIN sufs ON cand.cand = sufs.suffix
+        |  GROUP BY 1)
+        |SELECT h.doc_id, h.host,
+        |  CASE WHEN m.bk IS NOT NULL
+        |    THEN array_to_string(
+        |      l[greatest(len(l) - CAST(bk AS INT), 1):], '.')
+        |    ELSE array_to_string(l[greatest(len(l) - 1, 1):], '.')
+        |  END AS reg_domain
+        |FROM hosts h LEFT JOIN m USING (doc_id)""".stripMargin
+    },
+
     "q469_dhondt" ->
       raw"""$urlsSqlCte,
-        |lab AS (SELECT string_split(regexp_extract(url,
-        |    '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS l, n_chars
+        |lab AS (SELECT string_split(${hostSql("url")}, '.') AS l, n_chars
         |  FROM urls),
         |dom AS (SELECT
         |  ${regDomSql("l")} AS key, n_chars FROM lab),
@@ -2804,8 +3209,7 @@ object QueriesPipeline {
 
     "q467_crawl_budget" ->
       raw"""$urlsSqlCte,
-        |lab AS (SELECT string_split(regexp_extract(url,
-        |    '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS l, n_chars
+        |lab AS (SELECT string_split(${hostSql("url")}, '.') AS l, n_chars
         |  FROM urls),
         |dom AS (SELECT
         |  ${regDomSql("l")} AS url_domain, n_chars FROM lab),
@@ -2928,10 +3332,8 @@ object QueriesPipeline {
         |      AS link
         |  FROM html),
         |hosts AS (SELECT
-        |    string_split(regexp_extract(url,
-        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS sl,
-        |    string_split(regexp_extract(link,
-        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS dl
+        |    string_split(${hostSql("url")}, '.') AS sl,
+        |    string_split(${hostSql("link")}, '.') AS dl
         |  FROM lk),
         |gg AS (SELECT DISTINCT
         |  ${regDomSql("sl")} AS src,
@@ -2956,9 +3358,9 @@ object QueriesPipeline {
         |    '<a href="([^"]*)"[^>]*>([^<]*)</a>', 0)) AS a
         |  FROM html),
         |parts AS (SELECT
-        |    string_split(regexp_extract(
-        |      regexp_extract(a, '<a href="([^"]*)"', 1),
-        |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS dl,
+        |    string_split(
+        |      ${hostSql("regexp_extract(a, '<a href=\"([^\"]*)\"', 1)")},
+        |      '.') AS dl,
         |    regexp_extract(a, '>([^<]*)</a>', 1) AS anchor
         |  FROM an)
         |SELECT ${regDomSql("dl")} AS dst_domain, anchor,
@@ -2968,12 +3370,12 @@ object QueriesPipeline {
     "q447_url_parse" ->
       raw"""$urlsSqlCte,
         |p AS (SELECT doc_id, url,
-        |  regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1)
-        |    AS url_scheme,
-        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
-        |    AS url_host,
+        |  lower(regexp_extract(url,
+        |    '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS url_scheme,
+        |  ${hostSql("url")} AS url_host,
         |  regexp_extract(url,
-        |    '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS url_path,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |    AS url_path,
         |  regexp_extract(url, '\?([^#]*)', 1) AS url_query
         |  FROM urls),
         |lab AS (SELECT p.*, string_split(url_host, '.') AS l FROM p)
@@ -2989,8 +3391,7 @@ object QueriesPipeline {
 
     "q448_domain_rollup" ->
       raw"""$urlsSqlCte,
-        |lab AS (SELECT string_split(regexp_extract(url,
-        |    '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '.') AS l, n_chars
+        |lab AS (SELECT string_split(${hostSql("url")}, '.') AS l, n_chars
         |  FROM urls),
         |dom AS (SELECT
         |  CASE WHEN len(l) >= 3 AND
@@ -3177,6 +3578,31 @@ object QueriesPipeline {
         |FROM kept GROUP BY doc_id""".stripMargin,
 
     "q128_paragraph_dedup" ->
+      raw"""WITH words AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'),
+        |    x -> length(x) > 0) AS w
+        |  FROM documents),
+        |chunked AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(w[i*4+1 : i*4+4], ' ') AS line
+        |  FROM words,
+        |    unnest(range(0, CAST(ceil(len(w) / 4.0) AS INT))) AS t(i)),
+        |nz AS (SELECT * FROM chunked WHERE length(trim(line)) > 0),
+        |k AS (
+        |  SELECT doc_id, pos, line, row_number() OVER (
+        |    PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM nz)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+        |    ORDER BY pos) AS text_clean
+        |FROM k GROUP BY 1""".stripMargin,
+
+    // the salted variant must produce byte-identical output — the
+    // SAME oracle as q128 proves the skew-safe rewrite exactly
+    "q476_paragraph_dedup_salted" ->
       raw"""WITH words AS (
         |  SELECT doc_id, list_filter(
         |    regexp_split_to_array(trim(text), '\s+'),

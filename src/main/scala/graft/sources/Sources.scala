@@ -109,6 +109,83 @@ object Sources {
     df.write.partitionBy(partitionCols: _*).mode("overwrite")
       .parquet(path)
 
+  /** Target-file-size compacted write — the operational companion to
+    * [[writePartitioned]] and the first problem a 100 TB pipeline
+    * hits in production: a plain `partitionBy` write emits one file
+    * per (shuffle task × partition value), so a 32-task shuffle over
+    * 1k partition values fragments into 32k tiny files and the NEXT
+    * job pays a listing + open-per-file tax that dwarfs the scan.
+    *
+    * Strategy (all distributed, one extra count aggregate):
+    *   1. SAMPLE the real parquet row width: write `sampleRows` rows
+    *      to a scratch file, measure bytes, delete — compressed
+    *      on-disk width, not a memory-size guess, so the target
+    *      holds under whatever codec/encoding the data compresses to
+    *      (footer overhead in the sample biases slightly small =
+    *      conservative).
+    *   2. rowsPerFile = targetBytes / bytesPerRow.
+    *   3. Repartition by the partition columns PLUS a per-partition
+    *      salt `hash(row) mod ceil(partitionRows / rowsPerFile)` —
+    *      each Hive partition gets exactly as many writer buckets as
+    *      target-size files it needs (a skewed partition value gets
+    *      many parallel writers; a small one gets one file, not 32).
+    *   4. `maxRecordsPerFile` as the hard per-file cap (belt and
+    *      braces for salt-bucket unevenness).
+    *
+    * Returns rowsPerFile (the derived cap) for auditability. */
+  def writeCompacted(df: DataFrame, path: String,
+      partitionCols: Seq[String],
+      targetBytes: Long = 256L << 20,
+      sampleRows: Int = 10000): Long = {
+    import org.apache.spark.sql.functions._
+    require(targetBytes >= 1024, s"targetBytes >= 1KiB, got $targetBytes")
+    require(sampleRows >= 1, s"sampleRows >= 1, got $sampleRows")
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(path)
+    val fs = outPath.getFileSystem(hconf)
+    val samplePath = new org.apache.hadoop.fs.Path(
+      path + "__graft_width_sample")
+    val sample = df.limit(sampleRows).cache()
+    val n = sample.count()
+    if (n == 0) {
+      sample.unpersist()
+      df.write.mode("overwrite").parquet(path)
+      return 0L
+    }
+    sample.coalesce(1).write.mode("overwrite")
+      .parquet(samplePath.toString)
+    val sampleBytes = fs.getContentSummary(samplePath).getLength
+    fs.delete(samplePath, true)
+    sample.unpersist()
+    val bytesPerRow = math.max(1.0, sampleBytes.toDouble / n)
+    val rowsPerFile =
+      math.max(1L, (targetBytes / bytesPerRow).toLong)
+    if (partitionCols.isEmpty) {
+      val cnt = df.count()
+      val nFiles =
+        math.max(1L, (cnt + rowsPerFile - 1) / rowsPerFile).toInt
+      df.repartition(nFiles).write.mode("overwrite")
+        .option("maxRecordsPerFile", rowsPerFile).parquet(path)
+    } else {
+      val pc = partitionCols.map(col)
+      val counts = df.groupBy(pc: _*)
+        .agg(count(lit(1)).as("__cnt__"))
+      val nBuckets = greatest(
+        expr(s"CAST((__cnt__ + ${rowsPerFile - 1}) div $rowsPerFile" +
+          " AS BIGINT)"), lit(1L))
+      val salted = df.join(broadcast(counts), partitionCols)
+        .withColumn("__salt__",
+          pmod(xxhash64(df.columns.map(col): _*), nBuckets))
+        .drop("__cnt__")
+      salted.repartition((pc :+ col("__salt__")): _*)
+        .select(df.columns.map(col): _*)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rowsPerFile)
+        .partitionBy(partitionCols: _*).parquet(path)
+    }
+    rowsPerFile
+  }
+
   /** Parquet with compression option (src/io/parquet.rs:369). */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

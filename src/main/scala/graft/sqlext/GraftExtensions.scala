@@ -21,6 +21,42 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+  /** Validate a scalar-parameter argument of a SQL-registered native
+    * function: it must be a foldable integer literal (INT, or a
+    * SMALLINT/TINYINT/BIGINT literal within Int range — SQL text like
+    * `cdc_cuts(s, 8, 6, 256)` parses small numbers as INT but a user
+    * may write a typed BIGINT literal). Raises a descriptive
+    * analysis-time error instead of the opaque ClassCastException a
+    * bare `eval().asInstanceOf[Int]` produces on a non-foldable or
+    * mistyped argument. */
+  private def intLit(fn: String, arg: String, e: Expression): Int = {
+    def bad(detail: String): Nothing =
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal " +
+          s"(constant, within INT range); got ${e.sql} of type " +
+          s"${e.dataType.simpleString}$detail")
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Short, ShortType) => v.toInt
+      case Literal(v: Byte, ByteType) => v.toInt
+      case Literal(v: Long, LongType)
+          if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+      case f if f.foldable => // e.g. CAST(8 AS BIGINT), 4 + 4
+        f.eval() match {
+          case i: Int => i
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case l: Long if l >= Int.MinValue && l <= Int.MaxValue =>
+            l.toInt
+          case other => bad(s" (folds to $other)")
+        }
+      case _ => bad(" (non-foldable)")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash64"),
@@ -52,8 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(MOSS): packed (pos << 40) | fp longs of the rightmost-" +
           "min k-gram hash per w-window."),
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int])))
+        intLit("winnow_fps", "k", exprs(1)),
+        intLit("winnow_fps", "w", exprs(2)))))
     ext.injectFunction((
       new FunctionIdentifier("word_lcs"),
       new ExpressionInfo(classOf[WordLcs].getName, "word_lcs",
@@ -76,9 +112,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "included): k-gram base-31 masked rolling hash == 0 mod " +
           "2^modBits, forced cuts bound chunks at maxLen chars."),
       (exprs: Seq[Expression]) => CdcCuts(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int])))
+        intLit("cdc_cuts", "k", exprs(1)),
+        intLit("cdc_cuts", "modBits", exprs(2)),
+        intLit("cdc_cuts", "maxLen", exprs(3)))))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName,

@@ -666,7 +666,14 @@ object StreamOps {
           val prev = state.getOption
             .getOrElse(JourneyStreamState("", 0L))
           val sortedRows = rows.toSeq.sortBy(_._2)
-          val inis = sortedRows.map(_._3.substring(0, 1)).mkString
+          // null/empty event types contribute an empty initial —
+          // matching the batch twin's SQL substring semantics (which
+          // maps ''/null to '') instead of throwing: an unguarded
+          // substring here is a poison pill that permanently fails
+          // the streaming query and recurs on restart
+          val inis = sortedRows.map(r => Option(r._3)
+            .filter(_.nonEmpty).map(_.substring(0, 1))
+            .getOrElse("")).mkString
           val j = prev.journey + inis
           require(j.length <= maxJourneyLen,
             s"journeyStream: key '$key' journey exceeds " +
