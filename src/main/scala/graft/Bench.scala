@@ -165,7 +165,10 @@ object Bench {
       // paragraph-dedup variant benched against q128
       "q472_robots_rep", "q473_q2_min_cost",
       "q474_q15_top_supplier", "q475_q20_part_share",
-      "q476_paragraph_dedup_salted")
+      "q476_paragraph_dedup_salted",
+      // round-9 flagship: the end-to-end crawl frontier planner
+      // (PageRank x budget x robots REP x politeness ranking)
+      "q482_url_frontier")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>
         SparkEntry.queries(name)(spark, sfDir).count()))

@@ -372,6 +372,70 @@ object UrlOps {
         col("best_score") === -1L || pmod(col("best_score"), lit(2L)) === 1L)
   }
 
+  /** Sitemap directives from robots.txt bodies — `Sitemap:` lines
+    * are file-wide (outside any agent group, RFC 9309 §2.4 / the
+    * sitemaps.org protocol): one (domain, sitemap_url) row per
+    * directive. The crawl-seed discovery primitive. Pure
+    * split+extract map. */
+  def robotsSitemaps(df: DataFrame, domainCol: String,
+      robotsTextCol: String): DataFrame =
+    df.select(col(domainCol).as("domain"),
+        explode(split(regexp_replace(col(robotsTextCol), "\r", ""),
+          "\n")).as("__line__"))
+      .select(col("domain"),
+        trim(regexp_extract(col("__line__"), "^Sitemap: *(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
+  /** Per-domain crawl delay from robots.txt bodies — the de-facto
+    * `Crawl-delay:` extension most crawlers honor. Seconds as
+    * integers; several directives in one file (per-agent groups in
+    * the wild) resolve to the MINIMUM (the conservative bound a
+    * polite fetcher obeys). Domains with no directive are absent —
+    * left-join and coalesce a default downstream. */
+  def robotsCrawlDelay(df: DataFrame, domainCol: String,
+      robotsTextCol: String): DataFrame =
+    df.select(col(domainCol).as("domain"),
+        explode(split(regexp_replace(col(robotsTextCol), "\r", ""),
+          "\n")).as("__line__"))
+      .select(col("domain"),
+        regexp_extract(col("__line__"), "^Crawl-delay: *([0-9]+)$", 1)
+          .as("__d__"))
+      .filter(col("__d__") =!= "")
+      .groupBy("domain")
+      .agg(min(col("__d__").cast("long")).as("crawl_delay_s"))
+
+  /** Politeness-constrained fetch schedule — the step between "which
+    * URLs may I fetch" (robots gate) and "when do I fetch them":
+    * within each registered domain, order URLs by priority (desc,
+    * URL asc tiebreak) and space them `crawl_delay_s` apart, so slot
+    * k fetches at offset k·delay. `delays` is the
+    * [[robotsCrawlDelay]] table; domains without a directive get
+    * `defaultDelayS`. One window over the per-domain frontier (a
+    * crawl schedules one politeness queue per domain by definition —
+    * the partition is the unit of sequential work, never global) +
+    * one broadcast-size join. Pure integer output: (url, domain,
+    * slot, fetch_offset_s). */
+  def crawlSchedule(urls: DataFrame, urlCol: String,
+      priorityCol: String, delays: DataFrame,
+      defaultDelayS: Long = 2L): DataFrame = {
+    require(defaultDelayS >= 0,
+      s"defaultDelayS >= 0, got $defaultDelayS")
+    val dom = registeredDomain(
+      regexp_extract(col(urlCol), HostRe, 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url_domain")
+      .orderBy(col(priorityCol).desc, col(urlCol).asc)
+    urls.withColumn("url_domain", dom)
+      .join(broadcast(delays.select(col("domain").as("url_domain"),
+        col("crawl_delay_s"))), Seq("url_domain"), "left")
+      .withColumn("slot", row_number().over(w).cast("long") - 1)
+      .withColumn("fetch_offset_s", col("slot") *
+        coalesce(col("crawl_delay_s"), lit(defaultDelayS)))
+      .select(col(urlCol).as("url"), col("url_domain"), col("slot"),
+        col("fetch_offset_s"))
+  }
+
   /** Largest-remainder (Hamilton) apportionment — allocate an
     * integer budget of `total` slots across keys proportionally to
     * integer weights, exactly: base = floor(total·w/W) per key, the

@@ -358,6 +358,20 @@ object QueriesCore {
       t(s, d, "supplier").select("s_suppkey", "s_name")
         .join(qual, col("s_suppkey") === col("l_suppkey"),
           "left_semi")
+    }),
+
+    // TPC-H Q11 shape: group HAVING against a global scalar fraction
+    // — parts carrying more than 1/2000 of total line value.
+    // Spark-first: one keyed agg + broadcast 1-row total, the
+    // compare cross-multiplied on exact cents (value > T/2000 <=>
+    // 2000*value > T); the oracle keeps the literal scalar subquery.
+    "q480_q11_important_parts" -> ((s, d) => {
+      val per = t(s, d, "lineitem").groupBy("l_partkey")
+        .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
+      val tot = per.agg(sum(col("value_c")).as("__T__"))
+      per.crossJoin(broadcast(tot))
+        .filter(col("value_c") * 2000 > col("__T__"))
+        .select(col("l_partkey"), col("value_c"))
     })
   )
 
@@ -595,6 +609,16 @@ object QueriesCore {
         |    (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
         |     WHERE l2.l_partkey = l1.l_partkey
         |       AND l2.l_shipdate >= TIMESTAMP '1995-01-01'
-        |       AND l2.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin
+        |       AND l2.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin,
+
+    "q480_q11_important_parts" ->
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS value_c
+        |FROM lineitem GROUP BY 1
+        |HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |  * 2000 >
+        |  (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   FROM lineitem)""".stripMargin
   )
 }

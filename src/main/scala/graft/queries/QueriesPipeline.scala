@@ -1017,6 +1017,104 @@ object QueriesPipeline {
         .select("doc_id", "host", "reg_domain")
     }),
 
+    // politeness-constrained fetch schedule: per-domain Crawl-delay
+    // directives (lottery 1-5s, default 2) space the frontier —
+    // slot k fetches at k*delay, priority = corpus chars
+    "q479_crawl_schedule" -> ((s, d) => {
+      val domDf = t(s, d, "documents").sparkSession
+        .createDataFrame(urlDomains.map(Tuple1(_)))
+        .toDF("domain")
+      def lot(salt: String) = PipelineOps.hash48Unit(
+        concat(col("domain"), lit(salt)))
+      val robots = domDf.select(col("domain"), concat(
+        lit("User-agent: *\r\n"),
+        when(lot("#cd") < 0.6, concat(lit("Crawl-delay: "),
+          (floor(lot("#cv") * 5) + 1).cast("long").cast("string"),
+          lit("\r\n"))).otherwise(lit(""))).as("robots_txt"))
+      val delays = graft.llm.UrlOps.robotsCrawlDelay(robots,
+        "domain", "robots_txt")
+      graft.llm.UrlOps.crawlSchedule(syntheticUrls(s, d), "url",
+        "n_chars", delays)
+    }),
+
+    // crawl-seed discovery: Sitemap directives extracted from
+    // robots.txt bodies (file-wide per RFC 9309 §2.4)
+    "q481_sitemaps" -> ((s, d) => {
+      val domDf = t(s, d, "documents").sparkSession
+        .createDataFrame(urlDomains.map(Tuple1(_)))
+        .toDF("domain")
+      def lot(salt: String) = PipelineOps.hash48Unit(
+        concat(col("domain"), lit(salt)))
+      val robots = domDf.select(col("domain"), concat(
+        lit("User-agent: *\r\nDisallow: /x\r\n"),
+        when(lot("#s1") < 0.7, concat(lit("Sitemap: https://"),
+          col("domain"), lit("/sitemap.xml\r\n")))
+          .otherwise(lit("")),
+        when(lot("#s2") < 0.3, concat(lit("Sitemap: https://"),
+          col("domain"), lit("/news-sitemap.xml\r\n")))
+          .otherwise(lit(""))).as("robots_txt"))
+      graft.llm.UrlOps.robotsSitemaps(robots, "domain",
+        "robots_txt")
+    }),
+
+    // END-TO-END CRAWL FRONTIER PLANNER — the composition a crawler
+    // actually runs before fetching: domain authority (exact-integer
+    // PageRank over the raw-HTML link graph, q460), crawl budget
+    // (Hamilton apportionment of 300 slots by corpus chars, q467),
+    // robots REP gating (q472's Allow/wildcard/anchor bodies), then
+    // per-domain priority ranking — fetched iff rank <= alloc
+    "q482_url_frontier" -> ((s, d) => {
+      val edges = graft.llm.UrlOps.linkGraph(syntheticHtml(s, d),
+          "url", "html")
+        .filter(col("src_domain") =!= col("dst_domain"))
+        .select(col("src_domain").as("src"),
+          col("dst_domain").as("dst"))
+      val pr = graft.graphops.GraphOps.pageRankExact(edges,
+          rounds = 2)
+        .select(col("id").as("url_domain"), col("pr"))
+      val roll = graft.llm.UrlOps.domainRollup(syntheticUrls(s, d),
+        "url", "n_chars")
+      val alloc = graft.llm.UrlOps.apportion(roll, "url_domain",
+          "n_chars_total", 300L)
+        .select(col("key").as("url_domain"), col("alloc"))
+      val domDf = t(s, d, "documents").sparkSession
+        .createDataFrame(urlDomains.map(Tuple1(_)))
+        .toDF("domain")
+      def lot(salt: String) = PipelineOps.hash48Unit(
+        concat(col("domain"), lit(salt)))
+      val robots = domDf.select(col("domain"), concat(
+        lit("User-agent: *\r\n"),
+        when(lot("#a1") < 0.5, lit("Disallow: /en\r\n"))
+          .otherwise(lit("")),
+        when(lot("#a2") < 0.5, lit("Allow: /en/doc\r\n"))
+          .otherwise(lit("")),
+        when(lot("#a3") < 0.4, lit("Disallow: /*/doc/*7$\r\n"))
+          .otherwise(lit("")),
+        when(lot("#a4") < 0.3, lit("Allow: /de\r\n"))
+          .otherwise(lit("")),
+        when(lot("#a5") < 0.35, lit("Disallow: /de*c\r\n"))
+          .otherwise(lit("")),
+        when(lot("#a6") < 0.2, lit("Disallow: /\r\n"))
+          .otherwise(lit(""))).as("robots_txt"))
+      val rules = graft.llm.UrlOps.robotsRulesRep(robots, "domain",
+        "robots_txt")
+      val allowedUrls = graft.llm.UrlOps.robotsAllowedRep(
+          syntheticUrls(s, d).select("url"), "url", rules)
+        .filter(col("allowed")).select("url", "url_domain")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("url_domain")
+        .orderBy(col("n_chars").desc, col("url").asc)
+      allowedUrls
+        .join(syntheticUrls(s, d).select("url", "n_chars"), "url")
+        .join(pr, Seq("url_domain"), "left")
+        .join(alloc, Seq("url_domain"), "left")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("fetched",
+          col("rank") <= coalesce(col("alloc"), lit(0L)))
+        .select("url", "url_domain", "pr", "alloc", "rank",
+          "fetched")
+    }),
+
     // D'Hondt divisor apportionment of 97 slots over the same
     // domain weights — the large-weight-favoring sibling of q467
     "q469_dhondt" -> ((s, d) => {
@@ -3189,6 +3287,205 @@ object QueriesPipeline {
         |    ELSE array_to_string(l[greatest(len(l) - 1, 1):], '.')
         |  END AS reg_domain
         |FROM hosts h LEFT JOIN m USING (doc_id)""".stripMargin
+    },
+
+    "q479_crawl_schedule" -> {
+      val domList = graft.queries.QueriesPipeline.urlDomains
+        .map(s => s"'$s'").mkString(", ")
+      raw"""$urlsSqlCte,
+        |doms AS (SELECT unnest([$domList]) AS domain),
+        |rob AS (SELECT domain,
+        |  'User-agent: *' || chr(13) || chr(10) ||
+        |  CASE WHEN (${h48("domain || '#cd'")}) < 0.6
+        |    THEN 'Crawl-delay: ' || CAST(CAST(floor(
+        |        (${h48("domain || '#cv'")}) * 5) AS BIGINT) + 1
+        |        AS VARCHAR) || chr(13) || chr(10)
+        |    ELSE '' END AS robots_txt
+        |  FROM doms),
+        |lines AS (SELECT domain,
+        |    unnest(string_split(replace(robots_txt, chr(13), ''),
+        |      chr(10))) AS line
+        |  FROM rob),
+        |dly AS (SELECT domain,
+        |    min(CAST(regexp_extract(line,
+        |      '^Crawl-delay: *([0-9]+)$$', 1) AS BIGINT))
+        |      AS crawl_delay_s
+        |  FROM lines
+        |  WHERE regexp_extract(line,
+        |    '^Crawl-delay: *([0-9]+)$$', 1) <> ''
+        |  GROUP BY 1),
+        |uu AS (SELECT url, n_chars,
+        |    string_split(${hostSql("url")}, '.') AS l
+        |  FROM urls),
+        |ud AS (SELECT url, n_chars, ${regDomSql("l")} AS url_domain
+        |  FROM uu),
+        |rn AS (SELECT url, url_domain,
+        |    CAST(row_number() OVER (PARTITION BY url_domain
+        |      ORDER BY n_chars DESC, url ASC) AS BIGINT) - 1
+        |      AS slot
+        |  FROM ud)
+        |SELECT rn.url, rn.url_domain, rn.slot,
+        |  rn.slot * coalesce(d.crawl_delay_s, 2) AS fetch_offset_s
+        |FROM rn LEFT JOIN dly d ON d.domain = rn.url_domain""".stripMargin
+    },
+
+    "q481_sitemaps" -> {
+      val domList = graft.queries.QueriesPipeline.urlDomains
+        .map(s => s"'$s'").mkString(", ")
+      raw"""WITH doms AS (SELECT unnest([$domList]) AS domain),
+        |rob AS (SELECT domain,
+        |  'User-agent: *' || chr(13) || chr(10) ||
+        |  'Disallow: /x' || chr(13) || chr(10) ||
+        |  CASE WHEN (${h48("domain || '#s1'")}) < 0.7
+        |    THEN 'Sitemap: https://' || domain || '/sitemap.xml' ||
+        |      chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#s2'")}) < 0.3
+        |    THEN 'Sitemap: https://' || domain ||
+        |      '/news-sitemap.xml' || chr(13) || chr(10)
+        |    ELSE '' END AS robots_txt
+        |  FROM doms),
+        |lines AS (SELECT domain,
+        |    unnest(string_split(replace(robots_txt, chr(13), ''),
+        |      chr(10))) AS line
+        |  FROM rob)
+        |SELECT domain,
+        |  trim(regexp_extract(line, '^Sitemap: *(.*)$$', 1))
+        |    AS sitemap_url
+        |FROM lines
+        |WHERE trim(regexp_extract(line, '^Sitemap: *(.*)$$', 1))
+        |  <> ''""".stripMargin
+    },
+
+    "q482_url_frontier" -> {
+      val domList = graft.queries.QueriesPipeline.urlDomains
+        .map(s => s"'$s'").mkString(", ")
+      def rnd(i: Int): String =
+        s"""r$i AS MATERIALIZED (
+           |  SELECT v.id,
+           |    CAST((85 * coalesce(s.c, 0)) // 100 AS BIGINT) +
+           |    150000000000 AS pr
+           |  FROM v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r.pr // d.deg) AS c
+           |    FROM e JOIN r${i - 1} r ON r.id = e.src
+           |    JOIN deg d ON d.id = e.src GROUP BY 1) s
+           |    ON s.id = v.id)""".stripMargin
+      raw"""$htmlSqlCte,
+        |lk AS (SELECT url,
+        |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+        |      AS link
+        |  FROM html),
+        |hosts2 AS (SELECT
+        |    string_split(${hostSql("url")}, '.') AS sl,
+        |    string_split(${hostSql("link")}, '.') AS dl
+        |  FROM lk),
+        |gg AS (SELECT DISTINCT
+        |  ${regDomSql("sl")} AS src,
+        |  ${regDomSql("dl")} AS dst
+        |  FROM hosts2),
+        |e AS (SELECT src, dst FROM gg WHERE src <> dst),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr
+        |  FROM v),
+        |""".stripMargin + rnd(1) + ",\n" + rnd(2) + ",\n" +
+        raw"""lab AS (SELECT string_split(${hostSql("url")}, '.')
+        |    AS l, n_chars
+        |  FROM urls),
+        |dom AS (SELECT
+        |  ${regDomSql("l")} AS url_domain, n_chars FROM lab),
+        |per AS (SELECT url_domain,
+        |    CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM dom GROUP BY 1),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS ww FROM per),
+        |qb AS (SELECT url_domain, w,
+        |    (w * 300) // ww AS base,
+        |    (w * 300) % ww AS rem
+        |  FROM per CROSS JOIN tw),
+        |rkq AS (SELECT *, row_number() OVER (
+        |    ORDER BY rem DESC, url_domain ASC) AS rk FROM qb),
+        |bsum AS (SELECT CAST(sum(base) AS BIGINT) AS b FROM qb),
+        |alc AS (SELECT url_domain,
+        |    CAST(base + CASE WHEN rk <= 300 - bsum.b
+        |      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |  FROM rkq CROSS JOIN bsum),
+        |doms AS (SELECT unnest([$domList]) AS domain),
+        |rob AS (SELECT domain,
+        |  'User-agent: *' || chr(13) || chr(10) ||
+        |  CASE WHEN (${h48("domain || '#a1'")}) < 0.5
+        |    THEN 'Disallow: /en' || chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#a2'")}) < 0.5
+        |    THEN 'Allow: /en/doc' || chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#a3'")}) < 0.4
+        |    THEN 'Disallow: /*/doc/*7' || chr(36) || chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#a4'")}) < 0.3
+        |    THEN 'Allow: /de' || chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#a5'")}) < 0.35
+        |    THEN 'Disallow: /de*c' || chr(13) || chr(10) ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#a6'")}) < 0.2
+        |    THEN 'Disallow: /' || chr(13) || chr(10) ELSE '' END
+        |  AS robots_txt FROM doms),
+        |rlines AS (SELECT domain,
+        |    unnest(string_split(replace(robots_txt, chr(13), ''),
+        |      chr(10))) AS line
+        |  FROM rob),
+        |rr AS (SELECT domain,
+        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 1)
+        |      AS dir,
+        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 2)
+        |      AS pattern
+        |  FROM rlines),
+        |rules0 AS (SELECT domain, dir = 'Allow' AS is_allow, pattern
+        |  FROM rr WHERE dir <> '' AND pattern <> ''),
+        |comp AS (SELECT domain, is_allow, pattern,
+        |    CAST(length(pattern) AS BIGINT) AS plen,
+        |    ends_with(pattern, '$$') AS anch,
+        |    CASE WHEN ends_with(pattern, '$$')
+        |      THEN substr(pattern, 1, length(pattern) - 1)
+        |      ELSE pattern END AS core
+        |  FROM rules0),
+        |rx AS (SELECT domain, is_allow, plen,
+        |    '^' || regexp_replace(regexp_replace(core,
+        |      '([.^$$+?(){}|\[\]\\])', '\\\1', 'g'),
+        |      '\*', '.*', 'g') ||
+        |    CASE WHEN anch THEN '$$' ELSE '' END AS re
+        |  FROM comp),
+        |uu AS (SELECT url,
+        |    string_split(${hostSql("url")}, '.') AS l,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |      AS pth,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q2
+        |  FROM urls),
+        |ut AS (SELECT url, ${regDomSql("l")} AS udom,
+        |    (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+        |    (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END)
+        |      AS target
+        |  FROM uu),
+        |j AS (SELECT ut.url, ut.udom, ut.target, r.is_allow, r.plen,
+        |    r.re
+        |  FROM ut LEFT JOIN rx r ON r.domain = ut.udom),
+        |sc AS (SELECT url, udom, target,
+        |    CASE WHEN re IS NOT NULL AND regexp_matches(target, re)
+        |      THEN plen * 2 +
+        |        CASE WHEN is_allow THEN 1 ELSE 0 END END AS score
+        |  FROM j),
+        |ag AS (SELECT url, udom,
+        |    CAST(coalesce(max(score), -1) AS BIGINT) AS best_score
+        |  FROM sc GROUP BY 1, 2),
+        |alw AS (SELECT url, udom AS url_domain FROM ag
+        |  WHERE best_score = -1 OR best_score % 2 = 1),
+        |up AS (SELECT a.url, a.url_domain, u.n_chars
+        |  FROM alw a JOIN urls u ON u.url = a.url),
+        |rnk AS (SELECT url, url_domain,
+        |    CAST(row_number() OVER (PARTITION BY url_domain
+        |      ORDER BY n_chars DESC, url ASC) AS BIGINT) AS rank
+        |  FROM up)
+        |SELECT r.url, r.url_domain, p.pr, a.alloc, r.rank,
+        |  r.rank <= coalesce(a.alloc, 0) AS fetched
+        |FROM rnk r
+        |LEFT JOIN r2 p ON p.id = r.url_domain
+        |LEFT JOIN alc a ON a.url_domain = r.url_domain""".stripMargin
     },
 
     "q469_dhondt" ->

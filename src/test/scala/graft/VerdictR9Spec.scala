@@ -233,6 +233,38 @@ class VerdictR9Spec extends SparkSpecBase {
     twoLevel.foreach { case (h, rd) => got(h) shouldBe rd }
   }
 
+  test("crawlSchedule spaces per-domain fetches by crawl-delay with " +
+      "priority order and a default for absent domains") {
+    val urls = Seq(
+      ("https://a.ex.com/big", 100L), ("https://a.ex.com/mid", 50L),
+      ("https://a.ex.com/sml", 10L), ("https://b.other.org/x", 7L),
+      ("https://b.other.org/y", 9L)).toDF("url", "prio")
+    val delays = Seq(("ex.com", 5L)).toDF("domain", "crawl_delay_s")
+    val got = UrlOps.crawlSchedule(urls, "url", "prio", delays,
+        defaultDelayS = 2L)
+      .select("url", "slot", "fetch_offset_s")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    got("https://a.ex.com/big") shouldBe ((0L, 0L))
+    got("https://a.ex.com/mid") shouldBe ((1L, 5L))
+    got("https://a.ex.com/sml") shouldBe ((2L, 10L))
+    // no directive -> default 2s; higher priority first
+    got("https://b.other.org/y") shouldBe ((0L, 0L))
+    got("https://b.other.org/x") shouldBe ((1L, 2L))
+  }
+
+  test("robotsCrawlDelay takes the minimum of multiple directives; " +
+      "robotsSitemaps extracts file-wide seeds") {
+    val robots = Seq(("ex.com",
+      "User-agent: *\r\nCrawl-delay: 7\r\nSitemap: https://ex.com/s.xml\r\n" +
+        "User-agent: fast\r\nCrawl-delay: 3\r\n")).toDF("domain", "robots_txt")
+    UrlOps.robotsCrawlDelay(robots, "domain", "robots_txt")
+      .as[(String, Long)].collect().toMap apply "ex.com" shouldBe 3L
+    UrlOps.robotsSitemaps(robots, "domain", "robots_txt")
+      .as[(String, String)].collect().toSeq shouldBe
+      Seq(("ex.com", "https://ex.com/s.xml"))
+  }
+
   // ------------------------------------------------- journeyStream guard
 
   test("journeyStream survives ''/null event types (batch-equal empty initial)") {
