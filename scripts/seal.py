@@ -26,7 +26,7 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
 def gate_counts():
     oracle = json.load(open(os.path.join(OUT, "oracle_sql.json")))
     gates = [d for d in os.listdir(OUT)
-             if d.endswith(".parquet")
+             if d.startswith("q")
              and os.path.isdir(os.path.join(OUT, d))]
     return len(gates), len(oracle)
 
@@ -54,7 +54,7 @@ def rewrite_readme(gates, oracled, tests):
         f"sbt test   # {tests} specs", s)
     rows_only = gates - oracled
     s, n3 = re.subn(
-        r"The \d+ remaining rows-only\nqueries",
+        r"The -?\d+ remaining rows-only\nqueries",
         f"The {rows_only} remaining rows-only\nqueries", s)
     open(path, "w").write(s)
     return n1, n2, n3

@@ -106,6 +106,69 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental exact dedup against an existing corpus — the first
+    * pass of "dedup the new crawl shard against the 100 TB corpus":
+    * every new doc is flagged `known` when its exact content hash
+    * already exists in the corpus. One md5-keyed join (the corpus
+    * side reduces to distinct hashes — persist that table once and
+    * every future shard joins against it); null texts carry no
+    * content and are excluded by contract (filter upstream).
+    * Returns (idCol, text_md5, known). */
+  def exactAgainst(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val ch = corpus.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("text_md5")).distinct()
+      .withColumn("__known__", lit(true))
+    newDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("text_md5"))
+      .join(ch, Seq("text_md5"), "left")
+      .select(col(idCol), col("text_md5"),
+        coalesce(col("__known__"), lit(false)).as("known"))
+  }
+
+  /** Shared banding step of the md5-portable MinHash-LSH: per-row
+    * signature -> (id, band, bucket) rows. */
+  private def mhBanded(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleSize)
+          .as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(array_join(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            "|")))))
+      .toDF("id", "band", "bucket")
+  }
+
+  /** Incremental MinHash-LSH near-dup against an existing corpus:
+    * band the new batch AND the corpus with the same signature
+    * recipe and join buckets ACROSS the two tables — candidates are
+    * (new_id, corpus_id) pairs, never new×new or corpus×corpus (the
+    * self-join variant [[minhashLshPairs]] covers within-batch
+    * dups). Hot-bucket cap applies to the CORPUS side (the side
+    * that accumulates boilerplate mass); the production deployment
+    * persists the corpus banding once and each shard only bands
+    * itself and joins. */
+  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 12,
+      bands: Int = 4, shingleSize: Int = 3,
+      maxBucket: Long = 1000L): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val n = mhBanded(newDocs, textCol, idCol, numHashes, bands,
+      shingleSize)
+    val c = capBuckets(mhBanded(corpus, textCol, idCol, numHashes,
+      bands, shingleSize), maxBucket, "band", "bucket")
+    n.as("n").join(c.as("c"),
+        col("n.band") === col("c.band") &&
+          col("n.bucket") === col("c.bucket"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+  }
+
   /** n-gram Jaccard similarity pairs >= threshold, restricted to a
     * blocking key (e.g. same source/lang) so the candidate space is
     * per-block instead of all-pairs. Token-postings join + exact

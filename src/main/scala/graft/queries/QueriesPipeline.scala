@@ -186,9 +186,9 @@ object QueriesPipeline {
     * (ports, userinfo, uppercase schemes/hosts). Plain (non-
     * interpolated) Scala string so the regex `$` anchors survive. */
   private def hostSql(e: String): String =
-    "lower(regexp_replace(regexp_replace(regexp_extract(" + e +
+    "lower(split_part(split_part(regexp_extract(" + e +
       ", '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)," +
-      " '^[^/@]*@', ''), ':[0-9]*$', ''))"
+      " '@', -1), ':', 1))"
 
   /** DuckDB rendition of UrlOps.registeredDomain over a split-host
     * list expression `l`. */
@@ -3269,8 +3269,8 @@ object QueriesPipeline {
         |      FROM documents))),
         |sufs AS (SELECT unnest([$sufList]) AS suffix),
         |hosts AS (SELECT doc_id, host,
-        |    string_split(lower(regexp_replace(regexp_replace(host,
-        |      '^[^/@]*@', ''), ':[0-9]*$$', '')), '.') AS l
+        |    string_split(lower(split_part(split_part(host,
+        |      '@', -1), ':', 1)), '.') AS l
         |  FROM hard),
         |cand AS (SELECT doc_id, k,
         |    array_to_string(l[len(l)-CAST(k AS INT)+1:], '.')

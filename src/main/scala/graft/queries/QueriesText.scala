@@ -138,6 +138,28 @@ object QueriesText {
       Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
         numHashes = 12, bands = 4, shingleSize = 3)),
 
+    // INCREMENTAL exact dedup: the 70% split plays the existing
+    // corpus, the 30% split the new crawl shard — every new doc
+    // flagged when its content hash is already known (the first
+    // pass of shard-vs-100TB-corpus dedup)
+    "q483_incremental_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+      Dedup.exactAgainst(fresh, corpus, "text", "doc_id")
+    }),
+
+    // INCREMENTAL MinHash-LSH near-dup: band both splits with the
+    // q44 recipe, join buckets ACROSS tables — (new, corpus)
+    // candidates only, corpus-side hot-bucket cap
+    "q484_incremental_lsh" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+      Dedup.minhashLshAgainst(fresh, corpus, "text", "doc_id",
+        numHashes = 12, bands = 4, shingleSize = 3)
+    }),
+
     // word-set Jaccard similarity pairs within source blocks
     "q45_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
@@ -349,38 +371,47 @@ object QueriesText {
     * shingleSize=3, maxBucket=1000) over a (doc_id, text) source:
     * tokenize, shingle with the short-doc fallback, 12 salted md5
     * min-hashes, 4 band buckets with the hot-bucket cap. */
-  private[queries] def minhashCtes(src: String): String = {
-    val sigCols = (0 until 12).map(i =>
-      s"list_min(list_transform(sh, s -> md5(s || ':$i'))) AS h$i")
-      .mkString(",\n    ")
-    val bands = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(h${3 * b} || '|' || " +
-        s"h${3 * b + 1} || '|' || h${3 * b + 2}) AS bucket FROM sig")
-      .mkString("\n    UNION ALL ")
-    raw"""toks AS (
-       |  SELECT doc_id, list_filter(
-       |      regexp_split_to_array(trim(lower(text)), '\s+'),
-       |      x -> length(x) > 0) AS tk
-       |  FROM $src),
-       |sh AS (
-       |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
-       |      list_distinct(list_transform(range(1, len(tk) - 1),
-       |        i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
-       |    ELSE [array_to_string(tk, ' ')] END AS sh
-       |  FROM toks),
-       |sig AS (
-       |  SELECT doc_id,
-       |    $sigCols
-       |  FROM sh),
-       |banded AS (
-       |  SELECT * FROM (
-       |    $bands)
-       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+  private[queries] def minhashCtes(src: String): String =
+    minhashBandedCtes(src, "", capped = true) + raw""",
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bucket = b.bucket
        |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Suffixed banding fragment (toks$sfx … banded$sfx) so two
+    * corpora can be banded in ONE oracle query (the incremental
+    * cross-corpus gates); `capped` applies the hot-bucket QUALIFY. */
+  private[queries] def minhashBandedCtes(src: String, sfx: String,
+      capped: Boolean): String = {
+    val sigCols = (0 until 12).map(i =>
+      s"list_min(list_transform(sh, s -> md5(s || ':$i'))) AS h$i")
+      .mkString(",\n    ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(h${3 * b} || '|' || " +
+        s"h${3 * b + 1} || '|' || h${3 * b + 2}) AS bucket FROM sig$sfx")
+      .mkString("\n    UNION ALL ")
+    val cap = if (capped)
+      "\n  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000"
+    else ""
+    raw"""toks$sfx AS (
+       |  SELECT doc_id, list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\s+'),
+       |      x -> length(x) > 0) AS tk
+       |  FROM $src),
+       |sh$sfx AS (
+       |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(tk) - 1),
+       |        i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+       |    ELSE [array_to_string(tk, ' ')] END AS sh
+       |  FROM toks$sfx),
+       |sig$sfx AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh$sfx),
+       |banded$sfx AS (
+       |  SELECT * FROM (
+       |    $bands)$cap)""".stripMargin
   }
 
   /** Shared CTE chain computing the portable 48-bit simhash per doc
@@ -498,6 +529,30 @@ object QueriesText {
     "q44_minhash_lsh" ->
       s"""WITH ${minhashCtes("documents")}
          |SELECT id_a, id_b FROM cand""".stripMargin,
+
+    "q483_incremental_exact" ->
+      """WITH ch AS (
+        |  SELECT DISTINCT md5(text) AS text_md5 FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 10 < 7),
+        |newd AS (
+        |  SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 10 >= 7)
+        |SELECT n.doc_id, n.text_md5,
+        |  c.text_md5 IS NOT NULL AS known
+        |FROM newd n LEFT JOIN ch c USING (text_md5)""".stripMargin,
+
+    "q484_incremental_lsh" ->
+      s"""WITH corp AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 10 < 7),
+         |newd AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 10 >= 7),
+         |${minhashBandedCtes("corp", "_c", capped = true)},
+         |${minhashBandedCtes("newd", "_n", capped = false)}
+         |SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |FROM banded_n n JOIN banded_c c
+         |  ON n.band = c.band AND n.bucket = c.bucket""".stripMargin,
 
     "q91_simhash_portable" ->
       s"""WITH $simhash48Ctes
