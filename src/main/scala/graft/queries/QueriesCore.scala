@@ -360,6 +360,287 @@ object QueriesCore {
           "left_semi")
     }),
 
+    // TPC-H Q4 shape: EXISTS semi join — order-priority counts for
+    // quarter orders having at least one returned line (the
+    // testdata's stand-in for the commit/receipt lateness predicate)
+    "q496_q4_priority_check" -> ((s, d) => {
+      val late = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-04-01") &&
+          col("o_orderdate") < lit("1995-07-01"))
+        .join(late, col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q6 shape: pure filter + aggregate (full pushdown) — the
+    // forecast-revenue-change query in exact cents
+    "q497_q6_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_c"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q5 shape: local-supplier revenue — 6-table join where
+    // customer and supplier share a nation, nations restricted to a
+    // region; revenue by nation in exact cents
+    "q491_q5_local_supplier" -> ((s, d) => {
+      val asia = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")
+          .filter(col("r_name") === "ASIA")
+          .select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1996-01-01"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer")
+          .select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("l_extendedprice") *
+          (lit(1) - col("l_discount")))).as("revenue_c"))
+    }),
+
+    // TPC-H Q7 shape: nation-pair shipping volume — revenue between
+    // two named nations (both directions), by supplier nation,
+    // customer nation, and ship year
+    "q492_q7_volume_shipping" -> ((s, d) => {
+      val supN = t(s, d, "nation")
+        .select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))
+      val cusN = t(s, d, "nation")
+        .select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer")
+          .select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supN), col("s_nationkey") === col("sk"))
+        .join(broadcast(cusN), col("c_nationkey") === col("ck"))
+        .filter(
+          (col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(cents(col("l_extendedprice") *
+          (lit(1) - col("l_discount")))).as("revenue_c"))
+    }),
+
+    // TPC-H Q8 shape: market share — one nation's supplier revenue
+    // as an exact-ppm share of a region's market, per order year
+    "q493_q8_market_share" -> ((s, d) => {
+      val america = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")
+          .filter(col("r_name") === "AMERICA")
+          .select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("ck"))
+      val supN = t(s, d, "nation")
+        .select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))
+      val vol = t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer")
+          .select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(america), col("c_nationkey") === col("ck"))
+        .join(broadcast(t(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supN), col("s_nationkey") === col("sk"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          cents(col("l_extendedprice") *
+            (lit(1) - col("l_discount"))).as("c"),
+          col("supp_nation"))
+      vol.groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", col("c"))
+            .otherwise(0L)).as("nation_c"),
+          sum(col("c")).as("market_c"))
+        .select(col("o_year"), col("nation_c"), col("market_c"),
+          expr("nation_c * 1000000 div market_c").as("share_ppm"))
+    }),
+
+    // TPC-H Q9 shape: product-line profit by supplier nation and
+    // year — revenue minus a retail-price cost basis, parts picked
+    // by brand (the testdata has no partsupp/supplycost)
+    "q494_q9_product_profit" -> ((s, d) => {
+      val pa = t(s, d, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#5",
+          "Brand#10", "Brand#15", "Brand#20"))
+        .select("p_partkey", "p_retailprice")
+      val supN = t(s, d, "nation")
+        .select(col("n_nationkey").as("sk"),
+          col("n_name").as("nation"))
+      t(s, d, "lineitem")
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supN), col("s_nationkey") === col("sk"))
+        .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(sum(cents(col("l_extendedprice") *
+            (lit(1) - col("l_discount"))) -
+          col("l_quantity").cast("long") *
+            cents(col("p_retailprice"))).as("profit_c"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue — top 20 customers by
+    // returned revenue in a quarter (deterministic tie-break on key)
+    "q495_q10_returned_items" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1995-04-01"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer")
+          .select("c_custkey", "c_name", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(cents(col("l_extendedprice") *
+          (lit(1) - col("l_discount")))).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q12 shape: join + conditional (CASE) aggregation —
+    // priority mix per return flag for 1995 shipments
+    "q485_q12_priority_mix" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .select("l_orderkey", "l_returnflag")
+      li.join(t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            1L).otherwise(0L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q13 shape: outer-join count distribution — how many
+    // customers placed k orders (k = 0 included via the left join)
+    "q486_q13_order_histogram" -> ((s, d) => {
+      val perCust = t(s, d, "customer").select("c_custkey")
+        .join(t(s, d, "orders").select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q14 shape: CASE-filtered revenue share — promo revenue
+    // as exact ppm of total (integer cents, integer div)
+    "q487_q14_promo_share" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-07-01"))
+      li.join(broadcast(t(s, d, "part")
+          .select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            cents(col("l_extendedprice") *
+              (lit(1) - col("l_discount")))).otherwise(0L))
+            .as("promo_c"),
+          sum(cents(col("l_extendedprice") *
+            (lit(1) - col("l_discount")))).as("total_c"))
+        .select(col("promo_c"), col("total_c"),
+          expr("promo_c * 1000000 div total_c").as("promo_ppm"))
+    }),
+
+    // TPC-H Q16 shape: NOT IN anti set + count(DISTINCT) — supplier
+    // variety per (brand, size band), excluding a complained-about
+    // supplier list (name ends in '7')
+    "q488_q16_supplier_cnt" -> ((s, d) => {
+      val excl = t(s, d, "supplier")
+        .filter(col("s_name").endsWith("7")).select("s_suppkey")
+      val pa = t(s, d, "part")
+        .filter(col("p_size").isin(5, 10, 15, 20))
+        .select("p_partkey", "p_brand", "p_size")
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(excl, col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q18 shape: IN over a grouped HAVING set — large orders
+    // (total quantity > 300) joined back to their customers
+    "q489_q18_large_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 300L)
+      big.join(t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")
+          .select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("total_qty"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicates after
+    // a join (OR of brand/size/quantity bands) — the pushdown
+    // stress; revenue in exact cents
+    "q490_q19_disjunctive" -> ((s, d) => {
+      val j = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+      j.filter(
+          (col("p_brand") === "Brand#1" &&
+            col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("p_size").between(5, 25) &&
+            col("l_quantity").between(10, 40)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("p_size").between(20, 50) &&
+            col("l_quantity").between(30, 60)))
+        .agg(sum(cents(col("l_extendedprice") *
+          (lit(1) - col("l_discount")))).as("revenue_c"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q11 shape: group HAVING against a global scalar fraction
     // — parts carrying more than 1/2000 of total line value.
     // Spark-first: one keyed agg + broadcast 1-row total, the
@@ -610,6 +891,183 @@ object QueriesCore {
         |     WHERE l2.l_partkey = l1.l_partkey
         |       AND l2.l_shipdate >= TIMESTAMP '1995-01-01'
         |       AND l2.l_shipdate < TIMESTAMP '1996-01-01'))""".stripMargin,
+
+    "q496_q4_priority_check" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-04-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "q497_q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q491_q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q492_q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q493_q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT) AS c,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE r_name = 'AMERICA')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN c
+        |    ELSE 0 END) AS BIGINT) AS nation_c,
+        |  CAST(sum(c) AS BIGINT) AS market_c,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN c
+        |    ELSE 0 END) * 1000000 // sum(c) AS BIGINT) AS share_ppm
+        |FROM vol GROUP BY 1""".stripMargin,
+
+    "q494_q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(l_shipdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |      * 100) AS BIGINT) -
+        |    CAST(l_quantity AS BIGINT) *
+        |      CAST(round(p_retailprice * 100) AS BIGINT))
+        |    AS BIGINT) AS profit_c
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_brand IN ('Brand#1', 'Brand#5', 'Brand#10',
+        |  'Brand#15', 'Brand#20')
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q495_q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_c DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q485_q12_priority_mix" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN
+        |    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN
+        |    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q486_q13_order_histogram" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey,
+        |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+
+    "q487_q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT) AS c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01')
+        |SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN c ELSE 0 END)
+        |    AS BIGINT) AS promo_c,
+        |  CAST(sum(c) AS BIGINT) AS total_c,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN c ELSE 0 END)
+        |    * 1000000 // sum(c) AS BIGINT) AS promo_ppm
+        |FROM j""".stripMargin,
+
+    "q488_q16_supplier_cnt" ->
+      """SELECT p_brand, CAST(p_size AS INT) AS p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (5, 10, 15, 20)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q489_q18_large_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate,
+        |  CAST(total_qty AS BIGINT) AS total_qty
+        |FROM (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT))
+        |    AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+
+    "q490_q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+        |    AND l_quantity BETWEEN 10 AND 40)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 30 AND 60)""".stripMargin,
 
     "q480_q11_important_parts" ->
       """SELECT l_partkey,
