@@ -169,9 +169,11 @@ object Bench {
       // round-9 flagship: the end-to-end crawl frontier planner
       // (PageRank x budget x robots REP x politeness ranking)
       "q482_url_frontier",
-      // round-9 late: incremental cross-corpus LSH dedup, the
-      // 6-table Q5 join, and the Q13 outer-join histogram
-      "q484_incremental_lsh", "q491_q5_local_supplier",
+      // round-9 late: incremental cross-corpus LSH dedup (the
+      // xxhash64 production kernel — its md5 oracle twin q484 is
+      // gate-only, like q44), the 6-table Q5 join, and the Q13
+      // outer-join histogram
+      "q498_incremental_lsh_fast", "q491_q5_local_supplier",
       "q486_q13_order_histogram")
     val ops = microOps ++ headline.map(name =>
       Op(name, aqe = true, cpus, () =>

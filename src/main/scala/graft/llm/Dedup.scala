@@ -169,6 +169,69 @@ object Dedup {
       .distinct()
   }
 
+  /** Production-speed twin of [[minhashLshAgainst]]: xxhash64
+    * signatures (codegen'd — the md5 recipe is interpreted hex-string
+    * work that measured ~80 s at sf0.1 where this runs in ~1 s; the
+    * same kernel-vs-portable split as winnowingFingerprintsFast /
+    * cdcChunksFast). Identical banding, cap and cross-table join;
+    * the md5 variant remains the engine-portable oracle twin. */
+  def minhashLshAgainstFast(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 12,
+      bands: Int = 4, shingleSize: Int = 3,
+      maxBucket: Long = 1000L): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    // Signature plan shape matters more than the hash function here
+    // (measured): 12 parallel array_min(transform(...)) columns run
+    // INTERPRETED and re-materialize the shingle array per copy
+    // (~90 s at sf0.1); even one explode over HOF-built shingles
+    // pays ~10 µs of interpreted array_join(slice(...)) per shingle
+    // (~53 s at organic 10×). The all-codegen shape: posexplode the
+    // tokens, build each shingle with lead() windows + concat_ws
+    // (per-doc partitions — tiny), then numHashes map-side-partial
+    // min(xxhash64) aggregates. Duplicate shingles are harmless
+    // under min(), so no distinct pass. Short docs (< shingleSize
+    // tokens) fall back to the whole text as one shingle, matching
+    // guardedShingles.
+    def banded(df: DataFrame) = {
+      val toks = TextFunctions.tokens(lower(col(textCol)))
+      val base = df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), toks.as("__tk__"))
+      val w = Window.partitionBy("id").orderBy("__p__")
+      val leadCols = (1 until shingleSize).map(k =>
+        lead(col("__t__"), k).over(w).as(s"__l${k}__"))
+      val longSh = base.filter(size(col("__tk__")) >= shingleSize)
+        .select(col("id"),
+          posexplode(col("__tk__")).as(Seq("__p__", "__t__")))
+        .select((col("id") +: col("__t__") +: leadCols): _*)
+        .filter(col(s"__l${shingleSize - 1}__").isNotNull)
+        .select(col("id"), concat_ws(" ",
+          col("__t__") +: (1 until shingleSize).map(k =>
+            col(s"__l${k}__")): _*).as("__s__"))
+      val shortSh = base.filter(size(col("__tk__")) < shingleSize)
+        .select(col("id"), array_join(col("__tk__"), " ").as("__s__"))
+      val mins = longSh.union(shortSh)
+        .groupBy("id")
+        .agg(min(xxhash64(lit(0), col("__s__"))).as("h0"),
+          (1 until numHashes).map(seed =>
+            min(xxhash64(lit(seed), col("__s__"))).as(s"h$seed")): _*)
+      mins.select(col("id"), posexplode(array((0 until bands).map {
+        b =>
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"h$i")): _*)
+      }: _*)))
+        .toDF("id", "band", "bucket")
+    }
+    val n = banded(newDocs)
+    val c = capBuckets(banded(corpus), maxBucket, "band", "bucket")
+    n.as("n").join(c.as("c"),
+        col("n.band") === col("c.band") &&
+          col("n.bucket") === col("c.bucket"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+  }
+
   /** n-gram Jaccard similarity pairs >= threshold, restricted to a
     * blocking key (e.g. same source/lang) so the candidate space is
     * per-block instead of all-pairs. Token-postings join + exact

@@ -160,6 +160,17 @@ object QueriesText {
         numHashes = 12, bands = 4, shingleSize = 3)
     }),
 
+    // production-speed incremental LSH (xxhash64 codegen kernel —
+    // rows-only by nature; q484 is its hash-matched md5 twin, the
+    // winnowing/CDC kernel-vs-portable split)
+    "q498_incremental_lsh_fast" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+      Dedup.minhashLshAgainstFast(fresh, corpus, "text", "doc_id",
+        numHashes = 12, bands = 4, shingleSize = 3)
+    }),
+
     // word-set Jaccard similarity pairs within source blocks
     "q45_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",

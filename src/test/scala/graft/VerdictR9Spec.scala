@@ -265,6 +265,30 @@ class VerdictR9Spec extends SparkSpecBase {
       Seq(("ex.com", "https://ex.com/s.xml"))
   }
 
+  test("incremental LSH: fast (xxhash64) and portable (md5) variants " +
+      "both recover planted cross-corpus duplicates") {
+    import graft.llm.Dedup
+    val corpus = (1 to 40).map(i => (i.toLong,
+      s"alpha beta gamma delta epsilon zeta eta theta doc $i " +
+        s"unique tokens ${i * 7} ${i * 13}"))
+    val fresh = (1 to 10).map(i => (100L + i, corpus(i - 1)._2)) ++
+      (11 to 20).map(i => (100L + i,
+        s"totally different content row $i nothing shared " +
+          s"${i * 31} ${i * 37} lorem ipsum dolor sit amet"))
+    val cDf = corpus.toDF("doc_id", "text")
+    val nDf = fresh.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "corpus_id").as[(Long, Long)]
+        .collect().toSet
+    val slow = pairs(Dedup.minhashLshAgainst(nDf, cDf, "text", "doc_id"))
+    val fast = pairs(Dedup.minhashLshAgainstFast(nDf, cDf, "text", "doc_id"))
+    val planted = (1 to 10).map(i => (100L + i, i.toLong)).toSet
+    assert(planted.subsetOf(slow),
+      s"portable variant missed ${planted -- slow}")
+    assert(planted.subsetOf(fast),
+      s"fast variant missed ${planted -- fast}")
+  }
+
   // ------------------------------------------------- journeyStream guard
 
   test("journeyStream survives ''/null event types (batch-equal empty initial)") {
