@@ -181,6 +181,45 @@ object Dedup {
       maxBucket: Long = 1000L): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val n = fastBanded(newDocs, textCol, idCol, numHashes, bands,
+      shingleSize)
+    val c = capBuckets(fastBanded(corpus, textCol, idCol, numHashes,
+      bands, shingleSize), maxBucket, "band", "bucket")
+    n.as("n").join(c.as("c"),
+        col("n.band") === col("c.band") &&
+          col("n.bucket") === col("c.bucket"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+  }
+
+  /** Production-speed SELF-join LSH pairs — the codegen twin of the
+    * md5-portable [[minhashLshPairs]], with the same banding, cap
+    * and pair semantics but the [[fastBanded]] signature plan
+    * (80× at sf0.1, see SCALE.md round 9). Use this in pipelines;
+    * the md5 variant remains the oracle form. */
+  def minhashLshPairsFast(df: DataFrame, textCol: String,
+      idCol: String, numHashes: Int = 12, bands: Int = 4,
+      shingleSize: Int = 3, maxBucket: Long = 1000L): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val banded = capBuckets(fastBanded(df, textCol, idCol, numHashes,
+      bands, shingleSize), maxBucket, "band", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** All-codegen MinHash banding: (id, band, bucket) rows via
+    * posexplode + lead-window shingling + map-side-partial
+    * min(xxhash64) aggregates. See the Scaladoc on
+    * [[minhashLshAgainstFast]] and SCALE.md round 9 for why this
+    * plan shape (and not HOF columns) is the production path. */
+  private def fastBanded(df: DataFrame, textCol: String,
+      idCol: String, numHashes: Int, bands: Int,
+      shingleSize: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Signature plan shape matters more than the hash function here
     // (measured): 12 parallel array_min(transform(...)) columns run
@@ -194,42 +233,33 @@ object Dedup {
     // under min(), so no distinct pass. Short docs (< shingleSize
     // tokens) fall back to the whole text as one shingle, matching
     // guardedShingles.
-    def banded(df: DataFrame) = {
-      val toks = TextFunctions.tokens(lower(col(textCol)))
-      val base = df.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("id"), toks.as("__tk__"))
-      val w = Window.partitionBy("id").orderBy("__p__")
-      val leadCols = (1 until shingleSize).map(k =>
-        lead(col("__t__"), k).over(w).as(s"__l${k}__"))
-      val longSh = base.filter(size(col("__tk__")) >= shingleSize)
-        .select(col("id"),
-          posexplode(col("__tk__")).as(Seq("__p__", "__t__")))
-        .select((col("id") +: col("__t__") +: leadCols): _*)
-        .filter(col(s"__l${shingleSize - 1}__").isNotNull)
-        .select(col("id"), concat_ws(" ",
-          col("__t__") +: (1 until shingleSize).map(k =>
-            col(s"__l${k}__")): _*).as("__s__"))
-      val shortSh = base.filter(size(col("__tk__")) < shingleSize)
-        .select(col("id"), array_join(col("__tk__"), " ").as("__s__"))
-      val mins = longSh.union(shortSh)
-        .groupBy("id")
-        .agg(min(xxhash64(lit(0), col("__s__"))).as("h0"),
-          (1 until numHashes).map(seed =>
-            min(xxhash64(lit(seed), col("__s__"))).as(s"h$seed")): _*)
-      mins.select(col("id"), posexplode(array((0 until bands).map {
-        b =>
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"h$i")): _*)
-      }: _*)))
-        .toDF("id", "band", "bucket")
-    }
-    val n = banded(newDocs)
-    val c = capBuckets(banded(corpus), maxBucket, "band", "bucket")
-    n.as("n").join(c.as("c"),
-        col("n.band") === col("c.band") &&
-          col("n.bucket") === col("c.bucket"))
-      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
-      .distinct()
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), toks.as("__tk__"))
+    val w = Window.partitionBy("id").orderBy("__p__")
+    val leadCols = (1 until shingleSize).map(k =>
+      lead(col("__t__"), k).over(w).as(s"__l${k}__"))
+    val longSh = base.filter(size(col("__tk__")) >= shingleSize)
+      .select(col("id"),
+        posexplode(col("__tk__")).as(Seq("__p__", "__t__")))
+      .select((col("id") +: col("__t__") +: leadCols): _*)
+      .filter(col(s"__l${shingleSize - 1}__").isNotNull)
+      .select(col("id"), concat_ws(" ",
+        col("__t__") +: (1 until shingleSize).map(k =>
+          col(s"__l${k}__")): _*).as("__s__"))
+    val shortSh = base.filter(size(col("__tk__")) < shingleSize)
+      .select(col("id"), array_join(col("__tk__"), " ").as("__s__"))
+    val mins = longSh.union(shortSh)
+      .groupBy("id")
+      .agg(min(xxhash64(lit(0), col("__s__"))).as("h0"),
+        (1 until numHashes).map(seed =>
+          min(xxhash64(lit(seed), col("__s__"))).as(s"h$seed")): _*)
+    mins.select(col("id"), posexplode(array((0 until bands).map {
+      b =>
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"h$i")): _*)
+    }: _*)))
+      .toDF("id", "band", "bucket")
   }
 
   /** n-gram Jaccard similarity pairs >= threshold, restricted to a

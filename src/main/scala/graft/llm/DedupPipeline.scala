@@ -29,9 +29,12 @@ object DedupPipeline {
     val exact = withHash.join(exactRep, "__md5__")
     val survivors = exact.filter(col(idCol) === col("__exact_rep__"))
 
-    // 2.+3. near-dup pairs among exact representatives, verified
-    val candidates = Dedup.minhashLshPairs(survivors, textCol, idCol,
-      numHashes, bands, shingleSize)
+    // 2.+3. near-dup pairs among exact representatives, verified.
+    // The codegen LSH kernel (80× over the HOF md5 recipe at sf0.1,
+    // SCALE.md round 9); candidate recall differences vs the md5
+    // twin wash out in the exact-Jaccard verification below.
+    val candidates = Dedup.minhashLshPairsFast(survivors, textCol,
+      idCol, numHashes, bands, shingleSize)
     val sets = survivors.select(col(idCol).as("__sid__"),
       graft.functions.TextFunctions.wordSet(col(textCol)).as("__ws__"))
     val confirmed = candidates

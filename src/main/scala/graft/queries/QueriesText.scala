@@ -171,6 +171,12 @@ object QueriesText {
         numHashes = 12, bands = 4, shingleSize = 3)
     }),
 
+    // production-speed SELF-join LSH pairs (codegen kernel; q44 is
+    // the md5 oracle twin — the within-batch dedup production path)
+    "q499_minhash_lsh_fast" -> ((s, d) =>
+      Dedup.minhashLshPairsFast(t(s, d, "documents"), "text",
+        "doc_id", numHashes = 12, bands = 4, shingleSize = 3)),
+
     // word-set Jaccard similarity pairs within source blocks
     "q45_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",

@@ -136,8 +136,15 @@ class LlmOpsSpec extends SparkSpecBase {
   }
 
   test("dedupCorpus collapses exact and transitive near-duplicates") {
+    // bands = 12 (one hash per band): doc 3's SHINGLE jaccard vs doc
+    // 1 is only 4/10 (one changed word breaks 3 of 7 shingles), so
+    // per-band collision is J^rowsPerBand — at the old bands=6 the
+    // miss probability was ~35% per hash family (the md5 family
+    // happened to collide; xxhash64 happened not to). One row per
+    // band makes recall structural (miss 0.6^12 ≈ 0.2%), and the
+    // kernel is deterministic so green here is green forever.
     val out = DedupPipeline.dedupCorpus(docs, "text", "id",
-      bands = 6, jaccardThreshold = 0.7)
+      bands = 12, jaccardThreshold = 0.7)
     val rows = out.select("id", "keep", "dup_group")
       .as[(Long, Boolean, Long)].collect()
       .map(t => t._1 -> (t._2, t._3)).toMap

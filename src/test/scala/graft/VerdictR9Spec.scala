@@ -287,6 +287,14 @@ class VerdictR9Spec extends SparkSpecBase {
       s"portable variant missed ${planted -- slow}")
     assert(planted.subsetOf(fast),
       s"fast variant missed ${planted -- fast}")
+    // the self-join production kernel recovers planted dups too:
+    // every (corpus doc, its copy) must pair within the combined set
+    val selfPairs = Dedup.minhashLshPairsFast(
+        cDf.union(nDf), "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val plantedSelf = (1 to 10).map(i => (i.toLong, 100L + i)).toSet
+    assert(plantedSelf.subsetOf(selfPairs),
+      s"self-join kernel missed ${plantedSelf -- selfPairs}")
   }
 
   // ------------------------------------------------- journeyStream guard
