@@ -119,6 +119,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental nearest-existing report — the embedding side of
+    * shard-vs-corpus dedup (SemDeDup's deployment shape): for every
+    * NEW vector, its closest CORPUS vector among hyperplane-LSH
+    * bucket mates (exact cosine, round 6; ties to the smallest
+    * corpus id; new vectors whose bucket has no corpus mate are
+    * absent — they are by construction not near-duplicates at the
+    * probe's recall). Corpus-side hot buckets capped at `maxBucket`
+    * (the side that accumulates boilerplate mass). One bucket
+    * equi-join + one per-new-id top-1 window — never all-pairs.
+    * `portable = true` uses the md5-derived planes so an external
+    * engine replays bucket assignment (the oracle form). */
+  def nearestExisting(newDocs: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, planes: Int = 8,
+      maxBucket: Long = 1000L,
+      portable: Boolean = false): DataFrame = {
+    def bucketOf(v: Column) =
+      if (portable) hyperplaneBucketPortable(v, planes)
+      else hyperplaneBucket(v, planes)
+    val n = newDocs.select(col(idCol).as("new_id"),
+      col(vecCol).as("__nv__"), bucketOf(col(vecCol)).as("__b__"))
+    val c0 = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("__cv__"), bucketOf(col(vecCol)).as("__b__"))
+    val c = c0.withColumn("__bc__", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__b__")))
+      .filter(col("__bc__") <= maxBucket).drop("__bc__")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("new_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    n.join(c, "__b__")
+      .withColumn("cosine",
+        round(cosine(col("__nv__"), col("__cv__")), 6))
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .select(col("new_id"), col("corpus_id"), col("cosine"))
+  }
+
   /** LSH-bucketed top-k: probe only rows whose bucket matches the
     * query's bucket in ANY of the `tables` independent hash tables
     * (each table = its own hash-derived plane set, OR-probe) — recall

@@ -278,6 +278,18 @@ object QueriesText {
         "embedding", "vec_id", q, 10, nLists = 8, nProbe = 2)
     }),
 
+    // incremental nearest-existing (the embedding side of
+    // shard-vs-corpus dedup): every new vector's closest corpus
+    // vector among portable hyperplane-LSH bucket mates, exact
+    // cosine round 6, ties to smallest corpus id
+    "q500_incremental_embed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(pmod(col("vec_id"), lit(10)) < 7)
+      val fresh = emb.filter(pmod(col("vec_id"), lit(10)) >= 7)
+      Similarity.nearestExisting(fresh, corpus, "embedding",
+        "vec_id", planes = 4, portable = true)
+    }),
+
     // int8 scalar-quantized ANN: per-dim min/max quantizer, codes
     // scanned instead of floats (4× IO cut at rest), asymmetric
     // dequantized-dot scoring vs the full-precision query
@@ -826,6 +838,39 @@ object QueriesText {
         |     sqrt(list_dot_product(qv, qv))), 6) AS cosine
         |FROM assign JOIN probe USING (ci), q
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q500_incremental_embed" -> {
+      def proj(p: Int, v: String): String =
+        s"""list_sum(list_transform(range(1, len($v) + 1),
+           |  i -> $v[i] * (list_sum(list_transform(range(1, 13),
+           |    j -> (strpos('0123456789abcdef',
+           |        substr(md5('p${p}d' || CAST(i - 1 AS VARCHAR)), j, 1))
+           |      - 1) * power(16, 12 - j))) / 281474976710656.0
+           |    * 2 - 1)))""".stripMargin
+      def bucket(v: String): String =
+        (0 until 4).map(p =>
+          s"(CASE WHEN ${proj(p, v)} >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |corp AS (SELECT vec_id AS corpus_id, v,
+         |    ${bucket("v")} AS b
+         |  FROM e WHERE vec_id % 10 < 7),
+         |corpc AS (SELECT * FROM corp
+         |  QUALIFY count(*) OVER (PARTITION BY b) <= 1000),
+         |newd AS (SELECT vec_id AS new_id, v AS nv,
+         |    ${bucket("v")} AS b
+         |  FROM e WHERE vec_id % 10 >= 7),
+         |j AS (SELECT new_id, corpus_id,
+         |    round(list_dot_product(nv, v) /
+         |      (sqrt(list_dot_product(nv, nv)) *
+         |       sqrt(list_dot_product(v, v))), 6) AS cosine
+         |  FROM newd JOIN corpc USING (b))
+         |SELECT new_id, corpus_id, cosine FROM j
+         |QUALIFY row_number() OVER (PARTITION BY new_id
+         |  ORDER BY cosine DESC, corpus_id ASC) = 1""".stripMargin
+    },
 
     "q115_embed_lsh_portable" -> {
       // proj of plane p over a DOUBLE[] expression: w(p,i) =
