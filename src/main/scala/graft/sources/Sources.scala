@@ -186,6 +186,35 @@ object Sources {
     rowsPerFile
   }
 
+  /** Small-file audit for an existing parquet dataset — the DETECTOR
+    * whose fix is [[writeCompacted]]: one distributed scan groups
+    * rows by physical file (input_file_name), joined with the
+    * filesystem's recursive size listing. Returns one row per data
+    * file: (file name, rows, bytes). Run it on a slow-to-list table;
+    * thousands of KB-sized rows here mean the next job pays an
+    * open-per-file tax that dwarfs its scan. */
+  def fileReport(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val byFile = spark.read.parquet(path)
+      .groupBy(substring_index(
+        org.apache.spark.sql.functions.input_file_name(), "/", -1)
+        .as("file"))
+      .agg(count(lit(1)).as("rows"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = scala.collection.mutable.ListBuffer[(String, Long)]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet"))
+        sizes += ((name, st.getLen))
+    }
+    import spark.implicits._
+    byFile.join(sizes.toSeq.toDF("file", "bytes"), Seq("file"))
+      .select(col("file"), col("rows"), col("bytes"))
+  }
+
   /** Parquet with compression option (src/io/parquet.rs:369). */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

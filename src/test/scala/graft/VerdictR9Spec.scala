@@ -76,6 +76,27 @@ class VerdictR9Spec extends SparkSpecBase {
     spark.read.parquet(dir).count() shouldBe 1000
   }
 
+  test("fileReport audits every written file with per-file rows + bytes " +
+      "(the detector writeCompacted fixes)") {
+    val dir = tmp("graft_filereport")
+    val df = (1 to 500).toDF("i")
+      .withColumn("v", md5(col("i").cast("string")))
+    val rpf = Sources.writeCompacted(df, dir, Seq.empty,
+      targetBytes = 4096, sampleRows = 200)
+    val rep = Sources.fileReport(spark, dir)
+      .select("file", "rows", "bytes")
+      .as[(String, Long, Long)].collect()
+    rep.map(_._2).sum shouldBe 500L
+    rep.foreach { case (f, r, b) =>
+      withClue(s"file $f: ") {
+        r should be <= rpf
+        b should be > 0L
+      }
+    }
+    rep.length.toLong shouldBe
+      parquetFiles(new java.io.File(dir)).size.toLong
+  }
+
   test("writeCompacted on an empty frame writes an empty dataset and returns 0") {
     val dir = tmp("graft_compact_empty")
     val df = Seq.empty[(Long, String)].toDF("i", "v")
