@@ -240,6 +240,20 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"micro_op_rows":$targetRows,"loadavg":$loadavg,"other_jvms":$otherJvms,"sf":"$sfDir"}"""
     println(line)
+    // self-contained SUMMARY line printed LAST (≤300 chars): the
+    // driver's record keeps only a bounded TAIL of stdout, and the
+    // full line above (~3 kB of per-query timings) loses its head —
+    // the BASELINE.md-graded micro-ops — to that truncation. Any
+    // tail capture that contains this line is a complete record.
+    val microNames = Seq("csv_read", "groupby_sum", "join",
+      "string_ops", "rolling_window")
+    val microJson = microNames.flatMap(n => timings.get(n)
+      .map(v => "\"" + n + "\":" + math.round(v * 1000) / 1000.0))
+      .mkString("{", ",", "}")
+    println(s"""{"summary":true,"micro":$microJson,"total":${
+      math.round(total * 10) / 10.0},"n_queries":${timings.size
+      },"loadavg":${math.round(loadavg * 100) / 100.0
+      },"other_jvms":$otherJvms,"sf":"$sfDir"}""")
     // belt-and-braces: also write the line to a file so the result
     // survives any stdout wrapping by the build tool.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

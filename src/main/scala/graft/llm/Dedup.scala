@@ -70,8 +70,19 @@ object Dedup {
     * self-join. A hot bucket (boilerplate-heavy corpora, near-identical
     * band signatures) otherwise emits O(m²) candidate pairs and one
     * skewed key can dominate a 100 TB run — same skew rationale as the
-    * maxDf postings guard in [[ngramJaccardPairs]]. Docs in dropped
-    * buckets can still pair through their other bands. */
+    * maxDf postings guard in [[ngramJaccardPairs]].
+    *
+    * DROP vs SAMPLE is a deliberate choice: dropping the whole bucket
+    * is deterministic and engine-replayable (a sampled bucket would
+    * need a seeded lottery in both engines and still emits
+    * maxBucket² pairs of mostly-boilerplate matches), and its recall
+    * cost is backstopped twice — docs in a dropped bucket can still
+    * pair through their OTHER bands, and the staged pipeline's
+    * exact-hash stage 1 has already collapsed identical texts, so a
+    * hot bucket is overwhelmingly boilerplate that exact dedup
+    * missed by a token. Corpora where hot buckets carry real
+    * near-dups should raise maxBucket (cost grows quadratically) or
+    * add bands (cost grows linearly) rather than sample. */
   private def capBuckets(banded: DataFrame, maxBucket: Long,
       keys: String*): DataFrame =
     if (maxBucket == Long.MaxValue) banded

@@ -19,9 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object DedupPipeline {
 
+  /** @param fast choose the candidate-generation kernel: `true`
+    *   (default) = the codegen xxhash64 kernel (80× over the HOF md5
+    *   recipe at sf0.1, SCALE.md round 9); `false` = the portable
+    *   md5 kernel that replays in any engine. RECALL SENSITIVITY:
+    *   the two kernels draw DIFFERENT minhash permutations, so at
+    *   identical (numHashes, bands) a borderline near-dup pair can
+    *   land in candidates under one kernel and not the other (the
+    *   round-9 switch needed bands 6→12 to keep a known near-dup in
+    *   LlmOpsSpec). When migrating callers between kernels, re-tune
+    *   bands — more bands = higher recall, more candidate volume;
+    *   precision is unaffected either way because stage 3 verifies
+    *   candidates with exact Jaccard. */
   def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 12, bands: Int = 4, shingleSize: Int = 3,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8,
+      fast: Boolean = true): DataFrame = {
     // 1. exact: representative = min id per identical text
     val withHash = df.withColumn("__md5__", md5(col(textCol)))
     val exactRep = withHash.groupBy("__md5__")
@@ -30,11 +43,15 @@ object DedupPipeline {
     val survivors = exact.filter(col(idCol) === col("__exact_rep__"))
 
     // 2.+3. near-dup pairs among exact representatives, verified.
-    // The codegen LSH kernel (80× over the HOF md5 recipe at sf0.1,
-    // SCALE.md round 9); candidate recall differences vs the md5
-    // twin wash out in the exact-Jaccard verification below.
-    val candidates = Dedup.minhashLshPairsFast(survivors, textCol,
-      idCol, numHashes, bands, shingleSize)
+    // Kernel per `fast` (see scaladoc); candidate recall differences
+    // between kernels wash out in the exact-Jaccard verification
+    // below ONLY for pairs both kernels surface — band tuning decides
+    // which pairs are surfaced at all.
+    val candidates =
+      if (fast) Dedup.minhashLshPairsFast(survivors, textCol,
+        idCol, numHashes, bands, shingleSize)
+      else Dedup.minhashLshPairs(survivors, textCol,
+        idCol, numHashes, bands, shingleSize)
     val sets = survivors.select(col(idCol).as("__sid__"),
       graft.functions.TextFunctions.wordSet(col(textCol)).as("__ws__"))
     val confirmed = candidates

@@ -36,15 +36,23 @@ object UrlOps {
     * `user@` userinfo (everything up to the LAST `@` — the RFC 3986
     * delimiter), drop `:port` (everything from the first `:`),
     * lowercase (hostnames are case-insensitive; RFC 3986 §3.2.2).
+    * Bracketed IPv6 literals (`[::1]:8080`) keep their bracketed
+    * host `[::1]` — the first-colon port strip would otherwise
+    * collapse them to `[` (RFC 3986 §3.2.2 IP-literal form).
     * Plain substring_index scans, NOT regexes: registeredDomain
     * replicates this subtree several times per call site (Column
     * composition has no let-binding and conditional branches defeat
     * codegen subexpression elimination), so per-copy cost is what
     * the link-graph gates pay per exploded href — regexes here
     * measured ~1.8× on the q457/q459/q460 family. DuckDB replays
-    * with split_part (same last-@/first-: semantics). */
-  def hostOfAuthority(auth: Column): Column =
-    lower(substring_index(substring_index(auth, "@", -1), ":", 1))
+    * with split_part (same last-@/first-: semantics; the IPv6
+    * branch replays as a starts_with CASE). */
+  def hostOfAuthority(auth: Column): Column = {
+    val noUser = substring_index(auth, "@", -1)
+    when(noUser.startsWith("["),
+      lower(concat(substring_index(noUser, "]", 1), lit("]"))))
+      .otherwise(lower(substring_index(noUser, ":", 1)))
+  }
 
   /** Query string: after the first `?`, up to `#`. */
   val QueryRe = "\\?([^#]*)"
@@ -117,7 +125,13 @@ object UrlOps {
     // the whole host is never its own suffix+1)
     val withId = df.withColumn("__host__", host)
       .withColumn("__n__", n)
+    // single-label hosts generate NO candidates (sequence(1, 0)
+    // would emit a DESCENDING [1, 0] — a k=0 empty suffix — rather
+    // than an empty array; the filter keeps the 'k < label count'
+    // invariant honest and such hosts fall through to the
+    // last-two-labels fallback = the host itself)
     val cand = withId
+      .filter(col("__n__") > 1)
       .select(col("__host__"),
         explode(sequence(lit(1),
           least(col("__n__") - 1, lit(maxDepth)))).as("__k__"))
@@ -204,6 +218,8 @@ object UrlOps {
   /** Parse robots.txt bodies into (domain, disallow_prefix) rules:
     * split lines, keep `Disallow:` directives, drop empty prefixes
     * (an empty Disallow means allow-all in the robots protocol).
+    * Directive keys match case-insensitively (`(?i)` — RFC 9309 §2.1;
+    * real-world files overwhelmingly write `disallow:` lowercase).
     * Simplified single-agent form — production adds per-agent
     * sections; the parse/explode/join shape is identical. */
   def robotsRules(df: DataFrame, domainCol: String,
@@ -215,7 +231,7 @@ object UrlOps {
         explode(split(regexp_replace(col(robotsTextCol), "\r", ""),
           "\n")).as("__line__"))
       .select(col("domain"),
-        regexp_extract(col("__line__"), "^Disallow: (.+)$", 1)
+        regexp_extract(col("__line__"), "(?i)^Disallow: (.+)$", 1)
           .as("disallow_prefix"))
       .filter(col("disallow_prefix") =!= "")
 
@@ -257,7 +273,7 @@ object UrlOps {
     val lines = df.select(col(domainCol).as("domain"),
       explode(split(regexp_replace(col(robotsTextCol), "\r", ""),
         "\n")).as("__line__"))
-    val dirRe = "^(Allow|Disallow): *(.*)$"
+    val dirRe = "(?i)^(Allow|Disallow): *(.*)$"
     val rules = lines.select(col("domain"),
         regexp_extract(col("__line__"), dirRe, 1).as("__dir__"),
         regexp_extract(col("__line__"), dirRe, 2).as("pattern"))
@@ -286,8 +302,8 @@ object UrlOps {
     require(agent.nonEmpty, "robotsRulesRepAgent: agent required")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("domain").orderBy("__pos__")
-    val uaRe = "^User-agent: *(.*)$"
-    val dirRe = "^(Allow|Disallow): *(.*)$"
+    val uaRe = "(?i)^User-agent: *(.*)$"
+    val dirRe = "(?i)^(Allow|Disallow): *(.*)$"
     val lines = df.select(col(domainCol).as("domain"),
         posexplode(split(regexp_replace(col(robotsTextCol), "\r", ""),
           "\n")).as(Seq("__pos__", "__line__")))
@@ -333,7 +349,9 @@ object UrlOps {
       "\\\\$1")
     val starred = regexp_replace(esc, "\\*", ".*")
     rules.select(col("domain"),
-      (col("__dir__") === "Allow").as("is_allow"),
+      // directive keys are case-insensitive (RFC 9309 §2.1) — the
+      // capture preserves input casing, so compare lowercased
+      (lower(col("__dir__")) === "allow").as("is_allow"),
       col("pattern"),
       length(col("pattern")).cast("long").as("pattern_len"),
       concat(lit("^"), starred,
@@ -389,8 +407,8 @@ object UrlOps {
         explode(split(regexp_replace(col(robotsTextCol), "\r", ""),
           "\n")).as("__line__"))
       .select(col("domain"),
-        trim(regexp_extract(col("__line__"), "^Sitemap: *(.*)$", 1))
-          .as("sitemap_url"))
+        trim(regexp_extract(col("__line__"),
+          "(?i)^Sitemap: *(.*)$", 1)).as("sitemap_url"))
       .filter(col("sitemap_url") =!= "")
 
   /** Per-domain crawl delay from robots.txt bodies — the de-facto
@@ -405,8 +423,8 @@ object UrlOps {
         explode(split(regexp_replace(col(robotsTextCol), "\r", ""),
           "\n")).as("__line__"))
       .select(col("domain"),
-        regexp_extract(col("__line__"), "^Crawl-delay: *([0-9]+)$", 1)
-          .as("__d__"))
+        regexp_extract(col("__line__"),
+          "(?i)^Crawl-delay: *([0-9]+)$", 1).as("__d__"))
       .filter(col("__d__") =!= "")
       .groupBy("domain")
       .agg(min(col("__d__").cast("long")).as("crawl_delay_s"))

@@ -472,7 +472,8 @@ object QueriesExt {
           year(col("o_orderdate")) % 100 =!= 0) ||
           year(col("o_orderdate")) % 400 === 0).as("is_leap"))),
 
-    // north star: full staged dedup pipeline (hash/LSH — rows-only)
+    // north star: full staged dedup pipeline (exact hash → LSH →
+    // Jaccard verify → CC) — oracled and hash-matched since r9
     "q83_dedup_pipeline" -> ((s, d) =>
       graft.llm.DedupPipeline.dedupCorpus(
         t(s, d, "documents"), "text", "doc_id", jaccardThreshold = 0.8)

@@ -929,7 +929,9 @@ object QueriesPipeline {
     // RFC 9309 robots end-to-end: Allow/Disallow with * wildcards
     // and $ anchors over CRLF bodies, longest-match precedence
     // (Allow wins ties), match target = path + query — supersedes
-    // q468's Disallow-prefix-only v1 semantics
+    // q468's Disallow-prefix-only v1 semantics. Directive keys are
+    // deliberately mixed-case (disallow/ALLOW/DisAllow): RFC 9309
+    // §2.1 keys are case-insensitive and real files write lowercase
     "q472_robots_rep" -> ((s, d) => {
       val domDf = t(s, d, "documents").sparkSession
         .createDataFrame(urlDomains.map(Tuple1(_)))
@@ -937,18 +939,18 @@ object QueriesPipeline {
       def lot(salt: String) = PipelineOps.hash48Unit(
         concat(col("domain"), lit(salt)))
       val robots = domDf.select(col("domain"), concat(
-        lit("User-agent: *\r\n"),
-        when(lot("#a1") < 0.5, lit("Disallow: /en\r\n"))
+        lit("user-agent: *\r\n"),
+        when(lot("#a1") < 0.5, lit("disallow: /en\r\n"))
           .otherwise(lit("")),
-        when(lot("#a2") < 0.5, lit("Allow: /en/doc\r\n"))
+        when(lot("#a2") < 0.5, lit("allow: /en/doc\r\n"))
           .otherwise(lit("")),
-        when(lot("#a3") < 0.4, lit("Disallow: /*/doc/*7$\r\n"))
+        when(lot("#a3") < 0.4, lit("DISALLOW: /*/doc/*7$\r\n"))
           .otherwise(lit("")),
         when(lot("#a4") < 0.3, lit("Allow: /de\r\n"))
           .otherwise(lit("")),
-        when(lot("#a5") < 0.35, lit("Disallow: /de*c\r\n"))
+        when(lot("#a5") < 0.35, lit("DisAllow: /de*c\r\n"))
           .otherwise(lit("")),
-        when(lot("#a6") < 0.2, lit("Disallow: /\r\n"))
+        when(lot("#a6") < 0.2, lit("disallow: /\r\n"))
           .otherwise(lit(""))).as("robots_txt"))
       val rules = graft.llm.UrlOps.robotsRulesRep(robots, "domain",
         "robots_txt")
@@ -971,12 +973,12 @@ object QueriesPipeline {
         concat(col("domain"), lit(salt)))
       val robots = domDf.select(col("domain"), concat(
         when(lot("#g1") < 0.5, concat(
-          lit("User-agent: graftbot\r\nDisallow: /en\r\n"),
-          when(lot("#g2") < 0.5, lit("Allow: /en/doc\r\n"))
+          lit("user-agent: GraftBot\r\ndisallow: /en\r\n"),
+          when(lot("#g2") < 0.5, lit("ALLOW: /en/doc\r\n"))
             .otherwise(lit("")))).otherwise(lit("")),
         lit("User-agent: *\r\nDisallow: /de\r\n"),
         when(lot("#g3") < 0.4,
-          lit("User-agent: otherbot\r\nDisallow: /\r\n"))
+          lit("USER-AGENT: otherbot\r\ndisallow: /\r\n"))
           .otherwise(lit(""))).as("robots_txt"))
       val rules = graft.llm.UrlOps.robotsRulesRepAgent(robots,
         "domain", "robots_txt", "GraftBot")
@@ -1028,7 +1030,7 @@ object QueriesPipeline {
         concat(col("domain"), lit(salt)))
       val robots = domDf.select(col("domain"), concat(
         lit("User-agent: *\r\n"),
-        when(lot("#cd") < 0.6, concat(lit("Crawl-delay: "),
+        when(lot("#cd") < 0.6, concat(lit("crawl-delay: "),
           (floor(lot("#cv") * 5) + 1).cast("long").cast("string"),
           lit("\r\n"))).otherwise(lit(""))).as("robots_txt"))
       val delays = graft.llm.UrlOps.robotsCrawlDelay(robots,
@@ -1047,10 +1049,10 @@ object QueriesPipeline {
         concat(col("domain"), lit(salt)))
       val robots = domDf.select(col("domain"), concat(
         lit("User-agent: *\r\nDisallow: /x\r\n"),
-        when(lot("#s1") < 0.7, concat(lit("Sitemap: https://"),
+        when(lot("#s1") < 0.7, concat(lit("sitemap: https://"),
           col("domain"), lit("/sitemap.xml\r\n")))
           .otherwise(lit("")),
-        when(lot("#s2") < 0.3, concat(lit("Sitemap: https://"),
+        when(lot("#s2") < 0.3, concat(lit("SITEMAP: https://"),
           col("domain"), lit("/news-sitemap.xml\r\n")))
           .otherwise(lit(""))).as("robots_txt"))
       graft.llm.UrlOps.robotsSitemaps(robots, "domain",
@@ -1083,18 +1085,18 @@ object QueriesPipeline {
       def lot(salt: String) = PipelineOps.hash48Unit(
         concat(col("domain"), lit(salt)))
       val robots = domDf.select(col("domain"), concat(
-        lit("User-agent: *\r\n"),
-        when(lot("#a1") < 0.5, lit("Disallow: /en\r\n"))
+        lit("user-agent: *\r\n"),
+        when(lot("#a1") < 0.5, lit("disallow: /en\r\n"))
           .otherwise(lit("")),
-        when(lot("#a2") < 0.5, lit("Allow: /en/doc\r\n"))
+        when(lot("#a2") < 0.5, lit("allow: /en/doc\r\n"))
           .otherwise(lit("")),
-        when(lot("#a3") < 0.4, lit("Disallow: /*/doc/*7$\r\n"))
+        when(lot("#a3") < 0.4, lit("DISALLOW: /*/doc/*7$\r\n"))
           .otherwise(lit("")),
         when(lot("#a4") < 0.3, lit("Allow: /de\r\n"))
           .otherwise(lit("")),
-        when(lot("#a5") < 0.35, lit("Disallow: /de*c\r\n"))
+        when(lot("#a5") < 0.35, lit("DisAllow: /de*c\r\n"))
           .otherwise(lit("")),
-        when(lot("#a6") < 0.2, lit("Disallow: /\r\n"))
+        when(lot("#a6") < 0.2, lit("disallow: /\r\n"))
           .otherwise(lit(""))).as("robots_txt"))
       val rules = graft.llm.UrlOps.robotsRulesRep(robots, "domain",
         "robots_txt")
@@ -3068,31 +3070,32 @@ object QueriesPipeline {
       raw"""$urlsSqlCte,
         |doms AS (SELECT unnest([$domList]) AS domain),
         |rob AS (SELECT domain,
-        |  'User-agent: *' || chr(13) || chr(10) ||
+        |  'user-agent: *' || chr(13) || chr(10) ||
         |  CASE WHEN (${h48("domain || '#a1'")}) < 0.5
-        |    THEN 'Disallow: /en' || chr(13) || chr(10) ELSE '' END ||
+        |    THEN 'disallow: /en' || chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#a2'")}) < 0.5
-        |    THEN 'Allow: /en/doc' || chr(13) || chr(10) ELSE '' END ||
+        |    THEN 'allow: /en/doc' || chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#a3'")}) < 0.4
-        |    THEN 'Disallow: /*/doc/*7' || chr(36) || chr(13) || chr(10) ELSE '' END ||
+        |    THEN 'DISALLOW: /*/doc/*7' || chr(36) || chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#a4'")}) < 0.3
         |    THEN 'Allow: /de' || chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#a5'")}) < 0.35
-        |    THEN 'Disallow: /de*c' || chr(13) || chr(10) ELSE '' END ||
+        |    THEN 'DisAllow: /de*c' || chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#a6'")}) < 0.2
-        |    THEN 'Disallow: /' || chr(13) || chr(10) ELSE '' END
+        |    THEN 'disallow: /' || chr(13) || chr(10) ELSE '' END
         |  AS robots_txt FROM doms),
         |lines AS (SELECT domain,
         |    unnest(string_split(replace(robots_txt, chr(13), ''),
         |      chr(10))) AS line
         |  FROM rob),
         |rr AS (SELECT domain,
-        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 1)
+        |    regexp_extract(line, '(?i)^(Allow|Disallow): *(.*)$$', 1)
         |      AS dir,
-        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 2)
+        |    regexp_extract(line, '(?i)^(Allow|Disallow): *(.*)$$', 2)
         |      AS pattern
         |  FROM lines),
-        |rules0 AS (SELECT domain, dir = 'Allow' AS is_allow, pattern
+        |rules0 AS (SELECT domain, lower(dir) = 'allow' AS is_allow,
+        |    pattern
         |  FROM rr WHERE dir <> '' AND pattern <> ''),
         |comp AS (SELECT domain, is_allow, pattern,
         |    CAST(length(pattern) AS BIGINT) AS plen,
@@ -3144,17 +3147,17 @@ object QueriesPipeline {
         |doms AS (SELECT unnest([$domList]) AS domain),
         |rob AS (SELECT domain,
         |  CASE WHEN (${h48("domain || '#g1'")}) < 0.5
-        |    THEN 'User-agent: graftbot' || chr(13) || chr(10) ||
-        |      'Disallow: /en' || chr(13) || chr(10) ||
+        |    THEN 'user-agent: GraftBot' || chr(13) || chr(10) ||
+        |      'disallow: /en' || chr(13) || chr(10) ||
         |      CASE WHEN (${h48("domain || '#g2'")}) < 0.5
-        |        THEN 'Allow: /en/doc' || chr(13) || chr(10)
+        |        THEN 'ALLOW: /en/doc' || chr(13) || chr(10)
         |        ELSE '' END
         |    ELSE '' END ||
         |  'User-agent: *' || chr(13) || chr(10) ||
         |  'Disallow: /de' || chr(13) || chr(10) ||
         |  CASE WHEN (${h48("domain || '#g3'")}) < 0.4
-        |    THEN 'User-agent: otherbot' || chr(13) || chr(10) ||
-        |      'Disallow: /' || chr(13) || chr(10)
+        |    THEN 'USER-AGENT: otherbot' || chr(13) || chr(10) ||
+        |      'disallow: /' || chr(13) || chr(10)
         |    ELSE '' END AS robots_txt
         |  FROM doms),
         |ls AS (SELECT domain,
@@ -3166,7 +3169,7 @@ object QueriesPipeline {
         |  FROM ls, unnest(range(1, len(arr) + 1)) AS t(i)),
         |marked AS (SELECT domain, pos, line,
         |    lower(trim(regexp_extract(line,
-        |      '^User-agent: *(.*)$$', 1))) AS ua
+        |      '(?i)^User-agent: *(.*)$$', 1))) AS ua
         |  FROM lines),
         |lagd AS (SELECT domain, pos, line, ua, ua <> '' AS is_ua,
         |    coalesce(lag(ua <> '') OVER (PARTITION BY domain
@@ -3188,16 +3191,17 @@ object QueriesPipeline {
         |  WHERE CASE WHEN a.any_exact = 1 THEN f.has_exact = 1
         |        ELSE f.has_star = 1 END),
         |rules0 AS (SELECT grp.domain,
-        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 1)
-        |      = 'Allow' AS is_allow,
-        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 2)
+        |    lower(regexp_extract(line,
+        |      '(?i)^(Allow|Disallow): *(.*)$$', 1))
+        |      = 'allow' AS is_allow,
+        |    regexp_extract(line, '(?i)^(Allow|Disallow): *(.*)$$', 2)
         |      AS pattern
         |  FROM grp JOIN govern
         |    ON grp.domain = govern.domain AND grp.g = govern.g
         |  WHERE regexp_extract(line,
-        |      '^(Allow|Disallow): *(.*)$$', 1) <> ''
+        |      '(?i)^(Allow|Disallow): *(.*)$$', 1) <> ''
         |    AND regexp_extract(line,
-        |      '^(Allow|Disallow): *(.*)$$', 2) <> ''),
+        |      '(?i)^(Allow|Disallow): *(.*)$$', 2) <> ''),
         |comp AS (SELECT domain, is_allow, pattern,
         |    CAST(length(pattern) AS BIGINT) AS plen,
         |    ends_with(pattern, '$$') AS anch,
@@ -3297,7 +3301,7 @@ object QueriesPipeline {
         |rob AS (SELECT domain,
         |  'User-agent: *' || chr(13) || chr(10) ||
         |  CASE WHEN (${h48("domain || '#cd'")}) < 0.6
-        |    THEN 'Crawl-delay: ' || CAST(CAST(floor(
+        |    THEN 'crawl-delay: ' || CAST(CAST(floor(
         |        (${h48("domain || '#cv'")}) * 5) AS BIGINT) + 1
         |        AS VARCHAR) || chr(13) || chr(10)
         |    ELSE '' END AS robots_txt
@@ -3308,11 +3312,11 @@ object QueriesPipeline {
         |  FROM rob),
         |dly AS (SELECT domain,
         |    min(CAST(regexp_extract(line,
-        |      '^Crawl-delay: *([0-9]+)$$', 1) AS BIGINT))
+        |      '(?i)^Crawl-delay: *([0-9]+)$$', 1) AS BIGINT))
         |      AS crawl_delay_s
         |  FROM lines
         |  WHERE regexp_extract(line,
-        |    '^Crawl-delay: *([0-9]+)$$', 1) <> ''
+        |    '(?i)^Crawl-delay: *([0-9]+)$$', 1) <> ''
         |  GROUP BY 1),
         |uu AS (SELECT url, n_chars,
         |    string_split(${hostSql("url")}, '.') AS l
@@ -3337,10 +3341,10 @@ object QueriesPipeline {
         |  'User-agent: *' || chr(13) || chr(10) ||
         |  'Disallow: /x' || chr(13) || chr(10) ||
         |  CASE WHEN (${h48("domain || '#s1'")}) < 0.7
-        |    THEN 'Sitemap: https://' || domain || '/sitemap.xml' ||
+        |    THEN 'sitemap: https://' || domain || '/sitemap.xml' ||
         |      chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#s2'")}) < 0.3
-        |    THEN 'Sitemap: https://' || domain ||
+        |    THEN 'SITEMAP: https://' || domain ||
         |      '/news-sitemap.xml' || chr(13) || chr(10)
         |    ELSE '' END AS robots_txt
         |  FROM doms),
@@ -3349,10 +3353,10 @@ object QueriesPipeline {
         |      chr(10))) AS line
         |  FROM rob)
         |SELECT domain,
-        |  trim(regexp_extract(line, '^Sitemap: *(.*)$$', 1))
+        |  trim(regexp_extract(line, '(?i)^Sitemap: *(.*)$$', 1))
         |    AS sitemap_url
         |FROM lines
-        |WHERE trim(regexp_extract(line, '^Sitemap: *(.*)$$', 1))
+        |WHERE trim(regexp_extract(line, '(?i)^Sitemap: *(.*)$$', 1))
         |  <> ''""".stripMargin
     },
 
@@ -3411,31 +3415,32 @@ object QueriesPipeline {
         |  FROM rkq CROSS JOIN bsum),
         |doms AS (SELECT unnest([$domList]) AS domain),
         |rob AS (SELECT domain,
-        |  'User-agent: *' || chr(13) || chr(10) ||
+        |  'user-agent: *' || chr(13) || chr(10) ||
         |  CASE WHEN (${h48("domain || '#a1'")}) < 0.5
-        |    THEN 'Disallow: /en' || chr(13) || chr(10) ELSE '' END ||
+        |    THEN 'disallow: /en' || chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#a2'")}) < 0.5
-        |    THEN 'Allow: /en/doc' || chr(13) || chr(10) ELSE '' END ||
+        |    THEN 'allow: /en/doc' || chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#a3'")}) < 0.4
-        |    THEN 'Disallow: /*/doc/*7' || chr(36) || chr(13) || chr(10) ELSE '' END ||
+        |    THEN 'DISALLOW: /*/doc/*7' || chr(36) || chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#a4'")}) < 0.3
         |    THEN 'Allow: /de' || chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#a5'")}) < 0.35
-        |    THEN 'Disallow: /de*c' || chr(13) || chr(10) ELSE '' END ||
+        |    THEN 'DisAllow: /de*c' || chr(13) || chr(10) ELSE '' END ||
         |  CASE WHEN (${h48("domain || '#a6'")}) < 0.2
-        |    THEN 'Disallow: /' || chr(13) || chr(10) ELSE '' END
+        |    THEN 'disallow: /' || chr(13) || chr(10) ELSE '' END
         |  AS robots_txt FROM doms),
         |rlines AS (SELECT domain,
         |    unnest(string_split(replace(robots_txt, chr(13), ''),
         |      chr(10))) AS line
         |  FROM rob),
         |rr AS (SELECT domain,
-        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 1)
+        |    regexp_extract(line, '(?i)^(Allow|Disallow): *(.*)$$', 1)
         |      AS dir,
-        |    regexp_extract(line, '^(Allow|Disallow): *(.*)$$', 2)
+        |    regexp_extract(line, '(?i)^(Allow|Disallow): *(.*)$$', 2)
         |      AS pattern
         |  FROM rlines),
-        |rules0 AS (SELECT domain, dir = 'Allow' AS is_allow, pattern
+        |rules0 AS (SELECT domain, lower(dir) = 'allow' AS is_allow,
+        |    pattern
         |  FROM rr WHERE dir <> '' AND pattern <> ''),
         |comp AS (SELECT domain, is_allow, pattern,
         |    CAST(length(pattern) AS BIGINT) AS plen,

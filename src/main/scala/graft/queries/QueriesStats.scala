@@ -739,6 +739,76 @@ object QueriesStats {
           col("forecast"))
     }),
 
+    // the SEASONAL-DIFFERENCING oracle twin (completes the q335
+    // SARIMA twin, which covered only sd=0): planted SARIMA
+    // (1,0,0)(1,1,0)_12 — the seasonally-DIFFERENCED series w_t =
+    // y_t − y_{t−12} follows the stationary seasonal AR w_t = c +
+    // 0.5·w_{t−1} + 0.25·w_{t−12}, generated per nation from
+    // md5-seeded starts by the same double arithmetic in both
+    // engines. The oracle replays the lag-12 differencing, the
+    // ridge Cramer 3×3 joint OLS on w, the forecast recurrence AND
+    // the seasonal integration chain (forecast_k = fw_k + y[59+k])
+    // — the full sd=1 path of sarimaFit/sarimaForecast.
+    "q501_sarima_sdiff_twin" -> ((s, d) => {
+      val base = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"))
+        .withColumn("c", expr("cast(1 + pmod(nk, 3) as double)"))
+        .withColumn("seeds", expr(
+          "transform(sequence(0, 23), t -> cast(50 + pmod(" +
+            "cast(conv(substring(md5(concat(cast(nk as string), " +
+            "'-', cast(t as string), 'sd10')), 1, 4), 16, 10) " +
+            "as bigint), 40) as double))"))
+        .withColumn("ys", expr(
+          "aggregate(sequence(24, 71), seeds, (acc, t) -> " +
+            "acc || array(element_at(acc, -12) + c + " +
+            "0.5d * (element_at(acc, -1) - element_at(acc, -13)) + " +
+            "0.25d * (element_at(acc, -12) - element_at(acc, -24))))"))
+        .select(col("nk"),
+          posexplode(col("ys")).as(Seq("t", "y")))
+      TimeSeriesOps.groupedSarimaForecast(base, "y", "t", "nk",
+        p = 1, d = 0, q = 0, sp = 1, sd = 1, sq = 0, period = 12,
+        steps = 6)
+        .select(col("nk").cast("long").as("n_nationkey"), col("h"),
+          col("forecast"))
+    }),
+
+    // the HANNAN–RISSANEN (MA estimation) oracle twin — the q-path
+    // of sarimaFit that q335/q501 (pure AR) never exercise: planted
+    // ARMA(1,1) per nation (w_t = c + 0.5·w_{t−1} + s_t − 0.3·s_{t−1}
+    // from md5 noise, bit-identical in both engines), series length
+    // 19 so sarimaFit's stage-1 long-AR order is m = 4 and the
+    // oracle can replay BOTH solves: the 5×5 ridge stage-1 OLS via
+    // generated cofactor-expansion Cramer (Scala-generated SQL, the
+    // q441 convention), the innovation estimates, the 3×3 stage-2
+    // joint OLS on (w lag, eps lag), the recursive in-sample
+    // residual recurrence and the MA-term forecast. Cross-solver
+    // (Cramer vs partial-pivot Gauss) divergence is bounded by the
+    // planted series' conditioning — inside the 1e-9 comparator.
+    "q502_arima_hr_twin" -> ((s, d) => {
+      val base = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"))
+        .withColumn("c", expr("cast(5 + pmod(nk, 3) as double)"))
+        .withColumn("seeds", expr(
+          "transform(sequence(0, 18), t -> cast(pmod(" +
+            "cast(conv(substring(md5(concat(cast(nk as string), " +
+            "'-', cast(t as string), 'hr10')), 1, 4), 16, 10) " +
+            "as bigint), 1000) as double) / 100.0d - 5.0d)"))
+        .withColumn("ws", expr(
+          "aggregate(sequence(4, 18), " +
+            "transform(slice(seeds, 1, 4), s -> 20.0d + s), " +
+            "(acc, t) -> acc || array(c + " +
+            "0.5d * element_at(acc, -1) + " +
+            "element_at(seeds, t + 1) - " +
+            "0.3d * element_at(seeds, t)))"))
+        .select(col("nk"),
+          posexplode(col("ws")).as(Seq("t", "w")))
+      TimeSeriesOps.groupedSarimaForecast(base, "w", "t", "nk",
+        p = 1, d = 0, q = 1, sp = 0, sd = 0, sq = 0, period = 12,
+        steps = 4)
+        .select(col("nk").cast("long").as("n_nationkey"), col("h"),
+          col("forecast"))
+    }),
+
     // §2.12 Krippendorff's alpha — inter-annotator agreement over a
     // ratings table derived from events (unit = user, rater = event
     // type, category = 25-dollar bucket of the user-type mean spend;
@@ -2166,7 +2236,252 @@ object QueriesStats {
        |FROM b2""".stripMargin
   }
 
+  // q501/q502 SARIMA twins: determinant cofactor expansion GENERATED
+  // in Scala (the q441 convention — the solve text cannot drift from
+  // the cell naming), used for the stage-1 5×5 and stage-2 3×3
+  // ridge Cramer solves of the Hannan–Rissanen twin.
+  private def detSql(m: Vector[Vector[String]]): String =
+    if (m.size == 1) s"(${m(0)(0)})"
+    else m(0).indices.map { j =>
+      val minor = m.tail.map(_.patch(j, Vector.empty[String], 1))
+      val sign = if (j % 2 == 0) "+" else "-"
+      s"$sign (${m(0)(j)}) * ${detSql(minor)}"
+    }.mkString("(", " ", ")")
+
+  /** Cramer solve text: coefficient k = det(A with column k
+    * replaced by b) / det(A). Returns (detA, Vector(numerators)). */
+  private def cramerSql(a: Vector[Vector[String]],
+      b: Vector[String]): (String, Vector[String]) = {
+    val det = detSql(a)
+    val nums = b.indices.toVector.map { k =>
+      detSql(a.map(_.zipWithIndex.map { case (c, j) =>
+        if (j == k) "§" else c }).zip(b)
+        .map { case (row, bi) => row.map(c => if (c == "§") bi else c) })
+    }
+    (det, nums)
+  }
+
+  /** md5 16-bit-chunk integer in DuckDB — replays Spark's
+    * conv(substring(md5(nk-t salt), 1, 4), 16, 10). */
+  private def h16Sql(salt: String, tExpr: String): String =
+    "CAST(list_sum(list_transform(range(1, 5), i -> " +
+      "(strpos('0123456789abcdef', substr(md5(CAST(nk AS VARCHAR) " +
+      s"|| '-' || CAST($tExpr AS VARCHAR) || '$salt'), i, 1)) - 1) " +
+      "* power(16, 4 - i))) AS BIGINT)"
+
+  // q501: seasonal-differencing SARIMA twin — lag-12 differencing,
+  // the same ridge Cramer 3×3 as q335 on the DIFFERENCED series,
+  // forecast recurrence, then the seasonal integration chain
+  // (forecast_k = fw_k + y[60+k]); all double arithmetic written in
+  // the Scala evaluation order.
+  private val sarimaSdiffTwinOracle: String = {
+    val h = h16Sql("sd10", "t")
+    s"""WITH RECURSIVE n0 AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+       |    CAST(1 + n_nationkey % 3 AS DOUBLE) AS c
+       |  FROM nation),
+       |n1 AS (
+       |  SELECT nk, c,
+       |    list_transform(range(0, 24), t ->
+       |      CAST(50 + $h % 40 AS DOUBLE)) AS seeds
+       |  FROM n0),
+       |gen AS (
+       |  SELECT nk, c, 23 AS t, seeds AS ys FROM n1
+       |  UNION ALL
+       |  SELECT nk, c, t + 1,
+       |    list_append(ys, ys[len(ys) - 11] + c
+       |      + CAST(0.5 AS DOUBLE) * (ys[len(ys)] - ys[len(ys) - 12])
+       |      + CAST(0.25 AS DOUBLE) *
+       |        (ys[len(ys) - 11] - ys[len(ys) - 23]))
+       |  FROM gen WHERE t < 71),
+       |wd AS (
+       |  SELECT nk, ys,
+       |    list_transform(range(13, 73), i -> ys[i] - ys[i - 12])
+       |      AS ws
+       |  FROM gen WHERE t = 71),
+       |fit AS (
+       |  SELECT nk, ys, ws,
+       |    list_sum(list_transform(range(13, 61),
+       |      i -> ws[i - 1])) AS s1,
+       |    list_sum(list_transform(range(13, 61),
+       |      i -> ws[i - 12])) AS s2,
+       |    list_sum(list_transform(range(13, 61),
+       |      i -> ws[i])) AS sy,
+       |    list_sum(list_transform(range(13, 61),
+       |      i -> ws[i - 1] * ws[i - 1])) AS s11,
+       |    list_sum(list_transform(range(13, 61),
+       |      i -> ws[i - 1] * ws[i - 12])) AS s12,
+       |    list_sum(list_transform(range(13, 61),
+       |      i -> ws[i - 12] * ws[i - 12])) AS s22,
+       |    list_sum(list_transform(range(13, 61),
+       |      i -> ws[i - 1] * ws[i])) AS s1y,
+       |    list_sum(list_transform(range(13, 61),
+       |      i -> ws[i - 12] * ws[i])) AS s2y
+       |  FROM wd),
+       |rdg AS (
+       |  SELECT *, 1e-8 * ((48.0 + s11) + s22) / 3 AS lam FROM fit),
+       |sol AS (
+       |  SELECT nk, ys, ws,
+       |    (48.0 + lam) AS a00, s1 AS a01, s2 AS a02,
+       |    (s11 + lam) AS a11, s12 AS a12, (s22 + lam) AS a22,
+       |    sy, s1y, s2y
+       |  FROM rdg),
+       |coef AS (
+       |  SELECT nk, ys, ws,
+       |    (a00 * (a11 * a22 - a12 * a12)
+       |      - a01 * (a01 * a22 - a12 * a02)
+       |      + a02 * (a01 * a12 - a11 * a02)) AS det,
+       |    (sy * (a11 * a22 - a12 * a12)
+       |      - a01 * (s1y * a22 - a12 * s2y)
+       |      + a02 * (s1y * a12 - a11 * s2y)) AS detc,
+       |    (a00 * (s1y * a22 - a12 * s2y)
+       |      - sy * (a01 * a22 - a12 * a02)
+       |      + a02 * (a01 * s2y - s1y * a02)) AS detp,
+       |    (a00 * (a11 * s2y - s1y * a12)
+       |      - a01 * (a01 * s2y - s1y * a02)
+       |      + sy * (a01 * a12 - a11 * a02)) AS dets
+       |  FROM sol),
+       |ch AS (
+       |  SELECT nk, ys, ws, detc / det AS c_hat,
+       |    detp / det AS phi_hat, dets / det AS sar_hat
+       |  FROM coef),
+       |f AS (
+       |  SELECT nk, 0 AS h, ws[60] AS fv, c_hat, phi_hat, sar_hat,
+       |    ws, ys
+       |  FROM ch
+       |  UNION ALL
+       |  SELECT nk, h + 1,
+       |    c_hat + phi_hat * fv + sar_hat * ws[49 + h],
+       |    c_hat, phi_hat, sar_hat, ws, ys
+       |  FROM f WHERE h < 6)
+       |SELECT nk AS n_nationkey, CAST(h AS BIGINT) AS h,
+       |  fv + ys[60 + h] AS forecast
+       |FROM f WHERE h >= 1""".stripMargin
+  }
+
+  // q502: Hannan–Rissanen MA twin — stage-1 long-AR (m = 4) via the
+  // GENERATED 5×5 ridge Cramer, innovation estimates, stage-2 joint
+  // (AR lag, innovation lag) 3×3 ridge Cramer, the recursive
+  // in-sample residual recurrence, and the MA-term forecast.
+  private val arimaHrTwinOracle: String = {
+    val h = h16Sql("hr10", "t")
+    def lsum(lo: Int, hi: Int, term: String) =
+      s"list_sum(list_transform(range($lo, $hi), i -> $term))"
+    // stage 1 cells over i = 5..19 (15 obs): y = ws[i], x_j = ws[i-j]
+    val s1Cells = (
+      (1 to 4).map(j => s"${lsum(5, 20, s"ws[i - $j]")} AS c$j") ++
+      (for (j <- 1 to 4; k <- j to 4) yield
+        s"${lsum(5, 20, s"ws[i - $j] * ws[i - $k]")} AS c$j$k") ++
+      Seq(s"${lsum(5, 20, "ws[i]")} AS d0") ++
+      (1 to 4).map(j => s"${lsum(5, 20, s"ws[i - $j] * ws[i]")} AS d$j")
+      ).mkString(",\n    ")
+    val a5 = Vector(
+      Vector("a00", "c1", "c2", "c3", "c4"),
+      Vector("c1", "a11", "c12", "c13", "c14"),
+      Vector("c2", "c12", "a22", "c23", "c24"),
+      Vector("c3", "c13", "c23", "a33", "c34"),
+      Vector("c4", "c14", "c24", "c34", "a44"))
+    val (det5, nums5) = cramerSql(a5,
+      Vector("d0", "d1", "d2", "d3", "d4"))
+    val a3 = Vector(
+      Vector("g00", "e1", "e2"),
+      Vector("e1", "g11", "e12"),
+      Vector("e2", "e12", "g22"))
+    val (det3, nums3) = cramerSql(a3, Vector("f0", "f1", "f2"))
+    s"""WITH RECURSIVE n0 AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+       |    CAST(5 + n_nationkey % 3 AS DOUBLE) AS c
+       |  FROM nation),
+       |n1 AS (
+       |  SELECT nk, c,
+       |    list_transform(range(0, 19), t ->
+       |      CAST($h % 1000 AS DOUBLE) / 100.0 - 5.0) AS seeds
+       |  FROM n0),
+       |gen AS (
+       |  SELECT nk, c, seeds, 3 AS t,
+       |    list_transform(seeds[1:4], s -> 20.0 + s) AS ws
+       |  FROM n1
+       |  UNION ALL
+       |  SELECT nk, c, seeds, t + 1,
+       |    list_append(ws, c + CAST(0.5 AS DOUBLE) * ws[len(ws)]
+       |      + seeds[t + 2] - CAST(0.3 AS DOUBLE) * seeds[t + 1])
+       |  FROM gen WHERE t < 18),
+       |wt AS MATERIALIZED (SELECT nk, ws FROM gen WHERE t = 18),
+       |s1 AS (
+       |  SELECT nk, ws,
+       |    $s1Cells
+       |  FROM wt),
+       |s1r AS (
+       |  SELECT *,
+       |    1e-8 * ((((15.0 + c11) + c22) + c33) + c44) / 5 AS lam
+       |  FROM s1),
+       |s1m AS (
+       |  SELECT nk, ws, c1, c2, c3, c4, c12, c13, c14, c23, c24,
+       |    c34, d0, d1, d2, d3, d4,
+       |    (15.0 + lam) AS a00, (c11 + lam) AS a11,
+       |    (c22 + lam) AS a22, (c33 + lam) AS a33, (c44 + lam) AS a44
+       |  FROM s1r),
+       |s1k AS (
+       |  SELECT nk, ws,
+       |    ${nums5(0)} / $det5 AS ic1,
+       |    ${nums5(1)} / $det5 AS p1,
+       |    ${nums5(2)} / $det5 AS p2,
+       |    ${nums5(3)} / $det5 AS p3,
+       |    ${nums5(4)} / $det5 AS p4
+       |  FROM s1m),
+       |ep AS (
+       |  SELECT nk, ws,
+       |    list_transform(range(1, 20), i -> CASE WHEN i >= 5
+       |      THEN ws[i] - (ic1 + p1 * ws[i - 1] + p2 * ws[i - 2]
+       |        + p3 * ws[i - 3] + p4 * ws[i - 4])
+       |      ELSE CAST(0.0 AS DOUBLE) END) AS epsl
+       |  FROM s1k),
+       |s2 AS (
+       |  SELECT nk, ws, epsl,
+       |    ${lsum(6, 20, "ws[i - 1]")} AS e1,
+       |    ${lsum(6, 20, "epsl[i - 1]")} AS e2,
+       |    ${lsum(6, 20, "ws[i - 1] * ws[i - 1]")} AS e11,
+       |    ${lsum(6, 20, "ws[i - 1] * epsl[i - 1]")} AS e12,
+       |    ${lsum(6, 20, "epsl[i - 1] * epsl[i - 1]")} AS e22,
+       |    ${lsum(6, 20, "ws[i]")} AS f0,
+       |    ${lsum(6, 20, "ws[i - 1] * ws[i]")} AS f1,
+       |    ${lsum(6, 20, "epsl[i - 1] * ws[i]")} AS f2
+       |  FROM ep),
+       |s2r AS (
+       |  SELECT *, 1e-8 * ((14.0 + e11) + e22) / 3 AS lam2 FROM s2),
+       |s2m AS (
+       |  SELECT nk, ws, e1, e2, e12, f0, f1, f2,
+       |    (14.0 + lam2) AS g00, (e11 + lam2) AS g11,
+       |    (e22 + lam2) AS g22
+       |  FROM s2r),
+       |fit2 AS MATERIALIZED (
+       |  SELECT nk, ws,
+       |    ${nums3(0)} / $det3 AS ic,
+       |    ${nums3(1)} / $det3 AS ar,
+       |    ${nums3(2)} / $det3 AS ma
+       |  FROM s2m),
+       |rres AS (
+       |  SELECT nk, 5 AS i, CAST(0.0 AS DOUBLE) AS r FROM fit2
+       |  UNION ALL
+       |  SELECT f.nk, rr.i + 1,
+       |    f.ws[rr.i + 1] - (f.ic + f.ar * f.ws[rr.i] + f.ma * rr.r)
+       |  FROM fit2 f JOIN rres rr ON f.nk = rr.nk WHERE rr.i < 19),
+       |r19 AS (SELECT nk, r FROM rres WHERE i = 19),
+       |f AS (
+       |  SELECT t.nk, 1 AS h,
+       |    t.ic + t.ar * t.ws[19] + t.ma * r19.r AS fv, t.ic, t.ar
+       |  FROM fit2 t JOIN r19 ON t.nk = r19.nk
+       |  UNION ALL
+       |  SELECT nk, h + 1, ic + ar * fv, ic, ar FROM f WHERE h < 4)
+       |SELECT nk AS n_nationkey, CAST(h AS BIGINT) AS h,
+       |  fv AS forecast
+       |FROM f""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q501_sarima_sdiff_twin" -> sarimaSdiffTwinOracle,
+    "q502_arima_hr_twin" -> arimaHrTwinOracle,
+
 
     "q324_kcore_peel" -> kcorePeelOracle,
 

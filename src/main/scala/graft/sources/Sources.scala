@@ -168,15 +168,23 @@ object Sources {
         .option("maxRecordsPerFile", rowsPerFile).parquet(path)
     } else {
       val pc = partitionCols.map(col)
+      // join back with NULL-SAFE equality (<=>): partition values can
+      // legitimately be null (partitionBy writes them to
+      // __HIVE_DEFAULT_PARTITION__) and a plain equi-join would
+      // silently DROP those rows from the compacted dataset
       val counts = df.groupBy(pc: _*)
         .agg(count(lit(1)).as("__cnt__"))
+        .select(partitionCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__pc${i}__") } :+ col("__cnt__"): _*)
+      val joinCond = partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> col(s"__pc${i}__") }
+        .reduce(_ && _)
       val nBuckets = greatest(
         expr(s"CAST((__cnt__ + ${rowsPerFile - 1}) div $rowsPerFile" +
           " AS BIGINT)"), lit(1L))
-      val salted = df.join(broadcast(counts), partitionCols)
+      val salted = df.join(broadcast(counts), joinCond)
         .withColumn("__salt__",
           pmod(xxhash64(df.columns.map(col): _*), nBuckets))
-        .drop("__cnt__")
       salted.repartition((pc :+ col("__salt__")): _*)
         .select(df.columns.map(col): _*)
         .write.mode("overwrite")
@@ -195,10 +203,16 @@ object Sources {
     * open-per-file tax that dwarfs its scan. */
   def fileReport(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // key by FULL path, not basename: partitioned writes (and
+    // distcp'd/externally-compacted data) reuse identical
+    // part-NNNNN names across partition directories, so basenames
+    // silently merge distinct files and multiply join rows. Both
+    // sides are normalized to the scheme-less URI path
+    // (input_file_name() is a file:///… URI; the listing uses
+    // Path.toUri.getPath) so they compare exactly.
     val byFile = spark.read.parquet(path)
-      .groupBy(substring_index(
-        org.apache.spark.sql.functions.input_file_name(), "/", -1)
-        .as("file"))
+      .groupBy(regexp_replace(input_file_name(),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "").as("file"))
       .agg(count(lit(1)).as("rows"))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -206,13 +220,96 @@ object Sources {
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet"))
-        sizes += ((name, st.getLen))
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        sizes += ((st.getPath.toUri.getPath, st.getLen))
     }
     import spark.implicits._
     byFile.join(sizes.toSeq.toDF("file", "bytes"), Seq("file"))
       .select(col("file"), col("rows"), col("bytes"))
+  }
+
+  /** In-place SELECTIVE compaction — the operational verb between
+    * [[fileReport]] (detect fragmentation) and [[writeCompacted]]
+    * (write compact): rewrite ONLY the fragmented partition
+    * directories of an existing parquet dataset, leaving healthy
+    * partitions byte-identical. A 100 TB table can't be round-tripped
+    * through a full rewrite to fix the 2% of its partitions last
+    * night's trickle-append fragmented — this fixes exactly those.
+    *
+    * Mechanics per fragmented directory (driver loop over the
+    * PARTITION DIRECTORY list — the bounded audit unit; each rewrite
+    * itself is a distributed job):
+    *   1. read just that directory, repartition to
+    *      ceil(dirBytes / targetBytes) writers, write to a staging
+    *      dir under `<root>/.graft_compact_tmp/`;
+    *   2. swap: delete the old data files, rename the staged files
+    *      in (per-file renames are atomic on HDFS-like filesystems;
+    *      the swap window is per-partition and readers of OTHER
+    *      partitions are never affected).
+    *
+    * `partitionPredicate(relativeDir, nFiles, bytes)` picks the
+    * directories to rewrite; the default rewrites any directory with
+    * more files than ceil(bytes/targetBytes) needs (i.e. any
+    * fragmentation at all). Returns one audit row per directory:
+    * (dir, old_files, bytes, new_files, rewritten). */
+  def compactPartitions(spark: SparkSession, path: String,
+      targetBytes: Long = 256L << 20,
+      partitionPredicate: (String, Long, Long) => Boolean = null)
+      : DataFrame = {
+    require(targetBytes >= 1024, s"targetBytes >= 1KiB, got $targetBytes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    def needed(bytes: Long): Long =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val pred: (String, Long, Long) => Boolean =
+      if (partitionPredicate != null) partitionPredicate
+      else (_, nFiles, bytes) => nFiles > needed(bytes)
+    // group data files by their parent directory (the Hive partition
+    // directory; the root itself for unpartitioned data); staging /
+    // metadata dirs are excluded
+    val files = scala.collection.mutable
+      .ListBuffer[(String, String, Long)]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath)
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !rel.contains("/.") && !rel.contains("/_"))
+        files += ((st.getPath.getParent.toUri.getPath,
+          st.getPath.toUri.getPath, st.getLen))
+    }
+    val byDir = files.groupBy(_._1).toSeq.sortBy(_._1)
+    val report = byDir.map { case (dir, fl) =>
+      val nFiles = fl.size.toLong
+      val bytes = fl.map(_._3).sum
+      val rel = dir.stripPrefix(rootPath).stripPrefix("/")
+      val rewrite = pred(rel, nFiles, bytes)
+      val newFiles = if (!rewrite) nFiles else {
+        val stage = new org.apache.hadoop.fs.Path(rootPath +
+          "/.graft_compact_tmp/" + Integer.toHexString(dir.hashCode))
+        spark.read.parquet(dir)
+          .repartition(needed(bytes).toInt)
+          .write.mode("overwrite").parquet(stage.toString)
+        val staged = fs.listStatus(stage)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        // swap: old files out, staged files in (same directory, so
+        // the partition's identity — its dir name — is untouched)
+        fl.foreach { case (_, f, _) =>
+          fs.delete(new org.apache.hadoop.fs.Path(f), false) }
+        staged.zipWithIndex.foreach { case (s, i) =>
+          fs.rename(s.getPath, new org.apache.hadoop.fs.Path(
+            dir + s"/graft-compact-$i.parquet")) }
+        fs.delete(stage, true)
+        staged.length.toLong
+      }
+      (rel, nFiles, bytes, newFiles, rewrite)
+    }
+    val tmpDir = new org.apache.hadoop.fs.Path(
+      rootPath + "/.graft_compact_tmp")
+    if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
+    import spark.implicits._
+    report.toDF("dir", "old_files", "bytes", "new_files", "rewritten")
   }
 
   /** Parquet with compression option (src/io/parquet.rs:369). */
