@@ -105,26 +105,41 @@ object UrlOps {
 
   /** Registered domain against a FULL public-suffix table — the
     * production form [[registeredDomain]]'s fixed two-level list
-    * stands in for: explode each host's candidate suffixes (its last
-    * 1..`maxDepth` label runs), broadcast-join the suffix table,
-    * keep the LONGEST matching suffix (PSL longest-match rule), and
-    * return suffix + one label. Hosts matching no suffix fall back
-    * to the last-two-labels heuristic; a host that IS a bare suffix
-    * (or single label) returns itself. Adds `reg_domain` to `df`.
-    * One bounded explode (≤ maxDepth rows/host) + one broadcast
-    * join + one max-struct aggregate — pure map-side at crawl scale.
-    * Suffix table: one `suffix` string column (lowercase). */
+    * stands in for, implementing the complete publicsuffix.org
+    * algorithm: plain rules (`co.uk`), WILDCARD rules (`*.ck` —
+    * leftmost label matches anything) and EXCEPTION rules
+    * (`!www.ck` — beats every other match; its effective suffix is
+    * the rule minus the leftmost label). Explode each host's
+    * candidate suffixes (its last 1..`maxDepth` label runs) in the
+    * three match forms, broadcast-join the rule table, and keep the
+    * prevailing rule: exceptions first, then most labels (the PSL
+    * precedence). Hosts matching no rule fall back to the
+    * last-two-labels heuristic (= the PSL default `*` rule); a host
+    * that IS a bare suffix (or single label) returns itself. Adds
+    * `reg_domain` to `df`. One bounded explode (≤ 3·maxDepth
+    * rows/host) + one broadcast join + one max aggregate — pure
+    * map-side at crawl scale. Suffix table: one `suffix` string
+    * column (lowercase; `*.`/`!` markers as on publicsuffix.org). */
   def registeredDomainPsl(df: DataFrame, hostCol: String,
       suffixes: DataFrame, maxDepth: Int = 4): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 8,
       s"registeredDomainPsl: maxDepth in [1,8], got $maxDepth")
     val host = hostOfAuthority(col(hostCol))
-    val labels = split(host, "\\.")
-    val n = size(labels)
+    val n = size(split(host, "\\."))
     // candidate suffix of depth k = last k labels (k < label count:
     // the whole host is never its own suffix+1)
     val withId = df.withColumn("__host__", host)
       .withColumn("__n__", n)
+    val lab = split(col("__host__"), "\\.")
+    val nn = size(lab)
+    val candK = concat_ws(".",
+      slice(lab, greatest(nn - col("__k__") + 1, lit(1)), col("__k__")))
+    // wildcard form: leftmost candidate label replaced by '*'
+    // (wildcard rules have >= 2 labels, so k = 1 has no form)
+    val wildK = when(col("__k__") >= 2, concat(lit("*."),
+      concat_ws(".", slice(lab, nn - col("__k__") + 2,
+        col("__k__") - 1))))
+    val excK = concat(lit("!"), candK)
     // single-label hosts generate NO candidates (sequence(1, 0)
     // would emit a DESCENDING [1, 0] — a k=0 empty suffix — rather
     // than an empty array; the filter keeps the 'k < label count'
@@ -135,23 +150,37 @@ object UrlOps {
       .select(col("__host__"),
         explode(sequence(lit(1),
           least(col("__n__") - 1, lit(maxDepth)))).as("__k__"))
-      .withColumn("__cand__", concat_ws(".",
-        slice(split(col("__host__"), "\\."),
-          greatest(size(split(col("__host__"), "\\.")) - col("__k__")
-            + 1, lit(1)), col("__k__"))))
+      .select(col("__host__"), col("__k__"),
+        explode(array(
+          struct(lit(false).as("__exc__"), candK.as("__key__")),
+          struct(lit(false).as("__exc__"), wildK.as("__key__")),
+          struct(lit(true).as("__exc__"), excK.as("__key__"))))
+          .as("__m__"))
+      .select(col("__host__"), col("__k__"),
+        col("__m__.__exc__").as("__exc__"),
+        col("__m__.__key__").as("__key__"))
+      .filter(col("__key__").isNotNull)
+    // precedence as one integer: exception rules (+1000) beat any
+    // label count (k <= 8); among non-exceptions, longest wins
     val matched = cand.join(broadcast(
-        suffixes.select(lower(col("suffix")).as("__cand__"))),
-        Seq("__cand__"), "left_semi")
-      .groupBy("__host__").agg(max(col("__k__")).as("__best_k__"))
+        suffixes.select(lower(col("suffix")).as("__key__"))),
+        Seq("__key__"), "left_semi")
+      .groupBy("__host__")
+      .agg(max(when(col("__exc__"), col("__k__") + 1000)
+        .otherwise(col("__k__"))).as("__best__"))
+    // effective suffix length: an exception rule's suffix drops the
+    // rule's leftmost label (PSL: "the prevailing exception rule,
+    // minus the leftmost label, is the public suffix")
+    val slen = when(col("__best__") >= 1000, col("__best__") - 1001)
+      .otherwise(col("__best__"))
     withId.join(matched, Seq("__host__"), "left")
       .withColumn("reg_domain",
-        when(col("__best_k__").isNotNull,
+        when(col("__best__").isNotNull,
           concat_ws(".", slice(split(col("__host__"), "\\."),
-            greatest(col("__n__") - col("__best_k__"), lit(1)),
-            col("__best_k__") + 1)))
+            greatest(col("__n__") - slen, lit(1)), slen + 1)))
           .otherwise(concat_ws(".", slice(split(col("__host__"), "\\."),
             greatest(col("__n__") - 1, lit(1)), lit(2)))))
-      .drop("__host__", "__n__", "__best_k__")
+      .drop("__host__", "__n__", "__best__")
   }
 
   /** Per-registered-domain corpus rollup — the first audit any

@@ -1019,6 +1019,39 @@ object QueriesPipeline {
         .select("doc_id", "host", "reg_domain")
     }),
 
+    // the COMPLETE publicsuffix.org algorithm: wildcard rules
+    // (*.ck — any leftmost label) and exception rules (!www.ck —
+    // beats every match, suffix = rule minus leftmost label) over
+    // hostile cased/ported authorities; extends q478's plain-rule
+    // longest-match
+    "q503_psl_wildcard" -> ((s, d) => {
+      val key = col("doc_id").cast("string")
+      def u(salt: String) = PipelineOps.hash48Unit(
+        concat(key, lit(salt)))
+      val domArr = array(urlDomains.map(lit): _*)
+      val base = element_at(domArr, (floor(u("#wd") * 8) + 1)
+        .cast("int"))
+      val core = when(u("#w1") < 0.25,
+        concat(col("source"), lit(".platform.ck")))
+        .when(u("#w1") < 0.40, lit("www.ck"))
+        .when(u("#w1") < 0.50, concat(col("source"), lit(".www.ck")))
+        .otherwise(concat(col("source"), lit("."), base))
+      val sub = when(u("#w2") < 0.3, concat(lit("m."), core))
+        .otherwise(core)
+      val cased = when(u("#w3") < 0.5, upper(sub)).otherwise(sub)
+      val auth = concat(cased,
+        when(u("#w5") < 0.2, lit(":8443")).otherwise(lit("")))
+      val hosts = t(s, d, "documents")
+        .select(col("doc_id"), auth.as("host"))
+      val sufDf = t(s, d, "documents").sparkSession.createDataFrame(
+        (graft.llm.UrlOps.TwoLevelSuffixes ++
+          Seq("com", "org", "net", "io", "jp", "uk", "au",
+            "static.example.com", "*.ck", "!www.ck"))
+          .map(Tuple1(_))).toDF("suffix")
+      graft.llm.UrlOps.registeredDomainPsl(hosts, "host", sufDf)
+        .select("doc_id", "host", "reg_domain")
+    }),
+
     // politeness-constrained fetch schedule: per-domain Crawl-delay
     // directives (lottery 1-5s, default 2) space the frontier —
     // slot k fetches at k*delay, priority = corpus chars
@@ -3291,6 +3324,70 @@ object QueriesPipeline {
         |    ELSE array_to_string(l[greatest(len(l) - 1, 1):], '.')
         |  END AS reg_domain
         |FROM hosts h LEFT JOIN m USING (doc_id)""".stripMargin
+    },
+
+    "q503_psl_wildcard" -> {
+      val domList = graft.queries.QueriesPipeline.urlDomains
+        .map(s => s"'$s'").mkString(", ")
+      val sufList = (graft.llm.UrlOps.TwoLevelSuffixes ++
+        Seq("com", "org", "net", "io", "jp", "uk", "au",
+          "static.example.com", "*.ck", "!www.ck"))
+        .map(s => s"'$s'").mkString(", ")
+      raw"""WITH hard AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN (${h48("doc_id::VARCHAR || '#w3'")}) < 0.5
+        |      THEN upper(sub) ELSE sub END) ||
+        |    (CASE WHEN (${h48("doc_id::VARCHAR || '#w5'")}) < 0.2
+        |      THEN ':8443' ELSE '' END) AS host
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN (${h48("doc_id::VARCHAR || '#w2'")}) < 0.3
+        |        THEN 'm.' || core ELSE core END AS sub
+        |    FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN (${h48("doc_id::VARCHAR || '#w1'")}) < 0.25
+        |          THEN source || '.platform.ck'
+        |        WHEN (${h48("doc_id::VARCHAR || '#w1'")}) < 0.40
+        |          THEN 'www.ck'
+        |        WHEN (${h48("doc_id::VARCHAR || '#w1'")}) < 0.50
+        |          THEN source || '.www.ck'
+        |          ELSE source || '.' ||
+        |            ([$domList])[CAST(floor((${h48("doc_id::VARCHAR || '#wd'")}) * 8) AS INT) + 1]
+        |        END AS core
+        |      FROM documents))),
+        |sufs AS (SELECT unnest([$sufList]) AS suffix),
+        |hosts AS (SELECT doc_id, host,
+        |    string_split(lower(split_part(split_part(host,
+        |      '@', -1), ':', 1)), '.') AS l
+        |  FROM hard),
+        |cand AS (SELECT doc_id, k,
+        |    array_to_string(l[len(l)-CAST(k AS INT)+1:], '.') AS cp,
+        |    CASE WHEN k >= 2 THEN '*.' ||
+        |      array_to_string(l[len(l)-CAST(k AS INT)+2:], '.') END
+        |      AS cw
+        |  FROM hosts,
+        |    unnest(range(1, least(len(l) - 1, 4) + 1)) AS t(k)),
+        |forms AS (
+        |  SELECT doc_id, k, FALSE AS exc, cp AS key FROM cand
+        |  UNION ALL
+        |  SELECT doc_id, k, FALSE, cw FROM cand WHERE cw IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, k, TRUE, '!' || cp FROM cand),
+        |m AS (SELECT doc_id,
+        |    max(CASE WHEN exc THEN k + 1000 ELSE k END) AS best
+        |  FROM forms JOIN sufs ON forms.key = sufs.suffix
+        |  GROUP BY 1),
+        |sl AS (SELECT doc_id,
+        |    CASE WHEN best >= 1000 THEN best - 1001 ELSE best END
+        |      AS slen
+        |  FROM m)
+        |SELECT h.doc_id, h.host,
+        |  CASE WHEN sl.slen IS NOT NULL
+        |    THEN array_to_string(
+        |      l[greatest(len(l) - CAST(slen AS INT), 1):], '.')
+        |    ELSE array_to_string(l[greatest(len(l) - 1, 1):], '.')
+        |  END AS reg_domain
+        |FROM hosts h LEFT JOIN sl USING (doc_id)""".stripMargin
     },
 
     "q479_crawl_schedule" -> {
