@@ -137,6 +137,49 @@ object Dedup {
         coalesce(col("__known__"), lit(false)).as("known"))
   }
 
+  /** Bloom-PRUNED incremental exact dedup — same EXACT output as
+    * [[exactAgainst]] (same oracle), different 100 TB cost shape:
+    * a Bloom filter over the corpus hashes is built once (one
+    * aggregation; ~1.2 MB per 1M distinct hashes at 1% fpp) and
+    * broadcast, so the new shard is probed MAP-SIDE and only the
+    * `mightContain` survivors (true dups + fpp false positives,
+    * i.e. ~|dups| rows instead of |shard| rows) pay the verifying
+    * shuffle join against the corpus hash table. At a 3% duplicate
+    * rate that turns the dominant shuffle of the per-shard pipeline
+    * into a ~3%-of-shard join; the Bloom filter itself is the
+    * persist-once artifact a production corpus keeps alongside its
+    * distinct-hash table. The UDF is the linted broadcast-probe
+    * pattern (a Bloom bit test has no Column form). `expectedItems`
+    * sizes the filter — pass the corpus's (approximate) distinct
+    * count; an undersized filter only raises the false-positive
+    * rate, never breaks exactness. */
+  def exactAgainstBloom(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems >= 1, s"expectedItems >= 1: $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp in (0,1): $fpp")
+    val ch = corpus.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("text_md5")).distinct()
+    val bf = ch.stat.bloomFilter("text_md5", expectedItems, fpp)
+    val bfB = newDocs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((s: String) => s != null && bfB.value.mightContain(s))
+    val probed = newDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("text_md5"))
+      .withColumn("__maybe__", mightContain(col("text_md5")))
+    // verify ONLY the bloom survivors (bounded by dup mass + fpp);
+    // definite negatives never shuffle
+    val verified = probed.filter(col("__maybe__"))
+      .join(ch.withColumn("__known__", lit(true)),
+        Seq("text_md5"), "left")
+      .select(col(idCol), col("text_md5"),
+        coalesce(col("__known__"), lit(false)).as("known"))
+    val negative = probed.filter(!col("__maybe__"))
+      .select(col(idCol), col("text_md5"),
+        lit(false).as("known"))
+    verified.unionByName(negative)
+  }
+
   /** Shared banding step of the md5-portable MinHash-LSH: per-row
     * signature -> (id, band, bucket) rows. */
   private def mhBanded(df: DataFrame, textCol: String, idCol: String,

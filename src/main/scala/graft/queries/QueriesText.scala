@@ -149,6 +149,19 @@ object QueriesText {
       Dedup.exactAgainst(fresh, corpus, "text", "doc_id")
     }),
 
+    // bloom-PRUNED incremental exact dedup — identical exact output
+    // to q483 (hence a full hash-match against the same-shape
+    // oracle) but the 100 TB cost shape: corpus bloom broadcast,
+    // map-side probe, only the ~|dups|+fpp survivors pay the
+    // verifying join
+    "q504_exact_dedup_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+      Dedup.exactAgainstBloom(fresh, corpus, "text", "doc_id",
+        expectedItems = 100000L, fpp = 0.01)
+    }),
+
     // INCREMENTAL MinHash-LSH near-dup: band both splits with the
     // q44 recipe, join buckets ACROSS tables — (new, corpus)
     // candidates only, corpus-side hot-bucket cap
@@ -560,6 +573,17 @@ object QueriesText {
          |SELECT id_a, id_b FROM cand""".stripMargin,
 
     "q483_incremental_exact" ->
+      """WITH ch AS (
+        |  SELECT DISTINCT md5(text) AS text_md5 FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 10 < 7),
+        |newd AS (
+        |  SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 10 >= 7)
+        |SELECT n.doc_id, n.text_md5,
+        |  c.text_md5 IS NOT NULL AS known
+        |FROM newd n LEFT JOIN ch c USING (text_md5)""".stripMargin,
+
+    "q504_exact_dedup_bloom" ->
       """WITH ch AS (
         |  SELECT DISTINCT md5(text) AS text_md5 FROM documents
         |  WHERE text IS NOT NULL AND doc_id % 10 < 7),

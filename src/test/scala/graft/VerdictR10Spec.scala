@@ -304,6 +304,31 @@ class VerdictR10Spec extends SparkSpecBase {
       }
   }
 
+  // ------------------------------------- bloom-pruned exact dedup
+
+  test("exactAgainstBloom returns the EXACT same verdicts as " +
+      "exactAgainst (bloom only prunes the verifying join)") {
+    val corpus = (1 to 300).map(i => (i.toLong, s"corpus doc $i"))
+      .toDF("doc_id", "text")
+    val fresh = ((1 to 40).map(i =>
+        (1000L + i, s"corpus doc ${i * 7}")) ++ // 40 known
+      (1 to 60).map(i => (2000L + i, s"fresh doc $i")))
+      .toDF("doc_id", "text")
+    val ref = graft.llm.Dedup.exactAgainst(fresh, corpus,
+      "text", "doc_id").as[(Long, String, Boolean)].collect().toSet
+    val got = graft.llm.Dedup.exactAgainstBloom(fresh, corpus,
+      "text", "doc_id", expectedItems = 300L, fpp = 0.01)
+      .as[(Long, String, Boolean)].collect().toSet
+    got shouldBe ref
+    got.count(_._3) shouldBe 40
+    // an UNDERSIZED filter (worst case) still yields exact output —
+    // only the pruning ratio degrades
+    val tiny = graft.llm.Dedup.exactAgainstBloom(fresh, corpus,
+      "text", "doc_id", expectedItems = 10L, fpp = 0.5)
+      .as[(Long, String, Boolean)].collect().toSet
+    tiny shouldBe ref
+  }
+
   // --------------------------------------------- dedupCorpus kernels
 
   test("dedupCorpus fast=false (portable md5 kernel) still collapses " +
