@@ -152,7 +152,14 @@ object Dedup {
     * pattern (a Bloom bit test has no Column form). `expectedItems`
     * sizes the filter — pass the corpus's (approximate) distinct
     * count; an undersized filter only raises the false-positive
-    * rate, never breaks exactness. */
+    * rate, never breaks exactness.
+    *
+    * CROSSOVER (measured, SCALE.md round 10): at small corpora the
+    * plain [[exactAgainst]] join wins (100× organic probe: 0.32 s
+    * vs 0.86 s — the bloom build + probe costs more than the small
+    * join it avoids). Use this form when the corpus hash table is
+    * large enough that the verifying join's shuffle dominates —
+    * the billions-of-hashes regime this exists for. */
   def exactAgainstBloom(newDocs: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {

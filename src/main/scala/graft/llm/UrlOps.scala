@@ -604,6 +604,28 @@ object UrlOps {
       .agg(count(lit(1)).as("n_variants"),
         min(col("__raw__")).as("keeper"))
 
+  /** Incremental URL-identity dedup — the URL sibling of
+    * Dedup.exactAgainst, run BEFORE any content fetch: every URL in
+    * the new frontier batch is flagged `known` when its CANONICAL
+    * form ([[canonicalizeUrl]] — tracking params, case, default
+    * ports stripped) already exists in the crawled corpus, so a
+    * messy refetch link (HTTPS://HOST:443/...?utm_source=...) of an
+    * already-crawled page never reaches the fetcher. One
+    * canonical-keyed join; the corpus side reduces to its distinct
+    * canonical set (persist that table once — every future frontier
+    * batch joins against it). Pure map + one bounded shuffle. */
+  def urlDedupAgainst(newUrls: DataFrame, corpus: DataFrame,
+      urlCol: String): DataFrame = {
+    val ck = corpus
+      .select(canonicalizeUrl(col(urlCol)).as("url_canonical"))
+      .distinct().withColumn("__known__", lit(true))
+    newUrls.select(col(urlCol).as("url"),
+        canonicalizeUrl(col(urlCol)).as("url_canonical"))
+      .join(ck, Seq("url_canonical"), "left")
+      .select(col("url"), col("url_canonical"),
+        coalesce(col("__known__"), lit(false)).as("known"))
+  }
+
   /** Anchor texts with their link targets: one row per
     * `<a href="...">text</a>` in document order. */
   def extractAnchors(c: Column): Column =

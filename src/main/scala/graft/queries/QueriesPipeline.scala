@@ -1019,6 +1019,47 @@ object QueriesPipeline {
         .select("doc_id", "host", "reg_domain")
     }),
 
+    // INCREMENTAL URL-identity dedup: the new frontier batch is
+    // messy refetch variants of crawled URLs (case/port/tracking
+    // lotteries — must flag known) plus genuinely novel URLs (must
+    // not); the canonical-form join is the pre-fetch dedup a
+    // crawler runs before spending bandwidth
+    "q505_incremental_url" -> ((s, d) => {
+      val all = syntheticUrls(s, d).select("doc_id", "url")
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) < 7)
+      val m1 = PipelineOps.hash48Unit(
+        concat(col("doc_id").cast("string"), lit("#f1"))) < 0.5
+      val m2 = PipelineOps.hash48Unit(
+        concat(col("doc_id").cast("string"), lit("#f2"))) < 0.5
+      val m3 = PipelineOps.hash48Unit(
+        concat(col("doc_id").cast("string"), lit("#f3"))) < 0.5
+      val hostEnd = regexp_extract(col("url"),
+        graft.llm.UrlOps.HostRe, 1)
+      val path = regexp_extract(col("url"),
+        graft.llm.UrlOps.PathRe, 1)
+      val qref = regexp_extract(col("url"),
+        graft.llm.UrlOps.QueryRe, 1)
+      val params = when(m3, when(qref === "",
+          lit("utm_source=feed"))
+          .otherwise(concat(qref, lit("&utm_source=feed"))))
+        .otherwise(qref)
+      val messy = concat(
+        when(m1, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(m1, upper(hostEnd)).otherwise(hostEnd),
+        when(m2, lit(":443")).otherwise(lit("")),
+        path,
+        when(params === "", lit(""))
+          .otherwise(concat(lit("?"), params)))
+      val refetch = corpus.filter(PipelineOps.hash48Unit(
+          concat(col("doc_id").cast("string"), lit("#rf"))) < 0.5)
+        .select(messy.as("url"))
+      val novel = all.filter(pmod(col("doc_id"), lit(10)) >= 7)
+        .select("url")
+      graft.llm.UrlOps.urlDedupAgainst(refetch.union(novel),
+        corpus, "url")
+    }),
+
     // the COMPLETE publicsuffix.org algorithm: wildcard rules
     // (*.ck — any leftmost label) and exception rules (!www.ck —
     // beats every match, suffix = rule minus leftmost label) over
@@ -3324,6 +3365,65 @@ object QueriesPipeline {
         |    ELSE array_to_string(l[greatest(len(l) - 1, 1):], '.')
         |  END AS reg_domain
         |FROM hosts h LEFT JOIN m USING (doc_id)""".stripMargin
+    },
+
+    "q505_incremental_url" -> {
+      def canonCtes(src: String, tag: String) =
+        raw"""kq$tag AS (
+          |  SELECT url, list_sort(list_filter(
+          |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+          |      x -> length(x) > 0 AND NOT regexp_matches(x,
+          |        '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)=')))
+          |    AS kept
+          |  FROM $src),
+          |canon$tag AS (
+          |  SELECT url AS raw,
+          |    regexp_extract(lower(url),
+          |      '^([a-z][a-z0-9+.-]*)://', 1) || '://' ||
+          |    regexp_replace(regexp_extract(lower(url),
+          |      '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+          |      ':(80|443)$$', '') ||
+          |    regexp_extract(url,
+          |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) ||
+          |    CASE WHEN len(kept) > 0
+          |      THEN '?' || array_to_string(kept, '&') ELSE '' END
+          |    AS cu
+          |  FROM kq$tag)""".stripMargin
+      raw"""$urlsSqlCte,
+        |corp AS (SELECT doc_id, url FROM urls WHERE doc_id % 10 < 7),
+        |mvb AS (
+        |  SELECT doc_id, url,
+        |    (${h48("doc_id::VARCHAR || '#f1'")}) < 0.5 AS m1,
+        |    (${h48("doc_id::VARCHAR || '#f2'")}) < 0.5 AS m2,
+        |    (${h48("doc_id::VARCHAR || '#f3'")}) < 0.5 AS m3,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS h,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS qref
+        |  FROM corp
+        |  WHERE (${h48("doc_id::VARCHAR || '#rf'")}) < 0.5),
+        |mv AS (
+        |  SELECT CASE WHEN m3 THEN
+        |      CASE WHEN qref = '' THEN 'utm_source=feed'
+        |           ELSE qref || '&utm_source=feed' END
+        |    ELSE qref END AS params, m1, m2, h, pth
+        |  FROM mvb),
+        |fresh AS (
+        |  SELECT (CASE WHEN m1 THEN 'HTTPS' ELSE 'https' END ||
+        |    '://' || (CASE WHEN m1 THEN upper(h) ELSE h END) ||
+        |    (CASE WHEN m2 THEN ':443' ELSE '' END) || pth ||
+        |    (CASE WHEN params = '' THEN ''
+        |          ELSE '?' || params END)) AS url
+        |  FROM mv
+        |  UNION ALL
+        |  SELECT url FROM urls WHERE doc_id % 10 >= 7),
+        |${canonCtes("corp", "_c")},
+        |ckset AS (SELECT DISTINCT cu FROM canon_c),
+        |${canonCtes("fresh", "_f")}
+        |SELECT f.raw AS url, f.cu AS url_canonical,
+        |  k.cu IS NOT NULL AS known
+        |FROM canon_f f LEFT JOIN ckset k ON f.cu = k.cu""".stripMargin
     },
 
     "q503_psl_wildcard" -> {
