@@ -440,6 +440,27 @@ object UrlOps {
           "(?i)^Sitemap: *(.*)$", 1)).as("sitemap_url"))
       .filter(col("sitemap_url") =!= "")
 
+  /** Parse sitemap XML bodies (sitemaps.org protocol) into one row
+    * per `<url>` entry: (domain, loc, lastmod) — the step after
+    * [[robotsSitemaps]] discovers the sitemap URLs and the fetcher
+    * retrieves them; `loc` feeds the frontier, `lastmod` ('' when
+    * absent, the regexp_extract no-match convention) feeds recrawl
+    * freshness. Split on `</url>` + per-entry extraction — pure
+    * map, character-class-only regex, engine-replayable. Index
+    * files (`<sitemapindex>` with `<sitemap><loc>` children) parse
+    * with the same extraction (their entries lack `<url>` tags but
+    * carry `<loc>` — run the output back through the fetcher). */
+  def sitemapUrls(df: DataFrame, domainCol: String,
+      xmlCol: String): DataFrame =
+    df.select(col(domainCol).as("domain"),
+        explode(split(col(xmlCol), "</url>")).as("__e__"))
+      .select(col("domain"),
+        regexp_extract(col("__e__"), "<loc>([^<]*)</loc>", 1)
+          .as("loc"),
+        regexp_extract(col("__e__"), "<lastmod>([^<]*)</lastmod>", 1)
+          .as("lastmod"))
+      .filter(col("loc") =!= "")
+
   /** Per-domain crawl delay from robots.txt bodies — the de-facto
     * `Crawl-delay:` extension most crawlers honor. Seconds as
     * integers; several directives in one file (per-agent groups in

@@ -1019,6 +1019,35 @@ object QueriesPipeline {
         .select("doc_id", "host", "reg_domain")
     }),
 
+    // sitemap XML parsing (sitemaps.org): per-<url> loc + optional
+    // lastmod extraction over synthesized urlset bodies — entry
+    // order, missing lastmod, lastmod-before-loc and entities all
+    // exercised; the step between q481's discovery and the frontier
+    "q506_sitemap_parse" -> ((s, d) => {
+      val domDf = t(s, d, "documents").sparkSession
+        .createDataFrame(urlDomains.map(Tuple1(_)))
+        .toDF("domain")
+      def lot(salt: String) = PipelineOps.hash48Unit(
+        concat(col("domain"), lit(salt)))
+      val entry1 = concat(lit("<url><loc>https://"), col("domain"),
+        lit("/</loc>"),
+        when(lot("#x1") < 0.5, concat(lit("<lastmod>2026-0"),
+          (floor(lot("#x2") * 9) + 1).cast("long").cast("string"),
+          lit("-01</lastmod>"))).otherwise(lit("")),
+        lit("</url>"))
+      val entry2 = when(lot("#x3") < 0.7,
+        concat(lit("<url><loc>https://"), col("domain"),
+          lit("/news</loc></url>"))).otherwise(lit(""))
+      val entry3 = when(lot("#x4") < 0.3,
+        concat(lit("<url><lastmod>2026-01-02</lastmod><loc>https://"),
+          col("domain"), lit("/a?b=1&amp;c=2</loc></url>")))
+        .otherwise(lit(""))
+      val xml = concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        entry1, entry2, entry3, lit("</urlset>"))
+      graft.llm.UrlOps.sitemapUrls(
+        domDf.select(col("domain"), xml.as("xml")), "domain", "xml")
+    }),
+
     // INCREMENTAL URL-identity dedup: the new frontier batch is
     // messy refetch variants of crawled URLs (case/port/tracking
     // lotteries — must flag known) plus genuinely novel URLs (must
@@ -3365,6 +3394,39 @@ object QueriesPipeline {
         |    ELSE array_to_string(l[greatest(len(l) - 1, 1):], '.')
         |  END AS reg_domain
         |FROM hosts h LEFT JOIN m USING (doc_id)""".stripMargin
+    },
+
+    "q506_sitemap_parse" -> {
+      val domList = graft.queries.QueriesPipeline.urlDomains
+        .map(s => s"'$s'").mkString(", ")
+      raw"""WITH doms AS (SELECT unnest([$domList]) AS domain),
+        |xmls AS (SELECT domain,
+        |  '<?xml version="1.0"?><urlset>' ||
+        |  '<url><loc>https://' || domain || '/</loc>' ||
+        |  CASE WHEN (${h48("domain || '#x1'")}) < 0.5
+        |    THEN '<lastmod>2026-0' || CAST(CAST(floor(
+        |        (${h48("domain || '#x2'")}) * 9) AS BIGINT) + 1
+        |        AS VARCHAR) || '-01</lastmod>'
+        |    ELSE '' END ||
+        |  '</url>' ||
+        |  CASE WHEN (${h48("domain || '#x3'")}) < 0.7
+        |    THEN '<url><loc>https://' || domain ||
+        |      '/news</loc></url>' ELSE '' END ||
+        |  CASE WHEN (${h48("domain || '#x4'")}) < 0.3
+        |    THEN '<url><lastmod>2026-01-02</lastmod><loc>https://'
+        |      || domain || '/a?b=1&amp;c=2</loc></url>'
+        |    ELSE '' END ||
+        |  '</urlset>' AS xml
+        |  FROM doms),
+        |entries AS (SELECT domain,
+        |    unnest(string_split(xml, '</url>')) AS e
+        |  FROM xmls)
+        |SELECT domain,
+        |  regexp_extract(e, '<loc>([^<]*)</loc>', 1) AS loc,
+        |  regexp_extract(e, '<lastmod>([^<]*)</lastmod>', 1)
+        |    AS lastmod
+        |FROM entries
+        |WHERE regexp_extract(e, '<loc>([^<]*)</loc>', 1) <> ''""".stripMargin
     },
 
     "q505_incremental_url" -> {
