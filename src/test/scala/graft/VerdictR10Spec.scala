@@ -304,6 +304,30 @@ class VerdictR10Spec extends SparkSpecBase {
       }
   }
 
+  // --------------------------------- canonical-URL identity property
+
+  test("canonicalizeUrl is IDEMPOTENT: canon(canon(u)) == canon(u) " +
+      "for hostile case/port/tracking/fragment variants") {
+    // identity functions must be stable under re-application or
+    // incremental URL dedup (q505) would mis-flag already-canonical
+    // corpus entries on a second pass
+    val urls = Seq(
+      "HTTPS://Ex.COM:443/A/b?utm_source=x&z=1&a=2#frag",
+      "http://ex.com:80/",
+      "https://user@ex.com/p?fbclid=1",
+      "https://ex.com/p?b=2&a=1",
+      "ftp://EX.com/Q",
+      "https://ex.com/p").toDF("u")
+    val once = urls.select(
+      graft.llm.UrlOps.canonicalizeUrl(col("u")).as("c1"))
+    val twice = once.select(col("c1"),
+      graft.llm.UrlOps.canonicalizeUrl(col("c1")).as("c2"))
+      .as[(String, String)].collect()
+    twice.foreach { case (c1, c2) =>
+      withClue(s"canon not idempotent on $c1: ") { c2 shouldBe c1 }
+    }
+  }
+
   // ------------------------------------- bloom-pruned exact dedup
 
   test("exactAgainstBloom returns the EXACT same verdicts as " +
