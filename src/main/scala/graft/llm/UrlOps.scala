@@ -288,7 +288,9 @@ object UrlOps {
 
   /** RFC 9309 (Robots Exclusion Protocol) rule parser — the REP-
     * complete sibling of the v1 [[robotsRules]]: both `Allow:` and
-    * `Disallow:` directives, `*` wildcards and the `$` end anchor.
+    * `Disallow:` directives (keys case-insensitive per §2.1 — the
+    * wild writes `disallow:` lowercase), `*` wildcards and the `$`
+    * end anchor.
     * Still single-agent (per-agent group selection is a split the
     * same parse applies to). Emits one rule row per directive:
     * (domain, is_allow, pattern, pattern_len, pattern_re) where
