@@ -253,6 +253,109 @@ object Dedup {
       .distinct()
   }
 
+  /** Public banding accessor: the (id, band, bucket) LSH rows for
+    * each doc — the persist-once corpus artifact of the incremental
+    * pipeline (a production corpus stores this table alongside its
+    * distinct-hash table so each new shard only bands ITSELF and
+    * joins; re-banding a 100 TB corpus per shard would be O(corpus)
+    * per batch = quadratic over the corpus lifetime).
+    * `fast = true` → xxhash64 codegen kernel ([[fastBanded]]);
+    * `false` → the md5 engine-portable oracle kernel. */
+  def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 12, bands: Int = 4, shingleSize: Int = 3,
+      fast: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    if (fast) fastBanded(df, textCol, idCol, numHashes, bands,
+      shingleSize)
+    else mhBanded(df, textCol, idCol, numHashes, bands, shingleSize)
+  }
+
+  /** ONE micro-shard step of the continuously-growing-corpus dedup —
+    * the kernel both the per-shard batch job and
+    * [[graft.streaming.StreamOps.streamingIncrementalDedup]] run.
+    * Semantics are batch-granular arrival order:
+    *
+    *   1. in-batch exact collapse — min `idCol` per text md5;
+    *   2. exact-vs-corpus — drop docs whose md5 is in `priorHashes`;
+    *   3. (if `lshStage`) near-dup — drop docs sharing an LSH band
+    *      bucket with `priorBands` (corpus side hot-bucket-capped,
+    *      the [[capBuckets]] argument) OR with a SMALLER-id exact
+    *      survivor of the same batch (the dominated rule: candidate
+    *      pairs are not transitive, so within a batch the larger id
+    *      of every candidate pair is dropped rather than chasing
+    *      chains — deterministic and one anti-join).
+    *
+    * Returns (kept docs in the input schema, their `text_md5` rows,
+    * their band rows) — append the latter two to the corpus side
+    * tables so the NEXT shard's stages 2–3 stay O(shard), never
+    * O(corpus). Null texts carry no content and are excluded, as in
+    * [[exactAgainst]]. */
+  def incrementalDedupStep(newDocs: DataFrame, textCol: String,
+      idCol: String, priorHashes: Option[DataFrame],
+      priorBands: Option[DataFrame], numHashes: Int = 12,
+      bands: Int = 4, shingleSize: Int = 3,
+      maxBucket: Long = 1000L, fast: Boolean = true,
+      lshStage: Boolean = true)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val inCols = newDocs.columns.map(col).toSeq
+    val withH = newDocs.filter(col(textCol).isNotNull)
+      .withColumn("__md5__", md5(col(textCol)))
+    // 1. in-batch exact representative
+    val rep = withH.groupBy("__md5__")
+      .agg(min(col(idCol)).as("__rep__"))
+    val inBatch = withH.join(rep, "__md5__")
+      .filter(col(idCol) === col("__rep__")).drop("__rep__")
+    // 2. exact vs corpus (anti-join on the distinct-hash table)
+    val afterExact = priorHashes match {
+      case Some(h) => inBatch.join(
+        h.select(col("text_md5").as("__md5__")).distinct(),
+        Seq("__md5__"), "left_anti")
+      case None => inBatch
+    }
+    // 3. near-dup vs corpus bands + the in-batch dominated rule
+    val kept =
+      if (!lshStage) afterExact
+      else {
+        val nb = bandedSignatures(afterExact, textCol, idCol,
+          numHashes, bands, shingleSize, fast)
+        // hot-bucket cap on the SELF-join only (batch-sized window —
+        // bounded); the corpus side below is capped by count filter
+        val nbc = capBuckets(nb, maxBucket, "band", "bucket")
+        val inBatchDup = nbc.as("a").join(nbc.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.id") > col("b.id"))
+          .select(col("a.id").as("__dup__"))
+        val dups = priorBands match {
+          case Some(pb) =>
+            // bucket EXISTENCE is all this stage needs (we drop the
+            // new doc, we never emit the pair), so the corpus side
+            // collapses to a hash-aggregated (band, bucket, cnt)
+            // table — map-side partial agg, no sort — with the hot-
+            // bucket cap as a count filter. The first version ran
+            // capBuckets (a window SORT) over the full corpus band
+            // table per batch; the DedupStreamBench probe showed
+            // that O(corpus)-per-batch term immediately.
+            val c = pb.groupBy("band", "bucket")
+              .agg(count(lit(1)).as("__bc__"))
+              .filter(col("__bc__") <= maxBucket)
+              .select("band", "bucket")
+            nb.join(c, Seq("band", "bucket"), "left_semi")
+              .select(col("id").as("__dup__"))
+              .unionByName(inBatchDup)
+          case None => inBatchDup
+        }
+        afterExact.join(dups.distinct(),
+          col(idCol) === col("__dup__"), "left_anti")
+      }
+    val keptDocs = kept.select(inCols: _*)
+    val keptHashes = kept.select(col("__md5__").as("text_md5"))
+    val keptBands = bandedSignatures(keptDocs, textCol, idCol,
+      numHashes, bands, shingleSize, fast)
+    (keptDocs, keptHashes, keptBands)
+  }
+
   /** Production-speed SELF-join LSH pairs — the codegen twin of the
     * md5-portable [[minhashLshPairs]], with the same banding, cap
     * and pair semantics but the [[fastBanded]] signature plan

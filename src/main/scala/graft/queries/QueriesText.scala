@@ -162,6 +162,53 @@ object QueriesText {
         expectedItems = 100000L, fpp = 0.01)
     }),
 
+    // STREAMING incremental dedup, run through the REAL Structured
+    // Streaming machinery (file source → foreachBatch → per-batch
+    // incrementalDedupStep → corpus parquet append): documents plus
+    // synthesized exact duplicates (doc_id+10000 copies of every
+    // doc_id%5==0 text) arrive in 3 micro-batches keyed by
+    // doc_id%3; the accepted corpus must equal keep-first-by-
+    // (batch, id) — the sequential semantics the oracle states in
+    // one window. Exact-only mode (lshStage=false) so the gate is
+    // fully SQL-oracled; the near-dup stage of the same composition
+    // is spec-verified against the shared kernel
+    // (StreamingIncrementalDedupSpec) whose banding kernels are
+    // themselves oracled (q44/q484).
+    "q507_streaming_incremental_exact" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .filter(col("text").isNotNull).select("doc_id", "text")
+      val allDocs = base.unionByName(
+        base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q507_").toString
+      val inDir = s"$root/in"; val corpusDir = s"$root/corpus"
+      val ckpt = s"$root/ckpt"
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      def writeBatch(b: Int): Unit =
+        allDocs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      writeBatch(0)
+      val q = graft.streaming.StreamOps.streamingIncrementalDedup(
+        s.readStream.schema(schema).parquet(inDir),
+        "text", "doc_id", corpusDir, ckpt, lshStage = false)
+      try {
+        q.processAllAvailable()
+        writeBatch(1); q.processAllAvailable()
+        writeBatch(2); q.processAllAvailable()
+      } finally q.stop()
+      // materialize off the temp dir, then surface (doc_id, batch)
+      val out = s.read.parquet(s"$corpusDir/docs")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(3)).cast("long").as("batch"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+      out
+    }),
+
     // INCREMENTAL MinHash-LSH near-dup: band both splits with the
     // q44 recipe, join buckets ACROSS tables — (new, corpus)
     // candidates only, corpus-side hot-bucket cap
@@ -593,6 +640,25 @@ object QueriesText {
         |SELECT n.doc_id, n.text_md5,
         |  c.text_md5 IS NOT NULL AS known
         |FROM newd n LEFT JOIN ch c USING (text_md5)""".stripMargin,
+
+    // sequential streaming dedup ≡ keep-first-by-(batch, id): a doc
+    // survives iff it is the row_number()=1 member of its text group
+    // under (arrival batch, id) ordering — the whole micro-batch
+    // fold collapses to one window
+    "q507_streaming_incremental_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 5 = 0),
+        |ranked AS (
+        |  SELECT doc_id, doc_id % 3 AS batch,
+        |    row_number() OVER (PARTITION BY text
+        |      ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM all_docs)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(batch AS BIGINT) AS batch
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q484_incremental_lsh" ->
       s"""WITH corp AS (

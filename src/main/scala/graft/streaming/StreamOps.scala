@@ -1050,4 +1050,78 @@ object StreamOps {
       }
       .start()
   }
+
+  /** Streaming incremental corpus dedup — the deployment shape of
+    * the r9/r10 incremental family ([[graft.llm.Dedup.exactAgainst]]
+    * / [[graft.llm.Dedup.minhashLshAgainstFast]]): an unbounded feed
+    * of new documents is deduplicated micro-batch by micro-batch
+    * against the corpus accepted SO FAR, and each batch's survivors
+    * join the corpus. Per batch it runs
+    * [[graft.llm.Dedup.incrementalDedupStep]] and persists three
+    * growing side tables under `corpusDir`:
+    *
+    *   - `docs/batch=N`   — accepted documents,
+    *   - `hashes/batch=N` — their text md5s (stage-2 input),
+    *   - `bands/batch=N`  — their LSH band rows (stage-3 input),
+    *
+    * so every batch's work is O(batch + matched buckets), never
+    * O(corpus): the corpus is consulted through its persisted hash
+    * and band tables, not re-scanned or re-banded (re-banding per
+    * batch would be quadratic over the corpus lifetime — the 100 TB
+    * trap this layout exists to avoid; at billions of corpus hashes
+    * swap stage 2's join for [[graft.llm.Dedup.exactAgainstBloom]]'s
+    * broadcast-probe shape).
+    *
+    * Exactly-once: each batch writes `batch=<batchId>` subdirs with
+    * Overwrite (idempotent on foreachBatch replay) and prior-state
+    * reads filter `batch < batchId`, so a half-written dir from a
+    * failed attempt is never consulted and is fully overwritten by
+    * the retry. Restart with the same `checkpointDir` resumes at
+    * the failed batch with no loss and no double-accept (spec:
+    * StreamingIncrementalDedupSpec). Survivor artifacts are derived
+    * by RE-READING the just-written docs dir, so the side tables are
+    * always consistent with what is actually on disk. */
+  def streamingIncrementalDedup(newDocs: DataFrame, textCol: String,
+      idCol: String, corpusDir: String, checkpointDir: String,
+      numHashes: Int = 12, bands: Int = 4, shingleSize: Int = 3,
+      maxBucket: Long = 1000L, fast: Boolean = true,
+      lshStage: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    newDocs.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          def prior(name: String): Option[DataFrame] = {
+            val p = new org.apache.hadoop.fs.Path(s"$corpusDir/$name")
+            val fs = p.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p))
+              Some(spark.read.parquet(p.toString)
+                .filter(col("batch") < batchId))
+            else None
+          }
+          val (kept, _, _) = graft.llm.Dedup.incrementalDedupStep(
+            batch, textCol, idCol, prior("hashes"), prior("bands"),
+            numHashes, bands, shingleSize, maxBucket, fast, lshStage)
+          kept.write.mode("overwrite")
+            .parquet(s"$corpusDir/docs/batch=$batchId")
+          // derive the side tables from the on-disk survivors (one
+          // cheap re-read of a batch-sized dir) so they can never
+          // drift from the docs table across retries
+          val keptR =
+            spark.read.parquet(s"$corpusDir/docs/batch=$batchId")
+          keptR.select(md5(col(textCol)).as("text_md5"))
+            .write.mode("overwrite")
+            .parquet(s"$corpusDir/hashes/batch=$batchId")
+          if (lshStage)
+            graft.llm.Dedup.bandedSignatures(keptR, textCol, idCol,
+                numHashes, bands, shingleSize, fast)
+              .write.mode("overwrite")
+              .parquet(s"$corpusDir/bands/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
 }
