@@ -719,15 +719,21 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    val outDeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg"))
+    // (edge ⋈ out-degree) is LOOP-INVARIANT: join it once, hash-
+    // partition on src and cache, so each round's join only
+    // exchanges the (vertex-sized) rank table against a co-located
+    // cached edge side instead of re-joining and re-shuffling the
+    // edge list every round
+    val eDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .repartition(col("src")).cache()
     val restart = lit((100 - dampPct).toLong * scale / 100)
     val isSrc = col("id").isin(sources: _*)
     var r = verts.select(col("id"),
       when(isSrc, lit(scale)).otherwise(lit(0L)).as("ppr"))
     for (_ <- 1 to rounds) {
-      val contrib = r.join(outDeg, Seq("id"))
-        .join(e.select(col("src").as("id"), col("dst")), Seq("id"))
+      val contrib = r.select(col("id").as("src"), col("ppr"))
+        .join(eDeg, Seq("src"))
         .select(col("dst").as("id"),
           expr("ppr div deg").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
@@ -763,13 +769,16 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    val outDeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg"))
+    // loop-invariant (edge ⋈ out-degree), pre-partitioned on src —
+    // see personalizedPageRank
+    val eDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .repartition(col("src")).cache()
     val restart = lit((100 - dampPct).toLong * scale / 100)
     var r = verts.select(col("id"), lit(scale).as("pr"))
     for (_ <- 1 to rounds) {
-      val contrib = r.join(outDeg, Seq("id"))
-        .join(e.select(col("src").as("id"), col("dst")), Seq("id"))
+      val contrib = r.select(col("id").as("src"), col("pr"))
+        .join(eDeg, Seq("src"))
         .select(col("dst").as("id"), expr("pr div deg").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
       r = verts.join(contrib, Seq("id"), "left")
