@@ -296,7 +296,8 @@ object Dedup {
       priorBands: Option[DataFrame], numHashes: Int = 12,
       bands: Int = 4, shingleSize: Int = 3,
       maxBucket: Long = 1000L, fast: Boolean = true,
-      lshStage: Boolean = true)
+      lshStage: Boolean = true,
+      bloomExpectedItems: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val inCols = newDocs.columns.map(col).toSeq
     val withH = newDocs.filter(col(textCol).isNotNull)
@@ -306,11 +307,33 @@ object Dedup {
       .agg(min(col(idCol)).as("__rep__"))
     val inBatch = withH.join(rep, "__md5__")
       .filter(col(idCol) === col("__rep__")).drop("__rep__")
-    // 2. exact vs corpus (anti-join on the distinct-hash table)
+    // 2. exact vs corpus (anti-join on the distinct-hash table).
+    // With bloomExpectedItems set, the exactAgainstBloom cost shape
+    // instead: a corpus bloom filter is built once per batch and
+    // broadcast, the batch is probed MAP-SIDE, and only `mightContain`
+    // survivors (true dups + fpp) pay the verifying anti-join — at
+    // billions of corpus hashes the anti-join's corpus-side shuffle
+    // is the dominant per-batch term and this bounds it by dup mass.
+    // Exactness is unconditional (bloom negatives are definite).
     val afterExact = priorHashes match {
-      case Some(h) => inBatch.join(
-        h.select(col("text_md5").as("__md5__")).distinct(),
-        Seq("__md5__"), "left_anti")
+      case Some(h) =>
+        val ch = h.select(col("text_md5").as("__md5__")).distinct()
+        bloomExpectedItems match {
+          case Some(n) =>
+            require(n >= 1, s"bloomExpectedItems >= 1: $n")
+            val bf = ch.stat.bloomFilter("__md5__", n, 0.01)
+            val bfB = newDocs.sparkSession.sparkContext.broadcast(bf)
+            val mightContain =
+              udf((s: String) => s != null && bfB.value.mightContain(s))
+            val probed = inBatch.withColumn("__maybe__",
+              mightContain(col("__md5__")))
+            probed.filter(col("__maybe__"))
+              .join(ch, Seq("__md5__"), "left_anti")
+              .unionByName(probed.filter(!col("__maybe__")))
+              .drop("__maybe__")
+          case None =>
+            inBatch.join(ch, Seq("__md5__"), "left_anti")
+        }
       case None => inBatch
     }
     // 3. near-dup vs corpus bands + the in-batch dominated rule

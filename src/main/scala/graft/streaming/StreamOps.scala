@@ -1069,8 +1069,9 @@ object StreamOps {
     * and band tables, not re-scanned or re-banded (re-banding per
     * batch would be quadratic over the corpus lifetime — the 100 TB
     * trap this layout exists to avoid; at billions of corpus hashes
-    * swap stage 2's join for [[graft.llm.Dedup.exactAgainstBloom]]'s
-    * broadcast-probe shape).
+    * set `bloomExpectedItems` to switch stage 2 to the
+    * [[graft.llm.Dedup.exactAgainstBloom]] broadcast-probe shape so
+    * only ~dup-mass rows pay the verifying anti-join).
     *
     * Exactly-once: each batch writes `batch=<batchId>` subdirs with
     * Overwrite (idempotent on foreachBatch replay) and prior-state
@@ -1085,7 +1086,8 @@ object StreamOps {
       idCol: String, corpusDir: String, checkpointDir: String,
       numHashes: Int = 12, bands: Int = 4, shingleSize: Int = 3,
       maxBucket: Long = 1000L, fast: Boolean = true,
-      lshStage: Boolean = true)
+      lshStage: Boolean = true,
+      bloomExpectedItems: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     newDocs.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -1103,7 +1105,8 @@ object StreamOps {
           }
           val (kept, _, _) = graft.llm.Dedup.incrementalDedupStep(
             batch, textCol, idCol, prior("hashes"), prior("bands"),
-            numHashes, bands, shingleSize, maxBucket, fast, lshStage)
+            numHashes, bands, shingleSize, maxBucket, fast, lshStage,
+            bloomExpectedItems)
           kept.write.mode("overwrite")
             .parquet(s"$corpusDir/docs/batch=$batchId")
           // derive the side tables from the on-disk survivors (one

@@ -120,6 +120,25 @@ class StreamingIncrementalDedupSpec extends SparkSpecBase {
       .as[String].head() shouldBe textC
   }
 
+  test("bloom-pruned stage 2 (bloomExpectedItems) keeps EXACTLY the " +
+      "same docs as the plain anti-join path — bloom negatives are " +
+      "definite, positives are verified") {
+    var hashes: Option[DataFrame] = None
+    var bands: Option[DataFrame] = None
+    var kept = Seq.empty[Long]
+    batches.indices.foreach { b =>
+      val (k, h, bd) = Dedup.incrementalDedupStep(
+        batchDf(b), "text", "doc_id", hashes, bands,
+        bloomExpectedItems = Some(1000L))
+      kept ++= k.select("doc_id").as[Long].collect().toSeq
+      hashes = Some(hashes.map(_.unionByName(h)).getOrElse(h)
+        .localCheckpoint(true))
+      bands = Some(bands.map(_.unionByName(bd)).getOrElse(bd)
+        .localCheckpoint(true))
+    }
+    kept.sorted shouldBe sequentialKeptIds
+  }
+
   test("restart recovery: stop between micro-batches, a batch lands " +
       "while down, restart on the same checkpoint — no loss, no " +
       "double-accept, corpus equal to the uninterrupted run") {
