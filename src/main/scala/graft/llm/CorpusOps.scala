@@ -27,6 +27,68 @@ object CorpusOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Temperature-scaled domain resampling — the data-mixing
+    * primitive of large-LM training recipes (sampling mass ∝ n_k^α,
+    * α < 1 upweights small domains/languages): allocate `total`
+    * sample slots across the values of `keyCol` proportionally to
+    * n_k^α via largest-remainder apportionment
+    * ([[UrlOps.apportion]]), then select each key's documents by a
+    * deterministic md5-48 lottery (per-key rank ≤ quota).
+    *
+    * Exactness: α must be dyadic — `alphaNum`/64 — because
+    * n^(a/2^m) then factors into a FIXED-ORDER product of iterated
+    * square roots (s_i = n^(1/2^i); both sqrt and multiply are
+    * exactly-rounded IEEE ops), so the weight doubles are
+    * bit-identical in any engine; they enter apportionment as
+    * floor(2^20 · n^α) integers and everything downstream is the
+    * exact integer Hamilton + rank arithmetic the oracle replays.
+    *
+    * Quota semantics: alloc_k is a QUOTA, not a guarantee — a key
+    * whose corpus is smaller than its quota contributes ALL its docs
+    * and the shortfall (visible as alloc vs n_key in the output) is
+    * the multi-epoch signal a training recipe turns into repeat
+    * factors. Scale: one bounded-key aggregate + one broadcast quota
+    * join + one per-key ranking window (partitioned by key — never
+    * global). Output: one row per SELECTED doc
+    * (key, id, rank, alloc, n_key). */
+  def temperatureMix(df: DataFrame, keyCol: String, idCol: String,
+      total: Long, alphaNum: Int = 32, salt: String = "tmix"):
+      DataFrame = {
+    require(total >= 0, s"total >= 0, got $total")
+    require(alphaNum >= 1 && alphaNum <= 64,
+      s"alphaNum in [1,64] (alpha = alphaNum/64), got $alphaNum")
+    val keys = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_key"))
+    // n^(alphaNum/64) = prod over set bits i (1-based from the
+    // binary point) of s_i = n^(1/2^i), multiplied in ascending-i
+    // order; alphaNum = 64 is n itself
+    val powAlpha: Column =
+      if (alphaNum == 64) col("n_key").cast("double")
+      else {
+        val roots = Iterator.iterate(col("n_key").cast("double"))(
+          (x: Column) => sqrt(x)).drop(1).take(6).toSeq // s_1 .. s_6
+        val factors = (1 to 6).collect {
+          case i if ((alphaNum >> (6 - i)) & 1) == 1 => roots(i - 1)
+        }
+        factors.reduceLeft(_ * _)
+      }
+    val weighted = keys.withColumn("__w__",
+      floor(powAlpha * lit(1048576.0)).cast("long"))
+    val quota = UrlOps.apportion(weighted, "key", "__w__", total)
+      .join(weighted.select(col("key"), col("n_key")), Seq("key"))
+      .select(col("key"), col("alloc"), col("n_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key")
+      .orderBy(UrlOps.h48Long(concat(col("id").cast("string"),
+        lit("#"), lit(salt))).asc, col("id").asc)
+    df.select(col(keyCol).as("key"), col(idCol).as("id"))
+      .join(broadcast(quota), Seq("key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= col("alloc"))
+      .select(col("key"), col("id"), col("rank"), col("alloc"),
+        col("n_key"))
+  }
+
   /** DSIR-style importance weights: hash every word bigram into
     * `nBuckets` buckets (power of two, so floor(h48·B) is exact in a
     * double and replays in any engine), estimate add-one-smoothed

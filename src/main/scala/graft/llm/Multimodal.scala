@@ -153,6 +153,44 @@ object Multimodal {
     f(width, height)
   }
 
+  /** Deterministic BLOCK-CONSTANT PNG generator (REAL encoder) — the
+    * oracle-exact sibling of [[encodePng]]: a side×side RGB image
+    * (side floored to a multiple of 8, min 8) painted as the 8×8
+    * grid of constant-color blocks aHash partitions it into, colors
+    * a modular function of (imgId, block index). Because every
+    * pixel of an aHash block shares one color, the kernel's block
+    * means are INTEGERS (exact in IEEE doubles) and the global
+    * threshold is an exact /64 shift, so `imageAHash` of these bytes
+    * equals the closed-form bit test `64·luma_blk > Σ luma` — pure
+    * integer arithmetic any engine replays bit-for-bit (gate q508
+    * oracles the whole encode→decode→hash path this way; q396 keeps
+    * the mixed-pixel path under its invariance specs). */
+  def encodePngBlocks(imgId: Column, side: Column): Column = {
+    val f = udf((id: Long, side0: Int) => {
+      val side = math.max(8, side0 - side0 % 8)
+      val bs = side / 8
+      val img = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val blk = (y / bs) * 8 + (x / bs)
+          val r = ((id * 13 + blk * 7) % 256).toInt
+          val g = ((id * 29 + blk * 11) % 256).toInt
+          val b = ((id * 5 + blk * 3) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    })
+    f(imgId, side)
+  }
+
   /** Deterministic WAV payload generator (REAL encoder): mono 16-bit
     * PCM of `frames` samples of a position-derived waveform. */
   def encodeWav(sampleRate: Column, frames: Column): Column = {

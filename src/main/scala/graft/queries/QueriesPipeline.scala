@@ -579,9 +579,12 @@ object QueriesPipeline {
         .orderBy("prio", "xm")
     }),
 
-    // audio energy fingerprint over REAL synthesized WAVs (rows-only
-    // like q396: no SQL PCM decoder; content-purity and planted-dup
-    // recovery are spec'd in MultimodalCodecSpec)
+    // audio energy fingerprint over REAL synthesized WAVs — fully
+    // ORACLED since round 10: the kernel is exact-integer
+    // (64·blockEnergy > totalEnergy, two's-complement bit assembly)
+    // and the synthetic PCM is a closed form of the frame index, so
+    // DuckDB replays the entire encode→decode→hash path without a
+    // codec
     "q399_audio_hash" -> ((s, d) => {
       val m = t(s, d, "documents").filter(col("doc_id") < 300)
         .select(col("doc_id"),
@@ -597,6 +600,40 @@ object QueriesPipeline {
         .select(col("doc_id"), col("frames"), col("ahash"))
         .orderBy("doc_id")
     }),
+
+    // aHash kernel twin on BLOCK-CONSTANT PNGs: every aHash block is
+    // one constant color, so the block means are integers and the
+    // threshold test collapses to 64·luma > Σluma — the oracle
+    // replays PNG encode → ImageIO decode → luma → threshold → bit
+    // order in exact integer arithmetic (the q396 mixed-pixel path
+    // keeps its invariance specs; this twin pins the hash math +
+    // codec round-trip)
+    "q508_image_ahash_twin" -> ((s, d) => {
+      val m = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(32) + pmod(col("doc_id"), lit(3)) * 8).cast("int")
+            .as("side"))
+      graft.llm.Multimodal
+        .partitionForPayload(m, avgBytesPerRow = 4096,
+          targetPartitionBytes = 4L * 1024 * 1024)
+        .withColumn("png", graft.llm.Multimodal
+          .encodePngBlocks(col("doc_id"), col("side")))
+        .withColumn("ahash", graft.llm.Multimodal
+          .imageAHash(col("png")))
+        .select(col("doc_id"), col("side"), col("ahash"))
+        .orderBy("doc_id")
+    }),
+
+    // temperature-scaled language resampling (sampling mass ∝
+    // n_lang^0.75 — the LM data-mixing recipe): dyadic α so the
+    // weight is a fixed-order product of IEEE sqrts (bit-identical
+    // in any engine), integer Hamilton quotas, md5-48 per-key
+    // lottery — every selected doc_id exact
+    "q509_temperature_mix" -> ((s, d) =>
+      graft.llm.CorpusOps.temperatureMix(
+        t(s, d, "documents"), "lang", "doc_id", total = 200L,
+        alphaNum = 48)
+        .orderBy("key", "rank")),
 
     // deterministic negative sampling over the documents corpus:
     // bounded 500-id lottery pool, 3 draws per doc, md5-48 index
@@ -5026,6 +5063,106 @@ object QueriesPipeline {
          |SELECT temp, n, round(nll, 9) AS nll,
          |  nll = min(nll) OVER () AS is_best
          |FROM prof""".stripMargin
+    },
+
+    // full closed-form replay of the WAV energy hash: the PCM is a
+    // modular function of the frame index, block assignment is
+    // integer division, the bit test is the kernel's own exact
+    // cross-multiplication, and the 64-bit hash reassembles via
+    // two's complement (blk 0 contributes -2^63)
+    "q399_audio_hash" ->
+      raw"""WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(100 + (doc_id % 7) * 50 AS INT) AS frames
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (
+        |  SELECT doc_id, frames,
+        |    CAST((i * 64) // frames AS INT) AS blk,
+        |    abs((i * 2731) % 65536 - 32768) AS e
+        |  FROM m, unnest(range(0, CAST(frames AS BIGINT))) AS t(i)),
+        |b AS (
+        |  SELECT doc_id, frames, blk, CAST(sum(e) AS BIGINT) AS se
+        |  FROM s GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(se) AS BIGINT) AS te
+        |  FROM b GROUP BY 1),
+        |bits AS (
+        |  SELECT b.doc_id, b.frames, b.blk,
+        |    CASE WHEN b.se * 64 > t.te THEN 1 ELSE 0 END AS bit
+        |  FROM b JOIN tot t USING (doc_id))
+        |SELECT doc_id, first(frames) AS frames,
+        |  CAST(sum(CASE
+        |    WHEN bit = 1 AND blk = 0 THEN -9223372036854775808
+        |    WHEN bit = 1 THEN CAST(1 AS BIGINT) << (63 - blk)
+        |    ELSE 0 END) AS BIGINT) AS ahash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // block-constant aHash twin: luma per block from the generator's
+    // modular color formulas; bit test 64·luma > Σluma (exact — see
+    // the gate comment); two's-complement hash reassembly as q399
+    "q508_image_ahash_twin" ->
+      raw"""WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(32 + (doc_id % 3) * 8 AS INT) AS side
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (
+        |  SELECT doc_id, side, CAST(blk AS INT) AS blk,
+        |    299 * ((doc_id * 13 + blk * 7) % 256)
+        |      + 587 * ((doc_id * 29 + blk * 11) % 256)
+        |      + 114 * ((doc_id * 5 + blk * 3) % 256) AS luma
+        |  FROM m, unnest(range(0, 64)) AS t(blk)),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(luma) AS BIGINT) AS tl
+        |  FROM g GROUP BY 1),
+        |bits AS (
+        |  SELECT g.doc_id, g.side, g.blk,
+        |    CASE WHEN g.luma * 64 > t.tl THEN 1 ELSE 0 END AS bit
+        |  FROM g JOIN tot t USING (doc_id))
+        |SELECT doc_id, first(side) AS side,
+        |  CAST(sum(CASE
+        |    WHEN bit = 1 AND blk = 0 THEN -9223372036854775808
+        |    WHEN bit = 1 THEN CAST(1 AS BIGINT) << (63 - blk)
+        |    ELSE 0 END) AS BIGINT) AS ahash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // exact replay of the whole temperature-mix pipeline: per-lang
+    // counts, the SAME fixed-order sqrt product for n^0.75 (IEEE
+    // sqrt/multiply are exactly rounded — bit-identical doubles),
+    // floor(2^20·w) integer weights, the q467 Hamilton shape, and
+    // the md5-48 integer lottery rank
+    "q509_temperature_mix" -> {
+      val h48i = "CAST(list_sum(list_transform(range(1, 13), " +
+        "i -> (strpos('0123456789abcdef', " +
+        "substr(md5(CAST(doc_id AS VARCHAR) || '#tmix'), i, 1)) - 1)" +
+        " * power(16, 12 - i))) AS BIGINT)"
+      raw"""WITH per AS (
+        |  SELECT lang AS key, CAST(count(*) AS BIGINT) AS n_key
+        |  FROM documents GROUP BY 1),
+        |wt AS (
+        |  SELECT key, n_key,
+        |    CAST(floor(1048576.0 * (sqrt(CAST(n_key AS DOUBLE)) *
+        |      sqrt(sqrt(CAST(n_key AS DOUBLE))))) AS BIGINT) AS w
+        |  FROM per),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS ww FROM wt),
+        |q AS (SELECT key, n_key, w,
+        |    (w * 200) // ww AS base, (w * 200) % ww AS rem
+        |  FROM wt CROSS JOIN tw),
+        |r AS (SELECT *, row_number() OVER (
+        |    ORDER BY rem DESC, key ASC) AS rk FROM q),
+        |b AS (SELECT CAST(sum(base) AS BIGINT) AS bb FROM q),
+        |al AS (SELECT key, n_key,
+        |    CAST(base + CASE WHEN rk <= 200 - b.bb THEN 1 ELSE 0 END
+        |      AS BIGINT) AS alloc
+        |  FROM r CROSS JOIN b),
+        |lot AS (
+        |  SELECT lang AS key, doc_id AS id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY $h48i ASC, doc_id ASC) AS rank0
+        |  FROM documents)
+        |SELECT l.key, l.id, CAST(l.rank0 AS BIGINT) AS rank,
+        |  a.alloc, a.n_key
+        |FROM lot l JOIN al a USING (key)
+        |WHERE l.rank0 <= a.alloc""".stripMargin
     },
 
     // identical lottery pool (ORDER BY h LIMIT 500, rank index),

@@ -54,6 +54,49 @@ class CorpusOpsSpec extends SparkSpecBase {
     approx(r.getAs[Double]("r2"), 1.0, 1e-6)
   }
 
+  test("temperatureMix: quotas sum to total (when corpora suffice), " +
+      "alpha<1 flattens toward small keys, alpha=64 is proportional") {
+    // 80 docs of 'big', 20 of 'small'
+    val docs = (0 until 80).map(i => (i.toLong, "big")) ++
+      (100 until 120).map(i => (i.toLong, "small"))
+    val df = docs.toDF("doc_id", "dom")
+    val mixed = CorpusOps.temperatureMix(df, "dom", "doc_id", 50L,
+      alphaNum = 32) // alpha = 0.5
+    val per = mixed.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (per("big") + per("small")) shouldBe 50L
+    // proportional would give small 10/50; sqrt flattening gives
+    // small 50·√20/(√80+√20) ≈ 17
+    per("small") should be > 12L
+    per("small") should be < 25L
+    // alpha = 1 (alphaNum=64): proportional shares
+    val prop = CorpusOps.temperatureMix(df, "dom", "doc_id", 50L,
+        alphaNum = 64)
+      .groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    prop("big") shouldBe 40L
+    prop("small") shouldBe 10L
+    // determinism: same call, same selection
+    val a = mixed.select("id").as[Long].collect().sorted
+    val b = CorpusOps.temperatureMix(df, "dom", "doc_id", 50L,
+      alphaNum = 32).select("id").as[Long].collect().sorted
+    a shouldBe b
+  }
+
+  test("temperatureMix: a key smaller than its quota contributes all " +
+      "its docs and the shortfall is visible as alloc > n_key") {
+    // 'tiny' has 2 docs but sqrt-weighting may hand it more slots
+    val docs = (0 until 200).map(i => (i.toLong, "big")) ++
+      Seq((900L, "tiny"), (901L, "tiny"))
+    val out = CorpusOps.temperatureMix(docs.toDF("doc_id", "dom"),
+      "dom", "doc_id", 100L, alphaNum = 16) // alpha = 0.25
+    val tiny = out.filter($"key" === "tiny")
+      .select("id", "alloc", "n_key").collect()
+    tiny.map(_.getLong(0)).sorted shouldBe Array(900L, 901L)
+    tiny.head.getLong(1) should be > 2L  // quota exceeds corpus
+    tiny.head.getLong(2) shouldBe 2L
+  }
+
   test("lexicalStats computes TTR, hapax fraction and Heaps beta") {
     val r = CorpusOps.lexicalStats(
       Seq(("s", "a a b c")).toDF("src0", "text"), "text", "src0")

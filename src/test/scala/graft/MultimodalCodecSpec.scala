@@ -141,6 +141,34 @@ class MultimodalCodecSpec extends SparkSpecBase {
     java.lang.Long.bitCount(h(1L) ^ h(3L)) should be > 40
   }
 
+  test("encodePngBlocks + imageAHash equals the closed-form integer " +
+      "bit test the q508 oracle replays") {
+    // block-constant images: every aHash block is one color, so the
+    // hash must equal 64·luma_blk > Σ luma with two's-complement
+    // assembly — the full encode→decode→hash path against an
+    // independent arithmetic implementation
+    def expected(id: Long): Long = {
+      val luma = (0 until 64).map { blk =>
+        299L * ((id * 13 + blk * 7) % 256) +
+          587L * ((id * 29 + blk * 11) % 256) +
+          114L * ((id * 5 + blk * 3) % 256)
+      }
+      val tot = luma.sum
+      (0 until 64).foldLeft(0L) { (h, j) =>
+        if (luma(j) * 64 > tot) h | (1L << (63 - j)) else h
+      }
+    }
+    val ids = Seq(0L, 1L, 2L, 7L, 63L, 199L)
+    val got = ids.toDF("id")
+      .withColumn("side",
+        (lit(32) + pmod($"id", lit(3)) * 8).cast("int"))
+      .withColumn("png",
+        Multimodal.encodePngBlocks($"id", $"side"))
+      .select($"id", Multimodal.imageAHash($"png").as("ah"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id => got(id) shouldBe expected(id) }
+  }
+
   test("audioEnergyHash: pure function of PCM content, null under 64 frames, dup recovery via banding") {
     import org.apache.spark.sql.functions.lit
     val wavs = Seq(1L -> 320, 2L -> 320, 3L -> 512, 4L -> 40)
