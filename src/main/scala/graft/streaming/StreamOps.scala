@@ -1081,20 +1081,40 @@ object StreamOps {
     * the failed batch with no loss and no double-accept (spec:
     * StreamingIncrementalDedupSpec). Survivor artifacts are derived
     * by RE-READING the just-written docs dir, so the side tables are
-    * always consistent with what is actually on disk. */
+    * always consistent with what is actually on disk.
+    *
+    * `bucketSideTables = Some(n)` switches the hash/band side tables
+    * from plain parquet dirs to BUCKETED catalog tables
+    * (`<tablePrefix>_hashes` bucketed on text_md5,
+    * `<tablePrefix>_bands` on (band, bucket), both partitioned by
+    * batch, data under `corpusDir`) — the billion-hash deployment
+    * shape: the per-batch stage-2 anti-join and stage-3 bucket
+    * aggregate/semi-join then read the CORPUS side pre-hashed into
+    * its bucket layout, so only the batch side shuffles and the
+    * growing side of the join never pays a per-batch exchange
+    * (BucketingSpec's co-location argument applied to the one join
+    * in this pipeline that grows with the corpus). Idempotence is
+    * preserved by dropping the batch's partition before re-append
+    * (ALTER TABLE … DROP PARTITION + append ≡ the parquet path's
+    * per-batch Overwrite); the docs table — the source of truth —
+    * keeps the original layout either way. */
   def streamingIncrementalDedup(newDocs: DataFrame, textCol: String,
       idCol: String, corpusDir: String, checkpointDir: String,
       numHashes: Int = 12, bands: Int = 4, shingleSize: Int = 3,
       maxBucket: Long = 1000L, fast: Boolean = true,
       lshStage: Boolean = true,
-      bloomExpectedItems: Option[Long] = None)
+      bloomExpectedItems: Option[Long] = None,
+      bucketSideTables: Option[Int] = None,
+      tablePrefix: String = "graft_dedup")
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    bucketSideTables.foreach(n => require(n >= 1 && n <= 100000,
+      s"bucketSideTables in [1,100000], got $n"))
     newDocs.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          def prior(name: String): Option[DataFrame] = {
+          def priorDir(name: String): Option[DataFrame] = {
             val p = new org.apache.hadoop.fs.Path(s"$corpusDir/$name")
             val fs = p.getFileSystem(
               spark.sparkContext.hadoopConfiguration)
@@ -1103,8 +1123,41 @@ object StreamOps {
                 .filter(col("batch") < batchId))
             else None
           }
+          def priorTable(name: String): Option[DataFrame] =
+            if (spark.catalog.tableExists(name))
+              Some(spark.table(name).filter(col("batch") < batchId)
+                .drop("batch"))
+            else None
+          // bucketed catalog write with per-batch idempotence: drop
+          // the batch's partition (no-op on first attempt), append —
+          // equivalent to the parquet path's Overwrite-per-batch
+          def writeSide(df: DataFrame, name: String, sub: String,
+              keys: Seq[String], n: Int): Unit = {
+            val full = df.withColumn("batch", lit(batchId))
+            if (!spark.catalog.tableExists(name)) {
+              full.write.mode("overwrite").format("parquet")
+                .option("path", s"$corpusDir/$sub")
+                .partitionBy("batch")
+                .bucketBy(n, keys.head, keys.tail: _*)
+                .sortBy(keys.head, keys.tail: _*)
+                .saveAsTable(name)
+            } else {
+              spark.sql(s"ALTER TABLE `$name` DROP IF EXISTS " +
+                s"PARTITION (batch=$batchId)")
+              full.write.mode("append").format("parquet")
+                .partitionBy("batch")
+                .bucketBy(n, keys.head, keys.tail: _*)
+                .sortBy(keys.head, keys.tail: _*)
+                .saveAsTable(name)
+            }
+          }
+          val (priorHashes, priorBands) = bucketSideTables match {
+            case Some(_) => (priorTable(s"${tablePrefix}_hashes"),
+              priorTable(s"${tablePrefix}_bands"))
+            case None => (priorDir("hashes"), priorDir("bands"))
+          }
           val (kept, _, _) = graft.llm.Dedup.incrementalDedupStep(
-            batch, textCol, idCol, prior("hashes"), prior("bands"),
+            batch, textCol, idCol, priorHashes, priorBands,
             numHashes, bands, shingleSize, maxBucket, fast, lshStage,
             bloomExpectedItems)
           kept.write.mode("overwrite")
@@ -1114,14 +1167,25 @@ object StreamOps {
           // drift from the docs table across retries
           val keptR =
             spark.read.parquet(s"$corpusDir/docs/batch=$batchId")
-          keptR.select(md5(col(textCol)).as("text_md5"))
-            .write.mode("overwrite")
-            .parquet(s"$corpusDir/hashes/batch=$batchId")
-          if (lshStage)
-            graft.llm.Dedup.bandedSignatures(keptR, textCol, idCol,
-                numHashes, bands, shingleSize, fast)
-              .write.mode("overwrite")
-              .parquet(s"$corpusDir/bands/batch=$batchId")
+          val hashes = keptR.select(md5(col(textCol)).as("text_md5"))
+          val bandRows =
+            if (lshStage)
+              Some(graft.llm.Dedup.bandedSignatures(keptR, textCol,
+                idCol, numHashes, bands, shingleSize, fast))
+            else None
+          bucketSideTables match {
+            case Some(n) =>
+              writeSide(hashes, s"${tablePrefix}_hashes",
+                "hashes_bucketed", Seq("text_md5"), n)
+              bandRows.foreach(b => writeSide(b,
+                s"${tablePrefix}_bands", "bands_bucketed",
+                Seq("band", "bucket"), n))
+            case None =>
+              hashes.write.mode("overwrite")
+                .parquet(s"$corpusDir/hashes/batch=$batchId")
+              bandRows.foreach(_.write.mode("overwrite")
+                .parquet(s"$corpusDir/bands/batch=$batchId"))
+          }
         }
         ()
       }

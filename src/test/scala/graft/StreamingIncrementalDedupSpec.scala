@@ -139,6 +139,62 @@ class StreamingIncrementalDedupSpec extends SparkSpecBase {
     kept.sorted shouldBe sequentialKeptIds
   }
 
+  test("bucketed side tables: same corpus as the parquet path, and " +
+      "the corpus-side stage-2/stage-3 reads plan with ZERO shuffles " +
+      "(the growing join side never pays a per-batch exchange)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def shuffles(df: DataFrame): Int = {
+      df.collect() // finalize AQE
+      def cnt(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val self = p match {
+          case _: ShuffleExchangeExec => 1; case _ => 0
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case o => o.children ++ o.subqueries.map(_.asInstanceOf[
+            org.apache.spark.sql.execution.SparkPlan])
+        }
+        self + kids.map(cnt).sum
+      }
+      cnt(df.queryExecution.executedPlan)
+    }
+    val root = tmp("graft_sid_bucketed_")
+    val inDir = s"$root/in"
+    val corpusDir = s"$root/corpus"; val ckpt = s"$root/ckpt"
+    def writeBatch(b: Int): Unit =
+      batchDf(b).coalesce(1).write.mode("append").parquet(inDir)
+    writeBatch(0)
+    val q = StreamOps.streamingIncrementalDedup(
+      spark.readStream.schema(schema).parquet(inDir),
+      "text", "doc_id", corpusDir, ckpt,
+      bucketSideTables = Some(4), tablePrefix = "sid_bspec")
+    try {
+      q.processAllAvailable()
+      writeBatch(1); q.processAllAvailable()
+      writeBatch(2); q.processAllAvailable()
+    } finally q.stop()
+
+    // identical corpus to the parquet-path / sequential-fold result
+    spark.read.parquet(s"$corpusDir/docs").select("doc_id")
+      .as[Long].collect().sorted.toSeq shouldBe sequentialKeptIds
+    // side tables agree with the docs table (per-batch partition
+    // drop + append = the parquet path's Overwrite idempotence)
+    spark.table("sid_bspec_hashes").count() shouldBe 4
+    spark.table("sid_bspec_bands").select("id").distinct()
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L, 7L, 10L)
+    // the exact corpus consultations the kernel performs, rebuilt
+    // statically: both must need NO shuffle on the corpus side —
+    // the distinct-hash aggregate and the (band, bucket) count
+    // aggregate land on the bucket layout as-is
+    val ch = spark.table("sid_bspec_hashes").drop("batch")
+      .select(col("text_md5").as("__md5__")).distinct()
+    shuffles(ch) shouldBe 0
+    val bc = spark.table("sid_bspec_bands").drop("batch")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    shuffles(bc) shouldBe 0
+  }
+
   test("restart recovery: stop between micro-batches, a batch lands " +
       "while down, restart on the same checkpoint — no loss, no " +
       "double-accept, corpus equal to the uninterrupted run") {
