@@ -106,10 +106,16 @@ object DedupStreamBench {
       spark.stop(); return
     }
 
+    // --bucketed: side tables as bucketed catalog tables (the
+    // billion-hash deployment shape) — same harness, same data, so
+    // the per-batch traces compare directly against the parquet path
+    val bucketed = args.contains("--bucketed")
     writeBatch(0)
     val q = graft.streaming.StreamOps.streamingIncrementalDedup(
       spark.readStream.schema(schema).parquet(inDir),
-      "text", "doc_id", corpusDir, ckpt)
+      "text", "doc_id", corpusDir, ckpt,
+      bucketSideTables = if (bucketed) Some(32) else None,
+      tablePrefix = "dedup_bench")
     try {
       var b = 0
       while (b < batches) {
@@ -125,7 +131,12 @@ object DedupStreamBench {
     val secs = timings.map(t => f"$t%.2f").mkString("[", ",", "]")
     println(s"""{"dedup_stream_bench":{"batch_secs":$secs,""" +
       s""""kept":$kept,"fed":${batches.toLong * perBatch},""" +
-      s""""batches":$batches,"docs_per_batch":$perBatch}}""")
+      s""""batches":$batches,"docs_per_batch":$perBatch,""" +
+      s""""bucketed":$bucketed}}""")
+    if (bucketed) {
+      spark.sql("DROP TABLE IF EXISTS dedup_bench_hashes")
+      spark.sql("DROP TABLE IF EXISTS dedup_bench_bands")
+    }
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
     spark.stop()
