@@ -54,6 +54,25 @@ object CorpusOps {
   def temperatureMix(df: DataFrame, keyCol: String, idCol: String,
       total: Long, alphaNum: Int = 32, salt: String = "tmix"):
       DataFrame = {
+    val quota = temperatureQuota(df, keyCol, total, alphaNum)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key")
+      .orderBy(UrlOps.h48Long(concat(col("id").cast("string"),
+        lit("#"), lit(salt))).asc, col("id").asc)
+    df.select(col(keyCol).as("key"), col(idCol).as("id"))
+      .join(broadcast(quota), Seq("key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= col("alloc"))
+      .select(col("key"), col("id"), col("rank"), col("alloc"),
+        col("n_key"))
+  }
+
+  /** Shared quota derivation for the temperature-mix family: per-key
+    * counts, the dyadic-α sqrt-product weight (see
+    * [[temperatureMix]]'s exactness note), Hamilton apportionment.
+    * Returns the bounded key table (key, alloc, n_key). */
+  private def temperatureQuota(df: DataFrame, keyCol: String,
+      total: Long, alphaNum: Int): DataFrame = {
     require(total >= 0, s"total >= 0, got $total")
     require(alphaNum >= 1 && alphaNum <= 64,
       s"alphaNum in [1,64] (alpha = alphaNum/64), got $alphaNum")
@@ -76,19 +95,43 @@ object CorpusOps {
       floor(powAlpha * lit(1048576.0)).cast("long"))
       .cache() // bounded key table, consumed by apportion AND the
                // n_key re-join — caching keeps the corpus scan single
-    val quota = UrlOps.apportion(weighted, "key", "__w__", total)
+    UrlOps.apportion(weighted, "key", "__w__", total)
       .join(weighted.select(col("key"), col("n_key")), Seq("key"))
       .select(col("key"), col("alloc"), col("n_key"))
+  }
+
+  /** Multi-epoch completion of [[temperatureMix]]: instead of
+    * truncating each key at its quota, emit EVERY document with an
+    * integer `repeats` count such that Σ repeats per key = alloc_k
+    * EXACTLY — the repeat-factor table a training recipe actually
+    * consumes (a doc appears `repeats` times in the epoch mix).
+    * Rule: repeats = alloc div n + 1 for the first (alloc mod n)
+    * docs of the key's md5-48 lottery order, alloc div n for the
+    * rest — the largest-remainder idea applied a second time, inside
+    * the key. When alloc ≤ n this degenerates to repeats ∈ {0,1}
+    * and `repeats = 1` is precisely the [[temperatureMix]]
+    * selection; when alloc > n (a small domain upweighted past its
+    * corpus) every doc repeats ⌊alloc/n⌋+ times instead of
+    * silently truncating. Same exactness story (integer arithmetic
+    * on Hamilton quotas + lottery ranks); same plan shape (bounded
+    * key aggregate + broadcast join + per-key window). */
+  def temperatureMixRepeats(df: DataFrame, keyCol: String,
+      idCol: String, total: Long, alphaNum: Int = 32,
+      salt: String = "tmix"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("key")
       .orderBy(UrlOps.h48Long(concat(col("id").cast("string"),
         lit("#"), lit(salt))).asc, col("id").asc)
+    val quota = temperatureQuota(df, keyCol, total, alphaNum)
     df.select(col(keyCol).as("key"), col(idCol).as("id"))
       .join(broadcast(quota), Seq("key"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= col("alloc"))
-      .select(col("key"), col("id"), col("rank"), col("alloc"),
-        col("n_key"))
+      .withColumn("repeats",
+        expr("alloc div n_key") +
+          when(col("rank") <= pmod(col("alloc"), col("n_key")), 1L)
+            .otherwise(0L))
+      .select(col("key"), col("id"), col("rank"), col("repeats"),
+        col("alloc"), col("n_key"))
   }
 
   /** DSIR-style importance weights: hash every word bigram into

@@ -635,6 +635,16 @@ object QueriesPipeline {
         alphaNum = 48)
         .orderBy("key", "rank")),
 
+    // multi-epoch repeat factors (Σ repeats per lang = its Hamilton
+    // quota EXACTLY; total 800 > corpus size so upweighted langs
+    // repeat docs — the training-mix unit of work): integer
+    // largest-remainder inside each key over the md5-48 lottery
+    "q510_temperature_repeats" -> ((s, d) =>
+      graft.llm.CorpusOps.temperatureMixRepeats(
+        t(s, d, "documents"), "lang", "doc_id", total = 800L,
+        alphaNum = 32)
+        .orderBy("key", "rank")),
+
     // deterministic negative sampling over the documents corpus:
     // bounded 500-id lottery pool, 3 draws per doc, md5-48 index
     // arithmetic replayed exactly by the oracle
@@ -5163,6 +5173,45 @@ object QueriesPipeline {
         |  a.alloc, a.n_key
         |FROM lot l JOIN al a USING (key)
         |WHERE l.rank0 <= a.alloc""".stripMargin
+    },
+
+    // q509's quota pipeline with the sqrt-only (alpha = 1/2) weight
+    // plus the in-key largest-remainder repeats rule — all integer
+    "q510_temperature_repeats" -> {
+      val h48i = "CAST(list_sum(list_transform(range(1, 13), " +
+        "i -> (strpos('0123456789abcdef', " +
+        "substr(md5(CAST(doc_id AS VARCHAR) || '#tmix'), i, 1)) - 1)" +
+        " * power(16, 12 - i))) AS BIGINT)"
+      raw"""WITH per AS (
+        |  SELECT lang AS key, CAST(count(*) AS BIGINT) AS n_key
+        |  FROM documents GROUP BY 1),
+        |wt AS (
+        |  SELECT key, n_key,
+        |    CAST(floor(1048576.0 * sqrt(CAST(n_key AS DOUBLE)))
+        |      AS BIGINT) AS w
+        |  FROM per),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS ww FROM wt),
+        |q AS (SELECT key, n_key, w,
+        |    (w * 800) // ww AS base, (w * 800) % ww AS rem
+        |  FROM wt CROSS JOIN tw),
+        |r AS (SELECT *, row_number() OVER (
+        |    ORDER BY rem DESC, key ASC) AS rk FROM q),
+        |b AS (SELECT CAST(sum(base) AS BIGINT) AS bb FROM q),
+        |al AS (SELECT key, n_key,
+        |    CAST(base + CASE WHEN rk <= 800 - b.bb THEN 1 ELSE 0 END
+        |      AS BIGINT) AS alloc
+        |  FROM r CROSS JOIN b),
+        |lot AS (
+        |  SELECT lang AS key, doc_id AS id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY $h48i ASC, doc_id ASC) AS rank0
+        |  FROM documents)
+        |SELECT l.key, l.id, CAST(l.rank0 AS BIGINT) AS rank,
+        |  CAST(a.alloc // a.n_key +
+        |    CASE WHEN l.rank0 <= a.alloc % a.n_key THEN 1 ELSE 0 END
+        |    AS BIGINT) AS repeats,
+        |  a.alloc, a.n_key
+        |FROM lot l JOIN al a USING (key)""".stripMargin
     },
 
     // identical lottery pool (ORDER BY h LIMIT 500, rank index),

@@ -97,6 +97,31 @@ class CorpusOpsSpec extends SparkSpecBase {
     tiny.head.getLong(2) shouldBe 2L
   }
 
+  test("temperatureMixRepeats: per-key repeats sum to the quota " +
+      "exactly, and repeats>=1 equals the temperatureMix selection " +
+      "when the quota fits the corpus") {
+    val docs = (0 until 80).map(i => (i.toLong, "big")) ++
+      (100 until 120).map(i => (i.toLong, "small"))
+    val df = docs.toDF("doc_id", "dom")
+    // total 300 > 100 docs: multi-epoch regime
+    val rep = CorpusOps.temperatureMixRepeats(df, "dom", "doc_id",
+      300L, alphaNum = 32)
+    rep.count() shouldBe 100L // every doc has a row
+    val sums = rep.groupBy("key")
+      .agg(sum("repeats").as("s"), first("alloc").as("a"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    sums.foreach { case (s, a) => s shouldBe a }
+    sums.map(_._1).sum shouldBe 300L
+    // sub-corpus regime: repeats>=1 == the selection
+    val rep2 = CorpusOps.temperatureMixRepeats(df, "dom", "doc_id",
+      50L, alphaNum = 32)
+    val sel = CorpusOps.temperatureMix(df, "dom", "doc_id", 50L,
+      alphaNum = 32)
+    rep2.filter($"repeats" >= 1).select("id").as[Long].collect()
+      .sorted.toSeq shouldBe
+      sel.select("id").as[Long].collect().sorted.toSeq
+  }
+
   test("lexicalStats computes TTR, hapax fraction and Heaps beta") {
     val r = CorpusOps.lexicalStats(
       Seq(("s", "a a b c")).toDF("src0", "text"), "text", "src0")
