@@ -125,6 +125,28 @@ object Dedup {
     * every future shard joins against it); null texts carry no
     * content and are excluded by contract (filter upstream).
     * Returns (idCol, text_md5, known). */
+  /** Modality-neutral incremental exact dedup on a PRECOMPUTED
+    * fingerprint column — the [[exactAgainst]] shape for media:
+    * flag each new row whose fingerprint (image aHash, audio energy
+    * hash, simhash, …) already exists in the corpus. The corpus
+    * side reduces to its distinct-fingerprint set (persist that
+    * table once; every future batch joins it), so per-batch work is
+    * O(batch + corpus-side shuffle of one long column) — and the
+    * fingerprint itself was computed once at ingest, never
+    * recomputed here. Null fingerprints (undecodable media) are
+    * excluded, matching the decode contract. */
+  def fingerprintAgainst(newDf: DataFrame, corpus: DataFrame,
+      idCol: String, fpCol: String): DataFrame = {
+    val ck = corpus.filter(col(fpCol).isNotNull)
+      .select(col(fpCol).as("fp")).distinct()
+      .withColumn("__known__", lit(true))
+    newDf.filter(col(fpCol).isNotNull)
+      .select(col(idCol), col(fpCol).as("fp"))
+      .join(ck, Seq("fp"), "left")
+      .select(col(idCol), col("fp"),
+        coalesce(col("__known__"), lit(false)).as("known"))
+  }
+
   def exactAgainst(newDocs: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     val ch = corpus.filter(col(textCol).isNotNull)

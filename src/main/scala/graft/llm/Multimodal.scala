@@ -311,6 +311,46 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** INCREMENTAL near-duplicate media dedup — the shard-vs-corpus
+    * form of [[imageNearDupPairs]] (the text family's
+    * minhashLshAgainst, for perceptual hashes): each new row's
+    * 64-bit fingerprint is banded into the same 8×8-bit pigeonhole
+    * buckets, joined against the CORPUS side's banded table (which a
+    * production pipeline persists once and appends to — never
+    * re-bands), and candidate pairs are verified by exact hamming.
+    * Within maxHamming ≤ 7 flips the pigeonhole guarantees at least
+    * one untouched shared band, so banding loses no qualifying
+    * pair. Corpus hot buckets (flat-color corpora) are dropped by a
+    * COUNT-FILTER aggregate — map-side partial agg, no window sort
+    * over the growing corpus (the DedupStreamBench lesson). Emits
+    * (new id, corpus id, both hashes, hamming). */
+  def imageNearDupAgainst(newDf: DataFrame, corpus: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int = 7,
+      maxBucket: Long = 100000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming in [0,7] (8x8-bit pigeonhole bound), got $maxHamming")
+    def banded(df: DataFrame, pfx: String): DataFrame =
+      df.filter(col(hashCol).isNotNull)
+        .select(col(idCol).as(s"${pfx}_id"),
+          col(hashCol).as(s"${pfx}_hash"))
+        .select(col(s"${pfx}_id"), col(s"${pfx}_hash"),
+          posexplode(expr(s"transform(sequence(0, 7), " +
+            s"b -> shiftright(${pfx}_hash, b * 8) & 255)")))
+        .toDF(s"${pfx}_id", s"${pfx}_hash", "band", "bucket")
+    val cb = banded(corpus, "corpus")
+    val hot = cb.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bc__"))
+      .filter(col("__bc__") > maxBucket).select("band", "bucket")
+    val cbCapped = cb.join(hot, Seq("band", "bucket"), "left_anti")
+    banded(newDf, "new").join(cbCapped, Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"),
+        col("new_hash"), col("corpus_hash"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("new_hash").bitwiseXOR(col("corpus_hash"))))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** 64-bit audio energy fingerprint — the [[imageAHash]] sibling
     * for near-duplicate AUDIO: decode WAV/PCM
     * (javax.sound.sampled), per-sample |amplitude|, 64

@@ -635,6 +635,61 @@ object QueriesPipeline {
         alphaNum = 48)
         .orderBy("key", "rank")),
 
+    // incremental EXACT media dedup (the fingerprintAgainst shape):
+    // corpus PNGs at one resolution, new batch re-encodes half its
+    // docs' content at a DIFFERENT resolution — block-constant
+    // aHash is resolution-invariant, so those flag known=true; the
+    // oracle replays both sides' hashes closed-form (q508 math)
+    "q511_incremental_image_exact" -> ((s, d) => {
+      val corpus = t(s, d, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          (lit(32) + pmod(col("doc_id"), lit(3)) * 8).cast("int")
+            .as("side"))
+        .withColumn("ahash", graft.llm.Multimodal.imageAHash(
+          graft.llm.Multimodal.encodePngBlocks(col("doc_id"),
+            col("side"))))
+      val newB = t(s, d, "documents")
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            pmod(col("doc_id"), lit(75))).otherwise(col("doc_id"))
+            .as("__content__"),
+          (lit(32) + pmod(col("doc_id"), lit(2)) * 16).cast("int")
+            .as("side"))
+        .withColumn("ahash", graft.llm.Multimodal.imageAHash(
+          graft.llm.Multimodal.encodePngBlocks(col("__content__"),
+            col("side"))))
+      graft.llm.Dedup.fingerprintAgainst(newB, corpus,
+        "doc_id", "ahash").orderBy("doc_id")
+    }),
+
+    // incremental NEAR-DUP media dedup: new docs carry a corpus
+    // image's hash with ≤ 2 deterministic bit flips — the 8×8-bit
+    // pigeonhole must recover every pair within hamming ≤ 7; both
+    // sides' hashes and the flips replay closed-form
+    "q512_incremental_image_neardup" -> ((s, d) => {
+      val corpus = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          (lit(32) + pmod(col("doc_id"), lit(3)) * 8).cast("int")
+            .as("side"))
+        .withColumn("ahash", graft.llm.Multimodal.imageAHash(
+          graft.llm.Multimodal.encodePngBlocks(col("doc_id"),
+            col("side"))))
+      val mask = expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 64 AS INT))")
+        .bitwiseOR(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 7 % 64 AS INT))"))
+      val newB = t(s, d, "documents")
+        .filter(col("doc_id") >= 300 && col("doc_id") < 350)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(50))
+          .as("__content__"))
+        .withColumn("ahash", graft.llm.Multimodal.imageAHash(
+          graft.llm.Multimodal.encodePngBlocks(col("__content__"),
+            lit(32))).bitwiseXOR(mask))
+      graft.llm.Multimodal.imageNearDupAgainst(newB, corpus,
+        "doc_id", "ahash").orderBy("new_id", "corpus_id")
+    }),
+
     // multi-epoch repeat factors (Σ repeats per lang = its Hamilton
     // quota EXACTLY; total 800 > corpus size so upweighted langs
     // repeat docs — the training-mix unit of work): integer
@@ -5174,6 +5229,122 @@ object QueriesPipeline {
         |FROM lot l JOIN al a USING (key)
         |WHERE l.rank0 <= a.alloc""".stripMargin
     },
+
+    // both sides' hashes replayed closed-form (q508 block math);
+    // known = fingerprint EXISTS in the corpus's distinct-hash set —
+    // resolution invariance falls out of the math (side never
+    // appears in the hash)
+    "q511_incremental_image_exact" ->
+      raw"""WITH cid AS (
+        |  SELECT doc_id AS cid FROM documents WHERE doc_id < 150),
+        |cg AS (
+        |  SELECT cid, blk,
+        |    299 * ((cid * 13 + blk * 7) % 256)
+        |      + 587 * ((cid * 29 + blk * 11) % 256)
+        |      + 114 * ((cid * 5 + blk * 3) % 256) AS luma
+        |  FROM cid, unnest(range(0, 64)) AS t(blk)),
+        |ct AS (SELECT cid, CAST(sum(luma) AS BIGINT) AS tl
+        |  FROM cg GROUP BY 1),
+        |chash AS (
+        |  SELECT g.cid, CAST(sum(CASE
+        |    WHEN g.luma * 64 > t.tl AND g.blk = 0
+        |      THEN -9223372036854775808
+        |    WHEN g.luma * 64 > t.tl
+        |      THEN CAST(1 AS BIGINT) << (63 - g.blk)
+        |    ELSE 0 END) AS BIGINT) AS fp
+        |  FROM cg g JOIN ct t USING (cid) GROUP BY 1),
+        |cfp AS (SELECT DISTINCT fp, TRUE AS known0 FROM chash),
+        |nid AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 75
+        |      ELSE doc_id END AS c
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 400),
+        |ng AS (
+        |  SELECT doc_id, blk,
+        |    299 * ((c * 13 + blk * 7) % 256)
+        |      + 587 * ((c * 29 + blk * 11) % 256)
+        |      + 114 * ((c * 5 + blk * 3) % 256) AS luma
+        |  FROM nid, unnest(range(0, 64)) AS t(blk)),
+        |nt AS (SELECT doc_id, CAST(sum(luma) AS BIGINT) AS tl
+        |  FROM ng GROUP BY 1),
+        |nhash AS (
+        |  SELECT g.doc_id, CAST(sum(CASE
+        |    WHEN g.luma * 64 > t.tl AND g.blk = 0
+        |      THEN -9223372036854775808
+        |    WHEN g.luma * 64 > t.tl
+        |      THEN CAST(1 AS BIGINT) << (63 - g.blk)
+        |    ELSE 0 END) AS BIGINT) AS fp
+        |  FROM ng g JOIN nt t USING (doc_id) GROUP BY 1)
+        |SELECT n.doc_id, n.fp, coalesce(k.known0, FALSE) AS known
+        |FROM nhash n LEFT JOIN cfp k USING (fp)""".stripMargin,
+
+    // closed-form corpus hashes, new hashes = corpus content hash
+    // XOR a ≤2-bit deterministic mask; 8×8-bit banding + exact
+    // hamming — pure integer bit arithmetic in both engines
+    "q512_incremental_image_neardup" ->
+      raw"""WITH cid AS (
+        |  SELECT doc_id AS cid FROM documents WHERE doc_id < 100),
+        |cg AS (
+        |  SELECT cid, blk,
+        |    299 * ((cid * 13 + blk * 7) % 256)
+        |      + 587 * ((cid * 29 + blk * 11) % 256)
+        |      + 114 * ((cid * 5 + blk * 3) % 256) AS luma
+        |  FROM cid, unnest(range(0, 64)) AS t(blk)),
+        |ct AS (SELECT cid, CAST(sum(luma) AS BIGINT) AS tl
+        |  FROM cg GROUP BY 1),
+        |chash AS (
+        |  SELECT g.cid, CAST(sum(CASE
+        |    WHEN g.luma * 64 > t.tl AND g.blk = 0
+        |      THEN -9223372036854775808
+        |    WHEN g.luma * 64 > t.tl
+        |      THEN CAST(1 AS BIGINT) << (63 - g.blk)
+        |    ELSE 0 END) AS BIGINT) AS ch
+        |  FROM cg g JOIN ct t USING (cid) GROUP BY 1),
+        |nid AS (
+        |  SELECT doc_id, doc_id % 50 AS c,
+        |    CAST(doc_id % 64 AS INT) AS b1,
+        |    CAST(doc_id * 7 % 64 AS INT) AS b2
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 350),
+        |ng AS (
+        |  SELECT doc_id, blk,
+        |    299 * ((c * 13 + blk * 7) % 256)
+        |      + 587 * ((c * 29 + blk * 11) % 256)
+        |      + 114 * ((c * 5 + blk * 3) % 256) AS luma
+        |  FROM nid, unnest(range(0, 64)) AS t(blk)),
+        |nt AS (SELECT doc_id, CAST(sum(luma) AS BIGINT) AS tl
+        |  FROM ng GROUP BY 1),
+        |nhash0 AS (
+        |  SELECT g.doc_id, CAST(sum(CASE
+        |    WHEN g.luma * 64 > t.tl AND g.blk = 0
+        |      THEN -9223372036854775808
+        |    WHEN g.luma * 64 > t.tl
+        |      THEN CAST(1 AS BIGINT) << (63 - g.blk)
+        |    ELSE 0 END) AS BIGINT) AS h0
+        |  FROM ng g JOIN nt t USING (doc_id) GROUP BY 1),
+        |nh AS (
+        |  SELECT n.doc_id AS new_id,
+        |    xor(h.h0,
+        |      CASE WHEN n.b1 = 63 THEN (-9223372036854775808)::BIGINT
+        |        ELSE CAST(1 AS BIGINT) << n.b1 END |
+        |      CASE WHEN n.b2 = 63 THEN (-9223372036854775808)::BIGINT
+        |        ELSE CAST(1 AS BIGINT) << n.b2 END) AS new_hash
+        |  FROM nid n JOIN nhash0 h USING (doc_id)),
+        |nb AS (
+        |  SELECT new_id, new_hash, b AS band,
+        |    (new_hash >> (CAST(b AS INT) * 8)) & 255 AS bucket
+        |  FROM nh, unnest(range(0, 8)) AS t(b)),
+        |cb AS (
+        |  SELECT cid AS corpus_id, ch AS corpus_hash, b AS band,
+        |    (ch >> (CAST(b AS INT) * 8)) & 255 AS bucket
+        |  FROM chash, unnest(range(0, 8)) AS t(b)),
+        |pairs AS (
+        |  SELECT DISTINCT new_id, corpus_id, new_hash, corpus_hash
+        |  FROM nb JOIN cb USING (band, bucket))
+        |SELECT new_id, corpus_id, new_hash, corpus_hash,
+        |  CAST(bit_count(xor(new_hash, corpus_hash)) AS INT)
+        |    AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(new_hash, corpus_hash)) <= 7""".stripMargin,
 
     // q509's quota pipeline with the sqrt-only (alpha = 1/2) weight
     // plus the in-key largest-remainder repeats rule — all integer

@@ -169,6 +169,37 @@ class MultimodalCodecSpec extends SparkSpecBase {
     ids.foreach { id => got(id) shouldBe expected(id) }
   }
 
+  test("fingerprintAgainst + imageNearDupAgainst: exact dups flagged " +
+      "known, every pair within maxHamming recovered (pigeonhole), " +
+      "nothing past maxHamming emitted") {
+    val corpus = Seq((1L, 0x1234567890abcdefL), (2L, 0x0f0f0f0f0f0f0f0fL))
+      .toDF("id", "ah")
+    //  10 = exact dup of 1; 11 = 3-bit flip of 1 (must be found);
+    //  12 = 2-bit flip of 2; 13 = far from both (8 flips spread one
+    //  per band — every band differs, correctly NOT emitted at
+    //  hamming 7 by the banding even though pigeonhole only promises
+    //  recall UP TO 7)
+    val spread8 = (0 until 8).map(b => 1L << (b * 8 + 3))
+      .reduce(_ | _)
+    val newB = Seq(
+      (10L, 0x1234567890abcdefL),
+      (11L, 0x1234567890abcdefL ^ 0x7L),
+      (12L, 0x0f0f0f0f0f0f0f0fL ^ 0x0300L),
+      (13L, 0x1234567890abcdefL ^ spread8)
+    ).toDF("id", "ah")
+    val known = graft.llm.Dedup.fingerprintAgainst(newB, corpus,
+      "id", "ah").collect().map(r => r.getLong(0) -> r.getBoolean(2))
+      .toMap
+    known shouldBe Map(10L -> true, 11L -> false, 12L -> false,
+      13L -> false)
+    val pairs = Multimodal.imageNearDupAgainst(newB, corpus,
+        "id", "ah")
+      .select("new_id", "corpus_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    pairs.toSeq shouldBe Seq((10L, 1L, 0), (11L, 1L, 3),
+      (12L, 2L, 2))
+  }
+
   test("audioEnergyHash: pure function of PCM content, null under 64 frames, dup recovery via banding") {
     import org.apache.spark.sql.functions.lit
     val wavs = Seq(1L -> 320, 2L -> 320, 3L -> 512, 4L -> 40)
