@@ -101,6 +101,11 @@ class PlanLintSpec extends SparkSpecBase {
     // aggregated input, which is exactly the bounded shape)
     case m: org.apache.spark.sql.execution.columnar
         .InMemoryTableScanExec => boundedBelow(m.relation.cachedPlan)
+    // a cache entry materialized while AQE was on (e.g. by an earlier
+    // suite planning the same gate) wraps its plan in an adaptive
+    // LEAF node — descend into the concrete plan it holds
+    case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => boundedBelow(a.executedPlan)
     case n if n.children.nonEmpty => n.children.forall(boundedBelow)
     case _ => false // a leaf scan: data-scale input
   }
