@@ -361,10 +361,15 @@ object GraphOps {
     * rounds (the q324 k-core precedent). Returns (id, lbl). */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
-    val sym = edges.select(col("src"), col("dst"))
+    // canonical-form distinct + union of both directions: see
+    // kCoreImpl — same edge set, half the distinct-shuffle bytes
+    val canonLp = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .distinct()
+    val sym = canonLp
+      .union(canonLp.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
@@ -388,13 +393,28 @@ object GraphOps {
   private def kCoreImpl(edges: DataFrame, k: Int,
       maxIter: Int): DataFrame = {
     require(k >= 1, "k >= 1")
-    var sym = edges.select(col("src"), col("dst"))
+    // symmetrize via canonical-form distinct + union of both
+    // directions: set-identical to distinct-of-union (a<b canonical
+    // rows can't collide with their reversals) but the distinct
+    // shuffles HALF the rows — the union happens after the exchange
+    // instead of before it
+    val canon = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .distinct()
+    var sym = canon
+      .union(canon.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var nVerts = sym.select("src").distinct().count()
-    var done = nVerts == 0
+    // convergence by EDGE count, not distinct-vertex count: each
+    // round's survivor set is a row-subset of the previous edge set,
+    // so equal cardinality ⇔ identical set ⇔ unchanged degrees ⇔
+    // fixpoint (same test, one full distinct shuffle per round
+    // cheaper — count() over the just-checkpointed partitions is a
+    // scan-free job). Measured on the q324 stress gate: see
+    // OPTIMIZATION_r10.md.
+    var nEdges = sym.count()
+    var done = nEdges == 0
     var i = 0
     while (!done && i < maxIter) {
       val keep = sym.groupBy("src").agg(count(lit(1)).as("__d__"))
@@ -403,9 +423,9 @@ object GraphOps {
         .join(keep.select(col("src").as("dst")), "dst")
         .select("src", "dst")
         .localCheckpoint(true)
-      val nNext = next.select("src").distinct().count()
-      done = nNext == nVerts || nNext == 0
-      nVerts = nNext
+      val nNext = next.count()
+      done = nNext == nEdges || nNext == 0
+      nEdges = nNext
       sym = next
       i += 1
     }
