@@ -47,7 +47,7 @@ object ForestTwin {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val base = df
+    val base0 = df
       .filter(col(idCol).isNotNull && col(labelCol).isNotNull &&
         featCols.map(col(_).isNotNull).reduce(_ && _))
       .select(col(idCol).cast("string").as("id"),
@@ -55,6 +55,14 @@ object ForestTwin {
         col(featCols(1)).cast("long").as("f1"),
         col(featCols(2)).cast("long").as("f2"),
         col(labelCol).cast("long").as("y"))
+    // the tree-replica explode + per-row md5 bag lottery below is the
+    // expensive map side; a small parquet input arrives as ONE scan
+    // split and would run it single-threaded. Repartition UP to the
+    // core count (never down); the downstream cube aggregation is
+    // partitioning-invariant.
+    val par = spark.sparkContext.defaultParallelism
+    val base = if (base0.rdd.getNumPartitions < par)
+      base0.repartition(par) else base0
 
     // tree replicas + deterministic bag lottery (map-side only)
     val bags = base
@@ -64,9 +72,16 @@ object ForestTwin {
         col("id"), lit("-"), col("tree").cast("string"),
         lit("bf8"))) < bagRate)
 
-    // the ONLY data-sized aggregation: cells of the integer cube
+    // the ONLY data-sized aggregation: cells of the integer cube.
+    // localCheckpoint: the cube table (trees x |f0| x |f1| x |f2|,
+    // domain-bounded) feeds root, sided, child AND leaves — without
+    // the cut, each downstream branch replays the full scan + 5x
+    // tree-replica md5 lottery (the data-sized part of the whole
+    // twin). Eager per invocation, so every run still computes it
+    // exactly once from parquet.
     val cells = bags.groupBy("tree", "f0", "f1", "f2")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(true)
 
     // fixed candidate grid: tree t mod 3 -> feature subset
     // {0:(f0,f1), 1:(f1,f2), 2:(f0,f2)}; thresholds(f) per feature

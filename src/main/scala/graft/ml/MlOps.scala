@@ -353,34 +353,54 @@ object MlOps {
     // round dominates the fit (measured 4×+ at organic sf1). The
     // standard iterative-ML trade: MEMORY_AND_DISK, spill-safe, 3
     // slim columns.
-    val base = df
+    val prepared = df
       .filter(col(durCol).isNotNull && col(xCol).isNotNull &&
         col(censorCol).isNotNull && col(durCol) > 0)
       .select(round(log(col(durCol).cast("double")), 9).as("lnt"),
         col(xCol).cast("double").as("x"),
         col(censorCol).cast("double").as("d"))
-      .cache()
+    // a small parquet input arrives as ONE scan split, which would
+    // run every Newton aggregate (9 BigDecimal cells/row) and the
+    // upstream md5 lotteries single-threaded — measured 0.4s/round
+    // at sf0.1. Repartition UP to the session's core count before
+    // caching (never down: large inputs keep their splits); the
+    // decimal sums are order-free by design so the result is
+    // partitioning-invariant.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = (if (prepared.rdd.getNumPartitions < par)
+      prepared.repartition(par) else prepared).cache()
 
     def cell(c: Column, name: String) =
       sum(round(c, 12).cast("decimal(38,12)")).cast("double").as(name)
 
-    // init: b0 = decimal mean of ln t, b1 = 0, u = 0 (σ = 1)
-    val init = base.agg(count(lit(1)).as("n"), cell(col("lnt"), "s"))
-      .select(col("n"), round(col("s") / col("n"), 12).as("b0"),
-        lit(0.0).as("b1"), lit(0.0).as("u"))
+    // init: b0 = decimal mean of ln t, b1 = 0, u = 0 (σ = 1).
+    // θ is a SINGLE ROW per round; fetching it to the driver (the
+    // repo's bounded 1-row-aggregate-collect convention) instead of
+    // chaining it back in as a broadcast turns every Newton round
+    // into ONE plain global aggregate over the cached base — the
+    // before-plan nested 6 BroadcastExchange waits + 4-key
+    // re-aggregations that existed only to carry 4 constants
+    // (plans/r10/q444_aft_twin_before.txt). All per-row arithmetic
+    // stays in Column expressions over lit() inputs, so every value
+    // is bit-identical to the broadcast form (oracle re-verified).
+    val initRow = base.agg(count(lit(1)).as("n"), cell(col("lnt"), "s"))
+      .select(col("n"), round(col("s") / col("n"), 12).as("b0"))
+      .head()
+    val n0 = initRow.getLong(0)
+    var theta = (initRow.getDouble(1), 0.0, 0.0) // (b0, b1, u)
 
     // one Newton round: aggregate gradient + negative Hessian with
     // order-free decimal sums, Cramer ridge solve, θ += Δ
-    def newtonRound(theta: DataFrame): DataFrame = {
-      val sg = round(exp(col("u")), 9)
-      val eps = (col("lnt") - col("b0") - col("b1") * col("x")) / sg
-      val rows = base.crossJoin(broadcast(theta))
-        .select(col("n"), col("b0"), col("b1"), col("u"),
-          col("x"), col("d"), sg.as("sg"), eps.as("eps"),
+    def newtonRound(b0v: Double, b1v: Double,
+        uv: Double): (Double, Double, Double) = {
+      val sg = round(exp(lit(uv)), 9)
+      val eps = (col("lnt") - lit(b0v) - lit(b1v) * col("x")) / sg
+      val rows = base
+        .select(col("x"), col("d"), sg.as("sg"), eps.as("eps"),
           least(round(exp(eps), 9), lit(1e12)).as("ee"))
       val (x, d, e, ep, sgc) = (col("x"), col("d"), col("ee"),
         col("eps"), col("sg"))
-      val agg = rows.groupBy("n", "b0", "b1", "u").agg(
+      val agg = rows.agg(
         cell((e - d) / sgc, "g1"),
         cell((e - d) / sgc * x, "g2"),
         cell(ep * (e - d) - d, "g3"),
@@ -402,7 +422,7 @@ object MlOps {
       // direction and provably diverges on this likelihood; the
       // flat σ start needs the damping, and convergence is by
       // round ~4 on planted data)
-      val raw = agg.select(col("n"), col("b0"), col("b1"), col("u"),
+      val raw = agg.select(
         ((col("g1") * (a22 * a33 - a23 * a23) -
           a12 * (col("g2") * a33 - a23 * col("g3")) +
           a13 * (col("g2") * a23 - a22 * col("g3"))) / det).as("d1"),
@@ -414,17 +434,21 @@ object MlOps {
           col("g1") * (a12 * a23 - a22 * a13)) / det).as("d3"))
       val sc = least(lit(1.0), lit(0.5) / greatest(
         abs(col("d1")), abs(col("d2")), abs(col("d3"))))
-      raw.select(col("n"),
-        round(col("b0") + col("d1") * sc, 12).as("b0"),
-        round(col("b1") + col("d2") * sc, 12).as("b1"),
-        round(col("u") + col("d3") * sc, 12).as("u"))
+      val stepped = raw.select(
+        round(lit(b0v) + col("d1") * sc, 12).as("b0"),
+        round(lit(b1v) + col("d2") * sc, 12).as("b1"),
+        round(lit(uv) + col("d3") * sc, 12).as("u"))
+        .head()
+      (stepped.getDouble(0), stepped.getDouble(1), stepped.getDouble(2))
     }
 
-    var theta = init
-    for (_ <- 1 to rounds) theta = newtonRound(theta)
-    theta.select(lit(rounds.toLong).as("n_rounds"), col("n"),
-      col("b0"), col("b1"), col("u").as("ln_sigma"),
-      round(exp(col("u")), 9).as("sigma"))
+    for (_ <- 1 to rounds)
+      theta = newtonRound(theta._1, theta._2, theta._3)
+    base.sparkSession.range(1).select(
+      lit(rounds.toLong).as("n_rounds"), lit(n0).as("n"),
+      lit(theta._1).as("b0"), lit(theta._2).as("b1"),
+      lit(theta._3).as("ln_sigma"),
+      round(exp(lit(theta._3)), 9).as("sigma"))
   }
 
   /** DecisionTree classifier/regressor (models/tree.rs:185,669) via
