@@ -676,9 +676,15 @@ object Dedup {
         posexplode(transform(sequence(lit(1), size(col("tk")) - (w - 1)),
           i => md5(array_join(slice(col("tk"), i, lit(w)), " ")))))
       .toDF("doc_id", "pos", "h")
-    val firsts = sh.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    val dup = sh.join(firsts, "h")
+    // first-occurrence filter as ONE unordered window over the hash
+    // partition instead of aggregate + self-join: the agg's partial
+    // exchange and the join's full exchange carried the shingle
+    // table TWICE (the exchanges differ, so nothing was reused) —
+    // the window shuffles it once and keeps the identical
+    // min(struct(doc_id, pos)) semantics
+    val dup = sh
+      .withColumn("f", min(struct(col("doc_id"), col("pos")))
+        .over(Window.partitionBy("h")))
       .filter(!(col("doc_id") === col("f.doc_id") &&
         col("pos") === col("f.pos")))
       .select("doc_id", "pos")
