@@ -350,21 +350,10 @@ object RollingOps {
         col(timeCol).cast("double").as("t"),
         col(orderCol).as("o"),
         col(valueCol).cast("double").as("v")))).as("__pts__"))
-    val oT = df.schema(orderCol).dataType.sql
-    val dec =
-      s"coalesce(power(0.5d, (p.t - acc.pt) / ${halflife}d), 1.0d)"
-    val nN = s"($dec * acc.num + p.v)"
-    val nD = s"($dec * acc.den + 1.0d)"
-    val fold = expr(
-      s"""transform(
-         |  aggregate(__pts__,
-         |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
-         |           cast(0.0 as double) as num, cast(0.0 as double) as den,
-         |           cast(null as double) as pt),
-         |    (acc, p) -> struct(
-         |      acc.outp || array(struct(p.o as o, $nN / $nD as e)),
-         |      $nN, $nD, cast(p.t as double))).outp,
-         |  x -> x)""".stripMargin)
+    // compiled EwmFold kernel — bit-equal to the interpreted SQL
+    // fold (see ewmMean note)
+    val fold = graft.sqlext.EwmFold.ewm_fold(col("__pts__"),
+      halflife, graft.sqlext.EwmFold.TimeMean)
     val exploded = grouped.withColumn("__ewm__", explode(fold))
       .select(partitionCols.map(col) :+
         col("__ewm__.o").as(orderCol) :+
@@ -395,30 +384,13 @@ object RollingOps {
         col(timeCol).cast("double").as("t"),
         col(orderCol).as("o"),
         col(valueCol).cast("double").as("v")))).as("__pts__"))
-    val oT = df.schema(orderCol).dataType.sql
-    val dec =
-      s"coalesce(power(0.5d, (p.t - acc.pt) / ${halflife}d), 1.0d)"
-    val nN = s"($dec * acc.num + p.v)"
-    val nD = s"($dec * acc.den + 1.0d)"
-    val nN2 = s"($dec * acc.num2 + p.v * p.v)"
-    val nD2 = s"($dec * $dec * acc.den2 + 1.0d)"
-    val biased = s"($nN2 / $nD - ($nN / $nD) * ($nN / $nD))"
-    val eExpr =
-      if (bias) biased
-      else s"""CASE WHEN $nD * $nD - $nD2 > 0.0d
-              |  THEN $biased * ($nD * $nD) / ($nD * $nD - $nD2)
-              |  ELSE CAST(null AS DOUBLE) END""".stripMargin
-    val fold = expr(
-      s"""transform(
-         |  aggregate(__pts__,
-         |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
-         |           cast(0.0 as double) as num, cast(0.0 as double) as den,
-         |           cast(0.0 as double) as num2, cast(0.0 as double) as den2,
-         |           cast(null as double) as pt),
-         |    (acc, p) -> struct(
-         |      acc.outp || array(struct(p.o as o, $eExpr as e)),
-         |      $nN, $nD, $nN2, $nD2, cast(p.t as double))).outp,
-         |  x -> x)""".stripMargin)
+    // compiled EwmFold kernel — bit-equal to the interpreted SQL
+    // fold (see ewmMean note)
+    val mode =
+      if (bias) graft.sqlext.EwmFold.TimeVarBiased
+      else graft.sqlext.EwmFold.TimeVar
+    val fold =
+      graft.sqlext.EwmFold.ewm_fold(col("__pts__"), halflife, mode)
     val exploded = grouped.withColumn("__ewm__", explode(fold))
       .select(partitionCols.map(col) :+
         col("__ewm__.o").as(orderCol) :+
@@ -461,43 +433,14 @@ object RollingOps {
         col(orderCol).as("o"),
         col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y")))).as("__pts__"))
-    val oT = df.schema(orderCol).dataType.sql
-    val dec =
-      s"coalesce(power(0.5d, (p.t - acc.pt) / ${halflife}d), 1.0d)"
-    val nD = s"($dec * acc.den + 1.0d)"
-    val nD2 = s"($dec * $dec * acc.den2 + 1.0d)"
-    val nSx = s"($dec * acc.sx + p.x)"
-    val nSy = s"($dec * acc.sy + p.y)"
-    val nSxy = s"($dec * acc.sxy + p.x * p.y)"
-    val nSxx = s"($dec * acc.sxx + p.x * p.x)"
-    val nSyy = s"($dec * acc.syy + p.y * p.y)"
-    val covB = s"($nSxy / $nD - ($nSx / $nD) * ($nSy / $nD))"
-    val varxB = s"($nSxx / $nD - ($nSx / $nD) * ($nSx / $nD))"
-    val varyB = s"($nSyy / $nD - ($nSy / $nD) * ($nSy / $nD))"
-    val eExpr =
-      if (corr)
-        s"""CASE WHEN $varxB * $varyB > 0.0d
-           |  THEN $covB / sqrt($varxB * $varyB)
-           |  ELSE CAST(null AS DOUBLE) END""".stripMargin
-      else if (bias) covB
-      else
-        s"""CASE WHEN $nD * $nD - $nD2 > 0.0d
-           |  THEN $covB * ($nD * $nD) / ($nD * $nD - $nD2)
-           |  ELSE CAST(null AS DOUBLE) END""".stripMargin
-    val fold = expr(
-      s"""transform(
-         |  aggregate(__pts__,
-         |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
-         |           cast(0.0 as double) as den, cast(0.0 as double) as den2,
-         |           cast(0.0 as double) as sx, cast(0.0 as double) as sy,
-         |           cast(0.0 as double) as sxy, cast(0.0 as double) as sxx,
-         |           cast(0.0 as double) as syy,
-         |           cast(null as double) as pt),
-         |    (acc, p) -> struct(
-         |      acc.outp || array(struct(p.o as o, $eExpr as e)),
-         |      $nD, $nD2, $nSx, $nSy, $nSxy, $nSxx, $nSyy,
-         |      cast(p.t as double))).outp,
-         |  x -> x)""".stripMargin)
+    // compiled EwmFold kernel — bit-equal to the interpreted SQL
+    // fold (see ewmMean note)
+    val mode =
+      if (corr) graft.sqlext.EwmFold.TimeCorr
+      else if (bias) graft.sqlext.EwmFold.TimeCovBiased
+      else graft.sqlext.EwmFold.TimeCov
+    val fold =
+      graft.sqlext.EwmFold.ewm_fold(col("__pts__"), halflife, mode)
     val exploded = grouped.withColumn("__ewm__", explode(fold))
       .select(partitionCols.map(col) :+
         col("__ewm__.o").as(orderCol) :+
@@ -561,69 +504,19 @@ object RollingOps {
       .groupBy(partitionCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
         col(valueCol).cast("double").as("v")))).as("__pts__"))
-    val oT = df.schema(orderCol).dataType.sql
-    // post-update accumulators, written inline so the emitted element
-    // uses the new values; the ignoreNa=false variants decay WITHOUT
-    // adding on a null point (positional weights)
-    val nN =
-      if (ignoreNa) s"((1.0d - $alpha) * acc.num + p.v)"
-      else s"""(CASE WHEN p.v IS NULL THEN (1.0d - $alpha) * acc.num
-              |  ELSE (1.0d - $alpha) * acc.num + p.v END)""".stripMargin
-    val nD =
-      if (ignoreNa) s"((1.0d - $alpha) * acc.den + 1.0d)"
-      else s"""(CASE WHEN p.v IS NULL THEN (1.0d - $alpha) * acc.den
-              |  ELSE (1.0d - $alpha) * acc.den + 1.0d END)""".stripMargin
-    // fold over the ordered points, emitting the running EWM per point
+    // fold over the ordered points with the compiled EwmFold kernel
+    // (sqlext/EwmFold.scala): bit-equal accumulator updates and
+    // emitted values in identical IEEE order to the interpreted
+    // aggregate(...) SQL fold this replaced, but an O(n) compiled
+    // loop instead of an interpreted per-element lambda with an
+    // O(n²) outp-array append (see OPTIMIZATION_r10.md q319)
+    val mode =
+      if (adjust && ignoreNa) graft.sqlext.EwmFold.MeanAdj
+      else if (adjust) graft.sqlext.EwmFold.MeanAdjKeepNa
+      else if (ignoreNa) graft.sqlext.EwmFold.MeanRec
+      else graft.sqlext.EwmFold.MeanRecKeepNa
     val fold =
-      if (adjust) {
-        // acc = (num, den); num_t = (1-a)*num + x, den_t = (1-a)*den + 1
-        val eA =
-          if (ignoreNa) s"$nN / $nD"
-          else s"(CASE WHEN $nD > 0.0d THEN $nN / $nD END)"
-        expr(
-          s"""transform(
-             |  aggregate(__pts__,
-             |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
-             |           cast(0.0 as double) as num, cast(0.0 as double) as den),
-             |    (acc, p) -> struct(
-             |      acc.outp || array(struct(p.o as o, $eA as e)),
-             |      $nN, $nD)).outp,
-             |  x -> x)""".stripMargin)
-      } else if (ignoreNa)
-        expr(
-          s"""transform(
-             |  aggregate(__pts__,
-             |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
-             |           cast(null as double) as prev),
-             |    (acc, p) -> struct(
-             |      acc.outp || array(struct(p.o as o,
-             |        coalesce((1.0d - $alpha) * acc.prev + $alpha * p.v,
-             |                 p.v) as e)),
-             |      coalesce((1.0d - $alpha) * acc.prev + $alpha * p.v, p.v))).outp,
-             |  x -> x)""".stripMargin)
-      else {
-        // adjust=false positional: carry (prev, old_wt); a gap decays
-        // old_wt, the next observation folds in with weight α against
-        // (1-α)·old_wt (pandas _ewm loop with new_wt = α)
-        val eF =
-          s"""(CASE WHEN p.v IS NULL THEN acc.prev
-             |  WHEN acc.prev IS NULL THEN cast(p.v as double)
-             |  ELSE ((1.0d - $alpha) * acc.ow * acc.prev + $alpha * p.v) /
-             |       ((1.0d - $alpha) * acc.ow + $alpha) END)""".stripMargin
-        val owF =
-          s"""(CASE WHEN p.v IS NULL THEN (1.0d - $alpha) * acc.ow
-             |  ELSE 1.0d END)""".stripMargin
-        expr(
-          s"""transform(
-             |  aggregate(__pts__,
-             |    struct(cast(array() as array<struct<o: $oT, e: double>>) as outp,
-             |           cast(null as double) as prev,
-             |           cast(0.0 as double) as ow),
-             |    (acc, p) -> struct(
-             |      acc.outp || array(struct(p.o as o, $eF as e)),
-             |      $eF, $owF)).outp,
-             |  x -> x)""".stripMargin)
-      }
+      graft.sqlext.EwmFold.ewm_fold(col("__pts__"), alpha, mode)
     val exploded = grouped.withColumn("__ewm__", explode(fold))
       .select(partitionCols.map(col) :+
         col("__ewm__.o").as(orderCol) :+
@@ -654,40 +547,17 @@ object RollingOps {
       .groupBy(partitionCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
         col(valueCol).cast("double").as("v")))).as("__pts__"))
-    val a = alpha
-    // updated accumulators, written inline so the emitted element uses
-    // the POST-update values; the ignoreNa=false variants decay
-    // without adding on a null point
-    def upd(add: String, decay: String) =
-      if (ignoreNa) add
-      else s"(CASE WHEN p.v IS NULL THEN $decay ELSE $add END)"
-    val nD = upd(s"((1.0d - $a) * acc.den + 1.0d)",
-      s"(1.0d - $a) * acc.den")
-    val nN = upd(s"((1.0d - $a) * acc.num + p.v)",
-      s"(1.0d - $a) * acc.num")
-    val nN2 = upd(s"((1.0d - $a) * acc.num2 + p.v * p.v)",
-      s"(1.0d - $a) * acc.num2")
-    val nD2 = upd(s"((1.0d - $a) * (1.0d - $a) * acc.den2 + 1.0d)",
-      s"(1.0d - $a) * (1.0d - $a) * acc.den2")
-    val biased0 = s"($nN2 / $nD - ($nN / $nD) * ($nN / $nD))"
-    val biased =
-      if (ignoreNa) biased0
-      else s"(CASE WHEN $nD > 0.0d THEN $biased0 END)"
-    val eExpr =
-      if (bias) biased
-      else s"""CASE WHEN $nD * $nD - $nD2 > 0.0d
-              |  THEN $biased * ($nD * $nD) / ($nD * $nD - $nD2)
-              |  ELSE CAST(null AS DOUBLE) END""".stripMargin
-    val fold = expr(
-      s"""transform(
-         |  aggregate(__pts__,
-         |    struct(cast(array() as array<struct<o: ${df.schema(orderCol).dataType.sql}, e: double>>) as outp,
-         |           cast(0.0 as double) as num, cast(0.0 as double) as den,
-         |           cast(0.0 as double) as num2, cast(0.0 as double) as den2),
-         |    (acc, p) -> struct(
-         |      acc.outp || array(struct(p.o as o, $eExpr as e)),
-         |      $nN, $nD, $nN2, $nD2)).outp,
-         |  x -> x)""".stripMargin)
+    // fold with the compiled EwmFold kernel — bit-equal to the
+    // interpreted aggregate(...) SQL fold (see ewmMean note): four
+    // accumulators (num/den/num2/den2), post-update emit, null
+    // points under ignore_na=false decaying without adding
+    val mode =
+      if (bias && ignoreNa) graft.sqlext.EwmFold.VarBiased
+      else if (bias) graft.sqlext.EwmFold.VarBiasedKeepNa
+      else if (ignoreNa) graft.sqlext.EwmFold.Var
+      else graft.sqlext.EwmFold.VarKeepNa
+    val fold =
+      graft.sqlext.EwmFold.ewm_fold(col("__pts__"), alpha, mode)
     val exploded = grouped.withColumn("__ewm__", explode(fold))
       .select(partitionCols.map(col) :+
         col("__ewm__.o").as(orderCol) :+
@@ -722,53 +592,18 @@ object RollingOps {
       .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
         col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y")))).as("__pts__"))
-    val a = alpha
-    def upd(add: String, decay: String) =
-      if (ignoreNa) add
-      else s"""(CASE WHEN p.x IS NULL OR p.y IS NULL THEN $decay
-              |  ELSE $add END)""".stripMargin
-    val nD = upd(s"((1.0d - $a) * acc.den + 1.0d)",
-      s"(1.0d - $a) * acc.den")
-    val nD2 = upd(s"((1.0d - $a) * (1.0d - $a) * acc.den2 + 1.0d)",
-      s"(1.0d - $a) * (1.0d - $a) * acc.den2")
-    val nSx = upd(s"((1.0d - $a) * acc.sx + p.x)",
-      s"(1.0d - $a) * acc.sx")
-    val nSy = upd(s"((1.0d - $a) * acc.sy + p.y)",
-      s"(1.0d - $a) * acc.sy")
-    val nSxy = upd(s"((1.0d - $a) * acc.sxy + p.x * p.y)",
-      s"(1.0d - $a) * acc.sxy")
-    val nSxx = upd(s"((1.0d - $a) * acc.sxx + p.x * p.x)",
-      s"(1.0d - $a) * acc.sxx")
-    val nSyy = upd(s"((1.0d - $a) * acc.syy + p.y * p.y)",
-      s"(1.0d - $a) * acc.syy")
-    def guardD(e: String) =
-      if (ignoreNa) e
-      else s"(CASE WHEN $nD > 0.0d THEN $e END)"
-    val covB = guardD(s"($nSxy / $nD - ($nSx / $nD) * ($nSy / $nD))")
-    val varxB = guardD(s"($nSxx / $nD - ($nSx / $nD) * ($nSx / $nD))")
-    val varyB = guardD(s"($nSyy / $nD - ($nSy / $nD) * ($nSy / $nD))")
-    val eExpr =
-      if (corr)
-        s"""CASE WHEN $varxB * $varyB > 0.0d
-           |  THEN $covB / sqrt($varxB * $varyB)
-           |  ELSE CAST(null AS DOUBLE) END""".stripMargin
-      else if (bias) covB
-      else
-        s"""CASE WHEN $nD * $nD - $nD2 > 0.0d
-           |  THEN $covB * ($nD * $nD) / ($nD * $nD - $nD2)
-           |  ELSE CAST(null AS DOUBLE) END""".stripMargin
-    val fold = expr(
-      s"""transform(
-         |  aggregate(__pts__,
-         |    struct(cast(array() as array<struct<o: ${df.schema(orderCol).dataType.sql}, e: double>>) as outp,
-         |           cast(0.0 as double) as den, cast(0.0 as double) as den2,
-         |           cast(0.0 as double) as sx, cast(0.0 as double) as sy,
-         |           cast(0.0 as double) as sxy, cast(0.0 as double) as sxx,
-         |           cast(0.0 as double) as syy),
-         |    (acc, p) -> struct(
-         |      acc.outp || array(struct(p.o as o, $eExpr as e)),
-         |      $nD, $nD2, $nSx, $nSy, $nSxy, $nSxx, $nSyy)).outp,
-         |  x -> x)""".stripMargin)
+    // compiled EwmFold kernel — bit-equal to the interpreted SQL
+    // fold (see ewmMean note), incl. Spark's NaN-is-largest CASE
+    // guard semantics under a leading-null keepna prefix
+    val mode =
+      if (corr) (if (ignoreNa) graft.sqlext.EwmFold.CorrPos
+                 else graft.sqlext.EwmFold.CorrPosKeepNa)
+      else if (bias) (if (ignoreNa) graft.sqlext.EwmFold.CovPosBiased
+                      else graft.sqlext.EwmFold.CovPosBiasedKeepNa)
+      else (if (ignoreNa) graft.sqlext.EwmFold.CovPos
+            else graft.sqlext.EwmFold.CovPosKeepNa)
+    val fold =
+      graft.sqlext.EwmFold.ewm_fold(col("__pts__"), alpha, mode)
     val exploded = grouped.withColumn("__ewm__", explode(fold))
       .select(partitionCols.map(col) :+
         col("__ewm__.o").as(orderCol) :+
