@@ -27,6 +27,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")
+      // scan-parallelism FLOOR tied to the session's core count
+      // (guide §6): a table that fits in one <128 MB parquet file
+      // arrives as ONE scan split, so every map-heavy plan over it
+      // (regex URL parses, md5 lotteries, codecs) runs on one core
+      // regardless of cluster width. minPartitionNum makes the scan
+      // split such files; at real scale the floor is inert (inputs
+      // already carry more splits than cores). Scale-adaptive by
+      // construction — derived from the requested parallelism, not a
+      // constant tuned to this box.
+      .config("spark.sql.files.minPartitionNum",
+        shufflePartitions.toString)
     if (extensions)
       b.config("spark.sql.extensions",
         classOf[graft.sqlext.GraftExtensions].getName)

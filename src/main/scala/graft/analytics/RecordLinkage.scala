@@ -90,6 +90,12 @@ object RecordLinkage {
       base = base.join(ok, cond)
         .drop(keys.map(k => s"__ok${i}_$k"): _*)
     }
+    // cut the plan here: the enriched base (input rows + one kept
+    // flag per pass) feeds BOTH sides of EVERY pass's self-join, and
+    // the per-pass block keys differ so none of those exchanges are
+    // reusable — without the cut the enrichment joins replay
+    // 2x passes times. Input-sized, eager per invocation.
+    base = base.localCheckpoint(true)
     def side(p: String) = base.select(base.columns.map(c =>
       col(c).as(p + c)): _*)
     val l = side("l_")

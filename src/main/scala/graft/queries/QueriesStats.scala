@@ -1618,7 +1618,11 @@ object QueriesStats {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"),
           col("y.l_partkey").as("dst"))
-        .distinct()
+        // no .distinct() here: every graph op this feeds
+        // (kCore/labelProp/PPR/triangles/assortativity/modularity/
+        // edgeSupport/kTruss) canonicalizes AND dedups its edge input
+        // internally, so a gate-side distinct was a second full
+        // exchange of the pair table for the same result
       GraphOps.kCore(edges, k = 68).orderBy("id")
     }),
 
@@ -1636,7 +1640,11 @@ object QueriesStats {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"),
           col("y.l_partkey").as("dst"))
-        .distinct()
+        // no .distinct() here: every graph op this feeds
+        // (kCore/labelProp/PPR/triangles/assortativity/modularity/
+        // edgeSupport/kTruss) canonicalizes AND dedups its edge input
+        // internally, so a gate-side distinct was a second full
+        // exchange of the pair table for the same result
       GraphOps.labelPropagation(edges, rounds = 4)
         .select(col("id").cast("long").as("id"),
           col("lbl").cast("long").as("lbl"))
@@ -1968,7 +1976,11 @@ object QueriesStats {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"),
           col("y.l_partkey").as("dst"))
-        .distinct()
+        // no .distinct() here: every graph op this feeds
+        // (kCore/labelProp/PPR/triangles/assortativity/modularity/
+        // edgeSupport/kTruss) canonicalizes AND dedups its edge input
+        // internally, so a gate-side distinct was a second full
+        // exchange of the pair table for the same result
       GraphOps.assortativity(edges)
         .select(col("m_edges"), col("sjk"), col("ssum"), col("ssq"),
           round(col("assortativity"), 6).as("assortativity"))
@@ -1987,7 +1999,11 @@ object QueriesStats {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"),
           col("y.l_partkey").as("dst"))
-        .distinct()
+        // no .distinct() here: every graph op this feeds
+        // (kCore/labelProp/PPR/triangles/assortativity/modularity/
+        // edgeSupport/kTruss) canonicalizes AND dedups its edge input
+        // internally, so a gate-side distinct was a second full
+        // exchange of the pair table for the same result
       val brands = t(s, d, "part").select(
         col("p_partkey").as("id"), col("p_brand").as("comm"))
       GraphOps.modularity(edges, brands)
@@ -2009,7 +2025,11 @@ object QueriesStats {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"),
           col("y.l_partkey").as("dst"))
-        .distinct()
+        // no .distinct() here: every graph op this feeds
+        // (kCore/labelProp/PPR/triangles/assortativity/modularity/
+        // edgeSupport/kTruss) canonicalizes AND dedups its edge input
+        // internally, so a gate-side distinct was a second full
+        // exchange of the pair table for the same result
       GraphOps.kCore(edges, k = 3).orderBy("id")
     }),
 
@@ -2024,7 +2044,11 @@ object QueriesStats {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"),
           col("y.l_partkey").as("dst"))
-        .distinct()
+        // no .distinct() here: every graph op this feeds
+        // (kCore/labelProp/PPR/triangles/assortativity/modularity/
+        // edgeSupport/kTruss) canonicalizes AND dedups its edge input
+        // internally, so a gate-side distinct was a second full
+        // exchange of the pair table for the same result
       GraphOps.triangleCounts(edges)
         .select(col("id"), col("triangles"),
           round(col("clustering"), 6).as("clustering"))
@@ -2069,7 +2093,11 @@ object QueriesStats {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"),
           col("y.l_partkey").as("dst"))
-        .distinct()
+        // no .distinct() here: every graph op this feeds
+        // (kCore/labelProp/PPR/triangles/assortativity/modularity/
+        // edgeSupport/kTruss) canonicalizes AND dedups its edge input
+        // internally, so a gate-side distinct was a second full
+        // exchange of the pair table for the same result
       // PPR is directed (the pageRank/hits contract); symmetrize
       // the co-purchase graph here
       val edges = und.union(und.select(col("dst").as("src"),
@@ -2092,7 +2120,11 @@ object QueriesStats {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"),
           col("y.l_partkey").as("dst"))
-        .distinct()
+        // no .distinct() here: every graph op this feeds
+        // (kCore/labelProp/PPR/triangles/assortativity/modularity/
+        // edgeSupport/kTruss) canonicalizes AND dedups its edge input
+        // internally, so a gate-side distinct was a second full
+        // exchange of the pair table for the same result
       GraphOps.edgeSupport(edges)
         .select(col("u").cast("long").as("u"),
           col("v").cast("long").as("v"), col("support"))
@@ -2111,7 +2143,11 @@ object QueriesStats {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"),
           col("y.l_partkey").as("dst"))
-        .distinct()
+        // no .distinct() here: every graph op this feeds
+        // (kCore/labelProp/PPR/triangles/assortativity/modularity/
+        // edgeSupport/kTruss) canonicalizes AND dedups its edge input
+        // internally, so a gate-side distinct was a second full
+        // exchange of the pair table for the same result
       GraphOps.kTruss(edges, k = 12, rounds = 3)
         .select(col("a").cast("long").as("a"),
           col("b").cast("long").as("b"), col("support"))
