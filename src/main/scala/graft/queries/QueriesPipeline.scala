@@ -223,22 +223,29 @@ object QueriesPipeline {
     * subdomain = source, domain by md5 lottery, path from lang +
     * doc_id, query string present for ~half the docs. The oracle
     * rebuilds the identical strings (h48 arithmetic is exact). */
-  private def syntheticUrls(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  /** The deterministic synthetic-URL EXPRESSION over a documents row
+    * (doc_id, source, lang, n_chars) — shared by [[syntheticUrls]]
+    * and [[syntheticHtml]] so the html builder can inline it instead
+    * of joining the two scans back together on doc_id. */
+  private def syntheticUrlCol: org.apache.spark.sql.Column = {
     val domArr = array(urlDomains.map(lit): _*)
     val uDom = PipelineOps.hash48Unit(
       concat(col("doc_id").cast("string"), lit("#dom")))
     val uQ = PipelineOps.hash48Unit(
       concat(col("doc_id").cast("string"), lit("#q")))
-    t(s, d, "documents").select(col("doc_id"), col("n_chars"),
-      concat(lit("https://"), col("source"), lit("."),
-        element_at(domArr, (floor(uDom * 8) + 1).cast("int")),
-        lit("/"), col("lang"), lit("/doc/"),
-        col("doc_id").cast("string"),
-        when(uQ < 0.5, concat(lit("?ref="),
-          pmod(col("n_chars"), lit(97L)).cast("string")))
-          .otherwise(lit(""))).as("url"))
+    concat(lit("https://"), col("source"), lit("."),
+      element_at(domArr, (floor(uDom * 8) + 1).cast("int")),
+      lit("/"), col("lang"), lit("/doc/"),
+      col("doc_id").cast("string"),
+      when(uQ < 0.5, concat(lit("?ref="),
+        pmod(col("n_chars"), lit(97L)).cast("string")))
+        .otherwise(lit("")))
   }
+
+  private def syntheticUrls(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+      syntheticUrlCol.as("url"))
 
   /** Deterministic synthetic HTML over the documents table: title +
     * h1 with literal entities, the doc text in a <p>, a self link to
@@ -251,9 +258,13 @@ object QueriesPipeline {
     val u2 = PipelineOps.hash48Unit(
       concat(col("doc_id").cast("string"), lit("#l2")))
     val dom2 = element_at(domArr, (floor(u2 * 8) + 1).cast("int"))
+    // url INLINED via syntheticUrlCol: the previous
+    // join(syntheticUrls, "doc_id") re-joined two scans of the same
+    // table just to attach a deterministic expression — an exchange
+    // pair + SMJ in every crawl gate's plan for nothing
     t(s, d, "documents").select(col("doc_id"), col("text"),
-        col("lang"))
-      .join(syntheticUrls(s, d).select("doc_id", "url"), "doc_id")
+        col("lang"), col("source"), col("n_chars"))
+      .withColumn("url", syntheticUrlCol)
       .select(col("doc_id"), col("url"), concat(
         lit("<html><head><title>Doc "), col("doc_id").cast("string"),
         lit("</title></head><body><h1>"), col("lang"),
