@@ -198,7 +198,21 @@ object Bench {
           System.err.println(s"[bench] ${op.name} failed: ${e.getMessage}")
       }
     }
-    (1 to 5).foreach(_ => runPass(ops))
+    (1 to 5).foreach { _ =>
+      runPass(ops)
+      // cache hygiene BETWEEN interleaved passes (guide §1; round-10
+      // verdict #4): operators' internal .cache()s register identical
+      // analyzed plans across passes, so without this passes 2-5 read
+      // pass 1's materialized InMemoryRelations and the recorded min
+      // is a warm-cache time for cache-heavy ops. Clearing between
+      // passes makes min-of-passes measure the declared plan — every
+      // pass computes from parquet. The micro-op inputs are re-cached
+      // untimed below: their in-memory-input design is the BASELINE.md
+      // comparison contract, not contamination.
+      spark.catalog.clearCache()
+      liC.cache().count()
+      ordC.cache().count()
+    }
     // the micro-ops are the ones graded against BASELINE.md and cost
     // ~0.4s a pass — extra passes of just those buy more noise
     // immunity where it matters most (co-tenant spikes here last
@@ -254,6 +268,31 @@ object Bench {
       math.round(total * 10) / 10.0},"n_queries":${timings.size
       },"loadavg":${math.round(loadavg * 100) / 100.0
       },"other_jvms":$otherJvms,"sf":"$sfDir"}""")
+    // per-query timings in BOUNDED CHUNKS (≤300 chars each, newest
+    // last): the driver's record keeps only a stdout tail, and the
+    // single ~3 kB per-query line above loses its head to that
+    // truncation — r9 and r10 both shipped with per_query
+    // unparseable driver-side. Each chunk is self-contained JSON;
+    // millisecond precision (grading is on seconds-scale numbers;
+    // the full-precision map is in the line above and in
+    // SPARK_GRAFT_BENCH_OUT). Existing lines stay byte-compatible.
+    val entries = timings.toSeq.map { case (k, v) =>
+      "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+    val chunks = scala.collection.mutable.ListBuffer[Seq[String]]()
+    var cur = scala.collection.mutable.ListBuffer[String]()
+    var curLen = 0
+    entries.foreach { e =>
+      if (curLen + e.length + 1 > 240 && cur.nonEmpty) {
+        chunks += cur.toSeq; cur = scala.collection.mutable.ListBuffer()
+        curLen = 0
+      }
+      cur += e; curLen += e.length + 1
+    }
+    if (cur.nonEmpty) chunks += cur.toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"summary_part":${i + 1},"of":${chunks.size
+        },"queries":${c.mkString("{", ",", "}")}}""")
+    }
     // belt-and-braces: also write the line to a file so the result
     // survives any stdout wrapping by the build tool.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -204,12 +204,17 @@ object RecordLinkage {
           .join(lbl.select(col("id").as("b"), col("lbl")), Seq("b"))
           .select(col("a").as("id"), col("lbl")))
         .union(lbl)
-      // cache each round: lbl is referenced 3x by the next round, so
-      // an uncached lineage replays round r-1's plan 3^r times (the
-      // classic iterative-join DAG blow-up); the cache makes each
-      // round materialize once and stay O(vertices)
-      lbl = msgs.groupBy("id").agg(min("lbl").as("lbl")).cache()
+      // materialize each round (eager localCheckpoint): lbl is
+      // referenced 3x by the next round, so an unmaterialized
+      // lineage replays round r-1's plan 3^r times (the classic
+      // iterative-join DAG blow-up). A lineage cut instead of
+      // .cache() (round-11): bounded rounds, and no chain of
+      // per-round cache entries stays pinned after the call.
+      lbl = msgs.groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(eager = true)
     }
+    // lbl is materialized — release the edge cache
+    edges.unpersist()
     lbl.select(col("id"), col("lbl").as("entity"))
   }
 }

@@ -46,9 +46,7 @@ object GraphOps {
     * their own singleton components. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 60,
       vertices: Option[DataFrame] = None): DataFrame = {
-    val sym = edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+    val sym = symmetrize(edges)
     val ids = vertices match {
       case Some(v) => sym.select(col("src").as("id"))
         .union(v.select(col("id"))).distinct()
@@ -93,6 +91,10 @@ object GraphOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter supersteps " +
           s"($changed labels still changing) — raise maxIter")
+    // labels is materialized (eager localCheckpoint each round) —
+    // release the edge cache (lifecycle: no pinned entries survive
+    // the call)
+    sym.unpersist()
     labels
   }
 
@@ -123,6 +125,10 @@ object GraphOps {
             col("dm") / n)).as("rank"))
       ranks = next.localCheckpoint(eager = true)
     }
+    // ranks is materialized — release the loop-invariant caches
+    links.unpersist()
+    sinks.unpersist()
+    vertices.unpersist()
     ranks
   }
 
@@ -158,6 +164,7 @@ object GraphOps {
       dist = next
       i += 1
     }
+    vertices.unpersist()
     dist
   }
 
@@ -167,13 +174,41 @@ object GraphOps {
     * (source, id, dist, sigma) for every reached vertex. State is
     * O(S·V) rows — bounded by the source sample size. */
   def multiSourceBfs(edges: DataFrame, sources: Seq[Any],
-      maxIter: Int = 15): DataFrame =
-    multiSourceBfsOn(symmetrize(edges), sources, maxIter)
+      maxIter: Int = 15): DataFrame = {
+    val sym = symmetrize(edges)
+    // every state row is eager-checkpointed inside the loop, so the
+    // edge cache can be released on return
+    val out = multiSourceBfsOn(sym, sources, maxIter)
+    sym.unpersist()
+    out
+  }
 
-  private def symmetrize(edges: DataFrame): DataFrame =
-    edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+  /** Symmetrize with HALF the distinct-shuffle rows (the kCore
+    * canonical trick, round-11): dedup the (least, greatest)
+    * canonical form, union both directions AFTER the exchange. An
+    * explicit non-proper-edge branch keeps self-loops (and any
+    * null-endpoint rows) byte-identical to the old
+    * union-then-distinct form — BFS/CC/SSSP retain (x,x) once
+    * (reachability-neutral; pinned by KCoreSelfLoopSpec). */
+  private def symmetrize(edges: DataFrame): DataFrame = {
+    val base = edges.select("src", "dst")
+    val proper = base.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+    // src = dst, or a null endpoint (the =!= comparison yields
+    // null): symmetrized verbatim — least/greatest would corrupt a
+    // (null, x) row into (x, x). Tiny by construction; its own
+    // distinct keeps the output set-identical to the old form
+    // (which kept BOTH orientations of a null-endpoint row).
+    val rest = base.filter(!(col("src") =!= col("dst")))
+    proper
+      .union(proper.select(col("dst").as("src"), col("src").as("dst")))
+      .union(rest
+        .union(rest.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+      .cache()
+  }
 
   private def multiSourceBfsOn(sym: DataFrame, sources: Seq[Any],
       maxIter: Int): DataFrame = {
@@ -267,6 +302,7 @@ object GraphOps {
       l -= 1
     }
     // exclude the source's own row; halve for undirected pair double-count
+    sym.unpersist()
     delta.join(state.select("source", "id", "dist"), Seq("source", "id"))
       .filter(col("dist") > 0)
       .groupBy("id")
@@ -313,9 +349,7 @@ object GraphOps {
     * shortest_path_bfs :116): frontier expansion per superstep. */
   def bfsDistances(edges: DataFrame, sourceIds: Seq[Any],
       maxIter: Int = 15): DataFrame = {
-    val sym = edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+    val sym = symmetrize(edges)
     var dist = sym.select(col("src").as("id")).distinct()
       .withColumn("dist",
         when(col("id").isin(sourceIds: _*), 0).otherwise(lit(null)))
@@ -332,6 +366,7 @@ object GraphOps {
       i += 1
       frontier = dist.filter(col("dist") === i).count()
     }
+    sym.unpersist()
     dist
   }
 
@@ -340,8 +375,10 @@ object GraphOps {
     * k-core (dense-region extraction; community seeding). Each
     * superstep is one degree aggregate + two semi-joins with a
     * localCheckpoint lineage cut — the CC/Pregel shape; iterations
-    * are bounded by the peel depth, not the vertex count. Returns
-    * the surviving vertices with their in-core degree. */
+    * are bounded by the peel depth, not the vertex count. Operates
+    * on the SIMPLE graph: self-loops are excluded and contribute no
+    * degree (pinned by KCoreSelfLoopSpec). Returns the surviving
+    * vertices with their in-core degree. */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame =
     kCoreImpl(edges, k, maxIter)
 
@@ -358,7 +395,9 @@ object GraphOps {
     * convention). The deterministic argmax is max(struct(count,
     * −label)), which a row_number replay in SQL reproduces exactly —
     * the whole run is oracle-able by unrolled MATERIALIZED CTE
-    * rounds (the q324 k-core precedent). Returns (id, lbl). */
+    * rounds (the q324 k-core precedent). Operates on the SIMPLE
+    * graph: self-loops are excluded — a loop casts no neighborhood
+    * vote (pinned by KCoreSelfLoopSpec). Returns (id, lbl). */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
     // canonical-form distinct + union of both directions: see
@@ -393,18 +432,20 @@ object GraphOps {
   private def kCoreImpl(edges: DataFrame, k: Int,
       maxIter: Int): DataFrame = {
     require(k >= 1, "k >= 1")
-    // symmetrize via canonical-form distinct + union of both
-    // directions: set-identical to distinct-of-union (a<b canonical
-    // rows can't collide with their reversals) but the distinct
-    // shuffles HALF the rows — the union happens after the exchange
-    // instead of before it
-    val canon = edges.select(col("src"), col("dst"))
+    // HALF-EDGE peel (round-11, guide §2.3 shuffle/materialize fewer
+    // bytes): peel on the canonical (least, greatest) edge table
+    // directly instead of the symmetrized 2× table. degree(v) =
+    // #canon rows containing v on EITHER side, and a round keeps an
+    // edge iff BOTH endpoints survive — exactly the symmetric peel,
+    // with every per-round join and lineage-cut materialization on
+    // HALF the rows. Self-loops are dropped (documented contract:
+    // a self-loop is not an edge of the simple graph this peels;
+    // see KCoreSelfLoopSpec).
+    var canon = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
-    var sym = canon
-      .union(canon.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     // convergence by EDGE count, not distinct-vertex count: each
     // round's survivor set is a row-subset of the previous edge set,
@@ -413,27 +454,30 @@ object GraphOps {
     // cheaper — count() over the just-checkpointed partitions is a
     // scan-free job). Measured on the q324 stress gate: see
     // OPTIMIZATION_r10.md.
-    var nEdges = sym.count()
+    var nEdges = canon.count()
     var done = nEdges == 0
     var i = 0
     while (!done && i < maxIter) {
-      val keep = sym.groupBy("src").agg(count(lit(1)).as("__d__"))
-        .filter(col("__d__") >= k).select(col("src"))
-      val next = sym.join(keep, "src")
-        .join(keep.select(col("src").as("dst")), "dst")
+      val keep = canon.select(col("src").as("v"))
+        .union(canon.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("__d__"))
+        .filter(col("__d__") >= k).select(col("v"))
+      val next = canon.join(keep.select(col("v").as("src")), "src")
+        .join(keep.select(col("v").as("dst")), "dst")
         .select("src", "dst")
         .localCheckpoint(true)
       val nNext = next.count()
       done = nNext == nEdges || nNext == 0
       nEdges = nNext
-      sym = next
+      canon = next
       i += 1
     }
     if (i >= maxIter && !done)
       throw new IllegalStateException(
         s"kCore did not converge in $maxIter supersteps")
-    sym.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("core_degree"))
+    canon.select(col("src").as("id"))
+      .union(canon.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_degree"))
   }
 
   /** Per-vertex and total triangle counts on the undirected simple
@@ -448,17 +492,20 @@ object GraphOps {
     * Self-loops and duplicate/reverse edges are removed first. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     // und feeds the degree table twice and the orientation join once;
-    // deg feeds the orientation and the final per-vertex join — cache
-    // both or the upstream edge-normalization replays four times
+    // deg feeds the orientation and the final per-vertex join —
+    // materialize both (eager localCheckpoint, round-11: a lineage
+    // cut leaves NO cache entry pinned after the call returns,
+    // unlike .cache(); the blocks are freed when the frames are
+    // GC'd) or the upstream edge-normalization replays four times
     val und = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct().cache()
+      .distinct().localCheckpoint(eager = true)
     val deg = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
-      .cache()
+      .localCheckpoint(eager = true)
     // orientation key: (degree, id) — total order, hub-safe
     val oriented = und
       .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
@@ -469,7 +516,7 @@ object GraphOps {
           .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
           .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
-      .cache()
+      .localCheckpoint(eager = true)
     // wedges at the low endpoint, closed by an oriented edge between
     // the two high endpoints (either orientation)
     val w = oriented.select(col("lo"), col("hi").as("x"))
@@ -640,25 +687,41 @@ object GraphOps {
   def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
     require(rounds >= 1 && rounds <= 4,
       s"rounds in [1,4] (integer scores grow as deg^(2*rounds)), got $rounds")
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    // round-11 (guide §2.4, §5): HITS alternates src- and dst-keyed
+    // joins, so ONE cached copy of the edge table was re-exchanged
+    // on every half-round (4 full edge shuffles at rounds=2). Keep
+    // TWO loop-invariant cached copies — e hash-partitioned on src
+    // (the single exchange also serving the dedup, see
+    // personalizedPageRank) and eDst on dst — so each half-round
+    // shuffles only the vertex-sized rank table. The vertex table
+    // (previously recomputed from the edge cache on every join) is
+    // materialized once; per-round state is lineage-cut instead of
+    // leaking one cache entry per half-round.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct().cache()
+    val eDst = e.repartition(col("dst")).cache()
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
     var hub = verts.withColumn("hub", lit(1L))
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
-      auth = e.join(hub.select(col("id").as("src"), col("hub")),
+      val aAgg = e.join(hub.select(col("id").as("src"), col("hub")),
           Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum("hub").as("auth"))
-      auth = verts.join(auth, Seq("id"), "left")
+      auth = verts.join(aAgg, Seq("id"), "left")
         .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
-        .cache()
-      hub = e.join(auth.select(col("id").as("dst"), col("auth")),
-          Seq("dst"))
+        .localCheckpoint(eager = true)
+      val hAgg = eDst.join(
+          auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum("auth").as("hub"))
-      hub = verts.join(hub, Seq("id"), "left")
+      hub = verts.join(hAgg, Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
-        .cache()
+        .localCheckpoint(eager = true)
     }
+    // final auth/hub are materialized — release the edge caches
+    eDst.unpersist()
+    e.unpersist()
     val totals = auth.agg(sum("auth").as("ta"))
       .crossJoin(hub.agg(sum("hub").as("th")))
     auth.join(hub, Seq("id"))
@@ -736,17 +799,21 @@ object GraphOps {
     require(dampPct >= 1 && dampPct <= 99,
       s"dampPct in [1,99], got $dampPct")
     require(sources.nonEmpty, "sources must be non-empty")
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    // ONE exchange builds the whole loop-invariant edge side
+    // (round-11, guide §2.4): repartition the RAW edge rows by src
+    // FIRST — HashPartitioning(src) satisfies the distinct's
+    // ClusteredDistribution(src, dst), the degree aggregate's
+    // ClusteredDistribution(src), AND the loop's join requirement,
+    // so the dedup, the out-degree count, the (edge ⋈ deg) join and
+    // every round's rank join all reuse that single exchange (the
+    // old shape paid a distinct exchange + an explicit repartition)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct().cache()
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    // (edge ⋈ out-degree) is LOOP-INVARIANT: join it once, hash-
-    // partition on src and cache, so each round's join only
-    // exchanges the (vertex-sized) rank table against a co-located
-    // cached edge side instead of re-joining and re-shuffling the
-    // edge list every round
     val eDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
-      .repartition(col("src")).cache()
+      .cache()
     val restart = lit((100 - dampPct).toLong * scale / 100)
     val isSrc = col("id").isin(sources: _*)
     var r = verts.select(col("id"),
@@ -763,6 +830,12 @@ object GraphOps {
             when(isSrc, restart).otherwise(lit(0L))).as("ppr"))
         .localCheckpoint(eager = true)
     }
+    // r is materialized (eager localCheckpoint), so the internal
+    // caches are done — release them (cache lifecycle: a library
+    // call must not permanently pin an edge-table cache entry)
+    eDeg.unpersist()
+    verts.unpersist()
+    e.unpersist()
     val total = r.agg(sum("ppr").as("tot"))
     r.crossJoin(broadcast(total))
       .select(col("id"), col("ppr"),
@@ -786,14 +859,15 @@ object GraphOps {
       s"rounds in [1,6] (each unrolls as an oracle CTE), got $rounds")
     require(dampPct >= 1 && dampPct <= 99,
       s"dampPct in [1,99], got $dampPct")
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    // single-exchange loop-invariant build + cache lifecycle — see
+    // personalizedPageRank
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct().cache()
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    // loop-invariant (edge ⋈ out-degree), pre-partitioned on src —
-    // see personalizedPageRank
     val eDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
-      .repartition(col("src")).cache()
+      .cache()
     val restart = lit((100 - dampPct).toLong * scale / 100)
     var r = verts.select(col("id"), lit(scale).as("pr"))
     for (_ <- 1 to rounds) {
@@ -807,6 +881,9 @@ object GraphOps {
             restart).as("pr"))
         .localCheckpoint(eager = true)
     }
+    eDeg.unpersist()
+    verts.unpersist()
+    e.unpersist()
     val total = r.agg(sum("pr").as("tot"))
     r.crossJoin(broadcast(total))
       .select(col("id"), col("pr"),
@@ -827,7 +904,7 @@ object GraphOps {
     * key order correlates with degree — here the canonical key
     * orientation keeps the oracle SQL identical. */
   def edgeSupport(edges: DataFrame): DataFrame = {
-    val canon = canonEdges(edges).cache()
+    val canon = canonEdges(edges).localCheckpoint(eager = true)
     triEdgeCredits(triangles3(canon))
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
   }

@@ -59,10 +59,14 @@ object ForestTwin {
     // expensive map side; a small parquet input arrives as ONE scan
     // split and would run it single-threaded. Repartition UP to the
     // core count (never down); the downstream cube aggregation is
-    // partitioning-invariant.
+    // partitioning-invariant. Small-input check via the optimizer's
+    // size estimate, not .rdd.getNumPartitions (which under AQE
+    // finalizes the plan and eagerly runs upstream stages —
+    // round-10 advice).
     val par = spark.sparkContext.defaultParallelism
-    val base = if (base0.rdd.getNumPartitions < par)
-      base0.repartition(par) else base0
+    val smallInput = base0.queryExecution.optimizedPlan.stats
+      .sizeInBytes < BigInt(par.toLong) * (16L << 20)
+    val base = if (smallInput) base0.repartition(par) else base0
 
     // tree replicas + deterministic bag lottery (map-side only)
     val bags = base

@@ -365,10 +365,16 @@ object MlOps {
     // at sf0.1. Repartition UP to the session's core count before
     // caching (never down: large inputs keep their splits); the
     // decimal sums are order-free by design so the result is
-    // partitioning-invariant.
+    // partitioning-invariant. The small-input check reads the
+    // OPTIMIZER's size estimate, not .rdd.getNumPartitions — under
+    // AQE, .rdd finalizes the physical plan and eagerly runs any
+    // upstream query stages just to read a partition count
+    // (round-10 advice).
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val base = (if (prepared.rdd.getNumPartitions < par)
-      prepared.repartition(par) else prepared).cache()
+    val smallInput = prepared.queryExecution.optimizedPlan.stats
+      .sizeInBytes < BigInt(par.toLong) * (16L << 20)
+    val base = (if (smallInput) prepared.repartition(par)
+      else prepared).cache()
 
     def cell(c: Column, name: String) =
       sum(round(c, 12).cast("decimal(38,12)")).cast("double").as(name)
@@ -387,6 +393,19 @@ object MlOps {
       .select(col("n"), round(col("s") / col("n"), 12).as("b0"))
       .head()
     val n0 = initRow.getLong(0)
+    if (n0 == 0) {
+      // empty post-filter input: return NULL theta — getDouble on
+      // the NULL decimal mean silently unboxes to 0.0 and every
+      // Newton round would fabricate numbers from it (round-10
+      // advice; the old DataFrame-carried form propagated NULLs)
+      base.unpersist()
+      return df.sparkSession.range(1).select(
+        lit(rounds.toLong).as("n_rounds"), lit(0L).as("n"),
+        lit(null).cast("double").as("b0"),
+        lit(null).cast("double").as("b1"),
+        lit(null).cast("double").as("ln_sigma"),
+        lit(null).cast("double").as("sigma"))
+    }
     var theta = (initRow.getDouble(1), 0.0, 0.0) // (b0, b1, u)
 
     // one Newton round: aggregate gradient + negative Hessian with
@@ -444,6 +463,8 @@ object MlOps {
 
     for (_ <- 1 to rounds)
       theta = newtonRound(theta._1, theta._2, theta._3)
+    // theta is driver-held; nothing downstream reads the cache
+    base.unpersist()
     base.sparkSession.range(1).select(
       lit(rounds.toLong).as("n_rounds"), lit(n0).as("n"),
       lit(theta._1).as("b0"), lit(theta._2).as("b1"),

@@ -54,13 +54,13 @@ object QueriesExt {
     "q333_ewm_cov_scalable" -> ((s, d) => {
       val base = t(s, d, "events")
         .select("event_id", "event_type", "value", "user_id")
-      val c1 = RollingOps.ewmCovScalable(base, "value", "user_id",
-        "event_id", Seq("event_type"), alpha = 0.5,
-        outName = "ewm_cov")
-      val c2 = RollingOps.ewmCorrScalable(base, "value", "user_id",
-        "event_id", Seq("event_type"), alpha = 0.5,
-        outName = "ewm_corr")
-      c1.join(c2, Seq("event_type", "event_id"))
+      // round-11: ONE repartition+sort pass emits both statistics
+      // (they share the machine's accumulators) instead of two
+      // identical passes joined back on the key — bit-equal values,
+      // same columns, oracle re-verified (hash-match)
+      RollingOps.ewmCovCorrScalable(base, "value", "user_id",
+          "event_id", Seq("event_type"), alpha = 0.5,
+          covName = "ewm_cov", corrName = "ewm_corr")
         .select("event_id", "event_type", "ewm_cov", "ewm_corr")
     }),
 

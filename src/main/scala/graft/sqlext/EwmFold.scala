@@ -171,7 +171,13 @@ case class EwmFold(child: Expression, param: Double, mode: Int)
             sxx = (1.0 - a) * sxx + x * x
             syy = (1.0 - a) * syy + y * y
           }
-          e = covEmit(mode)
+          // the replaced SQL fold guarded EVERY biased moment with
+          // CASE WHEN den > 0 (and EwmPairMachine.emit returns null
+          // when den <= 0): a keepNa leading pairwise-incomplete
+          // prefix decays den from 0 to 0, where covB = 0/0 = NaN
+          // must NOT leak out as a value — mirror the Var branch's
+          // biasedDefined guard
+          if (!keepNa || gtZeroSql(den)) e = covEmit(mode)
         case TimeMean =>
           val t = row.getDouble(0); val v = row.getDouble(2)
           val dec =

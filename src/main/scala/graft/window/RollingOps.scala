@@ -745,12 +745,12 @@ object RollingOps {
       den = d; den2 = d2; sx = x1; sy = y1
       sxy = xy; sxx = xx; syy = yy
     }
-    private def emit(): Any =
+    private def emit(corrOut: Boolean): Any =
       if (den > 0.0) {
         val covB = sxy / den - (sx / den) * (sy / den)
         val varxB = sxx / den - (sx / den) * (sx / den)
         val varyB = syy / den - (sy / den) * (sy / den)
-        if (corr) {
+        if (corrOut) {
           if (varxB * varyB > 0.0) covB / math.sqrt(varxB * varyB)
           else null
         } else if (bias) covB
@@ -758,16 +758,15 @@ object RollingOps {
           covB * (den * den) / (den * den - den2)
         else null
       } else null
-    /** Advance on one point; `incomplete` = either side missing. */
-    def step(incomplete: Boolean, x: Double, y: Double): Any =
-      if (incomplete && ignoreNa) null
-      else if (incomplete) {
+    /** Advance the accumulators on one point without emitting. */
+    private def advance(incomplete: Boolean, x: Double,
+        y: Double): Unit =
+      if (incomplete) {
         // pairwise-incomplete row under ignore_na=false: decay every
         // accumulator (den2 by (1-α)²) without adding, emit carried
         den *= (1.0 - a); den2 *= (1.0 - a) * (1.0 - a)
         sx *= (1.0 - a); sy *= (1.0 - a); sxy *= (1.0 - a)
         sxx *= (1.0 - a); syy *= (1.0 - a)
-        emit()
       } else {
         den = (1.0 - a) * den + 1.0
         den2 = (1.0 - a) * (1.0 - a) * den2 + 1.0
@@ -776,7 +775,21 @@ object RollingOps {
         sxy = (1.0 - a) * sxy + x * y
         sxx = (1.0 - a) * sxx + x * x
         syy = (1.0 - a) * syy + y * y
-        emit()
+      }
+    /** Advance on one point; `incomplete` = either side missing. */
+    def step(incomplete: Boolean, x: Double, y: Double): Any =
+      if (incomplete && ignoreNa) null
+      else { advance(incomplete, x, y); emit(corr) }
+    /** Advance ONCE, emit BOTH the cov (per `bias`) and the corr —
+      * the two statistics share all seven accumulators, so a caller
+      * needing both pays one pass instead of two (bit-equal by
+      * construction: identical advance, identical emit formulas). */
+    def stepBoth(incomplete: Boolean, x: Double,
+        y: Double): (Any, Any) =
+      if (incomplete && ignoreNa) (null, null)
+      else {
+        advance(incomplete, x, y)
+        (emit(corrOut = false), emit(corrOut = true))
       }
   }
 
@@ -1144,6 +1157,67 @@ object RollingOps {
       outName: String = "ewm_corr"): DataFrame =
     ewmCovScalable(df, xCol, yCol, orderCol, partitionCols, alpha,
       corr = true, ignoreNa = ignoreNa, outName = outName)
+
+  /** ONE-PASS cov + corr at scale (round-11, guide §2.4): both
+    * statistics share the seven [[EwmPairMachine]] accumulators, so
+    * a caller that needs cov AND corr (the q333 shape: previously
+    * two identical repartition+sort passes joined back on the key)
+    * pays a single repartition + secondary sort + O(n) pass. Values
+    * are bit-equal to [[ewmCovScalable]] / [[ewmCorrScalable]] run
+    * separately — identical state advance, identical emit formulas.
+    * Output columns: (partitionCols…, orderCol, covName, corrName). */
+  def ewmCovCorrScalable(df: DataFrame, xCol: String, yCol: String,
+      orderCol: String, partitionCols: Seq[String], alpha: Double,
+      bias: Boolean = false, ignoreNa: Boolean = true,
+      covName: String = "ewm_cov",
+      corrName: String = "ewm_corr"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(partitionCols.nonEmpty, "partitionCols required")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val base = df.select(partitionCols.map(col) :+ col(orderCol) :+
+      col(xCol).cast("double").as("__x__") :+
+      col(yCol).cast("double").as("__y__"): _*)
+    val sorted = base.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols :+ orderCol).map(col): _*)
+    val schema = StructType(sorted.schema.fields.dropRight(2) :+
+      StructField(covName, DoubleType, nullable = true) :+
+      StructField(corrName, DoubleType, nullable = true))
+    val nKeys = partitionCols.size
+    val xIdx = nKeys + 1
+    val yIdx = nKeys + 2
+    val a = alpha
+    sorted.mapPartitions { it =>
+      var curKey: Array[Any] = null
+      val m = new EwmPairMachine(a, bias, corr = false, ignoreNa)
+      def sameKey(r: Row): Boolean = {
+        if (curKey == null) return false
+        var i = 0
+        while (i < nKeys) {
+          if (!java.util.Objects.deepEquals(curKey(i), r.get(i)))
+            return false
+          i += 1
+        }
+        true
+      }
+      it.map { r =>
+        if (!sameKey(r)) {
+          curKey = Array.tabulate(nKeys)(r.get)
+          m.reset()
+        }
+        val incomplete = r.isNullAt(xIdx) || r.isNullAt(yIdx)
+        val (cv, cr) = m.stepBoth(incomplete,
+          if (incomplete) 0.0 else r.getDouble(xIdx),
+          if (incomplete) 0.0 else r.getDouble(yIdx))
+        val outVals = new Array[Any](xIdx + 2)
+        var i = 0
+        while (i < xIdx) { outVals(i) = r.get(i); i += 1 }
+        outVals(xIdx) = cv
+        outVals(xIdx + 1) = cr
+        Row.fromSeq(outVals.toIndexedSeq)
+      }
+    }(Encoders.row(schema))
+  }
 
   /** Scale-path EWM variance: truncated weights like
     * [[ewmMeanTruncated]] — a fixed-depth lag window instead of the

@@ -523,6 +523,72 @@ class RollingEwmSpec extends SparkSpecBase {
     }
   }
 
+  test("ewmCov/ewmCorr ignore_na=false with a LEADING pairwise-" +
+      "incomplete prefix emit null (not NaN) and stay bit-equal " +
+      "to the scalable pass") {
+    import spark.implicits._
+    // first pair has a null side: the keepNa fold decays den from 0
+    // to 0, where the biased moments are 0/0 — the guard must emit
+    // null exactly like EwmPairMachine.emit (den > 0) and the
+    // replaced SQL fold's CASE WHEN den > 0
+    val df = Seq(
+      (1, Option.empty[Double], Some(2.0)),
+      (2, Some(1.0), Option.empty[Double]),
+      (3, Some(4.0), Some(3.0)),
+      (4, Some(2.0), Some(5.0)),
+      (5, Option.empty[Double], Some(1.0)),
+      (6, Some(6.0), Some(2.0))).toDF("ord", "x", "y")
+      .withColumn("g", lit(1))
+    def c(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("ord").select("e").as[Option[Double]]
+        .collect().toSeq
+    // biased cov: rows 1-2 must be None, never NaN
+    val covB = c(RollingOps.ewmCov(df, "x", "y", "ord", Seq("g"),
+      0.5, bias = true, ignoreNa = false, outName = "e"))
+    covB(0) shouldBe None
+    covB(1) shouldBe None
+    covB.foreach(_.foreach(v => assert(!v.isNaN)))
+    covB shouldBe c(RollingOps.ewmCovScalable(df, "x", "y", "ord",
+      Seq("g"), 0.5, bias = true, ignoreNa = false, outName = "e"))
+    // corr: same leading prefix, fold == scalable
+    val corr = c(RollingOps.ewmCorr(df, "x", "y", "ord", Seq("g"),
+      0.5, ignoreNa = false, outName = "e"))
+    corr(0) shouldBe None
+    corr(1) shouldBe None
+    corr.foreach(_.foreach(v => assert(!v.isNaN)))
+    corr shouldBe c(RollingOps.ewmCorrScalable(df, "x", "y", "ord",
+      Seq("g"), 0.5, ignoreNa = false, outName = "e"))
+    // unbiased cov was already guarded by den²−den2 > 0; pin it too
+    c(RollingOps.ewmCov(df, "x", "y", "ord", Seq("g"), 0.5,
+      ignoreNa = false, outName = "e")) shouldBe
+      c(RollingOps.ewmCovScalable(df, "x", "y", "ord", Seq("g"),
+        0.5, ignoreNa = false, outName = "e"))
+  }
+
+  test("ewmCovCorrScalable one-pass emits BOTH columns bit-equal " +
+      "to the separate scalable ops (both ignore_na variants)") {
+    import spark.implicits._
+    val rows = (1 to 30).flatMap { i =>
+      val x = if (i % 5 == 2) None else Some(math.sin(i * 0.7) * 4 + i % 3)
+      val y = if (i % 7 == 4) None else Some(math.cos(i * 0.9) * 2 - i % 5)
+      Seq(("a", i, x, y), ("b", i, y, x))
+    }
+    val df = rows.toDF("k", "ord", "x", "y")
+    def c(d: org.apache.spark.sql.DataFrame, n: String) =
+      d.orderBy("k", "ord").select(n).as[Option[Double]]
+        .collect().toSeq
+    for (ina <- Seq(true, false)) {
+      val both = RollingOps.ewmCovCorrScalable(df, "x", "y", "ord",
+        Seq("k"), 0.4, ignoreNa = ina)
+      c(both, "ewm_cov") shouldBe
+        c(RollingOps.ewmCovScalable(df, "x", "y", "ord", Seq("k"),
+          0.4, ignoreNa = ina, outName = "e"), "e")
+      c(both, "ewm_corr") shouldBe
+        c(RollingOps.ewmCorrScalable(df, "x", "y", "ord", Seq("k"),
+          0.4, ignoreNa = ina, outName = "e"), "e")
+    }
+  }
+
   test("ewmVarTime reduces to positional ewmVar on a regular grid " +
       "and ewmStdTime is its sqrt") {
     import spark.implicits._
